@@ -1,0 +1,79 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium CDC envelope: declared schema + unwrap/parse.
+  *
+  * Reference semantics: `/root/reference/jobs/build_orders_silver.py:27-91`
+  * and `/root/reference/jobs/merge_orders_silver.py:69-129`.
+  *
+  *  - The envelope arrives as a JSON string, either wrapped
+  *    (`{"payload": {...}}`) or bare (`{...}`); the unwrap falls back to
+  *    the whole value when `$.payload` is absent
+  *    (`build_orders_silver.py:27-28`).
+  *  - `amount_eur` is declared STRING defensively and cleaned with
+  *    `regexp_replace(s, ["\s], "")` before the double cast
+  *    (`build_orders_silver.py:33-34,81,89`).
+  *  - Row image per column = `coalesce(after.x, before.x)`
+  *    (`build_orders_silver.py:63-66`).
+  *  - `last_change_ts = from_unixtime(ts_ms/1000)` — NOTE: truncates to
+  *    whole seconds (`build_orders_silver.py:91`); kept deliberately for
+  *    parity (oracle mirrors with `to_timestamp(ts_ms // 1000)`).
+  *
+  * Everything here is built-in Catalyst expressions (whole-stage
+  * codegen'd); parsing is a narrow projection so the parquet scan of a
+  * bronze table prunes to the single `v` column at any scale.
+  */
+object Envelope {
+
+  /** Row image carried in `before`/`after` — amount as string, see above. */
+  val rowSchema: StructType = StructType(Seq(
+    StructField("order_id", IntegerType),
+    StructField("user_id", IntegerType),
+    StructField("amount_eur", StringType),
+    StructField("status", StringType),
+    StructField("created_at", StringType)
+  ))
+
+  /** Full Debezium payload schema (`build_orders_silver.py:30-44`). */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("before", rowSchema),
+    StructField("after", rowSchema),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)
+  ))
+
+  /** Unwrap `{"payload": ...}` or accept the bare envelope. */
+  def unwrap(value: Column): Column = {
+    val payload = get_json_object(value, "$.payload")
+    when(payload.isNotNull, payload).otherwise(value)
+  }
+
+  /** Clean a possibly quote/whitespace-polluted numeric string and cast
+    * (`build_orders_silver.py:81,89`). */
+  def cleanAmount(c: Column): Column =
+    regexp_replace(c, "[\"\\s]", "").cast(DoubleType)
+
+  /** Parse a bronze frame: `valueCol` JSON → typed change columns.
+    * Output: order_id int, user_id int, amount_eur double, status string,
+    * op string, ts_ms long (+ all original bronze columns retained).
+    */
+  def parse(bronze: DataFrame, valueCol: String = "v"): DataFrame = {
+    val cdc = from_json(unwrap(col(valueCol)), payloadSchema)
+    def field(n: String): Column = coalesce(cdc("after")(n), cdc("before")(n))
+    bronze
+      .withColumn("order_id", field("order_id"))
+      .withColumn("user_id", field("user_id"))
+      .withColumn("amount_eur", cleanAmount(field("amount_eur")))
+      .withColumn("status", field("status"))
+      .withColumn("op", cdc("op"))
+      .withColumn("ts_ms", cdc("ts_ms"))
+  }
+
+  /** Second-truncating epoch-ms → timestamp, exactly as the reference
+    * (`from_unixtime(ts_ms/1000)`, `build_orders_silver.py:91`). */
+  def lastChangeTs(tsMs: Column): Column =
+    from_unixtime((tsMs / 1000).cast(LongType)).cast(TimestampType)
+}

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.cdc.{Dedup, Envelope, Merge}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The medallion pipeline stages as pure `DataFrame => DataFrame`
+  * transforms (bronze → silver → privacy), mirroring the reference's
+  * three jobs.
+  *
+  * Two silver materializations exist in the reference, with *different*
+  * delete semantics — both are preserved:
+  *
+  *  - **Full rebuild** (`/root/reference/jobs/build_orders_silver.py:24-95`):
+  *    parse all bronze, drop delete EVENTS pre-dedup (`:85`), LWW-dedup,
+  *    project. A deleted key therefore still shows its last non-delete
+  *    state.
+  *  - **Incremental merge** (`/root/reference/jobs/merge_orders_silver.py`):
+  *    LWW-dedup the batch, MERGE with `op='d' → DELETE` — a key whose
+  *    latest event is a delete is tombstoned out.
+  *
+  * Scale: both paths are one key-shuffle (window or join). The rebuild
+  * scans history once; incremental reads only `offset > checkpoint`
+  * (predicate pushed to the parquet scan).
+  */
+object Silver {
+
+  val Keys = Seq("order_id")
+  /** LWW ordering: newest ts wins, kafka offset breaks ties
+    * (`merge_orders_silver.py:112`). */
+  val Ordering = Seq("ts_ms", "offset")
+
+  /** Final silver projection (`merge_orders_silver.py:31-38` schema). */
+  private val projCols = Seq(
+    col("order_id").cast(IntegerType).as("order_id"),
+    col("user_id").cast(IntegerType).as("user_id"),
+    col("amount_eur").cast(DoubleType).as("amount_eur"),
+    col("status").cast(StringType).as("status"),
+    Envelope.lastChangeTs(col("ts_ms")).as("last_change_ts"))
+
+  private def project(parsed: DataFrame): DataFrame =
+    parsed.select(projCols: _*)
+
+  /** Parsed + null-guarded change rows from bronze (shared prefix). */
+  def changes(bronze: DataFrame): DataFrame =
+    Envelope.parse(bronze).filter(col("order_id").isNotNull)
+
+  /** Full-rebuild silver (`build_orders_silver.py` semantics). */
+  def rebuild(bronze: DataFrame): DataFrame = {
+    val current = Dedup.latestByKey(
+      changes(bronze).filter(col("op") =!= "d"), Keys, Ordering)
+    project(current)
+  }
+
+  /** Single-batch incremental merge into `target` (empty target ⇒
+    * bootstrap). `merge_orders_silver.py` semantics: deletes tombstone. */
+  def mergeBatch(target: DataFrame, bronzeBatch: DataFrame): DataFrame = {
+    val staged = Dedup.latestByKey(changes(bronzeBatch), Keys, Ordering)
+    Merge.mergeCdc(target, staged.select(projCols :+ col("op"): _*), Keys)
+  }
+
+  /** Replay bronze as `n` offset-range micro-batches through the MERGE
+    * path — the reference pipeline run `n` times with checkpoints. Used
+    * to prove the §5.3 invariant: N-batch replay ≡ one-batch merge. */
+  def incremental(bronze: DataFrame, nBatches: Int): DataFrame = {
+    val bounds = bronze.agg(min("offset"), max("offset")).collect()(0)
+    if (bounds.isNullAt(0)) return mergeBatch(emptyTarget(bronze), bronze)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = math.max(1L, (hi - lo + nBatches) / nBatches)
+    val batches = (0 until nBatches).map { i =>
+      bronze.filter(col("offset") > lo - 1 + i * step &&
+        col("offset") <= lo - 1 + (i + 1L) * step)
+    }
+    batches.foldLeft(emptyTarget(bronze))(mergeBatch)
+  }
+
+  private def emptyTarget(bronze: DataFrame): DataFrame =
+    project(changes(bronze)).limit(0)
+}
