@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * Event plan per order key `k` (all arithmetic mirrored 1:1 in the
   * DuckDB oracle SQL — no randomness, no wall clock):
   *   - op `c` at `ts_ms = epoch_ms(o_orderdate)`, after = insert image
-  *   - op `u` at `+1h` iff `k % 3 == 0` (amount × 1.1, status "updated")
+  *   - op `u` at `+1h` iff `k % 3 == 0` (amount = "1" prepended to the
+  *     insert amount string — a pure string transform, so both engines
+  *     produce byte-identical update amounts with no float re-rounding;
+  *     `%.2f` of `p * 1.1` rounds differently in Java vs C on near-tie
+  *     doubles like 9795.005 — status "updated")
   *   - op `d` at `+2h` iff `k % 17 == 0` (after = null, before = last image)
   * Pollution: iff `k % 5 == 0` the amount string is ` <amt> ` (leading/
   * trailing spaces — exercises the reference's regex cleanup,
@@ -63,7 +67,10 @@ object Synth {
     */
   def changeEvents(orders: DataFrame): DataFrame = {
     val k = col("o_orderkey")
-    val baseTs = unix_millis(col("o_orderdate"))
+    // o_orderdate arrives as TIMESTAMP_NTZ from parquet; unix_millis
+    // requires TIMESTAMP (tz-aware). The session runs UTC, so the cast
+    // interprets the naive value as UTC — exactly DuckDB's epoch_ms.
+    val baseTs = unix_millis(col("o_orderdate").cast("timestamp"))
     def polluted(a: Column): Column =
       when(k % 5 === 0, concat(lit(" "), a, lit(" "))).otherwise(a)
 
@@ -71,7 +78,7 @@ object Synth {
       polluted(amt2(col("o_totalprice"))), col("o_orderstatus"),
       col("o_orderdate"))
     val updateImage = image(k, col("o_custkey"),
-      polluted(amt2(col("o_totalprice") * 1.1)), lit("updated"),
+      polluted(concat(lit("1"), amt2(col("o_totalprice")))), lit("updated"),
       col("o_orderdate"))
     val lastImage = when(k % 3 === 0, updateImage).otherwise(insertImage)
 

@@ -87,11 +87,11 @@ object PipelineQueries {
       FROM base
       UNION ALL
       SELECT k, u, epoch_ms(d) + 3600000, 'u',
-             CAST(printf('%.2f', p * 1.1) AS DOUBLE), 'updated'
+             CAST(('1' || printf('%.2f', p)) AS DOUBLE), 'updated'
       FROM base WHERE k % 3 = 0
       UNION ALL
       SELECT k, u, epoch_ms(d) + 7200000, 'd',
-             CASE WHEN k % 3 = 0 THEN CAST(printf('%.2f', p * 1.1) AS DOUBLE)
+             CASE WHEN k % 3 = 0 THEN CAST(('1' || printf('%.2f', p)) AS DOUBLE)
                   ELSE CAST(printf('%.2f', p) AS DOUBLE) END,
              CASE WHEN k % 3 = 0 THEN 'updated' ELSE s END
       FROM base WHERE k % 17 = 0
@@ -132,8 +132,8 @@ object PipelineQueries {
       SELECT *,
         CASE WHEN k % 5 = 0 THEN ' ' || printf('%.2f', p) || ' '
              ELSE printf('%.2f', p) END AS amt_c,
-        CASE WHEN k % 5 = 0 THEN ' ' || printf('%.2f', p * 1.1) || ' '
-             ELSE printf('%.2f', p * 1.1) END AS amt_u,
+        CASE WHEN k % 5 = 0 THEN ' 1' || printf('%.2f', p) || ' '
+             ELSE '1' || printf('%.2f', p) END AS amt_u,
         strftime(d, '%Y-%m-%d %H:%M:%S') AS cat
       FROM base
     ),
