@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   * }}}
   *
   * Emulation: full-outer join target × staging on the key, per-row
-  * resolution, producing the new snapshot. Iceberg requires at most one
-  * staging row per key (cardinality check) — callers must pre-apply
-  * [[Dedup.latestByKey]]; `mergeCdc` enforces the same invariant lazily
-  * via a join-side `row_number` guard when `checkCardinality` is set.
+  * resolution, producing the new snapshot. Iceberg throws when more than
+  * one staging row matches a target key; `mergeCdc(checkCardinality =
+  * true)` enforces the same contract via a `count().over(key)` +
+  * `raise_error` guard evaluated inside the plan (one extra window pass
+  * over staging, same shuffle key as the join — no extra exchange).
+  * Callers that pre-apply [[Dedup.latestByKey]] (the pipeline does) can
+  * leave it off.
   *
   * Reference quirk preserved (SURVEY §2.5): the MERGE has NO timestamp
   * guard, so across batches a late event older than the applied row DOES
@@ -38,16 +41,34 @@ object Merge {
     * @param target   current silver snapshot (value columns only)
     * @param staging  deduped micro-batch: same value columns + `op`
     * @param keys     equi-join key column(s)
+    * @param checkCardinality raise (like Iceberg) if staging holds more
+    *                 than one row for a key; off when the caller has
+    *                 already LWW-deduped
     * @return the next snapshot (same schema as `target`)
     */
   def mergeCdc(target: DataFrame, staging: DataFrame,
-               keys: Seq[String]): DataFrame = {
+               keys: Seq[String],
+               checkCardinality: Boolean = false): DataFrame = {
     val valueCols = target.columns.toSeq
     require(staging.columns.contains("op"),
       "staging must carry the CDC `op` column")
 
+    val guarded =
+      if (!checkCardinality) staging
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+        staging.withColumn("_k_cnt", count(lit(1)).over(w))
+          .withColumn("_guard", when(col("_k_cnt") > 1, raise_error(concat(
+            lit("MERGE cardinality violation: multiple staging rows for key ("),
+            concat_ws(",", keys.map(col): _*), lit(")"))))
+            .otherwise(lit(null)))
+          .filter(col("_guard").isNull)
+          .drop("_k_cnt", "_guard")
+      }
+
     val t = target.select(valueCols.map(c => col(c).as(s"t_$c")): _*)
-    val s = staging.select(
+    val s = guarded.select(
       (valueCols :+ "op").map(c => col(c).as(s"s_$c")): _*)
 
     val cond = keys.map(k => col(s"t_$k") <=> col(s"s_$k")).reduce(_ && _)

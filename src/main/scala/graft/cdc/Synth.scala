@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
   * JSON is built by string concat — NOT `to_json` — so the oracle can
   * reproduce byte-identical strings with `printf`/`strftime`/`||`.
   *
-  * Scale note: the global `row_number` assigning `offset` exists only to
-  * fake a totally-ordered Kafka log for fixtures; production bronze gets
-  * offsets from the log itself. Every downstream operator partitions by
-  * key, never by offset order.
+  * Scale note: offsets are assigned PER KAFKA PARTITION
+  * (`Window.partitionBy(partition)`), mirroring Kafka's real ordering
+  * contract — offsets are only ordered within a partition. This keeps
+  * the fixture generator shuffle-parallel (no single-partition global
+  * sort). A key's events all land in one partition (`k % 4`), so
+  * `(ts_ms, offset)` remains a total order per key — exactly what the
+  * LWW dedup needs.
   */
 object Synth {
 
@@ -101,12 +104,14 @@ object Synth {
     */
   def bronze(orders: DataFrame): DataFrame = {
     val ev = changeEvents(orders)
-    val w = Window.orderBy(col("ts_ms"), col("order_key"))
+      .withColumn("partition", (col("order_key") % 4).cast("int"))
+    val w = Window.partitionBy(col("partition"))
+      .orderBy(col("ts_ms"), col("order_key"))
     ev
       .withColumn("offset", row_number().over(w).cast("long"))
       .select(
         lit(Topic).as("topic"),
-        (col("order_key") % 4).cast("int").as("partition"),
+        col("partition"),
         col("offset"),
         Envelope.lastChangeTs(col("ts_ms")).as("kafka_ts"),
         concat(lit("{\"order_id\":"), col("order_key").cast("string"),

@@ -62,17 +62,30 @@ object Silver {
 
   /** Replay bronze as `n` offset-range micro-batches through the MERGE
     * path — the reference pipeline run `n` times with checkpoints. Used
-    * to prove the §5.3 invariant: N-batch replay ≡ one-batch merge. */
+    * to prove the §5.3 invariant: N-batch replay ≡ one-batch merge.
+    *
+    * Scale: bronze is cached once (each batch filter would otherwise
+    * recompute the full upstream plan), and every fold step is
+    * lineage-truncated with an eager `localCheckpoint` — without it the
+    * plan nests N full-outer joins and Catalyst re-optimizes the whole
+    * O(N)-deep tree at every action. On a real cluster the same role is
+    * played by writing each snapshot (Snapshot.createOrReplace) and
+    * reading it back — a replay step is never a single growing plan. */
   def incremental(bronze: DataFrame, nBatches: Int): DataFrame = {
     val bounds = bronze.agg(min("offset"), max("offset")).collect()(0)
     if (bounds.isNullAt(0)) return mergeBatch(emptyTarget(bronze), bronze)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val step = math.max(1L, (hi - lo + nBatches) / nBatches)
-    val batches = (0 until nBatches).map { i =>
-      bronze.filter(col("offset") > lo - 1 + i * step &&
-        col("offset") <= lo - 1 + (i + 1L) * step)
-    }
-    batches.foldLeft(emptyTarget(bronze))(mergeBatch)
+    val cached = bronze.persist()
+    try {
+      val batches = (0 until nBatches).map { i =>
+        cached.filter(col("offset") > lo - 1 + i * step &&
+          col("offset") <= lo - 1 + (i + 1L) * step)
+      }
+      batches.foldLeft(emptyTarget(bronze)) { (target, batch) =>
+        mergeBatch(target, batch).localCheckpoint()
+      }
+    } finally cached.unpersist()
   }
 
   private def emptyTarget(bronze: DataFrame): DataFrame =

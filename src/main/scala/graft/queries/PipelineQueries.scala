@@ -28,13 +28,14 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "q_cdc_bronze" -> ((s, d) =>
       tsToStr(Synth.bronze(Tables.orders(s, d)), "kafka_ts")
-        .orderBy("offset")),
+        .orderBy("partition", "offset")),
 
     "q_cdc_parse" -> ((s, d) =>
       Silver.changes(Synth.bronze(Tables.orders(s, d)))
-        .select(col("offset"), col("order_id"), col("user_id"),
-          col("amount_eur"), col("status"), col("op"), col("ts_ms"))
-        .orderBy("offset")),
+        .select(col("partition"), col("offset"), col("order_id"),
+          col("user_id"), col("amount_eur"), col("status"), col("op"),
+          col("ts_ms"))
+        .orderBy("partition", "offset")),
 
     "q_cdc_silver_rebuild" -> ((s, d) =>
       tsToStr(Silver.rebuild(Synth.bronze(Tables.orders(s, d))),
@@ -96,7 +97,7 @@ object PipelineQueries {
              CASE WHEN k % 3 = 0 THEN 'updated' ELSE s END
       FROM base WHERE k % 17 = 0
     ),
-    evo AS (SELECT *, row_number() OVER (ORDER BY ts_ms, k) AS off FROM ev)"""
+    evo AS (SELECT *, row_number() OVER (PARTITION BY k % 4 ORDER BY ts_ms, k) AS off FROM ev)"""
 
   private val silverSelect: String = s"""
     SELECT CAST(k AS INT) AS order_id, CAST(u AS INT) AS user_id,
@@ -163,35 +164,35 @@ object PipelineQueries {
           ',"after":null,"op":"d","ts_ms":' || (epoch_ms(d) + 7200000) || '}'
       FROM withimg WHERE k % 17 = 0
     ),
-    evo AS (SELECT *, row_number() OVER (ORDER BY ts_ms, k) AS "offset" FROM ev)
+    evo AS (SELECT *, row_number() OVER (PARTITION BY k % 4 ORDER BY ts_ms, k) AS "offset" FROM ev)
     SELECT 'pg.public.orders' AS topic, CAST(k % 4 AS INT) AS "partition",
       "offset",
       strftime(make_timestamp(((ts_ms // 1000) * 1000000)::BIGINT), '%Y-%m-%d %H:%M:%S') AS kafka_ts,
       '{"order_id":' || k || '}' AS k,
       CASE WHEN k % 11 = 0 THEN env
            ELSE '{"payload":' || env || '}' END AS v
-    FROM evo ORDER BY "offset""""
+    FROM evo ORDER BY "partition", "offset""""
 
   val oracles: Map[String, String] = Map(
     "q_cdc_bronze" -> bronzeSql,
 
     "q_cdc_parse" -> s"""
       WITH $evoCte
-      SELECT off AS "offset", CAST(k AS INT) AS order_id,
+      SELECT CAST(k % 4 AS INT) AS "partition", off AS "offset",
+             CAST(k AS INT) AS order_id,
              CAST(u AS INT) AS user_id, amt AS amount_eur, st AS status,
              op, ts_ms
-      FROM evo ORDER BY "offset"""",
+      FROM evo ORDER BY "partition", "offset"""",
 
     "q_cdc_silver_rebuild" -> silverRebuildSql,
     "q_cdc_silver_merge" -> silverMergeSql,
     "q_cdc_silver_incremental" -> silverMergeSql,
 
-    "q_cdc_checkpoint" -> """
+    "q_cdc_checkpoint" -> s"""
+      WITH $evoCte
       SELECT 'orders_silver' AS pipeline,
-             CAST((SELECT count(*) FROM orders)
-                + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
-                + (SELECT count(*) FROM orders WHERE o_orderkey % 17 = 0)
-               AS BIGINT) AS last_offset""",
+             CAST(max(off) AS BIGINT) AS last_offset
+      FROM evo""",
 
     "q_privacy_current" -> s"""
       WITH $evoCte,
