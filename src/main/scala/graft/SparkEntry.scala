@@ -22,10 +22,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++
+      ExtQueries.queries
 
   /** DuckDB-runnable ANSI SQL twin for each query. */
   def oracleSql: Map[String, String] =
     PipelineQueries.oracles ++
-      RelationalQueries.oracles
+      RelationalQueries.oracles ++
+      ExtQueries.oracles
 }

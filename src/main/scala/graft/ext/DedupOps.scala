@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY §2.7
+  * X1/X2): exact content-hash dedup, MinHash+LSH near-dup, SimHash.
+  *
+  * Scale discipline (the whole point of these designs):
+  *  - exact dedup is one hash-shuffle on the 256-bit content hash;
+  *  - near-dup NEVER does an all-pairs join — candidates come from a
+  *    band-bucket equi-join (LSH), so the shuffle key is (band, bucket)
+  *    and only colliding documents meet; the exact Jaccard check runs on
+  *    candidate pairs only, with shingle sets re-joined by id so the
+  *    band shuffle carries ids, not arrays;
+  *  - SimHash reduces a document to one 32-bit signature; its bit-prefix
+  *    buckets drive the same banded-join pattern.
+  *
+  * Everything is built-in expressions (md5/sha2, array lambdas) —
+  * deterministic, codegen-friendly, mirrored in DuckDB oracle SQL.
+  */
+object DedupOps {
+
+  /** X1 — exact dedup on content hash. Keeps the lowest `idCol` per
+    * normalized-text hash; emits the survivor with its duplicate count.
+    * One shuffle, on the hash. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val hashed = docs.withColumn("content_hash",
+      TextOps.fingerprint(col(textCol)))
+    val w = Window.partitionBy("content_hash")
+    hashed
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col(idCol))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** MinHash signature size and LSH banding: Bands * RowsPerBand =
+    * NumHashes. With b=4, r=4 the collision-probability curve
+    * (1-(1-s^r)^b) crosses 1/2 near s≈0.7 — tuned for near-dup (not
+    * loose-similarity) detection. */
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** One MinHash value: min over shingles of md5(seed || ':' || s).
+    * Hex strings have fixed length, so lexicographic MIN == numeric MIN
+    * of the 128-bit value — a trick both Spark and DuckDB share. */
+  private def minhashOne(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** Distinct word-shingle set for a document. */
+  def shingleSet(text: Column, shingleSize: Int = 3): Column =
+    array_distinct(TextOps.shingles(text, shingleSize))
+
+  /** MinHash signature as `NumHashes` columns `mh0..mhN` (plus
+    * `_shingles`). */
+  def withSignature(docs: DataFrame, textCol: String = "text",
+                    shingleSize: Int = 3): DataFrame = {
+    val withSh = docs.withColumn("_shingles",
+      shingleSet(col(textCol), shingleSize))
+    (0 until NumHashes).foldLeft(withSh) { (df, i) =>
+      df.withColumn(s"mh$i", minhashOne(col("_shingles"), i))
+    }
+  }
+
+  /** LSH band keys: md5 over each band's minhash slice. One row per
+    * (doc, band): (idCol, band, band_key). */
+  def bandedSignatures(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       shingleSize: Int = 3): DataFrame = {
+    val signed = withSignature(docs, textCol, shingleSize)
+    val bandKeys = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_key"))
+    }
+    signed
+      .withColumn("_bk", explode(array(bandKeys: _*)))
+      .select(col(idCol), col("_bk.band").as("band"),
+        col("_bk.band_key").as("band_key"))
+  }
+
+  /** X2 — MinHash/LSH near-duplicate pairs with exact Jaccard verify.
+    *
+    * Candidates: self-equi-join on (band, band_key) with `a.id < b.id`
+    * — the ONLY quadratic-capable step, and its key is the LSH bucket,
+    * so cost is sum-over-buckets of bucket², never n². Verification
+    * re-joins each side's shingle set by id (ids, not arrays, cross the
+    * band shuffle) and filters on true Jaccard.
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", shingleSize: Int = 3,
+                     minJaccard: Double = 0.5): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, textCol, shingleSize)
+    val pairs = banded.as("a")
+      .join(banded.as("b"), Seq("band", "band_key"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val sets = docs.select(col(idCol),
+      shingleSet(col(textCol), shingleSize).as("sh"))
+    val joined = pairs
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    joined
+      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash bit width: 32 (8 md5 hex digits × 4 bits). */
+  val SimHashBits = 32
+
+  /** X2b — 32-bit SimHash as a '0'/'1' bit-string (emitted as a string
+    * because cross-engine integer hex parsing differs; the string IS the
+    * signature and buckets/prefixes derive from it).
+    *
+    * Per token: h = first 8 hex digits of md5(token). Per bit b: digit
+    * value of hex char b/4 (via `conv(_,16,10)`; DuckDB mirrors with
+    * `strpos('0123456789abcdef',_)-1`), test bit 3-b%4; each token votes
+    * +1/-1; bit is 1 iff the vote sum is positive.
+    */
+  def simhash(text: Column): Column = {
+    val hexes = transform(TextOps.tokens(text),
+      t => substring(md5(t), 1, SimHashBits / 4))
+    val bitChars = (0 until SimHashBits).map { b =>
+      val digitPos = b / 4 + 1
+      val shift = 3 - b % 4
+      val votes = aggregate(hexes, lit(0), (acc, h) =>
+        acc + (shiftright(
+          conv(substring(h, digitPos, 1), 16, 10).cast("int"), shift)
+          % 2) * 2 - 1)
+      when(votes > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bitChars: _*)
+  }
+
+  /** Per-document SimHash frame: (idCol, simhash, bucket = first 8 bits)
+    * — the bucket column is the banded-join key for simhash-based
+    * near-dup candidate generation. */
+  def withSimhash(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+      .withColumn("bucket", substring(col("simhash"), 1, 8))
+}

@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §2.7 X4):
+  * tokenization, word counts, tf-idf, n-gram language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * All scalar work is built-in Catalyst expressions (whole-stage
+  * codegen); the only shuffles are the groupBy/join aggregations that
+  * genuinely need them. Everything is deterministic and mirrored 1:1 in
+  * DuckDB oracle SQL (`graft.queries.ExtQueries`).
+  *
+  * Cross-engine float discipline: scores are built from integer counts
+  * with IEEE-exact ops (`/`, `*` are correctly rounded and thus
+  * bit-identical across engines); `ln` appears only in tf-idf where the
+  * output is squashed through DECIMAL(18,6) on both sides.
+  *
+  * Scale: token explode multiplies rows by tokens-per-doc — word-count
+  * and tf-idf shuffle on the word key, which is low-cardinality; a
+  * two-level partial aggregation (map-side combine) keeps the exchange
+  * small. Nothing here collects to the driver.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (documents are space-separated words). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** "BPE-ish" regex token count: alpha runs, digit runs, and single
+    * non-space symbols each count as one token. POSIX-safe pattern so
+    * Java regex and DuckDB RE2 agree. */
+  val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(TokenRegex), lit(0)))
+
+  /** Per-word global counts: explode → groupBy(word) → count. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Classic tf-idf over (doc, word): tf = in-doc term count,
+    * df = #docs containing the word, idf = ln((N+1)/(df+1)) + 1
+    * (smoothed). Returns (doc_id, word, tf, df, tfidf DECIMAL(18,6)).
+    *
+    * Two shuffles: (doc, word) count, then word-keyed df join — the df
+    * side is tiny (vocabulary) and broadcast.
+    */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val n = docs.select(col(idCol)).distinct.count
+    val termFreq = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy("word")
+      .agg(count(lit(1)).as("df"))
+    termFreq.join(broadcast(docFreq), "word")
+      .withColumn("tfidf",
+        (col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+          .cast(DecimalType(18, 6)))
+      .select(col(idCol), col("word"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Marker-word table for the n-gram language-ID heuristic. Public so
+    * the oracle SQL generator uses the exact same table. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "value"),
+    "de" -> Seq("group", "order", "sort"),
+    "fr" -> Seq("merge", "join", "key"),
+    "zh" -> Seq("spark", "stream", "vector")
+  )
+
+  /** Heuristic language ID: score(lang) = #tokens in that language's
+    * marker set; predict the arg-max, ties broken by language name ASC.
+    * (A real system uses char n-gram profiles; the fixture vocabulary is
+    * synthetic, so marker sets stand in for the profile table — the
+    * operator shape, scoring and arg-max resolution are the real thing.)
+    */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks,
+        array(markers.map(lit): _*)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scored = langScores(text)
+    // arg-max with lang-ASC tie-break: fold over (score, lang) pairs.
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  val Stopwords: Seq[String] = Seq("a", "the")
+
+  /** Quality features per document: token count, char count, mean token
+    * length, stopword ratio, distinct-token ratio. All ratios are
+    * int-over-int IEEE divisions — bit-identical across engines. */
+  def qualityFeatures(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast(DoubleType)
+    docs.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      length(col(textCol)).as("n_chars"),
+      ((length(col(textCol)) - size(toks) + 1).cast(DoubleType) / nTok)
+        .as("mean_token_len"),
+      (size(array_intersect(toks, array(Stopwords.map(lit): _*)))
+        .cast(DoubleType) / nTok).as("stopword_presence"),
+      (size(array_distinct(toks)).cast(DoubleType) / nTok)
+        .as("distinct_ratio"),
+      size(regexp_extract_all(lower(col(textCol)), lit(TokenRegex), lit(0)))
+        .as("regex_tokens"))
+  }
+
+  /** Content fingerprint: sha-256 of the normalized (lower, trimmed)
+    * text — the X1 exact-dedup key and the stable document ID a 100-TB
+    * pipeline partitions by. */
+  def fingerprint(text: Column): Column =
+    sha2(trim(lower(text)), 256)
+
+  /** Word n-gram shingles (the MinHash input): contiguous `n`-token
+    * windows joined by ' '. Array built-ins only — no UDF. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality metrics table (X6 — the reference's roadmap item,
+  * `/root/reference/README.md:227`): per-table health aggregations
+  * emitted as (metric, value) rows a monitoring job appends each run.
+  *
+  * Every metric is a single-pass aggregation (count/sum of predicates) —
+  * one partial-agg shuffle per source table, no joins, no collects.
+  * Ratios are int-over-int IEEE divisions → deterministic cross-engine.
+  */
+object Metrics {
+
+  private def ratio(num: Column, den: Column): Column =
+    num.cast(DoubleType) / den.cast(DoubleType)
+
+  /** Silver-table health: row count, null rate per key column, negative
+    * amounts, duplicate keys. */
+  def silverMetrics(silver: DataFrame): DataFrame = {
+    val agg = silver.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("user_id").isNull, 1)).as("null_user"),
+      count(when(col("amount_eur").isNull, 1)).as("null_amount"),
+      count(when(col("amount_eur") < 0, 1)).as("negative_amount"),
+      (count(lit(1)) - countDistinct(col("order_id"))).as("dup_orders"))
+    explodeMetrics(agg, Seq("n_rows", "null_user", "null_amount",
+      "negative_amount", "dup_orders"))
+  }
+
+  /** Document-corpus health for a training pipeline: empty docs, short
+    * docs, oversized docs, exact-dup texts, language skew. */
+  def documentMetrics(docs: DataFrame): DataFrame = {
+    val agg = docs.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(length(trim(col("text"))) === 0, 1)).as("empty_docs"),
+      count(when(col("n_chars") < 100, 1)).as("short_docs"),
+      (count(lit(1)) - countDistinct(col("text"))).as("dup_texts"),
+      countDistinct(col("lang")).as("n_langs"))
+    explodeMetrics(agg, Seq("n_docs", "empty_docs", "short_docs",
+      "dup_texts", "n_langs"))
+  }
+
+  /** Event-stream health: error rate, null-value rate. */
+  def eventMetrics(events: DataFrame): DataFrame = {
+    val agg = events.agg(
+      count(lit(1)).as("n_events"),
+      count(when(col("event_type") === "error", 1)).as("error_events"),
+      count(when(col("value").isNull, 1)).as("null_values"))
+    explodeMetrics(agg, Seq("n_events", "error_events", "null_values"))
+  }
+
+  /** One aggregated row → (metric, value) long-format rows. */
+  private def explodeMetrics(agg1row: DataFrame,
+                             names: Seq[String]): DataFrame = {
+    val pairs = names.map(n =>
+      struct(lit(n).as("metric"), col(n).cast(LongType).as("value")))
+    agg1row
+      .select(explode(array(pairs: _*)).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+  }
+}

@@ -1,0 +1,389 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.quality.Metrics
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle-checked queries for the LLM-training-data extension operators
+  * (SURVEY §2.7 X1–X6) over `documents.parquet` / `embeddings.parquet` /
+  * `events.parquet`.
+  *
+  * The fixture corpus has no duplicates, so dedup queries run over
+  * [[corpusWithTwins]]: the corpus unioned with deterministic exact
+  * twins (`doc_id % 10 == 0` → id+100000) and near twins
+  * (`doc_id % 10 == 5` → id+200000, last 5 words dropped) — both
+  * mirrored 1:1 in the oracle CTE, so survivors and pair sets are fully
+  * checked.
+  *
+  * Cross-engine determinism notes (see also RelationalQueries):
+  *  - md5/sha256 of identical strings are identical;
+  *  - int/int divisions and strict left-fold double sums are IEEE
+  *    correctly-rounded op sequences → bit-identical;
+  *  - `ln` (tf-idf) is the single not-formally-identical op; its output
+  *    is squashed through DECIMAL(18,6) on both sides;
+  *  - generated SQL (simhash bits, language argmax) comes from the SAME
+  *    Scala constants as the DataFrame code.
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------------------------------------
+  // Twin corpus (shared by X1/X2 queries)
+  // -------------------------------------------------------------------
+
+  def corpusWithTwins(docs: DataFrame): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val base = docs.select(cols.map(col): _*)
+    val exact = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val toks = split(col("text"), " ")
+    val shortText = concat_ws(" ", slice(toks, lit(1), size(toks) - 5))
+    val near = base.filter(col("doc_id") % 10 === 5)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", shortText)
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  private val twinsCte: String = """
+    twins AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000,
+             array_to_string(w[1:len(w)-5], ' '),
+             lang, source,
+             CAST(length(array_to_string(w[1:len(w)-5], ' ')) AS BIGINT)
+      FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
+      WHERE doc_id % 10 = 5
+    )"""
+
+  /** DuckDB shingle-set expression over a word-list column `w`. */
+  private def shSql(w: String, n: Int = 3): String =
+    s"""list_distinct(CASE WHEN len($w) < $n
+         THEN [array_to_string($w, ' ')]
+         ELSE list_transform(range(0, len($w) - $n + 1),
+                i -> array_to_string($w[i+1:i+$n], ' ')) END)"""
+
+  // -------------------------------------------------------------------
+  // Queries
+  // -------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // X1 — exact dedup over content hash.
+    "q_doc_dedup" -> ((s, d) =>
+      DedupOps.exactDedup(corpusWithTwins(Tables.documents(s, d)))
+        .select(col("doc_id"), col("content_hash"), col("dup_count"))
+        .orderBy("doc_id")),
+
+    // X4 — global word counts.
+    "q_word_counts" -> ((s, d) =>
+      TextOps.wordCounts(Tables.documents(s, d)).orderBy("word")),
+
+    // X4 — tf-idf.
+    "q_tfidf" -> ((s, d) =>
+      TextOps.tfidf(Tables.documents(s, d)).orderBy("doc_id", "word")),
+
+    // X4 — heuristic language ID.
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // X4 — quality features.
+    "q_quality" -> ((s, d) =>
+      TextOps.qualityFeatures(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // X2 — MinHash/LSH near-dup pairs (banded join, no all-pairs).
+    "q_near_dup" -> ((s, d) =>
+      DedupOps.nearDuplicates(corpusWithTwins(Tables.documents(s, d)),
+        minJaccard = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // X2b — SimHash signatures.
+    "q_simhash" -> ((s, d) =>
+      DedupOps.withSimhash(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // X3 — exact cosine top-k, broadcast queries, no corpus shuffle.
+    "q_topk_sim" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      SimilarityOps.bruteForceTopK(queries, emb, 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // X3b — sign-LSH bucketed ANN (the 100-TB path).
+    "q_topk_bucketed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      SimilarityOps.bucketedTopK(queries, emb, 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // X5 — multimodal media table + stubbed decode features. The
+    // histogram array is serialized to CSV for the compare (the
+    // hash-compare layer can't sort list cells); the library keeps it
+    // as a real array<int>.
+    "q_multimodal" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaTable(Tables.documents(s, d)))
+        .withColumn("histogram", concat_ws(",", col("histogram")))
+        .orderBy("media_id")),
+
+    // X6 — data-quality metrics table.
+    "q_quality_metrics" -> ((s, d) =>
+      Metrics.documentMetrics(Tables.documents(s, d))
+        .unionByName(Metrics.eventMetrics(Tables.events(s, d)))
+        .orderBy("metric"))
+  )
+
+  // -------------------------------------------------------------------
+  // Oracle SQL
+  // -------------------------------------------------------------------
+
+  /** DuckDB twin of [[DedupOps.simhash]], generated from the same
+    * constants. `hx` is the per-token 8-hex-digit list column. */
+  private def simhashSql(hx: String): String = {
+    val bits = (0 until DedupOps.SimHashBits).map { b =>
+      val digitPos = b / 4 + 1
+      val shift = 3 - b % 4
+      s"""CASE WHEN 2 * list_sum(list_transform($hx,
+            h -> ((strpos('0123456789abcdef', h[$digitPos:$digitPos]) - 1)
+                  >> $shift) & 1)) - len($hx) > 0
+          THEN '1' ELSE '0' END"""
+    }
+    s"concat(${bits.mkString(", ")})"
+  }
+
+  /** DuckDB twin of [[TextOps.langId]]'s fold (same marker table, same
+    * strictly-greater tie behavior: first entry wins ties). */
+  private def langIdSql(w: String): String = {
+    def score(markers: Seq[String]): String =
+      s"len(list_intersect($w, [${markers.map(m => s"'$m'").mkString(",")}]))"
+    val scored = TextOps.LangMarkers.map { case (l, m) => (l, score(m)) }
+    scored.tail.foldLeft((scored.head._2, s"'${scored.head._1}'")) {
+      case ((bestS, bestL), (lang, s)) =>
+        (s"(CASE WHEN $s > ($bestS) THEN $s ELSE ($bestS) END)",
+          s"(CASE WHEN $s > ($bestS) THEN '$lang' ELSE $bestL END)")
+    }._2
+  }
+
+  /** DuckDB sequential-fold dot product over 1-based list columns. */
+  private def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+          i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"""
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** DuckDB byte value at 1-based byte position `p` of an md5 hex
+    * string column `h`. */
+  private def byteAt(h: String, p: Int): String = {
+    def digit(pos: Int) = s"(strpos('0123456789abcdef', $h[$pos:$pos]) - 1)"
+    s"(${digit(2 * p - 1)} * 16 + ${digit(2 * p)})"
+  }
+
+  private val topkOracle: String = s"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             ${cosSql("qe", "e.embedding")} AS score
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, score
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  private def bucketSql(e: String): String =
+    "concat(" + Seq(0, 1, 2, 3).map(d =>
+      s"CASE WHEN $e[${d + 1}] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+
+  private val topkBucketedOracle: String = s"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             ${bucketSql("embedding")} AS bucket
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (
+      SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             ${cosSql("qe", "c.embedding")} AS score
+      FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, score
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  val oracles: Map[String, String] = Map(
+    "q_doc_dedup" -> s"""
+      WITH $twinsCte,
+      hashed AS (
+        SELECT doc_id, sha256(trim(lower(text))) AS content_hash,
+               text, lang, source, n_chars
+        FROM twins
+      ),
+      ranked AS (
+        SELECT doc_id, content_hash,
+               count(*) OVER (PARTITION BY content_hash) AS dup_count,
+               row_number() OVER
+                 (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        FROM hashed
+      )
+      SELECT doc_id, content_hash, CAST(dup_count AS BIGINT) AS dup_count
+      FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_word_counts" -> """
+      SELECT w AS word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY word""",
+
+    "q_tfidf" -> """
+      WITH tf AS (
+        SELECT doc_id, w AS word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+      ),
+      df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+      SELECT doc_id, word, tf, df,
+             CAST(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)
+               AS DECIMAL(18,6)) AS tfidf
+      FROM tf JOIN df USING (word), n
+      ORDER BY doc_id, word""",
+
+    "q_lang_id" -> s"""
+      SELECT doc_id, lang, ${langIdSql("string_split(text, ' ')")}
+        AS lang_pred
+      FROM documents ORDER BY doc_id""",
+
+    "q_quality" -> s"""
+      WITH t AS (SELECT *, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+        CAST(len(w) AS INT) AS n_tokens,
+        CAST(length(text) AS INT) AS n_chars,
+        (length(text) - len(w) + 1)::DOUBLE / len(w)::DOUBLE
+          AS mean_token_len,
+        len(list_intersect(w, ['a','the']))::DOUBLE / len(w)::DOUBLE
+          AS stopword_presence,
+        len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS distinct_ratio,
+        CAST(len(regexp_extract_all(lower(text),
+          '${TextOps.TokenRegex}')) AS INT) AS regex_tokens
+      FROM t ORDER BY doc_id""",
+
+    "q_near_dup" -> s"""
+      WITH $twinsCte,
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM twins),
+      sh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM toks),
+      sig AS (
+        SELECT doc_id, shingles,
+               list_transform(range(0, ${DedupOps.NumHashes}),
+                 s -> list_min(list_transform(shingles,
+                        x -> md5(s || ':' || x)))) AS mh
+        FROM sh
+      ),
+      bands AS (
+        SELECT doc_id, bb.b AS band,
+               md5(array_to_string(
+                 mh[bb.b * ${DedupOps.RowsPerBand} + 1 :
+                    bb.b * ${DedupOps.RowsPerBand} + ${DedupOps.RowsPerBand}],
+                 '|')) AS band_key
+        FROM sig CROSS JOIN
+          (SELECT unnest(range(0, ${DedupOps.Bands})) AS b) bb
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+      ),
+      paired AS (
+        SELECT id_a, id_b,
+          len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+          (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE
+          AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+      )
+      SELECT id_a, id_b, jaccard FROM paired
+      WHERE jaccard >= 0.4 ORDER BY id_a, id_b""",
+
+    "q_simhash" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 tk -> md5(tk)[1:${DedupOps.SimHashBits / 4}]) AS hx
+        FROM documents
+      ),
+      s AS (SELECT doc_id, ${simhashSql("hx")} AS simhash FROM t)
+      SELECT doc_id, simhash, simhash[1:8] AS bucket
+      FROM s ORDER BY doc_id""",
+
+    "q_topk_sim" -> topkOracle,
+    "q_topk_bucketed" -> topkBucketedOracle,
+
+    "q_multimodal" -> s"""
+      WITH m AS (SELECT doc_id AS media_id, md5(text) AS h,
+                        length(text) AS nb FROM documents)
+      SELECT media_id,
+        'text/plain' AS media_type,
+        CAST(nb AS BIGINT) AS n_bytes,
+        h AS checksum,
+        CAST(${byteAt("h", 1)} % 64 + 1 AS INT) AS width,
+        CAST(${byteAt("h", 2)} % 64 + 1 AS INT) AS height,
+        concat(${byteAt("h", 3)}, ',', ${byteAt("h", 4)}, ',',
+               ${byteAt("h", 5)}, ',', ${byteAt("h", 6)}) AS histogram
+      FROM m ORDER BY media_id""",
+
+    "q_quality_metrics" -> """
+      WITH d AS (
+        SELECT 'n_docs' AS metric, count(*) AS value FROM documents
+        UNION ALL
+        SELECT 'empty_docs', count(*) FILTER (length(trim(text)) = 0)
+        FROM documents
+        UNION ALL
+        SELECT 'short_docs', count(*) FILTER (n_chars < 100) FROM documents
+        UNION ALL
+        SELECT 'dup_texts', count(*) - count(DISTINCT text) FROM documents
+        UNION ALL
+        SELECT 'n_langs', count(DISTINCT lang) FROM documents
+        UNION ALL
+        SELECT 'n_events', count(*) FROM events
+        UNION ALL
+        SELECT 'error_events', count(*) FILTER (event_type = 'error')
+        FROM events
+        UNION ALL
+        SELECT 'null_values', count(*) FILTER (value IS NULL) FROM events
+      )
+      SELECT metric, CAST(value AS BIGINT) AS value
+      FROM d ORDER BY metric"""
+  )
+}
