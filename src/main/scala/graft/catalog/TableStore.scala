@@ -1,0 +1,91 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.collection.mutable
+
+/** Namespaced table/view registry — the reference's catalog surface
+  * (SURVEY §2.1 S6/S7/S8/S9/S10) re-expressed without a lakehouse
+  * catalog service.
+  *
+  * Reference semantics being mirrored:
+  *  - `CREATE NAMESPACE IF NOT EXISTS`
+  *    (`/root/reference/jobs/ingest_orders_raw.py:22`)
+  *  - `CREATE TABLE IF NOT EXISTS` with declared schema
+  *    (`ingest_orders_raw.py:24-34`)
+  *  - `CREATE VIEW` for the privacy layer (`README.md:106-116`)
+  *  - `SHOW SCHEMAS` / `SHOW TABLES` (`README.md:200-201`)
+  *  - temp-view staging for MERGE sources (`merge_orders_silver.py:132`)
+  *
+  * Every registration also exposes the frame as a Spark temp view named
+  * `<namespace>_<table>`, so the whole registry is reachable from
+  * `spark.sql` — the reference's SQL surface. In a cluster deployment
+  * the same interface fronts a metastore; here it is in-session state
+  * (the reference's REST catalog is also just a service wrapping a
+  * map of table → storage location).
+  */
+class TableStore(val spark: SparkSession) {
+
+  private val namespaces = mutable.SortedSet.empty[String]
+  private val tables = mutable.SortedMap.empty[String, DataFrame]
+  private val views = mutable.SortedSet.empty[String]
+
+  private def key(ns: String, name: String) = s"$ns.$name"
+
+  /** S6 — CREATE NAMESPACE IF NOT EXISTS. */
+  def createNamespace(ns: String): Unit = namespaces += ns
+
+  def listNamespaces(): Seq[String] = namespaces.toSeq
+
+  /** Register (or replace) a table under `ns.name` + temp view. */
+  def register(ns: String, name: String, df: DataFrame): Unit = {
+    createNamespace(ns)
+    tables(key(ns, name)) = df
+    df.createOrReplaceTempView(s"${ns}_$name")
+  }
+
+  /** S7 — CREATE TABLE IF NOT EXISTS with a declared schema: registers
+    * an empty frame only when absent; returns the current table. */
+  def createTableIfNotExists(ns: String, name: String,
+                             schema: StructType): DataFrame = {
+    if (!tables.contains(key(ns, name)))
+      register(ns, name, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    table(ns, name)
+  }
+
+  /** S8 — CREATE VIEW: same registration, flagged as a view (a Spark
+    * temp view IS lazy — the masking projection re-evaluates at query
+    * time exactly like the reference's Trino view). */
+  def createView(ns: String, name: String, df: DataFrame): Unit = {
+    register(ns, name, df)
+    views += key(ns, name)
+  }
+
+  def table(ns: String, name: String): DataFrame = tables(key(ns, name))
+
+  def table(qualified: String): DataFrame = tables(qualified)
+
+  /** S9 — SHOW SCHEMAS as a DataFrame. */
+  def showSchemas(): DataFrame = {
+    import spark.implicits._
+    listNamespaces().toDF("namespace")
+  }
+
+  /** S9 — SHOW TABLES [IN ns] as a DataFrame (is_view mirrors engines
+    * that list views alongside tables). */
+  def showTables(ns: String = ""): DataFrame = {
+    import spark.implicits._
+    tables.keys.toSeq
+      .filter(k => ns.isEmpty || k.startsWith(s"$ns."))
+      .map { k =>
+        val Array(n, t) = k.split("\\.", 2)
+        (n, t, views.contains(k))
+      }
+      .toDF("namespace", "table_name", "is_view")
+  }
+
+  /** S10 — temp-view staging for a MERGE source. */
+  def stage(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+}

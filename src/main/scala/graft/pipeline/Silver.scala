@@ -83,7 +83,10 @@ object Silver {
           col("offset") <= lo - 1 + (i + 1L) * step)
       }
       batches.foldLeft(emptyTarget(bronze)) { (target, batch) =>
-        mergeBatch(target, batch).localCheckpoint()
+        // A3 — the reference's emptiness early-exit
+        // (`merge_orders_silver.py:63-66`), minus the RDD round-trip.
+        if (batch.isEmpty) target
+        else mergeBatch(target, batch).localCheckpoint()
       }
     } finally cached.unpersist()
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.catalog.TableStore
 import graft.cdc.{Checkpoints, Synth}
 import graft.pipeline.Silver
 import graft.privacy.Mask
@@ -63,6 +64,46 @@ object PipelineQueries {
       val silver = Silver.rebuild(Synth.bronze(Tables.orders(s, d)))
       tsToStr(Mask.pseudonymize(silver, "user_id", Salt, "user_key"),
         "last_change_ts").orderBy("order_id")
+    }),
+
+    // P11/O2 — newest-payload peek (`/root/reference/README.md:207`):
+    // substring + ORDER BY ts DESC + LIMIT. Sorting on the formatted
+    // string (chronologically sortable) keeps both engines identical.
+    "q_payload_peek" -> ((s, d) =>
+      tsToStr(Synth.bronze(Tables.orders(s, d)), "kafka_ts")
+        .select(col("partition"), col("offset"), col("kafka_ts"),
+          substring(col("v"), 1, 80).as("v_peek"))
+        .orderBy(col("kafka_ts").desc, col("partition"), col("offset"))
+        .limit(3)),
+
+    // S8/S10 — the privacy layer consumed through the catalog: register
+    // the silver table, create the masking VIEW, query it via spark.sql
+    // (the reference's Trino-view path, `README.md:106-121`).
+    "q_privacy_view" -> ((s, d) => {
+      val store = new TableStore(s)
+      store.createNamespace("silver")
+      val silver = Silver.rebuild(Synth.bronze(Tables.orders(s, d)))
+      store.register("silver", "orders_current", silver)
+      store.createView("silver", "orders_current_priv",
+        Mask.pseudonymize(store.table("silver.orders_current"),
+          "user_id", Salt, "user_key"))
+      s.sql("""SELECT order_id, user_key, amount_eur, status
+               FROM silver_orders_current_priv
+               WHERE amount_eur > 500.0 ORDER BY order_id""")
+    }),
+
+    // S6/S9 — catalog introspection: namespaces, tables, views.
+    "q_show_tables" -> ((s, d) => {
+      val store = new TableStore(s)
+      val bronze = Synth.bronze(Tables.orders(s, d))
+      store.register("bronze", "orders_cdc_raw", bronze)
+      val silver = Silver.rebuild(bronze)
+      store.register("silver", "orders_current", silver)
+      store.createView("silver", "orders_current_priv",
+        Mask.pseudonymize(silver, "user_id", Salt, "user_key"))
+      store.createTableIfNotExists("monitoring", "cdc_checkpoints",
+        Checkpoints.schema)
+      store.showTables().orderBy("namespace", "table_name")
     })
   )
 
@@ -123,8 +164,10 @@ object PipelineQueries {
     )
     $silverSelect AND op <> 'd' ORDER BY order_id"""
 
-  private val bronzeSql: String = """
-    WITH base AS (
+  /** Bronze CTE chain (shared by the bronze dump and the payload peek):
+    * ends with `bz(topic, partition, offset, kafka_ts, k, v)`. */
+  private val bronzeCte: String = """
+    base AS (
       SELECT o_orderkey AS k, o_custkey AS u, o_totalprice AS p,
              o_orderstatus AS s, o_orderdate AS d
       FROM orders
@@ -164,14 +207,20 @@ object PipelineQueries {
           ',"after":null,"op":"d","ts_ms":' || (epoch_ms(d) + 7200000) || '}'
       FROM withimg WHERE k % 17 = 0
     ),
-    evo AS (SELECT *, row_number() OVER (PARTITION BY k % 4 ORDER BY ts_ms, k) AS "offset" FROM ev)
-    SELECT 'pg.public.orders' AS topic, CAST(k % 4 AS INT) AS "partition",
-      "offset",
-      strftime(make_timestamp(((ts_ms // 1000) * 1000000)::BIGINT), '%Y-%m-%d %H:%M:%S') AS kafka_ts,
-      '{"order_id":' || k || '}' AS k,
-      CASE WHEN k % 11 = 0 THEN env
-           ELSE '{"payload":' || env || '}' END AS v
-    FROM evo ORDER BY "partition", "offset""""
+    evo AS (SELECT *, row_number() OVER (PARTITION BY k % 4 ORDER BY ts_ms, k) AS "offset" FROM ev),
+    bz AS (
+      SELECT 'pg.public.orders' AS topic, CAST(k % 4 AS INT) AS "partition",
+        "offset",
+        strftime(make_timestamp(((ts_ms // 1000) * 1000000)::BIGINT), '%Y-%m-%d %H:%M:%S') AS kafka_ts,
+        '{"order_id":' || k || '}' AS k,
+        CASE WHEN k % 11 = 0 THEN env
+             ELSE '{"payload":' || env || '}' END AS v
+      FROM evo
+    )"""
+
+  private val bronzeSql: String = s"""
+    WITH $bronzeCte
+    SELECT * FROM bz ORDER BY "partition", "offset""""
 
   val oracles: Map[String, String] = Map(
     "q_cdc_bronze" -> bronzeSql,
@@ -205,6 +254,33 @@ object PipelineQueries {
              sha256(CAST(CAST(u AS INT) AS VARCHAR) || '::$Salt') AS user_key,
              amt AS amount_eur, st AS status,
              ${tsStr("ts_ms")} AS last_change_ts
-      FROM ranked WHERE rn = 1 ORDER BY order_id"""
+      FROM ranked WHERE rn = 1 ORDER BY order_id""",
+
+    "q_payload_peek" -> s"""
+      WITH $bronzeCte
+      SELECT "partition", "offset", kafka_ts, v[1:80] AS v_peek
+      FROM bz
+      ORDER BY kafka_ts DESC, "partition", "offset" LIMIT 3""",
+
+    "q_privacy_view" -> s"""
+      WITH $evoCte,
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo WHERE op <> 'd'
+      )
+      SELECT CAST(k AS INT) AS order_id,
+             sha256(CAST(CAST(u AS INT) AS VARCHAR) || '::$Salt') AS user_key,
+             amt AS amount_eur, st AS status
+      FROM ranked WHERE rn = 1 AND amt > 500.0 ORDER BY order_id""",
+
+    "q_show_tables" -> """
+      SELECT * FROM (VALUES
+        ('bronze', 'orders_cdc_raw', false),
+        ('monitoring', 'cdc_checkpoints', false),
+        ('silver', 'orders_current', false),
+        ('silver', 'orders_current_priv', true)
+      ) AS t(namespace, table_name, is_view)
+      ORDER BY namespace, table_name"""
   )
 }

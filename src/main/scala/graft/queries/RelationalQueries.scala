@@ -60,7 +60,73 @@ object RelationalQueries {
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("net_price"),
           upper(col("l_linestatus")).as("status_uc"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // J2 — TPC-H Q3 shape: filtered dim broadcast + two fact shuffles.
+    // The customer side is small after the segment filter → broadcast;
+    // orders⋈lineitem shuffles on the order key once.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cutoff = lit("1997-06-01").cast(TimestampType)
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // J2 — TPC-H Q5 shape: full star join, every dimension broadcast,
+    // single fact shuffle on the join key chain.
+    "q5_revenue_by_nation" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast(TimestampType)
+      val hi = lit("1997-01-01").cast(TimestampType)
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nat = Tables.nation(s, d)
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Extension window agg over the event stream (batch twin of the
+    // streaming tumbling window): date_trunc bucket + two-key groupBy.
+    "q_events_window" -> ((s, d) =>
+      Tables.events(s, d)
+        // ts is long nanos (nanosAsLong); integer div keeps exactness
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("window_start", "event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,6 +152,47 @@ object RelationalQueries {
         upper(l_linestatus) AS status_uc
       FROM lineitem
       WHERE l_quantity > 45.0 AND l_returnflag = 'R'
-      ORDER BY l_orderkey, l_linenumber"""
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q3_shipping_priority" -> s"""
+      SELECT l_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_orderpriority,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+
+    "q5_revenue_by_nation" -> s"""
+      SELECT n_name,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+        AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    "q_events_window" -> s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             count(*) AS n_events,
+             ${oSum("value")} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""
   )
 }

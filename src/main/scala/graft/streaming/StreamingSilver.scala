@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.cdc.{Dedup, Envelope}
+import graft.pipeline.{Silver, Snapshot}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** ST1 — the Structured-Streaming twin of the incremental silver job
+  * (SURVEY §2.5): file-source `readStream` over the bronze directory →
+  * `foreachBatch` MERGE into the silver snapshot, with Spark-managed
+  * `checkpointLocation` replacing the reference's hand-rolled
+  * `cdc_checkpoints` table (`/root/reference/jobs/merge_orders_silver.py:49-66`).
+  *
+  * Semantics match the batch path exactly: each micro-batch is
+  * LWW-deduped and merged with `op='d'` tombstoning
+  * ([[Silver.mergeBatch]]). Exactly-once-ish: the file source's
+  * checkpoint tracks consumed files; the snapshot swap is atomic.
+  *
+  * Scale: `maxFilesPerTrigger` bounds micro-batch size; each batch is
+  * one key-shuffle merge (same plan as batch mode); the only stateful
+  * piece is Spark's own file-source log. A windowed-aggregation variant
+  * with a watermark is [[windowedCounts]].
+  */
+object StreamingSilver {
+
+  /** Bronze event-log schema as written by the ingestion job. */
+  val bronzeSchema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("kafka_ts", TimestampType),
+    StructField("k", StringType),
+    StructField("v", StringType)
+  ))
+
+  /** Empty silver snapshot (bootstrap target). */
+  def emptySilver(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("order_id", IntegerType),
+        StructField("user_id", IntegerType),
+        StructField("amount_eur", DoubleType),
+        StructField("status", StringType),
+        StructField("last_change_ts", TimestampType))))
+
+  /** Start the streaming merge: every micro-batch of bronze files is
+    * merged into the parquet snapshot at `silverDir`. `AvailableNow`
+    * drains what exists and stops — the batch-job-as-stream shape; pass
+    * `Trigger.ProcessingTime(...)` for a long-running pipeline. */
+  def start(spark: SparkSession, bronzeDir: String, silverDir: String,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(bronzeSchema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(bronzeDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target =
+          if (new java.io.File(silverDir).exists)
+            Snapshot.read(spark, silverDir)
+          else emptySilver(spark)
+        Snapshot.createOrReplace(
+          Silver.mergeBatch(target, batch), silverDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window counts over a CDC event stream — the
+    * windowed-agg streaming shape (late events beyond the watermark are
+    * dropped by Spark's state store, not by hand-rolled logic). */
+  def windowedCounts(bronzeStream: DataFrame,
+                     watermark: String = "1 hour",
+                     window_ : String = "1 hour"): DataFrame = {
+    val parsed = Envelope.parse(bronzeStream)
+      .withColumn("event_ts", Envelope.lastChangeTs(col("ts_ms")))
+    parsed
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), window_), col("op"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("op"),
+        col("n_events"))
+  }
+}
