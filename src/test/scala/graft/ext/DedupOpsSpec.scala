@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river"),
+    (4L, "completely different words about spark shuffles and joins here")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id with dup_count") {
+    val out = DedupOps.exactDedup(docs)
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L)      // 1 and 2 identical; 1 survives
+    assert(!out.contains(2L))
+    assert(out(3L) == 1L && out(4L) == 1L)
+  }
+
+  test("nearDuplicates finds exact and near twins, not unrelated docs") {
+    val pairs = DedupOps.nearDuplicates(docs, minJaccard = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    // 3 is doc 1 minus one word → high shingle overlap
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("nearDuplicates jaccard is 1.0 for identical docs") {
+    val j = DedupOps.nearDuplicates(docs, minJaccard = 0.4)
+      .filter("id_a = 1 and id_b = 2").select("jaccard")
+      .head().getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs share signatures; near docs are close") {
+    val sigs = DedupOps.withSimhash(docs)
+      .select("doc_id", "simhash").as[(Long, String)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs.values.forall(s => s.length == 32
+      && s.forall(c => c == '0' || c == '1')))
+    def hamming(a: String, b: String) =
+      a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+
+  test("mediaTable: payload bytes + typed metadata struct") {
+    val m = Multimodal.mediaTable(docs)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val meta = m.select("meta.media_type", "meta.n_bytes", "meta.checksum")
+      .head()
+    assert(meta.getString(0) == "text/plain")
+    assert(meta.getLong(1) == 11L)
+    assert(meta.getString(2).length == 32)
+  }
+
+  test("extractFeatures: deterministic stub features in range") {
+    val f = Multimodal.extractFeatures(Multimodal.mediaTable(docs)).head()
+    val width = f.getAs[Int]("width")
+    val height = f.getAs[Int]("height")
+    assert(width >= 1 && width <= 64 && height >= 1 && height <= 64)
+    val hist = f.getAs[scala.collection.Seq[Int]]("histogram")
+    assert(hist.length == 4 && hist.forall(b => b >= 0 && b <= 255))
+    // determinism: same input → same features
+    val again = Multimodal.extractFeatures(Multimodal.mediaTable(docs)).head()
+    assert(again.getAs[Int]("width") == width)
+  }
+
+  test("sampleBytes: strided byte extraction") {
+    val out = Multimodal.mediaTable(docs)
+      .select(Multimodal.sampleBytes(col("payload"), 4, 2).as("s"))
+      .head().getSeq[Int](0)
+    // "hello world" bytes: h=104, l=108 (positions 1 and 3, stride 2)
+    assert(out == Seq(104, 108))
+  }
+
+  test("media payload flows through relational ops untouched") {
+    val m = Multimodal.mediaTable(docs)
+    val joined = m.join(m.select(col("media_id"),
+      col("meta.checksum").as("c2")), "media_id")
+    val r = joined.select("payload", "c2").head()
+    assert(new String(r.getAs[Array[Byte]](0), "UTF-8") == "hello world")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Float*) = xs.toArray
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
+    val df = Seq(
+      (vec(1f, 0f), vec(1f, 0f)),
+      (vec(1f, 0f), vec(0f, 1f)),
+      (vec(1f, 0f), vec(-1f, 0f))
+    ).toDF("a", "b")
+    val out = df.select(SimilarityOps.cosine(col("a"), col("b")))
+      .as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == -1.0)
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self") {
+    val corpus = Seq(
+      (0L, vec(1f, 0f, 0f)),
+      (1L, vec(0.9f, 0.1f, 0f)),
+      (2L, vec(0f, 1f, 0f)),
+      (3L, vec(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter("vec_id = 0")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val out = SimilarityOps.bruteForceTopK(queries, corpus, 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 1 && out(2L) == 2 && out(3L) == 3)
+  }
+
+  test("bucketedTopK only pairs within the sign bucket") {
+    val corpus = Seq(
+      (0L, vec(1f, 1f, 1f, 1f, 0f)),
+      (1L, vec(0.5f, 2f, 1f, 1f, 0f)),  // same sign bucket as 0
+      (2L, vec(-1f, 1f, 1f, 1f, 0f))    // different bucket
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter("vec_id = 0")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val ids = SimilarityOps.bucketedTopK(queries, corpus, 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
+  test("cosineNearDuplicates flags only high-similarity pairs") {
+    val corpus = Seq(
+      (0L, vec(1f, 0.01f, 0f, 0f)),
+      (1L, vec(0.99f, 0.02f, 0f, 0f)),
+      (2L, vec(0.1f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.cosineNearDuplicates(corpus, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("shingles: contiguous 3-grams; short docs collapse to one") {
+    val sh = one("a b c d").select(TextOps.shingles(col("text"), 3))
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = one("a b").select(TextOps.shingles(col("text"), 3))
+      .head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("regex token count: words, numbers, symbols") {
+    val n = one("ab 12 c-d").select(
+      TextOps.regexTokenCount(col("text"))).head().getInt(0)
+    assert(n == 5) // ab, 12, c, -, d
+  }
+
+  test("langId picks the max-marker language, first entry wins ties") {
+    val en = one("the a fast x").select(TextOps.langId(col("text")))
+      .head().getString(0)
+    assert(en == "en")
+    // no markers at all → scores all 0 → first entry (en)
+    val none = one("zzz yyy").select(TextOps.langId(col("text")))
+      .head().getString(0)
+    assert(none == TextOps.LangMarkers.head._1)
+  }
+
+  test("tfidf: common word scores below rare word for same tf") {
+    val docs = Seq(
+      (1L, "spark common"), (2L, "flink common"), (3L, "trino common")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDecimal(4))
+      .toMap
+    assert(out((1L, "spark")).compareTo(out((1L, "common"))) > 0)
+  }
+
+  test("wordCounts aggregates globally") {
+    val wc = TextOps.wordCounts(Seq((1L, "a b a"), (2L, "a"))
+      .toDF("doc_id", "text"))
+      .as[(String, Long)].collect().toMap
+    assert(wc == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("fingerprint normalizes case and whitespace edges") {
+    val fp = Seq(("A b C", "a b c "))
+      .toDF("t1", "t2")
+      .select(TextOps.fingerprint(col("t1")) ===
+        TextOps.fingerprint(col("t2")))
+      .head().getBoolean(0)
+    assert(fp)
+  }
+}
