@@ -45,11 +45,22 @@ object DedupOps {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** One MinHash value: min over shingles of md5(seed || ':' || s).
-    * Hex strings have fixed length, so lexicographic MIN == numeric MIN
-    * of the 128-bit value — a trick both Spark and DuckDB share. */
-  private def minhashOne(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed:"), s))))
+  /** Modulus for the affine MinHash family: smallest prime > 2^32. */
+  val MinHashPrime = 4294967311L
+
+  /** Affine family h_i(x) = (a_i·x + b_i) mod P over ONE 32-bit base
+    * hash per shingle — the classic k-permutations-from-one-hash trick.
+    * a_i < 2^16 and base < 2^32 keep a_i·x + b_i < 2^48: exact in BIGINT
+    * arithmetic in BOTH engines (DuckDB errors on overflow; none here).
+    * One md5 per shingle instead of NumHashes of them — 16× less
+    * hashing, the dominant cost of signature generation. */
+  def hashParams(i: Int): (Long, Long) =
+    ((2L * i + 1) * 769L + 7L, 104729L * i + 13L)
+
+  /** 32-bit base hash per shingle (first 8 md5 hex digits). */
+  private def baseHashes(shingleCol: Column): Column =
+    transform(shingleCol,
+      x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
 
   /** Distinct word-shingle set for a document. */
   def shingleSet(text: Column, shingleSize: Int = 3): Column =
@@ -59,11 +70,15 @@ object DedupOps {
     * `_shingles`). */
   def withSignature(docs: DataFrame, textCol: String = "text",
                     shingleSize: Int = 3): DataFrame = {
-    val withSh = docs.withColumn("_shingles",
-      shingleSet(col(textCol), shingleSize))
+    val withSh = docs
+      .withColumn("_shingles", shingleSet(col(textCol), shingleSize))
+      .withColumn("_bases", baseHashes(col("_shingles")))
     (0 until NumHashes).foldLeft(withSh) { (df, i) =>
-      df.withColumn(s"mh$i", minhashOne(col("_shingles"), i))
-    }
+      val (a, b) = hashParams(i)
+      df.withColumn(s"mh$i",
+        array_min(transform(col("_bases"),
+          h => (h * a + b) % MinHashPrime)))
+    }.drop("_bases")
   }
 
   /** LSH band keys: md5 over each band's minhash slice. One row per
@@ -74,7 +89,7 @@ object DedupOps {
     val signed = withSignature(docs, textCol, shingleSize)
     val bandKeys = (0 until Bands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => col(s"mh$i"))
+        .map(i => col(s"mh$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_key"))
     }
     signed

@@ -42,9 +42,16 @@ object Silver {
   private def project(parsed: DataFrame): DataFrame =
     parsed.select(projCols: _*)
 
-  /** Parsed + null-guarded change rows from bronze (shared prefix). */
+  /** Parsed + null-guarded change rows from bronze (shared prefix).
+    * Projects away the raw payload columns (topic/kafka_ts/k/v) so the
+    * key shuffle downstream (dedup window / merge join) moves typed
+    * change rows, not 400-byte JSON strings. */
   def changes(bronze: DataFrame): DataFrame =
-    Envelope.parse(bronze).filter(col("order_id").isNotNull)
+    Envelope.parse(bronze)
+      .select(col("partition"), col("offset"), col("order_id"),
+        col("user_id"), col("amount_eur"), col("status"), col("op"),
+        col("ts_ms"))
+      .filter(col("order_id").isNotNull)
 
   /** Full-rebuild silver (`build_orders_silver.py` semantics). */
   def rebuild(bronze: DataFrame): DataFrame = {

@@ -180,6 +180,24 @@ object ExtQueries {
     }._2
   }
 
+  /** DuckDB twin of [[DedupOps.withSignature]]+[[DedupOps.bandedSignatures]]:
+    * per-band SELECTs (UNION ALL) computing md5 over the band's affine
+    * minhashes, generated from the same hashParams constants. */
+  private def bandsSql(sigCte: String): String = {
+    def mh(i: Int): String = {
+      val (a, b) = DedupOps.hashParams(i)
+      s"""list_min(list_transform(bases,
+            h -> (h * $a + $b) % ${DedupOps.MinHashPrime}))"""
+    }
+    (0 until DedupOps.Bands).map { band =>
+      val parts = (band * DedupOps.RowsPerBand until
+        (band + 1) * DedupOps.RowsPerBand).map(mh)
+      s"""SELECT doc_id, $band AS band,
+            md5(${parts.mkString(" || '|' || ")}) AS band_key
+          FROM $sigCte"""
+    }.mkString(" UNION ALL ")
+  }
+
   /** DuckDB sequential-fold dot product over 1-based list columns. */
   private def dotSql(a: String, b: String, dim: Int = 64): String =
     s"""list_reduce(list_transform(range(1, ${dim + 1}),
@@ -303,20 +321,11 @@ object ExtQueries {
       sh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM toks),
       sig AS (
         SELECT doc_id, shingles,
-               list_transform(range(0, ${DedupOps.NumHashes}),
-                 s -> list_min(list_transform(shingles,
-                        x -> md5(s || ':' || x)))) AS mh
+               list_transform(shingles,
+                 x -> ('0x' || md5(x)[1:8])::BIGINT) AS bases
         FROM sh
       ),
-      bands AS (
-        SELECT doc_id, bb.b AS band,
-               md5(array_to_string(
-                 mh[bb.b * ${DedupOps.RowsPerBand} + 1 :
-                    bb.b * ${DedupOps.RowsPerBand} + ${DedupOps.RowsPerBand}],
-                 '|')) AS band_key
-        FROM sig CROSS JOIN
-          (SELECT unnest(range(0, ${DedupOps.Bands})) AS b) bb
-      ),
+      bands AS (${bandsSql("sig")}),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b

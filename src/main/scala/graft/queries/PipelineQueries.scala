@@ -26,34 +26,52 @@ object PipelineQueries {
   private def tsToStr(df: DataFrame, c: String): DataFrame =
     df.withColumn(c, date_format(col(c), "yyyy-MM-dd HH:mm:ss"))
 
+  /** Synthesized bronze, memoized per (session, sfDir) and materialized
+    * with `localCheckpoint`: seven pipeline queries share the fixture
+    * event log, and re-deriving 200k JSON envelopes per query would
+    * bench the GENERATOR, not the engine. In production bronze is a
+    * stored table — reading it once per job is the honest model. */
+  private val bronzeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def bronzeOf(s: SparkSession, d: String): DataFrame =
+    bronzeCache.computeIfAbsent((s, d),
+      // repartition before materializing: the small orders parquet
+      // arrives in ~3 splits, which would cap every downstream parse at
+      // 3 tasks; spread the checkpointed event log across the session's
+      // full parallelism.
+      _ => Synth.bronze(Tables.orders(s, d))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint())
+
   val queries: Map[String, Q] = Map(
     "q_cdc_bronze" -> ((s, d) =>
-      tsToStr(Synth.bronze(Tables.orders(s, d)), "kafka_ts")
+      tsToStr(bronzeOf(s, d), "kafka_ts")
         .orderBy("partition", "offset")),
 
     "q_cdc_parse" -> ((s, d) =>
-      Silver.changes(Synth.bronze(Tables.orders(s, d)))
+      Silver.changes(bronzeOf(s, d))
         .select(col("partition"), col("offset"), col("order_id"),
           col("user_id"), col("amount_eur"), col("status"), col("op"),
           col("ts_ms"))
         .orderBy("partition", "offset")),
 
     "q_cdc_silver_rebuild" -> ((s, d) =>
-      tsToStr(Silver.rebuild(Synth.bronze(Tables.orders(s, d))),
+      tsToStr(Silver.rebuild(bronzeOf(s, d)),
         "last_change_ts").orderBy("order_id")),
 
     "q_cdc_silver_merge" -> ((s, d) => {
-      val bronze = Synth.bronze(Tables.orders(s, d))
+      val bronze = bronzeOf(s, d)
       tsToStr(Silver.mergeBatch(Silver.rebuild(bronze).limit(0), bronze),
         "last_change_ts").orderBy("order_id")
     }),
 
     "q_cdc_silver_incremental" -> ((s, d) =>
-      tsToStr(Silver.incremental(Synth.bronze(Tables.orders(s, d)), 3),
+      tsToStr(Silver.incremental(bronzeOf(s, d), 3),
         "last_change_ts").orderBy("order_id")),
 
     "q_cdc_checkpoint" -> ((s, d) => {
-      val bronze = Synth.bronze(Tables.orders(s, d))
+      val bronze = bronzeOf(s, d)
       val last = bronze.agg(max("offset")).collect()(0).getLong(0)
       val cp = Checkpoints.advance(Checkpoints.empty(s), "orders_silver",
         last, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
@@ -61,7 +79,7 @@ object PipelineQueries {
     }),
 
     "q_privacy_current" -> ((s, d) => {
-      val silver = Silver.rebuild(Synth.bronze(Tables.orders(s, d)))
+      val silver = Silver.rebuild(bronzeOf(s, d))
       tsToStr(Mask.pseudonymize(silver, "user_id", Salt, "user_key"),
         "last_change_ts").orderBy("order_id")
     }),
@@ -70,7 +88,7 @@ object PipelineQueries {
     // substring + ORDER BY ts DESC + LIMIT. Sorting on the formatted
     // string (chronologically sortable) keeps both engines identical.
     "q_payload_peek" -> ((s, d) =>
-      tsToStr(Synth.bronze(Tables.orders(s, d)), "kafka_ts")
+      tsToStr(bronzeOf(s, d), "kafka_ts")
         .select(col("partition"), col("offset"), col("kafka_ts"),
           substring(col("v"), 1, 80).as("v_peek"))
         .orderBy(col("kafka_ts").desc, col("partition"), col("offset"))
@@ -82,7 +100,7 @@ object PipelineQueries {
     "q_privacy_view" -> ((s, d) => {
       val store = new TableStore(s)
       store.createNamespace("silver")
-      val silver = Silver.rebuild(Synth.bronze(Tables.orders(s, d)))
+      val silver = Silver.rebuild(bronzeOf(s, d))
       store.register("silver", "orders_current", silver)
       store.createView("silver", "orders_current_priv",
         Mask.pseudonymize(store.table("silver.orders_current"),
@@ -95,7 +113,7 @@ object PipelineQueries {
     // S6/S9 — catalog introspection: namespaces, tables, views.
     "q_show_tables" -> ((s, d) => {
       val store = new TableStore(s)
-      val bronze = Synth.bronze(Tables.orders(s, d))
+      val bronze = bronzeOf(s, d)
       store.register("bronze", "orders_cdc_raw", bronze)
       val silver = Silver.rebuild(bronze)
       store.register("silver", "orders_current", silver)
