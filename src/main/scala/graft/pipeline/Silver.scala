@@ -92,8 +92,11 @@ object Silver {
       batches.foldLeft(emptyTarget(bronze)) { (target, batch) =>
         // A3 — the reference's emptiness early-exit
         // (`merge_orders_silver.py:63-66`), minus the RDD round-trip.
+        // Lazy checkpoint: lineage is truncated per fold, but the chain
+        // materializes in one action instead of one blocking job per
+        // batch.
         if (batch.isEmpty) target
-        else mergeBatch(target, batch).localCheckpoint()
+        else mergeBatch(target, batch).localCheckpoint(false)
       }
     } finally cached.unpersist()
   }

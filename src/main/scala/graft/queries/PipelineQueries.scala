@@ -36,13 +36,17 @@ object PipelineQueries {
 
   private def bronzeOf(s: SparkSession, d: String): DataFrame =
     bronzeCache.computeIfAbsent((s, d),
-      // repartition before materializing: the small orders parquet
-      // arrives in ~3 splits, which would cap every downstream parse at
-      // 3 tasks; spread the checkpointed event log across the session's
-      // full parallelism.
-      _ => Synth.bronze(Tables.orders(s, d))
-        .repartition(s.sparkContext.defaultParallelism)
-        .localCheckpoint())
+      // repartition on both sides of the synth: the small orders
+      // parquet arrives in ~3 splits (capping JSON construction at 3
+      // tasks), and the offset window leaves only 4 Kafka partitions
+      // (capping every downstream parse); spread the checkpointed
+      // event log across the session's full parallelism.
+      _ => {
+        val p = s.sparkContext.defaultParallelism
+        Synth.bronze(Tables.orders(s, d).repartition(p))
+          .repartition(p)
+          .localCheckpoint()
+      })
 
   val queries: Map[String, Q] = Map(
     "q_cdc_bronze" -> ((s, d) =>
