@@ -85,4 +85,32 @@ object Multimodal {
     transform(sequence(lit(1), lit(n), lit(stride)),
       i => conv(substring(hex(payload), i * 2 - 1, lit(2)), 16, 10)
         .cast(IntegerType))
+
+  /** Batch-shaped decode path: the `mapPartitions` integration point
+    * where a REAL codec (JNI library, or a Python worker via
+    * `mapInPandas`/`mapInArrow` from PySpark) plugs in — the iterator
+    * processes a whole partition per call, so codec init is amortized
+    * per-batch, exactly like a pandas-UDF batch. The decode itself is
+    * the same clearly-marked deterministic FAKE as [[decodeStub]]
+    * (byte-derived), keeping the plumbing testable without codecs.
+    *
+    * Prefer [[extractFeatures]] (pure Catalyst expressions, codegen,
+    * no serialization boundary) whenever the decode can be expressed as
+    * expressions; this path exists for decoders that can't. */
+  def decodeBatched(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // real codec would be initialized HERE, once per partition
+        batch.map { case (id, bytes) =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes)
+          (id, bytes.length.toLong,
+            (digest(0) & 0xff) % 64 + 1, (digest(1) & 0xff) % 64 + 1)
+        }
+      }
+      .toDF("media_id", "n_bytes", "width", "height")
+  }
 }

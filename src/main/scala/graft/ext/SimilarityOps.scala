@@ -83,6 +83,41 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** IVF assignment: each vector goes to its nearest centroid by dot
+    * product (rank by dot DESC, centroid_id ASC for determinism).
+    * `centroids` is tiny and broadcast; one pass over the corpus.
+    * Returns corpus columns + `centroid_id`. */
+  def assignCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.join(broadcast(centroids))
+      .withColumn("_dot", dot(col("embedding"), col("c_embedding")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("_dot").desc, col("centroid_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_dot", "c_embedding")
+  }
+
+  /** IVF top-k (nprobe=1): queries and corpus are both assigned to
+    * centroids; each query rescored exactly against its own cell only.
+    * The trained-codebook ANN pattern with a deterministic codebook
+    * (sampled corpus vectors) so the oracle can replay it. Approximate
+    * by construction — like [[bucketedTopK]], recall trades against the
+    * centroid fan-out. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int): DataFrame = {
+    val corpusCells = assignCentroids(corpus, centroids)
+    val queryCells = assignCentroids(
+      queries.select(col("query_id").as("vec_id"),
+        col("q_embedding").as("embedding")), centroids)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("centroid_id"))
+    val scored = corpusCells.join(broadcast(queryCells), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_embedding"), col("embedding")).as("score"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: bucketed
     * self-join (sign-LSH), threshold on exact cosine. X2's embedding
     * variant. */

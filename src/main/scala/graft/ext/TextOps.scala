@@ -133,4 +133,23 @@ object TextOps {
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** Winnowing fingerprints (the rolling-hash document-fingerprint
+    * scheme of MOSS): hash every `k`-gram, slide a window of `w`
+    * consecutive hashes, keep each window's minimum, dedupe. Robust to
+    * local edits — shared fingerprints locate overlapping passages
+    * without comparing full documents. Returns a sorted array<long>.
+    *
+    * All array built-ins: one md5 per shingle (32-bit prefix as the
+    * rolling hash), min-per-window via slice, distinct+sort. Scale: per
+    * row, no shuffle; the (doc, fingerprint) explode that follows in a
+    * matching pipeline shuffles longs, not text. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hs = transform(shingles(text, k),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    val mins = when(size(hs) < w, array(array_min(hs)))
+      .otherwise(transform(sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + 1, lit(w)))))
+    sort_array(array_distinct(mins))
+  }
 }

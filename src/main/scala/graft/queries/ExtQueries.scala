@@ -132,6 +132,49 @@ object ExtQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // X4b — winnowing (rolling-hash) fingerprints: local-edit-robust
+    // passage fingerprints, exploded to (doc, fingerprint) rows.
+    "q_fingerprints" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.winnowFingerprints(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")),
+
+    // X3c — IVF top-k: deterministic codebook (sampled corpus vectors),
+    // nearest-centroid assignment, exact rescoring inside the cell.
+    "q_topk_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("c_embedding"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      SimilarityOps.ivfTopK(queries, emb, centroids, 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // X2c — embedding-cosine near-dup over a corpus with perturbed
+    // twins (vec_id % 50 == 0 → id+100000, per-dim +0.01·((i%3)-1)):
+    // sign-LSH bucketed self-join, exact-cosine threshold.
+    "q_embed_near_dup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val perturbed = transform(sequence(lit(1), lit(64)),
+        i => element_at(col("embedding"), i).cast("double")
+          + lit(0.01) * ((i % 3) - 1))
+      val twins = emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          perturbed.as("embedding"))
+      val corpus = emb
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double"))
+            .as("embedding"))
+        .unionByName(twins)
+      SimilarityOps.cosineNearDuplicates(corpus, 0.99)
+        .orderBy("id_a", "id_b")
+    }),
+
     // X5 — multimodal media table + stubbed decode features. The
     // histogram array is serialized to CSV for the compare (the
     // hash-compare layer can't sort list cells); the library keeps it
@@ -358,6 +401,77 @@ object ExtQueries {
 
     "q_topk_sim" -> topkOracle,
     "q_topk_bucketed" -> topkBucketedOracle,
+
+    "q_fingerprints" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      sg AS (SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(0, len(w) - 3 + 1),
+                        i -> array_to_string(w[i+1:i+3], ' ')) END AS s
+             FROM t),
+      hs AS (SELECT doc_id,
+               list_transform(s, x -> ('0x' || md5(x)[1:8])::BIGINT) AS h
+             FROM sg),
+      mins AS (SELECT doc_id,
+                 CASE WHEN len(h) < 4 THEN [list_min(h)]
+                   ELSE list_transform(range(0, len(h) - 4 + 1),
+                          i -> list_min(h[i+1:i+4])) END AS m
+               FROM hs)
+      SELECT doc_id, unnest(list_distinct(m)) AS fp
+      FROM mins ORDER BY doc_id, fp""",
+
+    "q_topk_ivf" -> s"""
+      WITH c AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings WHERE vec_id < 8
+      ),
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe, centroid_id
+        FROM assign WHERE vec_id % 100 = 0
+      ),
+      scored AS (
+        SELECT query_id, a.vec_id AS neighbor_id,
+               ${cosSql("qe", "a.embedding")} AS score
+        FROM assign a JOIN q USING (centroid_id)
+        WHERE a.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, rnk, score
+      FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "q_embed_near_dup" -> s"""
+      WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(range(1, 65),
+                 i -> embedding[i]::DOUBLE + (0.01)::DOUBLE * ((i % 3) - 1))
+        FROM embeddings WHERE vec_id % 50 = 0
+      ),
+      b AS (SELECT vec_id, e, ${bucketSql("e")} AS bucket FROM corpus),
+      pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               ${cosSql("x.e", "y.e")} AS score
+        FROM b x JOIN b y USING (bucket)
+        WHERE x.vec_id < y.vec_id
+      )
+      SELECT id_a, id_b, score FROM pairs
+      WHERE score >= 0.99 ORDER BY id_a, id_b""",
 
     "q_multimodal" -> s"""
       WITH m AS (SELECT doc_id AS media_id, md5(text) AS h,

@@ -38,6 +38,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq(104, 108))
   }
 
+  test("decodeBatched: mapPartitions batch path matches stub contract") {
+    val out = Multimodal.decodeBatched(Multimodal.mediaTable(docs)).head()
+    assert(out.getAs[Long]("n_bytes") == 11L)
+    val w = out.getAs[Int]("width")
+    assert(w >= 1 && w <= 64)
+    val again = Multimodal.decodeBatched(Multimodal.mediaTable(docs)).head()
+    assert(again.getAs[Int]("width") == w) // deterministic fake decode
+  }
+
   test("media payload flows through relational ops untouched") {
     val m = Multimodal.mediaTable(docs)
     val joined = m.join(m.select(col("media_id"),
