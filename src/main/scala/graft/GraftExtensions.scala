@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.VectorDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension installer: registers the library's native
+  * expressions in the SQL function registry, so `spark.sql("SELECT
+  * vec_dot(a, b) ...")` reaches the codegen'd implementation too.
+  *
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (Verify/Bench/tests do) — the standard `SparkSessionExtensions`
+  * mechanism a lakehouse engine (e.g. Iceberg's extension jar,
+  * `/root/reference/jobs/merge_orders_silver.py:15`) uses to add rules
+  * and functions without forking Spark. The DataFrame API reaches the
+  * same expression via [[graft.ext.SimilarityOps.dot]] without needing
+  * the registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorDot(children(0), children(1))
+    ))
+  }
+}

@@ -154,9 +154,16 @@ object DedupOps {
     * `strpos('0123456789abcdef',_)-1`), test bit 3-b%4; each token votes
     * +1/-1; bit is 1 iff the vote sum is positive.
     */
-  def simhash(text: Column): Column = {
-    val hexes = transform(TextOps.tokens(text),
-      t => substring(md5(t), 1, SimHashBits / 4))
+  def simhash(text: Column): Column =
+    simhashFromHexes(transform(TextOps.tokens(text),
+      t => substring(md5(t), 1, SimHashBits / 4)))
+
+  /** SimHash bit voting over an md5-hex-prefix array. Bind the hex
+    * array with `withColumn` before calling when performance matters —
+    * the 32 per-bit aggregates each traverse the array, and a nested
+    * non-attribute expression would re-run the md5 pipeline 32× per
+    * row ([[withSimhash]] wires it correctly). */
+  def simhashFromHexes(hexes: Column): Column = {
     val bitChars = (0 until SimHashBits).map { b =>
       val digitPos = b / 4 + 1
       val shift = 3 - b % 4
@@ -174,6 +181,9 @@ object DedupOps {
     * near-dup candidate generation. */
   def withSimhash(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    docs
+      .withColumn("_hx", transform(TextOps.tokens(col(textCol)),
+        t => substring(md5(t), 1, SimHashBits / 4)))
+      .select(col(idCol), simhashFromHexes(col("_hx")).as("simhash"))
       .withColumn("bucket", substring(col("simhash"), 1, 8))
 }

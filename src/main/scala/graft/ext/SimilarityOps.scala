@@ -26,8 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Strict left-fold dot product with per-element double casts. */
+  /** Strict left-fold dot product with per-element double casts.
+    * Backed by the native codegen'd [[graft.functions.VectorDot]]
+    * expression (tight primitive loop inside whole-stage codegen);
+    * bit-identical to the composable higher-order-function form
+    * [[dotFold]] by construction. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.VectorDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** The same fold expressed with array built-ins (zip_with+aggregate)
+    * — kept as the no-custom-code reference implementation; tests
+    * assert bit-equality with [[dot]]. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -134,22 +134,37 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** Winnowing fingerprints (the rolling-hash document-fingerprint
-    * scheme of MOSS): hash every `k`-gram, slide a window of `w`
-    * consecutive hashes, keep each window's minimum, dedupe. Robust to
-    * local edits — shared fingerprints locate overlapping passages
-    * without comparing full documents. Returns a sorted array<long>.
-    *
-    * All array built-ins: one md5 per shingle (32-bit prefix as the
-    * rolling hash), min-per-window via slice, distinct+sort. Scale: per
-    * row, no shuffle; the (doc, fingerprint) explode that follows in a
-    * matching pipeline shuffles longs, not text. */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val hs = transform(shingles(text, k),
+  /** 32-bit rolling hash per `k`-gram (md5 prefix), as array<long>. */
+  def kgramHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k),
       s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
-    val mins = when(size(hs) < w, array(array_min(hs)))
-      .otherwise(transform(sequence(lit(0), size(hs) - w),
-        i => array_min(slice(hs, i + 1, lit(w)))))
+
+  /** Winnowing selection over an ALREADY-BOUND hash-array column:
+    * slide a window of `w` consecutive hashes, keep each window's
+    * minimum, dedupe, sort.
+    *
+    * `hashes` must be a column reference (bind [[kgramHashes]] with
+    * `withColumn` first): the window lambda slices it per window, and a
+    * nested non-attribute expression would be RE-EVALUATED per window —
+    * measured 30× slower when the md5 pipeline was inlined here.
+    * [[fingerprintTable]] wires the two stages correctly. */
+  def winnowFromHashes(hashes: Column, w: Int = 4): Column = {
+    val mins = when(size(hashes) < w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w)))))
     sort_array(array_distinct(mins))
   }
+
+  /** Winnowing fingerprints (the rolling-hash document-fingerprint
+    * scheme of MOSS), exploded to (idCol, fp) rows. Robust to local
+    * edits — shared fingerprints locate overlapping passages without
+    * comparing full documents. Scale: per-row compute, no shuffle; a
+    * matching pipeline then shuffles (fp) longs, never text. */
+  def fingerprintTable(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", k: Int = 3,
+                       w: Int = 4): DataFrame =
+    docs
+      .withColumn("_hs", kgramHashes(col(textCol), k))
+      .select(col(idCol),
+        explode(winnowFromHashes(col("_hs"), w)).as("fp"))
 }

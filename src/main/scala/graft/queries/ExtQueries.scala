@@ -135,9 +135,7 @@ object ExtQueries {
     // X4b — winnowing (rolling-hash) fingerprints: local-edit-robust
     // passage fingerprints, exploded to (doc, fingerprint) rows.
     "q_fingerprints" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(TextOps.winnowFingerprints(col("text"))).as("fp"))
+      TextOps.fingerprintTable(Tables.documents(s, d))
         .orderBy("doc_id", "fp")),
 
     // X3c — IVF top-k: deterministic codebook (sampled corpus vectors),

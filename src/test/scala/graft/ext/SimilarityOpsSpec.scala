@@ -19,6 +19,25 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == -1.0)
   }
 
+  test("native vec_dot is bit-identical to the zip_with/aggregate fold") {
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j) % 97 / 97.0f - 0.5f))))
+      .toDF("vec_id", "embedding")
+    val both = df.join(df.withColumnRenamed("embedding", "e2")
+      .withColumnRenamed("vec_id", "v2"))
+      .select(
+        SimilarityOps.dot(col("embedding"), col("e2")).as("native"),
+        SimilarityOps.dotFold(col("embedding"), col("e2")).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+  }
+
+  test("vec_dot is registered as a SQL function via GraftExtensions") {
+    val out = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0)
+    assert(out == 11.0)
+  }
+
   test("bruteForceTopK ranks by similarity, excludes self") {
     val corpus = Seq(
       (0L, vec(1f, 0f, 0f)),
