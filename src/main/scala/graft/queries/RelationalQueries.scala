@@ -126,7 +126,77 @@ object RelationalQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("sum_value"))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // Session windows per user (30-min gap) — Spark's session_window in
+    // batch mode; the oracle replays it as gaps-and-islands SQL. One
+    // shuffle on the session key (user), state bounded per user.
+    "q_user_sessions" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(session_window(col("ts"), "30 minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
+    // ROLLUP hierarchy totals; subtotal rows surfaced via coalesce so
+    // both engines sort identically (no engine-specific NULL ordering).
+    "q_rollup_returns" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+
+    // Anti join: customers with no order above the threshold.
+    "q_customers_no_orders" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 250000.0).select("o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Semi join: customers that do have high-value orders.
+    "q_big_spenders" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val big = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000.0).select("o_custkey")
+      cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Exact moment statistics: variance/stddev derived from DECIMAL
+    // sum/sumsq (never the engine's own streaming variance — those
+    // accumulate in different orders and drift cross-engine).
+    "q_stats_by_flag" -> ((s, d) => {
+      val qty = col("l_quantity")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          min(qty).as("min_qty"), max(qty).as("max_qty"),
+          dsum(qty).as("sum_qty"),
+          dsum(qty * qty).as("sum_qty2"))
+        .select(
+          col("l_returnflag"), col("n"), col("min_qty"), col("max_qty"),
+          (col("sum_qty") / col("n")).as("mean_qty"),
+          ((col("sum_qty2") - col("sum_qty") * col("sum_qty") / col("n"))
+            / (col("n") - 1)).as("var_qty"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +263,70 @@ object RelationalQueries {
              ${oSum("value")} AS sum_value
       FROM events
       GROUP BY 1, 2
-      ORDER BY window_start, event_type"""
+      ORDER BY window_start, event_type""",
+
+    "q_user_sessions" -> s"""
+      WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sessions AS (
+        SELECT *, sum(new_session) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+      )
+      SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+          AS session_end,
+        count(*) AS n_events,
+        ${oSum("value")} AS sum_value
+      FROM sessions
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+
+    "q_rollup_returns" -> s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n_rows,
+             ${oSum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""",
+
+    "q_customers_no_orders" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice > 250000.0)
+      ORDER BY c_custkey""",
+
+    "q_big_spenders" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_totalprice > 300000.0)
+      ORDER BY c_custkey""",
+
+    "q_stats_by_flag" -> s"""
+      WITH agg AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               ${oSum("l_quantity")} AS sum_qty,
+               ${oSum("l_quantity * l_quantity")} AS sum_qty2
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n, min_qty, max_qty,
+             sum_qty / n AS mean_qty,
+             (sum_qty2 - sum_qty * sum_qty / n) / (n - 1) AS var_qty
+      FROM agg ORDER BY l_returnflag"""
   )
 }
