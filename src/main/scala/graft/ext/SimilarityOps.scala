@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   *    corpus once — no corpus shuffle at all until the per-query top-k
   *    window, whose input is |queries|·k candidates after the per-
   *    partition pre-filter;
-  *  - the bucketed variant joins on the sign-LSH bucket, so each query
-  *    only meets ~corpus/2^bits vectors (approximate recall, exact
-  *    rescoring inside the bucket) — the IVF pattern without a trained
-  *    codebook.
+  *  - the bucketed variants join on an LSH bucket key, so total join
+  *    work is Σ_b |bucket_b|·|queries in b| (self-join: Σ_b |bucket_b|²)
+  *    — ≈ n²/2^bits for balanced buckets. The code width `bits` and
+  *    table count are PARAMETERS ([[hyperplaneBucket]]): size bits ≈
+  *    log2(n / targetBucketRows) as the corpus grows, add tables for
+  *    recall. Exact rescoring happens inside buckets only;
+  *  - the IVF variant ([[ivfTopK]]) is the trained-codebook version of
+  *    the same pattern: nlist cells ([[sampleCentroids]], nlist ≈ √n),
+  *    nprobe cells probed per query.
   */
 object SimilarityOps {
 
@@ -67,7 +72,10 @@ object SimilarityOps {
 
   /** Sign-LSH bucket: one bit per sampled dimension (1 iff >= 0),
     * concatenated to a string key. `dims` are fixed hyperplane proxies —
-    * deterministic, data-independent, mirrorable in SQL. */
+    * deterministic, data-independent, mirrorable in SQL. Kept as the
+    * simple 4-bit oracle fixture; the scale path is
+    * [[hyperplaneBucket]]/[[hyperplaneTopK]], whose code width and table
+    * count are parameters. */
   def signBucket(embedding: Column, dims: Seq[Int]): Column =
     concat(dims.map(d =>
       when(element_at(embedding, d + 1) >= 0f, lit("1")).otherwise(lit("0"))
@@ -87,6 +95,111 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  // -------------------------------------------------------------------
+  // Parameterized random-hyperplane LSH (the 100-TB scale path)
+  // -------------------------------------------------------------------
+
+  /** Deterministic ±1 hyperplane coefficient for (table, bit, dim): one
+    * 64-bit LCG scramble of a linear index mix (Knuth MMIX constants),
+    * sign taken from a high bit. Driver-side constant — BOTH the Spark
+    * plan and the DuckDB oracle SQL are generated from this function, so
+    * cross-engine equality holds by construction (the same literal ±1
+    * arrays appear in both plans). Rademacher (±1) entries are a
+    * standard random-projection family — unlike coordinate signs they
+    * mix every dimension, so correlated dimensions no longer skew the
+    * bucket histogram. */
+  def planeSign(table: Int, bit: Int, dim: Int): Double = {
+    val mixed = table * 1000003L + bit * 8191L + dim * 131L + 12345L
+    val x = mixed * 6364136223846793005L + 1442695040888963407L
+    if (((x >>> 32) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** The ±1 hyperplane for (table, bit) over `dim` dimensions. */
+  def plane(table: Int, bit: Int, dim: Int = 64): Seq[Double] =
+    (0 until dim).map(d => planeSign(table, bit, d))
+
+  /** `bits`-bit random-hyperplane code (SimHash over real vectors): bit
+    * j = (embedding · plane(table, j) >= 0). Collision probability per
+    * bit for angle θ is 1 − θ/π, so a `bits`-bit code splits a corpus of
+    * n vectors into ~2^bits buckets and the bucketed self-join cost is
+    * Σ_b |bucket_b|² — ≈ n²/2^bits when balanced. Size `bits` ≈
+    * log2(n / targetBucketRows): 2000 fixture vectors → 8 bits; 10^9
+    * vectors at 1k rows/bucket → 20 bits. `table` redraws the
+    * hyperplanes — probing T tables raises recall from p^bits to
+    * 1 − (1 − p^bits)^T at T× candidate cost.
+    *
+    * Each bit is one [[dot]] against a literal ±1 array — a tight
+    * codegen'd loop, bits×dim multiply-adds per row, no shuffle. */
+  def hyperplaneBucket(embedding: Column, bits: Int, table: Int = 0,
+                       dim: Int = 64): Column =
+    concat((0 until bits).map { j =>
+      val proj = dot(embedding, array(plane(table, j, dim).map(lit): _*))
+      when(proj >= 0d, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** One (tbl, bkt) struct per hash table, for explode-joining. */
+  private def tableBuckets(e: Column, bits: Int, tables: Int,
+                           dim: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneBucket(e, bits, t, dim).as("bkt"))): _*)
+
+  /** Approximate top-k over parameterized hyperplane LSH: each side is
+    * exploded to one row per hash table, candidates equi-join on
+    * (tbl, bkt), exact cosine rescoring, candidate pairs deduped across
+    * tables BEFORE the top-k window.
+    *
+    * Scale shape: queries broadcast (×tables rows), corpus streamed once
+    * (the explode is scan-side, no shuffle); only (query, neighbor,
+    * score) triples — never embeddings — cross the dedup shuffle. */
+  def hyperplaneTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     bits: Int, tables: Int = 1,
+                     dim: Int = 64): DataFrame = {
+    val qb = queries
+      .select(col("query_id"), col("q_embedding"),
+        explode(tableBuckets(col("q_embedding"), bits, tables, dim))
+          .as("_tb"))
+      .select(col("query_id"), col("q_embedding"),
+        col("_tb.tbl").as("tbl"), col("_tb.bkt").as("bkt"))
+    val cb = corpus
+      .select(col("vec_id"), col("embedding"),
+        explode(tableBuckets(col("embedding"), bits, tables, dim))
+          .as("_tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("_tb.tbl").as("tbl"), col("_tb.bkt").as("bkt"))
+    val scored = cb.join(broadcast(qb), Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_embedding"), col("embedding")).as("score"))
+      .dropDuplicates("query_id", "neighbor_id")
+    topK(scored, k)
+  }
+
+  /** Near-duplicate pairs over parameterized hyperplane LSH: bucketed
+    * self-join per hash table, exact-cosine threshold, pairs deduped
+    * across tables. The parameterized X2c — [[cosineNearDuplicates]]
+    * with `bits`/`tables` capacity instead of the fixed 4-bit code. */
+  def hyperplaneNearDuplicates(corpus: DataFrame, threshold: Double,
+                               bits: Int, tables: Int = 1,
+                               dim: Int = 64): DataFrame = {
+    val b = corpus
+      .select(col("vec_id"), col("embedding"),
+        explode(tableBuckets(col("embedding"), bits, tables, dim))
+          .as("_tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("_tb.tbl").as("tbl"), col("_tb.bkt").as("bkt"))
+    val l = b.select(col("tbl"), col("bkt"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"))
+    val r = b.select(col("tbl"), col("bkt"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"))
+    l.join(r, Seq("tbl", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("e_a"), col("e_b")))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Per-query top-k with deterministic (score DESC, id ASC) ranking. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
@@ -96,32 +209,54 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
-  /** IVF assignment: each vector goes to its nearest centroid by dot
-    * product (rank by dot DESC, centroid_id ASC for determinism).
-    * `centroids` is tiny and broadcast; one pass over the corpus.
-    * Returns corpus columns + `centroid_id`. */
-  def assignCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Deterministic IVF codebook: `nlist` corpus vectors sampled by
+    * md5-of-id order. md5 scrambles vec_id, so the sample is a uniform
+    * pseudo-random draw, yet fully deterministic and replayable in SQL
+    * (`ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT nlist`). The
+    * distributed plan is a TakeOrdered (per-partition top-nlist, then a
+    * tree-merge of nlist-row heaps) — no global sort, scale-safe at any
+    * corpus size. The sampled vec_id doubles as the centroid_id. Size
+    * nlist ≈ √n (or n / targetCellRows) as the corpus grows; a trained
+    * k-means codebook can replace this sample without touching the
+    * assignment/search plan. */
+  def sampleCentroids(corpus: DataFrame, nlist: Int): DataFrame =
+    corpus
+      .orderBy(md5(col("vec_id").cast("string")))
+      .limit(nlist)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("c_embedding"))
+
+  /** IVF assignment: each vector is ranked against every centroid by
+    * dot product (rank by dot DESC, centroid_id ASC for determinism)
+    * and keeps its `nprobe` nearest cells. `centroids` is tiny and
+    * broadcast; one pass over the corpus. Returns corpus columns +
+    * `centroid_id` (one row per kept cell). */
+  def assignCentroids(corpus: DataFrame, centroids: DataFrame,
+                      nprobe: Int = 1): DataFrame = {
     val scored = corpus.join(broadcast(centroids))
       .withColumn("_dot", dot(col("embedding"), col("c_embedding")))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("_dot").desc, col("centroid_id"))
     scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") <= nprobe)
       .drop("_rn", "_dot", "c_embedding")
   }
 
-  /** IVF top-k (nprobe=1): queries and corpus are both assigned to
-    * centroids; each query rescored exactly against its own cell only.
-    * The trained-codebook ANN pattern with a deterministic codebook
-    * (sampled corpus vectors) so the oracle can replay it. Approximate
-    * by construction — like [[bucketedTopK]], recall trades against the
-    * centroid fan-out. */
+  /** IVF top-k: corpus vectors live in their single nearest cell;
+    * each query probes its `nprobe` nearest cells and is rescored
+    * exactly against those cells' members only. The trained-codebook
+    * ANN pattern with a deterministic codebook ([[sampleCentroids]]) so
+    * the oracle can replay it. Approximate by construction — recall
+    * rises with nprobe (more cells probed) at proportional rescoring
+    * cost; a corpus vector meets a query at most once (one cell per
+    * corpus vector, distinct probe cells per query), so no dedup is
+    * needed before the top-k window. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              k: Int): DataFrame = {
+              k: Int, nprobe: Int = 1): DataFrame = {
     val corpusCells = assignCentroids(corpus, centroids)
     val queryCells = assignCentroids(
       queries.select(col("query_id").as("vec_id"),
-        col("q_embedding").as("embedding")), centroids)
+        col("q_embedding").as("embedding")), centroids, nprobe)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_embedding"), col("centroid_id"))
     val scored = corpusCells.join(broadcast(queryCells), "centroid_id")

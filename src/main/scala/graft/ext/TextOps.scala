@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * Cross-engine float discipline: scores are built from integer counts
   * with IEEE-exact ops (`/`, `*` are correctly rounded and thus
   * bit-identical across engines); `ln` appears only in tf-idf where the
-  * output is squashed through DECIMAL(18,6) on both sides.
+  * output is quantized through DECIMAL(18,6) and compared as DOUBLE on
+  * both sides (DECIMAL's physical bytes differ across engines).
   *
   * Scale: token explode multiplies rows by tokens-per-doc — word-count
   * and tf-idf shuffle on the word key, which is low-cardinality; a
@@ -42,23 +43,34 @@ object TextOps {
 
   /** Classic tf-idf over (doc, word): tf = in-doc term count,
     * df = #docs containing the word, idf = ln((N+1)/(df+1)) + 1
-    * (smoothed). Returns (doc_id, word, tf, df, tfidf DECIMAL(18,6)).
+    * (smoothed). Returns (doc_id, word, tf, df, tfidf DOUBLE).
+    *
+    * The score quantizes ln() through DECIMAL(18,6) and casts back to
+    * DOUBLE so both engines hash the identical float64 bits (DECIMAL's
+    * physical representation differs between Spark parquet and DuckDB
+    * even when values are equal).
+    *
+    * N (corpus size) is computed IN-PLAN as a 1-row aggregate cross-
+    * joined in — no driver-side action at plan-build time, so the
+    * operator composes lazily and the corpus is scanned exactly once
+    * per materialization.
     *
     * Two shuffles: (doc, word) count, then word-keyed df join — the df
-    * side is tiny (vocabulary) and broadcast.
+    * side is tiny (vocabulary) and broadcast, as is the 1-row N frame.
     */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val n = docs.select(col(idCol)).distinct.count
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("_n"))
     val termFreq = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
     val docFreq = termFreq.groupBy("word")
       .agg(count(lit(1)).as("df"))
     termFreq.join(broadcast(docFreq), "word")
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        (col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
-          .cast(DecimalType(18, 6)))
+        (col("tf") * (log((col("_n") + 1.0) / (col("df") + 1.0)) + 1.0))
+          .cast(DecimalType(18, 6)).cast(DoubleType))
       .select(col(idCol), col("word"), col("tf"), col("df"), col("tfidf"))
   }
 

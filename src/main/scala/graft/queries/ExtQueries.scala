@@ -23,12 +23,21 @@ import org.apache.spark.sql.types._
   *  - int/int divisions and strict left-fold double sums are IEEE
   *    correctly-rounded op sequences → bit-identical;
   *  - `ln` (tf-idf) is the single not-formally-identical op; its output
-  *    is squashed through DECIMAL(18,6) on both sides;
+  *    is quantized through DECIMAL(18,6) then compared as DOUBLE on both
+  *    sides (DECIMAL bytes hash differently across engines);
   *  - generated SQL (simhash bits, language argmax) comes from the SAME
   *    Scala constants as the DataFrame code.
   */
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Fixture capacity for the parameterized ANN paths (the operators
+    * scale these with the corpus; 2000 sf0.1 vectors → 8-bit codes ≈
+    * 8 rows/bucket, nlist 32 ≈ 62 rows/cell). */
+  val LshBits = 8
+  val LshTables = 2
+  val IvfNlist = 32
+  val IvfNprobe = 2
 
   // -------------------------------------------------------------------
   // Twin corpus (shared by X1/X2 queries)
@@ -61,6 +70,32 @@ object ExtQueries {
              CAST(length(array_to_string(w[1:len(w)-5], ' ')) AS BIGINT)
       FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
       WHERE doc_id % 10 = 5
+    )"""
+
+  /** Embedding corpus with perturbed near-twins (X2c fixture):
+    * vec_id % 50 == 0 → id+100000, per-dim +0.01·((i%3)-1), everything
+    * cast to double. Shared by q_embed_near_dup / q_embed_near_dup_lsh. */
+  def embTwins(emb: DataFrame): DataFrame = {
+    val perturbed = transform(sequence(lit(1), lit(64)),
+      i => element_at(col("embedding"), i).cast("double")
+        + lit(0.01) * ((i % 3) - 1))
+    val twins = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        perturbed.as("embedding"))
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(twins)
+  }
+
+  private val embTwinsCte: String = """
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, 65),
+               i -> embedding[i]::DOUBLE + (0.01)::DOUBLE * ((i % 3) - 1))
+      FROM embeddings WHERE vec_id % 50 = 0
     )"""
 
   /** DuckDB shingle-set expression over a word-list column `w`. */
@@ -138,40 +173,46 @@ object ExtQueries {
       TextOps.fingerprintTable(Tables.documents(s, d))
         .orderBy("doc_id", "fp")),
 
-    // X3c — IVF top-k: deterministic codebook (sampled corpus vectors),
-    // nearest-centroid assignment, exact rescoring inside the cell.
+    // X3c — IVF top-k at parameterized capacity: md5-sampled codebook
+    // (nlist=32), nearest-centroid assignment, queries probe nprobe=2
+    // cells, exact rescoring inside probed cells.
     "q_topk_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("c_embedding"))
+      val centroids = SimilarityOps.sampleCentroids(emb, IvfNlist)
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("q_embedding"))
-      SimilarityOps.ivfTopK(queries, emb, centroids, 5)
+      SimilarityOps.ivfTopK(queries, emb, centroids, 5, IvfNprobe)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // X3b' — parameterized random-hyperplane LSH top-k (the real scale
+    // path: 8-bit codes × 2 hash tables = 16 seed-derived Rademacher
+    // hyperplanes, generated from SimilarityOps.plane on BOTH engines).
+    "q_topk_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      SimilarityOps.hyperplaneTopK(queries, emb, 5, LshBits, LshTables)
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk")
     }),
 
     // X2c — embedding-cosine near-dup over a corpus with perturbed
-    // twins (vec_id % 50 == 0 → id+100000, per-dim +0.01·((i%3)-1)):
-    // sign-LSH bucketed self-join, exact-cosine threshold.
-    "q_embed_near_dup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val perturbed = transform(sequence(lit(1), lit(64)),
-        i => element_at(col("embedding"), i).cast("double")
-          + lit(0.01) * ((i % 3) - 1))
-      val twins = emb.filter(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          perturbed.as("embedding"))
-      val corpus = emb
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double"))
-            .as("embedding"))
-        .unionByName(twins)
-      SimilarityOps.cosineNearDuplicates(corpus, 0.99)
-        .orderBy("id_a", "id_b")
-    }),
+    // twins: sign-LSH bucketed self-join, exact-cosine threshold.
+    "q_embed_near_dup" -> ((s, d) =>
+      SimilarityOps.cosineNearDuplicates(
+        embTwins(Tables.embeddings(s, d)), 0.99)
+        .orderBy("id_a", "id_b")),
+
+    // X2c' — the same pair search through the parameterized hyperplane
+    // LSH (8-bit × 2 tables), pairs deduped across tables.
+    "q_embed_near_dup_lsh" -> ((s, d) =>
+      SimilarityOps.hyperplaneNearDuplicates(
+        embTwins(Tables.embeddings(s, d)), 0.99, LshBits, LshTables)
+        .orderBy("id_a", "id_b")),
 
     // X5 — multimodal media table + stubbed decode features. The
     // histogram array is serialized to CSV for the compare (the
@@ -276,6 +317,31 @@ object ExtQueries {
     "concat(" + Seq(0, 1, 2, 3).map(d =>
       s"CASE WHEN $e[${d + 1}] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
 
+  /** DuckDB literal for [[SimilarityOps.plane]] — the SAME seed-derived
+    * ±1 coefficients the Spark plan embeds, so the two engines compute
+    * identical projections by construction. */
+  private def planeList(table: Int, bit: Int): String =
+    "[" + SimilarityOps.plane(table, bit)
+      .map(v => if (v > 0) "1" else "-1").mkString(",") + "]"
+
+  /** DuckDB twin of [[SimilarityOps.hyperplaneBucket]]: per-bit strict
+    * left-fold projection against the literal plane, >= 0 → '1'. */
+  private def hyperBucketSql(e: String, table: Int): String =
+    "concat(" + (0 until LshBits).map { j =>
+      val proj = s"""list_reduce(list_transform(range(1, 65),
+          i -> $e[i]::DOUBLE * (${planeList(table, j)}[i])::DOUBLE),
+          (x, y) -> x + y)"""
+      s"CASE WHEN ($proj) >= 0 THEN '1' ELSE '0' END"
+    }.mkString(", ") + ")"
+
+  /** Per-table bucket rows (UNION ALL), mirroring the Spark explode. */
+  private def lshTablesSql(selectCols: String, e: String,
+                           from: String): String =
+    (0 until LshTables).map(t =>
+      s"""SELECT $selectCols, $t AS tbl,
+            ${hyperBucketSql(e, t)} AS bkt FROM $from""")
+      .mkString(" UNION ALL ")
+
   private val topkBucketedOracle: String = s"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe,
@@ -332,8 +398,8 @@ object ExtQueries {
       df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
       n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
       SELECT doc_id, word, tf, df,
-             CAST(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)
-               AS DECIMAL(18,6)) AS tfidf
+             CAST(CAST(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)
+               AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
       FROM tf JOIN df USING (word), n
       ORDER BY doc_id, word""",
 
@@ -422,7 +488,8 @@ object ExtQueries {
     "q_topk_ivf" -> s"""
       WITH c AS (
         SELECT vec_id AS centroid_id, embedding AS ce
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
       ),
       assign AS (
         SELECT vec_id, embedding, centroid_id FROM (
@@ -434,8 +501,14 @@ object ExtQueries {
         ) WHERE rn = 1
       ),
       q AS (
-        SELECT vec_id AS query_id, embedding AS qe, centroid_id
-        FROM assign WHERE vec_id % 100 = 0
+        SELECT vec_id AS query_id, embedding AS qe, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c
+          WHERE e.vec_id % 100 = 0
+        ) WHERE rn <= $IvfNprobe
       ),
       scored AS (
         SELECT query_id, a.vec_id AS neighbor_id,
@@ -451,16 +524,42 @@ object ExtQueries {
       SELECT query_id, neighbor_id, rnk, score
       FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
 
-    "q_embed_near_dup" -> s"""
-      WITH corpus AS (
-        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-        FROM embeddings
-        UNION ALL
-        SELECT vec_id + 100000,
-               list_transform(range(1, 65),
-                 i -> embedding[i]::DOUBLE + (0.01)::DOUBLE * ((i % 3) - 1))
-        FROM embeddings WHERE vec_id % 50 = 0
+    "q_topk_lsh" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
       ),
+      qt AS (${lshTablesSql("query_id, qe", "qe", "q")}),
+      ct AS (${lshTablesSql("vec_id, embedding", "embedding",
+                            "embeddings")}),
+      scored AS (
+        SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+               ${cosSql("qe", "c.embedding")} AS score
+        FROM ct c JOIN qt ON c.tbl = qt.tbl AND c.bkt = qt.bkt
+        WHERE c.vec_id <> qt.query_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, rnk, score
+      FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "q_embed_near_dup_lsh" -> s"""
+      WITH $embTwinsCte,
+      bt AS (${lshTablesSql("vec_id, e", "e", "corpus")}),
+      pairs AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+               ${cosSql("x.e", "y.e")} AS score
+        FROM bt x JOIN bt y ON x.tbl = y.tbl AND x.bkt = y.bkt
+        WHERE x.vec_id < y.vec_id
+      )
+      SELECT id_a, id_b, score FROM pairs
+      WHERE score >= 0.99 ORDER BY id_a, id_b""",
+
+    "q_embed_near_dup" -> s"""
+      WITH $embTwinsCte,
       b AS (SELECT vec_id, e, ${bucketSql("e")} AS bucket FROM corpus),
       pairs AS (
         SELECT x.vec_id AS id_a, y.vec_id AS id_b,

@@ -67,6 +67,87 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ids == Set(1L))
   }
 
+  test("planeSign is deterministic ±1 and varies across tables/bits") {
+    val p0 = SimilarityOps.plane(0, 0)
+    assert(p0 == SimilarityOps.plane(0, 0))
+    assert(p0.forall(v => v == 1.0 || v == -1.0))
+    assert(p0 != SimilarityOps.plane(0, 1))
+    assert(p0 != SimilarityOps.plane(1, 0))
+    // roughly balanced (a degenerate all-+1 plane would never split)
+    assert(math.abs(p0.sum) < 32)
+  }
+
+  test("hyperplaneTopK finds brute-force neighbors that share buckets " +
+    "and never invents pairs outside them") {
+    val corpus = Seq.tabulate(120)(i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        ((i * 31 + j * 17) % 97 / 97.0f - 0.5f))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter("vec_id % 40 = 0")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val approx = SimilarityOps.hyperplaneTopK(queries, corpus, 5,
+      bits = 4, tables = 2)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+    val exactScores = SimilarityOps.bruteForceTopK(queries, corpus, 120)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    // every approximate score matches the exact cosine for that pair
+    assert(approx.nonEmpty)
+    approx.foreach { case (q, n, s) => assert(exactScores((q, n)) == s) }
+    // no duplicate (query, neighbor) pairs despite 2 hash tables
+    val pairs = approx.map { case (q, n, _) => (q, n) }
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("more hash tables never lose candidates (recall is monotone)") {
+    val corpus = Seq.tabulate(80)(i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        ((i * 13 + j * 7) % 89 / 89.0f - 0.5f))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter("vec_id % 20 = 0")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    def pairsAt(tables: Int) =
+      SimilarityOps.hyperplaneTopK(queries, corpus, 80, bits = 6,
+        tables = tables)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    assert(pairsAt(1).subsetOf(pairsAt(3)))
+  }
+
+  test("sampleCentroids: deterministic nlist-sized codebook") {
+    val corpus = Seq.tabulate(100)(i =>
+      (i.toLong, Array.tabulate(8)(j => (i + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = SimilarityOps.sampleCentroids(corpus, 10)
+      .select("centroid_id").as[Long].collect().toSeq
+    val b = SimilarityOps.sampleCentroids(corpus, 10)
+      .select("centroid_id").as[Long].collect().toSeq
+    assert(a == b && a.length == 10 && a.distinct.length == 10)
+  }
+
+  test("ivfTopK with nprobe=nlist degenerates to exact brute force") {
+    val corpus = Seq.tabulate(60)(i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        ((i * 29 + j * 11) % 83 / 83.0f - 0.5f))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter("vec_id % 30 = 0")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val centroids = SimilarityOps.sampleCentroids(corpus, 4)
+    val ivf = SimilarityOps.ivfTopK(queries, corpus, centroids, 3,
+      nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = SimilarityOps.bruteForceTopK(queries, corpus, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == exact)
+  }
+
   test("cosineNearDuplicates flags only high-similarity pairs") {
     val corpus = Seq(
       (0L, vec(1f, 0.01f, 0f, 0f)),
