@@ -85,7 +85,9 @@ object TextOps {
   )
 
   /** Heuristic language ID: score(lang) = #tokens in that language's
-    * marker set; predict the arg-max, ties broken by language name ASC.
+    * marker set; predict the arg-max, ties broken by first entry in
+    * [[LangMarkers]] (the fold keeps the earlier language on equal
+    * scores — the oracle SQL and TextOpsSpec encode the same rule).
     * (A real system uses char n-gram profiles; the fixture vocabulary is
     * synthetic, so marker sets stand in for the profile table — the
     * operator shape, scoring and arg-max resolution are the real thing.)
@@ -100,7 +102,7 @@ object TextOps {
 
   def langId(text: Column): Column = {
     val scored = langScores(text)
-    // arg-max with lang-ASC tie-break: fold over (score, lang) pairs.
+    // arg-max, first LangMarkers entry wins ties: strictly-greater fold.
     scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
       case ((bestScore, bestLang), (lang, score)) =>
         (when(score > bestScore, score).otherwise(bestScore),

@@ -23,12 +23,20 @@ import org.apache.spark.sql.types._
   * (IEEE add/multiply are correctly rounded; same op sequence → same
   * bits).
   *
-  * Null contract: null array → null; null elements are not expected
-  * (embedding columns are dense) and read as 0.0, matching the parquet
+  * Null contract: null array → null; unequal lengths → null (zip_with
+  * pads the shorter side with nulls, so the fold's accumulator goes null
+  * — this expression matches that, keeping it bit-identical to
+  * [[graft.ext.SimilarityOps.dotFold]] for ALL inputs, not just the
+  * equal-length dense case); null elements are not expected (embedding
+  * columns are dense) and read as 0.0, matching the parquet
   * primitive-array fast path.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // unequal-length inputs yield null even when both children are
+  // non-nullable
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -51,7 +59,8 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val (lf, rf) = (elemType(left) == FloatType, elemType(right) == FloatType)
     var acc = 0.0
     var i = 0
@@ -75,12 +84,16 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, elemType(left), i)} * ${get(b, elemType(right), i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${get(a, elemType(left), i)} * ${get(b, elemType(right), i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -72,13 +72,18 @@ object Silver {
     * to prove the §5.3 invariant: N-batch replay ≡ one-batch merge.
     *
     * Scale: bronze is cached once (each batch filter would otherwise
-    * recompute the full upstream plan), and every fold step is
-    * lineage-truncated with an eager `localCheckpoint` — without it the
-    * plan nests N full-outer joins and Catalyst re-optimizes the whole
-    * O(N)-deep tree at every action. On a real cluster the same role is
-    * played by writing each snapshot (Snapshot.createOrReplace) and
-    * reading it back — a replay step is never a single growing plan. */
-  def incremental(bronze: DataFrame, nBatches: Int): DataFrame = {
+    * recompute the full upstream plan), and the fold is lineage-truncated
+    * with a lazy `localCheckpoint` every `checkpointEvery` steps — an
+    * unbounded chain nests N full-outer joins and Catalyst re-optimizes
+    * the whole O(N)-deep tree at every action, while checkpointing every
+    * step materializes N intermediate snapshots nobody reads. The result
+    * is materialized (eager checkpoint) before the bronze cache is
+    * released, so the caller's actions never re-run the replay. On a real
+    * cluster the same role is played by writing each snapshot
+    * (Snapshot.createOrReplace) and reading it back — a replay step is
+    * never a single growing plan. */
+  def incremental(bronze: DataFrame, nBatches: Int,
+                  checkpointEvery: Int = 4): DataFrame = {
     val bounds = bronze.agg(min("offset"), max("offset")).collect()(0)
     if (bounds.isNullAt(0)) return mergeBatch(emptyTarget(bronze), bronze)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
@@ -89,15 +94,20 @@ object Silver {
         cached.filter(col("offset") > lo - 1 + i * step &&
           col("offset") <= lo - 1 + (i + 1L) * step)
       }
-      batches.foldLeft(emptyTarget(bronze)) { (target, batch) =>
-        // A3 — the reference's emptiness early-exit
-        // (`merge_orders_silver.py:63-66`), minus the RDD round-trip.
-        // Lazy checkpoint: lineage is truncated per fold, but the chain
-        // materializes in one action instead of one blocking job per
-        // batch.
-        if (batch.isEmpty) target
-        else mergeBatch(target, batch).localCheckpoint(false)
-      }
+      val folded = batches.zipWithIndex
+        .foldLeft(emptyTarget(bronze)) { case (target, (batch, i)) =>
+          // A3 — the reference's emptiness early-exit
+          // (`merge_orders_silver.py:63-66`), minus the RDD round-trip.
+          if (batch.isEmpty) target
+          else {
+            val merged = mergeBatch(target, batch)
+            if ((i + 1) % checkpointEvery == 0) merged.localCheckpoint(false)
+            else merged
+          }
+        }
+      // Materialize while bronze is still cached; afterwards the caller
+      // reads checkpoint blocks, never the upstream plan.
+      folded.localCheckpoint(true)
     } finally cached.unpersist()
   }
 

@@ -31,6 +31,18 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("fold")).count() == 0)
   }
 
+  test("vec_dot matches the fold's null semantics on unequal lengths") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      SimilarityOps.dot(col("a"), col("b")).as("native"),
+      SimilarityOps.dotFold(col("a"), col("b")).as("fold")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 11.0)
+  }
+
   test("vec_dot is registered as a SQL function via GraftExtensions") {
     val out = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
