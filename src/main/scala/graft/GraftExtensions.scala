@@ -6,8 +6,11 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session extension installer: registers the library's native
-  * expressions in the SQL function registry, so `spark.sql("SELECT
-  * vec_dot(a, b) ...")` reaches the codegen'd implementation too.
+  * expressions in the SQL function registry (so `spark.sql("SELECT
+  * vec_dot(a, b) ...")` reaches the codegen'd implementation) and the
+  * analyzer rule that resolves [[graft.catalog.TableStore]] qualified
+  * names (`silver.orders_current_priv`,
+  * `iceberg.silver.orders_current_priv`) from `spark.sql`.
   *
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (Verify/Bench/tests do) — the standard `SparkSessionExtensions`
@@ -25,5 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(children(0), children(1))
     ))
+    ext.injectResolutionRule(graft.catalog.ResolveGraftRelations.apply)
+    ext.injectParser((_, parser) => new graft.catalog.GraftSqlParser(parser))
   }
 }

@@ -1,0 +1,63 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StructType
+
+/** Parser wrapper that strips the reference's `iceberg.` catalog prefix
+  * from relation names at parse time, BEFORE the analyzer runs — Spark's
+  * built-in relation resolver throws `REQUIRES_SINGLE_PART_NAMESPACE`
+  * for an unknown 3-part name (no `iceberg` catalog plugin is
+  * installed), so an analyzer rule would never get a chance. With the
+  * prefix gone, `iceberg.silver.orders_current_priv`
+  * (`/root/reference/README.md:121`) reaches
+  * [[ResolveGraftRelations]] as the 2-part `silver.orders_current_priv`
+  * and reference SQL runs verbatim.
+  *
+  * Everything else delegates to Spark's own parser — no grammar of our
+  * own, just a post-parse rewrite of `UnresolvedRelation` nodes
+  * (including inside subqueries).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private def strip(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case u @ UnresolvedRelation(Seq(cat, ns, t), _, _)
+          if cat.equalsIgnoreCase("iceberg") =>
+        u.copy(multipartIdentifier = Seq(ns, t))
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    strip(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(
+      sqlText: String, ctx: ParameterContext): LogicalPlan =
+    strip(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    strip(delegate.parseQuery(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

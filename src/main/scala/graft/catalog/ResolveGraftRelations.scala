@@ -1,0 +1,49 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Analyzer rule resolving namespace-qualified relations against the
+  * session's [[TableStore]] registry, so reference SQL like
+  * `SELECT ... FROM silver.orders_current_priv`
+  * (`/root/reference/README.md:121`) runs verbatim through `spark.sql`.
+  *
+  * Resolution contract:
+  *  - `ns.table` (2-part) resolves iff registered;
+  *  - `iceberg.ns.table` (3-part, the reference's catalog prefix)
+  *    resolves to the same entry — a user porting reference SQL keeps
+  *    the `iceberg.` prefix and it still works;
+  *  - anything else is left untouched for Spark's own resolvers
+  *    (temp views, in-memory session catalog, file sources).
+  *
+  * Runs as an `extendedResolutionRule`, i.e. inside the analyzer's
+  * Resolution fixed-point AFTER the built-in `ResolveRelations` — Spark
+  * leaves an unknown `UnresolvedRelation` in place rather than failing
+  * (failure is deferred to CheckAnalysis), which is exactly the hook
+  * point lakehouse catalog extensions use. The registered entry is the
+  * DataFrame's ANALYZED plan: like the reference's Trino view
+  * (`README.md:106-116`) the masking projection re-evaluates at query
+  * time, nothing is materialized by registration.
+  */
+case class ResolveGraftRelations(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case u: UnresolvedRelation =>
+        lookup(u.multipartIdentifier).getOrElse(u)
+    }
+
+  private def lookup(parts: Seq[String]): Option[LogicalPlan] = {
+    val norm = parts.map(_.toLowerCase(java.util.Locale.ROOT))
+    val key = norm match {
+      case Seq("iceberg", ns, t) => Some(Seq(ns, t))
+      case Seq(_, _) => Some(norm)
+      case _ => None
+    }
+    key.flatMap(TableStore.registry(session).get)
+      .map(resolved => SubqueryAlias(parts.last, resolved))
+  }
+}

@@ -17,12 +17,17 @@ import scala.collection.mutable
   *  - `SHOW SCHEMAS` / `SHOW TABLES` (`README.md:200-201`)
   *  - temp-view staging for MERGE sources (`merge_orders_silver.py:132`)
   *
-  * Every registration also exposes the frame as a Spark temp view named
-  * `<namespace>_<table>`, so the whole registry is reachable from
-  * `spark.sql` — the reference's SQL surface. In a cluster deployment
-  * the same interface fronts a metastore; here it is in-session state
-  * (the reference's REST catalog is also just a service wrapping a
-  * map of table → storage location).
+  * Every registration is reachable from `spark.sql` under its QUALIFIED
+  * name — `silver.orders_current_priv`, or the reference's full
+  * `iceberg.silver.orders_current_priv` spelling — via
+  * [[ResolveGraftRelations]], the analyzer rule [[graft.GraftExtensions]]
+  * injects (the same `spark.sql.extensions` mechanism Iceberg's own
+  * extension jar uses, `/root/reference/jobs/merge_orders_silver.py:15`).
+  * A flat `<namespace>_<table>` temp view is kept as well for sessions
+  * built without the extension. In a cluster deployment the same
+  * interface fronts a metastore; here it is in-session state (the
+  * reference's REST catalog is also just a service wrapping a map of
+  * table → storage location).
   */
 class TableStore(val spark: SparkSession) {
 
@@ -37,10 +42,15 @@ class TableStore(val spark: SparkSession) {
 
   def listNamespaces(): Seq[String] = namespaces.toSeq
 
-  /** Register (or replace) a table under `ns.name` + temp view. */
+  /** Register (or replace) a table under `ns.name`: resolvable from
+    * `spark.sql` as `ns.name` (and `iceberg.ns.name`), plus the flat
+    * `ns_name` temp view. */
   def register(ns: String, name: String, df: DataFrame): Unit = {
     createNamespace(ns)
     tables(key(ns, name)) = df
+    TableStore.registry(spark).put(
+      Seq(ns, name).map(_.toLowerCase(java.util.Locale.ROOT)),
+      df.queryExecution.analyzed)
     df.createOrReplaceTempView(s"${ns}_$name")
   }
 
@@ -88,4 +98,34 @@ class TableStore(val spark: SparkSession) {
   /** S10 — temp-view staging for a MERGE source. */
   def stage(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
+}
+
+object TableStore {
+
+  // Per-session qualified-name registry read by ResolveGraftRelations.
+  // Shared across TableStore instances on the same session (like a
+  // catalog service shared by all clients); weak keys let sessions be
+  // collected.
+  private val registries =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[
+          Seq[String],
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]())
+
+  private[catalog] def registry(s: SparkSession) = {
+    val existing = registries.get(s)
+    if (existing != null) existing
+    else registries.synchronized {
+      val again = registries.get(s)
+      if (again != null) again
+      else {
+        val fresh = scala.collection.concurrent.TrieMap.empty[
+          Seq[String],
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+        registries.put(s, fresh)
+        fresh
+      }
+    }
+  }
 }

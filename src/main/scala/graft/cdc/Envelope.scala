@@ -61,9 +61,14 @@ object Envelope {
   }
 
   /** Clean a possibly quote/whitespace-polluted numeric string and cast
-    * (`build_orders_silver.py:81,89`). */
-  def cleanAmount(c: Column): Column =
-    regexp_replace(c, "[\"\\s]", "").cast(DoubleType)
+    * (`build_orders_silver.py:81,89`). `to` defaults to DOUBLE — the
+    * reference's chosen workaround for the Debezium decimal trap
+    * (`README.md:167-172`) — but accepts DECIMAL(10,2) as the hardening
+    * option SURVEY §1.2 documents: the cast parses the CLEANED STRING
+    * directly, so 2-decimal amounts are exact with no double
+    * round-trip. */
+  def cleanAmount(c: Column, to: DataType = DoubleType): Column =
+    regexp_replace(c, "[\"\\s]", "").cast(to)
 
   /** Parse a bronze frame: `valueCol` JSON → typed change columns.
     * Output: order_id int, user_id int, amount_eur double, status string,
@@ -77,7 +82,8 @@ object Envelope {
     * elimination can't see across operators: measured 3× slower on the
     * dedup path.)
     */
-  def parse(bronze: DataFrame, valueCol: String = "v"): DataFrame = {
+  def parse(bronze: DataFrame, valueCol: String = "v",
+            amountType: DataType = DoubleType): DataFrame = {
     val parsed = from_json(col(valueCol), unionSchema)
     val cdc = coalesce(parsed("payload"), struct(
       parsed("before").as("before"), parsed("after").as("after"),
@@ -88,7 +94,7 @@ object Envelope {
       .withColumn("_cdc", cdc)
       .withColumn("order_id", field("order_id"))
       .withColumn("user_id", field("user_id"))
-      .withColumn("amount_eur", cleanAmount(field("amount_eur")))
+      .withColumn("amount_eur", cleanAmount(field("amount_eur"), amountType))
       .withColumn("status", field("status"))
       .withColumn("op", col("_cdc.op"))
       .withColumn("ts_ms", col("_cdc.ts_ms"))

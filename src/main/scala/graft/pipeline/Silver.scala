@@ -31,40 +31,50 @@ object Silver {
     * (`merge_orders_silver.py:112`). */
   val Ordering = Seq("ts_ms", "offset")
 
-  /** Final silver projection (`merge_orders_silver.py:31-38` schema). */
-  private val projCols = Seq(
+  /** Final silver projection (`merge_orders_silver.py:31-38` schema).
+    * `amountType` defaults to the reference's DOUBLE workaround for the
+    * Debezium decimal trap; pass `DecimalType(10, 2)` for the hardening
+    * option SURVEY §1.2 documents (the source column is
+    * `NUMERIC(10,2)`, `/root/reference/postgres/init/01_init.sql:12`). */
+  private def projCols(amountType: DataType = DoubleType) = Seq(
     col("order_id").cast(IntegerType).as("order_id"),
     col("user_id").cast(IntegerType).as("user_id"),
-    col("amount_eur").cast(DoubleType).as("amount_eur"),
+    col("amount_eur").cast(amountType).as("amount_eur"),
     col("status").cast(StringType).as("status"),
     Envelope.lastChangeTs(col("ts_ms")).as("last_change_ts"))
 
-  private def project(parsed: DataFrame): DataFrame =
-    parsed.select(projCols: _*)
+  private def project(parsed: DataFrame,
+                      amountType: DataType = DoubleType): DataFrame =
+    parsed.select(projCols(amountType): _*)
 
   /** Parsed + null-guarded change rows from bronze (shared prefix).
     * Projects away the raw payload columns (topic/kafka_ts/k/v) so the
     * key shuffle downstream (dedup window / merge join) moves typed
     * change rows, not 400-byte JSON strings. */
-  def changes(bronze: DataFrame): DataFrame =
-    Envelope.parse(bronze)
+  def changes(bronze: DataFrame,
+              amountType: DataType = DoubleType): DataFrame =
+    Envelope.parse(bronze, amountType = amountType)
       .select(col("partition"), col("offset"), col("order_id"),
         col("user_id"), col("amount_eur"), col("status"), col("op"),
         col("ts_ms"))
       .filter(col("order_id").isNotNull)
 
-  /** Full-rebuild silver (`build_orders_silver.py` semantics). */
-  def rebuild(bronze: DataFrame): DataFrame = {
+  /** Full-rebuild silver (`build_orders_silver.py` semantics).
+    * `amountType = DecimalType(10, 2)` is the decimal-hardened variant:
+    * the cleaned amount STRING is cast straight to DECIMAL — exact for
+    * 2-decimal amounts, no double round-trip anywhere in the plan. */
+  def rebuild(bronze: DataFrame,
+              amountType: DataType = DoubleType): DataFrame = {
     val current = Dedup.latestByKey(
-      changes(bronze).filter(col("op") =!= "d"), Keys, Ordering)
-    project(current)
+      changes(bronze, amountType).filter(col("op") =!= "d"), Keys, Ordering)
+    project(current, amountType)
   }
 
   /** Single-batch incremental merge into `target` (empty target ⇒
     * bootstrap). `merge_orders_silver.py` semantics: deletes tombstone. */
   def mergeBatch(target: DataFrame, bronzeBatch: DataFrame): DataFrame = {
     val staged = Dedup.latestByKey(changes(bronzeBatch), Keys, Ordering)
-    Merge.mergeCdc(target, staged.select(projCols :+ col("op"): _*), Keys)
+    Merge.mergeCdc(target, staged.select(projCols() :+ col("op"): _*), Keys)
   }
 
   /** Replay bronze as `n` offset-range micro-batches through the MERGE

@@ -74,6 +74,18 @@ object PipelineQueries {
       tsToStr(Silver.incremental(bronzeOf(s, d), 3),
         "last_change_ts").orderBy("order_id")),
 
+    // §1.2 DECIMAL hardening variant: amount_eur carried as
+    // DECIMAL(10,2) end-to-end (cleaned string → decimal, exact). The
+    // COMPARED column is the decimal's canonical string — DECIMAL
+    // physical bytes hash differently across engines (the q_tfidf
+    // lesson), the string form doesn't.
+    "q_cdc_silver_decimal" -> ((s, d) =>
+      tsToStr(Silver.rebuild(bronzeOf(s, d),
+          org.apache.spark.sql.types.DecimalType(10, 2)),
+        "last_change_ts")
+        .withColumn("amount_eur", col("amount_eur").cast("string"))
+        .orderBy("order_id")),
+
     "q_cdc_checkpoint" -> ((s, d) => {
       val bronze = bronzeOf(s, d)
       val last = bronze.agg(max("offset")).collect()(0).getLong(0)
@@ -100,7 +112,8 @@ object PipelineQueries {
 
     // S8/S10 — the privacy layer consumed through the catalog: register
     // the silver table, create the masking VIEW, query it via spark.sql
-    // (the reference's Trino-view path, `README.md:106-121`).
+    // under its QUALIFIED name — the reference's Trino-view path
+    // (`README.md:106-121`) verbatim, catalog prefix dropped.
     "q_privacy_view" -> ((s, d) => {
       val store = new TableStore(s)
       store.createNamespace("silver")
@@ -110,7 +123,7 @@ object PipelineQueries {
         Mask.pseudonymize(store.table("silver.orders_current"),
           "user_id", Salt, "user_key"))
       s.sql("""SELECT order_id, user_key, amount_eur, status
-               FROM silver_orders_current_priv
+               FROM silver.orders_current_priv
                WHERE amount_eur > 500.0 ORDER BY order_id""")
     }),
 
@@ -258,6 +271,42 @@ object PipelineQueries {
     "q_cdc_silver_rebuild" -> silverRebuildSql,
     "q_cdc_silver_merge" -> silverMergeSql,
     "q_cdc_silver_incremental" -> silverMergeSql,
+
+    // Decimal twin: the amount string is re-derived and cast
+    // STRING → DECIMAL(10,2) — the exact same parse Spark does on the
+    // cleaned JSON field; no float touches the compared value.
+    "q_cdc_silver_decimal" -> s"""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS u, o_totalprice AS p,
+               o_orderstatus AS s, o_orderdate AS d
+        FROM orders
+      ),
+      ev AS (
+        SELECT k, u, epoch_ms(d) AS ts_ms, 'c' AS op,
+               printf('%.2f', p) AS amt_s, s AS st
+        FROM base
+        UNION ALL
+        SELECT k, u, epoch_ms(d) + 3600000, 'u',
+               '1' || printf('%.2f', p), 'updated'
+        FROM base WHERE k % 3 = 0
+        UNION ALL
+        SELECT k, u, epoch_ms(d) + 7200000, 'd',
+               CASE WHEN k % 3 = 0 THEN '1' || printf('%.2f', p)
+                    ELSE printf('%.2f', p) END,
+               CASE WHEN k % 3 = 0 THEN 'updated' ELSE s END
+        FROM base WHERE k % 17 = 0
+      ),
+      evo AS (SELECT *, row_number() OVER
+                (PARTITION BY k % 4 ORDER BY ts_ms, k) AS off FROM ev),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo WHERE op <> 'd'
+      )
+      SELECT CAST(k AS INT) AS order_id, CAST(u AS INT) AS user_id,
+             CAST(CAST(amt_s AS DECIMAL(10,2)) AS VARCHAR) AS amount_eur,
+             st AS status, ${tsStr("ts_ms")} AS last_change_ts
+      FROM ranked WHERE rn = 1 ORDER BY order_id""",
 
     "q_cdc_checkpoint" -> s"""
       WITH $evoCte

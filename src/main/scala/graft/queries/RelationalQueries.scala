@@ -114,6 +114,31 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // J2 — TPC-H Q14 shape: lineitem ⋈ broadcast part, conditional
+    // revenue ratio per ship month. part is the star schema's widest
+    // dimension (2k rows at sf0.01, 20M at SF100 — still ~2 GB, still
+    // broadcastable); the fact side never shuffles before the monthly
+    // rollup. promo_pct divides two decimal-exact sums — one IEEE
+    // divide, identical in both engines.
+    "q14_promo_revenue" -> ((s, d) => {
+      val lo = lit("1997-01-01").cast(TimestampType)
+      val hi = lit("1997-07-01").cast(TimestampType)
+      val part = Tables.part(s, d).select("p_partkey", "p_type")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      val net = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO", net).otherwise(lit(0.0)))
+            .as("promo_revenue"),
+          dsum(net).as("total_revenue"))
+        .withColumn("promo_pct",
+          lit(100.0) * col("promo_revenue") / col("total_revenue"))
+        .orderBy("ship_month")
+    }),
+
     // Extension window agg over the event stream (batch twin of the
     // streaming tumbling window): date_trunc bucket + two-key groupBy.
     "q_events_window" -> ((s, d) =>
@@ -254,6 +279,23 @@ object RelationalQueries {
         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name""",
+
+    "q14_promo_revenue" -> s"""
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             ${oSum("CASE WHEN p_type = 'PROMO' " +
+               "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+               AS promo_revenue,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")}
+               AS total_revenue,
+             100.0 * ${oSum("CASE WHEN p_type = 'PROMO' " +
+               "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+               / ${oSum("l_extendedprice * (1.0 - l_discount)")}
+               AS promo_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY ship_month
+      ORDER BY ship_month""",
 
     "q_events_window" -> s"""
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -28,6 +28,43 @@ class TableStoreSpec extends SparkSpec {
     assert(again.count() == 1) // not re-created
   }
 
+  test("qualified names resolve from spark.sql: ns.table and the " +
+    "reference's iceberg.ns.table spelling") {
+    val store = new TableStore(spark)
+    store.register("silver", "orders_current",
+      Seq((1, 700.0), (2, 300.0)).toDF("order_id", "amount_eur"))
+    store.createView("silver", "orders_current_priv",
+      store.table("silver.orders_current").filter($"amount_eur" > 500.0))
+    // 2-part, the verbatim reference view query shape (README.md:121)
+    val two = spark.sql(
+      "SELECT order_id FROM silver.orders_current_priv ORDER BY order_id")
+      .as[Int].collect().toSeq
+    assert(two == Seq(1))
+    // 3-part with the reference's catalog prefix
+    val three = spark.sql(
+      "SELECT count(*) FROM iceberg.silver.orders_current ORDER BY 1")
+      .head().getLong(0)
+    assert(three == 2)
+    // alias qualification works (SubqueryAlias carries the table name)
+    val aliased = spark.sql(
+      """SELECT t.order_id FROM silver.orders_current t
+         WHERE t.amount_eur > 500.0""").as[Int].collect().toSeq
+    assert(aliased == Seq(1))
+    // unknown names still fail analysis (rule leaves them untouched)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM silver.nope").collect()
+    }
+  }
+
+  test("re-registration replaces the qualified-name target (view is " +
+    "lazy over the registered plan)") {
+    val store = new TableStore(spark)
+    store.register("ns2", "t", Seq(1).toDF("x"))
+    assert(spark.sql("SELECT x FROM ns2.t").as[Int].head() == 1)
+    store.register("ns2", "t", Seq(42).toDF("x"))
+    assert(spark.sql("SELECT x FROM ns2.t").as[Int].head() == 42)
+  }
+
   test("temp views reach spark.sql (S10 staging path)") {
     val store = new TableStore(spark)
     store.register("ns", "tbl", Seq(7, 8).toDF("x"))
