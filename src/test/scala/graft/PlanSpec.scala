@@ -1,0 +1,101 @@
+package graft
+
+import graft.queries.{ExtQueries, PipelineQueries, RelationalQueries}
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions locking in the scale-design wins: broadcast
+  * joins stay broadcast, no accidental cartesian products, the silver
+  * dedup path shuffles exactly once, and scans actually receive the
+  * pushed filters / pruned columns. A regression here is invisible to
+  * result-compare tests (the answer stays right, 100-TB behavior
+  * doesn't) — this suite is the guard.
+  *
+  * Runs against the sf0.001 fixture dir (real parquet scans are needed
+  * for pushdown/pruning assertions).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute (so AQE finalizes its plan) and render ONLY the final
+    * physical plan (AdaptiveSparkPlan.toString appends the initial plan
+    * too, which would double-count operators). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Formatted explain (full, untruncated node details — needed for
+    * PushedFilters/ReadSchema assertions). */
+  private def formatted(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  private def relPlan(name: String): String =
+    finalPlan(RelationalQueries.queries(name)(spark, sf))
+
+  test("q3/q5/q14 star joins: broadcast hash joins, no cartesian " +
+    "product, no shuffled nested loop") {
+    for (q <- Seq("q3_shipping_priority", "q5_revenue_by_nation",
+      "q14_promo_revenue")) {
+      val plan = relPlan(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q grew a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a nested-loop join:\n$plan")
+    }
+  }
+
+  test("silver rebuild: exactly one exchange feeds the dedup window") {
+    // bronze checkpointed like the real pipeline (a stored table) — the
+    // synth generator's own offset-window shuffle is fixture cost, not
+    // part of the rebuild plan under test
+    val bronze = graft.cdc.Synth.bronze(Tables.orders(spark, sf))
+      .localCheckpoint()
+    val plan = finalPlan(
+      graft.pipeline.Silver.rebuild(bronze))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"silver rebuild should shuffle once (saw $exchanges):\n$plan")
+  }
+
+  test("q_filter_project: predicates reach the parquet scan, unused " +
+    "columns are pruned") {
+    val plan = formatted(RelationalQueries.queries("q_filter_project")(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(l_quantity,45.0)") &&
+      plan.contains("EqualTo(l_returnflag,R)"),
+      s"filters not pushed to the scan:\n$plan")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_shipdate"),
+      s"column pruning lost:\n$readSchema")
+  }
+
+  test("q1 aggregation is partial (map-side combine) before its single " +
+    "shuffle and stays inside whole-stage codegen") {
+    val plan = relPlan("q1_pricing_summary")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"q1 should shuffle once (saw $exchanges):\n$plan")
+    // partial + final HashAggregate pair around the exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    // `*(N)` prefixes mark whole-stage-codegen'd operators
+    assert(plan.contains("*("), plan)
+  }
+
+  test("brute-force top-k: corpus side has no shuffle before the " +
+    "per-query top-k window") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter("vec_id % 100 = 0")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_embedding"))
+    val plan = finalPlan(
+      graft.ext.SimilarityOps.bruteForceTopK(queries, emb, 5))
+    // one exchange for the rank window; the join itself must broadcast
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"top-k should shuffle once (saw $exchanges):\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+}
