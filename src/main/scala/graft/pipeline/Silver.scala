@@ -98,28 +98,49 @@ object Silver {
     if (bounds.isNullAt(0)) return mergeBatch(emptyTarget(bronze), bronze)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val step = math.max(1L, (hi - lo + nBatches) / nBatches)
-    val cached = bronze.persist()
-    try {
-      val batches = (0 until nBatches).map { i =>
-        cached.filter(col("offset") > lo - 1 + i * step &&
-          col("offset") <= lo - 1 + (i + 1L) * step)
-      }
-      val folded = batches.zipWithIndex
-        .foldLeft(emptyTarget(bronze)) { case (target, (batch, i)) =>
-          // A3 — the reference's emptiness early-exit
-          // (`merge_orders_silver.py:63-66`), minus the RDD round-trip.
-          if (batch.isEmpty) target
+
+    def fold(src: DataFrame): DataFrame = {
+      // A3 — the reference's per-run emptiness early-exit
+      // (`merge_orders_silver.py:63-66`), batched: ONE count-per-range
+      // aggregation replaces N per-batch `isEmpty` probe jobs (each a
+      // full scan at worst; 2 jobs total instead of N+1 at any N).
+      val nonEmpty = src
+        .groupBy(expr(s"(offset - $lo) div $step").as("_batch"))
+        .count().collect()
+        .map(r => r.getLong(0)).toSet
+      (0 until nBatches)
+        .foldLeft(emptyTarget(bronze)) { case (target, i) =>
+          if (!nonEmpty.contains(i.toLong)) target
           else {
+            val batch = src.filter(col("offset") > lo - 1 + i * step &&
+              col("offset") <= lo - 1 + (i + 1L) * step)
             val merged = mergeBatch(target, batch)
             if ((i + 1) % checkpointEvery == 0) merged.localCheckpoint(false)
             else merged
           }
         }
-      // Materialize while bronze is still cached; afterwards the caller
-      // reads checkpoint blocks, never the upstream plan.
-      folded.localCheckpoint(true)
-    } finally cached.unpersist()
+    }
+
+    // A bronze that is already a materialized scan (checkpoint blocks /
+    // cached relation — a stored table in production) needs no second
+    // copy: the fold stays fully lazy and the caller's first action
+    // reads those blocks directly. Otherwise cache it for the batch
+    // filters + probes and materialize the result BEFORE releasing the
+    // cache, so the caller never re-runs the upstream plan per batch.
+    if (isMaterializedScan(bronze)) fold(bronze)
+    else {
+      val cached = bronze.persist()
+      try fold(cached).localCheckpoint(true)
+      finally cached.unpersist()
+    }
   }
+
+  private def isMaterializedScan(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case _ => false
+    }
 
   private def emptyTarget(bronze: DataFrame): DataFrame =
     project(changes(bronze)).limit(0)
