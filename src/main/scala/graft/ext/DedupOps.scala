@@ -105,31 +105,37 @@ object DedupOps {
     * so cost is sum-over-buckets of bucket², never n². Verification
     * re-joins each side's shingle set by id (ids, not arrays, cross the
     * band shuffle) and filters on true Jaccard.
+    *
+    * @param materialize how to pin the twice-consumed intermediates
+    *   (banded signatures, shingle sets). Default `localCheckpoint` is
+    *   right for a single-driver session; a cluster deployment passes a
+    *   write-parquet-then-read-back materializer so the signatures
+    *   become a durable table (which an LSH pipeline wants anyway) and
+    *   survive executor loss.
     */
   def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", shingleSize: Int = 3,
-                     minJaccard: Double = 0.5): DataFrame = {
+                     minJaccard: Double = 0.5,
+                     materialize: DataFrame => DataFrame =
+                       _.localCheckpoint()): DataFrame = {
     // Materialize signatures before the self-join: the banded frame is
     // consumed twice, and carrying the full shingle→minhash pipeline on
     // both join sides recomputes it AND hands the optimizer a
     // double-width expression forest (measured 18× slower un-cached).
-    // At cluster scale this is the signatures table an LSH pipeline
-    // writes out anyway before bucket-joining. The corpus is spread to
-    // full parallelism first — a small parquet arrives in few splits
-    // and would otherwise sign on 3 of 32 cores.
+    // The corpus is spread to full parallelism first — a small parquet
+    // arrives in few splits and would otherwise sign on 3 of 32 cores.
     val spread = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    val banded = bandedSignatures(spread, idCol, textCol, shingleSize)
-      .localCheckpoint()
+    val banded = materialize(
+      bandedSignatures(spread, idCol, textCol, shingleSize))
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band", "band_key"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val sets = spread.select(col(idCol),
-      shingleSet(col(textCol), shingleSize).as("sh"))
-      .localCheckpoint()
+    val sets = materialize(spread.select(col(idCol),
+      shingleSet(col(textCol), shingleSize).as("sh")))
     val joined = pairs
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

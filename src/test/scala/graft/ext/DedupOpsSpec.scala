@@ -29,6 +29,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("nearDuplicates with a table-write materializer (cluster path) " +
+    "matches the localCheckpoint default") {
+    val dir = java.nio.file.Files.createTempDirectory("sigtbl").toString
+    var n = 0
+    val tableWrite: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = { df =>
+      n += 1
+      val p = s"$dir/m$n"
+      df.write.parquet(p)
+      spark.read.parquet(p)
+    }
+    val viaTable = DedupOps
+      .nearDuplicates(docs, minJaccard = 0.4, materialize = tableWrite)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaCheckpoint = DedupOps.nearDuplicates(docs, minJaccard = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(n == 2 && viaTable == viaCheckpoint)
+  }
+
   test("nearDuplicates jaccard is 1.0 for identical docs") {
     val j = DedupOps.nearDuplicates(docs, minJaccard = 0.4)
       .filter("id_a = 1 and id_b = 2").select("jaccard")
