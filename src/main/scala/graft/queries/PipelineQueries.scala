@@ -100,6 +100,17 @@ object PipelineQueries {
         "last_change_ts").orderBy("order_id")
     }),
 
+    // ST2 (batch mode) — the flatMapGroupsWithState changelog compactor
+    // over the whole event log: state starts empty, so output is the
+    // pure compaction — every key whose latest event is a non-delete
+    // emits exactly one INSERT action (the silver merge rows, as a
+    // changelog).
+    "q_changelog_batch" -> ((s, d) =>
+      graft.streaming.Changelog.fromBronze(bronzeOf(s, d))
+        .select(col("order_id"), col("action"), col("user_id"),
+          col("amount_eur"), col("status"), col("ts_ms"))
+        .orderBy("order_id")),
+
     // P11/O2 — newest-payload peek (`/root/reference/README.md:207`):
     // substring + ORDER BY ts DESC + LIMIT. Sorting on the formatted
     // string (chronologically sortable) keeps both engines identical.
@@ -313,6 +324,18 @@ object PipelineQueries {
       SELECT 'orders_silver' AS pipeline,
              CAST(max(off) AS BIGINT) AS last_offset
       FROM evo""",
+
+    "q_changelog_batch" -> s"""
+      WITH $evoCte,
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo
+      )
+      SELECT CAST(k AS INT) AS order_id, 'I' AS action,
+             CAST(u AS INT) AS user_id, amt AS amount_eur, st AS status,
+             ts_ms
+      FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY order_id""",
 
     "q_privacy_current" -> s"""
       WITH $evoCte,
