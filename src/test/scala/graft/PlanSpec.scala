@@ -85,6 +85,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), plan)
   }
 
+  test("hyperplane LSH top-k: queries broadcast, corpus streams " +
+    "(shuffles are only the pair dedup + rank window, and they carry " +
+    "id/score triples, not embeddings)") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter("vec_id % 100 = 0")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_embedding"))
+    val df = graft.ext.SimilarityOps.hyperplaneTopK(queries, emb, 5,
+      bits = 8, tables = 2)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // dedup + rank window shuffle; the corpus side itself never shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"LSH top-k grew shuffles (saw $exchanges):\n$plan")
+    // no embedding column crosses a shuffle: every exchange's input is
+    // the projected (query_id, neighbor_id, score) shape
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchangeLines.forall(!_.contains("embedding")), plan)
+  }
+
   test("brute-force top-k: corpus side has no shuffle before the " +
     "per-query top-k window") {
     val emb = Tables.embeddings(spark, sf)
