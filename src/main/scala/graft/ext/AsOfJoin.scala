@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the single most
+  * recent right row with `rightTs <= leftTs` for the same key (backward,
+  * inclusive). The attribution/feature-lookup join a training-data
+  * pipeline needs (label events joined to the latest state snapshot),
+  * absent from Spark's built-in operator set.
+  *
+  * Spark-first design — union + running last-non-null window, NOT a
+  * range join: tag right rows 0 and left rows 1, union, and for each key
+  * order by (ts, tag) so a right row at the same timestamp sorts before
+  * the left rows it should serve; a running `last(_, ignoreNulls)` over
+  * rows-unbounded-preceding then carries the latest right payload
+  * forward into every left row. One hash shuffle on the key, O(1)
+  * running state per key, output size = |left| — where the naive
+  * `l.key = r.key AND r.ts <= l.ts` range join explodes to every
+  * (left, earlier-right) pair before its per-left top-1. At 100 TB the
+  * union-window shuffles |left|+|right| rows once; the range join is
+  * quadratic per key.
+  *
+  * Preconditions: the two ts columns must share a comparable type, and
+  * the right side must be unique per (key, ts) — pre-dedup otherwise
+  * (ordering among equal right timestamps is not defined).
+  */
+object AsOfJoin {
+
+  /** @param rightCols right payload columns to carry; they land on the
+    *   output as `<prefix><name>` (null where no right row precedes)
+    * @return every left row + as-of right payload; one shuffle on `key` */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val leftSchema = left.schema
+    val rightSchema = right.schema
+    val leftCols = left.columns.toSeq
+
+    val lSide = left.select(
+      leftCols.map(col) ++
+        Seq(col(leftTs).as("_ts"), lit(1).as("_tag")) ++
+        rightCols.map(c =>
+          lit(null).cast(rightSchema(c).dataType).as(s"$prefix$c")): _*)
+    val rSide = right.select(
+      leftCols.map(c =>
+        if (c == key) col(key).as(c)
+        else lit(null).cast(leftSchema(c).dataType).as(c)) ++
+        Seq(col(rightTs).as("_ts"), lit(0).as("_tag")) ++
+        rightCols.map(c => col(c).as(s"$prefix$c")): _*)
+
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
+      df.withColumn(s"$prefix$c",
+        last(col(s"$prefix$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_tag") === 1).drop("_ts", "_tag")
+  }
+}

@@ -228,7 +228,27 @@ object ExtQueries {
     "q_quality_metrics" -> ((s, d) =>
       Metrics.documentMetrics(Tables.documents(s, d))
         .unionByName(Metrics.eventMetrics(Tables.events(s, d)))
-        .orderBy("metric"))
+        .orderBy("metric")),
+
+    // X7 — as-of join: attribute each click event to the user's latest
+    // purchase at-or-before it (backward inclusive; nulls when none).
+    // `ts` is compared at microsecond grain on both engines (DuckDB's
+    // TIMESTAMP truncates the parquet nanos to µs on read; Spark's raw
+    // long-nanos are floored to match), so the compare never touches
+    // timestamp representation. Oracle is DuckDB's native ASOF JOIN.
+    "q_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.ext.AsOfJoin.backward(clicks, purchases, "user_id", "ts", "ts",
+        Seq("purchase_id", "purchase_value"))
+        .orderBy("event_id")
+    })
   )
 
   // -------------------------------------------------------------------
@@ -604,6 +624,22 @@ object ExtQueries {
         SELECT 'null_values', count(*) FILTER (value IS NULL) FROM events
       )
       SELECT metric, CAST(value AS BIGINT) AS value
-      FROM d ORDER BY metric"""
+      FROM d ORDER BY metric""",
+
+    "q_asof" -> """
+      WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts, value
+        FROM events WHERE event_type = 'click'
+      ), p AS (
+        SELECT user_id, epoch_us(ts) AS ts,
+               event_id AS purchase_id, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT c.event_id, c.user_id, c.ts, c.value,
+             p.purchase_id AS asof_purchase_id,
+             p.purchase_value AS asof_purchase_value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id"""
   )
 }

@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val labels = Seq(
+    (1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 50L, "l0"),
+    (2L, 100L, "m1"),
+    (3L, 100L, "n1")
+  ).toDF("user_id", "ts", "label")
+
+  private val states = Seq(
+    (1L, 80L, "a"), (1L, 100L, "b"), (1L, 150L, "c"),
+    (2L, 500L, "z")
+  ).toDF("user_id", "ts", "state")
+
+  test("backward as-of picks the latest right row at-or-before each " +
+    "left ts; no match yields null") {
+    val out = AsOfJoin.backward(labels, states, "user_id", "ts", "ts",
+      Seq("state", "ts"))
+      .select($"user_id", $"ts", $"label", $"asof_state", $"asof_ts")
+      .as[(Long, Long, String, Option[String], Option[Long])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 50L, "l0", None, None),            // nothing at/before 50
+      (1L, 100L, "l1", Some("b"), Some(100L)), // equal ts is inclusive
+      (1L, 200L, "l2", Some("c"), Some(150L)), // latest of 80/100/150
+      (2L, 100L, "m1", None, None),            // right exists only later
+      (3L, 100L, "n1", None, None)             // key absent on the right
+    ))
+  }
+
+  test("as-of output cardinality is exactly |left| (no range blowup)") {
+    val out = AsOfJoin.backward(labels, states, "user_id", "ts", "ts",
+      Seq("state"))
+    assert(out.count() == labels.count())
+  }
+
+  test("plan: one hash exchange (the key window), no join operator") {
+    val df = AsOfJoin.backward(labels, states, "user_id", "ts", "ts",
+      Seq("state"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
