@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,10 +33,31 @@ object AsOfJoin {
     * @return every left row + as-of right payload; one shuffle on `key` */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, rightCols: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_"): DataFrame =
+    joined(left, right, key, leftTs, rightTs, rightCols, prefix,
+      forward = false)
+
+  /** Forward (look-ahead) variant: the single EARLIEST right row with
+    * `rightTs >= leftTs` (inclusive) — "next state after the event". */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String, rightCols: Seq[String],
+              prefix: String = "asof_"): DataFrame =
+    joined(left, right, key, leftTs, rightTs, rightCols, prefix,
+      forward = true)
+
+  /** Tag ordering makes equal timestamps inclusive in both directions:
+    * backward puts the right row BEFORE same-ts left rows (tag 0 < 1)
+    * and runs `last(ignoreNulls)` over unbounded-preceding..current;
+    * forward puts it AFTER (tag 2 > 1) and runs `first(ignoreNulls)`
+    * over current..unbounded-following. */
+  private def joined(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String,
+                     rightCols: Seq[String], prefix: String,
+                     forward: Boolean): DataFrame = {
     val leftSchema = left.schema
     val rightSchema = right.schema
     val leftCols = left.columns.toSeq
+    val rightTag = if (forward) 2 else 0
 
     val lSide = left.select(
       leftCols.map(col) ++
@@ -47,14 +68,21 @@ object AsOfJoin {
       leftCols.map(c =>
         if (c == key) col(key).as(c)
         else lit(null).cast(leftSchema(c).dataType).as(c)) ++
-        Seq(col(rightTs).as("_ts"), lit(0).as("_tag")) ++
+        Seq(col(rightTs).as("_ts"), lit(rightTag).as("_tag")) ++
         rightCols.map(c => col(c).as(s"$prefix$c")): _*)
 
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
+    val w =
+      if (forward)
+        ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fill(c: Column): Column =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
+
     val filled = rightCols.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(s"$prefix$c",
-        last(col(s"$prefix$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"$prefix$c", fill(col(s"$prefix$c")))
     }
     filled.filter(col("_tag") === 1).drop("_ts", "_tag")
   }

@@ -248,6 +248,22 @@ object ExtQueries {
       graft.ext.AsOfJoin.backward(clicks, purchases, "user_id", "ts", "ts",
         Seq("purchase_id", "purchase_value"))
         .orderBy("event_id")
+    }),
+
+    // X7' — forward variant: each click to the user's NEXT purchase
+    // at-or-after it ("did the click convert, and to what").
+    "q_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.ext.AsOfJoin.forward(clicks, purchases, "user_id", "ts", "ts",
+        Seq("purchase_id", "purchase_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -640,6 +656,22 @@ object ExtQueries {
              p.purchase_value AS asof_purchase_value
       FROM c ASOF LEFT JOIN p
         ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id""",
+
+    "q_asof_forward" -> """
+      WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts, value
+        FROM events WHERE event_type = 'click'
+      ), p AS (
+        SELECT user_id, epoch_us(ts) AS ts,
+               event_id AS purchase_id, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT c.event_id, c.user_id, c.ts, c.value,
+             p.purchase_id AS asof_purchase_id,
+             p.purchase_value AS asof_purchase_value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
       ORDER BY c.event_id"""
   )
 }

@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.Tables
+import graft.ext.SkewJoin
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -221,6 +223,76 @@ object RelationalQueries {
           ((col("sum_qty2") - col("sum_qty") * col("sum_qty") / col("n"))
             / (col("n") - 1)).as("var_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // Skew-salted fact⋈fact join (SkewJoin.salted): orders replicated
+    // 8×, lineitem salted by row hash — identical result to the plain
+    // equi-join (the oracle), with every hot order key spread over 8
+    // reducers. The post-join agg is decimal-exact → salt-order-proof.
+    "q_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority")
+      SkewJoin.salted(li, ord, "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Pivot (groupBy().pivot() with explicit value list → static schema,
+    // single shuffle); absent combinations coalesce to 0 so both
+    // engines emit the same cells.
+    "q_pivot_events" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted.select(
+        col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_id")
+    }),
+
+    // lag/lead over the per-user event timeline: microsecond gap to the
+    // previous event and the type of the next one. (user_id, ts) is
+    // unique, but the order key still includes event_id so the plan is
+    // deterministic at any scale.
+    "q_event_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts", expr("ts div 1000"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          (col("ts") - lag(col("ts"), 1).over(w)).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    }),
+
+    // Discrete per-group quantiles (p50/p90 as actual data elements via
+    // row_number against ceil(q·n) — no interpolation, so the doubles
+    // compare bit-exact cross-engine; same formula on both sides).
+    "q_value_quantiles" -> ((s, d) => {
+      val byVal = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val all = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(all))
+        .filter(col("rn") === ceil(col("n") * lit(0.5))
+          || col("rn") === ceil(col("n") * lit(0.9)))
+        .select(col("event_type"),
+          when(col("rn") === ceil(col("n") * lit(0.5)), lit("p50"))
+            .otherwise(lit("p90")).as("quantile"),
+          col("value"))
+        .orderBy("event_type", "quantile")
     })
   )
 
@@ -369,6 +441,49 @@ object RelationalQueries {
       SELECT l_returnflag, n, min_qty, max_qty,
              sum_qty / n AS mean_qty,
              (sum_qty2 - sum_qty * sum_qty / n) / (n - 1) AS var_qty
-      FROM agg ORDER BY l_returnflag"""
+      FROM agg ORDER BY l_returnflag""",
+
+    "q_salted_join" -> s"""
+      SELECT o_orderpriority,
+             count(*) AS n_items,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q_pivot_events" -> """
+      SELECT user_id,
+             count(*) FILTER (event_type = 'click')    AS n_click,
+             count(*) FILTER (event_type = 'error')    AS n_error,
+             count(*) FILTER (event_type = 'purchase') AS n_purchase,
+             count(*) FILTER (event_type = 'signup')   AS n_signup,
+             count(*) FILTER (event_type = 'view')     AS n_view
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    "q_event_gaps" -> """
+      SELECT event_id, user_id, epoch_us(ts) AS ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""",
+
+    "q_value_quantiles" -> """
+      WITH r AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER
+                 (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+      )
+      SELECT event_type,
+             CASE WHEN rn = ceil(n * 0.5) THEN 'p50' ELSE 'p90' END
+               AS quantile,
+             value
+      FROM r
+      WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)
+      ORDER BY event_type, quantile"""
   )
 }

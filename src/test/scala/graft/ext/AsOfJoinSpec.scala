@@ -39,6 +39,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == labels.count())
   }
 
+  test("forward as-of picks the earliest right row at-or-after each " +
+    "left ts; no match yields null") {
+    val out = AsOfJoin.forward(labels, states, "user_id", "ts", "ts",
+      Seq("state", "ts"))
+      .select($"user_id", $"ts", $"label", $"asof_state", $"asof_ts")
+      .as[(Long, Long, String, Option[String], Option[Long])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 50L, "l0", Some("a"), Some(80L)),   // earliest of 80/100/150
+      (1L, 100L, "l1", Some("b"), Some(100L)), // equal ts is inclusive
+      (1L, 200L, "l2", None, None),            // nothing at/after 200
+      (2L, 100L, "m1", Some("z"), Some(500L)), // later right serves it
+      (3L, 100L, "n1", None, None)             // key absent on the right
+    ))
+  }
+
   test("plan: one hash exchange (the key window), no join operator") {
     val df = AsOfJoin.backward(labels, states, "user_id", "ts", "ts",
       Seq("state"))

@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one hot key (90% of rows) + a long tail
+  private def probe = (1 to 1000).map { i =>
+    (if (i <= 900) 1L else i.toLong, s"row$i")
+  }.toDF("k", "payload")
+  private def build = (1L to 1000L).map(k => (k, s"dim$k"))
+    .toDF("k", "dim")
+
+  test("salted join result equals the plain equi-join") {
+    val got = SkewJoin.salted(probe, build, "k", salts = 8)
+      .select($"k", $"payload", $"dim")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val want = probe.join(build, Seq("k"))
+      .select($"k", $"payload", $"dim")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(got == want)
+  }
+
+  test("join condition carries the salt key (hot key spread over salts)") {
+    val df = SkewJoin.salted(probe, build, "k", salts = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("_salt"), plan)
+  }
+
+  test("the probe-side salt is deterministic across runs") {
+    val a = SkewJoin.salted(probe, build, "k", salts = 8)
+      .orderBy("k", "payload").collect().toSeq
+    val b = SkewJoin.salted(probe, build, "k", salts = 8)
+      .orderBy("k", "payload").collect().toSeq
+    assert(a == b)
+  }
+}
