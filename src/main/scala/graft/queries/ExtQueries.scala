@@ -264,7 +264,27 @@ object ExtQueries {
       graft.ext.AsOfJoin.forward(clicks, purchases, "user_id", "ts", "ts",
         Seq("purchase_id", "purchase_value"))
         .orderBy("event_id")
-    })
+    }),
+
+    // X10 — KMV distinct sketch: approximate distinct users per event
+    // type, side by side with the exact count. The sketch arithmetic is
+    // replayed verbatim by the oracle (same md5-derived 60-bit hashes),
+    // so the APPROXIMATION itself is hash-compared, not just its error.
+    "q_kmv_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val est = graft.ext.Sketches.kmvDistinct(
+        ev, Seq("event_type"), "user_id", k = 64)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type")).orderBy("event_type")
+    }),
+
+    // X11 — deterministic hash-bucket train/test split over documents
+    // (id-stable across reruns/partitionings, unlike randomSplit).
+    "q_split" -> ((s, d) =>
+      graft.ext.Sampling.trainTestSplit(
+        Tables.documents(s, d).select("doc_id"), "doc_id", testPct = 10)
+        .orderBy("doc_id"))
   )
 
   // -------------------------------------------------------------------
@@ -672,6 +692,39 @@ object ExtQueries {
              p.purchase_value AS asof_purchase_value
       FROM c ASOF LEFT JOIN p
         ON c.user_id = p.user_id AND c.ts <= p.ts
-      ORDER BY c.event_id"""
+      ORDER BY c.event_id""",
+
+    "q_kmv_distinct" -> """
+      WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || md5(CAST(user_id AS VARCHAR))[1:15])::BIGINT AS h
+        FROM events
+      ), r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+      ), kmv AS (
+        SELECT event_type,
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / max(h) END
+                 AS est_distinct
+        FROM r WHERE rn <= 64 GROUP BY event_type
+      )
+      SELECT kmv.event_type, kmv.est_distinct, x.n_exact
+      FROM kmv JOIN (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+      ) x ON kmv.event_type = x.event_type
+      ORDER BY kmv.event_type""",
+
+    "q_split" -> """
+      SELECT doc_id,
+             ('0x' || md5(CAST(doc_id AS VARCHAR))[1:8])::BIGINT % 100
+               AS bucket,
+             CASE WHEN ('0x' || md5(CAST(doc_id AS VARCHAR))[1:8])::BIGINT
+                       % 100 < 10
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+      ORDER BY doc_id"""
   )
 }

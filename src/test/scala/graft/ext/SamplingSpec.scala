@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (1L to 5000L).toDF("id")
+
+  test("split fractions land near the requested pct and are exhaustive") {
+    val out = Sampling.trainTestSplit(ids, "id", testPct = 10)
+    val bygroup = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bygroup("test") + bygroup("train") == 5000)
+    val frac = bygroup("test") / 5000.0
+    assert(frac > 0.07 && frac < 0.13, s"test frac $frac")
+  }
+
+  test("assignment is id-stable under repartition and re-run") {
+    val a = Sampling.trainTestSplit(ids, "id", 10)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val b = Sampling.trainTestSplit(ids.repartition(17), "id", 10)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("sample(pct) is exactly the rows the split calls test") {
+    val sampled = Sampling.sample(ids, "id", 10)
+      .as[Long].collect().toSet
+    val test = Sampling.trainTestSplit(ids, "id", 10)
+      .filter($"split" === "test").select($"id").as[Long].collect().toSet
+    assert(sampled == test)
+  }
+
+  test("bucketing is uniform-ish: every bucket is populated") {
+    val buckets = ids.select(Sampling.bucket100($"id").as("b"))
+      .distinct().as[Long].collect().toSet
+    assert(buckets == (0L until 100L).toSet)
+  }
+}
