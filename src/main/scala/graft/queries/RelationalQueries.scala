@@ -33,6 +33,17 @@ object RelationalQueries {
     s"CAST(SUM(CAST($e AS DECIMAL(27,6))) AS DOUBLE)"
   private def oAvg(e: String) = s"${oSum(e)} / COUNT(*)"
 
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Static-list pivot as single-shuffle conditional aggregation. */
+  def pivotEventCounts(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === EventTypes.head, 1))
+          .as(s"n_${EventTypes.head}"),
+        EventTypes.tail.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 shape: the canonical partial-agg + single key shuffle.
     "q1_pricing_summary" -> ((s, d) =>
@@ -243,20 +254,12 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
-    // Pivot (groupBy().pivot() with explicit value list → static schema,
-    // single shuffle); absent combinations coalesce to 0 so both
-    // engines emit the same cells.
-    "q_pivot_events" -> ((s, d) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val pivoted = Tables.events(s, d)
-        .groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(count(lit(1)))
-      pivoted.select(
-        col("user_id") +:
-          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
-        .orderBy("user_id")
-    }),
+    // Pivot with a static value list, written as conditional aggregation
+    // — ONE shuffle and full codegen, where `groupBy().pivot()` plans
+    // two (pair-agg + pivotfirst). PlanSpec pins the single exchange;
+    // RelationalExtraSpec proves it row-identical to the pivot() form.
+    "q_pivot_events" -> ((s, d) =>
+      pivotEventCounts(Tables.events(s, d)).orderBy("user_id")),
 
     // lag/lead over the per-user event timeline: microsecond gap to the
     // previous event and the type of the next one. (user_id, ts) is

@@ -108,6 +108,34 @@ class PlanSpec extends SparkSpec {
     assert(exchangeLines.forall(!_.contains("embedding")), plan)
   }
 
+  test("q_split: zero shuffles (pure per-row hash bucketing) and the " +
+    "scan reads only the id column") {
+    val df = ExtQueries.queries("q_split")(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"split grew a shuffle:\n$plan")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"split reads more than the id:\n$readSchema")
+  }
+
+  test("kmv sketch: partial-aggregated, at most two hash exchanges " +
+    "(distinct + window; final per-group agg reuses the window " +
+    "partitioning)") {
+    val plan = finalPlan(graft.ext.Sketches.kmvDistinct(
+      Tables.events(spark, sf), Seq("event_type"), "user_id", 64))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"kmv grew shuffles (saw $exchanges):\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("q_pivot_events: pivot is a single-shuffle aggregation") {
+    val plan = relPlan("q_pivot_events")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"pivot should shuffle once (saw $exchanges):\n$plan")
+  }
+
   test("brute-force top-k: corpus side has no shuffle before the " +
     "per-query top-k window") {
     val emb = Tables.embeddings(spark, sf)
