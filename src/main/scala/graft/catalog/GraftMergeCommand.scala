@@ -1,0 +1,133 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+
+/** Executes SQL `MERGE INTO` against a [[TableStore]]-registered table —
+  * the reference's core write statement
+  * (`/root/reference/jobs/merge_orders_silver.py:135-147`,`:156-165`)
+  * running verbatim through `spark.sql` without a lakehouse catalog.
+  *
+  * [[GraftSqlParser]] swaps every parsed `MergeIntoTable` for this
+  * command (plain Spark has no executable MERGE target here anyway, so
+  * nothing is shadowed). All clause expressions stay UNRESOLVED until
+  * `run`, where they resolve as `Column`s against a full-outer join of
+  * target × source — the same join + per-row-resolution shape
+  * [[graft.cdc.Merge.mergeCdc]] uses, generalized to arbitrary clause
+  * lists: first-match-wins `when` chains over MATCHED / NOT MATCHED /
+  * NOT MATCHED BY SOURCE actions, star actions expanded from the target
+  * schema, assignment values cast to the target column type.
+  *
+  * The result replaces the registered table (eager `localCheckpoint` —
+  * MERGE is a statement, its effect must not lazily recompute). On a
+  * cluster this is where the copy-on-write table swap
+  * ([[graft.pipeline.Snapshot]]) would write; scale shape is the single
+  * key shuffle of the underlying join.
+  */
+case class GraftMergeCommand(merge: MergeIntoTable)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (aliasOpt, parts) = targetNameParts(merge.targetTable)
+    val norm = parts.map(_.toLowerCase(java.util.Locale.ROOT))
+    val key = norm match {
+      case Seq("iceberg", ns, t) => Seq(ns, t)
+      case Seq(_, _)             => norm
+      case _ => throw new IllegalArgumentException(
+        s"MERGE target must be a registered <ns>.<table>: ${parts.mkString(".")}")
+    }
+    val targetDf = TableStore.registry(spark).getOrElse(key,
+      throw new java.util.NoSuchElementException(
+        s"MERGE target not registered: ${parts.mkString(".")}"))
+    val tq = aliasOpt.getOrElse(parts.last)
+    lazy val sq = sourceAlias(merge.sourceTable).getOrElse(
+      throw new IllegalArgumentException(
+        "star action needs an aliased/named MERGE source"))
+
+    val target = targetDf.as(tq).select(col("*"), lit(true).as("__t"))
+    val source = PlanBridge.ofRows(spark, merge.sourceTable)
+      .select(col("*"), lit(true).as("__s"))
+    val joined = target.join(source,
+      PlanBridge.column(merge.mergeCondition), "full_outer")
+
+    val schema = targetDf.schema
+    def tCol(c: String) = col(s"$tq.$c")
+    def nullOf(c: String): Column = lit(null).cast(schema(c).dataType)
+    def condCol(c: Option[Expression]): Column =
+      c.map(PlanBridge.column).getOrElse(lit(true))
+    def assigned(assigns: Seq[Assignment], c: String,
+                 default: Column): Column =
+      assigns.find(a => nameOf(a.key).equalsIgnoreCase(c))
+        .map(a => PlanBridge.column(a.value)).getOrElse(default)
+
+    // First-match-wins chains, built back-to-front so the first SQL
+    // clause ends up outermost.
+    def keepChain(actions: Seq[MergeAction], default: Column): Column =
+      actions.reverse.foldLeft(default) { (acc, a) =>
+        val keeps = !a.isInstanceOf[DeleteAction]
+        when(condCol(a.condition), lit(keeps)).otherwise(acc)
+      }
+    def valueChain(actions: Seq[MergeAction], c: String,
+                   default: Column): Column =
+      actions.reverse.foldLeft(default) {
+        case (acc, UpdateAction(cond, assigns, _)) =>
+          when(condCol(cond), assigned(assigns, c, tCol(c))).otherwise(acc)
+        case (acc, UpdateStarAction(cond)) =>
+          when(condCol(cond), col(s"$sq.$c")).otherwise(acc)
+        case (acc, InsertAction(cond, assigns)) =>
+          when(condCol(cond), assigned(assigns, c, nullOf(c))).otherwise(acc)
+        case (acc, InsertStarAction(cond)) =>
+          when(condCol(cond), col(s"$sq.$c")).otherwise(acc)
+        case (acc, _: DeleteAction) => acc // dropped via keep flag
+      }
+
+    val tE = coalesce(col("__t"), lit(false))
+    val sE = coalesce(col("__s"), lit(false))
+    val keep =
+      when(tE && sE, keepChain(merge.matchedActions, lit(true)))
+        .when(!tE && sE, keepChain(merge.notMatchedActions, lit(false)))
+        .otherwise(keepChain(merge.notMatchedBySourceActions, lit(true)))
+    def outCol(c: String): Column =
+      when(tE && sE, valueChain(merge.matchedActions, c, tCol(c)))
+        .when(!tE && sE, valueChain(merge.notMatchedActions, c, nullOf(c)))
+        .otherwise(valueChain(merge.notMatchedBySourceActions, c, tCol(c)))
+        .cast(schema(c).dataType).as(c)
+
+    val next = joined
+      .select(targetDf.columns.toSeq.map(outCol) :+ keep.as("__keep"): _*)
+      .filter(col("__keep")).drop("__keep")
+
+    val result = next.localCheckpoint()
+    TableStore.registry(spark).put(key, result)
+    result.createOrReplaceTempView(s"${key.head}_${key(1)}")
+    Seq.empty
+  }
+
+  private def targetNameParts(plan: LogicalPlan)
+      : (Option[String], Seq[String]) = plan match {
+    case SubqueryAlias(id, u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation) =>
+      (Some(id.name), u.multipartIdentifier)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      (None, u.multipartIdentifier)
+    case other => throw new IllegalArgumentException(
+      s"unsupported MERGE target plan: ${other.nodeName}")
+  }
+
+  private def sourceAlias(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      Some(u.multipartIdentifier.last)
+    case _ => None
+  }
+
+  private def nameOf(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case n: org.apache.spark.sql.catalyst.expressions.NamedExpression => n.name
+    case other => other.sql
+  }
+}

@@ -30,12 +30,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         u.copy(multipartIdentifier = Seq(ns, t))
     }
 
+  /** Statement-level MERGE INTO goes to [[GraftMergeCommand]] — plain
+    * Spark has no executable MERGE target without a lakehouse catalog,
+    * so nothing legitimate is shadowed. Clause expressions stay
+    * unresolved inside the command until it runs. */
+  private def intercept(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      GraftMergeCommand(m)
+    case other => other
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    strip(delegate.parsePlan(sqlText))
+    intercept(strip(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    strip(delegate.parsePlanWithParameters(sqlText, ctx))
+    intercept(strip(delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     strip(delegate.parseQuery(sqlText))

@@ -44,6 +44,6 @@ case class ResolveGraftRelations(session: SparkSession)
       case _ => None
     }
     key.flatMap(TableStore.registry(session).get)
-      .map(resolved => SubqueryAlias(parts.last, resolved))
+      .map(df => SubqueryAlias(parts.last, df.queryExecution.analyzed))
   }
 }

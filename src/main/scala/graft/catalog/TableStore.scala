@@ -48,9 +48,9 @@ class TableStore(val spark: SparkSession) {
   def register(ns: String, name: String, df: DataFrame): Unit = {
     createNamespace(ns)
     tables(key(ns, name)) = df
+    df.queryExecution.analyzed // force analysis at registration time
     TableStore.registry(spark).put(
-      Seq(ns, name).map(_.toLowerCase(java.util.Locale.ROOT)),
-      df.queryExecution.analyzed)
+      Seq(ns, name).map(_.toLowerCase(java.util.Locale.ROOT)), df)
     df.createOrReplaceTempView(s"${ns}_$name")
   }
 
@@ -72,9 +72,18 @@ class TableStore(val spark: SparkSession) {
     views += key(ns, name)
   }
 
-  def table(ns: String, name: String): DataFrame = tables(key(ns, name))
+  /** Current table state — the shared registry first (a SQL MERGE may
+    * have replaced the snapshot since registration), the local map as
+    * fallback. */
+  def table(ns: String, name: String): DataFrame =
+    TableStore.registry(spark)
+      .get(Seq(ns, name).map(_.toLowerCase(java.util.Locale.ROOT)))
+      .getOrElse(tables(key(ns, name)))
 
-  def table(qualified: String): DataFrame = tables(qualified)
+  def table(qualified: String): DataFrame = {
+    val Array(ns, name) = qualified.split("\\.", 2)
+    table(ns, name)
+  }
 
   /** S9 — SHOW SCHEMAS as a DataFrame. */
   def showSchemas(): DataFrame = {
@@ -109,9 +118,7 @@ object TableStore {
   private val registries =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[
-          Seq[String],
-          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]())
+        scala.collection.concurrent.TrieMap[Seq[String], DataFrame]]())
 
   private[catalog] def registry(s: SparkSession) = {
     val existing = registries.get(s)
@@ -120,9 +127,8 @@ object TableStore {
       val again = registries.get(s)
       if (again != null) again
       else {
-        val fresh = scala.collection.concurrent.TrieMap.empty[
-          Seq[String],
-          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+        val fresh =
+          scala.collection.concurrent.TrieMap.empty[Seq[String], DataFrame]
         registries.put(s, fresh)
         fresh
       }

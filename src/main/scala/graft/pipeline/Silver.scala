@@ -70,12 +70,17 @@ object Silver {
     project(current, amountType)
   }
 
+  /** The LWW-deduped staging micro-batch the MERGE consumes (projected
+    * value columns + `op`) — what the reference registers as the
+    * `staging_orders` temp view (`merge_orders_silver.py:132`). */
+  def staged(bronzeBatch: DataFrame): DataFrame =
+    Dedup.latestByKey(changes(bronzeBatch), Keys, Ordering)
+      .select(projCols() :+ col("op"): _*)
+
   /** Single-batch incremental merge into `target` (empty target ⇒
     * bootstrap). `merge_orders_silver.py` semantics: deletes tombstone. */
-  def mergeBatch(target: DataFrame, bronzeBatch: DataFrame): DataFrame = {
-    val staged = Dedup.latestByKey(changes(bronzeBatch), Keys, Ordering)
-    Merge.mergeCdc(target, staged.select(projCols() :+ col("op"): _*), Keys)
-  }
+  def mergeBatch(target: DataFrame, bronzeBatch: DataFrame): DataFrame =
+    Merge.mergeCdc(target, staged(bronzeBatch), Keys)
 
   /** Replay bronze as `n` offset-range micro-batches through the MERGE
     * path — the reference pipeline run `n` times with checkpoints. Used

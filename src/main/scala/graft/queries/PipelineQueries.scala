@@ -74,6 +74,35 @@ object PipelineQueries {
       tsToStr(Silver.incremental(bronzeOf(s, d), 3),
         "last_change_ts").orderBy("order_id")),
 
+    // The reference's MERGE INTO statement VERBATIM
+    // (`merge_orders_silver.py:135-147`, incl. the `iceberg.` prefix)
+    // through spark.sql → GraftMergeCommand; result read back through
+    // the catalog and oracle-checked against the same DuckDB twin as
+    // the DataFrame-API merge.
+    "q_cdc_silver_merge_sql" -> ((s, d) => {
+      val store = new TableStore(s)
+      val bronze = bronzeOf(s, d)
+      store.register("silver", "orders_current",
+        Silver.rebuild(bronze).limit(0))
+      store.stage("staging_orders", Silver.staged(bronze))
+      s.sql("""
+        MERGE INTO iceberg.silver.orders_current t
+        USING staging_orders s
+        ON t.order_id = s.order_id
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED AND s.op <> 'd' THEN UPDATE SET
+          user_id = s.user_id,
+          amount_eur = s.amount_eur,
+          status = s.status,
+          last_change_ts = s.last_change_ts
+        WHEN NOT MATCHED AND s.op <> 'd' THEN
+          INSERT (order_id, user_id, amount_eur, status, last_change_ts)
+          VALUES (s.order_id, s.user_id, s.amount_eur, s.status,
+                  s.last_change_ts)""")
+      tsToStr(store.table("silver", "orders_current"), "last_change_ts")
+        .orderBy("order_id")
+    }),
+
     // §1.2 DECIMAL hardening variant: amount_eur carried as
     // DECIMAL(10,2) end-to-end (cleaned string → decimal, exact). The
     // COMPARED column is the decimal's canonical string — DECIMAL
@@ -281,6 +310,7 @@ object PipelineQueries {
 
     "q_cdc_silver_rebuild" -> silverRebuildSql,
     "q_cdc_silver_merge" -> silverMergeSql,
+    "q_cdc_silver_merge_sql" -> silverMergeSql,
     "q_cdc_silver_incremental" -> silverMergeSql,
 
     // Decimal twin: the amount string is re-derived and cast
