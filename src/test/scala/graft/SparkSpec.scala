@@ -19,6 +19,9 @@ object SparkSpec {
       // Verify/Bench so suites can read the fixture tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // managed-table home for the bucketed-layout suites
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

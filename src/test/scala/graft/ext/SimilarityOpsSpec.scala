@@ -130,6 +130,29 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(pairsAt(1).subsetOf(pairsAt(3)))
   }
 
+  test("hyperplane LSH recall@5 on the sf0.01 fixture corpus: wider " +
+    "codes need more tables (the bits/tables capacity trade measured)") {
+    // The fixture embeddings are near-random, so true top-5 neighbors
+    // sit at ~60-80° — the hard case for sign-LSH: each extra bit
+    // multiplies per-table hit probability by cos-angle-dependent
+    // p≈0.6. Few bits + more tables must dominate many bits + few.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter("vec_id % 100 = 0")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilarityOps.bruteForceTopK(queries, emb, 5))
+    def recall(bits: Int, tables: Int) = (pairs(
+      SimilarityOps.hyperplaneTopK(queries, emb, 5, bits, tables))
+      & exact).size.toDouble / exact.size
+    val wide = recall(bits = 8, tables = 4)
+    val narrow = recall(bits = 3, tables = 8)
+    assert(narrow >= 0.6, s"recall@5(3b×8t) = $narrow")
+    assert(narrow > wide,
+      s"expected 3b×8t ($narrow) > 8b×4t ($wide) on near-random data")
+  }
+
   test("sampleCentroids: deterministic nlist-sized codebook") {
     val corpus = Seq.tabulate(100)(i =>
       (i.toLong, Array.tabulate(8)(j => (i + j).toFloat)))
