@@ -49,11 +49,29 @@ case class GraftMergeCommand(merge: MergeIntoTable)
       throw new IllegalArgumentException(
         "star action needs an aliased/named MERGE source"))
 
-    val target = targetDf.as(tq).select(col("*"), lit(true).as("__t"))
+    val target = targetDf.as(tq).select(col("*"), lit(true).as("__t"),
+      monotonically_increasing_id().as("__tid"))
     val source = PlanBridge.ofRows(spark, merge.sourceTable)
       .select(col("*"), lit(true).as("__s"))
-    val joined = target.join(source,
+    val raw = target.join(source,
       PlanBridge.column(merge.mergeCondition), "full_outer")
+
+    // Iceberg raises when one target row matches several source rows;
+    // same contract here, opt-in (spark.graft.merge.checkCardinality)
+    // because the guard's per-target-row window adds a shuffle the
+    // pre-deduped pipeline never needs.
+    val joined =
+      if (!spark.conf.getOption("spark.graft.merge.checkCardinality")
+          .exists(_.toBoolean)) raw
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("__tid")
+        raw.withColumn("__m",
+            sum(when(col("__s").isNotNull, 1).otherwise(0)).over(w))
+          .withColumn("__g", when(col("__t").isNotNull && col("__m") > 1,
+            raise_error(lit("MERGE cardinality violation: a target row " +
+              "matches multiple source rows"))).otherwise(lit(null)))
+          .filter(col("__g").isNull).drop("__m", "__g")
+      }
 
     val schema = targetDf.schema
     def tCol(c: String) = col(s"$tq.$c")
@@ -101,6 +119,7 @@ case class GraftMergeCommand(merge: MergeIntoTable)
     val next = joined
       .select(targetDf.columns.toSeq.map(outCol) :+ keep.as("__keep"): _*)
       .filter(col("__keep")).drop("__keep")
+    // (the __t/__s/__tid markers are projected away by the select above)
 
     val result = next.localCheckpoint()
     TableStore.registry(spark).put(key, result)

@@ -31,6 +31,25 @@ object Snapshot {
     deleteRecursively(old)
   }
 
+  /** Hive-style partitioned variant: one subdirectory per value of
+    * `partitionCols`, so a filter on those columns prunes whole
+    * directories at planning time (PartitionFilters on the scan,
+    * asserted in SnapshotSpec) — the layout a 100-TB event table uses
+    * for its date/hour columns. Same atomic directory swap. */
+  def createOrReplacePartitioned(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit = {
+    val live = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp-swap")
+    val old = Paths.get(path + ".old-swap")
+    deleteRecursively(tmp); deleteRecursively(old)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    if (Files.exists(live))
+      Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
