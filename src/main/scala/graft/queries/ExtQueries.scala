@@ -284,7 +284,27 @@ object ExtQueries {
     "q_split" -> ((s, d) =>
       graft.ext.Sampling.trainTestSplit(
         Tables.documents(s, d).select("doc_id"), "doc_id", testPct = 10)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // X12 — range join: attribution windows. Every click in the hour
+    // BEFORE each purchase of the same user (inclusive bounds), via the
+    // bucketed interval join (bucket = window width → ≤2 buckets per
+    // interval). Timestamps in µs as in q_asof.
+    "q_range_join" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val ev = Tables.events(s, d).withColumn("ts", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("ts") - hourUs).as("w_start"), col("ts").as("w_end"),
+          col("event_id").as("purchase_id"))
+      graft.ext.RangeJoin.intervalJoin(clicks, windows, "user_id",
+        "ts", "w_start", "w_end", hourUs)
+        .select("user_id", "click_id", "purchase_id", "ts")
+        .orderBy("purchase_id", "click_id")
+    })
   )
 
   // -------------------------------------------------------------------
@@ -725,6 +745,20 @@ object ExtQueries {
                        % 100 < 10
                   THEN 'test' ELSE 'train' END AS split
       FROM documents
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    "q_range_join" -> """
+      WITH c AS (
+        SELECT user_id, epoch_us(ts) AS ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+      ), p AS (
+        SELECT user_id, epoch_us(ts) AS p_ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT c.user_id, c.click_id, p.purchase_id, c.ts
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND c.ts BETWEEN p.p_ts - 3600000000 AND p.p_ts
+      ORDER BY p.purchase_id, c.click_id"""
   )
 }
