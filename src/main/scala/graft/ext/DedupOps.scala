@@ -192,4 +192,30 @@ object DedupOps {
         t => substring(md5(t), 1, SimHashBits / 4)))
       .select(col(idCol), simhashFromHexes(col("_hx")).as("simhash"))
       .withColumn("bucket", substring(col("simhash"), 1, 8))
+
+  /** Hamming distance between two [[SimHashBits]]-char bit-strings. */
+  def hammingDist(a: Column, b: Column): Column =
+    (1 to SimHashBits).map(i =>
+      when(substring(a, i, 1) =!= substring(b, i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** X2b' — SimHash near-dup pairs: candidates share the 8-bit prefix
+    * bucket (same banded-candidate shape as MinHash — never all-pairs,
+    * self-join carries 32-char signatures not text), kept when the full
+    * 32-bit hamming distance is ≤ `maxDist`. Prefix bucketing trades
+    * recall for that bound: pairs differing inside the first 8 bits are
+    * missed — the standard multi-table rotation fix applies if needed. */
+  def simhashPairs(docs: DataFrame, maxDist: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sigs = withSimhash(docs, idCol, textCol)
+    val a = sigs.select(col(idCol).as("id_a"),
+      col("simhash").as("sh_a"), col("bucket"))
+    val b = sigs.select(col(idCol).as("id_b"),
+      col("simhash").as("sh_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -98,6 +98,13 @@ object ExtQueries {
       FROM embeddings WHERE vec_id % 50 = 0
     )"""
 
+  /** DuckDB twin of [[DedupOps.hammingDist]] — same per-position CASE
+    * sum, generated from the same bit-width constant. */
+  private def hammingSql(a: String, b: String): String =
+    (1 to DedupOps.SimHashBits).map(i =>
+      s"CASE WHEN $a[$i:$i] <> $b[$i:$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
   /** DuckDB shingle-set expression over a word-list column `w`. */
   private def shSql(w: String, n: Int = 3): String =
     s"""list_distinct(CASE WHEN len($w) < $n
@@ -144,6 +151,13 @@ object ExtQueries {
     // X2b — SimHash signatures.
     "q_simhash" -> ((s, d) =>
       DedupOps.withSimhash(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // X2b' — simhash near-dup pairs over the twin corpus (prefix-bucket
+    // candidates, hamming ≤ 6 keeps exact twins at 0 and the
+    // truncated near-twins' drift).
+    "q_simhash_pairs" -> ((s, d) =>
+      DedupOps.simhashPairs(corpusWithTwins(Tables.documents(s, d)), 6)
+        .orderBy("id_a", "id_b")),
 
     // X3 — exact cosine top-k, broadcast queries, no corpus shuffle.
     "q_topk_sim" -> ((s, d) => {
@@ -538,6 +552,24 @@ object ExtQueries {
       s AS (SELECT doc_id, ${simhashSql("hx")} AS simhash FROM t)
       SELECT doc_id, simhash, simhash[1:8] AS bucket
       FROM s ORDER BY doc_id""",
+
+    "q_simhash_pairs" -> s"""
+      WITH $twinsCte,
+      t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 tk -> md5(tk)[1:${DedupOps.SimHashBits / 4}]) AS hx
+        FROM twins
+      ),
+      s AS (SELECT doc_id, ${simhashSql("hx")} AS simhash FROM t),
+      sig AS (SELECT doc_id, simhash, simhash[1:8] AS bucket FROM s)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(${hammingSql("a.simhash", "b.simhash")} AS INT)
+               AS hamming
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE ${hammingSql("a.simhash", "b.simhash")} <= 6
+      ORDER BY id_a, id_b""",
 
     "q_topk_sim" -> topkOracle,
     "q_topk_bucketed" -> topkBucketedOracle,

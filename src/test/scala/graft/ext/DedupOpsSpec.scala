@@ -65,4 +65,17 @@ class DedupOpsSpec extends SparkSpec {
       a.zip(b).count { case (x, y) => x != y }
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
   }
+
+  test("simhashPairs: identical docs pair at hamming 0; hammingDist " +
+    "column matches the scala reference") {
+    val sigs = DedupOps.withSimhash(docs)
+      .select("doc_id", "simhash").as[(Long, String)].collect().toMap
+    val pairs = DedupOps.simhashPairs(docs, maxDist = 32)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    pairs.foreach { case (a, b, h) =>
+      assert(h == sigs(a).zip(sigs(b)).count { case (x, y) => x != y })
+      assert(sigs(a).take(8) == sigs(b).take(8)) // bucket contract
+    }
+  }
 }
