@@ -66,19 +66,36 @@ object DedupOps {
   def shingleSet(text: Column, shingleSize: Int = 3): Column =
     array_distinct(TextOps.shingles(text, shingleSize))
 
+  /** All `NumHashes` affine minima in ONE array pass — the native
+    * codegen'd [[graft.functions.MinHashSignature]] (bit-identical to
+    * [[signatureFold]], asserted in DedupOpsSpec). */
+  def signatureExpr(bases: Column): Column = {
+    val (as, bs) = (0 until NumHashes).map(hashParams).unzip
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(bases),
+        as, bs, MinHashPrime))
+  }
+
+  /** The composable reference form: one interpreted
+    * `array_min(transform(…))` pass per hash function. Kept as the
+    * no-custom-code twin the native expression is tested against. */
+  def signatureFold(bases: Column): Column =
+    array((0 until NumHashes).map { i =>
+      val (a, b) = hashParams(i)
+      array_min(transform(bases, h => (h * a + b) % MinHashPrime))
+    }: _*)
+
   /** MinHash signature as `NumHashes` columns `mh0..mhN` (plus
     * `_shingles`). */
   def withSignature(docs: DataFrame, textCol: String = "text",
                     shingleSize: Int = 3): DataFrame = {
-    val withSh = docs
+    val withSig = docs
       .withColumn("_shingles", shingleSet(col(textCol), shingleSize))
-      .withColumn("_bases", baseHashes(col("_shingles")))
-    (0 until NumHashes).foldLeft(withSh) { (df, i) =>
-      val (a, b) = hashParams(i)
-      df.withColumn(s"mh$i",
-        array_min(transform(col("_bases"),
-          h => (h * a + b) % MinHashPrime)))
-    }.drop("_bases")
+      .withColumn("_sig", signatureExpr(baseHashes(col("_shingles"))))
+    (0 until NumHashes).foldLeft(withSig) { (df, i) =>
+      df.withColumn(s"mh$i", element_at(col("_sig"), i + 1))
+    }.drop("_sig")
   }
 
   /** LSH band keys: md5 over each band's minhash slice. One row per
@@ -200,21 +217,28 @@ object DedupOps {
       .reduce(_ + _)
 
   /** X2b' — SimHash near-dup pairs: candidates share the 8-bit prefix
-    * bucket (same banded-candidate shape as MinHash — never all-pairs,
-    * self-join carries 32-char signatures not text), kept when the full
-    * 32-bit hamming distance is ≤ `maxDist`. Prefix bucketing trades
-    * recall for that bound: pairs differing inside the first 8 bits are
-    * missed — the standard multi-table rotation fix applies if needed. */
+    * bucket (same banded-candidate shape as MinHash — never all-pairs),
+    * kept when the full 32-bit hamming distance is ≤ `maxDist`. Prefix
+    * bucketing trades recall for that bound: pairs differing inside the
+    * first 8 bits are missed — the standard multi-table rotation fix
+    * applies if needed.
+    *
+    * Per-pair cost is ONE `bit_count(xor)` on a per-doc-precomputed
+    * long (32× cheaper than comparing the bit-string per position —
+    * the string compare survives as [[hammingDist]] and as the oracle's
+    * formula; values are identical). */
   def simhashPairs(docs: DataFrame, maxDist: Int,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val sigs = withSimhash(docs, idCol, textCol)
+      .withColumn("_shi", conv(col("simhash"), 2, 10).cast("long"))
     val a = sigs.select(col(idCol).as("id_a"),
-      col("simhash").as("sh_a"), col("bucket"))
+      col("_shi").as("sig_a"), col("bucket"))
     val b = sigs.select(col(idCol).as("id_b"),
-      col("simhash").as("sh_b"), col("bucket"))
+      col("_shi").as("sig_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

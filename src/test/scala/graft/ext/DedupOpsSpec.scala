@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class DedupOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -64,6 +65,22 @@ class DedupOpsSpec extends SparkSpec {
     def hamming(a: String, b: String) =
       a.zip(b).count { case (x, y) => x != y }
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("native minhash_sig is bit-identical to the composable " +
+    "array_min(transform) form on the fixture corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs
+      .withColumn("_sh", DedupOps.shingleSet(col("text")))
+      .withColumn("_bases", org.apache.spark.sql.functions.transform(
+        col("_sh"), x => conv(substring(md5(x), 1, 8), 16, 10)
+          .cast("long")))
+      .select(
+        DedupOps.signatureExpr(col("_bases")).as("native"),
+        DedupOps.signatureFold(col("_bases")).as("fold"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, f) => assert(n == f) }
   }
 
   test("simhashPairs: identical docs pair at hamming 0; hammingDist " +
