@@ -28,6 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(children(0), children(1))
     ))
+    // minhash_sig(bases): the library's standard 16-hash affine family
+    // over an array<bigint> of base hashes, one traversal.
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[graft.functions.MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val (as, bs) = (0 until graft.ext.DedupOps.NumHashes)
+          .map(graft.ext.DedupOps.hashParams).unzip
+        graft.functions.MinHashSignature(children.head, as, bs,
+          graft.ext.DedupOps.MinHashPrime)
+      }
+    ))
     ext.injectResolutionRule(graft.catalog.ResolveGraftRelations.apply)
     ext.injectParser((_, parser) => new graft.catalog.GraftSqlParser(parser))
   }

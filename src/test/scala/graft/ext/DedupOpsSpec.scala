@@ -83,6 +83,34 @@ class DedupOpsSpec extends SparkSpec {
     both.foreach { case (n, f) => assert(n == f) }
   }
 
+  test("minhash_sig generates whole-stage code next to codegen-capable " +
+    "producers, and is callable from SQL") {
+    // A higher-order producer (transform/md5) forces its whole Project
+    // to interpreted fallback — there the expression still wins by
+    // replacing 16 interpreted traversals with one. Next to a
+    // codegen-capable producer (sequence), doGenCode must engage:
+    val df = spark.range(1, 200)
+      .select(DedupOps.signatureExpr(
+        sequence(col("id"), col("id") + 63)).as("sig"))
+    df.collect()
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("minhashA"), gen.take(2000))
+    // and the codegen'd result equals the interpreted fold
+    val folded = spark.range(1, 200)
+      .select(DedupOps.signatureFold(
+        sequence(col("id"), col("id") + 63)).as("sig"))
+    assert(df.as[Seq[Long]].collect().toSeq ==
+      folded.as[Seq[Long]].collect().toSeq)
+
+    docs.createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql(
+      """SELECT minhash_sig(transform(split(text, ' '),
+         t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)))
+         FROM mh_docs""").count()
+    assert(viaSql == docs.count())
+  }
+
   test("simhashPairs: identical docs pair at hamming 0; hammingDist " +
     "column matches the scala reference") {
     val sigs = DedupOps.withSimhash(docs)
