@@ -98,6 +98,36 @@ object ExtQueries {
       FROM embeddings WHERE vec_id % 50 = 0
     )"""
 
+  /** Shared CTE chain producing the MinHash/LSH near-dup `paired`
+    * relation (twin corpus → shingles → banded buckets → candidates →
+    * exact Jaccard) — consumed by q_near_dup and q_dup_clusters. */
+  private lazy val nearDupCtes: String = s"""$twinsCte,
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM twins),
+      sh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM toks),
+      sig AS (
+        SELECT doc_id, shingles,
+               list_transform(shingles,
+                 x -> ('0x' || md5(x)[1:8])::BIGINT) AS bases
+        FROM sh
+      ),
+      bands AS (${bandsSql("sig")}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+      ),
+      paired AS (
+        SELECT id_a, id_b,
+          len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+          (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE
+          AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+      )"""
+
   /** DuckDB twin of [[DedupOps.hammingDist]] — same per-position CASE
     * sum, generated from the same bit-width constant. */
   private def hammingSql(a: String, b: String): String =
@@ -147,6 +177,17 @@ object ExtQueries {
       DedupOps.nearDuplicates(corpusWithTwins(Tables.documents(s, d)),
         minJaccard = 0.4)
         .orderBy("id_a", "id_b")),
+
+    // X13 — duplicate clusters: connected components over the near-dup
+    // pairs (min-label propagation); canonical survivor = smallest id.
+    "q_dup_clusters" -> ((s, d) => {
+      val pairs = DedupOps.nearDuplicates(
+        corpusWithTwins(Tables.documents(s, d)), minJaccard = 0.4)
+      graft.ext.Clusters.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
 
     // X2b — SimHash signatures.
     "q_simhash" -> ((s, d) =>
@@ -513,34 +554,29 @@ object ExtQueries {
       FROM t ORDER BY doc_id""",
 
     "q_near_dup" -> s"""
-      WITH $twinsCte,
-      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM twins),
-      sh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM toks),
-      sig AS (
-        SELECT doc_id, shingles,
-               list_transform(shingles,
-                 x -> ('0x' || md5(x)[1:8])::BIGINT) AS bases
-        FROM sh
-      ),
-      bands AS (${bandsSql("sig")}),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-      ),
-      paired AS (
-        SELECT id_a, id_b,
-          len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-          (len(sa.shingles) + len(sb.shingles)
-            - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE
-          AS jaccard
-        FROM cand
-        JOIN sh sa ON sa.doc_id = id_a
-        JOIN sh sb ON sb.doc_id = id_b
-      )
+      WITH $nearDupCtes
       SELECT id_a, id_b, jaccard FROM paired
       WHERE jaccard >= 0.4 ORDER BY id_a, id_b""",
+
+    // X13 — recursive-CTE twin of the min-label components: reach(v,u)
+    // = transitive closure over the bidirectional pair edges; label =
+    // min reachable id.
+    "q_dup_clusters" -> s"""
+      WITH RECURSIVE $nearDupCtes,
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM paired WHERE jaccard >= 0.4
+        UNION
+        SELECT id_b, id_a FROM paired WHERE jaccard >= 0.4
+      ),
+      verts AS (SELECT DISTINCT src AS id FROM edges),
+      reach(v, u) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u
+      )
+      SELECT v AS doc_id, min(u) AS cluster_id,
+             v = min(u) AS is_canonical
+      FROM reach GROUP BY v ORDER BY doc_id""",
 
     "q_simhash" -> s"""
       WITH t AS (
