@@ -18,10 +18,22 @@ object Bench {
     // measure the operators, not JVM startup or test-data synthesis.
     try { SparkEntry.queries("q_cdc_bronze")(spark, sfDir).count() }
     catch { case _: Throwable => () }
+    // Several operators pin intermediates via localCheckpoint (the
+    // documented cluster-parity choice); in a 51-query single-JVM run
+    // those blocks would otherwise accumulate and GC-thrash whichever
+    // queries run late. Drop everything each query leaves behind,
+    // keeping only the pre-warmup baseline (the shared bronze fixture).
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    def releaseLeaked(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id)) rdd.unpersist(false)
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseLeaked()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

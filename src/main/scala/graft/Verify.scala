@@ -18,11 +18,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Materialize the shared bronze fixture BEFORE the baseline
+    // snapshot, then release each query's own localCheckpoint blocks —
+    // 50+ queries in one JVM would otherwise accumulate pinned blocks
+    // and GC-thrash the late ones (same note as Bench). Only blocks
+    // beyond the baseline are dropped, so the shared fixture survives.
+    try { SparkEntry.queries("q_cdc_bronze")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id)) rdd.unpersist(false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

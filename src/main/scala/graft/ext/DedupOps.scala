@@ -226,12 +226,18 @@ object DedupOps {
     * Per-pair cost is ONE `bit_count(xor)` on a per-doc-precomputed
     * long (32× cheaper than comparing the bit-string per position —
     * the string compare survives as [[hammingDist]] and as the oracle's
-    * formula; values are identical). */
+    * formula; values are identical). Signatures are materialized before
+    * the self-join, like [[nearDuplicates]]: both join sides would
+    * otherwise re-run the 32-aggregate signature pipeline (measured 6×
+    * slower); `materialize` swaps `localCheckpoint` for a table write
+    * on a cluster. */
   def simhashPairs(docs: DataFrame, maxDist: Int,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
-    val sigs = withSimhash(docs, idCol, textCol)
-      .withColumn("_shi", conv(col("simhash"), 2, 10).cast("long"))
+                   textCol: String = "text",
+                   materialize: DataFrame => DataFrame =
+                     _.localCheckpoint()): DataFrame = {
+    val sigs = materialize(withSimhash(docs, idCol, textCol)
+      .withColumn("_shi", conv(col("simhash"), 2, 10).cast("long")))
     val a = sigs.select(col(idCol).as("id_a"),
       col("_shi").as("sig_a"), col("bucket"))
     val b = sigs.select(col(idCol).as("id_b"),
