@@ -33,4 +33,36 @@ object Mask {
       case c        => col(c)
     }.toSeq: _*)
   }
+
+  /** PII scrubbing for free text — the redaction pass a training corpus
+    * gets before the dedup/quality stages. Patterns are deliberately in
+    * the regex subset whose semantics are identical in Java (Spark) and
+    * RE2 (DuckDB oracle): literal classes, +, {m,}, no backrefs or
+    * lookaround. Pure per-row compute, codegen'd, no shuffle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9][0-9 .-]{5,}[0-9]"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  /** Numeric generalization for k-anonymity: floor to `width` buckets
+    * — "1234.56" → "[1200,1300)" style label, deterministic. */
+  def generalize(value: Column, width: Double): Column =
+    concat(lit("["), (floor(value / width) * width).cast("long"),
+      lit(","), ((floor(value / width) + 1) * width).cast("long"),
+      lit(")"))
+
+  /** k-anonymity audit: group sizes over the quasi-identifier columns;
+    * rows in groups smaller than k are re-identifiable. Returns one row
+    * per quasi-id combination with its size and a violation flag —
+    * single partial-aggregated shuffle at any scale. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("violates_k", col("group_size") < k)
 }

@@ -341,6 +341,19 @@ object ExtQueries {
         Tables.documents(s, d).select("doc_id"), "doc_id", testPct = 10)
         .orderBy("doc_id")),
 
+    // X14 — PII scrubbing: deterministic synthetic PII (email, IP, card
+    // number derived from doc_id) appended to each document, then
+    // redacted by the shared regex set. Both engines run the SAME
+    // patterns from Mask's constants; per-row compute, no shuffle.
+    "q_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.privacy.Mask.scrubPii(concat(
+            col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com from 10.0."), col("doc_id") % 255,
+            lit(".7 card 4111 1111 1111 1111"))).as("clean"))
+        .orderBy("doc_id")),
+
     // X12 — range join: attribution windows. Every click in the hour
     // BEFORE each purchase of the same user (inclusive bounds), via the
     // bucketed interval join (bucket = window width → ≤2 buckets per
@@ -814,6 +827,17 @@ object ExtQueries {
                   THEN 'test' ELSE 'train' END AS split
       FROM documents
       ORDER BY doc_id""",
+
+    "q_pii_scrub" -> s"""
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+               text || ' contact user' || doc_id
+                    || '@example.com from 10.0.' || (doc_id % 255)
+                    || '.7 card 4111 1111 1111 1111',
+               '${graft.privacy.Mask.EmailRe}', '<EMAIL>', 'g'),
+               '${graft.privacy.Mask.IpRe}', '<IP>', 'g'),
+               '${graft.privacy.Mask.LongNumRe}', '<NUM>', 'g') AS clean
+      FROM documents ORDER BY doc_id""",
 
     "q_range_join" -> """
       WITH c AS (

@@ -167,6 +167,18 @@ object PipelineQueries {
                WHERE amount_eur > 500.0 ORDER BY order_id""")
     }),
 
+    // Privacy audit: k-anonymity over quasi-identifiers (status +
+    // generalized amount band) on the silver snapshot — groups smaller
+    // than k are re-identifiable. Single partial-aggregated shuffle.
+    "q_k_anon" -> ((s, d) => {
+      val silver = Silver.rebuild(bronzeOf(s, d))
+      Mask.kAnonymity(
+        silver.select(col("status"),
+          Mask.generalize(col("amount_eur"), 100.0).as("amount_band")),
+        Seq("status", "amount_band"), k = 5)
+        .orderBy("status", "amount_band")
+    }),
+
     // S6/S9 — catalog introspection: namespaces, tables, views.
     "q_show_tables" -> ((s, d) => {
       val store = new TableStore(s)
@@ -312,6 +324,19 @@ object PipelineQueries {
     "q_cdc_silver_merge" -> silverMergeSql,
     "q_cdc_silver_merge_sql" -> silverMergeSql,
     "q_cdc_silver_incremental" -> silverMergeSql,
+
+    "q_k_anon" -> s"""
+      WITH sil AS ($silverRebuildSql)
+      SELECT status,
+             '[' || CAST(CAST(floor(amount_eur / 100.0) * 100.0
+                        AS BIGINT) AS VARCHAR)
+                 || ',' ||
+                 CAST(CAST((floor(amount_eur / 100.0) + 1) * 100.0
+                        AS BIGINT) AS VARCHAR) || ')' AS amount_band,
+             count(*) AS group_size,
+             count(*) < 5 AS violates_k
+      FROM sil GROUP BY status, amount_band
+      ORDER BY status, amount_band""",
 
     // Decimal twin: the amount string is re-derived and cast
     // STRING → DECIMAL(10,2) — the exact same parse Spark does on the

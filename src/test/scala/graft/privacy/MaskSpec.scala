@@ -31,4 +31,35 @@ class MaskSpec extends SparkSpec {
       .as[String].collect()
     assert(keys(0) == keys(1) && keys(0) != keys(2))
   }
+
+  test("scrubPii redacts emails, IPs, and long numbers; clean text " +
+    "passes through") {
+    val out = Seq(
+      "mail me at jo.doe+x@corp.example.org thanks",
+      "server 192.168.0.17 answered",
+      "card 4111 1111 1111 1111 exp 12/26",
+      "no pii in this sentence at all"
+    ).toDF("t").select(Mask.scrubPii(col("t")).as("c"))
+      .as[String].collect().toSeq
+    assert(out(0) == "mail me at <EMAIL> thanks")
+    assert(out(1) == "server <IP> answered")
+    assert(out(2).startsWith("card <NUM>"))
+    assert(out(3) == "no pii in this sentence at all")
+  }
+
+  test("kAnonymity flags quasi-id groups smaller than k") {
+    val df = (Seq.fill(6)(("A", "[0,100)")) ++ Seq(("B", "[0,100)")))
+      .toDF("status", "band")
+    val out = Mask.kAnonymity(df, Seq("status", "band"), k = 5)
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(out == Set(("A", "[0,100)", 6L, false),
+      ("B", "[0,100)", 1L, true)))
+  }
+
+  test("generalize emits stable half-open band labels") {
+    val out = Seq(0.0, 99.99, 100.0, 1234.56).toDF("v")
+      .select(Mask.generalize(col("v"), 100.0).as("b"))
+      .as[String].collect().toSeq
+    assert(out == Seq("[0,100)", "[0,100)", "[100,200)", "[1200,1300)"))
+  }
 }
