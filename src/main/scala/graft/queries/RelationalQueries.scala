@@ -277,6 +277,35 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Ranking-function family over one window: rank, dense_rank, ntile
+    // quartiles per order priority by total price. One shuffle (the
+    // window), deterministic order key includes the id.
+    "q_order_ranks" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    }),
+
+    // CUBE: all grouping-set combinations of (returnflag, linestatus)
+    // — the ROLLUP twin's full lattice; subtotals surfaced via coalesce
+    // as in q_rollup_returns.
+    "q_cube_returns" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+
     // Discrete per-group quantiles (p50/p90 as actual data elements via
     // row_number against ceil(q·n) — no interpolation, so the doubles
     // compare bit-exact cross-engine; same formula on both sides).
@@ -472,6 +501,26 @@ object RelationalQueries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY event_id""",
+
+    "q_order_ranks" -> """
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile
+      FROM orders
+      WHERE o_totalprice > 400000.0
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, rnk, o_orderkey""",
+
+    "q_cube_returns" -> s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n_rows,
+             ${oSum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""",
 
     "q_value_quantiles" -> """
       WITH r AS (

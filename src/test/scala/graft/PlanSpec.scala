@@ -130,6 +130,21 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("silver rebuild moves <20% of the raw payload bytes through " +
+    "its shuffle (typed projection precedes the dedup exchange)") {
+    import org.apache.spark.sql.functions._
+    val bronze = graft.cdc.Synth.bronze(Tables.orders(spark, sf))
+      .localCheckpoint()
+    val rawPayload = bronze
+      .agg(sum(length(col("v")))).head().getLong(0)
+    val shuffled = graft.quality.ShuffleAudit.shuffleWriteBytes(
+      graft.pipeline.Silver.rebuild(bronze))
+    assert(shuffled > 0, "expected the dedup window's exchange to run")
+    assert(shuffled < rawPayload / 5,
+      s"silver shuffle moved $shuffled of $rawPayload raw bytes — " +
+        "projection before the key shuffle regressed")
+  }
+
   test("q_pivot_events: pivot is a single-shuffle aggregation") {
     val plan = relPlan("q_pivot_events")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
