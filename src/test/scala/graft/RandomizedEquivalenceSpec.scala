@@ -1,0 +1,106 @@
+package graft
+
+import graft.catalog.TableStore
+import graft.cdc.Merge
+import graft.ext.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded randomized cross-checks: each custom operator against a
+  * brute-force or built-in reference on generated data. Fixed seeds —
+  * failures reproduce exactly. These catch the tie/duplicate/boundary
+  * semantics a hand-picked fixture misses. */
+class RandomizedEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AsOfJoin.backward/forward match the brute-force definition on " +
+    "random keyed timelines (ties, absent keys, duplicates)") {
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new Random(seed)
+      val left = Seq.tabulate(150)(i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, i.toLong))
+        .toDF("k", "ts", "lid")
+      // unique (k, ts) on the right, as the operator requires
+      val right = Seq.tabulate(150)(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong))
+        .distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+        .toDF("k", "ts", "payload")
+
+      val rightRows = right.as[(Long, Long, Long)].collect()
+      val back = AsOfJoin.backward(left, right, "k", "ts", "ts",
+        Seq("payload"))
+        .select($"lid", $"asof_payload")
+        .as[(Long, Option[Long])].collect().toMap
+      val fwd = AsOfJoin.forward(left, right, "k", "ts", "ts",
+        Seq("payload"))
+        .select($"lid", $"asof_payload")
+        .as[(Long, Option[Long])].collect().toMap
+      left.as[(Long, Long, Long)].collect().foreach { case (k, ts, lid) =>
+        val before = rightRows.filter(r => r._1 == k && r._2 <= ts)
+        val after = rightRows.filter(r => r._1 == k && r._2 >= ts)
+        val wantB = if (before.isEmpty) None
+          else Some(before.maxBy(_._2)._3)
+        val wantF = if (after.isEmpty) None
+          else Some(after.minBy(_._2)._3)
+        assert(back(lid) == wantB, s"seed=$seed backward lid=$lid")
+        assert(fwd(lid) == wantF, s"seed=$seed forward lid=$lid")
+      }
+    }
+  }
+
+  test("RangeJoin matches the brute-force range predicate on random " +
+    "intervals across bucket widths") {
+    for (seed <- Seq(5, 77)) {
+      val rnd = new Random(seed)
+      val pts = Seq.tabulate(120)(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(500).toLong, i.toLong))
+        .toDF("k", "t", "pid")
+      val ivs = Seq.tabulate(60) { i =>
+        val lo = rnd.nextInt(450).toLong
+        (rnd.nextInt(8).toLong, lo, lo + rnd.nextInt(120), i.toLong)
+      }.toDF("k", "lo", "hi", "iid")
+      val want = pts.join(ivs, Seq("k"))
+        .filter($"t" >= $"lo" && $"t" <= $"hi")
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      for (w <- Seq(1L, 13L, 100L, 1000L)) {
+        val got = RangeJoin.intervalJoin(pts, ivs, "k", "t", "lo", "hi", w)
+          .select($"pid", $"iid").as[(Long, Long)].collect()
+        assert(got.toSet == want && got.length == want.size,
+          s"seed=$seed width=$w")
+      }
+    }
+  }
+
+  test("SQL MERGE INTO equals Merge.mergeCdc on random CDC batches") {
+    for (seed <- Seq(3, 123)) {
+      val rnd = new Random(seed)
+      val target = Seq.tabulate(40)(i =>
+        (i, rnd.nextInt(1000), s"s${rnd.nextInt(3)}"))
+        .toDF("order_id", "user_id", "status")
+      // unique keys in staging (the MERGE cardinality contract)
+      val staging = rnd.shuffle((0 until 60).toList).take(35).map { k =>
+        (k, rnd.nextInt(1000), s"s${rnd.nextInt(3)}",
+          if (rnd.nextInt(4) == 0) "d" else "u")
+      }.toDF("order_id", "user_id", "status", "op")
+
+      val want = Merge.mergeCdc(target, staging, Seq("order_id"))
+        .as[(Int, Int, String)].collect().toSet
+
+      val store = new TableStore(spark)
+      store.register("rnd", s"t_$seed", target)
+      store.stage("rnd_staging", staging)
+      spark.sql(s"""
+        MERGE INTO rnd.t_$seed t USING rnd_staging s
+        ON t.order_id = s.order_id
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED AND s.op <> 'd' THEN UPDATE SET
+          user_id = s.user_id, status = s.status
+        WHEN NOT MATCHED AND s.op <> 'd' THEN
+          INSERT (order_id, user_id, status)
+          VALUES (s.order_id, s.user_id, s.status)""")
+      val got = store.table("rnd", s"t_$seed")
+        .as[(Int, Int, String)].collect().toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+}
