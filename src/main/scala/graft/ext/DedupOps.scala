@@ -178,14 +178,24 @@ object DedupOps {
     * +1/-1; bit is 1 iff the vote sum is positive.
     */
   def simhash(text: Column): Column =
-    simhashFromHexes(transform(TextOps.tokens(text),
+    simhashExpr(transform(TextOps.tokens(text),
       t => substring(md5(t), 1, SimHashBits / 4)))
 
-  /** SimHash bit voting over an md5-hex-prefix array. Bind the hex
+  /** All [[SimHashBits]] bit votes in ONE pass — the native codegen'd
+    * [[graft.functions.SimHashSignature]]; bit-identical to
+    * [[simhashFromHexes]] (asserted in DedupOpsSpec), and without the
+    * seconds of codegen/JIT the 32-aggregate form pays cold. */
+  def simhashExpr(hexes: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(hexes),
+        SimHashBits))
+
+  /** SimHash bit voting over an md5-hex-prefix array — the composable
+    * reference form (32 per-bit interpreted aggregates). Bind the hex
     * array with `withColumn` before calling when performance matters —
-    * the 32 per-bit aggregates each traverse the array, and a nested
-    * non-attribute expression would re-run the md5 pipeline 32× per
-    * row ([[withSimhash]] wires it correctly). */
+    * a nested non-attribute expression would re-run the md5 pipeline
+    * 32× per row ([[withSimhash]] wires it correctly). */
   def simhashFromHexes(hexes: Column): Column = {
     val bitChars = (0 until SimHashBits).map { b =>
       val digitPos = b / 4 + 1
@@ -207,7 +217,7 @@ object DedupOps {
     docs
       .withColumn("_hx", transform(TextOps.tokens(col(textCol)),
         t => substring(md5(t), 1, SimHashBits / 4)))
-      .select(col(idCol), simhashFromHexes(col("_hx")).as("simhash"))
+      .select(col(idCol), simhashExpr(col("_hx")).as("simhash"))
       .withColumn("bucket", substring(col("simhash"), 1, 8))
 
   /** Hamming distance between two [[SimHashBits]]-char bit-strings. */

@@ -83,6 +83,19 @@ class DedupOpsSpec extends SparkSpec {
     both.foreach { case (n, f) => assert(n == f) }
   }
 
+  test("native simhash_sig is bit-identical to the 32-aggregate " +
+    "composable form on the fixture corpus") {
+    val both = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("_hx", transform(
+        split(col("text"), " "),
+        t => substring(md5(t), 1, DedupOps.SimHashBits / 4)))
+      .select(DedupOps.simhashExpr(col("_hx")).as("native"),
+        DedupOps.simhashFromHexes(col("_hx")).as("fold"))
+      .as[(String, String)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, f) => assert(n == f) }
+  }
+
   test("minhash_sig generates whole-stage code next to codegen-capable " +
     "producers, and is callable from SQL") {
     // A higher-order producer (transform/md5) forces its whole Project
