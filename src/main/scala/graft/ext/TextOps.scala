@@ -153,9 +153,17 @@ object TextOps {
     transform(shingles(text, k),
       s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
 
+  /** Native one-pass winnowing (monotonic-deque sliding minimum,
+    * O(n) vs the composable form's O(n·w) interpreted lambdas) —
+    * bit-identical to [[winnowFromHashes]], asserted in TextOpsSpec. */
+  def winnowExpr(hashes: Column, w: Int = 4): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WinnowMinima(
+        org.apache.spark.sql.graft.ColumnBridge.expression(hashes), w))
+
   /** Winnowing selection over an ALREADY-BOUND hash-array column:
     * slide a window of `w` consecutive hashes, keep each window's
-    * minimum, dedupe, sort.
+    * minimum, dedupe, sort — the composable reference form.
     *
     * `hashes` must be a column reference (bind [[kgramHashes]] with
     * `withColumn` first): the window lambda slices it per window, and a
@@ -180,5 +188,5 @@ object TextOps {
     docs
       .withColumn("_hs", kgramHashes(col(textCol), k))
       .select(col(idCol),
-        explode(winnowFromHashes(col("_hs"), w)).as("fp"))
+        explode(winnowExpr(col("_hs"), w)).as("fp"))
 }

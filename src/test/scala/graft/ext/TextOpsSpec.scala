@@ -58,4 +58,23 @@ class TextOpsSpec extends SparkSpec {
       .head().getBoolean(0)
     assert(fp)
   }
+
+  test("native winnow is bit-identical to the composable form on the " +
+    "fixture corpus and on short/empty edges") {
+    val both = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("_hs", TextOps.kgramHashes(col("text")))
+      .select(TextOps.winnowExpr(col("_hs")).as("native"),
+        TextOps.winnowFromHashes(col("_hs")).as("fold"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, f) => assert(n == f) }
+    // short array (n < w) and duplicate-min edges
+    val edge = Seq(Seq(7L, 3L), Seq(5L, 5L, 5L, 5L, 5L),
+      Seq(9L, 1L, 9L, 1L, 9L, 1L))
+      .toDF("hs")
+      .select(TextOps.winnowExpr(col("hs")).as("n"),
+        TextOps.winnowFromHashes(col("hs")).as("f"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    edge.foreach { case (n, f) => assert(n == f) }
+  }
 }
