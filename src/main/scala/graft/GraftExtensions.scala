@@ -41,6 +41,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.ext.DedupOps.MinHashPrime)
       }
     ))
+    // simhash_sig(hex_prefixes): 32-bit SimHash bit-string, one pass.
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(
+        classOf[graft.functions.SimHashSignature].getName, "simhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHashSignature(children.head,
+          graft.ext.DedupOps.SimHashBits)
+    ))
+    // winnow(hashes, w): sorted distinct sliding-window minima.
+    ext.injectFunction((
+      new FunctionIdentifier("winnow"),
+      new ExpressionInfo(
+        classOf[graft.functions.WinnowMinima].getName, "winnow"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.WinnowMinima(children.head,
+          children(1).eval().asInstanceOf[Int])
+    ))
     ext.injectResolutionRule(graft.catalog.ResolveGraftRelations.apply)
     ext.injectParser((_, parser) => new graft.catalog.GraftSqlParser(parser))
   }
