@@ -19,26 +19,49 @@ object Bench {
     try { SparkEntry.queries("q_cdc_bronze")(spark, sfDir).count() }
     catch { case _: Throwable => () }
     // Several operators pin intermediates via localCheckpoint (the
-    // documented cluster-parity choice); in a 51-query single-JVM run
+    // documented cluster-parity choice); in a 55-query single-JVM run
     // those blocks would otherwise accumulate and GC-thrash whichever
     // queries run late. Drop everything each query leaves behind,
     // keeping only the pre-warmup baseline (the shared bronze fixture).
+    // The release is BLOCKING: an async unpersist storm racing the next
+    // query's jobs was the r03 bench's one measured pathology
+    // (q_fingerprints 28-54s in-context vs 2-4s isolated), so each
+    // query now starts from a settled block manager and a fresh GC.
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
-    def releaseLeaked(): Unit =
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1"
+    def releaseLeaked(): Unit = {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!baseline.contains(id)) rdd.unpersist(false)
+        if (!baseline.contains(id)) rdd.unpersist(blocking = true)
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+      if (gcBetween) System.gc()
+    }
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       releaseLeaked()
-      name -> dt
+      dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Fixed (sorted) query order so cross-round per-query numbers are
+    // comparable run-to-run regardless of Map iteration order.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> timed(n))
+    // Outlier audit: any query that cost >5x the run median gets one
+    // isolated re-measurement (post-release, post-GC) so the record
+    // distinguishes a slow plan from harness interaction.
+    val sortedTimes = results.map(_._2).filter(_ >= 0).sorted
+    val median =
+      if (sortedTimes.isEmpty) 0.0 else sortedTimes(sortedTimes.size / 2)
+    val isolated = results.collect {
+      case (n, t) if median > 0 && t > 5 * median && t > 5.0 =>
+        n -> timed(n)
+    }
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"isolated":${jmap(isolated)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,6 +4,7 @@ import graft.functions.VectorDot
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.types._
 
 /** Session extension installer: registers the library's native
   * expressions in the SQL function registry (so `spark.sql("SELECT
@@ -55,9 +56,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow"),
       new ExpressionInfo(
         classOf[graft.functions.WinnowMinima].getName, "winnow"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.WinnowMinima(children.head,
-          children(1).eval().asInstanceOf[Int])
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // The window must be a foldable integer ≥ 1 at analysis time —
+        // anything else (a column, a string, a non-positive value) gets
+        // a clear analysis-time error, not a ClassCastException at eval.
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val w = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) if v >= 1 && v <= Int.MaxValue =>
+            v.toInt
+          case Literal(v: Short, ShortType) => v.toInt
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "UNEXPECTED_INPUT_TYPE",
+            messageParameters = Map(
+              "paramIndex" -> "second",
+              "functionName" -> "`winnow`",
+              "requiredType" -> "integer literal",
+              "inputSql" -> other.sql,
+              "inputType" -> other.dataType.simpleString))
+        }
+        if (w < 1) throw new IllegalArgumentException(
+          s"winnow(hashes, w): w must be >= 1, got $w")
+        graft.functions.WinnowMinima(children.head, w)
+      }
     ))
     ext.injectResolutionRule(graft.catalog.ResolveGraftRelations.apply)
     ext.injectParser((_, parser) => new graft.catalog.GraftSqlParser(parser))

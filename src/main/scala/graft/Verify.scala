@@ -32,8 +32,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Blocking, so block removal never races the next query's jobs
+      // (same rationale as Bench.releaseLeaked).
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!baseline.contains(id)) rdd.unpersist(false)
+        if (!baseline.contains(id)) rdd.unpersist(blocking = true)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * union-window shuffles |left|+|right| rows once; the range join is
   * quadratic per key.
   *
+  * The right payload travels as ONE struct column through the window
+  * (a single last/first(ignoreNulls) fill, unpacked after), so null
+  * FIELDS ride along with their row: a right row whose latest match has
+  * a null in one payload column still supplies that null — filling each
+  * payload column independently would back-fill it from an OLDER right
+  * row and emit a mix of two right rows.
+  *
   * Preconditions: the two ts columns must share a comparable type, and
   * the right side must be unique per (key, ts) — pre-dedup otherwise
   * (ordering among equal right timestamps is not defined).
@@ -58,18 +65,23 @@ object AsOfJoin {
     val rightSchema = right.schema
     val leftCols = left.columns.toSeq
     val rightTag = if (forward) 2 else 0
+    // One struct holds the whole right payload: left rows carry a NULL
+    // struct (skipped by ignoreNulls), right rows a non-null struct even
+    // when every field is null — so the fill picks whole rows, never a
+    // per-column mix of rows.
+    val payType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => rightSchema(c).copy(name = c)))
 
     val lSide = left.select(
       leftCols.map(col) ++
-        Seq(col(leftTs).as("_ts"), lit(1).as("_tag")) ++
-        rightCols.map(c =>
-          lit(null).cast(rightSchema(c).dataType).as(s"$prefix$c")): _*)
+        Seq(col(leftTs).as("_ts"), lit(1).as("_tag"),
+          lit(null).cast(payType).as("_rpay")): _*)
     val rSide = right.select(
       leftCols.map(c =>
         if (c == key) col(key).as(c)
         else lit(null).cast(leftSchema(c).dataType).as(c)) ++
-        Seq(col(rightTs).as("_ts"), lit(rightTag).as("_tag")) ++
-        rightCols.map(c => col(c).as(s"$prefix$c")): _*)
+        Seq(col(rightTs).as("_ts"), lit(rightTag).as("_tag"),
+          struct(rightCols.map(col): _*).as("_rpay")): _*)
 
     val ordered = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
     val w =
@@ -77,13 +89,14 @@ object AsOfJoin {
         ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else
         ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def fill(c: Column): Column =
-      if (forward) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
+    val fill: Column =
+      if (forward) first(col("_rpay"), ignoreNulls = true).over(w)
+      else last(col("_rpay"), ignoreNulls = true).over(w)
 
-    val filled = rightCols.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(s"$prefix$c", fill(col(s"$prefix$c")))
-    }
-    filled.filter(col("_tag") === 1).drop("_ts", "_tag")
+    lSide.unionByName(rSide)
+      .withColumn("_rpay", fill)
+      .filter(col("_tag") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("_rpay").getField(c).as(s"$prefix$c")): _*)
   }
 }

@@ -38,15 +38,22 @@ object Clusters {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("pid"), col("label").as("nbr"))
         .groupBy("pid").agg(min("nbr").as("nbr_min"))
+      // The old label is already on the row, so the changed-flag is a
+      // free comparison in the same select — counting it on the
+      // materialized checkpoint costs no join and no recompute, where
+      // a labels-vs-updated equi-join to detect convergence would pay
+      // a second full shuffle per round (driver-serialized rounds make
+      // that the dominant cost at scale).
       val updated = labels.as("l")
         .join(prop, col("l.id") === col("pid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("nbr_min"), col("l.label")))
-            .as("label"))
+            .as("label"),
+          coalesce(col("nbr_min") < col("l.label"), lit(false))
+            .as("_changed"))
         .localCheckpoint()
-      val changed = updated.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = updated
+      val changed = updated.filter(col("_changed")).count()
+      labels = updated.drop("_changed")
       converged = changed == 0
       round += 1
     }

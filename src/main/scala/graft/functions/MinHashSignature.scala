@@ -18,10 +18,11 @@ import org.apache.spark.sql.types._
   * whole-stage codegen, k× fewer array traversals on the near-dup hot
   * path.
   *
-  * Semantics are bit-identical to the composable form for non-empty
-  * inputs (same Long arithmetic, coefficients chosen so `h·a + b`
-  * stays < 2^48 — no overflow in either engine); an EMPTY array yields
-  * null, matching `array_min(transform([], …)) = null`.
+  * Semantics are bit-identical to the composable form (same Long
+  * arithmetic, coefficients chosen so `h·a + b` stays < 2^48 — no
+  * overflow in either engine) INCLUDING the empty-input edge: an empty
+  * array yields an array of k nulls, matching
+  * `array(array_min(transform([], …)), …)` = `[null, …]`.
   */
 case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long],
                             prime: Long) extends UnaryExpression {
@@ -29,8 +30,6 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long],
     "coefficient seqs must be equal-length and non-empty")
 
   private def k = a.length
-
-  override def nullable: Boolean = true // empty input → null
 
   override def checkInputDataTypes()
   : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -43,12 +42,12 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long],
             s"minhash_sig expects array<bigint>, got ${other.simpleString}")
     }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -77,7 +76,9 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long],
     nullSafeCodeGen(ctx, ev, c => s"""
       final int $n = $c.numElements();
       if ($n == 0) {
-        ${ev.isNull} = true;
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            new Object[$k]);
       } else {
         final long[] $mins = new long[$k];
         java.util.Arrays.fill($mins, Long.MAX_VALUE);

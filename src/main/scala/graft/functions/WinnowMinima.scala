@@ -38,32 +38,45 @@ case class WinnowMinima(child: Expression, w: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array[Any](null))
-    val out = new java.util.TreeSet[java.lang.Long]()
-    if (n < w) {
-      var m = Long.MaxValue
-      var i = 0
-      while (i < n) { val v = arr.getLong(i); if (v < m) m = v; i += 1 }
-      out.add(m)
-    } else {
-      // monotonic deque of indices; head is the current window's min
-      val dq = new Array[Int](n)
-      var head = 0
-      var tail = 0 // exclusive
-      var i = 0
-      while (i < n) {
-        val v = arr.getLong(i)
-        while (tail > head && arr.getLong(dq(tail - 1)) >= v) tail -= 1
-        dq(tail) = i; tail += 1
-        if (dq(head) <= i - w) head += 1
-        if (i >= w - 1) out.add(arr.getLong(dq(head)))
-        i += 1
+    val mins: Array[Long] =
+      if (n < w) {
+        var m = Long.MaxValue
+        var i = 0
+        while (i < n) { val v = arr.getLong(i); if (v < m) m = v; i += 1 }
+        Array(m)
+      } else {
+        // monotonic deque of indices; head is the current window's min.
+        // Adjacent windows usually share a min, so skip-if-same before
+        // buffering, then sort + in-place dedupe the primitive buffer —
+        // zero boxing on the per-row hot path.
+        val buf = new Array[Long](n - w + 1)
+        var cnt = 0
+        val dq = new Array[Int](n)
+        var head = 0
+        var tail = 0 // exclusive
+        var i = 0
+        while (i < n) {
+          val v = arr.getLong(i)
+          while (tail > head && arr.getLong(dq(tail - 1)) >= v) tail -= 1
+          dq(tail) = i; tail += 1
+          if (dq(head) <= i - w) head += 1
+          if (i >= w - 1) {
+            val m = arr.getLong(dq(head))
+            if (cnt == 0 || buf(cnt - 1) != m) { buf(cnt) = m; cnt += 1 }
+          }
+          i += 1
+        }
+        java.util.Arrays.sort(buf, 0, cnt)
+        var out = 0
+        var j = 1
+        while (j < cnt) {
+          if (buf(j) != buf(out)) { out += 1; buf(out) = buf(j) }
+          j += 1
+        }
+        java.util.Arrays.copyOf(buf, out + 1)
       }
-    }
-    val res = new Array[Any](out.size)
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { res(j) = it.next().longValue(); j += 1 }
-    new GenericArrayData(res)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext,

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** @param docs streaming frame with an event-time and a text column
-    * @return first-seen rows only (per content hash, within watermark) */
+    * @return first-seen rows only (per content hash, within watermark)
+    *
+    * The hash is [[graft.ext.TextOps.fingerprint]] — the SAME
+    * trim+lowercase normalization the batch X1 pass uses, so the
+    * streaming and archival dedup horizons agree on what counts as a
+    * duplicate for case/whitespace variants. */
   def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
                   watermark: String = "10 minutes"): DataFrame =
-    docs.withColumn("content_hash", sha2(col(textCol), 256))
+    docs.withColumn("content_hash",
+        graft.ext.TextOps.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -55,6 +55,36 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("null payload field in the latest right row travels atomically " +
+    "(no back-fill from an older right row)") {
+    // key 1: latest state before ts=200 is (150, null value, "newer") —
+    // the null must come through, NOT 100's "b" value; sibling column
+    // must come from the SAME (150) row.
+    val nullableStates = Seq(
+      (1L, 80L, Option("a"), "old"),
+      (1L, 100L, Option("b"), "mid"),
+      (1L, 150L, Option.empty[String], "newer")
+    ).toDF("user_id", "ts", "state", "note")
+    val out = AsOfJoin.backward(
+        labels.filter($"user_id" === 1L && $"ts" === 200L),
+        nullableStates, "user_id", "ts", "ts", Seq("state", "note"))
+      .select($"asof_state", $"asof_note")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(out == Seq((None, Some("newer"))))
+    // forward mirror: earliest state at/after ts=50 is (80,"a","old");
+    // make ITS value null and check the same atomicity.
+    val fwdStates = Seq(
+      (1L, 80L, Option.empty[String], "old"),
+      (1L, 100L, Option("b"), "mid")
+    ).toDF("user_id", "ts", "state", "note")
+    val fwd = AsOfJoin.forward(
+        labels.filter($"user_id" === 1L && $"ts" === 50L),
+        fwdStates, "user_id", "ts", "ts", Seq("state", "note"))
+      .select($"asof_state", $"asof_note")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(fwd == Seq((None, Some("old"))))
+  }
+
   test("plan: one hash exchange (the key window), no join operator") {
     val df = AsOfJoin.backward(labels, states, "user_id", "ts", "ts",
       Seq("state"))

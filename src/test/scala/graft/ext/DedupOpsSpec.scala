@@ -81,6 +81,15 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Seq[Long], Seq[Long])].collect()
     assert(both.nonEmpty)
     both.foreach { case (n, f) => assert(n == f) }
+    // empty-input edge: both forms yield an array of k NULLs (never a
+    // NULL array) — reachable via the registered SQL function even
+    // though withSignature never produces empty bases
+    val empty = Seq(Seq.empty[Long]).toDF("bases")
+      .select(DedupOps.signatureExpr(col("bases")).as("native"),
+        DedupOps.signatureFold(col("bases")).as("fold"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].head()
+    assert(empty._1 == empty._2)
+    assert(empty._1 == Seq.fill(DedupOps.NumHashes)(None))
   }
 
   test("native simhash_sig is bit-identical to the 32-aggregate " +

@@ -68,13 +68,29 @@ class TextOpsSpec extends SparkSpec {
       .as[(Seq[Long], Seq[Long])].collect()
     assert(both.nonEmpty)
     both.foreach { case (n, f) => assert(n == f) }
-    // short array (n < w) and duplicate-min edges
+    // short array (n < w), duplicate-min, and empty edges
     val edge = Seq(Seq(7L, 3L), Seq(5L, 5L, 5L, 5L, 5L),
-      Seq(9L, 1L, 9L, 1L, 9L, 1L))
+      Seq(9L, 1L, 9L, 1L, 9L, 1L), Seq.empty[Long])
       .toDF("hs")
       .select(TextOps.winnowExpr(col("hs")).as("n"),
         TextOps.winnowFromHashes(col("hs")).as("f"))
-      .as[(Seq[Long], Seq[Long])].collect()
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].collect()
     edge.foreach { case (n, f) => assert(n == f) }
+  }
+
+  test("winnow SQL rejects a non-literal window with an analysis-time " +
+    "error, not a ClassCastException") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT winnow(array(1L, 2L), 'four')").collect()
+    }
+    assert(!err.isInstanceOf[ClassCastException], err.toString)
+    val errCol = intercept[Exception] {
+      spark.sql("SELECT winnow(array(1L, 2L), id) FROM range(3)").collect()
+    }
+    assert(!errCol.isInstanceOf[ClassCastException], errCol.toString)
+    // BIGINT literal widens cleanly
+    val ok = spark.sql("SELECT winnow(array(4L, 2L, 9L), 2L)")
+      .as[Seq[Long]].head()
+    assert(ok == Seq(2L))
   }
 }
