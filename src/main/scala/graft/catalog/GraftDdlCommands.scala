@@ -1,0 +1,125 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.{BooleanType, StringType}
+
+/** Executable commands for the reference's DDL statements, so its job
+  * scripts run VERBATIM through `spark.sql` without a lakehouse catalog:
+  *
+  *  - `CREATE NAMESPACE IF NOT EXISTS iceberg.bronze`
+  *    (`/root/reference/jobs/merge_orders_silver.py:25-27`,
+  *    `ingest_orders_raw.py:22` with catalog `demo`)
+  *  - `CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (…) USING
+  *    iceberg` (`ingest_orders_raw.py:24-34`,
+  *    `merge_orders_silver.py:30-47`)
+  *  - `CREATE VIEW iceberg.silver.orders_current_priv AS …` /
+  *    `DROP VIEW IF EXISTS …` (`README.md:105-116`)
+  *  - `SHOW SCHEMAS FROM iceberg` / `SHOW TABLES FROM iceberg.bronze`
+  *    (`README.md:200-201`)
+  *
+  * [[GraftSqlParser]] swaps the parsed plans for these commands when the
+  * statement names one of the reference's catalogs (`iceberg`, `demo`) —
+  * Spark's own session-catalog DDL is untouched otherwise. Each command
+  * is a driver-side metadata operation on the session's shared
+  * [[TableStore]] state; nothing here touches executors, so the 100-TB
+  * story is the metastore's, not this code's.
+  */
+private[catalog] object GraftCatalogs {
+  /** The reference's two catalog spellings for the SAME catalog
+    * (`ingest_orders_raw.py:4` CATALOG="demo";
+    * `merge_orders_silver.py:9` CATALOG="iceberg"). */
+  def isGraft(name: String): Boolean =
+    name.equalsIgnoreCase("iceberg") || name.equalsIgnoreCase("demo")
+}
+
+case class GraftCreateNamespaceCommand(ns: String, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    if (!ifNotExists && store.listNamespaces().contains(ns))
+      throw new IllegalStateException(s"namespace already exists: $ns")
+    store.createNamespace(ns)
+    Seq.empty
+  }
+}
+
+case class GraftCreateTableCommand(ns: String, name: String,
+                                   tableSchema: org.apache.spark.sql.types.StructType,
+                                   ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    if (!ignoreIfExists && store.tableExists(ns, name))
+      throw new IllegalStateException(s"table already exists: $ns.$name")
+    store.createTableIfNotExists(ns, name, tableSchema)
+    Seq.empty
+  }
+}
+
+/** CREATE [OR REPLACE] VIEW — the query plan stays unresolved until run
+  * (same contract as [[GraftMergeCommand]]), then resolves through the
+  * session's full analyzer, so the view body may reference other
+  * registered tables by qualified name. */
+case class GraftCreateViewCommand(ns: String, name: String,
+                                  query: LogicalPlan,
+                                  allowExisting: Boolean, replace: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    val exists = store.tableExists(ns, name)
+    if (exists && allowExisting && !replace) return Seq.empty
+    if (exists && !allowExisting && !replace)
+      throw new IllegalStateException(s"view already exists: $ns.$name")
+    store.createView(ns, name, PlanBridge.ofRows(spark, query))
+    Seq.empty
+  }
+}
+
+case class GraftDropViewCommand(ns: String, name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = new TableStore(spark).dropView(ns, name)
+    if (!dropped && !ifExists)
+      throw new java.util.NoSuchElementException(s"no such view: $ns.$name")
+    Seq.empty
+  }
+}
+
+case class GraftShowSchemasCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("namespace", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    new TableStore(spark).listNamespaces().map(Row(_))
+}
+
+/** SHOW TABLES [IN/FROM ns]. `ns = None` lists the whole graft catalog
+  * (`SHOW TABLES FROM iceberg`). A 1-part namespace with no catalog
+  * prefix (`SHOW TABLES IN silver`) is also routed here; when that
+  * namespace is NOT a graft namespace it falls back to the session
+  * catalog's listing, so plain-Spark databases keep working. */
+case class GraftShowTablesCommand(ns: Option[String], bare: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("table_name", StringType, nullable = false)(),
+    AttributeReference("is_view", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    val graftNs = ns.forall(n =>
+      store.listNamespaces().contains(n.toLowerCase(java.util.Locale.ROOT)))
+    if (graftNs || !bare)
+      store.tableRows(ns.getOrElse(""))
+        .map { case (n, t, v) => Row(n, t, v) }
+    else // bare non-graft namespace: Spark's own database listing
+      spark.sessionState.catalog
+        .listTables(ns.get)
+        .map(ti => Row(ti.database.getOrElse(""), ti.table, false))
+  }
+}

@@ -57,12 +57,13 @@ case class GraftMergeCommand(merge: MergeIntoTable)
       PlanBridge.column(merge.mergeCondition), "full_outer")
 
     // Iceberg raises when one target row matches several source rows;
-    // same contract here, opt-in (spark.graft.merge.checkCardinality)
-    // because the guard's per-target-row window adds a shuffle the
-    // pre-deduped pipeline never needs.
+    // same contract here, ON by default (set
+    // spark.graft.merge.checkCardinality=false to opt out when the
+    // source is known pre-deduped and the guard's per-target-row
+    // window shuffle is worth skipping).
     val joined =
       if (!spark.conf.getOption("spark.graft.merge.checkCardinality")
-          .exists(_.toBoolean)) raw
+          .map(_.toBoolean).getOrElse(true)) raw
       else {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("__tid")
         raw.withColumn("__m",

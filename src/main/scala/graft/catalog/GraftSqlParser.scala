@@ -33,11 +33,69 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   /** Statement-level MERGE INTO goes to [[GraftMergeCommand]] — plain
     * Spark has no executable MERGE target without a lakehouse catalog,
     * so nothing legitimate is shadowed. Clause expressions stay
-    * unresolved inside the command until it runs. */
-  private def intercept(plan: LogicalPlan): LogicalPlan = plan match {
-    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
-      GraftMergeCommand(m)
-    case other => other
+    * unresolved inside the command until it runs.
+    *
+    * DDL naming one of the reference's catalogs (`iceberg.`, `demo.`)
+    * goes to the GraftDdlCommands so the reference's job scripts run
+    * text-for-text (`ingest_orders_raw.py:22-34`,
+    * `merge_orders_silver.py:25-47`, `README.md:105-116,200-201`);
+    * session-catalog DDL without that prefix is left to Spark — except
+    * `SHOW TABLES IN <ns>`, which resolves graft namespaces first and
+    * falls back to the session catalog at run time. */
+  private def intercept(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import GraftCatalogs.isGraft
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    plan match {
+      case m: MergeIntoTable => GraftMergeCommand(m)
+
+      case c @ CreateNamespace(UnresolvedNamespace(Seq(cat, ns), _), _, _)
+          if isGraft(cat) =>
+        GraftCreateNamespaceCommand(lower(ns), c.ifNotExists)
+
+      case c: CreateTable => c.name match {
+        case UnresolvedIdentifier(Seq(cat, ns, t), _) if isGraft(cat) =>
+          val schema = org.apache.spark.sql.types.StructType(
+            c.columns.map(col => org.apache.spark.sql.types.StructField(
+              col.name, col.dataType, col.nullable)))
+          GraftCreateTableCommand(lower(ns), lower(t), schema,
+            c.ignoreIfExists)
+        case _ => c
+      }
+
+      case c: CreateView => c.child match {
+        case UnresolvedIdentifier(Seq(cat, ns, v), _) if isGraft(cat) =>
+          GraftCreateViewCommand(lower(ns), lower(v), c.query,
+            c.allowExisting, c.replace)
+        case _ => c
+      }
+
+      case d: DropView => d.child match {
+        case UnresolvedIdentifier(Seq(cat, ns, v), _) if isGraft(cat) =>
+          GraftDropViewCommand(lower(ns), lower(v), d.ifExists)
+        case _ => d
+      }
+
+      case s: org.apache.spark.sql.execution.command.ShowNamespacesCommand
+          if (s.child match {
+            case UnresolvedNamespace(Seq(cat), _) => isGraft(cat)
+            case _ => false
+          }) =>
+        GraftShowSchemasCommand()
+
+      case s: ShowTables if s.pattern.isEmpty => s.namespace match {
+        case UnresolvedNamespace(Seq(cat, ns), _) if isGraft(cat) =>
+          GraftShowTablesCommand(Some(lower(ns)), bare = false)
+        case UnresolvedNamespace(Seq(cat), _) if isGraft(cat) =>
+          GraftShowTablesCommand(None, bare = false)
+        case UnresolvedNamespace(Seq(ns), _) =>
+          GraftShowTablesCommand(Some(lower(ns)), bare = true)
+        case _ => s
+      }
+
+      case other => other
+    }
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

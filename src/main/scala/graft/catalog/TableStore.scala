@@ -2,7 +2,6 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
-import scala.collection.mutable
 
 /** Namespaced table/view registry — the reference's catalog surface
   * (SURVEY §2.1 S6/S7/S8/S9/S10) re-expressed without a lakehouse
@@ -17,40 +16,49 @@ import scala.collection.mutable
   *  - `SHOW SCHEMAS` / `SHOW TABLES` (`README.md:200-201`)
   *  - temp-view staging for MERGE sources (`merge_orders_silver.py:132`)
   *
-  * Every registration is reachable from `spark.sql` under its QUALIFIED
-  * name — `silver.orders_current_priv`, or the reference's full
-  * `iceberg.silver.orders_current_priv` spelling — via
-  * [[ResolveGraftRelations]], the analyzer rule [[graft.GraftExtensions]]
-  * injects (the same `spark.sql.extensions` mechanism Iceberg's own
-  * extension jar uses, `/root/reference/jobs/merge_orders_silver.py:15`).
-  * A flat `<namespace>_<table>` temp view is kept as well for sessions
-  * built without the extension. In a cluster deployment the same
-  * interface fronts a metastore; here it is in-session state (the
-  * reference's REST catalog is also just a service wrapping a map of
-  * table → storage location).
+  * ALL state is session-shared (one catalog per session, like the
+  * reference's REST catalog shared by every job): the statements reach
+  * it equivalently through this Scala API or VERBATIM through
+  * `spark.sql` — [[GraftSqlParser]] routes `CREATE NAMESPACE` /
+  * `CREATE TABLE IF NOT EXISTS` / `CREATE VIEW` / `DROP VIEW` /
+  * `SHOW SCHEMAS` / `SHOW TABLES` under the reference's catalog names
+  * (`iceberg.`, `demo.`) to the commands in GraftDdlCommands.scala,
+  * which call back into this class. Every registration is resolvable
+  * from `spark.sql` under its qualified name
+  * (`silver.orders_current_priv`, or the reference's full
+  * `iceberg.silver.orders_current_priv` spelling) via
+  * [[ResolveGraftRelations]]; a flat `<namespace>_<table>` temp view is
+  * kept as well for sessions built without the extension. In a cluster
+  * deployment the same interface fronts a metastore; here it is
+  * in-session state (the reference's REST catalog is also just a
+  * service wrapping a map of table → storage location).
+  *
+  * [[TableStore.reset]] drops every registration — the fixture hook for
+  * queries that must list a catalog built from scratch.
   */
 class TableStore(val spark: SparkSession) {
 
-  private val namespaces = mutable.SortedSet.empty[String]
-  private val tables = mutable.SortedMap.empty[String, DataFrame]
-  private val views = mutable.SortedSet.empty[String]
+  private def st = TableStore.state(spark)
 
-  private def key(ns: String, name: String) = s"$ns.$name"
+  private def key(ns: String, name: String): Seq[String] =
+    Seq(ns, name).map(_.toLowerCase(java.util.Locale.ROOT))
 
   /** S6 — CREATE NAMESPACE IF NOT EXISTS. */
-  def createNamespace(ns: String): Unit = namespaces += ns
+  def createNamespace(ns: String): Unit =
+    st.namespaces.put(ns.toLowerCase(java.util.Locale.ROOT), ())
 
-  def listNamespaces(): Seq[String] = namespaces.toSeq
+  def listNamespaces(): Seq[String] = st.namespaces.keys.toSeq.sorted
+
+  def tableExists(ns: String, name: String): Boolean =
+    st.registry.contains(key(ns, name))
 
   /** Register (or replace) a table under `ns.name`: resolvable from
     * `spark.sql` as `ns.name` (and `iceberg.ns.name`), plus the flat
     * `ns_name` temp view. */
   def register(ns: String, name: String, df: DataFrame): Unit = {
     createNamespace(ns)
-    tables(key(ns, name)) = df
     df.queryExecution.analyzed // force analysis at registration time
-    TableStore.registry(spark).put(
-      Seq(ns, name).map(_.toLowerCase(java.util.Locale.ROOT)), df)
+    st.registry.put(key(ns, name), df)
     df.createOrReplaceTempView(s"${ns}_$name")
   }
 
@@ -58,7 +66,7 @@ class TableStore(val spark: SparkSession) {
     * an empty frame only when absent; returns the current table. */
   def createTableIfNotExists(ns: String, name: String,
                              schema: StructType): DataFrame = {
-    if (!tables.contains(key(ns, name)))
+    if (!tableExists(ns, name))
       register(ns, name, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     table(ns, name)
@@ -69,16 +77,23 @@ class TableStore(val spark: SparkSession) {
     * time exactly like the reference's Trino view). */
   def createView(ns: String, name: String, df: DataFrame): Unit = {
     register(ns, name, df)
-    views += key(ns, name)
+    st.views.put(key(ns, name), ())
   }
 
-  /** Current table state — the shared registry first (a SQL MERGE may
-    * have replaced the snapshot since registration), the local map as
-    * fallback. */
+  /** DROP VIEW [IF EXISTS] (`/root/reference/README.md:105`).
+    * @return true iff a view was dropped */
+  def dropView(ns: String, name: String): Boolean = {
+    val k = key(ns, name)
+    val wasView = st.views.remove(k).isDefined
+    if (wasView) st.registry.remove(k)
+    wasView
+  }
+
+  /** Current table state (a SQL MERGE may have replaced the snapshot
+    * since registration). */
   def table(ns: String, name: String): DataFrame =
-    TableStore.registry(spark)
-      .get(Seq(ns, name).map(_.toLowerCase(java.util.Locale.ROOT)))
-      .getOrElse(tables(key(ns, name)))
+    st.registry.getOrElse(key(ns, name),
+      throw new java.util.NoSuchElementException(s"not registered: $ns.$name"))
 
   def table(qualified: String): DataFrame = {
     val Array(ns, name) = qualified.split("\\.", 2)
@@ -91,17 +106,20 @@ class TableStore(val spark: SparkSession) {
     listNamespaces().toDF("namespace")
   }
 
+  /** Sorted (namespace, table_name, is_view) rows, optionally filtered
+    * to one namespace — shared by [[showTables]] and the SQL command. */
+  def tableRows(ns: String = ""): Seq[(String, String, Boolean)] =
+    st.registry.keys.toSeq
+      .filter(k => ns.isEmpty ||
+        k.head == ns.toLowerCase(java.util.Locale.ROOT))
+      .map(k => (k.head, k(1), st.views.contains(k)))
+      .sortBy(r => (r._1, r._2))
+
   /** S9 — SHOW TABLES [IN ns] as a DataFrame (is_view mirrors engines
     * that list views alongside tables). */
   def showTables(ns: String = ""): DataFrame = {
     import spark.implicits._
-    tables.keys.toSeq
-      .filter(k => ns.isEmpty || k.startsWith(s"$ns."))
-      .map { k =>
-        val Array(n, t) = k.split("\\.", 2)
-        (n, t, views.contains(k))
-      }
-      .toDF("namespace", "table_name", "is_view")
+    tableRows(ns).toDF("namespace", "table_name", "is_view")
   }
 
   /** S10 — temp-view staging for a MERGE source. */
@@ -111,27 +129,40 @@ class TableStore(val spark: SparkSession) {
 
 object TableStore {
 
-  // Per-session qualified-name registry read by ResolveGraftRelations.
-  // Shared across TableStore instances on the same session (like a
-  // catalog service shared by all clients); weak keys let sessions be
-  // collected.
-  private val registries =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[Seq[String], DataFrame]]())
+  /** Per-session catalog state, shared by every TableStore instance and
+    * every SQL command on the session (like a catalog service shared by
+    * all clients); weak keys let sessions be collected. */
+  private[catalog] final class State {
+    val registry =
+      scala.collection.concurrent.TrieMap.empty[Seq[String], DataFrame]
+    val namespaces = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    val views = scala.collection.concurrent.TrieMap.empty[Seq[String], Unit]
+  }
 
-  private[catalog] def registry(s: SparkSession) = {
-    val existing = registries.get(s)
+  private val states =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, State]())
+
+  private[catalog] def state(s: SparkSession): State = {
+    val existing = states.get(s)
     if (existing != null) existing
-    else registries.synchronized {
-      val again = registries.get(s)
+    else states.synchronized {
+      val again = states.get(s)
       if (again != null) again
       else {
-        val fresh =
-          scala.collection.concurrent.TrieMap.empty[Seq[String], DataFrame]
-        registries.put(s, fresh)
+        val fresh = new State
+        states.put(s, fresh)
         fresh
       }
     }
+  }
+
+  private[catalog] def registry(s: SparkSession) = state(s).registry
+
+  /** Drop every graft-catalog registration on the session — a
+    * from-scratch catalog for fixture queries and tests. */
+  def reset(s: SparkSession): Unit = {
+    val st = state(s)
+    st.registry.clear(); st.namespaces.clear(); st.views.clear()
   }
 }

@@ -179,18 +179,87 @@ object PipelineQueries {
         .orderBy("status", "amount_band")
     }),
 
-    // S6/S9 — catalog introspection: namespaces, tables, views.
+    // S6/S7/S8/S9 — the reference's own DDL statement TEXT through
+    // spark.sql, building the catalog from scratch: CREATE NAMESPACE ×3
+    // (`merge_orders_silver.py:25-27`), both CREATE TABLE IF NOT EXISTS
+    // (`ingest_orders_raw.py:24-34` under its `demo` catalog spelling;
+    // `merge_orders_silver.py:30-47`), DROP VIEW IF EXISTS + CREATE
+    // VIEW (`README.md:105-116`; the Trino-only scalars
+    // to_hex(sha256(to_utf8(x))) and bare `varchar` are spelled in
+    // Spark dialect — sha2(x, 256), STRING — the one mechanical edit a
+    // porting user makes), then the SHOW TABLES listing itself as SQL.
     "q_show_tables" -> ((s, d) => {
+      TableStore.reset(s) // a from-scratch catalog, order-independent
+      s.sql("CREATE NAMESPACE IF NOT EXISTS iceberg.bronze")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS iceberg.silver")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS iceberg.monitoring")
+      s.sql("""
+        CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (
+          topic STRING,
+          partition INT,
+          offset BIGINT,
+          kafka_ts TIMESTAMP,
+          k STRING,
+          v STRING,
+          ingested_at TIMESTAMP
+        ) USING iceberg""")
+      s.sql("""
+        CREATE TABLE IF NOT EXISTS iceberg.silver.orders_current (
+          order_id INT,
+          user_id INT,
+          amount_eur DOUBLE,
+          status STRING,
+          last_change_ts TIMESTAMP
+        ) USING iceberg""")
+      s.sql("""
+        CREATE TABLE IF NOT EXISTS iceberg.monitoring.cdc_checkpoints (
+          pipeline STRING,
+          last_offset BIGINT,
+          updated_at TIMESTAMP
+        ) USING iceberg""")
+      s.sql("DROP VIEW IF EXISTS iceberg.silver.orders_current_priv")
+      s.sql(s"""
+        CREATE VIEW iceberg.silver.orders_current_priv AS
+        SELECT
+          order_id,
+          sha2(cast(user_id as STRING) || '::$Salt', 256) AS user_key,
+          amount_eur,
+          status,
+          last_change_ts
+        FROM iceberg.silver.orders_current""")
+      s.sql("SHOW SCHEMAS FROM iceberg") // README.md:200, smoke
+      s.sql("SHOW TABLES FROM iceberg")
+        .orderBy("namespace", "table_name")
+    }),
+
+    // The reference's SECOND MERGE statement — checkpoint advance with
+    // an inline `SELECT … AS` literal-row source
+    // (`merge_orders_silver.py:156-165`) — VERBATIM through spark.sql
+    // (PIPELINE='orders' and the real max offset interpolated exactly
+    // as the python f-string renders them). Runs twice so both the NOT
+    // MATCHED INSERT and the MATCHED UPDATE paths execute; updated_at
+    // is current_timestamp per the statement, so the compared columns
+    // are the deterministic (pipeline, last_offset).
+    "q_cdc_checkpoint_merge_sql" -> ((s, d) => {
       val store = new TableStore(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS iceberg.monitoring")
+      store.register("monitoring", "cdc_checkpoints",
+        Checkpoints.empty(s))
       val bronze = bronzeOf(s, d)
-      store.register("bronze", "orders_cdc_raw", bronze)
-      val silver = Silver.rebuild(bronze)
-      store.register("silver", "orders_current", silver)
-      store.createView("silver", "orders_current_priv",
-        Mask.pseudonymize(silver, "user_id", Salt, "user_key"))
-      store.createTableIfNotExists("monitoring", "cdc_checkpoints",
-        Checkpoints.schema)
-      store.showTables().orderBy("namespace", "table_name")
+      val maxOffset = bronze.agg(max("offset")).collect()(0).getLong(0)
+      def advance(off: Long): Unit = s.sql(s"""
+        MERGE INTO iceberg.monitoring.cdc_checkpoints t
+        USING (SELECT 'orders' AS pipeline, $off AS last_offset) s
+        ON t.pipeline = s.pipeline
+        WHEN MATCHED THEN UPDATE SET
+          last_offset = s.last_offset,
+          updated_at = current_timestamp
+        WHEN NOT MATCHED THEN INSERT (pipeline, last_offset, updated_at)
+        VALUES (s.pipeline, s.last_offset, current_timestamp)""")
+      advance(maxOffset - 1) // first run: INSERT path
+      advance(maxOffset)     // later run: UPDATE path
+      store.table("monitoring", "cdc_checkpoints")
+        .select("pipeline", "last_offset").orderBy("pipeline")
     })
   )
 
@@ -377,6 +446,14 @@ object PipelineQueries {
     "q_cdc_checkpoint" -> s"""
       WITH $evoCte
       SELECT 'orders_silver' AS pipeline,
+             CAST(max(off) AS BIGINT) AS last_offset
+      FROM evo""",
+
+    // Same max-offset truth, under the reference's PIPELINE='orders'
+    // and arrived at via the two verbatim MERGE executions.
+    "q_cdc_checkpoint_merge_sql" -> s"""
+      WITH $evoCte
+      SELECT 'orders' AS pipeline,
              CAST(max(off) AS BIGINT) AS last_offset
       FROM evo""",
 

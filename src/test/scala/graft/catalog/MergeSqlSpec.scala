@@ -79,24 +79,30 @@ class MergeSqlSpec extends SparkSpec {
     assert(got == Set(("orders", 250L), ("events", 7L)))
   }
 
-  test("cardinality guard (opt-in conf) raises when a target row " +
-    "matches several source rows") {
+  test("cardinality guard raises BY DEFAULT when a target row matches " +
+    "several source rows (Iceberg's MERGE contract); opt-out lets the " +
+    "duplicate flow") {
     val store = freshStore()
     store.register("silver", "t_card", Seq((1, "a")).toDF("id", "v"))
     store.stage("src_card", Seq((1, "x"), (1, "y")).toDF("id", "v"))
     val sql = """
       MERGE INTO silver.t_card t USING src_card s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET v = s.v"""
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // default (no conf set): the guard is on
+    val e = intercept[Exception](spark.sql(sql))
+    assert(msgs(e).exists(_.contains("cardinality violation")), e)
+    // explicit true behaves identically
     spark.conf.set("spark.graft.merge.checkCardinality", "true")
     try {
-      val e = intercept[Exception](spark.sql(sql))
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("cardinality violation")), e)
+      val e2 = intercept[Exception](spark.sql(sql))
+      assert(msgs(e2).exists(_.contains("cardinality violation")), e2)
+      // opt-out: the duplicate match flows through (documented deviation)
+      spark.conf.set("spark.graft.merge.checkCardinality", "false")
+      spark.sql(sql)
+      assert(store.table("silver", "t_card").count() == 2)
     } finally spark.conf.unset("spark.graft.merge.checkCardinality")
-    // default off: the duplicate match flows through (documented)
-    spark.sql(sql)
-    assert(store.table("silver", "t_card").count() == 2)
   }
 
   test("NOT MATCHED BY SOURCE clauses apply to unreferenced target rows") {

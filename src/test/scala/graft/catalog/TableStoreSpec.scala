@@ -7,6 +7,7 @@ class TableStoreSpec extends SparkSpec {
   import spark.implicits._
 
   test("register / table / showSchemas / showTables / views") {
+    TableStore.reset(spark) // state is session-shared; start clean
     val store = new TableStore(spark)
     store.createNamespace("bronze")
     store.register("silver", "t1", Seq(1).toDF("x"))
