@@ -37,6 +37,57 @@ class StreamingSilverSpec extends SparkSpec {
     assert(!streamed.map(_._1).contains(17)) // tombstoned
   }
 
+  test("restart with the same checkpointLocation resumes without " +
+    "reprocessing drained files (exactly-once-ish, README.md:225)") {
+    val root = Files.createTempDirectory("stream-restart").toString
+    val bronzeDir = s"$root/bronze"
+    val silverDir = s"$root/silver"
+    val cpDir = s"$root/cp"
+
+    def ordersDf(rows: Seq[(Long, Long, String, Double, String)]) =
+      rows.map { case (k, u, st, p, d) => (k, u, st, p, ts(d)) }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+    val bronze1 = Synth.bronze(ordersDf(Seq(
+      (1L, 10L, "O", 100.0, "2024-01-01 00:00:00"),
+      (3L, 12L, "O", 300.0, "2024-01-03 00:00:00"))))
+    bronze1.write.parquet(bronzeDir)
+
+    val q1 = StreamingSilver.start(spark, bronzeDir, silverDir, cpDir)
+    q1.awaitTermination(60000)
+
+    // stop/append/RESTART with the same checkpoint: only the new files
+    // may be consumed
+    val bronze2 = Synth.bronze(ordersDf(Seq(
+      (2L, 11L, "P", 200.0, "2024-01-06 00:00:00"),
+      (5L, 13L, "F", 500.0, "2024-01-07 00:00:00"))))
+    bronze2.write.mode("append").parquet(bronzeDir)
+
+    val q2 = StreamingSilver.start(spark, bronzeDir, silverDir, cpDir)
+    q2.awaitTermination(60000)
+    val replayRows = q2.recentProgress.map(_.numInputRows).sum
+    assert(replayRows == bronze2.count(),
+      s"restart consumed $replayRows rows, expected only batch-2's")
+
+    // final snapshot == the full two-step batch merge (no duplication,
+    // no loss)
+    val streamed = Snapshot.read(spark, silverDir)
+      .select("order_id", "status").as[(Int, String)].collect().toSet
+    val batch = Silver.mergeBatch(
+      Silver.mergeBatch(StreamingSilver.emptySilver(spark), bronze1),
+      bronze2)
+      .select("order_id", "status").as[(Int, String)].collect().toSet
+    assert(streamed == batch)
+
+    // idle restart: nothing new → zero rows processed, snapshot intact
+    val q3 = StreamingSilver.start(spark, bronzeDir, silverDir, cpDir)
+    q3.awaitTermination(60000)
+    assert(q3.recentProgress.map(_.numInputRows).sum == 0)
+    assert(Snapshot.read(spark, silverDir)
+      .select("order_id", "status").as[(Int, String)].collect().toSet
+      == batch)
+  }
+
   test("windowedCounts groups ops into tumbling windows") {
     val orders = Seq(
       (1L, 10L, "O", 100.0, ts("2024-01-01 00:00:00")),
