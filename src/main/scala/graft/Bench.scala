@@ -47,14 +47,15 @@ object Bench {
     // comparable run-to-run regardless of Map iteration order.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> timed(n))
-    // Outlier audit: any query that cost >5x the run median gets one
-    // isolated re-measurement (post-release, post-GC) so the record
-    // distinguishes a slow plan from harness interaction.
+    // Outlier audit: any query that cost >3x the run median (and >2s
+    // absolute) gets one isolated re-measurement (post-release,
+    // post-GC) so the record distinguishes a slow plan from harness
+    // interaction / host contention without needing a separate run.
     val sortedTimes = results.map(_._2).filter(_ >= 0).sorted
     val median =
       if (sortedTimes.isEmpty) 0.0 else sortedTimes(sortedTimes.size / 2)
     val isolated = results.collect {
-      case (n, t) if median > 0 && t > 5 * median && t > 5.0 =>
+      case (n, t) if median > 0 && t > 3 * median && t > 2.0 =>
         n -> timed(n)
     }
     def jmap(kvs: Seq[(String, Double)]): String =

@@ -35,22 +35,27 @@ object Clusters {
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      val prop = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("pid"), col("label").as("nbr"))
-        .groupBy("pid").agg(min("nbr").as("nbr_min"))
-      // The old label is already on the row, so the changed-flag is a
-      // free comparison in the same select — counting it on the
-      // materialized checkpoint costs no join and no recompute, where
-      // a labels-vs-updated equi-join to detect convergence would pay
-      // a second full shuffle per round (driver-serialized rounds make
-      // that the dominant cost at scale).
-      val updated = labels.as("l")
-        .join(prop, col("l.id") === col("pid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nbr_min"), col("l.label")))
-            .as("label"),
-          coalesce(col("nbr_min") < col("l.label"), lit(false))
-            .as("_changed"))
+      // One join + one aggregation per round: neighbor candidates
+      // (edge join) UNION each vertex's own row, then min per vertex.
+      // The self row carries the old label in `own` (null on neighbor
+      // rows), so the new label, the old label, and the changed-flag
+      // all come out of the SAME aggregation — no second join to apply
+      // updates, no third to detect convergence. The count runs on the
+      // materialized checkpoint, so a round costs exactly one edge-key
+      // shuffle + one vertex-key shuffle + one cheap action —
+      // driver-serialized rounds make per-round shuffles the dominant
+      // cost at scale.
+      val labelType = labels.schema("label").dataType
+      val nbrs = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label").as("cand"),
+          lit(null).cast(labelType).as("own"))
+      val updated = nbrs
+        .unionByName(labels.select(col("id"), col("label").as("cand"),
+          col("label").as("own")))
+        .groupBy("id")
+        .agg(min("cand").as("label"), max("own").as("own"))
+        .withColumn("_changed", col("label") < col("own"))
+        .drop("own")
         .localCheckpoint()
       val changed = updated.filter(col("_changed")).count()
       labels = updated.drop("_changed")
