@@ -165,6 +165,54 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** X2d — EXACT n-gram Jaccard near-duplicate pairs via an inverted
+    * shingle index (no MinHash, no probability): every pair sharing at
+    * least one retained shingle is a candidate (posting-list self-join
+    * on the shingle), the intersection size falls out of one count
+    * aggregation, and Jaccard = inter / (|A| + |B| - inter). The
+    * deterministic audit path next to X2's banded recall — run it on a
+    * sample to measure what the LSH bands miss.
+    *
+    * Scale contract: the candidate join's key is the shingle, so cost
+    * is Σ df(shingle)² — ultra-common shingles are what blows that up,
+    * and `maxDf` drops any shingle appearing in more than that many
+    * documents (the standard posting-list cap; a shingle shared by
+    * thousands of documents carries no discriminative mass). Jaccard is
+    * then EXACT over the retained (df ≤ maxDf) shingle sets — document
+    * sizes are counted after the cap on both engines, so the quantity
+    * is well-defined, not approximated.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleSize: Int = 3,
+                        minJaccard: Double = 0.5,
+                        maxDf: Int = 50): DataFrame = {
+    val spread = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val posting = spread
+      .select(col(idCol).as("id"),
+        explode(shingleSet(col(textCol), shingleSize)).as("shingle"))
+    // posting-cap: one shuffle on shingle computes df and drops the
+    // heavy tail; the same exchange pre-partitions the candidate join
+    val byShingle = posting
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val sizes = byShingle.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = byShingle.as("a")
+      .join(byShingle.as("b"), Seq("shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** SimHash bit width: 32 (8 md5 hex digits × 4 bits). */
   val SimHashBits = 32
 

@@ -178,6 +178,13 @@ object ExtQueries {
         minJaccard = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // X2d — EXACT n-gram Jaccard pairs via inverted shingle index with
+    // a df-cap: the deterministic audit path beside X2's banded recall.
+    "q_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardPairs(corpusWithTwins(Tables.documents(s, d)),
+        minJaccard = 0.4)
+        .orderBy("id_a", "id_b")),
+
     // X13 — duplicate clusters: connected components over the near-dup
     // pairs (min-label propagation); canonical survivor = smallest id.
     "q_dup_clusters" -> ((s, d) => {
@@ -570,6 +577,35 @@ object ExtQueries {
       WITH $nearDupCtes
       SELECT id_a, id_b, jaccard FROM paired
       WHERE jaccard >= 0.4 ORDER BY id_a, id_b""",
+
+    // X2d — exact inverted-index twin: posting list → df cap (50) →
+    // shared-shingle candidate join → count intersection → Jaccard over
+    // the retained sets. Same df cap and threshold as the Spark plan.
+    "q_ngram_jaccard" -> s"""
+      WITH $twinsCte,
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM twins),
+      sh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM toks),
+      posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      dfc AS (SELECT shingle, count(*) AS df FROM posting GROUP BY shingle),
+      keep AS (
+        SELECT p.doc_id, p.shingle
+        FROM posting p JOIN dfc ON p.shingle = dfc.shingle
+        WHERE dfc.df <= 50
+      ),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM keep GROUP BY doc_id),
+      ipairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS icnt
+        FROM keep a JOIN keep b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b,
+             icnt::DOUBLE / (sa.sz + sb.sz - icnt)::DOUBLE AS jaccard
+      FROM ipairs
+      JOIN sizes sa ON sa.doc_id = ipairs.id_a
+      JOIN sizes sb ON sb.doc_id = ipairs.id_b
+      WHERE icnt::DOUBLE / (sa.sz + sb.sz - icnt)::DOUBLE >= 0.4
+      ORDER BY id_a, id_b""",
 
     // X13 — recursive-CTE twin of the min-label components: reach(v,u)
     // = transitive closure over the bidirectional pair edges; label =

@@ -48,6 +48,44 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("AsOfJoin carries NULL payload fields atomically: the matched " +
+    "right row's nulls come through, never back-filled from older rows") {
+    for (seed <- Seq(7, 301)) {
+      val rnd = new Random(seed)
+      val left = Seq.tabulate(120)(i =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(30).toLong, i.toLong))
+        .toDF("k", "ts", "lid")
+      // ~40% of payload values are null; `marker` is never null, so a
+      // mixed-rows bug shows as (null payload, marker from ANOTHER row)
+      val rightRows = Seq.tabulate(120)(_ =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(30).toLong))
+        .distinct.map { case (k, t) =>
+          (k, t,
+            if (rnd.nextInt(5) < 2) None else Some(k * 1000 + t),
+            k * 1000 + t)
+        }
+      val right = rightRows.toDF("k", "ts", "payload", "marker")
+
+      val back = AsOfJoin.backward(left, right, "k", "ts", "ts",
+        Seq("payload", "marker"))
+        .select($"lid", $"asof_payload", $"asof_marker")
+        .as[(Long, Option[Long], Option[Long])].collect()
+      val leftRows = left.as[(Long, Long, Long)].collect()
+      val backMap = back.map(r => r._1 -> (r._2, r._3)).toMap
+      leftRows.foreach { case (k, ts, lid) =>
+        val before = rightRows.filter(r => r._1 == k && r._2 <= ts)
+        val want =
+          if (before.isEmpty) (None, None)
+          else {
+            val m = before.maxBy(_._2)
+            (m._3, Some(m._4))
+          }
+        assert(backMap(lid) == want,
+          s"seed=$seed lid=$lid: got ${backMap(lid)}, want $want")
+      }
+    }
+  }
+
   test("RangeJoin matches the brute-force range predicate on random " +
     "intervals across bucket widths") {
     for (seed <- Seq(5, 77)) {

@@ -30,6 +30,49 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngramJaccardPairs: exact Jaccard equals the brute-force set " +
+    "computation; LSH pairs are a subset of the exact pairs") {
+    val exact = DedupOps.ngramJaccardPairs(docs, minJaccard = 0.4)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute force over collected shingle sets (df cap is a no-op at 4
+    // docs with cap 50)
+    val sets = docs
+      .select($"doc_id", DedupOps.shingleSet($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size
+      j = inter.toDouble /
+        (sets(a).size + sets(b).size - inter).toDouble
+      if j >= 0.4
+    } yield (a, b) -> j).toMap
+    assert(exact == want)
+    // the probabilistic path never finds a pair the exact path lacks
+    val lsh = DedupOps.nearDuplicates(docs, minJaccard = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact.keySet))
+  }
+
+  test("ngramJaccardPairs df-cap drops ultra-common shingles from " +
+    "candidates AND from the Jaccard denominator") {
+    // 3 docs sharing one universal shingle; with maxDf=2 that shingle
+    // is dropped, so no pair shares anything → no pairs at all
+    val uni = Seq(
+      (1L, "common phrase here alpha beta gamma"),
+      (2L, "common phrase here delta epsilon zeta"),
+      (3L, "common phrase here eta theta iota")
+    ).toDF("doc_id", "text")
+    val capped = DedupOps.ngramJaccardPairs(uni, minJaccard = 0.01,
+      maxDf = 2)
+    assert(capped.count() == 0)
+    // uncapped, every pair shares exactly the universal shingles
+    val open = DedupOps.ngramJaccardPairs(uni, minJaccard = 0.01,
+      maxDf = 1000)
+    assert(open.count() == 3)
+  }
+
   test("nearDuplicates with a table-write materializer (cluster path) " +
     "matches the localCheckpoint default") {
     val dir = java.nio.file.Files.createTempDirectory("sigtbl").toString
