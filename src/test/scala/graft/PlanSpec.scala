@@ -151,6 +151,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"pivot should shuffle once (saw $exchanges):\n$plan")
   }
 
+  test("ngram-jaccard: candidate join is shingle-keyed (no cartesian, " +
+    "no nested loop) and payload text never crosses an exchange") {
+    val docs = graft.queries.ExtQueries.corpusWithTwins(
+      Tables.documents(spark, sf))
+    val plan = finalPlan(graft.ext.DedupOps.ngramJaccardPairs(
+      docs, minJaccard = 0.4))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every exchange moves (id, shingle)-shaped rows or aggregates —
+    // never the document text
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(_.contains("text")), plan)
+  }
+
   test("brute-force top-k: corpus side has no shuffle before the " +
     "per-query top-k window") {
     val emb = Tables.embeddings(spark, sf)
