@@ -91,11 +91,16 @@ case class GraftDropViewCommand(ns: String, name: String, ifExists: Boolean)
   }
 }
 
-case class GraftShowSchemasCommand() extends LeafRunnableCommand {
+case class GraftShowSchemasCommand(pattern: Option[String])
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("namespace", StringType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    new TableStore(spark).listNamespaces().map(Row(_))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val all = new TableStore(spark).listNamespaces()
+    pattern.fold(all)(p =>
+      org.apache.spark.sql.catalyst.util.StringUtils.filterPattern(all, p))
+      .map(Row(_))
+  }
 }
 
 /** SHOW TABLES [IN/FROM ns]. `ns = None` lists the whole graft catalog
@@ -103,7 +108,8 @@ case class GraftShowSchemasCommand() extends LeafRunnableCommand {
   * prefix (`SHOW TABLES IN silver`) is also routed here; when that
   * namespace is NOT a graft namespace it falls back to the session
   * catalog's listing, so plain-Spark databases keep working. */
-case class GraftShowTablesCommand(ns: Option[String], bare: Boolean)
+case class GraftShowTablesCommand(ns: Option[String], bare: Boolean,
+                                  pattern: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("namespace", StringType, nullable = false)(),
@@ -114,12 +120,16 @@ case class GraftShowTablesCommand(ns: Option[String], bare: Boolean)
     val store = new TableStore(spark)
     val graftNs = ns.forall(n =>
       store.listNamespaces().contains(n.toLowerCase(java.util.Locale.ROOT)))
+    def keep(t: String): Boolean = pattern.forall(p =>
+      org.apache.spark.sql.catalyst.util.StringUtils
+        .filterPattern(Seq(t), p).nonEmpty)
     if (graftNs || !bare)
       store.tableRows(ns.getOrElse(""))
-        .map { case (n, t, v) => Row(n, t, v) }
+        .collect { case (n, t, v) if keep(t) => Row(n, t, v) }
     else // bare non-graft namespace: Spark's own database listing
       spark.sessionState.catalog
         .listTables(ns.get)
-        .map(ti => Row(ti.database.getOrElse(""), ti.table, false))
+        .collect { case ti if keep(ti.table) =>
+          Row(ti.database.getOrElse(""), ti.table, false) }
   }
 }

@@ -82,15 +82,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             case UnresolvedNamespace(Seq(cat), _) => isGraft(cat)
             case _ => false
           }) =>
-        GraftShowSchemasCommand()
+        GraftShowSchemasCommand(s.pattern)
 
-      case s: ShowTables if s.pattern.isEmpty => s.namespace match {
+      case s: ShowTables => s.namespace match {
         case UnresolvedNamespace(Seq(cat, ns), _) if isGraft(cat) =>
-          GraftShowTablesCommand(Some(lower(ns)), bare = false)
+          GraftShowTablesCommand(Some(lower(ns)), bare = false, s.pattern)
         case UnresolvedNamespace(Seq(cat), _) if isGraft(cat) =>
-          GraftShowTablesCommand(None, bare = false)
+          GraftShowTablesCommand(None, bare = false, s.pattern)
         case UnresolvedNamespace(Seq(ns), _) =>
-          GraftShowTablesCommand(Some(lower(ns)), bare = true)
+          GraftShowTablesCommand(Some(lower(ns)), bare = true, s.pattern)
         case _ => s
       }
 

@@ -56,7 +56,7 @@ object Clusters {
         .agg(min("cand").as("label"), max("own").as("own"))
         .withColumn("_changed", col("label") < col("own"))
         .drop("own")
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the count below materializes it
       val changed = updated.filter(col("_changed")).count()
       labels = updated.drop("_changed")
       converged = changed == 0

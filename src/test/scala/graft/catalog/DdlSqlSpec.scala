@@ -90,6 +90,13 @@ CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (
     val bare = spark.sql("SHOW TABLES IN silver")
       .as[(String, String, Boolean)].collect().toSeq
     assert(bare == Seq(("silver", "orders_current", false)))
+    // LIKE patterns filter (Spark's *-wildcard semantics)
+    val patterned = spark.sql("SHOW TABLES FROM iceberg LIKE 'orders_cdc*'")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(patterned == Seq(("bronze", "orders_cdc_raw", false)))
+    val schemaPat = spark.sql("SHOW SCHEMAS FROM iceberg LIKE 'sil*'")
+      .as[String].collect().toSeq
+    assert(schemaPat == Seq("silver"))
   }
 
   test("session-catalog DDL without the iceberg/demo prefix is left " +
