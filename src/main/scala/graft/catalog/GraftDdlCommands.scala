@@ -76,7 +76,11 @@ case class GraftCreateViewCommand(ns: String, name: String,
     if (exists && allowExisting && !replace) return Seq.empty
     if (exists && !allowExisting && !replace)
       throw new IllegalStateException(s"view already exists: $ns.$name")
-    store.createView(ns, name, PlanBridge.ofRows(spark, query))
+    // validate now (analysis errors surface at CREATE VIEW, like any
+    // engine), but store the UNRESOLVED plan: the view re-binds to the
+    // base tables' current state at every read (Trino-view semantics)
+    store.createLateBoundView(ns, name, query,
+      PlanBridge.ofRows(spark, query))
     Seq.empty
   }
 }

@@ -26,7 +26,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def strip(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
       case u @ UnresolvedRelation(Seq(cat, ns, t), _, _)
-          if cat.equalsIgnoreCase("iceberg") =>
+          if GraftCatalogs.isGraft(cat) =>
         u.copy(multipartIdentifier = Seq(ns, t))
     }
 

@@ -40,10 +40,21 @@ case class ResolveGraftRelations(session: SparkSession)
     val norm = parts.map(_.toLowerCase(java.util.Locale.ROOT))
     val key = norm match {
       case Seq("iceberg", ns, t) => Some(Seq(ns, t))
+      case Seq("demo", ns, t)    => Some(Seq(ns, t))
       case Seq(_, _) => Some(norm)
       case _ => None
     }
-    key.flatMap(TableStore.registry(session).get)
-      .map(df => SubqueryAlias(parts.last, df.queryExecution.analyzed))
+    val st = TableStore.state(session)
+    key.flatMap { k =>
+      // SQL-created views are LATE-BINDING: inline the stored
+      // unresolved view query and let this same fixed-point resolve its
+      // base relations against the registry's CURRENT state — a MERGE
+      // that replaced the base table is visible through the view, like
+      // the reference's Trino view (a stored query, not a snapshot).
+      st.viewPlans.get(k)
+        .map(p => SubqueryAlias(parts.last, p): LogicalPlan)
+        .orElse(st.registry.get(k)
+          .map(df => SubqueryAlias(parts.last, df.queryExecution.analyzed)))
+    }
   }
 }

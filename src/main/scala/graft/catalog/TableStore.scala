@@ -74,10 +74,27 @@ class TableStore(val spark: SparkSession) {
 
   /** S8 — CREATE VIEW: same registration, flagged as a view (a Spark
     * temp view IS lazy — the masking projection re-evaluates at query
-    * time exactly like the reference's Trino view). */
+    * time exactly like the reference's Trino view). A DataFrame view
+    * binds to the base tables' plans AS OF creation; SQL-created views
+    * go through [[createLateBoundView]] instead and re-resolve their
+    * base tables at every query. */
   def createView(ns: String, name: String, df: DataFrame): Unit = {
     register(ns, name, df)
     st.views.put(key(ns, name), ())
+  }
+
+  /** S8, SQL path — LATE-BINDING view: the UNRESOLVED query plan is
+    * stored and re-resolved by [[ResolveGraftRelations]] at every read,
+    * so a view over `silver.orders_current` sees the state a later
+    * `MERGE INTO` produced — the reference's Trino-view semantics
+    * (`/root/reference/README.md:106-121`: the view is a stored query,
+    * not a snapshot). `bound` is the analyzed frame used only for the
+    * flat `ns_name` temp-view fallback and creation-time validation. */
+  def createLateBoundView(ns: String, name: String,
+                          queryPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                          bound: DataFrame): Unit = {
+    createView(ns, name, bound)
+    st.viewPlans.put(key(ns, name), queryPlan)
   }
 
   /** DROP VIEW [IF EXISTS] (`/root/reference/README.md:105`).
@@ -85,7 +102,7 @@ class TableStore(val spark: SparkSession) {
   def dropView(ns: String, name: String): Boolean = {
     val k = key(ns, name)
     val wasView = st.views.remove(k).isDefined
-    if (wasView) st.registry.remove(k)
+    if (wasView) { st.registry.remove(k); st.viewPlans.remove(k) }
     wasView
   }
 
@@ -137,6 +154,10 @@ object TableStore {
       scala.collection.concurrent.TrieMap.empty[Seq[String], DataFrame]
     val namespaces = scala.collection.concurrent.TrieMap.empty[String, Unit]
     val views = scala.collection.concurrent.TrieMap.empty[Seq[String], Unit]
+    // SQL-created views: the stored (unresolved) view query, re-resolved
+    // per read by ResolveGraftRelations — late binding, Trino-style
+    val viewPlans = scala.collection.concurrent
+      .TrieMap.empty[Seq[String], org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
   }
 
   private val states =
@@ -164,5 +185,6 @@ object TableStore {
   def reset(s: SparkSession): Unit = {
     val st = state(s)
     st.registry.clear(); st.namespaces.clear(); st.views.clear()
+    st.viewPlans.clear()
   }
 }

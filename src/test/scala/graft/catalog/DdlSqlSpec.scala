@@ -99,6 +99,35 @@ CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (
     assert(schemaPat == Seq("silver"))
   }
 
+  test("SQL-created views are LATE-BINDING: a MERGE into the base " +
+    "table after CREATE VIEW is visible through the view (Trino-view " +
+    "semantics)") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    store.register("silver", "orders_current",
+      Seq((1, 700.0), (2, 300.0)).toDF("order_id", "amount_eur"))
+    spark.sql("""
+      CREATE VIEW iceberg.silver.big_orders AS
+      SELECT order_id, amount_eur FROM iceberg.silver.orders_current
+      WHERE amount_eur > 500.0""")
+    assert(spark.sql("SELECT order_id FROM silver.big_orders")
+      .as[Int].collect().toSeq == Seq(1))
+    // MERGE replaces the base table's registered snapshot
+    store.stage("big_src",
+      Seq((2, 900.0), (3, 800.0)).toDF("order_id", "amount_eur"))
+    spark.sql("""
+      MERGE INTO iceberg.silver.orders_current t USING big_src s
+      ON t.order_id = s.order_id
+      WHEN MATCHED THEN UPDATE SET amount_eur = s.amount_eur
+      WHEN NOT MATCHED THEN INSERT (order_id, amount_eur)
+      VALUES (s.order_id, s.amount_eur)""")
+    // the view sees the merged state, not its creation-time snapshot
+    val after = spark.sql(
+      "SELECT order_id FROM silver.big_orders ORDER BY order_id")
+      .as[Int].collect().toSeq
+    assert(after == Seq(1, 2, 3))
+  }
+
   test("session-catalog DDL without the iceberg/demo prefix is left " +
     "to Spark untouched") {
     // a plain temp view + bare SHOW TABLES still go through Spark's
