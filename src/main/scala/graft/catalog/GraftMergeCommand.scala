@@ -52,7 +52,8 @@ case class GraftMergeCommand(merge: MergeIntoTable)
     val target = targetDf.as(tq).select(col("*"), lit(true).as("__t"),
       monotonically_increasing_id().as("__tid"))
     val source = PlanBridge.ofRows(spark, merge.sourceTable)
-      .select(col("*"), lit(true).as("__s"))
+      .select(col("*"), lit(true).as("__s"),
+        monotonically_increasing_id().as("__sid"))
     val raw = target.join(source,
       PlanBridge.column(merge.mergeCondition), "full_outer")
 
@@ -60,12 +61,17 @@ case class GraftMergeCommand(merge: MergeIntoTable)
     // same contract here, ON by default (set
     // spark.graft.merge.checkCardinality=false to opt out when the
     // source is known pre-deduped and the guard's per-target-row
-    // window shuffle is worth skipping).
+    // window shuffle is worth skipping). The window key gives every
+    // UNMATCHED source row its own partition ((false, __sid)) — keying
+    // on __tid alone would put all NOT-MATCHED rows in the single
+    // __tid=null partition, a one-reducer skew bomb on insert-heavy
+    // merges at scale.
     val joined =
       if (!spark.conf.getOption("spark.graft.merge.checkCardinality")
           .map(_.toBoolean).getOrElse(true)) raw
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("__tid")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(
+          col("__t").isNotNull, coalesce(col("__tid"), col("__sid")))
         raw.withColumn("__m",
             sum(when(col("__s").isNotNull, 1).otherwise(0)).over(w))
           .withColumn("__g", when(col("__t").isNotNull && col("__m") > 1,

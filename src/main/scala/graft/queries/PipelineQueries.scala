@@ -150,18 +150,27 @@ object PipelineQueries {
         .orderBy(col("kafka_ts").desc, col("partition"), col("offset"))
         .limit(3)),
 
-    // S8/S10 — the privacy layer consumed through the catalog: register
-    // the silver table, create the masking VIEW, query it via spark.sql
-    // under its QUALIFIED name — the reference's Trino-view path
-    // (`README.md:106-121`) verbatim, catalog prefix dropped.
+    // S8/S10 — the privacy layer built and consumed as the reference's
+    // Trino statements (`README.md:105-121`): DROP VIEW IF EXISTS +
+    // CREATE VIEW through spark.sql (late-binding, incl. the iceberg
+    // prefix; Trino's to_hex(sha256(to_utf8(x))) spelled sha2(x, 256)
+    // — same lowercase-hex value), then queried under the qualified
+    // name. The masking expression must hash-match Mask.pseudonymize.
     "q_privacy_view" -> ((s, d) => {
       val store = new TableStore(s)
       store.createNamespace("silver")
       val silver = Silver.rebuild(bronzeOf(s, d))
       store.register("silver", "orders_current", silver)
-      store.createView("silver", "orders_current_priv",
-        Mask.pseudonymize(store.table("silver.orders_current"),
-          "user_id", Salt, "user_key"))
+      s.sql("DROP VIEW IF EXISTS iceberg.silver.orders_current_priv")
+      s.sql(s"""
+        CREATE VIEW iceberg.silver.orders_current_priv AS
+        SELECT
+          order_id,
+          sha2(cast(user_id as STRING) || '::$Salt', 256) AS user_key,
+          amount_eur,
+          status,
+          last_change_ts
+        FROM iceberg.silver.orders_current""")
       s.sql("""SELECT order_id, user_key, amount_eur, status
                FROM silver.orders_current_priv
                WHERE amount_eur > 500.0 ORDER BY order_id""")
