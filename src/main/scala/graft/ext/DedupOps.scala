@@ -165,6 +165,48 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** X2e — DECONTAMINATION: drop from `corpus` every document that is
+    * a near-duplicate of ANY blocklist document — the training-data
+    * hygiene pass that keeps benchmark/eval text out of a training set.
+    * Asymmetric X2: banded MinHash candidates ACROSS the two relations
+    * (corpus bands × blocklist bands on (band, band_key) — never
+    * all-pairs), exact-Jaccard verify against the blocklist shingle
+    * sets, then one LEFT ANTI join removes contaminated ids.
+    *
+    * Scale: the blocklist is tiny next to a 100-TB corpus, so its
+    * banded signatures and shingle sets broadcast; the corpus is
+    * signed in one pass and only (id, band_key) pairs and ids cross
+    * shuffles — the anti-join is the single corpus-keyed exchange.
+    */
+  def decontaminate(corpus: DataFrame, blocklist: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleSize: Int = 3, minJaccard: Double = 0.5,
+                    materialize: DataFrame => DataFrame =
+                      _.localCheckpoint()): DataFrame = {
+    val spread = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val corpusBands = materialize(
+      bandedSignatures(spread, idCol, textCol, shingleSize))
+    val blockBands = bandedSignatures(blocklist, idCol, textCol,
+      shingleSize)
+    val cand = corpusBands.as("c")
+      .join(broadcast(blockBands.as("b")), Seq("band", "band_key"))
+      .select(col(s"c.$idCol").as("cid"), col(s"b.$idCol").as("bid"))
+      .dropDuplicates("cid", "bid")
+    val corpusSets = materialize(spread.select(col(idCol).as("cid"),
+      shingleSet(col(textCol), shingleSize).as("sh_c")))
+    val blockSets = blocklist.select(col(idCol).as("bid"),
+      shingleSet(col(textCol), shingleSize).as("sh_b"))
+    val inter = size(array_intersect(col("sh_c"), col("sh_b")))
+    val union = size(col("sh_c")) + size(col("sh_b")) - inter
+    val contaminated = cand
+      .join(corpusSets, "cid")
+      .join(broadcast(blockSets), "bid")
+      .filter(inter.cast("double") / union.cast("double") >= minJaccard)
+      .select(col("cid").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** X2d — EXACT n-gram Jaccard near-duplicate pairs via an inverted
     * shingle index (no MinHash, no probability): every pair sharing at
     * least one retained shingle is a candidate (posting-list self-join

@@ -185,6 +185,20 @@ object ExtQueries {
         minJaccard = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // X2e — decontamination: the twin corpus scrubbed of everything
+    // near-duplicating the doc_id%10=0 blocklist (those originals and
+    // their exact twins go; unrelated docs and the %10=5 near-twins
+    // stay).
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val block = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      DedupOps.decontaminate(corpusWithTwins(docs), block,
+        minJaccard = 0.4)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // X13 — duplicate clusters: connected components over the near-dup
     // pairs (min-label propagation); canonical survivor = smallest id.
     "q_dup_clusters" -> ((s, d) => {
@@ -606,6 +620,39 @@ object ExtQueries {
       JOIN sizes sb ON sb.doc_id = ipairs.id_b
       WHERE icnt::DOUBLE / (sa.sz + sb.sz - icnt)::DOUBLE >= 0.4
       ORDER BY id_a, id_b""",
+
+    // X2e — decontamination twin: corpus bands × blocklist bands on
+    // (band, band_key), exact-Jaccard verify vs blocklist shingle sets,
+    // NOT IN scrub. Reuses the near-dup CTE chain for the corpus side.
+    "q_decontaminate" -> s"""
+      WITH $nearDupCtes,
+      blk AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      btoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM blk),
+      bsh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM btoks),
+      bsig AS (
+        SELECT doc_id, shingles,
+               list_transform(shingles,
+                 x -> ('0x' || md5(x)[1:8])::BIGINT) AS bases
+        FROM bsh
+      ),
+      bbands AS (${bandsSql("bsig")}),
+      dcand AS (
+        SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+        FROM bands c JOIN bbands b
+          ON c.band = b.band AND c.band_key = b.band_key
+      ),
+      dcont AS (
+        SELECT DISTINCT cid FROM dcand
+        JOIN sh sc ON sc.doc_id = dcand.cid
+        JOIN bsh sb ON sb.doc_id = dcand.bid
+        WHERE len(list_intersect(sc.shingles, sb.shingles))::DOUBLE /
+              (len(sc.shingles) + len(sb.shingles)
+                - len(list_intersect(sc.shingles, sb.shingles)))::DOUBLE
+              >= 0.4
+      )
+      SELECT doc_id, n_chars FROM twins
+      WHERE doc_id NOT IN (SELECT cid FROM dcont)
+      ORDER BY doc_id""",
 
     // X13 — recursive-CTE twin of the min-label components: reach(v,u)
     // = transitive closure over the bidirectional pair edges; label =

@@ -73,6 +73,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(open.count() == 3)
   }
 
+  test("decontaminate drops exact and near matches of the blocklist, " +
+    "keeps unrelated docs") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river"),
+      (12L, "completely different words about spark shuffles and joins here"),
+      (13L, "yet another unrelated document talking about window functions")
+    ).toDF("doc_id", "text")
+    val block = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.decontaminate(corpus, block, minJaccard = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    // 10 is the blocklist doc verbatim; 11 is a near-dup of it; 12/13
+    // are unrelated and must survive
+    assert(kept == Set(12L, 13L))
+    // an empty blocklist keeps everything
+    assert(DedupOps.decontaminate(corpus, block.limit(0),
+      minJaccard = 0.4).count() == 4)
+  }
+
   test("nearDuplicates with a table-write materializer (cluster path) " +
     "matches the localCheckpoint default") {
     val dir = java.nio.file.Files.createTempDirectory("sigtbl").toString
