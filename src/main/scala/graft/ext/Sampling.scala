@@ -33,4 +33,22 @@ object Sampling {
   /** Deterministic pct% sample: rows whose bucket falls below `pct`. */
   def sample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(bucket100(col(idCol)) < pct)
+
+  /** Deterministic STRATIFIED sample: per-stratum keep-percentage
+    * (strata absent from `pcts` keep 0%) — the language/source-mixing
+    * knob of a training-data pipeline ("60% en, 30% de, 10% fr"), as a
+    * pure per-row filter. Same id-stable bucket as [[sample]], so rows
+    * keep their fate across reruns and engines and the per-stratum
+    * rates compose with [[trainTestSplit]]; zero shuffle, and the
+    * bucket predicate sits directly on the scan. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       pcts: Map[String, Int]): DataFrame = {
+    require(pcts.values.forall(p => p >= 0 && p <= 100),
+      s"percentages in [0,100], got $pcts")
+    val pctCol = pcts.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+      case (acc, (k, v)) =>
+        when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket100(col(idCol)) < pctCol)
+  }
 }

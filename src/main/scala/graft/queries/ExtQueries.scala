@@ -362,6 +362,15 @@ object ExtQueries {
         Tables.documents(s, d).select("doc_id"), "doc_id", testPct = 10)
         .orderBy("doc_id")),
 
+    // X11b — stratified sample: per-language keep-rates (the training
+    // mix knob); id-stable bucket, pure scan-side filter, no shuffle.
+    "q_stratified_sample" -> ((s, d) =>
+      graft.ext.Sampling.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 60, "de" -> 30, "fr" -> 10, "zh" -> 100))
+        .orderBy("doc_id")),
+
     // X14 — PII scrubbing: deterministic synthetic PII (email, IP, card
     // number derived from doc_id) appended to each document, then
     // redacted by the shared regex set. Both engines run the SAME
@@ -909,6 +918,15 @@ object ExtQueries {
                        % 100 < 10
                   THEN 'test' ELSE 'train' END AS split
       FROM documents
+      ORDER BY doc_id""",
+
+    // X11b — same id-stable bucket, thresholded per stratum ('es' has
+    // no rate → 0% kept)
+    "q_stratified_sample" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE ('0x' || md5(CAST(doc_id AS VARCHAR))[1:8])::BIGINT % 100
+            < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
+                        WHEN 'fr' THEN 10 WHEN 'zh' THEN 100 ELSE 0 END
       ORDER BY doc_id""",
 
     "q_pii_scrub" -> s"""

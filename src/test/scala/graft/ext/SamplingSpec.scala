@@ -38,4 +38,24 @@ class SamplingSpec extends SparkSpec {
       .distinct().as[Long].collect().toSet
     assert(buckets == (0L until 100L).toSet)
   }
+
+  test("stratifiedSample keeps per-stratum rates; absent strata keep " +
+    "nothing; kept rows are exactly the bucket-threshold rows") {
+    val rows = spark.range(0, 2000)
+      .select($"id", (when($"id" % 3 === 0, "en")
+        .when($"id" % 3 === 1, "de").otherwise("xx")).as("lang"))
+    val kept = Sampling.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 50, "de" -> 10))
+      .select($"id", $"lang").as[(Long, String)].collect()
+    assert(!kept.exists(_._2 == "xx"))
+    val want = rows
+      .withColumn("b", Sampling.bucket100($"id"))
+      .filter(($"lang" === "en" && $"b" < 50) ||
+        ($"lang" === "de" && $"b" < 10))
+      .select($"id", $"lang").as[(Long, String)].collect()
+    assert(kept.toSet == want.toSet)
+    // rates are approximately honored (bucket uniformity)
+    val en = kept.count(_._2 == "en").toDouble / (2000 / 3)
+    assert(en > 0.4 && en < 0.6, s"en rate $en")
+  }
 }
