@@ -133,6 +133,46 @@ object TextOps {
         .as("regex_tokens"))
   }
 
+  /** Repetition signals — the Gopher/MassiveText-style quality gates
+    * that catch boilerplate and degenerate (looping) text: top-token
+    * fraction, duplicate-bigram fraction, distinct-token ratio.
+    *
+    * Zero shuffle: every signal is an array-lambda over the row's own
+    * token list, so the whole operator is scan-local and embarrassingly
+    * parallel at 100 TB. The nested count-per-distinct-token lambda is
+    * O(tokens·distinct) per row — CPU-bound but never materializes an
+    * exploded (doc, token) relation or pays a token-keyed exchange like
+    * the tf-idf path does.
+    *
+    * All ratios are int-over-int IEEE divisions — bit-identical across
+    * engines, no DECIMAL quantization needed. */
+  def repetitionFeatures(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast(DoubleType)
+    val grams = shingles(col(textCol), 2)
+    docs.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      (array_max(transform(array_distinct(toks),
+        x => size(filter(toks, y => y === x)))).cast(DoubleType) / nTok)
+        .as("top_token_frac"),
+      ((size(grams) - size(array_distinct(grams))).cast(DoubleType)
+        / size(grams).cast(DoubleType)).as("dup_bigram_frac"),
+      (size(array_distinct(toks)).cast(DoubleType) / nTok)
+        .as("distinct_ratio"))
+  }
+
+  /** Corpus length histogram: token-count buckets of `width` tokens per
+    * group — the length-distribution diagnostic run before choosing
+    * truncation/packing lengths. One partial-agg shuffle on
+    * (group, bucket); the bucket id is computed scan-side. */
+  def lengthHistogram(docs: DataFrame, byCol: String = "lang",
+                      textCol: String = "text", width: Int = 8): DataFrame =
+    docs.select(col(byCol),
+        floor(size(tokens(col(textCol))) / lit(width.toDouble)).as("bucket"))
+      .groupBy(col(byCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+
   /** Content fingerprint: sha-256 of the normalized (lower, trimmed)
     * text — the X1 exact-dedup key and the stable document ID a 100-TB
     * pipeline partitions by. */

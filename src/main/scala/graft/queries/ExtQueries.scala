@@ -371,6 +371,26 @@ object ExtQueries {
         Map("en" -> 60, "de" -> 30, "fr" -> 10, "zh" -> 100))
         .orderBy("doc_id")),
 
+    // X11c — per-source quota cap: ≤10 docs per source, selected by the
+    // id-stable (bucket, id) order; only the boundary bucket is ranked.
+    "q_source_quota" -> ((s, d) =>
+      graft.ext.Sampling.quotaSample(
+        Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id", "source", n = 10)
+        .orderBy("doc_id")),
+
+    // X4c — repetition signals (Gopher-style quality gates): top-token
+    // fraction, duplicate-bigram fraction, distinct-token ratio. All
+    // scan-local array lambdas, zero shuffle.
+    "q_repetition" -> ((s, d) =>
+      TextOps.repetitionFeatures(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
+    // X4d — corpus token-length histogram per language (8-token buckets).
+    "q_length_hist" -> ((s, d) =>
+      TextOps.lengthHistogram(Tables.documents(s, d))
+        .orderBy("lang", "bucket")),
+
     // X14 — PII scrubbing: deterministic synthetic PII (email, IP, card
     // number derived from doc_id) appended to each document, then
     // redacted by the shared regex set. Both engines run the SAME
@@ -928,6 +948,42 @@ object ExtQueries {
             < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
                         WHEN 'fr' THEN 10 WHEN 'zh' THEN 100 ELSE 0 END
       ORDER BY doc_id""",
+
+    // X11c — full ranking is fine at oracle scale; the Spark side must
+    // produce the identical kept set via its histogram+boundary plan.
+    "q_source_quota" -> """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ('0x' || md5(CAST(doc_id AS VARCHAR))[1:8])::BIGINT % 100,
+                          doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 10 ORDER BY doc_id""",
+
+    // X4c — int-over-int IEEE divisions, bit-identical across engines.
+    "q_repetition" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, w,
+              CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(0, len(w) - 1),
+                          i -> array_to_string(w[i+1:i+2], ' ')) END AS g2
+            FROM toks)
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             list_max(list_transform(list_distinct(w),
+                 x -> len(list_filter(w, y -> y = x))))::DOUBLE
+               / len(w)::DOUBLE AS top_token_frac,
+             (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)::DOUBLE
+               AS dup_bigram_frac,
+             len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS distinct_ratio
+      FROM g ORDER BY doc_id""",
+
+    // X4d
+    "q_length_hist" -> """
+      SELECT lang,
+             CAST(floor(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""",
 
     "q_pii_scrub" -> s"""
       SELECT doc_id,

@@ -58,4 +58,25 @@ class SamplingSpec extends SparkSpec {
     val en = kept.count(_._2 == "en").toDouble / (2000 / 3)
     assert(en > 0.4 && en < 0.6, s"en rate $en")
   }
+
+  test("quotaSample matches the naive full ranking, caps every stratum, " +
+    "and keeps small strata whole") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed strata: one hot key (1500 rows), one medium, one tiny (< n)
+    val rows = spark.range(0, 2000).select($"id",
+      (when($"id" < 1500, "hot").when($"id" < 1995, "med").otherwise("tiny"))
+        .as("src"))
+    val kept = Sampling.quotaSample(rows, "id", "src", n = 50)
+      .select($"id", $"src").as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum("hot") == 50 && byStratum("med") == 50)
+    assert(byStratum("tiny") == 5) // fewer rows than the quota → all kept
+    // exact-set equivalence with the naive window ranking
+    val naive = rows
+      .withColumn("rk", row_number().over(Window.partitionBy($"src")
+        .orderBy(Sampling.bucket100($"id"), $"id")))
+      .filter($"rk" <= 50).select($"id", $"src")
+      .as[(Long, String)].collect()
+    assert(kept.toSet == naive.toSet)
+  }
 }

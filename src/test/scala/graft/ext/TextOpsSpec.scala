@@ -93,4 +93,32 @@ class TextOpsSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(ok == Seq(2L))
   }
+
+  test("repetitionFeatures: degenerate looping text scores high, " +
+    "diverse text scores low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),   // fully degenerate
+      (2L, "a b c d e f"),                      // fully diverse
+      (3L, "x y x y x y")                       // repeated bigram loop
+    ).toDF("doc_id", "text")
+    val f = TextOps.repetitionFeatures(docs)
+      .orderBy("doc_id")
+      .select($"n_tokens", $"top_token_frac", $"dup_bigram_frac",
+        $"distinct_ratio")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(f(0) == ((6, 1.0, 0.8, 1.0 / 6)))   // 5 bigrams, 1 distinct
+    assert(f(1) == ((6, 1.0 / 6, 0.0, 1.0)))
+    // "x y x y x y": 5 bigrams = [xy, yx, xy, yx, xy] → 2 distinct
+    assert(f(2) == ((6, 0.5, 0.6, 2.0 / 6)))
+  }
+
+  test("lengthHistogram buckets sum back to the corpus count") {
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "a b c d e f g h i"),
+      (3L, "de", "a")).toDF("doc_id", "lang", "text")
+    val h = TextOps.lengthHistogram(docs, width = 4)
+      .as[(String, Long, Long)].collect().toSet
+    // 3 tokens → bucket 0; 9 tokens → bucket 2; 1 token → bucket 0
+    assert(h == Set(("en", 0L, 1L), ("en", 2L, 1L), ("de", 0L, 1L)))
+  }
 }
