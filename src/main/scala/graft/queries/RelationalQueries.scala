@@ -236,6 +236,21 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Bloom-pruned semi join (BloomJoin.semiJoin): the build side's key
+    // set travels as an in-plan bloom sketch that drops non-matching
+    // lineitem rows scan-side, BEFORE the probe exchange; the exact
+    // left-semi join then removes bloom false positives, so the result
+    // is identical to the oracle's plain IN-subquery.
+    "q_bloom_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val big = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey")
+      graft.ext.BloomJoin.semiJoin(li, "l_orderkey", big, "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Skew-salted fact⋈fact join (SkewJoin.salted): orders replicated
     // 8×, lineitem salted by row hash — identical result to the plain
     // equi-join (the oracle), with every hot order key spread over 8
@@ -474,6 +489,13 @@ object RelationalQueries {
              sum_qty / n AS mean_qty,
              (sum_qty2 - sum_qty * sum_qty / n) / (n - 1) AS var_qty
       FROM agg ORDER BY l_returnflag""",
+
+    "q_bloom_join" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_totalprice > 400000.0)
+      ORDER BY l_orderkey, l_linenumber""",
 
     "q_salted_join" -> s"""
       SELECT o_orderpriority,
