@@ -180,4 +180,34 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"top-k should shuffle once (saw $exchanges):\n$plan")
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  test("q_repetition: zero hash shuffles — every signal is a " +
+    "scan-local array lambda") {
+    val plan = finalPlan(ExtQueries.queries("q_repetition")(spark, sf))
+    // the only exchange is the output orderBy's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"repetition signals grew a shuffle:\n$plan")
+  }
+
+  test("q_source_quota: data side joins the boundary table by " +
+    "broadcast — no full-stratum shuffle of the corpus for the join") {
+    val df = graft.ext.Sampling.quotaSample(
+      Tables.documents(spark, sf).select("doc_id", "source"),
+      "doc_id", "source", n = 10)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boundary join lost its broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_bloom_join: bloom prefilter is planned on the probe side " +
+    "and the exact join stays a semi join") {
+    val df = RelationalQueries.queries("q_bloom_join")(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"exact semi join missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
