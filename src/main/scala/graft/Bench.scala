@@ -62,7 +62,16 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"isolated":${jmap(isolated)},"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"isolated":${jmap(isolated)},"sf":"$sfDir"}"""
+    println(json)
+    // Persist the full record too: the driver's captured stdout has
+    // been tail-truncated two rounds running, losing per-query numbers
+    // — the on-disk copy is the durable round-over-round record.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(out,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

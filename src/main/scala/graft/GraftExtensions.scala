@@ -81,6 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectResolutionRule(graft.catalog.ResolveGraftRelations.apply)
-    ext.injectParser((_, parser) => new graft.catalog.GraftSqlParser(parser))
+    ext.injectParser((session, parser) =>
+      new graft.catalog.GraftSqlParser(session, parser))
   }
 }

@@ -109,9 +109,10 @@ case class GraftShowSchemasCommand(pattern: Option[String])
 
 /** SHOW TABLES [IN/FROM ns]. `ns = None` lists the whole graft catalog
   * (`SHOW TABLES FROM iceberg`). A 1-part namespace with no catalog
-  * prefix (`SHOW TABLES IN silver`) is also routed here; when that
-  * namespace is NOT a graft namespace it falls back to the session
-  * catalog's listing, so plain-Spark databases keep working. */
+  * prefix (`SHOW TABLES IN silver`) is routed here ONLY when the
+  * parser saw an existing graft namespace — other bare namespaces keep
+  * Spark's native ShowTables plan. The session-catalog fallback below
+  * remains for directly constructed commands. */
 case class GraftShowTablesCommand(ns: Option[String], bare: Boolean,
                                   pattern: Option[String])
     extends LeafRunnableCommand {

@@ -36,8 +36,8 @@ case class GraftMergeCommand(merge: MergeIntoTable)
     val (aliasOpt, parts) = targetNameParts(merge.targetTable)
     val norm = parts.map(_.toLowerCase(java.util.Locale.ROOT))
     val key = norm match {
-      case Seq("iceberg", ns, t) => Seq(ns, t)
-      case Seq(_, _)             => norm
+      case Seq(cat, ns, t) if GraftCatalogs.isGraft(cat) => Seq(ns, t)
+      case Seq(_, _)                                     => norm
       case _ => throw new IllegalArgumentException(
         s"MERGE target must be a registered <ns>.<table>: ${parts.mkString(".")}")
     }

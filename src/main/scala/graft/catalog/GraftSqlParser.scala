@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.StructType
   * own, just a post-parse rewrite of `UnresolvedRelation` nodes
   * (including inside subqueries).
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
+                     delegate: ParserInterface) extends ParserInterface {
 
   private def strip(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
@@ -40,8 +41,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * text-for-text (`ingest_orders_raw.py:22-34`,
     * `merge_orders_silver.py:25-47`, `README.md:105-116,200-201`);
     * session-catalog DDL without that prefix is left to Spark — except
-    * `SHOW TABLES IN <ns>`, which resolves graft namespaces first and
-    * falls back to the session catalog at run time. */
+    * `SHOW TABLES IN <ns>` where `<ns>` is an existing graft namespace
+    * at parse time; any other bare namespace keeps Spark's native
+    * ShowTables plan (native output schema, correct isTemporary). */
   private def intercept(plan: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace}
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -89,7 +91,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           GraftShowTablesCommand(Some(lower(ns)), bare = false, s.pattern)
         case UnresolvedNamespace(Seq(cat), _) if isGraft(cat) =>
           GraftShowTablesCommand(None, bare = false, s.pattern)
-        case UnresolvedNamespace(Seq(ns), _) =>
+        // bare namespace: claim it ONLY when it exists in the graft
+        // catalog at parse time (the statement parses immediately
+        // before it runs, so the check is current). Anything else keeps
+        // Spark's native ShowTables — native output schema (namespace,
+        // tableName, isTemporary) and correct temp-view flags for
+        // plain-Spark databases.
+        case UnresolvedNamespace(Seq(ns), _)
+            if new TableStore(session).listNamespaces()
+              .contains(lower(ns)) =>
           GraftShowTablesCommand(Some(lower(ns)), bare = true, s.pattern)
         case _ => s
       }

@@ -54,11 +54,15 @@ class TableStore(val spark: SparkSession) {
 
   /** Register (or replace) a table under `ns.name`: resolvable from
     * `spark.sql` as `ns.name` (and `iceberg.ns.name`), plus the flat
-    * `ns_name` temp view. */
+    * `ns_name` temp view. Registering a TABLE over a name that held a
+    * late-bound view clears the view flags — otherwise the stale stored
+    * view plan would shadow the new table in ResolveGraftRelations. */
   def register(ns: String, name: String, df: DataFrame): Unit = {
     createNamespace(ns)
     df.queryExecution.analyzed // force analysis at registration time
-    st.registry.put(key(ns, name), df)
+    val k = key(ns, name)
+    st.views.remove(k); st.viewPlans.remove(k)
+    st.registry.put(k, df)
     df.createOrReplaceTempView(s"${ns}_$name")
   }
 
@@ -98,11 +102,17 @@ class TableStore(val spark: SparkSession) {
   }
 
   /** DROP VIEW [IF EXISTS] (`/root/reference/README.md:105`).
+    * Also drops the flat `ns_name` temp-view alias created by
+    * [[register]] — a dropped view must not stay queryable under any
+    * spelling.
     * @return true iff a view was dropped */
   def dropView(ns: String, name: String): Boolean = {
     val k = key(ns, name)
     val wasView = st.views.remove(k).isDefined
-    if (wasView) { st.registry.remove(k); st.viewPlans.remove(k) }
+    if (wasView) {
+      st.registry.remove(k); st.viewPlans.remove(k)
+      spark.catalog.dropTempView(s"${k.head}_${k(1)}")
+    }
     wasView
   }
 

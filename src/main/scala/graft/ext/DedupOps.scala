@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (SURVEY §2.7
@@ -24,17 +23,28 @@ object DedupOps {
 
   /** X1 — exact dedup on content hash. Keeps the lowest `idCol` per
     * normalized-text hash; emits the survivor with its duplicate count.
-    * One shuffle, on the hash. */
+    *
+    * Skew-immune by construction: the per-hash survivor id and count
+    * come from `groupBy(content_hash).agg(min(id), count)` — partial
+    * aggregation collapses even a degenerate dup group (10⁷+ copies of
+    * an empty/boilerplate page at web scale) to one row per map task
+    * before the exchange, so no reducer ever sees a whole group. The
+    * survivor's full row is then fetched with ONE equi-join on the
+    * unique id (high-cardinality key — no skew possible). A window
+    * (`row_number` over the hash) would instead serialize each dup
+    * group on a single reducer. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val hashed = docs.withColumn("content_hash",
       TextOps.fingerprint(col(textCol)))
-    val w = Window.partitionBy("content_hash")
+    val survivors = hashed
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("dup_count"))
     hashed
-      .withColumn("dup_count", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(w.orderBy(col(idCol))))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .join(survivors, Seq(idCol))
+      .select(docs.columns.map(col) :+ col("content_hash")
+        :+ col("dup_count"): _*)
   }
 
   /** MinHash signature size and LSH banding: Bands * RowsPerBand =
@@ -173,16 +183,31 @@ object DedupOps {
     * all-pairs), exact-Jaccard verify against the blocklist shingle
     * sets, then one LEFT ANTI join removes contaminated ids.
     *
-    * Scale: the blocklist is tiny next to a 100-TB corpus, so its
-    * banded signatures and shingle sets broadcast; the corpus is
-    * signed in one pass and only (id, band_key) pairs and ids cross
-    * shuffles — the anti-join is the single corpus-keyed exchange.
+    * Scale: with the default `broadcastBlocklist = true` (right when
+    * the blocklist is tiny next to a 100-TB corpus — a benchmark
+    * suite vs a web crawl) its banded signatures and shingle sets
+    * broadcast; the corpus is signed in one pass and only
+    * (id, band_key) pairs and ids cross shuffles — the anti-join is
+    * the single corpus-keyed exchange. When the blocklist is itself a
+    * corpus (eval-suite unions running to many GB), pass
+    * `broadcastBlocklist = false`: the candidate and verify joins
+    * become ordinary shuffle joins on (band, band_key) / bid — same
+    * output, proven by DedupOpsSpec — and the blocklist side is
+    * materialized like the corpus side so its signature pipeline runs
+    * once.
     */
   def decontaminate(corpus: DataFrame, blocklist: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleSize: Int = 3, minJaccard: Double = 0.5,
+                    broadcastBlocklist: Boolean = true,
                     materialize: DataFrame => DataFrame =
                       _.localCheckpoint()): DataFrame = {
+    // hint for the blocklist side of each join: broadcast when small,
+    // plain shuffle-join (plus materialization, since the bands and
+    // sets frames are each join inputs built from the same signature
+    // pipeline) when the blocklist is corpus-sized
+    val side: DataFrame => DataFrame =
+      if (broadcastBlocklist) broadcast else materialize
     val spread = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val corpusBands = materialize(
@@ -190,7 +215,7 @@ object DedupOps {
     val blockBands = bandedSignatures(blocklist, idCol, textCol,
       shingleSize)
     val cand = corpusBands.as("c")
-      .join(broadcast(blockBands.as("b")), Seq("band", "band_key"))
+      .join(side(blockBands.as("b")), Seq("band", "band_key"))
       .select(col(s"c.$idCol").as("cid"), col(s"b.$idCol").as("bid"))
       .dropDuplicates("cid", "bid")
     val corpusSets = materialize(spread.select(col(idCol).as("cid"),
@@ -201,7 +226,7 @@ object DedupOps {
     val union = size(col("sh_c")) + size(col("sh_b")) - inter
     val contaminated = cand
       .join(corpusSets, "cid")
-      .join(broadcast(blockSets), "bid")
+      .join(side(blockSets), "bid")
       .filter(inter.cast("double") / union.cast("double") >= minJaccard)
       .select(col("cid").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
@@ -233,13 +258,21 @@ object DedupOps {
     val posting = spread
       .select(col(idCol).as("id"),
         explode(shingleSet(col(textCol), shingleSize)).as("shingle"))
-    // posting-cap: one shuffle on shingle computes df and drops the
-    // heavy tail; the same exchange pre-partitions the candidate join
+    // posting-cap: document frequency via partial-aggregated groupBy —
+    // map-side combine collapses a stop-word shingle ("one of the",
+    // df ≈ corpus size at web scale) to one row per map task, so no
+    // reducer ever materializes a full posting list. The heavy tail
+    // (df > maxDf) is a SMALL set by definition of the cap, so it
+    // broadcasts, and a LEFT ANTI join drops its postings without
+    // co-locating them. A count().over(Window.partitionBy(shingle))
+    // would instead put every posting of the hottest shingle on ONE
+    // reducer before the filter could discard it.
+    val heavyShingles = posting
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
     val byShingle = posting
-      .withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+      .join(broadcast(heavyShingles), Seq("shingle"), "left_anti")
     val sizes = byShingle.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = byShingle.as("a")
       .join(byShingle.as("b"), Seq("shingle"))

@@ -69,10 +69,37 @@ object Sampling {
     * partial-agg histogram pass and the boundary slice's rank.
     *
     * Ties: `idCol` must be unique per stratum — equal ids straddling
-    * the boundary would make the kept SET engine-dependent. */
+    * the boundary would make the kept SET engine-dependent.
+    *
+    * NULL strata are a stratum of their own (SQL GROUP BY semantics,
+    * matching the naive `row_number` twin and the DuckDB oracle) — the
+    * boundary joins are null-safe, so NULL-stratum rows are capped at
+    * `n` like any other stratum, not silently dropped.
+    *
+    * Degenerate-stratum hardening: the boundary bucket is ~1% of its
+    * stratum, so its exact rank serializes ~10⁷ rows on one reducer
+    * once a single stratum reaches ~10⁹ rows. When the histogram says
+    * the boundary bucket holds more than `hotBoundary` rows, THAT
+    * stratum's boundary selection recurses one level: a second
+    * id-stable bucket (salted md5, independent of level 1) splits the
+    * boundary bucket ~100-way, whole sub-buckets below the sub-boundary
+    * pass with no window, and only the sub-boundary (~0.01% of the
+    * stratum) pays the exact rank. Inside a recursed boundary the kept
+    * rows are the deterministic (sub-bucket, id) prefix rather than the
+    * plain id prefix — still id-stable and engine-reproducible (the
+    * salt arithmetic mirrors in SQL), documented here because the two
+    * orders differ; cold strata are bit-identical to the naive twin. */
   def quotaSample(df: DataFrame, idCol: String, stratumCol: String,
-                  n: Int): DataFrame = {
+                  n: Int, hotBoundary: Long = 10000000L): DataFrame = {
     require(n > 0, s"quota must be positive, got $n")
+    // NULL-safe equi-join on the stratum (GROUP BY already treats NULL
+    // as a group; every join here must agree or NULL-stratum rows
+    // silently vanish). `<=>` keys still plan as hash joins.
+    def nsJoin(l: DataFrame, r: DataFrame): DataFrame = {
+      val rr = r.withColumnRenamed(stratumCol, "_nsk")
+      l.join(rr, col(stratumCol) <=> col("_nsk")).drop("_nsk")
+    }
+    val outCols = df.columns.map(col).toIndexedSeq
     val withB = df.withColumn("_qb", bucket100(col(idCol)))
     val hist = withB.groupBy(col(stratumCol), col("_qb"))
       .agg(count(lit(1)).as("_cnt"))
@@ -82,17 +109,44 @@ object Sampling {
       sum("_cnt").over(wcum) - col("_cnt"))
     val taken = cum.filter(col("_prev") < n)
     val bounds = taken.groupBy(stratumCol).agg(max("_qb").as("_bmax"))
-    val boundary = taken.join(bounds, Seq(stratumCol))
+    val boundary = nsJoin(taken, bounds)
       .filter(col("_qb") === col("_bmax"))
       .select(col(stratumCol), col("_bmax"),
-        (lit(n.toLong) - col("_prev")).as("_take"))
-    val joined = withB.join(broadcast(boundary), Seq(stratumCol))
+        (lit(n.toLong) - col("_prev")).as("_take"),
+        col("_cnt").as("_bcnt"))
+    val joined = nsJoin(withB, broadcast(boundary))
     val below = joined.filter(col("_qb") < col("_bmax"))
     val wRank = Window.partitionBy(stratumCol).orderBy(idCol)
     val atBoundary = joined.filter(col("_qb") === col("_bmax"))
+    val cold = atBoundary.filter(col("_bcnt") <= hotBoundary)
       .withColumn("_rk", row_number().over(wRank))
-      .filter(col("_rk") <= col("_take")).drop("_rk")
-    below.unionByName(atBoundary)
-      .select(df.columns.map(col).toIndexedSeq: _*)
+      .filter(col("_rk") <= col("_take"))
+
+    // hot boundary: salted second-level bucket, same histogram shape
+    val hot = atBoundary.filter(col("_bcnt") > hotBoundary)
+      .withColumn("_qb2",
+        bucket100(concat(col(idCol).cast("string"), lit(":q2"))))
+    val hist2 = hot.groupBy(col(stratumCol), col("_qb2"))
+      .agg(count(lit(1)).as("_cnt2"), first("_take").as("_t"))
+    val cum2 = hist2.withColumn("_prev2",
+      sum("_cnt2").over(Window.partitionBy(stratumCol).orderBy("_qb2"))
+        - col("_cnt2"))
+    val taken2 = cum2.filter(col("_prev2") < col("_t"))
+    val bounds2 = taken2.groupBy(stratumCol).agg(max("_qb2").as("_bmax2"))
+    val boundary2 = nsJoin(taken2, bounds2)
+      .filter(col("_qb2") === col("_bmax2"))
+      .select(col(stratumCol), col("_bmax2"),
+        (col("_t") - col("_prev2")).as("_take2"))
+    val joined2 = nsJoin(hot.drop("_bmax", "_take", "_bcnt"),
+      broadcast(boundary2))
+    val below2 = joined2.filter(col("_qb2") < col("_bmax2"))
+    val atB2 = joined2.filter(col("_qb2") === col("_bmax2"))
+      .withColumn("_rk", row_number().over(wRank))
+      .filter(col("_rk") <= col("_take2"))
+
+    below.select(outCols: _*)
+      .unionByName(cold.select(outCols: _*))
+      .unionByName(below2.select(outCols: _*))
+      .unionByName(atB2.select(outCols: _*))
   }
 }

@@ -167,6 +167,37 @@ class PlanSpec extends SparkSpec {
     assert(!exchangeLines.exists(_.contains("text")), plan)
   }
 
+  test("ngram-jaccard df-cap: no window over the shingle — df comes " +
+    "from a partial aggregation, heavy shingles leave by broadcast " +
+    "anti-join") {
+    val docs = graft.queries.ExtQueries.corpusWithTwins(
+      Tables.documents(spark, sf))
+    val plan = finalPlan(graft.ext.DedupOps.ngramJaccardPairs(
+      docs, minJaccard = 0.4))
+    // a Window over shingle would serialize a stop-word shingle's full
+    // posting list on one reducer before the df filter could drop it
+    assert(!plan.contains("Window"),
+      s"df-cap regressed to a window:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"df lost its map-side combine:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"heavy-shingle anti-join lost its broadcast:\n$plan")
+  }
+
+  test("exact dedup: survivor selection is a partial aggregation on " +
+    "the content hash — no window over the dup group") {
+    val docs = graft.queries.ExtQueries.corpusWithTwins(
+      Tables.documents(spark, sf))
+    val plan = finalPlan(graft.ext.DedupOps.exactDedup(docs))
+    // a window over content_hash puts every copy of a degenerate dup
+    // group (empty/boilerplate docs) on ONE reducer; the groupBy
+    // collapses each group map-side before the exchange
+    assert(!plan.contains("Window"),
+      s"survivor selection regressed to a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"survivor agg lost its map-side combine:\n$plan")
+  }
+
   test("brute-force top-k: corpus side has no shuffle before the " +
     "per-query top-k window") {
     val emb = Tables.embeddings(spark, sf)

@@ -137,4 +137,40 @@ CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (
     val cols = spark.sql("SHOW TABLES").columns.toSeq
     assert(cols == Seq("namespace", "tableName", "isTemporary"))
   }
+
+  test("bare SHOW TABLES IN a non-graft database keeps Spark's native " +
+    "plan: native schema and isTemporary=true for temp views") {
+    TableStore.reset(spark)
+    Seq(1).toDF("x").createOrReplaceTempView("native_temp_v")
+    val df = spark.sql("SHOW TABLES IN default")
+    assert(df.columns.toSeq == Seq("namespace", "tableName", "isTemporary"))
+    val row = df.filter("tableName = 'native_temp_v'").collect()
+    assert(row.length == 1 && row(0).getBoolean(2),
+      "temp view must be flagged isTemporary by the native command")
+  }
+
+  test("DROP VIEW also removes the flat ns_name temp-view alias") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    store.register("silver", "base_t", Seq(1).toDF("x"))
+    spark.sql(
+      "CREATE VIEW iceberg.silver.v1 AS SELECT * FROM silver.base_t")
+    assert(spark.catalog.tableExists("silver_v1"))
+    spark.sql("DROP VIEW iceberg.silver.v1")
+    assert(!spark.catalog.tableExists("silver_v1"),
+      "flat alias must not survive DROP VIEW")
+  }
+
+  test("registering a table over a name that held a SQL view clears " +
+    "the stale view plan (table wins on re-read)") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    store.register("silver", "base_t2", Seq(10).toDF("x"))
+    spark.sql(
+      "CREATE VIEW iceberg.silver.t2 AS SELECT x + 1 AS x FROM silver.base_t2")
+    assert(spark.sql("SELECT x FROM silver.t2").as[Int].head() == 11)
+    store.register("silver", "t2", Seq(99).toDF("x"))
+    assert(spark.sql("SELECT x FROM silver.t2").as[Int].head() == 99,
+      "stale view plan must not shadow the re-registered table")
+  }
 }

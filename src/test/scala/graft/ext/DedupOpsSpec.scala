@@ -94,6 +94,33 @@ class DedupOpsSpec extends SparkSpec {
       minJaccard = 0.4).count() == 4)
   }
 
+  test("decontaminate shuffle-join path (corpus-sized blocklist) " +
+    "matches the broadcast default exactly") {
+    // fixture-scale corpus + a blocklist built from it, run through
+    // both paths: broadcastBlocklist=false must swap the broadcast
+    // hints for plain shuffle joins without changing one row
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = graft.queries.ExtQueries.corpusWithTwins(base)
+    val block = base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val viaBroadcast = DedupOps.decontaminate(corpus, block,
+        minJaccard = 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaShuffle = DedupOps.decontaminate(corpus, block,
+        minJaccard = 0.4, broadcastBlocklist = false)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle == viaBroadcast)
+  }
+
+  test("exactDedup keeps all original columns plus content_hash and " +
+    "dup_count, in order") {
+    val wide = docs.withColumn("extra", lit("x"))
+    val out = DedupOps.exactDedup(wide)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "extra", "content_hash", "dup_count"))
+  }
+
   test("nearDuplicates with a table-write materializer (cluster path) " +
     "matches the localCheckpoint default") {
     val dir = java.nio.file.Files.createTempDirectory("sigtbl").toString

@@ -79,4 +79,77 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String)].collect()
     assert(kept.toSet == naive.toSet)
   }
+
+  test("quotaSample keeps NULL-stratum rows as a stratum of their own " +
+    "(null-safe boundary join), matching the naive window semantics") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = spark.range(0, 600).select($"id",
+      when($"id" % 3 === 0, lit(null).cast("string")).otherwise(lit("a"))
+        .as("src"))
+    val kept = Sampling.quotaSample(rows, "id", "src", n = 40)
+      .select($"id", $"src").as[(Long, Option[String])].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum(None) == 40, s"NULL stratum dropped: $byStratum")
+    assert(byStratum(Some("a")) == 40)
+    val naive = rows
+      .withColumn("rk", row_number().over(Window.partitionBy($"src")
+        .orderBy(Sampling.bucket100($"id"), $"id")))
+      .filter($"rk" <= 40).select($"id", $"src")
+      .as[(Long, Option[String])].collect()
+    assert(kept.toSet == naive.toSet)
+  }
+
+  test("quotaSample hot-boundary recursion: a degenerate stratum takes " +
+    "the salted sub-bucket path, still yields exactly n id-stable rows, " +
+    "and cold strata stay bit-identical to the naive ranking") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot stratum (3000 rows, ~30/bucket → its boundary bucket
+    // exceeds the forced threshold of 15), one cold stratum (400 rows,
+    // ~4/bucket) that must stay on the exact id-prefix path
+    val rows = spark.range(0, 3400).select($"id",
+      when($"id" < 3000, "hot").otherwise("cold").as("src"))
+    val kept = Sampling.quotaSample(rows, "id", "src", n = 60,
+        hotBoundary = 15L)
+      .select($"id", $"src").as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum("hot") == 60 && byStratum("cold") == 60)
+    // deterministic: a repartitioned rerun keeps the exact same set
+    val again = Sampling.quotaSample(rows.repartition(13), "id", "src",
+        n = 60, hotBoundary = 15L)
+      .select($"id", $"src").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+    // cold stratum unchanged vs the naive window ranking
+    val naiveCold = rows.filter($"src" === "cold")
+      .withColumn("rk", row_number().over(Window.partitionBy($"src")
+        .orderBy(Sampling.bucket100($"id"), $"id")))
+      .filter($"rk" <= 60).select($"id").as[Long].collect().toSet
+    assert(kept.filter(_._2 == "cold").map(_._1).toSet == naiveCold)
+    // hot stratum: whole level-1 buckets below the boundary are the
+    // same as naive; only the boundary bucket's internal pick differs
+    // (documented (sub-bucket, id) order) — and it is itself the
+    // deterministic prefix of that order
+    val hotRows = rows.filter($"src" === "hot")
+      .withColumn("b", Sampling.bucket100($"id"))
+    val bounds = Sampling.quotaSample(rows, "id", "src", n = 60)
+      .filter($"src" === "hot").select($"id").as[Long].collect().toSet
+    val keptHot = kept.filter(_._2 == "hot").map(_._1).toSet
+    val boundaryBucket = hotRows
+      .withColumn("rk", row_number().over(Window.partitionBy($"src")
+        .orderBy($"b", $"id")))
+      .filter($"rk" <= 60)
+      .agg(max($"b")).as[Long].head()
+    val belowBoundary = hotRows.filter($"b" < boundaryBucket)
+      .select($"id").as[Long].collect().toSet
+    assert(belowBoundary.subsetOf(keptHot))
+    assert(belowBoundary.subsetOf(bounds))
+    // and the recursed pick matches the explicit (sub-bucket, id) order
+    val take = 60 - belowBoundary.size
+    val expectHotBoundary = hotRows.filter($"b" === boundaryBucket)
+      .withColumn("b2", Sampling.bucket100(
+        concat($"id".cast("string"), lit(":q2"))))
+      .withColumn("rk", row_number().over(Window.partitionBy($"src")
+        .orderBy($"b2", $"id")))
+      .filter($"rk" <= take).select($"id").as[Long].collect().toSet
+    assert(keptHot == belowBoundary ++ expectHotBoundary)
+  }
 }
