@@ -18,17 +18,91 @@ object Snapshot {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
-  /** Atomic create-or-replace of a parquet table directory. */
-  def createOrReplace(df: DataFrame, path: String): Unit = {
+  /** Marker file inside a snapshot dir carrying its version number —
+    * underscore-prefixed so parquet scans ignore it (like `_SUCCESS`). */
+  private val VersionFile = "_graft_version"
+
+  /** Version of the live snapshot at `path` (1-based; None if the path
+    * was never written, or predates versioning). */
+  def currentVersion(path: String): Option[Long] = {
+    val m = Paths.get(path, VersionFile)
+    if (Files.exists(m))
+      Some(new String(Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** Retained HISTORICAL versions of `path` (ascending, not counting
+    * the live version — see [[currentVersion]] for that). */
+  def historicalVersions(path: String): Seq[Long] = {
+    val live = Paths.get(path)
+    val parent = live.getParent
+    val prefix = live.getFileName.toString + ".v"
+    if (parent == null || !Files.exists(parent)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(parent)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(prefix))
+        .flatMap(n => n.stripPrefix(prefix).toLongOption)
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Atomic create-or-replace of a parquet table directory — the same
+    * commit shape as an Iceberg snapshot commit, minus the catalog.
+    *
+    * Snapshot history (the Iceberg capability implicit in the
+    * reference's storage layer — `docker-compose.yml:125`): with
+    * `keepVersions > 0` the replaced live directory is MOVED (atomic
+    * rename, no copy) to the sibling `<path>.v<N>` instead of deleted,
+    * and only the newest `keepVersions` historical dirs are retained.
+    * [[readAsOf]] reads any retained version. Versions are 1-based and
+    * monotonically increasing; the live dir carries its own version in
+    * [[VersionFile]]. History is per-table directory state — cheap
+    * (renames + a bounded number of old snapshot dirs), which is
+    * exactly the append-only-bronze + rebuildable-silver story this
+    * pipeline already tells. */
+  def createOrReplace(df: DataFrame, path: String,
+                      keepVersions: Int = 0): Unit = {
     val live = Paths.get(path)
     val tmp = Paths.get(path + ".tmp-swap")
     val old = Paths.get(path + ".old-swap")
     deleteRecursively(tmp); deleteRecursively(old)
+    val cur = currentVersion(path)
+    val next = cur.getOrElse(0L) + 1
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (Files.exists(live))
-      Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.write(tmp.resolve(VersionFile),
+      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (Files.exists(live)) {
+      if (keepVersions > 0 && cur.isDefined)
+        Files.move(live, Paths.get(s"$path.v${cur.get}"),
+          StandardCopyOption.ATOMIC_MOVE)
+      else
+        Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    }
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
+    // prune beyond the newest keepVersions historical snapshots
+    historicalVersions(path).dropRight(keepVersions)
+      .foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
+  }
+
+  /** Time travel: read snapshot `version` of `path` — the live version
+    * or any retained historical one. */
+  def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
+    if (currentVersion(path).contains(version)) spark.read.parquet(path)
+    else {
+      val versioned = Paths.get(s"$path.v$version")
+      if (!Files.exists(versioned))
+        throw new java.util.NoSuchElementException(
+          s"no snapshot version $version at $path " +
+            s"(live=${currentVersion(path).getOrElse("-")}, " +
+            s"retained=${historicalVersions(path).mkString(",")})")
+      spark.read.parquet(versioned.toString)
+    }
   }
 
   /** Hive-style partitioned variant: one subdirectory per value of

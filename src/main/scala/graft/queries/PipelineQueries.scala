@@ -74,6 +74,27 @@ object PipelineQueries {
       tsToStr(Silver.incremental(bronzeOf(s, d), 3),
         "last_change_ts").orderBy("order_id")),
 
+    // S4+ — snapshot history / time travel: silver rebuilt twice into a
+    // versioned snapshot dir (first from the half-offset bronze prefix,
+    // then from the full log), then version 1 read back AS OF — the
+    // Iceberg rollback capability over the snapshot sink. The compared
+    // result is the OLD state, so the replace provably didn't destroy
+    // it.
+    "q_snapshot_time_travel" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      // reference-pattern checkpoint scalar (merge_orders_silver.py:54)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snaptt")
+        .toString + "/orders_silver"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      tsToStr(graft.pipeline.Snapshot.readAsOf(s, dir, 1),
+        "last_change_ts").orderBy("order_id")
+    }),
+
     // The reference's MERGE INTO statement VERBATIM
     // (`merge_orders_silver.py:135-147`, incl. the `iceberg.` prefix)
     // through spark.sql → GraftMergeCommand; result read back through
@@ -402,6 +423,19 @@ object PipelineQueries {
     "q_cdc_silver_merge" -> silverMergeSql,
     "q_cdc_silver_merge_sql" -> silverMergeSql,
     "q_cdc_silver_incremental" -> silverMergeSql,
+
+    // Time-travel twin: silver over the event log capped at half the
+    // max offset — exactly what snapshot version 1 held before the
+    // full-log replace.
+    "q_snapshot_time_travel" -> s"""
+      WITH $evoCte,
+      cut AS (SELECT max(off) // 2 AS c FROM evo),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo, cut WHERE op <> 'd' AND off <= c
+      )
+      $silverSelect ORDER BY order_id""",
 
     "q_k_anon" -> s"""
       WITH sil AS ($silverRebuildSql)

@@ -38,4 +38,45 @@ class SnapshotSpec extends SparkSpec {
       dir, Seq("day"))
     assert(Snapshot.read(spark, dir).count() == 1)
   }
+
+  test("versioned snapshots: keepVersions retains history, readAsOf " +
+    "time-travels, pruning drops only the oldest, live reads are " +
+    "unchanged") {
+    val dir = Files.createTempDirectory("snapv").toString + "/t"
+    for (v <- 1 to 4)
+      Snapshot.createOrReplace(Seq(v).toDF("x"), dir, keepVersions = 2)
+    assert(Snapshot.currentVersion(dir).contains(4L))
+    assert(Snapshot.historicalVersions(dir) == Seq(2L, 3L))
+    // live read ignores the version marker file
+    assert(Snapshot.read(spark, dir).as[Int].collect().toSeq == Seq(4))
+    assert(Snapshot.readAsOf(spark, dir, 4).as[Int].head() == 4)
+    assert(Snapshot.readAsOf(spark, dir, 3).as[Int].head() == 3)
+    assert(Snapshot.readAsOf(spark, dir, 2).as[Int].head() == 2)
+    val err = intercept[java.util.NoSuchElementException] {
+      Snapshot.readAsOf(spark, dir, 1) // pruned
+    }
+    assert(err.getMessage.contains("retained=2,3"))
+  }
+
+  test("rollback: restoring a historical version via createOrReplace " +
+    "of its frame yields a NEW version with the old content") {
+    val dir = Files.createTempDirectory("snapr").toString + "/t"
+    Snapshot.createOrReplace(Seq(1).toDF("x"), dir, keepVersions = 3)
+    Snapshot.createOrReplace(Seq(2).toDF("x"), dir, keepVersions = 3)
+    val v1 = Snapshot.readAsOf(spark, dir, 1)
+    Snapshot.createOrReplace(v1, dir, keepVersions = 3)
+    assert(Snapshot.currentVersion(dir).contains(3L))
+    assert(Snapshot.read(spark, dir).as[Int].collect().toSeq == Seq(1))
+    // history keeps the pre-rollback state too
+    assert(Snapshot.readAsOf(spark, dir, 2).as[Int].head() == 2)
+  }
+
+  test("keepVersions=0 (default) keeps today's plain-replace contract: " +
+    "no history dirs accumulate") {
+    val dir = Files.createTempDirectory("snap0").toString + "/t"
+    Snapshot.createOrReplace(Seq(1).toDF("x"), dir)
+    Snapshot.createOrReplace(Seq(2).toDF("x"), dir)
+    assert(Snapshot.historicalVersions(dir).isEmpty)
+    assert(Snapshot.read(spark, dir).as[Int].collect().toSeq == Seq(2))
+  }
 }
