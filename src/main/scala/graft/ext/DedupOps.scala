@@ -381,4 +381,50 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** X2b'' — SimHash near-dup pairs with MULTI-TABLE prefix rotation:
+    * the recall fix [[simhashPairs]]'s Scaladoc names. Table t buckets
+    * on the 8-bit prefix of the signature ROTATED left by
+    * t·(32/tables) bits (a string rotation: 8 chars of the doubled
+    * bit-string starting at the offset), so a near pair whose
+    * differing bits fall inside one table's prefix still collides in
+    * another table. Candidates are the union of the per-table bucket
+    * self-joins, deduplicated on the pair key; the exact
+    * `bit_count(xor)` verify is unchanged, so extra tables add recall,
+    * never false positives.
+    *
+    * Scale shape is [[simhashPairs]] × tables: one row per (doc,
+    * table) crosses the candidate shuffle — ids and one long each,
+    * never text — and Σ bucket² stays bounded because each table's
+    * buckets are 8 bits over a different signature slice. */
+  def simhashPairsMulti(docs: DataFrame, maxDist: Int, tables: Int = 4,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        materialize: DataFrame => DataFrame =
+                          _.localCheckpoint()): DataFrame = {
+    require(tables >= 1 && SimHashBits % tables == 0,
+      s"tables must divide $SimHashBits, got $tables")
+    val sigs = materialize(withSimhash(docs, idCol, textCol)
+      .withColumn("_shi", conv(col("simhash"), 2, 10).cast("long")))
+    val doubled = concat(col("simhash"), col("simhash"))
+    val step = SimHashBits / tables
+    val tb = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        substring(doubled, t * step + 1, 8).as("bucket"))
+    }
+    val banded = sigs
+      .withColumn("_tb", explode(array(tb: _*)))
+      .select(col(idCol), col("_shi"),
+        col("_tb.tbl").as("tbl"), col("_tb.bucket").as("bucket"))
+    val a = banded.select(col(idCol).as("id_a"),
+      col("_shi").as("sig_a"), col("tbl"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"),
+      col("_shi").as("sig_b"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

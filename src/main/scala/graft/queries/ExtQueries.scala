@@ -221,6 +221,15 @@ object ExtQueries {
       DedupOps.simhashPairs(corpusWithTwins(Tables.documents(s, d)), 6)
         .orderBy("id_a", "id_b")),
 
+    // X2b'' — multi-table rotation: 4 rotated 8-bit prefix tables over
+    // the same 32-bit signature, union-dedup candidates — recovers the
+    // pairs the single prefix misses when the differing bits land in
+    // the first 8 positions.
+    "q_simhash_pairs_multi" -> ((s, d) =>
+      DedupOps.simhashPairsMulti(
+        corpusWithTwins(Tables.documents(s, d)), 6)
+        .orderBy("id_a", "id_b")),
+
     // X3 — exact cosine top-k, broadcast queries, no corpus shuffle.
     "q_topk_sim" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -730,6 +739,41 @@ object ExtQueries {
       FROM sig a JOIN sig b
         ON a.bucket = b.bucket AND a.doc_id < b.doc_id
       WHERE ${hammingSql("a.simhash", "b.simhash")} <= 6
+      ORDER BY id_a, id_b""",
+
+    // X2b'' — rotation arithmetic mirrored: table t's bucket is 8
+    // chars of the doubled bit-string starting at t·(32/tables)+1
+    // (string rotation), candidates unioned across tables, then the
+    // same exact hamming verify.
+    "q_simhash_pairs_multi" -> s"""
+      WITH $twinsCte,
+      t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 tk -> md5(tk)[1:${DedupOps.SimHashBits / 4}]) AS hx
+        FROM twins
+      ),
+      s AS (SELECT doc_id, ${simhashSql("hx")} AS simhash FROM t),
+      sig AS (SELECT doc_id, simhash FROM s),
+      bands AS (
+        SELECT doc_id, simhash, tbl,
+               substring(simhash || simhash,
+                 tbl * ${DedupOps.SimHashBits / 4} + 1, 8) AS bucket
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS tbl)
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+      )
+      SELECT id_a, id_b,
+             CAST(${hammingSql("sa.simhash", "sb.simhash")} AS INT)
+               AS hamming
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.id_a
+      JOIN sig sb ON sb.doc_id = cand.id_b
+      WHERE ${hammingSql("sa.simhash", "sb.simhash")} <= 6
       ORDER BY id_a, id_b""",
 
     "q_topk_sim" -> topkOracle,

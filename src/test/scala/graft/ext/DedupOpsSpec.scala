@@ -224,6 +224,40 @@ class DedupOpsSpec extends SparkSpec {
     assert(viaSql == docs.count())
   }
 
+  test("simhashPairsMulti recall: rotation recovers a near pair whose " +
+    "differing bit lies inside the single-table prefix, and the " +
+    "multi-table pair set is a superset of the single-table set") {
+    // seeded: docs 1/2 differ at simhash bit 6 ONLY (verified against
+    // the md5 bit-vote arithmetic) — inside the 8-bit prefix, so the
+    // single-table bucketing separates them; every rotated table's
+    // window avoids bit 6, so the multi-table path must pair them
+    val seeded = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick alpha fox jumps over the lazy dog near the river bank today"),
+      (3L, "completely different words about spark shuffles and joins here")
+    ).toDF("doc_id", "text")
+    val single = DedupOps.simhashPairs(seeded, 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = DedupOps.simhashPairsMulti(seeded, 6)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(!single.contains((1L, 2L)),
+      "fixture invalid: single prefix should miss the seeded pair")
+    assert(multi.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(multi.collectFirst {
+      case (1L, 2L, h) => h }.contains(1)) // exactly bit 6 differs
+    assert(single.subsetOf(multi.map(p => (p._1, p._2)).toSet))
+    // fixture corpus: superset holds there too (verify is identical,
+    // so extra tables can only add pairs)
+    val docsT = graft.queries.ExtQueries.corpusWithTwins(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val s1 = DedupOps.simhashPairs(docsT, 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sm = DedupOps.simhashPairsMulti(docsT, 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(s1.subsetOf(sm))
+  }
+
   test("simhashPairs: identical docs pair at hamming 0; hammingDist " +
     "column matches the scala reference") {
     val sigs = DedupOps.withSimhash(docs)
