@@ -1,0 +1,84 @@
+package graft
+
+import graft.ext.DedupOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-soak for the dedup family: replicate+mutate the sf0.1 twin
+  * corpus N× and time exactDedup / nearDuplicates / ngramJaccardPairs /
+  * decontaminate / simhashPairsMulti — the cheapest empirical probe for
+  * the reducer-serialization skew class before a real cluster would hit
+  * it (BASELINE.md records the 1×→10× wall-time scaling factors).
+  *
+  * The replication is deliberately adversarial for dedup:
+  *  - EVEN replicas keep the text verbatim → exact-dup groups grow to
+  *    mult/2 copies per document (stresses the survivor groupBy);
+  *  - ODD replicas prepend a replica token → near-dups of the base
+  *    (high shingle overlap), multiplying LSH bucket sizes and hence
+  *    the candidate joins' Σ bucket² cost;
+  *  - document frequency of every shingle grows ~mult× → the df-cap
+  *    and heavy-shingle broadcast anti-join actually engage.
+  *
+  * Usage: `sbt "runMain graft.Soak <mult>"` (default 10; 1 = baseline).
+  * Prints one JSON line; compare per-op seconds across mults.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val twins = graft.queries.ExtQueries.corpusWithTwins(docs)
+    val scaled =
+      if (mult <= 1) twins
+      else (0 until mult).map { k =>
+        val shifted = twins
+          .withColumn("doc_id", col("doc_id") + k * 10000000L)
+        if (k % 2 == 0) shifted
+        else shifted.withColumn("text", concat(lit(s"r$k "), col("text")))
+      }.reduce(_ unionByName _)
+    // materialize the input so corpus construction is not in any timing
+    val corpus = scaled
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val n = corpus.count()
+
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    def timed(name: String)(df: => org.apache.spark.sql.DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id)) rdd.unpersist(blocking = true)
+      }
+      System.gc()
+      (name, dt, rows)
+    }
+
+    val block = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val results = Seq(
+      timed("exact_dedup") { DedupOps.exactDedup(corpus) },
+      timed("near_dup") { DedupOps.nearDuplicates(corpus, minJaccard = 0.4) },
+      timed("ngram_jaccard") {
+        DedupOps.ngramJaccardPairs(corpus, minJaccard = 0.4) },
+      timed("decontaminate") {
+        DedupOps.decontaminate(corpus, block, minJaccard = 0.4) },
+      timed("simhash_multi") { DedupOps.simhashPairsMulti(corpus, 6) })
+
+    val js = results.map { case (k, s, r) =>
+      s""""$k":{"sec":$s,"rows":$r}""" }.mkString(",")
+    println(s"""{"soak_mult":$mult,"corpus_rows":$n,$js}""")
+    spark.stop()
+  }
+}

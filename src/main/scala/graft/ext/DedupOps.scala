@@ -274,8 +274,16 @@ object DedupOps {
     val byShingle = posting
       .join(broadcast(heavyShingles), Seq("shingle"), "left_anti")
     val sizes = byShingle.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = byShingle.as("a")
-      .join(byShingle.as("b"), Seq("shingle"))
+    // the candidate self-join must NEVER broadcast a posting list: from
+    // a small pre-explode stage AQE's runtime stats would happily build
+    // a hash relation of the whole inverted index (measured 16× slower
+    // on a checkpoint-backed corpus; fatal at 100 TB, where the posting
+    // list IS the corpus). SHUFFLE_MERGE pins the shingle-keyed
+    // exchange the join wants anyway, and the two sides' identical
+    // subplans collapse into one ReusedExchange.
+    val postings = byShingle.hint("merge")
+    val inter = postings.as("a")
+      .join(postings.as("b"), Seq("shingle"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
