@@ -29,6 +29,18 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case u @ UnresolvedRelation(Seq(cat, ns, t), _, _)
           if GraftCatalogs.isGraft(cat) =>
         u.copy(multipartIdentifier = Seq(ns, t))
+      // `FROM iceberg.ns.t VERSION AS OF n`: RelationTimeTravel is a
+      // LEAF whose inner relation is a field, not a child — transform
+      // won't descend into it, and the built-in resolver throws
+      // REQUIRES_SINGLE_PART_NAMESPACE on the 3-part name before
+      // ResolveGraftRelations could run. Strip the prefix here too.
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        tt.relation match {
+          case u @ UnresolvedRelation(Seq(cat, ns, t), _, _)
+              if GraftCatalogs.isGraft(cat) =>
+            tt.copy(relation = u.copy(multipartIdentifier = Seq(ns, t)))
+          case _ => tt
+        }
     }
 
   /** Statement-level MERGE INTO goes to [[GraftMergeCommand]] — plain

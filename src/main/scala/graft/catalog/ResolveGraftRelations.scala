@@ -32,20 +32,45 @@ case class ResolveGraftRelations(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
+      // Iceberg's time-travel SQL verbatim: `FROM ns.t VERSION AS OF n`
+      // over a snapshot-backed registration (TableStore.registerSnapshot)
+      // reads the retained versioned snapshot dir. RelationTimeTravel is
+      // a LEAF — the inner UnresolvedRelation is a field, not a child —
+      // so it is matched here before the bare-relation case can see it.
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        (tt.relation, tt.version) match {
+          case (u: UnresolvedRelation, Some(v)) =>
+            (for {
+              path <- snapshotKey(u.multipartIdentifier)
+              ver <- v.toLongOption
+            } yield SubqueryAlias(u.multipartIdentifier.last,
+              graft.pipeline.Snapshot.readAsOf(session, path, ver)
+                .queryExecution.analyzed): LogicalPlan)
+              .getOrElse(tt)
+          case _ => tt
+        }
       case u: UnresolvedRelation =>
         lookup(u.multipartIdentifier).getOrElse(u)
     }
 
-  private def lookup(parts: Seq[String]): Option[LogicalPlan] = {
+  private def normKey(parts: Seq[String]): Option[Seq[String]] = {
     val norm = parts.map(_.toLowerCase(java.util.Locale.ROOT))
-    val key = norm match {
+    norm match {
       case Seq("iceberg", ns, t) => Some(Seq(ns, t))
       case Seq("demo", ns, t)    => Some(Seq(ns, t))
       case Seq(_, _) => Some(norm)
       case _ => None
     }
+  }
+
+  /** Live snapshot dir for a snapshot-backed name. */
+  private def snapshotKey(parts: Seq[String]): Option[String] =
+    normKey(parts)
+      .flatMap(TableStore.state(session).snapshotPaths.get)
+
+  private def lookup(parts: Seq[String]): Option[LogicalPlan] = {
     val st = TableStore.state(session)
-    key.flatMap { k =>
+    normKey(parts).flatMap { k =>
       // SQL-created views are LATE-BINDING: inline the stored
       // unresolved view query and let this same fixed-point resolve its
       // base relations against the registry's CURRENT state — a MERGE
@@ -55,6 +80,11 @@ case class ResolveGraftRelations(session: SparkSession)
         .map(p => SubqueryAlias(parts.last, p): LogicalPlan)
         .orElse(st.registry.get(k)
           .map(df => SubqueryAlias(parts.last, df.queryExecution.analyzed)))
+        // snapshot-backed tables also read LIVE by bare name (the
+        // latest version, re-read at each query)
+        .orElse(st.snapshotPaths.get(k)
+          .map(path => SubqueryAlias(parts.last,
+            session.read.parquet(path).queryExecution.analyzed)))
     }
   }
 }

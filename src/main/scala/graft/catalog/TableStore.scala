@@ -136,7 +136,7 @@ class TableStore(val spark: SparkSession) {
   /** Sorted (namespace, table_name, is_view) rows, optionally filtered
     * to one namespace — shared by [[showTables]] and the SQL command. */
   def tableRows(ns: String = ""): Seq[(String, String, Boolean)] =
-    st.registry.keys.toSeq
+    (st.registry.keys ++ st.snapshotPaths.keys).toSeq.distinct
       .filter(k => ns.isEmpty ||
         k.head == ns.toLowerCase(java.util.Locale.ROOT))
       .map(k => (k.head, k(1), st.views.contains(k)))
@@ -152,6 +152,21 @@ class TableStore(val spark: SparkSession) {
   /** S10 — temp-view staging for a MERGE source. */
   def stage(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
+
+  /** S4+ — register a SNAPSHOT-BACKED table: `ns.name` resolves to the
+    * LIVE parquet snapshot dir at every read (late-binding, so a
+    * [[graft.pipeline.Snapshot.createOrReplace]] after registration is
+    * visible), and `SELECT … FROM ns.name VERSION AS OF n` (Iceberg's
+    * time-travel SQL, verbatim incl. the `iceberg.` prefix) resolves
+    * any version retained by `keepVersions` — see
+    * [[ResolveGraftRelations]]. */
+  def registerSnapshot(ns: String, name: String, path: String): Unit = {
+    createNamespace(ns)
+    st.snapshotPaths.put(key(ns, name), path)
+  }
+
+  def snapshotPath(ns: String, name: String): Option[String] =
+    st.snapshotPaths.get(key(ns, name))
 }
 
 object TableStore {
@@ -168,6 +183,10 @@ object TableStore {
     // per read by ResolveGraftRelations — late binding, Trino-style
     val viewPlans = scala.collection.concurrent
       .TrieMap.empty[Seq[String], org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    // snapshot-backed tables: name → live snapshot dir (VERSION AS OF
+    // resolves the versioned siblings)
+    val snapshotPaths =
+      scala.collection.concurrent.TrieMap.empty[Seq[String], String]
   }
 
   private val states =
@@ -195,6 +214,6 @@ object TableStore {
   def reset(s: SparkSession): Unit = {
     val st = state(s)
     st.registry.clear(); st.namespaces.clear(); st.views.clear()
-    st.viewPlans.clear()
+    st.viewPlans.clear(); st.snapshotPaths.clear()
   }
 }

@@ -95,6 +95,26 @@ object PipelineQueries {
         "last_change_ts").orderBy("order_id")
     }),
 
+    // S4+/S9 — Iceberg's time-travel SQL VERBATIM: the same two-version
+    // snapshot build, registered as a snapshot-backed catalog table and
+    // read through `spark.sql(... VERSION AS OF 1)` (incl. the
+    // reference's `iceberg.` catalog prefix).
+    "q_time_travel_sql" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snapttsql")
+        .toString + "/orders_history"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      new TableStore(s).registerSnapshot("silver", "orders_history", dir)
+      tsToStr(s.sql(
+        "SELECT * FROM iceberg.silver.orders_history VERSION AS OF 1"),
+        "last_change_ts").orderBy("order_id")
+    }),
+
     // The reference's MERGE INTO statement VERBATIM
     // (`merge_orders_silver.py:135-147`, incl. the `iceberg.` prefix)
     // through spark.sql → GraftMergeCommand; result read back through
@@ -428,6 +448,17 @@ object PipelineQueries {
     // max offset — exactly what snapshot version 1 held before the
     // full-log replace.
     "q_snapshot_time_travel" -> s"""
+      WITH $evoCte,
+      cut AS (SELECT max(off) // 2 AS c FROM evo),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo, cut WHERE op <> 'd' AND off <= c
+      )
+      $silverSelect ORDER BY order_id""",
+
+    // Same twin: VERSION AS OF 1 must surface the half-offset state.
+    "q_time_travel_sql" -> s"""
       WITH $evoCte,
       cut AS (SELECT max(off) // 2 AS c FROM evo),
       ranked AS (

@@ -161,6 +161,37 @@ CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (
       "flat alias must not survive DROP VIEW")
   }
 
+  test("VERSION AS OF runs verbatim over a snapshot-backed table; " +
+    "bare reads are late-binding to the live version") {
+    TableStore.reset(spark)
+    val dir = java.nio.file.Files.createTempDirectory("snapsql")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(Seq(1).toDF("x"), dir,
+      keepVersions = 2)
+    graft.pipeline.Snapshot.createOrReplace(Seq(2).toDF("x"), dir,
+      keepVersions = 2)
+    new TableStore(spark).registerSnapshot("hist", "t", dir)
+    assert(spark.sql("SELECT x FROM hist.t").as[Int].head() == 2)
+    assert(spark.sql(
+      "SELECT x FROM iceberg.hist.t VERSION AS OF 1").as[Int].head() == 1)
+    assert(spark.sql(
+      "SELECT x FROM hist.t VERSION AS OF 2").as[Int].head() == 2)
+    intercept[Exception] {
+      spark.sql("SELECT x FROM hist.t VERSION AS OF 9").collect()
+    }
+    // a later replace is visible through the bare name without
+    // re-registering, and the rolled-over version stays readable
+    graft.pipeline.Snapshot.createOrReplace(Seq(3).toDF("x"), dir,
+      keepVersions = 2)
+    assert(spark.sql("SELECT x FROM hist.t").as[Int].head() == 3)
+    assert(spark.sql(
+      "SELECT x FROM hist.t VERSION AS OF 2").as[Int].head() == 2)
+    // snapshot-backed tables appear in SHOW TABLES
+    val listed = spark.sql("SHOW TABLES FROM iceberg.hist")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(listed == Seq(("hist", "t", false)))
+  }
+
   test("registering a table over a name that held a SQL view clears " +
     "the stale view plan (table wins on re-read)") {
     TableStore.reset(spark)
