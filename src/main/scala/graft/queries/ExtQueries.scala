@@ -199,6 +199,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // X16 — sequence-packing planner: id-stable shard, per-shard token
+    // cumsum, fixed-budget chunk ids (concat-and-chunk, zero waste).
+    "q_packing_plan" -> ((s, d) =>
+      graft.ext.Packing.packingPlan(Tables.documents(s, d),
+        budget = 256, shards = 8)
+        .orderBy("doc_id")),
+
+    // X16b — per-(chunk, doc) spans: what a chunk writer consumes;
+    // boundary-spanning docs yield one row per overlapped chunk.
+    "q_packing_spans" -> ((s, d) =>
+      graft.ext.Packing.chunkSpans(
+        graft.ext.Packing.packingPlan(Tables.documents(s, d),
+          budget = 256, shards = 8), budget = 256)
+        .orderBy("doc_id", "chunk")),
+
     // X13 — duplicate clusters: connected components over the near-dup
     // pairs (min-label propagation); canonical survivor = smallest id.
     "q_dup_clusters" -> ((s, d) => {
@@ -691,6 +706,48 @@ object ExtQueries {
       SELECT doc_id, n_chars FROM twins
       WHERE doc_id NOT IN (SELECT cid FROM dcont)
       ORDER BY doc_id""",
+
+    // X16 — packing twin: same md5 shard hash, same cumsum windows.
+    "q_packing_plan" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               ('0x' || md5(CAST(doc_id AS VARCHAR))[1:8])::BIGINT % 8
+                 AS shard
+        FROM documents
+      ),
+      c AS (SELECT *, CAST(sum(n_tokens) OVER
+              (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+              AS end_off FROM t)
+      SELECT doc_id, n_tokens, shard, end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 256 AS chunk_id,
+             (end_off - n_tokens) % 256 AS offset_in_chunk
+      FROM c ORDER BY doc_id""",
+
+    "q_packing_spans" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               ('0x' || md5(CAST(doc_id AS VARCHAR))[1:8])::BIGINT % 8
+                 AS shard
+        FROM documents
+      ),
+      c AS (SELECT *, CAST(sum(n_tokens) OVER
+              (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+              AS end_off FROM t),
+      p AS (SELECT doc_id, n_tokens, shard,
+                   end_off - n_tokens AS start_off, end_off FROM c),
+      e AS (
+        SELECT doc_id, n_tokens, shard, start_off,
+               unnest(range(start_off // 256, (end_off - 1) // 256 + 1))
+                 AS chunk
+        FROM p
+      )
+      SELECT doc_id, n_tokens, shard, start_off, chunk,
+             greatest(chunk * 256, start_off) - start_off AS tok_from,
+             least((chunk + 1) * 256, start_off + n_tokens) - start_off
+               AS tok_to
+      FROM e ORDER BY doc_id, chunk""",
 
     // X13 — recursive-CTE twin of the min-label components: reach(v,u)
     // = transitive closure over the bidirectional pair edges; label =

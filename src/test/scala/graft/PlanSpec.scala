@@ -198,6 +198,17 @@ class PlanSpec extends SparkSpec {
       s"survivor agg lost its map-side combine:\n$plan")
   }
 
+  test("packing plan: exactly one hash exchange (the shard id) and no " +
+    "document text crosses it") {
+    val plan = finalPlan(graft.ext.Packing.packingPlan(
+      Tables.documents(spark, sf), budget = 128, shards = 4))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.length == 1,
+      s"packing should shuffle once, on the shard:\n$plan")
+    assert(!exchanges.exists(_.contains("text")), plan)
+  }
+
   test("brute-force top-k: corpus side has no shuffle before the " +
     "per-query top-k window") {
     val emb = Tables.embeddings(spark, sf)
