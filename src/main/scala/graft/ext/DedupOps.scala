@@ -278,10 +278,12 @@ object DedupOps {
     // a small pre-explode stage AQE's runtime stats would happily build
     // a hash relation of the whole inverted index (measured 16× slower
     // on a checkpoint-backed corpus; fatal at 100 TB, where the posting
-    // list IS the corpus). SHUFFLE_MERGE pins the shingle-keyed
-    // exchange the join wants anyway, and the two sides' identical
-    // subplans collapse into one ReusedExchange.
-    val postings = byShingle.hint("merge")
+    // list IS the corpus). SHUFFLE_HASH pins the shingle-keyed exchange
+    // the join wants anyway — per-partition builds stay bounded because
+    // the df-cap bounds every posting list — without SHUFFLE_MERGE's
+    // sort; the two sides' identical subplans collapse into one
+    // ReusedExchange.
+    val postings = byShingle.hint("shuffle_hash")
     val inter = postings.as("a")
       .join(postings.as("b"), Seq("shingle"))
       .filter(col("a.id") < col("b.id"))
@@ -404,7 +406,13 @@ object DedupOps {
     * Scale shape is [[simhashPairs]] × tables: one row per (doc,
     * table) crosses the candidate shuffle — ids and one long each,
     * never text — and Σ bucket² stays bounded because each table's
-    * buckets are 8 bits over a different signature slice. */
+    * buckets are 8 bits over a different signature slice. Cross-table
+    * duplicates are removed WITHOUT a pair-keyed shuffle (multi-probe
+    * dedup): a pair is kept only in the FIRST table whose prefixes
+    * collide — for table t a scan-side bit-arithmetic filter checks
+    * that every earlier table's rotated prefixes differ — so the
+    * per-table candidate streams are disjoint by construction and the
+    * union is exact. */
   def simhashPairsMulti(docs: DataFrame, maxDist: Int, tables: Int = 4,
                         idCol: String = "doc_id",
                         textCol: String = "text",
@@ -428,8 +436,26 @@ object DedupOps {
       col("_shi").as("sig_a"), col("tbl"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"),
       col("_shi").as("sig_b"), col("tbl"), col("bucket"))
+    // 8-bit prefix of the signature rotated left by r bits, as long
+    // arithmetic over the 32-bit value (bit 0 = MSB of the bit-string)
+    def prefixAt(sig: org.apache.spark.sql.Column, r: Int) =
+      shiftright(
+        (shiftleft(sig, r).bitwiseOR(shiftright(sig, SimHashBits - r)))
+          .bitwiseAND(lit(0xFFFFFFFFL)), SimHashBits - 8)
+    // per-row: for the row's table t, every earlier table's prefixes
+    // must differ (else the pair was already emitted there)
+    val earlierDiffer = (0 until tables).map { t =>
+      val checks = (0 until t).map { tp =>
+        prefixAt(col("sig_a"), tp * step) =!=
+          prefixAt(col("sig_b"), tp * step)
+      }
+      lit(t) -> checks.foldLeft(lit(true))(_ && _)
+    }
+    val keepFirst = earlierDiffer.foldRight(lit(false)) {
+      case ((t, cond), acc) => when(col("tbl") === t, cond).otherwise(acc)
+    }
     a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .filter(keepFirst)
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxDist)
