@@ -141,4 +141,81 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("quotaSample equals the naive (bucket, id) window ranking on " +
+    "random strata incl. NULLs, at any hotBoundary threshold") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(5, 77); hot <- Seq(2L, 10000000L)) {
+      val rnd = new Random(seed)
+      val rows = Seq.tabulate(800)(i => (i.toLong,
+        rnd.nextInt(5) match {
+          case 0 => null
+          case k => s"s$k"
+        })).toDF("id", "src")
+      val kept = graft.ext.Sampling
+        .quotaSample(rows, "id", "src", n = 30, hotBoundary = hot)
+        .select($"id").as[Long].collect().sorted.toSeq
+      if (hot > 800) {
+        // cold everywhere: bit-identical to the naive ranking
+        val naive = rows.withColumn("rk",
+          row_number().over(Window.partitionBy($"src")
+            .orderBy(graft.ext.Sampling.bucket100($"id"), $"id")))
+          .filter($"rk" <= 30).select($"id")
+          .as[Long].collect().sorted.toSeq
+        assert(kept == naive, s"seed=$seed")
+      } else {
+        // hot path may pick a different (documented) in-boundary order,
+        // but per-stratum counts must match the naive cap exactly and
+        // the result must be deterministic under repartition
+        val naiveCounts = rows.withColumn("rk",
+          row_number().over(Window.partitionBy($"src")
+            .orderBy(graft.ext.Sampling.bucket100($"id"), $"id")))
+          .filter($"rk" <= 30).groupBy($"src").count()
+          .as[(Option[String], Long)].collect().toMap
+        val keptCounts = graft.ext.Sampling
+          .quotaSample(rows, "id", "src", n = 30, hotBoundary = hot)
+          .groupBy($"src").count()
+          .as[(Option[String], Long)].collect().toMap
+        assert(keptCounts == naiveCounts, s"seed=$seed hot=$hot")
+        val again = graft.ext.Sampling
+          .quotaSample(rows.repartition(7), "id", "src", n = 30,
+            hotBoundary = hot)
+          .select($"id").as[Long].collect().sorted.toSeq
+        assert(kept == again, s"seed=$seed hot=$hot")
+      }
+    }
+  }
+
+  test("simhashPairsMulti equals brute-force: all pairs within maxDist " +
+    "whose signatures share ANY rotated 8-bit prefix, each exactly once") {
+    for (seed <- Seq(13, 211)) {
+      val rnd = new Random(seed)
+      val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa", "the", "quick", "dog")
+      val docs = Seq.tabulate(60)(i => (i.toLong,
+        Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))).toDF("doc_id", "text")
+      val sigs = graft.ext.DedupOps.withSimhash(docs)
+        .select($"doc_id", $"simhash").as[(Long, String)].collect().toMap
+      def prefixes(s: String): Seq[String] = {
+        val d = s + s
+        (0 until 4).map(t => d.substring(t * 8, t * 8 + 8))
+      }
+      def hamming(a: String, b: String): Int =
+        a.zip(b).count { case (x, y) => x != y }
+      val want = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        if prefixes(sigs(a)).zip(prefixes(sigs(b))).exists(p => p._1 == p._2)
+        h = hamming(sigs(a), sigs(b)) if h <= 6
+      } yield (a, b) -> h).toMap
+      val gotRows = graft.ext.DedupOps.simhashPairsMulti(docs, 6)
+        .select($"id_a", $"id_b", $"hamming")
+        .as[(Long, Long, Int)].collect()
+      // exactly once: no duplicate pair rows survive the disjoint union
+      assert(gotRows.length == gotRows.map(r => (r._1, r._2)).distinct.length,
+        s"seed=$seed duplicate pair rows")
+      val got = gotRows.map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
