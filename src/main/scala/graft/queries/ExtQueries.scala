@@ -128,6 +128,37 @@ object ExtQueries {
         JOIN sh sb ON sb.doc_id = id_b
       )"""
 
+  /** Decontamination CTE chain over `twins` (needs [[nearDupCtes]] in
+    * scope for `bands`/`sh`): ends with `dcont(cid)` = ids near-dup of
+    * the doc_id%10=0 blocklist. Shared by q_decontaminate and
+    * q_curation_pipeline — per-doc independent, so it composes with any
+    * upstream per-doc filter. */
+  private lazy val deconCtes: String = s"""
+      blk AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      btoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM blk),
+      bsh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM btoks),
+      bsig AS (
+        SELECT doc_id, shingles,
+               list_transform(shingles,
+                 x -> ('0x' || md5(x)[1:8])::BIGINT) AS bases
+        FROM bsh
+      ),
+      bbands AS (${bandsSql("bsig")}),
+      dcand AS (
+        SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+        FROM bands c JOIN bbands b
+          ON c.band = b.band AND c.band_key = b.band_key
+      ),
+      dcont AS (
+        SELECT DISTINCT cid FROM dcand
+        JOIN sh sc ON sc.doc_id = dcand.cid
+        JOIN bsh sb ON sb.doc_id = dcand.bid
+        WHERE len(list_intersect(sc.shingles, sb.shingles))::DOUBLE /
+              (len(sc.shingles) + len(sb.shingles)
+                - len(list_intersect(sc.shingles, sb.shingles)))::DOUBLE
+              >= 0.4
+      )"""
+
   /** DuckDB twin of [[DedupOps.hammingDist]] — same per-position CASE
     * sum, generated from the same bit-width constant. */
   private def hammingSql(a: String, b: String): String =
@@ -196,6 +227,30 @@ object ExtQueries {
       DedupOps.decontaminate(corpusWithTwins(docs), block,
         minJaccard = 0.4)
         .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Composition flagship — quality gate → exact-dedup survivors →
+    // decontamination → per-source quota (40) → train/test split, each
+    // stage the library operator, end-to-end oracle-checked.
+    "q_curation_pipeline" -> ((s, d) => {
+      val corpus = corpusWithTwins(Tables.documents(s, d))
+      val toks = split(col("text"), " ")
+      val gated = corpus
+        .filter(size(toks) >= 10 &&
+          size(array_distinct(toks)).cast("double")
+            / size(toks).cast("double") >= 0.3)
+        .select(col("doc_id"), col("text"), col("source"))
+      val deduped = DedupOps.exactDedup(gated)
+        .drop("content_hash", "dup_count")
+      val block = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val clean = DedupOps.decontaminate(deduped, block, minJaccard = 0.4)
+      val capped = graft.ext.Sampling
+        .quotaSample(clean, "doc_id", "source", n = 40)
+      graft.ext.Sampling.trainTestSplit(capped, "doc_id", testPct = 10)
+        .select(col("doc_id"), col("source"), col("split"))
         .orderBy("doc_id")
     }),
 
@@ -679,33 +734,56 @@ object ExtQueries {
     // NOT IN scrub. Reuses the near-dup CTE chain for the corpus side.
     "q_decontaminate" -> s"""
       WITH $nearDupCtes,
-      blk AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-      btoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM blk),
-      bsh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM btoks),
-      bsig AS (
-        SELECT doc_id, shingles,
-               list_transform(shingles,
-                 x -> ('0x' || md5(x)[1:8])::BIGINT) AS bases
-        FROM bsh
-      ),
-      bbands AS (${bandsSql("bsig")}),
-      dcand AS (
-        SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
-        FROM bands c JOIN bbands b
-          ON c.band = b.band AND c.band_key = b.band_key
-      ),
-      dcont AS (
-        SELECT DISTINCT cid FROM dcand
-        JOIN sh sc ON sc.doc_id = dcand.cid
-        JOIN bsh sb ON sb.doc_id = dcand.bid
-        WHERE len(list_intersect(sc.shingles, sb.shingles))::DOUBLE /
-              (len(sc.shingles) + len(sb.shingles)
-                - len(list_intersect(sc.shingles, sb.shingles)))::DOUBLE
-              >= 0.4
-      )
+      $deconCtes
       SELECT doc_id, n_chars FROM twins
       WHERE doc_id NOT IN (SELECT cid FROM dcont)
       ORDER BY doc_id""",
+
+    // Composition flagship — the full curation chain over one corpus:
+    // quality gate → exact-dedup survivors → decontamination scrub →
+    // per-source quota → train/test split. Every stage is per-doc
+    // independent of the others' filtering EXCEPT dedup (whole
+    // duplicate groups share text, so they pass/fail the gate
+    // together) and quota (computed over exactly the arriving set on
+    // both engines) — the oracle chains the same algebra.
+    "q_curation_pipeline" -> s"""
+      WITH $nearDupCtes,
+      $deconCtes,
+      q AS (
+        SELECT *, len(string_split(text, ' ')) AS ntok,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE /
+                 len(string_split(text, ' '))::DOUBLE AS dr
+        FROM twins
+      ),
+      gated AS (
+        SELECT doc_id, text, source FROM q
+        WHERE ntok >= 10 AND dr >= 0.3
+      ),
+      hashed AS (
+        SELECT *, sha256(trim(lower(text))) AS h FROM gated
+      ),
+      surv AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM hashed)
+        WHERE rn = 1
+      ),
+      clean AS (
+        SELECT g.doc_id, g.source,
+               ('0x' || md5(CAST(g.doc_id AS VARCHAR))[1:8])::BIGINT
+                 % 100 AS b
+        FROM gated g JOIN surv USING (doc_id)
+        WHERE g.doc_id NOT IN (SELECT cid FROM dcont)
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY source ORDER BY b, doc_id) AS rk
+        FROM clean
+      )
+      SELECT doc_id, source,
+             CASE WHEN b < 10 THEN 'test' ELSE 'train' END AS split
+      FROM ranked WHERE rk <= 40 ORDER BY doc_id""",
 
     // X16 — packing twin: same md5 shard hash, same cumsum windows.
     "q_packing_plan" -> """
