@@ -355,6 +355,31 @@ object ExtQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // X3d — ANN recall audit ("measure, don't guess"): per-query
+    // recall@5 of the hyperplane-LSH path against the exact brute-force
+    // top-k — the capacity dial (bits × tables) gets a measured number,
+    // not a hope. Both sides are deterministic, so the recall itself is
+    // oracle-checked.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val exact = SimilarityOps.bruteForceTopK(queries, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps
+        .hyperplaneTopK(queries, emb, 5, LshBits, LshTables)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("recall_at_5", col("hits").cast("double") / 5.0)
+        .orderBy("query_id")
+    }),
+
     // X2c — embedding-cosine near-dup over a corpus with perturbed
     // twins: sign-LSH bucketed self-join, exact-cosine threshold.
     "q_embed_near_dup" -> ((s, d) =>
@@ -993,6 +1018,51 @@ object ExtQueries {
       )
       SELECT query_id, neighbor_id, rnk, score
       FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    // X3d — recall twin: both CTE chains composed, hit counting by
+    // id-set intersection, LEFT JOIN keeps zero-recall queries.
+    "q_ann_recall" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${cosSql("qe", "e.embedding")} AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      ),
+      exact AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5),
+      qt AS (${lshTablesSql("query_id, qe", "qe", "q")}),
+      ct AS (${lshTablesSql("vec_id, embedding", "embedding",
+                            "embeddings")}),
+      ascored AS (
+        SELECT DISTINCT query_id, c.vec_id AS neighbor_id,
+               ${cosSql("qe", "c.embedding")} AS score
+        FROM ct c JOIN qt ON c.tbl = qt.tbl AND c.bkt = qt.bkt
+        WHERE c.vec_id <> qt.query_id
+      ),
+      aranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM ascored
+      ),
+      approx AS (SELECT query_id, neighbor_id FROM aranked
+                 WHERE rnk <= 5),
+      hits AS (
+        SELECT e.query_id, count(*) AS hits
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+      )
+      SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             coalesce(h.hits, 0)::DOUBLE / 5.0 AS recall_at_5
+      FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id""",
 
     "q_embed_near_dup_lsh" -> s"""
       WITH $embTwinsCte,
