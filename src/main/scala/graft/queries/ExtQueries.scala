@@ -241,12 +241,20 @@ object ExtQueries {
           size(array_distinct(toks)).cast("double")
             / size(toks).cast("double") >= 0.3)
         .select(col("doc_id"), col("text"), col("source"))
+      // stage-boundary materialization (the cluster run writes a table
+      // here — README "Materialize to tables, not session state"):
+      // dedup output feeds three decontamination consumers, and the
+      // clean corpus feeds the quota histogram + data path; without
+      // pinning, the whole upstream chain re-executes per consumer
+      // (measured 10.4 s vs 4 s).
       val deduped = DedupOps.exactDedup(gated)
         .drop("content_hash", "dup_count")
+        .localCheckpoint()
       val block = Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
       val clean = DedupOps.decontaminate(deduped, block, minJaccard = 0.4)
+        .localCheckpoint()
       val capped = graft.ext.Sampling
         .quotaSample(clean, "doc_id", "source", n = 40)
       graft.ext.Sampling.trainTestSplit(capped, "doc_id", testPct = 10)
