@@ -340,6 +340,32 @@ object RelationalQueries {
             .otherwise(lit("p90")).as("quantile"),
           col("value"))
         .orderBy("event_type", "quantile")
+    }),
+
+    // X9' — SAMPLED quantiles: the 100-TB path for per-group quantiles
+    // (the exact form above rank-sorts every row of a group — right for
+    // a report, wrong for a 10¹⁰-row group). An id-stable 20% sample
+    // (X11's md5 bucket — deterministic, so the sampled quantile itself
+    // is oracle-checkable cell-for-cell) cuts the sorted volume 5×
+    // while the estimate stays a REAL data value from the group.
+    "q_value_quantiles_sampled" -> ((s, d) => {
+      val sampled = graft.ext.Sampling.sample(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        "event_id", 20)
+      val byVal = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val all = Window.partitionBy("event_type")
+      sampled
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(all))
+        .filter(col("rn") === ceil(col("n") * lit(0.5))
+          || col("rn") === ceil(col("n") * lit(0.9)))
+        .select(col("event_type"),
+          when(col("rn") === ceil(col("n") * lit(0.5)), lit("p50"))
+            .otherwise(lit("p90")).as("quantile"),
+          col("value"))
+        .orderBy("event_type", "quantile")
     })
   )
 
@@ -551,6 +577,28 @@ object RelationalQueries {
                  (PARTITION BY event_type ORDER BY value, event_id) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
         FROM events WHERE value IS NOT NULL
+      )
+      SELECT event_type,
+             CASE WHEN rn = ceil(n * 0.5) THEN 'p50' ELSE 'p90' END
+               AS quantile,
+             value
+      FROM r
+      WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)
+      ORDER BY event_type, quantile""",
+
+    "q_value_quantiles_sampled" -> """
+      WITH s AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE value IS NOT NULL
+          AND ('0x' || md5(CAST(event_id AS VARCHAR))[1:8])::BIGINT
+              % 100 < 20
+      ),
+      r AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER
+                 (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM s
       )
       SELECT event_type,
              CASE WHEN rn = ceil(n * 0.5) THEN 'p50' ELSE 'p90' END
