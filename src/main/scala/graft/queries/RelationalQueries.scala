@@ -342,6 +342,18 @@ object RelationalQueries {
         .orderBy("event_type", "quantile")
     }),
 
+    // X18 — z-order curve value over (hour-bucket, value-bucket): the
+    // Morton interleave that clusters rows close in BOTH dimensions,
+    // so row-group min/max stats prune 2-D range queries. Exact 64-bit
+    // integer arithmetic, oracle-checked cell-for-cell.
+    "q_zorder" -> ((s, d) =>
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"),
+          graft.ext.Layout.zValue(
+            expr("ts div 1000000000 div 3600 % 65536"),
+            floor(col("value") / 10)).as("z"))
+        .orderBy("z", "event_id")),
+
     // X9' — SAMPLED quantiles: the 100-TB path for per-group quantiles
     // (the exact form above rank-sorts every row of a group — right for
     // a report, wrong for a 10¹⁰-row group). An id-stable 20% sample
@@ -585,6 +597,14 @@ object RelationalQueries {
       FROM r
       WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)
       ORDER BY event_type, quantile""",
+
+    "q_zorder" -> s"""
+      SELECT event_id,
+             ${graft.ext.Layout.zValueSql(
+               "((epoch_us(ts) // 1000000) // 3600) % 65536",
+               "CAST(floor(value / 10) AS BIGINT)")} AS z
+      FROM events WHERE value IS NOT NULL
+      ORDER BY z, event_id""",
 
     "q_value_quantiles_sampled" -> """
       WITH s AS (
