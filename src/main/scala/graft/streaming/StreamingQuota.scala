@@ -23,7 +23,12 @@ case class QuotaAdmit(doc_id: Long, source: String, admitted_rank: Long)
   * Scale: state is hash-partitioned by source across executors; each
   * micro-batch shuffles only its own rows, on the source key. A hot
   * source's counter saturates at `n` and every later row short-circuits
-  * to a drop — the state store never grows with volume.
+  * to a drop — the state store never grows with volume. One residual
+  * cost: a saturated source's batch slice still co-locates on its state
+  * task before being dropped (inherent to keyed state); a cluster
+  * deployment with mega-hot sources prefilters each batch with a
+  * broadcast already-saturated-source list (collected from the previous
+  * batch's state) so those rows die scan-side.
   */
 object StreamingQuota {
 
