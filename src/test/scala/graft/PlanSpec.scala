@@ -198,6 +198,19 @@ class PlanSpec extends SparkSpec {
       s"survivor agg lost its map-side combine:\n$plan")
   }
 
+  test("multi-table simhash: no pair-keyed exchange — cross-table " +
+    "dedup is the scan-side first-colliding-table filter, so the only " +
+    "hash exchanges are the (tbl, bucket) candidate join's") {
+    val docs = graft.queries.ExtQueries.corpusWithTwins(
+      Tables.documents(spark, sf))
+    val plan = finalPlan(graft.ext.DedupOps.simhashPairsMulti(docs, 6))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => l.contains("tbl") && l.contains("bucket")),
+      s"found a non-(tbl,bucket) exchange — dropDuplicates crept back:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("packing plan: exactly one hash exchange (the shard id) and no " +
     "document text crosses it") {
     val plan = finalPlan(graft.ext.Packing.packingPlan(
