@@ -53,6 +53,44 @@ object Sampling {
     df.filter(bucket100(col(idCol)) < pctCol)
   }
 
+  /** X11d — training-MIX planner: per-stratum keep-rates that hit a
+    * target corpus composition under a total document budget — the
+    * arithmetic between "we want 50% web, 30% wiki, 20% books, 40k
+    * docs" and the [[stratifiedSample]] percentages that implement it.
+    * quota_s = ⌊share_s · budget⌋; rate_s = min(100, ⌊100·quota_s /
+    * count_s⌋) — a stratum smaller than its quota keeps 100% (the mix
+    * then under-fills; reweighting the remainder is the caller's policy
+    * decision, not silently taken here). Strata absent from `targets`
+    * rate 0. One partial-agg count per stratum; exact integer/IEEE
+    * arithmetic, oracle-checked. */
+  def mixRates(docs: DataFrame, stratumCol: String,
+               targets: Map[String, Double],
+               budgetDocs: Long): DataFrame = {
+    require(targets.values.forall(v => v >= 0 && v <= 1),
+      s"shares in [0,1], got $targets")
+    require(budgetDocs > 0, s"budget must be positive, got $budgetDocs")
+    val share = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) =>
+        when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.groupBy(stratumCol).agg(count(lit(1)).as("cnt"))
+      .withColumn("quota", floor(share * budgetDocs).cast("long"))
+      .withColumn("rate_pct",
+        least(lit(100L),
+          floor(lit(100L) * col("quota") / col("cnt"))).cast("long"))
+  }
+
+  /** [[mixRates]] as the Map [[stratifiedSample]] consumes. Driver-side
+    * collect is right here: one row per stratum (sources/languages —
+    * thousands at most), the same class as a checkpoint scalar. */
+  def planMix(docs: DataFrame, stratumCol: String,
+              targets: Map[String, Double],
+              budgetDocs: Long): Map[String, Int] =
+    mixRates(docs, stratumCol, targets, budgetDocs)
+      .select(col(stratumCol).cast("string"), col("rate_pct"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+
   /** Per-stratum quota cap: keep at most `n` rows per stratum (the
     * "max N documents per domain" de-biasing pass of a web-scale
     * corpus), selected deterministically by (bucket, id) so the kept

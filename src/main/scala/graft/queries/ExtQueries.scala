@@ -39,6 +39,30 @@ object ExtQueries {
   val IvfNlist = 32
   val IvfNprobe = 2
 
+  /** X11d mix-planner fixture: 50/30/20 over three sources, budget 40 —
+    * small enough that rates land strictly below 100 at every SF. */
+  val MixTargets: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+  val MixBudget = 40L
+
+  /** DuckDB CASE twin of the mix-share dispatch, generated from
+    * [[MixTargets]]. */
+  private def mixShareSql: String =
+    "CASE " + MixTargets.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"WHEN source = '$k' THEN $v" }.mkString(" ") + " ELSE 0.0 END"
+
+  private def mixRatesCte: String = s"""
+      mc AS (SELECT source, count(*) AS cnt FROM documents
+             GROUP BY source),
+      mt AS (SELECT source, cnt,
+               CAST(floor(($mixShareSql) * $MixBudget) AS BIGINT)
+                 AS quota
+             FROM mc),
+      mr AS (SELECT source, cnt, quota,
+               CAST(least(100, floor(100 * quota / cnt)) AS BIGINT)
+                 AS rate_pct
+             FROM mt)"""
+
   // -------------------------------------------------------------------
   // Twin corpus (shared by X1/X2 queries)
   // -------------------------------------------------------------------
@@ -259,6 +283,24 @@ object ExtQueries {
         .quotaSample(clean, "doc_id", "source", n = 40)
       graft.ext.Sampling.trainTestSplit(capped, "doc_id", testPct = 10)
         .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // X11d — training-mix planner: target shares + budget → per-source
+    // quotas and keep-rates (src0 50% / src1 30% / src2 20% of 40).
+    "q_mix_rates" -> ((s, d) =>
+      graft.ext.Sampling.mixRates(Tables.documents(s, d), "source",
+        MixTargets, MixBudget)
+        .orderBy("source")),
+
+    // X11d' — the planned mix APPLIED: planMix rates drive the
+    // id-stable stratified sample (composition, end-to-end checked).
+    "q_mix_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rates = graft.ext.Sampling.planMix(docs, "source",
+        MixTargets, MixBudget)
+      graft.ext.Sampling.stratifiedSample(docs, "doc_id", "source", rates)
+        .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),
 
@@ -817,6 +859,19 @@ object ExtQueries {
       SELECT doc_id, source,
              CASE WHEN b < 10 THEN 'test' ELSE 'train' END AS split
       FROM ranked WHERE rk <= 40 ORDER BY doc_id""",
+
+    // X11d — mix twin: share CASE generated from the same constants.
+    "q_mix_rates" -> s"""
+      WITH $mixRatesCte
+      SELECT * FROM mr ORDER BY source""",
+
+    "q_mix_sample" -> s"""
+      WITH $mixRatesCte
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN mr USING (source)
+      WHERE ('0x' || md5(CAST(d.doc_id AS VARCHAR))[1:8])::BIGINT % 100
+            < mr.rate_pct
+      ORDER BY d.doc_id""",
 
     // X16 — packing twin: same md5 shard hash, same cumsum windows.
     "q_packing_plan" -> """

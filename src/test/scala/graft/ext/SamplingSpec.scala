@@ -59,6 +59,29 @@ class SamplingSpec extends SparkSpec {
     assert(en > 0.4 && en < 0.6, s"en rate $en")
   }
 
+  test("mixRates: quotas floor the share·budget, a stratum smaller " +
+    "than its quota caps at 100%, absent strata rate 0, and planMix " +
+    "feeds stratifiedSample") {
+    val docs = (Seq.fill(50)("web") ++ Seq.fill(10)("wiki") ++
+      Seq.fill(30)("junk")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val rates = Sampling.mixRates(docs, "src",
+        Map("web" -> 0.5, "wiki" -> 0.5), budgetDocs = 60)
+      .select($"src", $"quota", $"rate_pct")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rates("web") == (30L, 60L))   // 30 of 50 → 60%
+    assert(rates("wiki") == (30L, 100L)) // quota 30 > 10 docs → cap 100
+    assert(rates("junk") == (0L, 0L))    // no target share
+    val planned = Sampling.planMix(docs, "src",
+      Map("web" -> 0.5, "wiki" -> 0.5), budgetDocs = 60)
+    val kept = Sampling.stratifiedSample(docs, "id", "src", planned)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("junk"))
+    assert(kept("wiki") == 10)           // 100% of an under-full stratum
+    assert(kept("web") <= 50 && kept("web") > 0)
+  }
+
   test("quotaSample matches the naive full ranking, caps every stratum, " +
     "and keeps small strata whole") {
     import org.apache.spark.sql.expressions.Window
