@@ -66,14 +66,23 @@ object Snapshot {
     * exactly the append-only-bronze + rebuildable-silver story this
     * pipeline already tells. */
   def createOrReplace(df: DataFrame, path: String,
-                      keepVersions: Int = 0): Unit = {
+                      keepVersions: Int = 0): Unit =
+    swapIn(path, keepVersions) { tmp =>
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+
+  /** Shared commit protocol: write to the tmp dir, stamp the version
+    * marker, atomically roll the live dir into history (or the discard
+    * slot), promote tmp, prune history beyond `keepVersions`. */
+  private def swapIn(path: String, keepVersions: Int)
+                    (write: Path => Unit): Unit = {
     val live = Paths.get(path)
     val tmp = Paths.get(path + ".tmp-swap")
     val old = Paths.get(path + ".old-swap")
     deleteRecursively(tmp); deleteRecursively(old)
     val cur = currentVersion(path)
     val next = cur.getOrElse(0L) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    write(tmp)
     Files.write(tmp.resolve(VersionFile),
       next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (Files.exists(live)) {
@@ -109,20 +118,15 @@ object Snapshot {
     * `partitionCols`, so a filter on those columns prunes whole
     * directories at planning time (PartitionFilters on the scan,
     * asserted in SnapshotSpec) — the layout a 100-TB event table uses
-    * for its date/hour columns. Same atomic directory swap. */
+    * for its date/hour columns. Same atomic commit protocol and
+    * optional snapshot history as [[createOrReplace]]. */
   def createOrReplacePartitioned(df: DataFrame, path: String,
-                                 partitionCols: Seq[String]): Unit = {
-    val live = Paths.get(path)
-    val tmp = Paths.get(path + ".tmp-swap")
-    val old = Paths.get(path + ".old-swap")
-    deleteRecursively(tmp); deleteRecursively(old)
-    df.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*).parquet(tmp.toString)
-    if (Files.exists(live))
-      Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-  }
+                                 partitionCols: Seq[String],
+                                 keepVersions: Int = 0): Unit =
+    swapIn(path, keepVersions) { tmp =>
+      df.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -71,6 +71,22 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.readAsOf(spark, dir, 2).as[Int].head() == 2)
   }
 
+  test("partitioned snapshots version too: readAsOf returns the old " +
+    "partition set with partition pruning intact") {
+    val dir = Files.createTempDirectory("snappv").toString + "/e"
+    Snapshot.createOrReplacePartitioned(
+      Seq(("d1", 1L), ("d2", 2L)).toDF("day", "event_id"),
+      dir, Seq("day"), keepVersions = 2)
+    Snapshot.createOrReplacePartitioned(
+      Seq(("d3", 3L)).toDF("day", "event_id"),
+      dir, Seq("day"), keepVersions = 2)
+    assert(Snapshot.read(spark, dir).count() == 1)
+    val v1 = Snapshot.readAsOf(spark, dir, 1)
+    assert(v1.count() == 2)
+    assert(v1.filter($"day" === "d2").select("event_id")
+      .as[Long].head() == 2L)
+  }
+
   test("keepVersions=0 (default) keeps today's plain-replace contract: " +
     "no history dirs accumulate") {
     val dir = Files.createTempDirectory("snap0").toString + "/t"
