@@ -74,7 +74,24 @@ object Soak {
         DedupOps.ngramJaccardPairs(corpus, minJaccard = 0.4) },
       timed("decontaminate") {
         DedupOps.decontaminate(corpus, block, minJaccard = 0.4) },
-      timed("simhash_multi") { DedupOps.simhashPairsMulti(corpus, 6) })
+      timed("simhash_multi") { DedupOps.simhashPairsMulti(corpus, 6) },
+      // the composed curation chain (gate → dedup → decontaminate →
+      // quota → split) — proves the stage-boundary materialization
+      // pattern holds under duplication, not just each op alone
+      timed("curation") {
+        val toks = split(col("text"), " ")
+        val gated = corpus.filter(size(toks) >= 10 &&
+            size(array_distinct(toks)).cast("double")
+              / size(toks).cast("double") >= 0.3)
+          .select(col("doc_id"), col("text"), col("source"))
+        val deduped = DedupOps.exactDedup(gated)
+          .drop("content_hash", "dup_count").localCheckpoint()
+        val clean = DedupOps.decontaminate(deduped, block,
+          minJaccard = 0.4).localCheckpoint()
+        val capped = graft.ext.Sampling
+          .quotaSample(clean, "doc_id", "source", n = 40)
+        graft.ext.Sampling.trainTestSplit(capped, "doc_id", 10)
+      })
 
     val js = results.map { case (k, s, r) =>
       s""""$k":{"sec":$s,"rows":$r}""" }.mkString(",")

@@ -43,7 +43,7 @@ object DedupOps {
       .select(col(idCol), col("dup_count"))
     hashed
       .join(survivors, Seq(idCol))
-      .select(docs.columns.map(col) :+ col("content_hash")
+      .select(docs.columns.toIndexedSeq.map(col) :+ col("content_hash")
         :+ col("dup_count"): _*)
   }
 
