@@ -44,6 +44,49 @@ class StreamingQuotaSpec extends SparkSpec {
       "ranks must continue across micro-batches")
   }
 
+  test("restart/resume: the per-source counter survives a query " +
+    "restart via the state checkpoint — a saturated source stays " +
+    "saturated in the new query") {
+    val base = Files.createTempDirectory("squotar").toString
+    val dir = base + "/in"
+    val ckpt = base + "/ckpt"
+    val outDir = base + "/out"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType)))
+
+    // memory sink can't recover a checkpoint — durable admissions go
+    // through foreachBatch → parquet, the silver-restart pattern
+    val sink: (org.apache.spark.sql.Dataset[QuotaAdmit], Long) => Unit =
+      (b, _) => b.write.mode("append").parquet(outDir)
+    def runAvailable(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = StreamingQuota.admitStream(stream, "source", n = 2)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    // run 1: saturate "hot" (cap 2 of 3 offered)
+    Seq((1L, "hot"), (2L, "hot"), (3L, "hot"))
+      .toDF("doc_id", "source").coalesce(1).write.parquet(dir)
+    runAvailable()
+    // run 2 (NEW query, same checkpoint): more hot rows arrive — the
+    // restored counter must reject them; a new source starts fresh
+    Seq((4L, "hot"), (10L, "fresh"))
+      .toDF("doc_id", "source").coalesce(1)
+      .write.mode("append").parquet(dir)
+    runAvailable()
+
+    val out = spark.read.parquet(outDir)
+      .as[QuotaAdmit].collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L, 10L),
+      s"restored counter must keep hot saturated: ${out.toSeq}")
+    assert(out.filter(_.source == "hot").map(_.admitted_rank).max == 2L)
+  }
+
   test("batch mode: admitStream over a static frame equals a per-source " +
     "n-smallest selection") {
     val docs = Seq.tabulate(40)(i => (i.toLong, s"s${i % 3}"))
