@@ -183,6 +183,43 @@ object ExtQueries {
               >= 0.4
       )"""
 
+  /** Curation CTE chain over `twins` (needs [[nearDupCtes]] +
+    * [[deconCtes]] in scope): gate → dedup survivors → decontaminated
+    * `clean(doc_id, source, b)` → quota `ranked` (rk ≤ 40 keeps). */
+  private lazy val curationCtes: String = """
+      q AS (
+        SELECT *, len(string_split(text, ' ')) AS ntok,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE /
+                 len(string_split(text, ' '))::DOUBLE AS dr
+        FROM twins
+      ),
+      gated AS (
+        SELECT doc_id, text, source FROM q
+        WHERE ntok >= 10 AND dr >= 0.3
+      ),
+      hashed AS (
+        SELECT *, sha256(trim(lower(text))) AS h FROM gated
+      ),
+      surv AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM hashed)
+        WHERE rn = 1
+      ),
+      clean AS (
+        SELECT g.doc_id, g.source,
+               ('0x' || md5(CAST(g.doc_id AS VARCHAR))[1:8])::BIGINT
+                 % 100 AS b
+        FROM gated g JOIN surv USING (doc_id)
+        WHERE g.doc_id NOT IN (SELECT cid FROM dcont)
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY source ORDER BY b, doc_id) AS rk
+        FROM clean
+      )"""
+
   /** DuckDB twin of [[DedupOps.hammingDist]] — same per-position CASE
     * sum, generated from the same bit-width constant. */
   private def hammingSql(a: String, b: String): String =
@@ -196,6 +233,33 @@ object ExtQueries {
          THEN [array_to_string($w, ' ')]
          ELSE list_transform(range(0, len($w) - $n + 1),
                 i -> array_to_string($w[i+1:i+$n], ' ')) END)"""
+
+  /** Shared curation chain (gate → dedup survivors → decontaminate →
+    * quota 40/source), text retained — consumed by q_curation_pipeline
+    * (+ split) and q_curation_packed (+ split + packing). Stage
+    * boundaries are localCheckpoint'd: the dedup output feeds three
+    * decontamination consumers and the clean corpus feeds the quota
+    * histogram + data path; unpinned, the whole upstream chain
+    * re-executes per consumer (measured 10.4 s vs 4 s). A cluster run
+    * writes tables here (README "Materialize to tables"). */
+  private def curatedCapped(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusWithTwins(Tables.documents(s, d))
+    val toks = split(col("text"), " ")
+    val gated = corpus
+      .filter(size(toks) >= 10 &&
+        size(array_distinct(toks)).cast("double")
+          / size(toks).cast("double") >= 0.3)
+      .select(col("doc_id"), col("text"), col("source"))
+    val deduped = DedupOps.exactDedup(gated)
+      .drop("content_hash", "dup_count")
+      .localCheckpoint()
+    val block = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val clean = DedupOps.decontaminate(deduped, block, minJaccard = 0.4)
+      .localCheckpoint()
+    graft.ext.Sampling.quotaSample(clean, "doc_id", "source", n = 40)
+  }
 
   // -------------------------------------------------------------------
   // Queries
@@ -257,33 +321,25 @@ object ExtQueries {
     // Composition flagship — quality gate → exact-dedup survivors →
     // decontamination → per-source quota (40) → train/test split, each
     // stage the library operator, end-to-end oracle-checked.
-    "q_curation_pipeline" -> ((s, d) => {
-      val corpus = corpusWithTwins(Tables.documents(s, d))
-      val toks = split(col("text"), " ")
-      val gated = corpus
-        .filter(size(toks) >= 10 &&
-          size(array_distinct(toks)).cast("double")
-            / size(toks).cast("double") >= 0.3)
-        .select(col("doc_id"), col("text"), col("source"))
-      // stage-boundary materialization (the cluster run writes a table
-      // here — README "Materialize to tables, not session state"):
-      // dedup output feeds three decontamination consumers, and the
-      // clean corpus feeds the quota histogram + data path; without
-      // pinning, the whole upstream chain re-executes per consumer
-      // (measured 10.4 s vs 4 s).
-      val deduped = DedupOps.exactDedup(gated)
-        .drop("content_hash", "dup_count")
-        .localCheckpoint()
-      val block = Tables.documents(s, d)
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("text"))
-      val clean = DedupOps.decontaminate(deduped, block, minJaccard = 0.4)
-        .localCheckpoint()
-      val capped = graft.ext.Sampling
-        .quotaSample(clean, "doc_id", "source", n = 40)
-      graft.ext.Sampling.trainTestSplit(capped, "doc_id", testPct = 10)
+    "q_curation_pipeline" -> ((s, d) =>
+      graft.ext.Sampling.trainTestSplit(curatedCapped(s, d), "doc_id",
+          testPct = 10)
         .select(col("doc_id"), col("source"), col("split"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // Composition flagship, final artifact — the curated TRAIN split
+    // packed into 256-token chunks: per-(chunk, doc) spans ready for a
+    // sequence writer. Raw corpus → training sequences, one
+    // oracle-checked query.
+    "q_curation_packed" -> ((s, d) => {
+      val train = graft.ext.Sampling
+        .trainTestSplit(curatedCapped(s, d), "doc_id", testPct = 10)
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("text"))
+      graft.ext.Packing.chunkSpans(
+        graft.ext.Packing.packingPlan(train, budget = 256, shards = 8),
+        budget = 256)
+        .orderBy("doc_id", "chunk")
     }),
 
     // X11d — training-mix planner: target shares + budget → per-source
@@ -824,41 +880,40 @@ object ExtQueries {
     "q_curation_pipeline" -> s"""
       WITH $nearDupCtes,
       $deconCtes,
-      q AS (
-        SELECT *, len(string_split(text, ' ')) AS ntok,
-               len(list_distinct(string_split(text, ' ')))::DOUBLE /
-                 len(string_split(text, ' '))::DOUBLE AS dr
-        FROM twins
-      ),
-      gated AS (
-        SELECT doc_id, text, source FROM q
-        WHERE ntok >= 10 AND dr >= 0.3
-      ),
-      hashed AS (
-        SELECT *, sha256(trim(lower(text))) AS h FROM gated
-      ),
-      surv AS (
-        SELECT doc_id FROM (
-          SELECT doc_id,
-                 row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
-          FROM hashed)
-        WHERE rn = 1
-      ),
-      clean AS (
-        SELECT g.doc_id, g.source,
-               ('0x' || md5(CAST(g.doc_id AS VARCHAR))[1:8])::BIGINT
-                 % 100 AS b
-        FROM gated g JOIN surv USING (doc_id)
-        WHERE g.doc_id NOT IN (SELECT cid FROM dcont)
-      ),
-      ranked AS (
-        SELECT *, row_number() OVER
-          (PARTITION BY source ORDER BY b, doc_id) AS rk
-        FROM clean
-      )
+      $curationCtes
       SELECT doc_id, source,
              CASE WHEN b < 10 THEN 'test' ELSE 'train' END AS split
       FROM ranked WHERE rk <= 40 ORDER BY doc_id""",
+
+    // Final artifact twin: curated train docs → packing plan → spans.
+    "q_curation_packed" -> s"""
+      WITH $nearDupCtes,
+      $deconCtes,
+      $curationCtes,
+      cur AS (SELECT doc_id FROM ranked WHERE rk <= 40 AND b >= 10),
+      pt AS (
+        SELECT t.doc_id,
+               CAST(len(string_split(t.text, ' ')) AS INT) AS n_tokens,
+               ('0x' || md5(CAST(t.doc_id AS VARCHAR))[1:8])::BIGINT % 8
+                 AS shard
+        FROM twins t JOIN cur USING (doc_id)
+      ),
+      pc AS (SELECT *, CAST(sum(n_tokens) OVER
+               (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+               AS end_off FROM pt),
+      pp AS (SELECT doc_id, n_tokens, shard,
+                    end_off - n_tokens AS start_off, end_off FROM pc),
+      pe AS (
+        SELECT doc_id, n_tokens, shard, start_off,
+               unnest(range(start_off // 256, (end_off - 1) // 256 + 1))
+                 AS chunk
+        FROM pp
+      )
+      SELECT doc_id, n_tokens, shard, start_off, chunk,
+             greatest(chunk * 256, start_off) - start_off AS tok_from,
+             least((chunk + 1) * 256, start_off + n_tokens) - start_off
+               AS tok_to
+      FROM pe ORDER BY doc_id, chunk""",
 
     // X11d — mix twin: share CASE generated from the same constants.
     "q_mix_rates" -> s"""
