@@ -36,6 +36,17 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Inverse of [[zValue]]: recover the two bucketized dimensions from
+    * a z-value — (even bits, odd bits). Scan-side like the forward
+    * direction; the round-trip is property-tested. */
+  def zSplit(z: Column): (Column, Column) = {
+    def gather(offset: Int): Column =
+      (0 until ZBits).map { i =>
+        shiftright(z, 2 * i + offset).bitwiseAND(lit(1L)) * lit(1L << i)
+      }.reduce(_ + _)
+    (gather(0), gather(1))
+  }
+
   /** DuckDB twin of [[zValue]], generated from the same constants. */
   def zValueSql(a: String, b: String): String = {
     def clamp(x: String) =
