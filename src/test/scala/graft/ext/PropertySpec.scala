@@ -35,6 +35,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zRangesForBox: exact z-set for the box with a generous budget, " +
+    "sound superset under a tiny budget, and box queries via ranges + " +
+    "residual equal the direct 2-D filter") {
+    for (seed <- Seq(19, 83, 311)) {
+      val rnd = new Random(seed)
+      def box(): (Long, Long, Long, Long) = {
+        val alo = rnd.nextInt(200).toLong; val blo = rnd.nextInt(200).toLong
+        (alo, alo + rnd.nextInt(60), blo, blo + rnd.nextInt(60))
+      }
+      val (alo, ahi, blo, bhi) = box()
+      def inBox(a: Long, b: Long) =
+        a >= alo && a <= ahi && b >= blo && b <= bhi
+      def zOf(a: Long, b: Long): Long = (0 until 16).map { i =>
+        ((a >> i) & 1L) * (1L << (2 * i)) +
+          ((b >> i) & 1L) * (1L << (2 * i + 1))
+      }.sum
+      def covered(rs: Seq[(Long, Long)], z: Long) =
+        rs.exists(r => z >= r._1 && z <= r._2)
+
+      val exact = Layout.zRangesForBox(alo, ahi, blo, bhi,
+        maxRanges = 100000)
+      val coarse = Layout.zRangesForBox(alo, ahi, blo, bhi, maxRanges = 8)
+      // probe a grid around the box: membership must match exactly for
+      // the refined ranges; coarse ranges may only ADD points
+      for (a <- (alo - 2) to (ahi + 2); b <- (blo - 2) to (bhi + 2)
+           if a >= 0 && b >= 0) {
+        val z = zOf(a, b)
+        assert(covered(exact, z) == inBox(a, b),
+          s"seed=$seed exact ranges wrong at ($a,$b)")
+        if (inBox(a, b))
+          assert(covered(coarse, z), s"seed=$seed coarse dropped ($a,$b)")
+      }
+      // end-to-end: range predicate + exact residual == direct filter
+      val data = Seq.fill(600)((rnd.nextInt(300).toLong,
+        rnd.nextInt(300).toLong)).zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "a", "b")
+        .withColumn("z", Layout.zValue(col("a"), col("b")))
+      val rangePred = coarse.map { case (lo, hi) =>
+        col("z").between(lo, hi) }.reduce(_ || _)
+      val viaRanges = data.filter(rangePred)
+        .filter(col("a").between(alo, ahi) && col("b").between(blo, bhi))
+        .select("id").as[Long].collect().toSet
+      val direct = data.filter(
+        col("a").between(alo, ahi) && col("b").between(blo, bhi))
+        .select("id").as[Long].collect().toSet
+      assert(viaRanges == direct, s"seed=$seed")
+    }
+  }
+
   test("packing invariants on arbitrary corpora: spans conserve every " +
     "token, tile full chunks to the budget, and never exceed it") {
     val words = Array("aa", "bb", "cc", "dd")
