@@ -78,6 +78,11 @@ object Soak {
       // the composed curation chain (gate → dedup → decontaminate →
       // quota → split) — proves the stage-boundary materialization
       // pattern holds under duplication, not just each op alone
+      timed("packing") {
+        graft.ext.Packing.chunkSpans(
+          graft.ext.Packing.packingPlan(corpus, budget = 2048,
+            shards = 64), budget = 2048)
+      },
       timed("curation") {
         val toks = split(col("text"), " ")
         val gated = corpus.filter(size(toks) >= 10 &&

@@ -95,6 +95,27 @@ case class GraftDropViewCommand(ns: String, name: String, ifExists: Boolean)
   }
 }
 
+/** DESCRIBE TABLE for graft registrations (incl. snapshot-backed
+  * tables) — Spark's native output shape (col_name, data_type,
+  * comment). */
+case class GraftDescribeTableCommand(ns: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    val df = store.snapshotPath(ns, name)
+      .map(p => spark.read.parquet(p))
+      .getOrElse(store.table(ns, name))
+    df.schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString,
+        f.getComment().orNull))
+  }
+}
+
 case class GraftShowSchemasCommand(pattern: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =

@@ -91,6 +91,24 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         case _ => d
       }
 
+      // DESCRIBE [TABLE] on a graft-catalog name (3-part with the
+      // iceberg/demo prefix, or 2-part naming an existing graft table
+      // at parse time — same currency argument as SHOW TABLES below)
+      case d: DescribeRelation => d.relation match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+          u.multipartIdentifier match {
+            case Seq(cat, ns, t) if isGraft(cat) =>
+              GraftDescribeTableCommand(lower(ns), lower(t))
+            case Seq(ns, t)
+                if new TableStore(session).tableExists(ns, t) ||
+                  new TableStore(session)
+                    .snapshotPath(lower(ns), lower(t)).isDefined =>
+              GraftDescribeTableCommand(lower(ns), lower(t))
+            case _ => d
+          }
+        case _ => d
+      }
+
       case s: org.apache.spark.sql.execution.command.ShowNamespacesCommand
           if (s.child match {
             case UnresolvedNamespace(Seq(cat), _) => isGraft(cat)

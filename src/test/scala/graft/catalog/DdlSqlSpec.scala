@@ -192,6 +192,33 @@ CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (
     assert(listed == Seq(("hist", "t", false)))
   }
 
+  test("DESCRIBE runs verbatim on graft tables (both spellings) and " +
+    "snapshot-backed tables; non-graft names stay with Spark") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    store.register("silver", "d1",
+      Seq((1, "x")).toDF("order_id", "status"))
+    val viaPrefix = spark.sql("DESCRIBE iceberg.silver.d1")
+      .as[(String, String, Option[String])].collect().toSeq
+    assert(viaPrefix == Seq(("order_id", "int", None),
+      ("status", "string", None)))
+    val bare = spark.sql("DESCRIBE silver.d1")
+      .as[(String, String, Option[String])].collect().toSeq
+    assert(bare == viaPrefix)
+    // snapshot-backed
+    val dir = java.nio.file.Files.createTempDirectory("descsnap")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(Seq(1L).toDF("v"), dir)
+    store.registerSnapshot("hist", "d2", dir)
+    assert(spark.sql("DESCRIBE hist.d2")
+      .as[(String, String, Option[String])].collect().toSeq ==
+      Seq(("v", "bigint", None)))
+    // a plain temp view keeps Spark's own DESCRIBE
+    Seq(1).toDF("y").createOrReplaceTempView("desc_plain_v")
+    val native = spark.sql("DESCRIBE desc_plain_v").collect()
+    assert(native.map(_.getString(0)).contains("y"))
+  }
+
   test("registering a table over a name that held a SQL view clears " +
     "the stale view plan (table wins on re-read)") {
     TableStore.reset(spark)
