@@ -342,6 +342,23 @@ object ExtQueries {
         .orderBy("doc_id", "chunk")
     }),
 
+    // X6' — per-source corpus health report: docs, token volume, mean
+    // length, exact duplicate count (hash-distinct) — the dataset
+    // owner's first query; one partial-agg shuffle on source.
+    "q_corpus_report" -> ((s, d) => {
+      val t = corpusWithTwins(Tables.documents(s, d))
+        .withColumn("ntok", size(split(col("text"), " ")))
+        .withColumn("h", TextOps.fingerprint(col("text")))
+      t.groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          sum("ntok").as("tokens"),
+          (sum("ntok").cast("double") / count(lit(1)).cast("double"))
+            .as("mean_tokens"),
+          countDistinct("h").as("distinct_docs"))
+        .withColumn("dup_docs", col("docs") - col("distinct_docs"))
+        .orderBy("source")
+    }),
+
     // X11d — training-mix planner: target shares + budget → per-source
     // quotas and keep-rates (src0 50% / src1 30% / src2 20% of 40).
     "q_mix_rates" -> ((s, d) =>
@@ -914,6 +931,23 @@ object ExtQueries {
              least((chunk + 1) * 256, start_off + n_tokens) - start_off
                AS tok_to
       FROM pe ORDER BY doc_id, chunk""",
+
+    // X6' — corpus report twin.
+    "q_corpus_report" -> s"""
+      WITH $twinsCte,
+      t AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS INT) AS ntok,
+               sha256(trim(lower(text))) AS h
+        FROM twins
+      )
+      SELECT source, count(*) AS docs,
+             CAST(sum(ntok) AS BIGINT) AS tokens,
+             CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_tokens,
+             count(DISTINCT h) AS distinct_docs,
+             count(*) - count(DISTINCT h) AS dup_docs
+      FROM t GROUP BY source ORDER BY source""",
 
     // X11d — mix twin: share CASE generated from the same constants.
     "q_mix_rates" -> s"""
