@@ -47,6 +47,29 @@ object DedupOps {
         :+ col("dup_count"): _*)
   }
 
+  /** X1' — INCREMENTAL exact dedup: the nightly-ingest case. Survivors
+    * among `incoming` that are (a) first of their content within the
+    * batch ([[exactDedup]] semantics, dup_count = within-batch count)
+    * and (b) NOT already present in `existing` by content hash.
+    *
+    * Scale: the existing corpus contributes only a partial-agg DISTINCT
+    * of its 64-hex content hashes (map-side combined — degenerate dup
+    * groups in the archive collapse before the exchange), and the
+    * anti-join is hash-keyed — nothing about the archive's size lands
+    * on a single reducer, and no text crosses any exchange. The
+    * near-dup twin of this operation is [[decontaminate]] with
+    * `existing` as the blocklist (`broadcastBlocklist = false` when the
+    * archive is large). */
+  def incrementalExactDedup(existing: DataFrame, incoming: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val seen = existing
+      .select(TextOps.fingerprint(col(textCol)).as("content_hash"))
+      .distinct()
+    exactDedup(incoming, idCol, textCol)
+      .join(seen, Seq("content_hash"), "left_anti")
+  }
+
   /** MinHash signature size and LSH banding: Bands * RowsPerBand =
     * NumHashes. With b=4, r=4 the collision-probability curve
     * (1-(1-s^r)^b) crosses 1/2 near s≈0.7 — tuned for near-dup (not

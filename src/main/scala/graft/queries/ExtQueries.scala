@@ -342,6 +342,18 @@ object ExtQueries {
         .orderBy("doc_id", "chunk")
     }),
 
+    // X1' — incremental dedup: the twin slice (exact + near twins) as
+    // tonight's ingest against the base corpus as the archive — exact
+    // twins are archive duplicates and vanish, near twins survive.
+    "q_incremental_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val incoming = corpusWithTwins(base)
+        .filter(col("doc_id") >= 100000)
+      DedupOps.incrementalExactDedup(base, incoming)
+        .select(col("doc_id"), col("content_hash"), col("dup_count"))
+        .orderBy("doc_id")
+    }),
+
     // X6' — per-source corpus health report: docs, token volume, mean
     // length, exact duplicate count (hash-distinct) — the dataset
     // owner's first query; one partial-agg shuffle on source.
@@ -931,6 +943,30 @@ object ExtQueries {
              least((chunk + 1) * 256, start_off + n_tokens) - start_off
                AS tok_to
       FROM pe ORDER BY doc_id, chunk""",
+
+    // X1' — incremental twin: in-batch survivor ranking, then NOT IN
+    // the archive's distinct hash set.
+    "q_incremental_dedup" -> s"""
+      WITH $twinsCte,
+      inc AS (SELECT * FROM twins WHERE doc_id >= 100000),
+      hashed AS (
+        SELECT doc_id, sha256(trim(lower(text))) AS content_hash
+        FROM inc
+      ),
+      ranked AS (
+        SELECT doc_id, content_hash,
+               count(*) OVER (PARTITION BY content_hash) AS dup_count,
+               row_number() OVER
+                 (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        FROM hashed
+      ),
+      seen AS (
+        SELECT DISTINCT sha256(trim(lower(text))) AS h FROM documents
+      )
+      SELECT doc_id, content_hash, CAST(dup_count AS BIGINT) AS dup_count
+      FROM ranked
+      WHERE rn = 1 AND content_hash NOT IN (SELECT h FROM seen)
+      ORDER BY doc_id""",
 
     // X6' — corpus report twin.
     "q_corpus_report" -> s"""

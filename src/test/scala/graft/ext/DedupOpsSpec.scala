@@ -113,6 +113,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(viaShuffle == viaBroadcast)
   }
 
+  test("incrementalExactDedup drops archive duplicates, keeps new " +
+    "content, and still dedups within the batch") {
+    val archive = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // in archive
+      (11L, "a genuinely new document about catalyst rules"),
+      (12L, "a genuinely new document about catalyst rules"), // batch dup
+      (13L, "another new document entirely")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrementalExactDedup(archive, incoming)
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("exactDedup keeps all original columns plus content_hash and " +
     "dup_count, in order") {
     val wide = docs.withColumn("extra", lit("x"))
