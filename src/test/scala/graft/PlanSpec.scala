@@ -198,6 +198,33 @@ class PlanSpec extends SparkSpec {
       s"survivor agg lost its map-side combine:\n$plan")
   }
 
+  test("incremental dedup: both sides partial-aggregated, no text in " +
+    "any exchange, anti-join stays hash-keyed") {
+    val base = Tables.documents(spark, sf)
+    val incoming = graft.queries.ExtQueries.corpusWithTwins(base)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 100000)
+    val plan = finalPlan(
+      graft.ext.DedupOps.incrementalExactDedup(base, incoming))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_"), plan)
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(_.contains("text")),
+      s"document text crossed an exchange:\n$plan")
+  }
+
+  test("corpus report: one logical aggregation pass — partial aggs " +
+    "before every exchange, no text shuffled") {
+    val plan = finalPlan(
+      ExtQueries.queries("q_corpus_report")(spark, sf))
+    assert(plan.contains("partial_"), plan)
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchangeLines.exists(_.contains("text")),
+      s"document text crossed an exchange:\n$plan")
+  }
+
   test("multi-table simhash: no pair-keyed exchange — cross-table " +
     "dedup is the scan-side first-colliding-table filter, so the only " +
     "hash exchanges are the (tbl, bucket) candidate join's") {

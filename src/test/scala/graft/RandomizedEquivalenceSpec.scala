@@ -186,6 +186,43 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("incrementalExactDedup equals the brute-force set definition on " +
+    "random archives and batches (overlaps, in-batch dups, case/space " +
+    "normalization)") {
+    for (seed <- Seq(23, 171)) {
+      val rnd = new Random(seed)
+      val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      def text() = Seq.fill(3 + rnd.nextInt(3))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val archTexts = Seq.fill(25)(text())
+      val archive = archTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // incoming: mix of archive repeats (some with case/space noise),
+      // fresh texts, and in-batch duplicates
+      val incTexts = Seq.fill(40)(rnd.nextInt(3) match {
+        case 0 => archTexts(rnd.nextInt(archTexts.size))
+        case 1 => "  " + archTexts(rnd.nextInt(archTexts.size))
+          .toUpperCase + " "
+        case _ => text() + " fresh" + rnd.nextInt(5)
+      })
+      val incoming = incTexts.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val got = graft.ext.DedupOps
+        .incrementalExactDedup(archive, incoming)
+        .select($"doc_id", $"dup_count").as[(Long, Long)]
+        .collect().toMap
+      def norm(t: String) = t.trim.toLowerCase
+      val archSet = archTexts.map(norm).toSet
+      val want = incTexts.zipWithIndex
+        .map { case (t, i) => (1000L + i, norm(t)) }
+        .groupBy(_._2).collect {
+          case (n, rows) if !archSet.contains(n) =>
+            rows.map(_._1).min -> rows.size.toLong
+        }.toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("simhashPairsMulti equals brute-force: all pairs within maxDist " +
     "whose signatures share ANY rotated 8-bit prefix, each exactly once") {
     for (seed <- Seq(13, 211)) {
