@@ -153,12 +153,12 @@ object ExtQueries {
       )"""
 
   /** Decontamination CTE chain over `twins` (needs [[nearDupCtes]] in
-    * scope for `bands`/`sh`): ends with `dcont(cid)` = ids near-dup of
-    * the doc_id%10=0 blocklist. Shared by q_decontaminate and
-    * q_curation_pipeline — per-doc independent, so it composes with any
-    * upstream per-doc filter. */
-  private lazy val deconCtes: String = s"""
-      blk AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    * scope for `bands`/`sh`), parameterized by the blocklist's WHERE
+    * and the Jaccard threshold: ends with `dcont(cid)` = corpus ids
+    * near-duplicating any blocklist doc. Per-doc independent, so it
+    * composes with any upstream per-doc filter. */
+  private def deconCtesFor(blkWhere: String, minJ: Double): String = s"""
+      blk AS (SELECT doc_id, text FROM documents WHERE $blkWhere),
       btoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM blk),
       bsh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM btoks),
       bsig AS (
@@ -180,8 +180,13 @@ object ExtQueries {
         WHERE len(list_intersect(sc.shingles, sb.shingles))::DOUBLE /
               (len(sc.shingles) + len(sb.shingles)
                 - len(list_intersect(sc.shingles, sb.shingles)))::DOUBLE
-              >= 0.4
+              >= $minJ
       )"""
+
+  /** The benchmark-blocklist instance shared by q_decontaminate and the
+    * curation pipeline. */
+  private lazy val deconCtes: String =
+    deconCtesFor("doc_id % 10 = 0", 0.4)
 
   /** Curation CTE chain over `twins` (needs [[nearDupCtes]] +
     * [[deconCtes]] in scope): gate → dedup survivors → decontaminated
@@ -340,6 +345,22 @@ object ExtQueries {
         graft.ext.Packing.packingPlan(train, budget = 256, shards = 8),
         budget = 256)
         .orderBy("doc_id", "chunk")
+    }),
+
+    // X1''/X2e' — incremental NEAR-dedup through the NON-BROADCAST
+    // decontamination path (the archive is corpus-sized, so its bands
+    // shuffle-join instead of broadcasting): scrub tonight's twins of
+    // near-dups of the whole base corpus at 0.95 — exact twins
+    // (jaccard 1.0) vanish, truncated near twins (≈0.93) survive.
+    "q_incremental_near_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val incoming = corpusWithTwins(base)
+        .filter(col("doc_id") >= 100000)
+      DedupOps.decontaminate(incoming,
+          base.select(col("doc_id"), col("text")),
+          minJaccard = 0.95, broadcastBlocklist = false)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
     }),
 
     // X1' — incremental dedup: the twin slice (exact + near twins) as
@@ -943,6 +964,16 @@ object ExtQueries {
              least((chunk + 1) * 256, start_off + n_tokens) - start_off
                AS tok_to
       FROM pe ORDER BY doc_id, chunk""",
+
+    // X1''/X2e' — incremental near-dedup twin: whole-corpus blocklist,
+    // 0.95 threshold, corpus restricted to the twin slice.
+    "q_incremental_near_dedup" -> s"""
+      WITH $nearDupCtes,
+      ${deconCtesFor("1 = 1", 0.95)}
+      SELECT doc_id, n_chars FROM twins
+      WHERE doc_id >= 100000
+        AND doc_id NOT IN (SELECT cid FROM dcont)
+      ORDER BY doc_id""",
 
     // X1' — incremental twin: in-batch survivor ranking, then NOT IN
     // the archive's distinct hash set.
