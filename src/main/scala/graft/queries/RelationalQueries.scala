@@ -378,10 +378,226 @@ object RelationalQueries {
             .otherwise(lit("p90")).as("quantile"),
           col("value"))
         .orderBy("event_type", "quantile")
+    }),
+
+    // TPC-H Q6 shape: the pure-scan aggregate — every predicate reaches
+    // the parquet reader (PushedFilters), zero shuffles, one partial agg
+    // folded on the driver. The 100-TB plan IS the sf0.01 plan.
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1998-01-01").cast(TimestampType)
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"))),
+
+    // TPC-H Q4 shape (adapted: fixture has no commit/receipt dates, so
+    // the EXISTS predicate is l_shipdate > o_orderdate): a LEFT SEMI
+    // join with a non-equi residual condition — each order counted once
+    // no matter how many lineitems qualify. One shuffle pair on the
+    // order key, then a 5-group partial agg.
+    "q4_order_priority" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      ord.join(li, col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer. The fact
+    // join (lineitem⋈orders) shuffles on the order key ONCE, the
+    // revenue agg reduces to one row per customer BEFORE the customer
+    // table joins (so customer — 15M rows at SF100 — joins a
+    // pre-reduced side, not the raw fact), nation broadcasts.
+    "q10_returned_items" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      rev.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution. Orders reduce
+    // to (custkey, count) by partial agg FIRST (the fact never joins
+    // raw), then a LEFT OUTER from customer keeps the zero-order
+    // customers, and a second tiny agg builds the histogram.
+    "q13_order_distribution" -> ((s, d) => {
+      val cnt = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d)
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q18 shape: large-volume orders. The HAVING filter runs on
+    // the partial-aggregated (orderkey, sum_qty) pairs — at any scale
+    // the >300 survivors are a vanishing fraction, so they BROADCAST
+    // into orders and customer; no full fact⋈dim shuffle ever happens.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q19 shape (adapted to fixture columns: brand/size/quantity
+    // brackets instead of container/shipmode): disjunctive-predicate
+    // join — part broadcasts, the OR-of-ANDs evaluates as a residual
+    // filter inside the broadcast hash join, and only the equi-key
+    // l_partkey = p_partkey drives matching (never a nested loop).
+    "q19_bracket_revenue" -> ((s, d) => {
+      val part = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 21)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 20)
+            && col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 25)
+            && col("l_quantity").between(20, 40)))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    }),
+
+    // TPC-H Q22 shape (adapted: mktsegment stands in for the phone
+    // country code): scalar-subquery average — computed in-plan and
+    // broadcast as a 1-row cross join, never collect()ed — filters
+    // customers above the mean balance, anti-joined against orders.
+    // davg is decimal-exact sum / count, so the threshold double is
+    // bit-identical in both engines.
+    "q22_idle_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      cust.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_totalprice") > 300000.0).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_mktsegment")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" -> s"""
+      SELECT ${oSum("l_extendedprice * l_discount")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+
+    "q4_order_priority" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q10_returned_items" -> s"""
+      SELECT c_custkey, c_name,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             c_acctbal, n_name
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+
+    "q13_order_distribution" -> """
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+      )
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+
+    "q18_large_orders" -> s"""
+      SELECT c_name, c_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_totalprice, sum_qty
+      FROM (
+        SELECT l_orderkey, ${oSum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+      ) big
+      JOIN orders ON o_orderkey = big.l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE sum_qty > 300.0
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""",
+
+    "q19_bracket_revenue" -> s"""
+      SELECT ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 21)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 20 AND 40)""",
+
+    "q22_idle_customers" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS numcust,
+             ${oSum("c_acctbal")} AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT ${oSum("c_acctbal")} / COUNT(*)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice > 300000.0)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
     "q1_pricing_summary" -> s"""
       SELECT l_returnflag, l_linestatus,
         ${oSum("l_quantity")} AS sum_qty,
