@@ -48,4 +48,52 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("_hk"))
           .as("est_distinct"): _*)
   }
+
+  /** Corpus-level KMV sketch: the k smallest distinct 60-bit hashes of
+    * `valueCol`. `orderBy.limit(k)` plans as TakeOrdered — each
+    * partition surfaces its own k smallest and the driver merges k
+    * longs per partition; no global sort ever materializes. The
+    * distinct before it is partial-aggregated, so a hot value
+    * collapses map-side. */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    df.select(hash60(col(valueCol)).as("h")).distinct()
+      .orderBy("h").limit(k)
+
+  /** X10b — KMV set operations [Beyer et al., SIGMOD 2007]: estimate
+    * |A∪B|, Jaccard(A,B) and |A∩B| for two corpora from their k-long
+    * sketches ALONE. The merged sketch is the k smallest of
+    * sketch(A) ∪ sketch(B) (a valid KMV of A∪B, since any of the k
+    * union-minima is in one side's k minima); the Jaccard estimator is
+    * the fraction of merged hashes present in BOTH per-corpus
+    * sketches. With fewer than k distinct union hashes every estimate
+    * degrades to exact.
+    *
+    * Scale shape: each corpus contributes one distinct + TakeOrdered
+    * pass; everything after runs on ≤ 2k rows. This is the "compare
+    * two crawls without joining them" primitive — overlap of two
+    * 100-TB corpora costs two scans and a 2k-row merge, and because
+    * every step is deterministic md5 arithmetic the ESTIMATES
+    * themselves are oracle-checked cell-for-cell.
+    *
+    * @return one row: union_est, jaccard_est, intersect_est (doubles)
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sa = kmvSketch(a, valueCol, k)
+      .select(col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val sb = kmvSketch(b, valueCol, k)
+      .select(col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+    sa.unionByName(sb)
+      .groupBy("h").agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .orderBy("h").limit(k)
+      .agg(count(lit(1)).as("_m"), max(col("h")).as("_hk"),
+        sum(col("in_a") * col("in_b")).as("_nboth"))
+      .select(
+        when(col("_m") < k, col("_m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("_hk"))
+          .as("union_est"),
+        (col("_nboth").cast("double") / col("_m")).as("jaccard_est"))
+      .withColumn("intersect_est", col("union_est") * col("jaccard_est"))
+  }
 }

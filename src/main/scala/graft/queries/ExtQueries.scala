@@ -639,6 +639,23 @@ object ExtQueries {
       est.join(exact, Seq("event_type")).orderBy("event_type")
     }),
 
+    // X10b — KMV set operations: shingle-vocabulary overlap between two
+    // source groups, estimated from two 256-long sketches alone (the
+    // corpora are never joined). Deterministic md5 arithmetic → the
+    // union/Jaccard/intersection ESTIMATES are oracle-checked
+    // cell-for-cell, not just bounded.
+    "q_kmv_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def shingleStream(srcs: Seq[String]) = docs
+        .filter(col("source").isInCollection(srcs))
+        .select(explode(
+          graft.ext.TextOps.shingles(col("text"), 3)).as("sh"))
+      graft.ext.Sketches.kmvOverlap(
+        shingleStream((0 to 4).map(i => s"src$i")),
+        shingleStream((5 to 9).map(i => s"src$i")),
+        "sh", k = 256)
+    }),
+
     // X11 — deterministic hash-bucket train/test split over documents
     // (id-stable across reruns/partitionings, unlike randomSplit).
     "q_split" -> ((s, d) =>
@@ -1487,6 +1504,41 @@ object ExtQueries {
         FROM events GROUP BY event_type
       ) x ON kmv.event_type = x.event_type
       ORDER BY kmv.event_type""",
+
+    "q_kmv_overlap" -> s"""
+      WITH wa AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+        WHERE source IN ('src0','src1','src2','src3','src4')
+      ), wb AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+        WHERE source IN ('src5','src6','src7','src8','src9')
+      ), ka AS (
+        SELECT DISTINCT ('0x' || md5(sh)[1:15])::BIGINT AS h
+        FROM (SELECT unnest(${shSql("w")}) AS sh FROM wa)
+        ORDER BY h LIMIT 256
+      ), kb AS (
+        SELECT DISTINCT ('0x' || md5(sh)[1:15])::BIGINT AS h
+        FROM (SELECT unnest(${shSql("w")}) AS sh FROM wb)
+        ORDER BY h LIMIT 256
+      ), u AS (
+        SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+          SELECT h, 1 AS in_a, 0 AS in_b FROM ka
+          UNION ALL SELECT h, 0 AS in_a, 1 AS in_b FROM kb)
+        GROUP BY h ORDER BY h LIMIT 256
+      ), agg AS (
+        SELECT count(*) AS m, max(h) AS hk,
+               sum(in_a * in_b) AS nboth
+        FROM u
+      ), est AS (
+        SELECT CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 / hk END
+                 AS union_est,
+               CAST(nboth AS DOUBLE) / m AS jaccard_est
+        FROM agg
+      )
+      SELECT union_est, jaccard_est,
+             union_est * jaccard_est AS intersect_est
+      FROM est""",
 
     "q_split" -> """
       SELECT doc_id,

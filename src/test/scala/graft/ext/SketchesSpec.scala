@@ -21,6 +21,30 @@ class SketchesSpec extends SparkSpec {
     assert(est == 40.0)
   }
 
+  test("kmvOverlap under k distinct is exact (union, jaccard, intersection)") {
+    // A = 1..60, B = 41..100 → |A∪B| = 100, |A∩B| = 20, J = 0.2
+    val a = (1 to 60).map(i => s"v$i").toDF("x")
+    val b = (41 to 100).map(i => s"v$i").toDF("x")
+    val r = Sketches.kmvOverlap(a, b, "x", k = 256)
+      .select($"union_est", $"jaccard_est", $"intersect_est")
+      .as[(Double, Double, Double)].head()
+    assert(r._1 == 100.0)
+    assert(r._2 == 0.2)
+    assert(r._3 == 20.0)
+  }
+
+  test("kmvOverlap estimation path lands near a 50%-overlap truth") {
+    // A = 1..8000, B = 4001..12000 → union 12000, jaccard = 1/3
+    val a = (1 to 8000).map(i => s"v$i").toDF("x")
+    val b = (4001 to 12000).map(i => s"v$i").toDF("x")
+    val r = Sketches.kmvOverlap(a, b, "x", k = 512)
+      .select($"union_est", $"jaccard_est", $"intersect_est")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(r._1 - 12000) / 12000.0 < 0.25, s"union=${r._1}")
+    assert(math.abs(r._2 - 1.0 / 3) < 0.15, s"jaccard=${r._2}")
+    assert(math.abs(r._3 - 4000) / 4000.0 < 0.4, s"intersect=${r._3}")
+  }
+
   test("estimate is invariant to row order and duplication") {
     val base = (1 to 1000).map(i => ("g", s"u$i"))
     val a = Sketches.kmvDistinct(base.toDF("g", "v"), Seq("g"), "v", 64)
