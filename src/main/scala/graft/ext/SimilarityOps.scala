@@ -266,6 +266,39 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  /** X2f — semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its single nearest
+    * centroid cell, search near-duplicate pairs ONLY within a cell
+    * (exact pairwise cosine there), and drop every vector that has a
+    * smaller-id near-twin — the min-id representative of each
+    * duplicate pair survives.
+    *
+    * Scale shape: the centroid table is tiny and broadcast; the only
+    * corpus-keyed exchange is the cell self-join on `centroid_id`.
+    * Cell population is corpus/nlist on average — size nlist ≈
+    * n/targetCellRows so a cell's pair count stays bounded; this
+    * within-cell quadratic IS the SemDeDup design (clustering exists
+    * precisely to keep the pairwise step off the full corpus). Recall
+    * is bounded by cell agreement — near-identical vectors share a
+    * nearest centroid unless they straddle a cell boundary — the same
+    * knob-vs-recall trade the ANN recall audits (X3d) measure.
+    *
+    * @return `corpus` rows whose vector has no smaller-id near-twin
+    *         in its cell (survivors, all original columns) */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    val cells = assignCentroids(corpus, centroids)
+    val l = cells.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"))
+    val r = cells.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"))
+    val dropped = l.join(r, "centroid_id")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("e_a"), col("e_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    corpus.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: bucketed
     * self-join (sign-LSH), threshold on exact cosine. X2's embedding
     * variant. */

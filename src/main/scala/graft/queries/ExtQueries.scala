@@ -574,6 +574,17 @@ object ExtQueries {
         embTwins(Tables.embeddings(s, d)), 0.99, LshBits, LshTables)
         .orderBy("id_a", "id_b")),
 
+    // X2f — SemDeDup semantic dedup: IVF-cell clustering (broadcast
+    // 32-centroid codebook) + within-cell exact-cosine pairs at 0.99;
+    // the perturbed twins land in their original's cell and are
+    // dropped, originals survive. Survivor ID LIST is oracle-checked.
+    "q_semantic_dedup" -> ((s, d) => {
+      val corpus = embTwins(Tables.embeddings(s, d))
+      val cents = SimilarityOps.sampleCentroids(corpus, IvfNlist)
+      SimilarityOps.semanticDedup(corpus, cents, 0.99)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // X5 — multimodal media table + stubbed decode features. The
     // histogram array is serialized to CSV for the compare (the
     // hash-compare layer can't sort list cells); the library keeps it
@@ -1413,6 +1424,31 @@ object ExtQueries {
       )
       SELECT id_a, id_b, score FROM pairs
       WHERE score >= 0.99 ORDER BY id_a, id_b""",
+
+    "q_semantic_dedup" -> s"""
+      WITH $embTwinsCte,
+      c AS (
+        SELECT vec_id AS centroid_id, e AS ce FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
+      ),
+      assign AS (
+        SELECT vec_id, e, centroid_id FROM (
+          SELECT x.vec_id, x.e, c.centroid_id,
+                 row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY ${dotSql("x.e", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM corpus x CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b USING (centroid_id)
+        WHERE a.vec_id < b.vec_id
+          AND ${cosSql("a.e", "b.e")} >= 0.99
+      )
+      SELECT vec_id FROM corpus
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id""",
 
     "q_multimodal" -> s"""
       WITH m AS (SELECT doc_id AS media_id, md5(text) AS h,

@@ -193,4 +193,21 @@ class SimilarityOpsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("semanticDedup keeps the min-id twin and distinct vectors") {
+    // 0/1 are near-twins, 2 is orthogonal, 3 duplicates 2 exactly.
+    val corpus = Seq(
+      (0L, vec(1f, 0.01f, 0f, 0f)),
+      (1L, vec(0.99f, 0.02f, 0f, 0f)),
+      (2L, vec(0.1f, 1f, 0f, 0f)),
+      (3L, vec(0.1f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.sampleCentroids(corpus, 2)
+    val kept = SimilarityOps.semanticDedup(corpus, cents, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // Whichever 2 centroids the md5 order samples, each twin pair
+    // shares a nearest cell (the members are near-identical), so the
+    // min ids {0, 2} survive and {1, 3} are dropped.
+    assert(kept == Set(0L, 2L))
+  }
 }
