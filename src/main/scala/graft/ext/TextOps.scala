@@ -74,6 +74,63 @@ object TextOps {
       .select(col(idCol), col("word"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** X4e — BM25 ranked keyword retrieval (Robertson et al., TREC-3;
+    * the Lucene-smoothed idf ln(1 + (N−df+0.5)/(df+0.5)) so scores
+    * stay positive). The inverted-index side of search, complementing
+    * the embedding ANN family: score(q, d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b + b·dl/avgdl)).
+    *
+    * Scale shape: one (doc, term) partial-agg count, a broadcast join
+    * against the tiny query-term table FIRST (so only postings of
+    * queried terms survive — the 100-TB point: scoring touches the
+    * posting lists, never the corpus), then broadcast df + 1-row
+    * corpus stats; the final per-(query, doc) sum aggregates exact
+    * DECIMAL(18,6)-quantized term scores, so accumulation order can't
+    * drift the float, and the top-k window ranks per query.
+    *
+    * Constants stay symbolic on both engines ((k1+1.0) is an IEEE
+    * ADD at runtime in Spark AND the oracle — never pre-folded in
+    * Scala, where a differently-rounded literal would diverge).
+    *
+    * @param queryTerms (query_id, term) — one row per query keyword
+    * @return (query_id, doc_id, rank, score), rank 1..k by
+    *         (score DESC, doc id ASC) */
+  def bm25TopK(docs: DataFrame, queryTerms: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val withLen = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("dl"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = withLen
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      countDistinct(col(idCol)).as("_n"),
+      sum(size(tokens(col(textCol))).cast("long")).as("_dlsum"))
+    val termScore =
+      log(lit(1.0) + (col("_n") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))) *
+        (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+          + lit(b) * col("dl") / col("_avgdl")))
+    val scored = tf
+      .join(broadcast(queryTerms), "term")
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("_dlsum").cast("double") / col("_n"))
+      .withColumn("_s", termScore.cast(DecimalType(18, 6)))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("_s")).cast(DoubleType).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"), col("score"))
+  }
+
   /** Marker-word table for the n-gram language-ID heuristic. Public so
     * the oracle SQL generator uses the exact same table. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -39,6 +39,14 @@ object ExtQueries {
   val IvfNlist = 32
   val IvfNprobe = 2
 
+  /** BM25 keyword queries (X4e) — one (query_id, term) row per
+    * keyword; the oracle's VALUES list is generated from the same
+    * constant. */
+  val Bm25Queries: Seq[(String, String)] = Seq(
+    "k1" -> "data", "k1" -> "table",
+    "k2" -> "spark", "k2" -> "stream",
+    "k3" -> "fast", "k3" -> "slow", "k3" -> "value")
+
   /** X11d mix-planner fixture: 50/30/20 over three sources, budget 40 —
     * small enough that rates land strictly below 100 at every SF. */
   val MixTargets: Map[String, Double] =
@@ -284,6 +292,15 @@ object ExtQueries {
     // X4 — tf-idf.
     "q_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d)).orderBy("doc_id", "word")),
+
+    // X4e — BM25 ranked keyword retrieval: the query-term broadcast
+    // prunes the posting lists before any scoring; per-term scores are
+    // DECIMAL-quantized so the per-doc sum is order-independent.
+    "q_bm25" -> ((s, d) => {
+      val qt = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+      TextOps.bm25TopK(Tables.documents(s, d), qt, k = 10)
+        .orderBy("query_id", "rank")
+    }),
 
     // X4 — heuristic language ID.
     "q_lang_id" -> ((s, d) =>
@@ -908,6 +925,48 @@ object ExtQueries {
                AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
       FROM tf JOIN df USING (word), n
       ORDER BY doc_id, word""",
+
+    "q_bm25" -> s"""
+      WITH qt(query_id, term) AS (VALUES
+        ${Bm25Queries.map { case (q, t) => s"('$q', '$t')" }
+          .mkString(", ")}),
+      tf AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               w AS term, count(*) AS tf
+        FROM (SELECT doc_id, text,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, dl, term
+      ),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      stats AS (
+        SELECT count(DISTINCT doc_id) AS n,
+               sum(len(string_split(text, ' '))) AS dlsum
+        FROM documents
+      ),
+      s AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(
+                 ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl /
+                   (CAST(stats.dlsum AS DOUBLE) / stats.n)))
+               AS DECIMAL(18,6)) AS s
+        FROM tf JOIN qt USING (term) JOIN df USING (term)
+        CROSS JOIN stats
+      ),
+      agg AS (
+        SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+        FROM s GROUP BY query_id, doc_id
+      ),
+      r AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM agg
+      )
+      SELECT query_id, doc_id, rank, score
+      FROM r WHERE rank <= 10
+      ORDER BY query_id, rank""",
 
     "q_lang_id" -> s"""
       SELECT doc_id, lang, ${langIdSql("string_split(text, ' ')")}

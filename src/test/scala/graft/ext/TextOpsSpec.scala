@@ -121,4 +121,29 @@ class TextOpsSpec extends SparkSpec {
     // 3 tokens → bucket 0; 9 tokens → bucket 2; 1 token → bucket 0
     assert(h == Set(("en", 0L, 1L), ("en", 2L, 1L), ("de", 0L, 1L)))
   }
+
+  test("bm25TopK: doc matching both terms outranks single-term doc; " +
+    "non-matching docs never appear") {
+    val docs = Seq(
+      (1L, "data table data value"),
+      (2L, "data word word word"),
+      (3L, "unrelated text entirely")).toDF("doc_id", "text")
+    val qt = Seq(("q", "data"), ("q", "table")).toDF("query_id", "term")
+    val r = TextOps.bm25TopK(docs, qt, k = 10)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> 1, 2L -> 2))
+  }
+
+  test("bm25TopK term-frequency saturation: tf grows the score " +
+    "sublinearly, never linearly") {
+    val docs = Seq(
+      (1L, "data x x x"),
+      (2L, "data data x x"),
+      (3L, "data data data x")).toDF("doc_id", "text")
+    val qt = Seq(("q", "data")).toDF("query_id", "term")
+    val s = TextOps.bm25TopK(docs, qt, k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(s(1L) < s(2L) && s(2L) < s(3L))
+    assert(s(3L) - s(2L) < s(2L) - s(1L)) // saturating increments
+  }
 }
