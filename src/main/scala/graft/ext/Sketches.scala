@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,50 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("_hk"))
           .as("est_distinct"): _*)
   }
+
+  /** CMS row-hash: bucket of `value` in sketch row `i` — 32-bit md5
+    * prefix of "i:value" mod width. Mirrored in DuckDB as
+    * `('0x' || md5(CAST(i AS VARCHAR) || ':' || v)[1:8])::BIGINT % w`. */
+  private def cmsBucket(i: Int, value: Column, width: Int): Column =
+    conv(substring(md5(concat_ws(":", lit(i).cast("string"),
+      value.cast("string"))), 1, 8), 16, 10).cast("long") % width
+
+  /** X10c — count-min sketch [Cormode & Muthukrishnan 2005] build:
+    * every occurrence lands in one bucket per row; the sketch is the
+    * (row, bucket, cnt) counter table — depth × width rows TOTAL,
+    * independent of the data size. One partial-agg shuffle builds it:
+    * a hot token collapses map-side, so the 100-TB frequency table
+    * costs a scan plus a ~1k-row aggregate. Counters are trivially
+    * mergeable across corpora (sum by (row, bucket)). */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int = 4,
+                width: Int = 256): DataFrame =
+    df.select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"),
+          cmsBucket(i, col(valueCol), width).as("bucket"))): _*))
+        .as("_rb"))
+      .select(col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** CMS point estimate for each distinct value of `candidates`:
+    * min over rows of the value's bucket counter — an OVERestimate,
+    * never under (every occurrence of v increments all of v's
+    * buckets; collisions only add). The sketch is broadcast (it is
+    * depth × width rows); the candidate side stays distributed.
+    * Deterministic md5 arithmetic → the estimates themselves are
+    * oracle-checked. */
+  def cmsEstimate(candidates: DataFrame, valueCol: String,
+                  sketch: DataFrame, depth: Int = 4,
+                  width: Int = 256): DataFrame =
+    candidates.select(col(valueCol)).distinct()
+      .select(col(valueCol), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"),
+          cmsBucket(i, col(valueCol), width).as("bucket"))): _*))
+        .as("_rb"))
+      .select(col(valueCol), col("_rb.row").as("row"),
+        col("_rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col(valueCol))
+      .agg(min(col("cnt")).as("est_count"))
 
   /** Corpus-level KMV sketch: the k smallest distinct 60-bit hashes of
     * `valueCol`. `orderBy.limit(k)` plans as TakeOrdered — each

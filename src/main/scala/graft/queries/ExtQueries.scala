@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, Multimodal, Sketches, SimilarityOps, TextOps}
 import graft.quality.Metrics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -665,6 +665,21 @@ object ExtQueries {
       val exact = ev.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_exact"))
       est.join(exact, Seq("event_type")).orderBy("event_type")
+    }),
+
+    // X10c — count-min sketch: token frequencies from a 4×16 counter
+    // table beside the exact counts. The width is deliberately small
+    // (vocab > width) so bucket collisions are live and the min-over-
+    // rows estimate is exercised as a true OVERestimate; the sketch
+    // arithmetic is replayed verbatim by the oracle.
+    "q_cms_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+      val sk = Sketches.cmsSketch(toks, "word", depth = 4, width = 16)
+      val est = Sketches.cmsEstimate(toks, "word", sk, depth = 4,
+        width = 16)
+      val exact = toks.groupBy("word").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, "word").orderBy("word")
     }),
 
     // X10b — KMV set operations: shingle-vocabulary overlap between two
@@ -1599,6 +1614,29 @@ object ExtQueries {
         FROM events GROUP BY event_type
       ) x ON kmv.event_type = x.event_type
       ORDER BY kmv.event_type""",
+
+    "q_cms_heavy_hitters" -> """
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ),
+      pairs AS (
+        SELECT word, i,
+               ('0x' || md5(CAST(i AS VARCHAR) || ':' || word)[1:8])
+                 ::BIGINT % 16 AS bucket
+        FROM tok CROSS JOIN range(0, 4) r(i)
+      ),
+      sketch AS (
+        SELECT i, bucket, count(*) AS cnt FROM pairs GROUP BY i, bucket
+      ),
+      cand AS (SELECT DISTINCT word, i, bucket FROM pairs),
+      est AS (
+        SELECT word, min(cnt) AS est_count
+        FROM cand JOIN sketch USING (i, bucket) GROUP BY word
+      ),
+      exact AS (SELECT word, count(*) AS n_exact FROM tok GROUP BY word)
+      SELECT word, est_count, n_exact
+      FROM est JOIN exact USING (word)
+      ORDER BY word""",
 
     "q_kmv_overlap" -> s"""
       WITH wa AS (

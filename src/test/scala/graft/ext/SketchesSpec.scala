@@ -45,6 +45,36 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(r._3 - 4000) / 4000.0 < 0.4, s"intersect=${r._3}")
   }
 
+  test("cms estimate never undercounts, and a wide sketch is exact") {
+    val words = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(s"w$i"))
+    val df = words.toDF("w")
+    val exact = words.groupBy(identity).map { case (k, v) => k -> v.size }
+    // Narrow sketch: collisions certain → estimates are >= exact.
+    val narrow = Sketches.cmsEstimate(df, "w",
+      Sketches.cmsSketch(df, "w", 4, 8), 4, 8)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (w, n) => assert(narrow(w) >= n) }
+    // Wide sketch: 4 rows × 4096 buckets over 50 values — the chance
+    // all 4 rows collide for some value is negligible, so min = exact.
+    val wide = Sketches.cmsEstimate(df, "w",
+      Sketches.cmsSketch(df, "w", 4, 4096), 4, 4096)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (w, n) => assert(wide(w) == n) }
+  }
+
+  test("cms sketches merge by counter addition") {
+    val a = (1 to 30).map(i => s"v$i").toDF("w")
+    val b = (16 to 45).map(i => s"v$i").toDF("w")
+    val merged = Sketches.cmsSketch(a, "w", 4, 32)
+      .unionByName(Sketches.cmsSketch(b, "w", 4, 32))
+      .groupBy("row", "bucket").agg(sum($"cnt").as("cnt"))
+    val direct = Sketches.cmsSketch(a.unionByName(b), "w", 4, 32)
+    assert(merged.select("row", "bucket", "cnt")
+      .as[(Int, Long, Long)].collect().toSet ==
+      direct.select("row", "bucket", "cnt")
+        .as[(Int, Long, Long)].collect().toSet)
+  }
+
   test("estimate is invariant to row order and duplication") {
     val base = (1 to 1000).map(i => ("g", s"u$i"))
     val a = Sketches.kmvDistinct(base.toDF("g", "v"), Seq("g"), "v", 64)
