@@ -65,12 +65,23 @@ object Sketches {
     * mergeable across corpora (sum by (row, bucket)). */
   def cmsSketch(df: DataFrame, valueCol: String, depth: Int = 4,
                 width: Int = 256): DataFrame =
-    df.select(explode(array((0 until depth).map(i =>
-        struct(lit(i).as("row"),
-          cmsBucket(i, col(valueCol), width).as("bucket"))): _*))
-        .as("_rb"))
-      .select(col("_rb.row").as("row"), col("_rb.bucket").as("bucket"))
-      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    cmsSketchWeighted(df, valueCol, lit(1L), depth, width)
+
+  /** [[cmsSketch]] over pre-aggregated (value, weight) rows — e.g. an
+    * existing frequency table — so a corpus already reduced to counts
+    * pays vocabulary-sized work, not occurrence-sized.
+    * `cmsSketchWeighted(counts, v, col("cnt"))` ==
+    * `cmsSketch(rawOccurrences, v)` by the linearity of the counters. */
+  def cmsSketchWeighted(df: DataFrame, valueCol: String, weight: Column,
+                        depth: Int = 4, width: Int = 256): DataFrame =
+    df.select(weight.cast("long").as("_w"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("row"),
+            cmsBucket(i, col(valueCol), width).as("bucket"))): _*))
+          .as("_rb"))
+      .select(col("_rb.row").as("row"), col("_rb.bucket").as("bucket"),
+        col("_w"))
+      .groupBy("row", "bucket").agg(sum(col("_w")).as("cnt"))
 
   /** CMS point estimate for each distinct value of `candidates`:
     * min over rows of the value's bucket counter — an OVERestimate,

@@ -99,12 +99,19 @@ object TextOps {
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val withLen = docs.select(col(idCol),
-      size(tokens(col(textCol))).cast("long").as("dl"),
-      explode(tokens(col(textCol))).as("term"))
-    val tf = withLen
+    // Prune BEFORE aggregating: the broadcast query-term join drops
+    // every non-queried token scan-side, so the (doc, term) tf
+    // aggregation — the only corpus-sized exchange — carries postings
+    // of queried terms only, not the whole vocabulary.
+    val postings = docs.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(queryTerms.select("term").distinct()), "term")
+    val tf = postings
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // Document frequency from the pruned postings is the TRUE corpus
+    // df of each queried term (pruning keeps every doc containing it).
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       countDistinct(col(idCol)).as("_n"),
@@ -116,7 +123,7 @@ object TextOps {
         (col("tf") + lit(k1) * (lit(1.0) - lit(b)
           + lit(b) * col("dl") / col("_avgdl")))
     val scored = tf
-      .join(broadcast(queryTerms), "term")
+      .join(broadcast(queryTerms), "term")  // re-attach query ids
       .join(broadcast(docFreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("_avgdl", col("_dlsum").cast("double") / col("_n"))

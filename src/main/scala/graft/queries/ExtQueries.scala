@@ -673,12 +673,17 @@ object ExtQueries {
     // rows estimate is exercised as a true OVERestimate; the sketch
     // arithmetic is replayed verbatim by the oracle.
     "q_cms_heavy_hitters" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
+      // ONE occurrence-sized pass (the exact frequency table); the
+      // sketch is then built from vocabulary-sized counts — identical
+      // counters by linearity, proven in SketchesSpec.
+      val exact = Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("word"))
-      val sk = Sketches.cmsSketch(toks, "word", depth = 4, width = 16)
-      val est = Sketches.cmsEstimate(toks, "word", sk, depth = 4,
+        .groupBy("word").agg(count(lit(1)).as("n_exact"))
+        .localCheckpoint()
+      val sk = Sketches.cmsSketchWeighted(exact, "word",
+        col("n_exact"), depth = 4, width = 16)
+      val est = Sketches.cmsEstimate(exact, "word", sk, depth = 4,
         width = 16)
-      val exact = toks.groupBy("word").agg(count(lit(1)).as("n_exact"))
       est.join(exact, "word").orderBy("word")
     }),
 

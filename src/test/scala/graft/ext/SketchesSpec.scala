@@ -62,6 +62,17 @@ class SketchesSpec extends SparkSpec {
     exact.foreach { case (w, n) => assert(wide(w) == n) }
   }
 
+  test("weighted sketch over counts equals the sketch over occurrences") {
+    val words = (1 to 40).flatMap(i => Seq.fill(i % 3 + 1)(s"w$i"))
+    val occ = words.toDF("w")
+    val counts = occ.groupBy("w").agg(count(lit(1)).as("n"))
+    val fromOcc = Sketches.cmsSketch(occ, "w", 4, 16)
+      .as[(Int, Long, Long)].collect().toSet
+    val fromCounts = Sketches.cmsSketchWeighted(counts, "w", $"n", 4, 16)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(fromOcc == fromCounts)
+  }
+
   test("cms sketches merge by counter addition") {
     val a = (1 to 30).map(i => s"v$i").toDF("w")
     val b = (16 to 45).map(i => s"v$i").toDF("w")
