@@ -138,6 +138,39 @@ object TextOps {
       .select(col("query_id"), col(idCol), col("rank"), col("score"))
   }
 
+  /** X4f — unigram negative-log-likelihood scoring: the
+    * perplexity-style quality gate (CCNet's LM filter with the corpus
+    * itself as the unigram model). score(d) = −Σ ln p(wᵢ) / n, with
+    * p(w) = corpus count of w / total tokens — low = bland/common
+    * text, high = rare-token-heavy (gibberish, code, non-language);
+    * both tails are the usual cut candidates.
+    *
+    * Scale shape: one occurrence-sized partial-agg count builds the
+    * unigram table; it joins back BROADCAST (a bounded vocabulary —
+    * for an unbounded web vocab swap in a shuffle join keyed on the
+    * word plus a df-cap, X2d's pattern); the per-doc sum aggregates
+    * DECIMAL-quantized log-probs, so accumulation order can't drift
+    * the float, then one doc-keyed exchange.
+    *
+    * @return (idCol, n_tokens, nll) — nll = avg −ln p, DOUBLE */
+  def unigramNll(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("wc"))
+    val total = toks.agg(count(lit(1)).as("_t"))
+    toks
+      .join(broadcast(counts), "word")
+      .crossJoin(broadcast(total))
+      .withColumn("_nlp",
+        (-log(col("wc") / col("_t"))).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_nlp")).as("_sum"))
+      .select(col(idCol), col("n_tokens"),
+        (col("_sum").cast(DoubleType) / col("n_tokens")).as("nll"))
+  }
+
   /** Marker-word table for the n-gram language-ID heuristic. Public so
     * the oracle SQL generator uses the exact same table. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -65,4 +65,20 @@ object Mask {
     df.groupBy(quasiIds.map(col): _*)
       .agg(count(lit(1)).as("group_size"))
       .withColumn("violates_k", col("group_size") < k)
+
+  /** l-diversity audit — k-anonymity's sibling: a quasi-id group whose
+    * SENSITIVE attribute takes fewer than l distinct values leaks that
+    * attribute even when the group is large (everyone in a size-1000
+    * group with one diagnosis is outed). One partial-aggregated
+    * shuffle on the quasi-id key: count + distinct-count per group
+    * (count_distinct plans as a two-phase partial aggregate, no
+    * per-group materialization). Returns one row per quasi-id
+    * combination with group size, distinct sensitive values, and the
+    * violation flag. */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("violates_l", col("n_sensitive") < l)
 }

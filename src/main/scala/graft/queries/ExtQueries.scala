@@ -293,6 +293,12 @@ object ExtQueries {
     "q_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d)).orderBy("doc_id", "word")),
 
+    // X4f — unigram-NLL quality scores: per-doc average −ln p(word)
+    // under the corpus's own unigram model; the DECIMAL-quantized sum
+    // makes the double oracle-exact.
+    "q_perplexity" -> ((s, d) =>
+      TextOps.unigramNll(Tables.documents(s, d)).orderBy("doc_id")),
+
     // X4e — BM25 ranked keyword retrieval: the query-term broadcast
     // prunes the posting lists before any scoring; per-term scores are
     // DECIMAL-quantized so the per-doc sum is order-independent.
@@ -945,6 +951,23 @@ object ExtQueries {
                AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
       FROM tf JOIN df USING (word), n
       ORDER BY doc_id, word""",
+
+    "q_perplexity" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ),
+      wc AS (SELECT word, count(*) AS wc FROM tok GROUP BY word),
+      t AS (SELECT count(*) AS t FROM tok),
+      s AS (
+        SELECT doc_id,
+               CAST(-ln(wc / t) AS DECIMAL(18,6)) AS nlp
+        FROM tok JOIN wc USING (word) CROSS JOIN t
+      )
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(nlp) AS DOUBLE) / count(*) AS nll
+      FROM s GROUP BY doc_id
+      ORDER BY doc_id""",
 
     "q_bm25" -> s"""
       WITH qt(query_id, term) AS (VALUES

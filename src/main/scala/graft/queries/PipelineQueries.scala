@@ -229,6 +229,19 @@ object PipelineQueries {
         .orderBy("status", "amount_band")
     }),
 
+    // X14b — l-diversity audit over the same quasi-identifiers: a large
+    // group whose user_id takes < l distinct values still leaks the
+    // sensitive attribute. Single partial-agg shuffle (count_distinct
+    // plans two-phase).
+    "q_l_diversity" -> ((s, d) => {
+      val silver = Silver.rebuild(bronzeOf(s, d))
+      Mask.lDiversity(
+        silver.select(col("status"), col("user_id"),
+          Mask.generalize(col("amount_eur"), 100.0).as("amount_band")),
+        Seq("status", "amount_band"), "user_id", l = 3)
+        .orderBy("status", "amount_band")
+    }),
+
     // S6/S7/S8/S9 — the reference's own DDL statement TEXT through
     // spark.sql, building the catalog from scratch: CREATE NAMESPACE ×3
     // (`merge_orders_silver.py:25-27`), both CREATE TABLE IF NOT EXISTS
@@ -478,6 +491,20 @@ object PipelineQueries {
                         AS BIGINT) AS VARCHAR) || ')' AS amount_band,
              count(*) AS group_size,
              count(*) < 5 AS violates_k
+      FROM sil GROUP BY status, amount_band
+      ORDER BY status, amount_band""",
+
+    "q_l_diversity" -> s"""
+      WITH sil AS ($silverRebuildSql)
+      SELECT status,
+             '[' || CAST(CAST(floor(amount_eur / 100.0) * 100.0
+                        AS BIGINT) AS VARCHAR)
+                 || ',' ||
+                 CAST(CAST((floor(amount_eur / 100.0) + 1) * 100.0
+                        AS BIGINT) AS VARCHAR) || ')' AS amount_band,
+             count(*) AS group_size,
+             count(DISTINCT user_id) AS n_sensitive,
+             count(DISTINCT user_id) < 3 AS violates_l
       FROM sil GROUP BY status, amount_band
       ORDER BY status, amount_band""",
 

@@ -122,6 +122,19 @@ class TextOpsSpec extends SparkSpec {
     assert(h == Set(("en", 0L, 1L), ("en", 2L, 1L), ("de", 0L, 1L)))
   }
 
+  test("unigramNll: rare-token documents score higher than common-token " +
+    "ones; n_tokens is the doc length") {
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "the the zyx the")).toDF("doc_id", "text")
+    val r = TextOps.unigramNll(docs)
+      .select("doc_id", "n_tokens", "nll")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L)._1 == 4 && r(2L)._1 == 4)
+    assert(r(2L)._2 > r(1L)._2) // the rare 'zyx' raises doc 2's surprise
+  }
+
   test("bm25TopK: doc matching both terms outranks single-term doc; " +
     "non-matching docs never appear") {
     val docs = Seq(

@@ -56,6 +56,16 @@ class MaskSpec extends SparkSpec {
       ("B", "[0,100)", 1L, true)))
   }
 
+  test("lDiversity flags big-but-homogeneous groups k-anonymity misses") {
+    // Group A: 6 rows but ONE distinct user → l-violation despite k=5
+    // being satisfied; group B: 3 rows, 3 users → diverse.
+    val df = (Seq.fill(6)(("A", 1L)) ++
+      Seq(("B", 1L), ("B", 2L), ("B", 3L))).toDF("status", "user_id")
+    val out = Mask.lDiversity(df, Seq("status"), "user_id", l = 2)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(("A", 6L, 1L, true), ("B", 3L, 3L, false)))
+  }
+
   test("generalize emits stable half-open band labels") {
     val out = Seq(0.0, 99.99, 100.0, 1234.56).toDF("v")
       .select(Mask.generalize(col("v"), 100.0).as("b"))
