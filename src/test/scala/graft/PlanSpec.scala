@@ -292,4 +292,66 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"exact semi join missing:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q6: every predicate reaches the parquet scan; the only " +
+    "exchange carries one partial-agg row per partition") {
+    val df = RelationalQueries.queries("q6_forecast_revenue")(spark, sf)
+    val fmt = formatted(df)
+    assert(fmt.contains("PushedFilters") &&
+      fmt.contains("l_quantity") && fmt.contains("l_shipdate"),
+      s"q6 lost its pushdown:\n$fmt")
+    val plan = finalPlan(df)
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"q6 grew extra exchanges:\n$plan")
+  }
+
+  test("q18: the HAVING survivors broadcast into orders — the raw " +
+    "fact never joins a dim by shuffle") {
+    val plan = relPlan("q18_large_orders")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q18 lost the survivor broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q19: part broadcasts with the OR-of-ANDs as residual; the " +
+    "part scan reads only the 3 predicate columns") {
+    val df = RelationalQueries.queries("q19_bracket_revenue")(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q19 lost its broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val fmt = formatted(df)
+    val partSchema = fmt.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+      .filter(_.contains("p_partkey"))
+    assert(partSchema.nonEmpty &&
+      partSchema.forall(l => !l.contains("p_name") &&
+        !l.contains("p_retailprice")),
+      s"q19 part scan reads unused columns:\n$fmt")
+  }
+
+  test("q22: the scalar-subquery threshold attaches as a 1-row " +
+    "broadcast, never a collect(); the anti join survives") {
+    val plan = relPlan("q22_idle_customers")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q22 threshold not attached in-plan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"q22 lost its anti join:\n$plan")
+  }
+
+  test("q_bm25: query terms prune by broadcast BEFORE the tf " +
+    "aggregation — no shuffle of the full-vocabulary postings") {
+    val df = ExtQueries.queries("q_bm25")(spark, sf)
+    val plan = finalPlan(df)
+    // tf feeds both the score and the df branch → the subplan is
+    // instantiated twice; BOTH corpus explodes are pruned by the
+    // query-term broadcast BEFORE their partial aggregation, so no
+    // full-vocabulary posting list ever reaches an exchange.
+    assert(plan.linesIterator.count(_.contains("Generate explode")) == 2,
+      s"bm25 grew extra corpus explodes:\n$plan")
+    assert(plan.linesIterator
+      .count(_.contains("BroadcastHashJoin [term")) >= 2,
+      s"bm25 lost the pruning broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
