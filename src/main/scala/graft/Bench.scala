@@ -45,7 +45,11 @@ object Bench {
     }
     // Fixed (sorted) query order so cross-round per-query numbers are
     // comparable run-to-run regardless of Map iteration order.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional trailing args restrict the run (dev iteration only; the
+    // driver passes none → full suite).
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) names0 else names0.filter(args.toSet.contains)
     val results = names.map(n => n -> timed(n))
     // Outlier audit: any query that cost >3x the run median (and >2s
     // absolute) gets one isolated re-measurement (post-release,
