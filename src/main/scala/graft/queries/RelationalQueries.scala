@@ -380,6 +380,28 @@ object RelationalQueries {
         .orderBy("event_type", "quantile")
     }),
 
+    // Window FRAMES (rows-based): per-customer running total
+    // (UNBOUNDED PRECEDING) and 3-row moving average over the order
+    // timeline — the frame family the ranking/lag queries don't touch.
+    // One shuffle (the window key); sums are DECIMAL-exact so the
+    // running doubles are bit-identical cross-engine at every row.
+    "q_running_totals" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 350000.0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"),
+          sum(col("o_totalprice").cast(DecimalType(27, 6))).over(run)
+            .cast(DoubleType).as("running_total"),
+          (sum(col("o_totalprice").cast(DecimalType(27, 6))).over(mov)
+            .cast(DoubleType) / count(lit(1)).over(mov)).as("moving_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // TPC-H Q6 shape: the pure-scan aggregate — every predicate reaches
     // the parquet reader (PushedFilters), zero shuffles, one partial agg
     // folded on the driver. The 100-TB plan IS the sf0.01 plan.
@@ -515,6 +537,29 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_running_totals" -> """
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER
+               (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS running_total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER
+               (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS DOUBLE)
+             / count(*) OVER
+               (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS moving_avg
+      FROM orders
+      WHERE o_totalprice > 350000.0
+      ORDER BY o_custkey, o_orderkey""",
+
     "q6_forecast_revenue" -> s"""
       SELECT ${oSum("l_extendedprice * l_discount")} AS revenue
       FROM lineitem

@@ -62,6 +62,16 @@ class SketchesSpec extends SparkSpec {
     exact.foreach { case (w, n) => assert(wide(w) == n) }
   }
 
+  test("kmvOverlap is symmetric in union and jaccard") {
+    val a = (1 to 3000).map(i => s"v$i").toDF("x")
+    val b = (2000 to 5000).map(i => s"v$i").toDF("x")
+    val ab = Sketches.kmvOverlap(a, b, "x", 128)
+      .select($"union_est", $"jaccard_est").as[(Double, Double)].head()
+    val ba = Sketches.kmvOverlap(b, a, "x", 128)
+      .select($"union_est", $"jaccard_est").as[(Double, Double)].head()
+    assert(ab == ba)
+  }
+
   test("weighted sketch over counts equals the sketch over occurrences") {
     val words = (1 to 40).flatMap(i => Seq.fill(i % 3 + 1)(s"w$i"))
     val occ = words.toDF("w")
