@@ -171,6 +171,85 @@ object TextOps {
         (col("_sum").cast(DoubleType) / col("n_tokens")).as("nll"))
   }
 
+  /** X4g — BPE pair statistics: adjacent-symbol pair counts over the
+    * corpus's word-frequency table (each word weighted by its corpus
+    * frequency) — round 1 of byte-pair-encoding tokenizer induction.
+    * The design point for 100 TB: the only occurrence-sized pass is
+    * the word count; pair counting runs over the VOCABULARY (bounded,
+    * orders of magnitude smaller), exactly how production BPE trainers
+    * are structured. */
+  def bpePairCounts(docs: DataFrame,
+                    textCol: String = "text"): DataFrame =
+    bpePairs(wordSymbols(docs, textCol))
+
+  /** Word-frequency table with each word split to single-char symbols. */
+  private def wordSymbols(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("sym"), col("freq"))
+
+  /** Frequency-weighted adjacent pair counts of a (sym, freq) table. */
+  private def bpePairs(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("sym")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(0), size(col("sym")) - 2),
+          i => struct(element_at(col("sym"), i + 1).as("lsym"),
+            element_at(col("sym"), i + 2).as("rsym")))).as("p"))
+      .groupBy(col("p.lsym").as("lsym"), col("p.rsym").as("rsym"))
+      .agg(sum("freq").as("pair_count"))
+
+  /** Greedy leftmost merge of adjacent (l, r) symbol pairs in one
+    * array — the BPE apply step, as a pure fold expression (no UDF):
+    * if the accumulator's last symbol is `l` and the next is `r`,
+    * replace the last with the merged symbol, else append. The fold
+    * naturally implements non-overlapping leftmost matching ("aaaa"
+    * with (a,a) → [aa, aa], never [a, aa, a]). */
+  private def mergePair(sym: Column, l: String, r: String): Column =
+    aggregate(sym,
+      array().cast(ArrayType(StringType)),
+      (out, x) =>
+        when(size(out) > 0 && element_at(out, -1) === lit(l)
+            && x === lit(r),
+          concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+        .otherwise(concat(out, array(x))))
+
+  /** X4g' — BPE merge trainer: `merges` rounds of (count pairs →
+    * take the arg-max → merge it through the vocabulary). Driver-
+    * coordinated like the connected-components BSP ([[graft.ext
+    * .Clusters]]): each round is one vocab-sized aggregation plus ONE
+    * 1-row action (the arg-max), with `localCheckpoint` truncating
+    * lineage per round; the corpus itself is scanned exactly once (the
+    * word count). Ties break (count DESC, lsym, rsym) so the merge
+    * table is deterministic.
+    *
+    * @return (rank, lsym, rsym, merged, pair_count) — one row per
+    *         learned merge, rank 1..merges in learn order */
+  def bpeTrain(docs: DataFrame, merges: Int,
+               textCol: String = "text"): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = docs.sparkSession
+    var vocab = wordSymbols(docs, textCol).localCheckpoint()
+    val learned = scala.collection.mutable.Buffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to merges if !exhausted) {
+      val top = bpePairs(vocab)
+        .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += ((rank, l, r, l + r, c))
+        vocab = vocab
+          .withColumn("sym", mergePair(col("sym"), l, r))
+          .localCheckpoint()
+      }
+    }
+    spark.createDataFrame(learned.toSeq)
+      .toDF("rank", "lsym", "rsym", "merged", "pair_count")
+  }
+
   /** Marker-word table for the n-gram language-ID heuristic. Public so
     * the oracle SQL generator uses the exact same table. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -293,6 +293,20 @@ object ExtQueries {
     "q_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d)).orderBy("doc_id", "word")),
 
+    // X4g — BPE pair statistics (round 1 of tokenizer induction):
+    // frequency-weighted adjacent-char pair counts over the vocabulary.
+    "q_bpe_pairs" -> ((s, d) =>
+      TextOps.bpePairCounts(Tables.documents(s, d))
+        .orderBy("lsym", "rsym")),
+
+    // X4g' — BPE merge trainer, 8 rounds. Driver-coordinated argmax
+    // loop (Clusters-style BSP); deterministic merge table, but the
+    // loop is not SQL-expressible → rows-only check by design
+    // (SURVEY §7.4 determinism contract).
+    "q_bpe_merges" -> ((s, d) =>
+      TextOps.bpeTrain(Tables.documents(s, d), merges = 8)
+        .orderBy("rank")),
+
     // X4f — unigram-NLL quality scores: per-doc average −ln p(word)
     // under the corpus's own unigram model; the DECIMAL-quantized sum
     // makes the double oracle-exact.
@@ -951,6 +965,22 @@ object ExtQueries {
                AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
       FROM tf JOIN df USING (word), n
       ORDER BY doc_id, word""",
+
+    "q_bpe_pairs" -> """
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ),
+      wc AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+      p AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                 i -> {'lsym': word[i:i], 'rsym': word[i+1:i+1]})) AS pr,
+               freq
+        FROM wc WHERE length(word) >= 2
+      )
+      SELECT pr.lsym AS lsym, pr.rsym AS rsym,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM p GROUP BY pr.lsym, pr.rsym
+      ORDER BY lsym, rsym""",
 
     "q_perplexity" -> """
       WITH tok AS (

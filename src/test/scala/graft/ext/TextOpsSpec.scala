@@ -122,6 +122,30 @@ class TextOpsSpec extends SparkSpec {
     assert(h == Set(("en", 0L, 1L), ("en", 2L, 1L), ("de", 0L, 1L)))
   }
 
+  test("bpePairCounts: frequency-weighted adjacent char pairs, no " +
+    "empty symbols") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
+    // word freqs: ab=3, cd=1 → pairs: (a,b)=3, (c,d)=1
+    val pairs = TextOps.bpePairCounts(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(pairs == Set(("a", "b", 3L), ("c", "d", 1L)))
+  }
+
+  test("bpeTrain learns the classic merges in frequency order and " +
+    "merges greedily leftmost") {
+    // 'aaab' x3, 'ab' x1 → round 1: (a,a)=6 ('aaab' has two a-a pairs)
+    // wait: greedy pair COUNTS are per occurrence: 'aaab' = a,a,a,b →
+    // pairs (a,a),(a,a),(a,b) → (a,a)=6 across 3 copies, (a,b)=4.
+    // After merging (a,a): 'aaab' → [aa, a, b]; round 2 counts
+    // (aa,a)=3, (a,b)=4 → learns (a,b).
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, merges = 2)
+      .select("rank", "lsym", "rsym", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(merges(0) == ((1, "a", "a", "aa", 6L)))
+    assert(merges(1) == ((2, "a", "b", "ab", 4L)))
+  }
+
   test("unigramNll: rare-token documents score higher than common-token " +
     "ones; n_tokens is the doc length") {
     val docs = Seq(
