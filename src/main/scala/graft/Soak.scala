@@ -83,6 +83,28 @@ object Soak {
           graft.ext.Packing.packingPlan(corpus, budget = 2048,
             shards = 64), budget = 2048)
       },
+      // X2f under duplication: every replica of a vector lands in the
+      // same IVF cell, so cell population grows mult× and the
+      // within-cell pairwise step mult²× — the documented SemDeDup
+      // quadratic, measured here (run exact dedup first in a real DAG;
+      // this soak deliberately does not)
+      timed("semantic_dedup") {
+        val base = graft.queries.ExtQueries
+          .embTwins(Tables.embeddings(spark, sfDir))
+        val escaled =
+          if (mult <= 1) base
+          else (0 until mult).map { k =>
+            val shifted = base
+              .withColumn("vec_id", col("vec_id") + k * 10000000L)
+            if (k % 2 == 0) shifted
+            else shifted.withColumn("embedding",
+              transform(col("embedding"),
+                x => x + lit(0.001) * (k % 5)))
+          }.reduce(_ unionByName _)
+        val ecorpus = escaled.localCheckpoint()
+        graft.ext.SimilarityOps.semanticDedup(ecorpus,
+          graft.ext.SimilarityOps.sampleCentroids(ecorpus, 64), 0.99)
+      },
       timed("curation") {
         val toks = split(col("text"), " ")
         val gated = corpus.filter(size(toks) >= 10 &&
