@@ -213,6 +213,22 @@ object TextOps {
           concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
         .otherwise(concat(out, array(x))))
 
+  /** X4g'' — apply a learned merge table: per-word BPE token count
+    * under `merges` (applied in learn order, greedy leftmost — the
+    * exact inverse of [[bpeTrain]]'s apply step, same fold). Pure
+    * scan-side expression work: zero shuffles, composes with the
+    * packing planner as the "real tokenizer" token count. */
+  def bpeTokenCount(text: Column,
+                    merges: Seq[(String, String)]): Column = {
+    val perWord = transform(tokens(text), w => {
+      val merged = merges.foldLeft(split(w, "")) {
+        case (s, (l, r)) => mergePair(s, l, r)
+      }
+      size(merged)
+    })
+    aggregate(perWord, lit(0), (acc, x) => acc + x)
+  }
+
   /** X4g' — BPE merge trainer: `merges` rounds of (count pairs →
     * take the arg-max → merge it through the vocabulary). Driver-
     * coordinated like the connected-components BSP ([[graft.ext

@@ -307,6 +307,20 @@ object ExtQueries {
       TextOps.bpeTrain(Tables.documents(s, d), merges = 8)
         .orderBy("rank")),
 
+    // X4g'' — train 8 merges, then tokenize the corpus with them
+    // scan-side: per-doc BPE token count next to the whitespace count
+    // (the compression the tokenizer buys). Merge table is
+    // data-derived → rows-only check, same as q_bpe_merges.
+    "q_bpe_tokenize" -> ((s, d) => {
+      val merges = TextOps.bpeTrain(Tables.documents(s, d), merges = 8)
+        .orderBy("rank").select("lsym", "rsym")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      Tables.documents(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_words"),
+        TextOps.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // X4f — unigram-NLL quality scores: per-doc average −ln p(word)
     // under the corpus's own unigram model; the DECIMAL-quantized sum
     // makes the double oracle-exact.

@@ -146,6 +146,19 @@ class TextOpsSpec extends SparkSpec {
     assert(merges(1) == ((2, "a", "b", "ab", 4L)))
   }
 
+  test("bpeTokenCount applies merges in order, greedy leftmost") {
+    val docs = Seq((1L, "aaab xy")).toDF("doc_id", "text")
+    // (a,a) then (a,b): 'aaab' → [aa,a,b] → [aa,ab] = 2 tokens;
+    // 'xy' untouched = 2 tokens → 4 total
+    val n = docs.select(TextOps.bpeTokenCount(col("text"),
+      Seq(("a", "a"), ("a", "b"))).as("n")).as[Int].head()
+    assert(n == 4)
+    // without merges: plain char count 4 + 2 = 6
+    val n0 = docs.select(TextOps.bpeTokenCount(col("text"),
+      Seq.empty).as("n")).as[Int].head()
+    assert(n0 == 6)
+  }
+
   test("unigramNll: rare-token documents score higher than common-token " +
     "ones; n_tokens is the doc length") {
     val docs = Seq(
