@@ -339,6 +339,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"q22 lost its anti join:\n$plan")
   }
 
+  test("semantic dedup: the codebook attaches by broadcast (scoring " +
+    "all 32 centroids per vector is the intent) and the dropped-id " +
+    "anti join survives; no unplanned cartesian") {
+    val plan = finalPlan(ExtQueries.queries("q_semantic_dedup")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"codebook lost its broadcast:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"survivor anti join missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_bm25: query terms prune by broadcast BEFORE the tf " +
     "aggregation — no shuffle of the full-vocabulary postings") {
     val df = ExtQueries.queries("q_bm25")(spark, sf)

@@ -118,6 +118,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpeTokenCount is monotone: every extra merge can only shrink " +
+    "the token count, floored by the word count") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50).select($"doc_id", $"text").localCheckpoint()
+    val merges = TextOps.bpeTrain(docs, merges = 6)
+      .orderBy("rank").select("lsym", "rsym")
+      .as[(String, String)].collect().toSeq
+    val counts = (0 to merges.length).map { k =>
+      docs.select(
+        TextOps.bpeTokenCount($"text", merges.take(k)).as("n"),
+        org.apache.spark.sql.functions.size(
+          TextOps.tokens($"text")).as("w"))
+        .as[(Int, Int)].collect()
+    }
+    for (k <- 1 to merges.length; i <- counts(k).indices) {
+      assert(counts(k)(i)._1 <= counts(k - 1)(i)._1,
+        s"merge $k grew doc $i")
+      assert(counts(k)(i)._1 >= counts(k)(i)._2,
+        s"token count under word count at doc $i")
+    }
+  }
+
   test("mixRates invariants: quota = floor(share*budget), rates in " +
     "[0,100], under-full strata rate 100, exact floor otherwise") {
     for (seed <- Seq(11, 57)) {
