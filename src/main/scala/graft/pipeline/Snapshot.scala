@@ -86,8 +86,10 @@ object Snapshot {
     Files.write(tmp.resolve(VersionFile),
       next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (Files.exists(live)) {
-      if (keepVersions > 0 && cur.isDefined)
-        Files.move(live, Paths.get(s"$path.v${cur.get}"),
+      // a live dir that predates versioning (e.g. an append-only table
+      // being compacted for the first time) retains as version 0
+      if (keepVersions > 0)
+        Files.move(live, Paths.get(s"$path.v${cur.getOrElse(0L)}"),
           StandardCopyOption.ATOMIC_MOVE)
       else
         Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
@@ -130,6 +132,45 @@ object Snapshot {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Table maintenance — small-file compaction (Iceberg's
+    * `rewrite_data_files` capability over plain parquet): rewrite the
+    * live snapshot into `targetFiles` files through the SAME atomic
+    * commit protocol as [[createOrReplace]], so readers never see a
+    * half-compacted table and, with `keepVersions > 0`, the
+    * pre-compaction snapshot stays time-travelable. CDC bronze appends
+    * produce one file per micro-batch — at 100 TB that is millions of
+    * small files whose per-file open/footer cost dominates scans;
+    * periodic compaction is the standard fix. Data is unchanged
+    * (row-identical, spec-proven); only the layout changes.
+    *
+    * `coalesce` (not `repartition`) — merging files needs no shuffle,
+    * only fewer output tasks; each task concatenates whole input
+    * splits. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+              keepVersions: Int = 0): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    // materialize BEFORE the swap: the rewrite reads the directory the
+    // swap is about to replace
+    val compacted = read(spark, path).coalesce(targetFiles)
+      .localCheckpoint()
+    swapIn(path, keepVersions) { tmp =>
+      compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+  }
+
+  /** Live-snapshot parquet file count (maintenance signal: schedule
+    * [[compact]] when it exceeds the table's file-size budget). */
+  def fileCount(path: String): Int = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) 0
+    else {
+      val s = Files.list(dir)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .count().toInt
+      finally s.close()
+    }
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

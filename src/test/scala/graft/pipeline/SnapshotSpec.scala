@@ -95,4 +95,30 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.historicalVersions(dir).isEmpty)
     assert(Snapshot.read(spark, dir).as[Int].collect().toSeq == Seq(2))
   }
+
+  test("compact: many appended micro-batch files merge to the target " +
+    "count, rows identical, pre-compaction snapshot retained") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    // 8 micro-batch appends → at least 8 small files
+    (1 to 8).foreach { b =>
+      Snapshot.append(
+        Seq((b.toLong, s"batch$b")).toDF("id", "payload")
+          .coalesce(1), dir)
+    }
+    val before = Snapshot.fileCount(dir)
+    assert(before >= 8)
+    val rowsBefore = Snapshot.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+
+    Snapshot.compact(spark, dir, targetFiles = 2, keepVersions = 1)
+
+    assert(Snapshot.fileCount(dir) <= 2)
+    assert(Snapshot.read(spark, dir)
+      .as[(Long, String)].collect().toSet == rowsBefore)
+    // the small-files layout survives as a time-travelable version
+    val prev = Snapshot.historicalVersions(dir)
+    assert(prev.nonEmpty)
+    assert(Snapshot.readAsOf(spark, dir, prev.last)
+      .as[(Long, String)].collect().toSet == rowsBefore)
+  }
 }
