@@ -58,9 +58,13 @@ object Bench {
     val sortedTimes = results.map(_._2).filter(_ >= 0).sorted
     val median =
       if (sortedTimes.isEmpty) 0.0 else sortedTimes(sortedTimes.size / 2)
+    // The audit runs LAST in an aged JVM (90+ queries of accumulated
+    // broadcasts/shuffle dirs); a single re-measure can catch a cleanup
+    // stall and read worse than in-context. min-of-two keeps the audit
+    // a plan signal rather than a JVM-aging signal.
     val isolated = results.collect {
       case (n, t) if median > 0 && t > 3 * median && t > 2.0 =>
-        n -> timed(n)
+        n -> math.min(timed(n), timed(n))
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }
