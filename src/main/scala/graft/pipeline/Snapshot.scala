@@ -159,6 +159,39 @@ object Snapshot {
     }
   }
 
+  /** GDPR erasure (right-to-be-forgotten) over a versioned snapshot
+    * table: rewrite the LIVE snapshot and EVERY retained historical
+    * version without the rows matching `predicate`, each swap atomic.
+    * Deliberately NOT a new version: erasure rewrites history in
+    * place, because a retained snapshot that still carries the
+    * subject's rows is not erasure — the one operation where time
+    * travel must lie about the past. Version numbers and markers are
+    * preserved, so `readAsOf` keeps working on the purged history.
+    *
+    * Scale: one filtered rewrite per retained version (bounded by
+    * `keepVersions`), each a scan + write with the predicate pushed
+    * to the parquet reader; rows, not files, are the unit — no
+    * shuffle. */
+  def erase(spark: SparkSession, path: String,
+            predicate: org.apache.spark.sql.Column): Unit = {
+    def rewrite(dir: String): Unit = {
+      val ver = currentVersion(dir)
+      val tmp = Paths.get(dir + ".tmp-erase")
+      val old = Paths.get(dir + ".old-erase")
+      deleteRecursively(tmp); deleteRecursively(old)
+      spark.read.parquet(dir)
+        .filter(org.apache.spark.sql.functions.not(predicate))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      ver.foreach(v => Files.write(tmp.resolve(VersionFile),
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      Files.move(Paths.get(dir), old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
+    }
+    rewrite(path)
+    historicalVersions(path).foreach(v => rewrite(s"$path.v$v"))
+  }
+
   /** Live-snapshot parquet file count (maintenance signal: schedule
     * [[compact]] when it exceeds the table's file-size budget). */
   def fileCount(path: String): Int = {

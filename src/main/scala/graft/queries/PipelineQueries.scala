@@ -95,6 +95,27 @@ object PipelineQueries {
         "last_change_ts").orderBy("order_id")
     }),
 
+    // X14c — GDPR erasure through the snapshot layer: silver built into
+    // a two-version snapshot, then every row of the subject cohort
+    // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
+    // versions in place. The compared result is the post-erasure live
+    // table (oracle = rebuild minus the cohort); the history purge and
+    // version preservation are pinned in SnapshotSpec.
+    "q_erasure" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("erasure")
+        .toString + "/orders_silver"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      graft.pipeline.Snapshot.erase(s, dir, col("user_id") % 7 === 0)
+      tsToStr(graft.pipeline.Snapshot.read(s, dir),
+        "last_change_ts").orderBy("order_id")
+    }),
+
     // S4+/S9 — Iceberg's time-travel SQL VERBATIM: the same two-version
     // snapshot build, registered as a snapshot-backed catalog table and
     // read through `spark.sql(... VERSION AS OF 1)` (incl. the
@@ -453,6 +474,16 @@ object PipelineQueries {
       FROM evo ORDER BY "partition", "offset"""",
 
     "q_cdc_silver_rebuild" -> silverRebuildSql,
+
+    // Erasure twin: the full silver rebuild minus the erased cohort —
+    // exactly the post-erasure live table (3VL NOT matches Spark's
+    // filter(not(p)) semantics).
+    "q_erasure" -> s"""
+      WITH sil AS ($silverRebuildSql)
+      SELECT * FROM sil
+      WHERE NOT (user_id % 7 = 0)
+      ORDER BY order_id""",
+
     "q_cdc_silver_merge" -> silverMergeSql,
     "q_cdc_silver_merge_sql" -> silverMergeSql,
     "q_cdc_silver_incremental" -> silverMergeSql,

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.SparkSpec
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 /** Snapshot sink: atomic create-or-replace swap + append. */
 class SnapshotSpec extends SparkSpec {
@@ -94,6 +95,29 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.createOrReplace(Seq(2).toDF("x"), dir)
     assert(Snapshot.historicalVersions(dir).isEmpty)
     assert(Snapshot.read(spark, dir).as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("erase purges the subject from the live snapshot AND every " +
+    "retained historical version; other rows and versioning survive") {
+    val dir = Files.createTempDirectory("erase").toString + "/t"
+    Snapshot.createOrReplace(
+      Seq((1L, "a"), (2L, "b")).toDF("user_id", "v"), dir,
+      keepVersions = 2)
+    Snapshot.createOrReplace(
+      Seq((1L, "a2"), (2L, "b2"), (3L, "c")).toDF("user_id", "v"), dir,
+      keepVersions = 2)
+
+    Snapshot.erase(spark, dir, col("user_id") === 1L)
+
+    // live: user 1 gone, others intact
+    assert(Snapshot.read(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((2L, "b2"), (3L, "c")))
+    // history: STILL time-travelable, but the subject is gone there too
+    assert(Snapshot.readAsOf(spark, dir, 1)
+      .as[(Long, String)].collect().toSet == Set((2L, "b")))
+    // erasure is not a new version
+    assert(Snapshot.currentVersion(dir).contains(2L))
+    assert(Snapshot.historicalVersions(dir) == Seq(1L))
   }
 
   test("compact: many appended micro-batch files merge to the target " +
