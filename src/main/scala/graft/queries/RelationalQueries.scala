@@ -514,6 +514,123 @@ object RelationalQueries {
           .as("revenue"))
     }),
 
+    // TPC-H Q7 shape: volume shipping between two nations. Both nation
+    // dims broadcast (each pre-filtered to the 2-nation pair), supplier
+    // broadcast; the fact chain shuffles on the order key once, then on
+    // the customer key. The OR-of-pairs evaluates as a residual after
+    // both nation names are attached.
+    "q7_volume_shipping" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("n1_key"),
+          col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1"
+            && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2"
+            && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          date_format(col("l_shipdate"), "yyyy").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 shape: national market share — conditional revenue ratio
+    // per order year. Region→customer side restricts the market; the
+    // supplier's nation feeds the CASE. Part and both nation dims
+    // broadcast; two fact shuffles (order key, customer key); the
+    // share divides two DECIMAL-exact sums.
+    "q8_market_share" -> ((s, d) => {
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val custNat = Tables.nation(s, d)
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val supNat = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      val part = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD").select("p_partkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0.0))).as("nation_volume"),
+          dsum(vol).as("total_volume"))
+        .withColumn("mkt_share",
+          col("nation_volume") / col("total_volume"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — a reused
+    // aggregate ("view") plus an in-plan scalar-subquery max; the
+    // equality filter works because both sides are the same
+    // DECIMAL-exact double.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(top))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — a correlated
+    // per-part average decorrelated into a partial-agg aggregate
+    // joined back on the part key; part pre-filtered and broadcast
+    // into BOTH the fact scan and the average (so the avg computes
+    // over brand parts only, never the whole fact table).
+    "q17_small_quantity" -> ((s, d) => {
+      val part = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
     // TPC-H Q22 shape (adapted: mktsegment stands in for the phone
     // country code): scalar-subquery average — computed in-plan and
     // broadcast as a 1-row cross join, never collect()ed — filters
@@ -629,6 +746,79 @@ object RelationalQueries {
                AND l_quantity BETWEEN 10 AND 30)
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
                AND l_quantity BETWEEN 20 AND 40)""",
+
+    "q7_volume_shipping" -> s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             strftime(l_shipdate, '%Y') AS l_year,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q8_market_share" -> s"""
+      SELECT strftime(o_orderdate, '%Y') AS o_year,
+             ${oSum("CASE WHEN ns.n_name = 'NATION_3' " +
+               "THEN l_extendedprice * (1.0 - l_discount) " +
+               "ELSE 0.0 END")} AS nation_volume,
+             ${oSum("l_extendedprice * (1.0 - l_discount)")}
+               AS total_volume,
+             ${oSum("CASE WHEN ns.n_name = 'NATION_3' " +
+               "THEN l_extendedprice * (1.0 - l_discount) " +
+               "ELSE 0.0 END")}
+             / ${oSum("l_extendedprice * (1.0 - l_discount)")}
+               AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region ON nc.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_year
+      ORDER BY o_year""",
+
+    "q15_top_supplier" -> s"""
+      WITH revenue AS (
+        SELECT l_suppkey,
+               ${oSum("l_extendedprice * (1.0 - l_discount)")}
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, total_revenue
+      FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""",
+
+    "q17_small_quantity" -> s"""
+      WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'
+      ),
+      a AS (
+        SELECT l_partkey AS ap_key,
+               ${oSum("l_quantity")} / COUNT(*) AS avg_qty
+        FROM li GROUP BY l_partkey
+      )
+      SELECT ${oSum("l_extendedprice")} / 7.0 AS avg_yearly
+      FROM li JOIN a ON l_partkey = ap_key
+      WHERE l_quantity < 0.2 * avg_qty""",
 
     "q22_idle_customers" -> s"""
       SELECT c_mktsegment, COUNT(*) AS numcust,
