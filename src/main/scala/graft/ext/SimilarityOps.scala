@@ -299,6 +299,112 @@ object SimilarityOps {
     corpus.join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  // -------------------------------------------------------------------
+  // X3e — Lloyd k-means codebook training
+  // -------------------------------------------------------------------
+
+  /** X3e — Lloyd's k-means refinement of an IVF codebook [Lloyd 1982]:
+    * `iters` rounds of (assign every vector to its nearest centroid by
+    * squared Euclidean distance → recompute each centroid as the mean
+    * of its cell). The [[sampleCentroids]] Scaladoc promises "a trained
+    * k-means codebook can replace this sample without touching the
+    * assignment/search plan" — this is that trainer; feed its output to
+    * [[ivfTopK]] / [[semanticDedup]].
+    *
+    * Scale shape (the part that matters at 100 TB): the codebook is
+    * collected to the driver each round (nlist × dim doubles — the same
+    * tiny-model class as [[graft.ext.Sampling.planMix]]'s per-stratum
+    * rates) and re-enters the next round's plan as LITERAL arrays, so
+    * assignment is pure scan-side expression work — argmin over a
+    * literal centroid array via `array_min(struct(d2, cid))`, zero
+    * joins, zero corpus shuffle (unlike [[assignCentroids]], whose
+    * per-vector ranking window exists to support nprobe>1 and costs a
+    * corpus-keyed exchange). The mean update posexplodes to
+    * (centroid, dim) keys whose partial aggregation collapses map-side:
+    * the only exchange per round carries ≤ nlist·dim rows per map task.
+    * Total: `iters` corpus scans, no corpus-sized shuffle anywhere.
+    *
+    * Cross-engine float discipline: d2 = ((x·x − 2·(x·c)) + c·c) with
+    * every dot a strict left fold ([[dot]]); cell means quantize each
+    * element to integer micros (`round(v·10⁶)` — the float→double cast,
+    * multiply, and round are each identical across engines, and a
+    * DECIMAL cast is NOT: Spark and DuckDB disagree by one scale-6 unit
+    * on some floats) summed as exact BIGINTs — order-free — then
+    * `((Σ/10⁶)/n)` in doubles, so the refined centroids are
+    * bit-identical in DuckDB's replay. An emptied cell drops from the
+    * codebook (standard Lloyd degeneracy; both engines agree by
+    * construction).
+    *
+    * @param init (centroid_id, c_embedding) — e.g. [[sampleCentroids]]
+    * @return (centroid_id, c_embedding array<double>, cell_size) after
+    *         `iters` rounds */
+  def kmeansRefine(corpus: DataFrame, init: DataFrame,
+                   iters: Int): DataFrame = {
+    val last = kmeansStats(corpus, init, iters)
+    last.groupBy("centroid_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c_val")))),
+        s => s.getField("c_val")).as("c_embedding"),
+        max("cell_size").as("cell_size"))
+  }
+
+  /** [[kmeansRefine]]'s final-round cell statistics in exploded form:
+    * one row per (centroid_id, 1-based dimension) with the refined
+    * coordinate and the cell population — the oracle-comparable shape
+    * (scalar cells, no array columns). */
+  def kmeansStats(corpus: DataFrame, init: DataFrame,
+                  iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var book = collectBook(init.select(col("centroid_id").cast("long"),
+      col("c_embedding").cast("array<double>").as("c_embedding")))
+    var last = lloydStep(corpus, book)
+    for (_ <- 2 to iters) {
+      book = collectBook(lloydAssemble(last))
+      last = lloydStep(corpus, book)
+    }
+    last
+  }
+
+  /** Driver-side codebook snapshot, ordered by centroid id. */
+  private def collectBook(cents: DataFrame): Seq[(Long, Seq[Double])] =
+    cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .toSeq.sortBy(_._1)
+
+  /** (centroid_id, pos, c_val, cell_size) → (centroid_id, c_embedding). */
+  private def lloydAssemble(stats: DataFrame): DataFrame =
+    stats.groupBy("centroid_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c_val")))),
+        s => s.getField("c_val")).as("c_embedding"))
+
+  /** One Lloyd round against a literal codebook: scan-side argmin
+    * assignment, then the (centroid, dim) decimal-exact mean. */
+  private def lloydStep(corpus: DataFrame,
+                        book: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(book.nonEmpty, "k-means codebook emptied out")
+    val scored = array(book.map { case (cid, vals) =>
+      val c = array(vals.map(lit): _*)
+      // c·c folded driver-side with the same strict left fold the
+      // engines use — identical IEEE op sequence, identical bits
+      val cc = vals.foldLeft(0.0)((a, v) => a + v * v)
+      struct(((col("_xx") - lit(2.0) * dot(col("embedding"), c)) + lit(cc))
+        .as("d2"), lit(cid).as("cid"))
+    }: _*)
+    corpus
+      .withColumn("_xx", dot(col("embedding"), col("embedding")))
+      .withColumn("centroid_id", array_min(scored).getField("cid"))
+      .select(col("centroid_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("centroid_id"), (col("pos0") + 1).as("pos"))
+      .agg(sum(round(col("v").cast("double") * lit(1000000.0))
+        .cast("long")).as("_s"), count(lit(1)).as("cell_size"))
+      .select(col("centroid_id"), col("pos"),
+        (col("_s").cast("double") / lit(1000000.0) / col("cell_size"))
+          .as("c_val"),
+        col("cell_size"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: bucketed
     * self-join (sign-LSH), threshold on exact cosine. X2's embedding
     * variant. */

@@ -39,6 +39,11 @@ object ExtQueries {
   val IvfNlist = 32
   val IvfNprobe = 2
 
+  /** Lloyd rounds for the k-means codebook trainer (X3e): enough to
+    * show real refinement while the oracle's unrolled CTE chain stays
+    * readable. */
+  val KmeansIters = 2
+
   /** BM25 keyword queries (X4e) — one (query_id, term) row per
     * keyword; the oracle's VALUES list is generated from the same
     * constant. */
@@ -549,6 +554,18 @@ object ExtQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // X3e — Lloyd k-means codebook training: 2 rounds of scan-side
+    // argmin assignment (literal broadcast codebook, zero corpus
+    // shuffle) + decimal-exact (centroid, dim) mean update, seeded by
+    // the md5-sampled codebook. Output = refined centroid coordinates
+    // (exploded to scalar cells) + cell populations.
+    "q_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val init = SimilarityOps.sampleCentroids(emb, IvfNlist)
+      SimilarityOps.kmeansStats(emb, init, KmeansIters)
+        .orderBy("centroid_id", "pos")
+    }),
+
     // X3b' — parameterized random-hyperplane LSH top-k (the real scale
     // path: 8-bit codes × 2 hash tables = 16 seed-derived Rademacher
     // hyperplanes, generated from SimilarityOps.plane on BOTH engines).
@@ -864,6 +881,38 @@ object ExtQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Squared Euclidean distance with the exact association the Spark
+    * plan uses: ((x·x − 2·(x·c)) + c·c), every dot a strict left fold. */
+  private def d2Sql(x: String, c: String): String =
+    s"(${dotSql(x, x)}) - 2 * (${dotSql(x, c)}) + (${dotSql(c, c)})"
+
+  /** One Lloyd round in DuckDB: nearest-centroid assignment of
+    * `from` vectors against centroid CTE `cents` (argmin by (d2, id)),
+    * then the DECIMAL(18,6)-exact per-(centroid, dim) mean. Emits the
+    * `assign`/`means` CTE pair for round `n`. */
+  private def lloydRoundSql(n: Int, cents: String): String = s"""
+      a$n AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${d2Sql("e.embedding", "ce")},
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN $cents c
+        ) WHERE rn = 1
+      ),
+      m$n AS (
+        SELECT centroid_id, i AS pos,
+               CAST(SUM(CAST(ROUND(embedding[i]::DOUBLE * 1000000.0)
+                 AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_val,
+               COUNT(*) AS cell_size
+        FROM a$n CROSS JOIN range(1, 65) t(i)
+        GROUP BY centroid_id, i
+      ),
+      c$n AS (
+        SELECT centroid_id, list(c_val ORDER BY pos) AS ce
+        FROM m$n GROUP BY centroid_id
+      )"""
 
   /** DuckDB byte value at 1-based byte position `p` of an md5 hex
     * string column `h`. */
@@ -1413,6 +1462,18 @@ object ExtQueries {
       )
       SELECT query_id, neighbor_id, rnk, score
       FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "q_kmeans" -> s"""
+      WITH c0 AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
+      ),
+      ${(1 to KmeansIters).map(n =>
+        lloydRoundSql(n, if (n == 1) "c0" else s"c${n - 1}"))
+        .mkString(",")}
+      SELECT centroid_id, pos, c_val, cell_size
+      FROM m$KmeansIters ORDER BY centroid_id, pos""",
 
     "q_topk_lsh" -> s"""
       WITH q AS (

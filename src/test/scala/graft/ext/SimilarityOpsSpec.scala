@@ -210,4 +210,62 @@ class SimilarityOpsSpec extends SparkSpec {
     // min ids {0, 2} survive and {1, 3} are dropped.
     assert(kept == Set(0L, 2L))
   }
+
+  /** Two well-separated blobs around (±10, ...) — a planted clustering
+    * Lloyd must recover from any 2-vector init. */
+  private def blobCorpus: org.apache.spark.sql.DataFrame =
+    Seq.tabulate(40) { i =>
+      val sign = if (i % 2 == 0) 1f else -1f
+      (i.toLong, Array.tabulate(4)(j =>
+        sign * 10f + ((i * 7 + j * 3) % 11) / 11.0f))
+    }.toDF("vec_id", "embedding")
+
+  test("kmeansRefine: Lloyd rounds never increase within-cluster SSE " +
+    "and cells cover the corpus") {
+    val corpus = blobCorpus
+    val init = SimilarityOps.sampleCentroids(corpus, 4)
+    def sse(cents: org.apache.spark.sql.DataFrame): Double = {
+      val book = cents.select(col("centroid_id"),
+        col("c_embedding").cast("array<double>")).collect()
+        .map(r => r.getSeq[Double](1))
+      corpus.select(col("embedding")).collect().map { r =>
+        val x = r.getSeq[Float](0).map(_.toDouble)
+        book.map(c => x.zip(c).map { case (a, b) =>
+          (a - b) * (a - b) }.sum).min
+      }.sum
+    }
+    val r1 = SimilarityOps.kmeansRefine(corpus, init, 1)
+    val r2 = SimilarityOps.kmeansRefine(corpus, init, 2)
+    val sse0 = sse(init.select(col("centroid_id"),
+      col("c_embedding").cast("array<double>").as("c_embedding")))
+    // Lloyd's monotonicity, with a hair of slack for the micro
+    // quantization of the mean update.
+    assert(sse(r1) <= sse0 + 1e-3)
+    assert(sse(r2) <= sse(r1) + 1e-3)
+    // every corpus row is in exactly one cell
+    val total = r2.agg(sum("cell_size")).head().getLong(0)
+    assert(total == 40L)
+  }
+
+  test("kmeansRefine separates planted blobs and feeds ivfTopK " +
+    "unchanged (the trained-codebook swap sampleCentroids promises)") {
+    val corpus = blobCorpus
+    val trained = SimilarityOps.kmeansRefine(corpus,
+      SimilarityOps.sampleCentroids(corpus, 2), 3)
+    val cents = trained.select(col("centroid_id"),
+      col("c_embedding").as("c_embedding"))
+    // the two refined centroids sit in opposite blobs
+    val signs = cents.select(element_at(col("c_embedding"), 1))
+      .as[Double].collect().map(math.signum).sorted
+    assert(signs.toSeq == Seq(-1.0, 1.0))
+    // assignment under the trained codebook splits the corpus 20/20
+    val sizes = trained.select("cell_size").as[Long].collect().sorted
+    assert(sizes.toSeq == Seq(20L, 20L))
+    // and the search plan runs unchanged on the trained codebook
+    val queries = corpus.filter("vec_id < 2")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val hits = SimilarityOps.ivfTopK(queries, corpus, cents, 3, 1)
+    assert(hits.count() == 6)
+  }
 }
