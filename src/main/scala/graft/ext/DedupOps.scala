@@ -321,6 +321,55 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** X2g — duplicated-passage pairs (the cross-document substring-
+    * duplication shape of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 — re-expressed over
+    * winnowing fingerprints instead of a suffix array, which has no
+    * distributed formulation): two documents sharing a winnow
+    * fingerprint share a k-gram passage window (MOSS's guarantee), so
+    * pairs with `shared_fps >= minShared` have repeated spans — the
+    * boilerplate/template/licence-text class exact-dedup (X1, whole-doc
+    * hash) and near-dedup (X2, whole-doc signature) both miss when the
+    * rest of the document differs.
+    *
+    * Scale shape — identical discipline to [[ngramJaccardPairs]]: the
+    * posting list carries (fp LONG, id) only, never text; document
+    * frequency is a partial-aggregated groupBy and the heavy tail
+    * (df > maxDf — boilerplate shared by everything) broadcasts into a
+    * LEFT ANTI, so no reducer materializes a hot fingerprint's posting
+    * list; the candidate self-join is pinned SHUFFLE_HASH so AQE never
+    * builds a hash relation of the inverted index; per-pair work after
+    * the cap is bounded by maxDf².
+    *
+    * @return (id_a, id_b, shared_fps, containment) with id_a < id_b;
+    *         containment = shared / min(|fps_a|, |fps_b|) over the
+    *         capped fingerprint sets (1.0 = the smaller document's
+    *         every fingerprinted span recurs in the larger) */
+  def spanDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 3, w: Int = 4,
+                     minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    val posting = TextOps
+      .fingerprintTable(docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism),
+        idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp"))
+    val heavy = posting.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val kept = posting.join(broadcast(heavy), Seq("fp"), "left_anti")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+    val postings = kept.hint("shuffle_hash")
+    postings.as("a").join(postings.as("b"), Seq("fp"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .join(sizes.select(col("id").as("id_a"), col("n").as("_na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        (col("shared_fps").cast("double") /
+          least(col("_na"), col("_nb")).cast("double")).as("containment"))
+  }
+
   /** SimHash bit width: 32 (8 md5 hex digits × 4 bits). */
   val SimHashBits = 32
 

@@ -540,6 +540,14 @@ object ExtQueries {
       TextOps.fingerprintTable(Tables.documents(s, d))
         .orderBy("doc_id", "fp")),
 
+    // X2g — duplicated-passage pairs over the winnow fingerprints:
+    // df-capped posting-list self-join, pairs sharing >= 2 fingerprint
+    // spans, containment = shared / min(|fps|) — the repeated-substring
+    // dedup signal whole-doc hashing misses.
+    "q_span_dup" -> ((s, d) =>
+      DedupOps.spanDuplicates(Tables.documents(s, d))
+        .orderBy("id_a", "id_b")),
+
     // X3c — IVF top-k at parameterized capacity: md5-sampled codebook
     // (nlist=32), nearest-centroid assignment, queries probe nprobe=2
     // cells, exact rescoring inside probed cells.
@@ -1423,6 +1431,40 @@ object ExtQueries {
                FROM hs)
       SELECT doc_id, unnest(list_distinct(m)) AS fp
       FROM mins ORDER BY doc_id, fp""",
+
+    "q_span_dup" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      sg AS (SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(0, len(w) - 3 + 1),
+                        i -> array_to_string(w[i+1:i+3], ' ')) END AS s
+             FROM t),
+      hs AS (SELECT doc_id,
+               list_transform(s, x -> ('0x' || md5(x)[1:8])::BIGINT) AS h
+             FROM sg),
+      mins AS (SELECT doc_id,
+                 CASE WHEN len(h) < 4 THEN [list_min(h)]
+                   ELSE list_transform(range(0, len(h) - 4 + 1),
+                          i -> list_min(h[i+1:i+4])) END AS m
+               FROM hs),
+      fps AS (SELECT doc_id, unnest(list_distinct(m)) AS fp FROM mins),
+      dft AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+      kept AS (SELECT f.doc_id, f.fp
+               FROM fps f JOIN dft USING (fp) WHERE df <= 50),
+      sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS shared_fps
+                FROM kept a JOIN kept b USING (fp)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, shared_fps,
+             shared_fps::DOUBLE / least(sa.n, sb.n)::DOUBLE AS containment
+      FROM pairs
+      JOIN sizes sa ON pairs.id_a = sa.doc_id
+      JOIN sizes sb ON pairs.id_b = sb.doc_id
+      WHERE shared_fps >= 2
+      ORDER BY id_a, id_b""",
 
     "q_topk_ivf" -> s"""
       WITH c AS (

@@ -286,4 +286,40 @@ class DedupOpsSpec extends SparkSpec {
       assert(sigs(a).take(8) == sigs(b).take(8)) // bucket contract
     }
   }
+
+  test("spanDuplicates finds a passage shared by otherwise-different " +
+    "docs; containment 1.0 when one side is the passage itself") {
+    val passage = "the quick brown fox jumps over the lazy dog today"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta $passage epsilon zeta eta theta"),
+      (2L, s"one two three four five $passage six seven eight nine"),
+      (3L, passage),
+      (4L, "completely unrelated text with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.spanDuplicates(corpus, minShared = 2)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // every pair among {1,2,3} shares the planted passage; 4 pairs with
+    // nobody
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // doc 3 IS the passage: every one of its fingerprints recurs in 1
+    // and 2
+    assert(pairs((1L, 3L)) == 1.0 && pairs((2L, 3L)) == 1.0)
+  }
+
+  test("spanDuplicates df-cap drops boilerplate shared by everything") {
+    // 60 docs all share the same boilerplate; only 2 share a real
+    // passage beyond it. With maxDf=50 the boilerplate fingerprints are
+    // dropped, so only the real pair survives.
+    val boiler = "standard license header text goes here every time"
+    val real = "rare duplicated analytical passage appearing twice only"
+    val corpus = ((1L to 58L).map(i =>
+      (i, s"$boiler unique$i filler$i word$i")) ++ Seq(
+      (97L, s"$boiler $real left tail"),
+      (98L, s"$boiler $real right tail"))).toDF("doc_id", "text")
+    val pairs = DedupOps.spanDuplicates(corpus, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((97L, 98L)))
+  }
 }
