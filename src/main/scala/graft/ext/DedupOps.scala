@@ -148,6 +148,67 @@ object DedupOps {
         col("_bk.band_key").as("band_key"))
   }
 
+  /** X2h — MinHash estimate-quality audit: for every banded candidate
+    * pair, the signature-agreement Jaccard estimate (matching positions
+    * / NumHashes — the unbiased MinHash estimator: each position
+    * matches with probability J) laid beside the exact Jaccard, with
+    * the absolute error. The measured dial-vs-accuracy evidence for
+    * sizing NumHashes — the X3d recall-audit idea applied to X2: a
+    * deployment that wants to SKIP the exact-verify join at 100 TB
+    * (where re-joining shingle sets is the expensive step) reads this
+    * table to see what error that buys at the current signature width.
+    *
+    * Deterministic end-to-end (affine minima, integer agreement counts,
+    * int/int IEEE divisions), so the estimates themselves are
+    * oracle-checked. Scale shape = [[nearDuplicates]]: signatures
+    * materialized once, candidates from the banded self-join, and the
+    * audit join moves (sig, shingles) by id — at audit time one usually
+    * samples candidates first; the operator composes with any filter on
+    * the candidate table.
+    *
+    * @return (id_a, id_b, matches, est_jaccard, jaccard, abs_err) */
+  def minhashEstimates(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", shingleSize: Int = 3,
+                       materialize: DataFrame => DataFrame =
+                         _.localCheckpoint()): DataFrame = {
+    val spread = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val signed = materialize(spread
+      .withColumn("_shingles", shingleSet(col(textCol), shingleSize))
+      .select(col(idCol).as("id"), col("_shingles").as("sh"),
+        signatureExpr(baseHashes(col("_shingles"))).as("sig")))
+    val bandKeys = (0 until Bands).map { b =>
+      val parts = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => element_at(col("sig"), i + 1).cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", parts: _*)).as("band_key"))
+    }
+    val bands = signed
+      .select(col("id"), explode(array(bandKeys: _*)).as("_bk"))
+      .select(col("id"), col("_bk.band").as("band"),
+        col("_bk.band_key").as("band_key"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val matches = (0 until NumHashes).map(i =>
+      when(element_at(col("_sa"), i + 1) === element_at(col("_sb"), i + 1),
+        lit(1)).otherwise(lit(0))).reduce(_ + _)
+    val inter = size(array_intersect(col("_ha"), col("_hb")))
+    cand
+      .join(signed.select(col("id").as("id_a"), col("sig").as("_sa"),
+        col("sh").as("_ha")), "id_a")
+      .join(signed.select(col("id").as("id_b"), col("sig").as("_sb"),
+        col("sh").as("_hb")), "id_b")
+      .withColumn("matches", matches)
+      .withColumn("est_jaccard",
+        col("matches").cast("double") / lit(NumHashes.toDouble))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("_ha")) + size(col("_hb")) - inter).cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select("id_a", "id_b", "matches", "est_jaccard", "jaccard",
+        "abs_err")
+  }
+
   /** X2 — MinHash/LSH near-duplicate pairs with exact Jaccard verify.
     *
     * Candidates: self-equi-join on (band, band_key) with `a.id < b.id`

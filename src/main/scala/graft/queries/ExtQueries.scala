@@ -358,6 +358,13 @@ object ExtQueries {
         minJaccard = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // X2h — MinHash estimate-quality audit: signature-agreement
+    // estimate vs exact Jaccard per banded candidate pair, with the
+    // absolute error — the dial-vs-accuracy evidence for NumHashes.
+    "q_minhash_est" -> ((s, d) =>
+      DedupOps.minhashEstimates(corpusWithTwins(Tables.documents(s, d)))
+        .orderBy("id_a", "id_b")),
+
     // X2d — EXACT n-gram Jaccard pairs via inverted shingle index with
     // a df-cap: the deterministic audit path beside X2's banded recall.
     "q_ngram_jaccard" -> ((s, d) =>
@@ -1135,6 +1142,33 @@ object ExtQueries {
       WITH $nearDupCtes
       SELECT id_a, id_b, jaccard FROM paired
       WHERE jaccard >= 0.4 ORDER BY id_a, id_b""",
+
+    // X2h — the same candidate/verify chain, plus per-pair signature
+    // agreement: estimate = matching minhash positions / NumHashes.
+    "q_minhash_est" -> {
+      def mh(i: Int): String = {
+        val (a, b) = DedupOps.hashParams(i)
+        s"""list_min(list_transform(bases,
+              h -> (h * $a + $b) % ${DedupOps.MinHashPrime}))"""
+      }
+      val sigList = (0 until DedupOps.NumHashes).map(mh).mkString(", ")
+      val agree = (1 to DedupOps.NumHashes).map(i =>
+        s"CASE WHEN a.msig[$i] = b.msig[$i] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH $nearDupCtes,
+      msig AS (SELECT doc_id, [$sigList] AS msig FROM sig)
+      SELECT id_a, id_b, matches, est_jaccard, jaccard,
+             abs(est_jaccard - jaccard) AS abs_err
+      FROM (
+        SELECT p.id_a, p.id_b, ($agree) AS matches,
+               ($agree)::DOUBLE / ${DedupOps.NumHashes}.0 AS est_jaccard,
+               p.jaccard
+        FROM paired p
+        JOIN msig a ON a.doc_id = p.id_a
+        JOIN msig b ON b.doc_id = p.id_b
+      ) ORDER BY id_a, id_b"""
+    },
 
     // X2d — exact inverted-index twin: posting list → df cap (50) →
     // shared-shingle candidate join → count intersection → Jaccard over

@@ -287,6 +287,31 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhashEstimates: identical docs estimate 1.0 exactly; every " +
+    "candidate's estimate is k-quantized and within [0,1]") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "unrelated words entirely different from the other documents")
+    ).toDF("doc_id", "text")
+    val est = DedupOps.minhashEstimates(corpus)
+      .select("id_a", "id_b", "matches", "est_jaccard", "jaccard",
+        "abs_err")
+      .as[(Long, Long, Int, Double, Double, Double)].collect()
+    val byPair = est.map(r => (r._1, r._2) -> r).toMap
+    val ident = byPair((1L, 2L))
+    assert(ident._3 == DedupOps.NumHashes && ident._4 == 1.0 &&
+      ident._5 == 1.0 && ident._6 == 0.0)
+    est.foreach { r =>
+      assert(r._4 == r._3.toDouble / DedupOps.NumHashes)
+      assert(r._4 >= 0.0 && r._4 <= 1.0 && r._6 >= 0.0)
+    }
+    // the near pair (one word differs) is a candidate and its exact
+    // jaccard is high
+    assert(byPair.contains((1L, 3L)) && byPair((1L, 3L))._5 > 0.6)
+  }
+
   test("spanDuplicates finds a passage shared by otherwise-different " +
     "docs; containment 1.0 when one side is the passage itself") {
     val passage = "the quick brown fox jumps over the lazy dog today"
