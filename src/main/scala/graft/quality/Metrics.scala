@@ -52,6 +52,52 @@ object Metrics {
     explodeMetrics(agg, Seq("n_events", "error_events", "null_values"))
   }
 
+  /** X6b — ANALYZE-twin column statistics (the per-column stats a
+    * cost-based optimizer's `ANALYZE TABLE … COMPUTE STATISTICS FOR
+    * COLUMNS` collects): null count, approximate NDV, numeric min/max,
+    * and average string-form length, one row per column.
+    *
+    * Scale shape: the table is stacked scan-side to (column, value)
+    * pairs — an explode, no shuffle — then ONE partial-agg groupBy for
+    * nulls/min/max/len and one KMV pass ([[graft.ext.Sketches
+    * .kmvDistinct]] — k longs of state per column at any table size,
+    * engine-portable unlike HLL) for the NDV, joined back on the
+    * few-row column key. Distinct-hash dedup is (column, hash)-keyed —
+    * partial-aggregated, skew-bounded by the hash.
+    *
+    * min/max are reported for numeric columns only (cast to double);
+    * the string form's lexicographic extremes are not CBO min/max and
+    * are deliberately omitted. avg_len is over the string form of
+    * non-null values (int/int IEEE division, deterministic).
+    *
+    * @return (column, nulls, ndv_est, min_num, max_num, avg_len) */
+  def columnStats(df: DataFrame, columns: Seq[String],
+                  k: Int = 256): DataFrame = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val stacked = df
+      .select(explode(array(columns.map { c =>
+        val num = fields(c) match {
+          case _: NumericType => col(c).cast(DoubleType)
+          case _ => lit(null).cast(DoubleType)
+        }
+        struct(lit(c).as("column"), col(c).cast(StringType).as("val"),
+          num.as("num"))
+      }: _*)).as("s"))
+      .select(col("s.column").as("column"), col("s.val").as("val"),
+        col("s.num").as("num"))
+    val base = stacked.groupBy("column").agg(
+      count(when(col("val").isNull, 1)).as("nulls"),
+      min("num").as("min_num"), max("num").as("max_num"),
+      (sum(length(col("val"))).cast(DoubleType) /
+        count(col("val")).cast(DoubleType)).as("avg_len"))
+    val ndv = graft.ext.Sketches.kmvDistinct(
+      stacked.filter(col("val").isNotNull), Seq("column"), "val", k)
+      .withColumnRenamed("est_distinct", "ndv_est")
+    base.join(ndv, Seq("column"), "left")
+      .select("column", "nulls", "ndv_est", "min_num", "max_num",
+        "avg_len")
+  }
+
   /** One aggregated row → (metric, value) long-format rows. */
   private def explodeMetrics(agg1row: DataFrame,
                              names: Seq[String]): DataFrame = {

@@ -684,6 +684,13 @@ object ExtQueries {
         .unionByName(Metrics.eventMetrics(Tables.events(s, d)))
         .orderBy("metric")),
 
+    // X6b — ANALYZE-twin per-column statistics: nulls, KMV NDV,
+    // numeric min/max, avg string length — the CBO stats table.
+    "q_table_stats" -> ((s, d) =>
+      Metrics.columnStats(Tables.documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"), k = 256)
+        .orderBy("column")),
+
     // X7 — as-of join: attribute each click event to the user's latest
     // purchase at-or-before it (backward inclusive; nulls when none).
     // `ts` is compared at microsecond grain on both engines (DuckDB's
@@ -1823,6 +1830,39 @@ object ExtQueries {
         FROM events GROUP BY event_type
       ) x ON kmv.event_type = x.event_type
       ORDER BY kmv.event_type""",
+
+    "q_table_stats" -> """
+      WITH stacked AS (
+        SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS val,
+               CAST(doc_id AS DOUBLE) AS num FROM documents
+        UNION ALL SELECT 'lang', lang, NULL FROM documents
+        UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR),
+               CAST(n_chars AS DOUBLE) FROM documents
+        UNION ALL SELECT 'source', source, NULL FROM documents
+      ), base AS (
+        SELECT col, count(CASE WHEN val IS NULL THEN 1 END) AS nulls,
+               min(num) AS min_num, max(num) AS max_num,
+               SUM(length(val))::DOUBLE / COUNT(val)::DOUBLE AS avg_len
+        FROM stacked GROUP BY col
+      ), h AS (
+        SELECT DISTINCT col, ('0x' || md5(val)[1:15])::BIGINT AS h
+        FROM stacked WHERE val IS NOT NULL
+      ), r AS (
+        SELECT col, h,
+               row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+        FROM h
+      ), kmv AS (
+        SELECT col,
+               CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 / max(h) END
+                 AS ndv_est
+        FROM r WHERE rn <= 256 GROUP BY col
+      )
+      SELECT b.col AS "column", nulls, kmv.ndv_est, min_num, max_num,
+             avg_len
+      FROM base b LEFT JOIN kmv ON b.col = kmv.col
+      ORDER BY "column"
+      """,
 
     "q_cms_heavy_hitters" -> """
       WITH tok AS (
