@@ -643,6 +643,33 @@ object ExtQueries {
         .orderBy("query_id")
     }),
 
+    // X3d'' — the IVF recall audit under the TRAINED codebook (X3e):
+    // the same nprobe=2 search with kmeans-refined centroids, so the
+    // measured recall shows what Lloyd refinement buys over the raw
+    // md5 sample — the before/after evidence for training the index.
+    "q_ann_recall_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val trained = SimilarityOps.kmeansRefine(emb,
+        SimilarityOps.sampleCentroids(emb, IvfNlist), KmeansIters)
+        .select(col("centroid_id"), col("c_embedding"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val exact = SimilarityOps.bruteForceTopK(queries, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps
+        .ivfTopK(queries, emb, trained, 5, IvfNprobe)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("recall_at_5", col("hits").cast("double") / 5.0)
+        .orderBy("query_id")
+    }),
+
     // X2c — embedding-cosine near-dup over a corpus with perturbed
     // twins: sign-LSH bucketed self-join, exact-cosine threshold.
     "q_embed_near_dup" -> ((s, d) =>
@@ -1664,6 +1691,76 @@ object ExtQueries {
                    ORDER BY ${dotSql("e.embedding", "ce")} DESC,
                             c.centroid_id) AS rn
           FROM embeddings e CROSS JOIN c
+          WHERE e.vec_id % 100 = 0
+        ) WHERE rn <= $IvfNprobe
+      ),
+      iscored AS (
+        SELECT query_id, a.vec_id AS neighbor_id,
+               ${cosSql("qe", "a.embedding")} AS score
+        FROM assign a JOIN iq USING (centroid_id)
+        WHERE a.vec_id <> iq.query_id
+      ),
+      iranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM iscored
+      ),
+      approx AS (SELECT query_id, neighbor_id FROM iranked
+                 WHERE rnk <= 5),
+      hits AS (
+        SELECT e.query_id, count(*) AS hits
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+      )
+      SELECT bq.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             coalesce(h.hits, 0)::DOUBLE / 5.0 AS recall_at_5
+      FROM bq LEFT JOIN hits h ON h.query_id = bq.query_id
+      ORDER BY bq.query_id""",
+
+    // X3d'' — IVF recall with the kmeans-trained codebook: brute chain
+    // + 2 Lloyd rounds + IVF chain against the refined centroids.
+    "q_ann_recall_kmeans" -> s"""
+      WITH bq AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      bscored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${cosSql("qe", "e.embedding")} AS score
+        FROM embeddings e, bq WHERE e.vec_id <> bq.query_id
+      ),
+      branked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bscored
+      ),
+      exact AS (SELECT query_id, neighbor_id FROM branked
+                WHERE rnk <= 5),
+      c0 AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
+      ),
+      ${(1 to KmeansIters).map(n =>
+        lloydRoundSql(n, if (n == 1) "c0" else s"c${n - 1}"))
+        .mkString(",")},
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c$KmeansIters c
+        ) WHERE rn = 1
+      ),
+      iq AS (
+        SELECT vec_id AS query_id, embedding AS qe, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c$KmeansIters c
           WHERE e.vec_id % 100 = 0
         ) WHERE rn <= $IvfNprobe
       ),
