@@ -366,4 +366,59 @@ class PlanSpec extends SparkSpec {
       s"bm25 lost the pruning broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("span-dup: fingerprint self-join never broadcasts a posting " +
+    "list, df-cap is a partial agg, no document text in exchanges") {
+    val docs = Tables.documents(spark, sf)
+    val plan = finalPlan(graft.ext.DedupOps.spanDuplicates(docs))
+    // the SHUFFLE_HASH pin: the candidate self-join must stay
+    // fp-keyed — AQE broadcasting the inverted index is the 100-TB
+    // failure mode (same class the ngram-jaccard pin guards)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin [fp") && l.contains("Inner")),
+      s"span-dup candidate join left the shuffled-hash shape:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"),
+      s"span-dup df lost its map-side combine:\n$plan")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty &&
+      !exchangeLines.exists(_.contains("text")), plan)
+  }
+
+  test("kmeans: assignment is scan-side (no corpus join, no window) — " +
+    "the only exchange carries (centroid, dim) partial aggregates") {
+    val emb = Tables.embeddings(spark, sf)
+    val stats = graft.ext.SimilarityOps.kmeansStats(emb,
+      graft.ext.SimilarityOps.sampleCentroids(emb, 8), 1)
+    val plan = finalPlan(stats)
+    // literal-codebook argmin: no join or window anywhere in the
+    // per-round plan — a ranking-window assignment would shuffle the
+    // corpus once per Lloyd round
+    assert(!plan.contains("Window"), s"kmeans assignment regressed " +
+      s"to a ranking window:\n$plan")
+    assert(!plan.contains("Join"), s"kmeans assignment regressed to " +
+      s"a centroid join:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"kmeans mean update lost its map-side combine:\n$plan")
+    // embeddings never cross an exchange — only (centroid, pos)
+    // aggregates do
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty &&
+      !exchangeLines.exists(_.contains("embedding#")), plan)
+  }
+
+  test("column stats: stacked scan + partial aggs; NDV dedup is " +
+    "(column, hash)-keyed, never value-row-keyed") {
+    val docs = Tables.documents(spark, sf)
+    val plan = finalPlan(graft.quality.Metrics.columnStats(docs,
+      Seq("doc_id", "lang", "source", "n_chars")))
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"column stats lost map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the raw text column was never selected: pruned at the scan
+    assert(!plan.contains("text#"),
+      s"column stats read columns it does not analyze:\n$plan")
+  }
 }
