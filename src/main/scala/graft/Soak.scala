@@ -75,6 +75,21 @@ object Soak {
       timed("decontaminate") {
         DedupOps.decontaminate(corpus, block, minJaccard = 0.4) },
       timed("simhash_multi") { DedupOps.simhashPairsMulti(corpus, 6) },
+      // X2g under duplication: every verbatim replica shares ALL its
+      // fingerprints with its base → posting-list pair enumeration is
+      // Σ_fp df² — quadratic in TRUE duplication until df crosses the
+      // maxDf cap (winnow fps are selective: df ≈ replicas ≈ 10 here,
+      // well under 50, so the cap does NOT engage — unlike the 3-gram
+      // shingles, whose df sits near the cap already at 1×)
+      timed("span_dup") { DedupOps.spanDuplicates(corpus) },
+      // the mitigation a curation DAG gets for free: exact-dedup FIRST
+      // collapses the verbatim replicas, so the remaining df is the
+      // near-dup multiplicity only — the measured argument for stage
+      // order, same as the semantic-dedup note
+      timed("span_dup_deduped") {
+        DedupOps.spanDuplicates(DedupOps.exactDedup(corpus)
+          .drop("content_hash", "dup_count").localCheckpoint())
+      },
       // the composed curation chain (gate → dedup → decontaminate →
       // quota → split) — proves the stage-boundary materialization
       // pattern holds under duplication, not just each op alone

@@ -49,6 +49,60 @@ object Sketches {
           .as("est_distinct"): _*)
   }
 
+  /** X10d — equi-width histogram quantile sketch: per-group quantile
+    * ESTIMATES from a `bins`-row counter table instead of a data-sized
+    * ranking window. The mergeable-histogram shape every warehouse's
+    * approx-percentile rests on, kept engine-portable (fixed arithmetic
+    * bin edges, no t-digest internals) so the estimate itself is
+    * oracle-checkable.
+    *
+    * Two occurrence-sized passes, both partial-aggregated: (1) per-group
+    * min/max/count, (2) per-(group, bin) counts — sketch state is ≤
+    * `bins` longs per group at any data size, counters mergeable by
+    * addition across corpora/days. The cumulative walk and the
+    * rank→bin pick run over the SKETCH (≤ bins rows per group), so the
+    * only windows in the plan are sketch-sized. Estimate = the lower
+    * edge of the first bin whose cumulative count reaches
+    * ceil(n·q) — biased low by at most one bin width, the documented
+    * resolution knob (`bins`).
+    *
+    * The exact twin ([[graft.queries]] `q_value_quantiles`) costs a
+    * per-group data-sized ranking window — this sketch is what replaces
+    * it at 100 TB; the `q_hist_quantiles` query lays est and exact side
+    * by side, the same self-audit shape as [[kmvDistinct]].
+    *
+    * @param qs (label, q) pairs, e.g. ("p50", 0.5)
+    * @return groupCols* :+ (quantile, est_value) */
+  def histQuantiles(df: DataFrame, groupCols: Seq[String],
+                    valueCol: String, bins: Int,
+                    qs: Seq[(String, Double)]): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(qs.nonEmpty, "qs must be non-empty")
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val stats = nonNull.groupBy(g: _*).agg(
+      min(v).as("_mn"), max(v).as("_mx"), count(lit(1)).as("_n"))
+    val width = (col("_mx") - col("_mn")) / lit(bins.toDouble)
+    val binned = nonNull.join(broadcast(stats), groupCols)
+      .withColumn("_bin", least(lit((bins - 1).toLong),
+        when(col("_mx") === col("_mn"), lit(0L))
+          .otherwise(floor((v - col("_mn")) / width))))
+      .groupBy(g :+ col("_bin"): _*).agg(count(lit(1)).as("_c"))
+    val wcum = Window.partitionBy(g: _*).orderBy("_bin")
+    val cum = binned.withColumn("_cum", sum("_c").over(wcum))
+      .join(broadcast(stats), groupCols)
+    qs.map { case (label, q) =>
+      cum.filter(col("_cum") >= ceil(col("_n") * lit(q)))
+        .groupBy(g: _*).agg(min(col("_bin")).as("_qb"),
+          min(col("_mn")).as("_m0"), min(col("_mx")).as("_m1"))
+        .select(g :+ lit(label).as("quantile") :+
+          (col("_m0") + col("_qb").cast("double") *
+            ((col("_m1") - col("_m0")) / lit(bins.toDouble)))
+            .as("est_value"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** CMS row-hash: bucket of `value` in sketch row `i` — 32-bit md5
     * prefix of "i:value" mod width. Mirrored in DuckDB as
     * `('0x' || md5(CAST(i AS VARCHAR) || ':' || v)[1:8])::BIGINT % w`. */

@@ -767,6 +767,34 @@ object ExtQueries {
       est.join(exact, Seq("event_type")).orderBy("event_type")
     }),
 
+    // X10d — histogram quantile sketch: p50/p90 estimated from a
+    // 64-bin counter table, laid beside the exact discrete quantiles
+    // (the q_value_quantiles formula) with the absolute error — the
+    // bounded-state quantile path for 100 TB, self-auditing like the
+    // KMV and CMS rows.
+    "q_hist_quantiles" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val est = graft.ext.Sketches.histQuantiles(ev, Seq("event_type"),
+        "value", 64, Seq(("p50", 0.5), ("p90", 0.9)))
+      val byVal = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val exact = ev.filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(all))
+        .filter(col("rn") === ceil(col("n") * lit(0.5))
+          || col("rn") === ceil(col("n") * lit(0.9)))
+        .select(col("event_type"),
+          when(col("rn") === ceil(col("n") * lit(0.5)), lit("p50"))
+            .otherwise(lit("p90")).as("quantile"),
+          col("value").as("exact_value"))
+      est.join(exact, Seq("event_type", "quantile"))
+        .withColumn("abs_err", abs(col("est_value") - col("exact_value")))
+        .orderBy("event_type", "quantile")
+    }),
+
     // X10c — count-min sketch: token frequencies from a 4×16 counter
     // table beside the exact counts. The width is deliberately small
     // (vocab > width) so bucket collisions are live and the min-over-
@@ -1927,6 +1955,55 @@ object ExtQueries {
         FROM events GROUP BY event_type
       ) x ON kmv.event_type = x.event_type
       ORDER BY kmv.event_type""",
+
+    "q_hist_quantiles" -> """
+      WITH stats AS (
+        SELECT event_type, min(value) AS mn, max(value) AS mx,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+      ), b AS (
+        SELECT e.event_type,
+               LEAST(63, CASE WHEN mx = mn THEN 0
+                 ELSE FLOOR((e.value - mn) / ((mx - mn) / 64.0))
+                 END)::BIGINT AS bin
+        FROM events e JOIN stats USING (event_type)
+        WHERE e.value IS NOT NULL
+      ), c AS (
+        SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+      ), cum AS (
+        SELECT event_type, bin,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                 AS cumc
+        FROM c
+      ), qpick AS (
+        SELECT cum.event_type, 'p50' AS quantile, min(bin) AS qbin
+        FROM cum JOIN stats USING (event_type)
+        WHERE cumc >= CEIL(n * 0.5) GROUP BY 1
+        UNION ALL
+        SELECT cum.event_type, 'p90', min(bin)
+        FROM cum JOIN stats USING (event_type)
+        WHERE cumc >= CEIL(n * 0.9) GROUP BY 1
+      ), est AS (
+        SELECT qpick.event_type, quantile,
+               mn + qbin * ((mx - mn) / 64.0) AS est_value
+        FROM qpick JOIN stats USING (event_type)
+      ), r AS (
+        SELECT event_type, value,
+               row_number() OVER
+                 (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+      ), exact AS (
+        SELECT event_type,
+               CASE WHEN rn = ceil(n * 0.5) THEN 'p50' ELSE 'p90' END
+                 AS quantile,
+               value AS exact_value
+        FROM r WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)
+      )
+      SELECT est.event_type, est.quantile, est_value, exact_value,
+             abs(est_value - exact_value) AS abs_err
+      FROM est JOIN exact USING (event_type, quantile)
+      ORDER BY event_type, quantile""",
 
     "q_table_stats" -> """
       WITH stacked AS (

@@ -106,4 +106,29 @@ class SketchesSpec extends SparkSpec {
       .select($"est_distinct").as[Double].head()
     assert(a == b)
   }
+
+  test("histQuantiles: estimate within one bin width of the exact " +
+    "quantile; exact on uniform integers at matching resolution") {
+    // values 0..999 in one group: p50 exact = 499 (rank 500), p90
+    // exact = 899; with 100 bins of width 9.99 the lower-edge estimate
+    // is within one bin width below the exact value
+    val df = (0 until 1000).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val est = Sketches.histQuantiles(df, Seq("g"), "v", 100,
+      Seq(("p50", 0.5), ("p90", 0.9)))
+      .select($"quantile", $"est_value").as[(String, Double)]
+      .collect().toMap
+    val width = 999.0 / 100.0
+    assert(math.abs(est("p50") - 499.0) <= width)
+    assert(math.abs(est("p90") - 899.0) <= width)
+  }
+
+  test("histQuantiles: constant column degenerates to the constant; " +
+    "null values are ignored") {
+    val df = Seq(("g", Some(7.0)), ("g", Some(7.0)), ("g", None))
+      .toDF("g", "v")
+    val est = Sketches.histQuantiles(df, Seq("g"), "v", 16,
+      Seq(("p50", 0.5)))
+      .select($"est_value").as[Double].collect()
+    assert(est.toSeq == Seq(7.0))
+  }
 }
