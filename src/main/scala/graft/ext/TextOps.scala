@@ -409,6 +409,44 @@ object TextOps {
     sort_array(array_distinct(mins))
   }
 
+  /** X4i — overlapping-window document chunker (the RAG-ingestion
+    * splitter): each document becomes ⌈(n−c)/(c−o)⌉+1 chunks of up to
+    * `chunkTokens` tokens, consecutive chunks sharing `overlap` tokens
+    * so a retrieval hit never loses its sentence boundary. Chunk ids,
+    * token offsets, and lengths are emitted so downstream embedding /
+    * packing stages can address spans without re-tokenizing.
+    *
+    * Scale: pure scan-side expression work — tokenize, one `sequence`+
+    * `explode`, per-chunk `slice` — ZERO shuffles at any corpus size
+    * (PlanSpec-pinned); the natural upstream of the embedding table
+    * and [[graft.ext.Packing]]'s budgeted sequences.
+    *
+    * @return (idCol, chunk_id, start_tok, n_tok, chunk_text) */
+  def chunkDocs(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", chunkTokens: Int = 64,
+                overlap: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap")
+    val step = chunkTokens - overlap
+    val n = size(col("_t"))
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      floor((n - lit(chunkTokens) + lit(step) - 1).cast("double")
+        / lit(step.toDouble)).cast("long") + 1)
+    docs
+      .withColumn("_t", tokens(col(textCol)))
+      .select(col(idCol),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"),
+        col("_t"))
+      .withColumn("_start", col("chunk_id") * step)
+      .withColumn("_chunk",
+        slice(col("_t"), col("_start") + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_id"),
+        col("_start").as("start_tok"),
+        size(col("_chunk")).cast("long").as("n_tok"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"))
+  }
+
   /** Winnowing fingerprints (the rolling-hash document-fingerprint
     * scheme of MOSS), exploded to (idCol, fp) rows. Robust to local
     * edits — shared fingerprints locate overlapping passages without

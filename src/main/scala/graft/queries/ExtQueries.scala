@@ -547,6 +547,12 @@ object ExtQueries {
       TextOps.fingerprintTable(Tables.documents(s, d))
         .orderBy("doc_id", "fp")),
 
+    // X4i — RAG chunker: overlapping 64-token windows (16 overlap),
+    // scan-side only — chunk ids/offsets/lengths plus the chunk text.
+    "q_chunks" -> ((s, d) =>
+      TextOps.chunkDocs(Tables.documents(s, d))
+        .orderBy("doc_id", "chunk_id")),
+
     // X2g — duplicated-passage pairs over the winnow fingerprints:
     // df-capped posting-list self-join, pairs sharing >= 2 fingerprint
     // spans, containment = shared / min(|fps|) — the repeated-substring
@@ -1527,6 +1533,25 @@ object ExtQueries {
                FROM hs)
       SELECT doc_id, unnest(list_distinct(m)) AS fp
       FROM mins ORDER BY doc_id, fp""",
+
+    "q_chunks" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+      ), c AS (
+        SELECT doc_id, w,
+               unnest(range(0, CASE WHEN n <= 64 THEN 1
+                 ELSE CAST(FLOOR((n - 64 + 48 - 1)::DOUBLE / 48.0)
+                   AS BIGINT) + 1 END)) AS chunk_id
+        FROM t
+      )
+      SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+             CAST(len(w[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT)
+               AS n_tok,
+             array_to_string(w[chunk_id*48+1 : chunk_id*48+64], ' ')
+               AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id""",
 
     "q_span_dup" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

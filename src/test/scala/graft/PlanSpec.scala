@@ -409,6 +409,15 @@ class PlanSpec extends SparkSpec {
       !exchangeLines.exists(_.contains("embedding#")), plan)
   }
 
+  test("chunkDocs: zero shuffles — tokenize, sequence-explode, and " +
+    "slice are all scan-side") {
+    val plan = finalPlan(graft.ext.TextOps.chunkDocs(
+      Tables.documents(spark, sf)))
+    assert(!plan.contains("Exchange"),
+      s"RAG chunking must stay scan-side:\n$plan")
+    assert(plan.contains("Generate explode"), plan)
+  }
+
   test("column stats: stacked scan + partial aggs; NDV dedup is " +
     "(column, hash)-keyed, never value-row-keyed") {
     val docs = Tables.documents(spark, sf)

@@ -196,4 +196,33 @@ class TextOpsSpec extends SparkSpec {
     assert(s(1L) < s(2L) && s(2L) < s(3L))
     assert(s(3L) - s(2L) < s(2L) - s(1L)) // saturating increments
   }
+
+  test("chunkDocs: overlapping windows cover every token, overlap is " +
+    "exact, and short docs stay whole") {
+    val words = (0 until 100).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocs(docs, chunkTokens = 10, overlap = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val big = chunks.filter(_._1 == 1L)
+    // starts advance by step=8; ceil((100-10)/8)+1 = 13 chunks
+    assert(big.length == 13)
+    assert(big.map(_._3).toSeq == (0 until 13).map(_ * 8L))
+    // consecutive chunks share exactly `overlap` tokens
+    big.sliding(2).foreach { case Array(a, b) =>
+      val at = a._5.split(" ").toSeq
+      val bt = b._5.split(" ").toSeq
+      assert(at.takeRight(2) == bt.take(2) || a._4 < 10)
+    }
+    // dropping each chunk's leading overlap (after the first)
+    // reconstructs the document exactly — no token lost or duplicated
+    val rebuilt = big.head._5.split(" ").toSeq ++
+      big.tail.toSeq.flatMap(_._5.split(" ").drop(2).toSeq)
+    assert(rebuilt == words)
+    // short doc: one whole chunk
+    val small = chunks.filter(_._1 == 2L)
+    assert(small.toSeq == Seq((2L, 0L, 0L, 3L, "a b c")))
+  }
 }
