@@ -255,4 +255,46 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("chunkDocs invariants hold on random docs and (chunk, overlap) " +
+    "parameters: lossless reconstruction, exact overlap, offsets") {
+    for (seed <- Seq(7, 21, 63)) {
+      val rnd = new Random(seed)
+      val chunkTokens = 4 + rnd.nextInt(20)
+      val overlap = rnd.nextInt(chunkTokens)
+      val step = chunkTokens - overlap
+      val docs = Seq.tabulate(25) { d =>
+        val n = 1 + rnd.nextInt(120)
+        (d.toLong, Seq.tabulate(n)(i => s"d${d}t$i").mkString(" "))
+      }
+      val out = graft.ext.TextOps.chunkDocs(
+          docs.toDF("doc_id", "text"), chunkTokens = chunkTokens,
+          overlap = overlap)
+        .select($"doc_id", $"chunk_id", $"start_tok", $"n_tok",
+          $"chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect()
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val words = text.split(" ").toSeq
+        val chunks = out(id).sortBy(_._2)
+        val label = s"seed=$seed doc=$id c=$chunkTokens o=$overlap"
+        // offsets advance by step, ids are dense from 0
+        assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong),
+          label)
+        assert(chunks.forall(c => c._3 == c._2 * step), label)
+        // every chunk is the exact token slice it claims
+        chunks.foreach { c =>
+          val want = words.slice(c._3.toInt, c._3.toInt + chunkTokens)
+          assert(c._5.split(" ").toSeq.filter(_.nonEmpty) == want &&
+            c._4 == want.length, label)
+        }
+        // dropping each later chunk's overlap reconstructs the doc
+        val rebuilt = chunks.head._5.split(" ").toSeq ++
+          chunks.tail.toSeq.flatMap(_._5.split(" ").drop(overlap).toSeq)
+        assert(rebuilt == words, label)
+        // no chunk beyond the last is emitted (the tail is covered)
+        assert(chunks.last._3 + chunkTokens >= words.length, label)
+      }
+    }
+  }
 }
