@@ -341,6 +341,24 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // X4e'/X4i — chunk-level retrieval (the RAG composition): chunker
+    // → BM25 over the 64-token chunks, so a hit addresses a span, not
+    // a whole document. chunk_key = doc_id·1000 + chunk_id keeps the
+    // span addressable; split back out for the result table.
+    "q_chunk_retrieval" -> ((s, d) => {
+      val chunks = TextOps.chunkDocs(Tables.documents(s, d))
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+          col("chunk_text"))
+      val qt = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+      TextOps.bm25TopK(chunks, qt, k = 10, idCol = "chunk_key",
+          textCol = "chunk_text")
+        .select(col("query_id"),
+          floor(col("chunk_key") / 1000).cast("long").as("doc_id"),
+          (col("chunk_key") % 1000).as("chunk_id"),
+          col("rank"), col("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // X4 — heuristic language ID.
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1184,6 +1202,67 @@ object ExtQueries {
         FROM agg
       )
       SELECT query_id, doc_id, rank, score
+      FROM r WHERE rank <= 10
+      ORDER BY query_id, rank""",
+
+    // X4e'/X4i — chunker CTE feeding the identical BM25 chain, keyed
+    // by chunk_key = doc_id*1000 + chunk_id.
+    "q_chunk_retrieval" -> s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+      ), ch AS (
+        SELECT doc_id, unnest(range(0, CASE WHEN n <= 64 THEN 1
+                 ELSE CAST(FLOOR((n - 64 + 48 - 1)::DOUBLE / 48.0)
+                   AS BIGINT) + 1 END)) AS chunk_id, w
+        FROM t
+      ), chunks AS (
+        SELECT doc_id * 1000 + chunk_id AS chunk_key,
+               array_to_string(w[chunk_id*48+1 : chunk_id*48+64], ' ')
+                 AS chunk_text
+        FROM ch
+      ),
+      qt(query_id, term) AS (VALUES
+        ${Bm25Queries.map { case (q, t) => s"('$q', '$t')" }
+          .mkString(", ")}),
+      tf AS (
+        SELECT chunk_key, len(string_split(chunk_text, ' ')) AS dl,
+               tok AS term, count(*) AS tf
+        FROM (SELECT chunk_key, chunk_text,
+                     unnest(string_split(chunk_text, ' ')) AS tok
+              FROM chunks)
+        GROUP BY chunk_key, dl, term
+      ),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      stats AS (
+        SELECT count(DISTINCT chunk_key) AS n,
+               sum(len(string_split(chunk_text, ' '))) AS dlsum
+        FROM chunks
+      ),
+      s AS (
+        SELECT qt.query_id, tf.chunk_key,
+               CAST(
+                 ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl /
+                   (CAST(stats.dlsum AS DOUBLE) / stats.n)))
+               AS DECIMAL(18,6)) AS s
+        FROM tf JOIN qt USING (term) JOIN df USING (term)
+        CROSS JOIN stats
+      ),
+      agg AS (
+        SELECT query_id, chunk_key, CAST(sum(s) AS DOUBLE) AS score
+        FROM s GROUP BY query_id, chunk_key
+      ),
+      r AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, chunk_key) AS rank
+        FROM agg
+      )
+      SELECT query_id,
+             CAST(FLOOR(chunk_key / 1000) AS BIGINT) AS doc_id,
+             chunk_key % 1000 AS chunk_id, rank, score
       FROM r WHERE rank <= 10
       ORDER BY query_id, rank""",
 
