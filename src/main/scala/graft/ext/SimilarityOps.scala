@@ -339,14 +339,8 @@ object SimilarityOps {
     * @return (centroid_id, c_embedding array<double>, cell_size) after
     *         `iters` rounds */
   def kmeansRefine(corpus: DataFrame, init: DataFrame,
-                   iters: Int): DataFrame = {
-    val last = kmeansStats(corpus, init, iters)
-    last.groupBy("centroid_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("c_val")))),
-        s => s.getField("c_val")).as("c_embedding"),
-        max("cell_size").as("cell_size"))
-  }
+                   iters: Int): DataFrame =
+    lloydAssembleWithSize(kmeansStats(corpus, init, iters))
 
   /** [[kmeansRefine]]'s final-round cell statistics in exploded form:
     * one row per (centroid_id, 1-based dimension) with the refined
@@ -364,6 +358,50 @@ object SimilarityOps {
     }
     last
   }
+
+  /** [[kmeansRefine]] with convergence detection: sample an nlist
+    * codebook ([[sampleCentroids]]), run Lloyd rounds until the largest
+    * centroid movement (driver-side Euclidean over the tiny codebook)
+    * drops below `tol` or `maxIters` is hit. The movement check costs
+    * nothing extra — each round's codebook is already collected to
+    * build the next round's literal plan. Convergence is Lloyd's
+    * guarantee (SSE is non-increasing and the state space of
+    * assignments is finite); `maxIters` bounds the worst case.
+    *
+    * @return (centroid_id, c_embedding array<double>, cell_size) at
+    *         the converged (or maxIters-th) codebook */
+  def kmeansTrain(corpus: DataFrame, nlist: Int, maxIters: Int = 10,
+                  tol: Double = 1e-6): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var book = collectBook(sampleCentroids(corpus, nlist)
+      .select(col("centroid_id").cast("long"),
+        col("c_embedding").cast("array<double>").as("c_embedding")))
+    var last = lloydStep(corpus, book)
+    var moved = Double.MaxValue
+    var iters = 1
+    while (moved > tol && iters < maxIters) {
+      val next = collectBook(lloydAssemble(last))
+      val prev = book.toMap
+      moved = next.map { case (cid, vs) =>
+        prev.get(cid) match {
+          case Some(old) => math.sqrt(vs.zip(old)
+            .map { case (a, b) => (a - b) * (a - b) }.sum)
+          case None => Double.MaxValue // respawned/renumbered cell
+        }
+      }.max
+      if (moved > tol) { book = next; last = lloydStep(corpus, book); iters += 1 }
+    }
+    lloydAssembleWithSize(last)
+  }
+
+  /** (centroid_id, pos, c_val, cell_size) → assembled codebook with
+    * cell populations (the [[kmeansRefine]] return shape). */
+  private def lloydAssembleWithSize(stats: DataFrame): DataFrame =
+    stats.groupBy("centroid_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c_val")))),
+        s => s.getField("c_val")).as("c_embedding"),
+        max("cell_size").as("cell_size"))
 
   /** Driver-side codebook snapshot, ordered by centroid id. */
   private def collectBook(cents: DataFrame): Seq[(Long, Seq[Double])] =

@@ -268,4 +268,20 @@ class SimilarityOpsSpec extends SparkSpec {
     val hits = SimilarityOps.ivfTopK(queries, corpus, cents, 3, 1)
     assert(hits.count() == 6)
   }
+
+  test("kmeansTrain converges on planted blobs to the same fixed " +
+    "point as a long kmeansRefine run") {
+    val corpus = blobCorpus
+    val trained = SimilarityOps.kmeansTrain(corpus, 2, maxIters = 10)
+      .select("centroid_id", "cell_size").as[(Long, Long)]
+      .collect().toSet
+    val refined = SimilarityOps.kmeansRefine(corpus,
+      SimilarityOps.sampleCentroids(corpus, 2), 6)
+      .select("centroid_id", "cell_size").as[(Long, Long)]
+      .collect().toSet
+    // on two clean blobs Lloyd reaches its fixed point within a few
+    // rounds — early stop and the long run agree exactly
+    assert(trained == refined)
+    assert(trained.toSeq.map(_._2).sorted == Seq(20L, 20L))
+  }
 }
