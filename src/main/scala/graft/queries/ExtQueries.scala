@@ -341,6 +341,21 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // X4i/X1 — chunk-level exact dedup: the chunker composed into the
+    // dedup family — repeated 64-token spans (boilerplate, license
+    // headers, shared templates) collapse to their min-key survivor
+    // ACROSS documents, the action version of X2g's span detection.
+    "q_chunk_dedup" -> ((s, d) => {
+      val chunks = TextOps.chunkDocs(Tables.documents(s, d))
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+          col("chunk_text"))
+      DedupOps.exactDedup(chunks, idCol = "chunk_key",
+          textCol = "chunk_text")
+        .select(floor(col("chunk_key") / 1000).cast("long").as("doc_id"),
+          (col("chunk_key") % 1000).as("chunk_id"), col("dup_count"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // X4e'/X4i — chunk-level retrieval (the RAG composition): chunker
     // → BM25 over the 64-token chunks, so a hit addresses a span, not
     // a whole document. chunk_key = doc_id·1000 + chunk_id keeps the
@@ -1204,6 +1219,37 @@ object ExtQueries {
       SELECT query_id, doc_id, rank, score
       FROM r WHERE rank <= 10
       ORDER BY query_id, rank""",
+
+    // X4i/X1 — chunker CTE + the q_doc_dedup survivor formula at chunk
+    // granularity.
+    "q_chunk_dedup" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+      ), ch AS (
+        SELECT doc_id, unnest(range(0, CASE WHEN n <= 64 THEN 1
+                 ELSE CAST(FLOOR((n - 64 + 48 - 1)::DOUBLE / 48.0)
+                   AS BIGINT) + 1 END)) AS chunk_id, w
+        FROM t
+      ), chunks AS (
+        SELECT doc_id * 1000 + chunk_id AS chunk_key,
+               array_to_string(w[chunk_id*48+1 : chunk_id*48+64], ' ')
+                 AS chunk_text
+        FROM ch
+      ), ranked AS (
+        SELECT chunk_key,
+               count(*) OVER (PARTITION BY
+                 sha256(trim(lower(chunk_text)))) AS dup_count,
+               row_number() OVER (PARTITION BY
+                 sha256(trim(lower(chunk_text))) ORDER BY chunk_key)
+                 AS rn
+        FROM chunks
+      )
+      SELECT CAST(FLOOR(chunk_key / 1000) AS BIGINT) AS doc_id,
+             chunk_key % 1000 AS chunk_id,
+             CAST(dup_count AS BIGINT) AS dup_count
+      FROM ranked WHERE rn = 1 ORDER BY doc_id, chunk_id""",
 
     // X4e'/X4i — chunker CTE feeding the identical BM25 chain, keyed
     // by chunk_key = doc_id*1000 + chunk_id.
