@@ -418,6 +418,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate explode"), plan)
   }
 
+  test("kmeans: shuffle bytes are CODEBOOK-sized, not corpus-sized — " +
+    "8x the vectors moves <2x the bytes through exchanges") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val parts = emb.rdd.getNumPartitions
+    // 8x the vectors in the SAME number of map tasks (coalesce is
+    // shuffle-free): the partial-agg contract is nlist×dim rows PER
+    // MAP TASK regardless of how many vectors the task scans
+    val big = (0 until 8).map(k =>
+        emb.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+      .reduce(_ unionByName _).coalesce(parts).localCheckpoint()
+    val init = graft.ext.SimilarityOps.sampleCentroids(emb, 8)
+    def bytes(corpus: org.apache.spark.sql.DataFrame): Long =
+      graft.quality.ShuffleAudit.shuffleWriteBytes(
+        graft.ext.SimilarityOps.kmeansStats(corpus, init, 1))
+    val small = bytes(emb)
+    val large = bytes(big)
+    assert(small > 0, "expected the (centroid, dim) mean exchange")
+    assert(large < small * 2,
+      s"kmeans shuffled $large bytes for 8x vectors vs $small — the " +
+        "per-map-task codebook bound broke (assignment stopped being " +
+        "scan-side, or the mean update lost partial aggregation)")
+  }
+
   test("column stats: stacked scan + partial aggs; NDV dedup is " +
     "(column, hash)-keyed, never value-row-keyed") {
     val docs = Tables.documents(spark, sf)
