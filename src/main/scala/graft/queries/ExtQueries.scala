@@ -521,6 +521,26 @@ object ExtQueries {
           budget = 256, shards = 8), budget = 256)
         .orderBy("doc_id", "chunk")),
 
+    // X13' — multi-signal duplicate clustering: edges from THREE
+    // independent detectors (MinHash bands, SimHash prefixes, exact
+    // n-gram Jaccard) unioned into ONE component run — the production
+    // shape where each detector catches pairs the others miss and the
+    // cluster survivor must be consistent across all of them.
+    "q_multi_signal_clusters" -> ((s, d) => {
+      val twins = corpusWithTwins(Tables.documents(s, d))
+      val edges = DedupOps.nearDuplicates(twins, minJaccard = 0.4)
+        .select("id_a", "id_b")
+        .unionByName(DedupOps.simhashPairs(twins, 6)
+          .select("id_a", "id_b"))
+        .unionByName(DedupOps.ngramJaccardPairs(twins, minJaccard = 0.4)
+          .select("id_a", "id_b"))
+        .distinct()
+      graft.ext.Clusters.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // X13 — duplicate clusters: connected components over the near-dup
     // pairs (min-label propagation); canonical survivor = smallest id.
     "q_dup_clusters" -> ((s, d) => {
@@ -1562,6 +1582,70 @@ object ExtQueries {
         SELECT id_a AS src, id_b AS dst FROM paired WHERE jaccard >= 0.4
         UNION
         SELECT id_b, id_a FROM paired WHERE jaccard >= 0.4
+      ),
+      verts AS (SELECT DISTINCT src AS id FROM edges),
+      reach(v, u) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u
+      )
+      SELECT v AS doc_id, min(u) AS cluster_id,
+             v = min(u) AS is_canonical
+      FROM reach GROUP BY v ORDER BY doc_id""",
+
+    // X13' — the three detectors' pair CTEs (minhash `paired` from
+    // nearDupCtes, simhash renamed sx/ss/ssig, ngram posting chain
+    // reusing nearDupCtes' `sh` shingle sets) unioned into one edge
+    // set, then the same recursive transitive closure as X13.
+    "q_multi_signal_clusters" -> s"""
+      WITH RECURSIVE $nearDupCtes,
+      sx AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 tk -> md5(tk)[1:${DedupOps.SimHashBits / 4}]) AS hx
+        FROM twins
+      ),
+      ss AS (SELECT doc_id, ${simhashSql("hx")} AS simhash FROM sx),
+      ssig AS (SELECT doc_id, simhash, simhash[1:8] AS bucket FROM ss),
+      spairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ssig a JOIN ssig b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE ${hammingSql("a.simhash", "b.simhash")} <= 6
+      ),
+      posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      dfc AS (SELECT shingle, count(*) AS df FROM posting
+              GROUP BY shingle),
+      keep AS (
+        SELECT p.doc_id, p.shingle
+        FROM posting p JOIN dfc ON p.shingle = dfc.shingle
+        WHERE dfc.df <= 50
+      ),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM keep
+                GROUP BY doc_id),
+      ipairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS icnt
+        FROM keep a JOIN keep b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      npairs AS (
+        SELECT id_a, id_b FROM ipairs
+        JOIN sizes sa ON sa.doc_id = ipairs.id_a
+        JOIN sizes sb ON sb.doc_id = ipairs.id_b
+        WHERE icnt::DOUBLE / (sa.sz + sb.sz - icnt)::DOUBLE >= 0.4
+      ),
+      edges0 AS (
+        SELECT id_a, id_b FROM paired WHERE jaccard >= 0.4
+        UNION
+        SELECT id_a, id_b FROM spairs
+        UNION
+        SELECT id_a, id_b FROM npairs
+      ),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM edges0
+        UNION
+        SELECT id_b, id_a FROM edges0
       ),
       verts AS (SELECT DISTINCT src AS id FROM edges),
       reach(v, u) AS (
