@@ -528,13 +528,15 @@ object ExtQueries {
     // cluster survivor must be consistent across all of them.
     "q_multi_signal_clusters" -> ((s, d) => {
       val twins = corpusWithTwins(Tables.documents(s, d))
+      // no .distinct() here: connectedComponents dedups its edge set
+      // after the undirected doubling anyway — an extra pre-distinct
+      // would just add a pair-keyed shuffle
       val edges = DedupOps.nearDuplicates(twins, minJaccard = 0.4)
         .select("id_a", "id_b")
         .unionByName(DedupOps.simhashPairs(twins, 6)
           .select("id_a", "id_b"))
         .unionByName(DedupOps.ngramJaccardPairs(twins, minJaccard = 0.4)
           .select("id_a", "id_b"))
-        .distinct()
       graft.ext.Clusters.connectedComponents(edges)
         .select(col("id").as("doc_id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_canonical"))
