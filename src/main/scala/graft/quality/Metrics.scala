@@ -98,6 +98,45 @@ object Metrics {
         "avg_len")
   }
 
+  /** X6c — per-group z-score outliers (the anomaly gate a monitoring
+    * job runs over a metric stream): rows whose value sits more than
+    * `zThreshold` population standard deviations from their group's
+    * mean. Moments come from ONE partial-agg pass over (n, Σq, Σq²)
+    * with q = round(v·10⁶) — integer/decimal sums, so the moments are
+    * exact and order-free (a naive Σv double sum would drift with
+    * accumulation order and break the cross-engine hash); mean and
+    * variance then derive in fixed double arithmetic, and the tiny
+    * per-group stats broadcast back onto the scan. Groups with zero
+    * variance emit nothing (every value is the mean; also dodges
+    * sqrt-of-rounding-negative NaN drift).
+    *
+    * @return df's rows flagged as outliers, + (z) */
+  def valueOutliers(df: DataFrame, groupCols: Seq[String],
+                    valueCol: String, zThreshold: Double = 3.0): DataFrame = {
+    val g = groupCols.map(col)
+    val q = round(col(valueCol).cast(DoubleType) * lit(1000000.0))
+      .cast(LongType)
+    val stats = df.filter(col(valueCol).isNotNull)
+      .select(g :+ q.as("_q"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("_n"), sum(col("_q")).as("_s1"),
+        sum(col("_q").cast(DecimalType(19, 0))
+          * col("_q").cast(DecimalType(19, 0))).as("_s2"))
+      .select(g :+ col("_n") :+
+        ((col("_s1").cast(DoubleType) / lit(1000000.0)) / col("_n"))
+          .as("_mean") :+
+        ((col("_s2").cast(DoubleType) / lit(1000000000000.0))
+          / col("_n")).as("_ex2"): _*)
+      .withColumn("_var", col("_ex2") - col("_mean") * col("_mean"))
+      .filter(col("_var") > 0.0)
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(stats), groupCols)
+      .withColumn("z", (col(valueCol).cast(DoubleType) - col("_mean"))
+        / sqrt(col("_var")))
+      .filter(abs(col("z")) > zThreshold)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("z"): _*)
+  }
+
   /** One aggregated row → (metric, value) long-format rows. */
   private def explodeMetrics(agg1row: DataFrame,
                              names: Seq[String]): DataFrame = {

@@ -772,6 +772,14 @@ object ExtQueries {
         .unionByName(Metrics.eventMetrics(Tables.events(s, d)))
         .orderBy("metric")),
 
+    // X6c — z-score anomaly gate: per-event-type outliers beyond 3σ,
+    // moments from one exact integer-micros pass (order-free sums).
+    "q_value_outliers" -> ((s, d) =>
+      Metrics.valueOutliers(Tables.events(s, d)
+          .select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", 3.0)
+        .orderBy("event_id")),
+
     // X6b — ANALYZE-twin per-column statistics: nulls, KMV NDV,
     // numeric min/max, avg string length — the CBO stats table.
     "q_table_stats" -> ((s, d) =>
@@ -2191,6 +2199,32 @@ object ExtQueries {
         FROM events GROUP BY event_type
       ) x ON kmv.event_type = x.event_type
       ORDER BY kmv.event_type""",
+
+    "q_value_outliers" -> """
+      WITH q AS (
+        SELECT event_id, event_type, value,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS qv
+        FROM events WHERE value IS NOT NULL
+      ), stats AS (
+        SELECT event_type, count(*) AS n, SUM(qv) AS s1,
+               SUM(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0)))
+                 AS s2
+        FROM q GROUP BY event_type
+      ), m AS (
+        SELECT event_type, n,
+               (CAST(s1 AS DOUBLE) / 1000000.0) / n AS mean,
+               (CAST(s2 AS DOUBLE) / 1000000000000.0) / n AS ex2
+        FROM stats
+      ), v AS (
+        SELECT event_type, mean, ex2 - mean * mean AS var
+        FROM m WHERE ex2 - mean * mean > 0
+      )
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - mean) / sqrt(var) AS z
+      FROM events e JOIN v USING (event_type)
+      WHERE e.value IS NOT NULL
+        AND abs((e.value - mean) / sqrt(var)) > 3.0
+      ORDER BY event_id""",
 
     "q_hist_quantiles" -> """
       WITH stats AS (

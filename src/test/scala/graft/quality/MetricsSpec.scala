@@ -31,6 +31,26 @@ class MetricsSpec extends SparkSpec {
     assert(stats("lang").getDouble(5) == 2.0)
   }
 
+  test("valueOutliers flags the planted spike, skips constant groups, " +
+    "and computes the population z-score") {
+    // group a: 100 values at 10.0 plus one spike at 1000.0
+    // group b: constant — zero variance, must emit nothing
+    val rows = (1 to 100).map(i => (i.toLong, "a", 10.0)) ++
+      Seq((101L, "a", 1000.0)) ++
+      (200 to 220).map(i => (i.toLong, "b", 5.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val out = Metrics.valueOutliers(df, Seq("event_type"), "value", 3.0)
+      .select("event_id", "z").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(101L))
+    // hand-computed population z of the spike
+    val vals = rows.filter(_._2 == "a").map(_._3)
+    val mean = vals.sum / vals.length
+    val varp = vals.map(v => (v - mean) * (v - mean)).sum / vals.length
+    val wantZ = (1000.0 - mean) / math.sqrt(varp)
+    assert(math.abs(out.head._2 - wantZ) < 1e-6,
+      s"z=${out.head._2} want≈$wantZ")
+  }
+
   test("columnStats NDV estimate stays within ~3x sigma above k") {
     val df = spark.range(0, 5000)
       .select(col("id"), (col("id") % 50).as("mod"))
