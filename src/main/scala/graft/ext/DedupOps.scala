@@ -209,6 +209,45 @@ object DedupOps {
         "abs_err")
   }
 
+  /** X2i — edit-distance verified pairs (the record-linkage / fuzzy-
+    * match member of the dedup family): banded LSH candidates scored
+    * with Levenshtein distance over a bounded prefix. Where Jaccard
+    * sees bags of shingles, edit distance sees ORDER — transposed or
+    * lightly-reworded near-copies score close here even when shingle
+    * overlap drops.
+    *
+    * Scale discipline: candidates come from the same banded self-join
+    * as [[nearDuplicates]] (never all-pairs), and the quadratic-cost
+    * Levenshtein runs on `prefixLen`-bounded prefixes — O(prefixLen²)
+    * per pair regardless of document size, the standard windowed-edit-
+    * distance bound a linkage system sets (raise it for short fields
+    * like titles where full-string distance is the point). Only ids
+    * and bounded prefixes cross the candidate join.
+    *
+    * @return (id_a, id_b, edit_dist) with edit_dist <= maxDist */
+  def editDistancePairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", prefixLen: Int = 400,
+                        maxDist: Int = 100, shingleSize: Int = 3,
+                        materialize: DataFrame => DataFrame =
+                          _.localCheckpoint()): DataFrame = {
+    val spread = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val banded = materialize(
+      bandedSignatures(spread, idCol, textCol, shingleSize))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val pfx = docs.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("_p"))
+    cand
+      .join(pfx.select(col(idCol).as("id_a"), col("_p").as("_pa")), "id_a")
+      .join(pfx.select(col(idCol).as("id_b"), col("_p").as("_pb")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("_pa"), col("_pb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("id_a", "id_b", "edit_dist")
+  }
+
   /** X2 — MinHash/LSH near-duplicate pairs with exact Jaccard verify.
     *
     * Candidates: self-equi-join on (band, band_key) with `a.id < b.id`

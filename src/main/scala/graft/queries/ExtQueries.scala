@@ -391,6 +391,14 @@ object ExtQueries {
         minJaccard = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // X2i — edit-distance verified pairs: banded candidates scored by
+    // Levenshtein over a 400-char prefix — the fuzzy-match/record-
+    // linkage member of the dedup family (order-sensitive where
+    // Jaccard is bag-of-shingles).
+    "q_edit_distance" -> ((s, d) =>
+      DedupOps.editDistancePairs(corpusWithTwins(Tables.documents(s, d)))
+        .orderBy("id_a", "id_b")),
+
     // X2h — MinHash estimate-quality audit: signature-agreement
     // estimate vs exact Jaccard per banded candidate pair, with the
     // absolute error — the dial-vs-accuracy evidence for NumHashes.
@@ -1365,6 +1373,19 @@ object ExtQueries {
       WITH $nearDupCtes
       SELECT id_a, id_b, jaccard FROM paired
       WHERE jaccard >= 0.4 ORDER BY id_a, id_b""",
+
+    // X2i — the banded `cand` pairs scored by Levenshtein over the
+    // 400-char prefix, capped at 100 edits.
+    "q_edit_distance" -> s"""
+      WITH $nearDupCtes,
+      pfx AS (SELECT doc_id, substr(text, 1, 400) AS p FROM twins)
+      SELECT id_a, id_b,
+             CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
+      FROM cand
+      JOIN pfx a ON a.doc_id = id_a
+      JOIN pfx b ON b.doc_id = id_b
+      WHERE levenshtein(a.p, b.p) <= 100
+      ORDER BY id_a, id_b""",
 
     // X2h — the same candidate/verify chain, plus per-pair signature
     // agreement: estimate = matching minhash positions / NumHashes.

@@ -312,6 +312,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(byPair.contains((1L, 3L)) && byPair((1L, 3L))._5 > 0.6)
   }
 
+  test("editDistancePairs: identical candidates at 0, a one-word edit " +
+    "costs its length, beyond-cap pairs drop") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base),                                   // identical → 0
+      (3L, base.replace("kappa", "kXppa")),         // 1 substitution
+      (4L, "unrelated words entirely different from the other documents")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.editDistancePairs(corpus, maxDist = 20)
+      .select("id_a", "id_b", "edit_dist")
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).contains(1))
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("spanDuplicates finds a passage shared by otherwise-different " +
     "docs; containment 1.0 when one side is the passage itself") {
     val passage = "the quick brown fox jumps over the lazy dog today"
