@@ -308,6 +308,20 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "rnk", "o_orderkey")
     }),
 
+    // X9's relative-rank siblings: percent_rank = (rank−1)/(n−1) and
+    // cume_dist = peers≤ / n — both int/int IEEE divisions with the
+    // unique (price, key) tie-break, so the doubles hash-match.
+    "q_order_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // CUBE: all grouping-set combinations of (returnflag, linestatus)
     // — the ROLLUP twin's full lattice; subtotals surfaced via coalesce
     // as in q_rollup_returns.
@@ -1023,6 +1037,16 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderpriority, rnk, o_orderkey""",
+
+    "q_order_percentiles" -> """
+      SELECT o_orderpriority, o_orderkey,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM orders
+      WHERE o_totalprice > 400000.0
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey""",
 
     "q_cube_returns" -> s"""
       SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
