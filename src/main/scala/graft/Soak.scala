@@ -82,6 +82,12 @@ object Soak {
       // well under 50, so the cap does NOT engage — unlike the 3-gram
       // shingles, whose df sits near the cap already at 1×)
       timed("span_dup") { DedupOps.spanDuplicates(corpus) },
+      // X2i under duplication: candidates are near_dup's banded pairs
+      // (quadratic in replica count), each paying a CONSTANT
+      // prefixLen²-bounded Levenshtein — time should track the
+      // candidate count, the bound that makes edit distance usable at
+      // scale at all
+      timed("edit_distance") { DedupOps.editDistancePairs(corpus) },
       // the mitigation a curation DAG gets for free: exact-dedup FIRST
       // collapses the verbatim replicas, so the remaining df is the
       // near-dup multiplicity only — the measured argument for stage
