@@ -308,6 +308,15 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "rnk", "o_orderkey")
     }),
 
+    // X19 — skew-immune group top-k: the bounded-heap aggregate
+    // (state ≤ k at every stage) replacing the row_number window whose
+    // hot group would serialize on one reducer. Top-3 orders per
+    // priority by (totalprice DESC, orderkey).
+    "q_topk_groups" -> ((s, d) =>
+      graft.ext.GroupTopK.topKPerGroup(Tables.orders(s, d),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+        .orderBy("o_orderpriority", "rank")),
+
     // X9's relative-rank siblings: percent_rank = (rank−1)/(n−1) and
     // cume_dist = peers≤ / n — both int/int IEEE divisions with the
     // unique (price, key) tie-break, so the doubles hash-match.
@@ -1037,6 +1046,16 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderpriority, rnk, o_orderkey""",
+
+    "q_topk_groups" -> """
+      SELECT o_orderpriority, CAST(rn AS INT) AS rank, o_orderkey,
+             o_totalprice
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_orderpriority, rank""",
 
     "q_order_percentiles" -> """
       SELECT o_orderpriority, o_orderkey,

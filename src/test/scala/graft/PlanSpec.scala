@@ -409,6 +409,19 @@ class PlanSpec extends SparkSpec {
       !exchangeLines.exists(_.contains("embedding#")), plan)
   }
 
+  test("group top-k: bounded-heap aggregate — object-hash partial/" +
+    "final pair, NO window anywhere in the plan") {
+    val plan = finalPlan(graft.ext.GroupTopK.topKPerGroup(
+      Tables.orders(spark, sf), Seq("o_orderpriority"),
+      "o_totalprice", "o_orderkey", 3))
+    assert(!plan.contains("Window"),
+      s"group top-k regressed to a ranking window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregate lost its object-hash plan:\n$plan")
+    assert(plan.contains("partial_top_k_rows"),
+      s"top-k lost its map-side partial:\n$plan")
+  }
+
   test("chunkDocs: zero shuffles — tokenize, sequence-explode, and " +
     "slice are all scan-side") {
     val plan = finalPlan(graft.ext.TextOps.chunkDocs(

@@ -256,6 +256,28 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("GroupTopK equals the row_number window formulation on random " +
+    "data across many partitions (exercising partial merges)") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(5, 23, 77)) {
+      val rnd = new Random(seed)
+      val rows = Seq.tabulate(500)(i =>
+        (s"g${rnd.nextInt(7)}", rnd.nextInt(40).toDouble, i.toLong))
+      // duplicate values are common (40 buckets) → the id tie-break is
+      // live; 11 partitions force map-side partials and merges
+      val df = rows.toDF("g", "v", "id").repartition(11)
+      val got = graft.ext.GroupTopK.topKPerGroup(df, Seq("g"), "v", "id", 5)
+        .select($"g", $"rank", $"id", $"v")
+        .as[(String, Int, Long, Double)].collect().toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select($"g", $"rank", $"id", $"v")
+        .as[(String, Int, Long, Double)].collect().toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("chunkDocs invariants hold on random docs and (chunk, overlap) " +
     "parameters: lossless reconstruction, exact overlap, offsets") {
     for (seed <- Seq(7, 21, 63)) {
