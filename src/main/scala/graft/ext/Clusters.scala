@@ -25,8 +25,16 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Undirected doubling in ONE pass over `pairs` (explode of the two
+    // directed structs), not a self-union: a union evaluates the caller's
+    // pair-producing plan twice, and that plan is routinely the expensive
+    // part (three dedup detectors in the multi-signal query).
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).cast(pairs.schema(aCol).dataType).as("src"),
+          col(aCol).cast(pairs.schema(bCol).dataType).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint() // consumed once per round
     var labels = edges.select(col("src").as("id")).distinct()

@@ -375,12 +375,20 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleSize: Int = 3,
                         minJaccard: Double = 0.5,
-                        maxDf: Int = 50): DataFrame = {
+                        maxDf: Int = 50,
+                        materialize: DataFrame => DataFrame =
+                          _.localCheckpoint()): DataFrame = {
     val spread = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    val posting = spread
+    // The exploded posting table has THREE consumers (the df census,
+    // the per-doc sizes, the candidate self-join); materialized once it
+    // is scanned three times instead of re-shingling the corpus three
+    // times — on a cluster this is the durable inverted-index table an
+    // exact-Jaccard pipeline wants anyway (pass a write-then-read
+    // materializer, as with [[nearDuplicates]]).
+    val posting = materialize(spread
       .select(col(idCol).as("id"),
-        explode(shingleSet(col(textCol), shingleSize)).as("shingle"))
+        explode(shingleSet(col(textCol), shingleSize)).as("shingle")))
     // posting-cap: document frequency via partial-aggregated groupBy —
     // map-side combine collapses a stop-word shingle ("one of the",
     // df ≈ corpus size at web scale) to one row per map task, so no
@@ -447,12 +455,17 @@ object DedupOps {
     *         every fingerprinted span recurs in the larger) */
   def spanDuplicates(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", k: Int = 3, w: Int = 4,
-                     minShared: Int = 2, maxDf: Int = 50): DataFrame = {
-    val posting = TextOps
+                     minShared: Int = 2, maxDf: Int = 50,
+                     materialize: DataFrame => DataFrame =
+                       _.localCheckpoint()): DataFrame = {
+    // Same three-consumer discipline as [[ngramJaccardPairs]]: the
+    // fingerprint posting table is materialized once, not re-winnowed
+    // per consumer.
+    val posting = materialize(TextOps
       .fingerprintTable(docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism),
         idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp"))
+      .select(col(idCol).as("id"), col("fp")))
     val heavy = posting.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("fp")
     val kept = posting.join(broadcast(heavy), Seq("fp"), "left_anti")
