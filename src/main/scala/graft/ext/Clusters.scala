@@ -1,21 +1,37 @@
 package graft.ext
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+  ShortType}
+import org.apache.spark.storage.StorageLevel
 
 /** Duplicate clustering: connected components over a near-dup pair
   * list, by iterative min-label propagation — pairs only become a
   * DEDUP decision once grouped into clusters with one canonical
   * survivor each (keep `id == cluster_id`, drop the rest).
   *
-  * BSP shape, like any distributed graph algorithm: per round, one
-  * shuffle join propagates each vertex's smallest known label across
-  * edges; rounds = O(component diameter) — near-dup clusters are
-  * shallow (pairs/triples/chains), so 2-4 rounds in practice, with
-  * `maxIter` as the safety bound. The driver only coordinates rounds
-  * and reads a 1-row convergence count; labels live distributed and
-  * are lineage-truncated per round (`localCheckpoint` — an iterative
-  * fold would otherwise nest one join plan per round).
+  * BSP shape, like any distributed graph algorithm: per round, a join
+  * propagates each vertex's smallest known label across edges, plus a
+  * pointer-jumping shortcut (`label(label(u))`) so rounds converge in
+  * O(log diameter) instead of O(diameter) — multi-signal dedup graphs
+  * chain through shared shingles and need ~20 plain-propagation
+  * rounds, each a driver-serialized barrier. `maxIter` stays as the
+  * safety bound.
+  *
+  * The hot path (integral ids — doc ids, row ids) runs on pair RDDs
+  * with ONE [[HashPartitioner]] reused across every round: edges are
+  * partitioned ONCE and joined narrowly (zero-shuffle) against the
+  * co-partitioned label table, so a round moves only the propagated
+  * candidate labels (map-side combined min) — not the edge set. The
+  * DataFrame loop re-shuffles all E edge rows every round and pays
+  * ~0.3 s of physical planning per round; at 100 TB the reused
+  * partitioner is the difference between rounds costing O(V) and
+  * O(E) network. This is the one operator family where the RDD API
+  * is the right tool (iterative BSP with partitioner reuse — the
+  * pattern GraphX exists for); non-integral ids (e.g. string content
+  * hashes) fall back to the generic Catalyst loop below.
   */
 object Clusters {
 
@@ -25,10 +41,89 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
                           maxIter: Int = 20): DataFrame = {
+    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
+    val aType = pairs.schema(aCol).dataType
+    val bType = pairs.schema(bCol).dataType
+    if (integral(aType) && integral(bType))
+      ccPartitioned(pairs, aCol, bCol, maxIter)
+    else ccGeneric(pairs, aCol, bCol, maxIter)
+  }
+
+  /** Integral-id hot path: partitioner-reuse BSP over pair RDDs. */
+  private def ccPartitioned(pairs: DataFrame, aCol: String,
+                            bCol: String, maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val defaultN = spark.sessionState.conf.numShufflePartitions
+    // (dst, src) keyed by dst: the narrow join below delivers
+    // label(dst) to src. Both orientations, so keys = all vertices.
+    val staged = pairs
+      .select(col(aCol).cast(LongType), col(bCol).cast(LongType))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .distinct(defaultN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size the round partitioner to the MEASURED edge count — the
+    // RDD-layer equivalent of AQE's shuffle coalescing, which a .rdd
+    // plan no longer gets. 13 driver-synchronized rounds of 32-part
+    // joins over a 300k-edge graph is pure scheduler overhead; at
+    // 10^12 edges the same formula saturates the cluster's
+    // parallelism.
+    val e = staged.count()
+    val n = math.max(1L, math.min(defaultN.toLong, e / (1L << 20) + 1))
+      .toInt
+    val part = new HashPartitioner(n)
+    val edges = staged.partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    staged.unpersist(blocking = true)
+    var labels = edges.mapValues(_ => ())
+      .reduceByKey(part, (a, _) => a)
+      .mapPartitions(_.map { case (v, _) => (v, v) },
+        preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // Narrow join (both sides on `part`): candidate label(dst)->src.
+      val viaEdges = edges.join(labels)
+        .map { case (_, (src, lbl)) => (src, lbl) }
+      // Pointer jump: label(label(u)) — re-keys only the V-sized label
+      // table; the join target keeps the shared partitioner.
+      val viaJump = labels.map { case (u, l) => (l, u) }
+        .join(labels)
+        .map { case (_, (u, ll)) => (u, ll) }
+      // ONE shuffle per round: reduceByKey's map-side combine collapses
+      // a hot vertex's candidates per map task before the exchange.
+      val updated = viaEdges.union(viaJump).union(labels)
+        .reduceByKey(part, math.min(_: Long, _: Long))
+        .localCheckpoint() // truncate per-round lineage
+      // Narrow join again (same partitioner): convergence probe costs
+      // one cheap action, no shuffle.
+      val changed = updated.join(labels)
+        .filter { case (_, (nw, old)) => nw < old }.count()
+      labels.unpersist(blocking = true)
+      labels = updated
+      converged = changed == 0
+      round += 1
+    }
+    val idType = pairs.schema(aCol).dataType
+    labels.toDF("id", "cluster_id")
+      .select(col("id").cast(idType).as("id"),
+        col("cluster_id").cast(idType).as("cluster_id"))
+  }
+
+  /** Generic-type fallback: the same propagate+jump BSP as a Catalyst
+    * loop. Re-shuffles the edge set per round (no partitioner reuse at
+    * the DataFrame layer) — correct for any ordered id type, but the
+    * integral path above is the at-scale design. */
+  private def ccGeneric(pairs: DataFrame, aCol: String, bCol: String,
+                        maxIter: Int): DataFrame = {
     // Undirected doubling in ONE pass over `pairs` (explode of the two
-    // directed structs), not a self-union: a union evaluates the caller's
-    // pair-producing plan twice, and that plan is routinely the expensive
-    // part (three dedup detectors in the multi-signal query).
+    // directed structs), not a self-union: a union evaluates the
+    // caller's pair-producing plan twice, and that plan is routinely
+    // the expensive part (three dedup detectors in the multi-signal
+    // query).
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
@@ -43,19 +138,19 @@ object Clusters {
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      // One join + one aggregation per round: neighbor candidates
-      // (edge join) UNION each vertex's own row, then min per vertex.
-      // The self row carries the old label in `own` (null on neighbor
-      // rows), so the new label, the old label, and the changed-flag
-      // all come out of the SAME aggregation — no second join to apply
-      // updates, no third to detect convergence. The count runs on the
-      // materialized checkpoint, so a round costs exactly one edge-key
-      // shuffle + one vertex-key shuffle + one cheap action —
-      // driver-serialized rounds make per-round shuffles the dominant
-      // cost at scale.
       val labelType = labels.schema("label").dataType
-      val nbrs = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label").as("cand"),
+      // Label links double the propagation distance per round:
+      // (u, label(u)) lets the join deliver label(label(u)) to u. Both
+      // rows derive from the checkpointed `labels`, so the
+      // augmentation costs no extra pass over the caller's plan — the
+      // round is still ONE join + ONE aggregation, with the old label,
+      // the new label, and the changed-flag all from that aggregation
+      // (the self row carries the old label in `own`).
+      val labelLinks = labels
+        .select(col("id").as("src"), col("label").as("dst"))
+      val aug = edges.unionByName(labelLinks)
+      val nbrs = aug.join(labels, aug("dst") === labels("id"))
+        .select(aug("src").as("id"), col("label").as("cand"),
           lit(null).cast(labelType).as("own"))
       val updated = nbrs
         .unionByName(labels.select(col("id"), col("label").as("cand"),

@@ -17,6 +17,18 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("non-integral ids (string content hashes) take the generic " +
+    "path and agree with the integral result") {
+    val pairs = Seq(("h1", "h2"), ("h2", "h3"), ("h3", "h4"),
+      ("ha", "hb"), ("hb", "hc"), ("ha", "hc"),
+      ("hx", "hy")).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("h1" -> "h1", "h2" -> "h1", "h3" -> "h1",
+      "h4" -> "h1", "ha" -> "ha", "hb" -> "ha", "hc" -> "ha",
+      "hx" -> "hx", "hy" -> "hx"))
+  }
+
   test("a long path converges within maxIter via label shortcuts") {
     val n = 24
     val pairs = (1 until n).map(i => (i.toLong, i + 1L))
