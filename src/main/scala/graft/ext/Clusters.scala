@@ -40,18 +40,20 @@ object Clusters {
     *   cluster_id = smallest id reachable (the canonical survivor) */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          rowsPerPartition: Long = 1L << 20): DataFrame = {
     val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
     val aType = pairs.schema(aCol).dataType
     val bType = pairs.schema(bCol).dataType
     if (integral(aType) && integral(bType))
-      ccPartitioned(pairs, aCol, bCol, maxIter)
+      ccPartitioned(pairs, aCol, bCol, maxIter, rowsPerPartition)
     else ccGeneric(pairs, aCol, bCol, maxIter)
   }
 
   /** Integral-id hot path: partitioner-reuse BSP over pair RDDs. */
   private def ccPartitioned(pairs: DataFrame, aCol: String,
-                            bCol: String, maxIter: Int): DataFrame = {
+                            bCol: String, maxIter: Int,
+                            rowsPerPartition: Long): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val defaultN = spark.sessionState.conf.numShufflePartitions
@@ -70,13 +72,54 @@ object Clusters {
     // 10^12 edges the same formula saturates the cluster's
     // parallelism.
     val e = staged.count()
-    val n = math.max(1L, math.min(defaultN.toLong, e / (1L << 20) + 1))
+    val n = math
+      .max(1L, math.min(defaultN.toLong, e / rowsPerPartition + 1))
       .toInt
     val part = new HashPartitioner(n)
     val edges = staged.partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
     staged.unpersist(blocking = true)
+    val idType = pairs.schema(aCol).dataType
+    // One partition ⇒ the whole (deduped) edge set fits a single task:
+    // a partition-local union-find finds exact components in ONE job —
+    // executor-side, no driver collect — instead of paying a driver
+    // barrier per BSP round. The same small-side short-circuit AQE
+    // applies to joins; above the threshold the BSP loop below is the
+    // at-scale path.
+    if (n == 1) {
+      val comp = edges.mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) { val nx = parent.get(c)
+            parent.put(c, r); c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // attach the larger root under the smaller: the root of a
+          // set is always its minimum id (the canonical survivor)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val ids = new Array[Long](parent.size)
+        val kit = parent.keySet.iterator
+        var i = 0
+        while (kit.hasNext) { ids(i) = kit.next(); i += 1 }
+        ids.iterator.map(id => (id, find(id)))
+      }
+      val out = comp.toDF("id", "cluster_id")
+        .select(col("id").cast(idType).as("id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
+        .localCheckpoint()
+      edges.unpersist(blocking = true)
+      return out
+    }
     var labels = edges.mapValues(_ => ())
       .reduceByKey(part, (a, _) => a)
       .mapPartitions(_.map { case (v, _) => (v, v) },
@@ -107,7 +150,6 @@ object Clusters {
       converged = changed == 0
       round += 1
     }
-    val idType = pairs.schema(aCol).dataType
     labels.toDF("id", "cluster_id")
       .select(col("id").cast(idType).as("id"),
         col("cluster_id").cast(idType).as("cluster_id"))

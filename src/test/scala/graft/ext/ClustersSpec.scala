@@ -17,6 +17,17 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("BSP path (forced by a tiny rowsPerPartition) agrees with the " +
+    "single-partition union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs, rowsPerPartition = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("non-integral ids (string content hashes) take the generic " +
     "path and agree with the integral result") {
     val pairs = Seq(("h1", "h2"), ("h2", "h3"), ("h3", "h4"),
