@@ -355,6 +355,48 @@ object DedupOps {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** X2j — EXACT n-gram contamination scrub: drop every corpus
+    * document sharing at least `minHits` exact word n-grams with the
+    * blocklist — the membership-style decontamination large-model
+    * training reports use (a verbatim 8/13-gram hit means the eval
+    * text leaked), complementing [[decontaminate]]'s Jaccard
+    * THRESHOLD (which catches paraphrase-level overlap an exact hit
+    * misses, and vice versa).
+    *
+    * The join key is the full 32-hex `md5` of the shingle: exact
+    * (collision odds ~2^-64), engine-portable, and fixed-width — no
+    * raw document text enters an exchange. With the default
+    * `broadcastBlocklist = true` the distinct blocklist shingle
+    * hashes broadcast and the corpus never shuffles for the probe
+    * (hits alone reach the count aggregation); `false` switches to a
+    * plain hash-shuffle join for eval-suite unions too big to
+    * broadcast — linear in corpus shingle occurrences, uniformly
+    * keyed by the hash.
+    */
+  def exactContamination(corpus: DataFrame, blocklist: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         shingleSize: Int = 8, minHits: Int = 1,
+                         broadcastBlocklist: Boolean = true,
+                         materialize: DataFrame => DataFrame =
+                           _.localCheckpoint()): DataFrame = {
+    val side: DataFrame => DataFrame =
+      if (broadcastBlocklist) broadcast else materialize
+    val corpusSh = corpus.select(col(idCol).as("cid"),
+        explode(shingleSet(col(textCol), shingleSize)).as("sh"))
+      .select(col("cid"), md5(col("sh")).as("h"))
+    val blockSh = blocklist
+      .select(explode(shingleSet(col(textCol), shingleSize)).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+    // shingle sets are per-doc distinct, so hits-per-doc is a plain
+    // partial-agg count of matching rows
+    val contaminated = corpusSh.join(side(blockSh), Seq("h"))
+      .groupBy("cid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select(col("cid").as(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** X2d — EXACT n-gram Jaccard near-duplicate pairs via an inverted
     * shingle index (no MinHash, no probability): every pair sharing at
     * least one retained shingle is a candidate (posting-list self-join

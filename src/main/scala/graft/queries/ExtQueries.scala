@@ -427,6 +427,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // X2j — exact n-gram contamination: any verbatim 8-gram hit vs
+    // the doc_id%10=0 blocklist scrubs the doc — those originals and
+    // their exact twins go; the %10=5 near twins share no blocklist
+    // 8-grams and stay. Membership-style decontamination beside X2e's
+    // Jaccard threshold.
+    "q_exact_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val block = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      DedupOps.exactContamination(corpusWithTwins(docs), block,
+        shingleSize = 8)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Composition flagship — quality gate → exact-dedup survivors →
     // decontamination → per-source quota (40) → train/test split, each
     // stage the library operator, end-to-end oracle-checked.
@@ -1451,6 +1466,24 @@ object ExtQueries {
       $deconCtes
       SELECT doc_id, n_chars FROM twins
       WHERE doc_id NOT IN (SELECT cid FROM dcont)
+      ORDER BY doc_id""",
+
+    // X2j — exact-contamination twin: md5 of each 8-gram on both
+    // sides, membership join, any hit scrubs the doc.
+    "q_exact_decontaminate" -> s"""
+      WITH $twinsCte,
+      toks8 AS (SELECT doc_id, string_split(text, ' ') AS w FROM twins),
+      csh AS (SELECT doc_id, md5(sh) AS h
+              FROM (SELECT doc_id, unnest(${shSql("w", 8)}) AS sh
+                    FROM toks8)),
+      btoks AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id % 10 = 0),
+      bsh AS (SELECT DISTINCT md5(sh) AS h
+              FROM (SELECT unnest(${shSql("w", 8)}) AS sh FROM btoks)),
+      hits AS (SELECT doc_id FROM csh JOIN bsh USING (h)
+               GROUP BY doc_id HAVING count(*) >= 1)
+      SELECT doc_id, source, n_chars FROM twins
+      WHERE doc_id NOT IN (SELECT doc_id FROM hits)
       ORDER BY doc_id""",
 
     // Composition flagship — the full curation chain over one corpus:

@@ -94,6 +94,35 @@ class DedupOpsSpec extends SparkSpec {
       minJaccard = 0.4).count() == 4)
   }
 
+  test("exactContamination drops only verbatim n-gram hits — a " +
+    "paraphrase with no shared 8-gram survives where Jaccard flags it") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      // one swap at word 6 (covered by all six 8-gram windows of a
+      // 13-word doc): no exact hit anywhere
+      (11L, "the quick brown fox jumps above the lazy dog near the river bank"),
+      // shares a verbatim 8-gram suffix with the blocklist doc
+      (12L, "today we saw that fox jumps over the lazy dog near the river bank"),
+      (13L, "completely different words about spark shuffles and joins here")
+    ).toDF("doc_id", "text")
+    val block = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.exactContamination(corpus, block,
+      shingleSize = 8).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+    // shuffle path agrees row-for-row
+    val viaShuffle = DedupOps.exactContamination(corpus, block,
+      shingleSize = 8, broadcastBlocklist = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaShuffle == kept)
+    // minHits raises the bar: doc 12 shares few 8-grams, doc 10 all
+    val strict = DedupOps.exactContamination(corpus, block,
+      shingleSize = 8, minHits = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(11L, 12L, 13L))
+  }
+
   test("decontaminate shuffle-join path (corpus-sized blocklist) " +
     "matches the broadcast default exactly") {
     // fixture-scale corpus + a blocklist built from it, run through
