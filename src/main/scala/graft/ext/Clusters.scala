@@ -155,6 +155,31 @@ object Clusters {
         col("cluster_id").cast(idType).as("cluster_id"))
   }
 
+  /** Quality-based canonical selection: per cluster, keep the row
+    * with the HIGHEST score (ties → smallest id) — what a curation
+    * pipeline actually wants from a duplicate cluster ("keep the
+    * longest / best-quality copy"), where [[connectedComponents]]'
+    * min-id label is only a stable cluster NAME. One partial-agg
+    * shuffle on the cluster key (a degenerate 10⁷-copy cluster
+    * collapses map-side) plus one join back for the flag.
+    *
+    * @param clusters (id, cluster_id, score, …) — typically
+    *   [[connectedComponents]] output joined with a quality column
+    * @return input plus `canonical_id` (the cluster's survivor) and
+    *   `is_canonical` */
+  def canonical(clusters: DataFrame, idCol: String = "id",
+                clusterCol: String = "cluster_id",
+                scoreCol: String = "score"): DataFrame = {
+    // min(struct(-score, id)) = max score then min id — one ordered
+    // struct so the pick stays inside a partial-aggregated min
+    val surv = clusters.groupBy(col(clusterCol))
+      .agg(min(struct((-col(scoreCol)).as("ns"),
+        col(idCol).as("sid"))).as("m"))
+      .select(col(clusterCol), col("m.sid").as("canonical_id"))
+    clusters.join(surv, clusterCol)
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
   /** Generic-type fallback: the same propagate+jump BSP as a Catalyst
     * loop. Re-shuffles the edge set per round (no partitioner reuse at
     * the DataFrame layer) — correct for any ordered id type, but the

@@ -577,6 +577,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // X13'' — quality-based survivor: same clusters as X13, but the
+    // canonical pick is the LONGEST member (n_chars, ties → min id) —
+    // the keep-the-best-copy decision a curation pipeline makes,
+    // where the min-id label is only the cluster's name.
+    "q_cluster_canonical" -> ((s, d) => {
+      val twins = corpusWithTwins(Tables.documents(s, d))
+      val cl = graft.ext.Clusters.connectedComponents(
+        DedupOps.nearDuplicates(twins, minJaccard = 0.4))
+      val scored = cl.join(
+        twins.select(col("doc_id").as("id"), col("n_chars")), "id")
+      graft.ext.Clusters.canonical(scored, scoreCol = "n_chars")
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("canonical_id"), col("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // X2b — SimHash signatures.
     "q_simhash" -> ((s, d) =>
       DedupOps.withSimhash(Tables.documents(s, d)).orderBy("doc_id")),
@@ -1656,6 +1672,39 @@ object ExtQueries {
       SELECT v AS doc_id, min(u) AS cluster_id,
              v = min(u) AS is_canonical
       FROM reach GROUP BY v ORDER BY doc_id""",
+
+    // X13'' — same transitive closure, survivor = longest member
+    // (max n_chars, ties → min doc_id) via one window rank.
+    "q_cluster_canonical" -> s"""
+      WITH RECURSIVE $nearDupCtes,
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM paired WHERE jaccard >= 0.4
+        UNION
+        SELECT id_b, id_a FROM paired WHERE jaccard >= 0.4
+      ),
+      verts AS (SELECT DISTINCT src AS id FROM edges),
+      reach(v, u) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u
+      ),
+      cl AS (SELECT v AS doc_id, min(u) AS cluster_id
+             FROM reach GROUP BY v),
+      scored AS (
+        SELECT cl.doc_id, cl.cluster_id, t.n_chars FROM cl
+        JOIN twins t USING (doc_id)
+      ),
+      surv AS (
+        SELECT cluster_id, doc_id AS canonical_id FROM (
+          SELECT cluster_id, doc_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rk
+          FROM scored) WHERE rk = 1
+      )
+      SELECT s.doc_id, s.cluster_id, surv.canonical_id,
+             s.doc_id = surv.canonical_id AS is_canonical
+      FROM scored s JOIN surv USING (cluster_id)
+      ORDER BY doc_id""",
 
     // X13' — the three detectors' pair CTEs (minhash `paired` from
     // nearDupCtes, simhash renamed sx/ss/ssig, ngram posting chain

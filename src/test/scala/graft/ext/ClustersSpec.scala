@@ -40,6 +40,20 @@ class ClustersSpec extends SparkSpec {
       "hx" -> "hx", "hy" -> "hx"))
   }
 
+  test("canonical picks the highest score per cluster, ties broken " +
+    "by smallest id") {
+    val clustered = Seq(
+      (1L, 1L, 10L), (2L, 1L, 50L), (3L, 1L, 50L), // tie at 50: pick 2
+      (7L, 7L, 5L),                                 // singleton
+      (8L, 8L, 1L), (9L, 8L, 2L)                    // 9 wins on score
+    ).toDF("id", "cluster_id", "score")
+    val got = Clusters.canonical(clustered)
+      .select("id", "canonical_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (7L, 7L, true), (8L, 9L, false), (9L, 9L, true)))
+  }
+
   test("a long path converges within maxIter via label shortcuts") {
     val n = 24
     val pairs = (1 until n).map(i => (i.toLong, i + 1L))
