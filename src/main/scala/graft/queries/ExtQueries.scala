@@ -550,16 +550,30 @@ object ExtQueries {
     // shape where each detector catches pairs the others miss and the
     // cluster survivor must be consistent across all of them.
     "q_multi_signal_clusters" -> ((s, d) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // One materialization of the twin corpus shared by all three
+      // detectors, whose signature pipelines then build CONCURRENTLY:
+      // each construction runs eager internal checkpoints (signature /
+      // posting tables), and those are independent jobs the scheduler
+      // interleaves — the multi-thread-submission pattern Spark's
+      // scheduler pools exist for. Serial construction leaves the
+      // cluster idle while each detector's small jobs barrier in turn.
       val twins = corpusWithTwins(Tables.documents(s, d))
+        .localCheckpoint()
       // no .distinct() here: connectedComponents dedups its edge set
       // after the undirected doubling anyway — an extra pre-distinct
       // would just add a pair-keyed shuffle
-      val edges = DedupOps.nearDuplicates(twins, minJaccard = 0.4)
-        .select("id_a", "id_b")
-        .unionByName(DedupOps.simhashPairs(twins, 6)
-          .select("id_a", "id_b"))
-        .unionByName(DedupOps.ngramJaccardPairs(twins, minJaccard = 0.4)
-          .select("id_a", "id_b"))
+      val detectors = Seq(
+        Future(DedupOps.nearDuplicates(twins, minJaccard = 0.4)
+          .select("id_a", "id_b")),
+        Future(DedupOps.simhashPairs(twins, 6)
+          .select("id_a", "id_b")),
+        Future(DedupOps.ngramJaccardPairs(twins, minJaccard = 0.4)
+          .select("id_a", "id_b")))
+      val edges = Await.result(Future.sequence(detectors), Duration.Inf)
+        .reduce(_ unionByName _)
       graft.ext.Clusters.connectedComponents(edges)
         .select(col("id").as("doc_id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_canonical"))
