@@ -192,6 +192,39 @@ object Snapshot {
     historicalVersions(path).foreach(v => rewrite(s"$path.v$v"))
   }
 
+  /** CDC between snapshots — the MERGE sink's inverse: row-level diff
+    * of two retained versions as (key…, op) with op ∈ insert / delete /
+    * update (non-key columns compared null-safely; unchanged rows are
+    * dropped). The "what changed between last night's table and
+    * today's" question every lakehouse asks after time travel.
+    *
+    * Keys must be non-null (standard CDC contract — a null key cannot
+    * be matched across versions). Scale: one full-outer equi-join on
+    * the key, both sides shuffled once — the honest row-level cost;
+    * the scan reads only the key and compared columns (column
+    * pruning), and version dirs are plain parquet so the join inherits
+    * AQE/skew handling like any other. */
+  def diff(spark: SparkSession, path: String, fromVersion: Long,
+           toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val before = readAsOf(spark, path, fromVersion).as("b")
+    val after = readAsOf(spark, path, toVersion).as("a")
+    val nonKey = readAsOf(spark, path, fromVersion)
+      .columns.filterNot(keyCols.contains).toSeq
+    val joinCond = keyCols.map(k => col(s"b.$k") === col(s"a.$k"))
+      .reduce(_ && _)
+    val changed = nonKey.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    before.join(after, joinCond, "full_outer")
+      .select(
+        keyCols.map(k =>
+          coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) :+
+          when(col(s"b.${keyCols.head}").isNull, "insert")
+            .when(col(s"a.${keyCols.head}").isNull, "delete")
+            .when(changed, "update").as("op"): _*)
+      .filter(col("op").isNotNull)
+  }
+
   /** Live-snapshot parquet file count (maintenance signal: schedule
     * [[compact]] when it exceeds the table's file-size budget). */
   def fileCount(path: String): Int = {

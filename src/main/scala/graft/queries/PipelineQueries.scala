@@ -95,6 +95,25 @@ object PipelineQueries {
         "last_change_ts").orderBy("order_id")
     }),
 
+    // S4++ — CDC between snapshots: the same two-version build, then
+    // Snapshot.diff(v1, v2) — every order whose silver state changed
+    // between the half-offset snapshot and the full rebuild, labeled
+    // insert/update (this fixture's rebuild keeps last non-delete
+    // state, so no deletes arise; the delete arm is SnapshotSpec-pinned).
+    "q_snapshot_diff" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snapdiff")
+        .toString + "/orders_silver"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      graft.pipeline.Snapshot.diff(s, dir, 1, 2, Seq("order_id"))
+        .orderBy("order_id")
+    }),
+
     // X14c — GDPR erasure through the snapshot layer: silver built into
     // a two-version snapshot, then every row of the subject cohort
     // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
@@ -500,6 +519,43 @@ object PipelineQueries {
         FROM evo, cut WHERE op <> 'd' AND off <= c
       )
       $silverSelect ORDER BY order_id""",
+
+    // Diff twin: v1 = capped silver, v2 = full silver, full-outer on
+    // order_id, IS DISTINCT FROM change detection — this fixture's
+    // rebuild drops deletes pre-rank, so v2 ⊇ v1 and ops are
+    // insert/update only.
+    "q_snapshot_diff" -> s"""
+      WITH $evoCte,
+      cut AS (SELECT max(off) // 2 AS c FROM evo),
+      r1 AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo, cut WHERE op <> 'd' AND off <= c
+      ),
+      v1 AS (SELECT CAST(k AS INT) AS order_id,
+                    CAST(u AS INT) AS user_id, amt AS amount_eur,
+                    st AS status, ${tsStr("ts_ms")} AS last_change_ts
+             FROM r1 WHERE rn = 1),
+      r2 AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo WHERE op <> 'd'
+      ),
+      v2 AS (SELECT CAST(k AS INT) AS order_id,
+                    CAST(u AS INT) AS user_id, amt AS amount_eur,
+                    st AS status, ${tsStr("ts_ms")} AS last_change_ts
+             FROM r2 WHERE rn = 1)
+      SELECT coalesce(v2.order_id, v1.order_id) AS order_id,
+             CASE WHEN v1.order_id IS NULL THEN 'insert'
+                  WHEN v2.order_id IS NULL THEN 'delete'
+                  ELSE 'update' END AS op
+      FROM v1 FULL JOIN v2 ON v1.order_id = v2.order_id
+      WHERE v1.order_id IS NULL OR v2.order_id IS NULL
+         OR v1.user_id IS DISTINCT FROM v2.user_id
+         OR v1.amount_eur IS DISTINCT FROM v2.amount_eur
+         OR v1.status IS DISTINCT FROM v2.status
+         OR v1.last_change_ts IS DISTINCT FROM v2.last_change_ts
+      ORDER BY order_id""",
 
     // Same twin: VERSION AS OF 1 must surface the half-offset state.
     "q_time_travel_sql" -> s"""

@@ -120,6 +120,24 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.historicalVersions(dir) == Seq(1L))
   }
 
+  test("diff labels inserts, deletes, updates between versions and " +
+    "drops unchanged rows") {
+    val dir = Files.createTempDirectory("snapdiff").toString + "/t"
+    Snapshot.createOrReplace(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+        .toDF("id", "name", "v"), dir, keepVersions = 3)
+    Snapshot.createOrReplace(
+      Seq((2L, "b", 99), (3L, "c", 30), (4L, "d", 40))
+        .toDF("id", "name", "v"), dir, keepVersions = 3)
+    val got = Snapshot.diff(spark, dir, 1, 2, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "delete"), (2L, "update"), (4L, "insert")))
+    // reverse direction flips the labels
+    val rev = Snapshot.diff(spark, dir, 2, 1, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(rev == Set((1L, "insert"), (2L, "update"), (4L, "delete")))
+  }
+
   test("compact: many appended micro-batch files merge to the target " +
     "count, rows identical, pre-compaction snapshot retained") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
