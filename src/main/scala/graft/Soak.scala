@@ -75,6 +75,19 @@ object Soak {
       timed("decontaminate") {
         DedupOps.decontaminate(corpus, block, minJaccard = 0.4) },
       timed("simhash_multi") { DedupOps.simhashPairsMulti(corpus, 6) },
+      // X2j under duplication: corpus shingle occurrences grow mult×
+      // (linear probe volume); the blocklist side is unchanged
+      timed("exact_contamination") {
+        DedupOps.exactContamination(corpus, block) },
+      // X13 under duplication: ~800k directed edges at 10× — still
+      // under the 1M-row union-find threshold, so rowsPerPartition is
+      // forced down to 64k to exercise the partitioned BSP path
+      // (multi-partition rounds, narrow edge joins) that a >1M-edge
+      // graph takes in production
+      timed("dup_clusters_bsp") {
+        graft.ext.Clusters.connectedComponents(
+          DedupOps.nearDuplicates(corpus, minJaccard = 0.4),
+          rowsPerPartition = 1L << 16) },
       // X2g under duplication: every verbatim replica shares ALL its
       // fingerprints with its base → posting-list pair enumeration is
       // Σ_fp df² — quadratic in TRUE duplication until df crosses the
