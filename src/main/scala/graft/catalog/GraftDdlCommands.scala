@@ -95,6 +95,67 @@ case class GraftDropViewCommand(ns: String, name: String, ifExists: Boolean)
   }
 }
 
+/** ALTER TABLE … ADD COLUMNS — Iceberg-style schema evolution (the
+  * reference stores every table as Iceberg,
+  * `/root/reference/docker-compose.yml`, whose headline capability this
+  * is): metadata-only, existing rows read NULL in the added columns, no
+  * data rewrite — the registered plan just gains a projection. */
+case class GraftAddColumnsCommand(ns: String, name: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableStore(spark).alterTable(ns, name, df =>
+      cols.foldLeft(df) { case (acc, (c, t)) =>
+        if (acc.columns.exists(_.equalsIgnoreCase(c)))
+          throw new IllegalArgumentException(
+            s"column already exists: $c in $ns.$name")
+        acc.withColumn(c, org.apache.spark.sql.functions.lit(null).cast(t))
+      })
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE … DROP COLUMN [IF EXISTS] — projection-only, no rewrite. */
+case class GraftDropColumnsCommand(ns: String, name: String,
+    cols: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableStore(spark).alterTable(ns, name, df =>
+      cols.foldLeft(df) { (acc, c) =>
+        acc.columns.find(_.equalsIgnoreCase(c)) match {
+          case Some(real) =>
+            if (acc.columns.length == 1)
+              throw new IllegalStateException(
+                s"cannot drop the last column of $ns.$name")
+            acc.drop(real)
+          case None if ifExists => acc
+          case None => throw new IllegalArgumentException(
+            s"no such column: $c in $ns.$name")
+        }
+      })
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE … RENAME COLUMN — carries the data (Iceberg renames by
+  * field id; here the projection re-aliases), rejects collisions. */
+case class GraftRenameColumnCommand(ns: String, name: String,
+    from: String, to: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableStore(spark).alterTable(ns, name, df => {
+      val real = df.columns.find(_.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such column: $from in $ns.$name"))
+      if (df.columns.exists(_.equalsIgnoreCase(to)))
+        throw new IllegalArgumentException(
+          s"column already exists: $to in $ns.$name")
+      df.withColumnRenamed(real, to)
+    })
+    Seq.empty
+  }
+}
+
 /** DESCRIBE TABLE for graft registrations (incl. snapshot-backed
   * tables) — Spark's native output shape (col_name, data_type,
   * comment). */

@@ -91,6 +91,36 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         case _ => d
       }
 
+      // ALTER TABLE … ADD COLUMNS / DROP COLUMN / RENAME COLUMN —
+      // Iceberg schema evolution on a graft table (3-part prefix, or
+      // 2-part naming an existing graft table — same currency argument
+      // as DESCRIBE/SHOW TABLES). Nested fields, FIRST/AFTER positions
+      // and DEFAULTs are rejected loudly rather than half-supported.
+      case a: AddColumns => graftAlterTarget(a.table) match {
+        case Some((ns, t)) =>
+          GraftAddColumnsCommand(ns, t, a.columnsToAdd.map { q =>
+            if (q.path.nonEmpty || q.position.nonEmpty ||
+                q.default.nonEmpty)
+              throw new UnsupportedOperationException(
+                "graft ALTER TABLE ADD COLUMNS supports top-level " +
+                  "columns without FIRST/AFTER or DEFAULT")
+            (q.colName, q.dataType)
+          })
+        case None => a
+      }
+      case dc: DropColumns => graftAlterTarget(dc.table) match {
+        case Some((ns, t)) =>
+          GraftDropColumnsCommand(ns, t,
+            dc.columnsToDrop.map(topLevelField), dc.ifExists)
+        case None => dc
+      }
+      case r: RenameColumn => graftAlterTarget(r.table) match {
+        case Some((ns, t)) =>
+          GraftRenameColumnCommand(ns, t, topLevelField(r.column),
+            r.newName)
+        case None => r
+      }
+
       // DESCRIBE [TABLE] on a graft-catalog name (3-part with the
       // iceberg/demo prefix, or 2-part naming an existing graft table
       // at parse time — same currency argument as SHOW TABLES below)
@@ -137,6 +167,34 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case other => other
     }
   }
+
+  /** ALTER TABLE target resolution: 3-part under a graft catalog
+    * prefix, or 2-part naming an existing graft table at parse time. */
+  private def graftAlterTarget(
+      plan: LogicalPlan): Option[(String, String)] = {
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    plan match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        u.multipartIdentifier match {
+          case Seq(cat, ns, t) if GraftCatalogs.isGraft(cat) =>
+            Some((lower(ns), lower(t)))
+          case Seq(ns, t)
+              if new TableStore(session).tableExists(ns, t) =>
+            Some((lower(ns), lower(t)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private def topLevelField(
+      f: org.apache.spark.sql.catalyst.analysis.FieldName): String =
+    f match {
+      case org.apache.spark.sql.catalyst.analysis
+          .UnresolvedFieldName(Seq(n)) => n
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports top-level columns only: $other")
+    }
 
   override def parsePlan(sqlText: String): LogicalPlan =
     intercept(strip(delegate.parsePlan(sqlText)))

@@ -116,6 +116,25 @@ class TableStore(val spark: SparkSession) {
     wasView
   }
 
+  /** ALTER TABLE support — applies a schema-evolution transform to a
+    * registered TABLE and re-registers the result. Metadata-only, like
+    * Iceberg's schema evolution: the registered plan gains a projection
+    * and no data is rewritten. Views are rejected (ALTER VIEW is a
+    * different statement); snapshot-backed tables would need the column
+    * mapping persisted beside the versioned dirs — rejected loudly
+    * rather than half-supported. */
+  def alterTable(ns: String, name: String,
+                 f: DataFrame => DataFrame): Unit = {
+    val k = key(ns, name)
+    if (st.views.contains(k))
+      throw new UnsupportedOperationException(
+        s"cannot ALTER TABLE a view: $ns.$name")
+    if (st.snapshotPaths.contains(k))
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE on a snapshot-backed table is not supported: $ns.$name")
+    register(ns, name, f(table(ns, name)))
+  }
+
   /** Current table state (a SQL MERGE may have replaced the snapshot
     * since registration). */
   def table(ns: String, name: String): DataFrame =

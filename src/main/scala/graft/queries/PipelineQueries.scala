@@ -335,6 +335,24 @@ object PipelineQueries {
         .orderBy("namespace", "table_name")
     }),
 
+    // S7' — Iceberg schema evolution VERBATIM: ALTER TABLE ADD COLUMNS
+    // / RENAME COLUMN / DROP COLUMN on a registered table. Metadata-only
+    // like Iceberg's (existing rows read NULL in the added columns, the
+    // rename carries the data, nothing is rewritten — the registered
+    // plan just gains a projection), then the evolved table is queried
+    // under its qualified name.
+    "q_schema_evolution" -> ((s, d) => {
+      TableStore.reset(s)
+      new TableStore(s).register("evo", "orders", Tables.orders(s, d))
+      s.sql("""ALTER TABLE iceberg.evo.orders
+               ADD COLUMNS (load_src STRING, ingest_batch INT)""")
+      s.sql("ALTER TABLE iceberg.evo.orders RENAME COLUMN o_orderpriority TO priority")
+      s.sql("ALTER TABLE iceberg.evo.orders DROP COLUMN o_orderstatus")
+      s.sql("""SELECT o_orderkey, o_custkey, priority, load_src,
+                      ingest_batch
+               FROM iceberg.evo.orders ORDER BY o_orderkey LIMIT 200""")
+    }),
+
     // The reference's SECOND MERGE statement — checkpoint advance with
     // an inline `SELECT … AS` literal-row source
     // (`merge_orders_silver.py:156-165`) — VERBATIM through spark.sql
@@ -695,6 +713,12 @@ object PipelineQueries {
         ('silver', 'orders_current', false),
         ('silver', 'orders_current_priv', true)
       ) AS t(namespace, table_name, is_view)
-      ORDER BY namespace, table_name"""
+      ORDER BY namespace, table_name""",
+
+    "q_schema_evolution" -> """
+      SELECT o_orderkey, o_custkey, o_orderpriority AS priority,
+             CAST(NULL AS VARCHAR) AS load_src,
+             CAST(NULL AS INTEGER) AS ingest_batch
+      FROM orders ORDER BY o_orderkey LIMIT 200"""
   )
 }

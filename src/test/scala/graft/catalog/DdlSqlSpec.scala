@@ -219,6 +219,44 @@ CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (
     assert(native.map(_.getString(0)).contains("y"))
   }
 
+  test("ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN run " +
+    "verbatim: metadata-only evolution, data carried, errors loud") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    store.register("evo", "t",
+      Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "tag", "v"))
+    spark.sql("ALTER TABLE iceberg.evo.t ADD COLUMNS (src STRING, n INT)")
+    spark.sql("ALTER TABLE iceberg.evo.t RENAME COLUMN tag TO label")
+    spark.sql("ALTER TABLE evo.t DROP COLUMN v") // 2-part spelling
+    assert(store.table("evo", "t").columns.toSeq ==
+      Seq("id", "label", "src", "n"))
+    // rename carried the data; added columns read NULL for old rows
+    val rows = spark.sql(
+      "SELECT id, label, src, n FROM iceberg.evo.t ORDER BY id")
+      .as[(Int, String, Option[String], Option[Int])].collect().toSeq
+    assert(rows == Seq((1, "a", None, None), (2, "b", None, None)))
+    // DESCRIBE reflects the evolved schema
+    assert(spark.sql("DESCRIBE evo.t")
+      .as[(String, String, Option[String])].collect().map(_._1).toSeq ==
+      Seq("id", "label", "src", "n"))
+    // duplicate add / missing drop / rename collision all raise
+    intercept[Exception] {
+      spark.sql("ALTER TABLE iceberg.evo.t ADD COLUMNS (label STRING)") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE iceberg.evo.t DROP COLUMN nope") }
+    spark.sql("ALTER TABLE iceberg.evo.t DROP COLUMN IF EXISTS nope")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE iceberg.evo.t RENAME COLUMN src TO label") }
+    // ALTER on a view is rejected
+    spark.sql("CREATE VIEW iceberg.evo.tv AS SELECT id FROM evo.t")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE iceberg.evo.tv ADD COLUMNS (x INT)") }
+    // a non-graft 2-part name keeps Spark's native (failing) path
+    // rather than being swallowed by the graft store
+    intercept[Exception] {
+      spark.sql("ALTER TABLE nosuch.t ADD COLUMNS (x INT)") }
+  }
+
   test("registering a table over a name that held a SQL view clears " +
     "the stale view plan (table wins on re-read)") {
     TableStore.reset(spark)
