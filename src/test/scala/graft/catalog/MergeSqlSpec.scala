@@ -42,6 +42,26 @@ class MergeSqlSpec extends SparkSpec {
     assert(viaSql == 3)
   }
 
+  test("schema evolution then MERGE backfill: ALTER TABLE ADD COLUMNS " +
+    "followed by MERGE INTO writing the new column (the Iceberg " +
+    "evolve-then-backfill workflow, both statements verbatim)") {
+    val store = freshStore()
+    store.register("silver", "t_evo",
+      Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    spark.sql("ALTER TABLE iceberg.silver.t_evo ADD COLUMNS (score INT)")
+    store.stage("src_evo",
+      Seq((1, 10), (3, 30)).toDF("id", "score"))
+    spark.sql("""
+      MERGE INTO iceberg.silver.t_evo t USING src_evo s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET score = s.score
+      WHEN NOT MATCHED THEN INSERT (id, v, score)
+        VALUES (s.id, 'backfilled', s.score)""")
+    val got = store.table("silver", "t_evo")
+      .as[(Int, String, Option[Int])].collect().toSet
+    assert(got == Set((1, "a", Some(10)), (2, "b", None),
+      (3, "backfilled", Some(30))))
+  }
+
   test("UPDATE SET * / INSERT * star actions expand the target schema") {
     val store = freshStore()
     store.register("silver", "t_star",
