@@ -64,6 +64,12 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     plan match {
       case m: MergeIntoTable => GraftMergeCommand(m)
 
+      // UPDATE / DELETE FROM — the rest of the DML trio; same shadowing
+      // argument as MERGE (plain Spark has no executable row-level
+      // UPDATE/DELETE target without a lakehouse catalog)
+      case u: UpdateTable => GraftUpdateCommand(u)
+      case d0: DeleteFromTable => GraftDeleteCommand(d0)
+
       case c @ CreateNamespace(UnresolvedNamespace(Seq(cat, ns), _), _, _)
           if isGraft(cat) =>
         GraftCreateNamespaceCommand(lower(ns), c.ifNotExists)

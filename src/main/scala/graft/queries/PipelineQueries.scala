@@ -353,6 +353,24 @@ object PipelineQueries {
                FROM iceberg.evo.orders ORDER BY o_orderkey LIMIT 200""")
     }),
 
+    // S5' — the rest of Iceberg's DML trio VERBATIM: standalone
+    // DELETE FROM + UPDATE on a registered table (no-join single-pass
+    // plans — the condition pushes to the scan), then the mutated
+    // table queried under its qualified name. Integer/string
+    // assignments only: exact on both engines by construction.
+    "q_dml_update_delete" -> ((s, d) => {
+      TableStore.reset(s)
+      new TableStore(s).register("dml", "orders", Tables.orders(s, d))
+      s.sql("DELETE FROM iceberg.dml.orders WHERE o_orderstatus = 'F'")
+      s.sql("""UPDATE dml.orders
+               SET o_custkey = o_custkey + 1000000,
+                   o_orderpriority = concat('RUSH-', o_orderpriority)
+               WHERE o_orderpriority LIKE '1-%'""")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_orderpriority
+               FROM iceberg.dml.orders ORDER BY o_orderkey""")
+    }),
+
     // The reference's SECOND MERGE statement — checkpoint advance with
     // an inline `SELECT … AS` literal-row source
     // (`merge_orders_silver.py:156-165`) — VERBATIM through spark.sql
@@ -719,6 +737,17 @@ object PipelineQueries {
       SELECT o_orderkey, o_custkey, o_orderpriority AS priority,
              CAST(NULL AS VARCHAR) AS load_src,
              CAST(NULL AS INTEGER) AS ingest_batch
-      FROM orders ORDER BY o_orderkey LIMIT 200"""
+      FROM orders ORDER BY o_orderkey LIMIT 200""",
+
+    "q_dml_update_delete" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority LIKE '1-%'
+                  THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+             o_orderstatus,
+             CASE WHEN o_orderpriority LIKE '1-%'
+                  THEN 'RUSH-' || o_orderpriority
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderstatus <> 'F'
+      ORDER BY o_orderkey"""
   )
 }

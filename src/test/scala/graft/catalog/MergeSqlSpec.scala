@@ -62,6 +62,33 @@ class MergeSqlSpec extends SparkSpec {
       (3, "backfilled", Some(30))))
   }
 
+  test("standalone DELETE FROM and UPDATE run verbatim: condition " +
+    "semantics (NULL keeps), type-cast assignments, unknown column raises") {
+    val store = freshStore()
+    store.register("dml", "t",
+      Seq((1, Some("a"), 10), (2, Some("b"), 20), (3, None, 30))
+        .toDF("id", "tag", "v"))
+    // NULL tag row: condition NULL → neither deleted nor updated
+    spark.sql("DELETE FROM iceberg.dml.t WHERE tag = 'b'")
+    spark.sql("UPDATE dml.t SET v = v + 1, tag = upper(tag) WHERE tag = 'a'")
+    val got = store.table("dml", "t")
+      .as[(Int, Option[String], Int)].collect().toSet
+    assert(got == Set((1, Some("A"), 11), (3, None, 30)))
+    // assignment value is cast to the column type (string → int col)
+    spark.sql("UPDATE dml.t SET v = '99' WHERE id = 3")
+    assert(store.table("dml", "t").filter($"id" === 3)
+      .select("v").as[Int].head() == 99)
+    // qualified SQL read sees the committed state
+    assert(spark.sql("SELECT count(*) FROM dml.t").as[Long].head() == 2)
+    intercept[Exception] {
+      spark.sql("UPDATE dml.t SET nope = 1") }
+    intercept[Exception] {
+      spark.sql("DELETE FROM dml.unregistered WHERE 1 = 1") }
+    // DELETE without WHERE empties the table
+    spark.sql("DELETE FROM iceberg.dml.t")
+    assert(store.table("dml", "t").count() == 0)
+  }
+
   test("UPDATE SET * / INSERT * star actions expand the target schema") {
     val store = freshStore()
     store.register("silver", "t_star",
