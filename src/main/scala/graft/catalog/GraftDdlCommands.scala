@@ -85,6 +85,51 @@ case class GraftCreateViewCommand(ns: String, name: String,
   }
 }
 
+/** `CREATE [OR REPLACE] TABLE <t> [AS <query>]` with a source query —
+  * CTAS, the other table-creation shape Iceberg supports beside the
+  * declared-schema form ([[GraftCreateTableCommand]]). The query stays
+  * unresolved until run (same contract as [[GraftCreateViewCommand]]),
+  * then materializes eagerly — a CTAS result is a TABLE, a snapshot of
+  * the query's output at creation time, not a view. */
+case class GraftCtasCommand(ns: String, name: String, query: LogicalPlan,
+                            ignoreIfExists: Boolean, replace: Boolean,
+                            orCreate: Boolean = true)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    if (store.tableExists(ns, name) && !replace) {
+      if (ignoreIfExists) return Seq.empty
+      throw new IllegalStateException(s"table already exists: $ns.$name")
+    }
+    if (replace && !orCreate && !store.tableExists(ns, name))
+      throw new java.util.NoSuchElementException(
+        s"REPLACE TABLE target does not exist: $ns.$name")
+    if (store.isView(ns, name))
+      throw new UnsupportedOperationException(
+        s"$ns.$name is a view; CREATE OR REPLACE TABLE cannot replace it")
+    // materialize now: CTAS commits data, it does not store a query
+    store.register(ns, name,
+      PlanBridge.ofRows(spark, query).localCheckpoint())
+    Seq.empty
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] <t>` — removes the registration (or
+  * snapshot-backed entry); views are rejected (DROP VIEW is the
+  * statement for that). */
+case class GraftDropTableCommand(ns: String, name: String,
+                                 ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = new TableStore(spark).dropTable(ns, name)
+    if (!dropped && !ifExists)
+      throw new java.util.NoSuchElementException(s"no such table: $ns.$name")
+    Seq.empty
+  }
+}
+
 case class GraftDropViewCommand(ns: String, name: String, ifExists: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {

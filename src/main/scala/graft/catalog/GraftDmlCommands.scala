@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.PlanBridge
@@ -48,6 +48,9 @@ private[catalog] object GraftDml {
     val df = TableStore.registry(spark).getOrElse(key,
       throw new java.util.NoSuchElementException(
         s"$statement target not registered: ${parts.mkString(".")}"))
+    if (new TableStore(spark).isView(key.head, key(1)))
+      throw new UnsupportedOperationException(
+        s"cannot $statement a view: ${key.mkString(".")}")
     (key, aliasOpt.getOrElse(parts.last), df)
   }
 
@@ -77,6 +80,104 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
       GraftDml.resolveTarget(spark, delete.table, "DELETE")
     val cond = coalesce(PlanBridge.column(delete.condition), lit(false))
     GraftDml.commit(spark, key, df.as(alias).filter(!cond))
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO / INSERT OVERWRITE <t> [(cols)] [BY NAME] <query>` —
+  * the append half of the DML surface (Iceberg's
+  * `INSERT INTO`; the README's runbook inserts rows Postgres-side,
+  * `/root/reference/README.md:75-85`, and this is the lakehouse twin).
+  * The source query stays unresolved until `run`, then resolves through
+  * the session's full analyzer (so it may read other registered
+  * tables). Alignment mirrors Spark's v2 insert resolution:
+  *
+  *  - positional (default): source column count must equal the target's;
+  *    each value is cast to the target column type
+  *  - `(col, …)` list: source columns map to the listed target columns
+  *    in order; unlisted target columns are filled with typed NULLs
+  *  - `BY NAME`: source columns match target columns case-insensitively;
+  *    unmatched source columns raise, missing target columns NULL-fill
+  *
+  * `INSERT OVERWRITE` replaces the table contents instead of appending.
+  * Static `PARTITION (…)` specs are rejected loudly — registrations
+  * carry no partition metadata (SURVEY §2.1 S12 keeps partitioned
+  * layout on the snapshot path, not the registry).
+  *
+  * Scale shape: append is a UNION of the existing plan with the new
+  * rows — no shuffle of the existing data; the materialization is the
+  * same eager commit every DML statement here pays.
+  */
+case class GraftInsertCommand(ns: String, name: String,
+                              insert: InsertIntoStatement)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (insert.partitionSpec.nonEmpty || insert.ifPartitionNotExists)
+      throw new UnsupportedOperationException(
+        "graft INSERT does not support static PARTITION specs")
+    val store = new TableStore(spark)
+    if (store.isView(ns, name))
+      throw new UnsupportedOperationException(
+        s"cannot INSERT into a view: $ns.$name")
+    val target = store.table(ns, name)
+    val schema = target.schema
+    val src = PlanBridge.ofRows(spark, insert.query)
+    def fill(f: org.apache.spark.sql.types.StructField): Column =
+      lit(null).cast(f.dataType).as(f.name)
+    val aligned: Seq[Column] =
+      if (insert.byName) {
+        val unknown = src.columns.filterNot(c =>
+          schema.fields.exists(_.name.equalsIgnoreCase(c)))
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"INSERT BY NAME columns not in $ns.$name: ${unknown.mkString(", ")}")
+        schema.fields.toSeq.map { f =>
+          src.columns.find(_.equalsIgnoreCase(f.name))
+            .map(c => src(c).cast(f.dataType).as(f.name))
+            .getOrElse(fill(f))
+        }
+      } else if (insert.userSpecifiedCols.nonEmpty) {
+        val cols = insert.userSpecifiedCols
+        if (cols.length != src.columns.length)
+          throw new IllegalArgumentException(
+            s"INSERT column list has ${cols.length} columns but the " +
+              s"query produces ${src.columns.length}")
+        val unknown = cols.filterNot(c =>
+          schema.fields.exists(_.name.equalsIgnoreCase(c)))
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"INSERT columns not in $ns.$name: ${unknown.mkString(", ")}")
+        val bySpec = cols.map(_.toLowerCase(java.util.Locale.ROOT))
+          .zip(src.columns).toMap
+        schema.fields.toSeq.map { f =>
+          bySpec.get(f.name.toLowerCase(java.util.Locale.ROOT))
+            .map(c => src(c).cast(f.dataType).as(f.name))
+            .getOrElse(fill(f))
+        }
+      } else {
+        if (src.columns.length != schema.length)
+          throw new IllegalArgumentException(
+            s"INSERT query produces ${src.columns.length} columns; " +
+              s"$ns.$name has ${schema.length}")
+        schema.fields.toSeq.zip(src.columns.toSeq).map { case (f, c) =>
+          src(c).cast(f.dataType).as(f.name)
+        }
+      }
+    val rows = src.select(aligned: _*)
+    GraftDml.commit(spark, Seq(ns, name),
+      if (insert.overwrite) rows else target.union(rows))
+    Seq.empty
+  }
+}
+
+/** `TRUNCATE TABLE <t>` — empties the table, schema preserved (the
+  * registered plan becomes an empty relation of the same schema). */
+case class GraftTruncateCommand(ns: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    if (store.isView(ns, name))
+      throw new UnsupportedOperationException(
+        s"cannot TRUNCATE a view: $ns.$name")
+    GraftDml.commit(spark, Seq(ns, name), store.table(ns, name).limit(0))
     Seq.empty
   }
 }

@@ -70,6 +70,55 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case u: UpdateTable => GraftUpdateCommand(u)
       case d0: DeleteFromTable => GraftDeleteCommand(d0)
 
+      // INSERT INTO / INSERT OVERWRITE — unlike the trio above, plain
+      // Spark CAN insert into session-catalog tables, so intercept ONLY
+      // graft targets (3-part prefix, or 2-part naming a registered
+      // graft table at parse time — same currency rule as DESCRIBE);
+      // everything else keeps Spark's native insert path untouched.
+      case i: InsertIntoStatement => i.table match {
+        case r: UnresolvedRelation => r.multipartIdentifier match {
+          case Seq(cat, ns, t) if isGraft(cat) =>
+            GraftInsertCommand(lower(ns), lower(t), i)
+          case Seq(ns, t)
+              if new TableStore(session).tableExists(ns, t) =>
+            GraftInsertCommand(lower(ns), lower(t), i)
+          case _ => i
+        }
+        case _ => i
+      }
+
+      // CTAS / CREATE OR REPLACE TABLE AS — the query-sourced creation
+      // shape beside the declared-schema CreateTable above
+      case c: CreateTableAsSelect => c.name match {
+        case UnresolvedIdentifier(Seq(cat, ns, t), _) if isGraft(cat) =>
+          GraftCtasCommand(lower(ns), lower(t), c.query,
+            c.ignoreIfExists, replace = false)
+        case _ => c
+      }
+      case r: ReplaceTableAsSelect => r.name match {
+        case UnresolvedIdentifier(Seq(cat, ns, t), _) if isGraft(cat) =>
+          GraftCtasCommand(lower(ns), lower(t), r.query,
+            ignoreIfExists = false, replace = true, orCreate = r.orCreate)
+        case _ => r
+      }
+
+      // DROP TABLE / TRUNCATE TABLE — graft targets only (same rule as
+      // INSERT); native statements for other tables pass through
+      case d: DropTable => tableOrViewParts(d.child) match {
+        case Some(Seq(cat, ns, t)) if isGraft(cat) =>
+          GraftDropTableCommand(lower(ns), lower(t), d.ifExists)
+        case Some(Seq(ns, t))
+            if new TableStore(session).tableExists(ns, t) ||
+              new TableStore(session)
+                .snapshotPath(lower(ns), lower(t)).isDefined =>
+          GraftDropTableCommand(lower(ns), lower(t), d.ifExists)
+        case _ => d
+      }
+      case tr: TruncateTable => graftAlterTarget(tr.table) match {
+        case Some((ns, t)) => GraftTruncateCommand(ns, t)
+        case None => tr
+      }
+
       case c @ CreateNamespace(UnresolvedNamespace(Seq(cat, ns), _), _, _)
           if isGraft(cat) =>
         GraftCreateNamespaceCommand(lower(ns), c.ifNotExists)
@@ -173,6 +222,20 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case other => other
     }
   }
+
+  /** Identifier parts of a DROP TABLE-style child across the node
+    * shapes Spark's parser uses (UnresolvedTableOrView in most
+    * versions, UnresolvedIdentifier in others). */
+  private def tableOrViewParts(plan: LogicalPlan): Option[Seq[String]] =
+    plan match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        Some(u.multipartIdentifier)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        Some(u.nameParts)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        Some(u.multipartIdentifier)
+      case _ => None
+    }
 
   /** ALTER TABLE target resolution: 3-part under a graft catalog
     * prefix, or 2-part naming an existing graft table at parse time. */

@@ -52,6 +52,9 @@ class TableStore(val spark: SparkSession) {
   def tableExists(ns: String, name: String): Boolean =
     st.registry.contains(key(ns, name))
 
+  def isView(ns: String, name: String): Boolean =
+    st.views.contains(key(ns, name))
+
   /** Register (or replace) a table under `ns.name`: resolvable from
     * `spark.sql` as `ns.name` (and `iceberg.ns.name`), plus the flat
     * `ns_name` temp view. Registering a TABLE over a name that held a
@@ -114,6 +117,23 @@ class TableStore(val spark: SparkSession) {
       spark.catalog.dropTempView(s"${k.head}_${k(1)}")
     }
     wasView
+  }
+
+  /** DROP TABLE [IF EXISTS] — removes a registered or snapshot-backed
+    * TABLE (and its flat `ns_name` temp-view alias). Views are rejected
+    * like any engine: DROP TABLE on a view is a category error, DROP
+    * VIEW is the statement for that.
+    * @return true iff a table was dropped */
+  def dropTable(ns: String, name: String): Boolean = {
+    val k = key(ns, name)
+    if (st.views.contains(k))
+      throw new UnsupportedOperationException(
+        s"$ns.$name is a view; use DROP VIEW")
+    val hadRegistry = st.registry.remove(k).isDefined
+    val hadSnapshot = st.snapshotPaths.remove(k).isDefined
+    if (hadRegistry || hadSnapshot)
+      spark.catalog.dropTempView(s"${k.head}_${k(1)}")
+    hadRegistry || hadSnapshot
   }
 
   /** ALTER TABLE support — applies a schema-evolution transform to a

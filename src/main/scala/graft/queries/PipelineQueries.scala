@@ -371,6 +371,25 @@ object PipelineQueries {
                FROM iceberg.dml.orders ORDER BY o_orderkey""")
     }),
 
+    // S5''' — the append half of the write surface VERBATIM: CTAS
+    // snapshots a query result into a new table, INSERT INTO appends
+    // from a query source and from a column-list VALUES (unlisted
+    // columns NULL-fill), then the accumulated table is read back
+    // qualified. Integer/string columns only: exact on both engines.
+    "q_dml_insert_ctas" -> ((s, d) => {
+      TableStore.reset(s)
+      new TableStore(s).register("wr", "orders", Tables.orders(s, d))
+      s.sql("""CREATE TABLE iceberg.wr.urgent AS
+               SELECT o_orderkey, o_custkey, o_orderstatus
+               FROM wr.orders WHERE o_orderpriority = '1-URGENT'""")
+      s.sql("""INSERT INTO wr.urgent
+               SELECT o_orderkey + 10000000, o_custkey, 'H'
+               FROM wr.orders WHERE o_orderpriority = '2-HIGH'""")
+      s.sql("INSERT INTO iceberg.wr.urgent (o_orderkey) VALUES (-1), (-2)")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus
+               FROM iceberg.wr.urgent ORDER BY o_orderkey""")
+    }),
+
     // The reference's SECOND MERGE statement — checkpoint advance with
     // an inline `SELECT … AS` literal-row source
     // (`merge_orders_silver.py:156-165`) — VERBATIM through spark.sql
@@ -738,6 +757,18 @@ object PipelineQueries {
              CAST(NULL AS VARCHAR) AS load_src,
              CAST(NULL AS INTEGER) AS ingest_batch
       FROM orders ORDER BY o_orderkey LIMIT 200""",
+
+    "q_dml_insert_ctas" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'H'
+        FROM orders WHERE o_orderpriority = '2-HIGH'
+        UNION ALL
+        SELECT v.k, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        FROM (VALUES (CAST(-1 AS BIGINT)), (CAST(-2 AS BIGINT))) v(k)
+      ) ORDER BY o_orderkey""",
 
     "q_dml_update_delete" -> """
       SELECT o_orderkey,
