@@ -1,0 +1,123 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, NamedArgumentExpression}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.LongType
+
+/** Iceberg's stored-procedure maintenance surface, VERBATIM:
+  * `CALL iceberg.system.<proc>(…)` — the operational statements a
+  * lakehouse operator runs daily against the reference's storage layer
+  * (`/root/reference/docker-compose.yml:125`; Iceberg's Spark
+  * procedures run through exactly this `CALL cat.system.p` syntax).
+  * Spark 4 parses `CALL` natively into a `Call` plan but has no
+  * procedure catalog to execute it — same shadowing argument as MERGE.
+  *
+  * Supported procedures (each maps to the [[graft.pipeline.Snapshot]]
+  * maintenance op of the same Iceberg name):
+  *
+  *  - `rewrite_data_files(table, target_file_count => n)` — small-file
+  *    compaction; returns (rewritten_files_count, added_files_count)
+  *  - `expire_snapshots(table, retain_last => n)` — drop the oldest
+  *    historical versions; returns (deleted_snapshots_count)
+  *  - `rollback_to_snapshot(table, version)` — restore a retained
+  *    version as the live state (itself a new commit, like Iceberg);
+  *    returns (previous_version, current_version)
+  *  - `remove_orphan_files(table)` — delete stranded commit work dirs;
+  *    returns (orphan_file_count)
+  *
+  * The `table` argument accepts `ns.t` or the full `iceberg.ns.t` /
+  * `demo.ns.t` spelling and must name a SNAPSHOT-BACKED registration
+  * ([[TableStore.registerSnapshot]]) — registry-only tables have no
+  * file layout to maintain, and raise.
+  *
+  * Arguments may be positional or named (`name => value`), like
+  * Iceberg's procedures. All are driver-side metadata/layout
+  * operations; the data work (the compaction rewrite, the rollback
+  * copy) runs as ordinary Spark jobs inside the Snapshot ops.
+  */
+case class GraftCallCommand(proc: String, args: Seq[Expression])
+    extends LeafRunnableCommand {
+  import GraftCallCommand._
+
+  override val output: Seq[Attribute] = outputFor(proc)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (pos, named) = split(args)
+    def arg(name: String, at: Int): Option[Any] =
+      named.get(name).orElse(pos.lift(at))
+    def required(name: String, at: Int): Any =
+      arg(name, at).getOrElse(throw new IllegalArgumentException(
+        s"$proc requires argument '$name'"))
+    val path = snapshotPathOf(spark, required("table", 0).toString)
+    proc match {
+      case "rewrite_data_files" =>
+        val target = arg("target_file_count", 1)
+          .map(_.toString.toInt).getOrElse(4)
+        val before = graft.pipeline.Snapshot.fileCount(path)
+        graft.pipeline.Snapshot.compact(spark, path, target,
+          keepVersions =
+            graft.pipeline.Snapshot.historicalVersions(path).size + 1)
+        Seq(Row(before.toLong,
+          graft.pipeline.Snapshot.fileCount(path).toLong))
+      case "expire_snapshots" =>
+        val retain = required("retain_last", 1).toString.toInt
+        Seq(Row(graft.pipeline.Snapshot
+          .expireSnapshots(path, retain).size.toLong))
+      case "rollback_to_snapshot" =>
+        val version = required("version", 1).toString.toLong
+        val prev = graft.pipeline.Snapshot.currentVersion(path)
+          .getOrElse(0L)
+        val cur = graft.pipeline.Snapshot.rollbackTo(spark, path, version)
+        Seq(Row(prev, cur))
+      case "remove_orphan_files" =>
+        Seq(Row(graft.pipeline.Snapshot.removeOrphans(path).toLong))
+      case other => throw new UnsupportedOperationException(
+        s"unknown graft procedure: system.$other (supported: " +
+          "rewrite_data_files, expire_snapshots, rollback_to_snapshot, " +
+          "remove_orphan_files)")
+    }
+  }
+}
+
+object GraftCallCommand {
+
+  def outputFor(proc: String): Seq[Attribute] = (proc match {
+    case "rewrite_data_files" =>
+      Seq("rewritten_files_count", "added_files_count")
+    case "expire_snapshots" => Seq("deleted_snapshots_count")
+    case "rollback_to_snapshot" =>
+      Seq("previous_version", "current_version")
+    case _ => Seq("orphan_file_count")
+  }).map(AttributeReference(_, LongType, nullable = false)())
+
+  /** Positional values + lowercased named values, literals evaluated. */
+  private def split(args: Seq[Expression]): (Seq[Any], Map[String, Any]) = {
+    def value(e: Expression): Any = e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other
+    }
+    val named = args.collect { case NamedArgumentExpression(n, v) =>
+      n.toLowerCase(java.util.Locale.ROOT) -> value(v)
+    }.toMap
+    val pos = args.takeWhile(!_.isInstanceOf[NamedArgumentExpression])
+      .map(value)
+    (pos, named)
+  }
+
+  /** Resolve a procedure's `table` argument to its snapshot dir. */
+  private def snapshotPathOf(spark: SparkSession, table: String): String = {
+    val parts = table.split("\\.").toSeq
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    val Seq(ns, t) = parts match {
+      case Seq(cat, ns0, t0) if GraftCatalogs.isGraft(cat) => Seq(ns0, t0)
+      case Seq(_, _) => parts
+      case _ => throw new IllegalArgumentException(
+        s"procedure table must be <ns>.<table>: $table")
+    }
+    new TableStore(spark).snapshotPath(ns, t).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ns.$t is not a snapshot-backed table — maintenance " +
+          "procedures need a file layout (TableStore.registerSnapshot)"))
+  }
+}

@@ -26,6 +26,15 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
 
   private def strip(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
+      // Iceberg metadata tables (`ns.t.history` / `ns.t.snapshots`,
+      // optionally catalog-prefixed) over snapshot-backed tables —
+      // resolved here because the built-in resolver throws on the
+      // 3-/4-part name before an analyzer rule could claim it
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.lengthCompare(2) > 0 &&
+            GraftMetaTables.lookup(session, u.multipartIdentifier)
+              .isDefined =>
+        GraftMetaTables.lookup(session, u.multipartIdentifier).get
       case u @ UnresolvedRelation(Seq(cat, ns, t), _, _)
           if GraftCatalogs.isGraft(cat) =>
         u.copy(multipartIdentifier = Seq(ns, t))
@@ -100,6 +109,22 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
           GraftCtasCommand(lower(ns), lower(t), r.query,
             ignoreIfExists = false, replace = true, orCreate = r.orCreate)
         case _ => r
+      }
+
+      // CALL iceberg.system.<proc>(…) — Iceberg's stored-procedure
+      // maintenance syntax, parsed natively by Spark 4 but inexecutable
+      // without a procedure catalog (same shadowing argument as MERGE);
+      // the bare `system.<proc>` spelling is claimed too
+      case c: Call => c.procedure match {
+        case org.apache.spark.sql.catalyst.analysis
+            .UnresolvedProcedure(Seq(cat, sys, proc))
+            if isGraft(cat) && sys.equalsIgnoreCase("system") =>
+          GraftCallCommand(lower(proc), c.args)
+        case org.apache.spark.sql.catalyst.analysis
+            .UnresolvedProcedure(Seq(sys, proc))
+            if sys.equalsIgnoreCase("system") =>
+          GraftCallCommand(lower(proc), c.args)
+        case _ => c
       }
 
       // DROP TABLE / TRUNCATE TABLE — graft targets only (same rule as

@@ -225,6 +225,44 @@ object Snapshot {
       .filter(col("op").isNotNull)
   }
 
+  /** Table maintenance — Iceberg's `expire_snapshots` over the
+    * versioned-dir history: delete the OLDEST historical versions
+    * beyond `retainLast` (the live snapshot is never expired).
+    * @return the expired version numbers (ascending) */
+  def expireSnapshots(path: String, retainLast: Int): Seq[Long] = {
+    require(retainLast >= 0, s"retainLast must be >= 0: $retainLast")
+    val victims = historicalVersions(path).dropRight(retainLast)
+    victims.foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
+    victims
+  }
+
+  /** Table maintenance — Iceberg's `rollback_to_snapshot`: make a
+    * retained historical version the LIVE state again. Like Iceberg,
+    * rollback is itself a new commit (history is preserved, the
+    * rolled-back-over state stays time-travelable); unlike [[erase]],
+    * nothing is rewritten in place.
+    * @return the new live version number */
+  def rollbackTo(spark: SparkSession, path: String, version: Long): Long = {
+    // materialize BEFORE the swap: the source dir may be the one the
+    // swap is about to roll into history
+    val restored = readAsOf(spark, path, version).localCheckpoint()
+    swapIn(path, historicalVersions(path).size + 1) { tmp =>
+      restored.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+    currentVersion(path).get
+  }
+
+  /** Table maintenance — `remove_orphan_files`: delete leftover
+    * `.tmp-swap` / `.old-swap` / `.tmp-erase` / `.old-erase` work dirs
+    * that a crashed commit could strand beside the table.
+    * @return the number of orphan dirs removed */
+  def removeOrphans(path: String): Int = {
+    val orphans = Seq(".tmp-swap", ".old-swap", ".tmp-erase", ".old-erase")
+      .map(s => Paths.get(path + s)).filter(Files.exists(_))
+    orphans.foreach(deleteRecursively)
+    orphans.size
+  }
+
   /** Live-snapshot parquet file count (maintenance signal: schedule
     * [[compact]] when it exceeds the table's file-size budget). */
   def fileCount(path: String): Int = {

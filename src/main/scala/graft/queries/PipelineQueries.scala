@@ -155,6 +155,51 @@ object PipelineQueries {
         "last_change_ts").orderBy("order_id")
     }),
 
+    // S4+++ — Iceberg's maintenance procedures VERBATIM through
+    // `CALL iceberg.system.<proc>`: compact the live snapshot (row
+    // content unchanged — rewrite_data_files' contract), then roll
+    // back to version 1 and read the restored live table. Oracle =
+    // the same capped-silver state q_time_travel_sql pins, proving
+    // rollback restored it bit-for-bit through both maintenance ops.
+    "q_maintenance_call" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snapcall")
+        .toString + "/orders_maint"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 3)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 3)
+      new TableStore(s).registerSnapshot("silver", "orders_maint", dir)
+      s.sql("""CALL iceberg.system.rewrite_data_files(
+               table => 'silver.orders_maint', target_file_count => 2)""")
+      s.sql("""CALL iceberg.system.rollback_to_snapshot(
+               'iceberg.silver.orders_maint', 1)""")
+      tsToStr(s.sql("SELECT * FROM iceberg.silver.orders_maint"),
+        "last_change_ts").orderBy("order_id")
+    }),
+
+    // S4+++++ — Iceberg METADATA TABLES verbatim: `ns.t.snapshots`
+    // over the two-version silver fixture — version, is_current, and a
+    // LAZY per-version record count. Oracle recomputes both versions'
+    // row counts from the same bronze CTE.
+    "q_snapshot_history" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snaphist")
+        .toString + "/orders_hist2"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      new TableStore(s).registerSnapshot("silver", "orders_hist2", dir)
+      s.sql("""SELECT version, is_current, record_count
+               FROM iceberg.silver.orders_hist2.snapshots
+               ORDER BY version""")
+    }),
+
     // The reference's MERGE INTO statement VERBATIM
     // (`merge_orders_silver.py:135-147`, incl. the `iceberg.` prefix)
     // through spark.sql → GraftMergeCommand; result read back through
@@ -622,6 +667,39 @@ object PipelineQueries {
         FROM evo, cut WHERE op <> 'd' AND off <= c
       )
       $silverSelect ORDER BY order_id""",
+
+    "q_maintenance_call" -> s"""
+      WITH $evoCte,
+      cut AS (SELECT max(off) // 2 AS c FROM evo),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo, cut WHERE op <> 'd' AND off <= c
+      )
+      $silverSelect ORDER BY order_id""",
+
+    "q_snapshot_history" -> s"""
+      WITH $evoCte,
+      cut AS (SELECT max(off) // 2 AS c FROM evo),
+      v1 AS (
+        SELECT count(*) AS n FROM (
+          SELECT k, row_number() OVER
+            (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+          FROM evo, cut WHERE op <> 'd' AND off <= c
+        ) WHERE rn = 1
+      ),
+      v2 AS (
+        SELECT count(*) AS n FROM (
+          SELECT k, row_number() OVER
+            (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+          FROM evo WHERE op <> 'd'
+        ) WHERE rn = 1
+      )
+      SELECT CAST(1 AS BIGINT) AS version, false AS is_current,
+             (SELECT n FROM v1) AS record_count
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), true, (SELECT n FROM v2)
+      ORDER BY version""",
 
     "q_k_anon" -> s"""
       WITH sil AS ($silverRebuildSql)

@@ -1,0 +1,107 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.pipeline.Snapshot
+
+/** `CALL iceberg.system.<proc>(…)` — Iceberg's maintenance procedures
+  * executed verbatim through `spark.sql` against snapshot-backed
+  * tables. */
+class CallSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(): (TableStore, String) = {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("callspec")
+      .toString + "/t"
+    // three versions: v1 = {1}, v2 = {1,2}, v3 = {1,2,3} (live)
+    (1 to 3).foreach { n =>
+      Snapshot.createOrReplace(
+        (1 to n).map(i => (i, s"row$i")).toDF("id", "tag"),
+        dir, keepVersions = 5)
+    }
+    store.registerSnapshot("maint", "t", dir)
+    (store, dir)
+  }
+
+  test("rewrite_data_files compacts to the target file count, keeps " +
+    "rows and history") {
+    val (_, dir) = fixture()
+    val before = spark.read.parquet(dir).as[(Int, String)].collect().toSet
+    val res = spark.sql(
+      """CALL iceberg.system.rewrite_data_files(
+         table => 'maint.t', target_file_count => 2)""").collect()
+    assert(res.head.getLong(1) == 2L)
+    assert(Snapshot.fileCount(dir) == 2)
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().toSet
+      == before)
+    // pre-compaction state retained as a time-travelable version
+    assert(Snapshot.readAsOf(spark, dir, 3).count() == 3)
+  }
+
+  test("expire_snapshots drops the oldest versions beyond retain_last") {
+    val (_, dir) = fixture()
+    assert(Snapshot.historicalVersions(dir) == Seq(1L, 2L))
+    val res = spark.sql(
+      "CALL system.expire_snapshots(table => 'maint.t', retain_last => 1)")
+      .collect()
+    assert(res.head.getLong(0) == 1L)
+    assert(Snapshot.historicalVersions(dir) == Seq(2L))
+    intercept[Exception] { Snapshot.readAsOf(spark, dir, 1) }
+  }
+
+  test("rollback_to_snapshot restores an old version as a NEW commit; " +
+    "positional args work") {
+    val (_, dir) = fixture()
+    val res = spark.sql(
+      "CALL iceberg.system.rollback_to_snapshot('maint.t', 1)").collect()
+    assert(res.head.getLong(0) == 3L) // previous live
+    assert(res.head.getLong(1) == 4L) // rollback is itself a commit
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().toSet
+      == Set((1, "row1")))
+    // the rolled-back-over state is still time-travelable
+    assert(Snapshot.readAsOf(spark, dir, 3).count() == 3)
+  }
+
+  test("metadata tables: ns.t.history lists retained versions, " +
+    "ns.t.snapshots adds lazy record counts, 4-part prefix works") {
+    val (_, dir) = fixture()
+    val hist = spark.sql(
+      "SELECT * FROM maint.t.history ORDER BY version")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hist == Seq((1L, false), (2L, false), (3L, true)))
+    val snaps = spark.sql(
+      """SELECT version, is_current, record_count
+         FROM iceberg.maint.t.snapshots ORDER BY version""")
+      .as[(Long, Boolean, Long)].collect().toSeq
+    assert(snaps == Seq((1L, false, 1L), (2L, false, 2L), (3L, true, 3L)))
+    // snapshots reflects maintenance: expire v1 → row gone
+    spark.sql(
+      "CALL system.expire_snapshots(table => 'maint.t', retain_last => 1)")
+    assert(spark.sql("SELECT version FROM maint.t.history ORDER BY version")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    // a non-snapshot-backed 3-part name falls through to Spark's error
+    intercept[Exception] {
+      spark.sql("SELECT * FROM maint.nope.history").collect() }
+  }
+
+  test("remove_orphan_files deletes stranded commit work dirs; " +
+    "unknown procedure and non-snapshot targets raise") {
+    val (store, dir) = fixture()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + ".tmp-swap"))
+    val res = spark.sql(
+      "CALL iceberg.system.remove_orphan_files(table => 'maint.t')")
+      .collect()
+    assert(res.head.getLong(0) == 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + ".tmp-swap")))
+
+    intercept[Exception] {
+      spark.sql("CALL iceberg.system.nonsense(table => 'maint.t')") }
+    store.register("maint", "plain", Seq((1, "a")).toDF("id", "tag"))
+    intercept[Exception] {
+      spark.sql(
+        "CALL iceberg.system.rewrite_data_files(table => 'maint.plain')") }
+  }
+}
