@@ -73,11 +73,15 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     plan match {
       case m: MergeIntoTable => GraftMergeCommand(m)
 
-      // UPDATE / DELETE FROM — the rest of the DML trio; same shadowing
-      // argument as MERGE (plain Spark has no executable row-level
-      // UPDATE/DELETE target without a lakehouse catalog)
-      case u: UpdateTable => GraftUpdateCommand(u)
-      case d0: DeleteFromTable => GraftDeleteCommand(d0)
+      // UPDATE / DELETE FROM — the rest of the DML trio. Scoped like
+      // INSERT (3-part graft prefix, or 2-part naming a registered
+      // graft table at parse time), NOT claimed unconditionally: a
+      // session may also carry a real v2 catalog plugin whose
+      // row-level DML must keep its native path.
+      case u: UpdateTable if isGraftDmlTarget(u.table) =>
+        GraftUpdateCommand(u)
+      case d0: DeleteFromTable if isGraftDmlTarget(d0.table) =>
+        GraftDeleteCommand(d0)
 
       // INSERT INTO / INSERT OVERWRITE — unlike the trio above, plain
       // Spark CAN insert into session-catalog tables, so intercept ONLY
@@ -261,6 +265,25 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         Some(u.multipartIdentifier)
       case _ => None
     }
+
+  /** UPDATE/DELETE target claim: the statement's relation (possibly
+    * aliased) names a graft table — 3-part under a graft prefix (kept
+    * for robustness; [[strip]] normally rewrites it to 2-part first),
+    * or 2-part registered in the [[TableStore]] at parse time. */
+  private def isGraftDmlTarget(plan: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val parts = plan match {
+      case SubqueryAlias(_, u: UnresolvedRelation) =>
+        Some(u.multipartIdentifier)
+      case u: UnresolvedRelation => Some(u.multipartIdentifier)
+      case _ => None
+    }
+    parts.exists {
+      case Seq(cat, _, _) => GraftCatalogs.isGraft(cat)
+      case Seq(ns, t) => new TableStore(session).tableExists(ns, t)
+      case _ => false
+    }
+  }
 
   /** ALTER TABLE target resolution: 3-part under a graft catalog
     * prefix, or 2-part naming an existing graft table at parse time. */

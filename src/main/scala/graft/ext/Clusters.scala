@@ -47,7 +47,14 @@ object Clusters {
     val bType = pairs.schema(bCol).dataType
     if (integral(aType) && integral(bType))
       ccPartitioned(pairs, aCol, bCol, maxIter, rowsPerPartition)
-    else ccGeneric(pairs, aCol, bCol, maxIter)
+    else {
+      // The generic loop casts ids to one shared type; a silent
+      // narrowing cast would corrupt the wider side's ids.
+      require(aType == bType,
+        s"connectedComponents: $aCol ($aType) and $bCol ($bType) must " +
+          "share a type (or both be integral); cast one side first")
+      ccGeneric(pairs, aCol, bCol, maxIter)
+    }
   }
 
   /** Integral-id hot path: partitioner-reuse BSP over pair RDDs. */
@@ -80,7 +87,13 @@ object Clusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
     staged.unpersist(blocking = true)
-    val idType = pairs.schema(aCol).dataType
+    // Output in the WIDER of the two id types: ids from the narrower
+    // column always fit, and a b-side id wider than aCol's type is
+    // never truncated (mixed-width pairs, e.g. INT × BIGINT).
+    val widths = Map[Any, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    val idType = Seq(pairs.schema(aCol).dataType,
+      pairs.schema(bCol).dataType).maxBy(widths(_))
     // One partition ⇒ the whole (deduped) edge set fits a single task:
     // a partition-local union-find finds exact components in ONE job —
     // executor-side, no driver collect — instead of paying a driver
