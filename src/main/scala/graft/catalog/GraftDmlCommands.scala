@@ -45,9 +45,18 @@ private[catalog] object GraftDml {
         s"$statement target must be a registered <ns>.<table>: " +
           parts.mkString("."))
     }
-    val df = TableStore.registry(spark).getOrElse(key,
+    val df = TableStore.registry(spark).getOrElse(key, {
+      // Snapshot-backed tables are readable (scan, DESCRIBE, DROP) but
+      // have no in-registry DataFrame to mutate — say so clearly
+      // instead of letting the analyzer produce an opaque error.
+      if (new TableStore(spark).snapshotPath(key.head, key(1)).isDefined)
+        throw new UnsupportedOperationException(
+          s"$statement on snapshot-backed table ${key.mkString(".")} " +
+            "is not supported; publish a new version with " +
+            "Snapshot.createOrReplace instead")
       throw new java.util.NoSuchElementException(
-        s"$statement target not registered: ${parts.mkString(".")}"))
+        s"$statement target not registered: ${parts.mkString(".")}")
+    })
     if (new TableStore(spark).isView(key.head, key(1)))
       throw new UnsupportedOperationException(
         s"cannot $statement a view: ${key.mkString(".")}")

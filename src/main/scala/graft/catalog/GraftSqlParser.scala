@@ -268,10 +268,17 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
 
   /** UPDATE/DELETE target claim: the statement's relation (possibly
     * aliased) names a graft table — 3-part under a graft prefix (kept
-    * for robustness; [[strip]] normally rewrites it to 2-part first),
-    * or 2-part registered in the [[TableStore]] at parse time. */
+    * for robustness, though [[strip]] rewrites graft-prefixed 3-part
+    * names to 2-part BEFORE [[intercept]] runs, so a prefixed-but-
+    * unregistered target surfaces Spark's native resolution error, not
+    * a graft one), or 2-part registered in the [[TableStore]] OR
+    * snapshot-backed at parse time — the same target set DROP TABLE
+    * and DESCRIBE accept, so a snapshot-backed table gets the clear
+    * "not supported" message from [[GraftDml.resolveTarget]] instead
+    * of an opaque native analyzer error. */
   private def isGraftDmlTarget(plan: LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val parts = plan match {
       case SubqueryAlias(_, u: UnresolvedRelation) =>
         Some(u.multipartIdentifier)
@@ -280,7 +287,10 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     }
     parts.exists {
       case Seq(cat, _, _) => GraftCatalogs.isGraft(cat)
-      case Seq(ns, t) => new TableStore(session).tableExists(ns, t)
+      case Seq(ns, t) =>
+        val store = new TableStore(session)
+        store.tableExists(ns, t) ||
+          store.snapshotPath(lower(ns), lower(t)).isDefined
       case _ => false
     }
   }

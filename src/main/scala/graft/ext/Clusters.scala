@@ -35,6 +35,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Clusters {
 
+  /** Integral id types admitted to the partitioned hot path, each with
+    * its width rank — ONE structure serving both the dispatch test and
+    * the widening pick below, so the two can never drift (a type added
+    * here is automatically widenable; one added elsewhere fails the
+    * dispatch test, never `maxBy`). */
+  private val IntegralWidths = Map[Any, Int](ByteType -> 1,
+    ShortType -> 2, IntegerType -> 3, LongType -> 4)
+
   /** @param pairs undirected edges, one row per pair
     * @return (id, cluster_id) for every id appearing in `pairs`;
     *   cluster_id = smallest id reachable (the canonical survivor) */
@@ -42,10 +50,9 @@ object Clusters {
                           bCol: String = "id_b",
                           maxIter: Int = 20,
                           rowsPerPartition: Long = 1L << 20): DataFrame = {
-    val integral = Set[Any](ByteType, ShortType, IntegerType, LongType)
     val aType = pairs.schema(aCol).dataType
     val bType = pairs.schema(bCol).dataType
-    if (integral(aType) && integral(bType))
+    if (IntegralWidths.contains(aType) && IntegralWidths.contains(bType))
       ccPartitioned(pairs, aCol, bCol, maxIter, rowsPerPartition)
     else {
       // The generic loop casts ids to one shared type; a silent
@@ -90,10 +97,8 @@ object Clusters {
     // Output in the WIDER of the two id types: ids from the narrower
     // column always fit, and a b-side id wider than aCol's type is
     // never truncated (mixed-width pairs, e.g. INT × BIGINT).
-    val widths = Map[Any, Int](ByteType -> 1, ShortType -> 2,
-      IntegerType -> 3, LongType -> 4)
     val idType = Seq(pairs.schema(aCol).dataType,
-      pairs.schema(bCol).dataType).maxBy(widths(_))
+      pairs.schema(bCol).dataType).maxBy(IntegralWidths(_))
     // One partition ⇒ the whole (deduped) edge set fits a single task:
     // a partition-local union-find finds exact components in ONE job —
     // executor-side, no driver collect — instead of paying a driver

@@ -305,19 +305,20 @@ object ExtQueries {
         .orderBy("lsym", "rsym")),
 
     // X4g' — BPE merge trainer, 8 rounds. Driver-coordinated argmax
-    // loop (Clusters-style BSP); deterministic merge table, but the
-    // loop is not SQL-expressible → rows-only check by design
-    // (SURVEY §7.4 determinism contract).
+    // loop (Clusters-style BSP); deterministic merge table,
+    // oracle-checked against an 8-round CTE unroll (bpeRoundsSql) the
+    // same way q_kmeans unrolls Lloyd.
     "q_bpe_merges" -> ((s, d) =>
-      TextOps.bpeTrain(Tables.documents(s, d), merges = 8)
+      TextOps.bpeTrain(Tables.documents(s, d), merges = BpeMerges)
         .orderBy("rank")),
 
     // X4g'' — train 8 merges, then tokenize the corpus with them
     // scan-side: per-doc BPE token count next to the whitespace count
-    // (the compression the tokenizer buys). Merge table is
-    // data-derived → rows-only check, same as q_bpe_merges.
+    // (the compression the tokenizer buys). Oracle re-derives the
+    // merge table from the same unrolled CTE and counts v8 symbols.
     "q_bpe_tokenize" -> ((s, d) => {
-      val merges = TextOps.bpeTrain(Tables.documents(s, d), merges = 8)
+      val merges = TextOps.bpeTrain(Tables.documents(s, d),
+          merges = BpeMerges)
         .orderBy("rank").select("lsym", "rsym")
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       Tables.documents(s, d).select(col("doc_id"),
@@ -1113,6 +1114,52 @@ object ExtQueries {
         FROM m$n GROUP BY centroid_id
       )"""
 
+  /** DuckDB CTE chain unrolling `n` rounds of [[TextOps.bpeTrain]]'s
+    * (count pairs → arg-max → merge-apply) loop — the exact technique
+    * q_kmeans uses for Lloyd rounds. The greedy-leftmost merge fold
+    * ([[TextOps]] `mergePair`) becomes a string-accumulator
+    * `list_reduce`: symbols joined by '|' (never in the corpus charset,
+    * lowercase+space only); when the accumulator's LAST symbol equals
+    * lsym and the next element equals rsym, append rsym bare (extending
+    * "…|l" to "…|lr" — the merge), else append "|x". The
+    * `right(acc, len+1) = '|' || lsym` test is exactly "last symbol ==
+    * lsym": a longer last symbol puts a non-'|' char at that offset, a
+    * shorter one drags a mid-string '|' into the comparison — and a
+    * just-merged "lr" can never re-match as "l", so merges don't chain,
+    * matching the fold. Ties break (count DESC, lsym, rsym) on both
+    * engines. */
+  private def bpeRoundsSql(n: Int): String = {
+    val v0 = """v0 AS (
+        SELECT word, count(*) AS freq,
+               list_transform(range(1, length(word)+1),
+                 i -> word[i:i]) AS sym
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY word)"""
+    val rounds = (1 to n).map { k =>
+      s"""p$k AS (
+        SELECT pr.l AS lsym, pr.r AS rsym,
+               CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM (SELECT freq, unnest(list_transform(range(1, len(sym)),
+                       i -> {'l': sym[i], 'r': sym[i+1]})) AS pr
+              FROM v${k - 1} WHERE len(sym) >= 2)
+        GROUP BY pr.l, pr.r),
+      m$k AS (SELECT lsym, rsym, pair_count FROM p$k
+        ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
+      v$k AS (
+        SELECT word, freq,
+          string_split(list_reduce(sym, (acc, x) ->
+            CASE WHEN (acc = m$k.lsym
+                       OR right(acc, length(m$k.lsym)+1) = '|' || m$k.lsym)
+                      AND x = m$k.rsym
+                 THEN acc || x ELSE acc || '|' || x END), '|') AS sym
+        FROM v${k - 1}, m$k)"""
+    }
+    (v0 +: rounds).mkString("WITH ", ",\n      ", "")
+  }
+
+  private val BpeMerges = 8
+
   /** DuckDB byte value at 1-based byte position `p` of an md5 hex
     * string column `h`. */
   private def byteAt(h: String, p: Int): String = {
@@ -1243,6 +1290,20 @@ object ExtQueries {
              CAST(sum(freq) AS BIGINT) AS pair_count
       FROM p GROUP BY pr.lsym, pr.rsym
       ORDER BY lsym, rsym""",
+
+    "q_bpe_merges" -> (bpeRoundsSql(BpeMerges) + "\n      " +
+      (1 to BpeMerges).map(k =>
+        s"SELECT $k AS rank, lsym, rsym, lsym || rsym AS merged, " +
+          s"pair_count FROM m$k").mkString(" UNION ALL ") +
+      " ORDER BY rank"),
+
+    "q_bpe_tokenize" -> (bpeRoundsSql(BpeMerges) + s""",
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+             CAST(sum(len(v$BpeMerges.sym)) AS INTEGER) AS n_bpe_tokens
+      FROM tok JOIN v$BpeMerges USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""),
 
     "q_perplexity" -> """
       WITH tok AS (

@@ -192,6 +192,39 @@ CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (
     assert(listed == Seq(("hist", "t", false)))
   }
 
+  test("UPDATE/DELETE claim boundary: graft-registered targets route " +
+    "to graft commands, unregistered names fall through to Spark, " +
+    "snapshot-backed targets get the clear unsupported message") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    store.register("silver", "dml_b",
+      Seq((1, "a"), (2, "b")).toDF("id", "status"))
+    // registered 2-part target → GraftUpdateCommand mutates the registry
+    spark.sql("UPDATE silver.dml_b SET status = 'z' WHERE id = 1")
+    assert(spark.sql("SELECT status FROM silver.dml_b WHERE id = 1")
+      .as[String].head() == "z")
+    spark.sql("DELETE FROM silver.dml_b WHERE id = 2")
+    assert(spark.sql("SELECT count(*) FROM silver.dml_b")
+      .as[Long].head() == 1L)
+    // unregistered 2-part target → NOT claimed: Spark's native path
+    // raises its own resolution error, not graft's "not registered"
+    val e = intercept[Exception] {
+      spark.sql("UPDATE nosuch.dml_nope SET status = 'z'")
+    }
+    assert(!e.getMessage.contains("target not registered"),
+      s"unregistered target must fall through to Spark, got: " +
+        e.getMessage)
+    // snapshot-backed target → claimed, with the clear graft message
+    val dir = java.nio.file.Files.createTempDirectory("dmlsnap")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(Seq(1L).toDF("v"), dir)
+    store.registerSnapshot("hist", "dml_s", dir)
+    val s = intercept[UnsupportedOperationException] {
+      spark.sql("UPDATE hist.dml_s SET v = 0")
+    }
+    assert(s.getMessage.contains("snapshot-backed"))
+  }
+
   test("DESCRIBE runs verbatim on graft tables (both spellings) and " +
     "snapshot-backed tables; non-graft names stay with Spark") {
     TableStore.reset(spark)

@@ -40,6 +40,36 @@ class ClustersSpec extends SparkSpec {
       "hx" -> "hx", "hy" -> "hx"))
   }
 
+  test("mixed INT × BIGINT pairs widen: output id columns are " +
+    "LongType and components match the all-BIGINT run") {
+    val pairs = Seq((1, 2L), (2, 3L), (3, 4L),
+      (10, 11L), (11, 12L), (10, 12L),
+      (20, 21L)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+    assert(got.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.schema("cluster_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // Same widening on the BSP path (tiny rowsPerPartition forces it).
+    val bsp = Clusters.connectedComponents(pairs, rowsPerPartition = 2L)
+    assert(bsp.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(bsp.as[(Long, Long)].collect().toMap ==
+      got.as[(Long, Long)].collect().toMap)
+  }
+
+  test("mismatched non-integral id types are rejected at the " +
+    "dispatch boundary, not silently cast") {
+    val pairs = Seq(("h1", 2L), ("h2", 3L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Clusters.connectedComponents(pairs)
+    }
+    assert(e.getMessage.contains("share a type"))
+  }
+
   test("canonical picks the highest score per cluster, ties broken " +
     "by smallest id") {
     val clustered = Seq(
