@@ -80,6 +80,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.WinnowMinima(children.head, w)
       }
     ))
+    // Trino scalar shims — the reference's privacy-view DDL
+    // (`/root/reference/README.md:106-116`) spells the masking chain
+    // `to_hex(sha256(to_utf8(<string>)))`; none of the three names
+    // exists in Spark's registry (Spark spells the same value
+    // `sha2(x, 256)` in lowercase hex). Each shim composes built-in
+    // codegen'd expressions, so the verbatim README text plans exactly
+    // like the native spelling:
+    //   to_utf8(s)  = encode(s, 'UTF-8')        → VARBINARY
+    //   sha256(b)   = unhex(sha2(b, 256))       → VARBINARY
+    //   to_hex(b)   = hex(b) — Spark's Hex emits UPPERCASE, matching
+    //                 Trino's to_hex (Guava base16) case-for-case.
+    ext.injectFunction((
+      new FunctionIdentifier("to_utf8"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst
+        .expressions.Encode].getName, "to_utf8"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Encode(children.head,
+          org.apache.spark.sql.catalyst.expressions.Literal("UTF-8"))
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("sha256"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst
+        .expressions.Sha2].getName, "sha256"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Unhex(
+          org.apache.spark.sql.catalyst.expressions.Sha2(children.head,
+            org.apache.spark.sql.catalyst.expressions.Literal(256)))
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("to_hex"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst
+        .expressions.Hex].getName, "to_hex"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Hex(children.head)
+    ))
     ext.injectResolutionRule(graft.catalog.ResolveGraftRelations.apply)
     ext.injectParser((session, parser) =>
       new graft.catalog.GraftSqlParser(session, parser))

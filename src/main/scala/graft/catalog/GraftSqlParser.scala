@@ -323,12 +323,36 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         s"graft ALTER TABLE supports top-level columns only: $other")
     }
 
+  /** Trino writes unbounded `CAST(x AS varchar)`
+    * (`/root/reference/README.md:111`); Spark's parser demands a
+    * length (`DATATYPE_MISSING_SIZE`). Retry-on-that-error only: the
+    * first parse is always the untouched text, and the rewrite
+    * (`varchar` not followed by `(` → `string`, Trino's exact
+    * semantics) is attempted only when the original parse failed with
+    * the missing-size error — so native statements, including VARCHAR
+    * inside string literals, are never altered. If the retry fails
+    * too, the ORIGINAL error surfaces. */
+  private val bareVarchar = "(?i)\\bvarchar\\b(?!\\s*\\()".r
+
+  private def parseTrinoTolerant(
+      sqlText: String, f: String => LogicalPlan): LogicalPlan =
+    try f(sqlText)
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException
+          if e.getMessage.contains("DATATYPE_MISSING_SIZE") &&
+            bareVarchar.findFirstIn(sqlText).isDefined =>
+        try f(bareVarchar.replaceAllIn(sqlText, "string"))
+        catch { case scala.util.control.NonFatal(_) => throw e }
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    intercept(strip(delegate.parsePlan(sqlText)))
+    parseTrinoTolerant(sqlText,
+      t => intercept(strip(delegate.parsePlan(t))))
 
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    intercept(strip(delegate.parsePlanWithParameters(sqlText, ctx)))
+    parseTrinoTolerant(sqlText,
+      t => intercept(strip(delegate.parsePlanWithParameters(t, ctx))))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     strip(delegate.parseQuery(sqlText))

@@ -302,6 +302,33 @@ object PipelineQueries {
                WHERE amount_eur > 500.0 ORDER BY order_id""")
     }),
 
+    // S8/S10 — the SAME view DDL in the reference's own Trino dialect,
+    // text-for-text (`README.md:106-116`): to_hex(sha256(to_utf8(…)))
+    // through the GraftExtensions shims and Trino's unbounded
+    // `cast(user_id as varchar)` through the parser's missing-size
+    // retry. Trino's to_hex is UPPERCASE (Guava base16) — faithfully
+    // preserved, so user_key here is upper(q_privacy_view.user_key)
+    // and the oracle says upper(sha256(…)).
+    "q_privacy_view_trino" -> ((s, d) => {
+      val store = new TableStore(s)
+      store.createNamespace("silver")
+      val silver = Silver.rebuild(bronzeOf(s, d))
+      store.register("silver", "orders_current", silver)
+      s.sql("DROP VIEW IF EXISTS iceberg.silver.orders_current_priv")
+      s.sql(s"""
+CREATE VIEW iceberg.silver.orders_current_priv AS
+SELECT
+  order_id,
+  to_hex(sha256(to_utf8(cast(user_id as varchar) || '::$Salt'))) AS user_key,
+  amount_eur,
+  status,
+  last_change_ts
+FROM iceberg.silver.orders_current""")
+      s.sql("""SELECT order_id, user_key, amount_eur, status
+               FROM silver.orders_current_priv
+               WHERE amount_eur > 500.0 ORDER BY order_id""")
+    }),
+
     // Privacy audit: k-anonymity over quasi-identifiers (status +
     // generalized amount band) on the silver snapshot — groups smaller
     // than k are re-identifiable. Single partial-aggregated shuffle.
@@ -818,6 +845,19 @@ object PipelineQueries {
       )
       SELECT CAST(k AS INT) AS order_id,
              sha256(CAST(CAST(u AS INT) AS VARCHAR) || '::$Salt') AS user_key,
+             amt AS amount_eur, st AS status
+      FROM ranked WHERE rn = 1 AND amt > 500.0 ORDER BY order_id""",
+
+    "q_privacy_view_trino" -> s"""
+      WITH $evoCte,
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo WHERE op <> 'd'
+      )
+      SELECT CAST(k AS INT) AS order_id,
+             upper(sha256(CAST(CAST(u AS INT) AS VARCHAR) || '::$Salt'))
+               AS user_key,
              amt AS amount_eur, st AS status
       FROM ranked WHERE rn = 1 AND amt > 500.0 ORDER BY order_id""",
 

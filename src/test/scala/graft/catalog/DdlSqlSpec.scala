@@ -1,6 +1,7 @@
 package graft.catalog
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.current_timestamp
 
 /** The reference's DDL statements executed VERBATIM through `spark.sql`
   * (`/root/reference/jobs/ingest_orders_raw.py:22-34`,
@@ -190,6 +191,44 @@ CREATE TABLE IF NOT EXISTS demo.bronze.orders_cdc_raw (
     val listed = spark.sql("SHOW TABLES FROM iceberg.hist")
       .as[(String, String, Boolean)].collect().toSeq
     assert(listed == Seq(("hist", "t", false)))
+  }
+
+  test("README 6.2 Trino view DDL runs text-for-text: " +
+    "to_hex(sha256(to_utf8(cast(x as varchar)))) shims + bare varchar") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    store.register("silver", "orders_current",
+      Seq((1, 42, 700.0, "paid"), (2, 7, 300.0, "new"))
+        .toDF("order_id", "user_id", "amount_eur", "status")
+        .withColumn("last_change_ts", current_timestamp()))
+    spark.sql(
+      "DROP VIEW IF EXISTS iceberg.silver.orders_current_priv")
+    spark.sql("""
+CREATE VIEW iceberg.silver.orders_current_priv AS
+SELECT
+  order_id,
+  to_hex(sha256(to_utf8(cast(user_id as varchar) || '::SALT123'))) AS user_key,
+  amount_eur,
+  status,
+  last_change_ts
+FROM iceberg.silver.orders_current""")
+    val got = spark.sql("""SELECT order_id, user_key
+      FROM silver.orders_current_priv ORDER BY order_id""")
+      .as[(Int, String)].collect().toSeq
+    // Trino's to_hex is uppercase; value-wise it is exactly
+    // upper(sha2(input, 256)) — Spark's native spelling.
+    val expect = spark.sql("""SELECT order_id,
+        upper(sha2(cast(user_id as STRING) || '::SALT123', 256))
+      FROM silver.orders_current ORDER BY order_id""")
+      .as[(Int, String)].collect().toSeq
+    assert(got == expect)
+    assert(got.forall { case (_, k) =>
+      k.length == 64 && k == k.toUpperCase })
+    // the shims also run standalone, and bare varchar stays rejected
+    // for statements that never mention it (retry is error-scoped)
+    assert(spark.sql("SELECT to_hex(to_utf8('a')) AS h")
+      .as[String].head() == "61")
+    intercept[Exception] { spark.sql("SELECT cast(1 as varchar(") }
   }
 
   test("UPDATE/DELETE claim boundary: graft-registered targets route " +
