@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 
 /** Iceberg-style METADATA TABLES over a snapshot-backed registration —
@@ -13,6 +13,20 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
   *  - `ns.t.snapshots` — adds record_count, as a LAZY per-version
   *    count plan unioned over the retained versions (bounded by the
   *    retention limit), not a driver-side action
+  *  - `ns.t.files` — one row per data file of the CURRENT snapshot
+  *    (Iceberg's files-table scope): (file_path, file_format,
+  *    partition, record_count, file_size_in_bytes). `partition` is the
+  *    Hive-style `k=v[/k=v…]` path fragment ('' for unpartitioned
+  *    layouts) — a string where Iceberg has a struct, since the
+  *    partition spec here IS the directory layout. file_path and
+  *    file_size come from the scan's `_metadata` hidden column;
+  *    record_count groups the same scan by file, reading zero data
+  *    columns.
+  *  - `ns.t.partitions` — `files` rolled up one level: (partition,
+  *    record_count, file_count) for the current snapshot.
+  *  - `ns.t.all_files` — `files` across EVERY retained version, with a
+  *    leading `version` column (Iceberg's all_files), bounded by the
+  *    retention limit like `snapshots`.
   *
   * The `iceberg.`/`demo.` prefix works too (4-part). Resolution happens
   * at PARSE time ([[GraftSqlParser]]) for the same reason the catalog
@@ -22,6 +36,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
   * parsed immediately before it runs, so the snapshot state read here
   * is current (same currency argument as bare-name SHOW TABLES). */
 object GraftMetaTables {
+
+  private val MetaNames =
+    Set("history", "snapshots", "files", "partitions", "all_files")
 
   def lookup(session: SparkSession,
              parts: Seq[String]): Option[LogicalPlan] = {
@@ -33,27 +50,68 @@ object GraftMetaTables {
       case Seq(ns, t, m) => Some((Seq(ns, t), m))
       case _ => None
     }
-    target.filter(t => t._2 == "history" || t._2 == "snapshots")
+    target.filter(t => MetaNames.contains(t._2))
       .flatMap { case (key, meta) =>
         TableStore.state(session).snapshotPaths.get(key).map { path =>
           val live = graft.pipeline.Snapshot.currentVersion(path)
           val versions =
             (graft.pipeline.Snapshot.historicalVersions(path) ++ live)
               .sorted
-          val rows = versions.map { v =>
-            val base = if (meta == "history")
-              session.range(1).select()
-            else graft.pipeline.Snapshot.readAsOf(session, path, v)
-              .agg(count(lit(1)).as("record_count"))
-            base.select(
-              Seq(lit(v).as("version"),
-                lit(live.contains(v)).as("is_current")) ++
-                (if (meta == "history") Nil
-                 else Seq(col("record_count"))): _*)
+          val plan: DataFrame = meta match {
+            case "history" | "snapshots" =>
+              versions.map { v =>
+                val base = if (meta == "history")
+                  session.range(1).select()
+                else graft.pipeline.Snapshot.readAsOf(session, path, v)
+                  .agg(count(lit(1)).as("record_count"))
+                base.select(
+                  Seq(lit(v).as("version"),
+                    lit(live.contains(v)).as("is_current")) ++
+                    (if (meta == "history") Nil
+                     else Seq(col("record_count"))): _*)
+              }.reduce(_ unionAll _)
+            case "files" =>
+              filesOf(session, path, live.getOrElse(
+                throw new java.util.NoSuchElementException(
+                  s"${key.mkString(".")} has no live snapshot version")))
+            case "partitions" =>
+              filesOf(session, path, live.getOrElse(
+                throw new java.util.NoSuchElementException(
+                  s"${key.mkString(".")} has no live snapshot version")))
+                .groupBy("partition")
+                .agg(sum("record_count").as("record_count"),
+                  count(lit(1)).as("file_count"))
+            case "all_files" =>
+              versions.map(v =>
+                filesOf(session, path, v)
+                  .select(lit(v).as("version") +: Seq("file_path",
+                    "file_format", "partition", "record_count",
+                    "file_size_in_bytes").map(col): _*))
+                .reduce(_ unionAll _)
           }
-          SubqueryAlias(parts.last,
-            rows.reduce(_ unionAll _).queryExecution.analyzed)
+          SubqueryAlias(parts.last, plan.queryExecution.analyzed)
         }
       }
+  }
+
+  /** Per-file stats of one snapshot version, from the scan's
+    * `_metadata` struct — no filesystem listing of our own, and the
+    * count projects zero data columns (footer-driven row iteration
+    * only). `partition` keeps the `k=v` path components of the file's
+    * directory — exactly the Hive-partition fragments
+    * [[graft.pipeline.Snapshot.createOrReplacePartitioned]] lays down
+    * (work dirs never contain '=', so the filter is exact). */
+  private def filesOf(session: SparkSession, path: String,
+                      ver: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.pipeline.Snapshot.readAsOf(session, path, ver)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.file_size").as("file_size_in_bytes"))
+      .groupBy("file_path", "file_size_in_bytes")
+      .agg(count(lit(1)).as("record_count"))
+      .select(col("file_path"), lit("parquet").as("file_format"),
+        array_join(filter(split(col("file_path"), "/"),
+          s => s.rlike("^[^=]+=[^=]*$")), "/").as("partition"),
+        col("record_count"), col("file_size_in_bytes"))
   }
 }

@@ -200,6 +200,66 @@ object PipelineQueries {
                ORDER BY version""")
     }),
 
+    // S4+++++ — `ns.t.files` metadata table: per-data-file stats of the
+    // current snapshot. The fixture writes lineitem Hive-partitioned by
+    // l_returnflag with repartition(col) first, so every partition
+    // value lands in exactly ONE task → one file per partition and the
+    // per-file record counts equal the per-flag group counts the oracle
+    // recomputes. file_path/file_size are real but run-dependent, so
+    // the compared projection keeps the deterministic columns.
+    "q_snapshot_files" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val dir = java.nio.file.Files.createTempDirectory("snapfiles")
+        .toString + "/li_files"
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.repartition(col("l_returnflag")), dir, Seq("l_returnflag"))
+      new TableStore(s).registerSnapshot("silver", "li_files", dir)
+      s.sql("""SELECT partition, file_format, record_count
+               FROM iceberg.silver.li_files.files ORDER BY partition""")
+    }),
+
+    // S4+++++ — `ns.t.partitions` metadata table: the files table
+    // rolled up per partition (record_count, file_count) over a
+    // TWO-version table — proving it reads the current snapshot only.
+    "q_snapshot_partitions" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val dir = java.nio.file.Files.createTempDirectory("snapparts")
+        .toString + "/li_parts"
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.filter(col("l_quantity") <= 25)
+          .repartition(col("l_returnflag")), dir,
+        Seq("l_returnflag"), keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.repartition(col("l_returnflag")), dir,
+        Seq("l_returnflag"), keepVersions = 2)
+      new TableStore(s).registerSnapshot("silver", "li_parts", dir)
+      s.sql("""SELECT partition, record_count, file_count
+               FROM silver.li_parts.partitions ORDER BY partition""")
+    }),
+
+    // S4+++++ — `ns.t.all_files` metadata table: per-file stats across
+    // EVERY retained version with the version column — v1 is the
+    // quantity-capped subset, v2 the full table, so the oracle's two
+    // unioned groupings pin that both versions' files are listed.
+    "q_snapshot_all_files" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val dir = java.nio.file.Files.createTempDirectory("snapallf")
+        .toString + "/li_allf"
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.filter(col("l_quantity") <= 25)
+          .repartition(col("l_returnflag")), dir,
+        Seq("l_returnflag"), keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.repartition(col("l_returnflag")), dir,
+        Seq("l_returnflag"), keepVersions = 2)
+      new TableStore(s).registerSnapshot("silver", "li_allf", dir)
+      s.sql("""SELECT version, partition, record_count
+               FROM silver.li_allf.all_files ORDER BY version, partition""")
+    }),
+
     // The reference's MERGE INTO statement VERBATIM
     // (`merge_orders_silver.py:135-147`, incl. the `iceberg.` prefix)
     // through spark.sql → GraftMergeCommand; result read back through
@@ -727,6 +787,26 @@ FROM iceberg.silver.orders_current""")
       UNION ALL
       SELECT CAST(2 AS BIGINT), true, (SELECT n FROM v2)
       ORDER BY version""",
+
+    "q_snapshot_files" -> """
+      SELECT 'l_returnflag=' || l_returnflag AS "partition",
+             'parquet' AS file_format, count(*) AS record_count
+      FROM lineitem GROUP BY l_returnflag ORDER BY "partition"""",
+
+    "q_snapshot_partitions" -> """
+      SELECT 'l_returnflag=' || l_returnflag AS "partition",
+             count(*) AS record_count, CAST(1 AS BIGINT) AS file_count
+      FROM lineitem GROUP BY l_returnflag ORDER BY "partition"""",
+
+    "q_snapshot_all_files" -> """
+      SELECT CAST(1 AS BIGINT) AS version,
+             'l_returnflag=' || l_returnflag AS "partition",
+             count(*) AS record_count
+      FROM lineitem WHERE l_quantity <= 25 GROUP BY l_returnflag
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'l_returnflag=' || l_returnflag, count(*)
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY version, "partition"""",
 
     "q_k_anon" -> s"""
       WITH sil AS ($silverRebuildSql)

@@ -85,6 +85,56 @@ class CallSqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM maint.nope.history").collect() }
   }
 
+  test("metadata tables: ns.t.files / ns.t.partitions / ns.t.all_files " +
+    "carry per-file and per-partition stats; partitioned layout shows " +
+    "its k=v fragments") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("filesmeta")
+      .toString + "/t"
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "grp")
+    Snapshot.createOrReplacePartitioned(
+      df.filter(col("id") <= 2).repartition(col("grp")), dir,
+      Seq("grp"), keepVersions = 2)
+    Snapshot.createOrReplacePartitioned(
+      df.repartition(col("grp")), dir, Seq("grp"), keepVersions = 2)
+    store.registerSnapshot("maint", "pt", dir)
+    // files: current snapshot only, one file per partition value
+    val files = spark.sql(
+      """SELECT partition, file_format, record_count
+         FROM iceberg.maint.pt.files ORDER BY partition""")
+      .as[(String, String, Long)].collect().toSeq
+    assert(files == Seq(("grp=a", "parquet", 2L), ("grp=b", "parquet", 1L)))
+    // file_path and a positive file size are carried too
+    val sized = spark.sql(
+      "SELECT file_path, file_size_in_bytes FROM maint.pt.files")
+      .as[(String, Long)].collect()
+    assert(sized.length == 2 &&
+      sized.forall { case (p, sz) => p.endsWith(".parquet") && sz > 0 })
+    // partitions: the rollup
+    assert(spark.sql(
+      """SELECT partition, record_count, file_count
+         FROM maint.pt.partitions ORDER BY partition""")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("grp=a", 2L, 1L), ("grp=b", 1L, 1L)))
+    // all_files: every retained version, version-labeled
+    assert(spark.sql(
+      """SELECT version, partition, record_count
+         FROM maint.pt.all_files ORDER BY version, partition""")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "grp=a", 2L), (2L, "grp=a", 2L), (2L, "grp=b", 1L)))
+    // an unpartitioned table reports the empty partition fragment
+    val flat = java.nio.file.Files.createTempDirectory("filesflat")
+      .toString + "/t"
+    Snapshot.createOrReplace(df.coalesce(1), flat)
+    store.registerSnapshot("maint", "flat", flat)
+    assert(spark.sql(
+      """SELECT partition, record_count, file_count
+         FROM maint.flat.partitions""")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("", 3L, 1L)))
+  }
+
   test("remove_orphan_files deletes stranded commit work dirs; " +
     "unknown procedure and non-snapshot targets raise") {
     val (store, dir) = fixture()
