@@ -201,6 +201,52 @@ case class GraftRenameColumnCommand(ns: String, name: String,
   }
 }
 
+/** ALTER TABLE … ALTER COLUMN <c> TYPE <t> — Iceberg's type-evolution
+  * contract verbatim: only SAFE widening promotions are allowed
+  * (every stored value keeps its exact meaning; readers of old data
+  * need no rewrite), everything else is rejected loudly. Iceberg's
+  * list (int→long, float→double, decimal precision growth at the same
+  * scale) plus the smaller Spark integrals widening among themselves.
+  * Projection-only like ADD/DROP/RENAME — the registered plan gains an
+  * in-place cast, no data rewrite. */
+case class GraftAlterColumnTypeCommand(ns: String, name: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if f == t => true // no-op, like Iceberg
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision >= d1.precision
+      case _ => false
+    }
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableStore(spark).alterTable(ns, name, df =>
+      cols.foldLeft(df) { case (acc, (c, to)) =>
+        val real = acc.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no such column: $c in $ns.$name"))
+        val from = acc.schema(real).dataType
+        if (!widens(from, to))
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN $real TYPE: only widening promotions are " +
+              s"allowed (TINYINT/SMALLINT/INT→BIGINT, FLOAT→DOUBLE, " +
+              s"DECIMAL precision growth at the same scale); cannot " +
+              s"change ${from.simpleString} to ${to.simpleString}")
+        acc.withColumn(real, acc(real).cast(to))
+      })
+    Seq.empty
+  }
+}
+
 /** DESCRIBE TABLE for graft registrations (incl. snapshot-backed
   * tables) — Spark's native output shape (col_name, data_type,
   * comment). */

@@ -204,6 +204,24 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
             r.newName)
         case None => r
       }
+      // ALTER TABLE … ALTER COLUMN <c> TYPE <t> — type evolution only;
+      // nullability/comment/position/default alterations are rejected
+      // loudly rather than half-supported (same policy as ADD COLUMNS).
+      case ac: AlterColumns => graftAlterTarget(ac.table) match {
+        case Some((ns, t)) =>
+          GraftAlterColumnTypeCommand(ns, t, ac.specs.map { sp =>
+            if (sp.newNullability.nonEmpty || sp.newComment.nonEmpty ||
+                sp.newPosition.nonEmpty ||
+                sp.newDefaultExpression.nonEmpty || sp.dropDefault)
+              throw new UnsupportedOperationException(
+                "graft ALTER TABLE ALTER COLUMN supports TYPE changes " +
+                  "only (no nullability/comment/position/default)")
+            (topLevelField(sp.column), sp.newDataType.getOrElse(
+              throw new UnsupportedOperationException(
+                "graft ALTER TABLE ALTER COLUMN requires TYPE <t>")))
+          })
+        case None => ac
+      }
 
       // DESCRIBE [TABLE] on a graft-catalog name (3-part with the
       // iceberg/demo prefix, or 2-part naming an existing graft table

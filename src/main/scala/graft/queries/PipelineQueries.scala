@@ -480,6 +480,10 @@ FROM iceberg.silver.orders_current""")
                ADD COLUMNS (load_src STRING, ingest_batch INT)""")
       s.sql("ALTER TABLE iceberg.evo.orders RENAME COLUMN o_orderpriority TO priority")
       s.sql("ALTER TABLE iceberg.evo.orders DROP COLUMN o_orderstatus")
+      // Iceberg type evolution: the INT column widens to BIGINT
+      // (schema_match pins the promotion took effect)
+      s.sql("""ALTER TABLE iceberg.evo.orders
+               ALTER COLUMN ingest_batch TYPE BIGINT""")
       s.sql("""SELECT o_orderkey, o_custkey, priority, load_src,
                       ingest_batch
                FROM iceberg.evo.orders ORDER BY o_orderkey LIMIT 200""")
@@ -953,7 +957,7 @@ FROM iceberg.silver.orders_current""")
     "q_schema_evolution" -> """
       SELECT o_orderkey, o_custkey, o_orderpriority AS priority,
              CAST(NULL AS VARCHAR) AS load_src,
-             CAST(NULL AS INTEGER) AS ingest_batch
+             CAST(NULL AS BIGINT) AS ingest_batch
       FROM orders ORDER BY o_orderkey LIMIT 200""",
 
     "q_dml_insert_ctas" -> """

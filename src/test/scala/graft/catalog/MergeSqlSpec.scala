@@ -62,6 +62,51 @@ class MergeSqlSpec extends SparkSpec {
       (3, "backfilled", Some(30))))
   }
 
+  test("ALTER COLUMN TYPE widening then MERGE backfill: INT widens to " +
+    "BIGINT carrying data, the merge writes values beyond INT range; " +
+    "narrowing and cross-type changes are rejected") {
+    val store = freshStore()
+    store.register("silver", "t_widen",
+      Seq((1, 10), (2, 20)).toDF("id", "score"))
+    spark.sql(
+      "ALTER TABLE iceberg.silver.t_widen ALTER COLUMN score TYPE BIGINT")
+    // existing data carried, schema widened
+    assert(store.table("silver", "t_widen").schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(store.table("silver", "t_widen")
+      .as[(Int, Long)].collect().toSet == Set((1, 10L), (2, 20L)))
+    // backfill through MERGE with a value only BIGINT can hold
+    store.stage("src_widen",
+      Seq((2, 5_000_000_000L), (3, 6_000_000_000L)).toDF("id", "score"))
+    spark.sql("""
+      MERGE INTO iceberg.silver.t_widen t USING src_widen s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET score = s.score
+      WHEN NOT MATCHED THEN INSERT (id, score) VALUES (s.id, s.score)""")
+    assert(store.table("silver", "t_widen")
+      .as[(Int, Long)].collect().toSet ==
+      Set((1, 10L), (2, 5_000_000_000L), (3, 6_000_000_000L)))
+    // narrowing (BIGINT → INT) and cross-type (INT → STRING) rejected
+    val e1 = intercept[UnsupportedOperationException] { spark.sql(
+      "ALTER TABLE iceberg.silver.t_widen ALTER COLUMN score TYPE INT") }
+    assert(e1.getMessage.contains("widening"))
+    intercept[UnsupportedOperationException] { spark.sql(
+      "ALTER TABLE iceberg.silver.t_widen ALTER COLUMN id TYPE STRING") }
+    // DECIMAL precision growth allowed at the same scale; scale change
+    // rejected
+    store.register("silver", "t_dec",
+      Seq((1, BigDecimal("12.34"))).toDF("id", "amt")
+        .select($"id", $"amt".cast("decimal(10,2)").as("amt")))
+    spark.sql(
+      "ALTER TABLE iceberg.silver.t_dec ALTER COLUMN amt TYPE DECIMAL(12,2)")
+    assert(store.table("silver", "t_dec").schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    intercept[UnsupportedOperationException] { spark.sql(
+      "ALTER TABLE iceberg.silver.t_dec ALTER COLUMN amt TYPE DECIMAL(14,4)") }
+    // non-TYPE alterations are rejected loudly, native targets untouched
+    intercept[UnsupportedOperationException] { spark.sql(
+      "ALTER TABLE silver.t_widen ALTER COLUMN score COMMENT 'x'") }
+  }
+
   test("standalone DELETE FROM and UPDATE run verbatim: condition " +
     "semantics (NULL keeps), type-cast assignments, unknown column raises") {
     val store = freshStore()
