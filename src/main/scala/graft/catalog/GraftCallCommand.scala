@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.LongType
   *    returns (previous_version, current_version)
   *  - `remove_orphan_files(table)` — delete stranded commit work dirs;
   *    returns (orphan_file_count)
+  *  - `create_tag(table, tag, version => n, replace => b)` /
+  *    `drop_tag(table, tag)` — snapshot refs (Iceberg manages tags via
+  *    its `ALTER TABLE … CREATE TAG` grammar extension, which plain
+  *    Spark cannot parse; the procedural spelling is this library's
+  *    equivalent surface). `version` defaults to the live version.
+  *    Tagged versions are protected from expiry, and readable via
+  *    `VERSION AS OF '<tag>'`. Both return (version).
   *
   * The `table` argument accepts `ns.t` or the full `iceberg.ns.t` /
   * `demo.ns.t` spelling and must name a SNAPSHOT-BACKED registration
@@ -72,10 +79,26 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         Seq(Row(prev, cur))
       case "remove_orphan_files" =>
         Seq(Row(graft.pipeline.Snapshot.removeOrphans(path).toLong))
+      case "create_tag" =>
+        val tag = required("tag", 1).toString
+        val version = arg("version", 2).map(_.toString.toLong)
+          .orElse(graft.pipeline.Snapshot.currentVersion(path))
+          .getOrElse(throw new IllegalArgumentException(
+            s"create_tag: no live version to tag at $path"))
+        val replace = arg("replace", 3).exists(_.toString.toBoolean)
+        graft.pipeline.Snapshot.createTag(path, tag, version, replace)
+        Seq(Row(version))
+      case "drop_tag" =>
+        val tag = required("tag", 1).toString
+        val version = graft.pipeline.Snapshot.tags(path).getOrElse(tag,
+          throw new java.util.NoSuchElementException(
+            s"no such tag: '$tag'"))
+        graft.pipeline.Snapshot.dropTag(path, tag)
+        Seq(Row(version))
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: system.$other (supported: " +
           "rewrite_data_files, expire_snapshots, rollback_to_snapshot, " +
-          "remove_orphan_files)")
+          "remove_orphan_files, create_tag, drop_tag)")
     }
   }
 }
@@ -88,6 +111,7 @@ object GraftCallCommand {
     case "expire_snapshots" => Seq("deleted_snapshots_count")
     case "rollback_to_snapshot" =>
       Seq("previous_version", "current_version")
+    case "create_tag" | "drop_tag" => Seq("version")
     case _ => Seq("orphan_file_count")
   }).map(AttributeReference(_, LongType, nullable = false)())
 

@@ -40,13 +40,18 @@ case class ResolveGraftRelations(session: SparkSession)
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         (tt.relation, tt.version) match {
           case (u: UnresolvedRelation, Some(v)) =>
-            (for {
-              path <- snapshotKey(u.multipartIdentifier)
-              ver <- v.toLongOption
-            } yield SubqueryAlias(u.multipartIdentifier.last,
-              graft.pipeline.Snapshot.readAsOf(session, path, ver)
-                .queryExecution.analyzed): LogicalPlan)
-              .getOrElse(tt)
+            // numeric → version id; non-numeric string → TAG ref
+            // (`VERSION AS OF 'nightly'`), Iceberg's ref time travel
+            snapshotKey(u.multipartIdentifier).map { path =>
+              val df = v.toLongOption match {
+                case Some(ver) =>
+                  graft.pipeline.Snapshot.readAsOf(session, path, ver)
+                case None =>
+                  graft.pipeline.Snapshot.readAsOfTag(session, path, v)
+              }
+              SubqueryAlias(u.multipartIdentifier.last,
+                df.queryExecution.analyzed): LogicalPlan
+            }.getOrElse(tt)
           case _ => tt
         }
       case u: UnresolvedRelation =>

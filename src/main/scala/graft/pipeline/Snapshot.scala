@@ -96,8 +96,10 @@ object Snapshot {
     }
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
-    // prune beyond the newest keepVersions historical snapshots
+    // prune beyond the newest keepVersions historical snapshots —
+    // except tagged ones, which a ref keeps reachable
     historicalVersions(path).dropRight(keepVersions)
+      .filterNot(taggedVersions(path))
       .foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
   }
 
@@ -232,6 +234,7 @@ object Snapshot {
   def expireSnapshots(path: String, retainLast: Int): Seq[Long] = {
     require(retainLast >= 0, s"retainLast must be >= 0: $retainLast")
     val victims = historicalVersions(path).dropRight(retainLast)
+      .filterNot(taggedVersions(path)) // refs keep versions reachable
     victims.foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
     victims
   }
@@ -262,6 +265,80 @@ object Snapshot {
     orphans.foreach(deleteRecursively)
     orphans.size
   }
+
+  /** Snapshot refs — Iceberg's TAGS over the versioned-dir history: a
+    * named, immutable pointer to a retained version, stored in the
+    * sibling `<path>.tags` file (one `name=version` line each, written
+    * via tmp-file + atomic rename like every other commit here). Tags
+    * survive [[createOrReplace]] swaps because they live BESIDE the
+    * table, not inside a version dir; [[expireSnapshots]] and pruning
+    * refuse to drop a tagged version (a ref makes it reachable —
+    * Iceberg's retention contract), so `VERSION AS OF '<tag>'` (the
+    * string arm of the time-travel hook) stays readable. This is the
+    * audit/WAP story: tag the validated snapshot, point jobs at the
+    * tag. */
+  private def tagsFile(path: String) = Paths.get(path + ".tags")
+
+  /** All tags of `path` (empty if none). */
+  def tags(path: String): Map[String, Long] = {
+    val f = tagsFile(path)
+    if (!Files.exists(f)) Map.empty
+    else new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('=')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+  }
+
+  private def writeTags(path: String, t: Map[String, Long]): Unit = {
+    val f = tagsFile(path)
+    val tmp = Paths.get(path + ".tags.tmp")
+    val body = t.toSeq.sortBy(_._1)
+      .map { case (n, v) => s"$n=$v" }.mkString("", "\n", "\n")
+    Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Create (or with `replace` re-point) a tag at a RETAINED version. */
+  def createTag(path: String, name: String, version: Long,
+                replace: Boolean = false): Unit = {
+    require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),
+      s"invalid tag name: '$name'")
+    val retained =
+      currentVersion(path).toSeq ++ historicalVersions(path)
+    if (!retained.contains(version))
+      throw new java.util.NoSuchElementException(
+        s"cannot tag unretained version $version at $path " +
+          s"(retained=${retained.sorted.mkString(",")})")
+    val cur = tags(path)
+    if (!replace && cur.contains(name))
+      throw new IllegalArgumentException(
+        s"tag already exists: '$name' -> ${cur(name)} at $path")
+    writeTags(path, cur + (name -> version))
+  }
+
+  def dropTag(path: String, name: String): Unit = {
+    val cur = tags(path)
+    if (!cur.contains(name))
+      throw new java.util.NoSuchElementException(
+        s"no such tag: '$name' at $path")
+    writeTags(path, cur - name)
+  }
+
+  /** Time travel by ref: read the version a tag points at. */
+  def readAsOfTag(spark: SparkSession, path: String,
+                  name: String): DataFrame =
+    readAsOf(spark, path, tags(path).getOrElse(name,
+      throw new java.util.NoSuchElementException(
+        s"no such tag: '$name' at $path " +
+          s"(tags=${tags(path).keys.toSeq.sorted.mkString(",")})")))
+
+  /** Versions a ref makes reachable — protected from expiry. */
+  private def taggedVersions(path: String): Set[Long] =
+    tags(path).values.toSet
 
   /** Live-snapshot parquet file count (maintenance signal: schedule
     * [[compact]] when it exceeds the table's file-size budget). */

@@ -150,8 +150,14 @@ object PipelineQueries {
       graft.pipeline.Snapshot.createOrReplace(
         Silver.rebuild(bronze), dir, keepVersions = 2)
       new TableStore(s).registerSnapshot("silver", "orders_history", dir)
+      // snapshot ref round-trip: tag v1 through the CALL surface, read
+      // it back through the STRING arm of VERSION AS OF — same rows as
+      // the numeric spelling, so the one oracle pins both.
+      s.sql("""CALL iceberg.system.create_tag(
+               table => 'silver.orders_history', tag => 'validated',
+               version => 1)""")
       tsToStr(s.sql(
-        "SELECT * FROM iceberg.silver.orders_history VERSION AS OF 1"),
+        "SELECT * FROM iceberg.silver.orders_history VERSION AS OF 'validated'"),
         "last_change_ts").orderBy("order_id")
     }),
 

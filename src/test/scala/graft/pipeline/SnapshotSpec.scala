@@ -59,6 +59,51 @@ class SnapshotSpec extends SparkSpec {
     assert(err.getMessage.contains("retained=2,3"))
   }
 
+  test("tags: named refs resolve via readAsOfTag and SQL VERSION AS " +
+    "OF '<tag>', protect their version from pruning and expiry, and " +
+    "reject duplicates/unretained targets") {
+    val dir = Files.createTempDirectory("snaptag").toString + "/t"
+    Snapshot.createOrReplace(Seq(1).toDF("x"), dir, keepVersions = 2)
+    Snapshot.createOrReplace(Seq(2).toDF("x"), dir, keepVersions = 2)
+    Snapshot.createTag(dir, "validated", 1)
+    assert(Snapshot.tags(dir) == Map("validated" -> 1L))
+    assert(Snapshot.readAsOfTag(spark, dir, "validated")
+      .as[Int].head() == 1)
+    // duplicate rejected unless replace; unretained version rejected
+    intercept[IllegalArgumentException] {
+      Snapshot.createTag(dir, "validated", 2) }
+    intercept[java.util.NoSuchElementException] {
+      Snapshot.createTag(dir, "nope", 99) }
+    Snapshot.createTag(dir, "validated", 2, replace = true)
+    assert(Snapshot.readAsOfTag(spark, dir, "validated")
+      .as[Int].head() == 2)
+    Snapshot.createTag(dir, "v1", 1)
+    // keepVersions=2 pruning would drop v1 after two more commits,
+    // but the tag keeps it reachable
+    Snapshot.createOrReplace(Seq(3).toDF("x"), dir, keepVersions = 2)
+    Snapshot.createOrReplace(Seq(4).toDF("x"), dir, keepVersions = 2)
+    assert(Snapshot.readAsOfTag(spark, dir, "v1").as[Int].head() == 1)
+    // expireSnapshots skips the tagged version too
+    assert(!Snapshot.expireSnapshots(dir, 0).contains(1L))
+    assert(Snapshot.readAsOfTag(spark, dir, "v1").as[Int].head() == 1)
+    // after dropTag the version is expirable
+    Snapshot.dropTag(dir, "v1")
+    assert(Snapshot.expireSnapshots(dir, 0).contains(1L))
+    intercept[java.util.NoSuchElementException] {
+      Snapshot.readAsOfTag(spark, dir, "gone") }
+    // SQL surface: CALL create_tag + VERSION AS OF '<tag>'
+    graft.catalog.TableStore.reset(spark)
+    new graft.catalog.TableStore(spark)
+      .registerSnapshot("refs", "t", dir)
+    spark.sql("""CALL iceberg.system.create_tag(
+      table => 'refs.t', tag => 'live_tag')""")
+    assert(spark.sql("SELECT x FROM refs.t VERSION AS OF 'live_tag'")
+      .as[Int].head() == 4)
+    assert(spark.sql(
+      "CALL system.drop_tag(table => 'refs.t', tag => 'live_tag')")
+      .as[Long].head() == Snapshot.currentVersion(dir).get)
+  }
+
   test("rollback: restoring a historical version via createOrReplace " +
     "of its frame yields a NEW version with the old content") {
     val dir = Files.createTempDirectory("snapr").toString + "/t"
