@@ -133,6 +133,50 @@ class SnapshotSpec extends SparkSpec {
       .as[Long].head() == 2L)
   }
 
+  test("partition-spec EVOLUTION: a new version can change partition " +
+    "columns; each version reads and PRUNES under its own spec, and " +
+    "the metadata tables report per-version fragments") {
+    val dir = Files.createTempDirectory("snapev").toString + "/e"
+    val df = Seq(
+      ("d1", "eu", 1L), ("d1", "us", 2L), ("d2", "eu", 3L)
+    ).toDF("day", "region", "event_id")
+    def pruned(q: org.apache.spark.sql.DataFrame, c: String): Unit = {
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pf = plan.linesIterator
+        .find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(pf.contains(s"isnotnull($c#"),
+        s"no partition filter on $c:\n$plan")
+    }
+    // v1 partitioned by day; v2 evolves the spec to (day, region)
+    Snapshot.createOrReplacePartitioned(df, dir, Seq("day"),
+      keepVersions = 2)
+    Snapshot.createOrReplacePartitioned(df, dir, Seq("day", "region"),
+      keepVersions = 2)
+    // old version: old spec, still pruning on day
+    val v1 = Snapshot.readAsOf(spark, dir, 1)
+      .filter($"day" === "d1")
+    assert(v1.select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    pruned(v1, "day")
+    // live version: new spec prunes on BOTH levels
+    val v2 = Snapshot.read(spark, dir)
+      .filter($"day" === "d1" && $"region" === "eu")
+    assert(v2.select("event_id").as[Long].collect().toSeq == Seq(1L))
+    pruned(v2, "day"); pruned(v2, "region")
+    // all_files shows each version under its own spec
+    graft.catalog.TableStore.reset(spark)
+    new graft.catalog.TableStore(spark).registerSnapshot("evo", "e", dir)
+    val frags = spark.sql(
+      """SELECT version, partition FROM evo.e.all_files
+         ORDER BY version, partition""")
+      .as[(Long, String)].collect().toSeq
+    assert(frags.filter(_._1 == 1L).map(_._2).distinct ==
+      Seq("day=d1", "day=d2"))
+    assert(frags.filter(_._1 == 2L).map(_._2).distinct ==
+      Seq("day=d1/region=eu", "day=d1/region=us", "day=d2/region=eu"))
+  }
+
   test("keepVersions=0 (default) keeps today's plain-replace contract: " +
     "no history dirs accumulate") {
     val dir = Files.createTempDirectory("snap0").toString + "/t"
