@@ -53,6 +53,37 @@ object Soak {
       .localCheckpoint()
     val n = corpus.count()
 
+    val block = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    // embeddings corpus scaled the same way (even replicas verbatim,
+    // odd replicas perturbed) — shared by the semantic-dedup and
+    // retrieval entries below; built OUTSIDE the timings and BEFORE
+    // the baseline snapshot so timed()'s per-op block release never
+    // unpersists these shared fixtures
+    val ebase = graft.queries.ExtQueries
+      .embTwins(Tables.embeddings(spark, sfDir))
+    val escaled =
+      if (mult <= 1) ebase
+      else (0 until mult).map { k =>
+        val shifted = ebase
+          .withColumn("vec_id", col("vec_id") + k * 10000000L)
+        if (k % 2 == 0) shifted
+        else shifted.withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.001) * (k % 5)))
+      }.reduce(_ unionByName _)
+    val ecorpus = escaled
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    ecorpus.count()
+    // retrieval queries stay FIXED (base corpus only): the production
+    // shape is a constant query set over a growing corpus, so the
+    // factor isolates corpus-side scaling
+    val equeries = ebase.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+      .localCheckpoint()
+    equeries.count()
+
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def timed(name: String)(df: => org.apache.spark.sql.DataFrame): (String, Double, Long) = {
       val t0 = System.nanoTime()
@@ -65,8 +96,6 @@ object Soak {
       (name, dt, rows)
     }
 
-    val block = docs.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), col("text"))
     val results = Seq(
       timed("exact_dedup") { DedupOps.exactDedup(corpus) },
       timed("near_dup") { DedupOps.nearDuplicates(corpus, minJaccard = 0.4) },
@@ -123,21 +152,43 @@ object Soak {
       // quadratic, measured here (run exact dedup first in a real DAG;
       // this soak deliberately does not)
       timed("semantic_dedup") {
-        val base = graft.queries.ExtQueries
-          .embTwins(Tables.embeddings(spark, sfDir))
-        val escaled =
-          if (mult <= 1) base
-          else (0 until mult).map { k =>
-            val shifted = base
-              .withColumn("vec_id", col("vec_id") + k * 10000000L)
-            if (k % 2 == 0) shifted
-            else shifted.withColumn("embedding",
-              transform(col("embedding"),
-                x => x + lit(0.001) * (k % 5)))
-          }.reduce(_ unionByName _)
-        val ecorpus = escaled.localCheckpoint()
         graft.ext.SimilarityOps.semanticDedup(ecorpus,
           graft.ext.SimilarityOps.sampleCentroids(ecorpus, 64), 0.99)
+      },
+      // X4e under duplication: postings grow mult× but the query-term
+      // broadcast prunes them BEFORE scoring — time should track the
+      // matched-posting volume (linear), not the corpus
+      timed("bm25") {
+        val qt = spark.createDataFrame(graft.queries.ExtQueries
+          .Bm25Queries).toDF("query_id", "term")
+        graft.ext.TextOps.bm25TopK(corpus, qt, k = 10)
+      },
+      // X4e'/X4i: the chunker fans each doc into ~n/48 chunks first, so
+      // the posting table is chunk-sized — the factor proves the
+      // composition stays linear too
+      timed("chunk_retrieval") {
+        val chunks = graft.ext.TextOps.chunkDocs(corpus)
+          .select((col("doc_id") * 1000 + col("chunk_id"))
+            .as("chunk_key"), col("chunk_text"))
+        val qt = spark.createDataFrame(graft.queries.ExtQueries
+          .Bm25Queries).toDF("query_id", "term")
+        graft.ext.TextOps.bm25TopK(chunks, qt, k = 10,
+          idCol = "chunk_key", textCol = "chunk_text")
+      },
+      // X2f retrieval arm: fixed queries, corpus mult× — IVF probes
+      // nprobe cells so time should track cell population (~mult×),
+      // not the brute-force corpus×queries product
+      timed("topk_ivf") {
+        graft.ext.SimilarityOps.ivfTopK(equeries, ecorpus,
+          graft.ext.SimilarityOps.sampleCentroids(ecorpus, 32), 5, 2)
+      },
+      // X2f trainer arm: 2 Lloyd rounds — each round is one
+      // partial-aggregated pass over the corpus plus a codebook-sized
+      // exchange; the factor should sit near mult× (pass cost), with
+      // the exchange constant
+      timed("kmeans") {
+        graft.ext.SimilarityOps.kmeansStats(ecorpus,
+          graft.ext.SimilarityOps.sampleCentroids(ecorpus, 32), 2)
       },
       timed("curation") {
         val toks = split(col("text"), " ")
