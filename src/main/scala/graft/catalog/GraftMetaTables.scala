@@ -27,6 +27,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
   *  - `ns.t.all_files` — `files` across EVERY retained version, with a
   *    leading `version` column (Iceberg's all_files), bounded by the
   *    retention limit like `snapshots`.
+  *  - `ns.t.refs` — named refs (Iceberg's refs table): the implicit
+  *    `main` BRANCH at the live version plus one TAG row per
+  *    [[graft.pipeline.Snapshot.createTag]] ref, (name, type,
+  *    version).
   *
   * The `iceberg.`/`demo.` prefix works too (4-part). Resolution happens
   * at PARSE time ([[GraftSqlParser]]) for the same reason the catalog
@@ -38,7 +42,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 object GraftMetaTables {
 
   private val MetaNames =
-    Set("history", "snapshots", "files", "partitions", "all_files")
+    Set("history", "snapshots", "files", "partitions", "all_files",
+      "refs")
 
   def lookup(session: SparkSession,
              parts: Seq[String]): Option[LogicalPlan] = {
@@ -88,6 +93,13 @@ object GraftMetaTables {
                     "file_format", "partition", "record_count",
                     "file_size_in_bytes").map(col): _*))
                 .reduce(_ unionAll _)
+            case "refs" =>
+              val rows =
+                live.map(v => ("main", "BRANCH", v)).toSeq ++
+                  graft.pipeline.Snapshot.tags(path).toSeq.sortBy(_._1)
+                    .map { case (n, v) => (n, "TAG", v) }
+              import session.implicits._
+              rows.toDF("name", "type", "version")
           }
           SubqueryAlias(parts.last, plan.queryExecution.analyzed)
         }

@@ -206,6 +206,29 @@ object PipelineQueries {
                ORDER BY version""")
     }),
 
+    // S4+++++ — `ns.t.refs` metadata table: the implicit main BRANCH
+    // at the live version plus the TAG refs, over a two-version
+    // fixture with tags created through the CALL surface.
+    "q_snapshot_refs" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snaprefs")
+        .toString + "/orders_refs"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      new TableStore(s).registerSnapshot("silver", "orders_refs", dir)
+      s.sql("""CALL iceberg.system.create_tag(
+               table => 'silver.orders_refs', tag => 'validated',
+               version => 1)""")
+      s.sql("""CALL iceberg.system.create_tag(
+               table => 'silver.orders_refs', tag => 'release')""")
+      s.sql("""SELECT name, type, version
+               FROM iceberg.silver.orders_refs.refs ORDER BY name""")
+    }),
+
     // S4+++++ — `ns.t.files` metadata table: per-data-file stats of the
     // current snapshot. The fixture writes lineitem Hive-partitioned by
     // l_returnflag with repartition(col) first, so every partition
@@ -797,6 +820,14 @@ FROM iceberg.silver.orders_current""")
       UNION ALL
       SELECT CAST(2 AS BIGINT), true, (SELECT n FROM v2)
       ORDER BY version""",
+
+    "q_snapshot_refs" -> """
+      SELECT * FROM (VALUES
+        ('main', 'BRANCH', CAST(2 AS BIGINT)),
+        ('release', 'TAG', CAST(2 AS BIGINT)),
+        ('validated', 'TAG', CAST(1 AS BIGINT))
+      ) AS t(name, type, version)
+      ORDER BY name""",
 
     "q_snapshot_files" -> """
       SELECT 'l_returnflag=' || l_returnflag AS "partition",

@@ -99,6 +99,13 @@ class SnapshotSpec extends SparkSpec {
       table => 'refs.t', tag => 'live_tag')""")
     assert(spark.sql("SELECT x FROM refs.t VERSION AS OF 'live_tag'")
       .as[Int].head() == 4)
+    // the refs metadata table lists main + the tags
+    val live = Snapshot.currentVersion(dir).get
+    assert(spark.sql(
+      "SELECT name, type, version FROM refs.t.refs ORDER BY name")
+      .as[(String, String, Long)].collect().toSeq ==
+      Seq(("live_tag", "TAG", live), ("main", "BRANCH", live),
+        ("validated", "TAG", 2L)))
     assert(spark.sql(
       "CALL system.drop_tag(table => 'refs.t', tag => 'live_tag')")
       .as[Long].head() == Snapshot.currentVersion(dir).get)
