@@ -32,6 +32,13 @@ import org.apache.spark.sql.types.LongType
   *    equivalent surface). `version` defaults to the live version.
   *    Tagged versions are protected from expiry, and readable via
   *    `VERSION AS OF '<tag>'`. Both return (version).
+  *  - `fast_forward(table, branch, keep_versions => n)` — PUBLISH of
+  *    the write-audit-publish flow, Iceberg's procedure of the same
+  *    name: promote the staged branch ([[graft.pipeline.Snapshot
+  *    .writeBranch]]) to live in one atomic swap, the previous live
+  *    rolling into history; the branch is consumed. Returns
+  *    (previous_version, current_version). `drop_branch(table,
+  *    branch)` discards a staged branch (returns its fork version).
   *
   * The `table` argument accepts `ns.t` or the full `iceberg.ns.t` /
   * `demo.ns.t` spelling and must name a SNAPSHOT-BACKED registration
@@ -95,6 +102,22 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
             s"no such tag: '$tag'"))
         graft.pipeline.Snapshot.dropTag(path, tag)
         Seq(Row(version))
+      case "fast_forward" =>
+        val branch = required("branch", 1).toString
+        val keep = arg("keep_versions", 2).map(_.toString.toInt)
+          .getOrElse(graft.pipeline.Snapshot
+            .historicalVersions(path).size + 1)
+        val prev = graft.pipeline.Snapshot.currentVersion(path)
+          .getOrElse(0L)
+        val cur = graft.pipeline.Snapshot
+          .publishBranch(spark, path, branch, keep)
+        Seq(Row(prev, cur))
+      case "drop_branch" =>
+        val branch = required("branch", 1).toString
+        val fork = graft.pipeline.Snapshot
+          .branchForkVersion(path, branch).getOrElse(0L)
+        graft.pipeline.Snapshot.dropBranch(path, branch)
+        Seq(Row(fork))
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: system.$other (supported: " +
           "rewrite_data_files, expire_snapshots, rollback_to_snapshot, " +
@@ -111,7 +134,8 @@ object GraftCallCommand {
     case "expire_snapshots" => Seq("deleted_snapshots_count")
     case "rollback_to_snapshot" =>
       Seq("previous_version", "current_version")
-    case "create_tag" | "drop_tag" => Seq("version")
+    case "create_tag" | "drop_tag" | "drop_branch" => Seq("version")
+    case "fast_forward" => Seq("previous_version", "current_version")
     case _ => Seq("orphan_file_count")
   }).map(AttributeReference(_, LongType, nullable = false)())
 

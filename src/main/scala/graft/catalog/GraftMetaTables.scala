@@ -28,8 +28,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
   *    leading `version` column (Iceberg's all_files), bounded by the
   *    retention limit like `snapshots`.
   *  - `ns.t.refs` — named refs (Iceberg's refs table): the implicit
-  *    `main` BRANCH at the live version plus one TAG row per
-  *    [[graft.pipeline.Snapshot.createTag]] ref, (name, type,
+  *    `main` BRANCH at the live version, one BRANCH row per staged
+  *    [[graft.pipeline.Snapshot.writeBranch]] branch (at its fork
+  *    version), and one TAG row per
+  *    [[graft.pipeline.Snapshot.createTag]] ref — (name, type,
   *    version).
   *
   * The `iceberg.`/`demo.` prefix works too (4-part). Resolution happens
@@ -94,8 +96,13 @@ object GraftMetaTables {
                     "file_size_in_bytes").map(col): _*))
                 .reduce(_ unionAll _)
             case "refs" =>
+              // staged branches report their FORK version (the live
+              // version they were written against) until publish
               val rows =
                 live.map(v => ("main", "BRANCH", v)).toSeq ++
+                  graft.pipeline.Snapshot.branches(path).map(b =>
+                    (b, "BRANCH", graft.pipeline.Snapshot
+                      .branchForkVersion(path, b).getOrElse(0L))) ++
                   graft.pipeline.Snapshot.tags(path).toSeq.sortBy(_._1)
                     .map { case (n, v) => (n, "TAG", v) }
               import session.implicits._

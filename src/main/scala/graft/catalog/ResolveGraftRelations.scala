@@ -40,14 +40,26 @@ case class ResolveGraftRelations(session: SparkSession)
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         (tt.relation, tt.version) match {
           case (u: UnresolvedRelation, Some(v)) =>
-            // numeric → version id; non-numeric string → TAG ref
-            // (`VERSION AS OF 'nightly'`), Iceberg's ref time travel
+            // numeric → version id; non-numeric string → ref: TAG
+            // first, then staged BRANCH (`VERSION AS OF 'nightly'` /
+            // the audit read of a WAP branch) — Iceberg's ref travel
             snapshotKey(u.multipartIdentifier).map { path =>
               val df = v.toLongOption match {
                 case Some(ver) =>
                   graft.pipeline.Snapshot.readAsOf(session, path, ver)
-                case None =>
+                case None if graft.pipeline.Snapshot.tags(path)
+                    .contains(v) =>
                   graft.pipeline.Snapshot.readAsOfTag(session, path, v)
+                case None if graft.pipeline.Snapshot.branches(path)
+                    .contains(v) =>
+                  graft.pipeline.Snapshot.readBranch(session, path, v)
+                case None =>
+                  throw new java.util.NoSuchElementException(
+                    s"no such ref (tag or branch): '$v' at $path (" +
+                      s"tags=${graft.pipeline.Snapshot.tags(path)
+                        .keys.toSeq.sorted.mkString(",")}; " +
+                      s"branches=${graft.pipeline.Snapshot
+                        .branches(path).mkString(",")})")
               }
               SubqueryAlias(u.multipartIdentifier.last,
                 df.queryExecution.analyzed): LogicalPlan

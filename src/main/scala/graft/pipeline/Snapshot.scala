@@ -340,6 +340,104 @@ object Snapshot {
   private def taggedVersions(path: String): Set[Long] =
     tags(path).values.toSet
 
+  // -------------------------------------------------------------------
+  // Branches — the WRITE-AUDIT-PUBLISH story over the same layout. A
+  // branch is a fully-written staging snapshot in the sibling dir
+  // `<path>.branch-<name>`: jobs write it in isolation (the live table
+  // never sees a half-built state), auditors read it by name (API or
+  // `VERSION AS OF '<branch>'`), and publishing promotes it to live
+  // through the SAME atomic swap as every other commit — Iceberg's
+  // fast_forward, after which the branch is consumed. The branch dir
+  // carries its fork version (the live version when it was written)
+  // until publish stamps the real next version.
+  // -------------------------------------------------------------------
+
+  private def branchDir(path: String, name: String): Path = {
+    require(name.nonEmpty && !name.contains('/') && !name.contains('='),
+      s"invalid branch name: '$name'")
+    Paths.get(s"$path.branch-$name")
+  }
+
+  /** Write (or rewrite) branch `name` as a complete staged snapshot —
+    * atomic against concurrent branch readers via tmp + dir swap. */
+  def writeBranch(df: DataFrame, path: String, name: String): Unit = {
+    val dir = branchDir(path, name)
+    val tmp = Paths.get(dir.toString + ".tmp-swap")
+    val old = Paths.get(dir.toString + ".old-swap")
+    deleteRecursively(tmp); deleteRecursively(old)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    currentVersion(path).foreach(v =>
+      Files.write(tmp.resolve(VersionFile),
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    if (Files.exists(dir))
+      Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  /** Branch names staged beside `path` (sorted). */
+  def branches(path: String): Seq[String] = {
+    val live = Paths.get(path)
+    val parent = live.getParent
+    val prefix = live.getFileName.toString + ".branch-"
+    if (parent == null || !Files.exists(parent)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(parent)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(prefix) && !n.endsWith(".tmp-swap") &&
+          !n.endsWith(".old-swap"))
+        .map(_.stripPrefix(prefix)).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** The audit read: branch content by name. */
+  def readBranch(spark: SparkSession, path: String,
+                 name: String): DataFrame = {
+    val dir = branchDir(path, name)
+    if (!Files.exists(dir))
+      throw new java.util.NoSuchElementException(
+        s"no such branch: '$name' at $path " +
+          s"(branches=${branches(path).mkString(",")})")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Fork version recorded at [[writeBranch]] time (None if the table
+    * had no live version then). */
+  def branchForkVersion(path: String, name: String): Option[Long] = {
+    val m = branchDir(path, name).resolve(VersionFile)
+    if (Files.exists(m))
+      Some(new String(Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** PUBLISH: promote the audited branch to live — one atomic swap
+    * (the previous live rolls into history under `keepVersions` like
+    * any commit), consuming the branch. Iceberg's `fast_forward`.
+    * @return the new live version */
+  def publishBranch(spark: SparkSession, path: String, name: String,
+                    keepVersions: Int = 0): Long = {
+    val dir = branchDir(path, name)
+    if (!Files.exists(dir))
+      throw new java.util.NoSuchElementException(
+        s"no such branch: '$name' at $path")
+    swapIn(path, keepVersions) { tmp =>
+      Files.move(dir, tmp, StandardCopyOption.ATOMIC_MOVE)
+    }
+    currentVersion(path).get
+  }
+
+  def dropBranch(path: String, name: String): Unit = {
+    val dir = branchDir(path, name)
+    if (!Files.exists(dir))
+      throw new java.util.NoSuchElementException(
+        s"no such branch: '$name' at $path")
+    deleteRecursively(dir)
+  }
+
   /** Live-snapshot parquet file count (maintenance signal: schedule
     * [[compact]] when it exceeds the table's file-size budget). */
   def fileCount(path: String): Int = {

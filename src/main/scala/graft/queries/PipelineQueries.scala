@@ -225,8 +225,38 @@ object PipelineQueries {
                version => 1)""")
       s.sql("""CALL iceberg.system.create_tag(
                table => 'silver.orders_refs', tag => 'release')""")
+      // a staged WAP branch appears as a BRANCH row at its fork version
+      graft.pipeline.Snapshot.writeBranch(
+        graft.pipeline.Snapshot.readAsOf(s, dir, 1), dir, "audit")
       s.sql("""SELECT name, type, version
                FROM iceberg.silver.orders_refs.refs ORDER BY name""")
+    }),
+
+    // S4+++++++ — WRITE-AUDIT-PUBLISH through branches: stage the
+    // capped silver on branch 'audit' (live table untouched — the
+    // audit reads the branch by ref), then CALL fast_forward promotes
+    // it atomically; the published live table is the compared result
+    // (oracle = the same capped silver q_time_travel_sql pins), and
+    // the pre-publish live state stays time-travelable.
+    "q_wap_publish" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snapwap")
+        .toString + "/orders_wap"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      graft.pipeline.Snapshot.writeBranch(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        "audit")
+      new TableStore(s).registerSnapshot("silver", "orders_wap", dir)
+      // audit gate: the branch read must be non-empty before publish
+      require(s.sql(
+        "SELECT count(*) FROM silver.orders_wap VERSION AS OF 'audit'")
+        .head().getLong(0) > 0, "audit read came back empty")
+      s.sql("""CALL iceberg.system.fast_forward(
+               table => 'silver.orders_wap', branch => 'audit')""")
+      tsToStr(s.sql("SELECT * FROM iceberg.silver.orders_wap"),
+        "last_change_ts").orderBy("order_id")
     }),
 
     // S4+++++ — `ns.t.files` metadata table: per-data-file stats of the
@@ -823,11 +853,22 @@ FROM iceberg.silver.orders_current""")
 
     "q_snapshot_refs" -> """
       SELECT * FROM (VALUES
+        ('audit', 'BRANCH', CAST(2 AS BIGINT)),
         ('main', 'BRANCH', CAST(2 AS BIGINT)),
         ('release', 'TAG', CAST(2 AS BIGINT)),
         ('validated', 'TAG', CAST(1 AS BIGINT))
       ) AS t(name, type, version)
       ORDER BY name""",
+
+    "q_wap_publish" -> s"""
+      WITH $evoCte,
+      cut AS (SELECT max(off) // 2 AS c FROM evo),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo, cut WHERE op <> 'd' AND off <= c
+      )
+      $silverSelect ORDER BY order_id""",
 
     "q_snapshot_files" -> """
       SELECT 'l_returnflag=' || l_returnflag AS "partition",

@@ -111,6 +111,53 @@ class SnapshotSpec extends SparkSpec {
       .as[Long].head() == Snapshot.currentVersion(dir).get)
   }
 
+  test("branches (write-audit-publish): a staged branch is invisible " +
+    "to live reads, auditable by ref, published atomically via " +
+    "fast_forward (consuming it), and droppable") {
+    val dir = Files.createTempDirectory("snapwap").toString + "/t"
+    Snapshot.createOrReplace(Seq(1).toDF("x"), dir, keepVersions = 2)
+    Snapshot.writeBranch(Seq(99).toDF("x"), dir, "audit")
+    // live untouched; branch readable by API and listed with its fork
+    assert(Snapshot.read(spark, dir).as[Int].collect().toSeq == Seq(1))
+    assert(Snapshot.branches(dir) == Seq("audit"))
+    assert(Snapshot.readBranch(spark, dir, "audit")
+      .as[Int].head() == 99)
+    assert(Snapshot.branchForkVersion(dir, "audit").contains(1L))
+    // rewriting a branch replaces its staging wholesale
+    Snapshot.writeBranch(Seq(7, 8).toDF("x"), dir, "audit")
+    assert(Snapshot.readBranch(spark, dir, "audit").count() == 2)
+    // SQL audit read + refs row, then publish through CALL
+    graft.catalog.TableStore.reset(spark)
+    new graft.catalog.TableStore(spark).registerSnapshot("wap", "t", dir)
+    assert(spark.sql("SELECT x FROM wap.t VERSION AS OF 'audit'")
+      .as[Int].collect().sorted.toSeq == Seq(7, 8))
+    assert(spark.sql(
+      "SELECT name, type, version FROM wap.t.refs ORDER BY name")
+      .as[(String, String, Long)].collect().toSeq ==
+      Seq(("audit", "BRANCH", 1L), ("main", "BRANCH", 1L)))
+    val pub = spark.sql("""CALL iceberg.system.fast_forward(
+      table => 'wap.t', branch => 'audit')""")
+      .as[(Long, Long)].head()
+    assert(pub == ((1L, 2L)))
+    // published: live is the branch content, branch consumed, history
+    // keeps the pre-publish state
+    assert(Snapshot.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      Seq(7, 8))
+    assert(Snapshot.branches(dir).isEmpty)
+    assert(Snapshot.readAsOf(spark, dir, 1).as[Int].head() == 1)
+    // unknown refs raise the combined tag/branch message
+    val e = intercept[Exception] {
+      spark.sql("SELECT x FROM wap.t VERSION AS OF 'nope'").collect() }
+    assert(e.getMessage.contains("no such ref"))
+    // drop_branch discards a staged branch without publishing
+    Snapshot.writeBranch(Seq(0).toDF("x"), dir, "scrap")
+    spark.sql(
+      "CALL system.drop_branch(table => 'wap.t', branch => 'scrap')")
+    assert(Snapshot.branches(dir).isEmpty)
+    intercept[java.util.NoSuchElementException] {
+      Snapshot.dropBranch(dir, "scrap") }
+  }
+
   test("rollback: restoring a historical version via createOrReplace " +
     "of its frame yields a NEW version with the old content") {
     val dir = Files.createTempDirectory("snapr").toString + "/t"
