@@ -39,6 +39,14 @@ import org.apache.spark.sql.types.LongType
   *    rolling into history; the branch is consumed. Returns
   *    (previous_version, current_version). `drop_branch(table,
   *    branch)` discards a staged branch (returns its fork version).
+  *  - `create_changelog_view(table, identifier_columns,
+  *    start_version => a, end_version => b, changelog_view => name)` —
+  *    Iceberg's CDC procedure adapted to this layout: registers a temp
+  *    view over [[graft.pipeline.Snapshot.diff]] between two retained
+  *    versions (defaults: oldest retained → live; view `<t>_changes`).
+  *    `identifier_columns` is required because Iceberg reads its
+  *    identifier fields from table metadata this layout doesn't carry.
+  *    Returns (changelog_view).
   *
   * The `table` argument accepts `ns.t` or the full `iceberg.ns.t` /
   * `demo.ns.t` spelling and must name a SNAPSHOT-BACKED registration
@@ -118,26 +126,58 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           .branchForkVersion(path, branch).getOrElse(0L)
         graft.pipeline.Snapshot.dropBranch(path, branch)
         Seq(Row(fork))
+      case "create_changelog_view" =>
+        // Iceberg's changelog procedure adapted to the versioned-dir
+        // layout: registers a temp view over Snapshot.diff between two
+        // retained versions. The one extra required argument is
+        // identifier_columns (Iceberg reads identifier fields from
+        // table metadata this layout does not carry).
+        val keys = required("identifier_columns", 1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty,
+          "create_changelog_view requires identifier_columns")
+        val startV = arg("start_version", 2).map(_.toString.toLong)
+          .orElse(graft.pipeline.Snapshot.historicalVersions(path)
+            .headOption)
+          .getOrElse(throw new IllegalArgumentException(
+            "create_changelog_view: no retained historical version " +
+              s"to diff from at $path"))
+        val endV = arg("end_version", 3).map(_.toString.toLong)
+          .orElse(graft.pipeline.Snapshot.currentVersion(path))
+          .getOrElse(throw new IllegalArgumentException(
+            s"create_changelog_view: no live version at $path"))
+        val viewName = arg("changelog_view", 4).map(_.toString)
+          .getOrElse(required("table", 0).toString
+            .split("\\.").last + "_changes")
+        graft.pipeline.Snapshot.diff(spark, path, startV, endV, keys)
+          .createOrReplaceTempView(viewName)
+        Seq(Row(viewName))
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: system.$other (supported: " +
           "rewrite_data_files, expire_snapshots, rollback_to_snapshot, " +
-          "remove_orphan_files, create_tag, drop_tag)")
+          "remove_orphan_files, create_tag, drop_tag, fast_forward, " +
+          "drop_branch, create_changelog_view)")
     }
   }
 }
 
 object GraftCallCommand {
 
-  def outputFor(proc: String): Seq[Attribute] = (proc match {
-    case "rewrite_data_files" =>
-      Seq("rewritten_files_count", "added_files_count")
-    case "expire_snapshots" => Seq("deleted_snapshots_count")
-    case "rollback_to_snapshot" =>
-      Seq("previous_version", "current_version")
-    case "create_tag" | "drop_tag" | "drop_branch" => Seq("version")
-    case "fast_forward" => Seq("previous_version", "current_version")
-    case _ => Seq("orphan_file_count")
-  }).map(AttributeReference(_, LongType, nullable = false)())
+  def outputFor(proc: String): Seq[Attribute] = proc match {
+    case "create_changelog_view" =>
+      Seq(AttributeReference("changelog_view",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    case other => (other match {
+      case "rewrite_data_files" =>
+        Seq("rewritten_files_count", "added_files_count")
+      case "expire_snapshots" => Seq("deleted_snapshots_count")
+      case "rollback_to_snapshot" =>
+        Seq("previous_version", "current_version")
+      case "create_tag" | "drop_tag" | "drop_branch" => Seq("version")
+      case "fast_forward" => Seq("previous_version", "current_version")
+      case _ => Seq("orphan_file_count")
+    }).map(AttributeReference(_, LongType, nullable = false)())
+  }
 
   /** Positional values + lowercased named values, literals evaluated. */
   private def split(args: Seq[Expression]): (Seq[Any], Map[String, Any]) = {

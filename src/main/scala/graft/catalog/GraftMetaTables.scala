@@ -27,6 +27,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
   *  - `ns.t.all_files` — `files` across EVERY retained version, with a
   *    leading `version` column (Iceberg's all_files), bounded by the
   *    retention limit like `snapshots`.
+  *  - `ns.t.manifests` — one row per partition directory of the
+  *    current snapshot (this layout's manifest unit, where Iceberg's
+  *    is an avro manifest file): (path, length,
+  *    added_data_files_count, added_rows_count).
   *  - `ns.t.refs` — named refs (Iceberg's refs table): the implicit
   *    `main` BRANCH at the live version, one BRANCH row per staged
   *    [[graft.pipeline.Snapshot.writeBranch]] branch (at its fork
@@ -45,7 +49,7 @@ object GraftMetaTables {
 
   private val MetaNames =
     Set("history", "snapshots", "files", "partitions", "all_files",
-      "refs")
+      "refs", "manifests")
 
   def lookup(session: SparkSession,
              parts: Seq[String]): Option[LogicalPlan] = {
@@ -95,6 +99,18 @@ object GraftMetaTables {
                     "file_format", "partition", "record_count",
                     "file_size_in_bytes").map(col): _*))
                 .reduce(_ unionAll _)
+            case "manifests" =>
+              // This layout's manifest unit is the partition DIRECTORY
+              // (Iceberg's is an avro manifest file): one row per
+              // partition dir of the current snapshot with the
+              // file/row/byte totals a manifest header carries.
+              filesOf(session, path, live.getOrElse(
+                throw new java.util.NoSuchElementException(
+                  s"${key.mkString(".")} has no live snapshot version")))
+                .groupBy(col("partition").as("path"))
+                .agg(sum("file_size_in_bytes").as("length"),
+                  count(lit(1)).as("added_data_files_count"),
+                  sum("record_count").as("added_rows_count"))
             case "refs" =>
               // staged branches report their FORK version (the live
               // version they were written against) until publish

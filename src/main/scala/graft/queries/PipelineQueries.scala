@@ -278,6 +278,44 @@ object PipelineQueries {
                FROM iceberg.silver.li_files.files ORDER BY partition""")
     }),
 
+    // S4+++++ — `ns.t.manifests` metadata table: per-partition-dir
+    // totals of the current snapshot (this layout's manifest unit);
+    // same one-file-per-partition fixture as q_snapshot_files, so the
+    // file and row totals are the per-flag group counts.
+    "q_snapshot_manifests" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val dir = java.nio.file.Files.createTempDirectory("snapman")
+        .toString + "/li_man"
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.repartition(col("l_returnflag")), dir, Seq("l_returnflag"))
+      new TableStore(s).registerSnapshot("silver", "li_man", dir)
+      s.sql("""SELECT path, added_data_files_count, added_rows_count
+               FROM iceberg.silver.li_man.manifests ORDER BY path""")
+    }),
+
+    // S4++ — Iceberg's create_changelog_view procedure over the
+    // two-version fixture: registers a temp view of Snapshot.diff
+    // (oldest retained -> live by default) and reads it back — the
+    // CALL-surface spelling of q_snapshot_diff, same oracle.
+    "q_changelog_call" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snapclv")
+        .toString + "/orders_clv"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      new TableStore(s).registerSnapshot("silver", "orders_clv", dir)
+      val view = s.sql("""CALL iceberg.system.create_changelog_view(
+               table => 'silver.orders_clv',
+               identifier_columns => 'order_id')""")
+        .head().getString(0)
+      s.sql(s"SELECT order_id, op FROM $view ORDER BY order_id")
+    }),
+
     // S4+++++ — `ns.t.partitions` metadata table: the files table
     // rolled up per partition (record_count, file_count) over a
     // TWO-version table — proving it reads the current snapshot only.
@@ -879,6 +917,45 @@ FROM iceberg.silver.orders_current""")
       SELECT 'l_returnflag=' || l_returnflag AS "partition",
              count(*) AS record_count, CAST(1 AS BIGINT) AS file_count
       FROM lineitem GROUP BY l_returnflag ORDER BY "partition"""",
+
+    "q_snapshot_manifests" -> """
+      SELECT 'l_returnflag=' || l_returnflag AS path,
+             CAST(1 AS BIGINT) AS added_data_files_count,
+             count(*) AS added_rows_count
+      FROM lineitem GROUP BY l_returnflag ORDER BY path""",
+
+    "q_changelog_call" -> s"""
+      WITH $evoCte,
+      cut AS (SELECT max(off) // 2 AS c FROM evo),
+      r1 AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo, cut WHERE op <> 'd' AND off <= c
+      ),
+      v1 AS (SELECT CAST(k AS INT) AS order_id,
+                    CAST(u AS INT) AS user_id, amt AS amount_eur,
+                    st AS status, ${tsStr("ts_ms")} AS last_change_ts
+             FROM r1 WHERE rn = 1),
+      r2 AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo WHERE op <> 'd'
+      ),
+      v2 AS (SELECT CAST(k AS INT) AS order_id,
+                    CAST(u AS INT) AS user_id, amt AS amount_eur,
+                    st AS status, ${tsStr("ts_ms")} AS last_change_ts
+             FROM r2 WHERE rn = 1)
+      SELECT coalesce(v2.order_id, v1.order_id) AS order_id,
+             CASE WHEN v1.order_id IS NULL THEN 'insert'
+                  WHEN v2.order_id IS NULL THEN 'delete'
+                  ELSE 'update' END AS op
+      FROM v1 FULL JOIN v2 ON v1.order_id = v2.order_id
+      WHERE v1.order_id IS NULL OR v2.order_id IS NULL
+         OR v1.user_id IS DISTINCT FROM v2.user_id
+         OR v1.amount_eur IS DISTINCT FROM v2.amount_eur
+         OR v1.status IS DISTINCT FROM v2.status
+         OR v1.last_change_ts IS DISTINCT FROM v2.last_change_ts
+      ORDER BY order_id""",
 
     "q_snapshot_all_files" -> """
       SELECT CAST(1 AS BIGINT) AS version,

@@ -124,6 +124,14 @@ class CallSqlSpec extends SparkSpec {
          FROM maint.pt.all_files ORDER BY version, partition""")
       .as[(Long, String, Long)].collect().toSeq ==
       Seq((1L, "grp=a", 2L), (2L, "grp=a", 2L), (2L, "grp=b", 1L)))
+    // manifests: per-partition-dir totals with a positive byte length
+    val man = spark.sql(
+      """SELECT path, length, added_data_files_count, added_rows_count
+         FROM maint.pt.manifests ORDER BY path""")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(man.map { case (p, _, f, r) => (p, f, r) } ==
+      Seq(("grp=a", 1L, 2L), ("grp=b", 1L, 1L)))
+    assert(man.forall(_._2 > 0))
     // an unpartitioned table reports the empty partition fragment
     val flat = java.nio.file.Files.createTempDirectory("filesflat")
       .toString + "/t"
@@ -133,6 +141,30 @@ class CallSqlSpec extends SparkSpec {
       """SELECT partition, record_count, file_count
          FROM maint.flat.partitions""")
       .as[(String, Long, Long)].collect().toSeq == Seq(("", 3L, 1L)))
+  }
+
+  test("create_changelog_view registers a diff view between retained " +
+    "versions: defaults, explicit bounds and view name, and the " +
+    "missing-identifier error") {
+    val (_, _) = fixture() // v1={1}, v2={1,2}, v3={1,2,3} live
+    val view = spark.sql("""CALL iceberg.system.create_changelog_view(
+        table => 'maint.t', identifier_columns => 'id')""")
+      .as[String].head()
+    assert(view == "t_changes")
+    // default bounds: oldest retained (1) -> live (3): rows 2,3 insert
+    assert(spark.sql("SELECT id, op FROM t_changes ORDER BY id")
+      .as[(Int, String)].collect().toSeq ==
+      Seq((2, "insert"), (3, "insert")))
+    // explicit bounds + name
+    spark.sql("""CALL iceberg.system.create_changelog_view(
+        table => 'maint.t', identifier_columns => 'id',
+        start_version => 2, end_version => 3,
+        changelog_view => 'clv_23')""")
+    assert(spark.sql("SELECT id, op FROM clv_23")
+      .as[(Int, String)].collect().toSeq == Seq((3, "insert")))
+    intercept[Exception] {
+      spark.sql("CALL iceberg.system.create_changelog_view(" +
+        "table => 'maint.t')") }
   }
 
   test("remove_orphan_files deletes stranded commit work dirs; " +
