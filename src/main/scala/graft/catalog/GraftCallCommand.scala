@@ -47,6 +47,10 @@ import org.apache.spark.sql.types.LongType
   *    `identifier_columns` is required because Iceberg reads its
   *    identifier fields from table metadata this layout doesn't carry.
   *    Returns (changelog_view).
+  *  - `ancestors_of(table)` — Iceberg's lineage procedure: one row per
+  *    retained version, NEWEST first, as (snapshot_id, timestamp) —
+  *    the commit instant is the version marker's
+  *    [[graft.pipeline.Snapshot.committedAt]].
   *
   * The `table` argument accepts `ns.t` or the full `iceberg.ns.t` /
   * `demo.ns.t` spelling and must name a SNAPSHOT-BACKED registration
@@ -152,11 +156,25 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         graft.pipeline.Snapshot.diff(spark, path, startV, endV, keys)
           .createOrReplaceTempView(viewName)
         Seq(Row(viewName))
+      case "ancestors_of" =>
+        // Iceberg returns the current snapshot's ancestor chain newest
+        // first; in this linear-history layout that is every retained
+        // version, descending.
+        (graft.pipeline.Snapshot.historicalVersions(path) ++
+          graft.pipeline.Snapshot.currentVersion(path))
+          .sorted.reverse.map { v =>
+            val ts = graft.pipeline.Snapshot.committedAt(path, v)
+              .map(us => java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(us / 1000000L,
+                  (us % 1000000L) * 1000L)))
+              .orNull
+            Row(v, ts)
+          }
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: system.$other (supported: " +
           "rewrite_data_files, expire_snapshots, rollback_to_snapshot, " +
           "remove_orphan_files, create_tag, drop_tag, fast_forward, " +
-          "drop_branch, create_changelog_view)")
+          "drop_branch, create_changelog_view, ancestors_of)")
     }
   }
 }
@@ -167,6 +185,11 @@ object GraftCallCommand {
     case "create_changelog_view" =>
       Seq(AttributeReference("changelog_view",
         org.apache.spark.sql.types.StringType, nullable = false)())
+    case "ancestors_of" =>
+      Seq(AttributeReference("snapshot_id", LongType,
+        nullable = false)(),
+        AttributeReference("timestamp",
+          org.apache.spark.sql.types.TimestampType, nullable = true)())
     case other => (other match {
       case "rewrite_data_files" =>
         Seq("rewritten_files_count", "added_files_count")

@@ -9,7 +9,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
   * (`SELECT * FROM db.t.history`):
   *
   *  - `ns.t.history` — one row per retained version:
-  *    (version, is_current)
+  *    (version, is_current, made_current_at) — the commit instant is
+  *    [[graft.pipeline.Snapshot.committedAt]] (Iceberg's
+  *    made_current_at)
   *  - `ns.t.snapshots` — adds record_count, as a LAZY per-version
   *    count plan unioned over the retained versions (bounded by the
   *    retention limit), not a driver-side action
@@ -75,9 +77,17 @@ object GraftMetaTables {
                   session.range(1).select()
                 else graft.pipeline.Snapshot.readAsOf(session, path, v)
                   .agg(count(lit(1)).as("record_count"))
+                // Iceberg's made_current_at: the commit instant from
+                // the version marker (null for a pre-versioning dir)
+                val at = graft.pipeline.Snapshot.committedAt(path, v)
+                  .map(us => java.sql.Timestamp.from(
+                    java.time.Instant.ofEpochSecond(us / 1000000L,
+                      (us % 1000000L) * 1000L))).orNull
                 base.select(
                   Seq(lit(v).as("version"),
-                    lit(live.contains(v)).as("is_current")) ++
+                    lit(live.contains(v)).as("is_current"),
+                    lit(at).cast("timestamp")
+                      .as("made_current_at")) ++
                     (if (meta == "history") Nil
                      else Seq(col("record_count"))): _*)
               }.reduce(_ unionAll _)

@@ -64,6 +64,27 @@ case class ResolveGraftRelations(session: SparkSession)
               SubqueryAlias(u.multipartIdentifier.last,
                 df.queryExecution.analyzed): LogicalPlan
             }.getOrElse(tt)
+          // `FOR TIMESTAMP AS OF '<ts>'` — Iceberg's second travel
+          // form: the snapshot CURRENT at that instant. The expression
+          // is folded through a Cast to TimestampType (string literals
+          // and timestamp expressions both land here; session TZ
+          // applies, matching Spark's own time-travel evaluation).
+          case (u: UnresolvedRelation, None)
+              if tt.timestamp.exists(e => e.resolved && e.foldable) =>
+            snapshotKey(u.multipartIdentifier).map { path =>
+              import org.apache.spark.sql.catalyst.expressions.Cast
+              import org.apache.spark.sql.types.TimestampType
+              val cast = Cast(tt.timestamp.get, TimestampType,
+                Some(session.sessionState.conf.sessionLocalTimeZone))
+              val micros = cast.eval(null)
+              if (micros == null)
+                throw new IllegalArgumentException(
+                  s"invalid TIMESTAMP AS OF value: ${tt.timestamp.get.sql}")
+              SubqueryAlias(u.multipartIdentifier.last,
+                graft.pipeline.Snapshot.readAsOfTimestamp(session, path,
+                  micros.asInstanceOf[Long])
+                  .queryExecution.analyzed): LogicalPlan
+            }.getOrElse(tt)
           case _ => tt
         }
       case u: UnresolvedRelation =>

@@ -118,6 +118,42 @@ object Snapshot {
     }
   }
 
+  /** Commit timestamp of a retained version (epoch MICROS, the
+    * engine's timestamp unit): the mtime of the version marker file —
+    * written at commit time inside the staging dir and preserved by
+    * the atomic directory renames that later move the snapshot around
+    * (rename never touches file mtimes). */
+  def committedAt(path: String, version: Long): Option[Long] = {
+    val dir =
+      if (currentVersion(path).contains(version)) Paths.get(path)
+      else Paths.get(s"$path.v$version")
+    val m = dir.resolve(VersionFile)
+    if (!Files.exists(m)) None
+    else {
+      val i = Files.getLastModifiedTime(m).toInstant
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    }
+  }
+
+  /** Iceberg's `TIMESTAMP AS OF` semantics: the snapshot that was
+    * CURRENT at `tsMicros` — the newest retained version committed at
+    * or before it. A timestamp that predates the oldest retained
+    * commit raises (Iceberg: "cannot find a snapshot older than"). */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+                        tsMicros: Long): DataFrame = {
+    val versions = (historicalVersions(path) ++ currentVersion(path))
+      .sorted
+    val atOrBefore = versions
+      .filter(v => committedAt(path, v).exists(_ <= tsMicros))
+    if (atOrBefore.isEmpty)
+      throw new java.util.NoSuchElementException(
+        s"no snapshot of $path committed at or before " +
+          s"timestamp_micros($tsMicros) (retained commits: " +
+          versions.map(v => s"v$v@${committedAt(path, v)
+            .getOrElse("-")}").mkString(", ") + ")")
+    readAsOf(spark, path, atOrBefore.max)
+  }
+
   /** Hive-style partitioned variant: one subdirectory per value of
     * `partitionCols`, so a filter on those columns prunes whole
     * directories at planning time (PartitionFilters on the scan,

@@ -161,6 +161,55 @@ object PipelineQueries {
         "last_change_ts").orderBy("order_id")
     }),
 
+    // S4+++++++ — Iceberg's SECOND travel form verbatim: `TIMESTAMP AS
+    // OF '<instant>'` resolves to the snapshot CURRENT at that instant
+    // (here: v1's own commit micros, read back from the version
+    // marker), so the capped-silver oracle pins the timestamp
+    // resolution path end-to-end. Also proves ancestors_of: the
+    // lineage rows are (2,1) newest-first with non-null commit
+    // instants.
+    "q_time_travel_ts" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snapttts")
+        .toString + "/orders_ts"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      new TableStore(s).registerSnapshot("silver", "orders_ts", dir)
+      val us = graft.pipeline.Snapshot.committedAt(dir, 1L).get
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(
+          us / 1000000L, (us % 1000000L) * 1000L))
+      tsToStr(s.sql(
+        s"SELECT * FROM iceberg.silver.orders_ts TIMESTAMP AS OF '$ts'"),
+        "last_change_ts").orderBy("order_id")
+    }),
+
+    // S4+++ — Iceberg's ancestors_of procedure: version lineage newest
+    // first. The commit instants are wall-clock (asserted non-null and
+    // monotone in CallSqlSpec); the oracle pins the deterministic
+    // lineage ids.
+    "q_ancestors_call" -> ((s, d) => {
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("snapanc")
+        .toString + "/orders_anc"
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), dir, keepVersions = 2)
+      new TableStore(s).registerSnapshot("silver", "orders_anc", dir)
+      s.sql("CALL iceberg.system.ancestors_of('silver.orders_anc')")
+        .select(col("snapshot_id"),
+          col("timestamp").isNotNull.as("has_commit_ts"))
+    }),
+
     // S4+++ — Iceberg's maintenance procedures VERBATIM through
     // `CALL iceberg.system.<proc>`: compact the live snapshot (row
     // content unchanged — rewrite_data_files' contract), then roll
@@ -855,6 +904,21 @@ FROM iceberg.silver.orders_current""")
         FROM evo, cut WHERE op <> 'd' AND off <= c
       )
       $silverSelect ORDER BY order_id""",
+
+    "q_time_travel_ts" -> s"""
+      WITH $evoCte,
+      cut AS (SELECT max(off) // 2 AS c FROM evo),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM evo, cut WHERE op <> 'd' AND off <= c
+      )
+      $silverSelect ORDER BY order_id""",
+
+    "q_ancestors_call" -> """
+      SELECT * FROM (VALUES (CAST(2 AS BIGINT), true),
+                            (CAST(1 AS BIGINT), true))
+        t(snapshot_id, has_commit_ts) ORDER BY snapshot_id DESC""",
 
     "q_maintenance_call" -> s"""
       WITH $evoCte,

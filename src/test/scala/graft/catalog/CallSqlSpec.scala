@@ -68,8 +68,11 @@ class CallSqlSpec extends SparkSpec {
     val (_, dir) = fixture()
     val hist = spark.sql(
       "SELECT * FROM maint.t.history ORDER BY version")
-      .as[(Long, Boolean)].collect().toSeq
-    assert(hist == Seq((1L, false), (2L, false), (3L, true)))
+      .as[(Long, Boolean, java.sql.Timestamp)].collect().toSeq
+    assert(hist.map { case (v, c, _) => (v, c) } ==
+      Seq((1L, false), (2L, false), (3L, true)))
+    // made_current_at carries the commit instants, strictly increasing
+    assert(hist.map(_._3.getTime).sorted == hist.map(_._3.getTime))
     val snaps = spark.sql(
       """SELECT version, is_current, record_count
          FROM iceberg.maint.t.snapshots ORDER BY version""")

@@ -59,6 +59,50 @@ class SnapshotSpec extends SparkSpec {
     assert(err.getMessage.contains("retained=2,3"))
   }
 
+  test("timestamp travel: committedAt is monotone across commits, " +
+    "readAsOfTimestamp picks the snapshot current at the instant, and " +
+    "SQL TIMESTAMP AS OF resolves through the same path") {
+    val dir = Files.createTempDirectory("snapts").toString + "/t"
+    for (v <- 1 to 3)
+      Snapshot.createOrReplace(Seq(v).toDF("x"), dir, keepVersions = 3)
+    val at = (1L to 3L).map(v => Snapshot.committedAt(dir, v).get)
+    assert(at == at.sorted && at.distinct == at,
+      s"commit instants must be strictly increasing: $at")
+    // exactly v2's instant → v2; just before v2 → v1; far future → live
+    assert(Snapshot.readAsOfTimestamp(spark, dir, at(1))
+      .as[Int].head() == 2)
+    assert(Snapshot.readAsOfTimestamp(spark, dir, at(1) - 1)
+      .as[Int].head() == 1)
+    assert(Snapshot.readAsOfTimestamp(spark, dir, Long.MaxValue)
+      .as[Int].head() == 3)
+    // an instant predating the first retained commit raises
+    val err = intercept[java.util.NoSuchElementException] {
+      Snapshot.readAsOfTimestamp(spark, dir, at(0) - 1) }
+    assert(err.getMessage.contains("at or before"))
+    // SQL surface: string literal resolves via the session (UTC) zone;
+    // history/snapshots expose the same instants as made_current_at
+    graft.catalog.TableStore.reset(spark)
+    new graft.catalog.TableStore(spark).registerSnapshot("tt", "t", dir)
+    val s2 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(
+        at(1) / 1000000L, (at(1) % 1000000L) * 1000L))
+    assert(spark.sql(s"SELECT x FROM tt.t TIMESTAMP AS OF '$s2'")
+      .as[Int].head() == 2)
+    val made = spark.sql(
+      "SELECT version, made_current_at FROM tt.t.history ORDER BY version")
+      .as[(Long, java.sql.Timestamp)].collect()
+    assert(made.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(made.forall(_._2 != null))
+    // ancestors_of: lineage newest first, same instants
+    val anc = spark.sql("CALL iceberg.system.ancestors_of('tt.t')")
+      .as[(Long, java.sql.Timestamp)].collect()
+    assert(anc.map(_._1).toSeq == Seq(3L, 2L, 1L))
+    assert(anc.map(_._2.getTime).toSeq ==
+      anc.map(_._2.getTime).sorted.reverse.toSeq)
+  }
+
   test("tags: named refs resolve via readAsOfTag and SQL VERSION AS " +
     "OF '<tag>', protect their version from pruning and expiry, and " +
     "reject duplicates/unretained targets") {
