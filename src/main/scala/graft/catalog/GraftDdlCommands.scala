@@ -311,3 +311,93 @@ case class GraftShowTablesCommand(ns: Option[String], bare: Boolean,
           Row(ti.database.getOrElse(""), ti.table, false) }
   }
 }
+
+/** ALTER TABLE … SET TBLPROPERTIES — merge semantics, like Iceberg
+  * (existing keys overwritten, others kept). */
+case class GraftSetTblPropertiesCommand(ns: String, name: String,
+                                        props: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableStore(spark).setProperties(ns, name, props)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE … UNSET TBLPROPERTIES [IF EXISTS] — a missing key
+  * raises unless IF EXISTS (Spark's contract for v1 tables). */
+case class GraftUnsetTblPropertiesCommand(ns: String, name: String,
+                                          keys: Seq[String],
+                                          ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableStore(spark).unsetProperties(ns, name, keys, ifExists)
+    Seq.empty
+  }
+}
+
+/** SHOW TBLPROPERTIES t [('key')] — all properties key-sorted, or the
+  * one requested key (Spark's native output shapes: (key, value) rows,
+  * or a single (value) row; an unknown requested key reports Spark's
+  * "does not have property" placeholder value rather than raising). */
+case class GraftShowTblPropertiesCommand(ns: String, name: String,
+                                         propertyKey: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    (if (propertyKey.isEmpty)
+       Seq(AttributeReference("key", StringType, nullable = false)())
+     else Nil) :+
+      AttributeReference("value", StringType, nullable = false)()
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = new TableStore(spark).properties(ns, name)
+    propertyKey match {
+      case Some(k) => Seq(Row(props.getOrElse(k,
+        s"Table $ns.$name does not have property: $k")))
+      case None => props.toSeq.sortBy(_._1)
+        .map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** SHOW PARTITIONS t [PARTITION (k=v, …)] — the partition fragments of
+  * the live snapshot (Hive-style `k=v[/k=v]` strings, the same values
+  * the `ns.t.partitions` metadata table rolls up), optionally filtered
+  * by a partial spec. A non-partitioned table raises, matching Spark.
+  * Driver-side listing bounded by the partition count (thousands, not
+  * rows) — the data files are never read. */
+case class GraftShowPartitionsCommand(ns: String, name: String,
+                                      spec: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    val path = store.snapshotPath(ns, name).getOrElse(
+      throw new UnsupportedOperationException(
+        s"SHOW PARTITIONS requires a snapshot-backed table: $ns.$name"))
+    // walk the live snapshot dir for k=v subdirectory chains — the
+    // layout createOrReplacePartitioned writes
+    def fragments(dir: java.nio.file.Path,
+                  prefix: Seq[String]): Seq[Seq[String]] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(dir)
+      val subs = try s.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(n => n.contains('=') && !n.startsWith("."))
+        .toSeq.sorted
+      finally s.close()
+      if (subs.isEmpty) { if (prefix.isEmpty) Nil else Seq(prefix) }
+      else subs.flatMap(n => fragments(dir.resolve(n), prefix :+ n))
+    }
+    val parts = fragments(java.nio.file.Paths.get(path), Nil)
+    if (parts.isEmpty)
+      throw new UnsupportedOperationException(
+        s"SHOW PARTITIONS is not allowed on a table that is not " +
+          s"partitioned: $ns.$name")
+    parts
+      .filter(p => spec.forall { case (k, v) => p.contains(s"$k=$v") })
+      .map(p => Row(p.mkString("/")))
+  }
+}

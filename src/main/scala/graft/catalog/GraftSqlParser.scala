@@ -241,6 +241,36 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         case _ => d
       }
 
+      // TBLPROPERTIES + SHOW PARTITIONS on graft targets (3-part
+      // prefix, or 2-part naming a registered OR snapshot-backed graft
+      // table at parse time — the same target set DESCRIBE accepts);
+      // everything else keeps Spark's native path.
+      case sp: SetTableProperties => propsTarget(sp.table) match {
+        case Some((ns, t)) =>
+          GraftSetTblPropertiesCommand(ns, t, sp.properties)
+        case None => sp
+      }
+      case up: UnsetTableProperties => propsTarget(up.table) match {
+        case Some((ns, t)) =>
+          GraftUnsetTblPropertiesCommand(ns, t, up.propertyKeys,
+            up.ifExists)
+        case None => up
+      }
+      case stp: ShowTableProperties => propsTarget(stp.table) match {
+        case Some((ns, t)) =>
+          GraftShowTblPropertiesCommand(ns, t, stp.propertyKey)
+        case None => stp
+      }
+      case shp: ShowPartitions => propsTarget(shp.table) match {
+        case Some((ns, t)) =>
+          val spec = shp.pattern.collect {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedPartitionSpec => u.spec
+          }.getOrElse(Map.empty[String, String])
+          GraftShowPartitionsCommand(ns, t, spec)
+        case None => shp
+      }
+
       case s: org.apache.spark.sql.execution.command.ShowNamespacesCommand
           if (s.child match {
             case UnresolvedNamespace(Seq(cat), _) => isGraft(cat)
@@ -315,6 +345,24 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
 
   /** ALTER TABLE target resolution: 3-part under a graft catalog
     * prefix, or 2-part naming an existing graft table at parse time. */
+  /** TBLPROPERTIES/SHOW PARTITIONS target claim: any node shape
+    * carrying a multipart identifier (UnresolvedTable for ALTER,
+    * UnresolvedTableOrView for SHOW), 3-part under a graft prefix or
+    * 2-part naming a registered OR snapshot-backed graft table. */
+  private def propsTarget(plan: LogicalPlan): Option[(String, String)] = {
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    tableOrViewParts(plan).flatMap {
+      case Seq(cat, ns, t) if GraftCatalogs.isGraft(cat) =>
+        Some((lower(ns), lower(t)))
+      case Seq(ns, t)
+          if new TableStore(session).tableExists(ns, t) ||
+            new TableStore(session)
+              .snapshotPath(lower(ns), lower(t)).isDefined =>
+        Some((lower(ns), lower(t)))
+      case _ => None
+    }
+  }
+
   private def graftAlterTarget(
       plan: LogicalPlan): Option[(String, String)] = {
     def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)

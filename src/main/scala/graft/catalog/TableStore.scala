@@ -131,8 +131,10 @@ class TableStore(val spark: SparkSession) {
         s"$ns.$name is a view; use DROP VIEW")
     val hadRegistry = st.registry.remove(k).isDefined
     val hadSnapshot = st.snapshotPaths.remove(k).isDefined
-    if (hadRegistry || hadSnapshot)
+    if (hadRegistry || hadSnapshot) {
+      st.properties.remove(k)
       spark.catalog.dropTempView(s"${k.head}_${k(1)}")
+    }
     hadRegistry || hadSnapshot
   }
 
@@ -206,6 +208,43 @@ class TableStore(val spark: SparkSession) {
 
   def snapshotPath(ns: String, name: String): Option[String] =
     st.snapshotPaths.get(key(ns, name))
+
+  /** TBLPROPERTIES — session-scoped key/value metadata on a registered
+    * or snapshot-backed table (like every other entry in this catalog;
+    * Iceberg persists these in table metadata). Merge semantics, like
+    * `ALTER TABLE … SET TBLPROPERTIES`. */
+  def setProperties(ns: String, name: String,
+                    props: Map[String, String]): Unit = {
+    val k = requireTableKey(ns, name)
+    st.properties.updateWith(k) {
+      cur => Some(cur.getOrElse(Map.empty) ++ props)
+    }
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — a missing key raises unless
+    * `ifExists` (Spark/Hive's IF EXISTS contract). */
+  def unsetProperties(ns: String, name: String, keys: Seq[String],
+                      ifExists: Boolean): Unit = {
+    val k = requireTableKey(ns, name)
+    val cur = st.properties.getOrElse(k, Map.empty)
+    val missing = keys.filterNot(cur.contains)
+    if (missing.nonEmpty && !ifExists)
+      throw new java.util.NoSuchElementException(
+        s"properties not found on $ns.$name: ${missing.mkString(", ")}" +
+          " (use UNSET TBLPROPERTIES IF EXISTS to ignore)")
+    st.properties.put(k, cur -- keys)
+  }
+
+  def properties(ns: String, name: String): Map[String, String] =
+    st.properties.getOrElse(requireTableKey(ns, name), Map.empty)
+
+  private def requireTableKey(ns: String, name: String): Seq[String] = {
+    val k = key(ns, name)
+    if (!st.registry.contains(k) && !st.snapshotPaths.contains(k))
+      throw new java.util.NoSuchElementException(
+        s"not a graft table: $ns.$name")
+    k
+  }
 }
 
 object TableStore {
@@ -226,6 +265,9 @@ object TableStore {
     // resolves the versioned siblings)
     val snapshotPaths =
       scala.collection.concurrent.TrieMap.empty[Seq[String], String]
+    // TBLPROPERTIES per table (SET/UNSET/SHOW TBLPROPERTIES)
+    val properties = scala.collection.concurrent
+      .TrieMap.empty[Seq[String], Map[String, String]]
   }
 
   private val states =
@@ -254,5 +296,6 @@ object TableStore {
     val st = state(s)
     st.registry.clear(); st.namespaces.clear(); st.views.clear()
     st.viewPlans.clear(); st.snapshotPaths.clear()
+    st.properties.clear()
   }
 }

@@ -569,6 +569,41 @@ FROM iceberg.silver.orders_current""")
     // to_hex(sha256(to_utf8(x))) and bare `varchar` are spelled in
     // Spark dialect — sha2(x, 256), STRING — the one mechanical edit a
     // porting user makes), then the SHOW TABLES listing itself as SQL.
+    // S9+ — SHOW PARTITIONS verbatim over a partitioned snapshot: the
+    // live snapshot's Hive-style fragments, driven by REAL lineitem
+    // partition values (oracle recomputes them), plus the partial-spec
+    // filter arm proven by the suite.
+    "q_show_partitions" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val dir = java.nio.file.Files.createTempDirectory("showpq")
+        .toString + "/li_parts"
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li, dir, Seq("l_returnflag"))
+      new TableStore(s).registerSnapshot("silver", "li_parts", dir)
+      s.sql("SHOW PARTITIONS iceberg.silver.li_parts")
+        .orderBy("partition")
+    }),
+
+    // S9+ — TBLPROPERTIES round-trip verbatim: SET (merge semantics:
+    // the second statement overwrites one key, keeps the other), UNSET,
+    // SHOW — the surviving key-sorted rows are the oracle.
+    "q_tblproperties" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("tblprops")
+        .toString + "/t"
+      graft.pipeline.Snapshot.createOrReplace(
+        Tables.region(s, d), dir)
+      new TableStore(s).registerSnapshot("meta", "region_props", dir)
+      s.sql("""ALTER TABLE iceberg.meta.region_props SET TBLPROPERTIES
+        ('write.format.default'='parquet',
+         'commit.retry.num-retries'='4')""")
+      s.sql("""ALTER TABLE meta.region_props SET TBLPROPERTIES
+        ('commit.retry.num-retries'='6', 'history.expire.min'='1')""")
+      s.sql("""ALTER TABLE meta.region_props UNSET TBLPROPERTIES
+        IF EXISTS ('history.expire.min', 'not.there')""")
+      s.sql("SHOW TBLPROPERTIES meta.region_props").orderBy("key")
+    }),
+
     "q_show_tables" -> ((s, d) => {
       TableStore.reset(s) // a from-scratch catalog, order-independent
       s.sql("CREATE NAMESPACE IF NOT EXISTS iceberg.bronze")
@@ -1163,6 +1198,16 @@ FROM iceberg.silver.orders_current""")
                AS user_key,
              amt AS amount_eur, st AS status
       FROM ranked WHERE rn = 1 AND amt > 500.0 ORDER BY order_id""",
+
+    "q_show_partitions" -> """
+      SELECT DISTINCT 'l_returnflag=' || l_returnflag AS "partition"
+      FROM lineitem ORDER BY "partition"""",
+
+    "q_tblproperties" -> """
+      SELECT * FROM (VALUES
+        ('commit.retry.num-retries', '6'),
+        ('write.format.default', 'parquet')
+      ) AS t("key", "value") ORDER BY "key"""",
 
     "q_show_tables" -> """
       SELECT * FROM (VALUES

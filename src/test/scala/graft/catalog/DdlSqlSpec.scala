@@ -329,6 +329,74 @@ FROM iceberg.silver.orders_current""")
       spark.sql("ALTER TABLE nosuch.t ADD COLUMNS (x INT)") }
   }
 
+  test("TBLPROPERTIES round-trip: SET merges, SHOW lists key-sorted " +
+    "or answers one key, UNSET raises on missing keys unless IF " +
+    "EXISTS; non-graft targets keep Spark's native path") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    store.register("props", "t", Seq(1).toDF("x"))
+    spark.sql("""ALTER TABLE iceberg.props.t SET TBLPROPERTIES
+      ('write.format.default'='parquet', 'team'='cdc')""")
+    // merge semantics: a second SET overwrites one key, keeps the other
+    spark.sql(
+      "ALTER TABLE props.t SET TBLPROPERTIES ('team'='lakehouse')")
+    assert(spark.sql("SHOW TBLPROPERTIES props.t")
+      .as[(String, String)].collect().toSeq ==
+      Seq(("team", "lakehouse"), ("write.format.default", "parquet")))
+    // single-key form returns just the value; unknown key reports the
+    // native placeholder instead of raising
+    assert(spark.sql("SHOW TBLPROPERTIES props.t ('team')")
+      .as[String].head() == "lakehouse")
+    assert(spark.sql("SHOW TBLPROPERTIES props.t ('nope')")
+      .as[String].head().contains("does not have property"))
+    spark.sql(
+      "ALTER TABLE props.t UNSET TBLPROPERTIES IF EXISTS ('nope', 'team')")
+    assert(spark.sql("SHOW TBLPROPERTIES props.t").count() == 1)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE props.t UNSET TBLPROPERTIES ('gone')") }
+    // snapshot-backed tables carry properties too; unregistered names
+    // keep Spark's native (failing) path
+    val dir = java.nio.file.Files.createTempDirectory("props")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(Seq(1).toDF("x"), dir)
+    store.registerSnapshot("props", "snap", dir)
+    spark.sql("ALTER TABLE props.snap SET TBLPROPERTIES ('k'='v')")
+    assert(spark.sql("SHOW TBLPROPERTIES props.snap ('k')")
+      .as[String].head() == "v")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE nosuch.t SET TBLPROPERTIES ('a'='b')") }
+  }
+
+  test("SHOW PARTITIONS lists the live snapshot's partition fragments, " +
+    "filters by partial spec, and raises on unpartitioned tables") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("showpart")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplacePartitioned(
+      Seq(("a", 1, 10), ("a", 2, 20), ("b", 1, 30))
+        .toDF("grp", "sub", "v"),
+      dir, Seq("grp", "sub"))
+    store.registerSnapshot("parts", "t", dir)
+    assert(spark.sql("SHOW PARTITIONS iceberg.parts.t")
+      .as[String].collect().toSeq ==
+      Seq("grp=a/sub=1", "grp=a/sub=2", "grp=b/sub=1"))
+    assert(spark.sql("SHOW PARTITIONS parts.t PARTITION (sub=1)")
+      .as[String].collect().toSeq == Seq("grp=a/sub=1", "grp=b/sub=1"))
+    // unpartitioned snapshot raises, like Spark's native command
+    val flat = java.nio.file.Files.createTempDirectory("showflat")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(Seq(1).toDF("x"), flat)
+    store.registerSnapshot("parts", "flat", flat)
+    val err = intercept[UnsupportedOperationException] {
+      spark.sql("SHOW PARTITIONS parts.flat").collect() }
+    assert(err.getMessage.contains("not partitioned"))
+    // registry-only tables have no file layout → clear message
+    store.register("parts", "mem", Seq(1).toDF("x"))
+    intercept[UnsupportedOperationException] {
+      spark.sql("SHOW PARTITIONS parts.mem").collect() }
+  }
+
   test("registering a table over a name that held a SQL view clears " +
     "the stale view plan (table wins on re-read)") {
     TableStore.reset(spark)
