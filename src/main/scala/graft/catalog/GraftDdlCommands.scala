@@ -312,6 +312,17 @@ case class GraftShowTablesCommand(ns: Option[String], bare: Boolean,
   }
 }
 
+/** ALTER TABLE … RENAME TO — catalog-only rename of a registered or
+  * snapshot-backed table (no data movement, like Iceberg's rename). */
+case class GraftRenameTableCommand(ns: String, name: String,
+                                   toNs: String, toName: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableStore(spark).renameTable(ns, name, toNs, toName)
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE … SET TBLPROPERTIES — merge semantics, like Iceberg
   * (existing keys overwritten, others kept). */
 case class GraftSetTblPropertiesCommand(ns: String, name: String,

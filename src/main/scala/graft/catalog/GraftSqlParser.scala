@@ -241,6 +241,23 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         case _ => d
       }
 
+      // ALTER TABLE … RENAME TO — catalog-only rename on graft targets
+      // (same claim rule as TBLPROPERTIES below). The new name may be
+      // graft-prefixed, 2-part, or bare (bare = same namespace).
+      case r: RenameTable if !r.isView => propsTarget(r.child) match {
+        case Some((ns, t)) =>
+          val (toNs, toName) = r.newName
+            .map(_.toLowerCase(java.util.Locale.ROOT)) match {
+            case Seq(cat, n2, t2) if isGraft(cat) => (n2, t2)
+            case Seq(n2, t2) => (n2, t2)
+            case Seq(t2) => (ns, t2)
+            case other => throw new IllegalArgumentException(
+              s"unsupported RENAME TO target: ${other.mkString(".")}")
+          }
+          GraftRenameTableCommand(ns, t, toNs, toName)
+        case None => r
+      }
+
       // TBLPROPERTIES + SHOW PARTITIONS on graft targets (3-part
       // prefix, or 2-part naming a registered OR snapshot-backed graft
       // table at parse time — the same target set DESCRIBE accepts);

@@ -209,6 +209,33 @@ class TableStore(val spark: SparkSession) {
   def snapshotPath(ns: String, name: String): Option[String] =
     st.snapshotPaths.get(key(ns, name))
 
+  /** ALTER TABLE … RENAME TO — moves a registered or snapshot-backed
+    * TABLE (with its properties and flat `ns_name` alias) to a new
+    * name, creating the target namespace if needed. Pure catalog
+    * metadata: no data moves (the snapshot dir stays where it is, the
+    * new name points at it — Iceberg's rename is the same catalog-only
+    * operation). Views are rejected (ALTER VIEW is a different
+    * statement); an occupied target raises. */
+  def renameTable(ns: String, name: String,
+                  toNs: String, toName: String): Unit = {
+    val from = requireTableKey(ns, name)
+    if (st.views.contains(from))
+      throw new UnsupportedOperationException(
+        s"cannot ALTER TABLE … RENAME a view: $ns.$name")
+    val to = key(toNs, toName)
+    if (st.registry.contains(to) || st.snapshotPaths.contains(to))
+      throw new IllegalArgumentException(
+        s"rename target already exists: $toNs.$toName")
+    createNamespace(toNs)
+    st.registry.remove(from).foreach { df =>
+      st.registry.put(to, df)
+      df.createOrReplaceTempView(s"${to.head}_${to(1)}")
+    }
+    st.snapshotPaths.remove(from).foreach(st.snapshotPaths.put(to, _))
+    st.properties.remove(from).foreach(st.properties.put(to, _))
+    spark.catalog.dropTempView(s"${from.head}_${from(1)}")
+  }
+
   /** TBLPROPERTIES — session-scoped key/value metadata on a registered
     * or snapshot-backed table (like every other entry in this catalog;
     * Iceberg persists these in table metadata). Merge semantics, like

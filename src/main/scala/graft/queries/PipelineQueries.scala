@@ -585,6 +585,20 @@ FROM iceberg.silver.orders_current""")
         .orderBy("partition")
     }),
 
+    // S9+ — ALTER TABLE RENAME TO verbatim: catalog-only rename of a
+    // snapshot-backed table; the read through the NEW name returns the
+    // same rows (oracle = the region table), the old name is gone
+    // (asserted in DdlSqlSpec).
+    "q_rename_table" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("renameq")
+        .toString + "/t"
+      graft.pipeline.Snapshot.createOrReplace(Tables.region(s, d), dir)
+      new TableStore(s).registerSnapshot("meta", "region_old", dir)
+      s.sql("ALTER TABLE iceberg.meta.region_old RENAME TO meta.region_new")
+      s.sql("""SELECT r_regionkey, r_name FROM meta.region_new
+               ORDER BY r_regionkey""")
+    }),
+
     // S9+ — TBLPROPERTIES round-trip verbatim: SET (merge semantics:
     // the second statement overwrites one key, keeps the other), UNSET,
     // SHOW — the surviving key-sorted rows are the oracle.
@@ -1202,6 +1216,9 @@ FROM iceberg.silver.orders_current""")
     "q_show_partitions" -> """
       SELECT DISTINCT 'l_returnflag=' || l_returnflag AS "partition"
       FROM lineitem ORDER BY "partition"""",
+
+    "q_rename_table" -> """
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
     "q_tblproperties" -> """
       SELECT * FROM (VALUES

@@ -397,6 +397,36 @@ FROM iceberg.silver.orders_current""")
       spark.sql("SHOW PARTITIONS parts.mem").collect() }
   }
 
+  test("ALTER TABLE RENAME TO moves registry, snapshot path and " +
+    "properties to the new name (catalog-only); views and occupied " +
+    "targets are rejected") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("rename")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(Seq(7).toDF("x"), dir)
+    store.registerSnapshot("rn", "t", dir)
+    spark.sql("ALTER TABLE rn.t SET TBLPROPERTIES ('k'='v')")
+    spark.sql("ALTER TABLE iceberg.rn.t RENAME TO iceberg.rn2.t2")
+    assert(spark.sql("SELECT x FROM rn2.t2").as[Int].head() == 7)
+    assert(store.snapshotPath("rn", "t").isEmpty)
+    assert(spark.sql("SHOW TBLPROPERTIES rn2.t2 ('k')")
+      .as[String].head() == "v")
+    // bare new name stays in the same namespace
+    spark.sql("ALTER TABLE rn2.t2 RENAME TO t3")
+    assert(spark.sql("SELECT x FROM rn2.t3").as[Int].head() == 7)
+    // occupied target raises; views are rejected; non-graft names
+    // keep Spark's native path
+    store.register("rn2", "other", Seq(1).toDF("x"))
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE rn2.t3 RENAME TO rn2.other") }
+    spark.sql("CREATE VIEW iceberg.rn2.v AS SELECT x FROM rn2.t3")
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE rn2.v RENAME TO rn2.v2") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE nosuch.zzz RENAME TO nosuch.yyy") }
+  }
+
   test("registering a table over a name that held a SQL view clears " +
     "the stale view plan (table wins on re-read)") {
     TableStore.reset(spark)
