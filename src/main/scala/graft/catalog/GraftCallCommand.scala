@@ -16,8 +16,14 @@ import org.apache.spark.sql.types.LongType
   * Supported procedures (each maps to the [[graft.pipeline.Snapshot]]
   * maintenance op of the same Iceberg name):
   *
-  *  - `rewrite_data_files(table, target_file_count => n)` — small-file
-  *    compaction; returns (rewritten_files_count, added_files_count)
+  *  - `rewrite_data_files(table, target_file_count => n,
+  *    strategy => 'binpack'|'sort', sort_order => 'c1 DESC, c2' |
+  *    'zorder(a, b)')` — small-file compaction (binpack, default) or
+  *    sort-clustering (Iceberg's sort strategy: range-partition by the
+  *    sort key so each file covers a disjoint range and parquet
+  *    min/max stats prune; `zorder(a, b)` maps onto the Morton
+  *    expression in [[graft.ext.Layout]]); returns
+  *    (rewritten_files_count, added_files_count)
   *  - `expire_snapshots(table, retain_last => n)` — drop the oldest
   *    historical versions; returns (deleted_snapshots_count)
   *  - `rollback_to_snapshot(table, version)` — restore a retained
@@ -81,9 +87,42 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         val target = arg("target_file_count", 1)
           .map(_.toString.toInt).getOrElse(4)
         val before = graft.pipeline.Snapshot.fileCount(path)
-        graft.pipeline.Snapshot.compact(spark, path, target,
-          keepVersions =
-            graft.pipeline.Snapshot.historicalVersions(path).size + 1)
+        val keep =
+          graft.pipeline.Snapshot.historicalVersions(path).size + 1
+        // Iceberg's strategy arm: binpack (default) coalesces;
+        // 'sort' range-clusters by sort_order — either a column list
+        // ('c1 DESC, c2') or Iceberg's 'zorder(a, b)' spelling, which
+        // maps onto the Morton expression in graft.ext.Layout.
+        named.get("strategy").map(_.toString.toLowerCase(
+          java.util.Locale.ROOT)).getOrElse("binpack") match {
+          case "binpack" =>
+            graft.pipeline.Snapshot.compact(spark, path, target,
+              keepVersions = keep)
+          case "sort" =>
+            val order = named.getOrElse("sort_order",
+              throw new IllegalArgumentException(
+                "rewrite_data_files(strategy => 'sort') requires " +
+                  "sort_order")).toString.trim
+            val ZOrder = """(?i)zorder\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)""".r
+            val sortExprs = order match {
+              case ZOrder(a, b) =>
+                Seq(graft.ext.Layout.zValue(
+                  org.apache.spark.sql.functions.col(a),
+                  org.apache.spark.sql.functions.col(b)))
+              case cols => cols.split(",").map(_.trim).toSeq.map { c =>
+                val p = c.split("\\s+")
+                val base = org.apache.spark.sql.functions.col(p.head)
+                if (p.length > 1 &&
+                    p(1).equalsIgnoreCase("desc")) base.desc
+                else base.asc
+              }
+            }
+            graft.pipeline.Snapshot.rewriteSorted(spark, path, target,
+              sortExprs, keepVersions = keep)
+          case other => throw new IllegalArgumentException(
+            s"unknown rewrite_data_files strategy: '$other' " +
+              "(binpack, sort)")
+        }
         Seq(Row(before.toLong,
           graft.pipeline.Snapshot.fileCount(path).toLong))
       case "expire_snapshots" =>

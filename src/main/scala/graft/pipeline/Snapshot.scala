@@ -197,6 +197,26 @@ object Snapshot {
     }
   }
 
+  /** Sort-clustering rewrite (Iceberg's `rewrite_data_files(strategy
+    * => 'sort')`): range-partition the live snapshot into `targetFiles`
+    * by the sort key and sort within each partition, so every data
+    * file covers a disjoint key range and parquet row-group min/max
+    * statistics prune point/range queries on that key. Same commit
+    * protocol as [[compact]]; row content is unchanged. */
+  def rewriteSorted(spark: SparkSession, path: String, targetFiles: Int,
+                    sortExprs: Seq[org.apache.spark.sql.Column],
+                    keepVersions: Int = 0): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    require(sortExprs.nonEmpty, "sort rewrite requires a sort order")
+    val sorted = read(spark, path)
+      .repartitionByRange(targetFiles, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .localCheckpoint()
+    swapIn(path, keepVersions) { tmp =>
+      sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+  }
+
   /** GDPR erasure (right-to-be-forgotten) over a versioned snapshot
     * table: rewrite the LIVE snapshot and EVERY retained historical
     * version without the rows matching `predicate`, each swap atomic.

@@ -327,6 +327,25 @@ object PipelineQueries {
                FROM iceberg.silver.li_files.files ORDER BY partition""")
     }),
 
+    // S4+++ — rewrite_data_files(strategy => 'sort'): sort-cluster a
+    // lineitem snapshot by l_orderkey (each file a disjoint key range
+    // — pinned in CallSqlSpec), then read it back: the oracle proves
+    // the rewrite preserved content bit-for-bit.
+    "q_rewrite_sorted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val dir = java.nio.file.Files.createTempDirectory("sortrwq")
+        .toString + "/li_sorted"
+      graft.pipeline.Snapshot.createOrReplace(li.repartition(8), dir)
+      new TableStore(s).registerSnapshot("silver", "li_sorted", dir)
+      s.sql("""CALL iceberg.system.rewrite_data_files(
+               table => 'silver.li_sorted', target_file_count => 4,
+               strategy => 'sort', sort_order => 'l_orderkey')""")
+      s.sql("""SELECT l_orderkey, l_linenumber, l_quantity
+               FROM silver.li_sorted
+               ORDER BY l_orderkey, l_linenumber""")
+    }),
+
     // S4+++++ — `ns.t.manifests` metadata table: per-partition-dir
     // totals of the current snapshot (this layout's manifest unit);
     // same one-file-per-partition fixture as q_snapshot_files, so the
@@ -1030,6 +1049,10 @@ FROM iceberg.silver.orders_current""")
       SELECT 'l_returnflag=' || l_returnflag AS "partition",
              count(*) AS record_count, CAST(1 AS BIGINT) AS file_count
       FROM lineitem GROUP BY l_returnflag ORDER BY "partition"""",
+
+    "q_rewrite_sorted" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""",
 
     "q_snapshot_manifests" -> """
       SELECT 'l_returnflag=' || l_returnflag AS path,

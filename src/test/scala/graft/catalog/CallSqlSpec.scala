@@ -2,6 +2,7 @@ package graft.catalog
 
 import graft.SparkSpec
 import graft.pipeline.Snapshot
+import org.apache.spark.sql.functions.{col, max, min}
 
 /** `CALL iceberg.system.<proc>(…)` — Iceberg's maintenance procedures
   * executed verbatim through `spark.sql` against snapshot-backed
@@ -37,6 +38,50 @@ class CallSqlSpec extends SparkSpec {
       == before)
     // pre-compaction state retained as a time-travelable version
     assert(Snapshot.readAsOf(spark, dir, 3).count() == 3)
+  }
+
+  test("rewrite_data_files strategy => 'sort' clusters files into " +
+    "disjoint key ranges; zorder spelling parses; bad strategies raise") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("sortrw")
+      .toString + "/t"
+    // shuffled ids so the unsorted layout interleaves ranges
+    val rows = scala.util.Random.shuffle((1 to 1000).toList)
+      .map(i => (i, i % 7))
+    Snapshot.createOrReplace(
+      rows.toDF("id", "grp").repartition(8), dir, keepVersions = 2)
+    store.registerSnapshot("maint", "sorted", dir)
+    val res = spark.sql(
+      """CALL iceberg.system.rewrite_data_files(
+         table => 'maint.sorted', target_file_count => 4,
+         strategy => 'sort', sort_order => 'id')""").collect()
+    assert(res.head.getLong(1) == 4L)
+    assert(spark.read.parquet(dir).as[(Int, Int)].collect().toSet ==
+      rows.toSet)
+    // every data file covers a DISJOINT id range (the clustering that
+    // makes parquet min/max stats prune a point/range query)
+    val ranges = spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .as[(String, Int, Int)].collect().sortBy(_._2)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"file ranges overlap: $a vs $b")
+    }
+    // zorder spelling parses and preserves content
+    spark.sql("""CALL iceberg.system.rewrite_data_files(
+         table => 'maint.sorted', target_file_count => 2,
+         strategy => 'sort', sort_order => 'zorder(id, grp)')""")
+    assert(spark.read.parquet(dir).as[(Int, Int)].collect().toSet ==
+      rows.toSet)
+    // sort without sort_order, and unknown strategies, raise
+    intercept[IllegalArgumentException] {
+      spark.sql("""CALL iceberg.system.rewrite_data_files(
+        table => 'maint.sorted', strategy => 'sort')""") }
+    intercept[IllegalArgumentException] {
+      spark.sql("""CALL iceberg.system.rewrite_data_files(
+        table => 'maint.sorted', strategy => 'cluster')""") }
   }
 
   test("expire_snapshots drops the oldest versions beyond retain_last") {
