@@ -57,6 +57,15 @@ import org.apache.spark.sql.types.LongType
   *    retained version, NEWEST first, as (snapshot_id, timestamp) —
   *    the commit instant is the version marker's
   *    [[graft.pipeline.Snapshot.committedAt]].
+  *  - `register_table(table, metadata_file)` — point a catalog name at
+  *    an EXISTING versioned snapshot directory (Iceberg's procedure
+  *    for adopting a layout already on storage); returns
+  *    (current_snapshot_id, total_records_count,
+  *    total_data_files_count).
+  *  - `add_files(table, source_table)` — import an external parquet
+  *    layout (the `` `parquet`.`/dir` `` spelling or a plain path)
+  *    into the table as one new commit, schema aligned by name;
+  *    returns (added_files_count, added_records_count).
   *
   * The `table` argument accepts `ns.t` or the full `iceberg.ns.t` /
   * `demo.ns.t` spelling and must name a SNAPSHOT-BACKED registration
@@ -81,8 +90,46 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
     def required(name: String, at: Int): Any =
       arg(name, at).getOrElse(throw new IllegalArgumentException(
         s"$proc requires argument '$name'"))
-    val path = snapshotPathOf(spark, required("table", 0).toString)
+    // register_table names a NOT-YET-REGISTERED table — every other
+    // procedure resolves its target eagerly
+    lazy val path = snapshotPathOf(spark, required("table", 0).toString)
     proc match {
+      case "register_table" =>
+        // Iceberg's register_table: point a catalog name at an
+        // EXISTING table layout (here: a versioned snapshot dir —
+        // `metadata_file` keeps Iceberg's argument name). The
+        // procedural spelling of TableStore.registerSnapshot.
+        val dir = required("metadata_file", 1).toString
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+          throw new IllegalArgumentException(
+            s"register_table: no table directory at $dir")
+        val Seq(ns, t) = tableParts(required("table", 0).toString)
+        new TableStore(spark).registerSnapshot(ns, t, dir)
+        val ver = graft.pipeline.Snapshot.currentVersion(dir)
+          .getOrElse(0L)
+        Seq(Row(ver,
+          spark.read.parquet(dir).count(),
+          graft.pipeline.Snapshot.fileCount(dir).toLong))
+      case "add_files" =>
+        // Iceberg's add_files: import an external parquet layout into
+        // the table as ONE new commit (live ∪ source, by-name schema
+        // alignment) — the files are read once and rewritten through
+        // the same atomic snapshot protocol, so time travel sees a
+        // clean before/after boundary.
+        val src = required("source_table", 1).toString
+        val srcDir = {
+          val P = """(?i)`?parquet`?\s*\.\s*`([^`]+)`""".r
+          src match { case P(d) => d; case d => d }
+        }
+        val added = spark.read.parquet(srcDir)
+        val keep =
+          graft.pipeline.Snapshot.historicalVersions(path).size + 1
+        val live = graft.pipeline.Snapshot.read(spark, path)
+        graft.pipeline.Snapshot.createOrReplace(
+          live.unionByName(added.select(live.columns.map(
+            org.apache.spark.sql.functions.col).toSeq: _*)),
+          path, keepVersions = keep)
+        Seq(Row(added.inputFiles.length.toLong, added.count()))
       case "rewrite_data_files" =>
         val target = arg("target_file_count", 1)
           .map(_.toString.toInt).getOrElse(4)
@@ -213,7 +260,8 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         s"unknown graft procedure: system.$other (supported: " +
           "rewrite_data_files, expire_snapshots, rollback_to_snapshot, " +
           "remove_orphan_files, create_tag, drop_tag, fast_forward, " +
-          "drop_branch, create_changelog_view, ancestors_of)")
+          "drop_branch, create_changelog_view, ancestors_of, " +
+          "register_table, add_files)")
     }
   }
 }
@@ -229,6 +277,13 @@ object GraftCallCommand {
         nullable = false)(),
         AttributeReference("timestamp",
           org.apache.spark.sql.types.TimestampType, nullable = true)())
+    case "register_table" =>
+      Seq("current_snapshot_id", "total_records_count",
+        "total_data_files_count")
+        .map(AttributeReference(_, LongType, nullable = false)())
+    case "add_files" =>
+      Seq("added_files_count", "added_records_count")
+        .map(AttributeReference(_, LongType, nullable = false)())
     case other => (other match {
       case "rewrite_data_files" =>
         Seq("rewritten_files_count", "added_files_count")
@@ -255,16 +310,21 @@ object GraftCallCommand {
     (pos, named)
   }
 
-  /** Resolve a procedure's `table` argument to its snapshot dir. */
-  private def snapshotPathOf(spark: SparkSession, table: String): String = {
+  /** `ns.t` (optionally graft-prefixed) → Seq(ns, t), lowercased. */
+  private def tableParts(table: String): Seq[String] = {
     val parts = table.split("\\.").toSeq
       .map(_.toLowerCase(java.util.Locale.ROOT))
-    val Seq(ns, t) = parts match {
+    parts match {
       case Seq(cat, ns0, t0) if GraftCatalogs.isGraft(cat) => Seq(ns0, t0)
       case Seq(_, _) => parts
       case _ => throw new IllegalArgumentException(
         s"procedure table must be <ns>.<table>: $table")
     }
+  }
+
+  /** Resolve a procedure's `table` argument to its snapshot dir. */
+  private def snapshotPathOf(spark: SparkSession, table: String): String = {
+    val Seq(ns, t) = tableParts(table)
     new TableStore(spark).snapshotPath(ns, t).getOrElse(
       throw new IllegalArgumentException(
         s"$ns.$t is not a snapshot-backed table — maintenance " +

@@ -327,6 +327,31 @@ object PipelineQueries {
                FROM iceberg.silver.li_files.files ORDER BY partition""")
     }),
 
+    // S4+++ — register_table + add_files verbatim: adopt an existing
+    // snapshot dir (the bottom half of orders by key) under a catalog
+    // name through CALL, then import the TOP half from an external
+    // plain-parquet dir as one commit — the read-back equals the whole
+    // orders table, which is the oracle.
+    "q_add_files" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val mid = orders.agg(max("o_orderkey")).collect()(0).getLong(0) / 2
+      val base = java.nio.file.Files.createTempDirectory("addfq")
+      val dir = base.toString + "/orders_low"
+      val ext = base.toString + "/orders_high_ext"
+      graft.pipeline.Snapshot.createOrReplace(
+        orders.filter(col("o_orderkey") <= mid), dir, keepVersions = 2)
+      orders.filter(col("o_orderkey") > mid).write.parquet(ext)
+      s.sql(s"""CALL iceberg.system.register_table(
+               table => 'silver.orders_imported',
+               metadata_file => '$dir')""")
+      s.sql(s"""CALL iceberg.system.add_files(
+               table => 'silver.orders_imported',
+               source_table => '`parquet`.`$ext`')""")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus
+               FROM silver.orders_imported ORDER BY o_orderkey""")
+    }),
+
     // S4+++ — rewrite_data_files(strategy => 'sort'): sort-cluster a
     // lineitem snapshot by l_orderkey (each file a disjoint key range
     // — pinned in CallSqlSpec), then read it back: the oracle proves
@@ -1049,6 +1074,10 @@ FROM iceberg.silver.orders_current""")
       SELECT 'l_returnflag=' || l_returnflag AS "partition",
              count(*) AS record_count, CAST(1 AS BIGINT) AS file_count
       FROM lineitem GROUP BY l_returnflag ORDER BY "partition"""",
+
+    "q_add_files" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      ORDER BY o_orderkey""",
 
     "q_rewrite_sorted" -> """
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

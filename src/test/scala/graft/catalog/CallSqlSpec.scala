@@ -84,6 +84,36 @@ class CallSqlSpec extends SparkSpec {
         table => 'maint.sorted', strategy => 'cluster')""") }
   }
 
+  test("register_table adopts an existing snapshot dir under a new " +
+    "name; add_files imports an external parquet layout as one new " +
+    "commit") {
+    val (_, dir) = fixture()
+    // adopt the same layout under a second catalog name
+    val res = spark.sql(s"""CALL iceberg.system.register_table(
+        table => 'maint.adopted', metadata_file => '$dir')""").collect()
+    assert(res.head.getLong(0) == 3L)   // current_snapshot_id
+    assert(res.head.getLong(1) == 3L)   // total_records_count
+    assert(spark.sql("SELECT count(*) FROM maint.adopted")
+      .as[Long].head() == 3L)
+    intercept[IllegalArgumentException] {
+      spark.sql("""CALL iceberg.system.register_table(
+        table => 'maint.ghost', metadata_file => '/nonexistent/dir')""") }
+    // add_files: an external parquet dir lands as one new commit
+    val ext = java.nio.file.Files.createTempDirectory("addfiles")
+      .toString + "/ext"
+    Seq((10, "row10"), (11, "row11")).toDF("id", "tag")
+      .write.parquet(ext)
+    val add = spark.sql(s"""CALL iceberg.system.add_files(
+        table => 'maint.t', source_table => '`parquet`.`$ext`')""")
+      .collect()
+    assert(add.head.getLong(1) == 2L)
+    assert(spark.sql("SELECT id FROM maint.t ORDER BY id")
+      .as[Int].collect().toSeq == Seq(1, 2, 3, 10, 11))
+    // the pre-import state stays time-travelable
+    assert(Snapshot.readAsOf(spark, Snapshot.currentVersion(dir)
+      .map(_ => dir).get, 3L).count() == 3L)
+  }
+
   test("expire_snapshots drops the oldest versions beyond retain_last") {
     val (_, dir) = fixture()
     assert(Snapshot.historicalVersions(dir) == Seq(1L, 2L))
