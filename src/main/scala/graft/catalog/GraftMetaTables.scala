@@ -33,6 +33,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
   *    current snapshot (this layout's manifest unit, where Iceberg's
   *    is an avro manifest file): (path, length,
   *    added_data_files_count, added_rows_count).
+  *  - `ns.t.all_manifests` — `manifests` across every retained
+  *    version with a leading `version` column, like `all_files`.
+  *  - `ns.t.metadata_log_entries` — one row per retained commit:
+  *    (timestamp, file, latest_snapshot_id) — the "metadata file" of
+  *    this layout is the version marker, its mtime the commit instant.
   *  - `ns.t.refs` — named refs (Iceberg's refs table): the implicit
   *    `main` BRANCH at the live version, one BRANCH row per staged
   *    [[graft.pipeline.Snapshot.writeBranch]] branch (at its fork
@@ -51,7 +56,7 @@ object GraftMetaTables {
 
   private val MetaNames =
     Set("history", "snapshots", "files", "partitions", "all_files",
-      "refs", "manifests")
+      "refs", "manifests", "all_manifests", "metadata_log_entries")
 
   def lookup(session: SparkSession,
              parts: Seq[String]): Option[LogicalPlan] = {
@@ -121,6 +126,32 @@ object GraftMetaTables {
                 .agg(sum("file_size_in_bytes").as("length"),
                   count(lit(1)).as("added_data_files_count"),
                   sum("record_count").as("added_rows_count"))
+            case "all_manifests" =>
+              // manifests across EVERY retained version (Iceberg's
+              // all_manifests), leading version column like all_files
+              versions.map(v =>
+                filesOf(session, path, v)
+                  .groupBy(lit(v).as("version"),
+                    col("partition").as("path"))
+                  .agg(sum("file_size_in_bytes").as("length"),
+                    count(lit(1)).as("added_data_files_count"),
+                    sum("record_count").as("added_rows_count")))
+                .reduce(_ unionAll _)
+            case "metadata_log_entries" =>
+              // Iceberg's metadata-log: one row per retained commit —
+              // (timestamp, file, latest_snapshot_id). The "metadata
+              // file" of this layout is the version marker inside each
+              // snapshot dir; the commit instant is its mtime.
+              val rows = versions.map { v =>
+                val at = graft.pipeline.Snapshot.committedAt(path, v)
+                  .map(us => java.sql.Timestamp.from(
+                    java.time.Instant.ofEpochSecond(us / 1000000L,
+                      (us % 1000000L) * 1000L))).orNull
+                val dir = if (live.contains(v)) path else s"$path.v$v"
+                (at, s"$dir/_graft_version", v)
+              }
+              import session.implicits._
+              rows.toDF("timestamp", "file", "latest_snapshot_id")
             case "refs" =>
               // staged branches report their FORK version (the live
               // version they were written against) until publish

@@ -450,6 +450,27 @@ object PipelineQueries {
                FROM silver.li_allf.all_files ORDER BY version, partition""")
     }),
 
+    // S4+++++ — `ns.t.all_manifests`: the manifests rollup across every
+    // retained version (same two-version fixture as all_files, so the
+    // per-version per-flag counts are the oracle).
+    "q_snapshot_all_manifests" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val dir = java.nio.file.Files.createTempDirectory("snapallm")
+        .toString + "/li_allm"
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.filter(col("l_quantity") <= 25)
+          .repartition(col("l_returnflag")), dir,
+        Seq("l_returnflag"), keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.repartition(col("l_returnflag")), dir,
+        Seq("l_returnflag"), keepVersions = 2)
+      new TableStore(s).registerSnapshot("silver", "li_allm", dir)
+      s.sql("""SELECT version, path, added_data_files_count,
+                      added_rows_count
+               FROM silver.li_allm.all_manifests ORDER BY version, path""")
+    }),
+
     // The reference's MERGE INTO statement VERBATIM
     // (`merge_orders_silver.py:135-147`, incl. the `iceberg.` prefix)
     // through spark.sql → GraftMergeCommand; result read back through
@@ -1131,6 +1152,18 @@ FROM iceberg.silver.orders_current""")
       SELECT CAST(2 AS BIGINT), 'l_returnflag=' || l_returnflag, count(*)
       FROM lineitem GROUP BY l_returnflag
       ORDER BY version, "partition"""",
+
+    "q_snapshot_all_manifests" -> """
+      SELECT CAST(1 AS BIGINT) AS version,
+             'l_returnflag=' || l_returnflag AS path,
+             CAST(1 AS BIGINT) AS added_data_files_count,
+             count(*) AS added_rows_count
+      FROM lineitem WHERE l_quantity <= 25 GROUP BY l_returnflag
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'l_returnflag=' || l_returnflag,
+             CAST(1 AS BIGINT), count(*)
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY version, path""",
 
     "q_k_anon" -> s"""
       WITH sil AS ($silverRebuildSql)

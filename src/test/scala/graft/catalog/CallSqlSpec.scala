@@ -163,6 +163,20 @@ class CallSqlSpec extends SparkSpec {
       spark.sql("SELECT * FROM maint.nope.history").collect() }
   }
 
+  test("metadata tables: ns.t.metadata_log_entries lists one row per " +
+    "retained commit with the marker file and its instant") {
+    val (_, dir) = fixture()
+    val log = spark.sql(
+      """SELECT timestamp, file, latest_snapshot_id
+         FROM maint.t.metadata_log_entries ORDER BY latest_snapshot_id""")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    assert(log.map(_._3) == Seq(1L, 2L, 3L))
+    assert(log.map(_._1.getTime) == log.map(_._1.getTime).sorted)
+    assert(log.forall(_._2.endsWith("/_graft_version")))
+    assert(log.last._2 == s"$dir/_graft_version")
+    assert(log.head._2 == s"$dir.v1/_graft_version")
+  }
+
   test("metadata tables: ns.t.files / ns.t.partitions / ns.t.all_files " +
     "carry per-file and per-partition stats; partitioned layout shows " +
     "its k=v fragments") {
@@ -210,6 +224,12 @@ class CallSqlSpec extends SparkSpec {
     assert(man.map { case (p, _, f, r) => (p, f, r) } ==
       Seq(("grp=a", 1L, 2L), ("grp=b", 1L, 1L)))
     assert(man.forall(_._2 > 0))
+    // all_manifests: the same rollup across every retained version
+    assert(spark.sql(
+      """SELECT version, path, added_rows_count
+         FROM maint.pt.all_manifests ORDER BY version, path""")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "grp=a", 2L), (2L, "grp=a", 2L), (2L, "grp=b", 1L)))
     // an unpartitioned table reports the empty partition fragment
     val flat = java.nio.file.Files.createTempDirectory("filesflat")
       .toString + "/t"
