@@ -250,7 +250,8 @@ case class GraftAlterColumnTypeCommand(ns: String, name: String,
 /** DESCRIBE TABLE for graft registrations (incl. snapshot-backed
   * tables) — Spark's native output shape (col_name, data_type,
   * comment). */
-case class GraftDescribeTableCommand(ns: String, name: String)
+case class GraftDescribeTableCommand(ns: String, name: String,
+                                     extended: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("col_name", StringType, nullable = false)(),
@@ -259,12 +260,32 @@ case class GraftDescribeTableCommand(ns: String, name: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val store = new TableStore(spark)
-    val df = store.snapshotPath(ns, name)
+    val snapPath = store.snapshotPath(ns, name)
+    val df = snapPath
       .map(p => spark.read.parquet(p))
       .getOrElse(store.table(ns, name))
-    df.schema.fields.toSeq.map(f =>
+    val schemaRows = df.schema.fields.toSeq.map(f =>
       Row(f.name, f.dataType.simpleString,
         f.getComment().orNull))
+    if (!extended) schemaRows
+    else {
+      // Spark's EXTENDED tail: a separator then the detail section
+      val props = store.properties(ns, name)
+      schemaRows ++ Seq(
+        Row("", "", null),
+        Row("# Detailed Table Information", "", null),
+        Row("Namespace", ns, null),
+        Row("Table", name, null),
+        Row("Type",
+          if (store.isView(ns, name)) "VIEW" else "MANAGED", null),
+        Row("Provider", "graft", null)) ++
+        snapPath.map(p => Row("Location", p, null)).toSeq ++
+        (if (props.isEmpty) Nil
+         else Seq(Row("Table Properties",
+           props.toSeq.sorted
+             .map { case (k, v) => s"$k=$v" }.mkString("[", ",", "]"),
+           null)))
+    }
   }
 }
 
@@ -309,6 +330,58 @@ case class GraftShowTablesCommand(ns: Option[String], bare: Boolean,
         .listTables(ns.get)
         .collect { case ti if keep(ti.table) =>
           Row(ti.database.getOrElse(""), ti.table, false) }
+  }
+}
+
+/** SHOW VIEWS [IN ns] — the view subset of the graft listing, in
+  * Spark's native output shape (namespace, viewName, isTemporary;
+  * graft views are catalog views, so isTemporary = false). */
+case class GraftShowViewsCommand(ns: Option[String],
+                                 pattern: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)(),
+    AttributeReference("isTemporary", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def keep(t: String): Boolean = pattern.forall(p =>
+      org.apache.spark.sql.catalyst.util.StringUtils
+        .filterPattern(Seq(t), p).nonEmpty)
+    new TableStore(spark).tableRows(ns.getOrElse(""))
+      .collect { case (n, t, true) if keep(t) => Row(n, t, false) }
+  }
+}
+
+/** SHOW CREATE TABLE — reconstruct the CREATE statement from the
+  * current schema (post-evolution), with TBLPROPERTIES when set.
+  * Views render their stored query via CREATE VIEW. */
+case class GraftShowCreateTableCommand(ns: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    val stmt = if (store.isView(ns, name)) {
+      s"CREATE VIEW iceberg.$ns.$name AS <stored query>"
+    } else {
+      val df = store.snapshotPath(ns, name)
+        .map(p => spark.read.parquet(p))
+        .getOrElse(store.table(ns, name))
+      val cols = df.schema.fields
+        .map(f => s"  ${f.name} ${f.dataType.sql}")
+        .mkString(",\n")
+      val props = store.properties(ns, name)
+      val propsClause =
+        if (props.isEmpty) ""
+        else props.toSeq.sorted
+          .map { case (k, v) => s"'$k' = '$v'" }
+          .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+      s"CREATE TABLE iceberg.$ns.$name (\n$cols)\nUSING iceberg" +
+        propsClause
+    }
+    Seq(Row(stmt))
   }
 }
 

@@ -230,15 +230,34 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
           u.multipartIdentifier match {
             case Seq(cat, ns, t) if isGraft(cat) =>
-              GraftDescribeTableCommand(lower(ns), lower(t))
+              GraftDescribeTableCommand(lower(ns), lower(t), d.isExtended)
             case Seq(ns, t)
                 if new TableStore(session).tableExists(ns, t) ||
                   new TableStore(session)
                     .snapshotPath(lower(ns), lower(t)).isDefined =>
-              GraftDescribeTableCommand(lower(ns), lower(t))
+              GraftDescribeTableCommand(lower(ns), lower(t), d.isExtended)
             case _ => d
           }
         case _ => d
+      }
+
+      // SHOW CREATE TABLE — same claim rule as DESCRIBE
+      case sct: ShowCreateTable => propsTarget(sct.child) match {
+        case Some((ns, t)) => GraftShowCreateTableCommand(ns, t)
+        case None => sct
+      }
+
+      // SHOW VIEWS [IN ns] — same namespace claim rule as SHOW TABLES
+      case sv: ShowViews => sv.namespace match {
+        case UnresolvedNamespace(Seq(cat, ns), _) if isGraft(cat) =>
+          GraftShowViewsCommand(Some(lower(ns)), sv.pattern)
+        case UnresolvedNamespace(Seq(cat), _) if isGraft(cat) =>
+          GraftShowViewsCommand(None, sv.pattern)
+        case UnresolvedNamespace(Seq(ns), _)
+            if new TableStore(session).listNamespaces()
+              .contains(lower(ns)) =>
+          GraftShowViewsCommand(Some(lower(ns)), sv.pattern)
+        case _ => sv
       }
 
       // ALTER TABLE … RENAME TO — catalog-only rename on graft targets

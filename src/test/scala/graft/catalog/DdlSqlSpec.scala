@@ -427,6 +427,40 @@ FROM iceberg.silver.orders_current""")
       spark.sql("ALTER TABLE nosuch.zzz RENAME TO nosuch.yyy") }
   }
 
+  test("SHOW VIEWS, SHOW CREATE TABLE and DESCRIBE EXTENDED complete " +
+    "the introspection surface") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("intros")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(
+      Seq((1, "x")).toDF("id", "name"), dir)
+    store.registerSnapshot("intro", "t", dir)
+    spark.sql("ALTER TABLE intro.t SET TBLPROPERTIES ('k'='v')")
+    spark.sql("CREATE VIEW iceberg.intro.v AS SELECT id FROM intro.t")
+    // SHOW VIEWS: only the view, native column names, catalog views
+    // are not temporary
+    assert(spark.sql("SHOW VIEWS IN intro")
+      .as[(String, String, Boolean)].collect().toSeq ==
+      Seq(("intro", "v", false)))
+    assert(spark.sql("SHOW VIEWS FROM iceberg.intro LIKE 'nope*'")
+      .count() == 0)
+    // SHOW CREATE TABLE: schema + properties round-trip
+    val stmt = spark.sql("SHOW CREATE TABLE intro.t").as[String].head()
+    assert(stmt.contains("CREATE TABLE iceberg.intro.t"))
+    assert(stmt.contains("id INT") && stmt.contains("name STRING"))
+    assert(stmt.contains("USING iceberg") && stmt.contains("'k' = 'v'"))
+    // DESCRIBE EXTENDED: schema rows then the detail section
+    val ext = spark.sql("DESCRIBE EXTENDED intro.t")
+      .as[(String, String, Option[String])].collect().map(r => (r._1, r._2))
+    assert(ext.take(2).toSeq == Seq(("id", "int"), ("name", "string")))
+    assert(ext.contains(("Type", "MANAGED")) &&
+      ext.contains(("Location", dir)) &&
+      ext.contains(("Table Properties", "[k=v]")))
+    // plain DESCRIBE is unchanged (schema rows only)
+    assert(spark.sql("DESCRIBE intro.t").count() == 2)
+  }
+
   test("registering a table over a name that held a SQL view clears " +
     "the stale view plan (table wins on re-read)") {
     TableStore.reset(spark)
