@@ -24,11 +24,15 @@ import org.apache.spark.sql.types.LongType
   *    min/max stats prune; `zorder(a, b)` maps onto the Morton
   *    expression in [[graft.ext.Layout]]); returns
   *    (rewritten_files_count, added_files_count)
-  *  - `expire_snapshots(table, retain_last => n)` — drop the oldest
-  *    historical versions; returns (deleted_snapshots_count)
-  *  - `rollback_to_snapshot(table, version)` — restore a retained
-  *    version as the live state (itself a new commit, like Iceberg);
-  *    returns (previous_version, current_version)
+  *  - `expire_snapshots(table, retain_last => n | older_than => ts)`
+  *    — drop the oldest historical versions by count floor or commit-
+  *    instant cutoff (Iceberg's primary spelling); returns
+  *    (deleted_snapshots_count)
+  *  - `rollback_to_snapshot(table, version)` /
+  *    `rollback_to_timestamp(table, timestamp)` — restore a retained
+  *    version (by id, or the one current at the instant) as the live
+  *    state (itself a new commit, like Iceberg); both return
+  *    (previous_version, current_version)
   *  - `remove_orphan_files(table)` — delete stranded commit work dirs;
   *    returns (orphan_file_count)
   *  - `create_tag(table, tag, version => n, replace => b)` /
@@ -173,9 +177,50 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         Seq(Row(before.toLong,
           graft.pipeline.Snapshot.fileCount(path).toLong))
       case "expire_snapshots" =>
-        val retain = required("retain_last", 1).toString.toInt
-        Seq(Row(graft.pipeline.Snapshot
-          .expireSnapshots(path, retain).size.toLong))
+        // Iceberg's two forms: older_than (a timestamp cutoff, the
+        // primary spelling) and/or retain_last (a count floor). With
+        // only retain_last the count form runs; with older_than the
+        // cutoff form runs (micros from a TIMESTAMP literal, or a
+        // 'yyyy-MM-dd HH:mm:ss[.S]' string in the session's UTC zone).
+        val dropped = named.get("older_than") match {
+          case Some(cutoff) =>
+            val micros = cutoff match {
+              case l: Long => l
+              case other => other.toString.toLongOption.getOrElse(
+                java.sql.Timestamp.valueOf(other.toString).getTime
+                  * 1000L)
+            }
+            graft.pipeline.Snapshot
+              .expireSnapshotsOlderThan(path, micros)
+          case None =>
+            val retain = required("retain_last", 1).toString.toInt
+            graft.pipeline.Snapshot.expireSnapshots(path, retain)
+        }
+        Seq(Row(dropped.size.toLong))
+      case "rollback_to_timestamp" =>
+        // Iceberg's companion to rollback_to_snapshot: restore the
+        // snapshot that was current at the instant (same resolution as
+        // TIMESTAMP AS OF travel), as a new commit.
+        val cutoff = required("timestamp", 1)
+        val micros = cutoff match {
+          case l: Long => l
+          case other => other.toString.toLongOption.getOrElse(
+            java.sql.Timestamp.valueOf(other.toString).getTime * 1000L)
+        }
+        val versions =
+          (graft.pipeline.Snapshot.historicalVersions(path) ++
+            graft.pipeline.Snapshot.currentVersion(path)).sorted
+        val target = versions.filter(v => graft.pipeline.Snapshot
+          .committedAt(path, v).exists(_ <= micros))
+        if (target.isEmpty)
+          throw new IllegalArgumentException(
+            s"rollback_to_timestamp: no snapshot committed at or " +
+              s"before timestamp_micros($micros)")
+        val prev = graft.pipeline.Snapshot.currentVersion(path)
+          .getOrElse(0L)
+        val cur = graft.pipeline.Snapshot
+          .rollbackTo(spark, path, target.max)
+        Seq(Row(prev, cur))
       case "rollback_to_snapshot" =>
         val version = required("version", 1).toString.toLong
         val prev = graft.pipeline.Snapshot.currentVersion(path)
@@ -261,7 +306,7 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           "rewrite_data_files, expire_snapshots, rollback_to_snapshot, " +
           "remove_orphan_files, create_tag, drop_tag, fast_forward, " +
           "drop_branch, create_changelog_view, ancestors_of, " +
-          "register_table, add_files)")
+          "register_table, add_files, rollback_to_timestamp)")
     }
   }
 }
@@ -288,7 +333,7 @@ object GraftCallCommand {
       case "rewrite_data_files" =>
         Seq("rewritten_files_count", "added_files_count")
       case "expire_snapshots" => Seq("deleted_snapshots_count")
-      case "rollback_to_snapshot" =>
+      case "rollback_to_snapshot" | "rollback_to_timestamp" =>
         Seq("previous_version", "current_version")
       case "create_tag" | "drop_tag" | "drop_branch" => Seq("version")
       case "fast_forward" => Seq("previous_version", "current_version")

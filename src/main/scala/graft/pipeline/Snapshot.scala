@@ -295,6 +295,18 @@ object Snapshot {
     victims
   }
 
+  /** Iceberg's primary expire form: drop historical versions whose
+    * commit instant is strictly before `olderThanMicros` (the live
+    * version is never a victim; tagged versions stay reachable). */
+  def expireSnapshotsOlderThan(path: String,
+                               olderThanMicros: Long): Seq[Long] = {
+    val victims = historicalVersions(path)
+      .filter(v => committedAt(path, v).exists(_ < olderThanMicros))
+      .filterNot(taggedVersions(path))
+    victims.foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
+    victims
+  }
+
   /** Table maintenance — Iceberg's `rollback_to_snapshot`: make a
     * retained historical version the LIVE state again. Like Iceberg,
     * rollback is itself a new commit (history is preserved, the

@@ -125,6 +125,33 @@ class CallSqlSpec extends SparkSpec {
     intercept[Exception] { Snapshot.readAsOf(spark, dir, 1) }
   }
 
+  test("expire_snapshots older_than expires by commit instant; " +
+    "rollback_to_timestamp restores the snapshot current at the " +
+    "instant") {
+    val (_, dir) = fixture()   // v1={1}, v2={1,2}, v3={1,2,3} live
+    val at2 = Snapshot.committedAt(dir, 2L).get
+    // rollback to v1's era: the instant just before v2's commit
+    val rb = spark.sql(s"""CALL iceberg.system.rollback_to_timestamp(
+        table => 'maint.t', timestamp => ${at2 - 1})""").collect()
+    assert(rb.head.getLong(0) == 3L && rb.head.getLong(1) == 4L)
+    assert(spark.sql("SELECT id FROM maint.t").as[Int].collect().toSeq
+      == Seq(1))
+    // an instant before every commit raises
+    intercept[IllegalArgumentException] {
+      spark.sql("""CALL iceberg.system.rollback_to_timestamp(
+        table => 'maint.t', timestamp => 1)""") }
+    // older_than at v2's instant expires only v1 (strictly-before)
+    assert(Snapshot.historicalVersions(dir) == Seq(1L, 2L, 3L))
+    val exp = spark.sql(s"""CALL iceberg.system.expire_snapshots(
+        table => 'maint.t', older_than => $at2)""").collect()
+    assert(exp.head.getLong(0) == 1L)
+    assert(Snapshot.historicalVersions(dir) == Seq(2L, 3L))
+    // the string spelling parses too (UTC, far future → all but live)
+    spark.sql("""CALL iceberg.system.expire_snapshots(
+        table => 'maint.t', older_than => '2100-01-01 00:00:00')""")
+    assert(Snapshot.historicalVersions(dir).isEmpty)
+  }
+
   test("rollback_to_snapshot restores an old version as a NEW commit; " +
     "positional args work") {
     val (_, dir) = fixture()
