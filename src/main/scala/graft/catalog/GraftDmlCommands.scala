@@ -128,7 +128,12 @@ case class GraftInsertCommand(ns: String, name: String,
     if (store.isView(ns, name))
       throw new UnsupportedOperationException(
         s"cannot INSERT into a view: $ns.$name")
-    val target = store.table(ns, name)
+    // snapshot-backed tables take the versioned-commit path below;
+    // registry tables keep the in-memory commit
+    val snapPath = store.snapshotPath(ns, name)
+    val target = snapPath
+      .map(p => graft.pipeline.Snapshot.read(spark, p))
+      .getOrElse(store.table(ns, name))
     val schema = target.schema
     val src = PlanBridge.ofRows(spark, insert.query)
     def fill(f: org.apache.spark.sql.types.StructField): Column =
@@ -171,8 +176,16 @@ case class GraftInsertCommand(ns: String, name: String,
         }
       }
     val rows = src.select(aligned: _*)
-    GraftDml.commit(spark, Seq(ns, name),
-      if (insert.overwrite) rows else target.union(rows))
+    val next = if (insert.overwrite) rows else target.union(rows)
+    snapPath match {
+      case Some(p) =>
+        // one atomic snapshot commit (the previous state rolls into
+        // history like any other write to a versioned table)
+        graft.pipeline.Snapshot.createOrReplace(next, p,
+          keepVersions =
+            graft.pipeline.Snapshot.historicalVersions(p).size + 1)
+      case None => GraftDml.commit(spark, Seq(ns, name), next)
+    }
     Seq.empty
   }
 }
@@ -186,7 +199,18 @@ case class GraftTruncateCommand(ns: String, name: String)
     if (store.isView(ns, name))
       throw new UnsupportedOperationException(
         s"cannot TRUNCATE a view: $ns.$name")
-    GraftDml.commit(spark, Seq(ns, name), store.table(ns, name).limit(0))
+    store.snapshotPath(ns, name) match {
+      case Some(p) =>
+        // empty-state commit; the pre-truncate version stays
+        // time-travelable like any other replaced snapshot
+        graft.pipeline.Snapshot.createOrReplace(
+          graft.pipeline.Snapshot.read(spark, p).limit(0), p,
+          keepVersions =
+            graft.pipeline.Snapshot.historicalVersions(p).size + 1)
+      case None =>
+        GraftDml.commit(spark, Seq(ns, name),
+          store.table(ns, name).limit(0))
+    }
     Seq.empty
   }
 }

@@ -93,7 +93,9 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
           case Seq(cat, ns, t) if isGraft(cat) =>
             GraftInsertCommand(lower(ns), lower(t), i)
           case Seq(ns, t)
-              if new TableStore(session).tableExists(ns, t) =>
+              if new TableStore(session).tableExists(ns, t) ||
+                new TableStore(session)
+                  .snapshotPath(lower(ns), lower(t)).isDefined =>
             GraftInsertCommand(lower(ns), lower(t), i)
           case _ => i
         }
@@ -399,6 +401,11 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     }
   }
 
+  /** ALTER/TRUNCATE target claim. Snapshot-backed 2-part names are
+    * claimed too, so TRUNCATE takes the versioned-commit path and the
+    * ALTER commands produce their clear "not supported on
+    * snapshot-backed tables" message instead of an opaque native
+    * resolution error (same policy as UPDATE/DELETE). */
   private def graftAlterTarget(
       plan: LogicalPlan): Option[(String, String)] = {
     def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -408,7 +415,9 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
           case Seq(cat, ns, t) if GraftCatalogs.isGraft(cat) =>
             Some((lower(ns), lower(t)))
           case Seq(ns, t)
-              if new TableStore(session).tableExists(ns, t) =>
+              if new TableStore(session).tableExists(ns, t) ||
+                new TableStore(session)
+                  .snapshotPath(lower(ns), lower(t)).isDefined =>
             Some((lower(ns), lower(t)))
           case _ => None
         }

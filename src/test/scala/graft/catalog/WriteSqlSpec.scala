@@ -106,6 +106,32 @@ class WriteSqlSpec extends SparkSpec {
     assert(store.tableExists("dd", "vw"))
   }
 
+  test("INSERT INTO / OVERWRITE / TRUNCATE on a SNAPSHOT-BACKED table " +
+    "are versioned commits: history retained, time travel sees the " +
+    "pre-write state") {
+    val store = freshStore()
+    val dir = java.nio.file.Files.createTempDirectory("snapins")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(
+      Seq((1, "a")).toDF("id", "tag"), dir, keepVersions = 4)
+    store.registerSnapshot("ws", "t", dir)
+    spark.sql("INSERT INTO ws.t VALUES (2, 'b')")
+    assert(spark.sql("SELECT id FROM ws.t ORDER BY id")
+      .as[Int].collect().toSeq == Seq(1, 2))
+    // the append was a commit: v1 is retained and time-travelable
+    assert(spark.sql("SELECT id FROM ws.t VERSION AS OF 1")
+      .as[Int].collect().toSeq == Seq(1))
+    spark.sql("INSERT OVERWRITE iceberg.ws.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM ws.t").as[Int].collect().toSeq
+      == Seq(9))
+    spark.sql("TRUNCATE TABLE ws.t")
+    assert(spark.sql("SELECT count(*) FROM ws.t").as[Long].head() == 0L)
+    // schema survives the empty commit; full history is walkable
+    assert(spark.sql("SELECT id FROM ws.t").columns.toSeq == Seq("id"))
+    assert(spark.sql("SELECT id FROM ws.t VERSION AS OF 3")
+      .as[Int].collect().toSeq == Seq(9))
+  }
+
   test("session-catalog INSERT and DROP TABLE stay on Spark's native " +
     "path when the target is not a graft table") {
     TableStore.reset(spark)
