@@ -46,16 +46,12 @@ private[catalog] object GraftDml {
           parts.mkString("."))
     }
     val df = TableStore.registry(spark).getOrElse(key, {
-      // Snapshot-backed tables are readable (scan, DESCRIBE, DROP) but
-      // have no in-registry DataFrame to mutate — say so clearly
-      // instead of letting the analyzer produce an opaque error.
-      if (new TableStore(spark).snapshotPath(key.head, key(1)).isDefined)
-        throw new UnsupportedOperationException(
-          s"$statement on snapshot-backed table ${key.mkString(".")} " +
-            "is not supported; publish a new version with " +
-            "Snapshot.createOrReplace instead")
-      throw new java.util.NoSuchElementException(
-        s"$statement target not registered: ${parts.mkString(".")}")
+      // snapshot-backed tables read the LIVE version; commit() writes
+      // the statement's effect back as a new snapshot version
+      new TableStore(spark).snapshotPath(key.head, key(1))
+        .map(p => graft.pipeline.Snapshot.read(spark, p))
+        .getOrElse(throw new java.util.NoSuchElementException(
+          s"$statement target not registered: ${parts.mkString(".")}"))
     })
     if (new TableStore(spark).isView(key.head, key(1)))
       throw new UnsupportedOperationException(
@@ -63,13 +59,28 @@ private[catalog] object GraftDml {
     (key, aliasOpt.getOrElse(parts.last), df)
   }
 
-  /** Replace the registration with the statement's materialized
-    * effect — the same commit tail as [[GraftMergeCommand]]. */
+  /** Commit the statement's materialized effect. Registry tables
+    * replace their in-memory registration (the commit tail
+    * [[GraftMergeCommand]] shares); snapshot-backed tables write ONE
+    * atomic versioned commit — row-level DML on a versioned table, the
+    * Iceberg behavior (the previous state rolls into history and stays
+    * time-travelable). Registry wins when a name has both, mirroring
+    * [[ResolveGraftRelations]] lookup order. */
   def commit(spark: SparkSession, key: Seq[String],
              next: DataFrame): Unit = {
-    val result = next.localCheckpoint()
-    TableStore.registry(spark).put(key, result)
-    result.createOrReplaceTempView(s"${key.head}_${key(1)}")
+    val snapPath =
+      if (TableStore.registry(spark).contains(key)) None
+      else new TableStore(spark).snapshotPath(key.head, key(1))
+    snapPath match {
+      case Some(p) =>
+        graft.pipeline.Snapshot.createOrReplace(next, p,
+          keepVersions =
+            graft.pipeline.Snapshot.historicalVersions(p).size + 1)
+      case None =>
+        val result = next.localCheckpoint()
+        TableStore.registry(spark).put(key, result)
+        result.createOrReplaceTempView(s"${key.head}_${key(1)}")
+    }
   }
 
   def nameOf(e: Expression): String = e match {

@@ -41,9 +41,14 @@ case class GraftMergeCommand(merge: MergeIntoTable)
       case _ => throw new IllegalArgumentException(
         s"MERGE target must be a registered <ns>.<table>: ${parts.mkString(".")}")
     }
+    // registry first; snapshot-backed targets read LIVE and commit a
+    // new version (row-level MERGE on a versioned table — Iceberg's
+    // behavior, shared with UPDATE/DELETE via GraftDml.commit)
     val targetDf = TableStore.registry(spark).getOrElse(key,
-      throw new java.util.NoSuchElementException(
-        s"MERGE target not registered: ${parts.mkString(".")}"))
+      new TableStore(spark).snapshotPath(key.head, key(1))
+        .map(p => graft.pipeline.Snapshot.read(spark, p))
+        .getOrElse(throw new java.util.NoSuchElementException(
+          s"MERGE target not registered: ${parts.mkString(".")}")))
     val tq = aliasOpt.getOrElse(parts.last)
     lazy val sq = sourceAlias(merge.sourceTable).getOrElse(
       throw new IllegalArgumentException(
@@ -128,9 +133,7 @@ case class GraftMergeCommand(merge: MergeIntoTable)
       .filter(col("__keep")).drop("__keep")
     // (the __t/__s/__tid markers are projected away by the select above)
 
-    val result = next.localCheckpoint()
-    TableStore.registry(spark).put(key, result)
-    result.createOrReplaceTempView(s"${key.head}_${key(1)}")
+    GraftDml.commit(spark, key, next)
     Seq.empty
   }
 

@@ -253,15 +253,30 @@ FROM iceberg.silver.orders_current""")
     assert(!e.getMessage.contains("target not registered"),
       s"unregistered target must fall through to Spark, got: " +
         e.getMessage)
-    // snapshot-backed target → claimed, with the clear graft message
+    // snapshot-backed target → claimed: row-level DML commits a NEW
+    // snapshot version (Iceberg's behavior), history stays walkable
     val dir = java.nio.file.Files.createTempDirectory("dmlsnap")
       .toString + "/t"
-    graft.pipeline.Snapshot.createOrReplace(Seq(1L).toDF("v"), dir)
+    graft.pipeline.Snapshot.createOrReplace(
+      Seq(1L, 2L).toDF("v"), dir, keepVersions = 3)
     store.registerSnapshot("hist", "dml_s", dir)
-    val s = intercept[UnsupportedOperationException] {
-      spark.sql("UPDATE hist.dml_s SET v = 0")
-    }
-    assert(s.getMessage.contains("snapshot-backed"))
+    spark.sql("UPDATE hist.dml_s SET v = 10 WHERE v = 1")
+    assert(spark.sql("SELECT v FROM hist.dml_s ORDER BY v")
+      .as[Long].collect().toSeq == Seq(2L, 10L))
+    spark.sql("DELETE FROM hist.dml_s WHERE v = 2")
+    assert(spark.sql("SELECT v FROM hist.dml_s")
+      .as[Long].collect().toSeq == Seq(10L))
+    // each statement was one commit: v1 (pre-UPDATE) is retained
+    assert(spark.sql("SELECT v FROM hist.dml_s VERSION AS OF 1 ORDER BY v")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // MERGE commits through the same path
+    store.stage("dml_src", Seq(10L, 77L).toDF("v"))
+    spark.sql("""MERGE INTO hist.dml_s t USING dml_src s ON t.v = s.v
+                 WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)""")
+    assert(spark.sql("SELECT v FROM hist.dml_s ORDER BY v")
+      .as[Long].collect().toSeq == Seq(10L, 77L))
+    assert(spark.sql("SELECT count(*) FROM hist.dml_s VERSION AS OF 3")
+      .as[Long].head() == 1L)
   }
 
   test("DESCRIBE runs verbatim on graft tables (both spellings) and " +
