@@ -767,6 +767,28 @@ FROM iceberg.silver.orders_current""")
                FROM iceberg.dml.orders ORDER BY o_orderkey""")
     }),
 
+    // S5'' (r07) — the SAME statements against a SNAPSHOT-BACKED
+    // table: each one is an atomic versioned commit (history asserted
+    // in DdlSqlSpec); the final read-back shares
+    // q_dml_update_delete's oracle shape.
+    "q_dml_snapshot" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("dmlsnapq")
+        .toString + "/orders_dml"
+      graft.pipeline.Snapshot.createOrReplace(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        dir, keepVersions = 3)
+      new TableStore(s).registerSnapshot("dmlsnap", "orders", dir)
+      s.sql("DELETE FROM iceberg.dmlsnap.orders WHERE o_orderstatus = 'F'")
+      s.sql("""UPDATE dmlsnap.orders
+               SET o_custkey = o_custkey + 1000000,
+                   o_orderpriority = concat('RUSH-', o_orderpriority)
+               WHERE o_orderpriority LIKE '1-%'""")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_orderpriority
+               FROM iceberg.dmlsnap.orders ORDER BY o_orderkey""")
+    }),
+
     // S5''' — the append half of the write surface VERBATIM: CTAS
     // snapshots a query result into a new table, INSERT INTO appends
     // from a query source and from a column-list VALUES (unlisted
@@ -1339,6 +1361,17 @@ FROM iceberg.silver.orders_current""")
       ) ORDER BY o_orderkey""",
 
     "q_dml_update_delete" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority LIKE '1-%'
+                  THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+             o_orderstatus,
+             CASE WHEN o_orderpriority LIKE '1-%'
+                  THEN 'RUSH-' || o_orderpriority
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderstatus <> 'F'
+      ORDER BY o_orderkey""",
+
+    "q_dml_snapshot" -> """
       SELECT o_orderkey,
              CASE WHEN o_orderpriority LIKE '1-%'
                   THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
