@@ -46,10 +46,11 @@ private[catalog] object GraftDml {
           parts.mkString("."))
     }
     val df = TableStore.registry(spark).getOrElse(key, {
-      // snapshot-backed tables read the LIVE version; commit() writes
-      // the statement's effect back as a new snapshot version
+      // snapshot-backed tables read the LIVE version (or the staged
+      // WAP branch when spark.wap.branch is set); commit() writes the
+      // statement's effect back the same way
       new TableStore(spark).snapshotPath(key.head, key(1))
-        .map(p => graft.pipeline.Snapshot.read(spark, p))
+        .map(p => snapshotRead(spark, p))
         .getOrElse(throw new java.util.NoSuchElementException(
           s"$statement target not registered: ${parts.mkString(".")}"))
     })
@@ -72,16 +73,40 @@ private[catalog] object GraftDml {
       if (TableStore.registry(spark).contains(key)) None
       else new TableStore(spark).snapshotPath(key.head, key(1))
     snapPath match {
-      case Some(p) =>
-        graft.pipeline.Snapshot.createOrReplace(next, p,
-          keepVersions =
-            graft.pipeline.Snapshot.historicalVersions(p).size + 1)
+      case Some(p) => wapBranch(spark) match {
+        case Some(branch) =>
+          // write-audit-publish session mode (Iceberg's
+          // spark.wap.branch): the statement's effect STAGES on the
+          // branch — live is untouched until CALL fast_forward
+          graft.pipeline.Snapshot.writeBranch(
+            next.localCheckpoint(), p, branch)
+        case None =>
+          graft.pipeline.Snapshot.createOrReplace(next, p,
+            keepVersions =
+              graft.pipeline.Snapshot.historicalVersions(p).size + 1)
+      }
       case None =>
         val result = next.localCheckpoint()
         TableStore.registry(spark).put(key, result)
         result.createOrReplaceTempView(s"${key.head}_${key(1)}")
     }
   }
+
+  /** Iceberg's `spark.wap.branch` session conf: when set, writes to
+    * snapshot-backed tables stage on that branch and reads resolve it
+    * (falling back to live while the branch has no staged state). */
+  def wapBranch(spark: SparkSession): Option[String] =
+    Option(spark.conf.get("spark.wap.branch", null)).filter(_.nonEmpty)
+
+  /** Branch-aware snapshot read: the staged WAP branch when the
+    * session pins one AND it exists, else the live version. */
+  def snapshotRead(spark: SparkSession, path: String): DataFrame =
+    wapBranch(spark) match {
+      case Some(b)
+          if graft.pipeline.Snapshot.branches(path).contains(b) =>
+        graft.pipeline.Snapshot.readBranch(spark, path, b)
+      case _ => graft.pipeline.Snapshot.read(spark, path)
+    }
 
   def nameOf(e: Expression): String = e match {
     case a: UnresolvedAttribute => a.nameParts.last
@@ -139,11 +164,11 @@ case class GraftInsertCommand(ns: String, name: String,
     if (store.isView(ns, name))
       throw new UnsupportedOperationException(
         s"cannot INSERT into a view: $ns.$name")
-    // snapshot-backed tables take the versioned-commit path below;
-    // registry tables keep the in-memory commit
-    val snapPath = store.snapshotPath(ns, name)
-    val target = snapPath
-      .map(p => graft.pipeline.Snapshot.read(spark, p))
+    // snapshot-backed tables take the versioned-commit path (or the
+    // WAP branch when spark.wap.branch is set); registry tables keep
+    // the in-memory commit — all through GraftDml.commit
+    val target = store.snapshotPath(ns, name)
+      .map(p => GraftDml.snapshotRead(spark, p))
       .getOrElse(store.table(ns, name))
     val schema = target.schema
     val src = PlanBridge.ofRows(spark, insert.query)
@@ -187,16 +212,8 @@ case class GraftInsertCommand(ns: String, name: String,
         }
       }
     val rows = src.select(aligned: _*)
-    val next = if (insert.overwrite) rows else target.union(rows)
-    snapPath match {
-      case Some(p) =>
-        // one atomic snapshot commit (the previous state rolls into
-        // history like any other write to a versioned table)
-        graft.pipeline.Snapshot.createOrReplace(next, p,
-          keepVersions =
-            graft.pipeline.Snapshot.historicalVersions(p).size + 1)
-      case None => GraftDml.commit(spark, Seq(ns, name), next)
-    }
+    GraftDml.commit(spark, Seq(ns, name),
+      if (insert.overwrite) rows else target.union(rows))
     Seq.empty
   }
 }
@@ -210,18 +227,12 @@ case class GraftTruncateCommand(ns: String, name: String)
     if (store.isView(ns, name))
       throw new UnsupportedOperationException(
         s"cannot TRUNCATE a view: $ns.$name")
-    store.snapshotPath(ns, name) match {
-      case Some(p) =>
-        // empty-state commit; the pre-truncate version stays
-        // time-travelable like any other replaced snapshot
-        graft.pipeline.Snapshot.createOrReplace(
-          graft.pipeline.Snapshot.read(spark, p).limit(0), p,
-          keepVersions =
-            graft.pipeline.Snapshot.historicalVersions(p).size + 1)
-      case None =>
-        GraftDml.commit(spark, Seq(ns, name),
-          store.table(ns, name).limit(0))
-    }
+    // empty-state commit; the pre-truncate version stays
+    // time-travelable like any other replaced snapshot
+    GraftDml.commit(spark, Seq(ns, name),
+      store.snapshotPath(ns, name)
+        .map(p => GraftDml.snapshotRead(spark, p))
+        .getOrElse(store.table(ns, name)).limit(0))
     Seq.empty
   }
 }

@@ -46,7 +46,7 @@ case class GraftMergeCommand(merge: MergeIntoTable)
     // behavior, shared with UPDATE/DELETE via GraftDml.commit)
     val targetDf = TableStore.registry(spark).getOrElse(key,
       new TableStore(spark).snapshotPath(key.head, key(1))
-        .map(p => graft.pipeline.Snapshot.read(spark, p))
+        .map(p => GraftDml.snapshotRead(spark, p))
         .getOrElse(throw new java.util.NoSuchElementException(
           s"MERGE target not registered: ${parts.mkString(".")}")))
     val tq = aliasOpt.getOrElse(parts.last)

@@ -119,10 +119,13 @@ case class ResolveGraftRelations(session: SparkSession)
         .orElse(st.registry.get(k)
           .map(df => SubqueryAlias(parts.last, df.queryExecution.analyzed)))
         // snapshot-backed tables also read LIVE by bare name (the
-        // latest version, re-read at each query)
+        // latest version, re-read at each query) — or the staged WAP
+        // branch when the session pins one (spark.wap.branch) and it
+        // has staged state, Iceberg's write-audit-publish read mode
         .orElse(st.snapshotPaths.get(k)
           .map(path => SubqueryAlias(parts.last,
-            session.read.parquet(path).queryExecution.analyzed)))
+            GraftDml.snapshotRead(session, path)
+              .queryExecution.analyzed)))
     }
   }
 }

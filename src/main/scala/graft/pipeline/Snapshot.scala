@@ -71,36 +71,61 @@ object Snapshot {
       df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
 
-  /** Shared commit protocol: write to the tmp dir, stamp the version
-    * marker, atomically roll the live dir into history (or the discard
-    * slot), promote tmp, prune history beyond `keepVersions`. */
+  /** Per-path intra-JVM commit locks: the swap section of two
+    * concurrent committers to the SAME table must serialize (a
+    * single-driver Spark app is the one writer a plain-FS layout can
+    * host; cross-driver safety needs a catalog service, like Iceberg
+    * without one). Weak values let idle locks be collected. */
+  private val commitLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Shared commit protocol (OPTIMISTIC, like an Iceberg commit): note
+    * the base version, write to a WRITER-UNIQUE tmp dir (concurrent
+    * stagings never clobber each other), stamp the version marker,
+    * then — serialized per path — re-check the base version and
+    * atomically promote. A base that moved while this writer was
+    * staging raises `ConcurrentModificationException` with the staged
+    * dir cleaned up; the caller re-runs its statement against the new
+    * live state (no blind retry here: a DML/MERGE result depends on
+    * the base it read). */
   private def swapIn(path: String, keepVersions: Int)
                     (write: Path => Unit): Unit = {
     val live = Paths.get(path)
-    val tmp = Paths.get(path + ".tmp-swap")
-    val old = Paths.get(path + ".old-swap")
-    deleteRecursively(tmp); deleteRecursively(old)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = Paths.get(s"$path.tmp-swap-$token")
+    val old = Paths.get(s"$path.old-swap-$token")
     val cur = currentVersion(path)
     val next = cur.getOrElse(0L) + 1
-    write(tmp)
-    Files.write(tmp.resolve(VersionFile),
-      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if (Files.exists(live)) {
-      // a live dir that predates versioning (e.g. an append-only table
-      // being compacted for the first time) retains as version 0
-      if (keepVersions > 0)
-        Files.move(live, Paths.get(s"$path.v${cur.getOrElse(0L)}"),
-          StandardCopyOption.ATOMIC_MOVE)
-      else
-        Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-    // prune beyond the newest keepVersions historical snapshots —
-    // except tagged ones, which a ref keeps reachable
-    historicalVersions(path).dropRight(keepVersions)
-      .filterNot(taggedVersions(path))
-      .foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
+    try {
+      write(tmp)
+      Files.write(tmp.resolve(VersionFile),
+        next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      commitLocks.getOrElseUpdate(path, new Object).synchronized {
+        val now = currentVersion(path)
+        if (now != cur)
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict at $path: base version " +
+              s"${cur.getOrElse(0L)} was replaced by " +
+              s"${now.getOrElse(0L)} while this writer staged; " +
+              "re-run the statement against the new live state")
+        if (Files.exists(live)) {
+          // a live dir that predates versioning (e.g. an append-only
+          // table being compacted for the first time) retains as v0
+          if (keepVersions > 0)
+            Files.move(live, Paths.get(s"$path.v${cur.getOrElse(0L)}"),
+              StandardCopyOption.ATOMIC_MOVE)
+          else
+            Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+        }
+        Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteRecursively(old)
+      // prune beyond the newest keepVersions historical snapshots —
+      // except tagged ones, which a ref keeps reachable
+      historicalVersions(path).dropRight(keepVersions)
+        .filterNot(taggedVersions(path))
+        .foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
+    } finally deleteRecursively(tmp)
   }
 
   /** Time travel: read snapshot `version` of `path` — the live version
@@ -328,8 +353,27 @@ object Snapshot {
     * that a crashed commit could strand beside the table.
     * @return the number of orphan dirs removed */
   def removeOrphans(path: String): Int = {
-    val orphans = Seq(".tmp-swap", ".old-swap", ".tmp-erase", ".old-erase")
+    val fixed = Seq(".tmp-swap", ".old-swap", ".tmp-erase", ".old-erase")
       .map(s => Paths.get(path + s)).filter(Files.exists(_))
+    // writer-unique staged commits (`.tmp-swap-<token>` /
+    // `.old-swap-<token>`) stranded by a crashed committer
+    val live = Paths.get(path)
+    val parent = live.getParent
+    val tokens =
+      if (parent == null || !Files.exists(parent)) Seq.empty[Path]
+      else {
+        import scala.jdk.CollectionConverters._
+        val base = live.getFileName.toString
+        val s = Files.list(parent)
+        try s.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(base + ".tmp-swap-") ||
+              n.startsWith(base + ".old-swap-")
+          }.toSeq
+        finally s.close()
+      }
+    val orphans = fixed ++ tokens
     orphans.foreach(deleteRecursively)
     orphans.size
   }

@@ -132,6 +132,40 @@ class WriteSqlSpec extends SparkSpec {
       .as[Int].collect().toSeq == Seq(9))
   }
 
+  test("spark.wap.branch session mode: writes stage on the branch and " +
+    "compose, reads resolve the branch, live is untouched until " +
+    "fast_forward publishes") {
+    val store = freshStore()
+    val dir = java.nio.file.Files.createTempDirectory("wapconf")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(
+      Seq((1, "a")).toDF("id", "tag"), dir, keepVersions = 3)
+    store.registerSnapshot("wap", "t", dir)
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      spark.sql("INSERT INTO wap.t VALUES (2, 'b')")
+      // live state untouched; the session reads the staged branch
+      assert(graft.pipeline.Snapshot.read(spark, dir)
+        .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+      assert(spark.sql("SELECT id FROM wap.t ORDER BY id")
+        .as[Int].collect().toSeq == Seq(1, 2))
+      // writes COMPOSE on the branch
+      spark.sql("UPDATE wap.t SET tag = 'z' WHERE id = 2")
+      assert(spark.sql("SELECT tag FROM wap.t WHERE id = 2")
+        .as[String].head() == "z")
+      assert(graft.pipeline.Snapshot.read(spark, dir).count() == 1L)
+      // publish: the audited branch becomes live in one swap
+      spark.sql("""CALL iceberg.system.fast_forward(
+        table => 'wap.t', branch => 'audit')""")
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(spark.sql("SELECT id, tag FROM wap.t ORDER BY id")
+      .as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "z")))
+    // pre-publish live state rolled into history
+    assert(spark.sql("SELECT count(*) FROM wap.t VERSION AS OF 1")
+      .as[Long].head() == 1L)
+  }
+
   test("session-catalog INSERT and DROP TABLE stay on Spark's native " +
     "path when the target is not a graft table") {
     TableStore.reset(spark)

@@ -4,6 +4,17 @@ import graft.SparkSpec
 import java.nio.file.Files
 import org.apache.spark.sql.functions.col
 
+/** Executor-reachable gates for the optimistic-commit race test (the
+  * task runs in this JVM under local[*], so statics are shared). */
+object SnapshotRaceGates {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var gate: java.util.concurrent.CountDownLatch = _
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    gate = new java.util.concurrent.CountDownLatch(1)
+  }
+}
+
 /** Snapshot sink: atomic create-or-replace swap + append. */
 class SnapshotSpec extends SparkSpec {
   import spark.implicits._
@@ -57,6 +68,46 @@ class SnapshotSpec extends SparkSpec {
       Snapshot.readAsOf(spark, dir, 1) // pruned
     }
     assert(err.getMessage.contains("retained=2,3"))
+  }
+
+  test("optimistic commit: a writer whose base version moved while it " +
+    "was staging gets a commit conflict, its staging dir cleaned up, " +
+    "and the interloper's commit stands") {
+    val dir = Files.createTempDirectory("snapcc").toString + "/t"
+    Snapshot.createOrReplace(Seq(1).toDF("x"), dir, keepVersions = 3)
+    SnapshotRaceGates.reset()
+    // a df whose evaluation parks inside the slow writer's staging
+    // write until the test releases it
+    val slowDf = spark.range(1).map { i =>
+      SnapshotRaceGates.started.countDown()
+      SnapshotRaceGates.gate.await()
+      i
+    }.toDF("x")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slow = Future {
+      Snapshot.createOrReplace(slowDf, dir, keepVersions = 3)
+    }
+    assert(SnapshotRaceGates.started.await(
+      60, java.util.concurrent.TimeUnit.SECONDS))
+    // the interloper commits v2 while the slow writer is mid-staging
+    Snapshot.createOrReplace(Seq(2).toDF("x"), dir, keepVersions = 3)
+    SnapshotRaceGates.gate.countDown()
+    val err = intercept[java.util.ConcurrentModificationException] {
+      Await.result(slow, scala.concurrent.duration.Duration("120s"))
+    }
+    assert(err.getMessage.contains("commit conflict"))
+    // interloper's state stands; no staged work dirs remain
+    assert(Snapshot.currentVersion(dir).contains(2L))
+    assert(Snapshot.read(spark, dir).as[Int].collect().toSeq == Seq(2))
+    val parent = java.nio.file.Paths.get(dir).getParent
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(parent)
+    val stranded = try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.contains(".tmp-swap")).toSeq
+    finally s.close()
+    assert(stranded.isEmpty, s"staging dirs left behind: $stranded")
   }
 
   test("timestamp travel: committedAt is monotone across commits, " +
