@@ -299,6 +299,32 @@ object SimilarityOps {
     corpus.join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** X2f' — semantic DECONTAMINATION: [[semanticDedup]]'s cell-bounded
+    * pairwise shape ACROSS tables — drop every corpus vector with a
+    * near-duplicate (cosine ≥ threshold) in `blocklist`, comparing
+    * only within shared IVF cells. The embedding-space twin of the
+    * n-gram decontaminators in [[DedupOps]]: benchmark rows whose
+    * paraphrase survives a lexical scrub still collide here.
+    *
+    * Scale shape: both sides assign against the same broadcast
+    * codebook; the only corpus-keyed exchange is the cell join, and
+    * the per-cell cross product is (corpus/nlist) × (blocklist/nlist)
+    * — the blocklist is benchmark-sized, so each cell's comparison
+    * count stays blocklist-bounded, never corpus². */
+  def semanticDecontaminate(corpus: DataFrame, blocklist: DataFrame,
+                            centroids: DataFrame,
+                            threshold: Double): DataFrame = {
+    val cCells = assignCentroids(corpus, centroids)
+      .select(col("centroid_id"), col("vec_id"),
+        col("embedding").as("e_c"))
+    val bCells = assignCentroids(blocklist, centroids)
+      .select(col("centroid_id"), col("embedding").as("e_b"))
+    val contaminated = cCells.join(bCells, "centroid_id")
+      .filter(cosine(col("e_c"), col("e_b")) >= threshold)
+      .select("vec_id").distinct()
+    corpus.join(contaminated, Seq("vec_id"), "left_anti")
+  }
+
   // -------------------------------------------------------------------
   // X3e — Lloyd k-means codebook training
   // -------------------------------------------------------------------

@@ -810,6 +810,26 @@ object ExtQueries {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // X2f' — semantic DECONTAMINATION: corpus = the plain embeddings,
+    // blocklist = perturbed copies of every 50th vector (a paraphrased
+    // "benchmark" no lexical scrub would catch); the contaminated
+    // originals land in their twin's IVF cell and are dropped, every
+    // other vector survives. Survivor ID list is the oracle.
+    "q_semantic_decontaminate" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double"))
+          .as("embedding"))
+      val blocklist = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(sequence(lit(1), lit(64)),
+            i => element_at(col("embedding"), i).cast("double")
+              + lit(0.01) * ((i % 3) - 1)).as("embedding"))
+      val cents = SimilarityOps.sampleCentroids(corpus, IvfNlist)
+      SimilarityOps.semanticDecontaminate(corpus, blocklist, cents, 0.99)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // X5 — multimodal media table + stubbed decode features. The
     // histogram array is serialized to CSV for the compare (the
     // hash-compare layer can't sort list cells); the library keeps it
@@ -2285,6 +2305,48 @@ object ExtQueries {
       )
       SELECT vec_id FROM corpus
       WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id""",
+
+    "q_semantic_decontaminate" -> s"""
+      WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings
+      ),
+      blocklist AS (
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(range(1, 65),
+                 i -> embedding[i]::DOUBLE + (0.01)::DOUBLE * ((i % 3) - 1)) AS e
+        FROM embeddings WHERE vec_id % 50 = 0
+      ),
+      c AS (
+        SELECT vec_id AS centroid_id, e AS ce FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
+      ),
+      ca AS (
+        SELECT vec_id, e, centroid_id FROM (
+          SELECT x.vec_id, x.e, c.centroid_id,
+                 row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY ${dotSql("x.e", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM corpus x CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      ba AS (
+        SELECT vec_id, e, centroid_id FROM (
+          SELECT x.vec_id, x.e, c.centroid_id,
+                 row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY ${dotSql("x.e", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM blocklist x CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      contaminated AS (
+        SELECT DISTINCT ca.vec_id
+        FROM ca JOIN ba USING (centroid_id)
+        WHERE ${cosSql("ca.e", "ba.e")} >= 0.99
+      )
+      SELECT vec_id FROM corpus
+      WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
       ORDER BY vec_id""",
 
     "q_multimodal" -> s"""

@@ -211,6 +211,30 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(kept == Set(0L, 2L))
   }
 
+  test("semanticDecontaminate drops corpus vectors with a blocklist " +
+    "near-twin, keeps the rest — corpus-internal twins are NOT " +
+    "deduped") {
+    // 0/1 are near-twins of each other (must BOTH survive — dedup is
+    // not this op's job); 2 matches the blocklist; 3 is far from it.
+    val corpus = Seq(
+      (0L, vec(1f, 0.01f, 0f, 0f)),
+      (1L, vec(0.99f, 0.02f, 0f, 0f)),
+      (2L, vec(0.1f, 1f, 0f, 0f)),
+      (3L, vec(0f, 0f, 1f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val blocklist = Seq(
+      (100L, vec(0.1f, 0.99f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.sampleCentroids(corpus, 4)
+    val kept = SimilarityOps
+      .semanticDecontaminate(corpus, blocklist, cents, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 3L))
+    // an empty blocklist drops nothing
+    assert(SimilarityOps.semanticDecontaminate(
+      corpus, blocklist.limit(0), cents, 0.95).count() == 4L)
+  }
+
   /** Two well-separated blobs around (±10, ...) — a planted clustering
     * Lloyd must recover from any 2-vector init. */
   private def blobCorpus: org.apache.spark.sql.DataFrame =
