@@ -789,6 +789,36 @@ FROM iceberg.silver.orders_current""")
                FROM iceberg.dmlsnap.orders ORDER BY o_orderkey""")
     }),
 
+    // S4+++++++ (r07) — spark.wap.branch session mode end-to-end: the
+    // low half of orders is live, the session pins a WAP branch, the
+    // top half lands via plain INSERT (staged, live untouched —
+    // asserted mid-flight), fast_forward publishes, and the read-back
+    // equals the whole orders table (the oracle).
+    "q_wap_session" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val mid = orders.agg(max("o_orderkey")).collect()(0).getLong(0) / 2
+      val dir = java.nio.file.Files.createTempDirectory("wapsess")
+        .toString + "/orders_wap2"
+      graft.pipeline.Snapshot.createOrReplace(
+        orders.filter(col("o_orderkey") <= mid), dir, keepVersions = 2)
+      new TableStore(s).registerSnapshot("wap", "orders_s", dir)
+      s.conf.set("spark.wap.branch", "etl_audit")
+      try {
+        orders.filter(col("o_orderkey") > mid)
+          .createOrReplaceTempView("wap_src")
+        s.sql("INSERT INTO wap.orders_s SELECT * FROM wap_src")
+        // audit gate: live must be untouched while the write is staged
+        require(graft.pipeline.Snapshot.read(s, dir).count() ==
+          orders.filter(col("o_orderkey") <= mid).count(),
+          "WAP staging must not touch live")
+        s.sql("""CALL iceberg.system.fast_forward(
+                 table => 'wap.orders_s', branch => 'etl_audit')""")
+      } finally s.conf.unset("spark.wap.branch")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus
+               FROM wap.orders_s ORDER BY o_orderkey""")
+    }),
+
     // S5''' — the append half of the write surface VERBATIM: CTAS
     // snapshots a query result into a new table, INSERT INTO appends
     // from a query source and from a column-list VALUES (unlisted
@@ -1119,6 +1149,10 @@ FROM iceberg.silver.orders_current""")
       FROM lineitem GROUP BY l_returnflag ORDER BY "partition"""",
 
     "q_add_files" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      ORDER BY o_orderkey""",
+
+    "q_wap_session" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
       ORDER BY o_orderkey""",
 
