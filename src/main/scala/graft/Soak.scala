@@ -155,6 +155,20 @@ object Soak {
         graft.ext.SimilarityOps.semanticDedup(ecorpus,
           graft.ext.SimilarityOps.sampleCentroids(ecorpus, 64), 0.99)
       },
+      // X2f' under duplication: the corpus side grows mult× but the
+      // blocklist stays fixed, so per-cell work grows LINEARLY with
+      // mult (corpus/nlist × blocklist/nlist per cell) — unlike
+      // semantic_dedup's mult² self-join, decontamination should track
+      // the corpus, which is the design claim to verify
+      timed("semantic_decontaminate") {
+        // blocklist FIXED at base scale (the production shape: a
+        // constant benchmark set over a growing corpus)
+        val block = ebase.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 500000).as("vec_id"),
+            col("embedding"))
+        graft.ext.SimilarityOps.semanticDecontaminate(ecorpus, block,
+          graft.ext.SimilarityOps.sampleCentroids(ecorpus, 64), 0.99)
+      },
       // X4e under duplication: postings grow mult× but the query-term
       // broadcast prunes them BEFORE scoring — time should track the
       // matched-posting volume (linear), not the corpus
