@@ -31,16 +31,30 @@ object Packing {
     * real tokenizer's count column at deployment). */
   def packingPlan(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", budget: Int = 2048,
-                  shards: Int = 64): DataFrame = {
+                  shards: Int = 64): DataFrame =
+    packingPlanCounts(
+      docs.select(col(idCol),
+        size(split(col(textCol), " ")).as("n_tokens")),
+      idCol, "n_tokens", budget, shards)
+
+  /** [[packingPlan]] over a CALLER-SUPPLIED token count — the "real
+    * tokenizer" hook the BPE trainer docs promise: any per-doc count
+    * (BPE, SentencePiece, …) replaces the whitespace heuristic without
+    * touching the plan shape (same id-stable md5 shards, same
+    * per-shard cumsum windows). */
+  def packingPlanCounts(docs: DataFrame, idCol: String = "doc_id",
+                        countCol: String = "n_tokens",
+                        budget: Int = 2048,
+                        shards: Int = 64): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
-    val tok = size(split(col(textCol), " "))
     val shard = pmod(
       conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(shards))
     val w = Window.partitionBy("shard").orderBy(idCol)
     docs
-      .select(col(idCol), tok.as("n_tokens"), shard.as("shard"))
+      .select(col(idCol), col(countCol).as("n_tokens"),
+        shard.as("shard"))
       .withColumn("end_off", sum("n_tokens").over(w))
       .withColumn("start_off", col("end_off") - col("n_tokens"))
       .withColumn("chunk_id",

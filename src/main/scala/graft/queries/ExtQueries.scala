@@ -537,6 +537,22 @@ object ExtQueries {
         budget = 256, shards = 8)
         .orderBy("doc_id")),
 
+    // X16/X4g composed — the packing planner driven by the REAL BPE
+    // tokenizer instead of the whitespace heuristic: train 8 merges on
+    // the corpus, count BPE tokens per doc with the greedy-leftmost
+    // fold, pack on THOSE counts. Oracle re-derives the merge list and
+    // the counts via the unrolled CTE chain, then replays the cumsum.
+    "q_packing_bpe" -> ((s, d) => {
+      val merges = TextOps.bpeTrain(Tables.documents(s, d),
+          merges = BpeMerges)
+        .orderBy("rank").select("lsym", "rsym")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val counted = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text"), merges).as("n_tokens"))
+      graft.ext.Packing.packingPlanCounts(counted, budget = 256,
+        shards = 8).orderBy("doc_id")
+    }),
+
     // X16b — per-(chunk, doc) spans: what a chunk writer consumes;
     // boundary-spanning docs yield one row per overlapped chunk.
     "q_packing_spans" -> ((s, d) =>
@@ -1324,6 +1340,28 @@ object ExtQueries {
              CAST(sum(len(v$BpeMerges.sym)) AS INTEGER) AS n_bpe_tokens
       FROM tok JOIN v$BpeMerges USING (word)
       GROUP BY doc_id ORDER BY doc_id"""),
+
+    "q_packing_bpe" -> (bpeRoundsSql(BpeMerges) + s""",
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+      bt AS (SELECT doc_id,
+                    CAST(sum(len(v$BpeMerges.sym)) AS INTEGER)
+                      AS n_tokens
+             FROM tok JOIN v$BpeMerges USING (word)
+             GROUP BY doc_id),
+      t AS (
+        SELECT doc_id, n_tokens,
+               ('0x' || md5(CAST(doc_id AS VARCHAR))[1:8])::BIGINT % 8
+                 AS shard
+        FROM bt
+      ),
+      c AS (SELECT *, CAST(sum(n_tokens) OVER
+              (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+              AS end_off FROM t)
+      SELECT doc_id, n_tokens, shard, end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 256 AS chunk_id,
+             (end_off - n_tokens) % 256 AS offset_in_chunk
+      FROM c ORDER BY doc_id"""),
 
     "q_perplexity" -> """
       WITH tok AS (
