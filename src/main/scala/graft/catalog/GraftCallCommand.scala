@@ -184,14 +184,8 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         // 'yyyy-MM-dd HH:mm:ss[.S]' string in the session's UTC zone).
         val dropped = named.get("older_than") match {
           case Some(cutoff) =>
-            val micros = cutoff match {
-              case l: Long => l
-              case other => other.toString.toLongOption.getOrElse(
-                java.sql.Timestamp.valueOf(other.toString).getTime
-                  * 1000L)
-            }
             graft.pipeline.Snapshot
-              .expireSnapshotsOlderThan(path, micros)
+              .expireSnapshotsOlderThan(path, cutoffMicros(cutoff))
           case None =>
             val retain = required("retain_last", 1).toString.toInt
             graft.pipeline.Snapshot.expireSnapshots(path, retain)
@@ -201,12 +195,7 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         // Iceberg's companion to rollback_to_snapshot: restore the
         // snapshot that was current at the instant (same resolution as
         // TIMESTAMP AS OF travel), as a new commit.
-        val cutoff = required("timestamp", 1)
-        val micros = cutoff match {
-          case l: Long => l
-          case other => other.toString.toLongOption.getOrElse(
-            java.sql.Timestamp.valueOf(other.toString).getTime * 1000L)
-        }
+        val micros = cutoffMicros(required("timestamp", 1))
         val versions =
           (graft.pipeline.Snapshot.historicalVersions(path) ++
             graft.pipeline.Snapshot.currentVersion(path)).sorted
@@ -353,6 +342,23 @@ object GraftCallCommand {
     val pos = args.takeWhile(!_.isInstanceOf[NamedArgumentExpression])
       .map(value)
     (pos, named)
+  }
+
+  /** Timestamp-cutoff argument → epoch micros: a TIMESTAMP literal
+    * arrives pre-evaluated as Long micros; a string is parsed as
+    * 'yyyy-MM-dd[ HH:mm:ss[.f…]]' in UTC EXPLICITLY (the session zone
+    * this library pins everywhere), never the JVM default zone. */
+  private def cutoffMicros(value: Any): Long = value match {
+    case l: Long => l
+    case other => other.toString.toLongOption.getOrElse {
+      val raw = other.toString.trim
+      val ldt =
+        if (raw.contains(" ") || raw.contains("T"))
+          java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+        else java.time.LocalDate.parse(raw).atStartOfDay()
+      val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
   }
 
   /** `ns.t` (optionally graft-prefixed) → Seq(ns, t), lowercased. */

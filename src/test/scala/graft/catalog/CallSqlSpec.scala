@@ -146,9 +146,14 @@ class CallSqlSpec extends SparkSpec {
         table => 'maint.t', older_than => $at2)""").collect()
     assert(exp.head.getLong(0) == 1L)
     assert(Snapshot.historicalVersions(dir) == Seq(2L, 3L))
-    // the string spelling parses too (UTC, far future → all but live)
+    // the TIMESTAMP-literal and string spellings parse too (UTC;
+    // date-only strings mean midnight UTC): far future → all but live
+    assert(spark.sql("""CALL iceberg.system.expire_snapshots(
+        table => 'maint.t',
+        older_than => TIMESTAMP '2099-06-01 12:00:00')""")
+      .as[Long].head() == 2L)
     spark.sql("""CALL iceberg.system.expire_snapshots(
-        table => 'maint.t', older_than => '2100-01-01 00:00:00')""")
+        table => 'maint.t', older_than => '2100-01-01')""")
     assert(Snapshot.historicalVersions(dir).isEmpty)
   }
 
