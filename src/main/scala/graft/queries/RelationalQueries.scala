@@ -673,6 +673,233 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q2 shape (adapted: the fixture has no partsupp, so the
+    // supply relation derives from lineitem — min unit price per
+    // (part, supplier) pair). The correlated scalar subquery
+    // ("cost = min cost among regional suppliers of THIS part")
+    // decorrelates into a per-part min aggregate joined back on
+    // (partkey, cost-equality). The supplier→nation→region dim chain
+    // broadcasts; the part filter broadcasts INTO the supply relation
+    // before the per-part min, so the min never computes for parts
+    // the output discards. min over IEEE divisions is exact and
+    // order-independent, so the equality join is engine-stable.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val regionalSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val wantedParts = Tables.part(s, d)
+        .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+        .select("p_partkey", "p_name")
+      val supply = Tables.lineitem(s, d)
+        .join(broadcast(wantedParts.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity"))
+          .as("supply_cost"))
+      val regional = supply.join(broadcast(regionalSup),
+        col("l_suppkey") === col("s_suppkey"))
+      val best = regional.groupBy(col("l_partkey").as("bp_key"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      regional
+        .join(broadcast(best), col("l_partkey") === col("bp_key")
+          && col("supply_cost") === col("min_cost"))
+        .join(broadcast(wantedParts),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape (adapted: p_retailprice stands in for the absent
+    // ps_supplycost): profit per supplier nation per order year over
+    // name-matched parts. Part (LIKE-filtered) and supplier⋈nation
+    // broadcast; the only fact shuffle is lineitem⋈orders on the
+    // order key, then a 25×year partial agg. The per-row profit is a
+    // fixed IEEE expression tree, summed decimal-exact.
+    "q9_product_profit" -> ((s, d) => {
+      val redParts = Tables.part(s, d)
+        .filter(col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+      val supNat = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.5) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(dsum(profit).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape (adapted: "stock value" = shipped
+    // extendedprice×quantity for suppliers in one region): per-part
+    // value vs a global scalar threshold — the HAVING-vs-scalar-
+    // subquery plan. The threshold aggregate computes in-plan from
+    // the SAME pre-aggregated per-part frame (not a second fact
+    // scan) and broadcasts as a 1-row cross join; both sides of the
+    // comparison are decimal-exact doubles.
+    "q11_important_parts" -> ((s, d) => {
+      val regionalSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val perPart = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(broadcast(regionalSup),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(dsum(col("l_extendedprice") * col("l_quantity"))
+          .as("part_value"))
+      val threshold = perPart
+        .agg((dsum(col("part_value")) * lit(0.001)).as("cutoff"))
+      perPart.join(broadcast(threshold))
+        .filter(col("part_value") > col("cutoff"))
+        .select("l_partkey", "part_value")
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape (adapted: the fixture has no
+    // commit/receipt/shipmode, so "late" is shipdate > orderdate +
+    // 60 days and returnflag stands in for shipmode): priority-split
+    // conditional counts over late lines. The ship-year range pushes
+    // to the scan; one shuffle on the order key; the non-equi
+    // lateness predicate evaluates as a join residual.
+    "q12_priority_shipping" -> ((s, d) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(
+          Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >=
+                lit("1997-01-01").cast(TimestampType)
+              && col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+            .select("l_orderkey", "l_shipdate", "l_returnflag"),
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(count(when(high, 1)).as("high_line_count"),
+          count(when(!high, 1)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q16 shape (adapted: lineitem is the part-supplier
+    // relation; negative account balance stands in for the complaint
+    // comment): distinct-supplier counts per part attribute triple,
+    // with a NOT-IN exclusion list. The excluded-supplier set is
+    // dimension-sized → broadcast anti join; part (attr-filtered)
+    // broadcasts into the fact; countDistinct plans as the standard
+    // two-phase (expand + partial) aggregate, never a whole-group
+    // collect.
+    "q16_supplier_counts" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (adapted: the availqty>½·shipped correlation
+    // becomes a per-(supplier,part) shipped-quantity threshold —
+    // the fixture has no partsupp): the nested-IN chain
+    // supplier ← lineitem ← part, each level a LEFT SEMI join with
+    // the small side broadcast. The HAVING runs on the partial-agg
+    // (suppkey, partkey) pairs; the qualifying supplier set is tiny
+    // at any scale, so the outer semi joins broadcast too.
+    "q20_promotion_suppliers" -> ((s, d) => {
+      val redParts = Tables.part(s, d)
+        .filter(col("p_name").like("red%")).select("p_partkey")
+      val qualified = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(redParts),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(col("l_quantity")).as("ship_qty"))
+        .filter(col("ship_qty") > 40.0)
+        .select("l_suppkey")
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
+      Tables.supplier(s, d)
+        .join(broadcast(qualified),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 shape (adapted lateness as in Q12): suppliers who
+    // were the SOLE late shipper on a multi-supplier finished order.
+    // The EXISTS/NOT-EXISTS pair over two lineitem self-aliases
+    // decorrelates into ONE per-order aggregate — distinct suppliers
+    // and distinct LATE suppliers — joined back on the order key:
+    // l1 qualifies iff l1 is late ∧ suppliers ≥ 2 ∧ late-suppliers
+    // = 1 (then the only late supplier IS l1's). Both the stats agg
+    // and the join-back reuse the same order-key partitioning; the
+    // supplier⋈nation⋈region chain broadcasts at the end, after the
+    // fact has reduced to qualifying rows.
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val ordF = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val stats = li.groupBy(col("l_orderkey").as("st_key"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey")))
+            .as("n_late_supp"))
+      val asiaSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+      li.filter(col("is_late"))
+        .join(stats, col("l_orderkey") === col("st_key"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     })
   )
 
