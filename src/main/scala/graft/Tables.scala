@@ -21,7 +21,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+
+  /** The events stream table. Contract: `ts` is LONG epoch NANOS —
+    * every downstream op (windows, as-of joins, gap/session analysis,
+    * z-order) does exact integer arithmetic on it. The fixture has
+    * carried `ts` as parquet TIMESTAMP(NANOS) (read as long via the
+    * legacy nanosAsLong conf) and as TIMESTAMP(MICROS) in different
+    * generations; normalize HERE so the contract survives either
+    * physical type. Session time zone is pinned UTC everywhere in this
+    * library, so the NTZ→LTZ cast is shift-free. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -184,14 +184,96 @@ object Snapshot {
     * directories at planning time (PartitionFilters on the scan,
     * asserted in SnapshotSpec) — the layout a 100-TB event table uses
     * for its date/hour columns. Same atomic commit protocol and
-    * optional snapshot history as [[createOrReplace]]. */
+    * optional snapshot history as [[createOrReplace]]. The explicit
+    * column list becomes the table's CURRENT partition spec (recorded
+    * in the sidecar spec file), so later spec-aware commits and
+    * [[addPartitionField]]/[[dropPartitionField]] evolve from it. */
   def createOrReplacePartitioned(df: DataFrame, path: String,
                                  partitionCols: Seq[String],
-                                 keepVersions: Int = 0): Unit =
+                                 keepVersions: Int = 0): Unit = {
     swapIn(path, keepVersions) { tmp =>
       df.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(tmp.toString)
     }
+    setPartitionSpec(path, partitionCols)
+  }
+
+  // -------------------------------------------------------------------
+  // Partition-spec evolution — Iceberg's `ALTER TABLE … ADD/DROP
+  // PARTITION FIELD` (identity transforms; this layout's spec IS the
+  // Hive directory chain, so a field is a column). The spec lives in
+  // the sidecar `<path>.pspec` file BESIDE the table, like tags: the
+  // ALTER is metadata-only (nothing is rewritten, the live snapshot
+  // keeps its layout), the NEXT spec-aware commit writes the new
+  // layout, and every RETAINED version keeps the layout it was written
+  // with — old files keep the old spec, readable via time travel, and
+  // `.all_files`/`.all_manifests` surface the union of layouts across
+  // versions (their `partition` fragments differ per version).
+  // -------------------------------------------------------------------
+
+  private def specFile(path: String) = Paths.get(path + ".pspec")
+
+  /** The CURRENT partition spec of `path` (ordered identity columns;
+    * empty = unpartitioned). */
+  def partitionSpec(path: String): Seq[String] = {
+    val f = specFile(path)
+    if (!Files.exists(f)) Seq.empty
+    else new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Replace the current spec (atomic tmp + rename; empty clears). */
+  def setPartitionSpec(path: String, cols: Seq[String]): Unit = {
+    require(cols.distinct == cols,
+      s"duplicate partition fields: ${cols.mkString(", ")}")
+    val f = specFile(path)
+    if (cols.isEmpty) Files.deleteIfExists(f)
+    else {
+      val tmp = Paths.get(path + ".pspec.tmp")
+      Files.write(tmp, cols.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** `ALTER TABLE … ADD PARTITION FIELD field` — metadata-only append
+    * to the spec. @return the new spec */
+  def addPartitionField(path: String, field: String): Seq[String] = {
+    val cur = partitionSpec(path)
+    if (cur.contains(field))
+      throw new IllegalArgumentException(
+        s"partition field already exists: $field " +
+          s"(spec=${cur.mkString(",")})")
+    setPartitionSpec(path, cur :+ field)
+    partitionSpec(path)
+  }
+
+  /** `ALTER TABLE … DROP PARTITION FIELD field` — metadata-only
+    * removal. @return the new spec */
+  def dropPartitionField(path: String, field: String): Seq[String] = {
+    val cur = partitionSpec(path)
+    if (!cur.contains(field))
+      throw new java.util.NoSuchElementException(
+        s"no such partition field: $field (spec=${cur.mkString(",")})")
+    setPartitionSpec(path, cur.filterNot(_ == field))
+    partitionSpec(path)
+  }
+
+  /** Commit under the CURRENT spec — the write every spec-evolved
+    * table uses from the ALTER onward: partitioned iff the sidecar
+    * spec is non-empty. Same atomic protocol as [[createOrReplace]]. */
+  def createOrReplaceCurrentSpec(df: DataFrame, path: String,
+                                 keepVersions: Int = 0): Unit = {
+    val spec = partitionSpec(path)
+    swapIn(path, keepVersions) { tmp =>
+      if (spec.isEmpty)
+        df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      else df.write.mode(SaveMode.Overwrite)
+        .partitionBy(spec: _*).parquet(tmp.toString)
+    }
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -681,10 +681,14 @@ object RelationalQueries {
     // ("cost = min cost among regional suppliers of THIS part")
     // decorrelates into a per-part min aggregate joined back on
     // (partkey, cost-equality). The supplier→nation→region dim chain
-    // broadcasts; the part filter broadcasts INTO the supply relation
-    // before the per-part min, so the min never computes for parts
-    // the output discards. min over IEEE divisions is exact and
-    // order-independent, so the equality join is engine-stable.
+    // broadcasts (fixed-size dims); the part-keyed frames
+    // (wantedParts, best) are sf-proportional, so they carry NO
+    // broadcast hint — AQE picks broadcast only while they fit under
+    // the threshold, and falls back to a shuffle join at scale. Both
+    // join-backs key on l_partkey, so they reuse the supply
+    // aggregate's partitioning when shuffled. min over IEEE divisions
+    // is exact and order-independent, so the equality join is
+    // engine-stable.
     "q2_min_cost_supplier" -> ((s, d) => {
       val regionalSup = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)),
@@ -697,7 +701,7 @@ object RelationalQueries {
         .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
         .select("p_partkey", "p_name")
       val supply = Tables.lineitem(s, d)
-        .join(broadcast(wantedParts.select("p_partkey")),
+        .join(wantedParts.select("p_partkey"),
           col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(col("l_extendedprice") / col("l_quantity"))
@@ -707,9 +711,9 @@ object RelationalQueries {
       val best = regional.groupBy(col("l_partkey").as("bp_key"))
         .agg(min(col("supply_cost")).as("min_cost"))
       regional
-        .join(broadcast(best), col("l_partkey") === col("bp_key")
+        .join(best, col("l_partkey") === col("bp_key")
           && col("supply_cost") === col("min_cost"))
-        .join(broadcast(wantedParts),
+        .join(wantedParts,
           col("l_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("supply_cost"))
@@ -750,10 +754,13 @@ object RelationalQueries {
     // TPC-H Q11 shape (adapted: "stock value" = shipped
     // extendedprice×quantity for suppliers in one region): per-part
     // value vs a global scalar threshold — the HAVING-vs-scalar-
-    // subquery plan. The threshold aggregate computes in-plan from
-    // the SAME pre-aggregated per-part frame (not a second fact
-    // scan) and broadcasts as a 1-row cross join; both sides of the
-    // comparison are decimal-exact doubles.
+    // subquery plan. The threshold aggregate is declared over the
+    // SAME per-part frame and broadcasts as a 1-row cross join;
+    // whether the per-part aggregation physically computes once
+    // depends on exchange reuse (PlanSpec pins the ReusedExchange),
+    // and even without it the second pass is over the pre-aggregated
+    // exchange input, never a second fact scan from parquet. Both
+    // sides of the comparison are decimal-exact doubles.
     "q11_important_parts" -> ((s, d) => {
       val regionalSup = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)),
@@ -784,7 +791,11 @@ object RelationalQueries {
     // to the scan; one shuffle on the order key; the non-equi
     // lateness predicate evaluates as a join residual.
     "q12_priority_shipping" -> ((s, d) => {
-      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      // coalesce(false): a NULL priority row must land in the LOW
+      // bucket, matching the ELSE branch of the oracle's CASE — with
+      // bare isin, count(when(!high,1)) would drop it from both.
+      val high = coalesce(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(false))
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
         .join(
@@ -805,9 +816,10 @@ object RelationalQueries {
     // TPC-H Q16 shape (adapted: lineitem is the part-supplier
     // relation; negative account balance stands in for the complaint
     // comment): distinct-supplier counts per part attribute triple,
-    // with a NOT-IN exclusion list. The excluded-supplier set is
-    // dimension-sized → broadcast anti join; part (attr-filtered)
-    // broadcasts into the fact; countDistinct plans as the standard
+    // with a NOT-IN exclusion list. Neither the excluded-supplier
+    // set nor the attr-filtered part frame carries a broadcast
+    // hint — both grow with sf, so AQE decides broadcast-vs-shuffle
+    // from measured sizes; countDistinct plans as the standard
     // two-phase (expand + partial) aggregate, never a whole-group
     // collect.
     "q16_supplier_counts" -> ((s, d) => {
@@ -819,9 +831,9 @@ object RelationalQueries {
         .filter(col("s_acctbal") < 0.0).select("s_suppkey")
       Tables.lineitem(s, d)
         .select("l_partkey", "l_suppkey")
-        .join(broadcast(excluded),
+        .join(excluded,
           col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -1347,6 +1359,134 @@ object RelationalQueries {
              value
       FROM r
       WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)
-      ORDER BY event_type, quantile"""
+      ORDER BY event_type, quantile""",
+
+    "q2_min_cost_supplier" -> """
+      WITH regional_sup AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+      ),
+      wanted AS (
+        SELECT p_partkey, p_name FROM part
+        WHERE p_size <= 15 AND p_type = 'STANDARD'
+      ),
+      supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM wanted)
+        GROUP BY l_partkey, l_suppkey
+      ),
+      regional AS (
+        SELECT * FROM supply JOIN regional_sup ON l_suppkey = s_suppkey
+      )
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+      FROM regional
+      JOIN (SELECT l_partkey AS bp_key, min(supply_cost) AS min_cost
+            FROM regional GROUP BY l_partkey) best
+        ON l_partkey = bp_key AND supply_cost = min_cost
+      JOIN wanted ON l_partkey = p_partkey
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""",
+
+    "q9_product_profit" -> s"""
+      SELECT n_name AS nation,
+             strftime(o_orderdate, '%Y') AS o_year,
+             ${oSum("l_extendedprice * (1.0 - l_discount) " +
+               "- 0.5 * p_retailprice * l_quantity")} AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY 1, 2
+      ORDER BY 1, 2 DESC""",
+
+    "q11_important_parts" -> s"""
+      WITH per_part AS (
+        SELECT l_partkey,
+               ${oSum("l_extendedprice * l_quantity")} AS part_value
+        FROM lineitem
+        WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')
+        GROUP BY l_partkey
+      )
+      SELECT l_partkey, part_value
+      FROM per_part
+      WHERE part_value > (SELECT ${oSum("part_value")} * 0.001
+                          FROM per_part)
+      ORDER BY part_value DESC, l_partkey""",
+
+    "q12_priority_shipping" -> """
+      SELECT l_returnflag,
+             count(*) FILTER (
+               o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+             count(*) FILTER (
+               o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               OR o_orderpriority IS NULL)
+               AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q16_supplier_counts" -> """
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+        AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0.0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q20_promotion_suppliers" -> s"""
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING ${oSum("l_quantity")} > 40.0)
+        AND s_nationkey IN (
+          SELECT n_nationkey FROM nation
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA')
+      ORDER BY s_suppkey""",
+
+    "q21_waiting_suppliers" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate
+                            + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""
   )
 }

@@ -455,6 +455,36 @@ class PlanSpec extends SparkSpec {
         "scan-side, or the mean update lost partial aggregation)")
   }
 
+  test("q2/q11 decorrelation: the doubly-referenced per-part " +
+    "aggregate computes once (ReusedExchange on its shuffle), and the " +
+    "only broadcast hints are the fixed-size dim chains — the " +
+    "sf-proportional part-keyed frames (q2 wantedParts/best) and " +
+    "q16's supplier exclusion list carry none") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hints(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.length
+    val q2 = RelationalQueries.queries("q2_min_cost_supplier")(spark, sf)
+    // q2's hint sites: nation, region, supplier⋈nation⋈region = 3;
+    // the hinted frame sits under `regional`, which the DAG references
+    // twice (best + join-back), so the analyzed TREE carries each hint
+    // twice. Any hint creeping back onto a part-keyed frame breaks ==.
+    assert(hints(q2) == 6,
+      s"q2 broadcast-hint set changed (saw ${hints(q2)}, want 6 = dim chain ×2)")
+    val q2plan = finalPlan(q2)
+    assert(q2plan.contains("ReusedExchange"),
+      s"q2 supply aggregate computed twice — exchange reuse lost:\n$q2plan")
+    val q11 = RelationalQueries.queries("q11_important_parts")(spark, sf)
+    // (nation, region, regionalSup) ×2 references + the 1-row threshold
+    assert(hints(q11) == 7,
+      s"q11 broadcast-hint set changed (saw ${hints(q11)}, want 7)")
+    val q11plan = finalPlan(q11)
+    assert(q11plan.contains("ReusedExchange"),
+      s"q11 per-part aggregate computed twice — exchange reuse lost:\n$q11plan")
+    val q16 = RelationalQueries.queries("q16_supplier_counts")(spark, sf)
+    assert(hints(q16) == 0,
+      s"q16 must leave broadcast-vs-shuffle to AQE (saw ${hints(q16)} hints)")
+  }
+
   test("column stats: stacked scan + partial aggs; NDV dedup is " +
     "(column, hash)-keyed, never value-row-keyed") {
     val docs = Tables.documents(spark, sf)
