@@ -443,6 +443,55 @@ case class GraftShowTblPropertiesCommand(ns: String, name: String,
   }
 }
 
+/** `ALTER TABLE … ADD PARTITION FIELD <col>` — Iceberg's partition-spec
+  * evolution (identity transform), parsed by the text-level fallback in
+  * [[GraftSqlParser]] (Spark's grammar has no PARTITION FIELD form).
+  * METADATA-ONLY: the sidecar spec beside the snapshot dir gains the
+  * field, nothing is rewritten, the live snapshot keeps its layout;
+  * the next spec-aware commit writes the evolved layout while every
+  * retained version keeps the layout it was written with. The column
+  * must exist in the live schema (same check Iceberg's UpdateSpec
+  * does against the table schema). */
+case class GraftAddPartitionFieldCommand(ns: String, name: String,
+                                         field: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftDdl.snapshotPathFor(spark, ns, name,
+      "partition-spec evolution")
+    val cols = spark.read.parquet(path).schema.fieldNames
+    if (!cols.exists(_.equalsIgnoreCase(field)))
+      throw new IllegalArgumentException(
+        s"cannot ADD PARTITION FIELD $field: no such column on " +
+          s"$ns.$name (columns: ${cols.mkString(", ")})")
+    graft.pipeline.Snapshot.addPartitionField(path,
+      cols.find(_.equalsIgnoreCase(field)).get)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE … DROP PARTITION FIELD <col>` — the inverse evolution,
+  * same metadata-only contract. */
+case class GraftDropPartitionFieldCommand(ns: String, name: String,
+                                          field: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftDdl.snapshotPathFor(spark, ns, name,
+      "partition-spec evolution")
+    graft.pipeline.Snapshot.dropPartitionField(path, field)
+    Seq.empty
+  }
+}
+
+private[catalog] object GraftDdl {
+  /** Resolve a snapshot-backed table's dir, raising the same clear
+    * category error every layout-touching command uses. */
+  def snapshotPathFor(spark: SparkSession, ns: String, name: String,
+                      what: String): String =
+    new TableStore(spark).snapshotPath(ns, name).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$what requires a snapshot-backed table: $ns.$name"))
+}
+
 /** SHOW PARTITIONS t [PARTITION (k=v, …)] — the partition fragments of
   * the live snapshot (Hive-style `k=v[/k=v]` strings, the same values
   * the `ns.t.partitions` metadata table rolls up), optionally filtered

@@ -445,6 +445,42 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     * too, the ORIGINAL error surfaces. */
   private val bareVarchar = "(?i)\\bvarchar\\b(?!\\s*\\()".r
 
+  /** Iceberg's partition-spec evolution grammar — `ALTER TABLE t
+    * ADD/DROP PARTITION FIELD f` — is an Iceberg SQL EXTENSION that
+    * Spark's parser rejects outright, so it is claimed from the raw
+    * statement text when the native parse fails. Identity fields only
+    * (this layout's spec is the Hive directory chain); Iceberg's
+    * transform spellings (bucket/truncate/years/…) are rejected with a
+    * clear message instead of a parser error. */
+  private val PartField =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
+
+  private def partitionFieldCommand(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case PartField(table, verb, fieldRaw) =>
+        def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+        val field = fieldRaw.trim
+        if (!field.matches("""[\w]+"""))
+          throw new UnsupportedOperationException(
+            "graft ALTER TABLE " + verb.toUpperCase(java.util.Locale.ROOT) +
+              s" PARTITION FIELD supports identity columns only: '$field' " +
+              "(transforms like bucket/truncate/years are not this " +
+              "layout's spec language)")
+        val (ns, t) = table.split("\\.").toSeq match {
+          case Seq(cat, ns0, t0) if GraftCatalogs.isGraft(cat) =>
+            (lower(ns0), lower(t0))
+          case Seq(ns0, t0) => (lower(ns0), lower(t0))
+          case _ => throw new IllegalArgumentException(
+            s"ALTER TABLE … PARTITION FIELD target must be " +
+              s"<ns>.<table>: $table")
+        }
+        Some(
+          if (verb.equalsIgnoreCase("add"))
+            GraftAddPartitionFieldCommand(ns, t, field)
+          else GraftDropPartitionFieldCommand(ns, t, field))
+      case _ => None
+    }
+
   private def parseTrinoTolerant(
       sqlText: String, f: String => LogicalPlan): LogicalPlan =
     try f(sqlText)
@@ -454,6 +490,8 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
             bareVarchar.findFirstIn(sqlText).isDefined =>
         try f(bareVarchar.replaceAllIn(sqlText, "string"))
         catch { case scala.util.control.NonFatal(_) => throw e }
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        partitionFieldCommand(sqlText).getOrElse(throw e)
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -650,6 +650,36 @@ FROM iceberg.silver.orders_current""")
         .orderBy("partition")
     }),
 
+    // S12+ (r10) — partition-spec EVOLUTION end-to-end, Iceberg's
+    // `ALTER TABLE … ADD PARTITION FIELD` (identity): v1 commits
+    // partitioned by returnflag; the ALTER is metadata-only (the live
+    // layout is untouched until the next commit — SnapshotSpec pins
+    // that); the next spec-aware commit writes returnflag/linestatus.
+    // Old files keep the old spec: v1 stays retained in its single-
+    // level layout, and `.all_files` surfaces the UNION of layouts —
+    // the oracle recomputes both generations' fragments from lineitem.
+    "q_partition_evolution" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag"), col("l_linestatus"))
+      val dir = java.nio.file.Files.createTempDirectory("pspecq")
+        .toString + "/li_evo"
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.repartition(col("l_returnflag")), dir,
+        Seq("l_returnflag"), keepVersions = 3)
+      new TableStore(s).registerSnapshot("silver", "li_evo", dir)
+      s.sql("ALTER TABLE iceberg.silver.li_evo ADD PARTITION FIELD" +
+        " l_linestatus")
+      graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+        li.repartition(col("l_returnflag"), col("l_linestatus")), dir,
+        keepVersions = 3)
+      s.sql("""SELECT version, partition,
+                      sum(record_count) AS record_count
+               FROM iceberg.silver.li_evo.all_files
+               GROUP BY version, partition
+               ORDER BY version, partition""")
+    }),
+
     // S9+ — ALTER TABLE RENAME TO verbatim: catalog-only rename of a
     // snapshot-backed table; the read through the NEW name returns the
     // same rows (oracle = the region table), the old name is gone
@@ -1357,6 +1387,19 @@ FROM iceberg.silver.orders_current""")
     "q_show_partitions" -> """
       SELECT DISTINCT 'l_returnflag=' || l_returnflag AS "partition"
       FROM lineitem ORDER BY "partition"""",
+
+    "q_partition_evolution" -> """
+      SELECT CAST(1 AS BIGINT) AS version,
+             'l_returnflag=' || l_returnflag AS "partition",
+             count(*) AS record_count
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+             'l_returnflag=' || l_returnflag
+               || '/l_linestatus=' || l_linestatus,
+             count(*)
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY version, "partition"""",
 
     "q_rename_table" -> """
       SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",

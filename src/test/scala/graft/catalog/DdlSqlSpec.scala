@@ -412,6 +412,50 @@ FROM iceberg.silver.orders_current""")
       spark.sql("SHOW PARTITIONS parts.mem").collect() }
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION FIELD runs verbatim through " +
+    "spark.sql (Iceberg's extension grammar, claimed at text level); " +
+    "SHOW PARTITIONS reflects the evolved layout after the next " +
+    "commit; transforms and unknown columns are rejected") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("pspecddl")
+      .toString + "/t"
+    val df = Seq(("a", 1, 10L), ("a", 2, 20L), ("b", 1, 30L))
+      .toDF("grp", "sub", "v")
+    graft.pipeline.Snapshot.createOrReplacePartitioned(
+      df, dir, Seq("grp"), keepVersions = 2)
+    store.registerSnapshot("evo", "t", dir)
+
+    spark.sql("ALTER TABLE iceberg.evo.t ADD PARTITION FIELD sub")
+    assert(graft.pipeline.Snapshot.partitionSpec(dir) ==
+      Seq("grp", "sub"))
+    // metadata-only: live fragments unchanged until the next commit
+    assert(spark.sql("SHOW PARTITIONS evo.t")
+      .as[String].collect().toSeq == Seq("grp=a", "grp=b"))
+    graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+      df, dir, keepVersions = 2)
+    assert(spark.sql("SHOW PARTITIONS evo.t")
+      .as[String].collect().toSeq ==
+      Seq("grp=a/sub=1", "grp=a/sub=2", "grp=b/sub=1"))
+
+    spark.sql("ALTER TABLE evo.t DROP PARTITION FIELD sub")
+    assert(graft.pipeline.Snapshot.partitionSpec(dir) == Seq("grp"))
+
+    // Iceberg transform spellings are rejected with a clear message,
+    // not a parser error
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE evo.t ADD PARTITION FIELD bucket(4, v)") }
+    assert(e1.getMessage.contains("identity columns only"))
+    // unknown column rejected against the live schema
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE evo.t ADD PARTITION FIELD nope") }
+    assert(e2.getMessage.contains("no such column"))
+    // registry-only tables have no layout to evolve
+    store.register("evo", "mem", Seq(1).toDF("x"))
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE evo.mem ADD PARTITION FIELD x") }
+  }
+
   test("ALTER TABLE RENAME TO moves registry, snapshot path and " +
     "properties to the new name (catalog-only); views and occupied " +
     "targets are rejected") {

@@ -326,6 +326,55 @@ class SnapshotSpec extends SparkSpec {
       Seq("day=d1/region=eu", "day=d1/region=us", "day=d2/region=eu"))
   }
 
+  test("ALTER-style spec evolution is METADATA-ONLY: the live layout " +
+    "survives the ALTER untouched, the next spec-aware commit writes " +
+    "the evolved layout, the retained version keeps the old one") {
+    val dir = Files.createTempDirectory("snapalter").toString + "/e"
+    val df = Seq(
+      ("d1", "eu", 1L), ("d1", "us", 2L), ("d2", "eu", 3L)
+    ).toDF("day", "region", "event_id")
+    Snapshot.createOrReplacePartitioned(df, dir, Seq("day"),
+      keepVersions = 3)
+    assert(Snapshot.partitionSpec(dir) == Seq("day"))
+
+    // the ALTER: spec evolves, nothing is rewritten — the live dir
+    // still carries the single-level layout and the SAME version
+    Snapshot.addPartitionField(dir, "region")
+    assert(Snapshot.partitionSpec(dir) == Seq("day", "region"))
+    assert(Snapshot.currentVersion(dir).contains(1L))
+    val liveFrag = java.nio.file.Paths.get(dir, "day=d1")
+    assert(Files.exists(liveFrag) &&
+      !Files.exists(liveFrag.resolve("region=eu")),
+      "ALTER must not rewrite the live layout")
+
+    // next commit writes the evolved two-level layout
+    Snapshot.createOrReplaceCurrentSpec(
+      df.repartition($"day", $"region"), dir, keepVersions = 3)
+    assert(Files.exists(
+      java.nio.file.Paths.get(dir, "day=d1", "region=eu")))
+    // old files keep the old spec: v1 retained in single-level layout
+    assert(Files.exists(
+      java.nio.file.Paths.get(s"$dir.v1", "day=d1")) &&
+      !Files.exists(
+        java.nio.file.Paths.get(s"$dir.v1", "day=d1", "region=eu")))
+    assert(Snapshot.readAsOf(spark, dir, 1).count() == 3)
+
+    // DROP PARTITION FIELD: metadata-only again; the following commit
+    // returns to the single-level layout
+    Snapshot.dropPartitionField(dir, "region")
+    assert(Snapshot.partitionSpec(dir) == Seq("day"))
+    Snapshot.createOrReplaceCurrentSpec(df, dir, keepVersions = 3)
+    val d1 = java.nio.file.Paths.get(dir, "day=d1")
+    assert(Files.exists(d1) && !Files.exists(d1.resolve("region=eu")))
+
+    // guard rails
+    Snapshot.addPartitionField(dir, "region")
+    intercept[IllegalArgumentException](
+      Snapshot.addPartitionField(dir, "region"))
+    intercept[java.util.NoSuchElementException](
+      Snapshot.dropPartitionField(dir, "event_id"))
+  }
+
   test("keepVersions=0 (default) keeps today's plain-replace contract: " +
     "no history dirs accumulate") {
     val dir = Files.createTempDirectory("snap0").toString + "/t"
