@@ -49,6 +49,14 @@ import org.apache.spark.sql.types.LongType
   *    rolling into history; the branch is consumed. Returns
   *    (previous_version, current_version). `drop_branch(table,
   *    branch)` discards a staged branch (returns its fork version).
+  *  - `publish_changes(table, wap_id)` / `cherrypick_snapshot(table,
+  *    snapshot_id)` — the OTHER half of the WAP surface beside
+  *    fast_forward: apply the staged branch's DELTA (vs its fork
+  *    version) onto a live that may have moved since, as one new
+  *    commit, consuming the branch. Addressed by wap id (= the staged
+  *    branch name, `spark.wap.branch`) or by the numeric snapshot id
+  *    stamped at staging. Append-shaped changes only, like Iceberg;
+  *    both return (source_snapshot_id, current_version).
   *  - `create_changelog_view(table, identifier_columns,
   *    start_version => a, end_version => b, changelog_view => name)` —
   *    Iceberg's CDC procedure adapted to this layout: registers a temp
@@ -250,6 +258,35 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           .branchForkVersion(path, branch).getOrElse(0L)
         graft.pipeline.Snapshot.dropBranch(path, branch)
         Seq(Row(fork))
+      case "publish_changes" =>
+        // Iceberg's WAP publish-by-id: cherry-pick the snapshot staged
+        // under `wap_id` (this layout stages WAP writes as a branch of
+        // that name — spark.wap.branch session mode) onto live. Unlike
+        // fast_forward, the branch's DELTA is applied, so a live that
+        // moved since the fork keeps its own commits.
+        val wapId = required("wap_id", 1).toString
+        val src = graft.pipeline.Snapshot
+          .branchSnapshotId(path, wapId).getOrElse(0L)
+        val keep = arg("keep_versions", 2).map(_.toString.toInt)
+          .getOrElse(graft.pipeline.Snapshot
+            .historicalVersions(path).size + 1)
+        val cur = graft.pipeline.Snapshot
+          .cherrypickBranch(spark, path, wapId, keep)
+        Seq(Row(src, cur))
+      case "cherrypick_snapshot" =>
+        // the same apply, addressed by the staged snapshot's numeric
+        // id (Iceberg's primary cherrypick spelling)
+        val id = required("snapshot_id", 1).toString.toLong
+        val branch = graft.pipeline.Snapshot
+          .branchBySnapshotId(path, id).getOrElse(
+            throw new java.util.NoSuchElementException(
+              s"no staged snapshot with id $id at $path"))
+        val keep = arg("keep_versions", 2).map(_.toString.toInt)
+          .getOrElse(graft.pipeline.Snapshot
+            .historicalVersions(path).size + 1)
+        val cur = graft.pipeline.Snapshot
+          .cherrypickBranch(spark, path, branch, keep)
+        Seq(Row(id, cur))
       case "create_changelog_view" =>
         // Iceberg's changelog procedure adapted to the versioned-dir
         // layout: registers a temp view over Snapshot.diff between two
@@ -295,7 +332,8 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           "rewrite_data_files, expire_snapshots, rollback_to_snapshot, " +
           "remove_orphan_files, create_tag, drop_tag, fast_forward, " +
           "drop_branch, create_changelog_view, ancestors_of, " +
-          "register_table, add_files, rollback_to_timestamp)")
+          "register_table, add_files, rollback_to_timestamp, " +
+          "cherrypick_snapshot, publish_changes)")
     }
   }
 }
@@ -326,6 +364,8 @@ object GraftCallCommand {
         Seq("previous_version", "current_version")
       case "create_tag" | "drop_tag" | "drop_branch" => Seq("version")
       case "fast_forward" => Seq("previous_version", "current_version")
+      case "cherrypick_snapshot" | "publish_changes" =>
+        Seq("source_snapshot_id", "current_version")
       case _ => Seq("orphan_file_count")
     }).map(AttributeReference(_, LongType, nullable = false)())
   }

@@ -552,6 +552,13 @@ object Snapshot {
     Paths.get(s"$path.branch-$name")
   }
 
+  /** Marker carrying a staged branch's SNAPSHOT ID — the numeric
+    * handle `cherrypick_snapshot` takes (Iceberg identifies staged WAP
+    * snapshots by id; this layout's branches are named, so each gets a
+    * per-table id stamped at staging time). Ids start above 1000 so
+    * they never read like the small monotone version numbers. */
+  private val BranchIdFile = "_graft_branch_id"
+
   /** Write (or rewrite) branch `name` as a complete staged snapshot —
     * atomic against concurrent branch readers via tmp + dir swap. */
   def writeBranch(df: DataFrame, path: String, name: String): Unit = {
@@ -563,11 +570,33 @@ object Snapshot {
     currentVersion(path).foreach(v =>
       Files.write(tmp.resolve(VersionFile),
         v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    if (Files.exists(dir))
-      Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    // a restaged branch keeps its id; a new one gets max+1 (serialized
+    // with commits on this path so two stagings never share an id)
+    commitLocks.getOrElseUpdate(path, new Object).synchronized {
+      val id = branchSnapshotId(path, name).getOrElse(
+        (branches(path).flatMap(branchSnapshotId(path, _)) :+ 1000L).max + 1)
+      Files.write(tmp.resolve(BranchIdFile),
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (Files.exists(dir))
+        Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    }
     deleteRecursively(old)
   }
+
+  /** Snapshot id stamped on a staged branch (None for a branch staged
+    * by a pre-id writer). */
+  def branchSnapshotId(path: String, name: String): Option[Long] = {
+    val m = branchDir(path, name).resolve(BranchIdFile)
+    if (Files.exists(m))
+      Some(new String(Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** The staged branch carrying snapshot id `id`, if any. */
+  def branchBySnapshotId(path: String, id: Long): Option[String] =
+    branches(path).find(b => branchSnapshotId(path, b).contains(id))
 
   /** Branch names staged beside `path` (sorted). */
   def branches(path: String): Seq[String] = {
@@ -630,6 +659,64 @@ object Snapshot {
       throw new java.util.NoSuchElementException(
         s"no such branch: '$name' at $path")
     deleteRecursively(dir)
+  }
+
+  /** CHERRY-PICK: apply the CHANGES a staged branch introduced —
+    * relative to the version it forked from — onto the CURRENT live
+    * state, as one new commit, consuming the branch. This is Iceberg's
+    * `cherrypick_snapshot`/`publish_changes` semantics, distinct from
+    * [[publishBranch]] (fast_forward REPLACES live with the branch
+    * content; cherry-pick re-applies the branch's delta onto a live
+    * that may have moved since the fork). Like Iceberg, only
+    * APPEND-shaped changes can be cherry-picked: a branch that removed
+    * or rewrote fork rows raises rather than guessing a merge.
+    *
+    * Conflict surface (all raise, nothing half-commits):
+    *  - fork version no longer retained → the delta is uncomputable
+    *  - branch removed/changed fork rows → not append-shaped
+    *  - live moved between the delta read and the swap → the
+    *    optimistic-commit conflict from [[swapIn]]
+    *
+    * Scale: the delta is `exceptAll` on the branch vs fork frames —
+    * one hash-partitioned anti-semantics pass each way, the honest
+    * row-level cost of validating append shape without file-level
+    * lineage metadata.
+    * @return the new live version */
+  def cherrypickBranch(spark: SparkSession, path: String, name: String,
+                       keepVersions: Int = 0): Long = {
+    val dir = branchDir(path, name)
+    if (!Files.exists(dir))
+      throw new java.util.NoSuchElementException(
+        s"no such branch: '$name' at $path " +
+          s"(branches=${branches(path).mkString(",")})")
+    val fork = branchForkVersion(path, name).getOrElse(0L)
+    val retained = currentVersion(path).toSeq ++ historicalVersions(path)
+    if (fork > 0 && !retained.contains(fork))
+      throw new IllegalStateException(
+        s"cannot cherry-pick '$name': its fork version $fork is no " +
+          s"longer retained at $path (retained=" +
+          s"${retained.sorted.mkString(",")})")
+    val branchDf = readBranch(spark, path, name)
+    val forkDf =
+      if (fork == 0) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        branchDf.schema)
+      else readAsOf(spark, path, fork)
+    if (forkDf.exceptAll(branchDf).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"cannot cherry-pick '$name': the branch removed or rewrote " +
+          "rows of its fork version — only append-shaped changes " +
+          "cherry-pick (Iceberg's same constraint); use fast_forward " +
+          "to replace live wholesale")
+    // materialize the applied state BEFORE the swap (it reads the live
+    // dir the swap replaces)
+    val applied = read(spark, path)
+      .unionByName(branchDf.exceptAll(forkDf)).localCheckpoint()
+    swapIn(path, keepVersions) { tmp =>
+      applied.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+    deleteRecursively(dir)
+    currentVersion(path).get
   }
 
   /** Live-snapshot parquet file count (maintenance signal: schedule

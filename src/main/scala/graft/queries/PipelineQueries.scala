@@ -849,6 +849,34 @@ FROM iceberg.silver.orders_current""")
                FROM wap.orders_s ORDER BY o_orderkey""")
     }),
 
+    // S4+++++++ (r10) — publish_changes / cherrypick_snapshot: the
+    // delta-apply half of WAP beside fast_forward. v1 holds a third of
+    // orders; an audit write STAGES v1 + the second third under wap id
+    // 'wap_1'; live then MOVES (v2 commits v1 + the last third) while
+    // the audit runs. publish_changes applies only the branch's delta
+    // (the second third) onto the moved live — the read-back is ALL of
+    // orders (the oracle), which fast_forward could NOT produce (it
+    // would have dropped live's own v2 commit).
+    "q_cherrypick" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val dir = java.nio.file.Files.createTempDirectory("cherryq")
+        .toString + "/orders_cp"
+      val base = orders.filter(col("o_orderkey") % 3 === 0)
+      graft.pipeline.Snapshot.createOrReplace(base, dir, keepVersions = 3)
+      new TableStore(s).registerSnapshot("wap", "orders_cp", dir)
+      graft.pipeline.Snapshot.writeBranch(
+        base.unionByName(orders.filter(col("o_orderkey") % 3 === 1)),
+        dir, "wap_1")
+      graft.pipeline.Snapshot.createOrReplace(
+        base.unionByName(orders.filter(col("o_orderkey") % 3 === 2)),
+        dir, keepVersions = 3)
+      s.sql("""CALL iceberg.system.publish_changes(
+               table => 'wap.orders_cp', wap_id => 'wap_1')""")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus
+               FROM wap.orders_cp ORDER BY o_orderkey""")
+    }),
+
     // S5''' — the append half of the write surface VERBATIM: CTAS
     // snapshots a query result into a new table, INSERT INTO appends
     // from a query source and from a column-list VALUES (unlisted
@@ -1189,6 +1217,10 @@ FROM iceberg.silver.orders_current""")
     "q_rewrite_sorted" -> """
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       ORDER BY l_orderkey, l_linenumber""",
+
+    "q_cherrypick" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders ORDER BY o_orderkey""",
 
     "q_snapshot_manifests" -> """
       SELECT 'l_returnflag=' || l_returnflag AS path,

@@ -297,6 +297,64 @@ class CallSqlSpec extends SparkSpec {
         "table => 'maint.t')") }
   }
 
+  test("cherrypick_snapshot / publish_changes apply a staged branch's " +
+    "DELTA onto a moved live (unlike fast_forward's wholesale replace); " +
+    "conflicts raise: unknown id, non-append branch, expired fork") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("cherryspec")
+      .toString + "/t"
+    // v1 = {1,2}; stage branch with {1,2,10} (append of 10, fork=v1);
+    // live moves to v2 = {1,2,3}
+    Snapshot.createOrReplace(
+      Seq((1, "a"), (2, "b")).toDF("id", "tag"), dir, keepVersions = 5)
+    store.registerSnapshot("maint", "cp", dir)
+    Snapshot.writeBranch(
+      Seq((1, "a"), (2, "b"), (10, "staged")).toDF("id", "tag"),
+      dir, "wap_x")
+    val id = Snapshot.branchSnapshotId(dir, "wap_x").get
+    assert(id > 1000L)
+    Snapshot.createOrReplace(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "tag"),
+      dir, keepVersions = 5)
+
+    val res = spark.sql(s"""CALL iceberg.system.cherrypick_snapshot(
+      table => 'maint.cp', snapshot_id => $id)""").collect()
+    assert(res.head.getLong(0) == id)
+    // live kept its own v2 commit AND gained the staged delta
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c"), (10, "staged")))
+    // the branch is consumed
+    assert(Snapshot.branches(dir).isEmpty)
+
+    // unknown snapshot id
+    intercept[java.util.NoSuchElementException] {
+      spark.sql("""CALL iceberg.system.cherrypick_snapshot(
+        table => 'maint.cp', snapshot_id => 999999)""").collect() }
+
+    // non-append branch: removes a fork row → refused
+    Snapshot.writeBranch(
+      Seq((1, "a")).toDF("id", "tag"), dir, "wap_bad")
+    val e = intercept[IllegalStateException] {
+      spark.sql("""CALL iceberg.system.publish_changes(
+        table => 'maint.cp', wap_id => 'wap_bad')""").collect() }
+    assert(e.getMessage.contains("append"))
+    Snapshot.dropBranch(dir, "wap_bad")
+
+    // expired fork: stage, then expire history past the fork version
+    Snapshot.writeBranch(
+      spark.read.parquet(dir).unionByName(
+        Seq((11, "late")).toDF("id", "tag")), dir, "wap_late")
+    (1 to 3).foreach { n =>
+      Snapshot.createOrReplace(
+        Seq((n, "spin")).toDF("id", "tag"), dir, keepVersions = 5) }
+    Snapshot.expireSnapshots(dir, retainLast = 1)
+    val e2 = intercept[IllegalStateException] {
+      spark.sql("""CALL iceberg.system.publish_changes(
+        table => 'maint.cp', wap_id => 'wap_late')""").collect() }
+    assert(e2.getMessage.contains("no longer retained"))
+  }
+
   test("remove_orphan_files deletes stranded commit work dirs; " +
     "unknown procedure and non-snapshot targets raise") {
     val (store, dir) = fixture()
