@@ -44,7 +44,7 @@ case class GraftMergeCommand(merge: MergeIntoTable)
     // registry first; snapshot-backed targets read LIVE and commit a
     // new version (row-level MERGE on a versioned table — Iceberg's
     // behavior, shared with UPDATE/DELETE via GraftDml.commit)
-    val targetDf = TableStore.registry(spark).getOrElse(key,
+    val targetDf0 = TableStore.registry(spark).getOrElse(key,
       new TableStore(spark).snapshotPath(key.head, key(1))
         .map(p => GraftDml.snapshotRead(spark, p))
         .getOrElse(throw new java.util.NoSuchElementException(
@@ -54,9 +54,42 @@ case class GraftMergeCommand(merge: MergeIntoTable)
       throw new IllegalArgumentException(
         "star action needs an aliased/named MERGE source"))
 
+    val srcPlain = PlanBridge.ofRows(spark, merge.sourceTable)
+
+    // MERGE SCHEMA EVOLUTION (Iceberg's merge-schema): with the target
+    // property 'write.merge-schema'='true' (or the session conf
+    // spark.graft.merge.mergeSchema), source-only columns are ADDED to
+    // the target schema before the clauses resolve — the star actions
+    // then write them, and pre-existing target rows read NULL, exactly
+    // Iceberg's add-column semantics (a metadata-only widen composed
+    // with S7' ALTER ADD COLUMNS; nothing old is rewritten). Gated on
+    // a star action: an explicit-assignment MERGE cannot name the new
+    // columns anyway, and widening a schema the statement never asked
+    // for would surprise. Without the flag, extra source columns are
+    // ignored (the star expands from the TARGET schema), today's
+    // contract.
+    val mergeSchemaOn =
+      spark.conf.getOption("spark.graft.merge.mergeSchema")
+        .map(_.toBoolean).getOrElse(
+          scala.util.Try(new TableStore(spark)
+            .properties(key.head, key(1))).toOption
+            .flatMap(_.get("write.merge-schema")).exists(_.toBoolean))
+    val hasStar =
+      (merge.matchedActions ++ merge.notMatchedActions).exists {
+        case _: InsertStarAction | _: UpdateStarAction => true
+        case _ => false
+      }
+    val extraCols = srcPlain.schema.fields.toSeq.filterNot(f =>
+      targetDf0.columns.exists(_.equalsIgnoreCase(f.name)))
+    val targetDf =
+      if (mergeSchemaOn && hasStar && extraCols.nonEmpty)
+        extraCols.foldLeft(targetDf0)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
+      else targetDf0
+
     val target = targetDf.as(tq).select(col("*"), lit(true).as("__t"),
       monotonically_increasing_id().as("__tid"))
-    val source = PlanBridge.ofRows(spark, merge.sourceTable)
+    val source = srcPlain
       .select(col("*"), lit(true).as("__s"),
         monotonically_increasing_id().as("__sid"))
     val raw = target.join(source,

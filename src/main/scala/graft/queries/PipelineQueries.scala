@@ -849,6 +849,39 @@ FROM iceberg.silver.orders_current""")
                FROM wap.orders_s ORDER BY o_orderkey""")
     }),
 
+    // S5+S7' (r10) — MERGE SCHEMA EVOLUTION (Iceberg's merge-schema
+    // table property): the target starts WITHOUT o_totalprice; the
+    // source carries it; with 'write.merge-schema'='true' the star
+    // actions widen the target schema in the same statement — rows
+    // UPDATEd or INSERTed from the source carry the new column,
+    // untouched pre-existing rows read NULL (add-column semantics, no
+    // rewrite). Target = even keys, source = keys divisible by 3, so
+    // the statement exercises matched-update, not-matched-insert AND
+    // untouched rows in one pass; the oracle recomputes all three.
+    "q_merge_schema_evolution" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("mergems")
+        .toString + "/orders_ms"
+      graft.pipeline.Snapshot.createOrReplace(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_orderstatus"),
+        dir, keepVersions = 2)
+      val store = new TableStore(s)
+      store.registerSnapshot("ms", "orders_t", dir)
+      s.sql("""ALTER TABLE iceberg.ms.orders_t SET TBLPROPERTIES
+               ('write.merge-schema'='true')""")
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+        .createOrReplaceTempView("ms_src")
+      s.sql("""MERGE INTO iceberg.ms.orders_t t USING ms_src s
+               ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+               FROM ms.orders_t ORDER BY o_orderkey""")
+    }),
+
     // S4+++++++ (r10) — publish_changes / cherrypick_snapshot: the
     // delta-apply half of WAP beside fast_forward. v1 holds a third of
     // orders; an audit write STAGES v1 + the second third under wap id
@@ -1221,6 +1254,14 @@ FROM iceberg.silver.orders_current""")
     "q_cherrypick" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus
       FROM orders ORDER BY o_orderkey""",
+
+    "q_merge_schema_evolution" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END
+               AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+      ORDER BY o_orderkey""",
 
     "q_snapshot_manifests" -> """
       SELECT 'l_returnflag=' || l_returnflag AS path,

@@ -148,6 +148,49 @@ class MergeSqlSpec extends SparkSpec {
     assert(got == Set((1, "a"), (2, "B"), (3, "C")))
   }
 
+  test("MERGE schema evolution (merge-schema): star actions ADD " +
+    "source-only columns when enabled — untouched rows read NULL; " +
+    "without the flag extras are ignored and the schema is unchanged") {
+    val store = freshStore()
+    def freshTarget(): Unit = store.register("ms", "t",
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    store.stage("ms_src",
+      Seq((2, "b2", 20.0), (9, "i", 90.0)).toDF("id", "v", "w"))
+
+    // default: the star expands from the TARGET schema; the source's
+    // extra column w is ignored, schema unchanged
+    freshTarget()
+    spark.sql("""MERGE INTO iceberg.ms.t t USING ms_src s
+                 ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(store.table("ms", "t").columns.toSeq == Seq("id", "v"))
+
+    // session-conf arm
+    freshTarget()
+    spark.conf.set("spark.graft.merge.mergeSchema", "true")
+    try {
+      spark.sql("""MERGE INTO iceberg.ms.t t USING ms_src s
+                   ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+    } finally spark.conf.unset("spark.graft.merge.mergeSchema")
+    val out = store.table("ms", "t")
+      .orderBy("id").as[(Int, String, Option[Double])].collect().toSeq
+    assert(out == Seq((1, "a", None), (2, "b2", Some(20.0)),
+      (3, "c", None), (9, "i", Some(90.0))))
+
+    // explicit-assignment MERGE never widens, even with the flag on
+    freshTarget()
+    spark.conf.set("spark.graft.merge.mergeSchema", "true")
+    try {
+      spark.sql("""MERGE INTO iceberg.ms.t t USING ms_src s
+                   ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET v = s.v""")
+    } finally spark.conf.unset("spark.graft.merge.mergeSchema")
+    assert(store.table("ms", "t").columns.toSeq == Seq("id", "v"))
+  }
+
   test("checkpoint-style upsert with an inline SELECT source") {
     val store = freshStore()
     store.register("monitoring", "cdc_checkpoints",
