@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   *  - document frequency of every shingle grows ~mult× → the df-cap
   *    and heavy-shingle broadcast anti-join actually engage.
   *
-  * Usage: `sbt "runMain graft.Soak <mult>"` (default 10; 1 = baseline).
+  * Usage: `sbt "runMain graft.Soak <mult> [op,op,…]"` (default 10;
+  * 1 = baseline; the optional second arg restricts to the named ops —
+  * the 100× runs use it, the full list at 100× would take hours on the
+  * quadratic-by-design entries like semantic_dedup).
   * Prints one JSON line; compare per-op seconds across mults.
   */
 object Soak {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Set[String] = args.lift(1)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -85,7 +91,11 @@ object Soak {
     equeries.count()
 
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
-    def timed(name: String)(df: => org.apache.spark.sql.DataFrame): (String, Double, Long) = {
+    // skipped-by-filter ops cost nothing: the body is by-name and the
+    // filter check runs first
+    def timed(name: String)(df: => org.apache.spark.sql.DataFrame)
+        : Option[(String, Double, Long)] = {
+      if (only.nonEmpty && !only.contains(name)) return None
       val t0 = System.nanoTime()
       val rows = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -93,7 +103,7 @@ object Soak {
         if (!baseline.contains(id)) rdd.unpersist(blocking = true)
       }
       System.gc()
-      (name, dt, rows)
+      Some((name, dt, rows))
     }
 
     val results = Seq(
@@ -219,7 +229,7 @@ object Soak {
         graft.ext.Sampling.trainTestSplit(capped, "doc_id", 10)
       })
 
-    val js = results.map { case (k, s, r) =>
+    val js = results.flatten.map { case (k, s, r) =>
       s""""$k":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"soak_mult":$mult,"corpus_rows":$n,$js}""")
     spark.stop()

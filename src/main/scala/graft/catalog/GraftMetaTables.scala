@@ -76,25 +76,40 @@ object GraftMetaTables {
             (graft.pipeline.Snapshot.historicalVersions(path) ++ live)
               .sorted
           val plan: DataFrame = meta match {
-            case "history" | "snapshots" =>
-              versions.map { v =>
-                val base = if (meta == "history")
-                  session.range(1).select()
-                else graft.pipeline.Snapshot.readAsOf(session, path, v)
-                  .agg(count(lit(1)).as("record_count"))
+            case "history" =>
+              // every column is driver-known (version, currency, the
+              // marker mtime), so build LOCAL rows — a per-version
+              // unionAll of 1-row plans reads the same but its Catalyst
+              // analysis cost is super-linear in the version count
+              // (measured: 87 s at 1,000 retained versions vs 0.1 s
+              // for this shape — the SoakVersions finding)
+              val rows = versions.map { v =>
                 // Iceberg's made_current_at: the commit instant from
                 // the version marker (null for a pre-versioning dir)
                 val at = graft.pipeline.Snapshot.committedAt(path, v)
                   .map(us => java.sql.Timestamp.from(
                     java.time.Instant.ofEpochSecond(us / 1000000L,
                       (us % 1000000L) * 1000L))).orNull
-                base.select(
-                  Seq(lit(v).as("version"),
+                (v, live.contains(v), at)
+              }
+              import session.implicits._
+              rows.toDF("version", "is_current", "made_current_at")
+            case "snapshots" =>
+              // record_count is NOT driver-known — it stays a lazy
+              // per-version count plan (bounded by the retention
+              // limit; the plan-size cost grows with versions, the
+              // price of a lazy count without manifest metadata)
+              versions.map { v =>
+                val at = graft.pipeline.Snapshot.committedAt(path, v)
+                  .map(us => java.sql.Timestamp.from(
+                    java.time.Instant.ofEpochSecond(us / 1000000L,
+                      (us % 1000000L) * 1000L))).orNull
+                graft.pipeline.Snapshot.readAsOf(session, path, v)
+                  .agg(count(lit(1)).as("record_count"))
+                  .select(lit(v).as("version"),
                     lit(live.contains(v)).as("is_current"),
-                    lit(at).cast("timestamp")
-                      .as("made_current_at")) ++
-                    (if (meta == "history") Nil
-                     else Seq(col("record_count"))): _*)
+                    lit(at).cast("timestamp").as("made_current_at"),
+                    col("record_count"))
               }.reduce(_ unionAll _)
             case "files" =>
               filesOf(session, path, live.getOrElse(
