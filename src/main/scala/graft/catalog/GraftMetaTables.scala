@@ -95,22 +95,25 @@ object GraftMetaTables {
               import session.implicits._
               rows.toDF("version", "is_current", "made_current_at")
             case "snapshots" =>
-              // record_count is NOT driver-known — it stays a lazy
-              // per-version count plan (bounded by the retention
-              // limit; the plan-size cost grows with versions, the
-              // price of a lazy count without manifest metadata)
-              versions.map { v =>
+              // record_count comes from the parquet FOOTERS (row-group
+              // metadata, no data pages) — the exact analog of Iceberg
+              // reading record counts from manifests. Driver-side like
+              // the rest of this table: linear in file count, no
+              // Catalyst plan growing with the retention limit (the
+              // previous per-version count-plan union hit the same
+              // super-linear analysis cost the SoakVersions run caught
+              // on history)
+              val rows = versions.map { v =>
                 val at = graft.pipeline.Snapshot.committedAt(path, v)
                   .map(us => java.sql.Timestamp.from(
                     java.time.Instant.ofEpochSecond(us / 1000000L,
                       (us % 1000000L) * 1000L))).orNull
-                graft.pipeline.Snapshot.readAsOf(session, path, v)
-                  .agg(count(lit(1)).as("record_count"))
-                  .select(lit(v).as("version"),
-                    lit(live.contains(v)).as("is_current"),
-                    lit(at).cast("timestamp").as("made_current_at"),
-                    col("record_count"))
-              }.reduce(_ unionAll _)
+                val dir = if (live.contains(v)) path else s"$path.v$v"
+                (v, live.contains(v), at, footerRecordCount(session, dir))
+              }
+              import session.implicits._
+              rows.toDF("version", "is_current", "made_current_at",
+                "record_count")
             case "files" =>
               filesOf(session, path, live.getOrElse(
                 throw new java.util.NoSuchElementException(
@@ -183,6 +186,27 @@ object GraftMetaTables {
           SubqueryAlias(parts.last, plan.queryExecution.analyzed)
         }
       }
+  }
+
+  /** Total row count of a snapshot dir from parquet FOOTER metadata
+    * (row-group headers; data pages never read) — recursive walk so
+    * Hive-partitioned layouts count too. The driver-side twin of
+    * Iceberg's manifest record counts. */
+  private def footerRecordCount(session: SparkSession,
+                                dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = session.sessionState.newHadoopConf()
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    finally s.close()
   }
 
   /** Per-file stats of one snapshot version, from the scan's
