@@ -482,6 +482,89 @@ case class GraftDropPartitionFieldCommand(ns: String, name: String,
   }
 }
 
+/** `ALTER TABLE … CREATE/REPLACE TAG name [AS OF VERSION v]` —
+  * Iceberg's ref-management grammar (an extension Spark cannot parse;
+  * claimed at text level like PARTITION FIELD). The DDL twin of
+  * `CALL system.create_tag`: tags a RETAINED version (default live),
+  * protecting it from expiry and making it readable via
+  * `VERSION AS OF '<tag>'`. */
+case class GraftCreateTagDdlCommand(ns: String, name: String,
+                                    tag: String, asOfVersion: Option[Long],
+                                    replace: Boolean, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftDdl.snapshotPathFor(spark, ns, name, "ref DDL")
+    if (ifNotExists &&
+        graft.pipeline.Snapshot.tags(path).contains(tag)) return Seq.empty
+    val version = asOfVersion
+      .orElse(graft.pipeline.Snapshot.currentVersion(path))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TAG: no live version to tag at $ns.$name"))
+    graft.pipeline.Snapshot.createTag(path, tag, version, replace)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE … CREATE BRANCH name` — stage a branch forked at the
+  * LIVE state (the WAP starting point; the DDL twin of
+  * `Snapshot.createBranch`). */
+case class GraftCreateBranchDdlCommand(ns: String, name: String,
+                                       branch: String,
+                                       ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftDdl.snapshotPathFor(spark, ns, name, "ref DDL")
+    if (ifNotExists &&
+        graft.pipeline.Snapshot.branches(path).contains(branch))
+      return Seq.empty
+    graft.pipeline.Snapshot.createBranch(spark, path, branch)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE … DROP TAG/BRANCH [IF EXISTS] name`. */
+case class GraftDropRefDdlCommand(ns: String, name: String,
+                                  ref: String, isTag: Boolean,
+                                  ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftDdl.snapshotPathFor(spark, ns, name, "ref DDL")
+    try {
+      if (isTag) graft.pipeline.Snapshot.dropTag(path, ref)
+      else graft.pipeline.Snapshot.dropBranch(path, ref)
+    } catch {
+      case _: java.util.NoSuchElementException if ifExists => ()
+    }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE … WRITE ORDERED BY c1 [ASC|DESC], …` / `WRITE
+  * UNORDERED` — Iceberg's table write-order metadata: METADATA-ONLY
+  * (sidecar sort-order file); every later spec-aware commit writes
+  * range-clustered, locally sorted files, the layout
+  * `rewrite_data_files(strategy => 'sort')` produces on demand. The
+  * named columns must exist in the live schema. */
+case class GraftWriteOrderedByCommand(ns: String, name: String,
+                                      order: Seq[(String, Boolean)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftDdl.snapshotPathFor(spark, ns, name,
+      "WRITE ORDERED BY")
+    if (order.nonEmpty) {
+      val cols = spark.read.parquet(path).schema.fieldNames
+      order.foreach { case (c, _) =>
+        if (!cols.exists(_.equalsIgnoreCase(c)))
+          throw new IllegalArgumentException(
+            s"WRITE ORDERED BY: no such column $c on $ns.$name " +
+              s"(columns: ${cols.mkString(", ")})")
+      }
+    }
+    graft.pipeline.Snapshot.setSortOrder(path, order)
+    Seq.empty
+  }
+}
+
 private[catalog] object GraftDdl {
   /** Resolve a snapshot-backed table's dir, raising the same clear
     * category error every layout-touching command uses. */

@@ -445,20 +445,41 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     * too, the ORIGINAL error surfaces. */
   private val bareVarchar = "(?i)\\bvarchar\\b(?!\\s*\\()".r
 
-  /** Iceberg's partition-spec evolution grammar — `ALTER TABLE t
-    * ADD/DROP PARTITION FIELD f` — is an Iceberg SQL EXTENSION that
-    * Spark's parser rejects outright, so it is claimed from the raw
-    * statement text when the native parse fails. Identity fields only
-    * (this layout's spec is the Hive directory chain); Iceberg's
-    * transform spellings (bucket/truncate/years/…) are rejected with a
-    * clear message instead of a parser error. */
+  /** Iceberg's ALTER TABLE EXTENSION grammar — partition-spec
+    * evolution (`ADD/DROP PARTITION FIELD`), ref management
+    * (`CREATE/REPLACE/DROP TAG`, `CREATE/DROP BRANCH`), and write
+    * ordering (`WRITE ORDERED BY` / `WRITE UNORDERED`) — none of which
+    * Spark's parser accepts, so they are claimed from the raw
+    * statement text when the native parse fails. Identity partition
+    * fields only; Iceberg's retention clauses (`RETAIN n DAYS`,
+    * `WITH SNAPSHOT RETENTION`) are rejected with a clear message
+    * instead of a parser error (this layout's retention is
+    * keepVersions + expire_snapshots). */
   private val PartField =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
+  private val CreateRef =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(CREATE|REPLACE)\s+(TAG|BRANCH)\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w-]+)`?(\s+AS\s+OF\s+VERSION\s+(\d+))?\s*(.*?)\s*$""".r
+  private val DropRef =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(TAG|BRANCH)\s+(IF\s+EXISTS\s+)?`?([\w-]+)`?\s*$""".r
+  private val WriteOrdered =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+(?:LOCALLY\s+)?ORDERED\s+BY\s+(.+?)\s*$""".r
+  private val WriteUnordered =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+UNORDERED\s*$""".r
 
-  private def partitionFieldCommand(sqlText: String): Option[LogicalPlan] =
+  private def graftTable(table: String, what: String): (String, String) = {
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    table.split("\\.").toSeq match {
+      case Seq(cat, ns0, t0) if GraftCatalogs.isGraft(cat) =>
+        (lower(ns0), lower(t0))
+      case Seq(ns0, t0) => (lower(ns0), lower(t0))
+      case _ => throw new IllegalArgumentException(
+        s"$what target must be <ns>.<table>: $table")
+    }
+  }
+
+  private def icebergExtCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case PartField(table, verb, fieldRaw) =>
-        def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
         val field = fieldRaw.trim
         if (!field.matches("""[\w]+"""))
           throw new UnsupportedOperationException(
@@ -466,18 +487,56 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
               s" PARTITION FIELD supports identity columns only: '$field' " +
               "(transforms like bucket/truncate/years are not this " +
               "layout's spec language)")
-        val (ns, t) = table.split("\\.").toSeq match {
-          case Seq(cat, ns0, t0) if GraftCatalogs.isGraft(cat) =>
-            (lower(ns0), lower(t0))
-          case Seq(ns0, t0) => (lower(ns0), lower(t0))
-          case _ => throw new IllegalArgumentException(
-            s"ALTER TABLE … PARTITION FIELD target must be " +
-              s"<ns>.<table>: $table")
-        }
+        val (ns, t) = graftTable(table, "ALTER TABLE … PARTITION FIELD")
         Some(
           if (verb.equalsIgnoreCase("add"))
             GraftAddPartitionFieldCommand(ns, t, field)
           else GraftDropPartitionFieldCommand(ns, t, field))
+      case CreateRef(table, verb, kind, ifNotExists, name, _, version, rest) =>
+        if (rest != null && rest.trim.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"graft ALTER TABLE … $verb $kind supports only an " +
+              s"AS OF VERSION clause; retention clauses are this " +
+              s"layout's keepVersions + expire_snapshots (got: '$rest')")
+        val (ns, t) = graftTable(table, s"ALTER TABLE … $verb $kind")
+        val replace = verb.equalsIgnoreCase("replace")
+        val asOf = Option(version).map(_.toLong)
+        if (kind.equalsIgnoreCase("tag"))
+          Some(GraftCreateTagDdlCommand(ns, t, name, asOf, replace,
+            ifNotExists != null))
+        else {
+          if (replace)
+            throw new UnsupportedOperationException(
+              "graft ALTER TABLE … REPLACE BRANCH is not supported — " +
+                "restage with writeBranch / the WAP session mode")
+          if (asOf.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft ALTER TABLE … CREATE BRANCH forks the LIVE " +
+                "state only (a branch is a staged dir here, not a " +
+                "metadata pointer)")
+          Some(GraftCreateBranchDdlCommand(ns, t, name,
+            ifNotExists != null))
+        }
+      case DropRef(table, kind, ifExists, name) =>
+        val (ns, t) = graftTable(table, s"ALTER TABLE … DROP $kind")
+        Some(GraftDropRefDdlCommand(ns, t, name,
+          isTag = kind.equalsIgnoreCase("tag"), ifExists != null))
+      case WriteOrdered(table, orderRaw) =>
+        val (ns, t) = graftTable(table, "ALTER TABLE … WRITE ORDERED BY")
+        val order = orderRaw.split(",").map(_.trim).filter(_.nonEmpty)
+          .toSeq.map { item =>
+            val p = item.split("\\s+")
+            if (!p.head.matches("""[\w]+""") || p.length > 2 ||
+                (p.length == 2 && !p(1).matches("(?i)asc|desc")))
+              throw new UnsupportedOperationException(
+                "graft WRITE ORDERED BY supports `col [ASC|DESC]` " +
+                  s"lists only (got: '$item')")
+            (p.head, p.length < 2 || p(1).equalsIgnoreCase("asc"))
+          }
+        Some(GraftWriteOrderedByCommand(ns, t, order))
+      case WriteUnordered(table) =>
+        val (ns, t) = graftTable(table, "ALTER TABLE … WRITE UNORDERED")
+        Some(GraftWriteOrderedByCommand(ns, t, Seq.empty))
       case _ => None
     }
 
@@ -491,7 +550,7 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         try f(bareVarchar.replaceAllIn(sqlText, "string"))
         catch { case scala.util.control.NonFatal(_) => throw e }
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
-        partitionFieldCommand(sqlText).getOrElse(throw e)
+        icebergExtCommand(sqlText).getOrElse(throw e)
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =

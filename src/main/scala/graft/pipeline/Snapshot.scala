@@ -263,15 +263,64 @@ object Snapshot {
 
   /** Commit under the CURRENT spec — the write every spec-evolved
     * table uses from the ALTER onward: partitioned iff the sidecar
-    * spec is non-empty. Same atomic protocol as [[createOrReplace]]. */
+    * spec is non-empty, and range-clustered + locally sorted iff a
+    * WRITE ORDERED BY sort order is set ([[setSortOrder]] — Iceberg's
+    * write-order metadata: each commit's files cover disjoint sort-key
+    * ranges so parquet min/max stats prune, the same layout
+    * `rewrite_data_files(strategy => 'sort')` produces on demand).
+    * Same atomic protocol as [[createOrReplace]]. */
   def createOrReplaceCurrentSpec(df: DataFrame, path: String,
                                  keepVersions: Int = 0): Unit = {
     val spec = partitionSpec(path)
+    val order = sortOrder(path)
+    val ordered =
+      if (order.isEmpty) df
+      else {
+        val exprs = order.map { case (c, asc) =>
+          val col = org.apache.spark.sql.functions.col(c)
+          if (asc) col.asc else col.desc
+        }
+        df.repartitionByRange(exprs: _*).sortWithinPartitions(exprs: _*)
+      }
     swapIn(path, keepVersions) { tmp =>
       if (spec.isEmpty)
-        df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      else df.write.mode(SaveMode.Overwrite)
+        ordered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      else ordered.write.mode(SaveMode.Overwrite)
         .partitionBy(spec: _*).parquet(tmp.toString)
+    }
+  }
+
+  // WRITE ORDERED BY metadata — Iceberg's table sort order, stored in
+  // the sidecar `<path>.sortorder` (one `col asc|desc` line each,
+  // atomic tmp + rename like the spec file). Metadata-only: set it and
+  // every later spec-aware commit writes range-clustered, locally
+  // sorted files; WRITE UNORDERED clears it.
+
+  private def sortOrderFile(path: String) = Paths.get(path + ".sortorder")
+
+  /** Current write sort order: (column, ascending) pairs, empty = none. */
+  def sortOrder(path: String): Seq[(String, Boolean)] = {
+    val f = sortOrderFile(path)
+    if (!Files.exists(f)) Seq.empty
+    else new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val p = line.split("\\s+")
+        (p(0), p.length < 2 || !p(1).equalsIgnoreCase("desc"))
+      }.toSeq
+  }
+
+  def setSortOrder(path: String, order: Seq[(String, Boolean)]): Unit = {
+    val f = sortOrderFile(path)
+    if (order.isEmpty) Files.deleteIfExists(f)
+    else {
+      val tmp = Paths.get(path + ".sortorder.tmp")
+      val body = order.map { case (c, asc) =>
+        s"$c ${if (asc) "asc" else "desc"}" }.mkString("", "\n", "\n")
+      Files.write(tmp,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
     }
   }
 
@@ -659,6 +708,18 @@ object Snapshot {
       throw new java.util.NoSuchElementException(
         s"no such branch: '$name' at $path")
     deleteRecursively(dir)
+  }
+
+  /** Iceberg's `CREATE BRANCH`: stage a branch at the CURRENT live
+    * state — the fork a WAP session then writes onto. (In Iceberg a
+    * branch is a metadata pointer; this layout's branch is a staged
+    * dir, so creation copies the live snapshot into it.) */
+  def createBranch(spark: SparkSession, path: String,
+                   name: String): Unit = {
+    if (branches(path).contains(name))
+      throw new IllegalArgumentException(
+        s"branch already exists: '$name' at $path")
+    writeBranch(read(spark, path), path, name)
   }
 
   /** CHERRY-PICK: apply the CHANGES a staged branch introduced —

@@ -849,6 +849,32 @@ FROM iceberg.silver.orders_current""")
                FROM wap.orders_s ORDER BY o_orderkey""")
     }),
 
+    // S4+++++++ (r10) — REF DDL verbatim, Iceberg's ALTER TABLE
+    // extension grammar beside the procedural CALL surface: v1 = the
+    // sub-200k-total orders, v2 = all; CREATE TAG pins v1 by DDL and
+    // WRITE ORDERED BY sets the table write order (metadata-only; the
+    // commit that follows writes range-clustered files — DdlSqlSpec
+    // pins the layout, the oracle pins the CONTENT read back through
+    // VERSION AS OF the tag).
+    "q_ref_ddl" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dir = java.nio.file.Files.createTempDirectory("refddlq")
+        .toString + "/orders_ref"
+      graft.pipeline.Snapshot.createOrReplace(
+        orders.filter(col("o_totalprice") < 200000.0), dir,
+        keepVersions = 3)
+      new TableStore(s).registerSnapshot("refs", "orders_r", dir)
+      s.sql("ALTER TABLE iceberg.refs.orders_r WRITE ORDERED BY" +
+        " o_orderkey ASC")
+      graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+        orders, dir, keepVersions = 3)
+      s.sql("ALTER TABLE refs.orders_r CREATE TAG audited AS OF VERSION 1")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+               FROM refs.orders_r VERSION AS OF 'audited'
+               ORDER BY o_orderkey""")
+    }),
+
     // S5+S7' (r10) — MERGE SCHEMA EVOLUTION (Iceberg's merge-schema
     // table property): the target starts WITHOUT o_totalprice; the
     // source carries it; with 'write.merge-schema'='true' the star
@@ -1254,6 +1280,11 @@ FROM iceberg.silver.orders_current""")
     "q_cherrypick" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus
       FROM orders ORDER BY o_orderkey""",
+
+    "q_ref_ddl" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_totalprice < 200000.0
+      ORDER BY o_orderkey""",
 
     "q_merge_schema_evolution" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus,

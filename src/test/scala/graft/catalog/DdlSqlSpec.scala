@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.current_timestamp
+import org.apache.spark.sql.functions.{col, current_timestamp, max, min}
 
 /** The reference's DDL statements executed VERBATIM through `spark.sql`
   * (`/root/reference/jobs/ingest_orders_raw.py:22-34`,
@@ -454,6 +454,107 @@ FROM iceberg.silver.orders_current""")
     store.register("evo", "mem", Seq(1).toDF("x"))
     intercept[UnsupportedOperationException] {
       spark.sql("ALTER TABLE evo.mem ADD PARTITION FIELD x") }
+  }
+
+  test("ref DDL runs verbatim: CREATE/REPLACE/DROP TAG with AS OF " +
+    "VERSION and IF [NOT] EXISTS, CREATE/DROP BRANCH; retention " +
+    "clauses rejected by message") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("refddl")
+      .toString + "/t"
+    graft.pipeline.Snapshot.createOrReplace(
+      Seq((1, "a")).toDF("id", "tag"), dir, keepVersions = 4)
+    graft.pipeline.Snapshot.createOrReplace(
+      Seq((1, "a"), (2, "b")).toDF("id", "tag"), dir, keepVersions = 4)
+    store.registerSnapshot("refs", "t", dir)
+
+    spark.sql("ALTER TABLE iceberg.refs.t CREATE TAG stable AS OF VERSION 1")
+    assert(graft.pipeline.Snapshot.tags(dir) == Map("stable" -> 1L))
+    assert(spark.sql(
+      "SELECT count(*) FROM refs.t VERSION AS OF 'stable'")
+      .as[Long].head() == 1L)
+    // IF NOT EXISTS is a no-op on an existing tag; a bare re-create raises
+    spark.sql("ALTER TABLE refs.t CREATE TAG IF NOT EXISTS stable")
+    assert(graft.pipeline.Snapshot.tags(dir)("stable") == 1L)
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE refs.t CREATE TAG stable") }
+    // REPLACE re-points; default version is live
+    spark.sql("ALTER TABLE refs.t REPLACE TAG stable AS OF VERSION 2")
+    assert(graft.pipeline.Snapshot.tags(dir)("stable") == 2L)
+    spark.sql("ALTER TABLE refs.t CREATE TAG head")
+    assert(graft.pipeline.Snapshot.tags(dir)("head") == 2L)
+    // DROP TAG, with and without IF EXISTS
+    spark.sql("ALTER TABLE refs.t DROP TAG IF EXISTS nope")
+    spark.sql("ALTER TABLE refs.t DROP TAG head")
+    assert(!graft.pipeline.Snapshot.tags(dir).contains("head"))
+    intercept[java.util.NoSuchElementException] {
+      spark.sql("ALTER TABLE refs.t DROP TAG head") }
+
+    // branches: created at the LIVE state, readable, droppable
+    spark.sql("ALTER TABLE refs.t CREATE BRANCH audit")
+    assert(graft.pipeline.Snapshot.branches(dir) == Seq("audit"))
+    assert(graft.pipeline.Snapshot.readBranch(spark, dir, "audit")
+      .count() == 2)
+    spark.sql("ALTER TABLE refs.t CREATE BRANCH IF NOT EXISTS audit")
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE refs.t CREATE BRANCH audit") }
+    spark.sql("ALTER TABLE refs.t DROP BRANCH audit")
+    assert(graft.pipeline.Snapshot.branches(dir).isEmpty)
+
+    // Iceberg's retention clause maps to nothing here → clear message
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE refs.t CREATE TAG old RETAIN 7 DAYS") }
+    assert(e.getMessage.contains("retention"))
+  }
+
+  test("WRITE ORDERED BY is metadata-only sort-order DDL: the next " +
+    "spec-aware commit writes disjoint-range files; WRITE UNORDERED " +
+    "clears; unknown columns raise") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("wordddl")
+      .toString + "/t"
+    val rows = scala.util.Random.shuffle((1 to 1000).toList)
+      .map(i => (i, i % 7))
+    graft.pipeline.Snapshot.createOrReplace(
+      rows.toDF("id", "grp").repartition(8), dir, keepVersions = 2)
+    store.registerSnapshot("refs", "w", dir)
+
+    spark.sql("ALTER TABLE iceberg.refs.w WRITE ORDERED BY id ASC")
+    assert(graft.pipeline.Snapshot.sortOrder(dir) == Seq(("id", true)))
+    // metadata-only: nothing rewritten yet (live still has 8 files)
+    assert(graft.pipeline.Snapshot.fileCount(dir) == 8)
+    // the next commit range-clusters: every file a disjoint id range
+    graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+      rows.toDF("id", "grp"), dir, keepVersions = 2)
+    assert(spark.read.parquet(dir).as[(Int, Int)].collect().toSet ==
+      rows.toSet)
+    // every file covers a DISJOINT id range (AQE may coalesce this
+    // tiny fixture into one range partition — sizing, not a bug — so
+    // the load-bearing assertion is per-file sortedness)
+    val ranges = spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .as[(String, Int, Int)].collect().sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._2,
+        s"file ranges overlap: $a vs $b")
+      case _ => ()
+    }
+    ranges.foreach { case (f, _, _) =>
+      val ids = spark.read.parquet(f).select("id").as[Int].collect()
+      assert(ids.sameElements(ids.sorted),
+        s"file $f not locally sorted")
+    }
+
+    spark.sql("ALTER TABLE refs.w WRITE UNORDERED")
+    assert(graft.pipeline.Snapshot.sortOrder(dir).isEmpty)
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE refs.w WRITE ORDERED BY nope") }
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE refs.w WRITE ORDERED BY truncate(id, 4)") }
+    assert(e.getMessage.contains("col [ASC|DESC]"))
   }
 
   test("ALTER TABLE RENAME TO moves registry, snapshot path and " +
