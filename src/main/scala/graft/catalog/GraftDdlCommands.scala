@@ -280,6 +280,25 @@ case class GraftDescribeTableCommand(ns: String, name: String,
           if (store.isView(ns, name)) "VIEW" else "MANAGED", null),
         Row("Provider", "graft", null)) ++
         snapPath.map(p => Row("Location", p, null)).toSeq ++
+        // snapshot-backed extras: version + the r10 evolution metadata
+        // (partition spec / write sort order), shown only when set —
+        // the introspection twin of ADD PARTITION FIELD and WRITE
+        // ORDERED BY
+        snapPath.toSeq.flatMap { p =>
+          graft.pipeline.Snapshot.currentVersion(p)
+            .map(v => Row("Current Version", v.toString, null)).toSeq ++
+            (graft.pipeline.Snapshot.partitionSpec(p) match {
+              case Seq() => Nil
+              case spec => Seq(Row("Partition Spec",
+                spec.mkString("[", ", ", "]"), null))
+            }) ++
+            (graft.pipeline.Snapshot.sortOrder(p) match {
+              case Seq() => Nil
+              case ord => Seq(Row("Write Order", ord.map { case (c, asc) =>
+                s"$c ${if (asc) "ASC" else "DESC"}" }
+                .mkString("[", ", ", "]"), null))
+            })
+        } ++
         (if (props.isEmpty) Nil
          else Seq(Row("Table Properties",
            props.toSeq.sorted

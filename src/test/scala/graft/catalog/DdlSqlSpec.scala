@@ -438,6 +438,11 @@ FROM iceberg.silver.orders_current""")
       .as[String].collect().toSeq ==
       Seq("grp=a/sub=1", "grp=a/sub=2", "grp=b/sub=1"))
 
+    // DESCRIBE EXTENDED surfaces the evolved spec
+    val desc = spark.sql("DESCRIBE EXTENDED evo.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Partition Spec").contains("[grp, sub]"))
+
     spark.sql("ALTER TABLE evo.t DROP PARTITION FIELD sub")
     assert(graft.pipeline.Snapshot.partitionSpec(dir) == Seq("grp"))
 
@@ -547,6 +552,12 @@ FROM iceberg.silver.orders_current""")
       assert(ids.sameElements(ids.sorted),
         s"file $f not locally sorted")
     }
+
+    // DESCRIBE EXTENDED surfaces the write order while it is set
+    val desc = spark.sql("DESCRIBE EXTENDED refs.w")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Write Order").contains("[id ASC]"))
+    assert(desc.contains("Current Version"))
 
     spark.sql("ALTER TABLE refs.w WRITE UNORDERED")
     assert(graft.pipeline.Snapshot.sortOrder(dir).isEmpty)
