@@ -579,9 +579,14 @@ object Snapshot {
         s"no such tag: '$name' at $path " +
           s"(tags=${tags(path).keys.toSeq.sorted.mkString(",")})")))
 
-  /** Versions a ref makes reachable — protected from expiry. */
+  /** Versions a ref makes reachable — protected from expiry. BOTH ref
+    * kinds protect (Iceberg's refs-keep-snapshots-reachable): a TAG's
+    * target stays readable via `VERSION AS OF`, and a staged BRANCH's
+    * FORK version stays retained so [[cherrypickBranch]] can still
+    * compute its delta when the branch finally publishes. */
   private def taggedVersions(path: String): Set[Long] =
-    tags(path).values.toSet
+    tags(path).values.toSet ++
+      branches(path).flatMap(branchForkVersion(path, _))
 
   // -------------------------------------------------------------------
   // Branches — the WRITE-AUDIT-PUBLISH story over the same layout. A

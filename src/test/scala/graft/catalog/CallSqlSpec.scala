@@ -341,14 +341,29 @@ class CallSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("append"))
     Snapshot.dropBranch(dir, "wap_bad")
 
-    // expired fork: stage, then expire history past the fork version
+    // refs keep snapshots reachable: a staged branch's FORK version
+    // survives expiry (else a later publish could never compute its
+    // delta) — Iceberg's retention contract, same as tags
     Snapshot.writeBranch(
       spark.read.parquet(dir).unionByName(
         Seq((11, "late")).toDF("id", "tag")), dir, "wap_late")
+    val fork = Snapshot.branchForkVersion(dir, "wap_late").get
     (1 to 3).foreach { n =>
       Snapshot.createOrReplace(
         Seq((n, "spin")).toDF("id", "tag"), dir, keepVersions = 5) }
     Snapshot.expireSnapshots(dir, retainLast = 1)
+    assert(Snapshot.historicalVersions(dir).contains(fork),
+      "a staged branch's fork version must survive expiry")
+
+    // a fork lost OUT-OF-BAND (manual cleanup, pre-protection layouts)
+    // still raises the clear conflict instead of guessing a delta
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    rmTree(java.nio.file.Paths.get(s"$dir.v$fork"))
     val e2 = intercept[IllegalStateException] {
       spark.sql("""CALL iceberg.system.publish_changes(
         table => 'maint.cp', wap_id => 'wap_late')""").collect() }
