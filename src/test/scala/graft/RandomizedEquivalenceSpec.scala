@@ -278,6 +278,45 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("cherrypickBranch equals the set-algebra definition on random " +
+    "append-shaped branches over moved live states; non-append " +
+    "branches always raise") {
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 6) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"cherryprop$trial").toString + "/t"
+      def rows(ids: Seq[Int]) = ids.map(i => (i, s"v$i")).toDF("id", "tag")
+      val baseIds = (1 to 20 + rnd.nextInt(30)).toSeq
+      graft.pipeline.Snapshot.createOrReplace(rows(baseIds), dir,
+        keepVersions = 5)
+      // branch = base + a random APPEND (possibly empty)
+      val branchAdd = (1000 to 1000 + rnd.nextInt(10)).toSeq
+        .filter(_ => rnd.nextBoolean())
+      graft.pipeline.Snapshot.writeBranch(rows(baseIds ++ branchAdd),
+        dir, "wap")
+      // live moves with its own append
+      val liveAdd = (2000 to 2000 + rnd.nextInt(10)).toSeq
+      graft.pipeline.Snapshot.createOrReplace(rows(baseIds ++ liveAdd),
+        dir, keepVersions = 5)
+      graft.pipeline.Snapshot.cherrypickBranch(spark, dir, "wap",
+        keepVersions = 5)
+      val got = spark.read.parquet(dir)
+        .as[(Int, String)].collect().toSet
+      val want = (baseIds ++ liveAdd ++ branchAdd)
+        .map(i => (i, s"v$i")).toSet
+      assert(got == want, s"trial $trial: $got vs $want")
+      assert(graft.pipeline.Snapshot.branches(dir).isEmpty)
+
+      // a branch that dropped a random base row is refused
+      val victim = baseIds(rnd.nextInt(baseIds.size))
+      graft.pipeline.Snapshot.writeBranch(
+        rows(baseIds.filterNot(_ == victim)), dir, "bad")
+      intercept[IllegalStateException] {
+        graft.pipeline.Snapshot.cherrypickBranch(spark, dir, "bad") }
+      graft.pipeline.Snapshot.dropBranch(dir, "bad")
+    }
+  }
+
   test("chunkDocs invariants hold on random docs and (chunk, overlap) " +
     "parameters: lossless reconstruction, exact overlap, offsets") {
     for (seed <- Seq(7, 21, 63)) {
