@@ -8,13 +8,20 @@ import org.apache.spark.sql.types._
   * payloads with a typed metadata struct, flowing through relational
   * operators untouched.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic FAKE decoder (documented below); the
-  * Spark-side plumbing — binary columns, metadata schema, batch-shaped
-  * feature extraction, partition behavior — is real and oracle-checked.
-  * Swapping the stub for a real codec (an `mapInPandas`/`mapInArrow`
-  * Python worker or a JNI call inside `mapPartitions`) changes ONE
-  * function; every schema and operator stays.
+  * Two decode arms:
+  *  - IMAGE (r10, REAL): the JDK's own PNG codec (javax.imageio) —
+  *    [[imageTable]] renders real PNGs, [[decodeImages]] reads the
+  *    bytes back through the actual decoder in the mapPartitions batch
+  *    shape; oracle-checked end-to-end (PNG is lossless, features are
+  *    exact integers).
+  *  - other media (audio/video): the container has no codecs, so
+  *    `decodeStub` remains a clearly-marked deterministic FAKE; the
+  *    Spark-side plumbing — binary columns, metadata schema,
+  *    batch-shaped feature extraction, partition behavior — is real
+  *    and oracle-checked. Swapping the stub for a real codec (an
+  *    `mapInPandas`/`mapInArrow` Python worker or a JNI call inside
+  *    `mapPartitions`) changes ONE function, exactly as the image arm
+  *    demonstrates; every schema and operator stays.
   *
   * Scale: payloads never explode, never join on themselves, and flow as
   * opaque bytes — only the small metadata/feature columns participate in
@@ -85,6 +92,105 @@ object Multimodal {
     transform(sequence(lit(1), lit(n), lit(stride)),
       i => conv(substring(hex(payload), i * 2 - 1, lit(2)), 16, 10)
         .cast(IntegerType))
+
+  // -------------------------------------------------------------------
+  // REAL image path (r10): the JDK ships a genuine PNG codec
+  // (javax.imageio — no external image libraries needed), so the decode
+  // kernel no longer has to be a stub for the image arm. The table
+  // builder RENDERS a deterministic two-band PNG per row (every
+  // parameter a closed-form function of the id, so the DuckDB oracle
+  // recomputes the expected features without decoding anything), and
+  // the decoder reads the ACTUAL bytes back through the actual codec in
+  // the documented mapPartitions batch shape. PNG is lossless, so the
+  // decoded per-channel pixel sums are exact integers — engine-portable
+  // with no float discipline needed.
+  // -------------------------------------------------------------------
+
+  /** Deterministic render parameters for id: size and the two band
+    * colors. Height is always even so the bands split exactly. */
+  private[ext] def renderParams(id: Long)
+      : (Int, Int, Int, Int, Int, Int, Int, Int) = {
+    def m(k: Long, n: Long) = (((id * k) % n + n) % n).toInt
+    val w = m(1, 48) + 16
+    val h = m(1, 16) * 2 + 16
+    (w, h, m(7, 256), m(11, 256), m(17, 256),
+      m(19, 256), m(23, 256), m(29, 256))
+  }
+
+  /** Render the two-band PNG for `id` — real bytes through the real
+    * encoder. ~16×16 to 63×46 pixels: big enough to exercise the
+    * codec, small enough that a 100-TB corpus of them is still
+    * payload-bounded, not pixel-bounded. */
+  private[ext] def renderPng(id: Long): Array[Byte] = {
+    val (w, h, ra, ga, ba, rb, gb, bb) = renderParams(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val top = (ra << 16) | (ga << 8) | ba
+    val bottom = (rb << 16) | (gb << 8) | bb
+    var y = 0
+    while (y < h) {
+      val rgb = if (y < h / 2) top else bottom
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Media table with REAL PNG payloads, rendered per-partition (the
+    * encoder initializes per batch like any codec). Same metadata
+    * struct as [[mediaTable]]. */
+  def imageTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id => (id, renderPng(id)) }
+      }
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(
+          lit("image/png").as("media_type"),
+          octet_length(col("payload")).cast(LongType).as("n_bytes"),
+          md5(col("payload")).as("checksum")).as("meta"))
+  }
+
+  /** REAL decode: ImageIO parses the PNG bytes and the features are
+    * width, height and exact per-channel pixel SUMS — the batch-shaped
+    * kernel the stub documented, now with an actual codec behind it.
+    * Payloads stay partition-local (decode before any shuffle); only
+    * the fixed-width feature row moves on. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable payload for media_id=$id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, sr, sg, sb)
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
 
   /** Batch-shaped decode path: the `mapPartitions` integration point
     * where a REAL codec (JNI library, or a Python worker via

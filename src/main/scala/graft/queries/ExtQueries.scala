@@ -856,6 +856,20 @@ object ExtQueries {
         .withColumn("histogram", concat_ws(",", col("histogram")))
         .orderBy("media_id")),
 
+    // X5' (r10) — REAL image decode end-to-end: render a deterministic
+    // two-band PNG per document through the JDK's actual PNG encoder,
+    // decode the bytes back through the actual decoder (mapPartitions
+    // batch shape, codec per partition), and emit exact per-channel
+    // pixel sums. Every render parameter is a closed-form function of
+    // the id, so the oracle recomputes the expected features WITHOUT
+    // decoding — the decode round-trip is what the hash-compare then
+    // proves. PNG is lossless: sums are exact integers, no float
+    // discipline needed.
+    "q_image_decode" -> ((s, d) =>
+      Multimodal.decodeImages(
+        Multimodal.imageTable(Tables.documents(s, d)))
+        .orderBy("media_id")),
+
     // X6 — data-quality metrics table.
     "q_quality_metrics" -> ((s, d) =>
       Metrics.documentMetrics(Tables.documents(s, d))
@@ -2399,6 +2413,21 @@ object ExtQueries {
         concat(${byteAt("h", 3)}, ',', ${byteAt("h", 4)}, ',',
                ${byteAt("h", 5)}, ',', ${byteAt("h", 6)}) AS histogram
       FROM m ORDER BY media_id""",
+
+    "q_image_decode" -> """
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 48 + 16 AS INT) AS width,
+             CAST((doc_id % 16) * 2 + 16 AS INT) AS height,
+             CAST((doc_id % 48 + 16) * ((doc_id % 16) + 8)
+                  * ((doc_id * 7) % 256 + (doc_id * 19) % 256)
+               AS BIGINT) AS sum_r,
+             CAST((doc_id % 48 + 16) * ((doc_id % 16) + 8)
+                  * ((doc_id * 11) % 256 + (doc_id * 23) % 256)
+               AS BIGINT) AS sum_g,
+             CAST((doc_id % 48 + 16) * ((doc_id % 16) + 8)
+                  * ((doc_id * 17) % 256 + (doc_id * 29) % 256)
+               AS BIGINT) AS sum_b
+      FROM documents ORDER BY media_id""",
 
     "q_quality_metrics" -> """
       WITH d AS (

@@ -47,6 +47,36 @@ class MultimodalSpec extends SparkSpec {
     assert(again.getAs[Int]("width") == w) // deterministic fake decode
   }
 
+  test("REAL image arm: PNG encode→decode round-trips through the " +
+    "JDK codec with exact features matching the render parameters") {
+    val ids = Seq(1L, 2L, 17L, 255L, 100000L)
+    val media = Multimodal.imageTable(
+      ids.toDF("doc_id"))
+    // payloads are genuine PNGs (magic bytes)
+    val png = media.select("payload").head().getAs[Array[Byte]](0)
+    assert(png.length > 8 &&
+      (png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G', "not a PNG payload")
+    val feats = Multimodal.decodeImages(media)
+      .orderBy("media_id")
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+    assert(feats.length == ids.length)
+    feats.foreach { case (id, w, h, sr, sg, sb) =>
+      val (ew, eh, ra, ga, ba, rb, gb, bb) = Multimodal.renderParams(id)
+      assert(w == ew && h == eh, s"id=$id size $w x $h vs $ew x $eh")
+      val half = ew.toLong * (eh / 2)
+      assert(sr == half * (ra + rb), s"id=$id sum_r")
+      assert(sg == half * (ga + gb), s"id=$id sum_g")
+      assert(sb == half * (ba + bb), s"id=$id sum_b")
+    }
+    // an undecodable payload raises instead of emitting garbage
+    val bad = Seq((9L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(bad).collect()
+    }
+  }
+
   test("media payload flows through relational ops untouched") {
     val m = Multimodal.mediaTable(docs)
     val joined = m.join(m.select(col("media_id"),
