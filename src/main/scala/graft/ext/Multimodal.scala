@@ -192,6 +192,89 @@ object Multimodal {
       .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** "Video" payloads: a frame-count header followed by length-prefixed
+    * PNG frames — the container-format shape (without a real mux) that
+    * makes strided FRAME SAMPLING meaningful. Frame f of id renders
+    * with parameter seed `id * 31 + f`, so every frame's features stay
+    * closed-form for the oracle. */
+  def videoTable(docs: DataFrame, frames: Int = 6,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(frames > 0, s"frames must be positive: $frames")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          out.writeInt(frames)
+          (0 until frames).foreach { f =>
+            val png = renderPng(id * 31 + f)
+            out.writeInt(png.length)
+            out.write(png)
+          }
+          out.flush()
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(
+          lit("video/x-png-frames").as("media_type"),
+          octet_length(col("payload")).cast(LongType).as("n_bytes"),
+          md5(col("payload")).as("checksum")).as("meta"))
+  }
+
+  /** STRIDED FRAME SAMPLING with real decode: demux the payload, decode
+    * every `stride`-th frame through the JDK codec, skip the rest
+    * WITHOUT decoding them (the point of sampling — undecoded frames
+    * cost one length-prefixed skip, no pixel work), and emit one
+    * feature row per sampled frame. Batch shape like [[decodeImages]];
+    * payloads never shuffle, the exploded rows are fixed-width. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val n = in.readInt()
+          (0 until n).iterator.flatMap { f =>
+            val len = in.readInt()
+            if (f % stride != 0) { in.skipBytes(len); Iterator.empty }
+            else {
+              val frame = new Array[Byte](len)
+              in.readFully(frame)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frame))
+              require(img != null,
+                s"undecodable frame $f for media_id=$id")
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Iterator.single((id, f, w, h, sr, sg, sb))
+            }
+          }.toSeq
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height",
+        "sum_r", "sum_g", "sum_b")
+  }
+
   /** Batch-shaped decode path: the `mapPartitions` integration point
     * where a REAL codec (JNI library, or a Python worker via
     * `mapInPandas`/`mapInArrow` from PySpark) plugs in — the iterator

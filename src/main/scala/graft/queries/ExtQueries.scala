@@ -870,6 +870,18 @@ object ExtQueries {
         Multimodal.imageTable(Tables.documents(s, d)))
         .orderBy("media_id")),
 
+    // X5'' (r10) — REAL strided frame sampling: each "video" payload is
+    // a frame-count header + length-prefixed PNG frames (frame f seeds
+    // its render with id*31+f); sampling decodes every 2nd frame
+    // through the JDK codec and SKIPS the rest by length prefix (no
+    // pixel work — the point of sampling). Oracle recomputes each
+    // sampled frame's exact feature row from the closed-form seed.
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.videoTable(Tables.documents(s, d), frames = 6),
+        stride = 2)
+        .orderBy("media_id", "frame_idx")),
+
     // X6 — data-quality metrics table.
     "q_quality_metrics" -> ((s, d) =>
       Metrics.documentMetrics(Tables.documents(s, d))
@@ -2428,6 +2440,25 @@ object ExtQueries {
                   * ((doc_id * 17) % 256 + (doc_id * 29) % 256)
                AS BIGINT) AS sum_b
       FROM documents ORDER BY media_id""",
+
+    "q_frame_sample" -> """
+      WITH fr AS (SELECT * FROM (VALUES (0), (2), (4)) t(f)),
+      s AS (SELECT doc_id, f, doc_id * 31 + f AS seed
+            FROM documents, fr)
+      SELECT doc_id AS media_id,
+             CAST(f AS INT) AS frame_idx,
+             CAST(seed % 48 + 16 AS INT) AS width,
+             CAST((seed % 16) * 2 + 16 AS INT) AS height,
+             CAST((seed % 48 + 16) * ((seed % 16) + 8)
+                  * ((seed * 7) % 256 + (seed * 19) % 256)
+               AS BIGINT) AS sum_r,
+             CAST((seed % 48 + 16) * ((seed % 16) + 8)
+                  * ((seed * 11) % 256 + (seed * 23) % 256)
+               AS BIGINT) AS sum_g,
+             CAST((seed % 48 + 16) * ((seed % 16) + 8)
+                  * ((seed * 17) % 256 + (seed * 29) % 256)
+               AS BIGINT) AS sum_b
+      FROM s ORDER BY media_id, frame_idx""",
 
     "q_quality_metrics" -> """
       WITH d AS (

@@ -77,6 +77,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling: strided frames decode with exact per-frame " +
+    "features; SKIPPED frames are never decoded (a corrupt odd frame " +
+    "is harmless at stride 2, fatal at stride 1)") {
+    val ids = Seq(3L, 4L)
+    val out = Multimodal.sampleFrames(
+      Multimodal.videoTable(ids.toDF("doc_id"), frames = 6), stride = 2)
+      .as[(Long, Int, Int, Int, Long, Long, Long)].collect()
+    assert(out.length == ids.length * 3)
+    assert(out.forall(_._2 % 2 == 0), "sampled a non-stride frame")
+    out.foreach { case (id, f, w, h, sr, _, _) =>
+      val (ew, eh, ra, _, _, rb, _, _) =
+        Multimodal.renderParams(id * 31 + f)
+      assert(w == ew && h == eh)
+      assert(sr == ew.toLong * (eh / 2) * (ra + rb))
+    }
+
+    // hand-built payload: frame 0 valid, frame 1 garbage — the skip
+    // path must pass over the garbage by length prefix alone
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(2)
+    val good = Multimodal.renderPng(7L)
+    dos.writeInt(good.length); dos.write(good)
+    dos.writeInt(3); dos.write(Array[Byte](1, 2, 3))
+    dos.flush()
+    val vid = Seq((7L, bos.toByteArray)).toDF("media_id", "payload")
+    assert(Multimodal.sampleFrames(vid, stride = 2).count() == 1)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(vid, stride = 1).collect()
+    }
+  }
+
   test("media payload flows through relational ops untouched") {
     val m = Multimodal.mediaTable(docs)
     val joined = m.join(m.select(col("media_id"),
