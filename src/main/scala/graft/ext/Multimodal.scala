@@ -192,6 +192,50 @@ object Multimodal {
       .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** REAL resize: decode, nearest-neighbor sample to `tw`×`th` (manual
+    * loop — exact and deterministic, no interpolation/AA ambiguity
+    * across JDKs), re-ENCODE as PNG. The thumbnailing step every
+    * vision-data pipeline runs before feature extraction; payload in,
+    * payload out, so it composes with [[decodeImages]] downstream —
+    * and because the re-encode is lossless the decode→resize→encode→
+    * decode round trip is oracle-checkable end-to-end. */
+  def resizeImages(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw > 0 && th > 0, s"target size must be positive: $tw x $th")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable payload for media_id=$id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            val sy = (y.toLong * h / th).toInt
+            var x = 0
+            while (x < tw) {
+              out.setRGB(x, y, img.getRGB((x.toLong * w / tw).toInt, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(
+          lit("image/png").as("media_type"),
+          octet_length(col("payload")).cast(LongType).as("n_bytes"),
+          md5(col("payload")).as("checksum")).as("meta"))
+  }
+
   /** "Video" payloads: a frame-count header followed by length-prefixed
     * PNG frames — the container-format shape (without a real mux) that
     * makes strided FRAME SAMPLING meaningful. Frame f of id renders

@@ -870,6 +870,18 @@ object ExtQueries {
         Multimodal.imageTable(Tables.documents(s, d)))
         .orderBy("media_id")),
 
+    // X5''' (r10) — REAL resize round trip: decode → nearest-neighbor
+    // 8×8 thumbnail → re-encode PNG → decode again. Nearest-neighbor
+    // on the two-band source always samples 4 top + 4 bottom rows
+    // (y·h/8 < h/2 ⟺ y < 4 for every even h), so the thumbnail's
+    // exact sums are closed-form and the whole two-codec round trip
+    // hash-checks.
+    "q_image_resize" -> ((s, d) =>
+      Multimodal.decodeImages(
+        Multimodal.resizeImages(
+          Multimodal.imageTable(Tables.documents(s, d)), 8, 8))
+        .orderBy("media_id")),
+
     // X5'' (r10) — REAL strided frame sampling: each "video" payload is
     // a frame-count header + length-prefixed PNG frames (frame f seeds
     // its render with id*31+f); sampling decodes every 2nd frame
@@ -2438,6 +2450,18 @@ object ExtQueries {
                AS BIGINT) AS sum_g,
              CAST((doc_id % 48 + 16) * ((doc_id % 16) + 8)
                   * ((doc_id * 17) % 256 + (doc_id * 29) % 256)
+               AS BIGINT) AS sum_b
+      FROM documents ORDER BY media_id""",
+
+    "q_image_resize" -> """
+      SELECT doc_id AS media_id,
+             CAST(8 AS INT) AS width,
+             CAST(8 AS INT) AS height,
+             CAST(32 * ((doc_id * 7) % 256 + (doc_id * 19) % 256)
+               AS BIGINT) AS sum_r,
+             CAST(32 * ((doc_id * 11) % 256 + (doc_id * 23) % 256)
+               AS BIGINT) AS sum_g,
+             CAST(32 * ((doc_id * 17) % 256 + (doc_id * 29) % 256)
                AS BIGINT) AS sum_b
       FROM documents ORDER BY media_id""",
 

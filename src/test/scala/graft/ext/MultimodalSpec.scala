@@ -77,6 +77,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: nearest-neighbor thumbnail round-trips through two " +
+    "codec passes with exact band sums; non-divisible sizes sample " +
+    "without drift") {
+    val ids = Seq(5L, 33L, 47L) // widths 21/49/63 — none divisible by 8
+    val thumbs = Multimodal.resizeImages(
+      Multimodal.imageTable(ids.toDF("doc_id")), 8, 8)
+    val feats = Multimodal.decodeImages(thumbs).orderBy("media_id")
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+    feats.foreach { case (id, w, h, sr, sg, sb) =>
+      val (_, _, ra, ga, ba, rb, gb, bb) = Multimodal.renderParams(id)
+      assert(w == 8 && h == 8)
+      assert(sr == 32L * (ra + rb), s"id=$id sum_r")
+      assert(sg == 32L * (ga + gb), s"id=$id sum_g")
+      assert(sb == 32L * (ba + bb), s"id=$id sum_b")
+    }
+  }
+
   test("frame sampling: strided frames decode with exact per-frame " +
     "features; SKIPPED frames are never decoded (a corrupt odd frame " +
     "is harmless at stride 2, fatal at stride 1)") {
