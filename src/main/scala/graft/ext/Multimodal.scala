@@ -319,6 +319,86 @@ object Multimodal {
         "sum_r", "sum_g", "sum_b")
   }
 
+  // -------------------------------------------------------------------
+  // REAL audio path (r10): javax.sound.sampled is also pure JDK — WAV
+  // (PCM) encodes and decodes with no external codec. Samples are a
+  // closed-form function of (id, index), so the oracle recomputes the
+  // expected amplitude statistics in SQL over a generated index range.
+  // With this, every X5 modality arm (image, video frames, audio) runs
+  // a real codec end-to-end; nothing is stubbed.
+  // -------------------------------------------------------------------
+
+  private val AudioRate = 8000f
+  private[ext] val AudioSamples = 800
+
+  /** Closed-form PCM16 sample i of id: a sawtooth-ish deterministic
+    * signal in [-1024, 1023]. */
+  private[ext] def audioSample(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 7) % 2048).toInt - 1024
+
+  /** Render the WAV for `id` through the JDK's own WAVE writer. */
+  private[ext] def renderWav(id: Long): Array[Byte] = {
+    val pcm = new Array[Byte](AudioSamples * 2)
+    var i = 0
+    while (i < AudioSamples) {
+      val s = audioSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian PCM16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioRate, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, AudioSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Media table with REAL WAV payloads. */
+  def audioTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, renderWav(id))))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(
+          lit("audio/wav").as("media_type"),
+          octet_length(col("payload")).cast(LongType).as("n_bytes"),
+          md5(col("payload")).as("checksum")).as("meta"))
+  }
+
+  /** REAL audio decode: the JDK's WAV reader parses the header and the
+    * PCM frames; features are the format fields plus the exact
+    * sum of absolute amplitudes — integers end-to-end. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          var sumAbs = 0L
+          var i = 0
+          while (i < n) {
+            val lo = data(2 * i) & 0xff
+            val hi = data(2 * i + 1)
+            sumAbs += math.abs((hi << 8) | lo)
+            i += 1
+          }
+          (id, fmt.getSampleRate.toInt, fmt.getChannels, n.toLong, sumAbs)
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "n_samples", "sum_abs")
+  }
+
   /** Batch-shaped decode path: the `mapPartitions` integration point
     * where a REAL codec (JNI library, or a Python worker via
     * `mapInPandas`/`mapInArrow` from PySpark) plugs in — the iterator

@@ -870,6 +870,17 @@ object ExtQueries {
         Multimodal.imageTable(Tables.documents(s, d)))
         .orderBy("media_id")),
 
+    // X5'''' (r10) — REAL audio decode: WAV/PCM16 payloads written and
+    // read back through the JDK's own WAVE codec (javax.sound.sampled,
+    // no external libs); samples are closed-form in (id, index), so
+    // the oracle recomputes the exact absolute-amplitude sum over a
+    // generated index range. Completes X5: image, video-frame and
+    // audio arms all run real codecs end-to-end.
+    "q_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudio(
+        Multimodal.audioTable(Tables.documents(s, d)))
+        .orderBy("media_id")),
+
     // X5''' (r10) — REAL resize round trip: decode → nearest-neighbor
     // 8×8 thumbnail → re-encode PNG → decode again. Nearest-neighbor
     // on the two-band source always samples 4 top + 4 bottom rows
@@ -2452,6 +2463,17 @@ object ExtQueries {
                   * ((doc_id * 17) % 256 + (doc_id * 29) % 256)
                AS BIGINT) AS sum_b
       FROM documents ORDER BY media_id""",
+
+    "q_audio_decode" -> """
+      WITH t AS (SELECT doc_id, r.range AS i
+                 FROM documents, range(0, 800) r)
+      SELECT doc_id AS media_id,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(1 AS INT) AS channels,
+             CAST(800 AS BIGINT) AS n_samples,
+             CAST(SUM(ABS((doc_id * 31 + i * 7) % 2048 - 1024))
+               AS BIGINT) AS sum_abs
+      FROM t GROUP BY doc_id ORDER BY media_id""",
 
     "q_image_resize" -> """
       SELECT doc_id AS media_id,
