@@ -469,6 +469,39 @@ object SimilarityOps {
         col("cell_size"))
   }
 
+  /** X3f — INT8 scalar quantization of embeddings: per-vector absmax
+    * scale (`amax/127`), code_i = clamp(floor(x_i/scale + 0.5)) ∈
+    * [-127, 127] — the standard 4× memory/bandwidth lever a 100-TB
+    * vector corpus applies before ANN (FAISS's SQ8; reconstruction
+    * error ≤ scale/2 per element, spec-proven). Every arithmetic step
+    * (float→double cast, division, +0.5, floor) is IEEE-exact and
+    * engine-portable, so the codes are oracle-checkable bit-for-bit —
+    * deliberately floor(x+0.5), NOT round(), whose half-even vs
+    * half-away tie rule differs across engines. All-zero vectors
+    * quantize to all-zero codes with scale 0 (guarded identically in
+    * the oracle). Scan-local: no shuffle, no UDF — array lambdas
+    * codegen like the rest of the family. */
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val x = col(embCol)
+    val amax = array_max(transform(x, v => abs(v.cast("double"))))
+    val scale = amax / lit(127.0)
+    val codes = when(amax === 0.0,
+      transform(x, _ => lit(0)))
+      .otherwise(transform(x, v =>
+        greatest(lit(-127), least(lit(127),
+          floor(v.cast("double") / (amax / lit(127.0)) + lit(0.5))
+            .cast("int")))))
+    corpus.select(col(idCol), x.as(embCol))
+      .withColumn("codes", codes)
+      .withColumn("scale", scale)
+  }
+
+  /** Dequantize int8 codes back to doubles (`code * scale`) — the read
+    * path a quantized ANN index uses. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** Embedding-cosine near-duplicate pairs over one corpus: bucketed
     * self-join (sign-LSH), threshold on exact cosine. X2's embedding
     * variant. */

@@ -808,6 +808,25 @@ object ExtQueries {
         embTwins(Tables.embeddings(s, d)), 0.99)
         .orderBy("id_a", "id_b")),
 
+    // X3f (r10) — INT8 scalar quantization (FAISS SQ8 shape): absmax
+    // per-vector scale, codes via floor(x/scale + 0.5) — deliberately
+    // NOT round(), whose tie rule differs across engines — clamped to
+    // [-127,127]. Scan-local array lambdas, zero shuffle; the oracle
+    // recomputes codes bit-for-bit and both summary columns use the
+    // integer/micros disciplines (exact code l2², micros-quantized
+    // scale).
+    "q_embed_quantize" -> ((s, d) => {
+      val q = SimilarityOps.quantizeInt8(Tables.embeddings(s, d))
+      q.select(col("vec_id"),
+        concat_ws(",", col("codes")).as("codes_str"),
+        aggregate(col("codes"), lit(0L),
+          (acc, c) => acc + c.cast("long") * c.cast("long"))
+          .as("code_l2sq"),
+        floor(col("scale") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("scale_micros"))
+        .orderBy("vec_id")
+    }),
+
     // X2c' — the same pair search through the parameterized hyperplane
     // LSH (8-bit × 2 tables), pairs deduped across tables.
     "q_embed_near_dup_lsh" -> ((s, d) =>
@@ -2356,6 +2375,31 @@ object ExtQueries {
       )
       SELECT id_a, id_b, score FROM pairs
       WHERE score >= 0.99 ORDER BY id_a, id_b""",
+
+    "q_embed_quantize" -> """
+      WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS amax,
+               embedding
+        FROM embeddings),
+      c AS (
+        SELECT vec_id, amax,
+               CASE WHEN amax = 0
+                 THEN list_transform(embedding, x -> 0)
+                 ELSE list_transform(embedding, x ->
+                   CAST(greatest(-127.0, least(127.0,
+                     floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5)))
+                     AS INT))
+               END AS codes
+        FROM q)
+      SELECT vec_id,
+             array_to_string(codes, ',') AS codes_str,
+             CAST(list_sum(list_transform(codes,
+               c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS code_l2sq,
+             CAST(floor(amax / 127.0 * 1000000.0 + 0.5) AS BIGINT)
+               AS scale_micros
+      FROM c ORDER BY vec_id""",
 
     "q_embed_near_dup" -> s"""
       WITH $embTwinsCte,

@@ -308,4 +308,46 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(trained == refined)
     assert(trained.toSeq.map(_._2).sorted == Seq(20L, 20L))
   }
+
+  test("quantizeInt8: codes bounded, reconstruction error within " +
+    "scale/2 per element, zero vectors quantize to zero with scale 0, " +
+    "and the operator is scan-local (no exchange)") {
+    import org.apache.spark.sql.functions._
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(3.0f, 2.0f, -3.0f, 1.5f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = SimilarityOps.quantizeInt8(emb)
+    val rows = q.select("vec_id", "embedding", "codes", "scale")
+      .as[(Long, Array[Float], Array[Int], Double)]
+      .collect().sortBy(_._1)
+    rows.foreach { case (id, xs, cs, scale) =>
+      assert(cs.length == xs.length)
+      assert(cs.forall(c => c >= -127 && c <= 127))
+      if (id == 3L) {
+        assert(scale == 0.0 && cs.forall(_ == 0))
+      } else {
+        xs.zip(cs).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-12,
+            s"id=$id x=$x c=$c scale=$scale")
+        }
+        // absmax element hits exactly +/-127
+        assert(cs.exists(c => math.abs(c) == 127))
+      }
+    }
+    // dequantize round trip stays within the same bound
+    val recon = q.select(col("vec_id"), col("embedding"),
+        SimilarityOps.dequantizeInt8(col("codes"), col("scale")).as("r"))
+      .as[(Long, Array[Float], Array[Double])].collect()
+    recon.filter(_._1 != 3L).foreach { case (_, xs, rs) =>
+      xs.zip(rs).foreach { case (x, r) =>
+        assert(math.abs(x.toDouble - r) <= 0.5) }
+    }
+    // scan-local: the physical plan has no exchange
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quantization grew a shuffle:\n$plan")
+  }
 }
