@@ -808,6 +808,34 @@ object ExtQueries {
         embTwins(Tables.embeddings(s, d)), 0.99)
         .orderBy("id_a", "id_b")),
 
+    // X3f' (r10) — the recall audit quantization earns: exact top-5
+    // over the raw corpus vs top-5 over the int8-reconstructed corpus
+    // with full-precision queries (asymmetric distance, the standard
+    // quantized-retrieval read shape). The oracle re-derives the
+    // reconstruction bit-for-bit and replays both searches.
+    "q_ann_recall_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val exact = SimilarityOps.bruteForceTopK(queries, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val dq = SimilarityOps.quantizeInt8(emb)
+        .select(col("vec_id"),
+          SimilarityOps.dequantizeInt8(col("codes"), col("scale"))
+            .as("embedding"))
+      val approx = SimilarityOps.bruteForceTopK(queries, dq, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("recall_at_5", col("hits").cast("double") / 5.0)
+        .orderBy("query_id")
+    }),
+
     // X3f (r10) — INT8 scalar quantization (FAISS SQ8 shape): absmax
     // per-vector scale, codes via floor(x/scale + 0.5) — deliberately
     // NOT round(), whose tie rule differs across engines — clamped to
@@ -2375,6 +2403,61 @@ object ExtQueries {
       )
       SELECT id_a, id_b, score FROM pairs
       WHERE score >= 0.99 ORDER BY id_a, id_b""",
+
+    "q_ann_recall_sq8" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${cosSql("qe", "e.embedding")} AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      ),
+      exact AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5),
+      amx AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS amax,
+               embedding
+        FROM embeddings),
+      dq AS (
+        SELECT vec_id,
+               CASE WHEN amax = 0
+                 THEN list_transform(embedding, x -> 0.0)
+                 ELSE list_transform(embedding, x ->
+                   CAST(greatest(-127.0, least(127.0,
+                     floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5)))
+                     AS DOUBLE) * (amax / 127.0))
+               END AS embedding
+        FROM amx),
+      ascored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${cosSql("qe", "e.embedding")} AS score
+        FROM dq e, q WHERE e.vec_id <> q.query_id
+      ),
+      aranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM ascored
+      ),
+      approx AS (SELECT query_id, neighbor_id FROM aranked
+                 WHERE rnk <= 5),
+      hits AS (
+        SELECT e.query_id, count(*) AS hits
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+      )
+      SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             coalesce(h.hits, 0)::DOUBLE / 5.0 AS recall_at_5
+      FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id""",
 
     "q_embed_quantize" -> """
       WITH q AS (
