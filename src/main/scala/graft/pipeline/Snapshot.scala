@@ -276,10 +276,18 @@ object Snapshot {
     val ordered =
       if (order.isEmpty) df
       else {
-        val exprs = order.map { case (c, asc) =>
-          val col = org.apache.spark.sql.functions.col(c)
-          if (asc) col.asc else col.desc
-        }
+        // the spec columns PREFIX the sort: FileFormatWriter requires
+        // its input ordered by the partition columns and injects its
+        // own (order-destroying) sort when it is not — sorting by
+        // (spec ++ order) satisfies that requirement as a prefix, so
+        // the write keeps the within-partition sort (SnapshotSpec pins
+        // the composition)
+        val exprs = spec.map(c =>
+          org.apache.spark.sql.functions.col(c).asc) ++
+          order.map { case (c, asc) =>
+            val col = org.apache.spark.sql.functions.col(c)
+            if (asc) col.asc else col.desc
+          }
         df.repartitionByRange(exprs: _*).sortWithinPartitions(exprs: _*)
       }
     swapIn(path, keepVersions) { tmp =>

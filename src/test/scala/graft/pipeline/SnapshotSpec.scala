@@ -375,6 +375,33 @@ class SnapshotSpec extends SparkSpec {
       Snapshot.dropPartitionField(dir, "event_id"))
   }
 
+  test("partition spec and write order COMPOSE on one commit: the " +
+    "Hive layout splits by the spec, files inside each partition stay " +
+    "locally sorted by the write order") {
+    val dir = Files.createTempDirectory("specorder").toString + "/t"
+    val rnd = new scala.util.Random(7)
+    val df = rnd.shuffle((1 to 400).toList)
+      .map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("grp", "id")
+    Snapshot.createOrReplacePartitioned(df, dir, Seq("grp"))
+    Snapshot.setSortOrder(dir, Seq(("id", true)))
+    Snapshot.createOrReplaceCurrentSpec(df, dir)
+    // layout split by grp
+    assert(Files.exists(java.nio.file.Paths.get(dir, "grp=a")) &&
+      Files.exists(java.nio.file.Paths.get(dir, "grp=b")))
+    // per-file local sort survives the partitionBy split
+    val files = Snapshot.read(spark, dir)
+      .select(org.apache.spark.sql.functions
+        .col("_metadata.file_path").as("f"))
+      .distinct().as[String].collect()
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select("id").as[Int].collect()
+      assert(ids.sameElements(ids.sorted), s"file $f lost its sort")
+    }
+    assert(Snapshot.read(spark, dir).count() == 400)
+  }
+
   test("keepVersions=0 (default) keeps today's plain-replace contract: " +
     "no history dirs accumulate") {
     val dir = Files.createTempDirectory("snap0").toString + "/t"
