@@ -496,7 +496,12 @@ case class GraftDropPartitionFieldCommand(ns: String, name: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftDdl.snapshotPathFor(spark, ns, name,
       "partition-spec evolution")
-    graft.pipeline.Snapshot.dropPartitionField(path, field)
+    // ADD resolves case-insensitively and stores the schema's casing;
+    // DROP must match the same way, or `ADD … SUB` followed by
+    // `DROP … SUB` (stored as 'sub') would throw
+    val spec = graft.pipeline.Snapshot.partitionSpec(path)
+    val resolved = spec.find(_.equalsIgnoreCase(field)).getOrElse(field)
+    graft.pipeline.Snapshot.dropPartitionField(path, resolved)
     Seq.empty
   }
 }
@@ -515,6 +520,13 @@ case class GraftCreateTagDdlCommand(ns: String, name: String,
     val path = GraftDdl.snapshotPathFor(spark, ns, name, "ref DDL")
     if (ifNotExists &&
         graft.pipeline.Snapshot.tags(path).contains(tag)) return Seq.empty
+    // Iceberg's REPLACE TAG re-points an EXISTING ref — a typo'd name
+    // must raise, not silently create a stray tag
+    if (replace && !graft.pipeline.Snapshot.tags(path).contains(tag))
+      throw new java.util.NoSuchElementException(
+        s"REPLACE TAG: no such tag '$tag' on $ns.$name (tags: " +
+          graft.pipeline.Snapshot.tags(path).keys.toSeq.sorted
+            .mkString(", ") + ")")
     val version = asOfVersion
       .orElse(graft.pipeline.Snapshot.currentVersion(path))
       .getOrElse(throw new IllegalArgumentException(

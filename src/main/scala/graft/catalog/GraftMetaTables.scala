@@ -194,19 +194,31 @@ object GraftMetaTables {
     * Iceberg's manifest record counts. */
   private def footerRecordCount(session: SparkSession,
                                 dir: String): Long = {
-    import scala.jdk.CollectionConverters._
+    // list through the Hadoop FileSystem API with the SAME conf the
+    // footers are opened with (java.nio walking only resolves local
+    // paths — the two schemes disagree for any non-local filesystem),
+    // and tolerate a version dir expired concurrently (count 0; the
+    // caller's version list was a snapshot of a moving table)
     val conf = session.sessionState.newHadoopConf()
-    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-    try s.iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-        !p.getFileName.toString.startsWith("."))
-      .map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
-    finally s.close()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    try {
+      val it = fs.listFiles(root, /* recursive = */ true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (n.endsWith(".parquet") && !n.startsWith(".")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += r.getRecordCount finally r.close()
+        }
+      }
+      total
+    } catch {
+      case _: java.io.FileNotFoundException => 0L
+    }
   }
 
   /** Per-file stats of one snapshot version, from the scan's

@@ -327,6 +327,17 @@ class CallSqlSpec extends SparkSpec {
     // the branch is consumed
     assert(Snapshot.branches(dir).isEmpty)
 
+    // snapshot ids are NEVER reused (Iceberg's contract): a branch
+    // staged after the first one was consumed gets a FRESH id from the
+    // persisted high-water mark, so a caller holding the old id gets
+    // "no staged snapshot", never another branch's content
+    Snapshot.writeBranch(
+      spark.read.parquet(dir).limit(0), dir, "wap_next")
+    val nextId = Snapshot.branchSnapshotId(dir, "wap_next").get
+    assert(nextId > id,
+      s"branch id $nextId must exceed the consumed branch's id $id")
+    Snapshot.dropBranch(dir, "wap_next")
+
     // unknown snapshot id
     intercept[java.util.NoSuchElementException] {
       spark.sql("""CALL iceberg.system.cherrypick_snapshot(

@@ -446,6 +446,14 @@ FROM iceberg.silver.orders_current""")
     spark.sql("ALTER TABLE evo.t DROP PARTITION FIELD sub")
     assert(graft.pipeline.Snapshot.partitionSpec(dir) == Seq("grp"))
 
+    // DROP resolves case-insensitively like ADD: 'ADD … SUB' stores
+    // the schema's 'sub'; the matching 'DROP … SUB' must find it
+    spark.sql("ALTER TABLE evo.t ADD PARTITION FIELD SUB")
+    assert(graft.pipeline.Snapshot.partitionSpec(dir) ==
+      Seq("grp", "sub"))
+    spark.sql("ALTER TABLE evo.t DROP PARTITION FIELD SUB")
+    assert(graft.pipeline.Snapshot.partitionSpec(dir) == Seq("grp"))
+
     // Iceberg transform spellings are rejected with a clear message,
     // not a parser error
     val e1 = intercept[UnsupportedOperationException] {
@@ -487,6 +495,12 @@ FROM iceberg.silver.orders_current""")
     // REPLACE re-points; default version is live
     spark.sql("ALTER TABLE refs.t REPLACE TAG stable AS OF VERSION 2")
     assert(graft.pipeline.Snapshot.tags(dir)("stable") == 2L)
+    // REPLACE of a tag that does not exist raises (Iceberg's contract)
+    // instead of silently creating a stray tag under the typo'd name
+    val eReplace = intercept[java.util.NoSuchElementException] {
+      spark.sql("ALTER TABLE refs.t REPLACE TAG stabel AS OF VERSION 2") }
+    assert(eReplace.getMessage.contains("no such tag"))
+    assert(!graft.pipeline.Snapshot.tags(dir).contains("stabel"))
     spark.sql("ALTER TABLE refs.t CREATE TAG head")
     assert(graft.pipeline.Snapshot.tags(dir)("head") == 2L)
     // DROP TAG, with and without IF EXISTS
