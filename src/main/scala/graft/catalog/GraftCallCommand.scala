@@ -226,6 +226,17 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         Seq(Row(prev, cur))
       case "remove_orphan_files" =>
         Seq(Row(graft.pipeline.Snapshot.removeOrphans(path).toLong))
+      case "rewrite_position_delete_files" =>
+        // Iceberg's MOR compaction procedure, taken to its endpoint on
+        // this layout: materialize the sidecar-merged live state as one
+        // copy-on-write commit (the sidecar-laden dir rolls into
+        // history, so time travel into the MOR run keeps working);
+        // reads pay zero merge cost afterwards.
+        val keep =
+          graft.pipeline.Snapshot.historicalVersions(path).size + 1
+        val (collapsed, _) = graft.pipeline.Snapshot
+          .rewritePositionDeletes(spark, path, keepVersions = keep)
+        Seq(Row(collapsed, 0L))
       case "create_tag" =>
         val tag = required("tag", 1).toString
         val version = arg("version", 2).map(_.toString.toLong)
@@ -333,7 +344,8 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           "remove_orphan_files, create_tag, drop_tag, fast_forward, " +
           "drop_branch, create_changelog_view, ancestors_of, " +
           "register_table, add_files, rollback_to_timestamp, " +
-          "cherrypick_snapshot, publish_changes)")
+          "cherrypick_snapshot, publish_changes, " +
+          "rewrite_position_delete_files)")
     }
   }
 }
@@ -359,6 +371,8 @@ object GraftCallCommand {
     case other => (other match {
       case "rewrite_data_files" =>
         Seq("rewritten_files_count", "added_files_count")
+      case "rewrite_position_delete_files" =>
+        Seq("rewritten_delete_files_count", "added_delete_files_count")
       case "expire_snapshots" => Seq("deleted_snapshots_count")
       case "rollback_to_snapshot" | "rollback_to_timestamp" =>
         Seq("previous_version", "current_version")

@@ -98,6 +98,30 @@ private[catalog] object GraftDml {
   def wapBranch(spark: SparkSession): Option[String] =
     Option(spark.conf.get("spark.wap.branch", null)).filter(_.nonEmpty)
 
+  /** MERGE-ON-READ routing — Iceberg's `write.<op>.mode` table
+    * property (`op` ∈ delete/update/merge): Some(snapshot dir) when
+    * the target is snapshot-backed (not shadowed by a registry entry),
+    * outside a WAP session (branch writes stage whole snapshots), and
+    * the table sets `'write.<op>.mode'='merge-on-read'`. The statement
+    * then commits an equality-delete/append sidecar via
+    * [[graft.pipeline.Snapshot.morCommit]] — a 1-row DELETE writes
+    * KBs, not the table — and reads merge the sidecars until
+    * `CALL rewrite_position_delete_files` compacts back to
+    * copy-on-write. Default (property unset) stays copy-on-write,
+    * Iceberg's own default. */
+  def morPath(spark: SparkSession, key: Seq[String],
+              op: String): Option[String] = {
+    if (TableStore.registry(spark).contains(key) ||
+        wapBranch(spark).nonEmpty) None
+    else new TableStore(spark).snapshotPath(key.head, key(1))
+      .filter { _ =>
+        scala.util.Try(
+          new TableStore(spark).properties(key.head, key(1))).toOption
+          .flatMap(_.get(s"write.$op.mode"))
+          .exists(_.equalsIgnoreCase("merge-on-read"))
+      }
+  }
+
   /** Branch-aware snapshot read: the staged WAP branch when the
     * session pins one AND it exists, else the live version. */
   def snapshotRead(spark: SparkSession, path: String): DataFrame =
@@ -124,7 +148,19 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
     val (key, alias, df) =
       GraftDml.resolveTarget(spark, delete.table, "DELETE")
     val cond = coalesce(PlanBridge.column(delete.condition), lit(false))
-    GraftDml.commit(spark, key, df.as(alias).filter(!cond))
+    GraftDml.morPath(spark, key, "delete") match {
+      case Some(p) =>
+        // merge-on-read: write ONLY the matched rows as an
+        // equality-delete sidecar (distinct — the read-side anti-join
+        // removes every identical instance, exactly what a
+        // deterministic DELETE predicate matched). Write cost is
+        // O(matched), not O(table).
+        graft.pipeline.Snapshot.morCommit(spark, p,
+          deletes = Some(df.as(alias).filter(cond).distinct()),
+          appends = None, operation = "delete")
+      case None =>
+        GraftDml.commit(spark, key, df.as(alias).filter(!cond))
+    }
     Seq.empty
   }
 }
@@ -264,8 +300,30 @@ case class GraftUpdateCommand(update: UpdateTable)
           .cast(schema(c).dataType))
         .getOrElse(col(s"$alias.$c"))
         .as(c)
-    GraftDml.commit(spark, key,
-      df.as(alias).select(df.columns.toSeq.map(outCol): _*))
+    GraftDml.morPath(spark, key, "update") match {
+      case Some(p) =>
+        // merge-on-read UPDATE = delete-old + append-new, scoped to the
+        // MATCHED rows only (Iceberg's MOR update decomposition). The
+        // matched set is materialized once (eager, O(matched)) and
+        // feeds both sidecars; untouched rows are never rewritten.
+        val matched = df.as(alias).filter(cond).localCheckpoint()
+        def newCol(c: String): Column =
+          assignments.find(a =>
+            GraftDml.nameOf(a.key).equalsIgnoreCase(c))
+            .map(a => PlanBridge.column(a.value)
+              .cast(schema(c).dataType))
+            .getOrElse(col(s"$alias.$c")).as(c)
+        graft.pipeline.Snapshot.morCommit(spark, p,
+          deletes = Some(matched.distinct()),
+          appends = Some(// re-aliased: assignment values may reference
+            // the statement's table alias, which localCheckpoint drops
+            matched.as(alias)
+              .select(df.columns.toSeq.map(newCol): _*)),
+          operation = "update")
+      case None =>
+        GraftDml.commit(spark, key,
+          df.as(alias).select(df.columns.toSeq.map(outCol): _*))
+    }
     Seq.empty
   }
 }

@@ -161,12 +161,49 @@ case class GraftMergeCommand(merge: MergeIntoTable)
         .otherwise(valueChain(merge.notMatchedBySourceActions, c, tCol(c)))
         .cast(schema(c).dataType).as(c)
 
-    val next = joined
-      .select(targetDf.columns.toSeq.map(outCol) :+ keep.as("__keep"): _*)
-      .filter(col("__keep")).drop("__keep")
-    // (the __t/__s/__tid markers are projected away by the select above)
+    // MERGE-ON-READ arm (write.merge.mode=merge-on-read): commit only
+    // the DELTA as equality-delete + append sidecars. A target row is
+    // "touched" when MATCHED (conservatively — its action may rewrite
+    // it unchanged) or when a NOT MATCHED BY SOURCE action's condition
+    // fires; untouched rows — the overwhelming majority of a CDC merge
+    // — are never read back or rewritten. One pass over the join
+    // produces both the old rows (deletes) and the surviving outputs
+    // (appends), materialized at O(delta), not O(table). Schema-
+    // widening merges fall back to copy-on-write: a sidecar cannot
+    // carry columns the base files lack.
+    val morPath = GraftDml.morPath(spark, key, "merge")
+      .filterNot(_ => mergeSchemaOn && hasStar && extraCols.nonEmpty)
 
-    GraftDml.commit(spark, key, next)
+    morPath match {
+      case Some(p) =>
+        val bySourceTouched = merge.notMatchedBySourceActions
+          .map(a => condCol(a.condition)).reduceOption(_ || _)
+          .getOrElse(lit(false))
+        val touched =
+          when(tE && sE, lit(true)).when(!tE && sE, lit(false))
+            .otherwise(bySourceTouched)
+        val cols = targetDf.columns.toSeq
+        val delta = joined
+          .filter((tE && touched) || (!tE && sE && keep))
+          .select(cols.map(outCol) ++
+            cols.map(c => tCol(c).as(s"__old_$c")) :+
+            keep.as("__keep") :+ (tE && touched).as("__was"): _*)
+          .localCheckpoint()
+        graft.pipeline.Snapshot.morCommit(spark, p,
+          deletes = Some(delta.filter(col("__was"))
+            .select(cols.map(c => col(s"__old_$c").as(c)): _*)
+            .distinct()),
+          appends = Some(delta.filter(col("__keep"))
+            .select(cols.map(col): _*)),
+          operation = "merge")
+      case None =>
+        val next = joined
+          .select(targetDf.columns.toSeq.map(outCol) :+
+            keep.as("__keep"): _*)
+          .filter(col("__keep")).drop("__keep")
+        // (the __t/__s/__tid markers are projected away by the select)
+        GraftDml.commit(spark, key, next)
+    }
     Seq.empty
   }
 

@@ -72,9 +72,9 @@ object GraftMetaTables {
       .flatMap { case (key, meta) =>
         TableStore.state(session).snapshotPaths.get(key).map { path =>
           val live = graft.pipeline.Snapshot.currentVersion(path)
-          val versions =
-            (graft.pipeline.Snapshot.historicalVersions(path) ++ live)
-              .sorted
+          // merge-on-read commits included: a dir serves every version
+          // stacked on its base, and each is a real commit row
+          val versions = graft.pipeline.Snapshot.retainedVersions(path)
           val plan: DataFrame = meta match {
             case "history" =>
               // every column is driver-known (version, currency, the
@@ -108,8 +108,13 @@ object GraftMetaTables {
                   .map(us => java.sql.Timestamp.from(
                     java.time.Instant.ofEpochSecond(us / 1000000L,
                       (us % 1000000L) * 1000L))).orNull
-                val dir = if (live.contains(v)) path else s"$path.v$v"
-                (v, live.contains(v), at, footerRecordCount(session, dir))
+                // DATA-file records as of v (base + appends sidecars;
+                // equality deletes tracked as files, not subtracted —
+                // Iceberg's total-records reads the same way from
+                // manifests)
+                val cnt = graft.pipeline.Snapshot.dataDirsAsOf(path, v)
+                  .map(footerRecordCount(session, _)).sum
+                (v, live.contains(v), at, cnt)
               }
               import session.implicits._
               rows.toDF("version", "is_current", "made_current_at",
@@ -159,14 +164,20 @@ object GraftMetaTables {
               // Iceberg's metadata-log: one row per retained commit —
               // (timestamp, file, latest_snapshot_id). The "metadata
               // file" of this layout is the version marker inside each
-              // snapshot dir; the commit instant is its mtime.
+              // snapshot dir (a MOR commit's is its sidecar marker);
+              // the commit instant is its mtime.
               val rows = versions.map { v =>
                 val at = graft.pipeline.Snapshot.committedAt(path, v)
                   .map(us => java.sql.Timestamp.from(
                     java.time.Instant.ofEpochSecond(us / 1000000L,
                       (us % 1000000L) * 1000L))).orNull
-                val dir = if (live.contains(v)) path else s"$path.v$v"
-                (at, s"$dir/_graft_version", v)
+                val dir = graft.pipeline.Snapshot
+                  .dataDirsAsOf(path, v).head
+                val file =
+                  if (graft.pipeline.Snapshot.morVersions(dir)
+                      .contains(v)) s"$dir/_mor/v$v/_commit"
+                  else s"$dir/_graft_version"
+                (at, file, v)
               }
               import session.implicits._
               rows.toDF("timestamp", "file", "latest_snapshot_id")
@@ -202,13 +213,19 @@ object GraftMetaTables {
     val conf = session.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
+    // merge-on-read sidecars under _mor are separate components —
+    // counted (or not) by the caller via dataDirsAsOf, never by
+    // recursing from a BASE dir (a root that is itself a sidecar dir
+    // contains _mor in its own path and is counted as-is)
+    val rootInMor = dir.contains("/_mor/")
     try {
       val it = fs.listFiles(root, /* recursive = */ true)
       var total = 0L
       while (it.hasNext) {
         val f = it.next()
         val n = f.getPath.getName
-        if (n.endsWith(".parquet") && !n.startsWith(".")) {
+        if (n.endsWith(".parquet") && !n.startsWith(".") &&
+            (rootInMor || !f.getPath.toString.contains("/_mor/"))) {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(f.getPath, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -231,14 +248,22 @@ object GraftMetaTables {
   private def filesOf(session: SparkSession, path: String,
                       ver: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    graft.pipeline.Snapshot.readAsOf(session, path, ver)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.file_size").as("file_size_in_bytes"))
-      .groupBy("file_path", "file_size_in_bytes")
-      .agg(count(lit(1)).as("record_count"))
-      .select(col("file_path"), lit("parquet").as("file_format"),
-        array_join(filter(split(col("file_path"), "/"),
-          s => s.rlike("^[^=]+=[^=]*$")), "/").as("partition"),
-        col("record_count"), col("file_size_in_bytes"))
+    // per-component scans: `_metadata` only resolves directly on a file
+    // scan, so each data dir (base + MOR appends sidecars) gets its own
+    // stats plan, unioned after aggregation — files are disjoint across
+    // components. Record counts are each file's OWN rows (Iceberg's
+    // files table reads the same from manifests); equality-delete
+    // sidecars are not data files and are not listed.
+    graft.pipeline.Snapshot.dataDirsAsOf(path, ver).map { dir =>
+      session.read.parquet(dir)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.file_size").as("file_size_in_bytes"))
+        .groupBy("file_path", "file_size_in_bytes")
+        .agg(count(lit(1)).as("record_count"))
+        .select(col("file_path"), lit("parquet").as("file_format"),
+          array_join(filter(split(col("file_path"), "/"),
+            s => s.rlike("^[^=]+=[^=]*$")), "/").as("partition"),
+          col("record_count"), col("file_size_in_bytes"))
+    }.reduce(_ unionAll _)
   }
 }

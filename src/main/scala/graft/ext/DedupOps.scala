@@ -440,8 +440,9 @@ object DedupOps {
     // co-locating them. A count().over(Window.partitionBy(shingle))
     // would instead put every posting of the hottest shingle on ONE
     // reducer before the filter could discard it.
-    val heavyShingles = posting
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfs = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    guardDfCapCliff(dfs, maxDf, "ngramJaccardPairs", "shingle")
+    val heavyShingles = dfs
       .filter(col("df") > maxDf)
       .select("shingle")
     val byShingle = posting
@@ -508,8 +509,9 @@ object DedupOps {
         docs.sparkSession.sparkContext.defaultParallelism),
         idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp")))
-    val heavy = posting.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("fp")
+    val dfs = posting.groupBy("fp").agg(count(lit(1)).as("df"))
+    guardDfCapCliff(dfs, maxDf, "spanDuplicates", "fp")
+    val heavy = dfs.filter(col("df") > maxDf).select("fp")
     val kept = posting.join(broadcast(heavy), Seq("fp"), "left_anti")
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
     val postings = kept.hint("shuffle_hash")
@@ -524,6 +526,79 @@ object DedupOps {
         (col("shared_fps").cast("double") /
           least(col("_na"), col("_nb")).cast("double")).as("containment"))
   }
+
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The df-cap CLIFF guard (the r10 100× soak finding): when true
+    * duplication family size exceeds `maxDf`, the heavy-key anti-join
+    * drops EVERY shared posting and the pair detector returns zero
+    * rows — silently, which reads as "no duplicates" when the corpus
+    * is in fact maximally duplicated. One cheap driver read of the
+    * already-grouped census (the posting table is materialized, so
+    * this re-scans a checkpoint, not the corpus): 100% of keys capped
+    * raises with guidance; a majority capped logs a warning. */
+  private def guardDfCapCliff(dfs: DataFrame, maxDf: Int,
+                              op: String, keyName: String): Unit = {
+    val census = dfs.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("df") > maxDf, 1L)), lit(0L)).as("dropped"))
+      .head()
+    val (n, dropped) = (census.getLong(0), census.getLong(1))
+    if (n > 0 && dropped == n)
+      throw new IllegalStateException(
+        s"$op: the df-cap (maxDf=$maxDf) dropped ALL $n distinct " +
+          s"${keyName}s — every span is shared more widely than the " +
+          "cap, so the result would be silently empty (zero recall). " +
+          "Raise maxDf, or exact-dedup the corpus first; " +
+          "spanDuplicateAudit/ngramJaccardAudit report the census.")
+    else if (n > 0 && dropped * 2 >= n)
+      log.warn(s"$op: df-cap (maxDf=$maxDf) dropped $dropped of $n " +
+        s"distinct ${keyName}s (>=50%) — recall on heavily-duplicated " +
+        "families is degraded; see the audit operator for the census")
+  }
+
+  /** Posting census behind the cliff guard, as the X6 metrics shape
+    * (metric, value) — integer-exact so the numbers oracle-check:
+    * total postings, distinct keys, and how much the df-cap drops.
+    * `fp_dropped_postings / fp_postings` is the mass fraction the pair
+    * detectors never see. */
+  private def postingCapAudit(posting: DataFrame, keyCol: String,
+                              maxDf: Int): DataFrame = {
+    posting.groupBy(keyCol).agg(count(lit(1)).as("df"))
+      .agg(
+        coalesce(sum(col("df")), lit(0L)).as("fp_postings"),
+        count(lit(1)).as("fp_distinct"),
+        coalesce(sum(when(col("df") > maxDf, 1L)), lit(0L))
+          .as("fp_dropped_distinct"),
+        coalesce(sum(when(col("df") > maxDf, col("df"))), lit(0L))
+          .as("fp_dropped_postings"))
+      .selectExpr("""stack(4,
+        'fp_postings',          fp_postings,
+        'fp_distinct',          fp_distinct,
+        'fp_dropped_distinct',  fp_dropped_distinct,
+        'fp_dropped_postings',  fp_dropped_postings) AS (metric, value)""")
+  }
+
+  /** X2g' — [[spanDuplicates]]' observability twin: the winnow-
+    * fingerprint posting census under the SAME df-cap, so an operator
+    * can see — before trusting zero pairs — whether the cap is
+    * swallowing the corpus. */
+  def spanDuplicateAudit(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", k: Int = 3,
+                         w: Int = 4, maxDf: Int = 50): DataFrame =
+    postingCapAudit(TextOps.fingerprintTable(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")), "fp", maxDf)
+
+  /** X2d' — [[ngramJaccardPairs]]' observability twin over the shingle
+    * posting table. */
+  def ngramJaccardAudit(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleSize: Int = 3,
+                        maxDf: Int = 50): DataFrame =
+    postingCapAudit(docs
+      .select(col(idCol).as("id"),
+        explode(shingleSet(col(textCol), shingleSize)).as("shingle")),
+      "shingle", maxDf)
 
   /** SimHash bit width: 32 (8 md5 hex digits × 4 bits). */
   val SimHashBits = 32

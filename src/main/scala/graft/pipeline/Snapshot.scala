@@ -22,15 +22,23 @@ object Snapshot {
     * underscore-prefixed so parquet scans ignore it (like `_SUCCESS`). */
   private val VersionFile = "_graft_version"
 
-  /** Version of the live snapshot at `path` (1-based; None if the path
-    * was never written, or predates versioning). */
-  def currentVersion(path: String): Option[Long] = {
-    val m = Paths.get(path, VersionFile)
+  /** Version stamped in a snapshot dir's marker file — the version of
+    * the BASE data files (merge-on-read commits layer on top of it
+    * without rewriting them; see [[morVersions]]). */
+  private def markerVersion(dir: String): Option[Long] = {
+    val m = Paths.get(dir, VersionFile)
     if (Files.exists(m))
       Some(new String(Files.readAllBytes(m),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
     else None
   }
+
+  /** Version of the live snapshot at `path` (1-based; None if the path
+    * was never written, or predates versioning). Merge-on-read commits
+    * count: the live version is the newest MOR commit when sidecars
+    * are present, else the base marker. */
+  def currentVersion(path: String): Option[Long] =
+    markerVersion(path).map(b => (b +: morVersions(path)).max)
 
   /** Retained HISTORICAL versions of `path` (ascending, not counting
     * the live version — see [[currentVersion]] for that). */
@@ -49,6 +57,200 @@ object Snapshot {
         .toSeq.sorted
       finally s.close()
     }
+  }
+
+  // -------------------------------------------------------------------
+  // MERGE-ON-READ sidecars — Iceberg 1.8's `write.{delete,update,merge}
+  // .mode = merge-on-read` re-expressed over the versioned-dir layout
+  // (`/root/reference/docker-compose.yml:125` ships that Iceberg; the
+  // reference's whole workload is frequent small MERGEs,
+  // `merge_orders_silver.py:135-147`, which copy-on-write prices at a
+  // full-table rewrite each). A MOR commit writes ONLY the delta under
+  // `<dir>/_mor/v<N>/`:
+  //
+  //   _mor/v<N>/deletes/   parquet of the DISTINCT full rows removed —
+  //                        an equality-delete file (Iceberg's
+  //                        equality deletes identify rows by value;
+  //                        this layout's "position" is the row itself)
+  //   _mor/v<N>/appends/   parquet of the rows added (an UPDATE is
+  //                        delete-old + append-new, Iceberg's MOR
+  //                        update decomposition)
+  //   _mor/v<N>/_commit    marker: `operation=<delete|update|merge>`;
+  //                        its mtime is the commit instant
+  //
+  // The `_mor` dir is underscore-prefixed, so plain parquet scans of
+  // the table dir never see it (same convention as `_SUCCESS` and the
+  // version marker). Reads apply sidecars in version order: consecutive
+  // delete files merge into ONE null-safe anti-join (legal because a
+  // later delete can only reference rows already visible earlier), each
+  // append is a unionByName; a delete therefore never touches rows
+  // appended AFTER it — exactly sequence-number scoping in Iceberg.
+  // Delete frames are typically tiny → AQE broadcasts the anti-join
+  // build side; the read amplification is the documented MOR trade, and
+  // `CALL rewrite_position_delete_files` (Iceberg's own procedure)
+  // compacts back to copy-on-write. Sidecars live INSIDE the snapshot
+  // dir, so the atomic dir renames that move snapshots into history
+  // carry them along, and time travel into the middle of a MOR run
+  // keeps working from the historical dir.
+  // -------------------------------------------------------------------
+
+  private def morRoot(dir: String): Path = Paths.get(dir, "_mor")
+
+  /** Merge-on-read commit versions layered on `dir`'s base files
+    * (ascending; empty when the dir is pure copy-on-write). */
+  def morVersions(dir: String): Seq[Long] = {
+    val root = morRoot(dir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v"))
+        .flatMap(_.stripPrefix("v").toLongOption)
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Versions a single snapshot dir can serve: its base marker plus
+    * every MOR commit stacked on it. */
+  private def coveredVersions(dir: String): Seq[Long] =
+    markerVersion(dir).toSeq ++ morVersions(dir)
+
+  /** Every retained version with the dir that serves it — the live dir
+    * plus each historical `.vN` dir, any of which may cover several
+    * versions when MOR commits are stacked on its base. Ascending. */
+  def retainedVersionDirs(path: String): Seq[(Long, String)] = {
+    val hist = historicalVersions(path)
+      .flatMap { n =>
+        val d = s"$path.v$n"
+        coveredVersions(d).map(_ -> d)
+      }
+    (hist ++ coveredVersions(path).map(_ -> path)).sortBy(_._1)
+  }
+
+  /** All retained versions (ascending), MOR commits included — the
+    * version list `.history`/`.snapshots`/timestamp travel iterate. */
+  def retainedVersions(path: String): Seq[Long] =
+    retainedVersionDirs(path).map(_._1)
+
+  /** Read `dir`'s state AS OF `upTo`: base files with every MOR
+    * sidecar of version <= `upTo` applied in commit order. */
+  private def morApply(spark: SparkSession, dir: String,
+                       upTo: Long): DataFrame = {
+    var df = spark.read.parquet(dir)
+    var pendingDeletes = List.empty[String]
+    def flush(): Unit = if (pendingDeletes.nonEmpty) {
+      val del = pendingDeletes.map(spark.read.parquet(_))
+        .reduce(_ unionByName _)
+      // null-safe equality on EVERY column: an equality-delete row
+      // removes all identical instances (a deterministic DELETE/UPDATE
+      // predicate matched every one of them when the delta was written)
+      val cond = df.columns.map(c => df(c) <=> del(c)).reduce(_ && _)
+      df = df.join(del, cond, "left_anti")
+      pendingDeletes = Nil
+    }
+    morVersions(dir).filter(_ <= upTo).foreach { v =>
+      val d = morRoot(dir).resolve(s"v$v").resolve("deletes")
+      val a = morRoot(dir).resolve(s"v$v").resolve("appends")
+      if (Files.isDirectory(d)) pendingDeletes ::= d.toString
+      if (Files.isDirectory(a)) {
+        flush() // a delete never touches rows appended after it
+        df = df.unionByName(spark.read.parquet(a.toString))
+      }
+    }
+    flush()
+    df
+  }
+
+  /** The parquet DATA dirs visible at `version` of `path`: the serving
+    * dir's base files plus each appends sidecar of version <= it.
+    * Delete sidecars are excluded — per-file stats report a data file's
+    * own row count, like Iceberg's files/manifests tables. */
+  def dataDirsAsOf(path: String, version: Long): Seq[String] = {
+    val dir = serveDir(path, version)
+    dir +: morVersions(dir).filter(_ <= version)
+      .map(v => morRoot(dir).resolve(s"v$v").resolve("appends"))
+      .filter(Files.isDirectory(_)).map(_.toString)
+  }
+
+  /** The dir that serves `version` of `path` (live or historical),
+    * raising the standard no-such-version error otherwise. */
+  private def serveDir(path: String, version: Long): String =
+    retainedVersionDirs(path).collectFirst {
+      case (v, d) if v == version => d
+    }.getOrElse(throw new java.util.NoSuchElementException(
+      s"no snapshot version $version at $path " +
+        s"(live=${currentVersion(path).getOrElse("-")}, " +
+        s"retained=${retainedVersions(path).mkString(",")})"))
+
+  /** Stage + atomically publish one merge-on-read commit: the deltas
+    * are written eagerly (a DML statement's effect must not lazily
+    * recompute), then promoted under the same per-path lock and
+    * optimistic base-version check as every copy-on-write commit.
+    * `deletes` rows should be DISTINCT full rows of the current state;
+    * `appends` keeps multiplicity. @return the new version */
+  def morCommit(spark: SparkSession, path: String,
+                deletes: Option[DataFrame], appends: Option[DataFrame],
+                operation: String): Long = {
+    val base = currentVersion(path).getOrElse(
+      throw new IllegalStateException(
+        s"merge-on-read commit requires an existing snapshot at $path"))
+    val next = base + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    // dot-prefixed staging INSIDE _mor: invisible to scans, carried by
+    // dir renames, cleaned by removeOrphans if a committer crashes
+    val stage = morRoot(path).resolve(s".tmp-$token")
+    try {
+      Files.createDirectories(stage)
+      deletes.foreach(_.write.mode(SaveMode.Overwrite)
+        .parquet(stage.resolve("deletes").toString))
+      appends.foreach(_.write.mode(SaveMode.Overwrite)
+        .parquet(stage.resolve("appends").toString))
+      Files.write(stage.resolve("_commit"),
+        s"operation=$operation\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      commitLocks.getOrElseUpdate(path, new Object).synchronized {
+        val now = currentVersion(path)
+        if (!now.contains(base))
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict at $path: base version $base was " +
+              s"replaced by ${now.getOrElse(0L)} while this writer " +
+              "staged; re-run the statement against the new live state")
+        Files.move(stage, morRoot(path).resolve(s"v$next"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      next
+    } finally deleteRecursively(stage)
+  }
+
+  /** Iceberg's `rewrite_position_delete_files`, taken to its endpoint
+    * on this layout: materialize the MOR-applied live state as one
+    * copy-on-write commit (the sidecar-laden dir rolls into history
+    * intact, so time travel into the MOR run still works) — after it,
+    * reads pay zero merge cost again.
+    * @return (collapsed delete-file count, new live version) */
+  def rewritePositionDeletes(spark: SparkSession, path: String,
+                             keepVersions: Int = 0): (Long, Long) = {
+    val collapsed = morVersions(path).map { v =>
+      val d = morRoot(path).resolve(s"v$v").resolve("deletes")
+      if (!Files.isDirectory(d)) 0L
+      else {
+        val s = Files.list(d)
+        try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .count()
+        finally s.close()
+      }
+    }.sum
+    if (morVersions(path).isEmpty)
+      return (0L, currentVersion(path).getOrElse(0L))
+    val base = currentVersion(path)
+    val applied = read(spark, path).localCheckpoint()
+    swapIn(path, keepVersions, Some(base)) { tmp =>
+      applied.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+    (collapsed, currentVersion(path).get)
   }
 
   /** Atomic create-or-replace of a parquet table directory — the same
@@ -88,13 +290,18 @@ object Snapshot {
     * dir cleaned up; the caller re-runs its statement against the new
     * live state (no blind retry here: a DML/MERGE result depends on
     * the base it read). */
-  private def swapIn(path: String, keepVersions: Int)
+  private def swapIn(path: String, keepVersions: Int,
+                     expectedBase: Option[Option[Long]] = None)
                     (write: Path => Unit): Unit = {
     val live = Paths.get(path)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = Paths.get(s"$path.tmp-swap-$token")
     val old = Paths.get(s"$path.old-swap-$token")
-    val cur = currentVersion(path)
+    // maintenance rewrites (compact/rollback/cherry-pick) MATERIALIZE
+    // the live state before staging; they pass the version they read as
+    // expectedBase so a commit landing between that read and this swap
+    // raises the optimistic conflict instead of being silently absorbed
+    val cur = expectedBase.getOrElse(currentVersion(path))
     val next = cur.getOrElse(0L) + 1
     try {
       write(tmp)
@@ -123,24 +330,28 @@ object Snapshot {
       // prune beyond the newest keepVersions historical snapshots —
       // except tagged ones, which a ref keeps reachable
       historicalVersions(path).dropRight(keepVersions)
-        .filterNot(taggedVersions(path))
+        .filterNot(dirProtected(path))
         .foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
     } finally deleteRecursively(tmp)
   }
 
   /** Time travel: read snapshot `version` of `path` — the live version
-    * or any retained historical one. */
+    * or any retained historical one, including versions in the MIDDLE
+    * of a merge-on-read run (served from whichever dir covers them,
+    * with only the sidecars up to `version` applied). */
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
-    if (currentVersion(path).contains(version)) spark.read.parquet(path)
-    else {
-      val versioned = Paths.get(s"$path.v$version")
-      if (!Files.exists(versioned))
-        throw new java.util.NoSuchElementException(
-          s"no snapshot version $version at $path " +
-            s"(live=${currentVersion(path).getOrElse("-")}, " +
-            s"retained=${historicalVersions(path).mkString(",")})")
-      spark.read.parquet(versioned.toString)
-    }
+    val dir = retainedVersionDirs(path)
+      .collectFirst { case (v, d) if v == version => d }
+      .orElse {
+        // pre-versioning dirs retained as `.v0` carry no marker
+        val exact = Paths.get(s"$path.v$version")
+        if (Files.exists(exact)) Some(exact.toString) else None
+      }
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no snapshot version $version at $path " +
+          s"(live=${currentVersion(path).getOrElse("-")}, " +
+          s"retained=${retainedVersions(path).mkString(",")})"))
+    morApply(spark, dir, version)
   }
 
   /** Commit timestamp of a retained version (epoch MICROS, the
@@ -149,10 +360,16 @@ object Snapshot {
     * the atomic directory renames that later move the snapshot around
     * (rename never touches file mtimes). */
   def committedAt(path: String, version: Long): Option[Long] = {
-    val dir =
-      if (currentVersion(path).contains(version)) Paths.get(path)
-      else Paths.get(s"$path.v$version")
-    val m = dir.resolve(VersionFile)
+    val dir = retainedVersionDirs(path)
+      .collectFirst { case (v, d) if v == version => Paths.get(d) }
+      .getOrElse(Paths.get(s"$path.v$version"))
+    // a MOR commit's instant is its sidecar marker; the base version's
+    // is the dir's version marker (both survive the dir renames that
+    // move snapshots around — rename never touches file mtimes)
+    val m =
+      if (markerVersion(dir.toString).contains(version))
+        dir.resolve(VersionFile)
+      else morRoot(dir.toString).resolve(s"v$version").resolve("_commit")
     if (!Files.exists(m)) None
     else {
       val i = Files.getLastModifiedTime(m).toInstant
@@ -166,8 +383,7 @@ object Snapshot {
     * commit raises (Iceberg: "cannot find a snapshot older than"). */
   def readAsOfTimestamp(spark: SparkSession, path: String,
                         tsMicros: Long): DataFrame = {
-    val versions = (historicalVersions(path) ++ currentVersion(path))
-      .sorted
+    val versions = retainedVersions(path)
     val atOrBefore = versions
       .filter(v => committedAt(path, v).exists(_ <= tsMicros))
     if (atOrBefore.isEmpty)
@@ -333,7 +549,8 @@ object Snapshot {
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    if (morVersions(path).isEmpty) spark.read.parquet(path)
+    else morApply(spark, path, Long.MaxValue)
 
   /** Table maintenance — small-file compaction (Iceberg's
     * `rewrite_data_files` capability over plain parquet): rewrite the
@@ -353,10 +570,13 @@ object Snapshot {
               keepVersions: Int = 0): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     // materialize BEFORE the swap: the rewrite reads the directory the
-    // swap is about to replace
+    // swap is about to replace. The version read is pinned as the
+    // commit's expected base — a commit landing mid-materialization
+    // conflicts instead of being overwritten by stale compacted data.
+    val base = currentVersion(path)
     val compacted = read(spark, path).coalesce(targetFiles)
       .localCheckpoint()
-    swapIn(path, keepVersions) { tmp =>
+    swapIn(path, keepVersions, Some(base)) { tmp =>
       compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
   }
@@ -372,11 +592,12 @@ object Snapshot {
                     keepVersions: Int = 0): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     require(sortExprs.nonEmpty, "sort rewrite requires a sort order")
+    val base = currentVersion(path)
     val sorted = read(spark, path)
       .repartitionByRange(targetFiles, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
       .localCheckpoint()
-    swapIn(path, keepVersions) { tmp =>
+    swapIn(path, keepVersions, Some(base)) { tmp =>
       sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
   }
@@ -396,16 +617,42 @@ object Snapshot {
     * shuffle. */
   def erase(spark: SparkSession, path: String,
             predicate: org.apache.spark.sql.Column): Unit = {
+    val keep = org.apache.spark.sql.functions.not(predicate)
+    def copyPreservingMtime(src: Path, dst: Path): Unit = {
+      val t = Files.getLastModifiedTime(src)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, t)
+    }
     def rewrite(dir: String): Unit = {
-      val ver = currentVersion(dir)
       val tmp = Paths.get(dir + ".tmp-erase")
       val old = Paths.get(dir + ".old-erase")
       deleteRecursively(tmp); deleteRecursively(old)
-      spark.read.parquet(dir)
-        .filter(org.apache.spark.sql.functions.not(predicate))
+      spark.read.parquet(dir).filter(keep)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      ver.foreach(v => Files.write(tmp.resolve(VersionFile),
-        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      // markers are COPIED with their mtimes (the commit instants
+      // TIMESTAMP AS OF travel reads) — erasure rewrites content, not
+      // history's clock
+      val vm = Paths.get(dir, VersionFile)
+      if (Files.exists(vm))
+        copyPreservingMtime(vm, tmp.resolve(VersionFile))
+      // merge-on-read sidecars hold ROW CONTENT (equality-delete rows
+      // and appended rows) — erasure must purge the subject there too,
+      // or a deletes file would retain what the base no longer has
+      morVersions(dir).foreach { v =>
+        val srcV = morRoot(dir).resolve(s"v$v")
+        val dstV = morRoot(tmp.toString).resolve(s"v$v")
+        Files.createDirectories(dstV)
+        Seq("deletes", "appends").foreach { kind =>
+          val d = srcV.resolve(kind)
+          if (Files.isDirectory(d))
+            spark.read.parquet(d.toString).filter(keep)
+              .write.mode(SaveMode.Overwrite)
+              .parquet(dstV.resolve(kind).toString)
+        }
+        val c = srcV.resolve("_commit")
+        if (Files.exists(c))
+          copyPreservingMtime(c, dstV.resolve("_commit"))
+      }
       Files.move(Paths.get(dir), old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp, Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
       deleteRecursively(old)
@@ -454,7 +701,7 @@ object Snapshot {
   def expireSnapshots(path: String, retainLast: Int): Seq[Long] = {
     require(retainLast >= 0, s"retainLast must be >= 0: $retainLast")
     val victims = historicalVersions(path).dropRight(retainLast)
-      .filterNot(taggedVersions(path)) // refs keep versions reachable
+      .filterNot(dirProtected(path)) // refs keep versions reachable
     victims.foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
     victims
   }
@@ -466,7 +713,7 @@ object Snapshot {
                                olderThanMicros: Long): Seq[Long] = {
     val victims = historicalVersions(path)
       .filter(v => committedAt(path, v).exists(_ < olderThanMicros))
-      .filterNot(taggedVersions(path))
+      .filterNot(dirProtected(path))
     victims.foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
     victims
   }
@@ -480,8 +727,9 @@ object Snapshot {
   def rollbackTo(spark: SparkSession, path: String, version: Long): Long = {
     // materialize BEFORE the swap: the source dir may be the one the
     // swap is about to roll into history
+    val base = currentVersion(path)
     val restored = readAsOf(spark, path, version).localCheckpoint()
-    swapIn(path, historicalVersions(path).size + 1) { tmp =>
+    swapIn(path, historicalVersions(path).size + 1, Some(base)) { tmp =>
       restored.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
     currentVersion(path).get
@@ -512,7 +760,19 @@ object Snapshot {
           }.toSeq
         finally s.close()
       }
-    val orphans = fixed ++ tokens
+    // merge-on-read stagings stranded inside _mor (dot-prefixed)
+    val morTmp = {
+      val root = morRoot(path)
+      if (!Files.isDirectory(root)) Seq.empty[Path]
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(root)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".tmp-")).toSeq
+        finally s.close()
+      }
+    }
+    val orphans = fixed ++ tokens ++ morTmp
     orphans.foreach(deleteRecursively)
     orphans.size
   }
@@ -558,8 +818,10 @@ object Snapshot {
                 replace: Boolean = false): Unit = {
     require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),
       s"invalid tag name: '$name'")
+    // MOR commits are taggable too; markerless pre-versioning dirs
+    // keep their dir-name handle
     val retained =
-      currentVersion(path).toSeq ++ historicalVersions(path)
+      (retainedVersions(path) ++ historicalVersions(path)).distinct
     if (!retained.contains(version))
       throw new java.util.NoSuchElementException(
         s"cannot tag unretained version $version at $path " +
@@ -595,6 +857,18 @@ object Snapshot {
   private def taggedVersions(path: String): Set[Long] =
     tags(path).values.toSet ++
       branches(path).flatMap(branchForkVersion(path, _))
+
+  /** Is the historical dir `<path>.v<dirVersion>` protected from
+    * expiry? Protected when ANY version it covers is ref-reachable — a
+    * MOR-laden dir serves its base and every stacked commit, so a tag
+    * on an intermediate version must keep the whole dir. Markerless
+    * pre-versioning dirs fall back to the dir-name version. */
+  private def dirProtected(path: String)(dirVersion: Long): Boolean = {
+    val covered = coveredVersions(s"$path.v$dirVersion")
+    val tagged = taggedVersions(path)
+    if (covered.isEmpty) tagged(dirVersion)
+    else covered.exists(tagged)
+  }
 
   // -------------------------------------------------------------------
   // Branches — the WRITE-AUDIT-PUBLISH story over the same layout. A
@@ -632,11 +906,20 @@ object Snapshot {
     currentVersion(path).foreach(v =>
       Files.write(tmp.resolve(VersionFile),
         v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    // a restaged branch keeps its id; a new one gets max+1 (serialized
-    // with commits on this path so two stagings never share an id)
+    // a restaged branch keeps its id; a new one gets the next id from
+    // the per-table high-water-mark sidecar (serialized with commits on
+    // this path so two stagings never share an id). The HWM — not
+    // max(live branches)+1 — means a dropped branch's id is NEVER
+    // reissued to a later staging (Iceberg snapshot ids are never
+    // reused): a caller holding a stale id gets "no staged snapshot",
+    // not another branch's content.
     commitLocks.getOrElseUpdate(path, new Object).synchronized {
-      val id = branchSnapshotId(path, name).getOrElse(
-        (branches(path).flatMap(branchSnapshotId(path, _)) :+ 1000L).max + 1)
+      val id = branchSnapshotId(path, name).getOrElse {
+        val next = math.max(branchIdHighWaterMark(path),
+          (branches(path).flatMap(branchSnapshotId(path, _)) :+ 1000L).max) + 1
+        setBranchIdHighWaterMark(path, next)
+        next
+      }
       Files.write(tmp.resolve(BranchIdFile),
         id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (Files.exists(dir))
@@ -644,6 +927,24 @@ object Snapshot {
       Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     }
     deleteRecursively(old)
+  }
+
+  /** Highest branch snapshot id ever issued for `path` — persisted in
+    * the sidecar `<path>.branchid` so ids survive branch drops and are
+    * never reissued (bumped only under the per-path commit lock). */
+  private def branchIdHighWaterMark(path: String): Long = {
+    val f = Paths.get(path + ".branchid")
+    if (!Files.exists(f)) 1000L
+    else new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  private def setBranchIdHighWaterMark(path: String, id: Long): Unit = {
+    val tmp = Paths.get(path + ".branchid.tmp")
+    Files.write(tmp,
+      id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path + ".branchid"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Snapshot id stamped on a staged branch (None for a branch staged
@@ -783,10 +1084,14 @@ object Snapshot {
           "cherry-pick (Iceberg's same constraint); use fast_forward " +
           "to replace live wholesale")
     // materialize the applied state BEFORE the swap (it reads the live
-    // dir the swap replaces)
+    // dir the swap replaces), pinning the live version it read as the
+    // commit's expected base — a concurrent commit landing between the
+    // delta read and the swap raises the optimistic conflict rather
+    // than having its rows silently dropped by the stale applied frame
+    val base = currentVersion(path)
     val applied = read(spark, path)
       .unionByName(branchDf.exceptAll(forkDf)).localCheckpoint()
-    swapIn(path, keepVersions) { tmp =>
+    swapIn(path, keepVersions, Some(base)) { tmp =>
       applied.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
     deleteRecursively(dir)

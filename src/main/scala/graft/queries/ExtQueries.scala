@@ -414,6 +414,13 @@ object ExtQueries {
         minJaccard = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // X2d' (r11) — q_ngram_jaccard's df-cap census on the SAME twin
+    // corpus: how many shingles (and how much posting mass) the cap
+    // hides from the pair detector.
+    "q_ngram_jaccard_audit" -> ((s, d) =>
+      DedupOps.ngramJaccardAudit(corpusWithTwins(Tables.documents(s, d)))
+        .orderBy("metric")),
+
     // X2e — decontamination: the twin corpus scrubbed of everything
     // near-duplicating the doc_id%10=0 blocklist (those originals and
     // their exact twins go; unrelated docs and the %10=5 near-twins
@@ -685,6 +692,14 @@ object ExtQueries {
     "q_span_dup" -> ((s, d) =>
       DedupOps.spanDuplicates(Tables.documents(s, d))
         .orderBy("id_a", "id_b")),
+
+    // X2g' (r11) — the df-cap OBSERVABILITY twin (the r10 100× soak
+    // found the cap silently zeroing recall once family size exceeds
+    // it): the winnow-fingerprint posting census under q_span_dup's
+    // exact cap, integer-exact so the drop counts oracle-check.
+    "q_span_dup_audit" -> ((s, d) =>
+      DedupOps.spanDuplicateAudit(Tables.documents(s, d))
+        .orderBy("metric")),
 
     // X3c — IVF top-k at parameterized capacity: md5-sampled codebook
     // (nlist=32), nearest-centroid assignment, queries probe nprobe=2
@@ -1703,6 +1718,29 @@ object ExtQueries {
       WHERE icnt::DOUBLE / (sa.sz + sb.sz - icnt)::DOUBLE >= 0.4
       ORDER BY id_a, id_b""",
 
+    // q_ngram_jaccard's shingle chain, rolled up to the df census
+    "q_ngram_jaccard_audit" -> s"""
+      WITH $twinsCte,
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM twins),
+      sh AS (SELECT doc_id, ${shSql("w")} AS shingles FROM toks),
+      posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      dfc AS (SELECT shingle, count(*) AS df FROM posting
+              GROUP BY shingle)
+      SELECT metric, value FROM (
+        SELECT 'fp_postings' AS metric,
+               CAST(coalesce(sum(df), 0) AS BIGINT) AS value FROM dfc
+        UNION ALL
+        SELECT 'fp_distinct', CAST(count(*) AS BIGINT) FROM dfc
+        UNION ALL
+        SELECT 'fp_dropped_distinct',
+               CAST(coalesce(sum(CASE WHEN df > 50 THEN 1 ELSE 0 END),
+                 0) AS BIGINT) FROM dfc
+        UNION ALL
+        SELECT 'fp_dropped_postings',
+               CAST(coalesce(sum(CASE WHEN df > 50 THEN df ELSE 0 END),
+                 0) AS BIGINT) FROM dfc
+      ) ORDER BY metric""",
+
     // X2e — decontamination twin: corpus bands × blocklist bands on
     // (band, band_key), exact-Jaccard verify vs blocklist shingle sets,
     // NOT IN scrub. Reuses the near-dup CTE chain for the corpus side.
@@ -2137,6 +2175,40 @@ object ExtQueries {
       JOIN sizes sb ON pairs.id_b = sb.doc_id
       WHERE shared_fps >= 2
       ORDER BY id_a, id_b""",
+
+    // the same winnow chain as q_span_dup, rolled up to the df census
+    "q_span_dup_audit" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      sg AS (SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(0, len(w) - 3 + 1),
+                        i -> array_to_string(w[i+1:i+3], ' ')) END AS s
+             FROM t),
+      hs AS (SELECT doc_id,
+               list_transform(s, x -> ('0x' || md5(x)[1:8])::BIGINT) AS h
+             FROM sg),
+      mins AS (SELECT doc_id,
+                 CASE WHEN len(h) < 4 THEN [list_min(h)]
+                   ELSE list_transform(range(0, len(h) - 4 + 1),
+                          i -> list_min(h[i+1:i+4])) END AS m
+               FROM hs),
+      fps AS (SELECT doc_id, unnest(list_distinct(m)) AS fp FROM mins),
+      dft AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+      SELECT metric, value FROM (
+        SELECT 'fp_postings' AS metric,
+               CAST(coalesce(sum(df), 0) AS BIGINT) AS value FROM dft
+        UNION ALL
+        SELECT 'fp_distinct', CAST(count(*) AS BIGINT) FROM dft
+        UNION ALL
+        SELECT 'fp_dropped_distinct',
+               CAST(coalesce(sum(CASE WHEN df > 50 THEN 1 ELSE 0 END),
+                 0) AS BIGINT) FROM dft
+        UNION ALL
+        SELECT 'fp_dropped_postings',
+               CAST(coalesce(sum(CASE WHEN df > 50 THEN df ELSE 0 END),
+                 0) AS BIGINT) FROM dft
+      ) ORDER BY metric""",
 
     "q_topk_ivf" -> s"""
       WITH c AS (

@@ -819,6 +819,58 @@ FROM iceberg.silver.orders_current""")
                FROM iceberg.dmlsnap.orders ORDER BY o_orderkey""")
     }),
 
+    // S5-MOR (r11) — MERGE-ON-READ DML end-to-end: the same trio of
+    // statements as q_dml_snapshot, but the table opts into Iceberg's
+    // write.{delete,update,merge}.mode = merge-on-read, so each
+    // statement commits an equality-delete/append SIDECAR instead of
+    // rewriting the snapshot (base files stay byte-identical —
+    // asserted mid-flight), reads merge the sidecars, and
+    // CALL rewrite_position_delete_files compacts back to
+    // copy-on-write before the final read. The oracle recomputes the
+    // whole chain relationally — MOR reads must be indistinguishable
+    // from copy-on-write.
+    "q_dml_mor" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("dmlmorq")
+        .toString + "/orders_mor"
+      graft.pipeline.Snapshot.createOrReplace(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        dir, keepVersions = 4)
+      new TableStore(s).registerSnapshot("mor", "orders", dir)
+      s.sql("""ALTER TABLE iceberg.mor.orders SET TBLPROPERTIES(
+        'write.delete.mode'='merge-on-read',
+        'write.update.mode'='merge-on-read',
+        'write.merge.mode'='merge-on-read')""")
+      s.sql("DELETE FROM iceberg.mor.orders WHERE o_orderstatus = 'F'")
+      s.sql("""UPDATE mor.orders
+               SET o_custkey = o_custkey + 1000000,
+                   o_orderpriority = concat('RUSH-', o_orderpriority)
+               WHERE o_orderpriority LIKE '1-%'""")
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+        .createOrReplaceTempView("mor_src")
+      s.sql("""MERGE INTO mor.orders t USING mor_src s
+               ON t.o_orderkey = s.k
+               WHEN MATCHED THEN UPDATE SET
+                 o_custkey = s.c + 5000000, o_orderstatus = 'M'
+               WHEN NOT MATCHED THEN INSERT
+                 (o_orderkey, o_custkey, o_orderstatus, o_orderpriority)
+                 VALUES (s.k, s.c + 5000000, 'N', '9-NEW')""")
+      // the gate that makes this query MEAN merge-on-read: all three
+      // statements stacked sidecar commits on the untouched base
+      require(graft.pipeline.Snapshot.morVersions(dir) ==
+        Seq(2L, 3L, 4L),
+        "DML must take the merge-on-read sidecar path")
+      s.sql("CALL iceberg.system.rewrite_position_delete_files(" +
+        "table => 'mor.orders')")
+      require(graft.pipeline.Snapshot.morVersions(dir).isEmpty,
+        "compaction must collapse the sidecars to copy-on-write")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_orderpriority
+               FROM iceberg.mor.orders ORDER BY o_orderkey""")
+    }),
+
     // S4+++++++ (r07) — spark.wap.branch session mode end-to-end: the
     // low half of orders is live, the session pins a WAP branch, the
     // top half lands via plain INSERT (staged, live untouched —
@@ -1561,6 +1613,37 @@ FROM iceberg.silver.orders_current""")
                   THEN 'RUSH-' || o_orderpriority
                   ELSE o_orderpriority END AS o_orderpriority
       FROM orders WHERE o_orderstatus <> 'F'
+      ORDER BY o_orderkey""",
+
+    // DELETE → UPDATE → MERGE recomputed relationally: what the
+    // merge-on-read sidecar chain must be indistinguishable from
+    "q_dml_mor" -> """
+      WITH after_upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority LIKE '1-%'
+                    THEN o_custkey + 1000000 ELSE o_custkey
+               END AS o_custkey,
+               o_orderstatus,
+               CASE WHEN o_orderpriority LIKE '1-%'
+                    THEN 'RUSH-' || o_orderpriority
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderstatus <> 'F'
+      ), src AS (
+        SELECT o_orderkey AS k, o_custkey AS c
+        FROM orders WHERE o_orderkey % 7 = 0
+      )
+      SELECT a.o_orderkey,
+             CASE WHEN s.k IS NOT NULL THEN s.c + 5000000
+                  ELSE a.o_custkey END AS o_custkey,
+             CASE WHEN s.k IS NOT NULL THEN 'M'
+                  ELSE a.o_orderstatus END AS o_orderstatus,
+             a.o_orderpriority
+      FROM after_upd a LEFT JOIN src s ON a.o_orderkey = s.k
+      UNION ALL
+      SELECT s.k AS o_orderkey, s.c + 5000000 AS o_custkey,
+             'N' AS o_orderstatus, '9-NEW' AS o_orderpriority
+      FROM src s LEFT JOIN after_upd a ON a.o_orderkey = s.k
+      WHERE a.o_orderkey IS NULL
       ORDER BY o_orderkey"""
   )
 }

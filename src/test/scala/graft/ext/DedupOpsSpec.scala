@@ -394,4 +394,39 @@ class DedupOpsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((97L, 98L)))
   }
+
+  test("df-cap cliff guard: a corpus whose EVERY fingerprint exceeds " +
+    "the cap raises instead of silently returning zero pairs; the " +
+    "audit census reports the drop exactly") {
+    // 60 identical docs — family size 60 > maxDf 50, so every
+    // fingerprint is heavy: the r10 100× soak's silent-zero shape
+    val text = "the same duplicated document body repeated everywhere " +
+      "with enough words to winnow into several fingerprints"
+    val flood = (1L to 60L).map(i => (i, text)).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      DedupOps.spanDuplicates(flood, minShared = 2).collect() }
+    assert(e.getMessage.contains("dropped ALL"))
+    val e2 = intercept[IllegalStateException] {
+      DedupOps.ngramJaccardPairs(flood, minJaccard = 0.5).collect() }
+    assert(e2.getMessage.contains("dropped ALL"))
+
+    // the audit quantifies it: every distinct fp dropped, all mass
+    val audit = DedupOps.spanDuplicateAudit(flood)
+      .as[(String, Long)].collect().toMap
+    assert(audit("fp_distinct") > 0)
+    assert(audit("fp_dropped_distinct") == audit("fp_distinct"))
+    assert(audit("fp_dropped_postings") == audit("fp_postings"))
+    assert(audit("fp_postings") == 60L * audit("fp_distinct"),
+      "every doc contributes the identical fingerprint set")
+
+    // a mixed corpus keeps working (warn path, no raise) and the audit
+    // splits dropped vs kept mass
+    val mixed = flood.unionByName(
+      Seq((101L, "one unique document standing completely apart " +
+        "from the flood with its own words")).toDF("doc_id", "text"))
+    val mixedAudit = DedupOps.spanDuplicateAudit(mixed)
+      .as[(String, Long)].collect().toMap
+    assert(mixedAudit("fp_dropped_distinct") == audit("fp_distinct"))
+    assert(mixedAudit("fp_distinct") > mixedAudit("fp_dropped_distinct"))
+  }
 }

@@ -1,0 +1,247 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.catalog.TableStore
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read sidecars: delta commits under `_mor/`, read-time
+  * merge, time travel into a MOR run, and the
+  * rewrite_position_delete_files compaction round-trip. */
+class MorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/t"
+
+  /** Top-level parquet files of the BASE snapshot (names + mtimes) —
+    * the invariant a MOR commit must not touch. */
+  private def baseFiles(dir: String): Map[String, Long] = {
+    val s = Files.list(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    } finally s.close()
+  }
+
+  test("morCommit layers deletes/appends without touching base files; " +
+    "reads merge in version order; duplicates and later-identical " +
+    "appends keep exact multiset semantics") {
+    val dir = tmpTable("mor1")
+    // base v1 with a DUPLICATED row (2,"b")
+    Snapshot.createOrReplace(
+      Seq((1, "a"), (2, "b"), (2, "b"), (3, "c")).toDF("id", "tag"),
+      dir, keepVersions = 5)
+    val before = baseFiles(dir)
+
+    // v2: equality-delete of (2,"b") removes BOTH instances
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq((2, "b")).toDF("id", "tag")),
+      appends = None, operation = "delete")
+    assert(Snapshot.currentVersion(dir).contains(2L))
+    assert(Snapshot.morVersions(dir) == Seq(2L))
+    assert(Snapshot.read(spark, dir).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (3, "c")))
+
+    // v3: append an IDENTICAL row to the one just deleted — the v2
+    // delete must not reach forward to it
+    Snapshot.morCommit(spark, dir,
+      deletes = None,
+      appends = Some(Seq((2, "b"), (4, "d")).toDF("id", "tag")),
+      operation = "update")
+    assert(Snapshot.read(spark, dir).as[(Int, String)].collect()
+      .sorted.toSeq == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+
+    // base data files: byte-identical (same names, same mtimes)
+    assert(baseFiles(dir) == before,
+      "a merge-on-read commit must not rewrite base data files")
+
+    // time travel INTO the MOR run, all served from the live dir
+    assert(Snapshot.readAsOf(spark, dir, 1).count() == 4)
+    assert(Snapshot.readAsOf(spark, dir, 2)
+      .as[(Int, String)].collect().toSet == Set((1, "a"), (3, "c")))
+    assert(Snapshot.readAsOf(spark, dir, 3).count() == 4)
+    assert(Snapshot.retainedVersions(dir) == Seq(1L, 2L, 3L))
+
+    // commit instants are per-version and non-decreasing
+    val times = Seq(1L, 2L, 3L).map(Snapshot.committedAt(dir, _).get)
+    assert(times == times.sorted)
+
+    // TIMESTAMP AS OF between v2 and v3 resolves v2
+    assert(Snapshot.readAsOfTimestamp(spark, dir,
+      Snapshot.committedAt(dir, 2).get).count() == 2)
+  }
+
+  test("a copy-on-write commit on a MOR-laden table rolls the whole " +
+    "dir into history; intermediate versions stay time-travelable; " +
+    "tags on them protect the covering dir from expiry") {
+    val dir = tmpTable("mor2")
+    Snapshot.createOrReplace(Seq(1, 2, 3).toDF("x"), dir,
+      keepVersions = 5)
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq(3).toDF("x")), appends = None, "delete")
+    // CoW commit at v3: the dir covering [1,2] becomes `.v2`
+    Snapshot.createOrReplace(Seq(9).toDF("x"), dir, keepVersions = 5)
+    assert(Snapshot.currentVersion(dir).contains(3L))
+    assert(Snapshot.historicalVersions(dir) == Seq(2L))
+    assert(Snapshot.retainedVersions(dir) == Seq(1L, 2L, 3L))
+    assert(Snapshot.readAsOf(spark, dir, 1).as[Int].collect().toSet
+      == Set(1, 2, 3))
+    assert(Snapshot.readAsOf(spark, dir, 2).as[Int].collect().toSet
+      == Set(1, 2))
+    assert(Snapshot.readAsOf(spark, dir, 3).as[Int].collect().toSeq
+      == Seq(9))
+
+    // tag the INTERMEDIATE v1 (covered by the .v2 dir) and expire:
+    // the covering dir must survive, and the tag must stay readable
+    Snapshot.createTag(dir, "pre_delete", 1L)
+    assert(Snapshot.expireSnapshots(dir, retainLast = 0).isEmpty)
+    assert(Snapshot.readAsOfTag(spark, dir, "pre_delete").count() == 3)
+    Snapshot.dropTag(dir, "pre_delete")
+    assert(Snapshot.expireSnapshots(dir, retainLast = 0) == Seq(2L))
+  }
+
+  test("rewritePositionDeletes compacts sidecars into one CoW commit: " +
+    "content unchanged, merge cost gone, MOR history retained") {
+    val dir = tmpTable("mor3")
+    Snapshot.createOrReplace(
+      (1 to 100).map(i => (i, s"r$i")).toDF("id", "tag"), dir,
+      keepVersions = 5)
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq((7, "r7"), (8, "r8")).toDF("id", "tag")),
+      appends = None, "delete")
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq((9, "r9")).toDF("id", "tag")),
+      appends = Some(Seq((101, "new")).toDF("id", "tag")), "update")
+    val want = Snapshot.read(spark, dir).as[(Int, String)]
+      .collect().sortBy(_._1).toSeq
+
+    val (collapsed, ver) = Snapshot.rewritePositionDeletes(spark, dir,
+      keepVersions = 5)
+    assert(collapsed >= 2L, s"expected >=2 delete files, got $collapsed")
+    assert(ver == 4L)
+    assert(Snapshot.morVersions(dir).isEmpty,
+      "live dir must be pure copy-on-write after the rewrite")
+    assert(Snapshot.read(spark, dir).as[(Int, String)]
+      .collect().sortBy(_._1).toSeq == want)
+    // the MOR run is history now, still travelable mid-run
+    assert(Snapshot.readAsOf(spark, dir, 2).count() == 98)
+    assert(Snapshot.readAsOf(spark, dir, 3).count() == 98)
+    // idempotent on a clean table
+    assert(Snapshot.rewritePositionDeletes(spark, dir, 5) == ((0L, 4L)))
+  }
+
+  test("erase purges the subject from MOR sidecars too (equality-" +
+    "delete files carry row content) and keeps commit instants") {
+    val dir = tmpTable("mor4")
+    Snapshot.createOrReplace(
+      Seq((1, "keep"), (2, "subject"), (3, "keep2")).toDF("id", "who"),
+      dir, keepVersions = 5)
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq((2, "subject")).toDF("id", "who")),
+      appends = Some(Seq((2, "subject"), (4, "x")).toDF("id", "who")),
+      "update")
+    val t2 = Snapshot.committedAt(dir, 2).get
+    Snapshot.erase(spark, dir, col("who") === "subject")
+    // live content: subject gone (was only re-appended by the update)
+    assert(Snapshot.read(spark, dir).as[(Int, String)].collect().toSet
+      == Set((1, "keep"), (3, "keep2"), (4, "x")))
+    // the sidecar parquet no longer carries the subject's row content
+    val morRows = spark.read.parquet(s"$dir/_mor/v2/deletes")
+      .unionByName(spark.read.parquet(s"$dir/_mor/v2/appends"))
+    assert(morRows.filter(col("who") === "subject").isEmpty)
+    // commit instants preserved (erasure rewrites content, not clocks)
+    assert(Snapshot.committedAt(dir, 2).contains(t2))
+    // v1 history also purged
+    assert(Snapshot.readAsOf(spark, dir, 1)
+      .filter(col("who") === "subject").isEmpty)
+  }
+
+  test("DML routes through MOR when write.<op>.mode=merge-on-read: " +
+    "results identical to the copy-on-write twin, deltas tiny, WAP " +
+    "branch still takes the staging path") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val src = (1 to 50).map(i =>
+      (i.toLong, i % 5, s"p$i")).toDF("id", "grp", "payload")
+
+    val cow = tmpTable("morcow"); val mor = tmpTable("mormor")
+    Snapshot.createOrReplace(src, cow, keepVersions = 5)
+    Snapshot.createOrReplace(src, mor, keepVersions = 5)
+    store.registerSnapshot("twin", "cow", cow)
+    store.registerSnapshot("twin", "mor", mor)
+    spark.sql("""ALTER TABLE twin.mor SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read',
+      'write.update.mode'='merge-on-read',
+      'write.merge.mode'='merge-on-read')""")
+
+    Seq("twin.cow", "twin.mor").foreach { t =>
+      spark.sql(s"DELETE FROM $t WHERE grp = 0")
+      spark.sql(s"UPDATE $t SET payload = concat(payload, '!') " +
+        "WHERE grp = 1")
+      spark.sql(s"""MERGE INTO $t x USING (
+          SELECT id AS k, concat('m', id) AS np FROM range(46, 55)
+        ) s ON x.id = s.k
+        WHEN MATCHED AND x.grp = 2 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET payload = s.np
+        WHEN NOT MATCHED THEN INSERT (id, grp, payload)
+          VALUES (s.k, CAST(9 AS INT), s.np)""")
+    }
+    val a = spark.sql("SELECT * FROM twin.cow ORDER BY id")
+      .collect().toSeq
+    val b = spark.sql("SELECT * FROM twin.mor ORDER BY id")
+      .collect().toSeq
+    assert(a == b, "MOR DML must read back identical to copy-on-write")
+
+    // MOR table took the sidecar path: 3 stacked commits, base intact
+    assert(Snapshot.morVersions(mor) == Seq(2L, 3L, 4L))
+    // CoW table rewrote: no sidecars, version also at 4
+    assert(Snapshot.morVersions(cow).isEmpty)
+    assert(Snapshot.currentVersion(cow).contains(4L))
+
+    // metadata tables see the MOR commits as first-class rows
+    val hist = spark.sql(
+      "SELECT version, is_current FROM twin.mor.history ORDER BY 1")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hist == Seq((1L, false), (2L, false), (3L, false),
+      (4L, true)))
+    val snaps = spark.sql("SELECT version, record_count FROM " +
+      "twin.mor.snapshots ORDER BY version")
+      .as[(Long, Long)].collect().toMap
+    // record_count counts DATA-file rows (base + appends, deletes are
+    // not subtracted — Iceberg's total-records semantics)
+    assert(snaps(1L) == 50L)
+    assert(snaps(2L) == 50L)      // delete sidecar adds no data file
+    assert(snaps(3L) > 50L)       // update appended rewritten rows
+    // .files lists append sidecar files beside the base files
+    val files = spark.sql("SELECT file_path FROM twin.mor.files")
+      .as[String].collect()
+    assert(files.exists(_.contains("/_mor/")),
+      ".files must list merge-on-read append files")
+    assert(files.exists(!_.contains("/_mor/")))
+
+    // compaction through the verbatim CALL surface
+    val res = spark.sql("CALL iceberg.system." +
+      "rewrite_position_delete_files(table => 'twin.mor')")
+      .collect().head
+    assert(res.getLong(0) >= 2L && res.getLong(1) == 0L)
+    assert(Snapshot.morVersions(mor).isEmpty)
+    assert(spark.sql("SELECT * FROM twin.mor ORDER BY id")
+      .collect().toSeq == a)
+
+    // a WAP session overrides MOR: the write stages a whole branch
+    spark.conf.set("spark.wap.branch", "audit_b")
+    try {
+      spark.sql("DELETE FROM twin.mor WHERE grp = 3")
+      assert(Snapshot.morVersions(mor).isEmpty,
+        "WAP writes must stage a branch, not a MOR sidecar")
+      assert(Snapshot.branches(mor) == Seq("audit_b"))
+    } finally {
+      spark.conf.unset("spark.wap.branch")
+      Snapshot.dropBranch(mor, "audit_b")
+    }
+  }
+}
