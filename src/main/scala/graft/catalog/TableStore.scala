@@ -44,8 +44,10 @@ class TableStore(val spark: SparkSession) {
     Seq(ns, name).map(_.toLowerCase(java.util.Locale.ROOT))
 
   /** S6 — CREATE NAMESPACE IF NOT EXISTS. */
-  def createNamespace(ns: String): Unit =
+  def createNamespace(ns: String): Unit = {
     st.namespaces.put(ns.toLowerCase(java.util.Locale.ROOT), ())
+    TableStore.persist(spark)
+  }
 
   def listNamespaces(): Seq[String] = st.namespaces.keys.toSeq.sorted
 
@@ -73,9 +75,13 @@ class TableStore(val spark: SparkSession) {
     * an empty frame only when absent; returns the current table. */
   def createTableIfNotExists(ns: String, name: String,
                              schema: StructType): DataFrame = {
-    if (!tableExists(ns, name))
+    if (!tableExists(ns, name)) {
       register(ns, name, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      // declared-schema tables persist their SCHEMA across sessions
+      st.schemaTables.put(key(ns, name), ())
+      TableStore.persist(spark)
+    }
     table(ns, name)
   }
 
@@ -99,9 +105,18 @@ class TableStore(val spark: SparkSession) {
     * flat `ns_name` temp-view fallback and creation-time validation. */
   def createLateBoundView(ns: String, name: String,
                           queryPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                          bound: DataFrame): Unit = {
+                          bound: DataFrame,
+                          sqlText: Option[String] = None): Unit = {
     createView(ns, name, bound)
-    st.viewPlans.put(key(ns, name), queryPlan)
+    val k = key(ns, name)
+    st.viewPlans.put(k, queryPlan)
+    // the statement text is what survives a session (re-parsed at
+    // attach); a view created without it stays session-scoped
+    sqlText.foreach { t =>
+      st.viewSql.put(k, t)
+      st.viewOrder.remove(k); st.viewOrder.add(k)
+    }
+    TableStore.persist(spark)
   }
 
   /** DROP VIEW [IF EXISTS] (`/root/reference/README.md:105`).
@@ -114,7 +129,9 @@ class TableStore(val spark: SparkSession) {
     val wasView = st.views.remove(k).isDefined
     if (wasView) {
       st.registry.remove(k); st.viewPlans.remove(k)
+      st.viewSql.remove(k); st.viewOrder.remove(k)
       spark.catalog.dropTempView(s"${k.head}_${k(1)}")
+      TableStore.persist(spark)
     }
     wasView
   }
@@ -132,8 +149,10 @@ class TableStore(val spark: SparkSession) {
     val hadRegistry = st.registry.remove(k).isDefined
     val hadSnapshot = st.snapshotPaths.remove(k).isDefined
     if (hadRegistry || hadSnapshot) {
-      st.properties.remove(k)
+      st.properties.remove(k); st.schemaTables.remove(k)
+      st.pendingSpecs.remove(k)
       spark.catalog.dropTempView(s"${k.head}_${k(1)}")
+      TableStore.persist(spark)
     }
     hadRegistry || hadSnapshot
   }
@@ -155,6 +174,8 @@ class TableStore(val spark: SparkSession) {
       throw new UnsupportedOperationException(
         s"ALTER TABLE on a snapshot-backed table is not supported: $ns.$name")
     register(ns, name, f(table(ns, name)))
+    // a declared-schema table's persisted schema follows the evolution
+    if (st.schemaTables.contains(k)) TableStore.persist(spark)
   }
 
   /** Current table state (a SQL MERGE may have replaced the snapshot
@@ -203,8 +224,28 @@ class TableStore(val spark: SparkSession) {
     * [[ResolveGraftRelations]]. */
   def registerSnapshot(ns: String, name: String, path: String): Unit = {
     createNamespace(ns)
-    st.snapshotPaths.put(key(ns, name), path)
+    val k = key(ns, name)
+    st.snapshotPaths.put(k, path)
+    // a CREATE TABLE … PARTITIONED BY spec recorded before the table
+    // had a layout applies the moment it gets one (day-one hidden
+    // partitioning); an existing sidecar spec on the dir wins
+    st.pendingSpecs.remove(k).foreach { spec =>
+      if (graft.pipeline.Snapshot.partitionSpec(path).isEmpty)
+        graft.pipeline.Snapshot.setPartitionSpec(path, spec)
+    }
+    TableStore.persist(spark)
   }
+
+  /** Record a partition spec declared at CREATE TABLE time for a table
+    * that has no storage layout yet — [[registerSnapshot]] applies it. */
+  def setPendingPartitionSpec(ns: String, name: String,
+                              spec: Seq[String]): Unit = {
+    st.pendingSpecs.put(key(ns, name), spec)
+    TableStore.persist(spark)
+  }
+
+  def pendingPartitionSpec(ns: String, name: String): Seq[String] =
+    st.pendingSpecs.getOrElse(key(ns, name), Seq.empty)
 
   def snapshotPath(ns: String, name: String): Option[String] =
     st.snapshotPaths.get(key(ns, name))
@@ -233,7 +274,10 @@ class TableStore(val spark: SparkSession) {
     }
     st.snapshotPaths.remove(from).foreach(st.snapshotPaths.put(to, _))
     st.properties.remove(from).foreach(st.properties.put(to, _))
+    if (st.schemaTables.remove(from).isDefined)
+      st.schemaTables.put(to, ())
     spark.catalog.dropTempView(s"${from.head}_${from(1)}")
+    TableStore.persist(spark)
   }
 
   /** TBLPROPERTIES — session-scoped key/value metadata on a registered
@@ -246,6 +290,7 @@ class TableStore(val spark: SparkSession) {
     st.properties.updateWith(k) {
       cur => Some(cur.getOrElse(Map.empty) ++ props)
     }
+    TableStore.persist(spark)
   }
 
   /** `ALTER TABLE … UNSET TBLPROPERTIES` — a missing key raises unless
@@ -260,6 +305,7 @@ class TableStore(val spark: SparkSession) {
         s"properties not found on $ns.$name: ${missing.mkString(", ")}" +
           " (use UNSET TBLPROPERTIES IF EXISTS to ignore)")
     st.properties.put(k, cur -- keys)
+    TableStore.persist(spark)
   }
 
   def properties(ns: String, name: String): Map[String, String] =
@@ -295,6 +341,22 @@ object TableStore {
     // TBLPROPERTIES per table (SET/UNSET/SHOW TBLPROPERTIES)
     val properties = scala.collection.concurrent
       .TrieMap.empty[Seq[String], Map[String, String]]
+    // ---- persistent-catalog bookkeeping (attachCatalog) ----
+    // SQL text of late-bound views (the CreateView statement's
+    // originalText) in CREATION ORDER — views may read earlier views
+    val viewSql = scala.collection.concurrent
+      .TrieMap.empty[Seq[String], String]
+    val viewOrder =
+      new java.util.concurrent.CopyOnWriteArrayList[Seq[String]]()
+    // declared-schema tables (CREATE TABLE): schema persists, data is
+    // session-scoped unless snapshot-backed
+    val schemaTables =
+      scala.collection.concurrent.TrieMap.empty[Seq[String], Unit]
+    // CREATE TABLE … PARTITIONED BY specs awaiting a storage layout
+    val pendingSpecs =
+      scala.collection.concurrent.TrieMap.empty[Seq[String], Seq[String]]
+    @volatile var catalogDir: Option[java.nio.file.Path] = None
+    @volatile var loading: Boolean = false
   }
 
   private val states =
@@ -304,25 +366,183 @@ object TableStore {
   private[catalog] def state(s: SparkSession): State = {
     val existing = states.get(s)
     if (existing != null) existing
-    else states.synchronized {
-      val again = states.get(s)
-      if (again != null) again
-      else {
-        val fresh = new State
-        states.put(s, fresh)
-        fresh
+    else {
+      val (st, isNew) = states.synchronized {
+        val again = states.get(s)
+        if (again != null) (again, false)
+        else {
+          val fresh = new State
+          states.put(s, fresh)
+          (fresh, true)
+        }
       }
+      // a session born with spark.graft.catalog.dir auto-attaches the
+      // persistent catalog (outside the map lock: the load parses SQL
+      // and registers tables, which re-enter state())
+      if (isNew)
+        scala.util.Try(s.conf.get("spark.graft.catalog.dir", ""))
+          .toOption.filter(_.nonEmpty)
+          .foreach(dir => attachCatalog(s, dir))
+      st
     }
   }
 
   private[catalog] def registry(s: SparkSession) = state(s).registry
 
   /** Drop every graft-catalog registration on the session — a
-    * from-scratch catalog for fixture queries and tests. */
+    * from-scratch catalog for fixture queries and tests. Detaches any
+    * persistent catalog dir (reset is a session-scoped fixture hook;
+    * it must not wipe durable metadata). */
   def reset(s: SparkSession): Unit = {
     val st = state(s)
+    st.catalogDir = None
     st.registry.clear(); st.namespaces.clear(); st.views.clear()
     st.viewPlans.clear(); st.snapshotPaths.clear()
     st.properties.clear()
+    st.viewSql.clear(); st.viewOrder.clear(); st.schemaTables.clear()
+    st.pendingSpecs.clear()
+  }
+
+  // -------------------------------------------------------------------
+  // PERSISTENT CATALOG — the REST-catalog role of the reference's stack
+  // (`/root/reference/docker-compose.yml:94-111`: a service that
+  // survives restarts and is shared across engines, wrapping a map of
+  // table → storage location). Attach a metadata dir and every catalog
+  // mutation writes `catalog.json` through (atomic tmp + rename, the
+  // same commit discipline as the snapshot layer); a FRESH SparkSession
+  // attaching the same dir sees the same SHOW TABLES / DESCRIBE / view
+  // surface. Persisted: namespaces, snapshot-backed registrations
+  // (name → live dir; the data already lives on storage), TBLPROPERTIES,
+  // declared-schema tables (schema only), and SQL-created late-bound
+  // views (their statement text, re-parsed at load so they re-bind to
+  // the attached tables). In-memory DataFrame registrations are
+  // session-scoped by nature and are not persisted.
+  // -------------------------------------------------------------------
+
+  /** Attach `dir` as the session's persistent catalog: load whatever
+    * metadata it holds (merging over the current session state), then
+    * write every later mutation through. Also triggered automatically
+    * when a session carries `spark.graft.catalog.dir`. */
+  def attachCatalog(s: SparkSession, dir: String): Unit = {
+    val st = state(s)
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    st.catalogDir = Some(p)
+    val f = p.resolve("catalog.json")
+    if (java.nio.file.Files.exists(f)) {
+      st.loading = true
+      try loadInto(s, new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally st.loading = false
+    }
+    persist(s)
+  }
+
+  private def loadInto(s: SparkSession, json: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val store = new TableStore(s)
+    val st = state(s)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[java.util.Map[String, Object]])
+    def seqOfMaps(k: String): Seq[java.util.Map[String, Object]] =
+      Option(m.get(k)).toSeq.flatMap(
+        _.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+          .asScala)
+    Option(m.get("namespaces")).toSeq
+      .flatMap(_.asInstanceOf[java.util.List[String]].asScala)
+      .foreach(ns => st.namespaces.put(ns, ()))
+    seqOfMaps("snapshots").foreach { e =>
+      val k = Seq(e.get("ns").toString, e.get("table").toString)
+      st.namespaces.put(k.head, ())
+      st.snapshotPaths.put(k, e.get("path").toString)
+    }
+    seqOfMaps("tables").foreach { e =>
+      val (ns, t) = (e.get("ns").toString, e.get("table").toString)
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(e.get("schema").toString)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      store.createTableIfNotExists(ns, t, schema)
+    }
+    seqOfMaps("properties").foreach { e =>
+      val k = Seq(e.get("ns").toString, e.get("table").toString)
+      val props = e.get("props")
+        .asInstanceOf[java.util.Map[String, String]].asScala.toMap
+      st.properties.put(k, st.properties.getOrElse(k, Map.empty) ++ props)
+    }
+    seqOfMaps("pending_specs").foreach { e =>
+      st.pendingSpecs.put(
+        Seq(e.get("ns").toString, e.get("table").toString),
+        e.get("spec").asInstanceOf[java.util.List[String]].asScala.toSeq)
+    }
+    // views LAST and in creation order (a view may read earlier views);
+    // one that no longer analyzes (its base dropped out-of-band) is
+    // skipped with a warning rather than failing the whole attach
+    seqOfMaps("views").foreach { e =>
+      val (ns, v) = (e.get("ns").toString, e.get("name").toString)
+      val sql = e.get("sql").toString
+      try {
+        val plan = s.sessionState.sqlParser.parseQuery(sql)
+        store.createLateBoundView(ns, v, plan,
+          org.apache.spark.sql.graft.PlanBridge.ofRows(s, plan),
+          sqlText = Some(sql))
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"skipping persisted view $ns.$v (no longer analyzes: " +
+              s"${ex.getMessage})")
+      }
+    }
+  }
+
+  /** Write the attached catalog file through (atomic tmp + rename).
+    * No-op while loading or when no dir is attached. */
+  private[catalog] def persist(s: SparkSession): Unit = {
+    val st = state(s)
+    if (st.loading) return
+    st.catalogDir.foreach { p =>
+      st.synchronized {
+        import scala.jdk.CollectionConverters._
+        def jmap(kv: (String, Object)*): java.util.Map[String, Object] = {
+          val m = new java.util.LinkedHashMap[String, Object]()
+          kv.foreach { case (k, v) => m.put(k, v) }
+          m
+        }
+        val root = jmap(
+          "namespaces" -> st.namespaces.keys.toSeq.sorted.asJava,
+          "snapshots" -> st.snapshotPaths.toSeq.sortBy(_._1.mkString("."))
+            .map { case (k, path) =>
+              jmap("ns" -> k.head, "table" -> k(1), "path" -> path)
+            }.asJava,
+          "tables" -> st.schemaTables.keys.toSeq
+            .sortBy(_.mkString("."))
+            .flatMap(k => st.registry.get(k).map(df =>
+              jmap("ns" -> k.head, "table" -> k(1),
+                "schema" -> df.schema.json))).asJava,
+          "properties" -> st.properties.toSeq
+            .filter(_._2.nonEmpty).sortBy(_._1.mkString("."))
+            .map { case (k, props) =>
+              jmap("ns" -> k.head, "table" -> k(1),
+                "props" -> props.asJava)
+            }.asJava,
+          "pending_specs" -> st.pendingSpecs.toSeq
+            .sortBy(_._1.mkString("."))
+            .map { case (k, spec) =>
+              jmap("ns" -> k.head, "table" -> k(1),
+                "spec" -> spec.asJava)
+            }.asJava,
+          "views" -> st.viewOrder.asScala.distinct
+            .flatMap(k => st.viewSql.get(k).map(sql =>
+              jmap("ns" -> k.head, "name" -> k(1), "sql" -> sql)))
+            .asJava)
+        val json = new com.fasterxml.jackson.databind.ObjectMapper()
+          .writerWithDefaultPrettyPrinter().writeValueAsString(root)
+        val tmp = p.resolve("catalog.json.tmp")
+        java.nio.file.Files.write(tmp,
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, p.resolve("catalog.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
   }
 }

@@ -1,0 +1,103 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.pipeline.Snapshot
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Persistent catalog (the REST-catalog role): metadata written through
+  * to a catalog dir survives the session — a FRESH SparkSession
+  * attaching the same dir sees the same SHOW TABLES / DESCRIBE /
+  * TBLPROPERTIES / view surface. */
+class PersistentCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a fresh session attaching the catalog dir sees snapshot " +
+    "tables, TBLPROPERTIES, declared-schema tables and late-bound " +
+    "views created by the previous session") {
+    TableStore.reset(spark)
+    val meta = Files.createTempDirectory("gcat").toString
+    val dataDir = Files.createTempDirectory("gcatdata").toString + "/t"
+    TableStore.attachCatalog(spark, meta)
+
+    // session 1 builds the surface
+    Snapshot.createOrReplace(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+        .toDF("id", "name", "v"),
+      dataDir, keepVersions = 3)
+    new TableStore(spark).registerSnapshot("persist", "orders", dataDir)
+    spark.sql("""ALTER TABLE persist.orders SET TBLPROPERTIES(
+      'custodian'='pipeline', 'write.delete.mode'='merge-on-read')""")
+    spark.sql("CREATE TABLE IF NOT EXISTS iceberg.persist.decl " +
+      "(k BIGINT, label STRING) USING iceberg")
+    spark.sql("""CREATE VIEW iceberg.persist.big AS
+      SELECT id, name FROM persist.orders WHERE v >= 20""")
+    assert(Files.exists(java.nio.file.Paths.get(meta, "catalog.json")))
+
+    // session 2: same metadata dir, nothing else carried over
+    val s2 = spark.newSession()
+    assert(s2 ne spark)
+    TableStore.attachCatalog(s2, meta)
+
+    val tables = s2.sql("SHOW TABLES IN persist")
+      .select("table_name", "is_view")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(tables == Map("orders" -> false, "decl" -> false,
+      "big" -> true))
+
+    // snapshot table reads the live data through plain spark.sql
+    assert(s2.sql("SELECT count(*) FROM persist.orders")
+      .head().getLong(0) == 3L)
+    // properties survived
+    val props = s2.sql("SHOW TBLPROPERTIES persist.orders")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("custodian") == "pipeline")
+    assert(props("write.delete.mode") == "merge-on-read")
+    // declared-schema table: schema intact (data is session-scoped)
+    val decl = s2.sql("SELECT * FROM persist.decl")
+    assert(decl.schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(decl.count() == 0)
+    // the view re-bound and filters live data
+    assert(s2.sql("SELECT name FROM persist.big ORDER BY id")
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq == Seq("b", "c"))
+
+    // LATE BINDING across sessions: session 2 deletes a row (via the
+    // persisted merge-on-read property!) and its view follows
+    s2.sql("DELETE FROM persist.orders WHERE id = 2")
+    assert(Snapshot.morVersions(dataDir).nonEmpty,
+      "the persisted write.delete.mode must route MOR")
+    assert(s2.sql("SELECT name FROM persist.big ORDER BY id")
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq == Seq("c"))
+
+    // and the ORIGINAL session, attached to the same catalog, keeps
+    // resolving the moved table state (reads go to the live dir)
+    assert(spark.sql("SELECT count(*) FROM persist.orders")
+      .head().getLong(0) == 2L)
+  }
+
+  test("spark.graft.catalog.dir auto-attaches on first catalog touch; " +
+    "DROP writes through so a later session no longer sees the table") {
+    TableStore.reset(spark)
+    val meta = Files.createTempDirectory("gcat2").toString
+    val dataDir = Files.createTempDirectory("gcat2d").toString + "/t"
+    TableStore.attachCatalog(spark, meta)
+    Snapshot.createOrReplace(Seq(1, 2).toDF("x"), dataDir)
+    new TableStore(spark).registerSnapshot("auto", "t1", dataDir)
+    new TableStore(spark).registerSnapshot("auto", "t2", dataDir)
+
+    // conf-born session: no explicit attach call
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.catalog.dir", meta)
+    assert(s3.sql("SELECT sum(x) FROM auto.t1").head().getLong(0) == 3L)
+
+    // drop in s3 persists; a fourth session sees only t2
+    s3.sql("DROP TABLE auto.t1")
+    val s4 = spark.newSession()
+    TableStore.attachCatalog(s4, meta)
+    val names = s4.sql("SHOW TABLES IN auto")
+      .select("table_name").collect().map(_.getString(0)).toSet
+    assert(names == Set("t2"))
+  }
+}
