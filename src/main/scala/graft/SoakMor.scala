@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Write-cost soak for merge-on-read DML: at each table scale, time a
+  * 1-row DELETE through the MOR sidecar path vs the copy-on-write
+  * rewrite on an identical twin. The claim under test is the 100-TB
+  * one — MOR's statement cost is the predicate SCAN plus an O(matched)
+  * sidecar write (flat-ish in table size; row-group pruning on the key
+  * makes even the scan sublinear), while CoW pays scan + full-table
+  * rewrite (linear, write-amplified) every time.
+  *
+  * Usage: `sbt "runMain graft.SoakMor [mult,mult,…]"` (default 1,4,16
+  * over sf0.1 orders). Prints one JSON line with per-scale seconds.
+  */
+object SoakMor {
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 4, 16))
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = new graft.catalog.TableStore(spark)
+
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+
+    val out = mults.map { mult =>
+      val scaled =
+        if (mult <= 1) base
+        else (0 until mult).map(k => base.withColumn("o_orderkey",
+          col("o_orderkey") + k * 100000000L)).reduce(_ unionByName _)
+      val root = java.nio.file.Files.createTempDirectory(s"sm$mult")
+      val morDir = s"$root/mor"; val cowDir = s"$root/cow"
+      graft.pipeline.Snapshot.createOrReplace(scaled, morDir,
+        keepVersions = 2)
+      graft.pipeline.Snapshot.createOrReplace(scaled, cowDir,
+        keepVersions = 2)
+      store.registerSnapshot("soakmor", s"m$mult", morDir)
+      store.registerSnapshot("soakmor", s"c$mult", cowDir)
+      spark.sql(s"""ALTER TABLE soakmor.m$mult SET TBLPROPERTIES(
+        'write.delete.mode'='merge-on-read')""")
+      val rows = scaled.count()
+      def timed(sql: String): Double = {
+        val t0 = System.nanoTime()
+        spark.sql(sql)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tMor = timed(
+        s"DELETE FROM soakmor.m$mult WHERE o_orderkey = 42")
+      val tCow = timed(
+        s"DELETE FROM soakmor.c$mult WHERE o_orderkey = 42")
+      // sanity: both tables agree after the delete
+      require(spark.sql(s"SELECT count(*) FROM soakmor.m$mult")
+        .head().getLong(0) ==
+        spark.sql(s"SELECT count(*) FROM soakmor.c$mult")
+          .head().getLong(0), "MOR and CoW deletes must agree")
+      // MOR read-back cost after the sidecar commit (the merge tax)
+      val t0 = System.nanoTime()
+      spark.sql(s"SELECT count(*) FROM soakmor.m$mult").collect()
+      val tRead = (System.nanoTime() - t0) / 1e9
+      s""""x$mult":{"rows":$rows,"mor_delete_sec":$tMor,""" +
+        s""""cow_delete_sec":$tCow,"mor_read_sec":$tRead}"""
+    }
+    println(s"""{"soak":"mor_delete",${out.mkString(",")}}""")
+    spark.stop()
+  }
+}

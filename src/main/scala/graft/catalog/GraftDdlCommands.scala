@@ -49,13 +49,24 @@ case class GraftCreateNamespaceCommand(ns: String, ifNotExists: Boolean)
 
 case class GraftCreateTableCommand(ns: String, name: String,
                                    tableSchema: org.apache.spark.sql.types.StructType,
-                                   ignoreIfExists: Boolean)
+                                   ignoreIfExists: Boolean,
+                                   partitioning: Seq[String] = Seq.empty)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val store = new TableStore(spark)
     if (!ignoreIfExists && store.tableExists(ns, name))
       throw new IllegalStateException(s"table already exists: $ns.$name")
+    // PARTITIONED BY columns must exist in the declared schema
+    partitioning.foreach { p =>
+      val src = graft.pipeline.Snapshot.parseSpecField(p).source
+      if (!tableSchema.fieldNames.exists(_.equalsIgnoreCase(src)))
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY references unknown column: $src " +
+            s"(columns: ${tableSchema.fieldNames.mkString(", ")})")
+    }
     store.createTableIfNotExists(ns, name, tableSchema)
+    if (partitioning.nonEmpty)
+      store.setPendingPartitionSpec(ns, name, partitioning)
     Seq.empty
   }
 }
@@ -66,7 +77,8 @@ case class GraftCreateTableCommand(ns: String, name: String,
   * registered tables by qualified name. */
 case class GraftCreateViewCommand(ns: String, name: String,
                                   query: LogicalPlan,
-                                  allowExisting: Boolean, replace: Boolean)
+                                  allowExisting: Boolean, replace: Boolean,
+                                  originalText: Option[String] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
@@ -78,9 +90,11 @@ case class GraftCreateViewCommand(ns: String, name: String,
       throw new IllegalStateException(s"view already exists: $ns.$name")
     // validate now (analysis errors surface at CREATE VIEW, like any
     // engine), but store the UNRESOLVED plan: the view re-binds to the
-    // base tables' current state at every read (Trino-view semantics)
+    // base tables' current state at every read (Trino-view semantics).
+    // The statement's query text rides along so an attached persistent
+    // catalog can re-create the view in a later session.
     store.createLateBoundView(ns, name, query,
-      PlanBridge.ofRows(spark, query))
+      PlanBridge.ofRows(spark, query), sqlText = originalText)
     Seq.empty
   }
 }
@@ -477,13 +491,31 @@ case class GraftAddPartitionFieldCommand(ns: String, name: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftDdl.snapshotPathFor(spark, ns, name,
       "partition-spec evolution")
-    val cols = spark.read.parquet(path).schema.fieldNames
-    if (!cols.exists(_.equalsIgnoreCase(field)))
-      throw new IllegalArgumentException(
+    val sf = graft.pipeline.Snapshot.parseSpecField(field)
+    val schema = spark.read.parquet(path).schema
+    // the transform's SOURCE column must exist; the canonical entry
+    // stores the schema's casing (DROP resolves the same way)
+    val resolved = schema.fieldNames
+      .find(_.equalsIgnoreCase(sf.source))
+      .getOrElse(throw new IllegalArgumentException(
         s"cannot ADD PARTITION FIELD $field: no such column on " +
-          s"$ns.$name (columns: ${cols.mkString(", ")})")
+          s"$ns.$name (columns: ${schema.fieldNames.mkString(", ")})"))
+    // time transforms need a temporal source — reject a days(int)
+    // spec now, not at the first spec-aware commit
+    val temporal = Set("days", "months", "years", "hours")
+    if (temporal.exists(t => sf.raw.startsWith(t + "(")) &&
+        !(schema(resolved).dataType
+            .isInstanceOf[org.apache.spark.sql.types.DateType] ||
+          schema(resolved).dataType
+            .isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+          schema(resolved).dataType.isInstanceOf[
+            org.apache.spark.sql.types.TimestampNTZType]))
+      throw new IllegalArgumentException(
+        s"cannot ADD PARTITION FIELD $field: time transforms need a " +
+          s"date/timestamp column, $resolved is " +
+          schema(resolved).dataType.simpleString)
     graft.pipeline.Snapshot.addPartitionField(path,
-      cols.find(_.equalsIgnoreCase(field)).get)
+      sf.raw.replace(sf.source, resolved))
     Seq.empty
   }
 }
@@ -498,9 +530,15 @@ case class GraftDropPartitionFieldCommand(ns: String, name: String,
       "partition-spec evolution")
     // ADD resolves case-insensitively and stores the schema's casing;
     // DROP must match the same way, or `ADD … SUB` followed by
-    // `DROP … SUB` (stored as 'sub') would throw
+    // `DROP … SUB` (stored as 'sub') would throw. Transforms match on
+    // their canonical FIELD name (bucket(4,C) and bucket(8,c) both
+    // name c_bucket — Iceberg's one-bucket-per-column rule falls out
+    // of the name collision).
+    val target = graft.pipeline.Snapshot.parseSpecField(field).name
     val spec = graft.pipeline.Snapshot.partitionSpec(path)
-    val resolved = spec.find(_.equalsIgnoreCase(field)).getOrElse(field)
+    val resolved = spec.find(e => graft.pipeline.Snapshot
+      .parseSpecField(e).name.equalsIgnoreCase(target))
+      .getOrElse(field)
     graft.pipeline.Snapshot.dropPartitionField(path, resolved)
     Seq.empty
   }

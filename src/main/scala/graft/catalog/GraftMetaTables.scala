@@ -112,13 +112,20 @@ object GraftMetaTables {
                 // equality deletes tracked as files, not subtracted —
                 // Iceberg's total-records reads the same way from
                 // manifests)
-                val cnt = graft.pipeline.Snapshot.dataDirsAsOf(path, v)
-                  .map(footerRecordCount(session, _)).sum
-                (v, live.contains(v), at, cnt)
+                val dirs = graft.pipeline.Snapshot.dataDirsAsOf(path, v)
+                val cnt = dirs.map(footerRecordCount(session, _)).sum
+                // Iceberg's snapshot operation + summary map
+                // (operation / total-records / total-data-files —
+                // driver-known, no data read beyond the footers above)
+                val op = graft.pipeline.Snapshot.operationOf(path, v)
+                  .getOrElse("overwrite")
+                val files = dirs.map(parquetFileCount).sum
+                (v, live.contains(v), at, cnt, op,
+                  s"total-records=$cnt,total-data-files=$files")
               }
               import session.implicits._
               rows.toDF("version", "is_current", "made_current_at",
-                "record_count")
+                "record_count", "operation", "summary")
             case "files" =>
               filesOf(session, path, live.getOrElse(
                 throw new java.util.NoSuchElementException(
@@ -197,6 +204,26 @@ object GraftMetaTables {
           SubqueryAlias(parts.last, plan.queryExecution.analyzed)
         }
       }
+  }
+
+  /** Data-file count of ONE component dir (top level — a base dir's
+    * nested partition dirs count via recursion, `_mor` excluded by the
+    * same rule as the footer walk). */
+  private def parquetFileCount(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) 0L
+    else {
+      val rootInMor = dir.contains("/_mor/")
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") &&
+            (rootInMor || !f.toString.contains("/_mor/"))
+        }.toLong
+      } finally s.close()
+    }
   }
 
   /** Total row count of a snapshot dir from parquet FOOTER metadata

@@ -159,15 +159,22 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
           val schema = org.apache.spark.sql.types.StructType(
             c.columns.map(col => org.apache.spark.sql.types.StructField(
               col.name, col.dataType, col.nullable)))
+          // PARTITIONED BY (col | bucket(n,c) | days(ts) | …) at
+          // CREATE time: canonicalized and recorded as the table's
+          // PENDING spec — applied to the snapshot dir the moment the
+          // table gets a layout (registerSnapshot), so day-one hidden
+          // partitioning works like Iceberg's
+          val partitioning = c.partitioning.map(tr =>
+            graft.pipeline.Snapshot.parseSpecField(tr.describe()).raw)
           GraftCreateTableCommand(lower(ns), lower(t), schema,
-            c.ignoreIfExists)
+            c.ignoreIfExists, partitioning)
         case _ => c
       }
 
       case c: CreateView => c.child match {
         case UnresolvedIdentifier(Seq(cat, ns, v), _) if isGraft(cat) =>
           GraftCreateViewCommand(lower(ns), lower(v), c.query,
-            c.allowExisting, c.replace)
+            c.allowExisting, c.replace, c.originalText)
         case _ => c
       }
 
@@ -480,13 +487,12 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
   private def icebergExtCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case PartField(table, verb, fieldRaw) =>
-        val field = fieldRaw.trim
-        if (!field.matches("""[\w]+"""))
-          throw new UnsupportedOperationException(
-            "graft ALTER TABLE " + verb.toUpperCase(java.util.Locale.ROOT) +
-              s" PARTITION FIELD supports identity columns only: '$field' " +
-              "(transforms like bucket/truncate/years are not this " +
-              "layout's spec language)")
+        // identity columns AND Iceberg's hidden-partitioning transforms
+        // (bucket/truncate/days/months/years/hours) — canonicalized
+        // here; an unknown transform spelling raises with the
+        // supported list (parseSpecField's message)
+        val field =
+          graft.pipeline.Snapshot.parseSpecField(fieldRaw.trim).raw
         val (ns, t) = graftTable(table, "ALTER TABLE … PARTITION FIELD")
         Some(
           if (verb.equalsIgnoreCase("add"))

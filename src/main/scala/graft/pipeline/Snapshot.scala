@@ -140,6 +140,12 @@ object Snapshot {
   private def morApply(spark: SparkSession, dir: String,
                        upTo: Long): DataFrame = {
     var df = spark.read.parquet(dir)
+    // hidden partitioning: derived transform fields (c_bucket, ts_day)
+    // exist only as directory fragments — reads drop them so the
+    // logical schema never carries them (and MOR sidecars, written in
+    // the logical schema, stay union-compatible)
+    val hidden = hiddenFieldNames(dir).filter(df.columns.contains)
+    if (hidden.nonEmpty) df = df.drop(hidden: _*)
     var pendingDeletes = List.empty[String]
     def flush(): Unit = if (pendingDeletes.nonEmpty) {
       val del = pendingDeletes.map(spark.read.parquet(_))
@@ -247,7 +253,7 @@ object Snapshot {
       return (0L, currentVersion(path).getOrElse(0L))
     val base = currentVersion(path)
     val applied = read(spark, path).localCheckpoint()
-    swapIn(path, keepVersions, Some(base)) { tmp =>
+    swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
       applied.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
     (collapsed, currentVersion(path).get)
@@ -290,8 +296,38 @@ object Snapshot {
     * dir cleaned up; the caller re-runs its statement against the new
     * live state (no blind retry here: a DML/MERGE result depends on
     * the base it read). */
+  /** Operation marker inside a snapshot dir (Iceberg's snapshot
+    * `operation` field: append / replace / overwrite / delete) —
+    * written by [[swapIn]], surfaced by `.snapshots`. */
+  private val OperationFile = "_graft_operation"
+
+  /** The operation that produced `version` (None for pre-marker
+    * commits; MOR commits read their sidecar marker). */
+  def operationOf(path: String, version: Long): Option[String] = {
+    val dir = retainedVersionDirs(path)
+      .collectFirst { case (v, d) if v == version => d }
+      .getOrElse(s"$path.v$version")
+    if (markerVersion(dir).contains(version)) {
+      val f = Paths.get(dir, OperationFile)
+      if (Files.exists(f))
+        Some(new String(Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      else None
+    } else {
+      val c = morRoot(dir).resolve(s"v$version").resolve("_commit")
+      if (!Files.exists(c)) None
+      else new String(Files.readAllBytes(c),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.collectFirst {
+          case l if l.startsWith("operation=") =>
+            l.stripPrefix("operation=")
+        }
+    }
+  }
+
   private def swapIn(path: String, keepVersions: Int,
-                     expectedBase: Option[Option[Long]] = None)
+                     expectedBase: Option[Option[Long]] = None,
+                     operation: String = "overwrite")
                     (write: Path => Unit): Unit = {
     val live = Paths.get(path)
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -307,6 +343,8 @@ object Snapshot {
       write(tmp)
       Files.write(tmp.resolve(VersionFile),
         next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.write(tmp.resolve(OperationFile),
+        operation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       commitLocks.getOrElseUpdate(path, new Object).synchronized {
         val now = currentVersion(path)
         if (now != cur)
@@ -429,6 +467,88 @@ object Snapshot {
 
   private def specFile(path: String) = Paths.get(path + ".pspec")
 
+  // Hidden-partitioning TRANSFORMS (Iceberg's spec language beyond
+  // identity): a spec entry is either a plain column or one of
+  //   bucket(N,col)    -> field `col_bucket`  = md5-derived hash % N
+  //   truncate(W,col)  -> field `col_trunc`   = substring / W-multiple
+  //   days(col)        -> field `col_day`     = the date
+  //   months(col)      -> field `col_month`   = 'yyyy-MM'
+  //   years(col)       -> field `col_year`    = the year
+  //   hours(col)       -> field `col_hour`    = 'yyyy-MM-dd-HH'
+  // The DERIVED field becomes the Hive fragment (`c_bucket=3/`), so
+  // pruning composes exactly like identity partitioning; the derived
+  // column is dropped again on every read (hidden — the logical schema
+  // never carries it). bucket() hashes through md5 so an external
+  // engine can recompute the fragment (('0x'||md5(c))::BIGINT % N),
+  // the same cross-engine discipline as the dedup family.
+
+  private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  private val TruncRe = """(?i)truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  private val TimeRe = """(?i)(days|months|years|hours)\(\s*(\w+)\s*\)""".r
+
+  /** One parsed spec entry: the canonical raw form, the partition
+    * FIELD name it writes, and the source column it reads. */
+  final case class SpecField(raw: String, name: String, source: String) {
+    def isIdentity: Boolean = raw == name
+  }
+
+  /** Parse + canonicalize a spec entry ("bucket(4, C)" or a plain
+    * column). Unknown transform spellings raise. */
+  def parseSpecField(entry: String): SpecField = entry.trim match {
+    case BucketRe(n, c) =>
+      SpecField(s"bucket($n,$c)", s"${c}_bucket", c)
+    case TruncRe(w, c) =>
+      SpecField(s"truncate($w,$c)", s"${c}_trunc", c)
+    case TimeRe(unit, c) =>
+      val u = unit.toLowerCase(java.util.Locale.ROOT)
+      SpecField(s"$u($c)", s"${c}_${u.stripSuffix("s")}", c)
+    case id if id.matches("""[\w]+""") => SpecField(id, id, id)
+    case other => throw new UnsupportedOperationException(
+      s"unsupported partition transform: '$other' (supported: " +
+        "identity columns, bucket(n,col), truncate(w,col), " +
+        "days/months/years/hours(col))")
+  }
+
+  /** The derived Column a transform entry writes (None for identity —
+    * the source column IS the field). Needs the frame's schema to pick
+    * the numeric-vs-string truncate arm. */
+  private def deriveColumn(f: SpecField,
+                           df: DataFrame): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    f.raw match {
+      case BucketRe(n, c) =>
+        // md5-derived bucket (cross-engine recomputable):
+        // first 8 md5 hex digits of the string form, mod N
+        Some(pmod(conv(substring(md5(col(c).cast("string")), 1, 8),
+          16, 10).cast("long"), lit(n.toInt)))
+      case TruncRe(w, c) =>
+        val width = w.toInt
+        df.schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            Some(substring(col(c), 1, width))
+          case _ => // Iceberg's numeric truncate: v - (v floor-mod W)
+            Some((col(c) - pmod(col(c), lit(width))).cast("long"))
+        }
+      case TimeRe(unit, c) =>
+        unit.toLowerCase(java.util.Locale.ROOT) match {
+          case "days"   => Some(to_date(col(c)))
+          case "months" => Some(date_format(col(c), "yyyy-MM"))
+          case "years"  => Some(year(col(c)))
+          case "hours"  => Some(date_format(col(c), "yyyy-MM-dd-HH"))
+        }
+      case _ => None
+    }
+  }
+
+  /** Derived (non-identity) partition FIELD names of the spec that
+    * governs `dir` — the columns reads must hide again. A historical
+    * `.vN` dir shares its table's sidecar spec. */
+  private def hiddenFieldNames(dir: String): Seq[String] = {
+    val tablePath = dir.replaceAll("""\.v\d+$""", "")
+    partitionSpec(tablePath).map(parseSpecField)
+      .filterNot(_.isIdentity).map(_.name)
+  }
+
   /** The CURRENT partition spec of `path` (ordered identity columns;
     * empty = unpartitioned). */
   def partitionSpec(path: String): Seq[String] = {
@@ -439,9 +559,12 @@ object Snapshot {
       .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** Replace the current spec (atomic tmp + rename; empty clears). */
+  /** Replace the current spec (atomic tmp + rename; empty clears).
+    * Entries are canonicalized transform strings or identity columns;
+    * duplicate FIELD names (e.g. two bucket(_, c) entries) raise. */
   def setPartitionSpec(path: String, cols: Seq[String]): Unit = {
-    require(cols.distinct == cols,
+    val names = cols.map(parseSpecField(_).name)
+    require(names.distinct == names,
       s"duplicate partition fields: ${cols.mkString(", ")}")
     val f = specFile(path)
     if (cols.isEmpty) Files.deleteIfExists(f)
@@ -455,25 +578,30 @@ object Snapshot {
   }
 
   /** `ALTER TABLE … ADD PARTITION FIELD field` — metadata-only append
-    * to the spec. @return the new spec */
+    * to the spec; `field` may be an identity column or a transform
+    * (`bucket(4,c)`, `days(ts)`, …), canonicalized before storage.
+    * @return the new spec */
   def addPartitionField(path: String, field: String): Seq[String] = {
+    val canon = parseSpecField(field)
     val cur = partitionSpec(path)
-    if (cur.contains(field))
+    if (cur.map(parseSpecField(_).name).contains(canon.name))
       throw new IllegalArgumentException(
-        s"partition field already exists: $field " +
+        s"partition field already exists: ${canon.name} " +
           s"(spec=${cur.mkString(",")})")
-    setPartitionSpec(path, cur :+ field)
+    setPartitionSpec(path, cur :+ canon.raw)
     partitionSpec(path)
   }
 
   /** `ALTER TABLE … DROP PARTITION FIELD field` — metadata-only
-    * removal. @return the new spec */
+    * removal, matched on the canonical form. @return the new spec */
   def dropPartitionField(path: String, field: String): Seq[String] = {
+    val canon = parseSpecField(field)
     val cur = partitionSpec(path)
-    if (!cur.contains(field))
+    if (!cur.exists(parseSpecField(_).name == canon.name))
       throw new java.util.NoSuchElementException(
         s"no such partition field: $field (spec=${cur.mkString(",")})")
-    setPartitionSpec(path, cur.filterNot(_ == field))
+    setPartitionSpec(path,
+      cur.filterNot(parseSpecField(_).name == canon.name))
     partitionSpec(path)
   }
 
@@ -487,10 +615,15 @@ object Snapshot {
     * Same atomic protocol as [[createOrReplace]]. */
   def createOrReplaceCurrentSpec(df: DataFrame, path: String,
                                  keepVersions: Int = 0): Unit = {
-    val spec = partitionSpec(path)
+    val fields = partitionSpec(path).map(parseSpecField)
     val order = sortOrder(path)
+    // transform entries materialize their derived field for the write
+    // (dropped again by every read — hidden partitioning)
+    val withDerived = fields.filterNot(_.isIdentity)
+      .foldLeft(df)((acc, f) => deriveColumn(f, df)
+        .map(c => acc.withColumn(f.name, c)).getOrElse(acc))
     val ordered =
-      if (order.isEmpty) df
+      if (order.isEmpty) withDerived
       else {
         // the spec columns PREFIX the sort: FileFormatWriter requires
         // its input ordered by the partition columns and injects its
@@ -498,19 +631,20 @@ object Snapshot {
         // (spec ++ order) satisfies that requirement as a prefix, so
         // the write keeps the within-partition sort (SnapshotSpec pins
         // the composition)
-        val exprs = spec.map(c =>
-          org.apache.spark.sql.functions.col(c).asc) ++
+        val exprs = fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).asc) ++
           order.map { case (c, asc) =>
             val col = org.apache.spark.sql.functions.col(c)
             if (asc) col.asc else col.desc
           }
-        df.repartitionByRange(exprs: _*).sortWithinPartitions(exprs: _*)
+        withDerived.repartitionByRange(exprs: _*)
+          .sortWithinPartitions(exprs: _*)
       }
     swapIn(path, keepVersions) { tmp =>
-      if (spec.isEmpty)
+      if (fields.isEmpty)
         ordered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       else ordered.write.mode(SaveMode.Overwrite)
-        .partitionBy(spec: _*).parquet(tmp.toString)
+        .partitionBy(fields.map(_.name): _*).parquet(tmp.toString)
     }
   }
 
@@ -549,8 +683,9 @@ object Snapshot {
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
-    if (morVersions(path).isEmpty) spark.read.parquet(path)
-    else morApply(spark, path, Long.MaxValue)
+    // morApply also on a sidecar-free dir: it is a plain scan then,
+    // plus the hidden-partitioning field drop every read owes
+    morApply(spark, path, Long.MaxValue)
 
   /** Table maintenance — small-file compaction (Iceberg's
     * `rewrite_data_files` capability over plain parquet): rewrite the
@@ -576,7 +711,7 @@ object Snapshot {
     val base = currentVersion(path)
     val compacted = read(spark, path).coalesce(targetFiles)
       .localCheckpoint()
-    swapIn(path, keepVersions, Some(base)) { tmp =>
+    swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
       compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
   }
@@ -597,7 +732,7 @@ object Snapshot {
       .repartitionByRange(targetFiles, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
       .localCheckpoint()
-    swapIn(path, keepVersions, Some(base)) { tmp =>
+    swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
       sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
   }
@@ -635,6 +770,9 @@ object Snapshot {
       val vm = Paths.get(dir, VersionFile)
       if (Files.exists(vm))
         copyPreservingMtime(vm, tmp.resolve(VersionFile))
+      val om = Paths.get(dir, OperationFile)
+      if (Files.exists(om))
+        copyPreservingMtime(om, tmp.resolve(OperationFile))
       // merge-on-read sidecars hold ROW CONTENT (equality-delete rows
       // and appended rows) — erasure must purge the subject there too,
       // or a deletes file would retain what the base no longer has
@@ -1091,7 +1229,7 @@ object Snapshot {
     val base = currentVersion(path)
     val applied = read(spark, path)
       .unionByName(branchDf.exceptAll(forkDf)).localCheckpoint()
-    swapIn(path, keepVersions, Some(base)) { tmp =>
+    swapIn(path, keepVersions, Some(base), operation = "append") { tmp =>
       applied.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
     deleteRecursively(dir)

@@ -871,6 +871,64 @@ FROM iceberg.silver.orders_current""")
                FROM iceberg.mor.orders ORDER BY o_orderkey""")
     }),
 
+    // S4++++++ (r11) — `.snapshots` now carries Iceberg's per-commit
+    // operation + summary: a copy-on-write create (overwrite), a
+    // merge-on-read DELETE (delete — zero data files added), and the
+    // sidecar compaction (replace) each label their row; record_count
+    // keeps the data-file semantics (the MOR delete does not shrink
+    // it, exactly Iceberg's total-records).
+    "q_snapshot_summary" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("snapsumq")
+        .toString + "/orders_sum"
+      graft.pipeline.Snapshot.createOrReplace(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")),
+        dir, keepVersions = 4)
+      new TableStore(s).registerSnapshot("sum", "orders", dir)
+      s.sql("""ALTER TABLE sum.orders SET TBLPROPERTIES(
+        'write.delete.mode'='merge-on-read')""")
+      s.sql("DELETE FROM sum.orders WHERE o_orderstatus = 'F'")
+      s.sql("CALL iceberg.system.rewrite_position_delete_files(" +
+        "table => 'sum.orders')")
+      s.sql("""SELECT version, is_current, operation, record_count
+               FROM sum.orders.snapshots ORDER BY version""")
+    }),
+
+    // S12++ (r11) — HIDDEN-PARTITIONING transforms end-to-end, from
+    // day one like Iceberg: CREATE TABLE … PARTITIONED BY
+    // (years(ts), bucket(4,key)) records the spec before the table has
+    // a layout, registerSnapshot applies it, and the first spec-aware
+    // commit lays down derived Hive fragments
+    // (`o_orderdate_year=1995/o_custkey_bucket=3`). The derived fields
+    // are dropped on every read (the logical schema never carries
+    // them), and the fragment values are cross-engine recomputable —
+    // year() for the time transform, md5-derived hash % N for the
+    // bucket — which is exactly what the oracle does.
+    "q_partition_transforms" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("ptransq")
+        .toString + "/orders_pt"
+      s.sql("""CREATE TABLE IF NOT EXISTS iceberg.pt.orders (
+                 o_orderkey BIGINT, o_custkey BIGINT,
+                 o_orderdate TIMESTAMP_NTZ, o_totalprice DOUBLE)
+               USING iceberg
+               PARTITIONED BY (years(o_orderdate),
+                               bucket(4, o_custkey))""")
+      new TableStore(s).registerSnapshot("pt", "orders", dir)
+      require(graft.pipeline.Snapshot.partitionSpec(dir) ==
+        Seq("years(o_orderdate)", "bucket(4,o_custkey)"),
+        "the CREATE-time spec must reach the layout at registration")
+      graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice")),
+        dir, keepVersions = 2)
+      // reads hide the derived fields: logical schema only
+      require(s.sql("SELECT * FROM pt.orders").columns.toSeq ==
+        Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        "derived partition fields must stay hidden from reads")
+      s.sql("""SELECT partition, record_count
+               FROM pt.orders.partitions ORDER BY partition""")
+    }),
+
     // S4+++++++ (r07) — spark.wap.branch session mode end-to-end: the
     // low half of orders is live, the session pins a WAP branch, the
     // top half lands via plain INSERT (staged, live untouched —
@@ -1614,6 +1672,35 @@ FROM iceberg.silver.orders_current""")
                   ELSE o_orderpriority END AS o_orderpriority
       FROM orders WHERE o_orderstatus <> 'F'
       ORDER BY o_orderkey""",
+
+    // per-commit operation labels + data-file record counts: v1 the
+    // full table (overwrite), v2 the MOR delete (delete — data files
+    // unchanged), v3 the compaction (replace — now without 'F' rows)
+    "q_snapshot_summary" -> """
+      WITH n_all AS (SELECT count(*) AS n FROM orders),
+      n_kept AS (SELECT count(*) AS n FROM orders
+                 WHERE o_orderstatus <> 'F')
+      SELECT CAST(1 AS BIGINT) AS version, false AS is_current,
+             'overwrite' AS operation,
+             (SELECT n FROM n_all) AS record_count
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), false, 'delete',
+             (SELECT n FROM n_all)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), true, 'replace',
+             (SELECT n FROM n_kept)
+      ORDER BY version""",
+
+    // the derived fragments recomputed relationally: year() for the
+    // time transform, the md5-derived hash % 4 for the bucket
+    "q_partition_transforms" -> """
+      SELECT 'o_orderdate_year=' || CAST(year(o_orderdate) AS VARCHAR)
+               || '/o_custkey_bucket=' ||
+               CAST(('0x' || md5(CAST(o_custkey AS VARCHAR))[1:8])::BIGINT
+                 % 4 AS VARCHAR) AS partition,
+             count(*) AS record_count
+      FROM orders
+      GROUP BY 1 ORDER BY 1""",
 
     // DELETE → UPDATE → MERGE recomputed relationally: what the
     // merge-on-read sidecar chain must be indistinguishable from

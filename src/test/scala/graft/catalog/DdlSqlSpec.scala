@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, current_timestamp, max, min}
+import org.apache.spark.sql.functions.{col, conv, current_timestamp, lit, max, md5, min, pmod, substring}
 
 /** The reference's DDL statements executed VERBATIM through `spark.sql`
   * (`/root/reference/jobs/ingest_orders_raw.py:22-34`,
@@ -454,11 +454,41 @@ FROM iceberg.silver.orders_current""")
     spark.sql("ALTER TABLE evo.t DROP PARTITION FIELD SUB")
     assert(graft.pipeline.Snapshot.partitionSpec(dir) == Seq("grp"))
 
-    // Iceberg transform spellings are rejected with a clear message,
-    // not a parser error
+    // hidden-partitioning transforms (r11): bucket lays down an
+    // md5-derived fragment at the next commit and reads hide the
+    // derived field again
+    spark.sql("ALTER TABLE evo.t ADD PARTITION FIELD bucket(4, v)")
+    assert(graft.pipeline.Snapshot.partitionSpec(dir) ==
+      Seq("grp", "bucket(4,v)"))
+    graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+      df, dir, keepVersions = 2)
+    val frags = spark.sql("SHOW PARTITIONS evo.t")
+      .as[String].collect().toSeq
+    assert(frags.forall(f => f.matches("grp=[ab]/v_bucket=\\d")), frags)
+    // the derived field is HIDDEN: only the logical columns remain
+    // (the identity partition col trails, Hive-layout reads' standard
+    // order; the point is v_bucket is gone)
+    assert(spark.sql("SELECT * FROM evo.t").columns.toSeq ==
+      Seq("sub", "v", "grp"))
+    // and the fragment value is recomputable: md5-derived hash % 4
+    val expect = df.select(col("v"),
+      pmod(conv(substring(md5(col("v").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(4)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    frags.foreach { f =>
+      val b = f.split("/")(1).stripPrefix("v_bucket=").toLong
+      assert(expect.values.toSet.contains(b))
+    }
+    spark.sql("ALTER TABLE evo.t DROP PARTITION FIELD bucket(4, v)")
+    assert(graft.pipeline.Snapshot.partitionSpec(dir) == Seq("grp"))
+    graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+      df, dir, keepVersions = 2)
+
+    // an UNKNOWN transform spelling is rejected with the supported
+    // list, not a parser error
     val e1 = intercept[UnsupportedOperationException] {
-      spark.sql("ALTER TABLE evo.t ADD PARTITION FIELD bucket(4, v)") }
-    assert(e1.getMessage.contains("identity columns only"))
+      spark.sql("ALTER TABLE evo.t ADD PARTITION FIELD zorder(v, sub)") }
+    assert(e1.getMessage.contains("unsupported partition transform"))
     // unknown column rejected against the live schema
     val e2 = intercept[IllegalArgumentException] {
       spark.sql("ALTER TABLE evo.t ADD PARTITION FIELD nope") }
