@@ -204,9 +204,9 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         // snapshot that was current at the instant (same resolution as
         // TIMESTAMP AS OF travel), as a new commit.
         val micros = cutoffMicros(required("timestamp", 1))
-        val versions =
-          (graft.pipeline.Snapshot.historicalVersions(path) ++
-            graft.pipeline.Snapshot.currentVersion(path)).sorted
+        // MOR commits included — any retained version can be current
+        // at the instant
+        val versions = graft.pipeline.Snapshot.retainedVersions(path)
         val target = versions.filter(v => graft.pipeline.Snapshot
           .committedAt(path, v).exists(_ <= micros))
         if (target.isEmpty)
@@ -327,10 +327,9 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
       case "ancestors_of" =>
         // Iceberg returns the current snapshot's ancestor chain newest
         // first; in this linear-history layout that is every retained
-        // version, descending.
-        (graft.pipeline.Snapshot.historicalVersions(path) ++
-          graft.pipeline.Snapshot.currentVersion(path))
-          .sorted.reverse.map { v =>
+        // version (merge-on-read commits included), descending.
+        graft.pipeline.Snapshot.retainedVersions(path)
+          .reverse.map { v =>
             val ts = graft.pipeline.Snapshot.committedAt(path, v)
               .map(us => java.sql.Timestamp.from(
                 java.time.Instant.ofEpochSecond(us / 1000000L,

@@ -275,8 +275,10 @@ case class GraftDescribeTableCommand(ns: String, name: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val store = new TableStore(spark)
     val snapPath = store.snapshotPath(ns, name)
+    // Snapshot.read, not a raw scan: the logical schema (hidden
+    // partitioning's derived fields dropped)
     val df = snapPath
-      .map(p => spark.read.parquet(p))
+      .map(p => graft.pipeline.Snapshot.read(spark, p))
       .getOrElse(store.table(ns, name))
     val schemaRows = df.schema.fields.toSeq.map(f =>
       Row(f.name, f.dataType.simpleString,
@@ -400,7 +402,7 @@ case class GraftShowCreateTableCommand(ns: String, name: String)
       s"CREATE VIEW iceberg.$ns.$name AS <stored query>"
     } else {
       val df = store.snapshotPath(ns, name)
-        .map(p => spark.read.parquet(p))
+        .map(p => graft.pipeline.Snapshot.read(spark, p))
         .getOrElse(store.table(ns, name))
       val cols = df.schema.fields
         .map(f => s"  ${f.name} ${f.dataType.sql}")

@@ -248,8 +248,24 @@ case class GraftInsertCommand(ns: String, name: String,
         }
       }
     val rows = src.select(aligned: _*)
-    GraftDml.commit(spark, Seq(ns, name),
-      if (insert.overwrite) rows else target.union(rows))
+    // FAST APPEND: on a table opted into merge-on-read (any
+    // write.<op>.mode), a plain INSERT INTO commits an append-only
+    // sidecar — new data files beside the untouched base, Iceberg's
+    // appends-never-rewrite behavior — instead of the union rewrite.
+    // INSERT OVERWRITE replaces content and stays copy-on-write.
+    val fastAppend =
+      if (insert.overwrite) None
+      else Seq("merge", "update", "delete").view
+        .flatMap(op => GraftDml.morPath(spark, Seq(ns, name), op))
+        .headOption
+    fastAppend match {
+      case Some(p) =>
+        graft.pipeline.Snapshot.morCommit(spark, p,
+          deletes = None, appends = Some(rows), operation = "append")
+      case None =>
+        GraftDml.commit(spark, Seq(ns, name),
+          if (insert.overwrite) rows else target.union(rows))
+    }
     Seq.empty
   }
 }

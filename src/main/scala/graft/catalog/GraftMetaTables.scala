@@ -56,7 +56,8 @@ object GraftMetaTables {
 
   private val MetaNames =
     Set("history", "snapshots", "files", "partitions", "all_files",
-      "refs", "manifests", "all_manifests", "metadata_log_entries")
+      "refs", "manifests", "all_manifests", "metadata_log_entries",
+      "delete_files")
 
   def lookup(session: SparkSession,
              parts: Seq[String]): Option[LogicalPlan] = {
@@ -188,6 +189,32 @@ object GraftMetaTables {
               }
               import session.implicits._
               rows.toDF("timestamp", "file", "latest_snapshot_id")
+            case "delete_files" =>
+              // Iceberg's delete_files table: one row per DELETE file
+              // of the current snapshot — content 2 = equality deletes
+              // (this layout's only delete-file kind; positions are
+              // the rows themselves). Same per-component `_metadata`
+              // stats shape as `files`.
+              val v = live.getOrElse(
+                throw new java.util.NoSuchElementException(
+                  s"${key.mkString(".")} has no live snapshot version"))
+              val dirs = graft.pipeline.Snapshot.deleteDirsAsOf(path, v)
+              if (dirs.isEmpty) {
+                import session.implicits._
+                Seq.empty[(Int, String, String, Long, Long)]
+                  .toDF("content", "file_path", "file_format",
+                    "record_count", "file_size_in_bytes")
+              } else dirs.map { dir =>
+                session.read.parquet(dir)
+                  .select(col("_metadata.file_path").as("file_path"),
+                    col("_metadata.file_size")
+                      .as("file_size_in_bytes"))
+                  .groupBy("file_path", "file_size_in_bytes")
+                  .agg(count(lit(1)).as("record_count"))
+                  .select(lit(2).as("content"), col("file_path"),
+                    lit("parquet").as("file_format"),
+                    col("record_count"), col("file_size_in_bytes"))
+              }.reduce(_ unionAll _)
             case "refs" =>
               // staged branches report their FORK version (the live
               // version they were written against) until publish

@@ -181,6 +181,15 @@ object Snapshot {
       .filter(Files.isDirectory(_)).map(_.toString)
   }
 
+  /** The equality-delete sidecar dirs visible at `version` of `path` —
+    * the `.delete_files` metadata table's listing unit. */
+  def deleteDirsAsOf(path: String, version: Long): Seq[String] = {
+    val dir = serveDir(path, version)
+    morVersions(dir).filter(_ <= version)
+      .map(v => morRoot(dir).resolve(s"v$v").resolve("deletes"))
+      .filter(Files.isDirectory(_)).map(_.toString)
+  }
+
   /** The dir that serves `version` of `path` (live or historical),
     * raising the standard no-such-version error otherwise. */
   private def serveDir(path: String, version: Long): String =

@@ -871,6 +871,26 @@ FROM iceberg.silver.orders_current""")
                FROM iceberg.mor.orders ORDER BY o_orderkey""")
     }),
 
+    // S4++++++ (r11) — Iceberg's `.delete_files` metadata table over
+    // the MOR sidecars: after a merge-on-read DELETE, the equality-
+    // delete files (content 2) list with their record counts — rolled
+    // up by content so the numbers are layout-independent.
+    "q_delete_files" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("delfq")
+        .toString + "/orders_df"
+      graft.pipeline.Snapshot.createOrReplace(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")),
+        dir, keepVersions = 3)
+      new TableStore(s).registerSnapshot("morf", "orders", dir)
+      s.sql("""ALTER TABLE morf.orders SET TBLPROPERTIES(
+        'write.delete.mode'='merge-on-read')""")
+      s.sql("DELETE FROM morf.orders WHERE o_orderstatus = 'F'")
+      s.sql("""SELECT content, CAST(sum(record_count) AS BIGINT)
+                 AS records
+               FROM morf.orders.delete_files GROUP BY content""")
+    }),
+
     // S4++++++ (r11) — `.snapshots` now carries Iceberg's per-commit
     // operation + summary: a copy-on-write create (overwrite), a
     // merge-on-read DELETE (delete — zero data files added), and the
@@ -1672,6 +1692,11 @@ FROM iceberg.silver.orders_current""")
                   ELSE o_orderpriority END AS o_orderpriority
       FROM orders WHERE o_orderstatus <> 'F'
       ORDER BY o_orderkey""",
+
+    // one equality-delete commit: content 2, records = the matched set
+    "q_delete_files" -> """
+      SELECT 2 AS content, count(*) AS records
+      FROM orders WHERE o_orderstatus = 'F'""",
 
     // per-commit operation labels + data-file record counts: v1 the
     // full table (overwrite), v2 the MOR delete (delete — data files

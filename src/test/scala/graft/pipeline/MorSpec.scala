@@ -189,6 +189,9 @@ class MorSpec extends SparkSpec {
         WHEN MATCHED THEN UPDATE SET payload = s.np
         WHEN NOT MATCHED THEN INSERT (id, grp, payload)
           VALUES (s.k, CAST(9 AS INT), s.np)""")
+      // plain INSERT INTO: the MOR table takes the FAST-APPEND sidecar
+      // path (Iceberg's appends-never-rewrite), the CoW twin rewrites
+      spark.sql(s"INSERT INTO $t VALUES (CAST(200 AS BIGINT), 7, 'ins')")
     }
     val a = spark.sql("SELECT * FROM twin.cow ORDER BY id")
       .collect().toSeq
@@ -196,18 +199,29 @@ class MorSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b, "MOR DML must read back identical to copy-on-write")
 
-    // MOR table took the sidecar path: 3 stacked commits, base intact
-    assert(Snapshot.morVersions(mor) == Seq(2L, 3L, 4L))
-    // CoW table rewrote: no sidecars, version also at 4
+    // MOR table took the sidecar path: 4 stacked commits, base intact
+    assert(Snapshot.morVersions(mor) == Seq(2L, 3L, 4L, 5L))
+    assert(Snapshot.operationOf(mor, 5L).contains("append"))
+    // CoW table rewrote: no sidecars, version also at 5
     assert(Snapshot.morVersions(cow).isEmpty)
-    assert(Snapshot.currentVersion(cow).contains(4L))
+    assert(Snapshot.currentVersion(cow).contains(5L))
 
     // metadata tables see the MOR commits as first-class rows
     val hist = spark.sql(
       "SELECT version, is_current FROM twin.mor.history ORDER BY 1")
       .as[(Long, Boolean)].collect().toSeq
     assert(hist == Seq((1L, false), (2L, false), (3L, false),
-      (4L, true)))
+      (4L, false), (5L, true)))
+
+    // .delete_files (Iceberg's table of the same name): equality
+    // deletes (content 2) summing to the 24 distinct rows the
+    // DELETE (10) + UPDATE (10) + MERGE (4 matched) removed
+    val delFiles = spark.sql(
+      "SELECT content, record_count FROM twin.mor.delete_files")
+      .as[(Int, Long)].collect()
+    assert(delFiles.nonEmpty && delFiles.forall(_._1 == 2))
+    assert(delFiles.map(_._2).sum == 24L,
+      s"expected 24 equality-delete rows, got ${delFiles.toSeq}")
     val snaps = spark.sql("SELECT version, record_count FROM " +
       "twin.mor.snapshots ORDER BY version")
       .as[(Long, Long)].collect().toMap
@@ -223,12 +237,21 @@ class MorSpec extends SparkSpec {
       ".files must list merge-on-read append files")
     assert(files.exists(!_.contains("/_mor/")))
 
+    // lineage sees the MOR commits: newest-first, all five versions
+    val anc = spark.sql(
+      "CALL iceberg.system.ancestors_of(table => 'twin.mor')")
+      .select("snapshot_id").as[Long].collect().toSeq
+    assert(anc == Seq(5L, 4L, 3L, 2L, 1L))
+
     // compaction through the verbatim CALL surface
     val res = spark.sql("CALL iceberg.system." +
       "rewrite_position_delete_files(table => 'twin.mor')")
       .collect().head
     assert(res.getLong(0) >= 2L && res.getLong(1) == 0L)
     assert(Snapshot.morVersions(mor).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM twin.mor.delete_files")
+      .head().getLong(0) == 0L,
+      "a compacted table has no delete files")
     assert(spark.sql("SELECT * FROM twin.mor ORDER BY id")
       .collect().toSeq == a)
 
