@@ -75,6 +75,39 @@ object SoakMor {
         s""""cow_delete_sec":$tCow,"mor_read_sec":$tRead}"""
     }
     println(s"""{"soak":"mor_delete",${out.mkString(",")}}""")
+
+    // READ-AMPLIFICATION curve: stack N 1-row MOR deletes on one
+    // table and read back at checkpoints — the merge tax grows with
+    // sidecar count (each non-adjacent delete run is an anti-join),
+    // and rewrite_position_delete_files resets it. The operational
+    // rule this measures: compact when the read tax crosses the
+    // rewrite's amortized cost.
+    val root = java.nio.file.Files.createTempDirectory("smstack")
+    val dir = s"$root/t"
+    graft.pipeline.Snapshot.createOrReplace(base, dir, keepVersions = 2)
+    store.registerSnapshot("soakmor", "stack", dir)
+    spark.sql("""ALTER TABLE soakmor.stack SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read')""")
+    val checkpoints = Set(1, 5, 10, 25, 50)
+    val curve = (1 to 50).flatMap { i =>
+      spark.sql(s"DELETE FROM soakmor.stack WHERE o_orderkey = $i")
+      if (!checkpoints(i)) None
+      else {
+        val t0 = System.nanoTime()
+        spark.sql("SELECT count(*) FROM soakmor.stack").collect()
+        Some(s""""d$i":${(System.nanoTime() - t0) / 1e9}""")
+      }
+    }
+    val t0 = System.nanoTime()
+    spark.sql("CALL iceberg.system.rewrite_position_delete_files(" +
+      "table => 'soakmor.stack')")
+    val tCompact = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    spark.sql("SELECT count(*) FROM soakmor.stack").collect()
+    val tAfter = (System.nanoTime() - t1) / 1e9
+    println(s"""{"soak":"mor_read_amplification",""" +
+      s"""${curve.mkString(",")},"compact_sec":$tCompact,""" +
+      s""""read_after_compact_sec":$tAfter}""")
     spark.stop()
   }
 }

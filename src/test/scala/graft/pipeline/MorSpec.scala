@@ -134,6 +134,44 @@ class MorSpec extends SparkSpec {
     assert(Snapshot.rewritePositionDeletes(spark, dir, 5) == ((0L, 4L)))
   }
 
+  test("plan pins: the equality-delete anti-join BROADCASTS its tiny " +
+    "build side, and a source-column filter on a transform-partitioned " +
+    "table still pushes to the scan (row-group pruning composes)") {
+    // MOR read plan: base scan LEFT ANTI delete-sidecar — the delete
+    // frame is KBs, so AQE must broadcast it, never shuffle the table
+    val dir = tmpTable("morplan")
+    Snapshot.createOrReplace(
+      (1 to 20000).map(i => (i.toLong, s"p$i")).toDF("id", "tag"),
+      dir, keepVersions = 2)
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq((7L, "p7"), (8L, "p8")).toDF("id", "tag")),
+      appends = None, "delete")
+    val read = Snapshot.read(spark, dir)
+    read.collect()
+    val plan = read.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"the MOR merge must be a broadcast anti-join:\n$plan")
+
+    // hidden partitioning: the derived field is invisible, but a
+    // filter on the SOURCE column still reaches the scan as a pushed
+    // filter — with days()/years() clustering, parquet min/max stats
+    // prune the same files directory pruning would have
+    val pdir = tmpTable("ptplan")
+    Snapshot.setPartitionSpec(pdir, Seq("bucket(4,id)"))
+    Snapshot.createOrReplaceCurrentSpec(
+      (1 to 20000).map(i => (i.toLong, s"p$i")).toDF("id", "tag"), pdir)
+    val filtered = Snapshot.read(spark, pdir).filter(col("id") === 42L)
+    // formatted explain carries the PushedFilters detail
+    val explained = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedFilters") &&
+      explained.contains("EqualTo(id,42)"),
+      s"source-column filter must push to the scan:\n$explained")
+    assert(filtered.count() == 1L)
+  }
+
   test("erase purges the subject from MOR sidecars too (equality-" +
     "delete files carry row content) and keeps commit instants") {
     val dir = tmpTable("mor4")
