@@ -81,7 +81,10 @@ private[catalog] object GraftDml {
           graft.pipeline.Snapshot.writeBranch(
             next.localCheckpoint(), p, branch)
         case None =>
-          graft.pipeline.Snapshot.createOrReplace(next, p,
+          // spec-aware: a partitioned/write-ordered table keeps its
+          // layout across row-level DML (plain createOrReplace would
+          // silently flatten the Hive fragments)
+          graft.pipeline.Snapshot.createOrReplaceCurrentSpec(next, p,
             keepVersions =
               graft.pipeline.Snapshot.historicalVersions(p).size + 1)
       }

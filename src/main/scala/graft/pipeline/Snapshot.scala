@@ -262,8 +262,17 @@ object Snapshot {
       return (0L, currentVersion(path).getOrElse(0L))
     val base = currentVersion(path)
     val applied = read(spark, path).localCheckpoint()
+    // spec-aware write: a partitioned table's compaction must lay the
+    // merged state back down under its partition spec
+    val fields = partitionSpec(path).map(parseSpecField)
+    val withDerived = fields.filterNot(_.isIdentity)
+      .foldLeft(applied)((acc, f) => deriveColumn(f, applied)
+        .map(c => acc.withColumn(f.name, c)).getOrElse(acc))
     swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
-      applied.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (fields.isEmpty)
+        applied.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      else withDerived.write.mode(SaveMode.Overwrite)
+        .partitionBy(fields.map(_.name): _*).parquet(tmp.toString)
     }
     (collapsed, currentVersion(path).get)
   }

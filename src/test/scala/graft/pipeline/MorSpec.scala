@@ -172,6 +172,44 @@ class MorSpec extends SparkSpec {
     assert(filtered.count() == 1L)
   }
 
+  test("a partitioned table KEEPS its layout through row-level DML " +
+    "and MOR compaction (spec-aware commits, never a flat rewrite)") {
+    TableStore.reset(spark)
+    val dir = tmpTable("morpart")
+    Snapshot.setPartitionSpec(dir, Seq("grp"))
+    Snapshot.createOrReplaceCurrentSpec(
+      (1 to 40).map(i => (i.toLong, s"g${i % 4}", s"p$i"))
+        .toDF("id", "grp", "payload"),
+      dir, keepVersions = 3)
+    new TableStore(spark).registerSnapshot("mp", "t", dir)
+    val frags = spark.sql("SHOW PARTITIONS mp.t")
+      .as[String].collect().toSet
+    assert(frags == Set("grp=g0", "grp=g1", "grp=g2", "grp=g3"))
+
+    // copy-on-write UPDATE (no MOR property): the commit re-lays the
+    // partition dirs
+    spark.sql("UPDATE mp.t SET payload = concat(payload, '!') " +
+      "WHERE grp = 'g1'")
+    assert(spark.sql("SHOW PARTITIONS mp.t")
+      .as[String].collect().toSet == frags,
+      "CoW DML must keep the Hive layout")
+
+    // MOR delete + compaction: sidecar first, layout restored by the
+    // spec-aware rewrite
+    spark.sql("""ALTER TABLE mp.t SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read')""")
+    spark.sql("DELETE FROM mp.t WHERE id = 3")
+    assert(Snapshot.morVersions(dir).nonEmpty)
+    spark.sql("CALL iceberg.system.rewrite_position_delete_files(" +
+      "table => 'mp.t')")
+    assert(Snapshot.morVersions(dir).isEmpty)
+    assert(spark.sql("SHOW PARTITIONS mp.t")
+      .as[String].collect().toSet == frags,
+      "MOR compaction must keep the Hive layout")
+    assert(spark.sql("SELECT count(*) FROM mp.t")
+      .head().getLong(0) == 39L)
+  }
+
   test("erase purges the subject from MOR sidecars too (equality-" +
     "delete files carry row content) and keeps commit instants") {
     val dir = tmpTable("mor4")
