@@ -327,10 +327,12 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
       case "ancestors_of" =>
         // Iceberg returns the current snapshot's ancestor chain newest
         // first; in this linear-history layout that is every retained
-        // version (merge-on-read commits included), descending.
-        graft.pipeline.Snapshot.retainedVersions(path)
-          .reverse.map { v =>
-            val ts = graft.pipeline.Snapshot.committedAt(path, v)
+        // version (merge-on-read commits included), descending. The
+        // version→dir map resolves ONCE — per-version commit instants
+        // then read O(1) each (O(V) total, the SoakVersions contract).
+        graft.pipeline.Snapshot.retainedVersionDirs(path)
+          .reverse.map { case (v, d) =>
+            val ts = graft.pipeline.Snapshot.committedAtIn(d, v)
               .map(us => java.sql.Timestamp.from(
                 java.time.Instant.ofEpochSecond(us / 1000000L,
                   (us % 1000000L) * 1000L)))

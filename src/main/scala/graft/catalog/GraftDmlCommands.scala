@@ -117,7 +117,11 @@ private[catalog] object GraftDml {
     if (TableStore.registry(spark).contains(key) ||
         wapBranch(spark).nonEmpty) None
     else new TableStore(spark).snapshotPath(key.head, key(1))
-      .filter { _ =>
+      .filter { p =>
+        // a markerless dir (adopted via register_table over plain
+        // parquet) has no version to stack sidecars on — fall back to
+        // copy-on-write, which stamps the first marker
+        graft.pipeline.Snapshot.currentVersion(p).isDefined &&
         scala.util.Try(
           new TableStore(spark).properties(key.head, key(1))).toOption
           .flatMap(_.get(s"write.$op.mode"))

@@ -74,8 +74,15 @@ object GraftMetaTables {
         TableStore.state(session).snapshotPaths.get(key).map { path =>
           val live = graft.pipeline.Snapshot.currentVersion(path)
           // merge-on-read commits included: a dir serves every version
-          // stacked on its base, and each is a real commit row
-          val versions = graft.pipeline.Snapshot.retainedVersions(path)
+          // stacked on its base, and each is a real commit row. The
+          // version→dir map is resolved ONCE; the per-version reads
+          // below use the `…In` variants so a V-version listing does
+          // O(V) filesystem work, not O(V²) re-resolution.
+          val verDirs =
+            graft.pipeline.Snapshot.retainedVersionDirs(path)
+          val versions = verDirs.map(_._1)
+          def dirOf(v: Long): String =
+            verDirs.collectFirst { case (vv, d) if vv == v => d }.get
           val plan: DataFrame = meta match {
             case "history" =>
               // every column is driver-known (version, currency, the
@@ -84,10 +91,10 @@ object GraftMetaTables {
               // analysis cost is super-linear in the version count
               // (measured: 87 s at 1,000 retained versions vs 0.1 s
               // for this shape — the SoakVersions finding)
-              val rows = versions.map { v =>
+              val rows = verDirs.map { case (v, d) =>
                 // Iceberg's made_current_at: the commit instant from
                 // the version marker (null for a pre-versioning dir)
-                val at = graft.pipeline.Snapshot.committedAt(path, v)
+                val at = graft.pipeline.Snapshot.committedAtIn(d, v)
                   .map(us => java.sql.Timestamp.from(
                     java.time.Instant.ofEpochSecond(us / 1000000L,
                       (us % 1000000L) * 1000L))).orNull
@@ -104,23 +111,25 @@ object GraftMetaTables {
               // previous per-version count-plan union hit the same
               // super-linear analysis cost the SoakVersions run caught
               // on history)
-              val rows = versions.map { v =>
-                val at = graft.pipeline.Snapshot.committedAt(path, v)
+              val rows = verDirs.map { case (v, d) =>
+                val at = graft.pipeline.Snapshot.committedAtIn(d, v)
                   .map(us => java.sql.Timestamp.from(
                     java.time.Instant.ofEpochSecond(us / 1000000L,
                       (us % 1000000L) * 1000L))).orNull
                 // DATA-file records as of v (base + appends sidecars;
                 // equality deletes tracked as files, not subtracted —
                 // Iceberg's total-records reads the same way from
-                // manifests)
-                val dirs = graft.pipeline.Snapshot.dataDirsAsOf(path, v)
-                val cnt = dirs.map(footerRecordCount(session, _)).sum
+                // manifests). One walk per component dir yields file
+                // count AND footer records together.
+                val stats = graft.pipeline.Snapshot.dataDirsIn(d, v)
+                  .map(footerStats(session, _))
+                val cnt = stats.map(_._1).sum
+                val files = stats.map(_._2).sum
                 // Iceberg's snapshot operation + summary map
                 // (operation / total-records / total-data-files —
                 // driver-known, no data read beyond the footers above)
-                val op = graft.pipeline.Snapshot.operationOf(path, v)
+                val op = graft.pipeline.Snapshot.operationOfIn(d, v)
                   .getOrElse("overwrite")
-                val files = dirs.map(parquetFileCount).sum
                 (v, live.contains(v), at, cnt, op,
                   s"total-records=$cnt,total-data-files=$files")
               }
@@ -139,12 +148,13 @@ object GraftMetaTables {
                 .agg(sum("record_count").as("record_count"),
                   count(lit(1)).as("file_count"))
             case "all_files" =>
-              versions.map(v =>
-                filesOf(session, path, v)
+              verDirs.map { case (v, d) =>
+                filesOfDirs(session,
+                  graft.pipeline.Snapshot.dataDirsIn(d, v))
                   .select(lit(v).as("version") +: Seq("file_path",
                     "file_format", "partition", "record_count",
-                    "file_size_in_bytes").map(col): _*))
-                .reduce(_ unionAll _)
+                    "file_size_in_bytes").map(col): _*)
+              }.reduce(_ unionAll _)
             case "manifests" =>
               // This layout's manifest unit is the partition DIRECTORY
               // (Iceberg's is an avro manifest file): one row per
@@ -160,31 +170,30 @@ object GraftMetaTables {
             case "all_manifests" =>
               // manifests across EVERY retained version (Iceberg's
               // all_manifests), leading version column like all_files
-              versions.map(v =>
-                filesOf(session, path, v)
+              verDirs.map { case (v, d) =>
+                filesOfDirs(session,
+                  graft.pipeline.Snapshot.dataDirsIn(d, v))
                   .groupBy(lit(v).as("version"),
                     col("partition").as("path"))
                   .agg(sum("file_size_in_bytes").as("length"),
                     count(lit(1)).as("added_data_files_count"),
-                    sum("record_count").as("added_rows_count")))
-                .reduce(_ unionAll _)
+                    sum("record_count").as("added_rows_count"))
+              }.reduce(_ unionAll _)
             case "metadata_log_entries" =>
               // Iceberg's metadata-log: one row per retained commit —
               // (timestamp, file, latest_snapshot_id). The "metadata
               // file" of this layout is the version marker inside each
               // snapshot dir (a MOR commit's is its sidecar marker);
               // the commit instant is its mtime.
-              val rows = versions.map { v =>
-                val at = graft.pipeline.Snapshot.committedAt(path, v)
+              val rows = verDirs.map { case (v, d) =>
+                val at = graft.pipeline.Snapshot.committedAtIn(d, v)
                   .map(us => java.sql.Timestamp.from(
                     java.time.Instant.ofEpochSecond(us / 1000000L,
                       (us % 1000000L) * 1000L))).orNull
-                val dir = graft.pipeline.Snapshot
-                  .dataDirsAsOf(path, v).head
                 val file =
-                  if (graft.pipeline.Snapshot.morVersions(dir)
-                      .contains(v)) s"$dir/_mor/v$v/_commit"
-                  else s"$dir/_graft_version"
+                  if (graft.pipeline.Snapshot.morVersions(d)
+                      .contains(v)) s"$d/_mor/v$v/_commit"
+                  else s"$d/_graft_version"
                 (at, file, v)
               }
               import session.implicits._
@@ -233,32 +242,12 @@ object GraftMetaTables {
       }
   }
 
-  /** Data-file count of ONE component dir (top level — a base dir's
-    * nested partition dirs count via recursion, `_mor` excluded by the
-    * same rule as the footer walk). */
-  private def parquetFileCount(dir: String): Long = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) 0L
-    else {
-      val rootInMor = dir.contains("/_mor/")
-      val s = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.count { f =>
-          val n = f.getFileName.toString
-          n.endsWith(".parquet") && !n.startsWith(".") &&
-            (rootInMor || !f.toString.contains("/_mor/"))
-        }.toLong
-      } finally s.close()
-    }
-  }
-
-  /** Total row count of a snapshot dir from parquet FOOTER metadata
-    * (row-group headers; data pages never read) — recursive walk so
-    * Hive-partitioned layouts count too. The driver-side twin of
+  /** (footer record total, data-file count) of ONE component dir in a
+    * SINGLE recursive walk — parquet FOOTER metadata only (row-group
+    * headers; data pages never read), the driver-side twin of
     * Iceberg's manifest record counts. */
-  private def footerRecordCount(session: SparkSession,
-                                dir: String): Long = {
+  private def footerStats(session: SparkSession,
+                          dir: String): (Long, Long) = {
     // list through the Hadoop FileSystem API with the SAME conf the
     // footers are opened with (java.nio walking only resolves local
     // paths — the two schemes disagree for any non-local filesystem),
@@ -268,27 +257,29 @@ object GraftMetaTables {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
     // merge-on-read sidecars under _mor are separate components —
-    // counted (or not) by the caller via dataDirsAsOf, never by
+    // counted (or not) by the caller via dataDirsIn, never by
     // recursing from a BASE dir (a root that is itself a sidecar dir
     // contains _mor in its own path and is counted as-is)
     val rootInMor = dir.contains("/_mor/")
     try {
       val it = fs.listFiles(root, /* recursive = */ true)
-      var total = 0L
+      var records = 0L
+      var files = 0L
       while (it.hasNext) {
         val f = it.next()
         val n = f.getPath.getName
         if (n.endsWith(".parquet") && !n.startsWith(".") &&
             (rootInMor || !f.getPath.toString.contains("/_mor/"))) {
+          files += 1
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(f.getPath, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try total += r.getRecordCount finally r.close()
+          try records += r.getRecordCount finally r.close()
         }
       }
-      total
+      (records, files)
     } catch {
-      case _: java.io.FileNotFoundException => 0L
+      case _: java.io.FileNotFoundException => (0L, 0L)
     }
   }
 
@@ -300,7 +291,12 @@ object GraftMetaTables {
     * [[graft.pipeline.Snapshot.createOrReplacePartitioned]] lays down
     * (work dirs never contain '=', so the filter is exact). */
   private def filesOf(session: SparkSession, path: String,
-                      ver: Long): DataFrame = {
+                      ver: Long): DataFrame =
+    filesOfDirs(session,
+      graft.pipeline.Snapshot.dataDirsAsOf(path, ver))
+
+  private def filesOfDirs(session: SparkSession,
+                          dataDirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     // per-component scans: `_metadata` only resolves directly on a file
     // scan, so each data dir (base + MOR appends sidecars) gets its own
@@ -308,7 +304,7 @@ object GraftMetaTables {
     // components. Record counts are each file's OWN rows (Iceberg's
     // files table reads the same from manifests); equality-delete
     // sidecars are not data files and are not listed.
-    graft.pipeline.Snapshot.dataDirsAsOf(path, ver).map { dir =>
+    dataDirs.map { dir =>
       session.read.parquet(dir)
         .select(col("_metadata.file_path").as("file_path"),
           col("_metadata.file_size").as("file_size_in_bytes"))

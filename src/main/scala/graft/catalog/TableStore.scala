@@ -75,6 +75,10 @@ class TableStore(val spark: SparkSession) {
     * an empty frame only when absent; returns the current table. */
   def createTableIfNotExists(ns: String, name: String,
                              schema: StructType): DataFrame = {
+    // a snapshot-backed table under this name already has data — an
+    // empty frame must not shadow it (registry resolves first)
+    snapshotPath(ns, name).foreach(p =>
+      return graft.pipeline.Snapshot.read(spark, p))
     if (!tableExists(ns, name)) {
       register(ns, name, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
@@ -111,10 +115,13 @@ class TableStore(val spark: SparkSession) {
     val k = key(ns, name)
     st.viewPlans.put(k, queryPlan)
     // the statement text is what survives a session (re-parsed at
-    // attach); a view created without it stays session-scoped
+    // attach); a view created without it stays session-scoped. A
+    // REPLACED view keeps its ORIGINAL creation position — moving it
+    // to the end would put it after views that depend on it, breaking
+    // the in-order reload.
     sqlText.foreach { t =>
       st.viewSql.put(k, t)
-      st.viewOrder.remove(k); st.viewOrder.add(k)
+      if (!st.viewOrder.contains(k)) st.viewOrder.add(k)
     }
     TableStore.persist(spark)
   }
@@ -225,6 +232,14 @@ class TableStore(val spark: SparkSession) {
   def registerSnapshot(ns: String, name: String, path: String): Unit = {
     createNamespace(ns)
     val k = key(ns, name)
+    // snapshot registration SUPERSEDES an in-memory registration under
+    // the same name: ResolveGraftRelations resolves the registry
+    // first, so a leftover empty frame (the day-one CREATE TABLE …
+    // PARTITIONED BY flow, or a persistent-catalog reload) would
+    // shadow the real data with zero rows
+    st.registry.remove(k)
+    st.schemaTables.remove(k)
+    spark.catalog.dropTempView(s"${k.head}_${k(1)}")
     st.snapshotPaths.put(k, path)
     // a CREATE TABLE … PARTITIONED BY spec recorded before the table
     // had a layout applies the moment it gets one (day-one hidden
@@ -276,6 +291,7 @@ class TableStore(val spark: SparkSession) {
     st.properties.remove(from).foreach(st.properties.put(to, _))
     if (st.schemaTables.remove(from).isDefined)
       st.schemaTables.put(to, ())
+    st.pendingSpecs.remove(from).foreach(st.pendingSpecs.put(to, _))
     spark.catalog.dropTempView(s"${from.head}_${from(1)}")
     TableStore.persist(spark)
   }
@@ -474,22 +490,36 @@ object TableStore {
         Seq(e.get("ns").toString, e.get("table").toString),
         e.get("spec").asInstanceOf[java.util.List[String]].asScala.toSeq)
     }
-    // views LAST and in creation order (a view may read earlier views);
-    // one that no longer analyzes (its base dropped out-of-band) is
-    // skipped with a warning rather than failing the whole attach
-    seqOfMaps("views").foreach { e =>
-      val (ns, v) = (e.get("ns").toString, e.get("name").toString)
-      val sql = e.get("sql").toString
+    // views LAST and in creation order (a view may read earlier
+    // views). TWO passes: a view whose base loads after it (a replace
+    // shuffled dependencies) lands on the retry. One that still does
+    // not analyze (its base dropped out-of-band) is REGISTERED AS TEXT
+    // anyway — it stays in catalog.json and errors only when read —
+    // never silently erased by the attach's closing persist.
+    val views = seqOfMaps("views").map(e =>
+      (e.get("ns").toString, e.get("name").toString,
+        e.get("sql").toString))
+    def tryLoad(ns: String, v: String, sql: String): Boolean =
       try {
         val plan = s.sessionState.sqlParser.parseQuery(sql)
         store.createLateBoundView(ns, v, plan,
           org.apache.spark.sql.graft.PlanBridge.ofRows(s, plan),
           sqlText = Some(sql))
+        true
       } catch {
-        case scala.util.control.NonFatal(ex) =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"skipping persisted view $ns.$v (no longer analyzes: " +
-              s"${ex.getMessage})")
+        case scala.util.control.NonFatal(_) => false
+      }
+    val failed = views.filterNot { case (ns, v, sql) =>
+      tryLoad(ns, v, sql) }
+    failed.foreach { case (ns, v, sql) =>
+      if (!tryLoad(ns, v, sql)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"persisted view $ns.$v does not analyze against the " +
+            "attached tables; keeping its definition (it will error " +
+            "when read)")
+        val k = Seq(ns, v).map(_.toLowerCase(java.util.Locale.ROOT))
+        st.viewSql.put(k, sql)
+        if (!st.viewOrder.contains(k)) st.viewOrder.add(k)
       }
     }
   }

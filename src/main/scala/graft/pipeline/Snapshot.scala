@@ -125,7 +125,10 @@ object Snapshot {
     val hist = historicalVersions(path)
       .flatMap { n =>
         val d = s"$path.v$n"
-        coveredVersions(d).map(_ -> d)
+        val covered = coveredVersions(d)
+        // markerless pre-versioning dirs (retained as .v0) serve their
+        // dir-name version — they must not vanish from version lists
+        if (covered.isEmpty) Seq(n -> d) else covered.map(_ -> d)
       }
     (hist ++ coveredVersions(path).map(_ -> path)).sortBy(_._1)
   }
@@ -174,12 +177,14 @@ object Snapshot {
     * dir's base files plus each appends sidecar of version <= it.
     * Delete sidecars are excluded — per-file stats report a data file's
     * own row count, like Iceberg's files/manifests tables. */
-  def dataDirsAsOf(path: String, version: Long): Seq[String] = {
-    val dir = serveDir(path, version)
+  def dataDirsAsOf(path: String, version: Long): Seq[String] =
+    dataDirsIn(serveDir(path, version), version)
+
+  /** [[dataDirsAsOf]] with the serving dir already resolved. */
+  def dataDirsIn(dir: String, version: Long): Seq[String] =
     dir +: morVersions(dir).filter(_ <= version)
       .map(v => morRoot(dir).resolve(s"v$v").resolve("appends"))
       .filter(Files.isDirectory(_)).map(_.toString)
-  }
 
   /** The equality-delete sidecar dirs visible at `version` of `path` —
     * the `.delete_files` metadata table's listing unit. */
@@ -262,17 +267,10 @@ object Snapshot {
       return (0L, currentVersion(path).getOrElse(0L))
     val base = currentVersion(path)
     val applied = read(spark, path).localCheckpoint()
-    // spec-aware write: a partitioned table's compaction must lay the
-    // merged state back down under its partition spec
-    val fields = partitionSpec(path).map(parseSpecField)
-    val withDerived = fields.filterNot(_.isIdentity)
-      .foldLeft(applied)((acc, f) => deriveColumn(f, applied)
-        .map(c => acc.withColumn(f.name, c)).getOrElse(acc))
+    // spec-aware write: a partitioned/write-ordered table's compaction
+    // lays the merged state back down under its layout
     swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
-      if (fields.isEmpty)
-        applied.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      else withDerived.write.mode(SaveMode.Overwrite)
-        .partitionBy(fields.map(_.name): _*).parquet(tmp.toString)
+      writeUnderCurrentSpec(applied, path, tmp)
     }
     (collapsed, currentVersion(path).get)
   }
@@ -321,10 +319,11 @@ object Snapshot {
 
   /** The operation that produced `version` (None for pre-marker
     * commits; MOR commits read their sidecar marker). */
-  def operationOf(path: String, version: Long): Option[String] = {
-    val dir = retainedVersionDirs(path)
-      .collectFirst { case (v, d) if v == version => d }
-      .getOrElse(s"$path.v$version")
+  def operationOf(path: String, version: Long): Option[String] =
+    operationOfIn(resolveDir(path, version), version)
+
+  /** [[operationOf]] with the serving dir already resolved. */
+  def operationOfIn(dir: String, version: Long): Option[String] = {
     if (markerVersion(dir).contains(version)) {
       val f = Paths.get(dir, OperationFile)
       if (Files.exists(f))
@@ -396,17 +395,14 @@ object Snapshot {
     * of a merge-on-read run (served from whichever dir covers them,
     * with only the sidecars up to `version` applied). */
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val dir = retainedVersionDirs(path)
-      .collectFirst { case (v, d) if v == version => d }
-      .orElse {
-        // pre-versioning dirs retained as `.v0` carry no marker
-        val exact = Paths.get(s"$path.v$version")
-        if (Files.exists(exact)) Some(exact.toString) else None
-      }
-      .getOrElse(throw new java.util.NoSuchElementException(
+    // resolveDir's final fallback is the exact-name dir, which also
+    // serves markerless pre-versioning `.v0` retentions
+    val dir = resolveDir(path, version)
+    if (!Files.exists(Paths.get(dir)))
+      throw new java.util.NoSuchElementException(
         s"no snapshot version $version at $path " +
           s"(live=${currentVersion(path).getOrElse("-")}, " +
-          s"retained=${retainedVersions(path).mkString(",")})"))
+          s"retained=${retainedVersions(path).mkString(",")})")
     morApply(spark, dir, version)
   }
 
@@ -415,17 +411,36 @@ object Snapshot {
     * written at commit time inside the staging dir and preserved by
     * the atomic directory renames that later move the snapshot around
     * (rename never touches file mtimes). */
-  def committedAt(path: String, version: Long): Option[Long] = {
-    val dir = retainedVersionDirs(path)
-      .collectFirst { case (v, d) if v == version => Paths.get(d) }
-      .getOrElse(Paths.get(s"$path.v$version"))
+  def committedAt(path: String, version: Long): Option[Long] =
+    committedAtIn(resolveDir(path, version), version)
+
+  /** O(1)-ish serving-dir resolution for a SINGLE version: the
+    * exact-name historical dir or the live dir serve almost every
+    * version; only a MOR commit buried mid-history needs the full
+    * retention scan. Keeps per-version metadata reads constant-time
+    * (the SoakVersions contract — a V-version sweep must be O(V),
+    * not O(V²)). */
+  private def resolveDir(path: String, version: Long): String = {
+    val exact = s"$path.v$version"
+    if (coveredVersions(exact).contains(version)) exact
+    else if (coveredVersions(path).contains(version)) path
+    else retainedVersionDirs(path)
+      .collectFirst { case (v, d) if v == version => d }
+      .getOrElse(exact)
+  }
+
+  /** [[committedAt]] with the serving dir already resolved — the
+    * metadata tables resolve the version→dir map ONCE and use these
+    * `…In` variants, so a V-version listing does O(V) filesystem
+    * work, not O(V²) re-resolution. */
+  def committedAtIn(dir: String, version: Long): Option[Long] = {
     // a MOR commit's instant is its sidecar marker; the base version's
     // is the dir's version marker (both survive the dir renames that
     // move snapshots around — rename never touches file mtimes)
     val m =
-      if (markerVersion(dir.toString).contains(version))
-        dir.resolve(VersionFile)
-      else morRoot(dir.toString).resolve(s"v$version").resolve("_commit")
+      if (markerVersion(dir).contains(version))
+        Paths.get(dir, VersionFile)
+      else morRoot(dir).resolve(s"v$version").resolve("_commit")
     if (!Files.exists(m)) None
     else {
       val i = Files.getLastModifiedTime(m).toInstant
@@ -558,14 +573,46 @@ object Snapshot {
     }
   }
 
-  /** Derived (non-identity) partition FIELD names of the spec that
-    * governs `dir` — the columns reads must hide again. A historical
-    * `.vN` dir shares its table's sidecar spec. */
+  /** Derived (non-identity) partition FIELD names reads must hide for
+    * `dir`: the CURRENT spec's, plus every transform field the table
+    * EVER wrote (the `.pspec.hidden` tombstone file, appended by
+    * [[setPartitionSpec]]) — a `DROP PARTITION FIELD bucket(4,c)` is
+    * metadata-only, so `c_bucket` fragments remain physically present
+    * in old files and must stay hidden, or reads would leak the
+    * derived column and MOR sidecars (written in the logical schema)
+    * would stop union-matching. A historical `.vN` dir shares its
+    * table's sidecars. */
   private def hiddenFieldNames(dir: String): Seq[String] = {
     val tablePath = dir.replaceAll("""\.v\d+$""", "")
-    partitionSpec(tablePath).map(parseSpecField)
-      .filterNot(_.isIdentity).map(_.name)
+    (partitionSpec(tablePath).map(parseSpecField)
+      .filterNot(_.isIdentity).map(_.name) ++
+      tombstonedFields(tablePath)).distinct
   }
+
+  private def tombstoneFile(path: String) =
+    Paths.get(path + ".pspec.hidden")
+
+  /** Transform fields retired from the spec but physically present in
+    * retained files (appended, never removed — expiry of the files
+    * does not un-write history). */
+  private def tombstonedFields(path: String): Seq[String] = {
+    val f = tombstoneFile(path)
+    if (!Files.exists(f)) Seq.empty
+    else new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def addTombstones(path: String, fields: Seq[String]): Unit =
+    if (fields.nonEmpty) {
+      val merged = (tombstonedFields(path) ++ fields).distinct
+      val tmp = Paths.get(path + ".pspec.hidden.tmp")
+      Files.write(tmp, merged.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, tombstoneFile(path),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
 
   /** The CURRENT partition spec of `path` (ordered identity columns;
     * empty = unpartitioned). */
@@ -584,6 +631,10 @@ object Snapshot {
     val names = cols.map(parseSpecField(_).name)
     require(names.distinct == names,
       s"duplicate partition fields: ${cols.mkString(", ")}")
+    // transform fields leaving the spec become tombstones: their
+    // fragments live on in already-written files and must stay hidden
+    addTombstones(path, partitionSpec(path).map(parseSpecField)
+      .filterNot(_.isIdentity).map(_.name).filterNot(names.contains))
     val f = specFile(path)
     if (cols.isEmpty) Files.deleteIfExists(f)
     else {
@@ -632,7 +683,17 @@ object Snapshot {
     * `rewrite_data_files(strategy => 'sort')` produces on demand).
     * Same atomic protocol as [[createOrReplace]]. */
   def createOrReplaceCurrentSpec(df: DataFrame, path: String,
-                                 keepVersions: Int = 0): Unit = {
+                                 keepVersions: Int = 0): Unit =
+    swapIn(path, keepVersions) { tmp =>
+      writeUnderCurrentSpec(df, path, tmp)
+    }
+
+  /** The spec-aware staged write shared by [[createOrReplaceCurrentSpec]]
+    * and the MOR compaction ([[rewritePositionDeletes]]): derived
+    * transform columns materialized, partition layout applied, and the
+    * WRITE ORDERED BY range-clustering composed. */
+  private def writeUnderCurrentSpec(df: DataFrame, path: String,
+                                    tmp: Path): Unit = {
     val fields = partitionSpec(path).map(parseSpecField)
     val order = sortOrder(path)
     // transform entries materialize their derived field for the write
@@ -658,12 +719,10 @@ object Snapshot {
         withDerived.repartitionByRange(exprs: _*)
           .sortWithinPartitions(exprs: _*)
       }
-    swapIn(path, keepVersions) { tmp =>
-      if (fields.isEmpty)
-        ordered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      else ordered.write.mode(SaveMode.Overwrite)
-        .partitionBy(fields.map(_.name): _*).parquet(tmp.toString)
-    }
+    if (fields.isEmpty)
+      ordered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    else ordered.write.mode(SaveMode.Overwrite)
+      .partitionBy(fields.map(_.name): _*).parquet(tmp.toString)
   }
 
   // WRITE ORDERED BY metadata — Iceberg's table sort order, stored in

@@ -77,6 +77,67 @@ class PersistentCatalogSpec extends SparkSpec {
       .head().getLong(0) == 2L)
   }
 
+  test("a snapshot registration SUPERSEDES a declared-schema " +
+    "registration of the same name (day-one CREATE TABLE … PARTITIONED " +
+    "BY flow), in-session and across a catalog reload") {
+    TableStore.reset(spark)
+    val meta = Files.createTempDirectory("gcat3").toString
+    val dataDir = Files.createTempDirectory("gcat3d").toString + "/t"
+    TableStore.attachCatalog(spark, meta)
+    // declared schema first (registers an EMPTY frame)...
+    spark.sql("""CREATE TABLE IF NOT EXISTS iceberg.shadow.t
+      (id BIGINT, ts TIMESTAMP, v DOUBLE) USING iceberg
+      PARTITIONED BY (years(ts))""")
+    // ...then the table gets a layout and real data
+    new TableStore(spark).registerSnapshot("shadow", "t", dataDir)
+    Snapshot.createOrReplaceCurrentSpec(
+      Seq((1L, ts("2024-03-01 00:00:00"), 1.0),
+        (2L, ts("2025-06-01 00:00:00"), 2.0)).toDF("id", "ts", "v"),
+      dataDir, keepVersions = 2)
+    // the empty registry frame must NOT shadow the snapshot data
+    assert(spark.sql("SELECT count(*) FROM shadow.t")
+      .head().getLong(0) == 2L,
+      "snapshot registration must supersede the empty declared frame")
+    // the CREATE-time spec reached the layout
+    assert(Snapshot.partitionSpec(dataDir) == Seq("years(ts)"))
+
+    // and a RELOAD does not resurrect the shadow: the persisted
+    // catalog carries both the declared table and the snapshot entry
+    val s2 = spark.newSession()
+    TableStore.attachCatalog(s2, meta)
+    assert(s2.sql("SELECT count(*) FROM shadow.t")
+      .head().getLong(0) == 2L,
+      "reload must not re-shadow the snapshot with an empty frame")
+  }
+
+  test("CREATE OR REPLACE VIEW keeps its creation position, so a " +
+    "dependent view created later still loads after it on reload") {
+    TableStore.reset(spark)
+    val meta = Files.createTempDirectory("gcat4").toString
+    TableStore.attachCatalog(spark, meta)
+    val dataDir = Files.createTempDirectory("gcat4d").toString + "/t"
+    Snapshot.createOrReplace(
+      Seq((1, 5), (2, 50)).toDF("id", "v"), dataDir)
+    new TableStore(spark).registerSnapshot("vord", "base", dataDir)
+    spark.sql("CREATE VIEW iceberg.vord.a AS " +
+      "SELECT id, v FROM vord.base WHERE v > 1")
+    spark.sql("CREATE VIEW iceberg.vord.b AS " +
+      "SELECT id FROM vord.a WHERE v > 10")
+    // replacing `a` must NOT move it after its dependent `b`
+    spark.sql("CREATE OR REPLACE VIEW iceberg.vord.a AS " +
+      "SELECT id, v FROM vord.base WHERE v > 2")
+
+    val s2 = spark.newSession()
+    TableStore.attachCatalog(s2, meta)
+    assert(s2.sql("SELECT id FROM vord.b").collect().map(_.getInt(0))
+      .toSeq == Seq(2),
+      "the dependent view must survive the reload")
+    // and nothing was erased from the persisted file
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(meta, "catalog.json")))
+    assert(json.contains("\"a\"") && json.contains("\"b\""))
+  }
+
   test("spark.graft.catalog.dir auto-attaches on first catalog touch; " +
     "DROP writes through so a later session no longer sees the table") {
     TableStore.reset(spark)

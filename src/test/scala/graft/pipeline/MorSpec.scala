@@ -172,6 +172,47 @@ class MorSpec extends SparkSpec {
     assert(filtered.count() == 1L)
   }
 
+  test("DROP PARTITION FIELD on a transform keeps the retired derived " +
+    "field HIDDEN (tombstoned), so reads stay clean and MOR sidecars " +
+    "keep union-matching; a markerless adopted table falls back to CoW") {
+    TableStore.reset(spark)
+    val dir = tmpTable("mortomb")
+    Snapshot.setPartitionSpec(dir, Seq("bucket(4,id)"))
+    Snapshot.createOrReplaceCurrentSpec(
+      (1 to 40).map(i => (i.toLong, s"p$i")).toDF("id", "tag"), dir,
+      keepVersions = 2)
+    new TableStore(spark).registerSnapshot("tomb", "t", dir)
+    spark.sql("""ALTER TABLE tomb.t SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read')""")
+    spark.sql("DELETE FROM tomb.t WHERE id = 3")
+    assert(Snapshot.morVersions(dir).nonEmpty)
+    // retire the transform — metadata-only; id_bucket fragments remain
+    // physically in the already-written files
+    spark.sql("ALTER TABLE tomb.t DROP PARTITION FIELD bucket(4, id)")
+    assert(Snapshot.partitionSpec(dir).isEmpty)
+    // reads must neither leak id_bucket nor break the sidecar merge
+    val after = spark.sql("SELECT * FROM tomb.t")
+    assert(after.columns.toSeq.sorted == Seq("id", "tag"),
+      s"retired derived field leaked: ${after.columns.toSeq}")
+    assert(after.count() == 39L)
+
+    // adopted markerless dir (register_table over plain parquet) with
+    // the MOR property: DML falls back to copy-on-write instead of
+    // crashing on a base-less morCommit
+    val plain = Files.createTempDirectory("morplain").toString + "/p"
+    (1 to 10).map(i => (i, s"x$i")).toDF("id", "tag")
+      .write.parquet(plain)
+    spark.sql(s"""CALL iceberg.system.register_table(
+      table => 'tomb.adopted', metadata_file => '$plain')""")
+    spark.sql("""ALTER TABLE tomb.adopted SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read')""")
+    spark.sql("DELETE FROM tomb.adopted WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM tomb.adopted")
+      .head().getLong(0) == 9L)
+    assert(Snapshot.morVersions(plain).isEmpty,
+      "a markerless table must take the CoW fallback")
+  }
+
   test("a partitioned table KEEPS its layout through row-level DML " +
     "and MOR compaction (spec-aware commits, never a flat rewrite)") {
     TableStore.reset(spark)
