@@ -426,4 +426,170 @@ object Multimodal {
       }
       .toDF("media_id", "n_bytes", "width", "height")
   }
+
+  // -------------------------------------------------------------------
+  // X5p (r11): perceptual-hash image dedup — the multimodal twin of the
+  // X2 near-dup family. Byte-level dedup (X1 on the payload checksum)
+  // misses a re-encoded or brightness-shifted copy of the same picture;
+  // a difference hash (dHash) over the DECODED pixels catches it,
+  // because dHash depends only on local gradient SIGNS, which survive
+  // uniform brightness shifts and lossless re-encodes. The fixture
+  // renders gradient-RAMP PNGs (the two-band images are gradient-free —
+  // every dHash would degenerate to a constant), with every ramp
+  // parameter closed-form in the id so the oracle recomputes the hash
+  // without decoding; the Spark side computes it from the REAL decoded
+  // bytes, so the hash-compare proves codec + downsample + hash.
+  // -------------------------------------------------------------------
+
+  /** Twin-namespace offsets: id+1e6 = brightness-shifted copy of
+    * id (same gradients → dHash-identical), id+2e6 = re-rendered
+    * jitter copy (ramp offset +1 → the mod-wrap positions move →
+    * a few dHash bits flip). */
+  val RampBrightTwin = 1000000L
+  val RampJitterTwin = 2000000L
+
+  /** Closed-form ramp parameters (w, h, a, bx, by, shift) for id. The
+    * gradient coefficients are floored at 3/2 so every image wraps the
+    * mod-96 ramp several times — a wrap-free image would give the
+    * jitter twin an identical hash and the fixture nothing to find. */
+  private[ext] def rampParams(id: Long): (Int, Int, Int, Int, Int, Int) = {
+    val base = id % RampBrightTwin
+    val kind = (id / RampBrightTwin).toInt
+    def m(k: Long, n: Long) = (((base * k) % n + n) % n).toInt
+    (m(3, 48) + 16, m(5, 31) + 16,
+      m(13, 96) + (if (kind == 2) 1 else 0),
+      m(7, 9) + 3, m(11, 13) + 2,
+      if (kind == 1) 24 else 0)
+  }
+
+  /** Ramp gray value at (x, y): ((a + bx·x + by·y + (x·y)/7) mod 96)
+    * + shift — the +24 brightness shift never clamps (max 95+24). */
+  private[ext] def rampGray(id: Long, x: Int, y: Int): Int = {
+    val (_, _, a, bx, by, shift) = rampParams(id)
+    (a + bx * x + by * y + (x * y) / 7) % 96 + shift
+  }
+
+  /** Render the grayscale ramp PNG for `id` (r = g = b = rampGray). */
+  private[ext] def renderRampPng(id: Long): Array[Byte] = {
+    val (w, h, _, _, _, _) = rampParams(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = rampGray(id, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Ramp-image corpus with planted perceptual duplicates: every 50th
+    * document gets a brightness-shifted twin (different PNG bytes,
+    * IDENTICAL dHash) and every 70th a jitter twin (small Hamming
+    * distance) — the copies [[imageTable]]-style checksum dedup cannot
+    * see. Real PNG bytes through the real encoder, per partition. */
+  def rampImageTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .flatMap { id =>
+        val twins =
+          (if (id % 50 == 0) Seq(id + RampBrightTwin) else Nil) ++
+            (if (id % 70 == 0) Seq(id + RampJitterTwin) else Nil)
+        (id +: twins).map(i => (i, renderRampPng(i)))
+      }
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(
+          lit("image/png").as("media_type"),
+          octet_length(col("payload")).cast(LongType).as("n_bytes"),
+          md5(col("payload")).as("checksum")).as("meta"))
+  }
+
+  /** dHash bit width: an 8×8 grid of horizontal gradient signs over a
+    * 9×8 nearest-neighbor downsample. */
+  val DHashBits = 64
+
+  /** X5p — difference hash over REAL decoded pixels: decode the PNG,
+    * nearest-neighbor sample a 9×8 grayscale grid (gray = (r+g+b)/3,
+    * same integer division as the oracle), emit bit (y,x) = 1 iff
+    * grid(x+1,y) > grid(x,y), row-major, as a 64-char '0'/'1' string
+    * (the SimHash signature convention — cross-engine integer hex
+    * parsing differs, the string IS the signature).
+    *
+    * Scale shape: pixels never leave the partition — the payload is
+    * decoded and collapsed to 64 bits in one mapPartitions batch
+    * (embarrassingly parallel, codec init amortized per batch); only
+    * (media_id, 64-char string) rows move on. Invariant by
+    * construction under uniform brightness shift and any lossless
+    * re-encode — the two duplicate classes byte equality misses. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable payload for media_id=$id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          def gray(x: Int, y: Int): Int = {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+          val sb = new java.lang.StringBuilder(DHashBits)
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            while (x < 8) {
+              val g0 = gray(x * w / 9, sy)
+              val g1 = gray((x + 1) * w / 9, sy)
+              sb.append(if (g1 > g0) '1' else '0')
+              x += 1
+            }
+            y += 1
+          }
+          (id, sb.toString)
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** X5p' — perceptual near-dup pairs: candidates share the first
+    * `prefixBits` of the dHash (the SimHash prefix-bucket shape — never
+    * all-pairs; Σ bucket² bounds the join), verified by the full 64-bit
+    * Hamming distance computed as TWO `bit_count(xor)` calls over the
+    * 32-bit halves (one long op per half instead of 64 string
+    * compares). Brightness twins collide at distance 0 in every
+    * bucket scheme; jitter twins survive when their flipped bits fall
+    * outside the prefix — the standard multi-table rotation fix
+    * ([[DedupOps.simhashPairsMulti]]) applies unchanged if a corpus
+    * needs more recall. */
+  def dhashPairs(hashes: DataFrame, maxDist: Int,
+                 prefixBits: Int = 16): DataFrame = {
+    val sigs = hashes
+      .withColumn("_hi",
+        conv(substring(col("dhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("_lo",
+        conv(substring(col("dhash"), 33, 32), 2, 10).cast("long"))
+      .withColumn("bucket", substring(col("dhash"), 1, prefixBits))
+    val a = sigs.select(col("bucket"), col("media_id").as("id_a"),
+      col("_hi").as("hi_a"), col("_lo").as("lo_a"))
+    val b = sigs.select(col("bucket"), col("media_id").as("id_b"),
+      col("_hi").as("hi_b"), col("_lo").as("lo_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -502,6 +502,43 @@ object SimilarityOps {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
+  // -------------------------------------------------------------------
+  // X3h — Johnson–Lindenstrauss random projection (dimensionality
+  // reduction before ANN)
+  // -------------------------------------------------------------------
+
+  /** Seed namespace for the projection planes: a table id far outside
+    * the LSH hash-table range (0..tables), so [[rpPlane]] never reuses
+    * a [[hyperplaneBucket]] hyperplane. */
+  val RpSeedTable = 777
+
+  /** The ±1 Rademacher projection row for output coordinate `j` —
+    * same seed-derived family as [[plane]] (Achlioptas 2003 showed ±1
+    * entries satisfy the Johnson–Lindenstrauss guarantee), same
+    * cross-engine contract: BOTH the Spark plan and the DuckDB oracle
+    * embed these literals, so projections agree bit-for-bit. */
+  def rpPlane(j: Int, dim: Int = 64): Seq[Double] =
+    plane(RpSeedTable, j, dim)
+
+  /** X3h — random projection of an embedding to `outDim` dimensions:
+    * output coordinate j = embedding · rpPlane(j). The JL lemma bounds
+    * pairwise-distance distortion at O(sqrt(ln n / outDim)), which is
+    * what lets a 100-TB corpus run its CANDIDATE search in outDim/dim
+    * of the memory bandwidth (4× here) and exact-rescore survivors in
+    * full precision — the dimensionality sibling of [[quantizeInt8]]'s
+    * precision lever, and the front half of every
+    * compressed-vector-index read path.
+    *
+    * Cosine needs no 1/sqrt(outDim) JL scaling: the factor cancels in
+    * score ratios, so the raw ±1 sums are projected coordinates as-is.
+    * Scan-local, zero shuffle: each coordinate is one codegen'd [[dot]]
+    * against a literal ±1 array (outDim×dim multiply-adds per row), and
+    * every sum folds floats-cast-to-double strictly left, so the
+    * projected values themselves are oracle-checkable. */
+  def rpProject(embedding: Column, outDim: Int, dim: Int = 64): Column =
+    array((0 until outDim).map(j =>
+      dot(embedding, array(rpPlane(j, dim).map(lit): _*))): _*)
+
   /** Embedding-cosine near-duplicate pairs over one corpus: bucketed
     * self-join (sign-LSH), threshold on exact cosine. X2's embedding
     * variant. */

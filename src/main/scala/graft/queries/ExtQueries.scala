@@ -44,6 +44,10 @@ object ExtQueries {
     * readable. */
   val KmeansIters = 2
 
+  /** X3h random-projection output width: 64 → 16 dims, the same 4×
+    * footprint lever as SQ8 but on the dimension axis. */
+  val RpDim = 16
+
   /** BM25 keyword queries (X4e) — one (query_id, term) row per
     * keyword; the oracle's VALUES list is generated from the same
     * constant. */
@@ -244,6 +248,55 @@ object ExtQueries {
     (1 to DedupOps.SimHashBits).map(i =>
       s"CASE WHEN $a[$i:$i] <> $b[$i:$i] THEN 1 ELSE 0 END")
       .mkString(" + ")
+
+  /** The same per-position sum at [[Multimodal.DHashBits]] width, for
+    * the perceptual-hash pairs oracle. */
+  private def hamming64Sql(a: String, b: String): String =
+    (1 to Multimodal.DHashBits).map(i =>
+      s"CASE WHEN $a[$i:$i] <> $b[$i:$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
+  /** Shared oracle CTE chain recomputing [[Multimodal.imageDHash]] over
+    * [[Multimodal.rampImageTable]] WITHOUT decoding: the ramp gray
+    * value is closed-form in (id, x, y), and the +24 brightness shift
+    * cancels in every gradient comparison, so the oracle omits it —
+    * which is exactly the invariance the operator claims. Ends with
+    * `hashes(media_id, dhash)`. */
+  private val rampHashCtes: String = s"""
+      ids AS (
+        SELECT doc_id AS base, doc_id AS media_id FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id + ${Multimodal.RampBrightTwin}
+        FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id, doc_id + ${Multimodal.RampJitterTwin}
+        FROM documents WHERE doc_id % 70 = 0
+      ),
+      p AS (
+        SELECT media_id,
+               (base * 3) % 48 + 16 AS w,
+               (base * 5) % 31 + 16 AS h,
+               (base * 13) % 96
+                 + CASE WHEN media_id >= ${Multimodal.RampJitterTwin}
+                        THEN 1 ELSE 0 END AS a,
+               (base * 7) % 9 + 3 AS bx,
+               (base * 11) % 13 + 2 AS by
+        FROM ids
+      ),
+      bits AS (
+        SELECT media_id, y, x,
+               CASE WHEN
+                 (a + bx * (((x+1)*w)//9) + by * ((y*h)//8)
+                    + ((((x+1)*w)//9) * ((y*h)//8))//7) % 96
+                 > (a + bx * ((x*w)//9) + by * ((y*h)//8)
+                    + (((x*w)//9) * ((y*h)//8))//7) % 96
+               THEN '1' ELSE '0' END AS b
+        FROM p CROSS JOIN range(0, 8) ty(y) CROSS JOIN range(0, 8) tx(x)
+      ),
+      hashes AS (
+        SELECT media_id, string_agg(b, '' ORDER BY y, x) AS dhash
+        FROM bits GROUP BY media_id
+      )"""
 
   /** DuckDB shingle-set expression over a word-list column `w`. */
   private def shSql(w: String, n: Int = 3): String =
@@ -870,6 +923,47 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
+    // X3h — Johnson–Lindenstrauss random projection: every embedding
+    // reduced 64 → 16 dims through seed-derived ±1 Rademacher planes
+    // (scan-local, zero shuffle). The projected coordinates are strict
+    // left-fold sums, so the VALUES are oracle-checked bit-for-bit —
+    // the oracle embeds the same literal planes.
+    "q_rp_project" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(SimilarityOps.rpProject(col("embedding"), RpDim))
+            .as(Seq("pos", "val")))
+        .orderBy("vec_id", "pos")),
+
+    // X3h' — the recall audit the projection earns: exact top-5 in the
+    // full 64-dim space vs top-5 computed ENTIRELY in the projected
+    // 16-dim space (the candidate-generation read shape: project once,
+    // search small, rescore survivors in full precision — this audit
+    // deliberately skips the rescore to price the projection alone).
+    "q_ann_recall_rp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val proj = emb.select(col("vec_id"),
+        SimilarityOps.rpProject(col("embedding"), RpDim).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val pQueries = proj.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val exact = SimilarityOps.bruteForceTopK(queries, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps.bruteForceTopK(pQueries, proj, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("recall_at_5", col("hits").cast("double") / 5.0)
+        .orderBy("query_id")
+    }),
+
     // X2c' — the same pair search through the parameterized hyperplane
     // LSH (8-bit × 2 tables), pairs deduped across tables.
     "q_embed_near_dup_lsh" -> ((s, d) =>
@@ -966,6 +1060,28 @@ object ExtQueries {
         Multimodal.videoTable(Tables.documents(s, d), frames = 6),
         stride = 2)
         .orderBy("media_id", "frame_idx")),
+
+    // X5p (r11) — perceptual hash over REAL decoded pixels: gradient-
+    // ramp PNGs (closed-form in the id) rendered and decoded through
+    // the JDK codec, downsampled 9×8, dHash = 64 horizontal gradient
+    // signs. The corpus plants brightness-shifted twins (different
+    // bytes, SAME hash) and jitter twins (small Hamming distance) —
+    // the duplicate classes checksum-based X1 dedup cannot see.
+    "q_image_dhash" -> ((s, d) =>
+      Multimodal.imageDHash(
+        Multimodal.rampImageTable(Tables.documents(s, d)))
+        .orderBy("media_id")),
+
+    // X5p' (r11) — the multimodal near-dup pairs those hashes earn:
+    // 16-bit prefix buckets (never all-pairs), full 64-bit Hamming
+    // verify via two bit_count(xor) longs. Brightness twins land at
+    // distance 0, jitter twins at small positive distances.
+    "q_image_dup_pairs" -> ((s, d) =>
+      Multimodal.dhashPairs(
+        Multimodal.imageDHash(
+          Multimodal.rampImageTable(Tables.documents(s, d))),
+        maxDist = 6)
+        .orderBy("id_a", "id_b")),
 
     // X6 — data-quality metrics table.
     "q_quality_metrics" -> ((s, d) =>
@@ -1226,8 +1342,26 @@ object ExtQueries {
     s"""list_reduce(list_transform(range(1, ${dim + 1}),
           i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"""
 
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private def cosSql(a: String, b: String, dim: Int = 64): String =
+    s"(${dotSql(a, b, dim)}) / (sqrt(${dotSql(a, a, dim)}) * " +
+      s"sqrt(${dotSql(b, b, dim)}))"
+
+  /** DuckDB literal for [[SimilarityOps.rpPlane]] — the SAME ±1
+    * Rademacher row the Spark plan embeds for projection coordinate j. */
+  private def rpPlaneList(j: Int): String =
+    "[" + SimilarityOps.rpPlane(j)
+      .map(v => if (v > 0) "1" else "-1").mkString(",") + "]"
+
+  /** DuckDB twin of one [[SimilarityOps.rpProject]] coordinate: the
+    * strict left-fold dot of `e` against the literal plane. */
+  private def rpCoordSql(e: String, j: Int): String =
+    s"""list_reduce(list_transform(range(1, 65),
+        i -> $e[i]::DOUBLE * (${rpPlaneList(j)}[i])::DOUBLE),
+        (x, y) -> x + y)"""
+
+  /** DuckDB list of all [[RpDim]] projected coordinates of `e`. */
+  private def rpListSql(e: String): String =
+    "[" + (0 until RpDim).map(j => rpCoordSql(e, j)).mkString(", ") + "]"
 
   /** Squared Euclidean distance with the exact association the Spark
     * plan uses: ((x·x − 2·(x·c)) + c·c), every dot a strict left fold. */
@@ -2556,6 +2690,64 @@ object ExtQueries {
                AS scale_micros
       FROM c ORDER BY vec_id""",
 
+    // X3h — projected coordinates recomputed from the same literal ±1
+    // planes, exploded with 0-based positions to match posexplode.
+    "q_rp_project" -> s"""
+      SELECT vec_id, u.pos AS pos, u.val AS val FROM (
+        SELECT vec_id, unnest([${(0 until RpDim).map(j =>
+          s"{'pos': $j, 'val': ${rpCoordSql("embedding", j)}}")
+          .mkString(", ")}]) AS u
+        FROM embeddings)
+      ORDER BY vec_id, pos""",
+
+    // X3h' — recall twin: brute chain in 64-dim vs brute chain over the
+    // projected 16-dim lists, hit counting by id-set intersection.
+    "q_ann_recall_rp" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${cosSql("qe", "e.embedding")} AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      ),
+      exact AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5),
+      proj AS (
+        SELECT vec_id, ${rpListSql("embedding")} AS pe FROM embeddings
+      ),
+      pq AS (
+        SELECT vec_id AS query_id, pe AS qpe
+        FROM proj WHERE vec_id % 100 = 0
+      ),
+      pscored AS (
+        SELECT query_id, p.vec_id AS neighbor_id,
+               ${cosSql("qpe", "p.pe", RpDim)} AS score
+        FROM proj p, pq WHERE p.vec_id <> pq.query_id
+      ),
+      pranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM pscored
+      ),
+      approx AS (SELECT query_id, neighbor_id FROM pranked
+                 WHERE rnk <= 5),
+      hits AS (
+        SELECT e.query_id, count(*) AS hits
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+      )
+      SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             coalesce(h.hits, 0)::DOUBLE / 5.0 AS recall_at_5
+      FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id""",
+
     "q_embed_near_dup" -> s"""
       WITH $embTwinsCte,
       b AS (SELECT vec_id, e, ${bucketSql("e")} AS bucket FROM corpus),
@@ -2704,6 +2896,25 @@ object ExtQueries {
                   * ((seed * 17) % 256 + (seed * 29) % 256)
                AS BIGINT) AS sum_b
       FROM s ORDER BY media_id, frame_idx""",
+
+    "q_image_dhash" -> s"""
+      WITH $rampHashCtes
+      SELECT media_id, dhash FROM hashes ORDER BY media_id""",
+
+    "q_image_dup_pairs" -> s"""
+      WITH $rampHashCtes,
+      pb AS (
+        SELECT media_id, dhash, substr(dhash, 1, 16) AS bucket
+        FROM hashes
+      ),
+      pairs AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               (${hamming64Sql("a.dhash", "b.dhash")}) AS hamming
+        FROM pb a JOIN pb b USING (bucket)
+        WHERE a.media_id < b.media_id
+      )
+      SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+      FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""",
 
     "q_quality_metrics" -> """
       WITH d AS (

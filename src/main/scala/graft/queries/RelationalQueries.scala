@@ -425,6 +425,36 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // X9'''' (r11) — per-group OLS trend (slope of spend over time):
+    // the grouped linear-regression primitive behind "is this
+    // customer's/source's volume trending up?" dashboards. ONE
+    // partial-agg shuffle carries five exact BIGINT moments
+    // (n, Σx, Σy, Σx², Σxy) — never the rows — so a 10⁹-row group
+    // costs the same exchange bytes as a 10-row one; slope =
+    // (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is ONE IEEE division of exact
+    // integers, bit-identical cross-engine. x is centered (day−9000)
+    // and y is exact cents so the int64 moments cannot overflow at
+    // any realistic group size (~2e16 per term at 1M orders/group).
+    "q_trend_slopes" -> ((s, d) => {
+      val x = (datediff(col("o_orderdate").cast(DateType),
+        lit("1970-01-01").cast(DateType)) - lit(9000)).cast(LongType)
+      val y = round(col("o_totalprice") * 100.0).cast(LongType)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), x.as("x"), y.as("y"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("n") >= 5)
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .filter(col("den") =!= 0)
+        .select(col("o_custkey"), col("n"), col("num"), col("den"),
+          (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+            .as("slope_cents_per_day"))
+        .orderBy("o_custkey")
+    }),
+
     // TPC-H Q6 shape: the pure-scan aggregate — every predicate reaches
     // the parquet reader (PushedFilters), zero shuffles, one partial agg
     // folded on the driver. The 100-TB plan IS the sf0.01 plan.
@@ -938,6 +968,31 @@ object RelationalQueries {
       FROM orders
       WHERE o_totalprice > 350000.0
       ORDER BY o_custkey, o_orderkey""",
+
+    "q_trend_slopes" -> """
+      WITH t AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) - 9000 AS BIGINT) AS x,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS y
+        FROM orders
+      ),
+      g AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM t GROUP BY o_custkey
+      )
+      SELECT o_custkey, n,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+      FROM g
+      WHERE n >= 5 AND n * sxx - sx * sx <> 0
+      ORDER BY o_custkey""",
 
     "q6_forecast_revenue" -> s"""
       SELECT ${oSum("l_extendedprice * l_discount")} AS revenue

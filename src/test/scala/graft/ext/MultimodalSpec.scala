@@ -151,4 +151,76 @@ class MultimodalSpec extends SparkSpec {
     val r = joined.select("payload", "c2").head()
     assert(new String(r.getAs[Array[Byte]](0), "UTF-8") == "hello world")
   }
+
+  test("dHash: brightness twin collides at 0, jitter twin lands near, " +
+    "bytes differ, and the decoded hash matches the closed form") {
+    val ids = Seq(0L, 50L, 140L, 7L, 70L, 420L)
+    val media = Multimodal.rampImageTable(ids.toDF("doc_id"))
+    // 6 originals + 2 brightness twins (0, 50)
+    //             + 4 jitter twins (0, 140, 70, 420)
+    assert(media.count() == 12)
+    val hashes = Multimodal.imageDHash(media)
+      .as[(Long, String)].collect().toMap
+    assert(hashes.size == 12 && hashes.values.forall(h =>
+      h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    // closed-form recomputation (the oracle's definition, shift-free)
+    def oracleHash(id: Long): String = {
+      val (w, h, _, _, _, _) = Multimodal.rampParams(id)
+      (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val sy = y * h / 8
+        val g0 = Multimodal.rampGray(id, x * w / 9, sy)
+        val g1 = Multimodal.rampGray(id, (x + 1) * w / 9, sy)
+        if (g1 > g0) '1' else '0'
+      }).mkString
+    }
+    hashes.foreach { case (id, dh) =>
+      assert(dh == oracleHash(id), s"id=$id decoded hash != closed form")
+    }
+    def dist(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    // brightness twin: different payload bytes, identical hash
+    val checksums = media
+      .select(col("media_id"), col("meta.checksum")).as[(Long, String)]
+      .collect().toMap
+    Seq(0L, 50L).foreach { id =>
+      val twin = id + Multimodal.RampBrightTwin
+      assert(checksums(id) != checksums(twin),
+        s"brightness twin of $id has identical bytes")
+      assert(dist(hashes(id), hashes(twin)) == 0,
+        s"brightness twin of $id not hash-identical")
+    }
+    // jitter twin: small distance — the a+1 re-render only moves the
+    // mod-wrap positions, so few (sometimes zero) sampled gradient
+    // signs flip; ids 70 and 420 are fixture points where some DO
+    Seq(0L, 140L, 70L, 420L).foreach { id =>
+      val twin = id + Multimodal.RampJitterTwin
+      val d = dist(hashes(id), hashes(twin))
+      assert(d <= 6, s"jitter twin of $id at distance $d")
+    }
+    Seq(70L, 420L).foreach { id =>
+      val d = dist(hashes(id), hashes(id + Multimodal.RampJitterTwin))
+      assert(d > 0, s"jitter twin of $id unexpectedly hash-identical")
+    }
+    // unrelated images are far apart
+    assert(dist(hashes(7L), hashes(140L)) > 6)
+  }
+
+  test("dhashPairs finds the planted twins through prefix buckets and " +
+    "reports exact Hamming distances") {
+    val ids = (0L until 60L).toSeq
+    val media = Multimodal.rampImageTable(ids.toDF("doc_id"))
+    val pairs = Multimodal.dhashPairs(Multimodal.imageDHash(media), 6)
+      .as[(Long, Long, Int)].collect()
+    // the brightness twin of 0 and of 50 must be found at distance 0
+    Seq(0L, 50L).foreach { id =>
+      assert(pairs.exists(p =>
+        p._1 == id && p._2 == id + Multimodal.RampBrightTwin && p._3 == 0),
+        s"missing brightness pair for $id")
+    }
+    // every reported pair's distance is the true string distance
+    val hs = Multimodal.imageDHash(media).as[(Long, String)]
+      .collect().toMap
+    pairs.foreach { case (a, b, d) =>
+      assert(hs(a).zip(hs(b)).count(p => p._1 != p._2) == d)
+    }
+  }
 }

@@ -350,4 +350,41 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"quantization grew a shuffle:\n$plan")
   }
+
+  test("rpProject: coordinates equal the manual plane fold, the plan " +
+    "is shuffle-free, and cosine survives projection scaling") {
+    val df = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        ((i * 37 + j * 13) % 101 / 101.0f - 0.5f))))
+      .toDF("vec_id", "embedding")
+    val proj = df.select(col("vec_id"), col("embedding"),
+      SimilarityOps.rpProject(col("embedding"), 16).as("pe"))
+    val rows = proj.as[(Long, Array[Float], Array[Double])].collect()
+    assert(rows.forall(_._3.length == 16))
+    // bit-exact against a driver-side strict left fold of the same
+    // ±1 planes (the oracle's definition)
+    rows.foreach { case (_, e, pe) =>
+      (0 until 16).foreach { j =>
+        val plane = SimilarityOps.rpPlane(j)
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { acc += e(i).toDouble * plane(i); i += 1 }
+        assert(acc == pe(j), s"coord $j: $acc != ${pe(j)}")
+      }
+    }
+    // scan-local: no exchange anywhere in the projection plan
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"projection grew a shuffle:\n$plan")
+    // JL sanity on this fixture: projected cosine of a vector with a
+    // scaled copy of itself is exactly 1 (linearity of the projection)
+    val scaled = proj.select(col("vec_id"),
+      SimilarityOps.rpProject(
+        transform(col("embedding"), x => x * 2.0f), 16).as("pe2"),
+      col("pe"))
+    val cos = scaled
+      .select(SimilarityOps.cosine(col("pe"), col("pe2")).as("c"))
+      .as[Double].collect()
+    cos.foreach(c => assert(math.abs(c - 1.0) < 1e-12, s"cos=$c"))
+  }
 }
