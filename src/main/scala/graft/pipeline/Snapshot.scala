@@ -764,6 +764,60 @@ object Snapshot {
     // plus the hidden-partitioning field drop every read owes
     morApply(spark, path, Long.MaxValue)
 
+  /** Stats-pruned scan of the live snapshot (Iceberg scan planning,
+    * [[ScanPruning]]): whole data files whose footer min/max cannot
+    * match `ranges` are dropped at PLAN time — no task, no footer
+    * re-read, no scheduling cost — and the exact range filter is
+    * applied on top, so the result equals `read(...).filter(ranges)`
+    * bit-for-bit on any table; on a sort-clustered one
+    * ([[rewriteSorted]]) it plans O(matching files) tasks instead of
+    * O(all files). Merge-on-read composes: append sidecars are pruned
+    * per component, delete sidecars always apply whole (an anti-join
+    * can only remove rows — never resurrect pruned ones — and a
+    * delete aimed at a pruned-away file is a no-op on this frame).
+    * The kept/total file counts are exposed via
+    * [[ScanPruning.pruneDir]] for audits.
+    *
+    * Bounds are inclusive; `basePath` keeps Hive-partition columns on
+    * the explicit-file scans. */
+  def prunedRead(spark: SparkSession, path: String,
+                 ranges: Seq[ScanPruning.ColumnRange]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val basePlan = ScanPruning.pruneDir(spark, path, ranges)
+    var df =
+      if (basePlan.kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(basePlan.kept: _*)
+    val hidden = hiddenFieldNames(path).filter(df.columns.contains)
+    if (hidden.nonEmpty) df = df.drop(hidden: _*)
+    var pendingDeletes = List.empty[String]
+    def flush(): Unit = if (pendingDeletes.nonEmpty) {
+      val del = pendingDeletes.map(spark.read.parquet(_))
+        .reduce(_ unionByName _)
+      val cond = df.columns.map(c => df(c) <=> del(c)).reduce(_ && _)
+      df = df.join(del, cond, "left_anti")
+      pendingDeletes = Nil
+    }
+    morVersions(path).foreach { v =>
+      val d = morRoot(path).resolve(s"v$v").resolve("deletes")
+      val a = morRoot(path).resolve(s"v$v").resolve("appends")
+      if (Files.isDirectory(d)) pendingDeletes ::= d.toString
+      if (Files.isDirectory(a)) {
+        flush() // a delete never touches rows appended after it
+        val ap = ScanPruning.pruneDir(spark, a.toString, ranges)
+        if (ap.kept.nonEmpty)
+          df = df.unionByName(spark.read
+            .option("basePath", a.toString).parquet(ap.kept: _*))
+      }
+    }
+    flush()
+    ranges.foldLeft(df) { (acc, r) =>
+      val c = col(r.column)
+      val lo = r.lower.map(l => acc.filter(c >= lit(l))).getOrElse(acc)
+      r.upper.map(u => lo.filter(c <= lit(u))).getOrElse(lo)
+    }
+  }
+
   /** Table maintenance — small-file compaction (Iceberg's
     * `rewrite_data_files` capability over plain parquet): rewrite the
     * live snapshot into `targetFiles` files through the SAME atomic

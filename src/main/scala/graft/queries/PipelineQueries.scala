@@ -371,6 +371,28 @@ object PipelineQueries {
                ORDER BY l_orderkey, l_linenumber""")
     }),
 
+    // S12++ (r11) — stats-based scan planning (Iceberg's manifest
+    // min/max file pruning re-expressed over the snapshot layout):
+    // sort-cluster orders by key into 8 disjoint-range files, then
+    // answer a key range through Snapshot.prunedRead — whole files
+    // are dropped by FOOTER stats before any Spark task exists, and
+    // the exact residual filter makes the result equal the plain
+    // filter, which IS the oracle. ScanPruningSpec pins that the
+    // kept set is actually small and that MOR sidecars compose.
+    "q_stats_pruned_scan" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dir = java.nio.file.Files.createTempDirectory("prunescan")
+        .toString + "/orders_sorted"
+      graft.pipeline.Snapshot.createOrReplace(orders, dir)
+      graft.pipeline.Snapshot.rewriteSorted(s, dir, 8,
+        Seq(col("o_orderkey")))
+      graft.pipeline.Snapshot.prunedRead(s, dir,
+        Seq(graft.pipeline.ScanPruning.ColumnRange("o_orderkey",
+          Some(1000L), Some(3000L))))
+        .orderBy("o_orderkey")
+    }),
+
     // S4+++++ — `ns.t.manifests` metadata table: per-partition-dir
     // totals of the current snapshot (this layout's manifest unit);
     // same one-file-per-partition fixture as q_snapshot_files, so the
@@ -1406,6 +1428,11 @@ FROM iceberg.silver.orders_current""")
     "q_rewrite_sorted" -> """
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       ORDER BY l_orderkey, l_linenumber""",
+
+    "q_stats_pruned_scan" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+      ORDER BY o_orderkey""",
 
     "q_cherrypick" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Stats-based scan planning: file pruning by parquet footer min/max,
+  * superset guarantee, MOR composition, and the sorted-layout payoff. */
+class ScanPruningSpec extends SparkSpec {
+  import spark.implicits._
+  import ScanPruning.ColumnRange
+
+  private def tmpTable(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/t"
+
+  private val rows =
+    (0 until 800).map(i => (i.toLong, i.toDouble / 10.0, f"s$i%04d"))
+
+  test("sorted layout: a narrow key range keeps a small file subset, " +
+    "the pruned read equals the plain filter, empty range keeps none") {
+    val dir = tmpTable("prune1")
+    Snapshot.createOrReplace(rows.toDF("k", "v", "s"), dir)
+    Snapshot.rewriteSorted(spark, dir, 8, Seq(col("k")))
+    val ranges = Seq(ColumnRange("k", Some(100L), Some(199L)))
+    val plan = ScanPruning.pruneDir(spark, dir, ranges)
+    assert(plan.total == 8, s"expected 8 files, got ${plan.total}")
+    assert(plan.kept.size <= 2,
+      s"sorted files are disjoint ranges; kept ${plan.kept.size} of 8")
+    val pruned = Snapshot.prunedRead(spark, dir, ranges)
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    val full = Snapshot.read(spark, dir)
+      .filter(col("k") >= 100L && col("k") <= 199L)
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    assert(pruned.toSeq == full.toSeq && pruned.length == 100)
+    // a range beyond the data prunes EVERY file and still answers
+    val none = Seq(ColumnRange("k", Some(10000L), None))
+    assert(ScanPruning.pruneDir(spark, dir, none).kept.isEmpty)
+    assert(Snapshot.prunedRead(spark, dir, none).count() == 0)
+  }
+
+  test("double and string ranges prune on their own stats; a column " +
+    "with no footer stats is never pruned") {
+    val dir = tmpTable("prune2")
+    Snapshot.createOrReplace(rows.toDF("k", "v", "s"), dir)
+    Snapshot.rewriteSorted(spark, dir, 8, Seq(col("v")))
+    val dr = Seq(ColumnRange("v", Some(20.0), Some(29.9)))
+    assert(ScanPruning.pruneDir(spark, dir, dr).kept.size <= 2)
+    assert(Snapshot.prunedRead(spark, dir, dr).count() ==
+      Snapshot.read(spark, dir)
+        .filter(col("v").between(20.0, 29.9)).count())
+    // string clustering prunes string ranges
+    Snapshot.rewriteSorted(spark, dir, 8, Seq(col("s")))
+    val sr = Seq(ColumnRange("s", Some("s0100"), Some("s0199")))
+    assert(ScanPruning.pruneDir(spark, dir, sr).kept.size <= 2)
+    assert(Snapshot.prunedRead(spark, dir, sr).count() == 100)
+    // a column absent from the files keeps everything (conservative)
+    val missing = Seq(ColumnRange("nope", Some(1L), Some(2L)))
+    assert(ScanPruning.pruneDir(spark, dir, missing).kept.size == 8)
+  }
+
+  test("unsorted layout cannot prune much but stays exact; conjunctive " +
+    "ranges intersect the kept sets") {
+    val dir = tmpTable("prune3")
+    // round-robin layout: every file spans nearly the whole key range
+    Snapshot.createOrReplace(rows.toDF("k", "v", "s").repartition(8), dir)
+    val ranges = Seq(ColumnRange("k", Some(100L), Some(199L)))
+    val pruned = Snapshot.prunedRead(spark, dir, ranges).count()
+    assert(pruned == 100, s"unsorted pruned read returned $pruned")
+    // conjunction: k-range keeps ~1 file on a k-sorted rewrite, and an
+    // impossible v-range on top kills the rest
+    Snapshot.rewriteSorted(spark, dir, 8, Seq(col("k")))
+    val conj = Seq(
+      ColumnRange("k", Some(100L), Some(199L)),
+      ColumnRange("v", Some(1e9), None))
+    assert(ScanPruning.pruneDir(spark, dir, conj).kept.isEmpty)
+    assert(Snapshot.prunedRead(spark, dir, conj).count() == 0)
+  }
+
+  test("merge-on-read composes: append sidecars prune per component, " +
+    "delete sidecars always apply, result equals the plain filter") {
+    val dir = tmpTable("prune4")
+    Snapshot.createOrReplace(rows.toDF("k", "v", "s"), dir,
+      keepVersions = 5)
+    Snapshot.rewriteSorted(spark, dir, 8, Seq(col("k")),
+      keepVersions = 5)
+    // delete a row INSIDE the queried range, append one inside and
+    // many outside
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq((150L, 15.0, "s0150")).toDF("k", "v", "s")),
+      appends = None, operation = "delete")
+    Snapshot.morCommit(spark, dir, deletes = None,
+      appends = Some((Seq((150L, -1.0, "fresh")) ++
+        (2000 until 2500).map(i => (i.toLong, i.toDouble, s"x$i")))
+        .toDF("k", "v", "s")),
+      operation = "append")
+    val ranges = Seq(ColumnRange("k", Some(100L), Some(199L)))
+    val pruned = Snapshot.prunedRead(spark, dir, ranges)
+      .as[(Long, Double, String)].collect().sortBy(r => (r._1, r._2))
+    val full = Snapshot.read(spark, dir)
+      .filter(col("k").between(100L, 199L))
+      .as[(Long, Double, String)].collect().sortBy(r => (r._1, r._2))
+    assert(pruned.toSeq == full.toSeq)
+    assert(pruned.count(_._1 == 150L) == 1 &&
+      pruned.find(_._1 == 150L).get._3 == "fresh",
+      "the deleted base row must be gone and the appended twin present")
+    // base pruning still effective under MOR
+    assert(ScanPruning.pruneDir(spark, dir, ranges).kept.size <= 2)
+  }
+}
