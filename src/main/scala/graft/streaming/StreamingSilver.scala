@@ -71,6 +71,58 @@ object StreamingSilver {
       .start()
   }
 
+  /** ST1-MOR (r11) — the streaming merge through MERGE-ON-READ commits
+    * (S5-MOR composed into ST1): the first micro-batch bootstraps the
+    * snapshot copy-on-write, every later one commits an O(delta)
+    * equality-delete + append sidecar via [[Snapshot.morCommit]]
+    * instead of rewriting the table. This is the 100-TB CDC shape the
+    * reference's workload implies (`merge_orders_silver.py:135-147`
+    * runs every poll interval): a micro-batch's write cost tracks the
+    * BATCH size, not the table size — base data files are never
+    * touched — and the read-merge tax is cleared on the maintenance
+    * cadence by `CALL rewrite_position_delete_files` (curve measured
+    * in BASELINE.md's r11 soak).
+    *
+    * Per batch: LWW-stage the batch ([[Silver.staged]]), equality-
+    * delete the CURRENT rows of every touched key (one broadcast
+    * semi-join — the delete file is O(touched keys)), append the
+    * staged non-tombstone rows. Same MERGE semantics as [[start]]
+    * (spec-pinned equal), same checkpoint/restart contract. */
+  def startMor(spark: SparkSession, bronzeDir: String, silverDir: String,
+               checkpointDir: String,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(bronzeSchema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(bronzeDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!new java.io.File(silverDir).exists)
+          Snapshot.createOrReplace(
+            Silver.mergeBatch(emptySilver(spark), batch), silverDir,
+            keepVersions = 2)
+        else {
+          // staged is consumed twice (delete keys + appends): truncate
+          // its lineage once instead of re-running the window per frame
+          val staged = Silver.staged(batch).localCheckpoint()
+          if (!staged.isEmpty) {
+            val touched = staged
+              .select(Silver.Keys.map(col): _*).distinct()
+            val deletes = Snapshot.read(spark, silverDir)
+              .join(touched, Silver.Keys, "left_semi")
+            val appends = staged.filter(col("op") =!= "d").drop("op")
+            Snapshot.morCommit(spark, silverDir,
+              deletes = Some(deletes), appends = Some(appends),
+              operation = "merge")
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window counts over a CDC event stream — the
     * windowed-agg streaming shape (late events beyond the watermark are
     * dropped by Spark's state store, not by hand-rolled logic). */

@@ -88,6 +88,80 @@ class StreamingSilverSpec extends SparkSpec {
       == batch)
   }
 
+  test("merge-on-read streaming: micro-batches commit sidecars, base " +
+    "files stay untouched, result equals the copy-on-write stream, " +
+    "compaction clears the merge tax") {
+    val root = Files.createTempDirectory("stream-mor").toString
+    val bronzeDir = s"$root/bronze"
+    val silverDir = s"$root/silver"
+    val cpDir = s"$root/cp"
+
+    def ordersDf(rows: Seq[(Long, Long, String, Double, String)]) =
+      rows.map { case (k, u, st, p, d) => (k, u, st, p, ts(d)) }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+    // wave 1 bootstraps the base snapshot (copy-on-write)
+    val bronze1 = Synth.bronze(ordersDf(Seq(
+      (1L, 10L, "O", 100.0, "2024-01-01 00:00:00"),
+      (3L, 12L, "O", 300.0, "2024-01-03 00:00:00"))))
+    bronze1.write.parquet(bronzeDir)
+    val q1 = StreamingSilver.startMor(spark, bronzeDir, silverDir, cpDir)
+    q1.awaitTermination(60000)
+    val baseVersion = Snapshot.currentVersion(silverDir).get
+    val morBefore = Snapshot.morVersions(silverDir).size
+    val baseMtimes = java.nio.file.Files.list(
+      java.nio.file.Paths.get(silverDir)).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    assert(baseMtimes.nonEmpty)
+
+    // wave 2: update key 3 (k%3=0 → a 'u' event wins), insert key 5,
+    // and key 17 (k%17=0 → its delete event tombstones it) — resumes
+    // from the checkpoint, commits MOR sidecars only
+    val bronze2 = Synth.bronze(ordersDf(Seq(
+      (3L, 12L, "P", 350.0, "2024-01-06 00:00:00"),
+      (5L, 13L, "F", 500.0, "2024-01-07 00:00:00"),
+      (17L, 14L, "X", 170.0, "2024-01-08 00:00:00"))))
+    bronze2.write.mode("append").parquet(bronzeDir)
+    val q2 = StreamingSilver.startMor(spark, bronzeDir, silverDir, cpDir)
+    q2.awaitTermination(60000)
+
+    // base data files byte-identical; commits were sidecars
+    val baseAfter = java.nio.file.Files.list(
+      java.nio.file.Paths.get(silverDir)).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    assert(baseAfter == baseMtimes,
+      "a MOR micro-batch must not rewrite base data files")
+    assert(Snapshot.morVersions(silverDir).size > morBefore)
+    assert(Snapshot.currentVersion(silverDir).get > baseVersion)
+
+    // result equals the two-step batch merge (the CoW streaming twin)
+    val streamed = Snapshot.read(spark, silverDir)
+      .select("order_id", "status", "amount_eur")
+      .as[(Int, String, Double)].collect().toSet
+    val batch = Silver.mergeBatch(
+      Silver.mergeBatch(StreamingSilver.emptySilver(spark), bronze1),
+      bronze2)
+      .select("order_id", "status", "amount_eur")
+      .as[(Int, String, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(!streamed.exists(_._1 == 17), "key 17 must be tombstoned")
+    assert(streamed.exists(r => r._1 == 3 && r._2 == "updated"),
+      "key 3's wave-2 update event must win")
+
+    // compaction clears the sidecars; content unchanged
+    Snapshot.rewritePositionDeletes(spark, silverDir)
+    assert(Snapshot.morVersions(silverDir).isEmpty)
+    assert(Snapshot.read(spark, silverDir)
+      .select("order_id", "status", "amount_eur")
+      .as[(Int, String, Double)].collect().toSet == batch)
+  }
+
   test("windowedCounts groups ops into tumbling windows") {
     val orders = Seq(
       (1L, 10L, "O", 100.0, ts("2024-01-01 00:00:00")),
