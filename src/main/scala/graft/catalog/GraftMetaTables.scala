@@ -57,7 +57,7 @@ object GraftMetaTables {
   private val MetaNames =
     Set("history", "snapshots", "files", "partitions", "all_files",
       "refs", "manifests", "all_manifests", "metadata_log_entries",
-      "delete_files")
+      "delete_files", "entries")
 
   def lookup(session: SparkSession,
              parts: Seq[String]): Option[LogicalPlan] = {
@@ -224,6 +224,29 @@ object GraftMetaTables {
                     lit("parquet").as("file_format"),
                     col("record_count"), col("file_size_in_bytes"))
               }.reduce(_ unionAll _)
+            case "entries" =>
+              // Iceberg's entries table (flattened data_file struct):
+              // one row per data file of the CURRENT snapshot with the
+              // manifest-entry status — 1 = added by the live commit,
+              // 0 = existing from an earlier one — and snapshot_id =
+              // the commit that added the file (the dir's base marker
+              // for base files, the sidecar's own version for MOR
+              // fast-appends). Deleted entries (status 2) don't occur:
+              // this layout drops a file only when its whole version
+              // expires.
+              val v = live.getOrElse(
+                throw new java.util.NoSuchElementException(
+                  s"${key.mkString(".")} has no live snapshot version"))
+              graft.pipeline.Snapshot.dataDirVersionsAsOf(path, v)
+                .map { case (dataDir, addedAt) =>
+                  filesOfDirs(session, Seq(dataDir))
+                    .select(
+                      lit(if (addedAt == v) 1 else 0).as("status"),
+                      lit(addedAt).as("snapshot_id"),
+                      col("file_path"), col("file_format"),
+                      col("partition"), col("record_count"),
+                      col("file_size_in_bytes"))
+                }.reduce(_ unionAll _)
             case "refs" =>
               // staged branches report their FORK version (the live
               // version they were written against) until publish

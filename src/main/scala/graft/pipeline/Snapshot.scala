@@ -186,6 +186,21 @@ object Snapshot {
       .map(v => morRoot(dir).resolve(s"v$v").resolve("appends"))
       .filter(Files.isDirectory(_)).map(_.toString)
 
+  /** (data dir, committing version) pairs visible at `version` of
+    * `path`: the serving dir's base files at the dir's own base marker
+    * version, plus each appends sidecar at its commit version — the
+    * `.entries` metadata table's listing unit (which commit ADDED each
+    * file). A markerless pre-versioning dir reports version 0. */
+  def dataDirVersionsAsOf(path: String,
+                          version: Long): Seq[(String, Long)] = {
+    val dir = serveDir(path, version)
+    (dir, markerVersion(dir).getOrElse(0L)) +:
+      morVersions(dir).filter(_ <= version).flatMap { v =>
+        val a = morRoot(dir).resolve(s"v$v").resolve("appends")
+        if (Files.isDirectory(a)) Seq((a.toString, v)) else Seq.empty
+      }
+  }
+
   /** The equality-delete sidecar dirs visible at `version` of `path` —
     * the `.delete_files` metadata table's listing unit. */
   def deleteDirsAsOf(path: String, version: Long): Seq[String] = {

@@ -913,6 +913,31 @@ FROM iceberg.silver.orders_current""")
                FROM morf.orders.delete_files GROUP BY content""")
     }),
 
+    // S4++++++ (r11) — Iceberg's `.entries` metadata table (flattened
+    // data_file struct): one row per data file of the current snapshot
+    // with the manifest-entry status — base files carry status 0
+    // (existing) and the version that created their dir, a MOR
+    // fast-append's file carries status 1 (added) at its own commit
+    // version. Same one-file-per-partition fixture as q_snapshot_files
+    // so record counts are the per-flag group counts.
+    "q_snapshot_entries" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val dir = java.nio.file.Files.createTempDirectory("entriesq")
+        .toString + "/li_entries"
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        li.repartition(col("l_returnflag")), dir, Seq("l_returnflag"))
+      graft.pipeline.Snapshot.morCommit(s, dir, deletes = None,
+        appends = Some(s.range(1, 3).select(
+          col("id").as("l_orderkey"),
+          lit(5.0).as("l_quantity"),
+          lit("Z").as("l_returnflag")).repartition(1)),
+        operation = "append")
+      new TableStore(s).registerSnapshot("ent", "li", dir)
+      s.sql("""SELECT status, snapshot_id, partition, record_count
+               FROM ent.li.entries ORDER BY snapshot_id, partition""")
+    }),
+
     // S4++++++ (r11) — `.snapshots` now carries Iceberg's per-commit
     // operation + summary: a copy-on-write create (overwrite), a
     // merge-on-read DELETE (delete — zero data files added), and the
@@ -1724,6 +1749,19 @@ FROM iceberg.silver.orders_current""")
     "q_delete_files" -> """
       SELECT 2 AS content, count(*) AS records
       FROM orders WHERE o_orderstatus = 'F'""",
+
+    // base files existing (status 0) at the dir's create version, the
+    // fast-append file added (status 1) at its commit version
+    "q_snapshot_entries" -> """
+      WITH f AS (SELECT l_returnflag, count(*) AS n
+                 FROM lineitem GROUP BY l_returnflag)
+      SELECT 0 AS status, CAST(1 AS BIGINT) AS snapshot_id,
+             'l_returnflag=' || l_returnflag AS partition,
+             n AS record_count
+      FROM f
+      UNION ALL
+      SELECT 1, CAST(2 AS BIGINT), '', CAST(2 AS BIGINT)
+      ORDER BY snapshot_id, partition""",
 
     // per-commit operation labels + data-file record counts: v1 the
     // full table (overwrite), v2 the MOR delete (delete — data files
