@@ -71,45 +71,84 @@ object ScanPruning {
   /** Does `file` possibly contain rows matching EVERY range? One footer
     * open (row-group metadata only — no data pages, the same read unit
     * as the `.snapshots` record counts); a file overlaps a range iff
-    * [fileMin, fileMax] intersects [lower, upper] over all row groups,
-    * and conservatively whenever statistics are missing. */
+    * SOME row group possibly matches it: the group's [min, max] is not
+    * disjoint from [lower, upper], and — for a POINT range (lower ==
+    * upper) — the group's parquet BLOOM FILTER, when one was written
+    * ([[bloomWriteOptions]]), does not definitively exclude the value.
+    * Bloom pruning is what min/max cannot do on an UNSORTED
+    * high-cardinality column (every file's range spans the whole
+    * domain; a point lookup still prunes to ~1 file — the
+    * Iceberg/Delta bloom-index capability). Conservative whenever
+    * statistics/filters are missing: absent column, absent stats and
+    * absent bloom → the file is kept. */
   def fileOverlaps(spark: SparkSession, file: String,
                    ranges: Seq[ColumnRange]): Boolean = {
     if (ranges.isEmpty) return true
+    import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val blocks = reader.getFooter.getBlocks
+      val blocks = reader.getFooter.getBlocks.asScala
       ranges.forall { r =>
-        var min: Any = null
-        var max: Any = null
-        var prunable = true
-        val bi = blocks.iterator()
-        while (bi.hasNext && prunable) {
-          val cc = bi.next().getColumns
-          var found: org.apache.parquet.hadoop.metadata
-            .ColumnChunkMetaData = null
-          val ci = cc.iterator()
-          while (ci.hasNext && found == null) {
-            val c = ci.next()
-            if (c.getPath.toDotString.equalsIgnoreCase(r.column)) found = c
-          }
-          val st = if (found == null) null else found.getStatistics
-          if (st == null || !st.hasNonNullValue) prunable = false
+        val point = for {
+          l <- r.lower; u <- r.upper if cmp(l, u) == 0
+        } yield l
+        blocks.exists { b =>
+          val found = b.getColumns.asScala
+            .find(_.getPath.toDotString.equalsIgnoreCase(r.column))
+            .orNull
+          if (found == null) true // column absent → cannot exclude
           else {
-            val bMin = stat(st.genericGetMin.asInstanceOf[AnyRef])
-            val bMax = stat(st.genericGetMax.asInstanceOf[AnyRef])
-            if (min == null || cmp(bMin, min) < 0) min = bMin
-            if (max == null || cmp(bMax, max) > 0) max = bMax
+            val st = found.getStatistics
+            val statsExclude = st != null && st.hasNonNullValue && {
+              val bMin = stat(st.genericGetMin.asInstanceOf[AnyRef])
+              val bMax = stat(st.genericGetMax.asInstanceOf[AnyRef])
+              r.lower.exists(l => cmp(bMax, l) < 0) ||
+                r.upper.exists(u => cmp(bMin, u) > 0)
+            }
+            if (statsExclude) false
+            else point match {
+              case Some(v) =>
+                val bf = reader.getBloomFilterDataReader(b)
+                  .readBloomFilter(found)
+                bf == null || bloomMightContain(bf, found, v)
+              case None => true
+            }
           }
         }
-        !prunable ||
-          (r.lower.forall(l => cmp(max, l) >= 0) &&
-            r.upper.forall(u => cmp(min, u) <= 0))
       }
     } finally reader.close()
+  }
+
+  /** Writer options enabling a parquet bloom filter on `column` —
+    * pass to [[Snapshot.createOrReplace]]'s `options`. Size `ndv` to
+    * the expected distinct count per FILE (an over-estimate only
+    * costs footer bytes; an under-estimate costs false positives →
+    * unpruned files, never wrong results). */
+  def bloomWriteOptions(column: String, ndv: Long): Map[String, String] =
+    Map(s"parquet.bloom.filter.enabled#$column" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$column" -> ndv.toString)
+
+  /** Bloom membership probe with the value converted to the column's
+    * PHYSICAL type (the hash domain). Unhashable physical types report
+    * "might contain" — conservative, never wrong. */
+  private def bloomMightContain(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      v: Any): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val h = cc.getPrimitiveType.getPrimitiveTypeName match {
+      case INT64 => bf.hash(v.asInstanceOf[Number].longValue)
+      case INT32 => bf.hash(v.asInstanceOf[Number].intValue)
+      case DOUBLE => bf.hash(v.asInstanceOf[Number].doubleValue)
+      case FLOAT => bf.hash(v.asInstanceOf[Number].floatValue)
+      case BINARY =>
+        bf.hash(org.apache.parquet.io.api.Binary.fromString(v.toString))
+      case _ => return true
+    }
+    bf.findHash(h)
   }
 
   /** Plan one component dir: list its data files, keep those whose

@@ -305,9 +305,14 @@ object Snapshot {
     * exactly the append-only-bronze + rebuildable-silver story this
     * pipeline already tells. */
   def createOrReplace(df: DataFrame, path: String,
-                      keepVersions: Int = 0): Unit =
+                      keepVersions: Int = 0,
+                      options: Map[String, String] = Map.empty): Unit =
     swapIn(path, keepVersions) { tmp =>
-      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // `options` reach the parquet writer — e.g.
+      // [[ScanPruning.bloomWriteOptions]] to index a column for
+      // point-lookup file pruning
+      df.write.mode(SaveMode.Overwrite).options(options)
+        .parquet(tmp.toString)
     }
 
   /** Per-path intra-JVM commit locks: the swap section of two

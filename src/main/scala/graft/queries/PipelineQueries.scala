@@ -393,6 +393,30 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     }),
 
+    // S12+++ (r11) — BLOOM-FILTER point-lookup pruning: the text-hash
+    // column is unsorted and high-cardinality, so every file's min/max
+    // spans the whole domain and range pruning keeps all 8 files — the
+    // per-file parquet bloom filter still prunes the point lookup to
+    // ~1 file (the Iceberg/Delta bloom-index capability). The result
+    // equals the plain filter (the oracle); ScanPruningSpec pins the
+    // kept-set sizes with and without the filter.
+    "q_bloom_pruned_scan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("sid"))
+      val dir = java.nio.file.Files.createTempDirectory("bloomscan")
+        .toString + "/docs_bloom"
+      graft.pipeline.Snapshot.createOrReplace(
+        docs.repartition(8, col("sid")), dir,
+        options = graft.pipeline.ScanPruning
+          .bloomWriteOptions("sid", 200))
+      val target = docs.filter(col("doc_id") === 42)
+        .select("sid").head().getString(0)
+      graft.pipeline.Snapshot.prunedRead(s, dir,
+        Seq(graft.pipeline.ScanPruning.ColumnRange("sid",
+          Some(target), Some(target))))
+        .orderBy("doc_id")
+    }),
+
     // S4+++++ — `ns.t.manifests` metadata table: per-partition-dir
     // totals of the current snapshot (this layout's manifest unit);
     // same one-file-per-partition fixture as q_snapshot_files, so the
@@ -1458,6 +1482,12 @@ FROM iceberg.silver.orders_current""")
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
       ORDER BY o_orderkey""",
+
+    "q_bloom_pruned_scan" -> """
+      SELECT doc_id, md5(text) AS sid FROM documents
+      WHERE md5(text) = (SELECT md5(text) FROM documents
+                         WHERE doc_id = 42)
+      ORDER BY doc_id""",
 
     "q_cherrypick" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus

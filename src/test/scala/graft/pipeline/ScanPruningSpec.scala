@@ -76,6 +76,43 @@ class ScanPruningSpec extends SparkSpec {
     assert(Snapshot.prunedRead(spark, dir, conj).count() == 0)
   }
 
+  test("bloom filters prune point lookups on unsorted high-cardinality " +
+    "columns where min/max cannot") {
+    val dir = tmpTable("prune5")
+    val data = (0 until 800)
+      .map(i => (md5sum(s"row-$i"), i.toLong))
+      .toDF("sid", "payload")
+      .repartition(8, col("sid"))
+    Snapshot.createOrReplace(data, dir,
+      options = ScanPruning.bloomWriteOptions("sid", 200))
+    val target = md5sum("row-42")
+    val point = Seq(ColumnRange("sid", Some(target), Some(target)))
+    val withBloom = ScanPruning.pruneDir(spark, dir, point)
+    assert(withBloom.total == 8)
+    assert(withBloom.kept.size <= 2,
+      s"bloom point lookup kept ${withBloom.kept.size} of 8 files")
+    val row = Snapshot.prunedRead(spark, dir, point)
+      .as[(String, Long)].collect()
+    assert(row.toSeq == Seq((target, 42L)))
+    // a value NOT in the table prunes everything (no false row)
+    val missing = md5sum("not-a-row")
+    val none = Seq(ColumnRange("sid", Some(missing), Some(missing)))
+    assert(ScanPruning.pruneDir(spark, dir, none).kept.size <= 1)
+    assert(Snapshot.prunedRead(spark, dir, none).count() == 0)
+    // the same layout WITHOUT bloom filters: min/max over random md5
+    // strings spans the domain in every file — nothing prunes
+    val plain = tmpTable("prune5b")
+    Snapshot.createOrReplace(data, plain)
+    val noBloom = ScanPruning.pruneDir(spark, plain, point)
+    assert(noBloom.kept.size > withBloom.kept.size,
+      s"expected bloom to prune beyond min/max " +
+        s"(${noBloom.kept.size} vs ${withBloom.kept.size})")
+  }
+
+  private def md5sum(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("merge-on-read composes: append sidecars prune per component, " +
     "delete sidecars always apply, result equals the plain filter") {
     val dir = tmpTable("prune4")
