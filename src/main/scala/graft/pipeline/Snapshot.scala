@@ -886,6 +886,15 @@ object Snapshot {
     swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
       sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
+    // the sort-clustered layout is exactly the one whose per-file
+    // stats pay at plan time: publish the scan manifest for the
+    // plain-attribute sort columns so pruneDir plans from ONE sidecar
+    // read instead of O(files) footer opens (Iceberg's manifest role;
+    // validation-by-file-names makes a stale one harmless)
+    val simpleCols = sortExprs.map(_.toString)
+      .filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    if (simpleCols.nonEmpty)
+      ScanPruning.writeStatsManifest(spark, path, simpleCols)
   }
 
   /** GDPR erasure (right-to-be-forgotten) over a versioned snapshot

@@ -76,6 +76,36 @@ class ScanPruningSpec extends SparkSpec {
     assert(Snapshot.prunedRead(spark, dir, conj).count() == 0)
   }
 
+  test("the stats manifest sidecar plans identically to the footer " +
+    "walk, survives only while the file set matches, and regenerates") {
+    val dir = tmpTable("prune6")
+    Snapshot.createOrReplace(rows.toDF("k", "v", "s"), dir)
+    Snapshot.rewriteSorted(spark, dir, 8, Seq(col("k")))
+    val manifest = java.nio.file.Paths.get(dir, "_scan_manifest.tsv")
+    assert(java.nio.file.Files.exists(manifest),
+      "rewriteSorted must publish the scan manifest")
+    val ranges = Seq(ColumnRange("k", Some(100L), Some(199L)))
+    val viaManifest = ScanPruning.pruneDir(spark, dir, ranges)
+    // delete the sidecar → footer walk → identical plan
+    java.nio.file.Files.delete(manifest)
+    val viaFooters = ScanPruning.pruneDir(spark, dir, ranges)
+    assert(viaManifest.kept == viaFooters.kept &&
+      viaManifest.total == viaFooters.total)
+    // a manifest naming the WRONG files is ignored (validation), so a
+    // stale sidecar can never mis-prune
+    java.nio.file.Files.write(manifest,
+      "v1\nno-such-file.parquet\tk\tlong\t0\t1\n".getBytes("UTF-8"))
+    assert(ScanPruning.pruneDir(spark, dir, ranges).kept ==
+      viaFooters.kept)
+    // explicit regeneration restores the manifest plan
+    ScanPruning.writeStatsManifest(spark, dir, Seq("k", "s"))
+    assert(ScanPruning.pruneDir(spark, dir, ranges).kept ==
+      viaFooters.kept)
+    // string ranges plan from the same regenerated manifest
+    assert(ScanPruning.pruneDir(spark, dir,
+      Seq(ColumnRange("s", Some("s0100"), Some("s0199")))).kept.size <= 8)
+  }
+
   test("bloom filters prune point lookups on unsorted high-cardinality " +
     "columns where min/max cannot") {
     val dir = tmpTable("prune5")
