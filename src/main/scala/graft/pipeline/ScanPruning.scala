@@ -178,7 +178,12 @@ object ScanPruning {
       (for { l <- r.lower; u <- r.upper } yield cmp(l, u) == 0)
         .getOrElse(false))
     readManifest(dir) match {
-      case Some(m) if m.keySet == files.map(fileName).toSet =>
+      // basename keys are only trustworthy when basenames are UNIQUE
+      // across the dir (a partitioned layout can repeat part-file
+      // names under different fragment dirs — merged stats would
+      // mis-prune); otherwise fall through to the footer walk
+      case Some(m) if files.map(fileName).distinct.size == files.size
+        && m.keySet == files.map(fileName).toSet =>
         val manifestCols = m.valuesIterator.flatMap(_.keySet).toSet
         val covered = ranges.filter(r => manifestCols
           .contains(r.column.toLowerCase(java.util.Locale.ROOT)))
@@ -254,6 +259,13 @@ object ScanPruning {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val files = dataFiles(spark, dir)
+    // the manifest keys rows by BASENAME; colliding basenames (same
+    // part-file name under two partition fragment dirs) would merge
+    // two files' stats into one row and mis-prune — refuse instead
+    // (the reader independently rejects such dirs)
+    require(files.map(fileName).distinct.size == files.size,
+      s"cannot write a scan manifest for $dir: duplicate data-file " +
+        "basenames across subdirectories")
     val lines = parallelMap(files) { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f), conf)

@@ -106,6 +106,35 @@ class ScanPruningSpec extends SparkSpec {
       Seq(ColumnRange("s", Some("s0100"), Some("s0199")))).kept.size <= 8)
   }
 
+  test("colliding part-file basenames (partitioned layouts) refuse a " +
+    "manifest and never trust one") {
+    val dir = tmpTable("prune7")
+    // one task per partition value → every fragment dir holds a file
+    // named part-00000-…: basenames collide across subdirs
+    Snapshot.createOrReplacePartitioned(
+      rows.toDF("k", "v", "s").withColumn("p", col("k") % 2)
+        .repartition(col("p")),
+      dir, Seq("p"))
+    val names = ScanPruning.dataFiles(spark, dir)
+      .map(f => f.substring(f.lastIndexOf('/') + 1))
+    assume(names.distinct.size < names.size,
+      "fixture must produce colliding basenames")
+    intercept[IllegalArgumentException] {
+      ScanPruning.writeStatsManifest(spark, dir, Seq("k"))
+    }
+    // a manifest planted anyway (e.g. by an old writer) is ignored:
+    // the plan equals the footer walk, rows stay correct
+    val ranges = Seq(ColumnRange("k", Some(0L), Some(99L)))
+    val viaFooters = ScanPruning.pruneDir(spark, dir, ranges)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_scan_manifest.tsv"),
+      (s"v1\n" + names.distinct.map(n => s"$n\tk\tlong\t500\t501")
+        .mkString("\n")).getBytes("UTF-8"))
+    assert(ScanPruning.pruneDir(spark, dir, ranges).kept ==
+      viaFooters.kept)
+    assert(Snapshot.prunedRead(spark, dir, ranges).count() == 100)
+  }
+
   test("bloom filters prune point lookups on unsorted high-cardinality " +
     "columns where min/max cannot") {
     val dir = tmpTable("prune5")
