@@ -388,16 +388,41 @@ object ScanPruning {
   /** Cross-type ordered comparison: integral pairs compare exactly as
     * longs (a double lane would lose precision past 2^53 — snapshot
     * ids and row keys live there), anything else numeric as doubles,
-    * strings as strings. Mixed string/number is a caller error. */
-  private[pipeline] def cmp(a: Any, b: Any): Int = (a, b) match {
+    * strings in UTF-8 BYTE order — the order parquet computes BINARY
+    * statistics in (String.compareTo's UTF-16 code-unit order
+    * disagrees for non-BMP code points, which could mis-prune).
+    * Mixed string/number is a caller error. Public: the SQL-path
+    * skipping index ([[org.apache.spark.sql.graft.PruningBridge]])
+    * evaluates manifest stats with the same ordering. */
+  def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Number, y: java.lang.Number)
       if isIntegral(x) && isIntegral(y) =>
       java.lang.Long.compare(x.longValue, y.longValue)
     case (x: java.lang.Number, y: java.lang.Number) =>
       java.lang.Double.compare(x.doubleValue, y.doubleValue)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) =>
+      val ab = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.util.Arrays.compareUnsigned(ab, bb)
     case _ => throw new IllegalArgumentException(
       s"unsupported bound comparison: ${a.getClass.getName} vs " +
         s"${b.getClass.getName}")
+  }
+
+  /** [[cmp]] as an Ordering, for min/max over mixed bound values. */
+  val boundOrdering: Ordering[Any] = (a: Any, b: Any) => cmp(a, b)
+
+  /** The manifest stats map when — and only when — it can be TRUSTED
+    * for plan-time skipping: the sidecar exists, parses, basenames
+    * are collision-free, and the name set exactly matches the dir's
+    * current data files (the [[pruneDir]] validation). One listing +
+    * one small file read; no footer I/O. */
+  def manifestForSkipping(spark: SparkSession,
+      dir: String): Option[Map[String, Map[String, (Any, Any)]]] = {
+    val files = dataFiles(spark, dir)
+    if (files.isEmpty ||
+      files.map(fileName).distinct.size != files.size) None
+    else readManifest(dir)
+      .filter(_.keySet == files.map(fileName).toSet)
   }
 }

@@ -142,7 +142,11 @@ object Snapshot {
     * sidecar of version <= `upTo` applied in commit order. */
   private def morApply(spark: SparkSession, dir: String,
                        upTo: Long): DataFrame = {
-    var df = spark.read.parquet(dir)
+    // the base scan plans through the stats-skipping FileIndex when
+    // the dir carries a valid scan manifest — a filter pushed onto ANY
+    // read of this table (API or SQL) then schedules O(matching
+    // files) tasks; without a manifest this IS spark.read.parquet
+    var df = org.apache.spark.sql.graft.PruningBridge.read(spark, dir)
     // hidden partitioning: derived transform fields (c_bucket, ts_day)
     // exist only as directory fragments — reads drop them so the
     // logical schema never carries them (and MOR sidecars, written in

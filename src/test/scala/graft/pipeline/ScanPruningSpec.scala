@@ -106,6 +106,50 @@ class ScanPruningSpec extends SparkSpec {
       Seq(ColumnRange("s", Some("s0100"), Some("s0199")))).kept.size <= 8)
   }
 
+  test("the SQL read path skips files through the manifest index: a " +
+    "plain filter over Snapshot.read scans O(matching) files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpTable("prune8")
+    Snapshot.createOrReplace(rows.toDF("k", "v", "s"), dir)
+    Snapshot.rewriteSorted(spark, dir, 8, Seq(col("k")))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    // no filter → all 8 files
+    assert(scannedFiles(Snapshot.read(spark, dir)) == 8)
+    // pushed range filter → the index skips non-matching files at
+    // plan time, results equal the unpruned filter
+    val filtered = Snapshot.read(spark, dir)
+      .filter(col("k").between(100L, 199L))
+    assert(scannedFiles(filtered) <= 2,
+      "manifest index must prune the SQL-path scan")
+    assert(filtered.count() == 100)
+    // equality literal prunes too; disjoint range scans zero files
+    assert(scannedFiles(Snapshot.read(spark, dir)
+      .filter(col("k") === 150L)) <= 2)
+    assert(Snapshot.read(spark, dir)
+      .filter(col("k") > 5000L).count() == 0)
+    // a registered table through spark.sql takes the same path
+    val store = new graft.catalog.TableStore(spark)
+    store.registerSnapshot("prune", "sorted", dir)
+    val viaSql = spark.sql(
+      "SELECT * FROM prune.sorted WHERE k BETWEEN 100 AND 199")
+    assert(scannedFiles(viaSql) <= 2,
+      "spark.sql over the registered table must skip files")
+    assert(viaSql.count() == 100)
+    // after a MOR delete the base keeps skipping and results stay
+    // exact (the sidecar is a separate component)
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq((150L, 15.0, "s0150")).toDF("k", "v", "s")),
+      appends = None, operation = "delete")
+    val afterMor = Snapshot.read(spark, dir)
+      .filter(col("k").between(100L, 199L))
+    assert(afterMor.count() == 99)
+  }
+
   test("colliding part-file basenames (partitioned layouts) refuse a " +
     "manifest and never trust one") {
     val dir = tmpTable("prune7")
