@@ -178,6 +178,16 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
             }
             graft.pipeline.Snapshot.rewriteSorted(spark, path, target,
               sortExprs, keepVersions = keep)
+            // a z-ordered file covers a quadrant-shaped region, so its
+            // per-file min/max on BOTH source dimensions is tight —
+            // publish them and 2-D box filters skip files through the
+            // same manifest index (the zValue expression itself is not
+            // a plain column, so rewriteSorted could not)
+            order match {
+              case ZOrder(a, b) => graft.pipeline.ScanPruning
+                .writeStatsManifest(spark, path, Seq(a, b))
+              case _ => ()
+            }
           case other => throw new IllegalArgumentException(
             s"unknown rewrite_data_files strategy: '$other' " +
               "(binpack, sort)")

@@ -291,6 +291,7 @@ object Snapshot {
     swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
       writeUnderCurrentSpec(applied, path, tmp)
     }
+    publishOrderManifest(spark, path)
     (collapsed, currentVersion(path).get)
   }
 
@@ -707,10 +708,27 @@ object Snapshot {
     * `rewrite_data_files(strategy => 'sort')` produces on demand).
     * Same atomic protocol as [[createOrReplace]]. */
   def createOrReplaceCurrentSpec(df: DataFrame, path: String,
-                                 keepVersions: Int = 0): Unit =
+                                 keepVersions: Int = 0): Unit = {
     swapIn(path, keepVersions) { tmp =>
       writeUnderCurrentSpec(df, path, tmp)
     }
+    publishOrderManifest(df.sparkSession, path)
+  }
+
+  /** After a spec-aware commit: when WRITE ORDERED BY is set and the
+    * layout is unpartitioned (a partitionBy write repeats part-file
+    * basenames across fragment dirs, which the manifest refuses),
+    * publish the scan manifest for the plain order columns — ongoing
+    * ordered commits then feed the same plan-time file skipping as an
+    * explicit sort rewrite. */
+  private def publishOrderManifest(spark: SparkSession,
+                                   path: String): Unit = {
+    val order = sortOrder(path)
+    val cols = order.map(_._1)
+      .filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    if (cols.nonEmpty && partitionSpec(path).isEmpty)
+      ScanPruning.writeStatsManifest(spark, path, cols)
+  }
 
   /** The spec-aware staged write shared by [[createOrReplaceCurrentSpec]]
     * and the MOR compaction ([[rewritePositionDeletes]]): derived
