@@ -358,4 +358,61 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       }
     }
   }
+
+  test("prunedRead equals read+filter on random data, layouts, and " +
+    "ranges (nulls, sorted/unsorted, with and without manifests)") {
+    import graft.pipeline.{ScanPruning, Snapshot}
+    for (seed <- Seq(7, 23, 61)) {
+      val rnd = new Random(seed)
+      // random rows with NULLs in every column type
+      val data = Seq.tabulate(400) { i =>
+        (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(500).toLong),
+          if (rnd.nextInt(10) == 0) None
+          else Some(rnd.nextDouble() * 100.0),
+          if (rnd.nextInt(10) == 0) None
+          else Some(f"w${rnd.nextInt(300)}%03d"),
+          i.toLong)
+      }.toDF("k", "v", "s", "rid")
+      val dir = java.nio.file.Files.createTempDirectory(s"rprune$seed")
+        .toString + "/t"
+      Snapshot.createOrReplace(data, dir)
+      // random layout: unsorted, k-sorted (publishes a manifest), or
+      // s-sorted
+      rnd.nextInt(3) match {
+        case 0 => ()
+        case 1 => Snapshot.rewriteSorted(spark, dir, 6, Seq(col("k")))
+        case 2 => Snapshot.rewriteSorted(spark, dir, 6, Seq(col("s")))
+      }
+      for (trial <- 0 until 8) {
+        val label = s"seed=$seed trial=$trial"
+        val (ranges, cond) = rnd.nextInt(4) match {
+          case 0 =>
+            val lo = rnd.nextInt(500).toLong
+            val hi = lo + rnd.nextInt(200)
+            (Seq(ScanPruning.ColumnRange("k", Some(lo), Some(hi))),
+              col("k") >= lo && col("k") <= hi)
+          case 1 =>
+            val lo = rnd.nextDouble() * 100
+            (Seq(ScanPruning.ColumnRange("v", Some(lo), None)),
+              col("v") >= lo)
+          case 2 =>
+            val lo = f"w${rnd.nextInt(300)}%03d"
+            val hi = f"w${rnd.nextInt(300)}%03d"
+            (Seq(ScanPruning.ColumnRange("s", Some(lo), Some(hi))),
+              col("s") >= lo && col("s") <= hi)
+          case 3 =>
+            val point = rnd.nextInt(500).toLong
+            val slo = f"w${rnd.nextInt(300)}%03d"
+            (Seq(ScanPruning.ColumnRange("k", Some(point), Some(point)),
+              ScanPruning.ColumnRange("s", Some(slo), None)),
+              col("k") === point && col("s") >= slo)
+        }
+        val got = Snapshot.prunedRead(spark, dir, ranges)
+          .select("rid").as[Long].collect().sorted.toSeq
+        val want = Snapshot.read(spark, dir).filter(cond)
+          .select("rid").as[Long].collect().sorted.toSeq
+        assert(got == want, label)
+      }
+    }
+  }
 }
