@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.catalog.TableStore
-import graft.cdc.{Checkpoints, Synth}
+import graft.cdc.{Checkpoints, Envelope, Scd2, Synth}
 import graft.pipeline.Silver
 import graft.privacy.Mask
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -25,6 +25,21 @@ object PipelineQueries {
 
   private def tsToStr(df: DataFrame, c: String): DataFrame =
     df.withColumn(c, date_format(col(c), "yyyy-MM-dd HH:mm:ss"))
+
+  private val Scd2Keys = Seq("order_id")
+  private val Scd2Values = Seq("order_id", "user_id", "amount_eur", "status")
+
+  /** SCD2 output shape shared by the family: epoch-ms interval bounds as
+    * second-truncated strings (NULL valid_to stays NULL), total order. */
+  private def scd2Out(dim: DataFrame): DataFrame =
+    dim.select(col("order_id"), col("user_id"), col("amount_eur"),
+      col("status"),
+      date_format(Envelope.lastChangeTs(col("valid_from_ms")),
+        "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+      date_format(Envelope.lastChangeTs(col("valid_to_ms")),
+        "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+      col("is_current"))
+      .orderBy("order_id", "valid_from")
 
   /** Synthesized bronze, memoized per (session, sfDir) and materialized
     * with `localCheckpoint`: seven pipeline queries share the fixture
@@ -671,6 +686,47 @@ FROM iceberg.silver.orders_current""")
         .orderBy("status", "amount_band")
     }),
 
+    // S14 — SCD Type 2 dimension history from the same bronze log the
+    // reference keeps only current state from: one row per (order,
+    // version) with [valid_from, valid_to) intervals, deletes closing
+    // the open version. One key-shuffle (the lead window) — the same
+    // exchange the silver rebuild pays.
+    "q_scd2_build" -> ((s, d) =>
+      scd2Out(Scd2.build(Silver.changes(bronzeOf(s, d)),
+        Scd2Keys, "ts_ms", Seq("offset"), Scd2Values))),
+
+    // S14' — the incremental twin: the log replayed as 3 offset-range
+    // micro-batches through Scd2.merge (dimension never windowed, only
+    // left-joined to the broadcast batch-key frame). Equivalence with
+    // the one-shot build is the oracle (same SQL).
+    "q_scd2_incremental" -> ((s, d) => {
+      val ch = Silver.changes(bronzeOf(s, d))
+      val bounds = ch.agg(min("offset"), max("offset")).collect()(0)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val step = math.max(1L, (hi - lo + 3) / 3)
+      val dim0 = Scd2.build(ch.limit(0), Scd2Keys, "ts_ms",
+        Seq("offset"), Scd2Values)
+      val folded = (0 until 3).foldLeft(dim0) { (dim, i) =>
+        val b = ch.filter(col("offset") > lo - 1 + i * step &&
+          col("offset") <= lo - 1 + (i + 1L) * step)
+        Scd2.merge(dim, b, Scd2Keys, "ts_ms", Seq("offset"), Scd2Values)
+      }
+      scd2Out(folded)
+    }),
+
+    // S14'' — point-in-time read of the dimension: state as of the
+    // midpoint of the event-time range (`valid_from <= T <
+    // coalesce(valid_to, ∞)`) — what a reproducible training-data
+    // snapshot or an audit query asks the history table for.
+    "q_scd2_asof" -> ((s, d) => {
+      val ch = Silver.changes(bronzeOf(s, d))
+      val b = ch.agg(min("ts_ms"), max("ts_ms")).collect()(0)
+      val cut = (b.getLong(0) + b.getLong(1)) / 2
+      scd2Out(Scd2.build(ch, Scd2Keys, "ts_ms", Seq("offset"), Scd2Values)
+        .filter(col("valid_from_ms") <= cut &&
+          (col("valid_to_ms").isNull || col("valid_to_ms") > cut)))
+    }),
+
     // S6/S7/S8/S9 — the reference's own DDL statement TEXT through
     // spark.sql, building the catalog from scratch: CREATE NAMESPACE ×3
     // (`merge_orders_silver.py:25-27`), both CREATE TABLE IF NOT EXISTS
@@ -1244,6 +1300,27 @@ FROM iceberg.silver.orders_current""")
     )
     $silverSelect AND op <> 'd' ORDER BY order_id"""
 
+  /** SCD2 version rows (shared prefix): evo + lead() per key, delete
+    * events close intervals and emit no row. */
+  private val scd2Seq: String = s"""
+    WITH $evoCte,
+    seq AS (
+      SELECT *, lead(ts_ms) OVER
+        (PARTITION BY k ORDER BY ts_ms, off) AS valid_to_ms
+      FROM evo
+    )"""
+
+  private val scd2Select: String = s"""
+    SELECT CAST(k AS INT) AS order_id, CAST(u AS INT) AS user_id,
+           amt AS amount_eur, st AS status,
+           ${tsStr("ts_ms")} AS valid_from,
+           ${tsStr("valid_to_ms")} AS valid_to,
+           valid_to_ms IS NULL AS is_current
+    FROM seq WHERE op <> 'd'"""
+
+  private val scd2BuildSql: String =
+    s"$scd2Seq $scd2Select ORDER BY order_id, valid_from"
+
   /** Bronze CTE chain (shared by the bronze dump and the payload peek):
     * ends with `bz(topic, partition, offset, kafka_ts, k, v)`. */
   private val bronzeCte: String = """
@@ -1323,6 +1400,17 @@ FROM iceberg.silver.orders_current""")
       SELECT * FROM sil
       WHERE NOT (user_id % 7 = 0)
       ORDER BY order_id""",
+
+    "q_scd2_build" -> scd2BuildSql,
+    // replay-equivalence: N in-order batches through merge ≡ the build
+    "q_scd2_incremental" -> scd2BuildSql,
+
+    "q_scd2_asof" -> s"""
+      $scd2Seq,
+      cut AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t FROM evo)
+      $scd2Select AND ts_ms <= (SELECT t FROM cut)
+        AND (valid_to_ms IS NULL OR valid_to_ms > (SELECT t FROM cut))
+      ORDER BY order_id, valid_from""",
 
     "q_cdc_silver_merge" -> silverMergeSql,
     "q_cdc_silver_merge_sql" -> silverMergeSql,

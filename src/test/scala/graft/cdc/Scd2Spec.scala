@@ -1,0 +1,80 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** SCD Type 2 semantics: interval chaining, delete tombstones, re-insert
+  * after delete, and the replay-equivalence contract (N in-order batches
+  * through `merge` ≡ one-shot `build`). */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = Seq("id")
+  private val V = Seq("id", "v")
+
+  /** (id, v, op, ts, off) change stream. */
+  private def ch(rows: (Int, String, String, Long, Long)*): DataFrame =
+    rows.toDF("id", "v", "op", "ts", "off")
+
+  private def build(c: DataFrame) = Scd2.build(c, K, "ts", Seq("off"), V)
+
+  private def rows(d: DataFrame): Set[(Int, String, Long, Option[Long], Boolean)] =
+    d.select("id", "v", "valid_from_ms", "valid_to_ms", "is_current")
+      .as[(Int, String, Long, Option[Long], Boolean)].collect().toSet
+
+  test("update chains intervals; last version open") {
+    val dim = build(ch((1, "a", "c", 10, 1), (1, "b", "u", 20, 2),
+      (1, "c", "u", 30, 3)))
+    assert(rows(dim) == Set(
+      (1, "a", 10L, Some(20L), false),
+      (1, "b", 20L, Some(30L), false),
+      (1, "c", 30L, None, true)))
+  }
+
+  test("delete closes the open version and emits no row") {
+    val dim = build(ch((1, "a", "c", 10, 1), (1, "a", "d", 20, 2)))
+    assert(rows(dim) == Set((1, "a", 10L, Some(20L), false)))
+  }
+
+  test("re-insert after delete opens a fresh version") {
+    val dim = build(ch((1, "a", "c", 10, 1), (1, "a", "d", 20, 2),
+      (1, "b", "c", 30, 3)))
+    assert(rows(dim) == Set(
+      (1, "a", 10L, Some(20L), false),
+      (1, "b", 30L, None, true)))
+  }
+
+  test("same-ts events ordered by the offset tie-break") {
+    val dim = build(ch((1, "a", "c", 10, 1), (1, "b", "u", 10, 2)))
+    assert(rows(dim) == Set(
+      (1, "a", 10L, Some(10L), false),
+      (1, "b", 10L, None, true)))
+  }
+
+  test("merge replay over any in-order batch split equals the build") {
+    val events = ch(
+      (1, "a", "c", 10, 1), (1, "b", "u", 20, 3), (1, "b", "d", 40, 6),
+      (2, "x", "c", 15, 2), (2, "y", "u", 35, 5),
+      (3, "m", "c", 30, 4), (3, "m", "d", 50, 7), (3, "n", "c", 60, 8))
+    val oneShot = rows(build(events))
+    for (splits <- Seq(Seq(3L), Seq(2L, 5L), Seq(1L, 4L, 6L))) {
+      val bounds = (Long.MinValue +: splits :+ Long.MaxValue).sliding(2).toSeq
+      val folded = bounds.foldLeft(build(events.limit(0))) {
+        case (dim, Seq(lo, hi)) =>
+          Scd2.merge(dim,
+            events.filter($"off" > lo && $"off" <= hi), K, "ts",
+            Seq("off"), V)
+      }
+      assert(rows(folded) == oneShot, s"splits=$splits")
+    }
+  }
+
+  test("merge on an unseen key inserts; untouched keys keep is_current") {
+    val dim = build(ch((1, "a", "c", 10, 1)))
+    val merged = Scd2.merge(dim, ch((2, "x", "c", 20, 2)), K, "ts",
+      Seq("off"), V)
+    assert(rows(merged) == Set(
+      (1, "a", 10L, None, true),
+      (2, "x", 20L, None, true)))
+  }
+}
