@@ -81,4 +81,56 @@ object Mask {
       .agg(count(lit(1)).as("group_size"),
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("violates_l", col("n_sensitive") < l)
+
+  /** t-closeness audit [Li, Li, Venkatasubramanian, ICDE 2007] — the
+    * third leg after k-anonymity and l-diversity: a quasi-id group is
+    * t-close when its SENSITIVE-value distribution is within distance t
+    * of the table-wide distribution. A group can satisfy k and l yet
+    * scream "everyone here is in cohort 3" — distribution skew, not
+    * cardinality, is the leak. For categorical sensitive attributes the
+    * distance is total variation, `TVD = ½ Σ_s |p_g(s) − p(s)|` (the
+    * equal-ground-distance EMD of the paper).
+    *
+    * Exact integer arithmetic so the audit is reproducible across
+    * engines: over the common denominator `n_g·N`,
+    * `tvd_num = Σ_{s in group} |cnt_gs·N − cnt_s·n_g|
+    *            + (N − Σ_{s in group} cnt_s)·n_g`
+    * (the second term folds in every sensitive value ABSENT from the
+    * group), `TVD = tvd_num / (2·n_g·N)`, and `violates_t ⟺
+    * tDen·tvd_num > 2·tNum·n_g·N` with `t = tNum/tDen` — all BIGINT
+    * sums, order-free. (BIGINT holds to ~10⁹ rows × counts; past that
+    * the same plan runs with DECIMAL(38,0) products.)
+    *
+    * Scale: one shuffle on (quasi-ids, sensitive) whose partial
+    * aggregation collapses map-side; the global sensitive histogram and
+    * the 1-row total are broadcast; the per-group window + final agg
+    * share the quasi-id exchange. Nothing row-scaled leaves the maps.
+    */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String], sensitiveCol: String,
+                 tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tDen > 0, "t must be a positive rational tNum/tDen")
+    val gs = df.groupBy((quasiIds :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt_gs"))
+    val sHist = df.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("cnt_s"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiIds.map(col): _*)
+    gs.join(broadcast(sHist), sensitiveCol)
+      .crossJoin(broadcast(total))
+      .withColumn("n_g", sum(col("cnt_gs")).over(w))
+      .withColumn("dev",
+        abs(col("cnt_gs") * col("n_total") - col("cnt_s") * col("n_g")))
+      .groupBy(quasiIds.map(col): _*)
+      .agg(max(col("n_g")).as("group_size"),
+        (sum(col("dev")) +
+          (max(col("n_total")) - sum(col("cnt_s"))) * max(col("n_g")))
+          .as("tvd_num"),
+        max(col("n_total")).as("_n"))
+      .withColumn("tvd", col("tvd_num").cast("double") /
+        (lit(2.0) * col("group_size") * col("_n")))
+      .withColumn("violates_t",
+        col("tvd_num") * tDen > lit(2L) * tNum * col("group_size") * col("_n"))
+      .drop("_n")
+  }
 }

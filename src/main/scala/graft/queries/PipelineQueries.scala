@@ -686,6 +686,20 @@ FROM iceberg.silver.orders_current""")
         .orderBy("status", "amount_band")
     }),
 
+    // X14c — t-closeness audit over the same quasi-identifiers: group
+    // cohort distributions vs the table-wide distribution (total
+    // variation), exact-integer numerators so both engines agree
+    // bit-for-bit. t = 1/5.
+    "q_t_closeness" -> ((s, d) => {
+      val silver = Silver.rebuild(bronzeOf(s, d))
+      Mask.tCloseness(
+        silver.select(col("status"),
+          Mask.generalize(col("amount_eur"), 100.0).as("amount_band"),
+          (col("user_id") % 10).as("cohort")),
+        Seq("status", "amount_band"), "cohort", tNum = 1, tDen = 5)
+        .orderBy("status", "amount_band")
+    }),
+
     // S14 — SCD Type 2 dimension history from the same bronze log the
     // reference keeps only current state from: one row per (order,
     // version) with [valid_from, valid_to) intervals, deletes closing
@@ -1400,6 +1414,36 @@ FROM iceberg.silver.orders_current""")
       SELECT * FROM sil
       WHERE NOT (user_id % 7 = 0)
       ORDER BY order_id""",
+
+    "q_t_closeness" -> s"""
+      WITH sil AS ($silverRebuildSql),
+      rws AS (
+        SELECT status,
+               '[' || CAST(CAST(floor(amount_eur / 100.0) * 100.0
+                          AS BIGINT) AS VARCHAR)
+                   || ',' ||
+                   CAST(CAST((floor(amount_eur / 100.0) + 1) * 100.0
+                          AS BIGINT) AS VARCHAR) || ')' AS amount_band,
+               user_id % 10 AS cohort
+        FROM sil),
+      tot AS (SELECT count(*) AS n FROM rws),
+      sh AS (SELECT cohort, count(*) AS cnt_s FROM rws GROUP BY cohort),
+      gs AS (SELECT status, amount_band, cohort, count(*) AS cnt_gs
+             FROM rws GROUP BY 1, 2, 3),
+      g AS (SELECT status, amount_band, sum(cnt_gs) AS n_g
+            FROM gs GROUP BY 1, 2)
+      SELECT status, amount_band, group_size, tvd_num,
+             CAST(tvd_num AS DOUBLE) / (2.0 * group_size * n) AS tvd,
+             tvd_num * 5 > 2 * group_size * n AS violates_t
+      FROM (
+        SELECT gs.status AS status, gs.amount_band AS amount_band,
+               CAST(max(n_g) AS BIGINT) AS group_size,
+               CAST(sum(abs(cnt_gs * n - cnt_s * n_g))
+                 + (max(n) - sum(cnt_s)) * max(n_g) AS BIGINT) AS tvd_num,
+               max(n) AS n
+        FROM gs JOIN sh USING (cohort) JOIN g USING (status, amount_band), tot
+        GROUP BY gs.status, gs.amount_band)
+      ORDER BY status, amount_band""",
 
     "q_scd2_build" -> scd2BuildSql,
     // replay-equivalence: N in-order batches through merge ≡ the build

@@ -66,6 +66,25 @@ class MaskSpec extends SparkSpec {
     assert(out == Set(("A", 6L, 1L, true), ("B", 3L, 3L, false)))
   }
 
+  test("tCloseness flags distribution skew k and l both miss") {
+    // Global: 8 rows, cohorts x:4, y:4 (p = 1/2 each). Group A: 4 rows
+    // all cohort x — k=4 and l could pass with another sensitive col,
+    // but the distribution screams. TVD = ½(|1−½| + |0−½|) = ½.
+    //   tvd_num = |4·8 − 4·4| + (8 − 4)·4 = 16 + 16 = 32 = 2·n_g·N·½.
+    // Group B: 4 rows split x:0, y:4 → symmetric, also ½.
+    val df = (Seq.fill(4)(("A", "x")) ++ Seq.fill(4)(("B", "y")))
+      .toDF("grp", "cohort")
+    val out = Mask.tCloseness(df, Seq("grp"), "cohort", tNum = 1, tDen = 5)
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    assert(out == Set(("A", 4L, 32L, 0.5, true), ("B", 4L, 32L, 0.5, true)))
+    // Perfectly mixed groups sit at TVD 0 and never violate.
+    val mixed = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("grp", "cohort")
+    val out2 = Mask.tCloseness(mixed, Seq("grp"), "cohort", 1, 5)
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    assert(out2 == Set(("A", 2L, 0L, 0.0, false), ("B", 2L, 0L, 0.0, false)))
+  }
+
   test("generalize emits stable half-open band labels") {
     val out = Seq(0.0, 99.99, 100.0, 1234.56).toDF("v")
       .select(Mask.generalize(col("v"), 100.0).as("b"))
