@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.{DedupOps, Multimodal, Sketches, SimilarityOps, TextOps}
-import graft.quality.Metrics
+import graft.quality.{Expectations, Metrics}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -47,6 +47,16 @@ object ExtQueries {
   /** X3h random-projection output width: 64 → 16 dims, the same 4×
     * footprint lever as SQ8 but on the dimension axis. */
   val RpDim = 16
+
+  /** X6d expectation contract over `orders`: completeness/uniqueness
+    * hold in the fixture; the price cap and status set are deliberately
+    * tighter than the data so the audit exercises failures too. */
+  val OrderExpectations: Seq[Expectations.Expectation] = Seq(
+    Expectations.Complete("o_custkey"),
+    Expectations.Unique(Seq("o_orderkey")),
+    Expectations.InRange("o_totalprice", 1.0, 300000.0),
+    Expectations.InSet("o_orderstatus", Seq("O", "F")),
+    Expectations.Matches("o_orderpriority", "^[1-5]-[A-Z]"))
 
   /** BM25 keyword queries (X4e) — one (query_id, term) row per
     * keyword; the oracle's VALUES list is generated from the same
@@ -1088,6 +1098,25 @@ object ExtQueries {
       Metrics.documentMetrics(Tables.documents(s, d))
         .unionByName(Metrics.eventMetrics(Tables.events(s, d)))
         .orderBy("metric")),
+
+    // X6d — declarative expectation audit (the deequ role): five named
+    // constraints over orders in ONE aggregation pass; two fail by
+    // construction (price cap, status set) so both branches of
+    // `passed` are exercised.
+    "q_expectations" -> ((s, d) =>
+      Expectations.audit(Tables.orders(s, d), OrderExpectations)
+        .orderBy("check_name")),
+
+    // X6d' — row-level quarantine: rows failing any row-level
+    // expectation exit with a stable comma-joined `reasons` column;
+    // zero shuffle (one codegen'd predicate projection).
+    "q_quarantine" -> ((s, d) =>
+      Expectations.quarantine(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderpriority"),
+        OrderExpectations.filter(!_.isInstanceOf[Expectations.Unique]))
+        .orderBy("o_orderkey")),
 
     // X6c — z-score anomaly gate: per-event-type outliers beyond 3σ,
     // moments from one exact integer-micros pass (order-free sums).
@@ -2915,6 +2944,53 @@ object ExtQueries {
       )
       SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
       FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""",
+
+    "q_expectations" -> """
+      WITH a AS (
+        SELECT 'complete(o_custkey)' AS check_name,
+               count(*) FILTER (o_custkey IS NULL) AS violations,
+               count(*) AS total FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+        UNION ALL
+        SELECT 'in_range(o_totalprice)',
+               count(*) FILTER (o_totalprice IS NOT NULL AND
+                 NOT (o_totalprice >= 1.0 AND o_totalprice <= 300000.0)),
+               count(*) FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               count(*) FILTER (o_orderstatus IS NOT NULL AND
+                 o_orderstatus NOT IN ('O', 'F')),
+               count(*) FROM orders
+        UNION ALL
+        SELECT 'matches(o_orderpriority)',
+               count(*) FILTER (o_orderpriority IS NOT NULL AND
+                 NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]')),
+               count(*) FROM orders
+      )
+      SELECT check_name, CAST(violations AS BIGINT) AS violations,
+             total, violations = 0 AS passed
+      FROM a ORDER BY check_name""",
+
+    "q_quarantine" -> """
+      SELECT * FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+               o_orderpriority,
+               concat_ws(',',
+                 CASE WHEN o_custkey IS NULL
+                      THEN 'complete(o_custkey)' END,
+                 CASE WHEN o_totalprice IS NOT NULL AND
+                        NOT (o_totalprice >= 1.0 AND o_totalprice <= 300000.0)
+                      THEN 'in_range(o_totalprice)' END,
+                 CASE WHEN o_orderstatus IS NOT NULL AND
+                        o_orderstatus NOT IN ('O', 'F')
+                      THEN 'in_set(o_orderstatus)' END,
+                 CASE WHEN o_orderpriority IS NOT NULL AND
+                        NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]')
+                      THEN 'matches(o_orderpriority)' END) AS reasons
+        FROM orders)
+      WHERE reasons <> '' ORDER BY o_orderkey""",
 
     "q_quality_metrics" -> """
       WITH d AS (

@@ -1,0 +1,71 @@
+package graft.quality
+
+import graft.SparkSpec
+import graft.pipeline.Snapshot
+import graft.quality.Expectations._
+
+/** Expectation audit semantics (null contract, uniqueness), the
+  * quarantine/retain partition, and the gated write leaving the
+  * previous snapshot live when the new frame violates its contract. */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // id 2 dups; id 4 has null amount; id 5 out of range; id 6 bad status
+  private def df = Seq(
+    (1, Some(10.0), "O"), (2, Some(20.0), "O"), (2, Some(30.0), "F"),
+    (4, None: Option[Double], "O"), (5, Some(-1.0), "F"),
+    (6, Some(40.0), "X")
+  ).toDF("id", "amount", "status")
+
+  private val exps = Seq(
+    Complete("amount"), Unique(Seq("id")),
+    InRange("amount", 0.0, 100.0), InSet("status", Seq("O", "F")))
+
+  test("audit counts violations per check in one pass") {
+    val out = audit(df, exps)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("complete(amount)", 1L, 6L, false),
+      ("unique(id)", 1L, 6L, false),
+      ("in_range(amount)", 1L, 6L, false),  // null amount NOT counted
+      ("in_set(status)", 1L, 6L, false)))
+  }
+
+  test("audit passes a clean frame") {
+    val clean = Seq((1, 10.0, "O"), (2, 20.0, "F"))
+      .toDF("id", "amount", "status")
+    assert(audit(clean, exps).filter(!$"passed").isEmpty)
+  }
+
+  test("quarantine and retain partition the frame with stable reasons") {
+    val rowExps = exps.filter(!_.isInstanceOf[Unique])
+    val bad = quarantine(df, rowExps)
+      .select("id", "reasons").as[(Int, String)].collect().toSet
+    assert(bad == Set(
+      (4, "complete(amount)"),
+      (5, "in_range(amount)"),
+      (6, "in_set(status)")))
+    assert(retain(df, rowExps).count() == df.count() - bad.size)
+    intercept[IllegalArgumentException] {
+      quarantine(df, Seq(Unique(Seq("id"))))
+    }
+  }
+
+  test("enforce raises naming every failed check") {
+    val e = intercept[IllegalStateException] { enforce(df, exps) }
+    assert(e.getMessage.contains("unique(id)=1"))
+    assert(e.getMessage.contains("in_set(status)=1"))
+    enforce(df.filter($"id" === 1), exps) // clean subset passes
+  }
+
+  test("gatedReplace refuses the violating commit; previous stays live") {
+    val dir = java.nio.file.Files.createTempDirectory("expgate")
+      .toString + "/t"
+    val good = Seq((1, 10.0, "O")).toDF("id", "amount", "status")
+    gatedReplace(good, dir, exps)
+    intercept[IllegalStateException] { gatedReplace(df, dir, exps) }
+    assert(Snapshot.read(spark, dir).count() == 1) // v1 untouched
+    gatedReplace(good.union(Seq((2, 20.0, "F")).toDF), dir, exps)
+    assert(Snapshot.read(spark, dir).count() == 2)
+  }
+}
