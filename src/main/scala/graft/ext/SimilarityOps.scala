@@ -539,6 +539,104 @@ object SimilarityOps {
     array((0 until outDim).map(j =>
       dot(embedding, array(rpPlane(j, dim).map(lit): _*))): _*)
 
+  // -------------------------------------------------------------------
+  // X3g — product quantization (PQ) + asymmetric-distance search (ADC)
+  // -------------------------------------------------------------------
+
+  /** X3g — deterministic PQ codebook [Jégou, Douze, Schmid, TPAMI 2011]:
+    * the embedding splits into `m` contiguous `dsub`-dim subspaces; each
+    * subspace gets `ksub` centroids. Like [[sampleCentroids]], the
+    * centroids are corpus vectors drawn in md5(vec_id) order — a
+    * uniform pseudo-random draw that DuckDB replays exactly — sliced
+    * per subspace; `code` is the 0-based md5 rank, shared across
+    * subspaces. A [[kmeansRefine]]-trained codebook can replace this
+    * sample without touching the encode/search plans.
+    *
+    * @return (sub, code, c_sub array<double>) — m·ksub tiny rows */
+  def pqCodebook(corpus: DataFrame, m: Int, dsub: Int,
+                 ksub: Int): DataFrame = {
+    val byMd5 = Window.orderBy(md5(col("vec_id").cast("string")))
+    corpus
+      .orderBy(md5(col("vec_id").cast("string"))).limit(ksub)
+      .withColumn("code", (row_number().over(byMd5) - 1).cast("int"))
+      .select(col("code"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("embedding"), s * dsub + 1, dsub)
+            .cast("array<double>").as("c_sub"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.c_sub").as("c_sub"))
+  }
+
+  /** Driver-side codebook literal for the scan-side encoder — m·ksub·dsub
+    * doubles, the same tiny-model class as [[kmeansStats]]' codebook. */
+  def pqCollectBook(corpus: DataFrame, m: Int, dsub: Int,
+                    ksub: Int): Seq[(Int, Int, Seq[Double])] =
+    pqCodebook(corpus, m, dsub, ksub).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  /** X3g — PQ encode: each vector compresses to `m` sub-codes (argmin
+    * squared-L2 in each subspace against the LITERAL codebook — the
+    * same zero-join, zero-shuffle scan shape as [[kmeansStats]]'
+    * assignment; ties break toward the smaller code). 64 float dims →
+    * 8 bytes at the default geometry: a 32× memory lever, the
+    * compressed tier below [[quantizeInt8]]'s 4×. Float discipline:
+    * d2 = ((x·x − 2·(x·c)) + c·c), dots strict left folds, c·c folded
+    * driver-side with the same op sequence — bit-replayable in SQL.
+    *
+    * @return (vec_id, codes array<int>) */
+  def pqEncode(corpus: DataFrame, book: Seq[(Int, Int, Seq[Double])],
+               m: Int, dsub: Int): DataFrame = {
+    val bySub = book.groupBy(_._1)
+    val codeCols = (0 until m).map { s =>
+      val sl = slice(col("embedding"), s * dsub + 1, dsub)
+      val xx = dot(sl, sl)
+      val scored = array(bySub(s).sortBy(_._2).map { case (_, j, c) =>
+        val cc = c.foldLeft(0.0)((a, v) => a + v * v)
+        struct(((xx - lit(2.0) * dot(sl, array(c.map(lit): _*))) + lit(cc))
+          .as("d2"), lit(j).as("code"))
+      }: _*)
+      array_min(scored).getField("code")
+    }
+    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** X3g' — asymmetric-distance top-k over PQ codes (the ADC read
+    * path): each query precomputes a distance table — its partial
+    * inner product against every (subspace, centroid) — and a code's
+    * score is the sum of m table lookups; the full-precision vector is
+    * never touched. Approximate by construction (quantization error);
+    * [[pqEncode]]'s recall audit prices it.
+    *
+    * Scale shape: the distance table is |queries|·m·ksub rows, built
+    * from the broadcast codebook and broadcast again for the lookup
+    * join — the corpus side moves only (vec_id, sub, code) triples,
+    * never embeddings. Partial sums quantize to exact BIGINT micros
+    * (order-free), and the per-(query, vector) aggregation collapses
+    * the m dimension map-side before the only corpus-keyed exchange.
+    *
+    * @return (query_id, neighbor_id, rank, score_micros), rank 1..k by
+    *         (score DESC, neighbor_id ASC), self-matches excluded */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+             k: Int, dsub: Int): DataFrame = {
+    val dtab = queries.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(dot(slice(col("q_embedding"), col("sub") * dsub + 1,
+          lit(dsub)), col("c_sub")) * lit(1000000.0)).cast("long")
+          .as("pdot_micros"))
+    val exploded = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = exploded.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pdot_micros").as("score_micros"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micros").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("score_micros"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: bucketed
     * self-join (sign-LSH), threshold on exact cosine. X2's embedding
     * variant. */

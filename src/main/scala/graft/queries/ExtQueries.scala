@@ -48,6 +48,13 @@ object ExtQueries {
     * footprint lever as SQ8 but on the dimension axis. */
   val RpDim = 16
 
+  /** X3g PQ geometry: 8 subspaces × 8 dims, 16 centroids each — 64
+    * float dims → 8 sub-codes (32× compression), codebook small enough
+    * for the oracle's unrolled replay. */
+  val PqM = 8
+  val PqDsub = 8
+  val PqKsub = 16
+
   /** X6d expectation contract over `orders`: completeness/uniqueness
     * hold in the fixture; the price cap and status set are deliberately
     * tighter than the data so the audit exercises failures too. */
@@ -974,6 +981,52 @@ object ExtQueries {
         .orderBy("query_id")
     }),
 
+    // X3g — product quantization: every embedding encodes to 8
+    // sub-codes against the deterministic md5-sampled codebook
+    // (scan-side literal argmin, zero shuffle). Codes oracle-checked
+    // bit-for-bit.
+    "q_pq_encode" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.pqEncode(emb,
+        SimilarityOps.pqCollectBook(emb, PqM, PqDsub, PqKsub), PqM, PqDsub)
+        .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_str"))
+        .orderBy("vec_id")
+    }),
+
+    // X3g' — the recall audit PQ earns: exact inner-product top-5 vs
+    // ADC top-5 over 8-byte codes (distance-table lookups in exact
+    // BIGINT micros; the corpus side never touches an embedding).
+    "q_ann_recall_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val exact = emb.crossJoin(broadcast(queries))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          SimilarityOps.dot(col("q_embedding"), col("embedding"))
+            .as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      val book = SimilarityOps.pqCodebook(emb, PqM, PqDsub, PqKsub)
+      val codes = SimilarityOps.pqEncode(emb,
+        SimilarityOps.pqCollectBook(emb, PqM, PqDsub, PqKsub), PqM, PqDsub)
+      val approx = SimilarityOps.pqTopK(queries, codes, book, 5, PqDsub)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("recall_at_5", col("hits").cast("double") / 5.0)
+        .orderBy("query_id")
+    }),
+
     // X2c' — the same pair search through the parameterized hyperplane
     // LSH (8-bit × 2 tables), pairs deduped across tables.
     "q_embed_near_dup_lsh" -> ((s, d) =>
@@ -1396,6 +1449,45 @@ object ExtQueries {
     * plan uses: ((x·x − 2·(x·c)) + c·c), every dot a strict left fold. */
   private def d2Sql(x: String, c: String): String =
     s"(${dotSql(x, x)}) - 2 * (${dotSql(x, c)}) + (${dotSql(c, c)})"
+
+  /** The PQ subspace slice of embedding `e` for subspace column `s`
+    * (1-based inclusive DuckDB slice — [[PqDsub]] elements). */
+  private def pqSliceSql(e: String, s: String): String =
+    s"($e[($s*$PqDsub+1):($s*$PqDsub+$PqDsub)])"
+
+  /** DuckDB replay of [[SimilarityOps.pqCodebook]] +
+    * [[SimilarityOps.pqEncode]]: md5-ranked sample sliced per subspace,
+    * then per-(vector, subspace) argmin by (d2, code). Emits
+    * `pqbook(sub, code, c_sub)` and `pqenc(vec_id, sub, code)`. */
+  private val pqCte: String = {
+    val x = pqSliceSql("e.embedding", "b.sub")
+    s"""
+      pqsamp AS (
+        SELECT embedding, rn - 1 AS code FROM (
+          SELECT embedding, row_number() OVER
+            (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+          FROM embeddings)
+        WHERE rn <= $PqKsub
+      ),
+      pqbook AS (
+        SELECT s.sub, p.code,
+               list_transform(${pqSliceSql("p.embedding", "s.sub")},
+                 x -> x::DOUBLE) AS c_sub
+        FROM pqsamp p
+        CROSS JOIN (SELECT unnest(range(0, $PqM)) AS sub) s
+      ),
+      pqenc AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT e.vec_id, b.sub, b.code,
+                 row_number() OVER (PARTITION BY e.vec_id, b.sub
+                   ORDER BY (${dotSql(x, x, PqDsub)}) -
+                     2 * (${dotSql(x, "b.c_sub", PqDsub)}) +
+                     (${dotSql("b.c_sub", "b.c_sub", PqDsub)}),
+                   b.code) AS rn
+          FROM embeddings e CROSS JOIN pqbook b)
+        WHERE rn = 1
+      )"""
+  }
 
   /** One Lloyd round in DuckDB: nearest-centroid assignment of
     * `from` vectors against centroid CTE `cents` (argmin by (d2, id)),
@@ -2765,6 +2857,64 @@ object ExtQueries {
         FROM pscored
       ),
       approx AS (SELECT query_id, neighbor_id FROM pranked
+                 WHERE rnk <= 5),
+      hits AS (
+        SELECT e.query_id, count(*) AS hits
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+      )
+      SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             coalesce(h.hits, 0)::DOUBLE / 5.0 AS recall_at_5
+      FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id""",
+
+    // X3g — PQ codes recomputed through the same md5 sample + argmin.
+    "q_pq_encode" -> s"""
+      WITH $pqCte
+      SELECT vec_id, array_to_string(list(code ORDER BY sub), ',')
+               AS codes_str
+      FROM pqenc GROUP BY vec_id ORDER BY vec_id""",
+
+    // X3g' — recall twin: exact inner-product top-5 vs the ADC chain
+    // (distance table in BIGINT micros, summed per (query, vector)).
+    "q_ann_recall_pq" -> s"""
+      WITH $pqCte,
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${dotSql("qe", "e.embedding")} AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      ),
+      exact AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5),
+      dtab AS (
+        SELECT q.query_id, b.sub, b.code,
+               CAST(round((${dotSql(pqSliceSql("q.qe", "b.sub"), "b.c_sub",
+                 PqDsub)}) * 1000000.0) AS BIGINT) AS pdot
+        FROM q CROSS JOIN pqbook b
+      ),
+      ascored AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id,
+               sum(d.pdot) AS score_micros
+        FROM pqenc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+        WHERE d.query_id <> e.vec_id
+        GROUP BY 1, 2
+      ),
+      aranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id
+           ORDER BY score_micros DESC, neighbor_id) AS rnk
+        FROM ascored
+      ),
+      approx AS (SELECT query_id, neighbor_id FROM aranked
                  WHERE rnk <= 5),
       hits AS (
         SELECT e.query_id, count(*) AS hits
