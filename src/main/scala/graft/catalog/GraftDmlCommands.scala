@@ -129,6 +129,20 @@ private[catalog] object GraftDml {
       }
   }
 
+  /** Delete-file FORMAT for MOR commits — Iceberg v2 defines two
+    * delete-file kinds (position, content 1; equality, content 2) and
+    * which one a writer emits is an engine choice (Spark writes
+    * position deletes, Flink CDC writes equality). The graft knob is
+    * the table property `write.mor.deletes` ∈ `equality` (default) |
+    * `position`: position commits store rename-stable (file id, row
+    * position) pairs captured through `_metadata` lineage instead of
+    * full row images. */
+  def morPositionFormat(spark: SparkSession, key: Seq[String]): Boolean =
+    scala.util.Try(
+      new TableStore(spark).properties(key.head, key(1))).toOption
+      .flatMap(_.get("write.mor.deletes"))
+      .exists(_.equalsIgnoreCase("position"))
+
   /** Branch-aware snapshot read: the staged WAP branch when the
     * session pins one AND it exists, else the live version. */
   def snapshotRead(spark: SparkSession, path: String): DataFrame =
@@ -156,6 +170,16 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
       GraftDml.resolveTarget(spark, delete.table, "DELETE")
     val cond = coalesce(PlanBridge.column(delete.condition), lit(false))
     GraftDml.morPath(spark, key, "delete") match {
+      case Some(p) if GraftDml.morPositionFormat(spark, key) =>
+        // merge-on-read, POSITION format: the matched rows' (file id,
+        // row position) pairs — captured by reading the live state
+        // with `_metadata` lineage — become the sidecar; row content
+        // is never rewritten OR copied. Write cost is O(matched).
+        val S = graft.pipeline.Snapshot
+        graft.pipeline.Snapshot.morCommit(spark, p,
+          deletes = None, appends = None, operation = "delete",
+          posDeletes = Some(S.readLineage(spark, p).as(alias)
+            .filter(cond).select(S.LineageFile, S.LineagePos)))
       case Some(p) =>
         // merge-on-read: write ONLY the matched rows as an
         // equality-delete sidecar (distinct — the read-side anti-join
@@ -324,6 +348,26 @@ case class GraftUpdateCommand(update: UpdateTable)
         .getOrElse(col(s"$alias.$c"))
         .as(c)
     GraftDml.morPath(spark, key, "update") match {
+      case Some(p) if GraftDml.morPositionFormat(spark, key) =>
+        // merge-on-read UPDATE, POSITION format: the matched rows'
+        // (file, pos) pairs delete the old images; the new images
+        // append. Same O(matched) decomposition, no row copied into
+        // the delete file.
+        val S = graft.pipeline.Snapshot
+        val matched = S.readLineage(spark, p).as(alias).filter(cond)
+          .localCheckpoint()
+        def posNewCol(c: String): Column =
+          assignments.find(a =>
+            GraftDml.nameOf(a.key).equalsIgnoreCase(c))
+            .map(a => PlanBridge.column(a.value)
+              .cast(schema(c).dataType))
+            .getOrElse(col(s"$alias.$c")).as(c)
+        graft.pipeline.Snapshot.morCommit(spark, p,
+          deletes = None,
+          appends = Some(matched.as(alias)
+            .select(df.columns.toSeq.map(posNewCol): _*)),
+          operation = "update",
+          posDeletes = Some(matched.select(S.LineageFile, S.LineagePos)))
       case Some(p) =>
         // merge-on-read UPDATE = delete-old + append-new, scoped to the
         // MATCHED rows only (Iceberg's MOR update decomposition). The

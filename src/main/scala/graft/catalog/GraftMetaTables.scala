@@ -207,20 +207,26 @@ object GraftMetaTables {
               val v = live.getOrElse(
                 throw new java.util.NoSuchElementException(
                   s"${key.mkString(".")} has no live snapshot version"))
-              val dirs = graft.pipeline.Snapshot.deleteDirsAsOf(path, v)
+              // content 1 = position deletes, 2 = equality deletes —
+              // Iceberg's v2 delete-file kinds, both sidecar arms here
+              val dirs =
+                graft.pipeline.Snapshot.posDeleteDirsAsOf(path, v)
+                  .map(_ -> 1) ++
+                graft.pipeline.Snapshot.deleteDirsAsOf(path, v)
+                  .map(_ -> 2)
               if (dirs.isEmpty) {
                 import session.implicits._
                 Seq.empty[(Int, String, String, Long, Long)]
                   .toDF("content", "file_path", "file_format",
                     "record_count", "file_size_in_bytes")
-              } else dirs.map { dir =>
+              } else dirs.map { case (dir, content) =>
                 session.read.parquet(dir)
                   .select(col("_metadata.file_path").as("file_path"),
                     col("_metadata.file_size")
                       .as("file_size_in_bytes"))
                   .groupBy("file_path", "file_size_in_bytes")
                   .agg(count(lit(1)).as("record_count"))
-                  .select(lit(2).as("content"), col("file_path"),
+                  .select(lit(content).as("content"), col("file_path"),
                     lit("parquet").as("file_format"),
                     col("record_count"), col("file_size_in_bytes"))
               }.reduce(_ unionAll _)

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, regexp_extract}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Snapshot-replace sink: the reference's `writeTo(t).createOrReplace()`
@@ -138,10 +139,44 @@ object Snapshot {
   def retainedVersions(path: String): Seq[Long] =
     retainedVersionDirs(path).map(_._1)
 
+  /** Lineage column names a position-delete read threads through the
+    * merge: the RELATIVE file id and the row position within it. */
+  val LineageFile = "_pos_file"
+  val LineagePos = "_pos"
+
+  /** Rename-stable file id for position deletes: data files live only
+    * at the serving dir's root or under `_mor/v<N>/appends/`, so the
+    * id is the basename prefixed with that sidecar fragment when
+    * present. Absolute URIs would break the moment a live dir rolls
+    * into history (`<path>` → `<path>.vN` is an atomic RENAME) —
+    * Iceberg can store absolute paths because its files never move;
+    * this layout's adaptation is relativizing against the serving dir. */
+  private def relFileId: Column =
+    regexp_extract(col("_metadata.file_path"),
+      "((?:_mor/v[0-9]+/appends/)?[^/]+)$", 1)
+
+  private def withLineageCols(df: DataFrame): DataFrame =
+    df.withColumn(LineageFile, relFileId)
+      .withColumn(LineagePos, col("_metadata.row_index"))
+
+  /** The position-delete sidecar dirs of `dir` visible at `upTo`. */
+  private def posDeleteDirsIn(dir: String, upTo: Long): Seq[String] =
+    morVersions(dir).filter(_ <= upTo)
+      .map(v => morRoot(dir).resolve(s"v$v").resolve("pos_deletes"))
+      .filter(Files.isDirectory(_)).map(_.toString)
+
   /** Read `dir`'s state AS OF `upTo`: base files with every MOR
-    * sidecar of version <= `upTo` applied in commit order. */
-  private def morApply(spark: SparkSession, dir: String,
-                       upTo: Long): DataFrame = {
+    * sidecar of version <= `upTo` applied in commit order.
+    * `withLineage = true` keeps the ([[LineageFile]], [[LineagePos]])
+    * columns on the way out — the position-delete WRITE path reads
+    * through this to learn which (file, pos) pairs a predicate hits. */
+  private def morApply(spark: SparkSession, dir: String, upTo: Long,
+                       withLineage: Boolean = false): DataFrame = {
+    // position deletes anti-join on (file id, row position), so the
+    // scan must thread lineage columns whenever any such sidecar is
+    // visible (or the caller asked for them)
+    val posDirs = posDeleteDirsIn(dir, upTo)
+    val lineage = withLineage || posDirs.nonEmpty
     // the base scan plans through the stats-skipping FileIndex when
     // the dir carries a valid scan manifest — a filter pushed onto ANY
     // read of this table (API or SQL) then schedules O(matching
@@ -153,14 +188,18 @@ object Snapshot {
     // the logical schema, stay union-compatible)
     val hidden = hiddenFieldNames(dir).filter(df.columns.contains)
     if (hidden.nonEmpty) df = df.drop(hidden: _*)
+    if (lineage) df = withLineageCols(df)
+    val valueCols = df.columns.filterNot(
+      Seq(LineageFile, LineagePos).contains(_))
     var pendingDeletes = List.empty[String]
     def flush(): Unit = if (pendingDeletes.nonEmpty) {
       val del = pendingDeletes.map(spark.read.parquet(_))
         .reduce(_ unionByName _)
-      // null-safe equality on EVERY column: an equality-delete row
-      // removes all identical instances (a deterministic DELETE/UPDATE
-      // predicate matched every one of them when the delta was written)
-      val cond = df.columns.map(c => df(c) <=> del(c)).reduce(_ && _)
+      // null-safe equality on every VALUE column (lineage excluded):
+      // an equality-delete row removes all identical instances (a
+      // deterministic DELETE/UPDATE predicate matched every one of
+      // them when the delta was written)
+      val cond = valueCols.map(c => df(c) <=> del(c)).reduce(_ && _)
       df = df.join(del, cond, "left_anti")
       pendingDeletes = Nil
     }
@@ -170,12 +209,32 @@ object Snapshot {
       if (Files.isDirectory(d)) pendingDeletes ::= d.toString
       if (Files.isDirectory(a)) {
         flush() // a delete never touches rows appended after it
-        df = df.unionByName(spark.read.parquet(a.toString))
+        val app = spark.read.parquet(a.toString)
+        df = df.unionByName(
+          if (lineage) withLineageCols(app) else app)
       }
     }
     flush()
+    // position deletes apply ONCE at the end: a (file, pos) pair names
+    // rows of exactly one immutable file, so cross-commit scoping is
+    // carried by the file id itself (a later append is a different
+    // file; removal is idempotent against the equality arm)
+    if (posDirs.nonEmpty) {
+      val pos = posDirs.map(spark.read.parquet(_))
+        .reduce(_ unionByName _)
+      df = df.join(pos,
+        df(LineageFile) === pos("file_path") &&
+          df(LineagePos) === pos("pos"), "left_anti")
+    }
+    if (lineage && !withLineage) df = df.drop(LineageFile, LineagePos)
     df
   }
+
+  /** The live state with ([[LineageFile]], [[LineagePos]]) columns —
+    * what a position-delete writer filters to learn which rows of
+    * which physical files its predicate hits. */
+  def readLineage(spark: SparkSession, path: String): DataFrame =
+    morApply(spark, path, Long.MaxValue, withLineage = true)
 
   /** The parquet DATA dirs visible at `version` of `path`: the serving
     * dir's base files plus each appends sidecar of version <= it.
@@ -206,13 +265,18 @@ object Snapshot {
   }
 
   /** The equality-delete sidecar dirs visible at `version` of `path` —
-    * the `.delete_files` metadata table's listing unit. */
+    * the `.delete_files` metadata table's listing unit (content 2). */
   def deleteDirsAsOf(path: String, version: Long): Seq[String] = {
     val dir = serveDir(path, version)
     morVersions(dir).filter(_ <= version)
       .map(v => morRoot(dir).resolve(s"v$v").resolve("deletes"))
       .filter(Files.isDirectory(_)).map(_.toString)
   }
+
+  /** The position-delete sidecar dirs visible at `version` of `path`
+    * (Iceberg's content 1 delete files). */
+  def posDeleteDirsAsOf(path: String, version: Long): Seq[String] =
+    posDeleteDirsIn(serveDir(path, version), version)
 
   /** The dir that serves `version` of `path` (live or historical),
     * raising the standard no-such-version error otherwise. */
@@ -229,10 +293,16 @@ object Snapshot {
     * recompute), then promoted under the same per-path lock and
     * optimistic base-version check as every copy-on-write commit.
     * `deletes` rows should be DISTINCT full rows of the current state;
-    * `appends` keeps multiplicity. @return the new version */
+    * `appends` keeps multiplicity. `posDeletes` rows are
+    * ([[LineageFile]], [[LineagePos]]) pairs from [[readLineage]] and
+    * MUST derive from a deterministic predicate over the visible state
+    * (address every identical instance or none) — [[erase]] relies on
+    * that to convert them to equality rows when a GDPR rewrite moves
+    * the underlying files. @return the new version */
   def morCommit(spark: SparkSession, path: String,
                 deletes: Option[DataFrame], appends: Option[DataFrame],
-                operation: String): Long = {
+                operation: String,
+                posDeletes: Option[DataFrame] = None): Long = {
     val base = currentVersion(path).getOrElse(
       throw new IllegalStateException(
         s"merge-on-read commit requires an existing snapshot at $path"))
@@ -245,6 +315,14 @@ object Snapshot {
       Files.createDirectories(stage)
       deletes.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(stage.resolve("deletes").toString))
+      // position deletes: (file_path, pos) pairs in Iceberg's
+      // position-delete schema, file ids RELATIVE to the serving dir
+      // (see relFileId — rename-stable by construction)
+      posDeletes.foreach(_
+        .select(col(LineageFile).as("file_path"),
+          col(LineagePos).cast("long").as("pos"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(stage.resolve("pos_deletes").toString))
       appends.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(stage.resolve("appends").toString))
       Files.write(stage.resolve("_commit"),
@@ -272,8 +350,10 @@ object Snapshot {
     * @return (collapsed delete-file count, new live version) */
   def rewritePositionDeletes(spark: SparkSession, path: String,
                              keepVersions: Int = 0): (Long, Long) = {
-    val collapsed = morVersions(path).map { v =>
-      val d = morRoot(path).resolve(s"v$v").resolve("deletes")
+    val collapsed = morVersions(path).flatMap { v =>
+      Seq("deletes", "pos_deletes")
+        .map(k => morRoot(path).resolve(s"v$v").resolve(k))
+    }.map { d =>
       if (!Files.isDirectory(d)) 0L
       else {
         val s = Files.list(d)
@@ -957,18 +1037,51 @@ object Snapshot {
         copyPreservingMtime(om, tmp.resolve(OperationFile))
       // merge-on-read sidecars hold ROW CONTENT (equality-delete rows
       // and appended rows) — erasure must purge the subject there too,
-      // or a deletes file would retain what the base no longer has
+      // or a deletes file would retain what the base no longer has.
+      // POSITION sidecars are the inverse hazard: they hold no content,
+      // but the rewrite renames files and shifts row positions, which
+      // would orphan every (file, pos) pair — so they are CONVERTED to
+      // equality rows first (resolved against the pre-rewrite files).
+      // Semantics-preserving under the engine's contract that position
+      // pairs derive from deterministic predicates (a predicate matches
+      // every identical instance, exactly what equality deletes remove).
+      lazy val rawLineage: DataFrame = {
+        val base = withLineageCols(spark.read.parquet(dir))
+        morVersions(dir).foldLeft(base) { (df, v) =>
+          val a = morRoot(dir).resolve(s"v$v").resolve("appends")
+          if (Files.isDirectory(a))
+            df.unionByName(withLineageCols(
+              spark.read.parquet(a.toString)))
+          else df
+        }
+      }
       morVersions(dir).foreach { v =>
         val srcV = morRoot(dir).resolve(s"v$v")
         val dstV = morRoot(tmp.toString).resolve(s"v$v")
         Files.createDirectories(dstV)
-        Seq("deletes", "appends").foreach { kind =>
-          val d = srcV.resolve(kind)
-          if (Files.isDirectory(d))
-            spark.read.parquet(d.toString).filter(keep)
-              .write.mode(SaveMode.Overwrite)
-              .parquet(dstV.resolve(kind).toString)
-        }
+        val posD = srcV.resolve("pos_deletes")
+        val converted =
+          if (!Files.isDirectory(posD)) None
+          else {
+            val pos = spark.read.parquet(posD.toString)
+            Some(rawLineage.join(pos,
+              col(LineageFile) === pos("file_path") &&
+                col(LineagePos) === pos("pos"), "left_semi")
+              .drop(LineageFile, LineagePos).distinct())
+          }
+        val eqD = srcV.resolve("deletes")
+        val eq =
+          if (Files.isDirectory(eqD))
+            Some(spark.read.parquet(eqD.toString))
+          else None
+        (eq ++ converted).reduceOption(_ unionByName _).foreach(
+          _.filter(keep).write.mode(SaveMode.Overwrite)
+            .parquet(dstV.resolve("deletes").toString))
+        val a = srcV.resolve("appends")
+        if (Files.isDirectory(a))
+          spark.read.parquet(a.toString).filter(keep)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(dstV.resolve("appends").toString)
         val c = srcV.resolve("_commit")
         if (Files.exists(c))
           copyPreservingMtime(c, dstV.resolve("_commit"))

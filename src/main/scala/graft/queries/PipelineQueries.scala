@@ -987,6 +987,48 @@ FROM iceberg.silver.orders_current""")
                FROM iceberg.mor.orders ORDER BY o_orderkey""")
     }),
 
+    // S5-MOR' (r11) — the POSITION-delete arm of merge-on-read: with
+    // 'write.mor.deletes'='position' the DELETE and UPDATE commit
+    // (file id, row position) sidecars — Iceberg's content-1 delete
+    // files, captured through Spark's `_metadata` lineage columns and
+    // stored as rename-stable relative ids — then INSERT fast-appends,
+    // and compaction collapses everything. Gates assert the position
+    // path actually ran (pos_deletes dirs present, no equality dirs);
+    // the oracle recomputes the chain relationally.
+    "q_dml_mor_pos" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("dmlmorp")
+        .toString + "/orders_morp"
+      graft.pipeline.Snapshot.createOrReplace(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        dir, keepVersions = 4)
+      new TableStore(s).registerSnapshot("morp", "orders", dir)
+      s.sql("""ALTER TABLE iceberg.morp.orders SET TBLPROPERTIES(
+        'write.delete.mode'='merge-on-read',
+        'write.update.mode'='merge-on-read',
+        'write.mor.deletes'='position')""")
+      s.sql("DELETE FROM iceberg.morp.orders WHERE o_orderstatus = 'F'")
+      s.sql("""UPDATE morp.orders
+               SET o_custkey = o_custkey + 1000000,
+                   o_orderpriority = concat('RUSH-', o_orderpriority)
+               WHERE o_orderpriority LIKE '1-%'""")
+      s.sql("""INSERT INTO morp.orders
+               SELECT o_orderkey + 20000000, o_custkey, 'Z', '9-NEW'
+               FROM morp.orders WHERE o_orderkey % 13 = 0""")
+      require(graft.pipeline.Snapshot.morVersions(dir) ==
+        Seq(2L, 3L, 4L),
+        "DML must take the merge-on-read sidecar path")
+      val posDirs = graft.pipeline.Snapshot.posDeleteDirsAsOf(dir, 4L)
+      require(posDirs.size == 2 &&
+        graft.pipeline.Snapshot.deleteDirsAsOf(dir, 4L).isEmpty,
+        "position format must write pos_deletes and no equality files")
+      s.sql("CALL iceberg.system.rewrite_position_delete_files(" +
+        "table => 'morp.orders')")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_orderpriority
+               FROM iceberg.morp.orders ORDER BY o_orderkey""")
+    }),
+
     // S4++++++ (r11) — Iceberg's `.delete_files` metadata table over
     // the MOR sidecars: after a merge-on-read DELETE, the equality-
     // delete files (content 2) list with their record counts — rolled
@@ -1983,6 +2025,27 @@ FROM iceberg.silver.orders_current""")
              'N' AS o_orderstatus, '9-NEW' AS o_orderpriority
       FROM src s LEFT JOIN after_upd a ON a.o_orderkey = s.k
       WHERE a.o_orderkey IS NULL
+      ORDER BY o_orderkey""",
+
+    // DELETE → UPDATE → INSERT recomputed relationally: the
+    // position-delete sidecar chain must be indistinguishable too
+    // (the INSERT sources the post-UPDATE table state)
+    "q_dml_mor_pos" -> """
+      WITH after_upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority LIKE '1-%'
+                    THEN o_custkey + 1000000 ELSE o_custkey
+               END AS o_custkey,
+               o_orderstatus,
+               CASE WHEN o_orderpriority LIKE '1-%'
+                    THEN 'RUSH-' || o_orderpriority
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderstatus <> 'F'
+      )
+      SELECT * FROM after_upd
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_custkey, 'Z', '9-NEW'
+      FROM after_upd WHERE o_orderkey % 13 = 0
       ORDER BY o_orderkey"""
   )
 }

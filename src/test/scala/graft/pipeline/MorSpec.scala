@@ -384,4 +384,125 @@ class MorSpec extends SparkSpec {
       Snapshot.dropBranch(mor, "audit_b")
     }
   }
+
+  test("position deletes address (file, pos) pairs; relative ids " +
+    "survive the dir's rename into history; append-file rows are " +
+    "addressable; base files stay byte-identical") {
+    val dir = tmpTable("morp1")
+    Snapshot.createOrReplace(
+      (1 to 10).map(i => (i, s"r$i")).toDF("id", "tag"), dir,
+      keepVersions = 6)
+    val before = baseFiles(dir)
+    val lin = Snapshot.readLineage(spark, dir)
+    assert(lin.columns.contains(Snapshot.LineageFile) &&
+      lin.columns.contains(Snapshot.LineagePos))
+    // lineage ids are RELATIVE (no scheme, no leading slash)
+    assert(lin.select(Snapshot.LineageFile).as[String].collect()
+      .forall(f => !f.contains("/") && f.endsWith(".parquet")))
+
+    // v2: position-delete the even ids
+    Snapshot.morCommit(spark, dir, None, None, "delete",
+      posDeletes = Some(lin.filter($"id" % 2 === 0)
+        .select(Snapshot.LineageFile, Snapshot.LineagePos)))
+    assert(Snapshot.morVersions(dir) == Seq(2L))
+    assert(baseFiles(dir) == before,
+      "a position-delete commit must not rewrite base data files")
+    assert(Snapshot.read(spark, dir).select("id").as[Int]
+      .collect().toSet == Set(1, 3, 5, 7, 9))
+
+    // v3: append; v4: position-delete a row FROM THE APPEND FILE
+    Snapshot.morCommit(spark, dir, None,
+      Some(Seq((11, "r11"), (12, "r12")).toDF("id", "tag")), "update")
+    val lin2 = Snapshot.readLineage(spark, dir)
+    assert(lin2.filter($"id" === 11)
+      .select(Snapshot.LineageFile).as[String].head()
+      .startsWith("_mor/v3/appends/"))
+    Snapshot.morCommit(spark, dir, None, None, "delete",
+      posDeletes = Some(lin2.filter($"id" === 11)
+        .select(Snapshot.LineageFile, Snapshot.LineagePos)))
+    assert(Snapshot.read(spark, dir).select("id").as[Int]
+      .collect().toSet == Set(1, 3, 5, 7, 9, 12))
+    assert(Snapshot.posDeleteDirsAsOf(dir, 4L).size == 2)
+
+    // CoW commit rolls the sidecar-laden dir into history (an atomic
+    // RENAME) — travel back through it: the relative ids must still
+    // resolve against the moved files
+    Snapshot.createOrReplace(Seq((99, "z")).toDF("id", "tag"), dir,
+      keepVersions = 6)
+    assert(Snapshot.readAsOf(spark, dir, 2).select("id").as[Int]
+      .collect().toSet == Set(1, 3, 5, 7, 9))
+    assert(Snapshot.readAsOf(spark, dir, 4).select("id").as[Int]
+      .collect().toSet == Set(1, 3, 5, 7, 9, 12))
+    assert(Snapshot.readAsOf(spark, dir, 1).count() == 10)
+  }
+
+  test("position and equality sidecars stack on one table; DML routes " +
+    "by write.mor.deletes; .delete_files labels content 1 vs 2") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = tmpTable("morp2")
+    Snapshot.createOrReplace(
+      (1 to 30).map(i => (i.toLong, i % 3, s"p$i"))
+        .toDF("id", "grp", "payload"), dir, keepVersions = 6)
+    store.registerSnapshot("posns", "t", dir)
+    spark.sql("""ALTER TABLE posns.t SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read',
+      'write.update.mode'='merge-on-read',
+      'write.mor.deletes'='position')""")
+    spark.sql("DELETE FROM posns.t WHERE grp = 0")
+    spark.sql("UPDATE posns.t SET payload = concat(payload, '!') " +
+      "WHERE grp = 1")
+    assert(Snapshot.posDeleteDirsAsOf(dir, 3L).size == 2 &&
+      Snapshot.deleteDirsAsOf(dir, 3L).isEmpty,
+      "position format must write pos_deletes sidecars only")
+    // flip the format: the next DELETE stacks an EQUALITY sidecar on
+    // the same table; both arms apply on read
+    spark.sql("ALTER TABLE posns.t SET TBLPROPERTIES(" +
+      "'write.mor.deletes'='equality')")
+    spark.sql("DELETE FROM posns.t WHERE id = 4")
+    assert(Snapshot.deleteDirsAsOf(dir, 4L).size == 1)
+    val got = spark.sql("SELECT id, payload FROM posns.t ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    val want = (1 to 30).filter(i => i % 3 != 0 && i != 4)
+      .map(i => (i.toLong, if (i % 3 == 1) s"p$i!" else s"p$i"))
+    assert(got == want)
+    val delFiles = spark.sql(
+      "SELECT content, record_count FROM posns.t.delete_files")
+      .as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(delFiles.map(_._1).distinct == Seq(1, 2),
+      s"both delete-file kinds must list: $delFiles")
+    // compaction collapses both arms
+    spark.sql("CALL iceberg.system.rewrite_position_delete_files(" +
+      "table => 'posns.t')")
+    assert(Snapshot.morVersions(dir).isEmpty)
+    assert(spark.sql("SELECT id, payload FROM posns.t ORDER BY id")
+      .as[(Long, String)].collect().toSeq == want)
+  }
+
+  test("erase converts position sidecars to equality rows so the GDPR " +
+    "rewrite cannot orphan (file, pos) pairs; non-subject deletions " +
+    "stay effective across live and history") {
+    val dir = tmpTable("morp3")
+    Snapshot.createOrReplace(
+      (1 to 20).map(i => (i, i % 7, s"u$i")).toDF("id", "subj", "tag"),
+      dir, keepVersions = 6)
+    val lin = Snapshot.readLineage(spark, dir)
+    Snapshot.morCommit(spark, dir, None, None, "delete",
+      posDeletes = Some(lin.filter($"id" <= 5)
+        .select(Snapshot.LineageFile, Snapshot.LineagePos)))
+    assert(Snapshot.read(spark, dir).count() == 15)
+    // GDPR: purge subj=3 everywhere (ids 3, 10, 17; id 3 was already
+    // position-deleted)
+    Snapshot.erase(spark, dir, $"subj" === 3)
+    // the erased subject is gone AND the position deletions survive
+    // the file rewrite (as converted equality rows)
+    assert(Snapshot.read(spark, dir).select("id").as[Int]
+      .collect().toSet == (6 to 20).filterNot(i => i % 7 == 3).toSet)
+    // v1 (pre-delete) history keeps everything except the subject
+    assert(Snapshot.readAsOf(spark, dir, 1).select("id").as[Int]
+      .collect().toSet == (1 to 20).filterNot(i => i % 7 == 3).toSet)
+    // no position sidecar remains anywhere under the table dir
+    assert(Snapshot.posDeleteDirsAsOf(dir,
+      Snapshot.currentVersion(dir).get).isEmpty)
+  }
 }
