@@ -123,6 +123,55 @@ object StreamingSilver {
       .start()
   }
 
+  /** Empty SCD2 dimension snapshot (bootstrap target for [[startScd2]]). */
+  def emptyScd2(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("order_id", IntegerType),
+        StructField("user_id", IntegerType),
+        StructField("amount_eur", DoubleType),
+        StructField("status", StringType),
+        StructField("valid_from_ms", LongType),
+        StructField("valid_to_ms", LongType),
+        StructField("is_current", BooleanType, nullable = false))))
+
+  /** ST1-SCD2 — the streaming twin of [[graft.cdc.Scd2]]: every bronze
+    * micro-batch folds into the dimension-history snapshot through
+    * [[graft.cdc.Scd2.merge]] — open versions of touched keys close at
+    * the batch's first event, the batch's own versions append. The
+    * dimension is never windowed; only the micro-batch is (the
+    * batch-vs-table asymmetry that keeps a 100-TB dimension scan-only).
+    * Batches must arrive in per-key event-time order — the file
+    * source's listing order over append-only bronze, the same contract
+    * the batch replay pin proves. Restart/resume rides the same
+    * checkpointLocation mechanics as [[start]]. */
+  def startScd2(spark: SparkSession, bronzeDir: String, dimDir: String,
+                checkpointDir: String,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(bronzeSchema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(bronzeDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target =
+          if (new java.io.File(dimDir).exists) Snapshot.read(spark, dimDir)
+          else emptyScd2(spark)
+        // merge consumes the batch twice (first-event frame + build):
+        // materialize the parsed rows once instead of re-scanning and
+        // re-parsing the micro-batch per subtree
+        val changes = Silver.changes(batch).localCheckpoint()
+        val next = graft.cdc.Scd2.merge(target, changes,
+          Silver.Keys, "ts_ms", Seq("offset"),
+          Seq("order_id", "user_id", "amount_eur", "status"))
+        Snapshot.createOrReplace(next, dimDir, keepVersions = 2)
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window counts over a CDC event stream — the
     * windowed-agg streaming shape (late events beyond the watermark are
     * dropped by Spark's state store, not by hand-rolled logic). */

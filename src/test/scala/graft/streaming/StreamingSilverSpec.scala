@@ -162,6 +162,61 @@ class StreamingSilverSpec extends SparkSpec {
       .as[(Int, String, Double)].collect().toSet == batch)
   }
 
+  test("streamed SCD2 converges to the one-shot build, including a " +
+    "cross-wave update closing the open version, and resumes from " +
+    "its checkpoint") {
+    val root = Files.createTempDirectory("stream-scd2").toString
+    val bronzeDir = s"$root/bronze"
+    val dimDir = s"$root/dim"
+    val cpDir = s"$root/cp"
+
+    def ordersDf(rows: Seq[(Long, Long, String, Double, String)]) =
+      rows.map { case (k, u, st, p, d) => (k, u, st, p, ts(d)) }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+    // key 3 (k%3=0) gets c then u in wave 1 → two versions already;
+    // key 17 (k%17=0) gets c/d → history but no current row
+    val bronze1 = Synth.bronze(ordersDf(Seq(
+      (1L, 10L, "O", 100.0, "2024-01-01 00:00:00"),
+      (3L, 12L, "O", 300.0, "2024-01-03 00:00:00"),
+      (17L, 13L, "P", 17.0, "2024-01-04 00:00:00"))))
+    bronze1.write.parquet(bronzeDir)
+    val q1 = StreamingSilver.startScd2(spark, bronzeDir, dimDir, cpDir)
+    q1.awaitTermination(60000)
+
+    // wave 2: key 3 again LATER — its wave-1 open version must close
+    // at the wave-2 'c' event's ts
+    val bronze2 = Synth.bronze(ordersDf(Seq(
+      (3L, 12L, "P", 350.0, "2024-02-01 00:00:00"),
+      (5L, 14L, "F", 500.0, "2024-02-02 00:00:00"))))
+    bronze2.write.mode("append").parquet(bronzeDir)
+    val q2 = StreamingSilver.startScd2(spark, bronzeDir, dimDir, cpDir)
+    q2.awaitTermination(60000)
+    assert(q2.recentProgress.map(_.numInputRows).sum == bronze2.count(),
+      "restart must consume only wave-2 files")
+
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Set[(Int, String, Long, Option[Long], Boolean)] =
+      df.select("order_id", "status", "valid_from_ms", "valid_to_ms",
+        "is_current")
+        .as[(Int, String, Long, Option[Long], Boolean)].collect().toSet
+    val streamed = rows(Snapshot.read(spark, dimDir))
+    // one-shot build over the full log
+    val all = bronze1.unionByName(bronze2)
+    val batch = rows(graft.cdc.Scd2.build(Silver.changes(all),
+      Silver.Keys, "ts_ms", Seq("offset"),
+      Seq("order_id", "user_id", "amount_eur", "status")))
+    assert(streamed == batch)
+    // the cross-wave chain: key 3 has 2 closed wave-1 versions, then
+    // wave-2 c (closed by its own u) and the open u version
+    val k3 = streamed.filter(_._1 == 3).toSeq.sortBy(_._3)
+    assert(k3.size == 4 && k3.count(_._5) == 1)
+    assert(k3.init.forall(_._4.isDefined) && k3.last._4.isEmpty)
+    // key 17: history retained, no current version (deleted)
+    val k17 = streamed.filter(_._1 == 17)
+    assert(k17.nonEmpty && !k17.exists(_._5))
+  }
+
   test("windowedCounts groups ops into tumbling windows") {
     val orders = Seq(
       (1L, 10L, "O", 100.0, ts("2024-01-01 00:00:00")),
