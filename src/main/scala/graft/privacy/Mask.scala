@@ -101,19 +101,22 @@ object Mask {
     * sums, order-free. (BIGINT holds to ~10⁹ rows × counts; past that
     * the same plan runs with DECIMAL(38,0) products.)
     *
-    * Scale: one shuffle on (quasi-ids, sensitive) whose partial
-    * aggregation collapses map-side; the global sensitive histogram and
-    * the 1-row total are broadcast; the per-group window + final agg
-    * share the quasi-id exchange. Nothing row-scaled leaves the maps.
+    * Scale: the base table is scanned ONCE — the finest-grain
+    * (quasi-ids, sensitive) counts are the only row-scaled aggregation
+    * (one partial-agg shuffle), and the global histogram and 1-row
+    * total derive FROM that aggregate (identical subtrees, so
+    * ReuseExchange shares the one shuffle) before broadcasting back.
+    * The per-group window + final agg share the quasi-id exchange.
+    * Nothing row-scaled leaves the maps.
     */
   def tCloseness(df: DataFrame, quasiIds: Seq[String], sensitiveCol: String,
                  tNum: Long, tDen: Long): DataFrame = {
     require(tNum > 0 && tDen > 0, "t must be a positive rational tNum/tDen")
     val gs = df.groupBy((quasiIds :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("cnt_gs"))
-    val sHist = df.groupBy(col(sensitiveCol))
-      .agg(count(lit(1)).as("cnt_s"))
-    val total = df.agg(count(lit(1)).as("n_total"))
+    val sHist = gs.groupBy(col(sensitiveCol))
+      .agg(sum("cnt_gs").as("cnt_s"))
+    val total = gs.agg(sum("cnt_gs").as("n_total"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(quasiIds.map(col): _*)
     gs.join(broadcast(sHist), sensitiveCol)
