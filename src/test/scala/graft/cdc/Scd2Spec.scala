@@ -69,6 +69,35 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("mergeMor reads back equal to merge; base dimension files " +
+    "untouched; delete tombstones close without reopening") {
+    val events = ch(
+      (1, "a", "c", 10, 1), (2, "x", "c", 15, 2), (3, "m", "c", 30, 3))
+    val batch = ch(
+      (1, "b", "u", 40, 4),          // close + new version
+      (3, "m", "d", 50, 5),          // close, no new version
+      (4, "q", "c", 60, 6))          // fresh key
+    val dir = java.nio.file.Files.createTempDirectory("scd2mor")
+      .toString + "/dim"
+    graft.pipeline.Snapshot.createOrReplace(build(events), dir,
+      keepVersions = 2)
+    val baseParquet = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir)).toArray.toSeq
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    Scd2.mergeMor(spark, dir, batch, K, "ts", Seq("off"), V)
+    val afterParquet = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir)).toArray.toSeq
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    assert(afterParquet == baseParquet,
+      "mergeMor must commit sidecars, not rewrite the base")
+    val viaMor = rows(graft.pipeline.Snapshot.read(spark, dir))
+    val viaCow = rows(Scd2.merge(build(events), batch, K, "ts",
+      Seq("off"), V))
+    assert(viaMor == viaCow)
+    assert(viaMor.contains((3, "m", 30L, Some(50L), false)) &&
+      !viaMor.exists(r => r._1 == 3 && r._5))
+  }
+
   test("merge on an unseen key inserts; untouched keys keep is_current") {
     val dim = build(ch((1, "a", "c", 10, 1)))
     val merged = Scd2.merge(dim, ch((2, "x", "c", 20, 2)), K, "ts",
