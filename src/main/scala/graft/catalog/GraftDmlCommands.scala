@@ -60,15 +60,53 @@ private[catalog] object GraftDml {
     (key, aliasOpt.getOrElse(parts.last), df)
   }
 
+  /** CHECK-constraint enforcement (Delta Lake's
+    * `ALTER TABLE … ADD CONSTRAINT` role, spelled as table properties
+    * the way Delta stores them: `graft.constraints.<name> = <boolean
+    * SQL expression>`): every constraint is evaluated over the WRITTEN
+    * rows in ONE aggregation pass before the commit — a violation
+    * raises with the constraint name, expression, and row count, and
+    * the table is left untouched (the statement never commits). SQL
+    * CHECK null semantics: a NULL-valued expression passes. CoW
+    * commits check the full post-state (everything is rewritten =
+    * everything is written); MOR commits check only the appended rows
+    * (delete sidecars cannot introduce violations) — Delta's own
+    * written-files scoping. */
+  def checkConstraints(spark: SparkSession, key: Seq[String],
+                       written: DataFrame): Unit = {
+    val props = scala.util.Try(
+      new TableStore(spark).properties(key.head, key(1))).toOption
+      .getOrElse(Map.empty[String, String])
+    val prefix = "graft.constraints."
+    val cs = props.toSeq.collect {
+      case (k, v) if k.startsWith(prefix) => (k.stripPrefix(prefix), v)
+    }.sortBy(_._1)
+    if (cs.isEmpty) return
+    val aggs = cs.zipWithIndex.map { case ((_, e), i) =>
+      // violation = expression IS FALSE (NULL passes, SQL CHECK)
+      count(when(!coalesce(expr(e), lit(true)), 1)).as(s"_c$i")
+    }
+    val row = written.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val failed = cs.zipWithIndex.collect {
+      case ((n, e), i) if row.getLong(i) > 0 =>
+        s"$n ($e) violated by ${row.getLong(i)} row(s)"
+    }
+    if (failed.nonEmpty) throw new IllegalStateException(
+      s"CHECK constraint blocks the write to ${key.mkString(".")}: " +
+        failed.mkString("; "))
+  }
+
   /** Commit the statement's materialized effect. Registry tables
     * replace their in-memory registration (the commit tail
     * [[GraftMergeCommand]] shares); snapshot-backed tables write ONE
     * atomic versioned commit — row-level DML on a versioned table, the
     * Iceberg behavior (the previous state rolls into history and stays
     * time-travelable). Registry wins when a name has both, mirroring
-    * [[ResolveGraftRelations]] lookup order. */
+    * [[ResolveGraftRelations]] lookup order. Enforces
+    * [[checkConstraints]] first. */
   def commit(spark: SparkSession, key: Seq[String],
              next: DataFrame): Unit = {
+    checkConstraints(spark, key, next)
     val snapPath =
       if (TableStore.registry(spark).contains(key)) None
       else new TableStore(spark).snapshotPath(key.head, key(1))
@@ -136,7 +174,9 @@ private[catalog] object GraftDml {
     * the table property `write.mor.deletes` ∈ `equality` (default) |
     * `position`: position commits store rename-stable (file id, row
     * position) pairs captured through `_metadata` lineage instead of
-    * full row images. */
+    * full row images. MERGE always writes the equality arm (its delta
+    * join reads the merged state, not raw file lineage) — the same
+    * kind-per-statement freedom Iceberg grants writers. */
   def morPositionFormat(spark: SparkSession, key: Seq[String]): Boolean =
     scala.util.Try(
       new TableStore(spark).properties(key.head, key(1))).toOption
@@ -291,6 +331,7 @@ case class GraftInsertCommand(ns: String, name: String,
         .headOption
     fastAppend match {
       case Some(p) =>
+        GraftDml.checkConstraints(spark, Seq(ns, name), rows)
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = None, appends = Some(rows), operation = "append")
       case None =>
@@ -362,10 +403,12 @@ case class GraftUpdateCommand(update: UpdateTable)
             .map(a => PlanBridge.column(a.value)
               .cast(schema(c).dataType))
             .getOrElse(col(s"$alias.$c")).as(c)
+        val posAppends = matched.as(alias)
+          .select(df.columns.toSeq.map(posNewCol): _*)
+        GraftDml.checkConstraints(spark, key, posAppends)
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = None,
-          appends = Some(matched.as(alias)
-            .select(df.columns.toSeq.map(posNewCol): _*)),
+          appends = Some(posAppends),
           operation = "update",
           posDeletes = Some(matched.select(S.LineageFile, S.LineagePos)))
       case Some(p) =>
@@ -380,12 +423,14 @@ case class GraftUpdateCommand(update: UpdateTable)
             .map(a => PlanBridge.column(a.value)
               .cast(schema(c).dataType))
             .getOrElse(col(s"$alias.$c")).as(c)
+        // re-aliased: assignment values may reference the statement's
+        // table alias, which localCheckpoint drops
+        val eqAppends = matched.as(alias)
+          .select(df.columns.toSeq.map(newCol): _*)
+        GraftDml.checkConstraints(spark, key, eqAppends)
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = Some(matched.distinct()),
-          appends = Some(// re-aliased: assignment values may reference
-            // the statement's table alias, which localCheckpoint drops
-            matched.as(alias)
-              .select(df.columns.toSeq.map(newCol): _*)),
+          appends = Some(eqAppends),
           operation = "update")
       case None =>
         GraftDml.commit(spark, key,

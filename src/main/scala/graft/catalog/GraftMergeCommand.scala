@@ -189,12 +189,14 @@ case class GraftMergeCommand(merge: MergeIntoTable)
             cols.map(c => tCol(c).as(s"__old_$c")) :+
             keep.as("__keep") :+ (tE && touched).as("__was"): _*)
           .localCheckpoint()
+        val appends = delta.filter(col("__keep"))
+          .select(cols.map(col): _*)
+        GraftDml.checkConstraints(spark, key, appends)
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = Some(delta.filter(col("__was"))
             .select(cols.map(c => col(s"__old_$c").as(c)): _*)
             .distinct()),
-          appends = Some(delta.filter(col("__keep"))
-            .select(cols.map(col): _*)),
+          appends = Some(appends),
           operation = "merge")
       case None =>
         val next = joined

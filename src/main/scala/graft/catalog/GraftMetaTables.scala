@@ -57,7 +57,7 @@ object GraftMetaTables {
   private val MetaNames =
     Set("history", "snapshots", "files", "partitions", "all_files",
       "refs", "manifests", "all_manifests", "metadata_log_entries",
-      "delete_files", "entries")
+      "delete_files", "entries", "position_deletes")
 
   def lookup(session: SparkSession,
              parts: Seq[String]): Option[LogicalPlan] = {
@@ -229,6 +229,25 @@ object GraftMetaTables {
                   .select(lit(content).as("content"), col("file_path"),
                     lit("parquet").as("file_format"),
                     col("record_count"), col("file_size_in_bytes"))
+              }.reduce(_ unionAll _)
+            case "position_deletes" =>
+              // Iceberg's position_deletes metadata table: one row per
+              // live (file, pos) delete pair with the delete file that
+              // carries it — the introspection surface for the
+              // content-1 sidecars
+              val v = live.getOrElse(
+                throw new java.util.NoSuchElementException(
+                  s"${key.mkString(".")} has no live snapshot version"))
+              val dirs =
+                graft.pipeline.Snapshot.posDeleteDirsAsOf(path, v)
+              if (dirs.isEmpty) {
+                import session.implicits._
+                Seq.empty[(String, Long, String)]
+                  .toDF("file_path", "pos", "delete_file_path")
+              } else dirs.map { dir =>
+                session.read.parquet(dir)
+                  .select(col("file_path"), col("pos"),
+                    col("_metadata.file_path").as("delete_file_path"))
               }.reduce(_ unionAll _)
             case "entries" =>
               // Iceberg's entries table (flattened data_file struct):

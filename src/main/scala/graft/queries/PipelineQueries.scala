@@ -728,6 +728,28 @@ FROM iceberg.silver.orders_current""")
       scd2Out(folded)
     }),
 
+    // X20 — the MERGE-ON-READ dimension maintenance arm end-to-end:
+    // bootstrap the dimension from the first half of the log
+    // (copy-on-write), fold the second half in as an O(batch) sidecar
+    // commit (base files untouched — SoakScd2 prices it flat), read
+    // back through the sidecar merge. Same oracle as the one-shot
+    // build: MOR maintenance must be indistinguishable.
+    "q_scd2_mor" -> ((s, d) => {
+      val ch = Silver.changes(bronzeOf(s, d))
+      val bounds = ch.agg(min("offset"), max("offset")).collect()(0)
+      val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val dir = java.nio.file.Files.createTempDirectory("scd2morq")
+        .toString + "/dim"
+      graft.pipeline.Snapshot.createOrReplace(
+        Scd2.build(ch.filter(col("offset") <= cut), Scd2Keys, "ts_ms",
+          Seq("offset"), Scd2Values), dir, keepVersions = 2)
+      graft.cdc.Scd2.mergeMor(s, dir, ch.filter(col("offset") > cut),
+        Scd2Keys, "ts_ms", Seq("offset"), Scd2Values)
+      require(graft.pipeline.Snapshot.morVersions(dir) == Seq(2L),
+        "the dimension merge must take the sidecar path")
+      scd2Out(graft.pipeline.Snapshot.read(s, dir))
+    }),
+
     // S14'' — point-in-time read of the dimension: state as of the
     // midpoint of the event-time range (`valid_from <= T <
     // coalesce(valid_to, ∞)`) — what a reproducible training-data
@@ -1490,6 +1512,8 @@ FROM iceberg.silver.orders_current""")
     "q_scd2_build" -> scd2BuildSql,
     // replay-equivalence: N in-order batches through merge ≡ the build
     "q_scd2_incremental" -> scd2BuildSql,
+    // MOR maintenance ≡ the build too (sidecar commit + read-merge)
+    "q_scd2_mor" -> scd2BuildSql,
 
     "q_scd2_asof" -> s"""
       $scd2Seq,
