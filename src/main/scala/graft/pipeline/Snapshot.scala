@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, regexp_extract}
+import org.apache.spark.sql.functions.{col, count, lit, regexp_replace}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Snapshot-replace sink: the reference's `writeTo(t).createOrReplace()`
@@ -141,22 +141,30 @@ object Snapshot {
 
   /** Lineage column names a position-delete read threads through the
     * merge: the RELATIVE file id and the row position within it. */
-  val LineageFile = "_pos_file"
-  val LineagePos = "_pos"
+  val LineageFile = "_graft_lineage_file"
+  val LineagePos = "_graft_lineage_pos"
 
-  /** Rename-stable file id for position deletes: data files live only
-    * at the serving dir's root or under `_mor/v<N>/appends/`, so the
-    * id is the basename prefixed with that sidecar fragment when
-    * present. Absolute URIs would break the moment a live dir rolls
-    * into history (`<path>` → `<path>.vN` is an atomic RENAME) —
-    * Iceberg can store absolute paths because its files never move;
-    * this layout's adaptation is relativizing against the serving dir. */
-  private def relFileId: Column =
-    regexp_extract(col("_metadata.file_path"),
-      "((?:_mor/v[0-9]+/appends/)?[^/]+)$", 1)
+  /** Rename-stable file id for position deletes: the file's path
+    * RELATIVE to the serving dir (scheme and dir prefix stripped at
+    * plan-build time, when the current dir location is known on both
+    * the write and the read side). The suffix inside the dir —
+    * `part-….parquet`, `l_returnflag=A/part-….parquet`,
+    * `_mor/v3/appends/part-….parquet` — is invariant under the atomic
+    * rename that rolls a live dir into history, which absolute URIs
+    * are not (Iceberg can store absolute paths because its files never
+    * move). The full relative path matters: Spark's partitioned writes
+    * REUSE part-file names across Hive fragment dirs (same task id +
+    * job UUID), so a bare basename would conflate files. */
+  private def relFileId(dir: String): Column = {
+    val abs = Paths.get(dir).toAbsolutePath.normalize.toString
+    val noScheme =
+      regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+    regexp_replace(noScheme,
+      "^" + java.util.regex.Pattern.quote(abs) + "/", "")
+  }
 
-  private def withLineageCols(df: DataFrame): DataFrame =
-    df.withColumn(LineageFile, relFileId)
+  private def withLineageCols(df: DataFrame, dir: String): DataFrame =
+    df.withColumn(LineageFile, relFileId(dir))
       .withColumn(LineagePos, col("_metadata.row_index"))
 
   /** The position-delete sidecar dirs of `dir` visible at `upTo`. */
@@ -188,7 +196,7 @@ object Snapshot {
     // the logical schema, stay union-compatible)
     val hidden = hiddenFieldNames(dir).filter(df.columns.contains)
     if (hidden.nonEmpty) df = df.drop(hidden: _*)
-    if (lineage) df = withLineageCols(df)
+    if (lineage) df = withLineageCols(df, dir)
     val valueCols = df.columns.filterNot(
       Seq(LineageFile, LineagePos).contains(_))
     var pendingDeletes = List.empty[String]
@@ -211,7 +219,7 @@ object Snapshot {
         flush() // a delete never touches rows appended after it
         val app = spark.read.parquet(a.toString)
         df = df.unionByName(
-          if (lineage) withLineageCols(app) else app)
+          if (lineage) withLineageCols(app, dir) else app)
       }
     }
     flush()
@@ -905,6 +913,10 @@ object Snapshot {
   def prunedRead(spark: SparkSession, path: String,
                  ranges: Seq[ScanPruning.ColumnRange]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // position sidecars anti-join on lineage, so pruned scans must
+    // thread the same columns morApply does (dropped before return) —
+    // a pruned-away file's pairs are no-ops, never resurrections
+    val posDirs = posDeleteDirsIn(path, Long.MaxValue)
     val basePlan = ScanPruning.pruneDir(spark, path, ranges)
     var df =
       if (basePlan.kept.isEmpty) spark.read.parquet(path).limit(0)
@@ -912,11 +924,14 @@ object Snapshot {
         .parquet(basePlan.kept: _*)
     val hidden = hiddenFieldNames(path).filter(df.columns.contains)
     if (hidden.nonEmpty) df = df.drop(hidden: _*)
+    if (posDirs.nonEmpty) df = withLineageCols(df, path)
+    val valueCols = df.columns.filterNot(
+      Seq(LineageFile, LineagePos).contains(_))
     var pendingDeletes = List.empty[String]
     def flush(): Unit = if (pendingDeletes.nonEmpty) {
       val del = pendingDeletes.map(spark.read.parquet(_))
         .reduce(_ unionByName _)
-      val cond = df.columns.map(c => df(c) <=> del(c)).reduce(_ && _)
+      val cond = valueCols.map(c => df(c) <=> del(c)).reduce(_ && _)
       df = df.join(del, cond, "left_anti")
       pendingDeletes = Nil
     }
@@ -927,12 +942,23 @@ object Snapshot {
       if (Files.isDirectory(a)) {
         flush() // a delete never touches rows appended after it
         val ap = ScanPruning.pruneDir(spark, a.toString, ranges)
-        if (ap.kept.nonEmpty)
-          df = df.unionByName(spark.read
-            .option("basePath", a.toString).parquet(ap.kept: _*))
+        if (ap.kept.nonEmpty) {
+          val app = spark.read
+            .option("basePath", a.toString).parquet(ap.kept: _*)
+          df = df.unionByName(
+            if (posDirs.nonEmpty) withLineageCols(app, path) else app)
+        }
       }
     }
     flush()
+    if (posDirs.nonEmpty) {
+      val pos = posDirs.map(spark.read.parquet(_))
+        .reduce(_ unionByName _)
+      df = df.join(pos,
+        df(LineageFile) === pos("file_path") &&
+          df(LineagePos) === pos("pos"), "left_anti")
+        .drop(LineageFile, LineagePos)
+    }
     ranges.foldLeft(df) { (acc, r) =>
       val c = col(r.column)
       val lo = r.lower.map(l => acc.filter(c >= lit(l))).getOrElse(acc)
@@ -1046,13 +1072,18 @@ object Snapshot {
       // pairs derive from deterministic predicates (a predicate matches
       // every identical instance, exactly what equality deletes remove).
       lazy val rawLineage: DataFrame = {
-        val base = withLineageCols(spark.read.parquet(dir))
-        morVersions(dir).foldLeft(base) { (df, v) =>
-          val a = morRoot(dir).resolve(s"v$v").resolve("appends")
-          if (Files.isDirectory(a))
-            df.unionByName(withLineageCols(
-              spark.read.parquet(a.toString)))
-          else df
+        var base = spark.read.parquet(dir)
+        // derived hidden-partitioning fields would otherwise leak into
+        // the converted equality rows and break the sidecar schema
+        val hidden = hiddenFieldNames(dir).filter(base.columns.contains)
+        if (hidden.nonEmpty) base = base.drop(hidden: _*)
+        morVersions(dir).foldLeft(withLineageCols(base, dir)) {
+          (df, v) =>
+            val a = morRoot(dir).resolve(s"v$v").resolve("appends")
+            if (Files.isDirectory(a))
+              df.unionByName(withLineageCols(
+                spark.read.parquet(a.toString), dir))
+            else df
         }
       }
       morVersions(dir).foreach { v =>

@@ -479,6 +479,51 @@ class MorSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == want)
   }
 
+  test("position deletes on a PARTITIONED table carry the fragment " +
+    "dir in the file id — Spark reuses part-file basenames across " +
+    "fragments, so a bare basename would conflate files") {
+    val dir = tmpTable("morp4")
+    // partitionBy(grp): the same task writes the same part-file NAME
+    // into both fragment dirs — the collision under test
+    Snapshot.createOrReplacePartitioned(
+      (1 to 20).map(i => (i, i % 2, s"r$i")).toDF("id", "grp", "tag"),
+      dir, Seq("grp"), keepVersions = 4)
+    val lin = Snapshot.readLineage(spark, dir)
+    val ids = lin.select(Snapshot.LineageFile).distinct()
+      .as[String].collect().toSeq
+    assert(ids.forall(_.contains("grp=")),
+      s"partitioned lineage ids must keep the fragment dir: $ids")
+    // delete the even ids of ONE partition only
+    Snapshot.morCommit(spark, dir, None, None, "delete",
+      posDeletes = Some(lin.filter($"grp" === 0 && $"id" <= 10)
+        .select(Snapshot.LineageFile, Snapshot.LineagePos)))
+    val left = Snapshot.read(spark, dir).select("id").as[Int]
+      .collect().toSet
+    assert(left == (1 to 20).toSet -- Set(2, 4, 6, 8, 10),
+      "rows of the untouched partition must survive basename collisions")
+  }
+
+  test("prunedRead applies position sidecars: a stats-pruned scan " +
+    "equals read().filter on a position-delete table") {
+    val dir = tmpTable("morp5")
+    Snapshot.createOrReplace(
+      (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "tag"), dir,
+      keepVersions = 3)
+    val lin = Snapshot.readLineage(spark, dir)
+    Snapshot.morCommit(spark, dir, None, None, "delete",
+      posDeletes = Some(lin.filter($"id".between(100, 120))
+        .select(Snapshot.LineageFile, Snapshot.LineagePos)))
+    val ranges = Seq(ScanPruning.ColumnRange("id", Some(90L), Some(130L)))
+    val pruned = Snapshot.prunedRead(spark, dir, ranges)
+      .select("id").as[Long].collect().toSet
+    val plain = Snapshot.read(spark, dir)
+      .filter($"id" >= 90 && $"id" <= 130)
+      .select("id").as[Long].collect().toSet
+    assert(pruned == plain)
+    assert(!pruned.contains(110L), "pruned scans must not resurrect " +
+      "position-deleted rows")
+  }
+
   test("erase converts position sidecars to equality rows so the GDPR " +
     "rewrite cannot orphan (file, pos) pairs; non-subject deletions " +
     "stay effective across live and history") {
