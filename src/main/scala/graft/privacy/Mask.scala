@@ -82,6 +82,45 @@ object Mask {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("violates_l", col("n_sensitive") < l)
 
+  /** X14d — local-DP randomized response [Warner 1965; the
+    * RAPPOR-style local mechanism]: each subject reports their TRUE
+    * binary sensitive value with probability p = pNum/pDen and the
+    * FLIPPED value otherwise — ε-differentially-private with
+    * ε = ln(p/(1−p)) (p = 3/4 → ε = ln 3), and unlike Laplace noise
+    * it needs NO transcendental sampling, so the release is
+    * integer-exact and engine-portable. The "coin" is the id-stable
+    * salted md5 bucket (the [[graft.ext.Sampling]] discipline) —
+    * deterministic for the oracle; a production deployment swaps in a
+    * CSPRNG per release without touching the estimator. Scan-local,
+    * zero shuffle. */
+  def randomizedResponse(df: DataFrame, idCol: String, bitCol: String,
+                         pNum: Int, pDen: Int,
+                         salt: String): DataFrame = {
+    require(pNum * 2 > pDen && pNum < pDen,
+      s"p must be in (1/2, 1): $pNum/$pDen")
+    val coin = pmod(conv(substring(md5(
+      concat(col(idCol).cast("string"), lit("::" + salt))), 1, 8),
+      16, 10).cast("long"), lit(pDen))
+    df.withColumn("reported",
+      when(coin < pNum, col(bitCol)).otherwise(lit(1) - col(bitCol)))
+  }
+
+  /** Per-group debiased estimate over a randomized-response release:
+    * with observed reported-true fraction λ, the unbiased estimator is
+    * π̂ = (λ + p − 1) / (2p − 1). Exact counts aggregate; the handful
+    * of IEEE steps mirror the oracle's. One partial-agg shuffle. */
+  def rrEstimate(released: DataFrame, groupCols: Seq[String],
+                 pNum: Int, pDen: Int): DataFrame = {
+    val p = lit(pNum.toDouble) / lit(pDen.toDouble)
+    released.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("reported").cast("long")).as("n_reported_true"))
+      .withColumn("lambda",
+        col("n_reported_true").cast("double") / col("n"))
+      .withColumn("pi_hat",
+        ((col("lambda") + p) - lit(1.0)) / ((lit(2.0) * p) - lit(1.0)))
+  }
+
   /** t-closeness audit [Li, Li, Venkatasubramanian, ICDE 2007] — the
     * third leg after k-anonymity and l-diversity: a quasi-id group is
     * t-close when its SENSITIVE-value distribution is within distance t

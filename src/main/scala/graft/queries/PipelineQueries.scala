@@ -700,6 +700,24 @@ FROM iceberg.silver.orders_current""")
         .orderBy("status", "amount_band")
     }),
 
+    // X14d — local-DP randomized-response release: the sensitive bit
+    // (user cohort parity) flips per subject with probability 1/4
+    // (p = 3/4 → ε = ln 3), coin = salted id-stable md5 bucket; the
+    // per-status debiased estimator recovers the true proportion. The
+    // audit pairs π̂ with the true fraction so the estimator's
+    // validity is itself oracle-checked.
+    "q_dp_release" -> ((s, d) => {
+      val silver = Silver.rebuild(bronzeOf(s, d))
+        .withColumn("bit", (col("user_id") % 2).cast("int"))
+      val released = Mask.randomizedResponse(
+        silver, "order_id", "bit", pNum = 3, pDen = 4, salt = "RR1")
+      Mask.rrEstimate(released, Seq("status"), 3, 4)
+        .join(silver.groupBy("status")
+          .agg((sum(col("bit").cast("long")).cast("double") /
+            count(lit(1))).as("true_frac")), Seq("status"))
+        .orderBy("status")
+    }),
+
     // S14 — SCD Type 2 dimension history from the same bronze log the
     // reference keeps only current state from: one row per (order,
     // version) with [valid_from, valid_to) intervals, deletes closing
@@ -1478,6 +1496,23 @@ FROM iceberg.silver.orders_current""")
       SELECT * FROM sil
       WHERE NOT (user_id % 7 = 0)
       ORDER BY order_id""",
+
+    "q_dp_release" -> s"""
+      WITH sil AS ($silverRebuildSql),
+      rel AS (
+        SELECT status, user_id % 2 AS bit,
+               CASE WHEN ('0x' || md5(CAST(order_id AS VARCHAR)
+                       || '::RR1')[1:8])::BIGINT % 4 < 3
+                    THEN user_id % 2 ELSE 1 - user_id % 2
+               END AS reported
+        FROM sil)
+      SELECT status, count(*) AS n,
+             CAST(sum(reported) AS BIGINT) AS n_reported_true,
+             CAST(sum(reported) AS DOUBLE) / count(*) AS lambda,
+             ((CAST(sum(reported) AS DOUBLE) / count(*) + 0.75) - 1.0)
+               / ((2.0 * 0.75) - 1.0) AS pi_hat,
+             CAST(sum(bit) AS DOUBLE) / count(*) AS true_frac
+      FROM rel GROUP BY status ORDER BY status""",
 
     "q_t_closeness" -> s"""
       WITH sil AS ($silverRebuildSql),

@@ -85,6 +85,29 @@ class MaskSpec extends SparkSpec {
     assert(out2 == Set(("A", 2L, 0L, 0.0, false), ("B", 2L, 0L, 0.0, false)))
   }
 
+  test("randomizedResponse flips exactly the coin-selected rows and " +
+    "rrEstimate debiases with the closed-form estimator") {
+    val df = (1L to 400L).map(i => (i, "g", (i % 2).toInt))
+      .toDF("id", "grp", "bit")
+    val rel = Mask.randomizedResponse(df, "id", "bit", 3, 4, "RR1")
+    // determinism + flip-rate: the salted-md5 coin flips ~1/4 of rows
+    val flips = rel.filter($"reported" =!= $"bit").count()
+    assert(flips > 60 && flips < 140, s"~100 expected, got $flips")
+    assert(rel.collect().toSeq ==
+      Mask.randomizedResponse(df, "id", "bit", 3, 4, "RR1")
+        .collect().toSeq, "release must be deterministic per salt")
+    // a different salt draws different coins
+    assert(Mask.randomizedResponse(df, "id", "bit", 3, 4, "OTHER")
+      .filter($"reported" =!= $"bit").count() != flips)
+    // estimator: pi_hat = (lambda + p - 1) / (2p - 1), hand-checked
+    val est = Mask.rrEstimate(rel, Seq("grp"), 3, 4).collect().head
+    val lambda = est.getAs[Long]("n_reported_true").toDouble / 400
+    assert(est.getAs[Double]("pi_hat") ==
+      ((lambda + 0.75) - 1.0) / ((2.0 * 0.75) - 1.0))
+    // debiasing pulls the estimate back toward the true 1/2
+    assert(math.abs(est.getAs[Double]("pi_hat") - 0.5) < 0.15)
+  }
+
   test("generalize emits stable half-open band labels") {
     val out = Seq(0.0, 99.99, 100.0, 1234.56).toDF("v")
       .select(Mask.generalize(col("v"), 100.0).as("b"))
