@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.SkewJoin
+import graft.ext.{Resample, SkewJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -183,6 +183,54 @@ object RelationalQueries {
             .as("session_end"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")),
+
+    // Ordered-funnel analysis over the event stream: users completing
+    // view → click → purchase IN EVENT-TIME ORDER (each stage's
+    // timestamp strictly after the previous stage's first completion
+    // — the product-analytics staple a windowed count can't express).
+    // Two window passes over ONE user-keyed exchange (no sort: frames
+    // span the whole partition); the final stage counts collapse to
+    // three scalars.
+    "q_funnel" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+      val staged = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("t1", min(when(col("event_type") === "view",
+          col("ts_us"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t1"), col("ts_us"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t2"), col("ts_us"))).over(w))
+      val perUser = staged.groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      perUser.agg(
+        count(when(col("t1").isNotNull, 1)).as("u1"),
+        count(when(col("t2").isNotNull, 1)).as("u2"),
+        count(when(col("t3").isNotNull, 1)).as("u3"))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("u1").as("users")),
+          struct(lit("2_click").as("stage"), col("u2").as("users")),
+          struct(lit("3_purchase").as("stage"), col("u3").as("users"))))
+          .as("s"))
+        .select(col("s.stage").as("stage"), col("s.users").as("users"))
+        .orderBy("stage")
+    }),
+
+    // X9''''' — per-type value series projected onto a regular 6-hour
+    // grid with linear interpolation between the surrounding events
+    // (gap-filling before any fixed-step rolling statistic). One
+    // key-shuffle, two in-partition window passes; the interpolation
+    // expression is IEEE-mirrored so VALUES hash-compare.
+    "q_resample" -> ((s, d) =>
+      Resample.interpolate(
+        Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 1000").as("ts_us"),
+            col("value"), col("event_id")),
+        Seq("event_type"), "ts_us", "value", "event_id",
+        stepMicros = 21600000000L)
+        .orderBy("event_type", "grid_ts")),
 
     // ROLLUP hierarchy totals; subtotal rows surfaced via coalesce so
     // both engines sort identically (no engine-specific NULL ordering).
@@ -1231,6 +1279,78 @@ object RelationalQueries {
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type""",
+
+    "q_resample" -> """
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS ts_us, value, event_id
+        FROM events
+      ),
+      grid AS (
+        SELECT event_type,
+               unnest(generate_series(
+                 ((lo + 21600000000 - 1) // 21600000000) * 21600000000,
+                 (hi // 21600000000) * 21600000000,
+                 21600000000)) AS t
+        FROM (SELECT event_type, min(ts_us) AS lo, max(ts_us) AS hi
+              FROM e GROUP BY 1)
+      ),
+      u AS (
+        SELECT event_type, ts_us AS t, value AS v, event_id AS id,
+               0 AS is_grid
+        FROM e
+        UNION ALL
+        SELECT event_type, t, NULL, NULL, 1 FROM grid
+      ),
+      w AS (
+        SELECT *,
+          last_value(v IGNORE NULLS) OVER
+            (PARTITION BY event_type
+             ORDER BY t, is_grid, id NULLS LAST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+          last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+            OVER (PARTITION BY event_type
+             ORDER BY t, is_grid, id NULLS LAST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+          first_value(v IGNORE NULLS) OVER
+            (PARTITION BY event_type
+             ORDER BY t, is_grid, id NULLS LAST
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v1,
+          first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+            OVER (PARTITION BY event_type
+             ORDER BY t, is_grid, id NULLS LAST
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t1
+        FROM u
+      )
+      SELECT event_type, t AS grid_ts,
+             CASE WHEN v1 IS NULL OR t1 = t0 THEN v0
+                  ELSE v0 + (v1 - v0) *
+                    (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+             END AS value
+      FROM w WHERE is_grid = 1 AND v0 IS NOT NULL
+      ORDER BY event_type, grid_ts""",
+
+    "q_funnel" -> """
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      ),
+      s1 AS (
+        SELECT user_id, min(ts_us) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY 1
+      ),
+      s2 AS (
+        SELECT e.user_id, min(ts_us) AS t2
+        FROM e JOIN s1 USING (user_id)
+        WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1
+      ),
+      s3 AS (
+        SELECT e.user_id, min(ts_us) AS t3
+        FROM e JOIN s2 USING (user_id)
+        WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1
+      )
+      SELECT '1_view' AS stage, count(*) AS users FROM s1
+      UNION ALL SELECT '2_click', count(*) FROM s2
+      UNION ALL SELECT '3_purchase', count(*) FROM s3
+      ORDER BY stage""",
 
     "q_user_sessions" -> s"""
       WITH marked AS (
