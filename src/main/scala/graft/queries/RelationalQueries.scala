@@ -218,6 +218,33 @@ object RelationalQueries {
         .orderBy("stage")
     }),
 
+    // X22 — cohort retention: users grouped by their first-signup
+    // epoch-week; retention(cohort, k) = distinct users of the cohort
+    // active k weeks later / cohort size. Epoch-week arithmetic is
+    // pure integer division (engine-portable); two partial-agg
+    // shuffles (per-user first signup, per-(cohort, offset) actives)
+    // plus a user-keyed join — the product-analytics matrix every
+    // growth dashboard draws.
+    "q_retention" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"),
+        expr("ts div 86400000000000 div 7").as("week"),
+        col("event_type"))
+      val cohorts = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("week").as("cohort_week"))
+      val activity = e.select("user_id", "week").distinct()
+      val actives = activity.join(cohorts, "user_id")
+        .withColumn("offset_weeks", col("week") - col("cohort_week"))
+        .filter(col("offset_weeks") >= 0)
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(countDistinct("user_id").as("active_users"))
+      val sizes = cohorts.groupBy("cohort_week")
+        .agg(count(lit(1)).as("cohort_size"))
+      actives.join(sizes, "cohort_week")
+        .withColumn("retention", col("active_users").cast("double") /
+          col("cohort_size"))
+        .orderBy("cohort_week", "offset_weeks")
+    }),
+
     // X9''''' — per-type value series projected onto a regular 6-hour
     // grid with linear interpolation between the surrounding events
     // (gap-filling before any fixed-step rolling statistic). One
@@ -1279,6 +1306,33 @@ object RelationalQueries {
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type""",
+
+    "q_retention" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS week,
+               event_type
+        FROM events
+      ),
+      cohorts AS (
+        SELECT user_id, min(week) AS cohort_week FROM e
+        WHERE event_type = 'signup' GROUP BY 1
+      ),
+      activity AS (SELECT DISTINCT user_id, week FROM e),
+      actives AS (
+        SELECT cohort_week, week - cohort_week AS offset_weeks,
+               count(DISTINCT a.user_id) AS active_users
+        FROM activity a JOIN cohorts USING (user_id)
+        WHERE week - cohort_week >= 0
+        GROUP BY 1, 2
+      ),
+      sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM cohorts GROUP BY 1
+      )
+      SELECT cohort_week, offset_weeks, active_users, cohort_size,
+             CAST(active_users AS DOUBLE) / cohort_size AS retention
+      FROM actives JOIN sizes USING (cohort_week)
+      ORDER BY cohort_week, offset_weeks""",
 
     "q_resample" -> """
       WITH e AS (
