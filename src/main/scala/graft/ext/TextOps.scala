@@ -41,6 +41,26 @@ object TextOps {
     docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** X4j — hashing-trick featurizer [Weinberger et al., ICML 2009; the
+    * fastText/Vowpal-Wabbit input shape]: token → md5-derived bucket in
+    * [0, dim), emitted as sparse (doc_id, bucket, tf) rows. Fixed
+    * output dimensionality with NO vocabulary pass and no dictionary
+    * broadcast — the property that lets a quality classifier featurize
+    * a 100-TB corpus in one scan (collisions are the accepted trade;
+    * dim is the knob). One partial-agg shuffle on (doc, bucket); the
+    * md5 bucket is the engine-portable [[graft.ext.Sampling]] coin, so
+    * the featurization is oracle-checkable. */
+  def featureHash(docs: DataFrame, dim: Int, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast("long"), lit(dim.toLong)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Classic tf-idf over (doc, word): tf = in-doc term count,
     * df = #docs containing the word, idf = ln((N+1)/(df+1)) + 1
     * (smoothed). Returns (doc_id, word, tf, df, tfidf DOUBLE).

@@ -368,6 +368,13 @@ object ExtQueries {
     "q_tfidf" -> ((s, d) =>
       TextOps.tfidf(Tables.documents(s, d)).orderBy("doc_id", "word")),
 
+    // X4j — hashing-trick featurizer: fixed-dim sparse term vectors
+    // with no vocabulary pass (the fastText/VW input shape); bucket =
+    // engine-portable md5 hash mod 64.
+    "q_feature_hash" -> ((s, d) =>
+      TextOps.featureHash(Tables.documents(s, d), dim = 64)
+        .orderBy("doc_id", "bucket")),
+
     // X4g — BPE pair statistics (round 1 of tokenizer induction):
     // frequency-weighted adjacent-char pair counts over the vocabulary.
     "q_bpe_pairs" -> ((s, d) =>
@@ -1661,6 +1668,14 @@ object ExtQueries {
       SELECT w AS word, count(*) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       GROUP BY w ORDER BY word""",
+
+    "q_feature_hash" -> """
+      SELECT doc_id,
+             ('0x' || md5(w)[1:8])::BIGINT % 64 AS bucket,
+             count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2 ORDER BY doc_id, bucket""",
 
     "q_tfidf" -> """
       WITH tf AS (
