@@ -244,6 +244,43 @@ object Snapshot {
   def readLineage(spark: SparkSession, path: String): DataFrame =
     morApply(spark, path, Long.MaxValue, withLineage = true)
 
+  /** Sidecar census for a merge-on-read table — the X6 metrics shape
+    * feeding the compaction-cadence rule (compact when read-tax ×
+    * reads-between-writes crosses the rewrite cost; BASELINE.md's MOR
+    * soak): stacked commit count, per-kind sidecar file and row
+    * counts. Row counts come from parquet footers (no data read). */
+  def morStats(path: String): Seq[(String, Long)] = {
+    val vs = morVersions(path)
+    def census(kind: String): (Long, Long) = vs.map { v =>
+      import scala.jdk.CollectionConverters._
+      val d = morRoot(path).resolve(s"v$v").resolve(kind)
+      if (!Files.isDirectory(d)) (0L, 0L)
+      else {
+        val s = Files.list(d)
+        val files = try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+        (files.size.toLong, files.map(f => footerRows(f)).sum)
+      }
+    }.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    val (edF, edR) = census("deletes")
+    val (pdF, pdR) = census("pos_deletes")
+    val (apF, apR) = census("appends")
+    Seq(
+      "mor_commits" -> vs.size.toLong,
+      "equality_delete_files" -> edF, "equality_delete_rows" -> edR,
+      "position_delete_files" -> pdF, "position_delete_pairs" -> pdR,
+      "append_files" -> apF, "append_rows" -> apR)
+  }
+
+  private def footerRows(f: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   /** The parquet DATA dirs visible at `version` of `path`: the serving
     * dir's base files plus each appends sidecar of version <= it.
     * Delete sidecars are excluded — per-file stats report a data file's

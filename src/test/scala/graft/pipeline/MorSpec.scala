@@ -524,6 +524,29 @@ class MorSpec extends SparkSpec {
       "position-deleted rows")
   }
 
+  test("morStats censuses sidecars per kind; compaction zeroes it") {
+    val dir = tmpTable("morst")
+    Snapshot.createOrReplace(
+      (1 to 50).map(i => (i, s"r$i")).toDF("id", "tag"), dir,
+      keepVersions = 4)
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq((7, "r7"), (8, "r8")).toDF("id", "tag")),
+      appends = Some(Seq((51, "n")).toDF("id", "tag")), "update")
+    val lin = Snapshot.readLineage(spark, dir)
+    Snapshot.morCommit(spark, dir, None, None, "delete",
+      posDeletes = Some(lin.filter($"id" <= 3)
+        .select(Snapshot.LineageFile, Snapshot.LineagePos)))
+    val stats = Snapshot.morStats(dir).toMap
+    assert(stats("mor_commits") == 2L)
+    assert(stats("equality_delete_rows") == 2L)
+    assert(stats("position_delete_pairs") == 3L)
+    assert(stats("append_rows") == 1L)
+    assert(stats("equality_delete_files") >= 1L &&
+      stats("position_delete_files") >= 1L)
+    Snapshot.rewritePositionDeletes(spark, dir, keepVersions = 4)
+    assert(Snapshot.morStats(dir).forall(_._2 == 0L))
+  }
+
   test("erase converts position sidecars to equality rows so the GDPR " +
     "rewrite cannot orphan (file, pos) pairs; non-subject deletions " +
     "stay effective across live and history") {
