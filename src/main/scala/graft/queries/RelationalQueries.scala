@@ -218,6 +218,23 @@ object RelationalQueries {
         .orderBy("stage")
     }),
 
+    // GROUPING SETS — the explicit third form beside ROLLUP/CUBE, run
+    // as SQL text (independent per-flag and per-status marginals plus
+    // the grand total in ONE statement; Spark plans it as a single
+    // Expand + aggregate, not three scans).
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_gsets")
+      s.sql(s"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_qty
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus""")
+    }),
+
     // X22 — cohort retention: users grouped by their first-signup
     // epoch-week; retention(cohort, k) = distinct users of the cohort
     // active k weeks later / cohort size. Epoch-week arithmetic is
@@ -1306,6 +1323,15 @@ object RelationalQueries {
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type""",
+
+    "q_grouping_sets" -> s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n_rows,
+             ${oSum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY returnflag, linestatus""",
 
     "q_retention" -> """
       WITH e AS (
