@@ -82,11 +82,25 @@ private[catalog] object GraftDml {
       case (k, v) if k.startsWith(prefix) => (k.stripPrefix(prefix), v)
     }.sortBy(_._1)
     if (cs.isEmpty) return
-    val aggs = cs.zipWithIndex.map { case ((_, e), i) =>
+    val aggs = cs.zipWithIndex.map { case ((n, e), i) =>
       // violation = expression IS FALSE (NULL passes, SQL CHECK)
-      count(when(!coalesce(expr(e), lit(true)), 1)).as(s"_c$i")
+      try count(when(!coalesce(expr(e), lit(true)), 1)).as(s"_c$i")
+      catch {
+        case ex: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint $prefix$n has an unparseable " +
+              s"expression '$e': ${ex.getMessage}", ex)
+      }
     }
-    val row = written.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row =
+      try written.agg(aggs.head, aggs.tail: _*).collect()(0)
+      catch {
+        case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            "a CHECK constraint references columns the written rows " +
+              s"lack (${cs.map(c => s"${c._1}='${c._2}'").mkString(", ")})"
+              + s": ${ex.getMessage}", ex)
+      }
     val failed = cs.zipWithIndex.collect {
       case ((n, e), i) if row.getLong(i) > 0 =>
         s"$n ($e) violated by ${row.getLong(i)} row(s)"

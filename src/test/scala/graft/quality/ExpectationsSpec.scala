@@ -58,6 +58,41 @@ class ExpectationsSpec extends SparkSpec {
     enforce(df.filter($"id" === 1), exps) // clean subset passes
   }
 
+  test("expectations gate a STREAM: quarantine/retain are stateless " +
+    "codegen'd projections, so the same split runs per micro-batch") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("expstream")
+      .toString
+    val inDir = s"$root/in"; val goodDir = s"$root/good"
+    val badDir = s"$root/bad"; val cp = s"$root/cp"
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("amount", DoubleType),
+      StructField("status", StringType)))
+    val rowExps = exps.filter(!_.isInstanceOf[Unique])
+    Seq((1, Some(10.0), "O"), (5, Some(-1.0), "F"))
+      .toDF("id", "amount", "status").coalesce(1).write.parquet(inDir)
+    Seq((6, Some(40.0), "X"), (7, Some(20.0), "F"))
+      .toDF("id", "amount", "status").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          retain(batch, rowExps).write.mode("append").parquet(goodDir)
+          quarantine(batch, rowExps).write.mode("append").parquet(badDir)
+          ()
+      }.start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(goodDir).select("id").as[Int]
+      .collect().toSet == Set(1, 7))
+    assert(spark.read.parquet(badDir).select("id", "reasons")
+      .as[(Int, String)].collect().toSet ==
+      Set((5, "in_range(amount)"), (6, "in_set(status)")))
+  }
+
   test("gatedReplace refuses the violating commit; previous stays live") {
     val dir = java.nio.file.Files.createTempDirectory("expgate")
       .toString + "/t"
