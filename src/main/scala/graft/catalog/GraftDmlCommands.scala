@@ -64,7 +64,10 @@ private[catalog] object GraftDml {
     * `ALTER TABLE … ADD CONSTRAINT` role, spelled as table properties
     * the way Delta stores them: `graft.constraints.<name> = <boolean
     * SQL expression>`): every constraint is evaluated over the WRITTEN
-    * rows in ONE aggregation pass before the commit — a violation
+    * rows in ONE aggregation pass before the commit; returns the frame
+    * the caller must write (materialized when constraints exist, so
+    * the check and the write see the SAME rows even under a
+    * nondeterministic source) — a violation
     * raises with the constraint name, expression, and row count, and
     * the table is left untouched (the statement never commits). SQL
     * CHECK null semantics: a NULL-valued expression passes. CoW
@@ -73,15 +76,21 @@ private[catalog] object GraftDml {
     * (delete sidecars cannot introduce violations) — Delta's own
     * written-files scoping. */
   def checkConstraints(spark: SparkSession, key: Seq[String],
-                       written: DataFrame): Unit = {
-    val props = scala.util.Try(
-      new TableStore(spark).properties(key.head, key(1))).toOption
-      .getOrElse(Map.empty[String, String])
+                       written: DataFrame): DataFrame = {
+    // fail CLOSED: only "no such table" means "no constraints"; any
+    // other store failure must not silently disable enforcement
+    val props =
+      try new TableStore(spark).properties(key.head, key(1))
+      catch { case _: NoSuchElementException => Map.empty[String, String] }
     val prefix = "graft.constraints."
     val cs = props.toSeq.collect {
       case (k, v) if k.startsWith(prefix) => (k.stripPrefix(prefix), v)
     }.sortBy(_._1)
-    if (cs.isEmpty) return
+    if (cs.isEmpty) return written
+    // materialize ONCE and both check and write the same rows — a
+    // nondeterministic source otherwise passes the check on one
+    // evaluation and commits different rows on the next
+    val materialized = written.localCheckpoint()
     val aggs = cs.zipWithIndex.map { case ((n, e), i) =>
       // violation = expression IS FALSE (NULL passes, SQL CHECK)
       try count(when(!coalesce(expr(e), lit(true)), 1)).as(s"_c$i")
@@ -93,7 +102,7 @@ private[catalog] object GraftDml {
       }
     }
     val row =
-      try written.agg(aggs.head, aggs.tail: _*).collect()(0)
+      try materialized.agg(aggs.head, aggs.tail: _*).collect()(0)
       catch {
         case ex: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(
@@ -108,6 +117,7 @@ private[catalog] object GraftDml {
     if (failed.nonEmpty) throw new IllegalStateException(
       s"CHECK constraint blocks the write to ${key.mkString(".")}: " +
         failed.mkString("; "))
+    materialized
   }
 
   /** Commit the statement's materialized effect. Registry tables
@@ -119,8 +129,9 @@ private[catalog] object GraftDml {
     * [[ResolveGraftRelations]] lookup order. Enforces
     * [[checkConstraints]] first. */
   def commit(spark: SparkSession, key: Seq[String],
-             next: DataFrame): Unit = {
-    checkConstraints(spark, key, next)
+             next0: DataFrame): Unit = {
+    // constrained tables write the SAME materialized rows the check saw
+    val next = checkConstraints(spark, key, next0)
     val snapPath =
       if (TableStore.registry(spark).contains(key)) None
       else new TableStore(spark).snapshotPath(key.head, key(1))
@@ -345,9 +356,9 @@ case class GraftInsertCommand(ns: String, name: String,
         .headOption
     fastAppend match {
       case Some(p) =>
-        GraftDml.checkConstraints(spark, Seq(ns, name), rows)
+        val checked = GraftDml.checkConstraints(spark, Seq(ns, name), rows)
         graft.pipeline.Snapshot.morCommit(spark, p,
-          deletes = None, appends = Some(rows), operation = "append")
+          deletes = None, appends = Some(checked), operation = "append")
       case None =>
         GraftDml.commit(spark, Seq(ns, name),
           if (insert.overwrite) rows else target.union(rows))
@@ -402,6 +413,14 @@ case class GraftUpdateCommand(update: UpdateTable)
           .cast(schema(c).dataType))
         .getOrElse(col(s"$alias.$c"))
         .as(c)
+    // the unconditional (matched-rows-only) assignment projection both
+    // MOR arms append — ONE definition so the arms cannot drift
+    def newCol(c: String): Column =
+      assignments.find(a =>
+        GraftDml.nameOf(a.key).equalsIgnoreCase(c))
+        .map(a => PlanBridge.column(a.value)
+          .cast(schema(c).dataType))
+        .getOrElse(col(s"$alias.$c")).as(c)
     GraftDml.morPath(spark, key, "update") match {
       case Some(p) if GraftDml.morPositionFormat(spark, key) =>
         // merge-on-read UPDATE, POSITION format: the matched rows'
@@ -411,18 +430,12 @@ case class GraftUpdateCommand(update: UpdateTable)
         val S = graft.pipeline.Snapshot
         val matched = S.readLineage(spark, p).as(alias).filter(cond)
           .localCheckpoint()
-        def posNewCol(c: String): Column =
-          assignments.find(a =>
-            GraftDml.nameOf(a.key).equalsIgnoreCase(c))
-            .map(a => PlanBridge.column(a.value)
-              .cast(schema(c).dataType))
-            .getOrElse(col(s"$alias.$c")).as(c)
         val posAppends = matched.as(alias)
-          .select(df.columns.toSeq.map(posNewCol): _*)
-        GraftDml.checkConstraints(spark, key, posAppends)
+          .select(df.columns.toSeq.map(newCol): _*)
+        val checkedPos = GraftDml.checkConstraints(spark, key, posAppends)
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = None,
-          appends = Some(posAppends),
+          appends = Some(checkedPos),
           operation = "update",
           posDeletes = Some(matched.select(S.LineageFile, S.LineagePos)))
       case Some(p) =>
@@ -431,20 +444,14 @@ case class GraftUpdateCommand(update: UpdateTable)
         // matched set is materialized once (eager, O(matched)) and
         // feeds both sidecars; untouched rows are never rewritten.
         val matched = df.as(alias).filter(cond).localCheckpoint()
-        def newCol(c: String): Column =
-          assignments.find(a =>
-            GraftDml.nameOf(a.key).equalsIgnoreCase(c))
-            .map(a => PlanBridge.column(a.value)
-              .cast(schema(c).dataType))
-            .getOrElse(col(s"$alias.$c")).as(c)
         // re-aliased: assignment values may reference the statement's
         // table alias, which localCheckpoint drops
         val eqAppends = matched.as(alias)
           .select(df.columns.toSeq.map(newCol): _*)
-        GraftDml.checkConstraints(spark, key, eqAppends)
+        val checkedEq = GraftDml.checkConstraints(spark, key, eqAppends)
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = Some(matched.distinct()),
-          appends = Some(eqAppends),
+          appends = Some(checkedEq),
           operation = "update")
       case None =>
         GraftDml.commit(spark, key,

@@ -191,12 +191,12 @@ case class GraftMergeCommand(merge: MergeIntoTable)
           .localCheckpoint()
         val appends = delta.filter(col("__keep"))
           .select(cols.map(col): _*)
-        GraftDml.checkConstraints(spark, key, appends)
+        val checked = GraftDml.checkConstraints(spark, key, appends)
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = Some(delta.filter(col("__was"))
             .select(cols.map(c => col(s"__old_$c").as(c)): _*)
             .distinct()),
-          appends = Some(appends),
+          appends = Some(checked),
           operation = "merge")
       case None =>
         val next = joined

@@ -574,6 +574,15 @@ object SimilarityOps {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
       .toSeq.sortBy(t => (t._1, t._2))
 
+  /** The collected codebook re-entered as the broadcastable frame
+    * [[pqTopK]] consumes — ONE driver collect serves both the
+    * encoder's literal arrays and the search's distance table. */
+  def pqBookFrame(spark: org.apache.spark.sql.SparkSession,
+                  book: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    book.toDF("sub", "code", "c_sub")
+  }
+
   /** X3g — PQ encode: each vector compresses to `m` sub-codes (argmin
     * squared-L2 in each subspace against the LITERAL codebook — the
     * same zero-join, zero-shuffle scan shape as [[kmeansStats]]'

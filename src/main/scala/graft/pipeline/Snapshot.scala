@@ -173,30 +173,27 @@ object Snapshot {
       .map(v => morRoot(dir).resolve(s"v$v").resolve("pos_deletes"))
       .filter(Files.isDirectory(_)).map(_.toString)
 
-  /** Read `dir`'s state AS OF `upTo`: base files with every MOR
-    * sidecar of version <= `upTo` applied in commit order.
-    * `withLineage = true` keeps the ([[LineageFile]], [[LineagePos]])
-    * columns on the way out — the position-delete WRITE path reads
-    * through this to learn which (file, pos) pairs a predicate hits. */
-  private def morApply(spark: SparkSession, dir: String, upTo: Long,
-                       withLineage: Boolean = false): DataFrame = {
-    // position deletes anti-join on (file id, row position), so the
-    // scan must thread lineage columns whenever any such sidecar is
-    // visible (or the caller asked for them)
+  /** The ONE sidecar-merge pipeline, shared by the plain read
+    * ([[morApply]]) and the stats-pruned read ([[prunedRead]]) so the
+    * two can never drift: onto `base` (the caller's base-file scan,
+    * hidden fields already dropped), apply `dir`'s sidecars of version
+    * <= `upTo` in commit order — consecutive equality-delete files
+    * collapse into one null-safe anti-join over VALUE columns; each
+    * appends dir loads through `appendFrame` (the pruned path prunes
+    * per component; None = fully pruned away) and unions by name;
+    * position deletes apply ONCE at the end (a (file, pos) pair names
+    * rows of exactly one immutable file, so cross-commit scoping is
+    * carried by the file id itself, and removal is idempotent against
+    * the equality arm). Lineage columns thread automatically whenever
+    * a position sidecar is visible; `withLineage = true` keeps them on
+    * the way out. */
+  private def applySidecars(spark: SparkSession, dir: String, upTo: Long,
+                            base: DataFrame, withLineage: Boolean,
+                            appendFrame: Path => Option[DataFrame])
+      : DataFrame = {
     val posDirs = posDeleteDirsIn(dir, upTo)
     val lineage = withLineage || posDirs.nonEmpty
-    // the base scan plans through the stats-skipping FileIndex when
-    // the dir carries a valid scan manifest — a filter pushed onto ANY
-    // read of this table (API or SQL) then schedules O(matching
-    // files) tasks; without a manifest this IS spark.read.parquet
-    var df = org.apache.spark.sql.graft.PruningBridge.read(spark, dir)
-    // hidden partitioning: derived transform fields (c_bucket, ts_day)
-    // exist only as directory fragments — reads drop them so the
-    // logical schema never carries them (and MOR sidecars, written in
-    // the logical schema, stay union-compatible)
-    val hidden = hiddenFieldNames(dir).filter(df.columns.contains)
-    if (hidden.nonEmpty) df = df.drop(hidden: _*)
-    if (lineage) df = withLineageCols(df, dir)
+    var df = if (lineage) withLineageCols(base, dir) else base
     val valueCols = df.columns.filterNot(
       Seq(LineageFile, LineagePos).contains(_))
     var pendingDeletes = List.empty[String]
@@ -217,16 +214,13 @@ object Snapshot {
       if (Files.isDirectory(d)) pendingDeletes ::= d.toString
       if (Files.isDirectory(a)) {
         flush() // a delete never touches rows appended after it
-        val app = spark.read.parquet(a.toString)
-        df = df.unionByName(
-          if (lineage) withLineageCols(app, dir) else app)
+        appendFrame(a).foreach { app =>
+          df = df.unionByName(
+            if (lineage) withLineageCols(app, dir) else app)
+        }
       }
     }
     flush()
-    // position deletes apply ONCE at the end: a (file, pos) pair names
-    // rows of exactly one immutable file, so cross-commit scoping is
-    // carried by the file id itself (a later append is a different
-    // file; removal is idempotent against the equality arm)
     if (posDirs.nonEmpty) {
       val pos = posDirs.map(spark.read.parquet(_))
         .reduce(_ unionByName _)
@@ -236,6 +230,28 @@ object Snapshot {
     }
     if (lineage && !withLineage) df = df.drop(LineageFile, LineagePos)
     df
+  }
+
+  /** Read `dir`'s state AS OF `upTo`: base files with every MOR
+    * sidecar of version <= `upTo` applied in commit order.
+    * `withLineage = true` keeps the ([[LineageFile]], [[LineagePos]])
+    * columns on the way out — the position-delete WRITE path reads
+    * through this to learn which (file, pos) pairs a predicate hits. */
+  private def morApply(spark: SparkSession, dir: String, upTo: Long,
+                       withLineage: Boolean = false): DataFrame = {
+    // the base scan plans through the stats-skipping FileIndex when
+    // the dir carries a valid scan manifest — a filter pushed onto ANY
+    // read of this table (API or SQL) then schedules O(matching
+    // files) tasks; without a manifest this IS spark.read.parquet
+    var df = org.apache.spark.sql.graft.PruningBridge.read(spark, dir)
+    // hidden partitioning: derived transform fields (c_bucket, ts_day)
+    // exist only as directory fragments — reads drop them so the
+    // logical schema never carries them (and MOR sidecars, written in
+    // the logical schema, stay union-compatible)
+    val hidden = hiddenFieldNames(dir).filter(df.columns.contains)
+    if (hidden.nonEmpty) df = df.drop(hidden: _*)
+    applySidecars(spark, dir, upTo, df, withLineage,
+      a => Some(spark.read.parquet(a.toString)))
   }
 
   /** The live state with ([[LineageFile]], [[LineagePos]]) columns —
@@ -490,6 +506,35 @@ object Snapshot {
             l.stripPrefix("operation=")
         }
     }
+  }
+
+  /** [[createOrReplace]] that atomically carries a small named metadata
+    * file with the commit (underscore-prefixed → invisible to parquet
+    * scans) — the foreachBatch idempotence marker: a streaming sink
+    * records the micro-batch id IN the same atomic swap as the data,
+    * so an at-least-once replay after a crash can recognize an
+    * already-committed batch (there is no window in which the data
+    * landed but the marker did not). */
+  def createOrReplaceWithMeta(df: DataFrame, path: String,
+                              keepVersions: Int, metaName: String,
+                              metaContent: String): Unit = {
+    require(metaName.startsWith("_"),
+      s"meta file must be scan-invisible (underscore-prefixed): $metaName")
+    swapIn(path, keepVersions) { tmp =>
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      Files.write(tmp.resolve(metaName),
+        metaContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** The metadata file a [[createOrReplaceWithMeta]] commit carried,
+    * if present on the live dir. */
+  def commitMeta(path: String, metaName: String): Option[String] = {
+    val f = Paths.get(path, metaName)
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else None
   }
 
   private def swapIn(path: String, keepVersions: Int,
@@ -950,52 +995,24 @@ object Snapshot {
   def prunedRead(spark: SparkSession, path: String,
                  ranges: Seq[ScanPruning.ColumnRange]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    // position sidecars anti-join on lineage, so pruned scans must
-    // thread the same columns morApply does (dropped before return) —
-    // a pruned-away file's pairs are no-ops, never resurrections
-    val posDirs = posDeleteDirsIn(path, Long.MaxValue)
     val basePlan = ScanPruning.pruneDir(spark, path, ranges)
-    var df =
+    var base =
       if (basePlan.kept.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.option("basePath", path)
         .parquet(basePlan.kept: _*)
-    val hidden = hiddenFieldNames(path).filter(df.columns.contains)
-    if (hidden.nonEmpty) df = df.drop(hidden: _*)
-    if (posDirs.nonEmpty) df = withLineageCols(df, path)
-    val valueCols = df.columns.filterNot(
-      Seq(LineageFile, LineagePos).contains(_))
-    var pendingDeletes = List.empty[String]
-    def flush(): Unit = if (pendingDeletes.nonEmpty) {
-      val del = pendingDeletes.map(spark.read.parquet(_))
-        .reduce(_ unionByName _)
-      val cond = valueCols.map(c => df(c) <=> del(c)).reduce(_ && _)
-      df = df.join(del, cond, "left_anti")
-      pendingDeletes = Nil
-    }
-    morVersions(path).foreach { v =>
-      val d = morRoot(path).resolve(s"v$v").resolve("deletes")
-      val a = morRoot(path).resolve(s"v$v").resolve("appends")
-      if (Files.isDirectory(d)) pendingDeletes ::= d.toString
-      if (Files.isDirectory(a)) {
-        flush() // a delete never touches rows appended after it
+    val hidden = hiddenFieldNames(path).filter(base.columns.contains)
+    if (hidden.nonEmpty) base = base.drop(hidden: _*)
+    // the shared sidecar pipeline (delete sidecars — both arms — apply
+    // whole: an anti-join only removes rows, and a delete aimed at a
+    // pruned-away file is a no-op on this frame); appends prune per
+    // component
+    val df = applySidecars(spark, path, Long.MaxValue, base,
+      withLineage = false, a => {
         val ap = ScanPruning.pruneDir(spark, a.toString, ranges)
-        if (ap.kept.nonEmpty) {
-          val app = spark.read
-            .option("basePath", a.toString).parquet(ap.kept: _*)
-          df = df.unionByName(
-            if (posDirs.nonEmpty) withLineageCols(app, path) else app)
-        }
-      }
-    }
-    flush()
-    if (posDirs.nonEmpty) {
-      val pos = posDirs.map(spark.read.parquet(_))
-        .reduce(_ unionByName _)
-      df = df.join(pos,
-        df(LineageFile) === pos("file_path") &&
-          df(LineagePos) === pos("pos"), "left_anti")
-        .drop(LineageFile, LineagePos)
-    }
+        if (ap.kept.isEmpty) None
+        else Some(spark.read
+          .option("basePath", a.toString).parquet(ap.kept: _*))
+      })
     ranges.foldLeft(df) { (acc, r) =>
       val c = col(r.column)
       val lo = r.lower.map(l => acc.filter(c >= lit(l))).getOrElse(acc)

@@ -158,7 +158,12 @@ object Mask {
     val total = gs.agg(sum("cnt_gs").as("n_total"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(quasiIds.map(col): _*)
-    gs.join(broadcast(sHist), sensitiveCol)
+    // null-safe: NULL is a legitimate sensitive value and must keep
+    // its mass — a plain equi-join would silently drop those rows,
+    // shrinking n_g and inflating the distance
+    gs.join(broadcast(sHist.withColumnRenamed(sensitiveCol, "_s")),
+        col(sensitiveCol) <=> col("_s"))
+      .drop("_s")
       .crossJoin(broadcast(total))
       .withColumn("n_g", sum(col("cnt_gs")).over(w))
       .withColumn("dev",

@@ -65,7 +65,11 @@ object Expectations {
 
   private def violationAgg(e: Expectation): Column = e match {
     case Unique(cols) =>
-      count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*)
+      // rows beyond the first per fully-non-null key; null-keyed rows
+      // are Complete's business, not duplicates (count_distinct skips
+      // them, so the minuend must too)
+      count(when(cols.map(c => col(c).isNotNull).reduce(_ && _), 1)) -
+        countDistinct(col(cols.head), cols.tail.map(col): _*)
     case other =>
       count(when(rowViolation(other).get, 1))
   }

@@ -1019,10 +1019,12 @@ object ExtQueries {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select("query_id", "neighbor_id")
-      val book = SimilarityOps.pqCodebook(emb, PqM, PqDsub, PqKsub)
-      val codes = SimilarityOps.pqEncode(emb,
-        SimilarityOps.pqCollectBook(emb, PqM, PqDsub, PqKsub), PqM, PqDsub)
-      val approx = SimilarityOps.pqTopK(queries, codes, book, 5, PqDsub)
+      // one md5 sample + collect serves both the encoder's literals
+      // and the ADC distance table
+      val book = SimilarityOps.pqCollectBook(emb, PqM, PqDsub, PqKsub)
+      val codes = SimilarityOps.pqEncode(emb, book, PqM, PqDsub)
+      val approx = SimilarityOps.pqTopK(queries, codes,
+        SimilarityOps.pqBookFrame(s, book), 5, PqDsub)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
           "left_semi")

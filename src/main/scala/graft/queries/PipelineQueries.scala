@@ -1540,7 +1540,8 @@ FROM iceberg.silver.orders_current""")
                CAST(sum(abs(cnt_gs * n - cnt_s * n_g))
                  + (max(n) - sum(cnt_s)) * max(n_g) AS BIGINT) AS tvd_num,
                max(n) AS n
-        FROM gs JOIN sh USING (cohort) JOIN g USING (status, amount_band), tot
+        FROM gs JOIN sh ON gs.cohort IS NOT DISTINCT FROM sh.cohort
+        JOIN g USING (status, amount_band), tot
         GROUP BY gs.status, gs.amount_band)
       ORDER BY status, amount_band""",
 

@@ -144,7 +144,13 @@ object StreamingSilver {
     * Batches must arrive in per-key event-time order — the file
     * source's listing order over append-only bronze, the same contract
     * the batch replay pin proves. Restart/resume rides the same
-    * checkpointLocation mechanics as [[start]]. */
+    * checkpointLocation mechanics as [[start]] — but unlike the LWW
+    * merge (which converges under re-application), an SCD2 merge
+    * re-applied to an already-merged dimension would DUPLICATE version
+    * rows, so foreachBatch's at-least-once replay is deduped by batch
+    * id: the id commits atomically WITH the snapshot
+    * ([[Snapshot.createOrReplaceWithMeta]]) and a replayed batch that
+    * already committed is skipped. */
   def startScd2(spark: SparkSession, bronzeDir: String, dimDir: String,
                 checkpointDir: String,
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -155,18 +161,25 @@ object StreamingSilver {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target =
-          if (new java.io.File(dimDir).exists) Snapshot.read(spark, dimDir)
-          else emptyScd2(spark)
-        // merge consumes the batch twice (first-event frame + build):
-        // materialize the parsed rows once instead of re-scanning and
-        // re-parsing the micro-batch per subtree
-        val changes = Silver.changes(batch).localCheckpoint()
-        val next = graft.cdc.Scd2.merge(target, changes,
-          Silver.Keys, "ts_ms", Seq("offset"),
-          Seq("order_id", "user_id", "amount_eur", "status"))
-        Snapshot.createOrReplace(next, dimDir, keepVersions = 2)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = Snapshot.commitMeta(dimDir, "_scd2_batch")
+          .flatMap(_.trim.toLongOption)
+        if (applied.exists(_ >= batchId)) () // crash-replayed batch
+        else {
+          val target =
+            if (new java.io.File(dimDir).exists)
+              Snapshot.read(spark, dimDir)
+            else emptyScd2(spark)
+          // merge consumes the batch twice (first-event frame + build):
+          // materialize the parsed rows once instead of re-scanning
+          // and re-parsing the micro-batch per subtree
+          val changes = Silver.changes(batch).localCheckpoint()
+          val next = graft.cdc.Scd2.merge(target, changes,
+            Silver.Keys, "ts_ms", Seq("offset"),
+            Seq("order_id", "user_id", "amount_eur", "status"))
+          Snapshot.createOrReplaceWithMeta(next, dimDir,
+            keepVersions = 2, "_scd2_batch", batchId.toString)
+        }
         ()
       }
       .start()

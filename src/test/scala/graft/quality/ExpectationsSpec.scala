@@ -31,6 +31,14 @@ class ExpectationsSpec extends SparkSpec {
       ("in_set(status)", 1L, 6L, false)))
   }
 
+  test("a null-keyed row is Complete's business, not a duplicate") {
+    val d = Seq(Some(1), None, Some(2)).toDF("id")
+    val out = audit(d, Seq(Unique(Seq("id")), Complete("id")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out == Map("unique(id)" -> 0L, "complete(id)" -> 1L))
+  }
+
   test("audit passes a clean frame") {
     val clean = Seq((1, 10.0, "O"), (2, 20.0, "F"))
       .toDF("id", "amount", "status")
