@@ -214,6 +214,24 @@ object Soak {
         graft.ext.SimilarityOps.kmeansStats(ecorpus,
           graft.ext.SimilarityOps.sampleCentroids(ecorpus, 32), 2)
       },
+      // X3g under duplication: encode is one scan-side literal-argmin
+      // pass (should track mult×); the ADC search moves only
+      // (vec, sub, code) triples against a FIXED query distance table,
+      // so search time should track the corpus too — never the
+      // corpus×queries embedding-dot product
+      timed("pq_encode") {
+        val book = graft.ext.SimilarityOps
+          .pqCollectBook(ecorpus, 8, 8, 16)
+        graft.ext.SimilarityOps.pqEncode(ecorpus, book, 8, 8)
+      },
+      timed("pq_adc") {
+        val book = graft.ext.SimilarityOps
+          .pqCollectBook(ecorpus, 8, 8, 16)
+        val codes = graft.ext.SimilarityOps
+          .pqEncode(ecorpus, book, 8, 8).localCheckpoint()
+        graft.ext.SimilarityOps.pqTopK(equeries, codes,
+          graft.ext.SimilarityOps.pqBookFrame(spark, book), 5, 8)
+      },
       timed("curation") {
         val toks = split(col("text"), " ")
         val gated = corpus.filter(size(toks) >= 10 &&
