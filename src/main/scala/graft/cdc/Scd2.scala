@@ -91,6 +91,36 @@ object Scd2 {
     closed.unionByName(build(batchChanges, keys, tsCol, tieCols, valueCols))
   }
 
+  /** Temporal join (Flink's temporal-table join / SQL:2011
+    * `FOR SYSTEM_TIME AS OF`): enrich each probe row with the
+    * dimension VERSION valid at the probe's own event time —
+    * `valid_from <= probe_ts < coalesce(valid_to, ∞)` — so a fact
+    * stream joins the dimension as it WAS, not as it is (the lookup
+    * every event-time-correct enrichment needs; a plain join against
+    * current state silently rewrites history).
+    *
+    * Plan shape: an equi-join on the key with the interval predicate
+    * as join condition — per-key version counts are bounded (a key's
+    * change rate), so this is one key-shuffle with tiny per-key
+    * fan-out, never a range-join blowup. Probes with no valid version
+    * at their ts (before the insert, after a delete) keep NULL
+    * dimension columns (left join — the fact row is never dropped).
+    *
+    * @param probes  fact rows: `keys` + `probeTsCol` + payload
+    * @param dim     [[build]]/[[merge]] output
+    * @param probeTsCol probe event-time column (same unit as the
+    *        dimension's interval bounds) */
+  def temporalJoin(probes: DataFrame, dim: DataFrame, keys: Seq[String],
+                   probeTsCol: String): DataFrame = {
+    val d = dim.select(dim.columns.map(c => col(c).as(s"_dim_$c")): _*)
+    val cond = keys.map(k => col(k) === col(s"_dim_$k")).reduce(_ && _) &&
+      col(s"_dim_valid_from_ms") <= col(probeTsCol) &&
+      (col("_dim_valid_to_ms").isNull ||
+        col("_dim_valid_to_ms") > col(probeTsCol))
+    probes.join(d, cond, "left")
+      .drop(keys.map(k => s"_dim_$k"): _*)
+  }
+
   /** [[merge]] committed MERGE-ON-READ to a snapshot-backed dimension:
     * the open versions of touched keys are equality-deleted and
     * re-appended closed, the batch's own versions append — ONE sidecar

@@ -768,6 +768,30 @@ FROM iceberg.silver.orders_current""")
       scd2Out(graft.pipeline.Snapshot.read(s, dir))
     }),
 
+    // X20' — temporal join (FOR SYSTEM_TIME AS OF): each order probes
+    // the dimension at its OWN staggered event time (+0/45/90/135 min
+    // by key), landing on the insert version, the updated version, or
+    // NULL after a delete — the event-time-correct enrichment a plain
+    // current-state join silently gets wrong. One key-shuffle join,
+    // per-key fan-out bounded by the key's change count.
+    "q_temporal_join" -> ((s, d) => {
+      val dim = Scd2.build(Silver.changes(bronzeOf(s, d)),
+        Scd2Keys, "ts_ms", Seq("offset"), Scd2Values)
+      val probes = Tables.orders(s, d).select(
+        col("o_orderkey").cast("int").as("order_id"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) +
+          (col("o_orderkey") % 4) * 2700000L).as("probe_ms"))
+      Scd2.temporalJoin(probes, dim, Scd2Keys, "probe_ms")
+        .select(col("order_id"),
+          date_format(Envelope.lastChangeTs(col("probe_ms")),
+            "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+          col("_dim_status").as("status"),
+          col("_dim_amount_eur").as("amount_eur"),
+          date_format(Envelope.lastChangeTs(col("_dim_valid_from_ms")),
+            "yyyy-MM-dd HH:mm:ss").as("valid_from"))
+        .orderBy("order_id")
+    }),
+
     // S14'' — point-in-time read of the dimension: state as of the
     // midpoint of the event-time range (`valid_from <= T <
     // coalesce(valid_to, ∞)`) — what a reproducible training-data
@@ -1550,6 +1574,21 @@ FROM iceberg.silver.orders_current""")
     "q_scd2_incremental" -> scd2BuildSql,
     // MOR maintenance ≡ the build too (sidecar commit + read-merge)
     "q_scd2_mor" -> scd2BuildSql,
+
+    "q_temporal_join" -> s"""
+      $scd2Seq,
+      probes AS (
+        SELECT CAST(o_orderkey AS INT) AS order_id,
+               epoch_ms(o_orderdate) + (o_orderkey % 4) * 2700000
+                 AS probe_ms
+        FROM orders)
+      SELECT p.order_id, ${tsStr("probe_ms")} AS probe_ts,
+             s.st AS status, s.amt AS amount_eur,
+             ${tsStr("s.ts_ms")} AS valid_from
+      FROM probes p LEFT JOIN (SELECT * FROM seq WHERE op <> 'd') s
+        ON s.k = p.order_id AND s.ts_ms <= p.probe_ms
+        AND (s.valid_to_ms IS NULL OR s.valid_to_ms > p.probe_ms)
+      ORDER BY p.order_id""",
 
     "q_scd2_asof" -> s"""
       $scd2Seq,

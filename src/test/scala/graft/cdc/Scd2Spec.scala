@@ -98,6 +98,25 @@ class Scd2Spec extends SparkSpec {
       !viaMor.exists(r => r._1 == 3 && r._5))
   }
 
+  test("temporalJoin picks the version valid at each probe's own ts; " +
+    "pre-insert and post-delete probes keep NULL dimension columns") {
+    val dim = build(ch((1, "a", "c", 10, 1), (1, "b", "u", 20, 2),
+      (1, "b", "d", 30, 3), (2, "x", "c", 5, 4)))
+    val probes = Seq((1, 5L), (1, 10L), (1, 15L), (1, 25L), (1, 30L),
+      (2, 100L), (3, 50L)).toDF("id", "t")
+    val out = Scd2.temporalJoin(probes, dim, K, "t")
+      .select("id", "t", "_dim_v")
+      .as[(Int, Long, Option[String])].collect().toSet
+    assert(out == Set(
+      (1, 5L, None),          // before the insert
+      (1, 10L, Some("a")),    // exactly at valid_from → included
+      (1, 15L, Some("a")),
+      (1, 25L, Some("b")),    // after the update
+      (1, 30L, None),         // at the delete → closed interval
+      (2, 100L, Some("x")),   // open version serves any later ts
+      (3, 50L, None)))        // unknown key keeps the fact row
+  }
+
   test("merge on an unseen key inserts; untouched keys keep is_current") {
     val dim = build(ch((1, "a", "c", 10, 1)))
     val merged = Scd2.merge(dim, ch((2, "x", "c", 20, 2)), K, "ts",
