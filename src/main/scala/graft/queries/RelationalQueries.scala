@@ -218,6 +218,26 @@ object RelationalQueries {
         .orderBy("stage")
     }),
 
+    // RANGE-frame sliding window — the time-based frame the ROWS-frame
+    // running totals can't express: each event sums the PRECEDING
+    // HOUR's values for its type (value-based bounds on the micros
+    // axis, so sparse and dense regions window correctly). One
+    // key-shuffle + in-partition sort, state bounded by the hour span.
+    "q_sliding_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .withColumn("hour_cnt", count(lit(1)).over(w))
+        .withColumn("hour_sum",
+          sum(round(col("value") * 100).cast("long")).over(w))
+        .select(col("event_id"), col("event_type"), col("hour_cnt"),
+          col("hour_sum"))
+        .orderBy("event_id")
+    }),
+
     // GROUPING SETS — the explicit third form beside ROLLUP/CUBE, run
     // as SQL text (independent per-flag and per-status marginals plus
     // the grand total in ONE statement; Spark plans it as a single
@@ -1323,6 +1343,17 @@ object RelationalQueries {
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type""",
+
+    "q_sliding_window" -> """
+      SELECT event_id, event_type,
+             count(*) OVER w AS hour_cnt,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+               AS BIGINT) AS hour_sum
+      FROM (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
+            FROM events)
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
 
     "q_grouping_sets" -> s"""
       SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
