@@ -485,6 +485,41 @@ class PlanSpec extends SparkSpec {
       s"q16 must leave broadcast-vs-shuffle to AQE (saw ${hints(q16)} hints)")
   }
 
+  test("r11 third-session ops: scd2 build is ONE data shuffle; pq " +
+    "encode is shuffle-free; feature hash partial-aggs; the ADC " +
+    "lookup join broadcasts the distance table") {
+    def dataExchanges(plan: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan).size +
+        "Exchange SinglePartition".r.findAllIn(plan).size
+    // SCD2 build: the lead window's key exchange and nothing else
+    // before the output sort
+    val scd2 = finalPlan(PipelineQueries.queries("q_scd2_build")(spark, sf))
+    assert(dataExchanges(scd2) == 1,
+      s"scd2 build must shuffle exactly once on the key:\n$scd2")
+    // PQ encode: scan-side literal argmin — ZERO shuffles before the
+    // output sort, no join anywhere
+    val enc = finalPlan(ExtQueries.queries("q_pq_encode")(spark, sf))
+    assert(dataExchanges(enc) == 0, s"pq encode must not shuffle:\n$enc")
+    assert(!enc.contains("Join"), s"pq encode must not join:\n$enc")
+    // feature hash: one partial-aggregated shuffle on (doc, bucket)
+    val fh = finalPlan(ExtQueries.queries("q_feature_hash")(spark, sf))
+    assert(fh.contains("partial_count"),
+      s"feature hash lost map-side combine:\n$fh")
+    // ADC: the (sub, code) lookup joins BROADCAST; the corpus is never
+    // shuffled for the lookup itself
+    val emb = Tables.embeddings(spark, sf)
+    val book = graft.ext.SimilarityOps.pqCollectBook(emb, 8, 8, 16)
+    val adc = finalPlan(graft.ext.SimilarityOps.pqTopK(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
+        .selectExpr("vec_id AS query_id", "embedding AS q_embedding"),
+      graft.ext.SimilarityOps.pqEncode(emb, book, 8, 8),
+      graft.ext.SimilarityOps.pqBookFrame(spark, book), 5, 8))
+    assert(adc.contains("BroadcastHashJoin"),
+      s"ADC lookup must broadcast the distance table:\n$adc")
+    assert(!adc.contains("SortMergeJoin"),
+      s"ADC lookup must never sort-merge the corpus:\n$adc")
+  }
+
   test("column stats: stacked scan + partial aggs; NDV dedup is " +
     "(column, hash)-keyed, never value-row-keyed") {
     val docs = Tables.documents(spark, sf)
