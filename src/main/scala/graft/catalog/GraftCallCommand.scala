@@ -236,6 +236,33 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         Seq(Row(prev, cur))
       case "remove_orphan_files" =>
         Seq(Row(graft.pipeline.Snapshot.removeOrphans(path).toLong))
+      case "set_current_snapshot" =>
+        // Iceberg's set_current_snapshot: point live at ANY retained
+        // snapshot — rollback's direction-free sibling (forward after
+        // a rollback included). Itself a new commit, like Iceberg.
+        val version = named.getOrElse("snapshot_id",
+          required("snapshot_id", 1)).toString.toLong
+        val prev = graft.pipeline.Snapshot.currentVersion(path)
+          .getOrElse(0L)
+        val cur = graft.pipeline.Snapshot.rollbackTo(spark, path, version)
+        Seq(Row(prev, cur))
+      case "rewrite_manifests" =>
+        // Iceberg's rewrite_manifests mapped onto this layout's
+        // manifest role: rebuild the scan-manifest sidecar (per-file
+        // min/max stats) from the CURRENT files, for the stats columns
+        // given (`columns => 'a,b'`) or the table's WRITE ORDERED BY
+        // columns. Returns (rewritten, added) manifest counts.
+        val cols = named.get("columns")
+          .map(_.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(graft.pipeline.Snapshot.sortOrderColumns(path))
+        if (cols.isEmpty)
+          throw new IllegalArgumentException(
+            "rewrite_manifests needs columns => 'a,b' or a table " +
+              "WRITE ORDERED BY to derive the stats columns from")
+        val had =
+          if (graft.pipeline.ScanPruning.hasManifest(path)) 1L else 0L
+        graft.pipeline.ScanPruning.writeStatsManifest(spark, path, cols)
+        Seq(Row(had, 1L))
       case "rewrite_position_delete_files" =>
         // Iceberg's MOR compaction procedure, taken to its endpoint on
         // this layout: materialize the sidecar-merged live state as one
@@ -356,7 +383,8 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           "drop_branch, create_changelog_view, ancestors_of, " +
           "register_table, add_files, rollback_to_timestamp, " +
           "cherrypick_snapshot, publish_changes, " +
-          "rewrite_position_delete_files)")
+          "rewrite_position_delete_files, set_current_snapshot, " +
+          "rewrite_manifests)")
     }
   }
 }
@@ -387,6 +415,10 @@ object GraftCallCommand {
       case "expire_snapshots" => Seq("deleted_snapshots_count")
       case "rollback_to_snapshot" | "rollback_to_timestamp" =>
         Seq("previous_version", "current_version")
+      case "set_current_snapshot" =>
+        Seq("previous_snapshot_id", "current_snapshot_id")
+      case "rewrite_manifests" =>
+        Seq("rewritten_manifests_count", "added_manifests_count")
       case "create_tag" | "drop_tag" | "drop_branch" => Seq("version")
       case "fast_forward" => Seq("previous_version", "current_version")
       case "cherrypick_snapshot" | "publish_changes" =>

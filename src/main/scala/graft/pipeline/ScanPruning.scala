@@ -329,6 +329,11 @@ object ScanPruning {
     * when it contributed no stats rows? — no: a file with NO stats
     * rows would vanish from the key set and fail validation, so the
     * writer emits a bare marker line for it. */
+  /** Whether `dir` carries a scan-manifest sidecar (any validity). */
+  def hasManifest(dir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, ManifestName))
+
   private def readManifest(
       dir: String): Option[Map[String, Map[String, (Any, Any)]]] = {
     val p = java.nio.file.Paths.get(dir, ManifestName)

@@ -893,12 +893,16 @@ object Snapshot {
     * explicit sort rewrite. */
   private def publishOrderManifest(spark: SparkSession,
                                    path: String): Unit = {
-    val order = sortOrder(path)
-    val cols = order.map(_._1)
-      .filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    val cols = sortOrderColumns(path)
     if (cols.nonEmpty && partitionSpec(path).isEmpty)
       ScanPruning.writeStatsManifest(spark, path, cols)
   }
+
+  /** The WRITE ORDERED BY columns that are plain identifiers — the
+    * stats-column set the manifest publishers derive from. */
+  def sortOrderColumns(path: String): Seq[String] =
+    sortOrder(path).map(_._1)
+      .filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
 
   /** The spec-aware staged write shared by [[createOrReplaceCurrentSpec]]
     * and the MOR compaction ([[rewritePositionDeletes]]): derived

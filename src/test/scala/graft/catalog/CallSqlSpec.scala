@@ -170,6 +170,52 @@ class CallSqlSpec extends SparkSpec {
     assert(Snapshot.readAsOf(spark, dir, 3).count() == 3)
   }
 
+  test("set_current_snapshot points live at ANY retained snapshot — " +
+    "backward then FORWARD again, each its own commit") {
+    val (_, dir) = fixture()
+    val back = spark.sql("CALL iceberg.system.set_current_snapshot(" +
+      "table => 'maint.t', snapshot_id => 1)").collect().head
+    assert(back.getLong(0) == 3L && back.getLong(1) == 4L)
+    assert(spark.read.parquet(dir).count() == 1)
+    // forward to the 3-row state rollback left behind
+    val fwd = spark.sql(
+      "CALL iceberg.system.set_current_snapshot('maint.t', 3)")
+      .collect().head
+    assert(fwd.getLong(0) == 4L && fwd.getLong(1) == 5L)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("rewrite_manifests rebuilds the scan-manifest sidecar from " +
+    "current files; explicit columns work without a write order") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("rwman")
+      .toString + "/t"
+    Snapshot.createOrReplace(
+      (1 to 100).map(i => (i, s"r$i")).toDF("id", "tag")
+        .repartition(4), dir, keepVersions = 2)
+    store.registerSnapshot("maint", "m", dir)
+    // no write order, no columns → loud error
+    val e = intercept[Exception] {
+      spark.sql("CALL iceberg.system.rewrite_manifests(" +
+        "table => 'maint.m')").collect()
+    }
+    assert(e.getMessage.contains("columns"))
+    val res = spark.sql("CALL iceberg.system.rewrite_manifests(" +
+      "table => 'maint.m', columns => 'id')").collect().head
+    assert(res.getLong(0) == 0L && res.getLong(1) == 1L)
+    assert(graft.pipeline.ScanPruning.hasManifest(dir))
+    // manifest-planned pruned read equals the plain filter
+    val pr = Snapshot.prunedRead(spark, dir,
+      Seq(graft.pipeline.ScanPruning.ColumnRange("id",
+        Some(10), Some(20))))
+    assert(pr.count() == 11)
+    // second call reports the rewrite
+    val res2 = spark.sql("CALL iceberg.system.rewrite_manifests(" +
+      "table => 'maint.m', columns => 'id')").collect().head
+    assert(res2.getLong(0) == 1L && res2.getLong(1) == 1L)
+  }
+
   test("metadata tables: ns.t.history lists retained versions, " +
     "ns.t.snapshots adds lazy record counts, 4-part prefix works") {
     val (_, dir) = fixture()
