@@ -454,6 +454,49 @@ case class GraftUnsetTblPropertiesCommand(ns: String, name: String,
   }
 }
 
+/** `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<expr>)` — Delta Lake's
+  * constraint grammar, stored the way Delta stores it (a
+  * `graft.constraints.<name>` table property) and VALIDATED against
+  * the existing rows first: like Delta, the ALTER fails if current
+  * data already violates the constraint (otherwise the very next
+  * write would be unexplainably blocked). */
+case class GraftAddConstraintCommand(ns: String, name: String,
+                                     constraint: String, expr: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    val key = s"graft.constraints.$constraint"
+    if (store.properties(ns, name).contains(key))
+      throw new IllegalArgumentException(
+        s"constraint $constraint already exists on $ns.$name")
+    // validate existing data BEFORE registering (Delta's contract)
+    val current = store.snapshotPath(ns, name)
+      .map(p => GraftDml.snapshotRead(spark, p))
+      .getOrElse(store.table(ns, name))
+    val bad = current.filter(
+      !org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(expr),
+        org.apache.spark.sql.functions.lit(true))).count()
+    if (bad > 0) throw new IllegalStateException(
+      s"cannot ADD CONSTRAINT $constraint ($expr): $bad existing " +
+        s"row(s) of $ns.$name violate it")
+    store.setProperties(ns, name, Map(key -> expr))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE … DROP CONSTRAINT [IF EXISTS] <name>`. */
+case class GraftDropConstraintCommand(ns: String, name: String,
+                                      constraint: String,
+                                      ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableStore(spark).unsetProperties(ns, name,
+      Seq(s"graft.constraints.$constraint"), ifExists)
+    Seq.empty
+  }
+}
+
 /** SHOW TBLPROPERTIES t [('key')] — all properties key-sorted, or the
   * one requested key (Spark's native output shapes: (key, value) rows,
   * or a single (value) row; an unknown requested key reports Spark's

@@ -83,6 +83,43 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case d0: DeleteFromTable if isGraftDmlTarget(d0.table) =>
         GraftDeleteCommand(d0)
 
+      // ALTER TABLE … ADD CONSTRAINT <n> CHECK (…) / DROP CONSTRAINT —
+      // Spark 4.1 PARSES the constraint grammar natively (table
+      // constraints are a v2-catalog feature), so the parsed plans are
+      // claimed here for graft targets and mapped onto the
+      // graft.constraints.<name> table properties the DML commit paths
+      // enforce. Existing-data validation happens in the command
+      // (Delta's ADD CONSTRAINT contract).
+      case a: AddCheckConstraint =>
+        val parts = a.child.collectFirst {
+          case r: UnresolvedRelation => r.multipartIdentifier
+        }
+        parts.flatMap(graftConstraintTarget) match {
+          case Some((ns, t)) =>
+            val ck = a.checkConstraint
+            // CheckConstraint(condition, originalText, name, table, …):
+            // the SQL text is product element 1 (this Spark version's
+            // field order; the name accessor is stable API)
+            GraftAddConstraintCommand(ns, t,
+              ck.name.toLowerCase(java.util.Locale.ROOT),
+              ck.productElement(1).asInstanceOf[String])
+          case None => a
+        }
+      case d: DropConstraint =>
+        val parts = d.child.collectFirst {
+          case tbl: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            tbl.multipartIdentifier
+        }
+        parts.flatMap(graftConstraintTarget) match {
+          case Some((ns, t)) =>
+            // DropConstraint(child, name, ifExists, cascade)
+            GraftDropConstraintCommand(ns, t,
+              d.productElement(1).asInstanceOf[String]
+                .toLowerCase(java.util.Locale.ROOT),
+              d.productElement(2).asInstanceOf[Boolean])
+          case None => d
+        }
+
       // INSERT INTO / INSERT OVERWRITE — unlike the trio above, plain
       // Spark CAN insert into session-catalog tables, so intercept ONLY
       // graft targets (3-part prefix, or 2-part naming a registered
@@ -369,6 +406,25 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     * and DESCRIBE accept, so a snapshot-backed table gets the clear
     * "not supported" message from [[GraftDml.resolveTarget]] instead
     * of an opaque native analyzer error. */
+  /** The (ns, table) key when a multipart name targets a graft table
+    * (3-part graft prefix, or 2-part naming a registered table at
+    * parse time — the DML scoping rule). */
+  private def graftConstraintTarget(
+      parts: Seq[String]): Option[(String, String)] = {
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    parts match {
+      case Seq(cat, ns, t) if GraftCatalogs.isGraft(cat) =>
+        Some((lower(ns), lower(t)))
+      case Seq(ns, t) =>
+        val store = new TableStore(session)
+        if (store.tableExists(ns, t) ||
+            store.snapshotPath(lower(ns), lower(t)).isDefined)
+          Some((lower(ns), lower(t)))
+        else None
+      case _ => None
+    }
+  }
+
   private def isGraftDmlTarget(plan: LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
     def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)

@@ -82,6 +82,49 @@ class ConstraintsSpec extends SparkSpec {
       .head().getDouble(0) < 0)
   }
 
+  test("ADD/DROP CONSTRAINT DDL runs verbatim: existing data is " +
+    "validated first (Delta's contract), the constraint then gates " +
+    "writes, DROP lifts it") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ckddl")
+      .toString + "/t"
+    Snapshot.createOrReplace(
+      Seq((1L, 10.0), (2L, -3.0)).toDF("id", "amt"), dir,
+      keepVersions = 3)
+    store.registerSnapshot("ck", "ddl", dir)
+    // current data violates → the ALTER itself fails, nothing stored
+    val e = intercept[IllegalStateException] {
+      spark.sql("ALTER TABLE ck.ddl ADD CONSTRAINT amt_pos " +
+        "CHECK (amt > 0)")
+    }
+    assert(e.getMessage.contains("1 existing row"))
+    assert(!store.properties("ck", "ddl")
+      .contains("graft.constraints.amt_pos"))
+    // clean the data, add, and the gate engages
+    spark.sql("DELETE FROM ck.ddl WHERE amt < 0")
+    spark.sql("ALTER TABLE iceberg.ck.ddl ADD CONSTRAINT amt_pos " +
+      "CHECK (amt > 0)")
+    assert(store.properties("ck", "ddl")("graft.constraints.amt_pos")
+      == "amt > 0")
+    intercept[IllegalArgumentException] { // duplicate name
+      spark.sql("ALTER TABLE ck.ddl ADD CONSTRAINT amt_pos " +
+        "CHECK (amt > 1)")
+    }
+    val e2 = intercept[IllegalStateException] {
+      spark.sql("INSERT INTO ck.ddl VALUES (3, -1.0)")
+    }
+    assert(e2.getMessage.contains("amt_pos"))
+    spark.sql("ALTER TABLE ck.ddl DROP CONSTRAINT amt_pos")
+    spark.sql("INSERT INTO ck.ddl VALUES (3, -1.0)") // now admitted
+    assert(spark.sql("SELECT count(*) FROM ck.ddl").head().getLong(0)
+      == 2L)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ck.ddl DROP CONSTRAINT ghost")
+    }
+    spark.sql("ALTER TABLE ck.ddl DROP CONSTRAINT IF EXISTS ghost")
+  }
+
   test(".position_deletes lists live (file, pos) pairs with their " +
     "delete file; empty on a clean table") {
     TableStore.reset(spark)
