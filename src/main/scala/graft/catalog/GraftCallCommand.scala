@@ -259,6 +259,15 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           throw new IllegalArgumentException(
             "rewrite_manifests needs columns => 'a,b' or a table " +
               "WRITE ORDERED BY to derive the stats columns from")
+        // same guard as the automatic publisher: the manifest keys by
+        // basename, which partitioned writes repeat across fragment
+        // dirs — refuse with the capability message, not the writer's
+        // internal invariant error
+        if (graft.pipeline.Snapshot.partitionSpec(path).nonEmpty)
+          throw new UnsupportedOperationException(
+            "rewrite_manifests is unsupported on partitioned tables " +
+              "(the scan manifest keys data files by basename, which " +
+              "partitioned writes repeat across fragment dirs)")
         val had =
           if (graft.pipeline.ScanPruning.hasManifest(path)) 1L else 0L
         graft.pipeline.ScanPruning.writeStatsManifest(spark, path, cols)

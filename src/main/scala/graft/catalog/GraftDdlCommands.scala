@@ -469,14 +469,19 @@ case class GraftAddConstraintCommand(ns: String, name: String,
     if (store.properties(ns, name).contains(key))
       throw new IllegalArgumentException(
         s"constraint $constraint already exists on $ns.$name")
-    // validate existing data BEFORE registering (Delta's contract)
+    // validate existing data BEFORE registering (Delta's contract),
+    // through the SAME violation predicate the DML gate evaluates
     val current = store.snapshotPath(ns, name)
       .map(p => GraftDml.snapshotRead(spark, p))
       .getOrElse(store.table(ns, name))
-    val bad = current.filter(
-      !org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.expr(expr),
-        org.apache.spark.sql.functions.lit(true))).count()
+    val bad =
+      try current.filter(GraftDml.constraintViolation(expr)).count()
+      catch {
+        case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"ADD CONSTRAINT $constraint: expression '$expr' does " +
+              s"not resolve against $ns.$name: ${ex.getMessage}", ex)
+      }
     if (bad > 0) throw new IllegalStateException(
       s"cannot ADD CONSTRAINT $constraint ($expr): $bad existing " +
         s"row(s) of $ns.$name violate it")
@@ -485,14 +490,21 @@ case class GraftAddConstraintCommand(ns: String, name: String,
   }
 }
 
-/** `ALTER TABLE … DROP CONSTRAINT [IF EXISTS] <name>`. */
+/** `ALTER TABLE … DROP CONSTRAINT [IF EXISTS] <name>` — a missing
+  * constraint raises in CONSTRAINT vocabulary (not the internal
+  * property key or the UNSET TBLPROPERTIES remedial hint). */
 case class GraftDropConstraintCommand(ns: String, name: String,
                                       constraint: String,
                                       ifExists: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    new TableStore(spark).unsetProperties(ns, name,
-      Seq(s"graft.constraints.$constraint"), ifExists)
+    val store = new TableStore(spark)
+    val key = s"graft.constraints.$constraint"
+    if (!store.properties(ns, name).contains(key)) {
+      if (!ifExists) throw new java.util.NoSuchElementException(
+        s"no such constraint: $constraint on $ns.$name " +
+          "(DROP CONSTRAINT IF EXISTS to ignore)")
+    } else store.unsetProperties(ns, name, Seq(key), ifExists = false)
     Seq.empty
   }
 }

@@ -75,6 +75,13 @@ private[catalog] object GraftDml {
     * everything is written); MOR commits check only the appended rows
     * (delete sidecars cannot introduce violations) — Delta's own
     * written-files scoping. */
+  /** The violation predicate of one CHECK expression — FALSE violates,
+    * NULL passes (SQL CHECK semantics). ONE definition shared by the
+    * DML gate and ADD CONSTRAINT's existing-data validation, so the
+    * two can never drift. */
+  def constraintViolation(e: String): Column =
+    !coalesce(expr(e), lit(true))
+
   def checkConstraints(spark: SparkSession, key: Seq[String],
                        written: DataFrame): DataFrame = {
     // fail CLOSED: only "no such table" means "no constraints"; any
@@ -92,8 +99,7 @@ private[catalog] object GraftDml {
     // evaluation and commits different rows on the next
     val materialized = written.localCheckpoint()
     val aggs = cs.zipWithIndex.map { case ((n, e), i) =>
-      // violation = expression IS FALSE (NULL passes, SQL CHECK)
-      try count(when(!coalesce(expr(e), lit(true)), 1)).as(s"_c$i")
+      try count(when(constraintViolation(e), 1)).as(s"_c$i")
       catch {
         case ex: org.apache.spark.sql.catalyst.parser.ParseException =>
           throw new IllegalArgumentException(

@@ -97,12 +97,24 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         parts.flatMap(graftConstraintTarget) match {
           case Some((ns, t)) =>
             val ck = a.checkConstraint
-            // CheckConstraint(condition, originalText, name, table, …):
-            // the SQL text is product element 1 (this Spark version's
-            // field order; the name accessor is stable API)
-            GraftAddConstraintCommand(ns, t,
-              ck.name.toLowerCase(java.util.Locale.ROOT),
-              ck.productElement(1).asInstanceOf[String])
+            // CheckConstraint(condition, originalText, userName,
+            // table, …) — product positions per this Spark version.
+            // An OMITTED name makes ck.name GENERATE a random
+            // "<table>_chk_<uuid7>" — a nondeterministic property key
+            // the user could never DROP by name — so require one.
+            val userName =
+              Option(ck.productElement(2).asInstanceOf[String])
+                .map(_.trim).filter(_.nonEmpty)
+            userName match {
+              case Some(n) => GraftAddConstraintCommand(ns, t,
+                n.toLowerCase(java.util.Locale.ROOT),
+                ck.productElement(1).asInstanceOf[String])
+              case None => throw new UnsupportedOperationException(
+                "graft ADD CHECK requires a constraint name " +
+                  "(ALTER TABLE … ADD CONSTRAINT <name> CHECK (…)) — " +
+                  "an auto-generated name would be random and " +
+                  "unDROPpable")
+            }
           case None => a
         }
       case d: DropConstraint =>

@@ -324,16 +324,16 @@ object ScanPruning {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Manifest rows as fileName → column → (min, max); None when the
-    * sidecar is absent or unreadable. Every listed file appears even
-    * when it contributed no stats rows? — no: a file with NO stats
-    * rows would vanish from the key set and fail validation, so the
-    * writer emits a bare marker line for it. */
   /** Whether `dir` carries a scan-manifest sidecar (any validity). */
   def hasManifest(dir: String): Boolean =
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, ManifestName))
 
+  /** Manifest rows as fileName → column → (min, max); None when the
+    * sidecar is absent or unreadable. Every listed file appears even
+    * when it contributed no stats rows? — no: a file with NO stats
+    * rows would vanish from the key set and fail validation, so the
+    * writer emits a bare marker line for it. */
   private def readManifest(
       dir: String): Option[Map[String, Map[String, (Any, Any)]]] = {
     val p = java.nio.file.Paths.get(dir, ManifestName)

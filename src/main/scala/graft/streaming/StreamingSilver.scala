@@ -150,7 +150,12 @@ object StreamingSilver {
     * rows, so foreachBatch's at-least-once replay is deduped by batch
     * id: the id commits atomically WITH the snapshot
     * ([[Snapshot.createOrReplaceWithMeta]]) and a replayed batch that
-    * already committed is skipped. */
+    * already committed is skipped. The marker is scoped to the
+    * CHECKPOINT identity, so a stream restarted on a fresh checkpoint
+    * (whose batch ids restart at 0) is never mistaken for a replay —
+    * and, as everywhere in Structured Streaming, resetting the
+    * checkpoint to reprocess from scratch requires resetting the SINK
+    * (here: an empty/removed `dimDir`) too. */
   def startScd2(spark: SparkSession, bronzeDir: String, dimDir: String,
                 checkpointDir: String,
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -162,8 +167,20 @@ object StreamingSilver {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the marker is keyed by the CHECKPOINT identity (the thing a
+        // batch-id sequence is relative to): a stream restarted on a
+        // FRESH checkpoint restarts its ids at 0 and must not be
+        // mistaken for a replay of the old stream's batches 0..N —
+        // Delta keys idempotent writes by (appId, version) for the
+        // same reason
+        val streamId = java.util.UUID.nameUUIDFromBytes(
+          java.nio.file.Paths.get(checkpointDir).toAbsolutePath
+            .normalize.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
         val applied = Snapshot.commitMeta(dimDir, "_scd2_batch")
-          .flatMap(_.trim.toLongOption)
+          .map(_.trim.split(":", 2))
+          .collect { case Array(sid, b) if sid == streamId =>
+            b.toLongOption }.flatten
         if (applied.exists(_ >= batchId)) () // crash-replayed batch
         else {
           val target =
@@ -178,7 +195,7 @@ object StreamingSilver {
             Silver.Keys, "ts_ms", Seq("offset"),
             Seq("order_id", "user_id", "amount_eur", "status"))
           Snapshot.createOrReplaceWithMeta(next, dimDir,
-            keepVersions = 2, "_scd2_batch", batchId.toString)
+            keepVersions = 2, "_scd2_batch", s"$streamId:$batchId")
         }
         ()
       }

@@ -214,6 +214,19 @@ class CallSqlSpec extends SparkSpec {
     val res2 = spark.sql("CALL iceberg.system.rewrite_manifests(" +
       "table => 'maint.m', columns => 'id')").collect().head
     assert(res2.getLong(0) == 1L && res2.getLong(1) == 1L)
+    // partitioned layouts refuse with the capability message, not the
+    // writer's internal basename-collision invariant
+    val pdir = java.nio.file.Files.createTempDirectory("rwmanp")
+      .toString + "/t"
+    Snapshot.createOrReplacePartitioned(
+      (1 to 40).map(i => (i, i % 2)).toDF("id", "grp"), pdir,
+      Seq("grp"), keepVersions = 2)
+    store.registerSnapshot("maint", "mp", pdir)
+    val ep = intercept[UnsupportedOperationException] {
+      spark.sql("CALL iceberg.system.rewrite_manifests(" +
+        "table => 'maint.mp', columns => 'id')").collect()
+    }
+    assert(ep.getMessage.contains("unsupported on partitioned"))
   }
 
   test("metadata tables: ns.t.history lists retained versions, " +

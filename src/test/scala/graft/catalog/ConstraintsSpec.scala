@@ -119,10 +119,24 @@ class ConstraintsSpec extends SparkSpec {
     spark.sql("INSERT INTO ck.ddl VALUES (3, -1.0)") // now admitted
     assert(spark.sql("SELECT count(*) FROM ck.ddl").head().getLong(0)
       == 2L)
-    intercept[Exception] {
+    val e3 = intercept[java.util.NoSuchElementException] {
       spark.sql("ALTER TABLE ck.ddl DROP CONSTRAINT ghost")
     }
+    assert(e3.getMessage.contains("no such constraint: ghost"),
+      s"DROP must speak constraint vocabulary: ${e3.getMessage}")
     spark.sql("ALTER TABLE ck.ddl DROP CONSTRAINT IF EXISTS ghost")
+    // an unnamed ADD CHECK would store a RANDOM undroppable key —
+    // rejected with guidance instead
+    val e4 = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE ck.ddl ADD CHECK (amt > 0)")
+    }
+    assert(e4.getMessage.contains("requires a constraint name"))
+    // a bad expression fails the ALTER with the constraint named
+    val e5 = intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE ck.ddl ADD CONSTRAINT nope " +
+        "CHECK (no_such_col > 0)")
+    }
+    assert(e5.getMessage.contains("ADD CONSTRAINT nope"))
   }
 
   test(".position_deletes lists live (file, pos) pairs with their " +
