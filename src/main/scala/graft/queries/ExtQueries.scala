@@ -1036,6 +1036,54 @@ object ExtQueries {
         .orderBy("query_id")
     }),
 
+    // X3g'' — the PRODUCTION two-stage read: ADC generates a 4k-wide
+    // candidate shortlist from 8-byte codes (the cheap pass over the
+    // whole corpus), exact full-precision dot rescores ONLY the
+    // shortlist — recall recovers toward exact at shortlist/corpus
+    // bandwidth cost, the whole point of a compressed first stage.
+    "q_ann_recall_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val exact = emb.crossJoin(broadcast(queries))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          SimilarityOps.dot(col("q_embedding"), col("embedding"))
+            .as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      val book = SimilarityOps.pqCollectBook(emb, PqM, PqDsub, PqKsub)
+      val codes = SimilarityOps.pqEncode(emb, book, PqM, PqDsub)
+      // stage 1: wide ADC shortlist; stage 2: exact rescore of the
+      // shortlist only (join back to full vectors by id)
+      val shortlist = SimilarityOps.pqTopK(queries, codes,
+        SimilarityOps.pqBookFrame(s, book), 40, PqDsub)
+        .select(col("query_id"), col("neighbor_id"))
+      val rescored = shortlist
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding")), "neighbor_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          SimilarityOps.dot(col("q_embedding"), col("embedding"))
+            .as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(rescored, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("recall_at_5", col("hits").cast("double") / 5.0)
+        .orderBy("query_id")
+    }),
+
     // X2c' — the same pair search through the parameterized hyperplane
     // LSH (8-bit × 2 tables), pairs deduped across tables.
     "q_embed_near_dup_lsh" -> ((s, d) =>
@@ -2932,6 +2980,70 @@ object ExtQueries {
         FROM ascored
       ),
       approx AS (SELECT query_id, neighbor_id FROM aranked
+                 WHERE rnk <= 5),
+      hits AS (
+        SELECT e.query_id, count(*) AS hits
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+      )
+      SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             coalesce(h.hits, 0)::DOUBLE / 5.0 AS recall_at_5
+      FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id""",
+
+    // X3g'' — two-stage twin: ADC shortlist (40) → exact rescore → 5.
+    "q_ann_recall_pq_rerank" -> s"""
+      WITH $pqCte,
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${dotSql("qe", "e.embedding")} AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      ),
+      exact AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5),
+      dtab AS (
+        SELECT q.query_id, b.sub, b.code,
+               CAST(round((${dotSql(pqSliceSql("q.qe", "b.sub"), "b.c_sub",
+                 PqDsub)}) * 1000000.0) AS BIGINT) AS pdot
+        FROM q CROSS JOIN pqbook b
+      ),
+      ascored AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id,
+               sum(d.pdot) AS score_micros
+        FROM pqenc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+        WHERE d.query_id <> e.vec_id
+        GROUP BY 1, 2
+      ),
+      aranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id
+           ORDER BY score_micros DESC, neighbor_id) AS rnk
+        FROM ascored
+      ),
+      shortlist AS (SELECT query_id, neighbor_id FROM aranked
+                    WHERE rnk <= 40),
+      rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               ${dotSql("q.qe", "e.embedding")} AS score
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+      ),
+      rranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM rescored
+      ),
+      approx AS (SELECT query_id, neighbor_id FROM rranked
                  WHERE rnk <= 5),
       hits AS (
         SELECT e.query_id, count(*) AS hits
