@@ -470,9 +470,14 @@ case class GraftAddConstraintCommand(ns: String, name: String,
       throw new IllegalArgumentException(
         s"constraint $constraint already exists on $ns.$name")
     // validate existing data BEFORE registering (Delta's contract),
-    // through the SAME violation predicate the DML gate evaluates
-    val current = store.snapshotPath(ns, name)
-      .map(p => GraftDml.snapshotRead(spark, p))
+    // through the SAME violation predicate the DML gate evaluates —
+    // AND the same registry-first resolution order GraftDml.commit
+    // uses, so the rows validated here are exactly the rows the gate
+    // will later protect (a name carrying both a registry entry and a
+    // snapshot path resolves to the registry on both sides)
+    val current = TableStore.registry(spark).get(Seq(ns, name))
+      .orElse(store.snapshotPath(ns, name)
+        .map(p => GraftDml.snapshotRead(spark, p)))
       .getOrElse(store.table(ns, name))
     val bad =
       try current.filter(GraftDml.constraintViolation(expr)).count()

@@ -191,8 +191,10 @@ private[catalog] object GraftDml {
         // parquet) has no version to stack sidecars on — fall back to
         // copy-on-write, which stamps the first marker
         graft.pipeline.Snapshot.currentVersion(p).isDefined &&
-        scala.util.Try(
-          new TableStore(spark).properties(key.head, key(1))).toOption
+        // same fail-closed discipline as morPositionFormat: only "no
+        // such table" means "no properties"
+        (try Some(new TableStore(spark).properties(key.head, key(1)))
+         catch { case _: NoSuchElementException => None })
           .flatMap(_.get(s"write.$op.mode"))
           .exists(_.equalsIgnoreCase("merge-on-read"))
       }
@@ -209,8 +211,11 @@ private[catalog] object GraftDml {
     * join reads the merged state, not raw file lineage) — the same
     * kind-per-statement freedom Iceberg grants writers. */
   def morPositionFormat(spark: SparkSession, key: Seq[String]): Boolean =
-    scala.util.Try(
-      new TableStore(spark).properties(key.head, key(1))).toOption
+    // fail CLOSED like checkConstraints: only "no such table" means
+    // "default format" — any other store failure propagates rather
+    // than silently switching the commit to equality-delete format
+    (try Some(new TableStore(spark).properties(key.head, key(1)))
+     catch { case _: NoSuchElementException => None })
       .flatMap(_.get("write.mor.deletes"))
       .exists(_.equalsIgnoreCase("position"))
 

@@ -97,18 +97,18 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         parts.flatMap(graftConstraintTarget) match {
           case Some((ns, t)) =>
             val ck = a.checkConstraint
-            // CheckConstraint(condition, originalText, userName,
-            // table, …) — product positions per this Spark version.
+            // named accessors (condition/userProvidedName), NOT
+            // productElement positions — a field reorder in a Spark
+            // upgrade then fails at compile time, not with an opaque
+            // runtime ClassCastException (or a silent String swap).
             // An OMITTED name makes ck.name GENERATE a random
             // "<table>_chk_<uuid7>" — a nondeterministic property key
             // the user could never DROP by name — so require one.
-            val userName =
-              Option(ck.productElement(2).asInstanceOf[String])
-                .map(_.trim).filter(_.nonEmpty)
+            val userName = Option(ck.userProvidedName)
+              .map(_.trim).filter(_.nonEmpty)
             userName match {
               case Some(n) => GraftAddConstraintCommand(ns, t,
-                n.toLowerCase(java.util.Locale.ROOT),
-                ck.productElement(1).asInstanceOf[String])
+                n.toLowerCase(java.util.Locale.ROOT), ck.condition)
               case None => throw new UnsupportedOperationException(
                 "graft ADD CHECK requires a constraint name " +
                   "(ALTER TABLE … ADD CONSTRAINT <name> CHECK (…)) — " +
@@ -124,11 +124,9 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         }
         parts.flatMap(graftConstraintTarget) match {
           case Some((ns, t)) =>
-            // DropConstraint(child, name, ifExists, cascade)
+            // named accessors, same reorder-proofing as ADD CONSTRAINT
             GraftDropConstraintCommand(ns, t,
-              d.productElement(1).asInstanceOf[String]
-                .toLowerCase(java.util.Locale.ROOT),
-              d.productElement(2).asInstanceOf[Boolean])
+              d.name.toLowerCase(java.util.Locale.ROOT), d.ifExists)
           case None => d
         }
 

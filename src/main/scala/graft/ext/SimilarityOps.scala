@@ -623,10 +623,18 @@ object SimilarityOps {
     * (order-free), and the per-(query, vector) aggregation collapses
     * the m dimension map-side before the only corpus-keyed exchange.
     *
+    * ID-SPACE CONTRACT: `excludeSelf = true` (the default) drops
+    * neighbors whose `vec_id` EQUALS the `query_id` — correct only
+    * when queries are drawn FROM the corpus and share its id space
+    * (the recall-audit fixture's shape). A DISJOINT query set whose
+    * ids happen to collide with corpus ids would silently lose valid
+    * neighbors to that filter — pass `excludeSelf = false` there.
+    *
     * @return (query_id, neighbor_id, rank, score_micros), rank 1..k by
-    *         (score DESC, neighbor_id ASC), self-matches excluded */
+    *         (score DESC, neighbor_id ASC), self-matches excluded only
+    *         under `excludeSelf` */
   def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
-             k: Int, dsub: Int): DataFrame = {
+             k: Int, dsub: Int, excludeSelf: Boolean = true): DataFrame = {
     val dtab = queries.crossJoin(broadcast(codebook))
       .select(col("query_id"), col("sub"), col("code"),
         round(dot(slice(col("q_embedding"), col("sub") * dsub + 1,
@@ -635,7 +643,8 @@ object SimilarityOps {
     val exploded = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
     val scored = exploded.join(broadcast(dtab), Seq("sub", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
+              else lit(true))
       .groupBy("query_id", "vec_id")
       .agg(sum("pdot_micros").as("score_micros"))
     val w = Window.partitionBy("query_id")

@@ -378,12 +378,26 @@ object Snapshot {
         .parquet(stage.resolve("deletes").toString))
       // position deletes: (file_path, pos) pairs in Iceberg's
       // position-delete schema, file ids RELATIVE to the serving dir
-      // (see relFileId — rename-stable by construction)
-      posDeletes.foreach(_
-        .select(col(LineageFile).as("file_path"),
-          col(LineagePos).cast("long").as("pos"))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(stage.resolve("pos_deletes").toString))
+      // (see relFileId — rename-stable by construction). Relativity is
+      // ASSERTED at write time: _metadata.file_path from a non-local
+      // filesystem (hdfs://, s3a://) would not match the stripped
+      // local-dir prefix and leave an absolute URI that silently stops
+      // resolving after a dir rename — fail loudly here instead.
+      posDeletes.foreach { pd =>
+        import org.apache.spark.sql.functions.{concat, raise_error, when}
+        val fp = col(LineageFile)
+        val relOrRaise = when(
+          fp.rlike("^(/|[A-Za-z][A-Za-z0-9+.-]*://)"),
+          raise_error(concat(
+            lit("position-delete file id is not relative to the " +
+              "table dir (unsupported filesystem for MOR position " +
+              "deletes?): "), fp)).cast("string"))
+          .otherwise(fp)
+        pd.select(relOrRaise.as("file_path"),
+            col(LineagePos).cast("long").as("pos"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(stage.resolve("pos_deletes").toString)
+      }
       appends.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(stage.resolve("appends").toString))
       Files.write(stage.resolve("_commit"),

@@ -3231,7 +3231,12 @@ object ExtQueries {
                count(*) AS total FROM orders
         UNION ALL
         SELECT 'unique(o_orderkey)',
-               count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+               -- mirror the engine's null contract exactly: the Unique
+               -- minuend counts only fully-non-null-keyed rows (a NULL
+               -- key identifies nothing), so a fixture with NULL keys
+               -- cannot produce a false oracle mismatch
+               count(*) FILTER (o_orderkey IS NOT NULL)
+                 - count(DISTINCT o_orderkey), count(*) FROM orders
         UNION ALL
         SELECT 'in_range(o_totalprice)',
                count(*) FILTER (o_totalprice IS NOT NULL AND

@@ -64,4 +64,28 @@ class PqSpec extends SparkSpec {
       assert(!adc(q).contains(q), "self-match excluded")
     }
   }
+
+  test("excludeSelf=false keeps colliding-id neighbors (disjoint " +
+    "query sets)") {
+    // a DISJOINT query set whose ids collide with corpus ids: query 0
+    // is NOT corpus vector 0, so dropping neighbor_id == 0 for it
+    // would silently lose a valid (possibly the best) neighbor
+    val book = SimilarityOps.pqCollectBook(corpus, M, Dsub, 4)
+    val codes = SimilarityOps.pqEncode(corpus, book, M, Dsub)
+    val cb = SimilarityOps.pqCodebook(corpus, M, Dsub, 4)
+    // the external query with id 0 is corpus vector 0's embedding —
+    // under excludeSelf its own nearest code (vector 0) vanishes
+    val external = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val kept = SimilarityOps.pqTopK(external, codes, cb, k = 4, Dsub,
+        excludeSelf = false)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(kept.contains(0L),
+      "excludeSelf=false must keep the colliding-id neighbor")
+    val dropped = SimilarityOps.pqTopK(external, codes, cb, k = 4, Dsub)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!dropped.contains(0L),
+      "default excludeSelf drops it (same-id-space contract)")
+  }
 }
