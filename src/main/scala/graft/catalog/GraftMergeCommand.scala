@@ -71,8 +71,10 @@ case class GraftMergeCommand(merge: MergeIntoTable)
     val mergeSchemaOn =
       spark.conf.getOption("spark.graft.merge.mergeSchema")
         .map(_.toBoolean).getOrElse(
-          scala.util.Try(new TableStore(spark)
-            .properties(key.head, key(1))).toOption
+          // fail-closed like the other property gates: only "no such
+          // table" means "no properties"
+          (try Some(new TableStore(spark).properties(key.head, key(1)))
+           catch { case _: NoSuchElementException => None })
             .flatMap(_.get("write.merge-schema")).exists(_.toBoolean))
     val hasStar =
       (merge.matchedActions ++ merge.notMatchedActions).exists {

@@ -239,11 +239,20 @@ object Snapshot {
     * through this to learn which (file, pos) pairs a predicate hits. */
   private def morApply(spark: SparkSession, dir: String, upTo: Long,
                        withLineage: Boolean = false): DataFrame = {
-    // the base scan plans through the stats-skipping FileIndex when
-    // the dir carries a valid scan manifest — a filter pushed onto ANY
-    // read of this table (API or SQL) then schedules O(matching
-    // files) tasks; without a manifest this IS spark.read.parquet
-    var df = org.apache.spark.sql.graft.PruningBridge.read(spark, dir)
+    // the base scan plans through (a) the bucket-layout relation when
+    // the dir was written under a bucket(n,c) spec — the scan then
+    // REPORTS HashPartitioning(c, n), so joins/aggregations keyed on c
+    // plan with zero exchanges on this side (storage-partitioned
+    // join); else (b) the stats-skipping FileIndex when the dir
+    // carries a valid scan manifest — a filter pushed onto ANY read of
+    // this table (API or SQL) then schedules O(matching files) tasks;
+    // without either this IS spark.read.parquet
+    var df = bucketLayout(dir) match {
+      case Some((n, c)) =>
+        org.apache.spark.sql.graft.BucketedBridge.read(spark, dir, n, c)
+      case None =>
+        org.apache.spark.sql.graft.PruningBridge.read(spark, dir)
+    }
     // hidden partitioning: derived transform fields (c_bucket, ts_day)
     // exist only as directory fragments — reads drop them so the
     // logical schema never carries them (and MOR sidecars, written in
@@ -920,8 +929,20 @@ object Snapshot {
 
   /** The spec-aware staged write shared by [[createOrReplaceCurrentSpec]]
     * and the MOR compaction ([[rewritePositionDeletes]]): derived
-    * transform columns materialized, partition layout applied, and the
-    * WRITE ORDERED BY range-clustering composed. */
+    * transform columns materialized, partition layout applied, the
+    * WRITE ORDERED BY range-clustering composed — and, when the spec
+    * carries a `bucket(n,c)` entry, the STORAGE-PARTITIONED-JOIN
+    * layout: rows shuffle by Spark's own murmur3 `HashPartitioning(c,
+    * n)` so every output file holds exactly one hash bucket, files are
+    * renamed to Spark's `_NNNNN` bucket convention, and the
+    * `_graft_buckets` marker makes every later read of the snapshot
+    * report that partitioning (see
+    * [[org.apache.spark.sql.graft.BucketedBridge]]) — a join or MERGE
+    * keyed on `c` then plans with ZERO exchanges on this table's side.
+    * The md5-derived `c_bucket` FRAGMENT dirs are unchanged (they
+    * serve cross-engine-recomputable pruning); the two bucket layers
+    * compose because the murmur3 file naming is global across
+    * fragment dirs. */
   private def writeUnderCurrentSpec(df: DataFrame, path: String,
                                     tmp: Path): Unit = {
     val fields = partitionSpec(path).map(parseSpecField)
@@ -931,28 +952,102 @@ object Snapshot {
     val withDerived = fields.filterNot(_.isIdentity)
       .foldLeft(df)((acc, f) => deriveColumn(f, df)
         .map(c => acc.withColumn(f.name, c)).getOrElse(acc))
-    val ordered =
-      if (order.isEmpty) withDerived
-      else {
-        // the spec columns PREFIX the sort: FileFormatWriter requires
-        // its input ordered by the partition columns and injects its
-        // own (order-destroying) sort when it is not — sorting by
-        // (spec ++ order) satisfies that requirement as a prefix, so
-        // the write keeps the within-partition sort (SnapshotSpec pins
-        // the composition)
-        val exprs = fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name).asc) ++
-          order.map { case (c, asc) =>
-            val col = org.apache.spark.sql.functions.col(c)
-            if (asc) col.asc else col.desc
-          }
+    // the FIRST bucket entry drives the file-level join layout (a
+    // file can only be one hash bucket; further bucket entries still
+    // write their md5 fragments)
+    val joinBucket = fields.map(_.raw)
+      .collectFirst { case BucketRe(n, c) => (n.toInt, c) }
+    // the spec columns PREFIX the sort: FileFormatWriter requires
+    // its input ordered by the partition columns and injects its
+    // own (order-destroying) sort when it is not — sorting by
+    // (spec ++ order) satisfies that requirement as a prefix, so
+    // the write keeps the within-partition sort (SnapshotSpec pins
+    // the composition)
+    val exprs = fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).asc) ++
+      order.map { case (c, asc) =>
+        val col = org.apache.spark.sql.functions.col(c)
+        if (asc) col.asc else col.desc
+      }
+    val ordered = joinBucket match {
+      case Some((n, c)) =>
+        // the bucket layout OWNS the shuffle (one murmur3 bucket per
+        // output task — the explicit partition count also keeps AQE
+        // from coalescing, which would merge buckets); any WRITE
+        // ORDERED BY order degrades gracefully to within-file sort
+        withDerived
+          .repartition(n, org.apache.spark.sql.functions.col(c))
+          .sortWithinPartitions(exprs: _*)
+      case None if order.isEmpty => withDerived
+      case None =>
         withDerived.repartitionByRange(exprs: _*)
           .sortWithinPartitions(exprs: _*)
-      }
+    }
     if (fields.isEmpty)
       ordered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     else ordered.write.mode(SaveMode.Overwrite)
       .partitionBy(fields.map(_.name): _*).parquet(tmp.toString)
+    joinBucket.foreach { case (n, c) => stampBucketLayout(tmp, n, c) }
+  }
+
+  // -------------------------------------------------------------------
+  // Bucket-layout plumbing (storage-partitioned joins). The write task
+  // index IS the murmur3 bucket id (repartition(n, c) routes rows by
+  // pmod(murmur3(c), n), and FileFormatWriter names each task's files
+  // `part-<taskIdx>-…`), so renaming every data file to carry Spark's
+  // `_NNNNN` bucket suffix makes the dir readable as a Spark bucketed
+  // table — BucketingUtils.getBucketId parses the suffix back at scan
+  // planning. The marker records (n, c) the way a metastore would.
+  // -------------------------------------------------------------------
+
+  private val BucketMarker = "_graft_buckets"
+  private val PartFileRe = """part-(\d+)-.*""".r
+
+  /** The (numBuckets, column) join layout a snapshot dir was written
+    * under, if any. */
+  def bucketLayout(dir: String): Option[(Int, String)] = {
+    val f = Paths.get(dir, BucketMarker)
+    if (!Files.exists(f)) None
+    else {
+      val parts = new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      Some((parts(0).toInt, parts(1)))
+    }
+  }
+
+  /** Rename the staged dir's data files to Spark's bucket convention
+    * and stamp the layout marker. Runs on the staging dir BEFORE the
+    * atomic promote, so readers only ever see a fully-bucket-named
+    * table. A data file whose name does not carry the writer's task
+    * index would break the claim — fail loudly, never half-stamp. */
+  private def stampBucketLayout(tmp: Path, n: Int, c: String): Unit = {
+    val s = Files.walk(tmp)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val name = p.getFileName.toString
+          name match {
+            case PartFileRe(idx) =>
+              val id = idx.toInt
+              require(id < n, s"write task index $id >= $n buckets " +
+                s"for $name — bucket layout invariant broken")
+              val dot = name.indexOf('.')
+              val at = if (dot < 0) name.length else dot
+              val renamed = name.substring(0, at) + f"_$id%05d" +
+                name.substring(at)
+              Files.move(p, p.resolveSibling(renamed),
+                StandardCopyOption.ATOMIC_MOVE)
+            case _ => throw new IllegalStateException(
+              s"unexpected data file name in a bucket-spec write: " +
+                s"$name (cannot derive its bucket id)")
+          }
+        }
+    } finally s.close()
+    Files.write(tmp.resolve(BucketMarker),
+      s"$n $c\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   // WRITE ORDERED BY metadata — Iceberg's table sort order, stored in

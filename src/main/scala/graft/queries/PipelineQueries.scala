@@ -1196,6 +1196,54 @@ FROM iceberg.silver.orders_current""")
                FROM pt.orders.partitions ORDER BY partition""")
     }),
 
+    // S13+/S12++ unified — STORAGE-PARTITIONED JOIN on snapshot
+    // tables (Iceberg 1.8's SPJ over this layout): two snapshots
+    // written under matching bucket(8, custkey) specs join AND
+    // aggregate on the key with ZERO hash exchanges — the scans
+    // report HashPartitioning(custkey, 8) from the bucket-named
+    // files, so at 100 TB the recurring fact-dim join/MERGE never
+    // shuffles either stored side. The plan shape is REQUIRED inside
+    // the query (not just spec-pinned): the oracle row only goes
+    // green when the zero-exchange plan produced it.
+    "q_bucket_join" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("bjoin").toString
+      val od = base + "/orders"
+      val cd = base + "/customer"
+      graft.pipeline.Snapshot.setPartitionSpec(od,
+        Seq("bucket(8,o_custkey)"))
+      graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")), od)
+      graft.pipeline.Snapshot.setPartitionSpec(cd,
+        Seq("bucket(8,c_custkey)"))
+      graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")), cd)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // broadcast off: the pin must prove storage partitioning, not
+        // a broadcast that merely hides the shuffle
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val out = graft.pipeline.Snapshot.read(s, od)
+          .join(graft.pipeline.Snapshot.read(s, cd),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("order_count"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("revenue_cents"),
+            max(col("c_mktsegment")).as("mktsegment"))
+          .orderBy("o_custkey")
+        out.collect() // materialize under the pinned conf
+        val plan = out.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"storage-partitioned join must not hash-exchange:\n$plan")
+        out
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // S4+++++++ (r07) — spark.wap.branch session mode end-to-end: the
     // low half of orders is live, the session pins a WAP branch, the
     // top half lands via plain INSERT (staged, live untouched —
@@ -2094,6 +2142,14 @@ FROM iceberg.silver.orders_current""")
              count(*) AS record_count
       FROM orders
       GROUP BY 1 ORDER BY 1""",
+
+    "q_bucket_join" -> """
+      SELECT o_custkey, count(*) AS order_count,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents,
+             max(c_mktsegment) AS mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY o_custkey ORDER BY o_custkey""",
 
     // DELETE → UPDATE → MERGE recomputed relationally: what the
     // merge-on-read sidecar chain must be indistinguishable from
