@@ -295,6 +295,8 @@ case class GraftDescribeTableCommand(ns: String, name: String,
         Row("Type",
           if (store.isView(ns, name)) "VIEW" else "MANAGED", null),
         Row("Provider", "graft", null)) ++
+        // ANALYZE stats, Spark's own "N bytes, M rows" shape
+        GraftStats.describeRows(props) ++
         snapPath.map(p => Row("Location", p, null)).toSeq ++
         // snapshot-backed extras: version + the r10 evolution metadata
         // (partition spec / write sort order), shown only when set —

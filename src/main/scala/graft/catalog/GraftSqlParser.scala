@@ -297,6 +297,29 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         case _ => d
       }
 
+      // ANALYZE TABLE … COMPUTE STATISTICS [NOSCAN] — verbatim for
+      // graft targets (same claim rule as DESCRIBE); partition-scoped
+      // ANALYZE is rejected loudly (this catalog's stats are
+      // table-level, like Iceberg's)
+      case at: AnalyzeTable => propsTarget(at.child) match {
+        case Some((ns, t)) =>
+          if (at.partitionSpec.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft ANALYZE TABLE does not support PARTITION specs " +
+                "(stats are table-level)")
+          GraftAnalyzeCommand(ns, t, Nil, allColumns = false,
+            noScan = at.noScan)
+        case None => at
+      }
+      // … FOR COLUMNS c1, c2 | FOR ALL COLUMNS
+      case ac: AnalyzeColumn => propsTarget(ac.child) match {
+        case Some((ns, t)) =>
+          GraftAnalyzeCommand(ns, t,
+            ac.columnNames.getOrElse(Nil), ac.allColumns,
+            noScan = false)
+        case None => ac
+      }
+
       // SHOW CREATE TABLE — same claim rule as DESCRIBE
       case sct: ShowCreateTable => propsTarget(sct.child) match {
         case Some((ns, t)) => GraftShowCreateTableCommand(ns, t)

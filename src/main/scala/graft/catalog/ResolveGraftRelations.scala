@@ -121,11 +121,21 @@ case class ResolveGraftRelations(session: SparkSession)
         // snapshot-backed tables also read LIVE by bare name (the
         // latest version, re-read at each query) — or the staged WAP
         // branch when the session pins one (spark.wap.branch) and it
-        // has staged state, Iceberg's write-audit-publish read mode
+        // has staged state, Iceberg's write-audit-publish read mode.
+        // A LIVE read additionally carries any CURRENT ANALYZE stats
+        // on its base scan (GraftStats.attach) so size estimates —
+        // and hence broadcast decisions — follow the measured table,
+        // not the raw file bytes.
         .orElse(st.snapshotPaths.get(k)
-          .map(path => SubqueryAlias(parts.last,
-            GraftDml.snapshotRead(session, path)
-              .queryExecution.analyzed)))
+          .map { path =>
+            val plan = GraftDml.snapshotRead(session, path)
+              .queryExecution.analyzed
+            val withStats =
+              if (GraftDml.wapBranch(session).isEmpty)
+                GraftStats.attach(session, k.head, k(1), path, plan)
+              else plan
+            SubqueryAlias(parts.last, withStats)
+          })
     }
   }
 }

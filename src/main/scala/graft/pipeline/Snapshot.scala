@@ -298,6 +298,39 @@ object Snapshot {
       "append_files" -> apF, "append_rows" -> apR)
   }
 
+  /** (total bytes, total footer row count) of the data files visible
+    * at the LIVE version — the metadata-only footprint `ANALYZE TABLE`
+    * records (no data read; parquet footers only, like Iceberg's
+    * manifest row counts). Hidden dirs (`_mor`, markers) excluded. */
+  def dataFileStats(path: String): (Long, Long) =
+    currentVersion(path) match {
+      case None => (0L, 0L)
+      case Some(live) =>
+        import scala.jdk.CollectionConverters._
+        dataDirsAsOf(path, live).map { d =>
+          val root = Paths.get(d)
+          val s = Files.walk(root)
+          try s.iterator().asScala
+            .filter { p =>
+              Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet") &&
+              // no hidden segments under the data dir (the base dir
+              // contains _mor; fragment dirs are col=val and pass)
+              !root.relativize(p).iterator().asScala.exists { seg =>
+                val n = seg.toString
+                n.startsWith("_") || n.startsWith(".")
+              }
+            }
+            .map(p => (Files.size(p), footerRows(p)))
+            .foldLeft((0L, 0L)) { case ((b, r), (b2, r2)) =>
+              (b + b2, r + r2)
+            }
+          finally s.close()
+        }.foldLeft((0L, 0L)) { case ((b, r), (b2, r2)) =>
+          (b + b2, r + r2)
+        }
+    }
+
   private def footerRows(f: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(f.toUri),

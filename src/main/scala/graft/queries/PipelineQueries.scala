@@ -1196,6 +1196,36 @@ FROM iceberg.silver.orders_current""")
                FROM pt.orders.partitions ORDER BY partition""")
     }),
 
+    // S16 — ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS verbatim:
+    // the statement runs, the stats PERSIST as catalog metadata, and
+    // this query reads them BACK from the catalog (not from the data)
+    // — so the oracle match proves the whole loop: exact row count,
+    // per-column null counts, numeric min/max, avg string length, and
+    // the KMV distinct estimate, each recomputable in DuckDB with the
+    // same md5-hash arithmetic as q_table_stats.
+    "q_analyze" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("anlz")
+        .toString + "/orders"
+      graft.pipeline.Snapshot.createOrReplace(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")), dir)
+      new TableStore(s).registerSnapshot("anlz", "orders", dir)
+      s.sql("""ANALYZE TABLE anlz.orders COMPUTE STATISTICS
+               FOR COLUMNS o_orderkey, o_custkey, o_orderstatus""")
+      val props = new TableStore(s).properties("anlz", "orders")
+      val rowCount = props(graft.catalog.GraftStats.RowsKey).toLong
+      val P = graft.catalog.GraftStats.ColPrefix
+      Seq("o_custkey", "o_orderkey", "o_orderstatus").map { c =>
+        (c, props(s"$P$c.nulls").toLong,
+          props(s"$P$c.ndv").toDouble,
+          props.get(s"$P$c.min").map(_.toDouble),
+          props.get(s"$P$c.max").map(_.toDouble),
+          props(s"$P$c.avgLen").toDouble, rowCount)
+      }.toDF("column", "nulls", "ndv_est", "min_num", "max_num",
+        "avg_len", "row_count").orderBy("column")
+    }),
+
     // S13+/S12++ unified — STORAGE-PARTITIONED JOIN on snapshot
     // tables (Iceberg 1.8's SPJ over this layout): two snapshots
     // written under matching bucket(8, custkey) specs join AND
@@ -2142,6 +2172,38 @@ FROM iceberg.silver.orders_current""")
              count(*) AS record_count
       FROM orders
       GROUP BY 1 ORDER BY 1""",
+
+    "q_analyze" -> """
+      WITH stacked AS (
+        SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val,
+               CAST(o_orderkey AS DOUBLE) AS num FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR),
+               CAST(o_custkey AS DOUBLE) FROM orders
+        UNION ALL SELECT 'o_orderstatus', o_orderstatus, NULL FROM orders
+      ), base AS (
+        SELECT col, count(CASE WHEN val IS NULL THEN 1 END) AS nulls,
+               min(num) AS min_num, max(num) AS max_num,
+               SUM(length(val))::DOUBLE / COUNT(val)::DOUBLE AS avg_len
+        FROM stacked GROUP BY col
+      ), h AS (
+        SELECT DISTINCT col, ('0x' || md5(val)[1:15])::BIGINT AS h
+        FROM stacked WHERE val IS NOT NULL
+      ), r AS (
+        SELECT col, h,
+               row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+        FROM h
+      ), kmv AS (
+        SELECT col,
+               CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 / max(h) END
+                 AS ndv_est
+        FROM r WHERE rn <= 256 GROUP BY col
+      )
+      SELECT b.col AS "column", nulls, kmv.ndv_est, min_num, max_num,
+             avg_len, (SELECT count(*) FROM orders) AS row_count
+      FROM base b LEFT JOIN kmv ON b.col = kmv.col
+      ORDER BY "column"
+      """,
 
     "q_bucket_join" -> """
       SELECT o_custkey, count(*) AS order_count,

@@ -1,0 +1,113 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.pipeline.Snapshot
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** `ANALYZE TABLE … COMPUTE STATISTICS` pins: persistence + DESCRIBE
+  * surface, version-gated staleness, and the plan-steering claim — a
+  * merge-on-read table whose base files overstate the live state gets
+  * the broadcast decision WRONG under default file-size estimation
+  * and RIGHT after ANALYZE. */
+class AnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(ns: String, t: String, rows: Int): String = {
+    val dir = Files.createTempDirectory(s"an$t").toString + s"/$t"
+    val df = (1 to rows).map(i => (i.toLong, s"s${i % 7}"))
+      .toDF("id", "grp")
+      .withColumn("payload", concat(sha2(col("id").cast("string"), 256),
+        sha2((col("id") + 1).cast("string"), 256),
+        sha2((col("id") + 2).cast("string"), 256),
+        sha2((col("id") + 3).cast("string"), 256)))
+    Snapshot.createOrReplace(df, dir, keepVersions = 3)
+    new TableStore(spark).registerSnapshot(ns, t, dir)
+    dir
+  }
+
+  test("ANALYZE persists row count, live-scaled size, and column " +
+    "stats; DESCRIBE EXTENDED surfaces them; a new commit voids them") {
+    TableStore.reset(spark)
+    val dir = mkTable("an", "t1", 5000)
+    spark.sql("ANALYZE TABLE an.t1 COMPUTE STATISTICS FOR ALL COLUMNS")
+    val store = new TableStore(spark)
+    val props = store.properties("an", "t1")
+    assert(props(GraftStats.RowsKey) == "5000")
+    assert(props(GraftStats.SizeKey).toLong > 0)
+    assert(props.contains(s"${GraftStats.ColPrefix}id.ndv"))
+    assert(props(s"${GraftStats.ColPrefix}id.min").toDouble == 1.0)
+    assert(props(s"${GraftStats.ColPrefix}id.max").toDouble == 5000.0)
+    assert(props(s"${GraftStats.ColPrefix}grp.nulls") == "0")
+    val desc = spark.sql("DESCRIBE EXTENDED an.t1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("Statistics").contains("5000 rows"),
+      s"DESCRIBE must surface the stats: $desc")
+    // stats are attached to the resolved plan while current …
+    val est = spark.table("an.t1")
+      .queryExecution.optimizedPlan.stats
+    assert(est.sizeInBytes == BigInt(props(GraftStats.SizeKey)),
+      s"plan estimate must follow ANALYZE: $est")
+    // … and vanish the moment a commit moves the table (never stale)
+    spark.sql("INSERT INTO an.t1 VALUES (9999999, 'x', 'p')")
+    val after = spark.table("an.t1")
+      .queryExecution.optimizedPlan.stats
+    assert(after.sizeInBytes != BigInt(props(GraftStats.SizeKey)),
+      s"stale stats must not attach after a commit: $after")
+  }
+
+  test("NOSCAN records size only (no row count), Spark's contract") {
+    TableStore.reset(spark)
+    mkTable("an", "t2", 1000)
+    spark.sql("ANALYZE TABLE an.t2 COMPUTE STATISTICS NOSCAN")
+    val props = new TableStore(spark).properties("an", "t2")
+    assert(props.contains(GraftStats.SizeKey))
+    assert(!props.contains(GraftStats.RowsKey))
+  }
+
+  test("a 99%-deleted MOR table broadcasts only AFTER ANALYZE — the " +
+    "default file-size estimate gets the join strategy wrong") {
+    TableStore.reset(spark)
+    val dir = mkTable("an", "fact", 300000)
+    mkTable("an", "other", 300000)
+    spark.sql("""ALTER TABLE an.fact SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read',
+      'write.mor.deletes'='position')""")
+    // live = 3000 rows; the base files keep all 300k on disk
+    spark.sql("DELETE FROM an.fact WHERE id % 100 != 0")
+    assert(Snapshot.morVersions(dir).nonEmpty, "delete must be MOR")
+    assert(spark.table("an.fact").count() == 3000L)
+    def staticPlan: String = {
+      // both payloads flow through the join: column pruning must not
+      // shrink either side's estimate below the broadcast threshold —
+      // the decision rides on TABLE size, the quantity ANALYZE fixes.
+      // The INITIAL (static) plan is the one under test: AQE can
+      // runtime-convert to broadcast, but only AFTER paying the full
+      // fact-side scan + shuffle — at 100 TB that shuffle IS the cost,
+      // and ANALYZE is what removes it from the plan up front.
+      val j = spark.table("an.other").as("o")
+        .join(spark.table("an.fact").as("f"), $"o.id" === $"f.id")
+        .groupBy($"f.grp").agg(count(lit(1)),
+          max(length($"o.payload")), max(length($"f.payload")))
+      j.queryExecution.executedPlan.toString
+    }
+    val pre = staticPlan
+    assert(pre.contains("SortMergeJoin") ||
+      pre.contains("ShuffledHashJoin"),
+      s"pre-ANALYZE the 300k-file estimate must forbid broadcast:\n$pre")
+    spark.sql("ANALYZE TABLE an.fact COMPUTE STATISTICS")
+    val props = new TableStore(spark).properties("an", "fact")
+    // the size must be live-scaled (~1% of the file bytes), the case
+    // where raw file size is simply wrong
+    val (bytes, fileRows) = Snapshot.dataFileStats(dir)
+    assert(fileRows == 300000L)
+    assert(props(GraftStats.SizeKey).toLong < bytes / 20,
+      s"MOR-aware size must reflect the live fraction: $props vs $bytes")
+    val post = staticPlan
+    assert(!post.contains("SortMergeJoin") &&
+      !post.contains("ShuffledHashJoin") &&
+      post.contains("BroadcastHashJoin [id"),
+      s"post-ANALYZE the live-sized side must broadcast STATICALLY " +
+        s"(no fact-side exchange ever scheduled):\n$post")
+  }
+}
