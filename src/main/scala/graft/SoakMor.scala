@@ -108,6 +108,42 @@ object SoakMor {
     println(s"""{"soak":"mor_read_amplification",""" +
       s"""${curve.mkString(",")},"compact_sec":$tCompact,""" +
       s""""read_after_compact_sec":$tAfter}""")
+
+    // AUTO-COMPACTION BOUNDEDNESS (write.mor.compact-after-commits):
+    // 200 stacked 1-row deletes with threshold 25 — the read tax must
+    // SAWTOOTH (reset by each automatic rewrite) instead of growing
+    // linearly as in the manual curve above. Reads are sampled just
+    // BELOW each threshold crossing (the worst stack) and the max is
+    // reported: bounded read tax under arbitrarily many small commits
+    // is the operational claim of the property.
+    val aroot = java.nio.file.Files.createTempDirectory("smauto")
+    val adir = s"$aroot/t"
+    graft.pipeline.Snapshot.createOrReplace(base, adir, keepVersions = 2)
+    store.registerSnapshot("soakmor", "auto", adir)
+    spark.sql("""ALTER TABLE soakmor.auto SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read',
+      'write.mor.compact-after-commits'='25')""")
+    var worstRead = 0.0
+    var compactions = 0
+    (1 to 200).foreach { i =>
+      val stacked = graft.pipeline.Snapshot.morVersions(adir).size
+      spark.sql(s"DELETE FROM soakmor.auto WHERE o_orderkey = $i")
+      if (graft.pipeline.Snapshot.morVersions(adir).size < stacked)
+        compactions += 1
+      if (i % 25 == 24) { // 24 commits stacked: the worst read
+        val t0 = System.nanoTime()
+        spark.sql("SELECT count(*) FROM soakmor.auto").collect()
+        worstRead = math.max(worstRead, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    require(spark.sql("SELECT count(*) FROM soakmor.auto")
+      .head().getLong(0) == base.count() - 200,
+      "all 200 deletes must have applied across compaction cycles")
+    println(s"""{"soak":"mor_auto_compaction","commits":200,""" +
+      s""""threshold":25,"auto_compactions":$compactions,""" +
+      s""""worst_read_sec":$worstRead,""" +
+      s""""final_stacked":${graft.pipeline.Snapshot
+        .morVersions(adir).size}}""")
     spark.stop()
   }
 }

@@ -154,6 +154,14 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         // maps onto the Morton expression in graft.ext.Layout.
         named.get("strategy").map(_.toString.toLowerCase(
           java.util.Locale.ROOT)).getOrElse("binpack") match {
+          case "binpack" if named.contains("where") =>
+            // Iceberg's partition-scoped arm: only fragments matching
+            // the predicate rewrite; the rest carry forward
+            // byte-identical (Snapshot.compactWhere)
+            val (rw, add) = graft.pipeline.Snapshot.compactWhere(
+              spark, path, parseWhere(named("where").toString), target,
+              keepVersions = keep)
+            return Seq(Row(rw, add))
           case "binpack" =>
             graft.pipeline.Snapshot.compact(spark, path, target,
               keepVersions = keep)
@@ -350,10 +358,19 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         // retained versions. The one extra required argument is
         // identifier_columns (Iceberg reads identifier fields from
         // table metadata this layout does not carry).
-        val keys = required("identifier_columns", 1).toString
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // identifier_columns per call, or the table's SET IDENTIFIER
+        // FIELDS metadata (Iceberg stores this once on the table; so
+        // does this catalog since r12)
+        val Seq(cns, ct) = tableParts(required("table", 0).toString)
+        val keys = arg("identifier_columns", 1)
+          .map(_.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+          .getOrElse(GraftIdentifierFieldsCommand
+            .fieldsOf(spark, cns, ct))
         require(keys.nonEmpty,
-          "create_changelog_view requires identifier_columns")
+          "create_changelog_view needs identifier_columns, or " +
+            "identifier fields set on the table (ALTER TABLE … SET " +
+            "IDENTIFIER FIELDS …)")
         val startV = arg("start_version", 2).map(_.toString.toLong)
           .orElse(graft.pipeline.Snapshot.historicalVersions(path)
             .headOption)
@@ -448,6 +465,27 @@ object GraftCallCommand {
     val pos = args.takeWhile(!_.isInstanceOf[NamedArgumentExpression])
       .map(value)
     (pos, named)
+  }
+
+  /** `where => "f = 'v' AND g IN (1, 2)"` → field → allowed raw
+    * fragment values. The conjunctive equality/IN grammar is the shape
+    * Iceberg's own partition-scoped rewrite takes; anything else (OR,
+    * ranges, functions) raises with the supported form. */
+  private[catalog] def parseWhere(
+      where: String): Map[String, Seq[String]] = {
+    val Eq = """(?i)^\s*([\w]+)\s*=\s*(?:'([^']*)'|([\w.+-]+))\s*$""".r
+    val In =
+      """(?i)^\s*([\w]+)\s+IN\s*\(\s*(.+?)\s*\)\s*$""".r
+    val Item = """(?:'([^']*)'|([\w.+-]+))""".r
+    where.split("(?i)\\bAND\\b").toSeq.map(_.trim).map {
+      case Eq(f, q, bare) => f -> Seq(Option(q).getOrElse(bare))
+      case In(f, items) => f -> Item.findAllMatchIn(items).map(m =>
+        Option(m.group(1)).getOrElse(m.group(2))).toSeq
+      case other => throw new IllegalArgumentException(
+        s"rewrite_data_files where supports conjunctions of " +
+          s"`field = value` and `field IN (…)` only; got: '$other'")
+    }.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).distinct.toSeq).toMap
   }
 
   /** Timestamp-cutoff argument → epoch micros: a TIMESTAMP literal

@@ -317,6 +317,11 @@ case class GraftDescribeTableCommand(ns: String, name: String,
                 .mkString("[", ", ", "]"), null))
             })
         } ++
+        (props.get(GraftIdentifierFieldsCommand.Key) match {
+          case Some(f) => Seq(Row("Identifier Fields",
+            f.split(",").mkString("[", ", ", "]"), null))
+          case None => Nil
+        }) ++
         (if (props.isEmpty) Nil
          else Seq(Row("Table Properties",
            props.toSeq.sorted
@@ -538,6 +543,61 @@ case class GraftShowTblPropertiesCommand(ns: String, name: String,
         .map { case (k, v) => Row(k, v) }
     }
   }
+}
+
+/** `ALTER TABLE … SET IDENTIFIER FIELDS a, b` / `DROP IDENTIFIER
+  * FIELDS a, b` — Iceberg's row-identity metadata, stored ONCE on the
+  * table (the `graft.identifier-fields` property, persisted with the
+  * catalog) instead of re-spelled per call: `create_changelog_view`
+  * defaults its `identifier_columns` from it. SET replaces the whole
+  * list (Iceberg's semantics); DROP removes the named fields and
+  * clears the property when none remain. Fields must exist in the
+  * current schema, resolved case-insensitively and stored in the
+  * schema's casing. */
+case class GraftIdentifierFieldsCommand(ns: String, name: String,
+                                        fields: Seq[String],
+                                        drop: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    val df = store.snapshotPath(ns, name)
+      .map(p => graft.pipeline.Snapshot.read(spark, p))
+      .getOrElse(store.table(ns, name))
+    val cur = store.properties(ns, name)
+      .get(GraftIdentifierFieldsCommand.Key)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val next =
+      if (drop) {
+        val missing = fields.filterNot(f =>
+          cur.exists(_.equalsIgnoreCase(f)))
+        if (missing.nonEmpty) throw new java.util.NoSuchElementException(
+          s"cannot DROP IDENTIFIER FIELDS ${missing.mkString(", ")}: " +
+            s"not identifier fields of $ns.$name " +
+            s"(current: ${cur.mkString(", ")})")
+        cur.filterNot(c => fields.exists(_.equalsIgnoreCase(c)))
+      } else fields.map(f => df.columns.find(_.equalsIgnoreCase(f))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot SET IDENTIFIER FIELDS: no such column $f on " +
+            s"$ns.$name (columns: ${df.columns.mkString(", ")})")))
+    if (next.isEmpty)
+      store.unsetProperties(ns, name,
+        Seq(GraftIdentifierFieldsCommand.Key), ifExists = true)
+    else store.setProperties(ns, name,
+      Map(GraftIdentifierFieldsCommand.Key -> next.mkString(",")))
+    Seq.empty
+  }
+}
+
+object GraftIdentifierFieldsCommand {
+  val Key = "graft.identifier-fields"
+
+  /** The identifier fields set on `ns.name`, if any. */
+  def fieldsOf(spark: SparkSession, ns: String,
+               name: String): Seq[String] =
+    (try new TableStore(spark).properties(ns, name)
+     catch { case _: NoSuchElementException => Map.empty[String, String] })
+      .get(Key).map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
 }
 
 /** `ALTER TABLE … ADD PARTITION FIELD <col>` — Iceberg's partition-spec

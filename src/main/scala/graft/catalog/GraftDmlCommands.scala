@@ -219,6 +219,37 @@ private[catalog] object GraftDml {
       .flatMap(_.get("write.mor.deletes"))
       .exists(_.equalsIgnoreCase("position"))
 
+  /** Post-commit AUTO-COMPACTION — the `write.mor.compact-after-
+    * commits = N` table property (the operational rule BASELINE.md's
+    * MOR soak measures: the sidecar read tax grows ~linearly in
+    * stacked commit count, and a rewrite pays for itself every few
+    * dozen small commits): after a MOR commit lands, when the stacked
+    * commit count reaches N the table compacts back to copy-on-write
+    * through `rewrite_position_delete_files`'s own path — same atomic
+    * protocol, history intact, reads before/after identical
+    * (MorSpec pins it). Unset = never (Iceberg's default: maintenance
+    * is explicit). Runs AFTER the statement's commit, so the
+    * statement's effect is never entangled with maintenance. */
+  def maybeAutoCompact(spark: SparkSession, key: Seq[String],
+                       path: String): Unit = {
+    val threshold =
+      (try Some(new TableStore(spark).properties(key.head, key(1)))
+       catch { case _: NoSuchElementException => None })
+        .flatMap(_.get("write.mor.compact-after-commits"))
+        .map { v =>
+          val n = v.toInt
+          require(n >= 1,
+            s"write.mor.compact-after-commits must be >= 1: $n")
+          n
+        }
+    threshold.foreach { n =>
+      if (graft.pipeline.Snapshot.morVersions(path).size >= n)
+        graft.pipeline.Snapshot.rewritePositionDeletes(spark, path,
+          keepVersions =
+            graft.pipeline.Snapshot.historicalVersions(path).size + 1)
+    }
+  }
+
   /** Branch-aware snapshot read: the staged WAP branch when the
     * session pins one AND it exists, else the live version. */
   def snapshotRead(spark: SparkSession, path: String): DataFrame =
@@ -256,6 +287,7 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
           deletes = None, appends = None, operation = "delete",
           posDeletes = Some(S.readLineage(spark, p).as(alias)
             .filter(cond).select(S.LineageFile, S.LineagePos)))
+        GraftDml.maybeAutoCompact(spark, key, p)
       case Some(p) =>
         // merge-on-read: write ONLY the matched rows as an
         // equality-delete sidecar (distinct — the read-side anti-join
@@ -265,6 +297,7 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = Some(df.as(alias).filter(cond).distinct()),
           appends = None, operation = "delete")
+        GraftDml.maybeAutoCompact(spark, key, p)
       case None =>
         GraftDml.commit(spark, key, df.as(alias).filter(!cond))
     }
@@ -370,6 +403,7 @@ case class GraftInsertCommand(ns: String, name: String,
         val checked = GraftDml.checkConstraints(spark, Seq(ns, name), rows)
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = None, appends = Some(checked), operation = "append")
+        GraftDml.maybeAutoCompact(spark, Seq(ns, name), p)
       case None =>
         GraftDml.commit(spark, Seq(ns, name),
           if (insert.overwrite) rows else target.union(rows))
@@ -449,6 +483,7 @@ case class GraftUpdateCommand(update: UpdateTable)
           appends = Some(checkedPos),
           operation = "update",
           posDeletes = Some(matched.select(S.LineageFile, S.LineagePos)))
+        GraftDml.maybeAutoCompact(spark, key, p)
       case Some(p) =>
         // merge-on-read UPDATE = delete-old + append-new, scoped to the
         // MATCHED rows only (Iceberg's MOR update decomposition). The
@@ -464,6 +499,7 @@ case class GraftUpdateCommand(update: UpdateTable)
           deletes = Some(matched.distinct()),
           appends = Some(checkedEq),
           operation = "update")
+        GraftDml.maybeAutoCompact(spark, key, p)
       case None =>
         GraftDml.commit(spark, key,
           df.as(alias).select(df.columns.toSeq.map(outCol): _*))

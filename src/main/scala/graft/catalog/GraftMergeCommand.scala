@@ -200,6 +200,7 @@ case class GraftMergeCommand(merge: MergeIntoTable)
             .distinct()),
           appends = Some(checked),
           operation = "merge")
+        GraftDml.maybeAutoCompact(spark, key, p)
       case None =>
         val next = joined
           .select(targetDf.columns.toSeq.map(outCol) :+

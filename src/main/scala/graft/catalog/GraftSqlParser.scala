@@ -559,6 +559,8 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(TAG|BRANCH)\s+(IF\s+EXISTS\s+)?`?([\w-]+)`?\s*$""".r
   private val WriteOrdered =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+(?:LOCALLY\s+)?ORDERED\s+BY\s+(.+?)\s*$""".r
+  private val IdentFields =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(SET|DROP)\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*$""".r
   private val WriteUnordered =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+UNORDERED\s*$""".r
 
@@ -632,6 +634,16 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case WriteUnordered(table) =>
         val (ns, t) = graftTable(table, "ALTER TABLE … WRITE UNORDERED")
         Some(GraftWriteOrderedByCommand(ns, t, Seq.empty))
+      case IdentFields(table, verb, fieldsRaw) =>
+        // Iceberg's `ALTER TABLE … SET/DROP IDENTIFIER FIELDS a, b` —
+        // the row-identity metadata create_changelog_view and CDC
+        // consumers default their key columns from
+        val (ns, t) =
+          graftTable(table, s"ALTER TABLE … $verb IDENTIFIER FIELDS")
+        val fields = fieldsRaw.split(",").map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty).toSeq
+        Some(GraftIdentifierFieldsCommand(ns, t, fields,
+          drop = verb.equalsIgnoreCase("drop")))
       case _ => None
     }
 

@@ -1195,6 +1195,117 @@ object Snapshot {
     }
   }
 
+  /** PARTITION-SCOPED compaction — Iceberg's `rewrite_data_files(where
+    * => …)` arm: only the Hive fragments matching the predicate are
+    * rewritten (each coalesced to `targetFiles`); every other
+    * fragment's files are carried into the new version BYTE-IDENTICAL
+    * (copies, verified by CallSqlSpec checksums). At 100 TB you
+    * compact the one hot partition a CDC stream peppered with small
+    * files, not the table — the rewrite cost is O(matched partition),
+    * not O(table).
+    *
+    * `where` maps partition FIELD name → allowed values (a conjunction
+    * of equality / IN constraints, the form Iceberg's own arm
+    * supports); values compare against the raw fragment spelling plus
+    * Hive's `__HIVE_DEFAULT_PARTITION__` for null. Constraints must
+    * name fields of the CURRENT spec — a predicate on a data column
+    * cannot scope directories and raises. Tables with merge-on-read
+    * sidecars must compact them first (`rewrite_position_delete_files`)
+    * — a sidecar row is not fragment-addressable; bucket-layout tables
+    * refuse too (coalescing would merge murmur3 bucket files and break
+    * the storage-partitioned-join claim).
+    * @return (rewritten file count, added file count) */
+  def compactWhere(spark: SparkSession, path: String,
+                   where: Map[String, Seq[String]], targetFiles: Int,
+                   keepVersions: Int = 0): (Long, Long) = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    require(where.nonEmpty, "compactWhere requires a predicate " +
+      "(use compact for a whole-table rewrite)")
+    val specFields = partitionSpec(path).map(parseSpecField(_).name)
+    require(specFields.nonEmpty,
+      s"compactWhere needs a partitioned table (no spec at $path)")
+    val unknown = where.keys.filterNot(k =>
+      specFields.exists(_.equalsIgnoreCase(k)))
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"rewrite_data_files where => … may only constrain partition " +
+        s"fields (${specFields.mkString(", ")}); not: " +
+        unknown.mkString(", "))
+    if (morVersions(path).nonEmpty)
+      throw new UnsupportedOperationException(
+        "compactWhere on a table with merge-on-read sidecars — run " +
+          "rewrite_position_delete_files first (a sidecar row is not " +
+          "fragment-addressable)")
+    if (bucketLayout(path).isDefined)
+      throw new UnsupportedOperationException(
+        "compactWhere would merge murmur3 bucket files and break the " +
+          "storage-partitioned-join layout; use rewrite_data_files " +
+          "without a predicate (the spec-aware rewrite re-buckets)")
+    // leaf fragment dirs with their (field -> value) chains
+    def leaves(dir: Path, chain: Map[String, String])
+        : Seq[(Path, Map[String, String])] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      val subs = try s.iterator().asScala.filter(p =>
+        Files.isDirectory(p) && p.getFileName.toString.contains("=") &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".")).toSeq
+      finally s.close()
+      if (subs.isEmpty) Seq((dir, chain))
+      else subs.flatMap { p =>
+        val Array(f, v) = p.getFileName.toString.split("=", 2)
+        leaves(p, chain + (f -> v))
+      }
+    }
+    val base = currentVersion(path)
+    val frags = leaves(Paths.get(path), Map.empty)
+      .filter(_._2.nonEmpty) // the root itself is not a fragment
+    val (matched, untouched) = frags.partition { case (_, chain) =>
+      where.forall { case (f, allowed) =>
+        chain.exists { case (cf, cv) =>
+          cf.equalsIgnoreCase(f) && allowed.contains(cv)
+        }
+      }
+    }
+    if (matched.isEmpty) throw new java.util.NoSuchElementException(
+      s"rewrite_data_files where => … matched no partition of $path " +
+        s"(fragments: ${frags.map(_._2).mkString("; ")})")
+    def parquetFiles(d: Path): Seq[Path] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith(".")).toSeq
+      finally s.close()
+    }
+    val rewritten = matched.map(m => parquetFiles(m._1).size.toLong).sum
+    // matched fragments COALESCE (read before the swap moves the dir);
+    // each leaf holds constant fragment values, so reading it plain
+    // and writing back to the same relative path preserves the layout
+    val root = Paths.get(path)
+    val staged = matched.map { case (d, _) =>
+      (root.relativize(d).toString,
+        spark.read.parquet(d.toString).coalesce(targetFiles)
+          .localCheckpoint())
+    }
+    swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
+      untouched.foreach { case (d, _) =>
+        val dst = tmp.resolve(root.relativize(d).toString)
+        Files.createDirectories(dst)
+        parquetFiles(d).foreach(f =>
+          Files.copy(f, dst.resolve(f.getFileName.toString)))
+      }
+      staged.foreach { case (rel, df) =>
+        df.write.mode(SaveMode.Overwrite)
+          .parquet(tmp.resolve(rel).toString)
+      }
+    }
+    val added = matched.map { case (d, _) =>
+      parquetFiles(Paths.get(path).resolve(root.relativize(d).toString))
+        .size.toLong
+    }.sum
+    (rewritten, added)
+  }
+
   /** Sort-clustering rewrite (Iceberg's `rewrite_data_files(strategy
     * => 'sort')`): range-partition the live snapshot into `targetFiles`
     * by the sort key and sort within each partition, so every data

@@ -463,9 +463,12 @@ object PipelineQueries {
       graft.pipeline.Snapshot.createOrReplace(
         Silver.rebuild(bronze), dir, keepVersions = 2)
       new TableStore(s).registerSnapshot("silver", "orders_clv", dir)
+      // identifier fields stored ONCE on the table (Iceberg's SET
+      // IDENTIFIER FIELDS) — the changelog call then needs no
+      // identifier_columns argument
+      s.sql("ALTER TABLE silver.orders_clv SET IDENTIFIER FIELDS order_id")
       val view = s.sql("""CALL iceberg.system.create_changelog_view(
-               table => 'silver.orders_clv',
-               identifier_columns => 'order_id')""")
+               table => 'silver.orders_clv')""")
         .head().getString(0)
       s.sql(s"SELECT order_id, op FROM $view ORDER BY order_id")
     }),
@@ -1194,6 +1197,44 @@ FROM iceberg.silver.orders_current""")
         "derived partition fields must stay hidden from reads")
       s.sql("""SELECT partition, record_count
                FROM pt.orders.partitions ORDER BY partition""")
+    }),
+
+    // S4+++ partition-scoped maintenance — Iceberg's
+    // `rewrite_data_files(where => …)` arm: only the named partition
+    // rewrites (8 small files → 1); the other fragments' files carry
+    // forward BYTE-IDENTICAL into the new version (file counts
+    // REQUIRED inside the query; CallSqlSpec checksums the bytes).
+    // The oracle row proves content is untouched by the layout move.
+    "q_rewrite_where" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("rww")
+        .toString + "/orders"
+      graft.pipeline.Snapshot.createOrReplacePartitioned(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")).repartition(8),
+        dir, Seq("o_orderstatus"), keepVersions = 2)
+      new TableStore(s).registerSnapshot("rww", "orders", dir)
+      def files(frag: String): Int = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir, s"o_orderstatus=$frag")
+        val st = java.nio.file.Files.list(p)
+        try st.iterator().asScala.count(
+          _.getFileName.toString.endsWith(".parquet"))
+        finally st.close()
+      }
+      require(files("F") == 8 && files("O") == 8,
+        "fixture must start with 8 files per fragment")
+      val res = s.sql("""CALL iceberg.system.rewrite_data_files(
+        table => 'rww.orders', where => "o_orderstatus = 'F'",
+        target_file_count => 1)""").collect()
+      require(res.head.getLong(0) == 8L && res.head.getLong(1) == 1L,
+        s"where-scoped rewrite must report 8 -> 1: ${res.toSeq}")
+      require(files("F") == 1 && files("O") == 8,
+        "only the matched partition may change its layout")
+      s.sql("""SELECT o_orderstatus, count(*) AS orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_cents
+               FROM rww.orders GROUP BY o_orderstatus
+               ORDER BY o_orderstatus""")
     }),
 
     // S16 — ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS verbatim:
@@ -2172,6 +2213,12 @@ FROM iceberg.silver.orders_current""")
              count(*) AS record_count
       FROM orders
       GROUP BY 1 ORDER BY 1""",
+
+    "q_rewrite_where" -> """
+      SELECT o_orderstatus, count(*) AS orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_analyze" -> """
       WITH stacked AS (

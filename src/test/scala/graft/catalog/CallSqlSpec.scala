@@ -40,6 +40,68 @@ class CallSqlSpec extends SparkSpec {
     assert(Snapshot.readAsOf(spark, dir, 3).count() == 3)
   }
 
+  test("rewrite_data_files(where => …) compacts ONLY the matching " +
+    "partition; untouched partitions carry forward byte-identical") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("callwhere")
+      .toString + "/t"
+    val df = (1 to 4000).map(i =>
+      (i.toLong, if (i % 2 == 0) "hot" else "cold", s"v$i"))
+      .toDF("id", "part", "tag")
+    // 8 small files per fragment — the CDC-peppered shape
+    Snapshot.createOrReplacePartitioned(df.repartition(8), dir,
+      Seq("part"), keepVersions = 3)
+    store.registerSnapshot("maint", "w", dir)
+    def files(frag: String): Map[String, Array[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(dir, s"part=$frag")
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.readAllBytes(p)).toMap
+      finally s.close()
+    }
+    val coldBefore = files("cold")
+    assert(coldBefore.size == 8 && files("hot").size == 8)
+    val before = spark.sql("SELECT * FROM maint.w")
+      .as[(Long, String, String)].collect().toSet
+    val res = spark.sql("""CALL iceberg.system.rewrite_data_files(
+      table => 'maint.w', where => "part = 'hot'",
+      target_file_count => 1)""").collect()
+    assert(res.head.getLong(0) == 8L && res.head.getLong(1) == 1L)
+    // hot coalesced, cold BYTE-IDENTICAL (names and bytes)
+    assert(files("hot").size == 1)
+    val coldAfter = files("cold")
+    assert(coldAfter.keySet == coldBefore.keySet)
+    coldAfter.foreach { case (n, bytes) =>
+      assert(java.util.Arrays.equals(bytes, coldBefore(n)),
+        s"untouched file rewritten: $n") }
+    // content unchanged; pre-compaction version still travels
+    assert(spark.sql("SELECT * FROM maint.w")
+      .as[(Long, String, String)].collect().toSet == before)
+    assert(Snapshot.readAsOf(spark, dir, 1).count() == 4000)
+    // guard rails: data-column predicates and no-match predicates raise
+    intercept[IllegalArgumentException] {
+      spark.sql("""CALL iceberg.system.rewrite_data_files(
+        table => 'maint.w', where => "tag = 'v1'")""")
+    }
+    intercept[java.util.NoSuchElementException] {
+      spark.sql("""CALL iceberg.system.rewrite_data_files(
+        table => 'maint.w', where => "part = 'absent'")""")
+    }
+    // IN form matches both fragments
+    val res2 = spark.sql("""CALL iceberg.system.rewrite_data_files(
+      table => 'maint.w', where => "part IN ('hot', 'cold')",
+      target_file_count => 2)""").collect()
+    // hot already sat at 1 file — coalesce(2) cannot split it, so the
+    // new version holds 1 (hot) + 2 (cold) files
+    assert(res2.head.getLong(1) == 3L)
+    assert(spark.sql("SELECT * FROM maint.w")
+      .as[(Long, String, String)].collect().toSet == before)
+  }
+
   test("rewrite_data_files strategy => 'sort' clusters files into " +
     "disjoint key ranges; zorder spelling parses; bad strategies raise") {
     TableStore.reset(spark)
@@ -351,6 +413,29 @@ class CallSqlSpec extends SparkSpec {
         changelog_view => 'clv_23')""")
     assert(spark.sql("SELECT id, op FROM clv_23")
       .as[(Int, String)].collect().toSeq == Seq((3, "insert")))
+    intercept[Exception] {
+      spark.sql("CALL iceberg.system.create_changelog_view(" +
+        "table => 'maint.t')") }
+    // SET IDENTIFIER FIELDS stores the key metadata ONCE on the table
+    // (Iceberg's shape) — the call then needs no identifier_columns,
+    // and DROP restores the must-specify error
+    spark.sql("ALTER TABLE maint.t SET IDENTIFIER FIELDS id")
+    val desc = spark.sql("DESCRIBE EXTENDED maint.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("Identifier Fields").contains("[id]"), desc)
+    val v2 = spark.sql("CALL iceberg.system.create_changelog_view(" +
+      "table => 'maint.t', changelog_view => 'clv_ident')")
+      .as[String].head()
+    assert(v2 == "clv_ident")
+    assert(spark.sql("SELECT id, op FROM clv_ident ORDER BY id")
+      .as[(Int, String)].collect().toSeq ==
+      Seq((2, "insert"), (3, "insert")))
+    // unknown column and drop-of-unset raise; DROP clears the default
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE maint.t SET IDENTIFIER FIELDS nope") }
+    intercept[java.util.NoSuchElementException] {
+      spark.sql("ALTER TABLE maint.t DROP IDENTIFIER FIELDS tag") }
+    spark.sql("ALTER TABLE maint.t DROP IDENTIFIER FIELDS id")
     intercept[Exception] {
       spark.sql("CALL iceberg.system.create_changelog_view(" +
         "table => 'maint.t')") }

@@ -524,6 +524,39 @@ class MorSpec extends SparkSpec {
       "position-deleted rows")
   }
 
+  test("write.mor.compact-after-commits auto-compacts at the " +
+    "threshold: the Nth commit triggers the rewrite, reads identical " +
+    "before/after, history intact") {
+    TableStore.reset(spark)
+    val dir = tmpTable("morauto")
+    Snapshot.createOrReplace(
+      (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "tag"), dir,
+      keepVersions = 10)
+    new TableStore(spark).registerSnapshot("morauto", "t", dir)
+    spark.sql("""ALTER TABLE morauto.t SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read',
+      'write.mor.compact-after-commits'='3')""")
+    spark.sql("DELETE FROM morauto.t WHERE id = 1")
+    spark.sql("DELETE FROM morauto.t WHERE id = 2")
+    assert(Snapshot.morVersions(dir).size == 2,
+      "below the threshold nothing compacts")
+    val before = spark.sql("SELECT * FROM morauto.t")
+      .as[(Long, String)].collect().toSet
+    // the 3rd MOR commit reaches the threshold -> auto-compaction
+    spark.sql("DELETE FROM morauto.t WHERE id = 3")
+    assert(Snapshot.morVersions(dir).isEmpty,
+      "the threshold commit must trigger the rewrite")
+    val after = spark.sql("SELECT * FROM morauto.t")
+      .as[(Long, String)].collect().toSet
+    assert(after == before - ((3L, "v3")))
+    assert(after.size == 497)
+    // the pre-compaction MOR run stays time-travelable
+    assert(Snapshot.readAsOf(spark, dir, 2).count() == 499)
+    // and the cycle restarts: stacking resumes from zero
+    spark.sql("DELETE FROM morauto.t WHERE id = 4")
+    assert(Snapshot.morVersions(dir).size == 1)
+  }
+
   test("morStats censuses sidecars per kind; compaction zeroes it") {
     val dir = tmpTable("morst")
     Snapshot.createOrReplace(
