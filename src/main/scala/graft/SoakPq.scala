@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Persisted-PQ-index lifecycle soak: at each corpus scale, time the
+  * full [[graft.ext.PqIndex.build]] against an incremental
+  * [[graft.ext.PqIndex.refresh]] after a FIXED 2k-vector append. The
+  * 100-TB claim: build is O(corpus) (every vector encodes), refresh is
+  * O(delta) encode plus one id anti-join — its cost must stay near-flat
+  * while build grows linearly, or the index would be re-encoded per
+  * append and the build-once/query-many story collapses.
+  *
+  * Usage: `sbt "runMain graft.SoakPq [mult,mult,…]"` (default 8,32,128
+  * over sf0.1 embeddings — the fixture has 2k vectors, so the scales
+  * are 16k/64k/256k with a fixed 2k-vector append). Prints one JSON line.
+  */
+object SoakPq {
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(8, 32, 128))
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val deltaSize = 2000L
+
+    val out = mults.map { mult =>
+      val scaled =
+        if (mult <= 1) base
+        else (0 until mult).map(k => base.withColumn("vec_id",
+          col("vec_id") + k * 100000000L)).reduce(_ unionByName _)
+      val root = java.nio.file.Files.createTempDirectory(s"sp$mult")
+      val corpus = s"$root/corpus"
+      val idx = s"$root/pq"
+      // v1 = everything but a fixed 5k tail; v2 appends the tail
+      val ordered = scaled.orderBy("vec_id").localCheckpoint()
+      val rows = ordered.count()
+      val tail = ordered.orderBy(col("vec_id").desc).limit(
+        deltaSize.toInt).localCheckpoint()
+      val v1 = ordered.join(tail.select("vec_id"), Seq("vec_id"),
+        "left_anti").localCheckpoint()
+      graft.pipeline.Snapshot.createOrReplace(v1, corpus,
+        keepVersions = 2)
+      val t0 = System.nanoTime()
+      graft.ext.PqIndex.build(spark, corpus, idx, 8, 8, 16)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      graft.pipeline.Snapshot.createOrReplace(ordered, corpus,
+        keepVersions = 2)
+      val t1 = System.nanoTime()
+      val d = graft.ext.PqIndex.refresh(spark, corpus, idx)
+      val tRefresh = (System.nanoTime() - t1) / 1e9
+      require(d == deltaSize, s"delta must be $deltaSize, got $d")
+      s""""x$mult":{"rows":$rows,"build_sec":$tBuild,""" +
+        s""""refresh_sec":$tRefresh}"""
+    }
+    println(s"""{"soak":"pq_index_refresh","delta_rows":$deltaSize,""" +
+      out.mkString(",") + "}")
+    spark.stop()
+  }
+}

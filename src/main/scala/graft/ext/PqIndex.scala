@@ -1,0 +1,163 @@
+package graft.ext
+
+import graft.pipeline.Snapshot
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** PERSISTED ANN index lifecycle over the PQ family — build once,
+  * query many, re-encode only the delta. The r11 PQ operators derive
+  * codebook + codes inside each query; at 100 TB you never re-encode
+  * the corpus per query, so this materializes both as snapshot tables
+  * beside the corpus:
+  *
+  * ```
+  * <indexDir>/codebook       (sub, code, c_sub)    — m·ksub tiny rows
+  * <indexDir>/codes          (vec_id, codes)       — 1 row per vector
+  * <indexDir>/_pq_meta       corpus version + geometry (atomic)
+  * ```
+  *
+  * Lifecycle contract:
+  *  - [[build]] trains the codebook on the corpus AS OF the build and
+  *    encodes everything; the meta records WHICH corpus snapshot
+  *    version the codes describe.
+  *  - [[refresh]] encodes ONLY vectors the codes table lacks (one
+  *    anti-join on vec_id) and commits them as a merge-on-read
+  *    fast-append sidecar — O(delta) write, base code files untouched
+  *    (SoakPq measures it flat-in-corpus). The codebook is NOT
+  *    retrained (standard PQ practice: codebooks drift slowly;
+  *    retrain = rebuild). Content REMOVED from the corpus is not
+  *    refresh-able — rebuild (orphan codes would resurrect deleted
+  *    neighbors).
+  *  - [[search]] is the two-stage read (broad ADC shortlist from the
+  *    codes, exact rerank of the shortlist against full-precision
+  *    vectors) and REFUSES a stale index: the meta's corpus version
+  *    must be the corpus's LIVE version, the same
+  *    stats-serve-no-stale-plans discipline as ANALYZE.
+  *
+  * Scale shape: search moves (vec_id, sub, code) triples and the
+  * shortlist only; the corpus's full vectors are touched for
+  * |queries|·shortlist rows, never scanned for distance. Reference:
+  * the reference's storage layer keeps derived tables beside base
+  * tables the same way (`/root/reference/README.md` silver/gold).
+  */
+object PqIndex {
+
+  final case class Meta(corpusVersion: Long, m: Int, dsub: Int,
+                        ksub: Int)
+
+  def codebookDir(indexDir: String): String = s"$indexDir/codebook"
+  def codesDir(indexDir: String): String = s"$indexDir/codes"
+  private def metaFile(indexDir: String) =
+    Paths.get(indexDir, "_pq_meta")
+
+  def meta(indexDir: String): Option[Meta] = {
+    val f = metaFile(indexDir)
+    if (!Files.exists(f)) None
+    else {
+      val p = new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      Some(Meta(p(0).toLong, p(1).toInt, p(2).toInt, p(3).toInt))
+    }
+  }
+
+  private def writeMeta(indexDir: String, m: Meta): Unit = {
+    Files.createDirectories(Paths.get(indexDir))
+    val tmp = Paths.get(indexDir, "_pq_meta.tmp")
+    Files.write(tmp, s"${m.corpusVersion} ${m.m} ${m.dsub} ${m.ksub}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, metaFile(indexDir),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def corpusVersionOf(corpusPath: String): Long =
+    Snapshot.currentVersion(corpusPath).getOrElse(
+      throw new IllegalStateException(
+        s"PQ index requires a versioned corpus snapshot at " +
+          s"$corpusPath — the staleness contract pins index to " +
+          "corpus version"))
+
+  /** Build (or rebuild) the index: train on the live corpus, encode
+    * everything, stamp the corpus version. @return rows encoded */
+  def build(spark: SparkSession, corpusPath: String, indexDir: String,
+            m: Int, dsub: Int, ksub: Int): Long = {
+    val version = corpusVersionOf(corpusPath)
+    val corpus = Snapshot.read(spark, corpusPath)
+    val book = SimilarityOps.pqCollectBook(corpus, m, dsub, ksub)
+    Snapshot.createOrReplace(
+      SimilarityOps.pqBookFrame(spark, book), codebookDir(indexDir),
+      keepVersions = 1)
+    Snapshot.createOrReplace(
+      SimilarityOps.pqEncode(corpus, book, m, dsub),
+      codesDir(indexDir), keepVersions = 1)
+    writeMeta(indexDir, Meta(version, m, dsub, ksub))
+    Snapshot.read(spark, codesDir(indexDir)).count()
+  }
+
+  /** Incrementally encode vectors appended to the corpus since the
+    * index last saw it: ONE anti-join finds the un-encoded vec_ids,
+    * the stored codebook encodes them scan-side, and the new codes
+    * land as a fast-append MOR sidecar — base code files are never
+    * rewritten. @return the number of newly encoded vectors */
+  def refresh(spark: SparkSession, corpusPath: String,
+              indexDir: String): Long = {
+    val im = meta(indexDir).getOrElse(throw new IllegalStateException(
+      s"no PQ index at $indexDir (build first)"))
+    val version = corpusVersionOf(corpusPath)
+    if (version == im.corpusVersion) return 0L
+    val codes = Snapshot.read(spark, codesDir(indexDir))
+    val delta = Snapshot.read(spark, corpusPath)
+      .join(codes.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val n = delta.count()
+    if (n > 0) {
+      val book = Snapshot.read(spark, codebookDir(indexDir))
+        .select("sub", "code", "c_sub").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .toSeq.sortBy(t => (t._1, t._2))
+      Snapshot.morCommit(spark, codesDir(indexDir), deletes = None,
+        appends = Some(SimilarityOps.pqEncode(delta, book, im.m, im.dsub)),
+        operation = "append")
+    }
+    writeMeta(indexDir, im.copy(corpusVersion = version))
+    n
+  }
+
+  /** Two-stage search from the PERSISTED index: ADC shortlist of
+    * `shortlist` candidates per query, exact inner-product rerank to
+    * the top `k`. Raises when the index is stale (the corpus moved
+    * past the version the codes describe).
+    * @param queries (query_id, q_embedding)
+    * @return (query_id, neighbor_id, rank, score_micros) */
+  def search(spark: SparkSession, corpusPath: String, indexDir: String,
+             queries: DataFrame, k: Int, shortlist: Int,
+             excludeSelf: Boolean = true): DataFrame = {
+    val im = meta(indexDir).getOrElse(throw new IllegalStateException(
+      s"no PQ index at $indexDir (build first)"))
+    val version = corpusVersionOf(corpusPath)
+    if (version != im.corpusVersion)
+      throw new IllegalStateException(
+        s"PQ index at $indexDir is STALE: it encodes corpus version " +
+          s"${im.corpusVersion} but the live corpus is v$version — " +
+          "run PqIndex.refresh (append-only) or rebuild")
+    val codes = Snapshot.read(spark, codesDir(indexDir))
+    val book = Snapshot.read(spark, codebookDir(indexDir))
+    val cand = SimilarityOps.pqTopK(queries, codes, book, shortlist,
+        im.dsub, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score_micros").desc, col("neighbor_id"))
+    cand
+      .join(Snapshot.read(spark, corpusPath)
+        .select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(SimilarityOps.dot(col("q_embedding"), col("embedding"))
+          * lit(1000000.0)).cast("long").as("score_micros"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score_micros")
+  }
+}

@@ -1041,6 +1041,39 @@ object ExtQueries {
     // whole corpus), exact full-precision dot rescores ONLY the
     // shortlist — recall recovers toward exact at shortlist/corpus
     // bandwidth cost, the whole point of a compressed first stage.
+    // X3g'' — PERSISTED PQ index lifecycle: build on the 90% corpus,
+    // append the held-out 10%, refresh (REQUIRED to encode exactly the
+    // delta as a fast-append sidecar, then be a no-op), and serve the
+    // two-stage ADC+rerank read from the PERSISTED codebook/codes
+    // tables. The oracle replays the whole lifecycle: codebook sampled
+    // from the PRE-append subset, codes over everything — the search
+    // result matches only if the stored index, the incremental encode,
+    // and the staleness-gated read all agree with the math.
+    "q_pq_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = java.nio.file.Files.createTempDirectory("pqidxq")
+        .toString
+      val corpus = s"$root/corpus"
+      val idx = s"$root/pq"
+      val v1 = emb.filter(col("vec_id") % 10 =!= 7)
+      graft.pipeline.Snapshot.createOrReplace(v1, corpus,
+        keepVersions = 3)
+      graft.ext.PqIndex.build(s, corpus, idx, PqM, PqDsub, PqKsub)
+      graft.pipeline.Snapshot.createOrReplace(emb, corpus,
+        keepVersions = 3)
+      val delta = graft.ext.PqIndex.refresh(s, corpus, idx)
+      require(delta == emb.count() - v1.count(),
+        s"refresh must encode exactly the appended vectors: $delta")
+      require(graft.ext.PqIndex.refresh(s, corpus, idx) == 0L,
+        "a second refresh must be a no-op")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      graft.ext.PqIndex.search(s, corpus, idx, queries,
+          k = 5, shortlist = 40)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_ann_recall_pq_rerank" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -1516,14 +1549,17 @@ object ExtQueries {
     * [[SimilarityOps.pqEncode]]: md5-ranked sample sliced per subspace,
     * then per-(vector, subspace) argmin by (d2, code). Emits
     * `pqbook(sub, code, c_sub)` and `pqenc(vec_id, sub, code)`. */
-  private val pqCte: String = {
+  /** The PQ codebook+encode CTE pair; `sampleWhere` scopes the
+    * codebook's md5 sample (q_pq_index trains on the pre-append corpus
+    * subset while encoding everything). */
+  private def pqCteWith(sampleWhere: String): String = {
     val x = pqSliceSql("e.embedding", "b.sub")
     s"""
       pqsamp AS (
         SELECT embedding, rn - 1 AS code FROM (
           SELECT embedding, row_number() OVER
             (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
-          FROM embeddings)
+          FROM embeddings $sampleWhere)
         WHERE rn <= $PqKsub
       ),
       pqbook AS (
@@ -1545,6 +1581,8 @@ object ExtQueries {
         WHERE rn = 1
       )"""
   }
+
+  private val pqCte: String = pqCteWith("")
 
   /** One Lloyd round in DuckDB: nearest-centroid assignment of
     * `from` vectors against centroid CTE `cents` (argmin by (d2, id)),
@@ -2993,6 +3031,51 @@ object ExtQueries {
       ORDER BY q.query_id""",
 
     // X3g'' — two-stage twin: ADC shortlist (40) → exact rescore → 5.
+    "q_pq_index" -> s"""
+      WITH ${pqCteWith("WHERE vec_id % 10 <> 7")},
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      dtab AS (
+        SELECT q.query_id, b.sub, b.code,
+               CAST(round((${dotSql(pqSliceSql("q.qe", "b.sub"), "b.c_sub",
+                 PqDsub)}) * 1000000.0) AS BIGINT) AS pdot
+        FROM q CROSS JOIN pqbook b
+      ),
+      ascored AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id,
+               sum(d.pdot) AS score_micros
+        FROM pqenc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+        WHERE d.query_id <> e.vec_id
+        GROUP BY 1, 2
+      ),
+      aranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id
+           ORDER BY score_micros DESC, neighbor_id) AS rnk
+        FROM ascored
+      ),
+      shortlist AS (SELECT query_id, neighbor_id FROM aranked
+                    WHERE rnk <= 40),
+      rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(round((${dotSql("q.qe", "e.embedding")})
+                 * 1000000.0) AS BIGINT) AS score_micros
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+      ),
+      rranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id
+           ORDER BY score_micros DESC, neighbor_id) AS rnk
+        FROM rescored
+      )
+      SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+             score_micros
+      FROM rranked WHERE rnk <= 5 ORDER BY query_id, rank""",
+
     "q_ann_recall_pq_rerank" -> s"""
       WITH $pqCte,
       q AS (

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import graft.pipeline.Snapshot
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Persisted PQ index lifecycle pins: build-once/query-many, O(delta)
+  * refresh through a fast-append sidecar, and the staleness contract
+  * (a search against an index whose corpus moved raises). */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val (m, dsub, ksub) = (8, 8, 16)
+
+  test("build/refresh/search: refresh encodes ONLY the delta as a " +
+    "fast-append sidecar, search refuses stale, results equal the " +
+    "derive-per-query two-stage path") {
+    val emb = Tables.embeddings(spark, sf)
+    val root = Files.createTempDirectory("pqidx").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/pq"
+    val v1 = emb.filter(col("vec_id") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, corpus, keepVersions = 3)
+    val encoded = PqIndex.build(spark, corpus, idx, m, dsub, ksub)
+    assert(encoded == v1.count())
+    assert(PqIndex.meta(idx).map(_.corpusVersion).contains(1L))
+
+    val queries = v1.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val fromIndex = PqIndex.search(spark, corpus, idx, queries,
+        k = 5, shortlist = 40)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    // the same two-stage search derived per-query (the r11 path) —
+    // identical codebook (same corpus, same md5 draw), so identical
+    // shortlist and rerank
+    val book = SimilarityOps.pqCollectBook(v1, m, dsub, ksub)
+    val cand = SimilarityOps.pqTopK(queries,
+        SimilarityOps.pqEncode(v1, book, m, dsub),
+        SimilarityOps.pqBookFrame(spark, book), 40, dsub)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("s").desc, col("neighbor_id"))
+    val derived = cand
+      .join(v1.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(SimilarityOps.dot(col("q_embedding"), col("embedding"))
+          * lit(1000000.0)).cast("long").as("s"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fromIndex == derived,
+      "persisted-index search must equal the derive-per-query path")
+
+    // the corpus moves (v2 adds the held-out 10%) — search must refuse
+    Snapshot.createOrReplace(emb, corpus, keepVersions = 3)
+    val stale = intercept[IllegalStateException] {
+      PqIndex.search(spark, corpus, idx, queries, 5, 40)
+    }
+    assert(stale.getMessage.contains("STALE"))
+
+    // refresh: exactly the delta, committed as a MOR append sidecar —
+    // the base code files are untouched
+    val baseCodeFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(PqIndex.codesDir(idx)))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val delta = PqIndex.refresh(spark, corpus, idx)
+    assert(delta == emb.count() - v1.count())
+    assert(Snapshot.morVersions(PqIndex.codesDir(idx)).nonEmpty,
+      "the delta must land as a fast-append sidecar")
+    val afterCodeFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(PqIndex.codesDir(idx)))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    assert(afterCodeFiles == baseCodeFiles,
+      "refresh must not rewrite base code files")
+    // idempotent: a second refresh is a no-op
+    assert(PqIndex.refresh(spark, corpus, idx) == 0L)
+
+    // the refreshed index serves again and the appended vectors are
+    // searchable (they appear as neighbors)
+    val r2 = PqIndex.search(spark, corpus, idx, queries, 5, 40)
+    assert(r2.count() > 0)
+    assert(r2.filter(col("neighbor_id") % 10 === 7).count() > 0,
+      "appended vectors must be reachable through the refreshed codes")
+  }
+}
