@@ -244,9 +244,19 @@ private[catalog] object GraftDml {
         }
     threshold.foreach { n =>
       if (graft.pipeline.Snapshot.morVersions(path).size >= n)
-        graft.pipeline.Snapshot.rewritePositionDeletes(spark, path,
+        // BEST-EFFORT: the statement's own commit is already durable —
+        // a maintenance failure (e.g. an optimistic conflict with a
+        // concurrent writer) must not fail the statement; the next
+        // commit past the threshold retries
+        try graft.pipeline.Snapshot.rewritePositionDeletes(spark, path,
           keepVersions =
             graft.pipeline.Snapshot.historicalVersions(path).size + 1)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"auto-compaction of $path failed (statement committed;" +
+                s" will retry at the next threshold commit): $e")
+        }
     }
   }
 
