@@ -219,6 +219,26 @@ private[catalog] object GraftDml {
       .flatMap(_.get("write.mor.deletes"))
       .exists(_.equalsIgnoreCase("position"))
 
+  /** Equality-delete file shape for a MOR commit: with IDENTIFIER
+    * FIELDS set on the table, the delete file carries ONLY the
+    * identifier columns (Iceberg's `equality_ids` — a fraction of the
+    * row bytes, and the key-scoped removal Iceberg defines: every row
+    * carrying a deleted key goes, valid exactly because SET IDENTIFIER
+    * FIELDS asserts the key identifies the row). Without them — or if
+    * a set field no longer resolves against the rows — full-row
+    * images, the value-scoped contract `applySidecars` documents. */
+  def equalityDeletes(spark: SparkSession, key: Seq[String],
+                      matched: DataFrame): DataFrame = {
+    val ids = GraftIdentifierFieldsCommand
+      .fieldsOf(spark, key.head, key(1))
+    val resolved = ids.flatMap(f =>
+      matched.columns.find(_.equalsIgnoreCase(f)))
+    if (ids.nonEmpty && resolved.size == ids.size)
+      matched.select(resolved.map(org.apache.spark.sql.functions.col): _*)
+        .distinct()
+    else matched.distinct()
+  }
+
   /** Post-commit AUTO-COMPACTION — the `write.mor.compact-after-
     * commits = N` table property (the operational rule BASELINE.md's
     * MOR soak measures: the sidecar read tax grows ~linearly in
@@ -305,7 +325,8 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
         // deterministic DELETE predicate matched). Write cost is
         // O(matched), not O(table).
         graft.pipeline.Snapshot.morCommit(spark, p,
-          deletes = Some(df.as(alias).filter(cond).distinct()),
+          deletes = Some(GraftDml.equalityDeletes(spark, key,
+            df.as(alias).filter(cond))),
           appends = None, operation = "delete")
         GraftDml.maybeAutoCompact(spark, key, p)
       case None =>
@@ -506,7 +527,7 @@ case class GraftUpdateCommand(update: UpdateTable)
           .select(df.columns.toSeq.map(newCol): _*)
         val checkedEq = GraftDml.checkConstraints(spark, key, eqAppends)
         graft.pipeline.Snapshot.morCommit(spark, p,
-          deletes = Some(matched.distinct()),
+          deletes = Some(GraftDml.equalityDeletes(spark, key, matched)),
           appends = Some(checkedEq),
           operation = "update")
         GraftDml.maybeAutoCompact(spark, key, p)

@@ -195,9 +195,9 @@ case class GraftMergeCommand(merge: MergeIntoTable)
           .select(cols.map(col): _*)
         val checked = GraftDml.checkConstraints(spark, key, appends)
         graft.pipeline.Snapshot.morCommit(spark, p,
-          deletes = Some(delta.filter(col("__was"))
-            .select(cols.map(c => col(s"__old_$c").as(c)): _*)
-            .distinct()),
+          deletes = Some(GraftDml.equalityDeletes(spark, key,
+            delta.filter(col("__was"))
+              .select(cols.map(c => col(s"__old_$c").as(c)): _*))),
           appends = Some(checked),
           operation = "merge")
         GraftDml.maybeAutoCompact(spark, key, p)

@@ -194,18 +194,26 @@ object Snapshot {
     val posDirs = posDeleteDirsIn(dir, upTo)
     val lineage = withLineage || posDirs.nonEmpty
     var df = if (lineage) withLineageCols(base, dir) else base
-    val valueCols = df.columns.filterNot(
-      Seq(LineageFile, LineagePos).contains(_))
     var pendingDeletes = List.empty[String]
     def flush(): Unit = if (pendingDeletes.nonEmpty) {
-      val del = pendingDeletes.map(spark.read.parquet(_))
-        .reduce(_ unionByName _)
-      // null-safe equality on every VALUE column (lineage excluded):
-      // an equality-delete row removes all identical instances (a
-      // deterministic DELETE/UPDATE predicate matched every one of
-      // them when the delta was written)
-      val cond = valueCols.map(c => df(c) <=> del(c)).reduce(_ && _)
-      df = df.join(del, cond, "left_anti")
+      // an equality-delete file's OWN columns are its equality ids
+      // (Iceberg's equality_ids): a full-row file removes identical
+      // instances (a deterministic DELETE/UPDATE predicate matched
+      // every one when the delta was written); a file projected to
+      // the table's IDENTIFIER FIELDS removes every row carrying a
+      // deleted key — Iceberg's key-scoped semantics, valid exactly
+      // because SET IDENTIFIER FIELDS asserts the key identifies the
+      // row. Files are grouped by schema (a table whose identifier
+      // fields changed mid-history stacks both kinds); anti-join
+      // removals commute, so group order is free.
+      pendingDeletes.map(spark.read.parquet(_))
+        .groupBy(_.columns.sorted.toSeq).values.foreach { group =>
+          val del = group.reduce(_ unionByName _)
+          val cond = del.columns.toSeq
+            .filterNot(Seq(LineageFile, LineagePos).contains(_))
+            .map(c => df(c) <=> del(c)).reduce(_ && _)
+          df = df.join(del, cond, "left_anti")
+        }
       pendingDeletes = Nil
     }
     morVersions(dir).filter(_ <= upTo).foreach { v =>
@@ -1416,9 +1424,32 @@ object Snapshot {
           if (Files.isDirectory(eqD))
             Some(spark.read.parquet(eqD.toString))
           else None
-        (eq ++ converted).reduceOption(_ unionByName _).foreach(
-          _.filter(keep).write.mode(SaveMode.Overwrite)
-            .parquet(dstV.resolve("deletes").toString))
+        // an equality file projected to IDENTIFIER FIELDS has fewer
+        // columns than the converted full rows — project converted
+        // rows down to ITS schema (valid under the same key-identity
+        // contract that produced the key-only file; one dir must hold
+        // one schema), and apply the erasure predicate only where it
+        // RESOLVES: a key-only file without the predicate's columns
+        // keeps its key tombstones (they carry no subject attribute
+        // beyond the key — erase by the key column itself to purge
+        // them too)
+        val combined = (eq, converted) match {
+          case (Some(e), Some(c)) => Some(e.unionByName(
+            c.select(e.columns.toSeq.map(col): _*).distinct()))
+          case (e, c) => e.orElse(c)
+        }
+        combined.foreach { d =>
+          val purged =
+            try {
+              val f = d.filter(keep)
+              f.queryExecution.analyzed // resolve NOW, not at write
+              f
+            } catch {
+              case _: org.apache.spark.sql.AnalysisException => d
+            }
+          purged.write.mode(SaveMode.Overwrite)
+            .parquet(dstV.resolve("deletes").toString)
+        }
         val a = srcV.resolve("appends")
         if (Files.isDirectory(a))
           spark.read.parquet(a.toString).filter(keep)

@@ -1054,6 +1054,43 @@ FROM iceberg.silver.orders_current""")
                FROM iceberg.mor.orders ORDER BY o_orderkey""")
     }),
 
+    // S5-MOR + S17 (r12) — equality deletes SCOPED TO IDENTIFIER
+    // FIELDS: with `SET IDENTIFIER FIELDS o_orderkey` the MOR delete
+    // files carry ONLY the key column (Iceberg's equality_ids — a
+    // fraction of the row bytes at 100 TB), REQUIRED by reading the
+    // sidecar schema inside the query; the oracle proves the
+    // key-scoped removal computes the identical final state.
+    "q_dml_mor_ident" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("dmlmidq")
+        .toString + "/orders_mi"
+      graft.pipeline.Snapshot.createOrReplace(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        dir, keepVersions = 4)
+      new TableStore(s).registerSnapshot("mi", "orders", dir)
+      s.sql("""ALTER TABLE iceberg.mi.orders SET TBLPROPERTIES(
+        'write.delete.mode'='merge-on-read',
+        'write.update.mode'='merge-on-read')""")
+      s.sql("ALTER TABLE mi.orders SET IDENTIFIER FIELDS o_orderkey")
+      s.sql("DELETE FROM iceberg.mi.orders WHERE o_orderstatus = 'F'")
+      s.sql("""UPDATE mi.orders
+               SET o_orderpriority = concat('RUSH-', o_orderpriority)
+               WHERE o_orderpriority LIKE '1-%'""")
+      // the claims that make this query mean what it says: sidecar
+      // commits stacked AND their delete files key-only
+      require(graft.pipeline.Snapshot.morVersions(dir) == Seq(2L, 3L),
+        "DML must take the merge-on-read sidecar path")
+      Seq(2L, 3L).foreach { v =>
+        val sch = s.read.parquet(s"$dir/_mor/v$v/deletes")
+          .columns.toSeq
+        require(sch == Seq("o_orderkey"),
+          s"delete file must carry only the identifier fields: $sch")
+      }
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_orderpriority
+               FROM iceberg.mi.orders ORDER BY o_orderkey""")
+    }),
+
     // S5-MOR' (r11) — the POSITION-delete arm of merge-on-read: with
     // 'write.mor.deletes'='position' the DELETE and UPDATE commit
     // (file id, row position) sidecars — Iceberg's content-1 delete
@@ -2262,6 +2299,14 @@ FROM iceberg.silver.orders_current""")
 
     // DELETE → UPDATE → MERGE recomputed relationally: what the
     // merge-on-read sidecar chain must be indistinguishable from
+    "q_dml_mor_ident" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderpriority LIKE '1-%'
+                  THEN 'RUSH-' || o_orderpriority
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderstatus <> 'F'
+      ORDER BY o_orderkey""",
+
     "q_dml_mor" -> """
       WITH after_upd AS (
         SELECT o_orderkey,

@@ -557,6 +557,52 @@ class MorSpec extends SparkSpec {
     assert(Snapshot.morVersions(dir).size == 1)
   }
 
+  test("IDENTIFIER FIELDS shrink equality-delete files to the id " +
+    "columns (Iceberg equality_ids); key-scoped removal; mixed-schema " +
+    "delete stacks read correctly") {
+    TableStore.reset(spark)
+    val dir = tmpTable("morident")
+    Snapshot.createOrReplace(
+      ((1 to 50).map(i => (i.toLong, s"v$i")) ++
+        Seq((100L, "dupA"), (100L, "dupB"))).toDF("id", "tag"), dir,
+      keepVersions = 5)
+    new TableStore(spark).registerSnapshot("mi", "t", dir)
+    spark.sql("""ALTER TABLE mi.t SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read',
+      'write.update.mode'='merge-on-read')""")
+    // no identifier fields yet: full-row delete file
+    spark.sql("DELETE FROM mi.t WHERE id = 1")
+    val v1 = spark.read.parquet(s"$dir/_mor/v2/deletes")
+    assert(v1.columns.toSeq.sorted == Seq("id", "tag"),
+      "without identifier fields the delete file is full-row")
+    // with identifier fields: the delete file carries ONLY the ids
+    spark.sql("ALTER TABLE mi.t SET IDENTIFIER FIELDS id")
+    spark.sql("DELETE FROM mi.t WHERE id = 2")
+    val v2 = spark.read.parquet(s"$dir/_mor/v3/deletes")
+    assert(v2.columns.toSeq == Seq("id"),
+      s"identifier fields must project the delete file: ${v2.columns.toSeq}")
+    // MIXED stack (one full-row file + one key-only file) reads right
+    assert(spark.sql("SELECT count(*) FROM mi.t").head.getLong(0) == 50L)
+    // key-scoped semantics (the Iceberg contract SET IDENTIFIER FIELDS
+    // asserts): deleting by a predicate that matches ONE duplicate
+    // removes EVERY row carrying the key
+    spark.sql("DELETE FROM mi.t WHERE tag = 'dupA'")
+    assert(spark.sql("SELECT count(*) FROM mi.t WHERE id = 100")
+      .head.getLong(0) == 0L,
+      "key-scoped equality delete removes all instances of the key")
+    // UPDATE decomposes as key-delete + append under the same shape
+    spark.sql("UPDATE mi.t SET tag = 'x' WHERE id = 3")
+    assert(spark.sql("SELECT tag FROM mi.t WHERE id = 3")
+      .head.getString(0) == "x")
+    assert(spark.sql("SELECT count(*) FROM mi.t").head.getLong(0) == 48L)
+    // compaction collapses the mixed stack to the same state
+    spark.sql("CALL system.rewrite_position_delete_files('mi.t')")
+    assert(Snapshot.morVersions(dir).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM mi.t").head.getLong(0) == 48L)
+    assert(spark.sql("SELECT tag FROM mi.t WHERE id = 3")
+      .head.getString(0) == "x")
+  }
+
   test("morStats censuses sidecars per kind; compaction zeroes it") {
     val dir = tmpTable("morst")
     Snapshot.createOrReplace(
