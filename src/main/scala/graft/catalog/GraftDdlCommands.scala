@@ -315,6 +315,12 @@ case class GraftDescribeTableCommand(ns: String, name: String,
               case ord => Seq(Row("Write Order", ord.map { case (c, asc) =>
                 s"$c ${if (asc) "ASC" else "DESC"}" }
                 .mkString("[", ", ", "]"), null))
+            }) ++
+            // the storage-partitioned-join layout, when stamped
+            (graft.pipeline.Snapshot.bucketLayout(p) match {
+              case Some((n, c)) => Seq(Row("Bucket Layout",
+                s"$n buckets on $c (murmur3)", null))
+              case None => Nil
             })
         } ++
         (props.get(GraftIdentifierFieldsCommand.Key) match {

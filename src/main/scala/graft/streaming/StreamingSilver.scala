@@ -87,10 +87,19 @@ object StreamingSilver {
     * delete the CURRENT rows of every touched key (one broadcast
     * semi-join — the delete file is O(touched keys)), append the
     * staged non-tombstone rows. Same MERGE semantics as [[start]]
-    * (spec-pinned equal), same checkpoint/restart contract. */
+    * (spec-pinned equal), same checkpoint/restart contract.
+    *
+    * `compactAfterCommits` is the streaming twin of the
+    * `write.mor.compact-after-commits` table property: a long-running
+    * stream stacks one sidecar per micro-batch, so without a bound
+    * the read tax grows for as long as the stream runs — at the
+    * threshold the sink compacts back to copy-on-write after the
+    * batch's own commit (best-effort, like the DML arm: a maintenance
+    * failure never fails the batch). */
   def startMor(spark: SparkSession, bronzeDir: String, silverDir: String,
                checkpointDir: String,
-               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+               trigger: Trigger = Trigger.AvailableNow(),
+               compactAfterCommits: Option[Int] = None): StreamingQuery = {
     val stream = spark.readStream
       .schema(bronzeSchema)
       .option("maxFilesPerTrigger", 4)
@@ -116,6 +125,18 @@ object StreamingSilver {
             Snapshot.morCommit(spark, silverDir,
               deletes = Some(deletes), appends = Some(appends),
               operation = "merge")
+            compactAfterCommits.foreach { n =>
+              if (Snapshot.morVersions(silverDir).size >= n)
+                try Snapshot.rewritePositionDeletes(spark, silverDir,
+                  keepVersions = 2)
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"streaming auto-compaction of $silverDir " +
+                        s"failed (batch committed; retries at the " +
+                        s"next threshold): $e")
+                }
+            }
           }
         }
         ()

@@ -56,6 +56,25 @@ class AnalyzeSpec extends SparkSpec {
       s"stale stats must not attach after a commit: $after")
   }
 
+  test("with CBO enabled the attached stats carry rowCount and " +
+    "per-column attribute stats into the plan") {
+    TableStore.reset(spark)
+    mkTable("an", "t3", 2000)
+    spark.sql("ANALYZE TABLE an.t3 COMPUTE STATISTICS FOR COLUMNS id, grp")
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val st = spark.table("an.t3").queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(2000)),
+        s"CBO stats must carry the exact row count: $st")
+      val byName = st.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.get("id").exists(_.distinctCount.isDefined),
+        s"column stats must reach the plan under CBO: $byName")
+      assert(byName.get("id").exists(_.min.contains(1L)),
+        s"the integral min must round-trip typed: ${byName.get("id")}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("NOSCAN records size only (no row count), Spark's contract") {
     TableStore.reset(spark)
     mkTable("an", "t2", 1000)

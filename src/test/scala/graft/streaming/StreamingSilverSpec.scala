@@ -160,6 +160,21 @@ class StreamingSilverSpec extends SparkSpec {
     assert(Snapshot.read(spark, silverDir)
       .select("order_id", "status", "amount_eur")
       .as[(Int, String, Double)].collect().toSet == batch)
+
+    // AUTO-compaction threshold (the write.mor.compact-after-commits
+    // twin for streams): with compactAfterCommits=1, the next wave's
+    // sidecar commit compacts straight back to copy-on-write —
+    // long-running streams never stack unbounded sidecars
+    val bronze3 = Synth.bronze(ordersDf(Seq(
+      (7L, 15L, "O", 700.0, "2024-01-09 00:00:00"))))
+    bronze3.write.mode("append").parquet(bronzeDir)
+    val q3 = StreamingSilver.startMor(spark, bronzeDir, silverDir, cpDir,
+      compactAfterCommits = Some(1))
+    q3.awaitTermination(60000)
+    assert(Snapshot.morVersions(silverDir).isEmpty,
+      "the threshold batch must auto-compact the stream's sidecars")
+    assert(Snapshot.read(spark, silverDir)
+      .filter($"order_id" === 7).count() == 1L)
   }
 
   test("streamed SCD2 converges to the one-shot build, including a " +
