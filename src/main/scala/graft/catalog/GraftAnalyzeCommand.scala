@@ -42,6 +42,13 @@ case class GraftAnalyzeCommand(ns: String, name: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val store = new TableStore(spark)
+    // a WAP session pins reads to the staged branch — ANALYZE there
+    // would record BRANCH row counts against the LIVE version and
+    // file bytes, a silently inconsistent mix; refuse loudly
+    if (GraftDml.wapBranch(spark).nonEmpty)
+      throw new UnsupportedOperationException(
+        "ANALYZE TABLE under spark.wap.branch would mix staged-branch " +
+          "rows with live file statistics — publish the branch first")
     // registry-first, the DML-gate resolution order
     val frame = TableStore.registry(spark).get(Seq(ns, name))
       .orElse(store.snapshotPath(ns, name)

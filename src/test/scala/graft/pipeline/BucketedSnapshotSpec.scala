@@ -113,6 +113,24 @@ class BucketedSnapshotSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("the SQL path reports the same partitioning: a registered " +
+    "bucket-spec table aggregates its key through spark.sql with " +
+    "zero exchanges") {
+    TableStore.reset(spark)
+    val dir = Files.createTempDirectory("spjsql").toString + "/t"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Snapshot.setPartitionSpec(dir, Seq("bucket(8,o_custkey)"))
+    Snapshot.createOrReplaceCurrentSpec(orders, dir)
+    new TableStore(spark).registerSnapshot("spjs", "orders", dir)
+    val agg = spark.sql(
+      """SELECT o_custkey, sum(o_totalprice) AS s
+         FROM spjs.orders GROUP BY o_custkey""")
+    val plan = finalPlan(agg)
+    assert(exchanges(plan) == 0,
+      s"SQL-path bucket-key aggregation must not exchange:\n$plan")
+  }
+
   test("MERGE INTO a bucket-spec snapshot keeps the target side " +
     "exchange-free and commits correctly under the layout") {
     TableStore.reset(spark)
