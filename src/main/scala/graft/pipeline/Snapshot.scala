@@ -1026,9 +1026,23 @@ object Snapshot {
     }
     if (fields.isEmpty)
       ordered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    else ordered.write.mode(SaveMode.Overwrite)
-      .partitionBy(fields.map(_.name): _*).parquet(tmp.toString)
-    joinBucket.foreach { case (n, c) => stampBucketLayout(tmp, n, c) }
+    else if (withDerived.isEmpty) { // pre-shuffle probe: limit(1)
+      // against the input, not the repartitioned frame (whose isEmpty
+      // would execute the whole map stage)
+      // EMPTY partitioned state (TRUNCATE, a DELETE matching every
+      // row): a partitionBy write of zero rows emits NO data files at
+      // all and every later read fails schema inference — write one
+      // flat schema-bearing empty file instead (derived fields ride
+      // along as 0-row data columns; reads hide them by name exactly
+      // as they hide the dir-encoded form). The fragment/bucket layout
+      // returns at the next non-empty commit.
+      ordered.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp.toString)
+    } else {
+      ordered.write.mode(SaveMode.Overwrite)
+        .partitionBy(fields.map(_.name): _*).parquet(tmp.toString)
+      joinBucket.foreach { case (n, c) => stampBucketLayout(tmp, n, c) }
+    }
   }
 
   // -------------------------------------------------------------------

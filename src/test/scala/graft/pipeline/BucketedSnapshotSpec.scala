@@ -174,6 +174,43 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(changed == 0L, "MERGE updates must have landed")
   }
 
+  test("TRUNCATE / DELETE-all leave a partitioned or bucketed table " +
+    "READABLE (empty, schema intact); the layout returns at the next " +
+    "non-empty commit") {
+    TableStore.reset(spark)
+    import spark.implicits._
+    // bucket-spec table
+    val d1 = Files.createTempDirectory("spjtr").toString + "/t"
+    Snapshot.setPartitionSpec(d1, Seq("bucket(4,id)"))
+    Snapshot.createOrReplaceCurrentSpec(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "tag"), d1,
+      keepVersions = 2)
+    new TableStore(spark).registerSnapshot("spjt", "t", d1)
+    spark.sql("TRUNCATE TABLE spjt.t")
+    val empty = spark.sql("SELECT * FROM spjt.t")
+    assert(empty.columns.toSeq.sorted == Seq("id", "tag"),
+      "the truncated table must keep its logical schema")
+    assert(empty.count() == 0L)
+    // identity-partitioned table, emptied by a DELETE matching all
+    val d2 = Files.createTempDirectory("spjtr2").toString + "/t"
+    Snapshot.createOrReplacePartitioned(
+      (1 to 90).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp"),
+      d2, Seq("grp"), keepVersions = 2)
+    new TableStore(spark).registerSnapshot("spjt", "t2", d2)
+    spark.sql("DELETE FROM spjt.t2 WHERE id > 0")
+    val empty2 = spark.sql("SELECT * FROM spjt.t2")
+    assert(empty2.columns.toSeq.sorted == Seq("grp", "id"),
+      "identity partition columns must survive the empty state")
+    assert(empty2.count() == 0L)
+    // the next non-empty commit restores fragments + bucket layout
+    spark.sql("INSERT INTO spjt.t VALUES (7, 'x'), (8, 'y')")
+    assert(Snapshot.bucketLayout(d1).contains((4, "id")),
+      "the bucket layout must return with the next non-empty commit")
+    assert(spark.sql("SELECT count(*) FROM spjt.t").head.getLong(0) == 2L)
+    // pre-truncate state stays time-travelable
+    assert(Snapshot.readAsOf(spark, d1, 1).count() == 100L)
+  }
+
   test("MOR sidecars stack on a bucketed base without breaking reads " +
     "(the zero-exchange claim returns after compaction)") {
     TableStore.reset(spark)
