@@ -738,7 +738,13 @@ object Snapshot {
                                  partitionCols: Seq[String],
                                  keepVersions: Int = 0): Unit = {
     swapIn(path, keepVersions) { tmp =>
-      df.write.mode(SaveMode.Overwrite)
+      // same empty-state guard as the spec-aware write: a partitionBy
+      // write of zero rows emits NO files and leaves the dir
+      // unreadable — write one flat schema-bearing empty file instead
+      if (df.isEmpty)
+        df.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(tmp.toString)
+      else df.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(tmp.toString)
     }
     setPartitionSpec(path, partitionCols)
