@@ -1,0 +1,157 @@
+package graft.ext
+
+import graft.pipeline.Snapshot
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** PERSISTED IVF index — the cell-clustered sibling of [[PqIndex]],
+  * with the one property a derived-per-query IVF can never have: the
+  * corpus is STORED clustered by cell (`<indexDir>/cells` is a
+  * snapshot table Hive-partitioned on `centroid_id`), so a search
+  * probing `nprobe` cells reads ONLY those fragments — partition
+  * pruning at plan time, O(probed cells) bytes instead of O(corpus).
+  * At 100 TB this is the difference between an index and a scan.
+  *
+  * ```
+  * <indexDir>/centroids   (centroid_id, c_embedding)  — nlist rows
+  * <indexDir>/cells       (vec_id, embedding, …) BY centroid_id
+  * <indexDir>/_ivf_meta   corpus version + nlist (atomic)
+  * ```
+  *
+  * Same lifecycle contract as [[PqIndex]]: [[build]] stamps the corpus
+  * snapshot version the cells describe; [[refresh]] assigns ONLY
+  * vectors the cells lack (anti-join + broadcast centroids) and
+  * appends them as a fast-append MOR sidecar — O(delta), base cell
+  * files untouched; reads stay correct because the sidecar merge
+  * applies the probe filter to the (small) append frame too, and
+  * `rewrite_position_delete_files`-style compaction re-fragments the
+  * delta on the maintenance cadence. [[search]] refuses a stale index.
+  * Removed corpus content is rebuild-only, like PQ. */
+object IvfIndex {
+
+  final case class Meta(corpusVersion: Long, nlist: Int)
+
+  def centroidsDir(indexDir: String): String = s"$indexDir/centroids"
+  def cellsDir(indexDir: String): String = s"$indexDir/cells"
+  private def metaFile(indexDir: String) =
+    Paths.get(indexDir, "_ivf_meta")
+
+  def meta(indexDir: String): Option[Meta] = {
+    val f = metaFile(indexDir)
+    if (!Files.exists(f)) None
+    else {
+      val p = new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      Some(Meta(p(0).toLong, p(1).toInt))
+    }
+  }
+
+  private def writeMeta(indexDir: String, m: Meta): Unit = {
+    Files.createDirectories(Paths.get(indexDir))
+    val tmp = Paths.get(indexDir, "_ivf_meta.tmp")
+    Files.write(tmp, s"${m.corpusVersion} ${m.nlist}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, metaFile(indexDir),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def corpusVersionOf(corpusPath: String): Long =
+    Snapshot.currentVersion(corpusPath).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index requires a versioned corpus snapshot at " +
+          s"$corpusPath"))
+
+  /** Hive partition inference may narrow `centroid_id` to INT; pin it
+    * back to the id type every join side uses. */
+  private def cellsRead(spark: SparkSession, indexDir: String): DataFrame =
+    Snapshot.read(spark, cellsDir(indexDir))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+
+  /** Build (or rebuild): sample the codebook, assign every vector to
+    * its single nearest cell, store the corpus CLUSTERED BY CELL.
+    * @return rows assigned */
+  def build(spark: SparkSession, corpusPath: String, indexDir: String,
+            nlist: Int): Long = {
+    val version = corpusVersionOf(corpusPath)
+    val corpus = Snapshot.read(spark, corpusPath)
+    val centroids = SimilarityOps.sampleCentroids(corpus, nlist)
+    Snapshot.createOrReplace(centroids, centroidsDir(indexDir),
+      keepVersions = 1)
+    Snapshot.createOrReplacePartitioned(
+      SimilarityOps.assignCentroids(corpus, centroids, 1),
+      cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1)
+    writeMeta(indexDir, Meta(version, nlist))
+    cellsRead(spark, indexDir).count()
+  }
+
+  /** Assign ONLY vectors the cells lack (one id anti-join, centroids
+    * broadcast) and append them as a MOR fast-append sidecar.
+    * @return newly assigned vectors */
+  def refresh(spark: SparkSession, corpusPath: String,
+              indexDir: String): Long = {
+    val im = meta(indexDir).getOrElse(throw new IllegalStateException(
+      s"no IVF index at $indexDir (build first)"))
+    val version = corpusVersionOf(corpusPath)
+    if (version == im.corpusVersion) return 0L
+    val delta = Snapshot.read(spark, corpusPath)
+      .join(cellsRead(spark, indexDir).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val n = delta.count()
+    if (n > 0) {
+      val centroids = Snapshot.read(spark, centroidsDir(indexDir))
+      Snapshot.morCommit(spark, cellsDir(indexDir), deletes = None,
+        appends = Some(
+          SimilarityOps.assignCentroids(delta, centroids, 1)
+            .withColumn("centroid_id", col("centroid_id").cast("long"))),
+        operation = "append")
+    }
+    writeMeta(indexDir, im.copy(corpusVersion = version))
+    n
+  }
+
+  /** Probe `nprobe` cells per query and rescore exactly within them —
+    * the cells scan carries a `centroid_id IN (…)` filter that PRUNES
+    * whole cell fragments at plan time (IvfIndexSpec pins the
+    * PartitionFilters). Raises when the index is stale.
+    * @param queries (query_id, q_embedding)
+    * @return (query_id, neighbor_id, rank, score) */
+  def search(spark: SparkSession, corpusPath: String, indexDir: String,
+             queries: DataFrame, k: Int, nprobe: Int,
+             excludeSelf: Boolean = true): DataFrame = {
+    val im = meta(indexDir).getOrElse(throw new IllegalStateException(
+      s"no IVF index at $indexDir (build first)"))
+    val version = corpusVersionOf(corpusPath)
+    if (version != im.corpusVersion)
+      throw new IllegalStateException(
+        s"IVF index at $indexDir is STALE: it clusters corpus version " +
+          s"${im.corpusVersion} but the live corpus is v$version — " +
+          "run IvfIndex.refresh (append-only) or rebuild")
+    val centroids = Snapshot.read(spark, centroidsDir(indexDir))
+    val queryCells = SimilarityOps.assignCentroids(
+        queries.select(col("query_id").as("vec_id"),
+          col("q_embedding").as("embedding")), centroids, nprobe)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("centroid_id"))
+      .localCheckpoint()
+    // the probed cell ids — bounded by nlist, one tiny driver read
+    // that turns the cells scan into a fragment-pruned read
+    val probes = queryCells.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = cellsRead(spark, indexDir)
+      .filter(col("centroid_id").isin(probes: _*))
+    val scored = cells.join(broadcast(queryCells), "centroid_id")
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
+              else lit(true))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        SimilarityOps.cosine(col("q_embedding"), col("embedding"))
+          .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+}

@@ -1041,6 +1041,46 @@ object ExtQueries {
     // whole corpus), exact full-precision dot rescores ONLY the
     // shortlist — recall recovers toward exact at shortlist/corpus
     // bandwidth cost, the whole point of a compressed first stage.
+    // X3c' — PERSISTED IVF index lifecycle (the cell-clustered
+    // sibling of q_pq_index): build clusters the 90% corpus into
+    // centroid-partitioned cell fragments, the held-out 10% appends,
+    // refresh assigns exactly the delta (REQUIRED, then a no-op), and
+    // the search reads ONLY the probed cell fragments (fragment
+    // pruning REQUIRED via the formatted plan). Oracle replays the
+    // lifecycle: centroids from the pre-append subset, assignment of
+    // everything against them, nprobe-cell exact rescoring.
+    "q_ivf_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = java.nio.file.Files.createTempDirectory("ivfidxq")
+        .toString
+      val corpus = s"$root/corpus"
+      val idx = s"$root/ivf"
+      val v1 = emb.filter(col("vec_id") % 10 =!= 7)
+      graft.pipeline.Snapshot.createOrReplace(v1, corpus,
+        keepVersions = 3)
+      graft.ext.IvfIndex.build(s, corpus, idx, IvfNlist)
+      graft.pipeline.Snapshot.createOrReplace(emb, corpus,
+        keepVersions = 3)
+      val delta = graft.ext.IvfIndex.refresh(s, corpus, idx)
+      require(delta == emb.count() - v1.count(),
+        s"refresh must assign exactly the appended vectors: $delta")
+      require(graft.ext.IvfIndex.refresh(s, corpus, idx) == 0L,
+        "a second refresh must be a no-op")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val res = graft.ext.IvfIndex.search(s, corpus, idx, queries,
+        k = 5, nprobe = IvfNprobe)
+      val explained = res.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      require(explained.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*centroid_id".r
+          .findFirstIn(explained).isDefined,
+        s"the search must prune unprobed cell fragments:\n$explained")
+      res.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    }),
+
     // X3g'' — PERSISTED PQ index lifecycle: build on the 90% corpus,
     // append the held-out 10%, refresh (REQUIRED to encode exactly the
     // delta as a fast-append sidecar, then be a no-op), and serve the
@@ -2567,6 +2607,45 @@ object ExtQueries {
                CAST(coalesce(sum(CASE WHEN df > 50 THEN df ELSE 0 END),
                  0) AS BIGINT) FROM dft
       ) ORDER BY metric""",
+
+    "q_ivf_index" -> s"""
+      WITH c AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings WHERE vec_id % 10 <> 7
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
+      ),
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c
+          WHERE e.vec_id % 100 = 0
+        ) WHERE rn <= $IvfNprobe
+      ),
+      scored AS (
+        SELECT query_id, a.vec_id AS neighbor_id,
+               ${cosSql("qe", "a.embedding")} AS score
+        FROM assign a JOIN q USING (centroid_id)
+        WHERE a.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, rnk, score
+      FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
 
     "q_topk_ivf" -> s"""
       WITH c AS (
