@@ -337,6 +337,48 @@ case class GraftDescribeTableCommand(ns: String, name: String,
   }
 }
 
+/** `DESCRIBE [EXTENDED] <t> <col>` — Spark's column-describe shape
+  * (info_name, info_value rows): name/type always; EXTENDED adds the
+  * column statistics `ANALYZE TABLE … FOR COLUMNS` persisted (min,
+  * max, num_nulls, distinct_count, avg_col_len), NULL where not
+  * collected — exactly the native command's contract over a metastore
+  * table. */
+case class GraftDescribeColumnCommand(ns: String, name: String,
+                                      column: String, extended: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("info_name", StringType, nullable = false)(),
+    AttributeReference("info_value", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    val df = store.snapshotPath(ns, name)
+      .map(p => graft.pipeline.Snapshot.read(spark, p))
+      .getOrElse(store.table(ns, name))
+    val real = df.columns.find(_.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"DESCRIBE: no such column $column in $ns.$name " +
+          s"(columns: ${df.columns.mkString(", ")})"))
+    val base = Seq(
+      Row("col_name", real),
+      Row("data_type", df.schema(real).dataType.simpleString),
+      Row("comment", df.schema(real).getComment().orNull))
+    if (!extended) base
+    else {
+      val p = s"${GraftStats.ColPrefix}$real."
+      val props = store.properties(ns, name)
+      def g(s0: String) = props.get(p + s0).orNull
+      base ++ Seq(
+        Row("min", g("min")),
+        Row("max", g("max")),
+        Row("num_nulls", g("nulls")),
+        Row("distinct_count", Option(g("ndv"))
+          .map(v => math.round(v.toDouble).toString).orNull),
+        Row("avg_col_len", g("avgLen")))
+    }
+  }
+}
+
 case class GraftShowSchemasCommand(pattern: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =

@@ -320,6 +320,24 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         case None => ac
       }
 
+      // DESCRIBE [EXTENDED] t col — the column-describe arm, same
+      // claim rule; EXTENDED surfaces the persisted ANALYZE column
+      // stats in Spark's native (info_name, info_value) shape
+      case dc: DescribeColumn => dc.relation match {
+        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+          propsTarget(dc.relation) match {
+            case Some((ns, t)) =>
+              val colName = dc.column match {
+                case a: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute => a.nameParts.mkString(".")
+                case other => other.sql
+              }
+              GraftDescribeColumnCommand(ns, t, colName, dc.isExtended)
+            case None => dc
+          }
+        case _ => dc
+      }
+
       // SHOW CREATE TABLE — same claim rule as DESCRIBE
       case sct: ShowCreateTable => propsTarget(sct.child) match {
         case Some((ns, t)) => GraftShowCreateTableCommand(ns, t)

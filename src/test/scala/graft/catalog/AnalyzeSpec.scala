@@ -75,6 +75,27 @@ class AnalyzeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("DESCRIBE EXTENDED t col surfaces the persisted column stats " +
+    "in Spark's (info_name, info_value) shape") {
+    TableStore.reset(spark)
+    mkTable("an", "t4", 1500)
+    spark.sql("ANALYZE TABLE an.t4 COMPUTE STATISTICS FOR COLUMNS id")
+    val rows = spark.sql("DESCRIBE EXTENDED an.t4 id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("col_name") == "id" && rows("data_type") == "bigint")
+    assert(rows("min") == "1.0" && rows("max") == "1500.0", rows)
+    assert(rows("num_nulls") == "0", rows)
+    assert(rows("distinct_count") != null, rows)
+    // un-analyzed column: stats rows present but NULL (native shape)
+    val bare = spark.sql("DESCRIBE EXTENDED an.t4 grp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bare("min") == null && bare("distinct_count") == null, bare)
+    // non-extended: schema info only
+    assert(spark.sql("DESCRIBE an.t4 id").count() == 3)
+    intercept[IllegalArgumentException] {
+      spark.sql("DESCRIBE an.t4 nope") }
+  }
+
   test("NOSCAN records size only (no row count), Spark's contract") {
     TableStore.reset(spark)
     mkTable("an", "t2", 1000)

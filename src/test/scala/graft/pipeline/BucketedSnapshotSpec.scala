@@ -113,6 +113,39 @@ class BucketedSnapshotSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("mismatched bucket counts (16 vs 8) still join exchange-free " +
+    "under Spark's coalesce-buckets-in-join") {
+    val base = Files.createTempDirectory("spjco").toString
+    val d1 = base + "/orders16"
+    val d2 = base + "/cust8"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name")
+    Snapshot.setPartitionSpec(d1, Seq("bucket(16,o_custkey)"))
+    Snapshot.createOrReplaceCurrentSpec(orders, d1)
+    Snapshot.setPartitionSpec(d2, Seq("bucket(8,c_custkey)"))
+    Snapshot.createOrReplaceCurrentSpec(customer, d2)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      val joined = Snapshot.read(spark, d1)
+        .join(Snapshot.read(spark, d2),
+          col("o_custkey") === col("c_custkey"))
+      val plan = finalPlan(joined)
+      assert(exchanges(plan) == 0,
+        s"16x8 bucket join must coalesce, not exchange:\n$plan")
+      assert(joined.count() == orders.join(customer,
+        col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set(
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false")
+    }
+  }
+
   test("the SQL path reports the same partitioning: a registered " +
     "bucket-spec table aggregates its key through spark.sql with " +
     "zero exchanges") {
