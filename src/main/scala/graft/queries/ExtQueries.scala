@@ -1081,6 +1081,38 @@ object ExtQueries {
       res.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
     }),
 
+    // X3h' — IVF-PQ (the IVFADC composition, Jégou et al. 2011): the
+    // persisted index stores PQ CODES clustered by centroid cell, and
+    // the search pays three nested reductions — fragment pruning
+    // (REQUIRED via the formatted plan), ADC over only the probed
+    // cells, exact rerank of the shortlist. The oracle replays all
+    // three joins; IvfPqIndexSpec additionally pins that full-probe
+    // IVFADC degenerates to the plain PQ two-stage read.
+    "q_ivfpq_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = java.nio.file.Files.createTempDirectory("ivfpqq")
+        .toString
+      val corpus = s"$root/corpus"
+      val idx = s"$root/ivfpq"
+      graft.pipeline.Snapshot.createOrReplace(emb, corpus,
+        keepVersions = 2)
+      graft.ext.IvfPqIndex.build(s, corpus, idx, IvfNlist,
+        PqM, PqDsub, PqKsub)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val res = graft.ext.IvfPqIndex.search(s, corpus, idx, queries,
+        k = 5, nprobe = IvfNprobe, shortlist = 40)
+      val explained = res.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      require(explained.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*centroid_id".r
+          .findFirstIn(explained).isDefined,
+        s"the ADC scan must prune unprobed cell fragments:\n$explained")
+      res.orderBy("query_id", "rank")
+    }),
+
     // X3g'' — PERSISTED PQ index lifecycle: build on the 90% corpus,
     // append the held-out 10%, refresh (REQUIRED to encode exactly the
     // delta as a fast-append sidecar, then be a no-op), and serve the
@@ -3110,6 +3142,77 @@ object ExtQueries {
       ORDER BY q.query_id""",
 
     // X3g'' — two-stage twin: ADC shortlist (40) → exact rescore → 5.
+    "q_ivfpq_index" -> s"""
+      WITH $pqCte,
+      c AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
+      ),
+      assign AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      qc AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dotSql("q.qe", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM q CROSS JOIN c
+        ) WHERE rn <= $IvfNprobe
+      ),
+      dtab AS (
+        SELECT q.query_id, b.sub, b.code,
+               CAST(round((${dotSql(pqSliceSql("q.qe", "b.sub"), "b.c_sub",
+                 PqDsub)}) * 1000000.0) AS BIGINT) AS pdot
+        FROM q CROSS JOIN pqbook b
+      ),
+      ascored AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id,
+               sum(d.pdot) AS adc
+        FROM pqenc e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN qc ON qc.centroid_id = a.centroid_id
+        JOIN dtab d ON d.query_id = qc.query_id
+          AND d.sub = e.sub AND d.code = e.code
+        WHERE d.query_id <> e.vec_id
+        GROUP BY 1, 2
+      ),
+      aranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+        FROM ascored
+      ),
+      shortlist AS (SELECT query_id, neighbor_id FROM aranked
+                    WHERE rnk <= 40),
+      rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(round((${dotSql("q.qe", "e.embedding")})
+                 * 1000000.0) AS BIGINT) AS score_micros
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+      ),
+      rranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id
+           ORDER BY score_micros DESC, neighbor_id) AS rnk
+        FROM rescored
+      )
+      SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+             score_micros
+      FROM rranked WHERE rnk <= 5 ORDER BY query_id, rank""",
+
     "q_pq_index" -> s"""
       WITH ${pqCteWith("WHERE vec_id % 10 <> 7")},
       q AS (
