@@ -1113,6 +1113,51 @@ object ExtQueries {
       res.orderBy("query_id", "rank")
     }),
 
+    // X3h'' — the recall audit the IVFADC composition ships with
+    // (every approximate operator carries one): recall@5 of the
+    // persisted three-stage read vs exact inner-product top-5, per
+    // query. Two compounding approximations are being priced — cell
+    // probing (a true neighbor outside the probed cells is
+    // unreachable) and PQ quantization (mostly recovered by the
+    // rerank) — so this audit bounds the composition, not either
+    // layer alone.
+    "q_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = java.nio.file.Files.createTempDirectory("ivfpqr")
+        .toString
+      val corpus = s"$root/corpus"
+      val idx = s"$root/ivfpq"
+      graft.pipeline.Snapshot.createOrReplace(emb, corpus,
+        keepVersions = 2)
+      graft.ext.IvfPqIndex.build(s, corpus, idx, IvfNlist,
+        PqM, PqDsub, PqKsub)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val exact = emb.crossJoin(broadcast(queries))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          SimilarityOps.dot(col("q_embedding"), col("embedding"))
+            .as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+      val approx = graft.ext.IvfPqIndex.search(s, corpus, idx, queries,
+          k = 5, nprobe = IvfNprobe, shortlist = 40)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("recall_at_5", col("hits").cast("double") / 5.0)
+        .orderBy("query_id")
+    }),
+
     // X3g'' — PERSISTED PQ index lifecycle: build on the 90% corpus,
     // append the held-out 10%, refresh (REQUIRED to encode exactly the
     // delta as a fast-append sidecar, then be a no-op), and serve the
@@ -3142,6 +3187,100 @@ object ExtQueries {
       ORDER BY q.query_id""",
 
     // X3g'' — two-stage twin: ADC shortlist (40) → exact rescore → 5.
+    "q_ivfpq_recall" -> s"""
+      WITH $pqCte,
+      c AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
+      ),
+      assign AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      qc AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dotSql("q.qe", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM q CROSS JOIN c
+        ) WHERE rn <= $IvfNprobe
+      ),
+      dtab AS (
+        SELECT q.query_id, b.sub, b.code,
+               CAST(round((${dotSql(pqSliceSql("q.qe", "b.sub"), "b.c_sub",
+                 PqDsub)}) * 1000000.0) AS BIGINT) AS pdot
+        FROM q CROSS JOIN pqbook b
+      ),
+      ascored AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id,
+               sum(d.pdot) AS adc
+        FROM pqenc e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN qc ON qc.centroid_id = a.centroid_id
+        JOIN dtab d ON d.query_id = qc.query_id
+          AND d.sub = e.sub AND d.code = e.code
+        WHERE d.query_id <> e.vec_id
+        GROUP BY 1, 2
+      ),
+      aranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+        FROM ascored
+      ),
+      shortlist AS (SELECT query_id, neighbor_id FROM aranked
+                    WHERE rnk <= 40),
+      rescored AS (
+        -- rank by the SAME quantized micros the engine's rerank uses
+        -- (a raw-double ordering could flip near-ties)
+        SELECT s.query_id, s.neighbor_id,
+               CAST(round((${dotSql("q.qe", "e.embedding")})
+                 * 1000000.0) AS BIGINT) AS score_micros
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+      ),
+      rranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id
+           ORDER BY score_micros DESC, neighbor_id) AS rnk
+        FROM rescored
+      ),
+      approx AS (SELECT query_id, neighbor_id FROM rranked
+                 WHERE rnk <= 5),
+      xscored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${dotSql("qe", "e.embedding")} AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      ),
+      xranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM xscored
+      ),
+      exact AS (SELECT query_id, neighbor_id FROM xranked
+                WHERE rnk <= 5),
+      hits AS (
+        SELECT e.query_id, count(*) AS hits
+        FROM exact e JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+      )
+      SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             coalesce(h.hits, 0)::DOUBLE / 5.0 AS recall_at_5
+      FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id""",
+
     "q_ivfpq_index" -> s"""
       WITH $pqCte,
       c AS (

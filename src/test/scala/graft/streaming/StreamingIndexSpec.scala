@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.ext.PqIndex
+import graft.pipeline.Snapshot
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Streaming ANN-index maintenance pins: per-batch O(delta) corpus
+  * appends + index refreshes, id-keyed idempotence across a
+  * checkpoint-restart replay, and a search that serves the streamed
+  * state without a rebuild. */
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batches append corpus + refresh the PQ index O(delta); " +
+    "a restart replays nothing; search serves the streamed state") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val root = Files.createTempDirectory("stridx").toString
+    val vecDir = s"$root/vectors"
+    val corpus = s"$root/corpus"
+    val idx = s"$root/pq"
+    val cp = s"$root/cp"
+
+    // wave 1 bootstraps corpus + index
+    val w1 = emb.filter(col("vec_id") % 3 === 0).localCheckpoint()
+    w1.write.parquet(vecDir)
+    val q1 = StreamingIndex.startPq(spark, vecDir, corpus, idx, cp,
+      m = 8, dsub = 8, ksub = 16)
+    q1.awaitTermination(60000)
+    assert(Snapshot.read(spark, corpus).count() == w1.count())
+    assert(PqIndex.meta(idx).isDefined)
+    val codesAfter1 =
+      Snapshot.read(spark, PqIndex.codesDir(idx)).count()
+    assert(codesAfter1 == w1.count())
+
+    // wave 2: new vectors + an OVERLAP (replayed ids must not dup)
+    val w2 = emb.filter(col("vec_id") % 3 =!= 0)
+      .unionByName(w1.limit(20)).localCheckpoint()
+    w2.write.mode("append").parquet(vecDir)
+    val q2 = StreamingIndex.startPq(spark, vecDir, corpus, idx, cp,
+      m = 8, dsub = 8, ksub = 16)
+    q2.awaitTermination(60000)
+    assert(Snapshot.read(spark, corpus).count() == emb.count(),
+      "overlapping ids must not duplicate in the corpus")
+    assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
+      == emb.count(), "the index must cover exactly the corpus")
+    assert(Snapshot.morVersions(corpus).nonEmpty,
+      "wave-2 appends must be fast-append sidecars, not rewrites")
+
+    // idle restart: nothing new, nothing changes
+    val v = Snapshot.currentVersion(corpus)
+    val q3 = StreamingIndex.startPq(spark, vecDir, corpus, idx, cp,
+      m = 8, dsub = 8, ksub = 16)
+    q3.awaitTermination(60000)
+    assert(Snapshot.currentVersion(corpus) == v)
+
+    // the maintained index serves without any rebuild
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val res = PqIndex.search(spark, corpus, idx, queries, 5, 40)
+    assert(res.count() > 0)
+    assert(res.filter(col("neighbor_id") % 3 =!= 0).count() > 0,
+      "wave-2 vectors must be reachable through the streamed index")
+  }
+}
