@@ -156,6 +156,7 @@ private[catalog] object GraftDml {
           graft.pipeline.Snapshot.createOrReplaceCurrentSpec(next, p,
             keepVersions =
               graft.pipeline.Snapshot.historicalVersions(p).size + 1)
+          maybeRefreshStats(spark, key, p)
       }
       case None =>
         val result = next.localCheckpoint()
@@ -280,6 +281,42 @@ private[catalog] object GraftDml {
     }
   }
 
+  /** Post-commit STATS REFRESH — `graft.stats.auto-refresh = true`:
+    * after a commit on a table that carries ANALYZE stats, re-stamp
+    * rowCount/size/version from parquet FOOTERS (metadata-only, no
+    * scan) so the broadcast lever survives routine DML instead of the
+    * stats simply voiding. Honesty rules: per-COLUMN stats are
+    * DROPPED (they describe the old rows — serving them under CBO
+    * would steer plans with wrong mins; run ANALYZE … FOR COLUMNS to
+    * restore), and a table with live delete sidecars SKIPS the
+    * refresh entirely (footer rows overstate the live state; the
+    * stale stats void naturally, exactly as without the property).
+    * Default off, like auto-compaction. */
+  def maybeRefreshStats(spark: SparkSession, key: Seq[String],
+                        path: String): Unit = {
+    val store = new TableStore(spark)
+    val props =
+      try store.properties(key.head, key(1))
+      catch { case _: NoSuchElementException => return }
+    if (!props.get("graft.stats.auto-refresh").exists(_.toBoolean))
+      return
+    if (!props.contains(GraftStats.SizeKey)) return // never ANALYZEd
+    val S = graft.pipeline.Snapshot
+    val v = S.currentVersion(path).getOrElse(return)
+    val hasDeletes = S.deleteDirsAsOf(path, v).nonEmpty ||
+      S.posDeleteDirsAsOf(path, v).nonEmpty
+    if (hasDeletes) return // footer counts would overstate live rows
+    val (bytes, rows) = S.dataFileStats(path)
+    val colKeys = props.keys
+      .filter(_.startsWith(GraftStats.ColPrefix)).toSeq
+    if (colKeys.nonEmpty)
+      store.unsetProperties(key.head, key(1), colKeys, ifExists = true)
+    store.setProperties(key.head, key(1), Map(
+      GraftStats.RowsKey -> rows.toString,
+      GraftStats.SizeKey -> math.max(1L, bytes).toString,
+      GraftStats.VersionKey -> v.toString))
+  }
+
   /** Branch-aware snapshot read: the staged WAP branch when the
     * session pins one AND it exists, else the live version. */
   def snapshotRead(spark: SparkSession, path: String): DataFrame =
@@ -318,6 +355,7 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
           posDeletes = Some(S.readLineage(spark, p).as(alias)
             .filter(cond).select(S.LineageFile, S.LineagePos)))
         GraftDml.maybeAutoCompact(spark, key, p)
+        GraftDml.maybeRefreshStats(spark, key, p)
       case Some(p) =>
         // merge-on-read: write ONLY the matched rows as an
         // equality-delete sidecar (distinct — the read-side anti-join
@@ -329,6 +367,7 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
             df.as(alias).filter(cond))),
           appends = None, operation = "delete")
         GraftDml.maybeAutoCompact(spark, key, p)
+        GraftDml.maybeRefreshStats(spark, key, p)
       case None =>
         GraftDml.commit(spark, key, df.as(alias).filter(!cond))
     }
@@ -435,6 +474,7 @@ case class GraftInsertCommand(ns: String, name: String,
         graft.pipeline.Snapshot.morCommit(spark, p,
           deletes = None, appends = Some(checked), operation = "append")
         GraftDml.maybeAutoCompact(spark, Seq(ns, name), p)
+        GraftDml.maybeRefreshStats(spark, Seq(ns, name), p)
       case None =>
         GraftDml.commit(spark, Seq(ns, name),
           if (insert.overwrite) rows else target.union(rows))
@@ -515,6 +555,7 @@ case class GraftUpdateCommand(update: UpdateTable)
           operation = "update",
           posDeletes = Some(matched.select(S.LineageFile, S.LineagePos)))
         GraftDml.maybeAutoCompact(spark, key, p)
+        GraftDml.maybeRefreshStats(spark, key, p)
       case Some(p) =>
         // merge-on-read UPDATE = delete-old + append-new, scoped to the
         // MATCHED rows only (Iceberg's MOR update decomposition). The
@@ -531,6 +572,7 @@ case class GraftUpdateCommand(update: UpdateTable)
           appends = Some(checkedEq),
           operation = "update")
         GraftDml.maybeAutoCompact(spark, key, p)
+        GraftDml.maybeRefreshStats(spark, key, p)
       case None =>
         GraftDml.commit(spark, key,
           df.as(alias).select(df.columns.toSeq.map(outCol): _*))

@@ -201,6 +201,7 @@ case class GraftMergeCommand(merge: MergeIntoTable)
           appends = Some(checked),
           operation = "merge")
         GraftDml.maybeAutoCompact(spark, key, p)
+        GraftDml.maybeRefreshStats(spark, key, p)
       case None =>
         val next = joined
           .select(targetDf.columns.toSeq.map(outCol) :+

@@ -96,6 +96,39 @@ class AnalyzeSpec extends SparkSpec {
       spark.sql("DESCRIBE an.t4 nope") }
   }
 
+  test("graft.stats.auto-refresh keeps rowCount/size current across " +
+    "commits (footer-exact), drops stale column stats, and skips when " +
+    "delete sidecars make footers overstate") {
+    TableStore.reset(spark)
+    val dir = mkTable("an", "t5", 3000)
+    val store = new TableStore(spark)
+    store.setProperties("an", "t5",
+      Map("graft.stats.auto-refresh" -> "true"))
+    spark.sql("ANALYZE TABLE an.t5 COMPUTE STATISTICS FOR COLUMNS id")
+    spark.sql("INSERT INTO an.t5 VALUES (9000001, 'x', 'p')")
+    val props = store.properties("an", "t5")
+    assert(props(GraftStats.RowsKey) == "3001",
+      s"auto-refresh must re-stamp the exact footer count: $props")
+    assert(!props.keys.exists(_.startsWith(GraftStats.ColPrefix)),
+      "stale column stats must drop (run ANALYZE FOR COLUMNS anew)")
+    // the refreshed stats still steer the plan (version matches live)
+    val est = spark.table("an.t5").queryExecution.optimizedPlan.stats
+    assert(est.sizeInBytes == BigInt(props(GraftStats.SizeKey)), est)
+    // with MOR delete sidecars the footer path would overstate — skip
+    spark.sql("""ALTER TABLE an.t5 SET TBLPROPERTIES(
+      'write.delete.mode'='merge-on-read')""")
+    spark.sql("DELETE FROM an.t5 WHERE id = 1")
+    val after = store.properties("an", "t5")
+    assert(after(GraftStats.RowsKey) == "3001",
+      "a sidecar commit must not refresh from footers")
+    // … and the stale stats void naturally (version moved past them):
+    // the serving gate reports them non-current (the plan's default
+    // file-size estimate may numerically coincide with the stamped
+    // footer bytes, so the gate — not the number — is the pin)
+    assert(GraftStats.currentStats(spark, "an", "t5", dir).isEmpty,
+      "stats recorded for an older version must not be current")
+  }
+
   test("NOSCAN records size only (no row count), Spark's contract") {
     TableStore.reset(spark)
     mkTable("an", "t2", 1000)
