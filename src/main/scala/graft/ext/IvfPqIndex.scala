@@ -76,15 +76,18 @@ object IvfPqIndex {
     Snapshot.read(spark, cellsDir(indexDir))
       .withColumn("centroid_id", col("centroid_id").cast("long"))
 
-  /** Assign to cells and PQ-encode in one pass over `vectors`. */
+  /** Assign to cells and PQ-encode in ONE pass over `vectors`: the
+    * encode is a scan-side projection (literal codebook) applied
+    * directly onto the assignment's output — no second corpus scan,
+    * no vec_id join/shuffle. */
   private def assignAndEncode(spark: SparkSession, vectors: DataFrame,
                               centroids: DataFrame,
                               book: Seq[(Int, Int, Seq[Double])],
                               m: Int, dsub: Int): DataFrame =
-    SimilarityOps.assignCentroids(vectors, centroids, 1)
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
-      .join(SimilarityOps.pqEncode(vectors, book, m, dsub), "vec_id")
-      .select("vec_id", "codes", "centroid_id")
+    SimilarityOps.pqEncode(
+      SimilarityOps.assignCentroids(vectors, centroids, 1)
+        .withColumn("centroid_id", col("centroid_id").cast("long")),
+      book, m, dsub, keep = Seq("centroid_id"))
 
   /** Build: sample centroids, train the PQ book, store codes
     * CLUSTERED BY CELL. @return vectors indexed */

@@ -592,9 +592,12 @@ object SimilarityOps {
     * d2 = ((x·x − 2·(x·c)) + c·c), dots strict left folds, c·c folded
     * driver-side with the same op sequence — bit-replayable in SQL.
     *
-    * @return (vec_id, codes array<int>) */
+    * `keep` carries extra columns through (e.g. a cell assignment —
+    * [[graft.ext.IvfPqIndex]] encodes and clusters in ONE pass instead
+    * of joining two corpus scans).
+    * @return (vec_id, codes array<int>, keep…) */
   def pqEncode(corpus: DataFrame, book: Seq[(Int, Int, Seq[Double])],
-               m: Int, dsub: Int): DataFrame = {
+               m: Int, dsub: Int, keep: Seq[String] = Nil): DataFrame = {
     val bySub = book.groupBy(_._1)
     val codeCols = (0 until m).map { s =>
       val sl = slice(col("embedding"), s * dsub + 1, dsub)
@@ -606,7 +609,8 @@ object SimilarityOps {
       }: _*)
       array_min(scored).getField("code")
     }
-    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    corpus.select(col("vec_id") +: array(codeCols: _*).as("codes") +:
+      keep.map(col): _*)
   }
 
   /** X3g' — asymmetric-distance top-k over PQ codes (the ADC read
