@@ -468,8 +468,15 @@ case class GraftShowCreateTableCommand(ns: String, name: String)
         else props.toSeq.sorted
           .map { case (k, v) => s"'$k' = '$v'" }
           .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+      // the partition spec round-trips (Iceberg's SHOW CREATE carries
+      // PARTITIONED BY, transforms included)
+      val specClause = store.snapshotPath(ns, name)
+        .map(graft.pipeline.Snapshot.partitionSpec)
+        .filter(_.nonEmpty)
+        .map(_.mkString("\nPARTITIONED BY (", ", ", ")"))
+        .getOrElse("")
       s"CREATE TABLE iceberg.$ns.$name (\n$cols)\nUSING iceberg" +
-        propsClause
+        specClause + propsClause
     }
     Seq(Row(stmt))
   }

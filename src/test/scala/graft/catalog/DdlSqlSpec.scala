@@ -674,6 +674,17 @@ FROM iceberg.silver.orders_current""")
       ext.contains(("Table Properties", "[k=v]")))
     // plain DESCRIBE is unchanged (schema rows only)
     assert(spark.sql("DESCRIBE intro.t").count() == 2)
+    // a spec'd table's SHOW CREATE carries PARTITIONED BY (transforms
+    // in their canonical spelling — the statement round-trips)
+    val pdir = java.nio.file.Files.createTempDirectory("introp")
+      .toString + "/p"
+    graft.pipeline.Snapshot.setPartitionSpec(pdir,
+      Seq("bucket(4,id)", "name"))
+    graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+      Seq((1, "x")).toDF("id", "name"), pdir)
+    store.registerSnapshot("intro", "p", pdir)
+    val pstmt = spark.sql("SHOW CREATE TABLE intro.p").as[String].head()
+    assert(pstmt.contains("PARTITIONED BY (bucket(4,id), name)"), pstmt)
   }
 
   test("registering a table over a name that held a SQL view clears " +
