@@ -470,14 +470,18 @@ object GraftCallCommand {
   /** `where => "f = 'v' AND g IN (1, 2)"` → field → allowed raw
     * fragment values. The conjunctive equality/IN grammar is the shape
     * Iceberg's own partition-scoped rewrite takes; anything else (OR,
-    * ranges, functions) raises with the supported form. */
+    * ranges, functions) raises with the supported form. A field named
+    * in several conjuncts keeps the INTERSECTION of its allowed sets
+    * (`f = 'a' AND f IN ('b')` allows nothing — conjunction
+    * semantics), and the AND split is quote-aware, so a quoted value
+    * containing the word AND stays one value. */
   private[catalog] def parseWhere(
       where: String): Map[String, Seq[String]] = {
     val Eq = """(?i)^\s*([\w]+)\s*=\s*(?:'([^']*)'|([\w.+-]+))\s*$""".r
     val In =
       """(?i)^\s*([\w]+)\s+IN\s*\(\s*(.+?)\s*\)\s*$""".r
     val Item = """(?:'([^']*)'|([\w.+-]+))""".r
-    where.split("(?i)\\bAND\\b").toSeq.map(_.trim).map {
+    splitAndOutsideQuotes(where).map(_.trim).map {
       case Eq(f, q, bare) => f -> Seq(Option(q).getOrElse(bare))
       case In(f, items) => f -> Item.findAllMatchIn(items).map(m =>
         Option(m.group(1)).getOrElse(m.group(2))).toSeq
@@ -485,7 +489,34 @@ object GraftCallCommand {
         s"rewrite_data_files where supports conjunctions of " +
           s"`field = value` and `field IN (…)` only; got: '$other'")
     }.groupBy(_._1).view
-      .mapValues(_.flatMap(_._2).distinct.toSeq).toMap
+      .mapValues { conjuncts =>
+        // conjunction over one field = set intersection of its allowed
+        // values (first-conjunct order kept for determinism)
+        conjuncts.map(_._2.distinct)
+          .reduce((a, b) => a.filter(b.contains))
+      }.toMap
+  }
+
+  /** Split on the keyword AND at word boundaries, but never inside a
+    * single-quoted value. */
+  private def splitAndOutsideQuotes(s: String): Seq[String] = {
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; cur.append(c); i += 1 }
+      else if (!inQuote && (c == 'A' || c == 'a') &&
+          i + 3 <= s.length && s.regionMatches(true, i, "AND", 0, 3) &&
+          (i == 0 || !wordChar(s.charAt(i - 1))) &&
+          (i + 3 == s.length || !wordChar(s.charAt(i + 3)))) {
+        out += cur.toString(); cur.clear(); i += 3
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.toString()
+    out.toSeq
   }
 
   /** Timestamp-cutoff argument → epoch micros: a TIMESTAMP literal

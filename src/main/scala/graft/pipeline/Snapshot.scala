@@ -1207,7 +1207,17 @@ object Snapshot {
     *
     * `coalesce` (not `repartition`) — merging files needs no shuffle,
     * only fewer output tasks; each task concatenates whole input
-    * splits. */
+    * splits.
+    *
+    * SPEC-AWARE: a table with a partition spec, a bucket join layout,
+    * or a WRITE ORDERED BY sidecar rewrites through
+    * [[writeUnderCurrentSpec]] (the same staged write the MOR
+    * compaction uses), so compaction preserves the fragment dirs, the
+    * `_graft_buckets` storage-partitioned-join marker, and the sort
+    * clustering instead of silently flattening them; `targetFiles`
+    * then bounds the tasks FEEDING the layout (per-fragment file
+    * count), while a bucket layout keeps its own one-file-per-bucket
+    * file count (the layout's invariant). */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
               keepVersions: Int = 0): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
@@ -1216,11 +1226,15 @@ object Snapshot {
     // commit's expected base — a commit landing mid-materialization
     // conflicts instead of being overwritten by stale compacted data.
     val base = currentVersion(path)
+    val specAware = partitionSpec(path).nonEmpty ||
+      bucketLayout(path).isDefined || sortOrder(path).nonEmpty
     val compacted = read(spark, path).coalesce(targetFiles)
       .localCheckpoint()
     swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
-      compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (specAware) writeUnderCurrentSpec(compacted, path, tmp)
+      else compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
+    if (specAware) publishOrderManifest(spark, path)
   }
 
   /** PARTITION-SCOPED compaction — Iceberg's `rewrite_data_files(where

@@ -25,6 +25,24 @@ class CallSqlSpec extends SparkSpec {
     (store, dir)
   }
 
+  test("parseWhere: repeated fields intersect; quoted AND survives") {
+    // conjunction over one field = intersection, not union
+    assert(GraftCallCommand.parseWhere("f = 'a' AND f IN ('b')")
+      == Map("f" -> Seq.empty))
+    assert(GraftCallCommand.parseWhere(
+      "f IN ('a','b','c') AND f IN ('b','c','d')")
+      == Map("f" -> Seq("b", "c")))
+    // a quoted value containing the word AND is ONE value
+    assert(GraftCallCommand.parseWhere("f = 'rock AND roll'")
+      == Map("f" -> Seq("rock AND roll")))
+    assert(GraftCallCommand.parseWhere(
+      "f IN ('x AND y', 'z') AND g = '1'")
+      == Map("f" -> Seq("x AND y", "z"), "g" -> Seq("1")))
+    // word-boundary: a field named ANDREW does not split
+    assert(GraftCallCommand.parseWhere("android = '1'")
+      == Map("android" -> Seq("1")))
+  }
+
   test("rewrite_data_files compacts to the target file count, keeps " +
     "rows and history") {
     val (_, dir) = fixture()

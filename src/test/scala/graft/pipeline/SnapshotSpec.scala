@@ -477,4 +477,48 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.readAsOf(spark, dir, prev.last)
       .as[(Long, String)].collect().toSet == rowsBefore)
   }
+
+  test("compact on a bucket-spec table preserves the storage-" +
+    "partitioned-join layout (marker, fragments, zero-exchange scan)") {
+    val dir = Files.createTempDirectory("compactb").toString + "/t"
+    Snapshot.setPartitionSpec(dir, Seq("bucket(4,id)"))
+    Snapshot.createOrReplaceCurrentSpec(
+      (1L to 200L).map(i => (i, s"p$i")).toDF("id", "payload"), dir)
+    assert(Snapshot.bucketLayout(dir).isDefined)
+    val rowsBefore = Snapshot.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+
+    Snapshot.compact(spark, dir, targetFiles = 2, keepVersions = 1)
+
+    // the binpack rewrite must NOT flatten the layout: marker intact,
+    // and the scan still reports the murmur3 bucket partitioning (no
+    // exchange under a groupBy on the bucket column)
+    assert(Snapshot.bucketLayout(dir).contains((4, "id")),
+      "compact dropped the _graft_buckets marker")
+    assert(Snapshot.read(spark, dir)
+      .as[(Long, String)].collect().toSet == rowsBefore)
+    val agg = Snapshot.read(spark, dir).groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"post-compact scan lost its bucket partitioning:\n$plan")
+  }
+
+  test("compact on a partition-spec table keeps its fragment dirs") {
+    val dir = Files.createTempDirectory("compactp").toString + "/t"
+    Snapshot.setPartitionSpec(dir, Seq("part"))
+    Snapshot.createOrReplaceCurrentSpec(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "part"), dir)
+    Snapshot.compact(spark, dir, targetFiles = 1)
+    import scala.jdk.CollectionConverters._
+    val frags = Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.contains("=")).toSet
+    assert(frags == Set("part=a", "part=b"),
+      s"compact flattened the Hive layout: $frags")
+    assert(Snapshot.read(spark, dir).count() == 3)
+  }
 }
