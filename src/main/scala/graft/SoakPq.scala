@@ -5,21 +5,26 @@ import org.apache.spark.sql.functions._
 
 /** Persisted-PQ-index lifecycle soak: at each corpus scale, time the
   * full [[graft.ext.PqIndex.build]] against an incremental
-  * [[graft.ext.PqIndex.refresh]] after a FIXED 2k-vector append. The
-  * 100-TB claim: build is O(corpus) (every vector encodes), refresh is
-  * O(delta) encode plus one id anti-join — its cost must stay near-flat
-  * while build grows linearly, or the index would be re-encoded per
-  * append and the build-once/query-many story collapses.
+  * [[graft.ext.PqIndex.refresh]] after a FIXED 2k-vector FAST-APPEND
+  * commit. The 100-TB claim: build is O(corpus) (every vector
+  * encodes), refresh is O(delta) — its delta comes from the corpus's
+  * commit window (the appended sidecar files), so the corpus is never
+  * re-scanned and refresh cost must stay FLAT while the corpus (and
+  * build) grows by orders of magnitude, or the index would be
+  * re-encoded per append and the build-once/query-many story
+  * collapses. The append is a MOR fast-append ([[graft.pipeline
+  * .Snapshot.morCommit]]) — the path a streaming maintainer commits
+  * through — so the soak times the discovery arm that runs at scale.
   *
-  * Usage: `sbt "runMain graft.SoakPq [mult,mult,…]"` (default 8,32,128
-  * over sf0.1 embeddings — the fixture has 2k vectors, so the scales
-  * are 16k/64k/256k with a fixed 2k-vector append). Prints one JSON line.
-  */
+  * Usage: `sbt "runMain graft.SoakPq [mult,mult,…]"` (default
+  * 2,16,128,256 over sf0.1 embeddings — the fixture has 2k vectors,
+  * so the corpus spans 4k → 512k, a 128× growth, with a fixed
+  * 2k-vector append). Prints one JSON line. */
 object SoakPq {
   def main(args: Array[String]): Unit = {
     val mults = args.headOption
       .map(_.split(",").map(_.trim.toInt).toSeq)
-      .getOrElse(Seq(8, 32, 128))
+      .getOrElse(Seq(2, 16, 128, 256))
     val sfDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,7 +50,7 @@ object SoakPq {
       val root = java.nio.file.Files.createTempDirectory(s"sp$mult")
       val corpus = s"$root/corpus"
       val idx = s"$root/pq"
-      // v1 = everything but a fixed 5k tail; v2 appends the tail
+      // v1 = everything but a fixed 2k tail; the tail fast-appends
       val ordered = scaled.orderBy("vec_id").localCheckpoint()
       val rows = ordered.count()
       val tail = ordered.orderBy(col("vec_id").desc).limit(
@@ -57,8 +62,8 @@ object SoakPq {
       val t0 = System.nanoTime()
       graft.ext.PqIndex.build(spark, corpus, idx, 8, 8, 16)
       val tBuild = (System.nanoTime() - t0) / 1e9
-      graft.pipeline.Snapshot.createOrReplace(ordered, corpus,
-        keepVersions = 2)
+      graft.pipeline.Snapshot.morCommit(spark, corpus, deletes = None,
+        appends = Some(tail), operation = "append")
       val t1 = System.nanoTime()
       val d = graft.ext.PqIndex.refresh(spark, corpus, idx)
       val tRefresh = (System.nanoTime() - t1) / 1e9

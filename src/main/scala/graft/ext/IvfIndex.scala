@@ -21,17 +21,26 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * ```
   *
   * Same lifecycle contract as [[PqIndex]]: [[build]] stamps the corpus
-  * snapshot version the cells describe; [[refresh]] assigns ONLY
-  * vectors the cells lack (anti-join + broadcast centroids) and
-  * appends them as a fast-append MOR sidecar — O(delta), base cell
-  * files untouched; reads stay correct because the sidecar merge
-  * applies the probe filter to the (small) append frame too, and
+  * snapshot version the cells describe; [[refresh]] discovers the
+  * delta from the corpus's commit window
+  * ([[IndexDelta.appendedSince]] — O(appended rows) on the
+  * fast-append path, never a corpus re-scan), assigns it against the
+  * broadcast centroids, and appends it as a fast-append MOR sidecar —
+  * base cell files untouched; reads stay correct because the sidecar
+  * merge applies the probe filter to the (small) append frame too, and
   * `rewrite_position_delete_files`-style compaction re-fragments the
   * delta on the maintenance cadence. [[search]] refuses a stale index.
-  * Removed corpus content is rebuild-only, like PQ. */
+  * Removed corpus content is rebuild-only, like PQ — and refresh
+  * RAISES on a delete-carrying window instead of stamping the version
+  * (a silently "fresh" index would keep serving deleted vectors, the
+  * one case IVF cannot mask: its cells store the embeddings and
+  * search never joins back to the corpus). */
 object IvfIndex {
 
-  final case class Meta(corpusVersion: Long, nlist: Int)
+  /** `cellsVersion`: crash detector for the idempotence guard — see
+    * [[PqIndex.Meta]]. */
+  final case class Meta(corpusVersion: Long, cellsVersion: Long,
+                        nlist: Int)
 
   def centroidsDir(indexDir: String): String = s"$indexDir/centroids"
   def cellsDir(indexDir: String): String = s"$indexDir/cells"
@@ -44,14 +53,14 @@ object IvfIndex {
     else {
       val p = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-      Some(Meta(p(0).toLong, p(1).toInt))
+      Some(Meta(p(0).toLong, p(1).toLong, p(2).toInt))
     }
   }
 
   private def writeMeta(indexDir: String, m: Meta): Unit = {
     Files.createDirectories(Paths.get(indexDir))
     val tmp = Paths.get(indexDir, "_ivf_meta.tmp")
-    Files.write(tmp, s"${m.corpusVersion} ${m.nlist}\n"
+    Files.write(tmp, s"${m.corpusVersion} ${m.cellsVersion} ${m.nlist}\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(indexDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -82,12 +91,15 @@ object IvfIndex {
     Snapshot.createOrReplacePartitioned(
       SimilarityOps.assignCentroids(corpus, centroids, 1),
       cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1)
-    writeMeta(indexDir, Meta(version, nlist))
+    writeMeta(indexDir, Meta(version,
+      Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L), nlist))
     cellsRead(spark, indexDir).count()
   }
 
-  /** Assign ONLY vectors the cells lack (one id anti-join, centroids
-    * broadcast) and append them as a MOR fast-append sidecar.
+  /** Assign the commit-window delta ([[IndexDelta.appendedSince]] —
+    * O(appended rows), no corpus re-scan; raises on removed rows) and
+    * append it as a MOR fast-append sidecar. The id idempotence guard
+    * runs only when `cellsVersion` shows a crashed partial refresh.
     * @return newly assigned vectors */
   def refresh(spark: SparkSession, corpusPath: String,
               indexDir: String): Long = {
@@ -95,10 +107,14 @@ object IvfIndex {
       s"no IVF index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
-    val delta = Snapshot.read(spark, corpusPath)
-      .join(cellsRead(spark, indexDir).select("vec_id"),
+    val appended = IndexDelta.appendedSince(spark, corpusPath,
+      im.corpusVersion, version, "IVF index")
+    val cellsLive = Snapshot.currentVersion(cellsDir(indexDir))
+    val fresh =
+      if (cellsLive.contains(im.cellsVersion)) appended
+      else appended.join(cellsRead(spark, indexDir).select("vec_id"),
         Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+    val delta = fresh.localCheckpoint()
     val n = delta.count()
     if (n > 0) {
       val centroids = Snapshot.read(spark, centroidsDir(indexDir))
@@ -108,7 +124,9 @@ object IvfIndex {
             .withColumn("centroid_id", col("centroid_id").cast("long"))),
         operation = "append")
     }
-    writeMeta(indexDir, im.copy(corpusVersion = version))
+    writeMeta(indexDir, im.copy(corpusVersion = version,
+      cellsVersion =
+        Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L)))
     n
   }
 

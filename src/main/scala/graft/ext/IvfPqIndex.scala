@@ -32,12 +32,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * absorbs the difference.)
   *
   * Same lifecycle contract as the parents: build stamps the corpus
-  * version; refresh assigns + encodes ONLY missing vectors as a
-  * fast-append sidecar; search refuses a stale index. */
+  * version; refresh assigns + encodes the commit-window delta
+  * ([[IndexDelta.appendedSince]] — O(appended rows), no corpus
+  * re-scan; raises on removed rows) as a fast-append sidecar; search
+  * refuses a stale index. */
 object IvfPqIndex {
 
-  final case class Meta(corpusVersion: Long, nlist: Int, m: Int,
-                        dsub: Int, ksub: Int)
+  /** `cellsVersion`: crash detector for the idempotence guard — see
+    * [[PqIndex.Meta]]. */
+  final case class Meta(corpusVersion: Long, cellsVersion: Long,
+                        nlist: Int, m: Int, dsub: Int, ksub: Int)
 
   def centroidsDir(indexDir: String): String = s"$indexDir/centroids"
   def codebookDir(indexDir: String): String = s"$indexDir/codebook"
@@ -51,8 +55,8 @@ object IvfPqIndex {
     else {
       val p = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-      Some(Meta(p(0).toLong, p(1).toInt, p(2).toInt, p(3).toInt,
-        p(4).toInt))
+      Some(Meta(p(0).toLong, p(1).toLong, p(2).toInt, p(3).toInt,
+        p(4).toInt, p(5).toInt))
     }
   }
 
@@ -60,7 +64,8 @@ object IvfPqIndex {
     Files.createDirectories(Paths.get(indexDir))
     val tmp = Paths.get(indexDir, "_ivfpq_meta.tmp")
     Files.write(tmp,
-      s"${m.corpusVersion} ${m.nlist} ${m.m} ${m.dsub} ${m.ksub}\n"
+      (s"${m.corpusVersion} ${m.cellsVersion} ${m.nlist} ${m.m} " +
+        s"${m.dsub} ${m.ksub}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(indexDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -104,22 +109,29 @@ object IvfPqIndex {
     Snapshot.createOrReplacePartitioned(
       assignAndEncode(spark, corpus, centroids, book, m, dsub),
       cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1)
-    writeMeta(indexDir, Meta(version, nlist, m, dsub, ksub))
+    writeMeta(indexDir, Meta(version,
+      Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L),
+      nlist, m, dsub, ksub))
     cellsRead(spark, indexDir).count()
   }
 
-  /** Assign + encode ONLY vectors the cells lack, as a fast-append
-    * sidecar. @return newly indexed vectors */
+  /** Assign + encode the commit-window delta as a fast-append
+    * sidecar — O(appended rows); raises (version gate stays stale)
+    * when the window removed rows. @return newly indexed vectors */
   def refresh(spark: SparkSession, corpusPath: String,
               indexDir: String): Long = {
     val im = meta(indexDir).getOrElse(throw new IllegalStateException(
       s"no IVF-PQ index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
-    val delta = Snapshot.read(spark, corpusPath)
-      .join(cellsRead(spark, indexDir).select("vec_id"),
+    val appended = IndexDelta.appendedSince(spark, corpusPath,
+      im.corpusVersion, version, "IVF-PQ index")
+    val cellsLive = Snapshot.currentVersion(cellsDir(indexDir))
+    val fresh =
+      if (cellsLive.contains(im.cellsVersion)) appended
+      else appended.join(cellsRead(spark, indexDir).select("vec_id"),
         Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+    val delta = fresh.localCheckpoint()
     val n = delta.count()
     if (n > 0) {
       val centroids = Snapshot.read(spark, centroidsDir(indexDir))
@@ -132,7 +144,9 @@ object IvfPqIndex {
           im.m, im.dsub)),
         operation = "append")
     }
-    writeMeta(indexDir, im.copy(corpusVersion = version))
+    writeMeta(indexDir, im.copy(corpusVersion = version,
+      cellsVersion =
+        Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L)))
     n
   }
 

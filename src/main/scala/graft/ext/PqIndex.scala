@@ -21,14 +21,17 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *  - [[build]] trains the codebook on the corpus AS OF the build and
   *    encodes everything; the meta records WHICH corpus snapshot
   *    version the codes describe.
-  *  - [[refresh]] encodes ONLY vectors the codes table lacks (one
-  *    anti-join on vec_id) and commits them as a merge-on-read
-  *    fast-append sidecar — O(delta) write, base code files untouched
-  *    (SoakPq measures it flat-in-corpus). The codebook is NOT
-  *    retrained (standard PQ practice: codebooks drift slowly;
-  *    retrain = rebuild). Content REMOVED from the corpus is not
-  *    refresh-able — rebuild (orphan codes would resurrect deleted
-  *    neighbors).
+  *  - [[refresh]] discovers the delta from the corpus's COMMIT WINDOW
+  *    ([[IndexDelta.appendedSince]]): fast-append commits carry their
+  *    rows as sidecar files, so the delta read is O(appended rows) —
+  *    the corpus is never re-scanned (SoakPq measures refresh FLAT
+  *    while the corpus grows 128× at fixed delta). The new codes
+  *    commit as a merge-on-read fast-append sidecar — base code files
+  *    untouched. The codebook is NOT retrained (standard PQ practice:
+  *    codebooks drift slowly; retrain = rebuild). Content REMOVED
+  *    from the corpus is not refresh-able — refresh RAISES and leaves
+  *    the version gate stale (orphan codes would resurrect deleted
+  *    neighbors); rebuild instead.
   *  - [[search]] is the two-stage read (broad ADC shortlist from the
   *    codes, exact rerank of the shortlist against full-precision
   *    vectors) and REFUSES a stale index: the meta's corpus version
@@ -43,8 +46,13 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object PqIndex {
 
-  final case class Meta(corpusVersion: Long, m: Int, dsub: Int,
-                        ksub: Int)
+  /** `codesVersion` records the codes-table version the last
+    * successful build/refresh left behind — the crash detector: when
+    * the codes table sits exactly there, no partially-committed
+    * refresh exists and the idempotence guard is skipped entirely
+    * (zero index reads on the happy path). */
+  final case class Meta(corpusVersion: Long, codesVersion: Long,
+                        m: Int, dsub: Int, ksub: Int)
 
   def codebookDir(indexDir: String): String = s"$indexDir/codebook"
   def codesDir(indexDir: String): String = s"$indexDir/codes"
@@ -57,15 +65,17 @@ object PqIndex {
     else {
       val p = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-      Some(Meta(p(0).toLong, p(1).toInt, p(2).toInt, p(3).toInt))
+      Some(Meta(p(0).toLong, p(1).toLong, p(2).toInt, p(3).toInt,
+        p(4).toInt))
     }
   }
 
   private def writeMeta(indexDir: String, m: Meta): Unit = {
     Files.createDirectories(Paths.get(indexDir))
     val tmp = Paths.get(indexDir, "_pq_meta.tmp")
-    Files.write(tmp, s"${m.corpusVersion} ${m.m} ${m.dsub} ${m.ksub}\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(tmp,
+      s"${m.corpusVersion} ${m.codesVersion} ${m.m} ${m.dsub} ${m.ksub}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(indexDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -90,25 +100,39 @@ object PqIndex {
     Snapshot.createOrReplace(
       SimilarityOps.pqEncode(corpus, book, m, dsub),
       codesDir(indexDir), keepVersions = 1)
-    writeMeta(indexDir, Meta(version, m, dsub, ksub))
+    writeMeta(indexDir, Meta(version,
+      Snapshot.currentVersion(codesDir(indexDir)).getOrElse(0L),
+      m, dsub, ksub))
     Snapshot.read(spark, codesDir(indexDir)).count()
   }
 
   /** Incrementally encode vectors appended to the corpus since the
-    * index last saw it: ONE anti-join finds the un-encoded vec_ids,
-    * the stored codebook encodes them scan-side, and the new codes
-    * land as a fast-append MOR sidecar — base code files are never
-    * rewritten. @return the number of newly encoded vectors */
+    * index last saw it. The delta comes from the corpus's COMMIT
+    * WINDOW ([[IndexDelta.appendedSince]]) — on the fast-append path
+    * the read is O(appended rows) and the corpus base files are never
+    * touched; a window that removed rows raises (rebuild required,
+    * version gate stays stale); a copy-on-write rebase falls back to
+    * the exact [[Snapshot.diff]]. The stored codebook encodes the
+    * delta scan-side and the new codes land as a fast-append MOR
+    * sidecar. A refresh that crashed between its codes commit and its
+    * meta write is detected from `codesVersion` and guarded by an
+    * id anti-join with the SMALL delta on the probe side — the happy
+    * path never reads the index. @return newly encoded vectors */
   def refresh(spark: SparkSession, corpusPath: String,
               indexDir: String): Long = {
     val im = meta(indexDir).getOrElse(throw new IllegalStateException(
       s"no PQ index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
-    val codes = Snapshot.read(spark, codesDir(indexDir))
-    val delta = Snapshot.read(spark, corpusPath)
-      .join(codes.select("vec_id"), Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+    val appended = IndexDelta.appendedSince(spark, corpusPath,
+      im.corpusVersion, version, "PQ index")
+    val codesLive = Snapshot.currentVersion(codesDir(indexDir))
+    val fresh =
+      if (codesLive.contains(im.codesVersion)) appended
+      else appended.join(
+        Snapshot.read(spark, codesDir(indexDir)).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    val delta = fresh.localCheckpoint()
     val n = delta.count()
     if (n > 0) {
       val book = Snapshot.read(spark, codebookDir(indexDir))
@@ -119,7 +143,9 @@ object PqIndex {
         appends = Some(SimilarityOps.pqEncode(delta, book, im.m, im.dsub)),
         operation = "append")
     }
-    writeMeta(indexDir, im.copy(corpusVersion = version))
+    writeMeta(indexDir, im.copy(corpusVersion = version,
+      codesVersion =
+        Snapshot.currentVersion(codesDir(indexDir)).getOrElse(0L)))
     n
   }
 

@@ -1534,6 +1534,59 @@ object Snapshot {
       .filter(col("op").isNotNull)
   }
 
+  /** Classification of the commits in `(sinceVersion, live]` of a
+    * table — the O(metadata) delta-discovery primitive incremental
+    * consumers (persisted-index refresh, ST9 streaming maintenance)
+    * use instead of re-deriving "what's new" from a full-corpus
+    * anti-join. Fast-append MOR commits carry their delta as sidecar
+    * files, so when every commit in the window is one, the delta IS
+    * the union of those append dirs — zero base-table reads. */
+  sealed trait CommitWindow
+  object CommitWindow {
+    /** Every commit in the window is a fast-append MOR sidecar;
+      * `appendDirs` lists their parquet dirs in commit order (a
+      * commit that appended nothing contributes no dir). Reading
+      * them is O(appended rows). */
+    final case class FastAppends(appendDirs: Seq[String])
+        extends CommitWindow
+    /** At least one commit in the window carries equality- or
+      * position-delete sidecars — rows were REMOVED or UPDATED;
+      * an append-only consumer must rebuild, not refresh. */
+    final case class CarriesDeletes(versions: Seq[Long])
+        extends CommitWindow
+    /** A copy-on-write commit (replace/compact/overwrite) re-based
+      * the table inside the window — the per-commit deltas are gone;
+      * recover row-level changes via [[Snapshot.diff]] against a
+      * retained version, or rebuild. */
+    final case class Rebased(baseVersion: Long) extends CommitWindow
+  }
+
+  /** Classify the commits in `(sinceVersion, live]` of `path` — pure
+    * filesystem metadata (the `_mor/vN` sidecar listing), no data
+    * read. `sinceVersion == live` yields `FastAppends(Nil)`. */
+  def commitsSince(path: String, sinceVersion: Long): CommitWindow = {
+    val live = currentVersion(path).getOrElse(
+      throw new IllegalStateException(
+        s"commitsSince needs a versioned snapshot at $path"))
+    require(sinceVersion <= live,
+      s"sinceVersion $sinceVersion is ahead of the live version $live " +
+        s"at $path")
+    val base = markerVersion(path).getOrElse(0L)
+    if (base > sinceVersion) CommitWindow.Rebased(base)
+    else {
+      val window = morVersions(path).filter(_ > sinceVersion)
+      val withDeletes = window.filter { v =>
+        val root = morRoot(path).resolve(s"v$v")
+        Files.isDirectory(root.resolve("deletes")) ||
+          Files.isDirectory(root.resolve("pos_deletes"))
+      }
+      if (withDeletes.nonEmpty) CommitWindow.CarriesDeletes(withDeletes)
+      else CommitWindow.FastAppends(window
+        .map(v => morRoot(path).resolve(s"v$v").resolve("appends"))
+        .filter(Files.isDirectory(_)).map(_.toString))
+    }
+  }
+
   /** Table maintenance — Iceberg's `expire_snapshots` over the
     * versioned-dir history: delete the OLDEST historical versions
     * beyond `retainLast` (the live snapshot is never expired).

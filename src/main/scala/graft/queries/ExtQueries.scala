@@ -1043,12 +1043,15 @@ object ExtQueries {
     // bandwidth cost, the whole point of a compressed first stage.
     // X3c' — PERSISTED IVF index lifecycle (the cell-clustered
     // sibling of q_pq_index): build clusters the 90% corpus into
-    // centroid-partitioned cell fragments, the held-out 10% appends,
-    // refresh assigns exactly the delta (REQUIRED, then a no-op), and
-    // the search reads ONLY the probed cell fragments (fragment
-    // pruning REQUIRED via the formatted plan). Oracle replays the
-    // lifecycle: centroids from the pre-append subset, assignment of
-    // everything against them, nprobe-cell exact rescoring.
+    // centroid-partitioned cell fragments, the held-out 10% lands as
+    // a FAST-APPEND MOR commit — so the refresh's commit-window
+    // delta discovery reads exactly the appended sidecar, never the
+    // corpus — refresh assigns exactly the delta (REQUIRED, then a
+    // no-op), and the search reads ONLY the probed cell fragments
+    // (fragment pruning REQUIRED via the formatted plan). Oracle
+    // replays the lifecycle: centroids from the pre-append subset,
+    // assignment of everything against them, nprobe-cell exact
+    // rescoring.
     "q_ivf_index" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val root = java.nio.file.Files.createTempDirectory("ivfidxq")
@@ -1059,8 +1062,9 @@ object ExtQueries {
       graft.pipeline.Snapshot.createOrReplace(v1, corpus,
         keepVersions = 3)
       graft.ext.IvfIndex.build(s, corpus, idx, IvfNlist)
-      graft.pipeline.Snapshot.createOrReplace(emb, corpus,
-        keepVersions = 3)
+      graft.pipeline.Snapshot.morCommit(s, corpus, deletes = None,
+        appends = Some(emb.filter(col("vec_id") % 10 === 7)),
+        operation = "append")
       val delta = graft.ext.IvfIndex.refresh(s, corpus, idx)
       require(delta == emb.count() - v1.count(),
         s"refresh must assign exactly the appended vectors: $delta")
@@ -1159,13 +1163,17 @@ object ExtQueries {
     }),
 
     // X3g'' — PERSISTED PQ index lifecycle: build on the 90% corpus,
-    // append the held-out 10%, refresh (REQUIRED to encode exactly the
-    // delta as a fast-append sidecar, then be a no-op), and serve the
-    // two-stage ADC+rerank read from the PERSISTED codebook/codes
-    // tables. The oracle replays the whole lifecycle: codebook sampled
-    // from the PRE-append subset, codes over everything — the search
-    // result matches only if the stored index, the incremental encode,
-    // and the staleness-gated read all agree with the math.
+    // append the held-out 10% via a COPY-ON-WRITE replace — so the
+    // refresh exercises the REBASED arm of its delta discovery (the
+    // exact Snapshot.diff against the retained indexed version;
+    // q_ivf_index exercises the fast-append arm) — refresh (REQUIRED
+    // to encode exactly the delta as a fast-append sidecar, then be a
+    // no-op), and serve the two-stage ADC+rerank read from the
+    // PERSISTED codebook/codes tables. The oracle replays the whole
+    // lifecycle: codebook sampled from the PRE-append subset, codes
+    // over everything — the search result matches only if the stored
+    // index, the incremental encode, and the staleness-gated read all
+    // agree with the math.
     "q_pq_index" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val root = java.nio.file.Files.createTempDirectory("pqidxq")

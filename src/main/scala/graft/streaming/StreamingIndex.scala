@@ -9,15 +9,29 @@ import org.apache.spark.sql.types._
 /** ST9 — streaming ANN-index maintenance: the CDC loop for an
   * embeddings corpus. Each micro-batch of vectors appends to the
   * corpus snapshot as a fast-append MOR sidecar and the persisted PQ
-  * index refreshes — BOTH sides O(batch), never O(corpus): at 100 TB
-  * the index is maintained by the stream that feeds the corpus, not
-  * by nightly rebuilds.
+  * index refreshes from the corpus's COMMIT WINDOW
+  * ([[graft.ext.IndexDelta]]) — the refresh reads exactly the
+  * appended sidecar rows, never the corpus: at 100 TB the index is
+  * maintained by the stream that feeds the corpus, not by nightly
+  * rebuilds.
   *
-  * Idempotence under at-least-once replay is ID-KEYED on both layers:
-  * a replayed batch anti-joins against the corpus's current vec_ids
-  * before appending (nothing duplicates), and [[PqIndex.refresh]]'s
-  * own anti-join encodes only codes the index lacks — a batch applied
-  * twice is a no-op the second time, whatever the checkpoint says.
+  * Idempotence under at-least-once replay is layered:
+  *  - **replay of a committed batch** (crash between the corpus
+  *    commit and the checkpoint advance) is recognized O(1): the
+  *    corpus commit carries the micro-batch id in its operation
+  *    marker, so a redelivered batch whose id matches the newest
+  *    commit skips the append without reading anything.
+  *  - **source overlap** (the stream re-delivering vec_ids the corpus
+  *    already holds in OLDER commits) is exact-deduped by an id
+  *    anti-join with the SMALL batch on the probe side against the
+  *    column-pruned corpus id column — the documented cost of exact
+  *    global dedup; id-disciplined sources can drop it by keying
+  *    upstream.
+  *  - [[PqIndex.refresh]] runs UNCONDITIONALLY on every non-bootstrap
+  *    batch (it is a version-checked O(delta)/no-op), so a crash
+  *    between the corpus commit and the index refresh heals on the
+  *    replay instead of leaving the index stale until new data
+  *    arrives.
   * The first batch bootstraps corpus AND index (the codebook trains
   * on it; later batches extend codes under that book — [[PqIndex]]'s
   * standard no-retrain contract, rebuild to retrain). */
@@ -26,6 +40,10 @@ object StreamingIndex {
   val vectorSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
+
+  /** Operation marker a streamed corpus commit carries — the O(1)
+    * replay detector. */
+  private[streaming] def batchOp(batchId: Long) = s"stream-append-b$batchId"
 
   def startPq(spark: SparkSession, vectorsDir: String,
               corpusDir: String, indexDir: String, checkpointDir: String,
@@ -38,20 +56,26 @@ object StreamingIndex {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val batch = batch0.localCheckpoint()
         if (!new java.io.File(corpusDir).exists) {
           Snapshot.createOrReplace(batch, corpusDir, keepVersions = 2)
           PqIndex.build(spark, corpusDir, indexDir, m, dsub, ksub)
         } else {
-          val fresh = batch.join(
-            Snapshot.read(spark, corpusDir).select("vec_id"),
-            Seq("vec_id"), "left_anti")
-          if (!fresh.isEmpty) {
-            Snapshot.morCommit(spark, corpusDir, deletes = None,
-              appends = Some(fresh), operation = "append")
-            PqIndex.refresh(spark, corpusDir, indexDir)
+          val live = Snapshot.currentVersion(corpusDir).getOrElse(0L)
+          val replayed = Snapshot.operationOf(corpusDir, live)
+            .contains(batchOp(batchId))
+          if (!replayed) {
+            val fresh = batch.join(
+              Snapshot.read(spark, corpusDir).select("vec_id"),
+              Seq("vec_id"), "left_anti")
+            if (!fresh.isEmpty)
+              Snapshot.morCommit(spark, corpusDir, deletes = None,
+                appends = Some(fresh), operation = batchOp(batchId))
           }
+          // unconditional: heals a crash that landed the corpus commit
+          // but not the refresh; O(1) no-op when versions agree
+          PqIndex.refresh(spark, corpusDir, indexDir)
         }
         ()
       }

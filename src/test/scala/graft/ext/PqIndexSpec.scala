@@ -98,4 +98,76 @@ class PqIndexSpec extends SparkSpec {
     assert(r2.filter(col("neighbor_id") % 10 === 7).count() > 0,
       "appended vectors must be reachable through the refreshed codes")
   }
+
+  test("fast-append window: refresh consumes exactly the appended " +
+    "sidecar; a delete-carrying window raises and keeps the version " +
+    "gate stale") {
+    val emb = Tables.embeddings(spark, sf)
+    val root = Files.createTempDirectory("pqidxw").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/pq"
+    val v1 = emb.filter(col("vec_id") % 10 =!= 7).localCheckpoint()
+    val tail = emb.filter(col("vec_id") % 10 === 7).localCheckpoint()
+    Snapshot.createOrReplace(v1, corpus, keepVersions = 3)
+    PqIndex.build(spark, corpus, idx, m, dsub, ksub)
+
+    // two fast-append commits in one window: the delta is their union
+    Snapshot.morCommit(spark, corpus, deletes = None,
+      appends = Some(tail.limit(50)), operation = "append")
+    Snapshot.morCommit(spark, corpus, deletes = None,
+      appends = Some(tail.except(tail.limit(50))), operation = "append")
+    assert(PqIndex.refresh(spark, corpus, idx) == tail.count())
+    assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
+      == emb.count())
+
+    // a DELETE commit moves the corpus; refresh must refuse (an
+    // append-only index cannot un-serve removed vectors) and the
+    // version gate must stay stale so search keeps refusing
+    val victim = emb.orderBy("vec_id").limit(1).localCheckpoint()
+    Snapshot.morCommit(spark, corpus, deletes = Some(victim),
+      appends = None, operation = "delete")
+    val e = intercept[IllegalStateException] {
+      PqIndex.refresh(spark, corpus, idx)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val stale = intercept[IllegalStateException] {
+      PqIndex.search(spark, corpus, idx, queries, 5, 40)
+    }
+    assert(stale.getMessage.contains("STALE"),
+      "a failed refresh must not have stamped the index fresh")
+  }
+
+  test("crashed refresh (codes committed, meta not): the detector " +
+    "sees the moved codes table, the id guard dedupes, and the " +
+    "re-run heals without duplicate codes") {
+    val emb = Tables.embeddings(spark, sf)
+    val root = Files.createTempDirectory("pqidxc").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/pq"
+    val v1 = emb.filter(col("vec_id") % 10 =!= 7).localCheckpoint()
+    val tail = emb.filter(col("vec_id") % 10 === 7).localCheckpoint()
+    Snapshot.createOrReplace(v1, corpus, keepVersions = 3)
+    PqIndex.build(spark, corpus, idx, m, dsub, ksub)
+    // snapshot the meta BEFORE the refresh, run the refresh, then
+    // restore the old meta — exactly the state a crash between the
+    // codes commit and the meta write leaves behind
+    val metaFile = java.nio.file.Paths.get(idx, "_pq_meta")
+    val preMeta = Files.readAllBytes(metaFile)
+    Snapshot.morCommit(spark, corpus, deletes = None,
+      appends = Some(tail), operation = "append")
+    assert(PqIndex.refresh(spark, corpus, idx) == tail.count())
+    Files.write(metaFile, preMeta)
+    // replayed refresh: delta re-derived from the same window, but the
+    // codes table moved past the meta's codesVersion → the guard
+    // anti-joins the delta and nothing re-encodes
+    assert(PqIndex.refresh(spark, corpus, idx) == 0L)
+    assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
+      == emb.count(), "the replay must not duplicate codes")
+    assert(PqIndex.meta(idx).map(_.corpusVersion)
+      == Snapshot.currentVersion(corpus),
+      "the healed meta must stamp the live corpus version")
+  }
 }

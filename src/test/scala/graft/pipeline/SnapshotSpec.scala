@@ -478,6 +478,52 @@ class SnapshotSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == rowsBefore)
   }
 
+  test("commitsSince classifies the commit window: fast-appends " +
+    "expose their sidecar dirs, deletes taint, a rewrite re-bases") {
+    val dir = Files.createTempDirectory("cwin").toString + "/t"
+    Snapshot.createOrReplace(Seq((1L, "a")).toDF("id", "v"), dir,
+      keepVersions = 5)
+    // empty window
+    assert(Snapshot.commitsSince(dir, 1L)
+      == Snapshot.CommitWindow.FastAppends(Nil))
+    // two fast-appends: dirs in commit order, union = the delta
+    Snapshot.morCommit(spark, dir, None,
+      Some(Seq((2L, "b")).toDF("id", "v")), "append")
+    Snapshot.morCommit(spark, dir, None,
+      Some(Seq((3L, "c")).toDF("id", "v")), "append")
+    Snapshot.commitsSince(dir, 1L) match {
+      case Snapshot.CommitWindow.FastAppends(dirs) =>
+        assert(dirs.size == 2)
+        val rows = dirs.map(d => spark.read.parquet(d))
+          .reduce(_ unionByName _).as[(Long, String)].collect().toSet
+        assert(rows == Set((2L, "b"), (3L, "c")))
+      case other => fail(s"expected FastAppends, got $other")
+    }
+    // a mid-window slice starts past the first append
+    Snapshot.commitsSince(dir, 2L) match {
+      case Snapshot.CommitWindow.FastAppends(dirs) =>
+        assert(dirs.size == 1)
+      case other => fail(s"expected FastAppends, got $other")
+    }
+    // a delete commit taints the window (named by version)
+    Snapshot.morCommit(spark, dir,
+      Some(Seq((2L, "b")).toDF("id", "v")), None, "delete")
+    assert(Snapshot.commitsSince(dir, 1L)
+      == Snapshot.CommitWindow.CarriesDeletes(Seq(4L)))
+    // …but a window past the delete is clean again
+    assert(Snapshot.commitsSince(dir, 4L)
+      == Snapshot.CommitWindow.FastAppends(Nil))
+    // a copy-on-write replace re-bases every earlier window
+    Snapshot.createOrReplace(Seq((9L, "z")).toDF("id", "v"), dir,
+      keepVersions = 5)
+    assert(Snapshot.commitsSince(dir, 4L)
+      == Snapshot.CommitWindow.Rebased(5L))
+    // ahead-of-live raises
+    intercept[IllegalArgumentException] {
+      Snapshot.commitsSince(dir, 99L)
+    }
+  }
+
   test("compact on a bucket-spec table preserves the storage-" +
     "partitioned-join layout (marker, fragments, zero-exchange scan)") {
     val dir = Files.createTempDirectory("compactb").toString + "/t"
