@@ -25,11 +25,20 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * tables without touching a single full-precision vector, and the
   * exact rerank reads only |queries|·shortlist embeddings back from
   * the corpus. This is the memory/IO shape FAISS's IVFADC runs at
-  * billion-vector scale, expressed as three Catalyst joins. (Classic
-  * IVFADC encodes RESIDUALS against the cell centroid; this variant
-  * codes raw vectors with one global book — the same simplification
-  * the recall audits already price for PQ, and the rerank stage
-  * absorbs the difference.)
+  * billion-vector scale, expressed as three Catalyst joins.
+  *
+  * RESIDUAL ENCODING (the default, classic IVFADC): each vector PQ-
+  * encodes its residual `x − centroid(cell)` — residuals cluster
+  * tightly around zero, so the same `ksub` codes spend their
+  * resolution on the within-cell structure instead of the coarse
+  * position the centroid already captured, shrinking quantization
+  * error per cell. The ADC score then decomposes exactly as Jégou's:
+  * `q·x ≈ q·c_cell + Σ_s q_s·book(code_s)` — one extra per-
+  * (query, probed-cell) inner product (nprobe broadcast-side terms
+  * per query) plus the same m table lookups. At fixed recall this
+  * buys a smaller shortlist/nprobe than the raw-vector single-book
+  * variant (`residual = false`, kept for comparison — the recall
+  * audit lays them side by side).
   *
   * Same lifecycle contract as the parents: build stamps the corpus
   * version; refresh assigns + encodes the commit-window delta
@@ -39,9 +48,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object IvfPqIndex {
 
   /** `cellsVersion`: crash detector for the idempotence guard — see
-    * [[PqIndex.Meta]]. */
+    * [[PqIndex.Meta]]. `residual`: whether the codes quantize
+    * `x − centroid(cell)` (classic IVFADC) or raw vectors. */
   final case class Meta(corpusVersion: Long, cellsVersion: Long,
-                        nlist: Int, m: Int, dsub: Int, ksub: Int)
+                        nlist: Int, m: Int, dsub: Int, ksub: Int,
+                        residual: Boolean)
 
   def centroidsDir(indexDir: String): String = s"$indexDir/centroids"
   def codebookDir(indexDir: String): String = s"$indexDir/codebook"
@@ -56,7 +67,7 @@ object IvfPqIndex {
       val p = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
       Some(Meta(p(0).toLong, p(1).toLong, p(2).toInt, p(3).toInt,
-        p(4).toInt, p(5).toInt))
+        p(4).toInt, p(5).toInt, p(6) == "1"))
     }
   }
 
@@ -65,7 +76,7 @@ object IvfPqIndex {
     val tmp = Paths.get(indexDir, "_ivfpq_meta.tmp")
     Files.write(tmp,
       (s"${m.corpusVersion} ${m.cellsVersion} ${m.nlist} ${m.m} " +
-        s"${m.dsub} ${m.ksub}\n")
+        s"${m.dsub} ${m.ksub} ${if (m.residual) "1" else "0"}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(indexDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -81,37 +92,71 @@ object IvfPqIndex {
     Snapshot.read(spark, cellsDir(indexDir))
       .withColumn("centroid_id", col("centroid_id").cast("long"))
 
-  /** Assign to cells and PQ-encode in ONE pass over `vectors`: the
-    * encode is a scan-side projection (literal codebook) applied
+  /** Assign each vector to its cell and — in the residual arm —
+    * replace `embedding` by `x − centroid(cell)` (exact float→double
+    * casts, double subtraction: bit-replayable in SQL). One pass over
+    * `vectors`: the assignment joins broadcast centroids, and the
+    * residual is a scan-side `zip_with` against the same broadcast. */
+  private def assignResidual(vectors: DataFrame, centroids: DataFrame,
+                             residual: Boolean): DataFrame = {
+    val assigned = SimilarityOps.assignCentroids(vectors, centroids, 1)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    if (!residual) assigned
+    else assigned
+      .join(broadcast(centroids.select(
+        col("centroid_id").cast("long").as("centroid_id"),
+        col("c_embedding"))), "centroid_id")
+      .withColumn("embedding", zip_with(col("embedding"),
+        col("c_embedding"),
+        (x, c) => x.cast("double") - c.cast("double")))
+      .drop("c_embedding")
+  }
+
+  /** Assign (+ residualize) and PQ-encode in ONE pass over `vectors`:
+    * the encode is a scan-side projection (literal codebook) applied
     * directly onto the assignment's output — no second corpus scan,
     * no vec_id join/shuffle. */
   private def assignAndEncode(spark: SparkSession, vectors: DataFrame,
                               centroids: DataFrame,
                               book: Seq[(Int, Int, Seq[Double])],
-                              m: Int, dsub: Int): DataFrame =
+                              m: Int, dsub: Int,
+                              residual: Boolean): DataFrame =
     SimilarityOps.pqEncode(
-      SimilarityOps.assignCentroids(vectors, centroids, 1)
-        .withColumn("centroid_id", col("centroid_id").cast("long")),
+      assignResidual(vectors, centroids, residual),
       book, m, dsub, keep = Seq("centroid_id"))
 
-  /** Build: sample centroids, train the PQ book, store codes
-    * CLUSTERED BY CELL. @return vectors indexed */
+  /** Build: sample centroids, train the PQ book — in the residual arm
+    * on the RESIDUALS of md5-sampled training rows DISJOINT from the
+    * centroid sample (ranks (nlist, nlist+ksub] of the same md5
+    * order; a centroid's own residual is zero, so an overlapping
+    * sample would train a degenerate all-zero book) — and store codes
+    * CLUSTERED BY CELL. O(ksub·nlist) training work: only the ksub
+    * sampled vectors residualize for training.
+    * @return vectors indexed */
   def build(spark: SparkSession, corpusPath: String, indexDir: String,
-            nlist: Int, m: Int, dsub: Int, ksub: Int): Long = {
+            nlist: Int, m: Int, dsub: Int, ksub: Int,
+            residual: Boolean = true): Long = {
     val version = corpusVersionOf(corpusPath)
     val corpus = Snapshot.read(spark, corpusPath)
     val centroids = SimilarityOps.sampleCentroids(corpus, nlist)
+      .localCheckpoint()
     Snapshot.createOrReplace(centroids, centroidsDir(indexDir),
       keepVersions = 1)
-    val book = SimilarityOps.pqCollectBook(corpus, m, dsub, ksub)
+    val trainSrc =
+      if (!residual) corpus
+      else assignResidual(
+        corpus.orderBy(md5(col("vec_id").cast("string")))
+          .offset(nlist).limit(ksub),
+        centroids, residual = true)
+    val book = SimilarityOps.pqCollectBook(trainSrc, m, dsub, ksub)
     Snapshot.createOrReplace(SimilarityOps.pqBookFrame(spark, book),
       codebookDir(indexDir), keepVersions = 1)
     Snapshot.createOrReplacePartitioned(
-      assignAndEncode(spark, corpus, centroids, book, m, dsub),
+      assignAndEncode(spark, corpus, centroids, book, m, dsub, residual),
       cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1)
     writeMeta(indexDir, Meta(version,
       Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L),
-      nlist, m, dsub, ksub))
+      nlist, m, dsub, ksub, residual))
     cellsRead(spark, indexDir).count()
   }
 
@@ -141,7 +186,7 @@ object IvfPqIndex {
         .toSeq.sortBy(t => (t._1, t._2))
       Snapshot.morCommit(spark, cellsDir(indexDir), deletes = None,
         appends = Some(assignAndEncode(spark, delta, centroids, book,
-          im.m, im.dsub)),
+          im.m, im.dsub, im.residual)),
         operation = "append")
     }
     writeMeta(indexDir, im.copy(corpusVersion = version,
@@ -167,15 +212,31 @@ object IvfPqIndex {
           s"version ${im.corpusVersion} but the live corpus is " +
           s"v$version — run IvfPqIndex.refresh or rebuild")
     val centroids = Snapshot.read(spark, centroidsDir(indexDir))
-    val qcells = SimilarityOps.assignCentroids(
+      .localCheckpoint()
+    // per-(query, probed cell) rows; the residual arm also carries the
+    // q·c_cell partial inner product (Jégou's decomposition:
+    // q·x ≈ q·c_cell + Σ_s q_s·book(code_s)) — nprobe broadcast-side
+    // rows per query, quantized to the same exact BIGINT micros as the
+    // table lookups so the sum stays order-free
+    val qcells0 = SimilarityOps.assignCentroids(
         queries.select(col("query_id").as("vec_id"),
           col("q_embedding").as("embedding")), centroids, nprobe)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_embedding"), col("centroid_id"))
-      .localCheckpoint()
+    val qcells =
+      (if (!im.residual) qcells0.withColumn("qc_micros", lit(0L))
+       else qcells0
+         .join(broadcast(centroids), "centroid_id")
+         .withColumn("qc_micros",
+           round(SimilarityOps.dot(col("q_embedding"),
+             col("c_embedding")) * lit(1000000.0)).cast("long"))
+         .drop("c_embedding"))
+        .localCheckpoint()
     val probes = qcells.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     // per-query partial inner products against the broadcast codebook
+    // (the full query slices in BOTH arms: for residual codes the
+    // lookup approximates q_s·r_s, the residual's contribution)
     val dtab = queries.crossJoin(
         broadcast(Snapshot.read(spark, codebookDir(indexDir))))
       .select(col("query_id"), col("sub"), col("code"),
@@ -186,16 +247,19 @@ object IvfPqIndex {
     // fragment-pruned codes scan, scoped to each query's OWN probes
     val exploded = cellsRead(spark, indexDir)
       .filter(col("centroid_id").isin(probes: _*))
-      .join(broadcast(qcells.select("query_id", "centroid_id")),
+      .join(broadcast(qcells
+          .select("query_id", "centroid_id", "qc_micros")),
         "centroid_id")
-      .select(col("query_id"), col("vec_id"),
+      .select(col("query_id"), col("vec_id"), col("qc_micros"),
         posexplode(col("codes")).as(Seq("sub", "code")))
     val cand = exploded.join(broadcast(dtab),
         Seq("query_id", "sub", "code"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
               else lit(true))
       .groupBy("query_id", "vec_id")
-      .agg(sum("pdot_micros").as("adc_micros"))
+      // a vector lives in exactly one cell, so qc_micros is constant
+      // within the group — max() just carries it through the agg
+      .agg((sum("pdot_micros") + max("qc_micros")).as("adc_micros"))
     val ws = Window.partitionBy("query_id")
       .orderBy(col("adc_micros").desc, col("vec_id"))
     val short = cand.withColumn("_rn", row_number().over(ws))

@@ -1709,6 +1709,130 @@ object ExtQueries {
 
   private val pqCte: String = pqCteWith("")
 
+  /** DuckDB replay of the RESIDUAL IVF-PQ index ([[graft.ext
+    * .IvfPqIndex]], classic IVFADC): centroid sample, single-cell
+    * assignment, residual lists `x − centroid(cell)` (exact
+    * float→double casts, double subtraction — bit-identical to the
+    * Spark `zip_with`), the PQ book trained on the md5-sampled
+    * RESIDUALS, and the per-(vector, subspace) argmin encode over
+    * residuals. Emits `c(centroid_id, ce)`, `res(vec_id, centroid_id,
+    * r)`, `pqbook(sub, code, c_sub)`, `pqenc(vec_id, centroid_id,
+    * sub, code)`. */
+  private val ivfPqResidCte: String = {
+    val x = pqSliceSql("r.r", "b.sub")
+    s"""
+      c AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
+      ),
+      assign AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      res AS (
+        SELECT e.vec_id, a.centroid_id,
+               list_transform(range(1, 65),
+                 i -> e.embedding[i]::DOUBLE - c.ce[i]::DOUBLE) AS r
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN c ON c.centroid_id = a.centroid_id
+      ),
+      pqsamp AS (
+        -- the book trains on ranks (nlist, nlist+ksub] of the md5
+        -- order: DISJOINT from the centroid sample (a centroid's own
+        -- residual is zero — overlap would degenerate the book)
+        SELECT r AS embedding, rn - $IvfNlist - 1 AS code FROM (
+          SELECT r, row_number() OVER
+            (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+          FROM res)
+        WHERE rn > $IvfNlist AND rn <= ${IvfNlist + PqKsub}
+      ),
+      pqbook AS (
+        SELECT s.sub, p.code,
+               list_transform(${pqSliceSql("p.embedding", "s.sub")},
+                 x -> x::DOUBLE) AS c_sub
+        FROM pqsamp p
+        CROSS JOIN (SELECT unnest(range(0, $PqM)) AS sub) s
+      ),
+      pqenc AS (
+        SELECT vec_id, centroid_id, sub, code FROM (
+          SELECT r.vec_id, r.centroid_id, b.sub, b.code,
+                 row_number() OVER (PARTITION BY r.vec_id, b.sub
+                   ORDER BY (${dotSql(x, x, PqDsub)}) -
+                     2 * (${dotSql(x, "b.c_sub", PqDsub)}) +
+                     (${dotSql("b.c_sub", "b.c_sub", PqDsub)}),
+                   b.code) AS rn
+          FROM res r CROSS JOIN pqbook b)
+        WHERE rn = 1
+      )"""
+  }
+
+  /** The shared search tail of the residual IVFADC oracle: probed
+    * cells with the `q·c_cell` partial dot, distance table, ADC =
+    * qcd + Σ lookups, shortlist, exact rerank. Emits `q`, `qc`,
+    * `dtab`, `ascored`, `aranked`, `shortlist`, `rescored`,
+    * `rranked`. */
+  private val ivfPqResidSearchCte: String = s"""
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+      ),
+      qc AS (
+        SELECT query_id, centroid_id, qcd FROM (
+          SELECT q.query_id, c.centroid_id,
+                 CAST(round((${dotSql("q.qe", "ce")}) * 1000000.0)
+                   AS BIGINT) AS qcd,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${dotSql("q.qe", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM q CROSS JOIN c
+        ) WHERE rn <= $IvfNprobe
+      ),
+      dtab AS (
+        SELECT q.query_id, b.sub, b.code,
+               CAST(round((${dotSql(pqSliceSql("q.qe", "b.sub"), "b.c_sub",
+                 PqDsub)}) * 1000000.0) AS BIGINT) AS pdot
+        FROM q CROSS JOIN pqbook b
+      ),
+      ascored AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id,
+               qc.qcd + sum(d.pdot) AS adc
+        FROM pqenc e
+        JOIN qc ON qc.centroid_id = e.centroid_id
+        JOIN dtab d ON d.query_id = qc.query_id
+          AND d.sub = e.sub AND d.code = e.code
+        WHERE d.query_id <> e.vec_id
+        GROUP BY d.query_id, e.vec_id, qc.qcd
+      ),
+      aranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+        FROM ascored
+      ),
+      shortlist AS (SELECT query_id, neighbor_id FROM aranked
+                    WHERE rnk <= 40),
+      rescored AS (
+        -- rank by the SAME quantized value as the engine's rerank
+        SELECT s.query_id, s.neighbor_id,
+               CAST(round((${dotSql("q.qe", "e.embedding")})
+                 * 1000000.0) AS BIGINT) AS score_micros
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+      ),
+      rranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id
+           ORDER BY score_micros DESC, neighbor_id) AS rnk
+        FROM rescored
+      )"""
+
   /** One Lloyd round in DuckDB: nearest-centroid assignment of
     * `from` vectors against centroid CTE `cents` (argmin by (d2, id)),
     * then the DECIMAL(18,6)-exact per-(centroid, dim) mean. Emits the
@@ -3194,76 +3318,11 @@ object ExtQueries {
       FROM q LEFT JOIN hits h ON h.query_id = q.query_id
       ORDER BY q.query_id""",
 
-    // X3g'' — two-stage twin: ADC shortlist (40) → exact rescore → 5.
+    // X3g'' — residual-IVFADC twin: ADC (q·c_cell + Σ residual-book
+    // lookups) shortlist (40) → exact rescore → 5.
     "q_ivfpq_recall" -> s"""
-      WITH $pqCte,
-      c AS (
-        SELECT vec_id AS centroid_id, embedding AS ce
-        FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
-      ),
-      assign AS (
-        SELECT vec_id, centroid_id FROM (
-          SELECT e.vec_id, c.centroid_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
-                            c.centroid_id) AS rn
-          FROM embeddings e CROSS JOIN c
-        ) WHERE rn = 1
-      ),
-      q AS (
-        SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id % 100 = 0
-      ),
-      qc AS (
-        SELECT query_id, centroid_id FROM (
-          SELECT q.query_id, c.centroid_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY ${dotSql("q.qe", "ce")} DESC,
-                            c.centroid_id) AS rn
-          FROM q CROSS JOIN c
-        ) WHERE rn <= $IvfNprobe
-      ),
-      dtab AS (
-        SELECT q.query_id, b.sub, b.code,
-               CAST(round((${dotSql(pqSliceSql("q.qe", "b.sub"), "b.c_sub",
-                 PqDsub)}) * 1000000.0) AS BIGINT) AS pdot
-        FROM q CROSS JOIN pqbook b
-      ),
-      ascored AS (
-        SELECT d.query_id, e.vec_id AS neighbor_id,
-               sum(d.pdot) AS adc
-        FROM pqenc e
-        JOIN assign a ON a.vec_id = e.vec_id
-        JOIN qc ON qc.centroid_id = a.centroid_id
-        JOIN dtab d ON d.query_id = qc.query_id
-          AND d.sub = e.sub AND d.code = e.code
-        WHERE d.query_id <> e.vec_id
-        GROUP BY 1, 2
-      ),
-      aranked AS (
-        SELECT *, row_number() OVER
-          (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
-        FROM ascored
-      ),
-      shortlist AS (SELECT query_id, neighbor_id FROM aranked
-                    WHERE rnk <= 40),
-      rescored AS (
-        -- rank by the SAME quantized micros the engine's rerank uses
-        -- (a raw-double ordering could flip near-ties)
-        SELECT s.query_id, s.neighbor_id,
-               CAST(round((${dotSql("q.qe", "e.embedding")})
-                 * 1000000.0) AS BIGINT) AS score_micros
-        FROM shortlist s
-        JOIN embeddings e ON e.vec_id = s.neighbor_id
-        JOIN q ON q.query_id = s.query_id
-      ),
-      rranked AS (
-        SELECT *, row_number() OVER
-          (PARTITION BY query_id
-           ORDER BY score_micros DESC, neighbor_id) AS rnk
-        FROM rescored
-      ),
+      WITH $ivfPqResidCte,
+      $ivfPqResidSearchCte,
       approx AS (SELECT query_id, neighbor_id FROM rranked
                  WHERE rnk <= 5),
       xscored AS (
@@ -3290,72 +3349,8 @@ object ExtQueries {
       ORDER BY q.query_id""",
 
     "q_ivfpq_index" -> s"""
-      WITH $pqCte,
-      c AS (
-        SELECT vec_id AS centroid_id, embedding AS ce
-        FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
-      ),
-      assign AS (
-        SELECT vec_id, centroid_id FROM (
-          SELECT e.vec_id, c.centroid_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
-                            c.centroid_id) AS rn
-          FROM embeddings e CROSS JOIN c
-        ) WHERE rn = 1
-      ),
-      q AS (
-        SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id % 100 = 0
-      ),
-      qc AS (
-        SELECT query_id, centroid_id FROM (
-          SELECT q.query_id, c.centroid_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY ${dotSql("q.qe", "ce")} DESC,
-                            c.centroid_id) AS rn
-          FROM q CROSS JOIN c
-        ) WHERE rn <= $IvfNprobe
-      ),
-      dtab AS (
-        SELECT q.query_id, b.sub, b.code,
-               CAST(round((${dotSql(pqSliceSql("q.qe", "b.sub"), "b.c_sub",
-                 PqDsub)}) * 1000000.0) AS BIGINT) AS pdot
-        FROM q CROSS JOIN pqbook b
-      ),
-      ascored AS (
-        SELECT d.query_id, e.vec_id AS neighbor_id,
-               sum(d.pdot) AS adc
-        FROM pqenc e
-        JOIN assign a ON a.vec_id = e.vec_id
-        JOIN qc ON qc.centroid_id = a.centroid_id
-        JOIN dtab d ON d.query_id = qc.query_id
-          AND d.sub = e.sub AND d.code = e.code
-        WHERE d.query_id <> e.vec_id
-        GROUP BY 1, 2
-      ),
-      aranked AS (
-        SELECT *, row_number() OVER
-          (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
-        FROM ascored
-      ),
-      shortlist AS (SELECT query_id, neighbor_id FROM aranked
-                    WHERE rnk <= 40),
-      rescored AS (
-        SELECT s.query_id, s.neighbor_id,
-               CAST(round((${dotSql("q.qe", "e.embedding")})
-                 * 1000000.0) AS BIGINT) AS score_micros
-        FROM shortlist s
-        JOIN embeddings e ON e.vec_id = s.neighbor_id
-        JOIN q ON q.query_id = s.query_id
-      ),
-      rranked AS (
-        SELECT *, row_number() OVER
-          (PARTITION BY query_id
-           ORDER BY score_micros DESC, neighbor_id) AS rnk
-        FROM rescored
-      )
+      WITH $ivfPqResidCte,
+      $ivfPqResidSearchCte
       SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
              score_micros
       FROM rranked WHERE rnk <= 5 ORDER BY query_id, rank""",

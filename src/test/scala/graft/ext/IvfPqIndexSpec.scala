@@ -16,15 +16,18 @@ class IvfPqIndexSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private val (nlist, m, dsub, ksub) = (8, 8, 8, 16)
 
-  test("build/refresh/search compose; full-probe search equals the " +
-    "plain PQ two-stage read; probes prune fragments") {
+  test("build/refresh/search compose; full-probe GLOBAL-BOOK search " +
+    "equals the plain PQ two-stage read; probes prune fragments") {
     val emb = Tables.embeddings(spark, sf)
     val root = Files.createTempDirectory("ivfpq").toString
     val corpus = s"$root/corpus"
     val idx = s"$root/ivfpq"
     Snapshot.createOrReplace(emb, corpus, keepVersions = 3)
-    assert(IvfPqIndex.build(spark, corpus, idx, nlist, m, dsub, ksub)
-      == emb.count())
+    // residual = false: only the raw-vector single-book variant can
+    // degenerate to the plain PQ read at full probe width (the
+    // residual book is trained on different vectors by design)
+    assert(IvfPqIndex.build(spark, corpus, idx, nlist, m, dsub, ksub,
+      residual = false) == emb.count())
 
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"),
@@ -68,5 +71,125 @@ class IvfPqIndexSpec extends SparkSpec {
     val r2 = IvfPqIndex.search(spark, corpus, idx, queries, 5, 2, 40)
     assert(r2.filter(col("neighbor_id") >= 1000000L).count() > 0,
       "appended vectors must be reachable after refresh")
+  }
+
+  /** Mean recall@5 of `approx` against exact inner-product top-5. */
+  private def recallOf(approx: org.apache.spark.sql.DataFrame,
+                       exact: Set[(Long, Long)],
+                       nQueries: Long): Double = {
+    val got = approx.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    got.count(exact.contains).toDouble / (nQueries * 5.0)
+  }
+
+  private def exactTop5(emb: org.apache.spark.sql.DataFrame,
+                        queries: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long)] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        SimilarityOps.dot(col("q_embedding"), col("embedding"))
+          .as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("residual encoding at the flagship operating point: recall at " +
+    "the CURRENT nprobe/shortlist >= the global book at 2x the " +
+    "shortlist; refresh composes through the residual arm") {
+    // the flagship query's geometry: sf0.01 corpus (2k vectors),
+    // nlist 32, nprobe 2, shortlist 40 — q_ivfpq_recall's exact knobs
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding").localCheckpoint()
+    val root = Files.createTempDirectory("ivfpqr").toString
+    val corpus = s"$root/corpus"
+    Snapshot.createOrReplace(emb, corpus, keepVersions = 3)
+    val residIdx = s"$root/resid"
+    val globalIdx = s"$root/global"
+    IvfPqIndex.build(spark, corpus, residIdx, 32, m, dsub, ksub)
+    assert(IvfPqIndex.meta(residIdx).exists(_.residual))
+    IvfPqIndex.build(spark, corpus, globalIdx, 32, m, dsub, ksub,
+      residual = false)
+
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding")).localCheckpoint()
+    val nQ = queries.count()
+    val exact = exactTop5(emb, queries)
+    val rResid = recallOf(IvfPqIndex.search(spark, corpus, residIdx,
+      queries, k = 5, nprobe = 2, shortlist = 40), exact, nQ)
+    val rGlobal2x = recallOf(IvfPqIndex.search(spark, corpus, globalIdx,
+      queries, k = 5, nprobe = 2, shortlist = 80), exact, nQ)
+    assert(rResid >= rGlobal2x,
+      s"residual recall@5 (shortlist 40) $rResid must be >= global " +
+        s"recall@5 (shortlist 80) $rGlobal2x")
+
+    // the residual arm refreshes like the others: fast-append delta,
+    // residualized under the FROZEN centroids and book
+    val extra = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+    Snapshot.morCommit(spark, corpus, deletes = None,
+      appends = Some(extra), operation = "append")
+    assert(IvfPqIndex.refresh(spark, corpus, residIdx) == emb.count())
+    val r2 = IvfPqIndex.search(spark, corpus, residIdx, queries,
+      k = 5, nprobe = 2, shortlist = 40)
+    assert(r2.filter(col("neighbor_id") >= 1000000L).count() > 0,
+      "appended vectors must be reachable through the residual index")
+  }
+
+  test("residual encoding's quantization win on clustered vectors: " +
+    "recall strictly dominates the global book at EQUAL shortlist " +
+    "when the coarse quantizer explains variance") {
+    // the fixture's vectors are isotropic (unit-norm, no cluster
+    // structure) — there a coarse quantizer explains no variance and
+    // residual coding cannot help (avg ||x - c|| > ||x||, measured).
+    // Real embedding corpora cluster heavily; derive a clustered
+    // corpus from the fixture deterministically: anchor(i) = fixture
+    // row (vec_id % 12), vector = normalize(anchor + 0.3 * own)
+    val raw = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").localCheckpoint()
+    val anchors = raw.orderBy("vec_id").limit(12)
+      .select((col("vec_id") % 12).as("aid"),
+        col("embedding").as("a_embedding"))
+    val mixed = raw.withColumn("aid", col("vec_id") % 12)
+      .join(broadcast(anchors), "aid")
+      .withColumn("mix", zip_with(col("a_embedding"), col("embedding"),
+        (a, x) => a.cast("double") + lit(0.3) * x.cast("double")))
+    val emb = mixed
+      .withColumn("embedding", transform(col("mix"),
+        x => x / sqrt(SimilarityOps.dot(col("mix"), col("mix")))))
+      .select("vec_id", "embedding").localCheckpoint()
+
+    val root = Files.createTempDirectory("ivfpqc").toString
+    val corpus = s"$root/corpus"
+    Snapshot.createOrReplace(emb, corpus, keepVersions = 3)
+    val residIdx = s"$root/resid"
+    val globalIdx = s"$root/global"
+    IvfPqIndex.build(spark, corpus, residIdx, 16, m, dsub, ksub)
+    IvfPqIndex.build(spark, corpus, globalIdx, 16, m, dsub, ksub,
+      residual = false)
+
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding")).localCheckpoint()
+    val nQ = queries.count()
+    val exact = exactTop5(emb, queries)
+    // full probe isolates quantization error from probe misses; equal
+    // shortlist isolates the book from the rerank width
+    val rs = Seq(12, 16).map { s =>
+      val rr = recallOf(IvfPqIndex.search(spark, corpus, residIdx,
+        queries, k = 5, nprobe = 16, shortlist = s), exact, nQ)
+      val rg = recallOf(IvfPqIndex.search(spark, corpus, globalIdx,
+        queries, k = 5, nprobe = 16, shortlist = s), exact, nQ)
+      assert(rr >= rg,
+        s"residual recall $rr must be >= global $rg at shortlist $s")
+      (rr, rg)
+    }
+    assert(rs.exists { case (rr, rg) => rr > rg },
+      s"residual must STRICTLY beat the global book somewhere: $rs")
   }
 }
