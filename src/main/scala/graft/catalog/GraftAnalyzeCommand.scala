@@ -102,6 +102,15 @@ case class GraftAnalyzeCommand(ns: String, name: String,
           put("max", r.get(4))
           put("avgLen", r.get(5))
         }
+      // the per-column KMV sketch (k smallest distinct hashes)
+      // persists BESIDE the stats: a later commit's auto-refresh
+      // merges a delta sketch against it instead of rescanning —
+      // see GraftDml.maybeRefreshStats
+      graft.quality.Metrics.columnKmv(frame, cols, GraftStats.KmvK)
+        .collect().foreach { r =>
+          props += s"${GraftStats.ColPrefix}${r.getString(0)}.kmv" ->
+            r.getSeq[Long](1).mkString(",")
+        }
     }
     store.setProperties(ns, name, props.toMap)
     Seq.empty
@@ -113,6 +122,10 @@ object GraftStats {
   val SizeKey = "graft.stats.sizeInBytes"
   val VersionKey = "graft.stats.snapshotVersion"
   val ColPrefix = "graft.stats.col."
+
+  /** KMV sketch size for incremental column stats (≈ 1/√k ≈ 6%
+    * relative NDV error; 256 longs per analyzed column). */
+  val KmvK = 256
 
   /** The persisted ANALYZE stats of `ns.name`, if current: the
     * recorded snapshot version must still be live (a table whose

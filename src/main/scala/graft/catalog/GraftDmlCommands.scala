@@ -285,13 +285,21 @@ private[catalog] object GraftDml {
     * after a commit on a table that carries ANALYZE stats, re-stamp
     * rowCount/size/version from parquet FOOTERS (metadata-only, no
     * scan) so the broadcast lever survives routine DML instead of the
-    * stats simply voiding. Honesty rules: per-COLUMN stats are
-    * DROPPED (they describe the old rows — serving them under CBO
-    * would steer plans with wrong mins; run ANALYZE … FOR COLUMNS to
-    * restore), and a table with live delete sidecars SKIPS the
-    * refresh entirely (footer rows overstate the live state; the
-    * stale stats void naturally, exactly as without the property).
-    * Default off, like auto-compaction. */
+    * stats simply voiding — and MERGE the per-column stats forward
+    * over a fast-append window instead of dropping them: the delta
+    * (exactly the appended sidecar rows, [[graft.pipeline.Snapshot
+    * .commitsSince]]) contributes nulls/min/max/avgLen by one
+    * O(delta) pass and its KMV sketch merges against the persisted
+    * one ([[graft.ext.Sketches.kmvMerge]]), so CBO keeps receiving
+    * column stats whose NDV stays within KMV error of a fresh
+    * ANALYZE across any number of appends. Honesty rules: a
+    * copy-on-write rebase DROPS the column stats (per-commit deltas
+    * are gone — run ANALYZE … FOR COLUMNS to restore), a column
+    * whose stats predate sketching drops too, and a table with live
+    * delete sidecars SKIPS the refresh entirely (footer rows
+    * overstate the live state; the stale stats void naturally,
+    * exactly as without the property). Default off, like
+    * auto-compaction. */
   def maybeRefreshStats(spark: SparkSession, key: Seq[String],
                         path: String): Unit = {
     val store = new TableStore(spark)
@@ -307,14 +315,99 @@ private[catalog] object GraftDml {
       S.posDeleteDirsAsOf(path, v).nonEmpty
     if (hasDeletes) return // footer counts would overstate live rows
     val (bytes, rows) = S.dataFileStats(path)
-    val colKeys = props.keys
-      .filter(_.startsWith(GraftStats.ColPrefix)).toSeq
-    if (colKeys.nonEmpty)
+    val P = GraftStats.ColPrefix
+    val colKeys = props.keys.filter(_.startsWith(P)).toSeq
+    val merged = mergedColumnStats(spark, path, props)
+    if (colKeys.nonEmpty && merged.isEmpty)
       store.unsetProperties(key.head, key(1), colKeys, ifExists = true)
+    merged.foreach { m =>
+      val gone = colKeys.filterNot(m.contains)
+      if (gone.nonEmpty)
+        store.unsetProperties(key.head, key(1), gone, ifExists = true)
+    }
     store.setProperties(key.head, key(1), Map(
       GraftStats.RowsKey -> rows.toString,
       GraftStats.SizeKey -> math.max(1L, bytes).toString,
-      GraftStats.VersionKey -> v.toString))
+      GraftStats.VersionKey -> v.toString) ++
+      merged.getOrElse(Map.empty))
+  }
+
+  /** The column-stat properties carried FORWARD across the commit
+    * window since the stats' recorded version: None when nothing can
+    * carry (no column stats, no sketches, or a re-based window —
+    * caller drops), Some(updated key→value map) when the delta merged
+    * cleanly (empty window = unchanged stats). */
+  private def mergedColumnStats(spark: SparkSession, path: String,
+                                props: Map[String, String])
+      : Option[Map[String, String]] = {
+    val S = graft.pipeline.Snapshot
+    val P = GraftStats.ColPrefix
+    val cols = props.keys.filter(_.startsWith(P))
+      .map(_.stripPrefix(P).split("\\.", 2)(0)).toSeq.distinct
+    if (cols.isEmpty) return None
+    // every carried column needs its sketch (pre-sketch stats cannot
+    // merge) and the old row count anchors the avgLen weights
+    if (!cols.forall(c => props.contains(s"$P$c.kmv")) ||
+        !props.contains(GraftStats.RowsKey)) return None
+    val statsVersion = props.get(GraftStats.VersionKey)
+      .flatMap(_.toLongOption).getOrElse(return None)
+    val appendDirs = S.commitsSince(path, statsVersion) match {
+      case S.CommitWindow.FastAppends(dirs) => dirs
+      case _ => return None // re-based (deletes already returned above)
+    }
+    if (appendDirs.isEmpty) // version-only commits: stats unchanged
+      return Some(props.filter(_._1.startsWith(P)))
+    val delta = appendDirs.map(spark.read.parquet(_))
+      .reduce(_ unionByName _).localCheckpoint()
+    val presentCols = cols.filter(delta.columns.contains)
+    if (presentCols.size != cols.size) return None // schema drifted
+    val deltaRows = delta.count()
+    val oldRows = props(GraftStats.RowsKey).toLong
+    val k = GraftStats.KmvK
+    val deltaStats = graft.quality.Metrics
+      .columnStats(delta, presentCols, k).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val deltaKmv = graft.quality.Metrics.columnKmv(delta, presentCols, k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    presentCols.foreach { c =>
+      def old(s: String) = props.get(s"$P$c.$s")
+      val d = deltaStats(c)
+      val dNulls = if (d.isNullAt(1)) 0L else d.getLong(1)
+      val oldNulls = old("nulls").map(_.toLong).getOrElse(0L)
+      val nulls = Some(oldNulls + dNulls)
+      val dMin = if (d.isNullAt(3)) None else Some(d.getDouble(3))
+      val dMax = if (d.isNullAt(4)) None else Some(d.getDouble(4))
+      val min = (old("min").map(_.toDouble), dMin) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      val max = (old("max").map(_.toDouble), dMax) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      // avgLen weights by NON-NULL counts on each side
+      val oldNonNull = oldRows - oldNulls
+      val dNonNull = deltaRows - dNulls
+      val dAvg = if (d.isNullAt(5)) None else Some(d.getDouble(5))
+      val avgLen = (old("avgLen").map(_.toDouble), dAvg) match {
+        case (Some(a), Some(b)) if oldNonNull + dNonNull > 0 =>
+          Some((a * oldNonNull + b * dNonNull) / (oldNonNull + dNonNull))
+        case (a, b) => a.orElse(b)
+      }
+      val mergedKmv = graft.ext.Sketches.kmvMerge(k,
+        props(s"$P$c.kmv").split(",").filter(_.nonEmpty)
+          .map(_.toLong).toSeq,
+        deltaKmv.getOrElse(c, Seq.empty))
+      out += s"$P$c.ndv" ->
+        graft.ext.Sketches.kmvEstimate(mergedKmv, k).toString
+      out += s"$P$c.kmv" -> mergedKmv.mkString(",")
+      nulls.foreach(n => out += s"$P$c.nulls" -> n.toString)
+      min.foreach(m => out += s"$P$c.min" -> m.toString)
+      max.foreach(m => out += s"$P$c.max" -> m.toString)
+      avgLen.foreach(a => out += s"$P$c.avgLen" -> a.toString)
+    }
+    Some(out.toMap)
   }
 
   /** Branch-aware snapshot read: the staged WAP branch when the

@@ -158,6 +158,25 @@ object Sketches {
       .groupBy(col(valueCol))
       .agg(min(col("cnt")).as("est_count"))
 
+  /** NDV estimate from the k smallest DISTINCT [[hash60]] values —
+    * the driver-side twin of [[kmvDistinct]]'s estimator (identical
+    * formula, so an estimate recomputed from a PERSISTED sketch
+    * agrees with the estimate stored beside it). Sketches merge by
+    * union-distinct-take-k ([[kmvOverlap]]'s identity: any of the k
+    * union minima is in one side's k minima), which is how the
+    * incremental ANALYZE column-stats refresh composes per-commit
+    * sketches without rescanning the table. */
+  def kmvEstimate(hashes: Seq[Long], k: Int): Double = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    if (hashes.size < k) hashes.size.toDouble
+    else (k - 1).toDouble * HashSpace / hashes.max
+  }
+
+  /** Merge KMV sketches (k smallest distinct hashes each) into a
+    * valid sketch of the union. */
+  def kmvMerge(k: Int, sketches: Seq[Long]*): Seq[Long] =
+    sketches.flatten.distinct.sorted.take(k)
+
   /** Corpus-level KMV sketch: the k smallest distinct 60-bit hashes of
     * `valueCol`. `orderBy.limit(k)` plans as TakeOrdered — each
     * partition surfaces its own k smallest and the driver merges k

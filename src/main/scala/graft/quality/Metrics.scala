@@ -98,6 +98,35 @@ object Metrics {
         "avg_len")
   }
 
+  /** Per-column KMV sketch — the k smallest distinct [[graft.ext
+    * .Sketches.hash60]] values of each column's non-null string form.
+    * ANALYZE persists these beside the column stats so a later
+    * commit's stats refresh can MERGE a delta sketch instead of
+    * rescanning the table ([[graft.ext.Sketches.kmvMerge]] /
+    * [[graft.ext.Sketches.kmvEstimate]] — the estimator is identical
+    * to [[columnStats]]' ndv at the same k). Sketch state is ≤ k
+    * longs per column at any table size.
+    *
+    * @return (column, hashes array<long> ascending) */
+  def columnKmv(df: DataFrame, columns: Seq[String],
+                k: Int = 256): DataFrame = {
+    val stacked = df
+      .select(explode(array(columns.map { c =>
+        struct(lit(c).as("column"), col(c).cast(StringType).as("val"))
+      }: _*)).as("s"))
+      .select(col("s.column").as("column"), col("s.val").as("val"))
+      .filter(col("val").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column").orderBy(col("_h"))
+    stacked
+      .select(col("column"), graft.ext.Sketches.hash60(col("val")).as("_h"))
+      .distinct()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy("column")
+      .agg(sort_array(collect_list(col("_h"))).as("hashes"))
+  }
+
   /** X6c — per-group z-score outliers (the anomaly gate a monitoring
     * job runs over a metric stream): rows whose value sits more than
     * `zThreshold` population standard deviations from their group's

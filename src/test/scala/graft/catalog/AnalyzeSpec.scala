@@ -129,6 +129,63 @@ class AnalyzeSpec extends SparkSpec {
       "stats recorded for an older version must not be current")
   }
 
+  test("incremental column stats: fast-append commits MERGE the " +
+    "per-column stats forward (KMV sketch union), CBO keeps " +
+    "receiving them, and the merged ndv stays within KMV error of a " +
+    "fresh ANALYZE") {
+    TableStore.reset(spark)
+    mkTable("an", "t6", 3000)
+    val store = new TableStore(spark)
+    // merge-on-read mode: INSERT INTO commits fast-append sidecars —
+    // the window shape the incremental merge consumes
+    spark.sql("""ALTER TABLE an.t6 SET TBLPROPERTIES(
+      'write.merge.mode'='merge-on-read',
+      'graft.stats.auto-refresh'='true')""")
+    spark.sql("ANALYZE TABLE an.t6 COMPUTE STATISTICS FOR COLUMNS id, grp")
+    val P = GraftStats.ColPrefix
+    val before = store.properties("an", "t6")
+    assert(before.contains(s"${P}id.kmv"),
+      "ANALYZE must persist the mergeable sketch")
+    // three append commits: new ids extend the range and the ndv
+    (1 to 3).foreach { b =>
+      val vals = (1 to 500).map(i => s"(${3000 + (b - 1) * 500 + i}, " +
+        s"'s${i % 7}', 'p$b')").mkString(", ")
+      spark.sql(s"INSERT INTO an.t6 VALUES $vals")
+    }
+    val props = store.properties("an", "t6")
+    assert(props(GraftStats.RowsKey) == "4500", props(GraftStats.RowsKey))
+    assert(props.contains(s"${P}id.ndv"),
+      "column stats must SURVIVE fast-append commits")
+    assert(props(s"${P}id.max").toDouble == 4500.0,
+      s"merged max must cover the appended range: ${props(s"${P}id.max")}")
+    assert(props(s"${P}id.min").toDouble == 1.0)
+    assert(props(s"${P}id.nulls") == "0")
+    // the merged stats still attach to the base scan (on a
+    // sidecar-laden table the read is a Union, so the CatalogTable
+    // slot on the base LogicalRelation is the wiring under test —
+    // rowCount cannot propagate through the sidecar Union's root)
+    val lrs = spark.table("an.t6").queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.catalogTable.exists(_.stats.isDefined) => l
+    }
+    assert(lrs.nonEmpty, "merged stats must attach to the base scan")
+    val cstats = lrs.head.catalogTable.get.stats.get
+    assert(cstats.rowCount.contains(BigInt(4500)), cstats)
+    assert(cstats.colStats.get("id").exists(_.distinctCount.isDefined),
+      s"merged column stats must reach the CBO slot: ${cstats.colStats}")
+    // the merged ndv tracks a FRESH ANALYZE within KMV error (k=256
+    // → ~6% relative; allow 2/sqrt(k))
+    val mergedNdv = props(s"${P}id.ndv").toDouble
+    spark.sql("ANALYZE TABLE an.t6 COMPUTE STATISTICS FOR COLUMNS id, grp")
+    val freshNdv = store.properties("an", "t6")(s"${P}id.ndv").toDouble
+    assert(math.abs(mergedNdv - freshNdv) / freshNdv <= 2.0 / 16.0,
+      s"merged ndv $mergedNdv must track fresh ANALYZE $freshNdv")
+    // a low-cardinality column merges EXACTLY (fewer than k distinct
+    // hashes: the sketch is the value set) — asserted on the MERGED
+    // stats, before the fresh re-ANALYZE above could mask it
+    assert(props(s"${P}grp.ndv").toDouble == 7.0, props(s"${P}grp.ndv"))
+  }
+
   test("NOSCAN records size only (no row count), Spark's contract") {
     TableStore.reset(spark)
     mkTable("an", "t2", 1000)
