@@ -58,11 +58,12 @@ case class GraftCreateTableCommand(ns: String, name: String,
       throw new IllegalStateException(s"table already exists: $ns.$name")
     // PARTITIONED BY columns must exist in the declared schema
     partitioning.foreach { p =>
-      val src = graft.pipeline.Snapshot.parseSpecField(p).source
-      if (!tableSchema.fieldNames.exists(_.equalsIgnoreCase(src)))
-        throw new IllegalArgumentException(
-          s"PARTITIONED BY references unknown column: $src " +
-            s"(columns: ${tableSchema.fieldNames.mkString(", ")})")
+      graft.pipeline.Snapshot.parseSpecField(p).sources.foreach { src =>
+        if (!tableSchema.fieldNames.exists(_.equalsIgnoreCase(src)))
+          throw new IllegalArgumentException(
+            s"PARTITIONED BY references unknown column: $src " +
+              s"(columns: ${tableSchema.fieldNames.mkString(", ")})")
+      }
     }
     store.createTableIfNotExists(ns, name, tableSchema)
     if (partitioning.nonEmpty)
@@ -318,8 +319,8 @@ case class GraftDescribeTableCommand(ns: String, name: String,
             }) ++
             // the storage-partitioned-join layout, when stamped
             (graft.pipeline.Snapshot.bucketLayout(p) match {
-              case Some((n, c)) => Seq(Row("Bucket Layout",
-                s"$n buckets on $c (murmur3)", null))
+              case Some((n, cols)) => Seq(Row("Bucket Layout",
+                s"$n buckets on ${cols.mkString(", ")} (murmur3)", null))
               case None => Nil
             })
         } ++
@@ -672,13 +673,15 @@ case class GraftAddPartitionFieldCommand(ns: String, name: String,
       "partition-spec evolution")
     val sf = graft.pipeline.Snapshot.parseSpecField(field)
     val schema = spark.read.parquet(path).schema
-    // the transform's SOURCE column must exist; the canonical entry
-    // stores the schema's casing (DROP resolves the same way)
-    val resolved = schema.fieldNames
-      .find(_.equalsIgnoreCase(sf.source))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot ADD PARTITION FIELD $field: no such column on " +
-          s"$ns.$name (columns: ${schema.fieldNames.mkString(", ")})"))
+    // every SOURCE column of the transform must exist; the canonical
+    // entry stores the schema's casing (DROP resolves the same way)
+    val resolvedAll = sf.sources.map { src =>
+      src -> schema.fieldNames.find(_.equalsIgnoreCase(src))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot ADD PARTITION FIELD $field: no such column on " +
+            s"$ns.$name (columns: ${schema.fieldNames.mkString(", ")})"))
+    }
+    val resolved = resolvedAll.head._2
     // time transforms need a temporal source — reject a days(int)
     // spec now, not at the first spec-aware commit
     val temporal = Set("days", "months", "years", "hours")
@@ -694,7 +697,8 @@ case class GraftAddPartitionFieldCommand(ns: String, name: String,
           s"date/timestamp column, $resolved is " +
           schema(resolved).dataType.simpleString)
     graft.pipeline.Snapshot.addPartitionField(path,
-      sf.raw.replace(sf.source, resolved))
+      resolvedAll.foldLeft(sf.raw) { case (raw, (src, res)) =>
+        raw.replace(src, res) })
     Seq.empty
   }
 }

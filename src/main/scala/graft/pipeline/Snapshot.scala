@@ -256,8 +256,8 @@ object Snapshot {
     // this table (API or SQL) then schedules O(matching files) tasks;
     // without either this IS spark.read.parquet
     var df = bucketLayout(dir) match {
-      case Some((n, c)) =>
-        org.apache.spark.sql.graft.BucketedBridge.read(spark, dir, n, c)
+      case Some((n, cols)) =>
+        org.apache.spark.sql.graft.BucketedBridge.read(spark, dir, n, cols)
       case None =>
         org.apache.spark.sql.graft.PruningBridge.read(spark, dir)
     }
@@ -780,21 +780,36 @@ object Snapshot {
   // engine can recompute the fragment (('0x'||md5(c))::BIGINT % N),
   // the same cross-engine discipline as the dedup family.
 
-  private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  /** `bucket(n, c)` — or the COMPOSITE `bucket(n, c1, c2, …)`
+    * extension: multiple bucket columns give the storage-partitioned-
+    * join layout a multi-column `HashPartitioning`, so a MERGE/join
+    * keyed on the full composite key zero-exchanges the stored side
+    * (Spark's own v1 `BucketSpec` takes a column LIST; Iceberg's
+    * transform grammar is single-column, this lifts that limit). */
+  private val BucketRe =
+    """(?i)bucket\(\s*(\d+)\s*,\s*(\w+(?:\s*,\s*\w+)*)\s*\)""".r
   private val TruncRe = """(?i)truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
   private val TimeRe = """(?i)(days|months|years|hours)\(\s*(\w+)\s*\)""".r
 
   /** One parsed spec entry: the canonical raw form, the partition
-    * FIELD name it writes, and the source column it reads. */
+    * FIELD name it writes, and the source column it reads (`sources`
+    * lists all of them — more than one only for a composite bucket). */
   final case class SpecField(raw: String, name: String, source: String) {
     def isIdentity: Boolean = raw == name
+    def sources: Seq[String] = raw match {
+      case BucketRe(_, cs) => cs.split(",").map(_.trim).toSeq
+      case _ => Seq(source)
+    }
   }
 
-  /** Parse + canonicalize a spec entry ("bucket(4, C)" or a plain
-    * column). Unknown transform spellings raise. */
+  /** Parse + canonicalize a spec entry ("bucket(4, C)", the composite
+    * "bucket(4, C1, C2)", or a plain column). Unknown transform
+    * spellings raise. */
   def parseSpecField(entry: String): SpecField = entry.trim match {
-    case BucketRe(n, c) =>
-      SpecField(s"bucket($n,$c)", s"${c}_bucket", c)
+    case BucketRe(n, cs) =>
+      val cols = cs.split(",").map(_.trim).toSeq
+      SpecField(s"bucket($n,${cols.mkString(",")})",
+        s"${cols.mkString("_")}_bucket", cols.head)
     case TruncRe(w, c) =>
       SpecField(s"truncate($w,$c)", s"${c}_trunc", c)
     case TimeRe(unit, c) =>
@@ -814,10 +829,15 @@ object Snapshot {
                            df: DataFrame): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions._
     f.raw match {
-      case BucketRe(n, c) =>
+      case BucketRe(n, cs) =>
         // md5-derived bucket (cross-engine recomputable):
-        // first 8 md5 hex digits of the string form, mod N
-        Some(pmod(conv(substring(md5(col(c).cast("string")), 1, 8),
+        // first 8 md5 hex digits of the string form, mod N; a
+        // composite key hashes the '|'-joined string forms
+        val cols = cs.split(",").map(_.trim)
+        val key =
+          if (cols.length == 1) col(cols.head).cast("string")
+          else concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+        Some(pmod(conv(substring(md5(key), 1, 8),
           16, 10).cast("long"), lit(n.toInt)))
       case TruncRe(w, c) =>
         val width = w.toInt
@@ -1003,7 +1023,8 @@ object Snapshot {
     // file can only be one hash bucket; further bucket entries still
     // write their md5 fragments)
     val joinBucket = fields.map(_.raw)
-      .collectFirst { case BucketRe(n, c) => (n.toInt, c) }
+      .collectFirst { case BucketRe(n, cs) =>
+        (n.toInt, cs.split(",").map(_.trim).toSeq) }
     // the spec columns PREFIX the sort: FileFormatWriter requires
     // its input ordered by the partition columns and injects its
     // own (order-destroying) sort when it is not — sorting by
@@ -1017,13 +1038,14 @@ object Snapshot {
         if (asc) col.asc else col.desc
       }
     val ordered = joinBucket match {
-      case Some((n, c)) =>
+      case Some((n, cols)) =>
         // the bucket layout OWNS the shuffle (one murmur3 bucket per
         // output task — the explicit partition count also keeps AQE
         // from coalescing, which would merge buckets); any WRITE
         // ORDERED BY order degrades gracefully to within-file sort
         withDerived
-          .repartition(n, org.apache.spark.sql.functions.col(c))
+          .repartition(n,
+            cols.map(org.apache.spark.sql.functions.col): _*)
           .sortWithinPartitions(exprs: _*)
       case None if order.isEmpty => withDerived
       case None =>
@@ -1047,7 +1069,8 @@ object Snapshot {
     } else {
       ordered.write.mode(SaveMode.Overwrite)
         .partitionBy(fields.map(_.name): _*).parquet(tmp.toString)
-      joinBucket.foreach { case (n, c) => stampBucketLayout(tmp, n, c) }
+      joinBucket.foreach { case (n, cols) =>
+        stampBucketLayout(tmp, n, cols) }
     }
   }
 
@@ -1064,15 +1087,15 @@ object Snapshot {
   private val BucketMarker = "_graft_buckets"
   private val PartFileRe = """part-(\d+)-.*""".r
 
-  /** The (numBuckets, column) join layout a snapshot dir was written
-    * under, if any. */
-  def bucketLayout(dir: String): Option[(Int, String)] = {
+  /** The (numBuckets, columns) join layout a snapshot dir was written
+    * under, if any (several columns for a composite bucket spec). */
+  def bucketLayout(dir: String): Option[(Int, Seq[String])] = {
     val f = Paths.get(dir, BucketMarker)
     if (!Files.exists(f)) None
     else {
       val parts = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-      Some((parts(0).toInt, parts(1)))
+      Some((parts(0).toInt, parts.drop(1).toSeq))
     }
   }
 
@@ -1081,7 +1104,8 @@ object Snapshot {
     * atomic promote, so readers only ever see a fully-bucket-named
     * table. A data file whose name does not carry the writer's task
     * index would break the claim — fail loudly, never half-stamp. */
-  private def stampBucketLayout(tmp: Path, n: Int, c: String): Unit = {
+  private def stampBucketLayout(tmp: Path, n: Int,
+                                cols: Seq[String]): Unit = {
     val s = Files.walk(tmp)
     try {
       import scala.jdk.CollectionConverters._
@@ -1108,7 +1132,8 @@ object Snapshot {
         }
     } finally s.close()
     Files.write(tmp.resolve(BucketMarker),
-      s"$n $c\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"$n ${cols.mkString(" ")}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   // WRITE ORDERED BY metadata — Iceberg's table sort order, stored in

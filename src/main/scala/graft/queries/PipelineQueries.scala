@@ -1352,6 +1352,53 @@ FROM iceberg.silver.orders_current""")
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
 
+    // S13++ (r13) — COMPOSITE-key storage-partitioned join:
+    // bucket(8, l_orderkey, l_linenumber) writes one murmur3 bucket
+    // of the column TUPLE per file, so a join AND an aggregation on
+    // the FULL composite key run with ZERO hash exchanges on both
+    // stored sides — the multi-key MERGE shape (order_id + line)
+    // that a single-column bucket spec still had to shuffle. The
+    // zero-exchange plan is REQUIRED inside the query.
+    "q_bucket_join_multi" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("bjm").toString
+      val d1 = base + "/l1"
+      val d2 = base + "/l2"
+      graft.pipeline.Snapshot.setPartitionSpec(d1,
+        Seq("bucket(8,l_orderkey,l_linenumber)"))
+      graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity")), d1)
+      graft.pipeline.Snapshot.setPartitionSpec(d2,
+        Seq("bucket(8,l_orderkey,l_linenumber)"))
+      graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")), d2)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val out = graft.pipeline.Snapshot.read(s, d1)
+          .join(graft.pipeline.Snapshot.read(s, d2),
+            Seq("l_orderkey", "l_linenumber"))
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("pair_count"),
+            sum(round(col("l_quantity") * 100).cast("long"))
+              .as("qty_cents"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("price_cents"))
+          .orderBy("l_orderkey", "l_linenumber")
+        out.collect() // materialize under the pinned conf
+        val plan = out.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"composite-key storage-partitioned join must not " +
+            s"hash-exchange:\n$plan")
+        out
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // S4+++++++ (r07) — spark.wap.branch session mode end-to-end: the
     // low half of orders is live, the session pins a WAP branch, the
     // top half lands via plain INSERT (staged, live untouched —
@@ -2296,6 +2343,19 @@ FROM iceberg.silver.orders_current""")
              max(c_mktsegment) AS mktsegment
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q_bucket_join_multi" -> """
+      SELECT a.l_orderkey, a.l_linenumber,
+             CAST(count(*) AS BIGINT) AS pair_count,
+             CAST(sum(CAST(round(a.l_quantity * 100) AS BIGINT))
+               AS BIGINT) AS qty_cents,
+             CAST(sum(CAST(round(b.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS price_cents
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_linenumber = b.l_linenumber
+      GROUP BY a.l_orderkey, a.l_linenumber
+      ORDER BY a.l_orderkey, a.l_linenumber""",
 
     // DELETE → UPDATE → MERGE recomputed relationally: what the
     // merge-on-read sidecar chain must be indistinguishable from

@@ -32,11 +32,14 @@ import org.apache.spark.sql.types.StructType
 object BucketedBridge {
 
   /** DataFrame over a bucket-laid-out snapshot dir, its scan reporting
-    * `HashPartitioning(col, n)`. Hive partition fragments (the hidden
-    * md5 transform dirs) are discovered as usual and compose: fragment
-    * pruning and bucket partitioning are independent layers. */
+    * `HashPartitioning(cols, n)` — one or several bucket columns (a
+    * composite `bucket(n, c1, c2)` spec writes one murmur3 bucket of
+    * the column TUPLE per file, exactly Spark's own multi-column
+    * `bucketBy`). Hive partition fragments (the hidden md5 transform
+    * dirs) are discovered as usual and compose: fragment pruning and
+    * bucket partitioning are independent layers. */
   def read(spark: SparkSession, dir: String, numBuckets: Int,
-           col: String): DataFrame = {
+           cols: Seq[String]): DataFrame = {
     val probe = spark.read.parquet(dir)
     val index = new InMemoryFileIndex(spark, Seq(new Path(dir)),
       Map.empty, None)
@@ -45,7 +48,7 @@ object BucketedBridge {
     val dataSchema = StructType(
       probe.schema.fields.filterNot(f => partNames.contains(f.name)))
     val rel = HadoopFsRelation(index, partSchema, dataSchema,
-      Some(BucketSpec(numBuckets, Seq(col), Nil)),
+      Some(BucketSpec(numBuckets, cols, Nil)),
       new ParquetFileFormat, Map.empty)(spark)
     PlanBridge.ofRows(spark, LogicalRelation(rel))
   }

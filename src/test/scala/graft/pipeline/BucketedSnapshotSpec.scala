@@ -32,7 +32,7 @@ class BucketedSnapshotSpec extends SparkSpec {
       .select("o_orderkey", "o_custkey", "o_totalprice")
     Snapshot.setPartitionSpec(dir, Seq("bucket(8,o_custkey)"))
     Snapshot.createOrReplaceCurrentSpec(orders, dir)
-    assert(Snapshot.bucketLayout(dir).contains((8, "o_custkey")))
+    assert(Snapshot.bucketLayout(dir).contains((8, Seq("o_custkey"))))
     val back = Snapshot.read(spark, dir)
     assert(back.columns.toSeq.sorted ==
       Seq("o_custkey", "o_orderkey", "o_totalprice"),
@@ -196,7 +196,7 @@ class BucketedSnapshotSpec extends SparkSpec {
       ON t.o_orderkey = s.o_orderkey
       WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
       WHEN NOT MATCHED THEN INSERT *""")
-    assert(Snapshot.bucketLayout(dir).contains((8, "o_orderkey")),
+    assert(Snapshot.bucketLayout(dir).contains((8, Seq("o_orderkey"))),
       "the MERGE commit must preserve the bucket layout")
     val after = Snapshot.read(spark, dir)
     assert(after.count() == orders.count())
@@ -237,11 +237,69 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(empty2.count() == 0L)
     // the next non-empty commit restores fragments + bucket layout
     spark.sql("INSERT INTO spjt.t VALUES (7, 'x'), (8, 'y')")
-    assert(Snapshot.bucketLayout(d1).contains((4, "id")),
+    assert(Snapshot.bucketLayout(d1).contains((4, Seq("id"))),
       "the bucket layout must return with the next non-empty commit")
     assert(spark.sql("SELECT count(*) FROM spjt.t").head.getLong(0) == 2L)
     // pre-truncate state stays time-travelable
     assert(Snapshot.readAsOf(spark, d1, 1).count() == 100L)
+  }
+
+  test("COMPOSITE bucket spec bucket(8,k1,k2): the scan reports the " +
+    "multi-column HashPartitioning, a two-column MERGE-shaped join " +
+    "exchanges only the batch side, and same-spec tables join with " +
+    "zero exchanges") {
+    TableStore.reset(spark)
+    val base = Files.createTempDirectory("spjmulti").toString
+    val dir = base + "/t"
+    val lines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    Snapshot.setPartitionSpec(dir, Seq("bucket(8,l_orderkey,l_linenumber)"))
+    Snapshot.createOrReplaceCurrentSpec(lines, dir, keepVersions = 2)
+    assert(Snapshot.bucketLayout(dir)
+      .contains((8, Seq("l_orderkey", "l_linenumber"))))
+    val back = Snapshot.read(spark, dir)
+    assert(back.exceptAll(lines).isEmpty && lines.exceptAll(back).isEmpty,
+      "composite-bucket layout must round-trip row-identical")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // MERGE-shaped join on the FULL composite key: only the staged
+      // batch shuffles, never the stored table
+      val batch = lines.limit(50)
+        .withColumn("l_quantity", col("l_quantity") + 1.0)
+      val delta = Snapshot.read(spark, dir).as("t")
+        .join(batch.as("s"),
+          col("t.l_orderkey") === col("s.l_orderkey") &&
+            col("t.l_linenumber") === col("s.l_linenumber"),
+          "left_outer")
+      val plan = finalPlan(delta)
+      assert(exchanges(plan) == 1,
+        s"composite-key MERGE join must exchange only the batch:\n$plan")
+      // two same-spec snapshots: zero exchanges on both sides
+      val d2 = base + "/t2"
+      Snapshot.setPartitionSpec(d2,
+        Seq("bucket(8,l_orderkey,l_linenumber)"))
+      Snapshot.createOrReplaceCurrentSpec(
+        lines.withColumnRenamed("l_quantity", "q2"), d2)
+      val both = Snapshot.read(spark, dir)
+        .join(Snapshot.read(spark, d2),
+          Seq("l_orderkey", "l_linenumber"))
+      val bothPlan = finalPlan(both)
+      assert(exchanges(bothPlan) == 0,
+        s"same-composite-spec join must not exchange:\n$bothPlan")
+      // the fixture's (l_orderkey, l_linenumber) is NOT unique, so
+      // compare against the plain (layout-free) join count
+      assert(both.count() == lines.join(
+        lines.withColumnRenamed("l_quantity", "q2"),
+        Seq("l_orderkey", "l_linenumber")).count())
+      // composite-key aggregation also rides the layout
+      val agg = Snapshot.read(spark, dir)
+        .groupBy("l_orderkey", "l_linenumber").agg(sum("l_quantity"))
+      val aggPlan = finalPlan(agg)
+      assert(exchanges(aggPlan) == 0,
+        s"composite-bucket-key agg must not exchange:\n$aggPlan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("MOR sidecars stack on a bucketed base without breaking reads " +
@@ -263,7 +321,7 @@ class BucketedSnapshotSpec extends SparkSpec {
     // the exchange-free aggregation both return
     spark.sql("CALL system.rewrite_position_delete_files('spjm.t')")
     assert(Snapshot.morVersions(dir).isEmpty)
-    assert(Snapshot.bucketLayout(dir).contains((4, "id")))
+    assert(Snapshot.bucketLayout(dir).contains((4, Seq("id"))))
     val agg = Snapshot.read(spark, dir).groupBy("id").agg(count("*"))
     val plan = finalPlan(agg)
     assert(exchanges(plan) == 0,

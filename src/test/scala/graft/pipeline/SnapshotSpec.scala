@@ -539,7 +539,7 @@ class SnapshotSpec extends SparkSpec {
     // the binpack rewrite must NOT flatten the layout: marker intact,
     // and the scan still reports the murmur3 bucket partitioning (no
     // exchange under a groupBy on the bucket column)
-    assert(Snapshot.bucketLayout(dir).contains((4, "id")),
+    assert(Snapshot.bucketLayout(dir).contains((4, Seq("id"))),
       "compact dropped the _graft_buckets marker")
     assert(Snapshot.read(spark, dir)
       .as[(Long, String)].collect().toSet == rowsBefore)
