@@ -42,13 +42,6 @@ case class GraftAnalyzeCommand(ns: String, name: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val store = new TableStore(spark)
-    // a WAP session pins reads to the staged branch — ANALYZE there
-    // would record BRANCH row counts against the LIVE version and
-    // file bytes, a silently inconsistent mix; refuse loudly
-    if (GraftDml.wapBranch(spark).nonEmpty)
-      throw new UnsupportedOperationException(
-        "ANALYZE TABLE under spark.wap.branch would mix staged-branch " +
-          "rows with live file statistics — publish the branch first")
     // registry-first, the DML-gate resolution order
     val frame = TableStore.registry(spark).get(Seq(ns, name))
       .orElse(store.snapshotPath(ns, name)
@@ -57,6 +50,20 @@ case class GraftAnalyzeCommand(ns: String, name: String,
     val snapPath =
       if (TableStore.registry(spark).contains(Seq(ns, name))) None
       else store.snapshotPath(ns, name)
+    // a WAP session pins reads to the staged branch — ANALYZE there
+    // records BRANCH-SCOPED stats (rows, bytes, column stats, all
+    // measured against the staged dir and gated on its staging token),
+    // so branch reads get steered while live reads keep serving the
+    // live stats; fast_forward PROMOTES the branch stats with the
+    // publish (the content becomes live verbatim). When nothing is
+    // staged yet, reads are live and this is a plain live ANALYZE.
+    val wapScope = GraftDml.wapBranch(spark).flatMap { b =>
+      snapPath.filter(p =>
+        graft.pipeline.Snapshot.branches(p).contains(b)).map(p => (b, p))
+    }
+    wapScope.foreach { case (b, p) =>
+      return runBranchScoped(spark, store, frame, b, p)
+    }
     val cols: Seq[String] =
       if (allColumns) frame.columns.toSeq
       else columns.map(c => frame.columns.find(_.equalsIgnoreCase(c))
@@ -115,6 +122,61 @@ case class GraftAnalyzeCommand(ns: String, name: String,
     store.setProperties(ns, name, props.toMap)
     Seq.empty
   }
+
+  /** ANALYZE under `spark.wap.branch`: the same statistics, measured
+    * against the STAGED branch (rows from the branch read, bytes from
+    * the branch dir's footers) and persisted under the branch-scoped
+    * key prefix with the staging token — never touching the live
+    * stats. NOSCAN keeps its size-only contract. */
+  private def runBranchScoped(spark: SparkSession, store: TableStore,
+                              frame: org.apache.spark.sql.DataFrame,
+                              branch: String, path: String): Seq[Row] = {
+    val S = graft.pipeline.Snapshot
+    val cols: Seq[String] =
+      if (allColumns) frame.columns.toSeq
+      else columns.map(c => frame.columns.find(_.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"ANALYZE: no such column $c in $ns.$name " +
+            s"(columns: ${frame.columns.mkString(", ")})")))
+    val pre = GraftStats.branchPrefix(branch)
+    def key(liveKey: String): String =
+      pre + liveKey.stripPrefix(GraftStats.KeyRoot)
+    val props = scala.collection.mutable.LinkedHashMap[String, String]()
+    val (bytes, fileRows) = S.branchDataFileStats(path, branch)
+    if (noScan) props += key(GraftStats.SizeKey) -> bytes.toString
+    else {
+      val rowCount = frame.count()
+      props += key(GraftStats.RowsKey) -> rowCount.toString
+      val size =
+        if (fileRows > 0)
+          math.max(1L, math.round(bytes.toDouble * rowCount / fileRows))
+        else bytes
+      props += key(GraftStats.SizeKey) -> size.toString
+    }
+    S.branchStatsToken(path, branch).foreach(t =>
+      props += pre + GraftStats.BranchTokenSuffix -> t.toString)
+    if (cols.nonEmpty && !noScan) {
+      graft.quality.Metrics.columnStats(frame, cols).collect()
+        .foreach { r =>
+          val c = r.getString(0)
+          def put(suffix: String, v: Any): Unit =
+            if (v != null) props +=
+              key(s"${GraftStats.ColPrefix}$c.$suffix") -> v.toString
+          put("nulls", r.get(1))
+          put("ndv", r.get(2))
+          put("min", r.get(3))
+          put("max", r.get(4))
+          put("avgLen", r.get(5))
+        }
+      graft.quality.Metrics.columnKmv(frame, cols, GraftStats.KmvK)
+        .collect().foreach { r =>
+          props += key(s"${GraftStats.ColPrefix}${r.getString(0)}.kmv") ->
+            r.getSeq[Long](1).mkString(",")
+        }
+    }
+    store.setProperties(ns, name, props.toMap)
+    Seq.empty
+  }
 }
 
 object GraftStats {
@@ -127,20 +189,90 @@ object GraftStats {
     * relative NDV error; 256 longs per analyzed column). */
   val KmvK = 256
 
+  /** Common root of every stats key — branch scoping re-prefixes the
+    * part after it. */
+  val KeyRoot = "graft.stats."
+
+  /** Branch-scoped key prefix: an ANALYZE under `spark.wap.branch b`
+    * stores `graft.stats.branch.<b>.rowCount` etc., gated on the
+    * staging token instead of the live version. */
+  def branchPrefix(branch: String): String = s"${KeyRoot}branch.$branch."
+
+  /** Key suffix carrying the staging token a branch's stats were
+    * measured against (see [[graft.pipeline.Snapshot
+    * .branchStatsToken]]). */
+  val BranchTokenSuffix = "branchToken"
+
   /** The persisted ANALYZE stats of `ns.name`, if current: the
     * recorded snapshot version must still be live (a table whose
     * content moved since ANALYZE serves NO stats rather than stale
-    * ones — a wrong broadcast at 100 TB is an executor OOM). */
+    * ones — a wrong broadcast at 100 TB is an executor OOM). Under a
+    * `spark.wap.branch` session with staged state, the BRANCH-SCOPED
+    * stats serve instead — re-mapped to the plain keys and gated on
+    * the branch's staging token (a re-staged branch stops serving
+    * them), while live readers keep the live stats untouched. */
   def currentStats(spark: SparkSession, ns: String, name: String,
                    path: String): Option[Map[String, String]] = {
     val props =
       try new TableStore(spark).properties(ns, name)
       catch { case _: NoSuchElementException => return None }
-    if (!props.contains(SizeKey)) None
-    else if (!props.get(VersionKey).exists(v =>
-        graft.pipeline.Snapshot.currentVersion(path)
-          .map(_.toString).contains(v))) None
-    else Some(props)
+    GraftDml.wapBranch(spark) match {
+      case Some(b)
+          if graft.pipeline.Snapshot.branches(path).contains(b) =>
+        val pre = branchPrefix(b)
+        val scoped = props.collect {
+          case (k, v) if k.startsWith(pre) => k.stripPrefix(pre) -> v
+        }
+        if (!scoped.contains(SizeKey.stripPrefix(KeyRoot))) None
+        else if (!scoped.get(BranchTokenSuffix).exists(t =>
+            graft.pipeline.Snapshot.branchStatsToken(path, b)
+              .map(_.toString).contains(t))) None
+        else Some(scoped.collect {
+          case (k, v) if k != BranchTokenSuffix => (KeyRoot + k) -> v
+        })
+      case _ =>
+        if (!props.contains(SizeKey)) None
+        else if (!props.get(VersionKey).exists(v =>
+            graft.pipeline.Snapshot.currentVersion(path)
+              .map(_.toString).contains(v))) None
+        else Some(props)
+    }
+  }
+
+  /** The branch-scoped stats of `branch`, IF their token matches its
+    * current staging — the promotion payload `fast_forward` re-keys
+    * as live stats when it publishes the branch verbatim. Returned in
+    * PLAIN key form (no branch prefix, no token). */
+  def branchStatsIfCurrent(spark: SparkSession, ns: String,
+                           name: String, path: String,
+                           branch: String): Option[Map[String, String]] = {
+    val props =
+      try new TableStore(spark).properties(ns, name)
+      catch { case _: NoSuchElementException => return None }
+    val pre = branchPrefix(branch)
+    val scoped = props.collect {
+      case (k, v) if k.startsWith(pre) => k.stripPrefix(pre) -> v
+    }
+    if (!scoped.contains(SizeKey.stripPrefix(KeyRoot))) None
+    else if (!scoped.get(BranchTokenSuffix).exists(t =>
+        graft.pipeline.Snapshot.branchStatsToken(path, branch)
+          .map(_.toString).contains(t))) None
+    else Some(scoped.collect {
+      case (k, v) if k != BranchTokenSuffix => (KeyRoot + k) -> v
+    })
+  }
+
+  /** Drop every branch-scoped stats key of `branch` (branch consumed
+    * or its delta-applied publish invalidated them). */
+  def dropBranchStats(spark: SparkSession, ns: String, name: String,
+                      branch: String): Unit = {
+    val store = new TableStore(spark)
+    val props =
+      try store.properties(ns, name)
+      catch { case _: NoSuchElementException => return }
+    val keys = props.keys.filter(_.startsWith(branchPrefix(branch))).toSeq
+    if (keys.nonEmpty)
+      store.unsetProperties(ns, name, keys, ifExists = true)
   }
 
   /** Fold the persisted stats into a resolved snapshot-read plan:
@@ -155,7 +287,12 @@ object GraftStats {
     currentStats(spark, ns, name, path) match {
       case None => plan
       case Some(props) =>
-        val abs = java.nio.file.Paths.get(path)
+        // under a staged WAP branch the scan's root IS the branch dir
+        val scanDir = GraftDml.wapBranch(spark)
+          .filter(graft.pipeline.Snapshot.branches(path).contains)
+          .map(b => graft.pipeline.Snapshot.branchDirPath(path, b))
+          .getOrElse(path)
+        val abs = java.nio.file.Paths.get(scanDir)
           .toAbsolutePath.normalize.toString
         plan.transform {
           case lr @ LogicalRelation(hfs: HadoopFsRelation, _, None, _, _)

@@ -314,14 +314,28 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
             .historicalVersions(path).size + 1)
         val prev = graft.pipeline.Snapshot.currentVersion(path)
           .getOrElse(0L)
+        // capture BEFORE the publish consumes the branch dir (the
+        // token must still be checkable): branch-scoped ANALYZE stats
+        // promote to live with the publish — the content becomes live
+        // verbatim, so the measurements carry over exactly
+        val Seq(ns, t) = tableParts(required("table", 0).toString)
+        val promote = GraftStats.branchStatsIfCurrent(spark, ns, t,
+          path, branch)
         val cur = graft.pipeline.Snapshot
           .publishBranch(spark, path, branch, keep)
+        GraftStats.dropBranchStats(spark, ns, t, branch)
+        promote.foreach { stats =>
+          new TableStore(spark).setProperties(ns, t,
+            stats + (GraftStats.VersionKey -> cur.toString))
+        }
         Seq(Row(prev, cur))
       case "drop_branch" =>
         val branch = required("branch", 1).toString
         val fork = graft.pipeline.Snapshot
           .branchForkVersion(path, branch).getOrElse(0L)
         graft.pipeline.Snapshot.dropBranch(path, branch)
+        val Seq(ns, t) = tableParts(required("table", 0).toString)
+        GraftStats.dropBranchStats(spark, ns, t, branch)
         Seq(Row(fork))
       case "publish_changes" =>
         // Iceberg's WAP publish-by-id: cherry-pick the snapshot staged
@@ -337,6 +351,11 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
             .historicalVersions(path).size + 1)
         val cur = graft.pipeline.Snapshot
           .cherrypickBranch(spark, path, wapId, keep)
+        // unlike fast_forward, the DELTA was applied onto a possibly
+        // moved live — the branch's measurements do not describe the
+        // result, so its scoped stats just drop
+        val Seq(pns, pt) = tableParts(required("table", 0).toString)
+        GraftStats.dropBranchStats(spark, pns, pt, wapId)
         Seq(Row(src, cur))
       case "cherrypick_snapshot" =>
         // the same apply, addressed by the staged snapshot's numeric

@@ -130,10 +130,11 @@ case class ResolveGraftRelations(session: SparkSession)
           .map { path =>
             val plan = GraftDml.snapshotRead(session, path)
               .queryExecution.analyzed
+            // attach resolves the serving scope itself: live stats on
+            // live reads, BRANCH-scoped stats (token-gated) on staged
+            // WAP-branch reads — never crossed
             val withStats =
-              if (GraftDml.wapBranch(session).isEmpty)
-                GraftStats.attach(session, k.head, k(1), path, plan)
-              else plan
+              GraftStats.attach(session, k.head, k(1), path, plan)
             SubqueryAlias(parts.last, withStats)
           })
     }

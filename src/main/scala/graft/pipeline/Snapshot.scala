@@ -1908,6 +1908,47 @@ object Snapshot {
     spark.read.parquet(dir.toString)
   }
 
+  /** The staged branch's directory (for plan matching — e.g.
+    * attaching branch-scoped ANALYZE stats to the branch scan). */
+  def branchDirPath(path: String, name: String): String =
+    branchDir(path, name).toString
+
+  /** Staleness token for BRANCH-scoped stats: the commit instant of
+    * the branch's id marker (micros). [[writeBranch]] re-stages the
+    * whole dir on every WAP write, recreating the marker — so stats
+    * recorded against an older staging stop serving, the same
+    * no-stale-stats discipline as the live version gate. */
+  def branchStatsToken(path: String, name: String): Option[Long] = {
+    val m = Seq(branchDir(path, name).resolve(BranchIdFile),
+      branchDir(path, name).resolve(VersionFile))
+      .find(Files.exists(_))
+    m.map { f =>
+      val i = Files.getLastModifiedTime(f).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+  }
+
+  /** (bytes, footer rows) of a staged branch's data files — the
+    * branch twin of [[dataFileStats]]. */
+  def branchDataFileStats(path: String, name: String): (Long, Long) = {
+    val root = branchDir(path, name)
+    if (!Files.isDirectory(root)) return (0L, 0L)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter { p =>
+        Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !root.relativize(p).iterator().asScala.exists { seg =>
+          val n = seg.toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+      }
+      .map(p => (Files.size(p), footerRows(p)))
+      .foldLeft((0L, 0L)) { case ((b, r), (b2, r2)) => (b + b2, r + r2) }
+    finally s.close()
+  }
+
   /** Fork version recorded at [[writeBranch]] time (None if the table
     * had no live version then). */
   def branchForkVersion(path: String, name: String): Option[Long] = {

@@ -186,6 +186,62 @@ class AnalyzeSpec extends SparkSpec {
     assert(props(s"${P}grp.ndv").toDouble == 7.0, props(s"${P}grp.ndv"))
   }
 
+  test("branch-scoped ANALYZE under spark.wap.branch: branch reads " +
+    "are steered by branch stats, live reads keep live stats, " +
+    "re-staging invalidates, and fast_forward promotes them to live") {
+    TableStore.reset(spark)
+    val dir = mkTable("an", "t7", 2000)
+    val store = new TableStore(spark)
+    spark.sql("ANALYZE TABLE an.t7 COMPUTE STATISTICS")
+    assert(store.properties("an", "t7")(GraftStats.RowsKey) == "2000")
+    val pre = GraftStats.branchPrefix("audit")
+    try {
+      spark.conf.set("spark.wap.branch", "audit")
+      val vals = (1 to 500).map(i =>
+        s"(${90000 + i}, 's${i % 7}', 'p')").mkString(", ")
+      spark.sql(s"INSERT INTO an.t7 VALUES $vals") // stages the branch
+      spark.sql("ANALYZE TABLE an.t7 COMPUTE STATISTICS FOR COLUMNS id")
+      val props = store.properties("an", "t7")
+      assert(props(s"${pre}rowCount") == "2500",
+        s"branch ANALYZE must measure the STAGED content: $props")
+      assert(props(GraftStats.RowsKey) == "2000",
+        "branch ANALYZE must not touch the live stats")
+      // the branch read's scan carries the branch stats
+      val lrs = spark.table("an.t7").queryExecution.optimizedPlan
+        .collect {
+          case l: org.apache.spark.sql.execution.datasources
+              .LogicalRelation
+              if l.catalogTable.exists(_.stats.isDefined) => l
+        }
+      assert(lrs.nonEmpty, "branch stats must attach to the branch scan")
+      assert(lrs.head.catalogTable.get.stats.get.rowCount
+        .contains(BigInt(2500)))
+      // a further WAP write RE-STAGES the branch — the recorded token
+      // no longer matches and the stats stop serving (never stale)
+      spark.sql("INSERT INTO an.t7 VALUES (999999, 'x', 'p')")
+      assert(GraftStats.currentStats(spark, "an", "t7", dir).isEmpty,
+        "re-staged branch must invalidate its scoped stats")
+      spark.sql("ANALYZE TABLE an.t7 COMPUTE STATISTICS FOR COLUMNS id")
+    } finally spark.conf.unset("spark.wap.branch")
+    // outside the WAP session, LIVE stats (2000 rows) still serve —
+    // the live version never moved while the branch staged
+    assert(GraftStats.currentStats(spark, "an", "t7", dir)
+      .exists(_(GraftStats.RowsKey) == "2000"))
+    // publish: the content becomes live verbatim and the branch stats
+    // promote with it (re-keyed live, stamped with the new version)
+    spark.sql("CALL iceberg.system.fast_forward('an.t7', 'audit')")
+    val after = store.properties("an", "t7")
+    assert(after(GraftStats.RowsKey) == "2501",
+      s"publish must promote the branch stats: $after")
+    assert(after.contains(s"${GraftStats.ColPrefix}id.ndv"))
+    assert(!after.keys.exists(_.startsWith(pre)),
+      "consumed branch must leave no scoped keys behind")
+    assert(after(GraftStats.VersionKey)
+      == Snapshot.currentVersion(dir).get.toString)
+    assert(GraftStats.currentStats(spark, "an", "t7", dir).isDefined,
+      "the promoted stats must serve live reads")
+  }
+
   test("NOSCAN records size only (no row count), Spark's contract") {
     TableStore.reset(spark)
     mkTable("an", "t2", 1000)
