@@ -406,6 +406,32 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         graft.pipeline.Snapshot.diff(spark, path, startV, endV, keys)
           .createOrReplaceTempView(viewName)
         Seq(Row(viewName))
+      case "rebalance_index" =>
+        // Drift maintenance for the persisted ANN indexes: appends
+        // assign to FROZEN centroids, so a drifted corpus skews a few
+        // cells and recall decays there. Re-clusters (IvfIndex /
+        // IvfPqIndex .rebalance — detected from the index meta) when
+        // max/median cell rows >= threshold (argument, else the
+        // `graft.index.rebalance-threshold` table property, else 2).
+        val idxDir = required("index_dir", 1).toString
+        val threshold = arg("threshold", 2).map(_.toString.toDouble)
+          .orElse {
+            val Seq(ns, t) = tableParts(required("table", 0).toString)
+            (try new TableStore(spark).properties(ns, t)
+             catch { case _: NoSuchElementException =>
+               Map.empty[String, String] })
+              .get("graft.index.rebalance-threshold").map(_.toDouble)
+          }
+          .getOrElse(2.0)
+        val jp = java.nio.file.Paths.get(idxDir)
+        val (fired, mx, med) =
+          if (java.nio.file.Files.exists(jp.resolve("_ivfpq_meta")))
+            graft.ext.IvfPqIndex.rebalance(spark, path, idxDir, threshold)
+          else if (java.nio.file.Files.exists(jp.resolve("_ivf_meta")))
+            graft.ext.IvfIndex.rebalance(spark, path, idxDir, threshold)
+          else throw new IllegalArgumentException(
+            s"rebalance_index: no IVF or IVF-PQ index at $idxDir")
+        Seq(Row(if (fired) 1L else 0L, mx, med))
       case "ancestors_of" =>
         // Iceberg returns the current snapshot's ancestor chain newest
         // first; in this linear-history layout that is every retained
@@ -429,7 +455,7 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           "register_table, add_files, rollback_to_timestamp, " +
           "cherrypick_snapshot, publish_changes, " +
           "rewrite_position_delete_files, set_current_snapshot, " +
-          "rewrite_manifests)")
+          "rewrite_manifests, rebalance_index)")
     }
   }
 }
@@ -466,6 +492,8 @@ object GraftCallCommand {
         Seq("rewritten_manifests_count", "added_manifests_count")
       case "create_tag" | "drop_tag" | "drop_branch" => Seq("version")
       case "fast_forward" => Seq("previous_version", "current_version")
+      case "rebalance_index" =>
+        Seq("rebalanced", "max_cell_rows", "median_cell_rows")
       case "cherrypick_snapshot" | "publish_changes" =>
         Seq("source_snapshot_id", "current_version")
       case _ => Seq("orphan_file_count")

@@ -82,10 +82,19 @@ object IvfIndex {
     * its single nearest cell, store the corpus CLUSTERED BY CELL.
     * @return rows assigned */
   def build(spark: SparkSession, corpusPath: String, indexDir: String,
-            nlist: Int): Long = {
+            nlist: Int): Long =
+    buildWith(spark, corpusPath, indexDir,
+      SimilarityOps.sampleCentroids(
+        Snapshot.read(spark, corpusPath), nlist), nlist)
+
+  /** The build body against an EXPLICIT codebook — `build` feeds it
+    * the md5 sample, `rebalance` a Lloyd-trained one. */
+  private def buildWith(spark: SparkSession, corpusPath: String,
+                        indexDir: String, centroids0: DataFrame,
+                        nlist: Int): Long = {
     val version = corpusVersionOf(corpusPath)
     val corpus = Snapshot.read(spark, corpusPath)
-    val centroids = SimilarityOps.sampleCentroids(corpus, nlist)
+    val centroids = centroids0.localCheckpoint()
     Snapshot.createOrReplace(centroids, centroidsDir(indexDir),
       keepVersions = 1)
     Snapshot.createOrReplacePartitioned(
@@ -128,6 +137,48 @@ object IvfIndex {
       cellsVersion =
         Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L)))
     n
+  }
+
+  /** Per-cell member counts of the stored index — the skew probe
+    * `rebalance` gates on. One column-pruned scan of `centroid_id`,
+    * partial-aggregated; nlist rows out. */
+  def cellSizes(spark: SparkSession, indexDir: String): DataFrame =
+    cellsRead(spark, indexDir).groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"))
+
+  /** Index maintenance under DRIFT: appends assign to FROZEN
+    * centroids, so a corpus whose distribution moved scatters new
+    * clusters across cells that no centroid owns — probes miss them
+    * and recall decays for drifted queries, while the cell a drifted
+    * region leans toward bloats (the skew signal). `rebalance`
+    * measures the max/median cell-size ratio and, when it crosses
+    * `threshold`, RE-CLUSTERS with a Lloyd-TRAINED codebook
+    * ([[SimilarityOps.kmeansTrain]] — trained centroids converge onto
+    * the drifted clusters, which a fresh random sample only hits by
+    * luck; SoakDrift measures the recall restored), re-assigning
+    * every vector through the same atomic snapshot swaps — a
+    * concurrent reader serves the old cells until the promote and
+    * the version gate keeps search consistent.
+    * @return (rebalanced?, max cell rows, median cell rows) — the
+    *         PRE-rebalance skew measurements */
+  def rebalance(spark: SparkSession, corpusPath: String,
+                indexDir: String,
+                threshold: Double): (Boolean, Long, Long) = {
+    val im = meta(indexDir).getOrElse(throw new IllegalStateException(
+      s"no IVF index at $indexDir (build first)"))
+    val (mx, med) = skewOf(cellSizes(spark, indexDir))
+    val fire = med > 0 && mx.toDouble / med >= threshold
+    if (fire) buildWith(spark, corpusPath, indexDir,
+      SimilarityOps.kmeansTrain(
+          Snapshot.read(spark, corpusPath), im.nlist)
+        .select(col("centroid_id"), col("c_embedding")), im.nlist)
+    (fire, mx, med)
+  }
+
+  /** (max, median) of the per-cell counts (nlist-bounded collect). */
+  private[graft] def skewOf(sizes: DataFrame): (Long, Long) = {
+    val ns = sizes.select("n").collect().map(_.getLong(0)).sorted
+    if (ns.isEmpty) (0L, 0L) else (ns.last, ns(ns.length / 2))
   }
 
   /** Probe `nprobe` cells per query and rescore exactly within them —

@@ -135,11 +135,22 @@ object IvfPqIndex {
     * @return vectors indexed */
   def build(spark: SparkSession, corpusPath: String, indexDir: String,
             nlist: Int, m: Int, dsub: Int, ksub: Int,
-            residual: Boolean = true): Long = {
+            residual: Boolean = true): Long =
+    buildWith(spark, corpusPath, indexDir,
+      SimilarityOps.sampleCentroids(
+        Snapshot.read(spark, corpusPath), nlist),
+      nlist, m, dsub, ksub, residual)
+
+  /** The build body against an EXPLICIT coarse codebook — `build`
+    * feeds it the md5 sample, `rebalance` a Lloyd-trained one. The
+    * PQ book retrains too (residuals are relative to the new cells). */
+  private def buildWith(spark: SparkSession, corpusPath: String,
+                        indexDir: String, centroids0: DataFrame,
+                        nlist: Int, m: Int, dsub: Int, ksub: Int,
+                        residual: Boolean): Long = {
     val version = corpusVersionOf(corpusPath)
     val corpus = Snapshot.read(spark, corpusPath)
-    val centroids = SimilarityOps.sampleCentroids(corpus, nlist)
-      .localCheckpoint()
+    val centroids = centroids0.localCheckpoint()
     Snapshot.createOrReplace(centroids, centroidsDir(indexDir),
       keepVersions = 1)
     val trainSrc =
@@ -193,6 +204,31 @@ object IvfPqIndex {
       cellsVersion =
         Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L)))
     n
+  }
+
+  /** Per-cell code counts — the drift/skew probe (see
+    * [[IvfIndex.cellSizes]]). */
+  def cellSizes(spark: SparkSession, indexDir: String): DataFrame =
+    cellsRead(spark, indexDir).groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"))
+
+  /** Drift maintenance — [[IvfIndex.rebalance]]'s IVFADC twin:
+    * re-cluster AND retrain the PQ book against the live corpus when
+    * the max/median cell-size ratio crosses `threshold`.
+    * @return (rebalanced?, max cell rows, median cell rows) */
+  def rebalance(spark: SparkSession, corpusPath: String,
+                indexDir: String,
+                threshold: Double): (Boolean, Long, Long) = {
+    val im = meta(indexDir).getOrElse(throw new IllegalStateException(
+      s"no IVF-PQ index at $indexDir (build first)"))
+    val (mx, med) = IvfIndex.skewOf(cellSizes(spark, indexDir))
+    val fire = med > 0 && mx.toDouble / med >= threshold
+    if (fire) buildWith(spark, corpusPath, indexDir,
+      SimilarityOps.kmeansTrain(
+          Snapshot.read(spark, corpusPath), im.nlist)
+        .select(col("centroid_id"), col("c_embedding")),
+      im.nlist, im.m, im.dsub, im.ksub, im.residual)
+    (fire, mx, med)
   }
 
   /** The IVFADC read: probe `nprobe` cells per query (fragment-pruned

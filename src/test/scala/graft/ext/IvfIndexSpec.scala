@@ -64,4 +64,85 @@ class IvfIndexSpec extends SparkSpec {
     assert(r2.filter(col("neighbor_id") % 10 === 7).count() > 0,
       "appended vectors must be reachable through the refreshed cells")
   }
+
+  test("rebalance_index under drift: frozen centroids skew and decay " +
+    "recall for drifted queries; the Lloyd-trained re-cluster " +
+    "restores it; below threshold the CALL is a no-op") {
+    graft.catalog.TableStore.reset(spark)
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").orderBy("vec_id").localCheckpoint()
+    val base = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val x0 = base.map(_._2)
+    // the md5-first corpus row = the first sampled centroid — drift
+    // leans toward its cell (the skew signal) while six sub-clusters
+    // of orthogonal structure scatter their tails (the recall decay)
+    val c0 = SimilarityOps.sampleCentroids(emb, 8).limit(1)
+      .collect().head.getSeq[Float](1).map(_.toDouble).toArray
+    val drift = (0 until 6).flatMap { j =>
+      (0 until 50).map { t =>
+        val sub = x0(100 + j)
+        val noise = x0((200 + j * 50 + t) % x0.length)
+        val v = (0 until 64).map(i =>
+          0.3 * c0(i) + sub(i) + 0.8 * noise(i)).toArray
+        val n = math.sqrt(v.map(a => a * a).sum)
+        (100000L + j * 50 + t, v.map(a => (a / n).toFloat).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("ivfdrift").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/ivf"
+    Snapshot.createOrReplace(emb, corpus, keepVersions = 2)
+    IvfIndex.build(spark, corpus, idx, 8)
+    Snapshot.morCommit(spark, corpus, deletes = None,
+      appends = Some(drift), operation = "append")
+    IvfIndex.refresh(spark, corpus, idx)
+
+    val all = Snapshot.read(spark, corpus).localCheckpoint()
+    val queries = all.filter(col("vec_id") >= 100000L &&
+        col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding")).localCheckpoint()
+    val nQ = queries.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val exact = all.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        SimilarityOps.dot(col("q_embedding"), col("embedding"))
+          .as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recall(): Double = {
+      val got = IvfIndex.search(spark, corpus, idx, queries, 5, 2)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      got.count(exact.contains).toDouble / (nQ * 5.0)
+    }
+    val pre = recall()
+    assert(pre < 0.95,
+      s"frozen-centroid assignment must decay drifted recall: $pre")
+
+    new graft.catalog.TableStore(spark)
+      .registerSnapshot("drift", "corpus", corpus)
+    // below threshold: measured, not fired
+    val idle = spark.sql(s"""CALL iceberg.system.rebalance_index(
+      table => 'drift.corpus', index_dir => '$idx',
+      threshold => 99.0)""").collect().head
+    assert(idle.getLong(0) == 0L, "below threshold must not rebuild")
+    assert(idle.getLong(1) > 2 * idle.getLong(2),
+      s"drift must SKEW the frozen cells: $idle")
+    assert(recall() == pre, "a no-op call must not change the index")
+    // at threshold 2 the skew fires: Lloyd-trained re-cluster
+    val fired = spark.sql(s"""CALL iceberg.system.rebalance_index(
+      table => 'drift.corpus', index_dir => '$idx',
+      threshold => 2.0)""").collect().head
+    assert(fired.getLong(0) == 1L, s"skew must trigger the rebuild: $fired")
+    val post = recall()
+    assert(post >= pre + 0.05 && post >= 0.95,
+      s"the trained re-cluster must restore recall: $pre -> $post")
+  }
 }
