@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ext.PqIndex
+import graft.ext.{IvfPqIndex, PqIndex}
 import graft.pipeline.Snapshot
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -48,7 +48,37 @@ object StreamingIndex {
   def startPq(spark: SparkSession, vectorsDir: String,
               corpusDir: String, indexDir: String, checkpointDir: String,
               m: Int, dsub: Int, ksub: Int,
-              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startMaintained(spark, vectorsDir, corpusDir, checkpointDir, trigger,
+      bootstrap = PqIndex.build(spark, corpusDir, indexDir, m, dsub, ksub),
+      refresh = PqIndex.refresh(spark, corpusDir, indexDir))
+
+  /** ST9's IVFADC arm: the same per-batch loop maintaining a
+    * persisted [[IvfPqIndex]] — the micro-batch cell-assigns (+
+    * residualizes) and PQ-encodes through `IvfPqIndex.refresh`'s
+    * commit-window delta, landing as a fast-append sidecar on the
+    * cell-clustered codes table. A streamed index is
+    * search-identical to one batch-built on the bootstrap wave and
+    * refreshed with the rest (StreamingIndexSpec pins it). */
+  def startIvfPq(spark: SparkSession, vectorsDir: String,
+                 corpusDir: String, indexDir: String,
+                 checkpointDir: String, nlist: Int,
+                 m: Int, dsub: Int, ksub: Int,
+                 trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    startMaintained(spark, vectorsDir, corpusDir, checkpointDir, trigger,
+      bootstrap = IvfPqIndex.build(spark, corpusDir, indexDir, nlist,
+        m, dsub, ksub),
+      refresh = IvfPqIndex.refresh(spark, corpusDir, indexDir))
+
+  /** The shared per-batch maintenance loop: bootstrap on the first
+    * batch, then batch-id-marked fast-appends + an unconditional
+    * version-checked index refresh. */
+  private def startMaintained(spark: SparkSession, vectorsDir: String,
+                              corpusDir: String, checkpointDir: String,
+                              trigger: Trigger,
+                              bootstrap: => Long,
+                              refresh: => Long): StreamingQuery = {
     spark.readStream
       .schema(vectorSchema)
       .option("maxFilesPerTrigger", 4)
@@ -60,7 +90,7 @@ object StreamingIndex {
         val batch = batch0.localCheckpoint()
         if (!new java.io.File(corpusDir).exists) {
           Snapshot.createOrReplace(batch, corpusDir, keepVersions = 2)
-          PqIndex.build(spark, corpusDir, indexDir, m, dsub, ksub)
+          bootstrap
         } else {
           val live = Snapshot.currentVersion(corpusDir).getOrElse(0L)
           val replayed = Snapshot.operationOf(corpusDir, live)
@@ -75,7 +105,7 @@ object StreamingIndex {
           }
           // unconditional: heals a crash that landed the corpus commit
           // but not the refresh; O(1) no-op when versions agree
-          PqIndex.refresh(spark, corpusDir, indexDir)
+          refresh
         }
         ()
       }

@@ -65,4 +65,60 @@ class StreamingIndexSpec extends SparkSpec {
     assert(res.filter(col("neighbor_id") % 3 =!= 0).count() > 0,
       "wave-2 vectors must be reachable through the streamed index")
   }
+
+  test("startIvfPq maintains the IVFADC index per batch; the streamed " +
+    "index is search-IDENTICAL to one batch-built on the bootstrap " +
+    "wave and refreshed with the rest") {
+    import graft.ext.IvfPqIndex
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val root = Files.createTempDirectory("strivfpq").toString
+    val vecDir = s"$root/vectors"
+    val corpus = s"$root/corpus"
+    val idx = s"$root/ivfpq"
+    val cp = s"$root/cp"
+    val (nlist, m, dsub, ksub) = (8, 8, 8, 16)
+
+    val w1 = emb.filter(col("vec_id") % 3 === 0).localCheckpoint()
+    val w2 = emb.filter(col("vec_id") % 3 =!= 0).localCheckpoint()
+    w1.write.parquet(vecDir)
+    StreamingIndex.startIvfPq(spark, vecDir, corpus, idx, cp,
+      nlist, m, dsub, ksub).awaitTermination(60000)
+    assert(IvfPqIndex.meta(idx).exists(_.residual),
+      "the streamed index must carry the residual default")
+    w2.write.mode("append").parquet(vecDir)
+    StreamingIndex.startIvfPq(spark, vecDir, corpus, idx, cp,
+      nlist, m, dsub, ksub).awaitTermination(60000)
+    assert(Snapshot.read(spark, corpus).count() == emb.count())
+    assert(Snapshot.read(spark, IvfPqIndex.cellsDir(idx)).count()
+      == emb.count(), "the streamed index must cover the corpus")
+    assert(Snapshot.morVersions(IvfPqIndex.cellsDir(idx)).nonEmpty,
+      "streamed code deltas must land as fast-append sidecars")
+
+    // batch twin: same bootstrap wave builds, the rest refreshes —
+    // identical centroids/books (same md5 draws over the same
+    // bootstrap corpus), so the search must match row-for-row
+    val corpus2 = s"$root/corpus2"
+    val idx2 = s"$root/ivfpq2"
+    Snapshot.createOrReplace(w1, corpus2, keepVersions = 2)
+    IvfPqIndex.build(spark, corpus2, idx2, nlist, m, dsub, ksub)
+    Snapshot.morCommit(spark, corpus2, deletes = None,
+      appends = Some(w2), operation = "append")
+    IvfPqIndex.refresh(spark, corpus2, idx2)
+
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    import spark.implicits._
+    val streamed = IvfPqIndex.search(spark, corpus, idx, queries,
+        k = 5, nprobe = 2, shortlist = 40)
+      .select("query_id", "rank", "neighbor_id", "score_micros")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val batch = IvfPqIndex.search(spark, corpus2, idx2, queries,
+        k = 5, nprobe = 2, shortlist = 40)
+      .select("query_id", "rank", "neighbor_id", "score_micros")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      "streamed IVFADC search must equal the batch-built lifecycle")
+  }
 }
