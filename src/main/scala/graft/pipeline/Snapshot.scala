@@ -1011,7 +1011,9 @@ object Snapshot {
     * compose because the murmur3 file naming is global across
     * fragment dirs. */
   private def writeUnderCurrentSpec(df: DataFrame, path: String,
-                                    tmp: Path): Unit = {
+                                    tmp: Path,
+                                    fileBudget: Option[Int] = None)
+      : Unit = {
     val fields = partitionSpec(path).map(parseSpecField)
     val order = sortOrder(path)
     // transform entries materialize their derived field for the write
@@ -1049,7 +1051,12 @@ object Snapshot {
           .sortWithinPartitions(exprs: _*)
       case None if order.isEmpty => withDerived
       case None =>
-        withDerived.repartitionByRange(exprs: _*)
+        // a compaction passes its target file count through — the
+        // range shuffle would otherwise fan back out to the default
+        // partition count and undo the binpack
+        fileBudget
+          .map(n => withDerived.repartitionByRange(n, exprs: _*))
+          .getOrElse(withDerived.repartitionByRange(exprs: _*))
           .sortWithinPartitions(exprs: _*)
     }
     if (fields.isEmpty)
@@ -1256,7 +1263,8 @@ object Snapshot {
     val compacted = read(spark, path).coalesce(targetFiles)
       .localCheckpoint()
     swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
-      if (specAware) writeUnderCurrentSpec(compacted, path, tmp)
+      if (specAware)
+        writeUnderCurrentSpec(compacted, path, tmp, Some(targetFiles))
       else compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
     if (specAware) publishOrderManifest(spark, path)

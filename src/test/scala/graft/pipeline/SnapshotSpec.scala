@@ -553,6 +553,37 @@ class SnapshotSpec extends SparkSpec {
       s"post-compact scan lost its bucket partitioning:\n$plan")
   }
 
+  test("compact on a WRITE ORDERED table honors targetFiles and " +
+    "keeps the range clustering") {
+    val dir = Files.createTempDirectory("compacto").toString + "/t"
+    Snapshot.setSortOrder(dir, Seq(("id", true)))
+    Snapshot.createOrReplaceCurrentSpec(
+      (1L to 999L).map(i => (i, s"p$i")).toDF("id", "payload"), dir)
+    // scatter small files via appends, then binpack
+    Snapshot.append(Seq((1000L, "x")).toDF("id", "payload"), dir)
+    Snapshot.compact(spark, dir, targetFiles = 3)
+    assert(Snapshot.fileCount(dir) <= 3,
+      s"ordered compact must honor targetFiles: ${Snapshot.fileCount(dir)}")
+    // files are still range-disjoint on the order key (clustering kept)
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(java.nio.file.Paths.get(dir))
+    val ranges = try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val d = spark.read.parquet(f.toString)
+          .agg(org.apache.spark.sql.functions.min("id"),
+            org.apache.spark.sql.functions.max("id")).head
+        (d.getLong(0), d.getLong(1))
+      }.toSeq.sortBy(_._1)
+    finally s.close()
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"files must stay range-disjoint: $ranges")
+      case _ =>
+    }
+    assert(Snapshot.read(spark, dir).count() == 1000L)
+  }
+
   test("compact on a partition-spec table keeps its fragment dirs") {
     val dir = Files.createTempDirectory("compactp").toString + "/t"
     Snapshot.setPartitionSpec(dir, Seq("part"))
