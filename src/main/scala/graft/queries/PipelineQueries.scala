@@ -1304,6 +1304,100 @@ FROM iceberg.silver.orders_current""")
         "avg_len", "row_count").orderBy("column")
     }),
 
+    // S16+ (r13) — INCREMENTAL column stats: ANALYZE on the 80%
+    // base, then ONE fast-append commit of the 20% tail with
+    // graft.stats.auto-refresh on — the post-commit refresh MERGES
+    // the per-column stats forward (nulls/min/max arithmetic,
+    // avgLen weighted by non-null counts, NDV by KMV-sketch union)
+    // instead of dropping them, and this query reads the MERGED
+    // numbers back from the catalog. The oracle replays the exact
+    // merge arithmetic: per-part stats combined with the same
+    // operation order, and the sketch union (k smallest of each
+    // part, distinct, k smallest again) with the same md5-hash
+    // estimator.
+    "q_incremental_stats" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("incst")
+        .toString + "/orders"
+      val all = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"))
+      graft.pipeline.Snapshot.createOrReplace(
+        all.filter(col("o_orderkey") % 5 =!= 0), dir, keepVersions = 2)
+      new TableStore(s).registerSnapshot("incs", "orders", dir)
+      s.sql("""ALTER TABLE incs.orders SET TBLPROPERTIES(
+        'write.merge.mode'='merge-on-read',
+        'graft.stats.auto-refresh'='true')""")
+      s.sql("""ANALYZE TABLE incs.orders COMPUTE STATISTICS
+               FOR COLUMNS o_orderkey, o_custkey, o_orderstatus""")
+      all.filter(col("o_orderkey") % 5 === 0)
+        .createOrReplaceTempView("incs_delta")
+      s.sql("INSERT INTO incs.orders SELECT * FROM incs_delta")
+      val props = new TableStore(s).properties("incs", "orders")
+      require(props(graft.catalog.GraftStats.VersionKey) ==
+        graft.pipeline.Snapshot.currentVersion(dir).get.toString,
+        "the merged stats must be stamped CURRENT (still serving)")
+      val rowCount = props(graft.catalog.GraftStats.RowsKey).toLong
+      val P = graft.catalog.GraftStats.ColPrefix
+      Seq("o_custkey", "o_orderkey", "o_orderstatus").map { c =>
+        (c, props(s"$P$c.nulls").toLong,
+          props(s"$P$c.ndv").toDouble,
+          props.get(s"$P$c.min").map(_.toDouble),
+          props.get(s"$P$c.max").map(_.toDouble),
+          props(s"$P$c.avgLen").toDouble, rowCount)
+      }.toDF("column", "nulls", "ndv_est", "min_num", "max_num",
+        "avg_len", "row_count").orderBy("column")
+    }),
+
+    // S18 (r13) — COMMIT-WINDOW delta discovery: two fast-append MOR
+    // commits land on a base snapshot, and commitsSince classifies
+    // the window and hands back exactly the appended sidecar dirs —
+    // the O(delta) read incremental consumers compose on. The query
+    // returns the UNION OF THE SIDECAR FILES (never touching the
+    // base), the oracle the rows that were appended — they match only
+    // if the window discovery is exact. The delete-tainting and
+    // rebase classifications are REQUIRED in-query.
+    "q_commit_window" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("cwinq")
+        .toString + "/t"
+      val all = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"))
+      graft.pipeline.Snapshot.createOrReplace(
+        all.filter(col("o_orderkey") % 3 === 0), dir, keepVersions = 3)
+      graft.pipeline.Snapshot.morCommit(s, dir, deletes = None,
+        appends = Some(all.filter(col("o_orderkey") % 3 === 1)),
+        operation = "append")
+      graft.pipeline.Snapshot.morCommit(s, dir, deletes = None,
+        appends = Some(all.filter(col("o_orderkey") % 3 === 2)),
+        operation = "append")
+      val win = graft.pipeline.Snapshot.commitsSince(dir, 1L)
+      val dirs = win match {
+        case graft.pipeline.Snapshot.CommitWindow.FastAppends(ds) =>
+          require(ds.size == 2,
+            s"two fast-append commits must expose two sidecars: $ds")
+          ds
+        case other => throw new IllegalStateException(
+          s"append-only window must classify FastAppends: $other")
+      }
+      // materialize the sidecar union BEFORE the taint commits below —
+      // the replace rolls the dir (and the sidecar files inside it)
+      // into history, so a lazy read would dangle
+      val delta = dirs.map(p => s.read.parquet(p))
+        .reduce(_ unionByName _).localCheckpoint()
+      // a delete commit TAINTS the window from the base…
+      graft.pipeline.Snapshot.morCommit(s, dir,
+        deletes = Some(all.filter(col("o_orderkey") % 3 === 0).limit(1)),
+        appends = None, operation = "delete")
+      require(graft.pipeline.Snapshot.commitsSince(dir, 1L)
+        .isInstanceOf[graft.pipeline.Snapshot.CommitWindow.CarriesDeletes],
+        "a delete commit must taint the window")
+      // …and a copy-on-write replace re-bases it
+      graft.pipeline.Snapshot.createOrReplace(all, dir, keepVersions = 3)
+      require(graft.pipeline.Snapshot.commitsSince(dir, 2L)
+        .isInstanceOf[graft.pipeline.Snapshot.CommitWindow.Rebased],
+        "a replace commit must re-base the window")
+      delta.orderBy("o_orderkey")
+    }),
+
     // S13+/S12++ unified — STORAGE-PARTITIONED JOIN on snapshot
     // tables (Iceberg 1.8's SPJ over this layout): two snapshots
     // written under matching bucket(8, custkey) specs join AND
@@ -2335,6 +2429,78 @@ FROM iceberg.silver.orders_current""")
       FROM base b LEFT JOIN kmv ON b.col = kmv.col
       ORDER BY "column"
       """,
+
+    // the incremental merge replayed: per-part (base = keys not
+    // divisible by 5, delta = the rest) stats combined with the SAME
+    // operation order as the engine's merge — weighted avgLen as
+    // (a*nb + b*nd)/(nb+nd), min/max null-safe extremes, and the KMV
+    // union (k smallest per part → distinct → k smallest) estimator
+    "q_incremental_stats" -> """
+      WITH stacked AS (
+        SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val,
+               CAST(o_orderkey AS DOUBLE) AS num,
+               CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS part
+        FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR),
+               CAST(o_custkey AS DOUBLE),
+               CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+        FROM orders
+        UNION ALL SELECT 'o_orderstatus', o_orderstatus, NULL,
+               CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+        FROM orders
+      ), pstats AS (
+        SELECT col, part,
+               count(CASE WHEN val IS NULL THEN 1 END) AS nulls,
+               min(num) AS mn, max(num) AS mx,
+               SUM(length(val))::DOUBLE / COUNT(val)::DOUBLE AS avg_len,
+               COUNT(val) AS nn
+        FROM stacked GROUP BY col, part
+      ), merged AS (
+        SELECT b.col,
+               b.nulls + d.nulls AS nulls,
+               CASE WHEN b.mn IS NULL THEN d.mn
+                    WHEN d.mn IS NULL THEN b.mn
+                    WHEN b.mn < d.mn THEN b.mn ELSE d.mn END AS min_num,
+               CASE WHEN b.mx IS NULL THEN d.mx
+                    WHEN d.mx IS NULL THEN b.mx
+                    WHEN b.mx > d.mx THEN b.mx ELSE d.mx END AS max_num,
+               (b.avg_len * b.nn + d.avg_len * d.nn) / (b.nn + d.nn)
+                 AS avg_len
+        FROM (SELECT * FROM pstats WHERE part = 0) b
+        JOIN (SELECT * FROM pstats WHERE part = 1) d ON b.col = d.col
+      ), h AS (
+        SELECT DISTINCT col, part,
+               ('0x' || md5(val)[1:15])::BIGINT AS h
+        FROM stacked WHERE val IS NOT NULL
+      ), r AS (
+        SELECT col, part, h,
+               row_number() OVER (PARTITION BY col, part ORDER BY h)
+                 AS rn
+        FROM h
+      ), u AS (
+        SELECT DISTINCT col, h FROM r WHERE rn <= 256
+      ), r2 AS (
+        SELECT col, h,
+               row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+        FROM u
+      ), kmv AS (
+        SELECT col,
+               CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 / max(h) END
+                 AS ndv_est
+        FROM r2 WHERE rn <= 256 GROUP BY col
+      )
+      SELECT m.col AS "column", m.nulls, kmv.ndv_est, m.min_num,
+             m.max_num, m.avg_len,
+             (SELECT count(*) FROM orders) AS row_count
+      FROM merged m LEFT JOIN kmv ON kmv.col = m.col
+      ORDER BY "column"
+      """,
+
+    "q_commit_window" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0
+      ORDER BY o_orderkey""",
 
     "q_bucket_join" -> """
       SELECT o_custkey, count(*) AS order_count,
