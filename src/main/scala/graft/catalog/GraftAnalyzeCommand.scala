@@ -154,7 +154,7 @@ case class GraftAnalyzeCommand(ns: String, name: String,
       props += key(GraftStats.SizeKey) -> size.toString
     }
     S.branchStatsToken(path, branch).foreach(t =>
-      props += pre + GraftStats.BranchTokenSuffix -> t.toString)
+      props += pre + GraftStats.BranchTokenSuffix -> t)
     if (cols.nonEmpty && !noScan) {
       graft.quality.Metrics.columnStats(frame, cols).collect()
         .foreach { r =>
@@ -226,7 +226,7 @@ object GraftStats {
         if (!scoped.contains(SizeKey.stripPrefix(KeyRoot))) None
         else if (!scoped.get(BranchTokenSuffix).exists(t =>
             graft.pipeline.Snapshot.branchStatsToken(path, b)
-              .map(_.toString).contains(t))) None
+              .contains(t))) None
         else Some(scoped.collect {
           case (k, v) if k != BranchTokenSuffix => (KeyRoot + k) -> v
         })
@@ -256,7 +256,7 @@ object GraftStats {
     if (!scoped.contains(SizeKey.stripPrefix(KeyRoot))) None
     else if (!scoped.get(BranchTokenSuffix).exists(t =>
         graft.pipeline.Snapshot.branchStatsToken(path, branch)
-          .map(_.toString).contains(t))) None
+          .contains(t))) None
     else Some(scoped.collect {
       case (k, v) if k != BranchTokenSuffix => (KeyRoot + k) -> v
     })

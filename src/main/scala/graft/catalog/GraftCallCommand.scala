@@ -325,7 +325,21 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           .publishBranch(spark, path, branch, keep)
         GraftStats.dropBranchStats(spark, ns, t, branch)
         promote.foreach { stats =>
-          new TableStore(spark).setProperties(ns, t,
+          val store = new TableStore(spark)
+          // the OLD live stats keys must clear first — setProperties
+          // merges, and a branch ANALYZE that measured fewer columns
+          // (or none) than the pre-publish live one would otherwise
+          // leave pre-publish column stats stamped with the NEW
+          // version (stale stats served as current)
+          val stale = (try store.properties(ns, t)
+            catch { case _: NoSuchElementException =>
+              Map.empty[String, String] })
+            .keys.filter(k => k.startsWith(GraftStats.KeyRoot) &&
+              !k.startsWith(s"${GraftStats.KeyRoot}branch."))
+            .toSeq
+          if (stale.nonEmpty)
+            store.unsetProperties(ns, t, stale, ifExists = true)
+          store.setProperties(ns, t,
             stats + (GraftStats.VersionKey -> cur.toString))
         }
         Seq(Row(prev, cur))
@@ -370,6 +384,11 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
             .historicalVersions(path).size + 1)
         val cur = graft.pipeline.Snapshot
           .cherrypickBranch(spark, path, branch, keep)
+        // the consumed branch's scoped ANALYZE stats drop like
+        // publish_changes' (delta-applied, measurements do not
+        // describe the result)
+        val Seq(cns, ct) = tableParts(required("table", 0).toString)
+        GraftStats.dropBranchStats(spark, cns, ct, branch)
         Seq(Row(id, cur))
       case "create_changelog_view" =>
         // Iceberg's changelog procedure adapted to the versioned-dir

@@ -698,7 +698,12 @@ case class GraftAddPartitionFieldCommand(ns: String, name: String,
           schema(resolved).dataType.simpleString)
     graft.pipeline.Snapshot.addPartitionField(path,
       resolvedAll.foldLeft(sf.raw) { case (raw, (src, res)) =>
-        raw.replace(src, res) })
+        // WORD-BOUNDED case canonicalization: a bare .replace would
+        // also rewrite the source's letters inside the transform
+        // keyword or a sibling column name
+        raw.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(src) + "\\b",
+          java.util.regex.Matcher.quoteReplacement(res)) })
     Seq.empty
   }
 }

@@ -362,6 +362,8 @@ private[catalog] object GraftDml {
     val presentCols = cols.filter(delta.columns.contains)
     if (presentCols.size != cols.size) return None // schema drifted
     val deltaRows = delta.count()
+    if (deltaRows == 0) // zero-row appends: stats unchanged
+      return Some(props.filter(_._1.startsWith(P)))
     val oldRows = props(GraftStats.RowsKey).toLong
     val k = GraftStats.KmvK
     val deltaStats = graft.quality.Metrics

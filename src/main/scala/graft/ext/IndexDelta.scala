@@ -27,6 +27,31 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object IndexDelta {
 
+  /** Marker riding each component table's atomic commit: one build
+    * writes the SAME token into every component, so a reader can
+    * detect the mixed window between two component swaps of a
+    * rebuild (new centroids against old cells would return silently
+    * wrong neighbors). Indexes persisted before tokens carry none on
+    * any component — equally coherent. */
+  private[graft] val BuildTokenFile = "_graft_index_build"
+
+  private[graft] def newBuildToken(): String =
+    java.util.UUID.randomUUID().toString
+
+  /** Raise when the index's component tables were not written by the
+    * same build (a rebuild is in flight or died between its swaps). */
+  private[graft] def requireCoherent(indexDir: String,
+                                     componentDirs: Seq[String],
+                                     what: String): Unit = {
+    val tokens = componentDirs.map(Snapshot.commitMeta(_, BuildTokenFile))
+    if (tokens.distinct.size > 1)
+      throw new IllegalStateException(
+        s"$what at $indexDir is MID-REBUILD (or a rebuild died " +
+          "between its component swaps): the component tables carry " +
+          s"different build tokens ($tokens) — retry once the rebuild " +
+          "completes, or rebuild")
+  }
+
   /** The corpus rows appended in `(sinceVersion, liveVersion]`.
     * @param what index family name for error messages */
   def appendedSince(spark: SparkSession, corpusPath: String,

@@ -53,6 +53,10 @@ object IvfIndex {
     else {
       val p = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      if (p.length != 3) throw new IllegalStateException(
+        s"IVF index meta at $indexDir has ${p.length} fields (this " +
+          "version writes 3) — an index persisted by an older format; " +
+          "rebuild it")
       Some(Meta(p(0).toLong, p(1).toLong, p(2).toInt))
     }
   }
@@ -95,11 +99,16 @@ object IvfIndex {
     val version = corpusVersionOf(corpusPath)
     val corpus = Snapshot.read(spark, corpusPath)
     val centroids = centroids0.localCheckpoint()
-    Snapshot.createOrReplace(centroids, centroidsDir(indexDir),
-      keepVersions = 1)
+    // one token rides BOTH component commits: a reader caught between
+    // the two swaps of a rebuild sees mismatched tokens and raises
+    // instead of probing new centroids against old cells
+    val token = IndexDelta.newBuildToken()
+    Snapshot.createOrReplaceWithMeta(centroids, centroidsDir(indexDir),
+      keepVersions = 1, IndexDelta.BuildTokenFile, token)
     Snapshot.createOrReplacePartitioned(
       SimilarityOps.assignCentroids(corpus, centroids, 1),
-      cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1)
+      cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1,
+      metaName = Some(IndexDelta.BuildTokenFile), metaContent = token)
     writeMeta(indexDir, Meta(version,
       Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L), nlist))
     cellsRead(spark, indexDir).count()
@@ -198,6 +207,8 @@ object IvfIndex {
         s"IVF index at $indexDir is STALE: it clusters corpus version " +
           s"${im.corpusVersion} but the live corpus is v$version — " +
           "run IvfIndex.refresh (append-only) or rebuild")
+    IndexDelta.requireCoherent(indexDir,
+      Seq(centroidsDir(indexDir), cellsDir(indexDir)), "IVF index")
     val centroids = Snapshot.read(spark, centroidsDir(indexDir))
     val queryCells = SimilarityOps.assignCentroids(
         queries.select(col("query_id").as("vec_id"),

@@ -66,6 +66,10 @@ object IvfPqIndex {
     else {
       val p = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      if (p.length != 7) throw new IllegalStateException(
+        s"IVF-PQ index meta at $indexDir has ${p.length} fields (this " +
+          "version writes 7) — an index persisted by an older format; " +
+          "rebuild it")
       Some(Meta(p(0).toLong, p(1).toLong, p(2).toInt, p(3).toInt,
         p(4).toInt, p(5).toInt, p(6) == "1"))
     }
@@ -151,8 +155,11 @@ object IvfPqIndex {
     val version = corpusVersionOf(corpusPath)
     val corpus = Snapshot.read(spark, corpusPath)
     val centroids = centroids0.localCheckpoint()
-    Snapshot.createOrReplace(centroids, centroidsDir(indexDir),
-      keepVersions = 1)
+    // one token rides all THREE component commits — see
+    // [[IndexDelta.requireCoherent]]
+    val token = IndexDelta.newBuildToken()
+    Snapshot.createOrReplaceWithMeta(centroids, centroidsDir(indexDir),
+      keepVersions = 1, IndexDelta.BuildTokenFile, token)
     val trainSrc =
       if (!residual) corpus
       else assignResidual(
@@ -160,11 +167,14 @@ object IvfPqIndex {
           .offset(nlist).limit(ksub),
         centroids, residual = true)
     val book = SimilarityOps.pqCollectBook(trainSrc, m, dsub, ksub)
-    Snapshot.createOrReplace(SimilarityOps.pqBookFrame(spark, book),
-      codebookDir(indexDir), keepVersions = 1)
+    Snapshot.createOrReplaceWithMeta(
+      SimilarityOps.pqBookFrame(spark, book),
+      codebookDir(indexDir), keepVersions = 1,
+      IndexDelta.BuildTokenFile, token)
     Snapshot.createOrReplacePartitioned(
       assignAndEncode(spark, corpus, centroids, book, m, dsub, residual),
-      cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1)
+      cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1,
+      metaName = Some(IndexDelta.BuildTokenFile), metaContent = token)
     writeMeta(indexDir, Meta(version,
       Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L),
       nlist, m, dsub, ksub, residual))
@@ -247,6 +257,9 @@ object IvfPqIndex {
         s"IVF-PQ index at $indexDir is STALE: it indexes corpus " +
           s"version ${im.corpusVersion} but the live corpus is " +
           s"v$version — run IvfPqIndex.refresh or rebuild")
+    IndexDelta.requireCoherent(indexDir,
+      Seq(centroidsDir(indexDir), codebookDir(indexDir),
+        cellsDir(indexDir)), "IVF-PQ index")
     val centroids = Snapshot.read(spark, centroidsDir(indexDir))
       .localCheckpoint()
     // per-(query, probed cell) rows; the residual arm also carries the

@@ -65,6 +65,10 @@ object PqIndex {
     else {
       val p = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      if (p.length != 5) throw new IllegalStateException(
+        s"PQ index meta at $indexDir has ${p.length} fields (this " +
+          "version writes 5) — an index persisted by an older format; " +
+          "rebuild it")
       Some(Meta(p(0).toLong, p(1).toLong, p(2).toInt, p(3).toInt,
         p(4).toInt))
     }
@@ -94,12 +98,16 @@ object PqIndex {
     val version = corpusVersionOf(corpusPath)
     val corpus = Snapshot.read(spark, corpusPath)
     val book = SimilarityOps.pqCollectBook(corpus, m, dsub, ksub)
-    Snapshot.createOrReplace(
+    // one token rides both component commits — mid-rebuild readers
+    // raise instead of scoring old codes against a new book
+    val token = IndexDelta.newBuildToken()
+    Snapshot.createOrReplaceWithMeta(
       SimilarityOps.pqBookFrame(spark, book), codebookDir(indexDir),
-      keepVersions = 1)
-    Snapshot.createOrReplace(
+      keepVersions = 1, IndexDelta.BuildTokenFile, token)
+    Snapshot.createOrReplaceWithMeta(
       SimilarityOps.pqEncode(corpus, book, m, dsub),
-      codesDir(indexDir), keepVersions = 1)
+      codesDir(indexDir), keepVersions = 1,
+      IndexDelta.BuildTokenFile, token)
     writeMeta(indexDir, Meta(version,
       Snapshot.currentVersion(codesDir(indexDir)).getOrElse(0L),
       m, dsub, ksub))
@@ -166,6 +174,8 @@ object PqIndex {
         s"PQ index at $indexDir is STALE: it encodes corpus version " +
           s"${im.corpusVersion} but the live corpus is v$version — " +
           "run PqIndex.refresh (append-only) or rebuild")
+    IndexDelta.requireCoherent(indexDir,
+      Seq(codebookDir(indexDir), codesDir(indexDir)), "PQ index")
     val codes = Snapshot.read(spark, codesDir(indexDir))
     val book = Snapshot.read(spark, codebookDir(indexDir))
     val cand = SimilarityOps.pqTopK(queries, codes, book, shortlist,

@@ -736,7 +736,11 @@ object Snapshot {
     * [[addPartitionField]]/[[dropPartitionField]] evolve from it. */
   def createOrReplacePartitioned(df: DataFrame, path: String,
                                  partitionCols: Seq[String],
-                                 keepVersions: Int = 0): Unit = {
+                                 keepVersions: Int = 0,
+                                 metaName: Option[String] = None,
+                                 metaContent: String = ""): Unit = {
+    metaName.foreach(n => require(n.startsWith("_"),
+      s"meta file must be scan-invisible (underscore-prefixed): $n"))
     swapIn(path, keepVersions) { tmp =>
       // same empty-state guard as the spec-aware write: a partitionBy
       // write of zero rows emits NO files and leaves the dir
@@ -746,6 +750,10 @@ object Snapshot {
           .parquet(tmp.toString)
       else df.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(tmp.toString)
+      // the [[createOrReplaceWithMeta]] capability for partitioned
+      // writes: a small named metadata file rides the same atomic swap
+      metaName.foreach(n => Files.write(tmp.resolve(n),
+        metaContent.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }
     setPartitionSpec(path, partitionCols)
   }
@@ -1260,8 +1268,16 @@ object Snapshot {
     val base = currentVersion(path)
     val specAware = partitionSpec(path).nonEmpty ||
       bucketLayout(path).isDefined || sortOrder(path).nonEmpty
-    val compacted = read(spark, path).coalesce(targetFiles)
-      .localCheckpoint()
+    // bucket/order layouts re-shuffle inside the spec-aware write, so
+    // pre-coalescing would only strangle the materialization to
+    // targetFiles tasks for nothing; flat and identity-partitioned
+    // tables rely on the coalesce for their output file count
+    val reshuffles = bucketLayout(path).isDefined ||
+      sortOrder(path).nonEmpty
+    val compacted =
+      (if (reshuffles) read(spark, path)
+       else read(spark, path).coalesce(targetFiles))
+        .localCheckpoint()
     swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
       if (specAware)
         writeUnderCurrentSpec(compacted, path, tmp, Some(targetFiles))
@@ -1616,7 +1632,16 @@ object Snapshot {
       if (withDeletes.nonEmpty) CommitWindow.CarriesDeletes(withDeletes)
       else CommitWindow.FastAppends(window
         .map(v => morRoot(path).resolve(s"v$v").resolve("appends"))
-        .filter(Files.isDirectory(_)).map(_.toString))
+        // a zero-row fast-append (e.g. INSERT ... WHERE false) leaves
+        // a dir with no parquet files — it contributes no rows, and
+        // surfacing it would fail the consumer's schema inference
+        .filter(d => Files.isDirectory(d) && {
+          val s = Files.list(d)
+          try s.anyMatch(p =>
+            p.getFileName.toString.endsWith(".parquet"))
+          finally s.close()
+        })
+        .map(_.toString))
     }
   }
 
@@ -1821,6 +1846,11 @@ object Snapshot {
     * they never read like the small monotone version numbers. */
   private val BranchIdFile = "_graft_branch_id"
 
+  /** Per-staging nonce — the collision-free token branch-scoped stats
+    * gate on (an mtime would alias two stagings within one clock tick
+    * on coarse-granularity filesystems). */
+  private val BranchStagingFile = "_graft_branch_staging"
+
   /** Write (or rewrite) branch `name` as a complete staged snapshot —
     * atomic against concurrent branch readers via tmp + dir swap. */
   def writeBranch(df: DataFrame, path: String, name: String): Unit = {
@@ -1832,6 +1862,9 @@ object Snapshot {
     currentVersion(path).foreach(v =>
       Files.write(tmp.resolve(VersionFile),
         v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    Files.write(tmp.resolve(BranchStagingFile),
+      java.util.UUID.randomUUID().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // a restaged branch keeps its id; a new one gets the next id from
     // the per-table high-water-mark sidecar (serialized with commits on
     // this path so two stagings never share an id). The HWM — not
@@ -1921,18 +1954,24 @@ object Snapshot {
   def branchDirPath(path: String, name: String): String =
     branchDir(path, name).toString
 
-  /** Staleness token for BRANCH-scoped stats: the commit instant of
-    * the branch's id marker (micros). [[writeBranch]] re-stages the
-    * whole dir on every WAP write, recreating the marker — so stats
+  /** Staleness token for BRANCH-scoped stats: the per-staging NONCE
+    * [[writeBranch]] writes into the staged dir (collision-free —
+    * two stagings in the same clock tick on a coarse-timestamp
+    * filesystem still get distinct tokens). Pre-nonce stagings fall
+    * back to the id marker's commit instant in micros. Stats
     * recorded against an older staging stop serving, the same
     * no-stale-stats discipline as the live version gate. */
-  def branchStatsToken(path: String, name: String): Option[Long] = {
+  def branchStatsToken(path: String, name: String): Option[String] = {
+    val nonce = branchDir(path, name).resolve(BranchStagingFile)
+    if (Files.exists(nonce))
+      return Some(new String(Files.readAllBytes(nonce),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
     val m = Seq(branchDir(path, name).resolve(BranchIdFile),
       branchDir(path, name).resolve(VersionFile))
       .find(Files.exists(_))
     m.map { f =>
       val i = Files.getLastModifiedTime(f).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
     }
   }
 

@@ -50,6 +50,7 @@ object StreamingIndex {
               m: Int, dsub: Int, ksub: Int,
               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     startMaintained(spark, vectorsDir, corpusDir, checkpointDir, trigger,
+      indexExists = PqIndex.meta(indexDir).isDefined,
       bootstrap = PqIndex.build(spark, corpusDir, indexDir, m, dsub, ksub),
       refresh = PqIndex.refresh(spark, corpusDir, indexDir))
 
@@ -67,16 +68,22 @@ object StreamingIndex {
                  trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =
     startMaintained(spark, vectorsDir, corpusDir, checkpointDir, trigger,
+      indexExists = IvfPqIndex.meta(indexDir).isDefined,
       bootstrap = IvfPqIndex.build(spark, corpusDir, indexDir, nlist,
         m, dsub, ksub),
       refresh = IvfPqIndex.refresh(spark, corpusDir, indexDir))
 
   /** The shared per-batch maintenance loop: bootstrap on the first
     * batch, then batch-id-marked fast-appends + an unconditional
-    * version-checked index refresh. */
+    * version-checked index refresh. `indexExists` re-evaluates per
+    * batch: a crash between the bootstrap corpus write and the index
+    * build would otherwise wedge every replay on a meta-less refresh —
+    * instead the next batch re-runs the bootstrap build against the
+    * corpus as it stands. */
   private def startMaintained(spark: SparkSession, vectorsDir: String,
                               corpusDir: String, checkpointDir: String,
                               trigger: Trigger,
+                              indexExists: => Boolean,
                               bootstrap: => Long,
                               refresh: => Long): StreamingQuery = {
     spark.readStream
@@ -104,8 +111,9 @@ object StreamingIndex {
                 appends = Some(fresh), operation = batchOp(batchId))
           }
           // unconditional: heals a crash that landed the corpus commit
-          // but not the refresh; O(1) no-op when versions agree
-          refresh
+          // but not the refresh (O(1) no-op when versions agree) — and
+          // a crash BEFORE the index ever built re-runs the bootstrap
+          if (indexExists) refresh else bootstrap
         }
         ()
       }

@@ -242,6 +242,56 @@ class AnalyzeSpec extends SparkSpec {
       "the promoted stats must serve live reads")
   }
 
+  test("fast_forward promotion CLEARS the pre-publish live stats: a " +
+    "branch ANALYZE that measured fewer columns must not leave old " +
+    "column stats stamped with the new version") {
+    TableStore.reset(spark)
+    val dir = mkTable("an", "t8", 1000)
+    val store = new TableStore(spark)
+    spark.sql("ANALYZE TABLE an.t8 COMPUTE STATISTICS FOR COLUMNS id")
+    assert(store.properties("an", "t8")
+      .contains(s"${GraftStats.ColPrefix}id.ndv"))
+    try {
+      spark.conf.set("spark.wap.branch", "b8")
+      spark.sql("INSERT INTO an.t8 VALUES (777777, 'x', 'p')")
+      // branch ANALYZE WITHOUT columns — promote carries no col stats
+      spark.sql("ANALYZE TABLE an.t8 COMPUTE STATISTICS")
+    } finally spark.conf.unset("spark.wap.branch")
+    spark.sql("CALL iceberg.system.fast_forward('an.t8', 'b8')")
+    val after = store.properties("an", "t8")
+    assert(after(GraftStats.RowsKey) == "1001")
+    assert(after(GraftStats.VersionKey)
+      == Snapshot.currentVersion(dir).get.toString)
+    assert(!after.keys.exists(_.startsWith(GraftStats.ColPrefix)),
+      s"pre-publish column stats must not survive stamped current: " +
+        s"${after.keys.filter(_.startsWith(GraftStats.ColPrefix))}")
+  }
+
+  test("a ZERO-ROW fast-append commit neither fails the statement " +
+    "nor disturbs the merged column stats") {
+    TableStore.reset(spark)
+    mkTable("an", "t9", 500)
+    val store = new TableStore(spark)
+    spark.sql("""ALTER TABLE an.t9 SET TBLPROPERTIES(
+      'write.merge.mode'='merge-on-read',
+      'graft.stats.auto-refresh'='true')""")
+    spark.sql("ANALYZE TABLE an.t9 COMPUTE STATISTICS FOR COLUMNS id")
+    val before = store.properties("an", "t9")
+    // the fast-append arm commits an empty appends sidecar; the
+    // post-commit refresh must treat it as a zero delta
+    spark.sql(
+      "INSERT INTO an.t9 SELECT * FROM an.t9 WHERE id < 0")
+    val after = store.properties("an", "t9")
+    assert(after(s"${GraftStats.ColPrefix}id.ndv")
+      == before(s"${GraftStats.ColPrefix}id.ndv"),
+      "a zero-row append must leave the column stats unchanged")
+    assert(after(GraftStats.RowsKey) == "500", after(GraftStats.RowsKey))
+    assert(after(GraftStats.VersionKey)
+      == Snapshot.currentVersion(
+        store.snapshotPath("an", "t9").get).get.toString,
+      "the stats must re-stamp current across the empty commit")
+  }
+
   test("NOSCAN records size only (no row count), Spark's contract") {
     TableStore.reset(spark)
     mkTable("an", "t2", 1000)

@@ -65,6 +65,31 @@ class IvfIndexSpec extends SparkSpec {
       "appended vectors must be reachable through the refreshed cells")
   }
 
+  test("a rebuild that died between its component swaps is DETECTED: " +
+    "mismatched build tokens raise instead of probing new centroids " +
+    "against old cells") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val root = Files.createTempDirectory("ivftok").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/ivf"
+    Snapshot.createOrReplace(emb, corpus, keepVersions = 2)
+    IvfIndex.build(spark, corpus, idx, 8)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    assert(IvfIndex.search(spark, corpus, idx, queries, 5, 2).count() > 0)
+    // simulate the mixed window: the centroids swap of a NEW build
+    // landed (fresh token) but the cells swap never did
+    Snapshot.createOrReplaceWithMeta(
+      SimilarityOps.sampleCentroids(emb, 8),
+      IvfIndex.centroidsDir(idx), keepVersions = 1,
+      "_graft_index_build", "interrupted-rebuild-token")
+    val e = intercept[IllegalStateException] {
+      IvfIndex.search(spark, corpus, idx, queries, 5, 2)
+    }
+    assert(e.getMessage.contains("MID-REBUILD"), e.getMessage)
+  }
+
   test("rebalance_index under drift: frozen centroids skew and decay " +
     "recall for drifted queries; the Lloyd-trained re-cluster " +
     "restores it; below threshold the CALL is a no-op") {

@@ -66,6 +66,31 @@ class StreamingIndexSpec extends SparkSpec {
       "wave-2 vectors must be reachable through the streamed index")
   }
 
+  test("a crash between the bootstrap corpus write and the index " +
+    "build heals: the next batch re-runs the bootstrap instead of " +
+    "wedging on a meta-less refresh") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val root = Files.createTempDirectory("strboot").toString
+    val vecDir = s"$root/vectors"
+    val corpus = s"$root/corpus"
+    val idx = s"$root/pq"
+    val cp = s"$root/cp"
+    val w1 = emb.filter(col("vec_id") % 2 === 0).localCheckpoint()
+    // the crash state: the corpus landed, the index never built
+    Snapshot.createOrReplace(w1, corpus, keepVersions = 2)
+    assert(PqIndex.meta(idx).isEmpty)
+    w1.write.parquet(vecDir)
+    StreamingIndex.startPq(spark, vecDir, corpus, idx, cp,
+      m = 8, dsub = 8, ksub = 16).awaitTermination(60000)
+    assert(PqIndex.meta(idx).isDefined,
+      "the replayed batch must re-run the bootstrap build")
+    assert(Snapshot.read(spark, corpus).count() == w1.count(),
+      "the overlap dedup must keep the corpus duplicate-free")
+    assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
+      == w1.count())
+  }
+
   test("startIvfPq maintains the IVFADC index per batch; the streamed " +
     "index is search-IDENTICAL to one batch-built on the bootstrap " +
     "wave and refreshed with the rest") {
