@@ -64,12 +64,7 @@ case class GraftAnalyzeCommand(ns: String, name: String,
     wapScope.foreach { case (b, p) =>
       return runBranchScoped(spark, store, frame, b, p)
     }
-    val cols: Seq[String] =
-      if (allColumns) frame.columns.toSeq
-      else columns.map(c => frame.columns.find(_.equalsIgnoreCase(c))
-        .getOrElse(throw new IllegalArgumentException(
-          s"ANALYZE: no such column $c in $ns.$name " +
-            s"(columns: ${frame.columns.mkString(", ")})")))
+    val cols = resolveCols(frame)
     val props = scala.collection.mutable.LinkedHashMap[String, String]()
     val fileStats = snapPath.map(graft.pipeline.Snapshot.dataFileStats)
     if (noScan) {
@@ -94,34 +89,69 @@ case class GraftAnalyzeCommand(ns: String, name: String,
       }
       props += GraftStats.SizeKey -> size.toString
     }
-    snapPath.flatMap(graft.pipeline.Snapshot.currentVersion)
-      .foreach(v => props += GraftStats.VersionKey -> v.toString)
-    if (cols.nonEmpty && !noScan) {
-      graft.quality.Metrics.columnStats(frame, cols).collect()
-        .foreach { r =>
-          val c = r.getString(0)
-          def put(suffix: String, v: Any): Unit =
-            if (v != null) props +=
-              s"${GraftStats.ColPrefix}$c.$suffix" -> v.toString
-          put("nulls", r.get(1))
-          put("ndv", r.get(2))
-          put("min", r.get(3))
-          put("max", r.get(4))
-          put("avgLen", r.get(5))
-        }
-      // the per-column KMV sketch (k smallest distinct hashes)
-      // persists BESIDE the stats: a later commit's auto-refresh
-      // merges a delta sketch against it instead of rescanning —
-      // see GraftDml.maybeRefreshStats
-      graft.quality.Metrics.columnKmv(frame, cols, GraftStats.KmvK)
-        .collect().foreach { r =>
-          props += s"${GraftStats.ColPrefix}${r.getString(0)}.kmv" ->
-            r.getSeq[Long](1).mkString(",")
-        }
+    val liveVersion = snapPath
+      .flatMap(graft.pipeline.Snapshot.currentVersion).map(_.toString)
+    liveVersion.foreach(v => props += GraftStats.VersionKey -> v)
+    if (cols.nonEmpty && !noScan)
+      putColumnStats(frame, cols, props, identity)
+    // REPLACE-don't-merge when the existing live stats describe an
+    // OLDER version: setProperties merges, and a narrower re-ANALYZE
+    // (fewer columns, or NOSCAN) would otherwise re-stamp the old
+    // rows/column stats with the NEW version — stale stats served as
+    // current, the exact mode the version gate exists to prevent.
+    // When the recorded version IS still live the old stats remain
+    // valid, so merging keeps Spark's incremental column-analyze
+    // behavior (ANALYZE FOR COLUMNS a, then b → both served).
+    val existing =
+      try store.properties(ns, name)
+      catch { case _: NoSuchElementException => Map.empty[String, String] }
+    if (liveVersion.isEmpty ||
+        existing.get(GraftStats.VersionKey) != liveVersion) {
+      val stale = GraftStats.liveStatsKeys(existing)
+      if (stale.nonEmpty)
+        store.unsetProperties(ns, name, stale, ifExists = true)
     }
     store.setProperties(ns, name, props.toMap)
     Seq.empty
   }
+
+  private def resolveCols(frame: org.apache.spark.sql.DataFrame)
+      : Seq[String] =
+    if (allColumns) frame.columns.toSeq
+    else columns.map(c => frame.columns.find(_.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ANALYZE: no such column $c in $ns.$name " +
+          s"(columns: ${frame.columns.mkString(", ")})")))
+
+  /** One collection pass for nulls/min/max/avgLen AND the KMV sketch
+    * ([[graft.quality.Metrics.columnStatsWithKmv]]); ndv derives from
+    * the sketch driver-side — the same estimator the incremental
+    * refresh applies after merging a delta sketch
+    * (GraftDml.maybeRefreshStats), so the two never disagree. `key`
+    * maps plain stat keys to their scope (identity for live,
+    * branch-prefixing under WAP). */
+  private def putColumnStats(
+      frame: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      props: scala.collection.mutable.LinkedHashMap[String, String],
+      key: String => String): Unit =
+    graft.quality.Metrics
+      .columnStatsWithKmv(frame, cols, GraftStats.KmvK)
+      .collect().foreach { r =>
+        val c = r.getString(0)
+        def put(suffix: String, v: Any): Unit =
+          if (v != null) props +=
+            key(s"${GraftStats.ColPrefix}$c.$suffix") -> v.toString
+        put("nulls", r.get(1))
+        put("min", r.get(2))
+        put("max", r.get(3))
+        put("avgLen", r.get(4))
+        if (!r.isNullAt(5)) {
+          val hashes = r.getSeq[Long](5)
+          put("ndv", graft.ext.Sketches.kmvEstimate(hashes,
+            GraftStats.KmvK))
+          put("kmv", hashes.mkString(","))
+        }
+      }
 
   /** ANALYZE under `spark.wap.branch`: the same statistics, measured
     * against the STAGED branch (rows from the branch read, bytes from
@@ -132,12 +162,7 @@ case class GraftAnalyzeCommand(ns: String, name: String,
                               frame: org.apache.spark.sql.DataFrame,
                               branch: String, path: String): Seq[Row] = {
     val S = graft.pipeline.Snapshot
-    val cols: Seq[String] =
-      if (allColumns) frame.columns.toSeq
-      else columns.map(c => frame.columns.find(_.equalsIgnoreCase(c))
-        .getOrElse(throw new IllegalArgumentException(
-          s"ANALYZE: no such column $c in $ns.$name " +
-            s"(columns: ${frame.columns.mkString(", ")})")))
+    val cols = resolveCols(frame)
     val pre = GraftStats.branchPrefix(branch)
     def key(liveKey: String): String =
       pre + liveKey.stripPrefix(GraftStats.KeyRoot)
@@ -153,26 +178,22 @@ case class GraftAnalyzeCommand(ns: String, name: String,
         else bytes
       props += key(GraftStats.SizeKey) -> size.toString
     }
-    S.branchStatsToken(path, branch).foreach(t =>
+    val token = S.branchStatsToken(path, branch)
+    token.foreach(t =>
       props += pre + GraftStats.BranchTokenSuffix -> t)
-    if (cols.nonEmpty && !noScan) {
-      graft.quality.Metrics.columnStats(frame, cols).collect()
-        .foreach { r =>
-          val c = r.getString(0)
-          def put(suffix: String, v: Any): Unit =
-            if (v != null) props +=
-              key(s"${GraftStats.ColPrefix}$c.$suffix") -> v.toString
-          put("nulls", r.get(1))
-          put("ndv", r.get(2))
-          put("min", r.get(3))
-          put("max", r.get(4))
-          put("avgLen", r.get(5))
-        }
-      graft.quality.Metrics.columnKmv(frame, cols, GraftStats.KmvK)
-        .collect().foreach { r =>
-          props += key(s"${GraftStats.ColPrefix}${r.getString(0)}.kmv") ->
-            r.getSeq[Long](1).mkString(",")
-        }
+    if (cols.nonEmpty && !noScan)
+      putColumnStats(frame, cols, props, key)
+    // the live path's REPLACE-don't-merge discipline, token-gated:
+    // branch stats recorded against an older staging must not survive
+    // a narrower re-ANALYZE re-stamped with the new token
+    val existing =
+      try store.properties(ns, name)
+      catch { case _: NoSuchElementException => Map.empty[String, String] }
+    if (token.isEmpty ||
+        existing.get(pre + GraftStats.BranchTokenSuffix) != token) {
+      val stale = existing.keys.filter(_.startsWith(pre)).toSeq
+      if (stale.nonEmpty)
+        store.unsetProperties(ns, name, stale, ifExists = true)
     }
     store.setProperties(ns, name, props.toMap)
     Seq.empty
@@ -203,6 +224,16 @@ object GraftStats {
     * .branchStatsToken]]). */
   val BranchTokenSuffix = "branchToken"
 
+  /** The LIVE-scoped measurement keys among `props` — what a
+    * replace-don't-merge clear may drop. Deliberately NOT a prefix
+    * match on [[KeyRoot]]: `graft.stats.auto-refresh` is a config
+    * toggle sharing the prefix (clearing it would silently turn the
+    * feature off), and branch-scoped keys have their own lifecycle. */
+  def liveStatsKeys(props: Map[String, String]): Seq[String] =
+    props.keys.filter(k =>
+      k == RowsKey || k == SizeKey || k == VersionKey ||
+        k.startsWith(ColPrefix)).toSeq
+
   /** The persisted ANALYZE stats of `ns.name`, if current: the
     * recorded snapshot version must still be live (a table whose
     * content moved since ANALYZE serves NO stats rather than stale
@@ -219,17 +250,8 @@ object GraftStats {
     GraftDml.wapBranch(spark) match {
       case Some(b)
           if graft.pipeline.Snapshot.branches(path).contains(b) =>
-        val pre = branchPrefix(b)
-        val scoped = props.collect {
-          case (k, v) if k.startsWith(pre) => k.stripPrefix(pre) -> v
-        }
-        if (!scoped.contains(SizeKey.stripPrefix(KeyRoot))) None
-        else if (!scoped.get(BranchTokenSuffix).exists(t =>
-            graft.pipeline.Snapshot.branchStatsToken(path, b)
-              .contains(t))) None
-        else Some(scoped.collect {
-          case (k, v) if k != BranchTokenSuffix => (KeyRoot + k) -> v
-        })
+        // the same payload fast_forward promotes — one token gate
+        branchStatsIfCurrent(spark, ns, name, path, b)
       case _ =>
         if (!props.contains(SizeKey)) None
         else if (!props.get(VersionKey).exists(v =>

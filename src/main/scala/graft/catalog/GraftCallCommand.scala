@@ -331,12 +331,10 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           // (or none) than the pre-publish live one would otherwise
           // leave pre-publish column stats stamped with the NEW
           // version (stale stats served as current)
-          val stale = (try store.properties(ns, t)
+          val stale = GraftStats.liveStatsKeys(
+            try store.properties(ns, t)
             catch { case _: NoSuchElementException =>
               Map.empty[String, String] })
-            .keys.filter(k => k.startsWith(GraftStats.KeyRoot) &&
-              !k.startsWith(s"${GraftStats.KeyRoot}branch."))
-            .toSeq
           if (stale.nonEmpty)
             store.unsetProperties(ns, t, stale, ifExists = true)
           store.setProperties(ns, t,

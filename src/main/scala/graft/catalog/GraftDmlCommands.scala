@@ -366,11 +366,15 @@ private[catalog] object GraftDml {
       return Some(props.filter(_._1.startsWith(P)))
     val oldRows = props(GraftStats.RowsKey).toLong
     val k = GraftStats.KmvK
+    // one collection pass: counts/extremes + the delta KMV sketch
+    // (columnStatsWithKmv) — ndv never collects, it derives from the
+    // MERGED sketch below
     val deltaStats = graft.quality.Metrics
-      .columnStats(delta, presentCols, k).collect()
+      .columnStatsWithKmv(delta, presentCols, k).collect()
       .map(r => r.getString(0) -> r).toMap
-    val deltaKmv = graft.quality.Metrics.columnKmv(delta, presentCols, k)
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val deltaKmv = deltaStats.collect {
+      case (c, r) if !r.isNullAt(5) => c -> r.getSeq[Long](5)
+    }
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     presentCols.foreach { c =>
       def old(s: String) = props.get(s"$P$c.$s")
@@ -378,8 +382,8 @@ private[catalog] object GraftDml {
       val dNulls = if (d.isNullAt(1)) 0L else d.getLong(1)
       val oldNulls = old("nulls").map(_.toLong).getOrElse(0L)
       val nulls = Some(oldNulls + dNulls)
-      val dMin = if (d.isNullAt(3)) None else Some(d.getDouble(3))
-      val dMax = if (d.isNullAt(4)) None else Some(d.getDouble(4))
+      val dMin = if (d.isNullAt(2)) None else Some(d.getDouble(2))
+      val dMax = if (d.isNullAt(3)) None else Some(d.getDouble(3))
       val min = (old("min").map(_.toDouble), dMin) match {
         case (Some(a), Some(b)) => Some(math.min(a, b))
         case (a, b) => a.orElse(b)
@@ -391,7 +395,7 @@ private[catalog] object GraftDml {
       // avgLen weights by NON-NULL counts on each side
       val oldNonNull = oldRows - oldNulls
       val dNonNull = deltaRows - dNulls
-      val dAvg = if (d.isNullAt(5)) None else Some(d.getDouble(5))
+      val dAvg = if (d.isNullAt(4)) None else Some(d.getDouble(4))
       val avgLen = (old("avgLen").map(_.toDouble), dAvg) match {
         case (Some(a), Some(b)) if oldNonNull + dNonNull > 0 =>
           Some((a * oldNonNull + b * dNonNull) / (oldNonNull + dNonNull))

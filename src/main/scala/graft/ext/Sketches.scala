@@ -31,23 +31,33 @@ object Sketches {
   def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** Per-group approximate distinct count of `valueCol`.
-    * @return one row per group: groupCols*, est_distinct (double) */
-  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  k: Int): DataFrame = {
+  /** The shared KMV core: the k smallest DISTINCT [[hash60]] values of
+    * `valueCol` per group — both the [[kmvDistinct]] estimate and a
+    * persistable sketch ([[kmvMerge]]/[[kmvEstimate]]) derive from
+    * this frame, so the dedup/top-k discipline lives in one place.
+    * @return one row per kept hash: groupCols*, _h (long) */
+  def kmvTopK(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_h"))
     df.select(groupCols.map(col) :+ hash60(col(valueCol)).as("_h"): _*)
       .distinct()
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
+      .select(groupCols.map(col) :+ col("_h"): _*)
+  }
+
+  /** Per-group approximate distinct count of `valueCol`.
+    * @return one row per group: groupCols*, est_distinct (double) */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int): DataFrame =
+    kmvTopK(df, groupCols, valueCol, k)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_m"), max(col("_h")).as("_hk"))
       .select(groupCols.map(col) :+
         when(col("_m") < k, col("_m").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("_hk"))
           .as("est_distinct"): _*)
-  }
 
   /** X10d — equi-width histogram quantile sketch: per-group quantile
     * ESTIMATES from a `bins`-row counter table instead of a data-sized

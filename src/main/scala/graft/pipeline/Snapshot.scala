@@ -816,8 +816,12 @@ object Snapshot {
   def parseSpecField(entry: String): SpecField = entry.trim match {
     case BucketRe(n, cs) =>
       val cols = cs.split(",").map(_.trim).toSeq
+      // composite field names join with '-' (invalid inside a \w+
+      // column name) so bucket(n,a,b) → a-b_bucket can never collide
+      // with a column literally named a_b; the single-column form
+      // keeps its established c_bucket spelling
       SpecField(s"bucket($n,${cols.mkString(",")})",
-        s"${cols.mkString("_")}_bucket", cols.head)
+        s"${cols.mkString("-")}_bucket", cols.head)
     case TruncRe(w, c) =>
       SpecField(s"truncate($w,$c)", s"${c}_trunc", c)
     case TimeRe(unit, c) =>

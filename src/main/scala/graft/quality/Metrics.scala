@@ -98,33 +98,44 @@ object Metrics {
         "avg_len")
   }
 
-  /** Per-column KMV sketch — the k smallest distinct [[graft.ext
-    * .Sketches.hash60]] values of each column's non-null string form.
-    * ANALYZE persists these beside the column stats so a later
-    * commit's stats refresh can MERGE a delta sketch instead of
-    * rescanning the table ([[graft.ext.Sketches.kmvMerge]] /
-    * [[graft.ext.Sketches.kmvEstimate]] — the estimator is identical
-    * to [[columnStats]]' ndv at the same k). Sketch state is ≤ k
-    * longs per column at any table size.
+  /** ANALYZE's collection pass: [[columnStats]]' counts/extremes PLUS
+    * the per-column KMV sketch (the k smallest distinct [[graft.ext
+    * .Sketches.hash60]] values of the non-null string form) in one
+    * call — the persisted sketch lets a later commit's stats refresh
+    * MERGE a delta sketch instead of rescanning, and the NDV derives
+    * driver-side from the SAME sketch via [[graft.ext.Sketches
+    * .kmvEstimate]] (identical estimator — one pipeline, not two that
+    * must agree). Sketch state is ≤ k longs per column at any size;
+    * `hashes` is null for a column with zero non-null values.
     *
-    * @return (column, hashes array<long> ascending) */
-  def columnKmv(df: DataFrame, columns: Seq[String],
-                k: Int = 256): DataFrame = {
+    * @return (column, nulls, min_num, max_num, avg_len,
+    *         hashes array<long> ascending) */
+  def columnStatsWithKmv(df: DataFrame, columns: Seq[String],
+                         k: Int = 256): DataFrame = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stacked = df
       .select(explode(array(columns.map { c =>
-        struct(lit(c).as("column"), col(c).cast(StringType).as("val"))
+        val num = fields(c) match {
+          case _: NumericType => col(c).cast(DoubleType)
+          case _ => lit(null).cast(DoubleType)
+        }
+        struct(lit(c).as("column"), col(c).cast(StringType).as("val"),
+          num.as("num"))
       }: _*)).as("s"))
-      .select(col("s.column").as("column"), col("s.val").as("val"))
-      .filter(col("val").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("column").orderBy(col("_h"))
-    stacked
-      .select(col("column"), graft.ext.Sketches.hash60(col("val")).as("_h"))
-      .distinct()
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
+      .select(col("s.column").as("column"), col("s.val").as("val"),
+        col("s.num").as("num"))
+    val base = stacked.groupBy("column").agg(
+      count(when(col("val").isNull, 1)).as("nulls"),
+      min("num").as("min_num"), max("num").as("max_num"),
+      (sum(length(col("val"))).cast(DoubleType) /
+        count(col("val")).cast(DoubleType)).as("avg_len"))
+    val kmv = graft.ext.Sketches.kmvTopK(
+        stacked.filter(col("val").isNotNull), Seq("column"), "val", k)
       .groupBy("column")
       .agg(sort_array(collect_list(col("_h"))).as("hashes"))
+    base.join(kmv, Seq("column"), "left")
+      .select("column", "nulls", "min_num", "max_num", "avg_len",
+        "hashes")
   }
 
   /** X6c — per-group z-score outliers (the anomaly gate a monitoring

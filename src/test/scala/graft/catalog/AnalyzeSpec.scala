@@ -292,6 +292,50 @@ class AnalyzeSpec extends SparkSpec {
       "the stats must re-stamp current across the empty commit")
   }
 
+  test("a NARROWER re-ANALYZE after commits REPLACES the stale stats " +
+    "instead of re-stamping them with the new version") {
+    TableStore.reset(spark)
+    mkTable("an", "t10", 1000)
+    val store = new TableStore(spark)
+    spark.sql("ANALYZE TABLE an.t10 COMPUTE STATISTICS FOR COLUMNS id, grp")
+    assert(store.properties("an", "t10")
+      .contains(s"${GraftStats.ColPrefix}grp.ndv"))
+    // the table moves (no auto-refresh: stats go stale, grp's describe
+    // 1000 rows that no longer exist alone)
+    spark.sql("INSERT INTO an.t10 VALUES (777777, 'zz', 'p')")
+    spark.sql("ANALYZE TABLE an.t10 COMPUTE STATISTICS FOR COLUMNS id")
+    val after = store.properties("an", "t10")
+    assert(after(GraftStats.RowsKey) == "1001")
+    assert(after.contains(s"${GraftStats.ColPrefix}id.ndv"))
+    assert(!after.keys.exists(_.startsWith(s"${GraftStats.ColPrefix}grp.")),
+      "grp's pre-commit stats must not revive under the new version: " +
+        after.keys.filter(_.startsWith(GraftStats.ColPrefix)))
+    // NOSCAN after another commit: size-only, the stale rowCount and
+    // id stats must clear rather than re-stamp
+    spark.sql("INSERT INTO an.t10 VALUES (777778, 'zz', 'p')")
+    spark.sql("ANALYZE TABLE an.t10 COMPUTE STATISTICS NOSCAN")
+    val noscan = store.properties("an", "t10")
+    assert(!noscan.contains(GraftStats.RowsKey),
+      "NOSCAN must not revive a stale row count")
+    assert(!noscan.keys.exists(_.startsWith(GraftStats.ColPrefix)),
+      "NOSCAN must not revive stale column stats")
+    assert(noscan(GraftStats.SizeKey).toLong > 0)
+  }
+
+  test("incremental column ANALYZE at the SAME version merges: " +
+    "FOR COLUMNS id then FOR COLUMNS grp serves both (Spark's " +
+    "column-by-column analyze)") {
+    TableStore.reset(spark)
+    mkTable("an", "t11", 800)
+    val store = new TableStore(spark)
+    spark.sql("ANALYZE TABLE an.t11 COMPUTE STATISTICS FOR COLUMNS id")
+    spark.sql("ANALYZE TABLE an.t11 COMPUTE STATISTICS FOR COLUMNS grp")
+    val props = store.properties("an", "t11")
+    assert(props.contains(s"${GraftStats.ColPrefix}id.ndv"),
+      "still-current stats of the earlier ANALYZE must survive")
+    assert(props.contains(s"${GraftStats.ColPrefix}grp.ndv"))
+  }
+
   test("NOSCAN records size only (no row count), Spark's contract") {
     TableStore.reset(spark)
     mkTable("an", "t2", 1000)

@@ -598,4 +598,15 @@ class SnapshotSpec extends SparkSpec {
       s"compact flattened the Hive layout: $frags")
     assert(Snapshot.read(spark, dir).count() == 3)
   }
+
+  test("composite bucket field names cannot collide with a column " +
+    "literally named like the joined sources") {
+    val multi = Snapshot.parseSpecField("bucket(4, a, b)")
+    val single = Snapshot.parseSpecField("bucket(8, a_b)")
+    assert(multi.name == "a-b_bucket", multi)
+    assert(single.name == "a_b_bucket", single)
+    assert(multi.name != single.name,
+      "bucket(n,a,b) and bucket(n,a_b) must derive distinct fields")
+    assert(multi.sources == Seq("a", "b"))
+  }
 }
