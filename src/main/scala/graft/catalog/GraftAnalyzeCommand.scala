@@ -101,11 +101,15 @@ case class GraftAnalyzeCommand(ns: String, name: String,
     // current, the exact mode the version gate exists to prevent.
     // When the recorded version IS still live the old stats remain
     // valid, so merging keeps Spark's incremental column-analyze
-    // behavior (ANALYZE FOR COLUMNS a, then b → both served).
+    // behavior (ANALYZE FOR COLUMNS a, then b → both served) — and a
+    // VERSION-LESS table (registry frame, plain catalog table) has no
+    // staleness signal at all, so it keeps Spark's merge semantics
+    // unconditionally rather than destroying the accumulation on
+    // every statement.
     val existing =
       try store.properties(ns, name)
       catch { case _: NoSuchElementException => Map.empty[String, String] }
-    if (liveVersion.isEmpty ||
+    if (liveVersion.isDefined &&
         existing.get(GraftStats.VersionKey) != liveVersion) {
       val stale = GraftStats.liveStatsKeys(existing)
       if (stale.nonEmpty)
@@ -243,21 +247,31 @@ object GraftStats {
     * the branch's staging token (a re-staged branch stops serving
     * them), while live readers keep the live stats untouched. */
   def currentStats(spark: SparkSession, ns: String, name: String,
-                   path: String): Option[Map[String, String]] = {
+                   path: String): Option[Map[String, String]] =
+    statsAndScanDir(spark, ns, name, path).map(_._1)
+
+  /** [[currentStats]] plus the directory the stats-bearing scan roots
+    * at (the branch dir under a staged WAP session, the live dir
+    * otherwise) — one property fetch and one branch listing for both
+    * answers, since [[attach]] sits on every read resolution. */
+  private def statsAndScanDir(spark: SparkSession, ns: String,
+                              name: String, path: String)
+      : Option[(Map[String, String], String)] = {
     val props =
       try new TableStore(spark).properties(ns, name)
       catch { case _: NoSuchElementException => return None }
-    GraftDml.wapBranch(spark) match {
-      case Some(b)
-          if graft.pipeline.Snapshot.branches(path).contains(b) =>
+    GraftDml.wapBranch(spark)
+      .filter(graft.pipeline.Snapshot.branches(path).contains) match {
+      case Some(b) =>
         // the same payload fast_forward promotes — one token gate
-        branchStatsIfCurrent(spark, ns, name, path, b)
-      case _ =>
+        branchStatsFrom(props, path, b)
+          .map((_, graft.pipeline.Snapshot.branchDirPath(path, b)))
+      case None =>
         if (!props.contains(SizeKey)) None
         else if (!props.get(VersionKey).exists(v =>
             graft.pipeline.Snapshot.currentVersion(path)
               .map(_.toString).contains(v))) None
-        else Some(props)
+        else Some((props, path))
     }
   }
 
@@ -271,6 +285,12 @@ object GraftStats {
     val props =
       try new TableStore(spark).properties(ns, name)
       catch { case _: NoSuchElementException => return None }
+    branchStatsFrom(props, path, branch)
+  }
+
+  private def branchStatsFrom(props: Map[String, String], path: String,
+                              branch: String)
+      : Option[Map[String, String]] = {
     val pre = branchPrefix(branch)
     val scoped = props.collect {
       case (k, v) if k.startsWith(pre) => k.stripPrefix(pre) -> v
@@ -286,6 +306,30 @@ object GraftStats {
 
   /** Drop every branch-scoped stats key of `branch` (branch consumed
     * or its delta-applied publish invalidated them). */
+  /** Promote branch-scoped ANALYZE stats to LIVE with a publish —
+    * the payload [[branchStatsIfCurrent]] captured BEFORE the publish
+    * consumed the branch dir, re-stamped with the published version.
+    * Lives beside its inverse operations so the promotion protocol
+    * stays consistent with the live path's replace-don't-merge
+    * discipline: the OLD live stats keys clear first (setProperties
+    * merges, and a branch ANALYZE that measured fewer columns — or
+    * none — than the pre-publish live one would otherwise leave
+    * pre-publish column stats stamped with the NEW version). */
+  def promoteBranchStats(spark: SparkSession, ns: String, name: String,
+                         stats: Option[Map[String, String]],
+                         publishedVersion: Long): Unit =
+    stats.foreach { s =>
+      val store = new TableStore(spark)
+      val stale = liveStatsKeys(
+        try store.properties(ns, name)
+        catch { case _: NoSuchElementException =>
+          Map.empty[String, String] })
+      if (stale.nonEmpty)
+        store.unsetProperties(ns, name, stale, ifExists = true)
+      store.setProperties(ns, name,
+        s + (VersionKey -> publishedVersion.toString))
+    }
+
   def dropBranchStats(spark: SparkSession, ns: String, name: String,
                       branch: String): Unit = {
     val store = new TableStore(spark)
@@ -306,14 +350,10 @@ object GraftStats {
     * the ANALYZE numbers. */
   def attach(spark: SparkSession, ns: String, name: String,
              path: String, plan: LogicalPlan): LogicalPlan =
-    currentStats(spark, ns, name, path) match {
+    statsAndScanDir(spark, ns, name, path) match {
       case None => plan
-      case Some(props) =>
+      case Some((props, scanDir)) =>
         // under a staged WAP branch the scan's root IS the branch dir
-        val scanDir = GraftDml.wapBranch(spark)
-          .filter(graft.pipeline.Snapshot.branches(path).contains)
-          .map(b => graft.pipeline.Snapshot.branchDirPath(path, b))
-          .getOrElse(path)
         val abs = java.nio.file.Paths.get(scanDir)
           .toAbsolutePath.normalize.toString
         plan.transform {

@@ -324,22 +324,7 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         val cur = graft.pipeline.Snapshot
           .publishBranch(spark, path, branch, keep)
         GraftStats.dropBranchStats(spark, ns, t, branch)
-        promote.foreach { stats =>
-          val store = new TableStore(spark)
-          // the OLD live stats keys must clear first — setProperties
-          // merges, and a branch ANALYZE that measured fewer columns
-          // (or none) than the pre-publish live one would otherwise
-          // leave pre-publish column stats stamped with the NEW
-          // version (stale stats served as current)
-          val stale = GraftStats.liveStatsKeys(
-            try store.properties(ns, t)
-            catch { case _: NoSuchElementException =>
-              Map.empty[String, String] })
-          if (stale.nonEmpty)
-            store.unsetProperties(ns, t, stale, ifExists = true)
-          store.setProperties(ns, t,
-            stats + (GraftStats.VersionKey -> cur.toString))
-        }
+        GraftStats.promoteBranchStats(spark, ns, t, promote, cur)
         Seq(Row(prev, cur))
       case "drop_branch" =>
         val branch = required("branch", 1).toString

@@ -317,7 +317,7 @@ private[catalog] object GraftDml {
     val (bytes, rows) = S.dataFileStats(path)
     val P = GraftStats.ColPrefix
     val colKeys = props.keys.filter(_.startsWith(P)).toSeq
-    val merged = mergedColumnStats(spark, path, props)
+    val merged = mergedColumnStats(spark, path, props, v)
     if (colKeys.nonEmpty && merged.isEmpty)
       store.unsetProperties(key.head, key(1), colKeys, ifExists = true)
     merged.foreach { m =>
@@ -338,7 +338,8 @@ private[catalog] object GraftDml {
     * caller drops), Some(updated key→value map) when the delta merged
     * cleanly (empty window = unchanged stats). */
   private def mergedColumnStats(spark: SparkSession, path: String,
-                                props: Map[String, String])
+                                props: Map[String, String],
+                                untilVersion: Long)
       : Option[Map[String, String]] = {
     val S = graft.pipeline.Snapshot
     val P = GraftStats.ColPrefix
@@ -351,7 +352,11 @@ private[catalog] object GraftDml {
         !props.contains(GraftStats.RowsKey)) return None
     val statsVersion = props.get(GraftStats.VersionKey)
       .flatMap(_.toLongOption).getOrElse(return None)
-    val appendDirs = S.commitsSince(path, statsVersion) match {
+    // bounded by the version this refresh stamps: a concurrent commit
+    // landing after the capture must wait for ITS OWN refresh, or its
+    // rows would merge twice
+    val appendDirs = S.commitsSince(path, statsVersion,
+        Some(untilVersion)) match {
       case S.CommitWindow.FastAppends(dirs) => dirs
       case _ => return None // re-based (deletes already returned above)
     }

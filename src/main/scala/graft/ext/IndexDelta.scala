@@ -53,11 +53,17 @@ private[graft] object IndexDelta {
   }
 
   /** The corpus rows appended in `(sinceVersion, liveVersion]`.
+    * `liveVersion` is the version the CALLER captured and will stamp —
+    * it bounds the window, so a concurrent commit landing after the
+    * capture stays out of this delta (it would otherwise be encoded
+    * now but stamped as not-yet-seen, and re-encoded as duplicate
+    * index entries by the next refresh).
     * @param what index family name for error messages */
   def appendedSince(spark: SparkSession, corpusPath: String,
                     sinceVersion: Long, liveVersion: Long,
                     what: String): DataFrame =
-    Snapshot.commitsSince(corpusPath, sinceVersion) match {
+    Snapshot.commitsSince(corpusPath, sinceVersion,
+        Some(liveVersion)) match {
       case Snapshot.CommitWindow.FastAppends(dirs) =>
         if (dirs.isEmpty) Snapshot.read(spark, corpusPath).limit(0)
         else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)

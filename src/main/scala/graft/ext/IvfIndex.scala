@@ -175,12 +175,27 @@ object IvfIndex {
                 threshold: Double): (Boolean, Long, Long) = {
     val im = meta(indexDir).getOrElse(throw new IllegalStateException(
       s"no IVF index at $indexDir (build first)"))
-    val (mx, med) = skewOf(cellSizes(spark, indexDir))
+    driftRebalance(spark, corpusPath, cellSizes(spark, indexDir),
+      threshold, im.nlist)(centroids =>
+      buildWith(spark, corpusPath, indexDir, centroids, im.nlist))
+  }
+
+  /** The drift gate both IVF-family rebalances share: measure the
+    * max/median cell-size skew, and past `threshold` hand a
+    * Lloyd-TRAINED replacement codebook to `rebuild` — one place for
+    * the policy, so the two families cannot diverge.
+    * @return (rebalanced?, max cell rows, median cell rows) — the
+    *         PRE-rebalance skew measurements */
+  private[ext] def driftRebalance(spark: SparkSession,
+                                  corpusPath: String, sizes: DataFrame,
+                                  threshold: Double, nlist: Int)
+                                 (rebuild: DataFrame => Unit)
+      : (Boolean, Long, Long) = {
+    val (mx, med) = skewOf(sizes)
     val fire = med > 0 && mx.toDouble / med >= threshold
-    if (fire) buildWith(spark, corpusPath, indexDir,
-      SimilarityOps.kmeansTrain(
-          Snapshot.read(spark, corpusPath), im.nlist)
-        .select(col("centroid_id"), col("c_embedding")), im.nlist)
+    if (fire) rebuild(
+      SimilarityOps.kmeansTrain(Snapshot.read(spark, corpusPath), nlist)
+        .select(col("centroid_id"), col("c_embedding")))
     (fire, mx, med)
   }
 

@@ -231,14 +231,10 @@ object IvfPqIndex {
                 threshold: Double): (Boolean, Long, Long) = {
     val im = meta(indexDir).getOrElse(throw new IllegalStateException(
       s"no IVF-PQ index at $indexDir (build first)"))
-    val (mx, med) = IvfIndex.skewOf(cellSizes(spark, indexDir))
-    val fire = med > 0 && mx.toDouble / med >= threshold
-    if (fire) buildWith(spark, corpusPath, indexDir,
-      SimilarityOps.kmeansTrain(
-          Snapshot.read(spark, corpusPath), im.nlist)
-        .select(col("centroid_id"), col("c_embedding")),
-      im.nlist, im.m, im.dsub, im.ksub, im.residual)
-    (fire, mx, med)
+    IvfIndex.driftRebalance(spark, corpusPath,
+      cellSizes(spark, indexDir), threshold, im.nlist)(centroids =>
+      buildWith(spark, corpusPath, indexDir, centroids,
+        im.nlist, im.m, im.dsub, im.ksub, im.residual))
   }
 
   /** The IVFADC read: probe `nprobe` cells per query (fragment-pruned

@@ -314,30 +314,36 @@ object Snapshot {
     currentVersion(path) match {
       case None => (0L, 0L)
       case Some(live) =>
-        import scala.jdk.CollectionConverters._
-        dataDirsAsOf(path, live).map { d =>
-          val root = Paths.get(d)
-          val s = Files.walk(root)
-          try s.iterator().asScala
-            .filter { p =>
-              Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet") &&
-              // no hidden segments under the data dir (the base dir
-              // contains _mor; fragment dirs are col=val and pass)
-              !root.relativize(p).iterator().asScala.exists { seg =>
-                val n = seg.toString
-                n.startsWith("_") || n.startsWith(".")
-              }
-            }
-            .map(p => (Files.size(p), footerRows(p)))
-            .foldLeft((0L, 0L)) { case ((b, r), (b2, r2)) =>
-              (b + b2, r + r2)
-            }
-          finally s.close()
-        }.foldLeft((0L, 0L)) { case ((b, r), (b2, r2)) =>
-          (b + b2, r + r2)
-        }
+        dataDirsAsOf(path, live).map(d => dirFileStats(Paths.get(d)))
+          .foldLeft((0L, 0L)) { case ((b, r), (b2, r2)) =>
+            (b + b2, r + r2)
+          }
     }
+
+  /** (bytes, footer rows) of the visible parquet files under `root` —
+    * the one walk both the live ([[dataFileStats]]) and branch
+    * ([[branchDataFileStats]]) footprints use, so the
+    * hidden-segment/footer conventions cannot drift between them. */
+  private def dirFileStats(root: Path): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter { p =>
+        Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        // no hidden segments under the data dir (the base dir
+        // contains _mor; fragment dirs are col=val and pass)
+        !root.relativize(p).iterator().asScala.exists { seg =>
+          val n = seg.toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+      }
+      .map(p => (Files.size(p), footerRows(p)))
+      .foldLeft((0L, 0L)) { case ((b, r), (b2, r2)) =>
+        (b + b2, r + r2)
+      }
+    finally s.close()
+  }
 
   private def footerRows(f: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -495,6 +501,7 @@ object Snapshot {
     // lays the merged state back down under its layout
     swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
       writeUnderCurrentSpec(applied, path, tmp)
+      preserveCommitMeta(path, tmp)
     }
     publishOrderManifest(spark, path)
     (collapsed, currentVersion(path).get)
@@ -599,6 +606,40 @@ object Snapshot {
       Some(new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8))
     else None
+  }
+
+  /** Carry the COMMIT-META marker files of `path`'s live dir (the
+    * underscore files a [[createOrReplaceWithMeta]] commit wrote —
+    * a streaming replay marker, an index build token) into a
+    * LAYOUT-ONLY rewrite's staging dir. Compaction and its siblings
+    * preserve content, so the marker describing the last CONTENT
+    * commit must survive them: dropping an index build token would
+    * leave one component token-less beside its still-tokened siblings
+    * (a permanent false MID-REBUILD), and dropping a streaming batch
+    * marker would let a crash-replayed batch re-apply. Content
+    * rewrites (rollback, cherry-pick, plain replace) deliberately do
+    * NOT call this — their markers describe state that no longer
+    * exists. The engine-managed files ([[VersionFile]],
+    * [[OperationFile]], [[BucketMarker]], `_SUCCESS`) are excluded:
+    * each is re-derived by the rewrite itself. */
+  private def preserveCommitMeta(path: String, tmp: Path): Unit = {
+    val live = Paths.get(path)
+    if (!Files.isDirectory(live)) return
+    val managed =
+      Set(VersionFile, OperationFile, BucketMarker, "_SUCCESS")
+    val s = Files.list(live)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          n.startsWith("_") && !managed.contains(n)
+        })
+        .foreach { p =>
+          val dst = tmp.resolve(p.getFileName.toString)
+          if (!Files.exists(dst)) Files.copy(p, dst)
+        }
+    } finally s.close()
   }
 
   private def swapIn(path: String, keepVersions: Int,
@@ -1286,6 +1327,7 @@ object Snapshot {
       if (specAware)
         writeUnderCurrentSpec(compacted, path, tmp, Some(targetFiles))
       else compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      preserveCommitMeta(path, tmp)
     }
     if (specAware) publishOrderManifest(spark, path)
   }
@@ -1393,6 +1435,7 @@ object Snapshot {
         df.write.mode(SaveMode.Overwrite)
           .parquet(tmp.resolve(rel).toString)
       }
+      preserveCommitMeta(path, tmp)
     }
     val added = matched.map { case (d, _) =>
       parquetFiles(Paths.get(path).resolve(root.relativize(d).toString))
@@ -1419,6 +1462,7 @@ object Snapshot {
       .localCheckpoint()
     swapIn(path, keepVersions, Some(base), operation = "replace") { tmp =>
       sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      preserveCommitMeta(path, tmp)
     }
     // the sort-clustered layout is exactly the one whose per-file
     // stats pay at plan time: publish the scan manifest for the
@@ -1616,18 +1660,28 @@ object Snapshot {
 
   /** Classify the commits in `(sinceVersion, live]` of `path` — pure
     * filesystem metadata (the `_mor/vN` sidecar listing), no data
-    * read. `sinceVersion == live` yields `FastAppends(Nil)`. */
-  def commitsSince(path: String, sinceVersion: Long): CommitWindow = {
+    * read. `sinceVersion == live` yields `FastAppends(Nil)`.
+    *
+    * `untilVersion` BOUNDS the window for a consumer that captured a
+    * version before classifying: a concurrent commit landing between
+    * the capture and this call must not leak into the window, or the
+    * consumer would process rows beyond the version it stamps and
+    * re-process them (duplicates) on its next refresh. Defaults to
+    * the live version. */
+  def commitsSince(path: String, sinceVersion: Long,
+                   untilVersion: Option[Long] = None): CommitWindow = {
     val live = currentVersion(path).getOrElse(
       throw new IllegalStateException(
         s"commitsSince needs a versioned snapshot at $path"))
-    require(sinceVersion <= live,
-      s"sinceVersion $sinceVersion is ahead of the live version $live " +
+    val until = untilVersion.getOrElse(live)
+    require(sinceVersion <= until,
+      s"sinceVersion $sinceVersion is ahead of the window end $until " +
         s"at $path")
     val base = markerVersion(path).getOrElse(0L)
     if (base > sinceVersion) CommitWindow.Rebased(base)
     else {
-      val window = morVersions(path).filter(_ > sinceVersion)
+      val window = morVersions(path)
+        .filter(v => v > sinceVersion && v <= until)
       val withDeletes = window.filter { v =>
         val root = morRoot(path).resolve(s"v$v")
         Files.isDirectory(root.resolve("deletes")) ||
@@ -1984,20 +2038,7 @@ object Snapshot {
   def branchDataFileStats(path: String, name: String): (Long, Long) = {
     val root = branchDir(path, name)
     if (!Files.isDirectory(root)) return (0L, 0L)
-    import scala.jdk.CollectionConverters._
-    val s = Files.walk(root)
-    try s.iterator().asScala
-      .filter { p =>
-        Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet") &&
-        !root.relativize(p).iterator().asScala.exists { seg =>
-          val n = seg.toString
-          n.startsWith("_") || n.startsWith(".")
-        }
-      }
-      .map(p => (Files.size(p), footerRows(p)))
-      .foldLeft((0L, 0L)) { case ((b, r), (b2, r2)) => (b + b2, r + r2) }
-    finally s.close()
+    dirFileStats(root)
   }
 
   /** Fork version recorded at [[writeBranch]] time (None if the table

@@ -41,9 +41,23 @@ object StreamingIndex {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** The identity a batch-id sequence is RELATIVE to — the checkpoint
+    * (Delta keys idempotent writes by (appId, version) for the same
+    * reason). A stream restarted on a FRESH checkpoint restarts its
+    * batch ids at 0; an unscoped marker would mistake its first batch
+    * for a replay of the old stream's batch 0 and silently drop every
+    * new vector in it. */
+  private[streaming] def streamId(checkpointDir: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      java.nio.file.Paths.get(checkpointDir).toAbsolutePath
+        .normalize.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
   /** Operation marker a streamed corpus commit carries — the O(1)
-    * replay detector. */
-  private[streaming] def batchOp(batchId: Long) = s"stream-append-b$batchId"
+    * replay detector, scoped to the CHECKPOINT identity. */
+  private[streaming] def batchOp(checkpointDir: String,
+                                 batchId: Long): String =
+    s"stream-append-${streamId(checkpointDir)}-b$batchId"
 
   def startPq(spark: SparkSession, vectorsDir: String,
               corpusDir: String, indexDir: String, checkpointDir: String,
@@ -101,14 +115,15 @@ object StreamingIndex {
         } else {
           val live = Snapshot.currentVersion(corpusDir).getOrElse(0L)
           val replayed = Snapshot.operationOf(corpusDir, live)
-            .contains(batchOp(batchId))
+            .contains(batchOp(checkpointDir, batchId))
           if (!replayed) {
             val fresh = batch.join(
               Snapshot.read(spark, corpusDir).select("vec_id"),
               Seq("vec_id"), "left_anti")
             if (!fresh.isEmpty)
               Snapshot.morCommit(spark, corpusDir, deletes = None,
-                appends = Some(fresh), operation = batchOp(batchId))
+                appends = Some(fresh),
+                operation = batchOp(checkpointDir, batchId))
           }
           // unconditional: heals a crash that landed the corpus commit
           // but not the refresh (O(1) no-op when versions agree) — and

@@ -194,10 +194,7 @@ object StreamingSilver {
         // mistaken for a replay of the old stream's batches 0..N —
         // Delta keys idempotent writes by (appId, version) for the
         // same reason
-        val streamId = java.util.UUID.nameUUIDFromBytes(
-          java.nio.file.Paths.get(checkpointDir).toAbsolutePath
-            .normalize.toString
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+        val streamId = StreamingIndex.streamId(checkpointDir)
         val applied = Snapshot.commitMeta(dimDir, "_scd2_batch")
           .map(_.trim.split(":", 2))
           .collect { case Array(sid, b) if sid == streamId =>

@@ -336,6 +336,27 @@ class AnalyzeSpec extends SparkSpec {
     assert(props.contains(s"${GraftStats.ColPrefix}grp.ndv"))
   }
 
+  test("a VERSION-LESS table (registry frame) keeps Spark's merge " +
+    "semantics: column-by-column ANALYZE accumulates, NOSCAN does " +
+    "not destroy it (no staleness signal exists to justify a clear)") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    store.createNamespace("an")
+    store.register("an", "t12",
+      (1 to 500).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "grp"))
+    spark.sql("ANALYZE TABLE an.t12 COMPUTE STATISTICS FOR COLUMNS id")
+    spark.sql("ANALYZE TABLE an.t12 COMPUTE STATISTICS FOR COLUMNS grp")
+    val props = store.properties("an", "t12")
+    assert(props.contains(s"${GraftStats.ColPrefix}id.ndv"),
+      "the earlier column's stats must survive on a version-less table")
+    assert(props.contains(s"${GraftStats.ColPrefix}grp.ndv"))
+    spark.sql("ANALYZE TABLE an.t12 COMPUTE STATISTICS NOSCAN")
+    val after = store.properties("an", "t12")
+    assert(after.contains(s"${GraftStats.ColPrefix}id.ndv") &&
+      after.contains(s"${GraftStats.ColPrefix}grp.ndv"),
+      "NOSCAN on a version-less table must not clear accumulated stats")
+  }
+
   test("NOSCAN records size only (no row count), Spark's contract") {
     TableStore.reset(spark)
     mkTable("an", "t2", 1000)

@@ -140,6 +140,32 @@ class PqIndexSpec extends SparkSpec {
       "a failed refresh must not have stamped the index fresh")
   }
 
+  test("compacting one index component keeps the build tokens " +
+    "coherent: search still serves (no false MID-REBUILD)") {
+    val emb = Tables.embeddings(spark, sf)
+    val root = Files.createTempDirectory("pqidxm").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/pq"
+    val v1 = emb.filter(col("vec_id") % 10 =!= 7).localCheckpoint()
+    val tail = emb.filter(col("vec_id") % 10 === 7).localCheckpoint()
+    Snapshot.createOrReplace(v1, corpus, keepVersions = 3)
+    PqIndex.build(spark, corpus, idx, m, dsub, ksub)
+    // a refresh stacks a sidecar on the codes table; compacting it is
+    // the documented maintenance — layout-only, so the build token
+    // must ride into the rewritten dir
+    Snapshot.morCommit(spark, corpus, deletes = None,
+      appends = Some(tail), operation = "append")
+    PqIndex.refresh(spark, corpus, idx)
+    Snapshot.rewritePositionDeletes(spark, PqIndex.codesDir(idx))
+    Snapshot.compact(spark, PqIndex.codesDir(idx), targetFiles = 1)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val res = PqIndex.search(spark, corpus, idx, queries, 5, 40)
+    assert(res.count() > 0,
+      "a compacted component must not read as mid-rebuild")
+  }
+
   test("crashed refresh (codes committed, meta not): the detector " +
     "sees the moved codes table, the id guard dedupes, and the " +
     "re-run heals without duplicate codes") {

@@ -599,6 +599,67 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() == 3)
   }
 
+  test("commitsSince bounded by untilVersion excludes commits landing " +
+    "after a consumer captured its version (no duplicate deltas)") {
+    val dir = Files.createTempDirectory("cwinb").toString + "/t"
+    Snapshot.createOrReplace(Seq((1L, "a")).toDF("id", "v"), dir,
+      keepVersions = 5)
+    Snapshot.morCommit(spark, dir, None,
+      Some(Seq((2L, "b")).toDF("id", "v")), "append") // v2
+    Snapshot.morCommit(spark, dir, None,
+      Some(Seq((3L, "c")).toDF("id", "v")), "append") // v3
+    Snapshot.commitsSince(dir, 1L, Some(2L)) match {
+      case Snapshot.CommitWindow.FastAppends(dirs) =>
+        assert(dirs.size == 1, "the bounded window must hold v2 only")
+        val rows = spark.read.parquet(dirs.head)
+          .as[(Long, String)].collect().toSet
+        assert(rows == Set((2L, "b")))
+      case other => fail(s"expected FastAppends, got $other")
+    }
+    // a delete landing AFTER the bound must not taint the window
+    Snapshot.morCommit(spark, dir,
+      Some(Seq((2L, "b")).toDF("id", "v")), None, "delete") // v4
+    Snapshot.commitsSince(dir, 1L, Some(3L)) match {
+      case Snapshot.CommitWindow.FastAppends(dirs) =>
+        assert(dirs.size == 2, "the delete at v4 is outside (1, 3]")
+      case other => fail(s"expected FastAppends, got $other")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.commitsSince(dir, 3L, Some(2L))
+    }
+  }
+
+  test("layout-only rewrites preserve the commit-meta marker files; " +
+    "content rewrites drop them") {
+    val dir = Files.createTempDirectory("cmeta").toString + "/t"
+    Snapshot.createOrReplaceWithMeta(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir,
+      keepVersions = 5, "_probe_marker", "stream-xyz:7")
+    assert(Snapshot.commitMeta(dir, "_probe_marker")
+      .contains("stream-xyz:7"))
+    // compaction is layout-only: the marker describing the last
+    // CONTENT commit must survive it (index build tokens, streaming
+    // replay markers)
+    Snapshot.compact(spark, dir, targetFiles = 1, keepVersions = 5)
+    assert(Snapshot.commitMeta(dir, "_probe_marker")
+      .contains("stream-xyz:7"),
+      "compact must carry the commit-meta marker forward")
+    // MOR compaction too
+    Snapshot.morCommit(spark, dir, None,
+      Some(Seq((101L, "x")).toDF("id", "v")), "append")
+    Snapshot.rewritePositionDeletes(spark, dir, keepVersions = 5)
+    assert(Snapshot.commitMeta(dir, "_probe_marker")
+      .contains("stream-xyz:7"),
+      "rewrite_position_delete_files must carry the marker forward")
+    // a CONTENT rewrite (rollback) describes different state — the
+    // marker must NOT survive it
+    val restoreTo = Snapshot.currentVersion(dir).get - 1
+    Snapshot.rollbackTo(spark, dir, restoreTo)
+    assert(Snapshot.commitMeta(dir, "_probe_marker").isEmpty,
+      "rollback restores other content; a stale marker would let a " +
+        "replayed batch be skipped against the wrong state")
+  }
+
   test("composite bucket field names cannot collide with a column " +
     "literally named like the joined sources") {
     val multi = Snapshot.parseSpecField("bucket(4, a, b)")

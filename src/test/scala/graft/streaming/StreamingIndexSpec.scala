@@ -66,6 +66,41 @@ class StreamingIndexSpec extends SparkSpec {
       "wave-2 vectors must be reachable through the streamed index")
   }
 
+  test("a restart on a FRESH checkpoint (batch ids restart at 0) is " +
+    "not mistaken for a replay: new vectors in the re-fed batch " +
+    "reach the corpus and the index") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val root = Files.createTempDirectory("strfcp").toString
+    val vecDir = s"$root/vectors"
+    val corpus = s"$root/corpus"
+    val idx = s"$root/pq"
+    // the corpus pre-exists (the crash-heal contract), so cp1's ONE
+    // file arrives as batchId 0 and leaves a batch-marked fast-append
+    // as the NEWEST corpus commit
+    val w0 = emb.filter(col("vec_id") % 3 === 0).localCheckpoint()
+    val w1 = emb.filter(col("vec_id") % 3 === 1).localCheckpoint()
+    Snapshot.createOrReplace(w0, corpus, keepVersions = 2)
+    w1.coalesce(1).write.parquet(vecDir)
+    StreamingIndex.startPq(spark, vecDir, corpus, idx, s"$root/cp1",
+      m = 8, dsub = 8, ksub = 16).awaitTermination(60000)
+    assert(Snapshot.read(spark, corpus).count()
+      == w0.count() + w1.count())
+    // new vectors land, and the stream restarts on a FRESH checkpoint:
+    // its first batch is ALSO batchId 0 and holds old + new files — an
+    // unscoped batch marker would flag it replayed against cp1's b0
+    // commit and drop the new vectors silently
+    val w2 = emb.filter(col("vec_id") % 3 === 2).localCheckpoint()
+    w2.coalesce(1).write.mode("append").parquet(vecDir)
+    StreamingIndex.startPq(spark, vecDir, corpus, idx, s"$root/cp2",
+      m = 8, dsub = 8, ksub = 16).awaitTermination(60000)
+    assert(Snapshot.read(spark, corpus).count() == emb.count(),
+      "the fresh-checkpoint batch must append its NEW vectors")
+    assert(Snapshot.read(spark, graft.ext.PqIndex.codesDir(idx))
+      .count() == emb.count(),
+      "the refresh must cover the re-fed batch's new vectors")
+  }
+
   test("a crash between the bootstrap corpus write and the index " +
     "build heals: the next batch re-runs the bootstrap instead of " +
     "wedging on a meta-less refresh") {
