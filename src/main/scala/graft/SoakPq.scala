@@ -6,20 +6,22 @@ import org.apache.spark.sql.functions._
 /** Persisted-PQ-index lifecycle soak: at each corpus scale, time the
   * full [[graft.ext.PqIndex.build]] against an incremental
   * [[graft.ext.PqIndex.refresh]] after a FIXED 2k-vector FAST-APPEND
-  * commit. The 100-TB claim: build is O(corpus) (every vector
-  * encodes), refresh is O(delta) — its delta comes from the corpus's
-  * commit window (the appended sidecar files), so the corpus is never
-  * re-scanned and refresh cost must stay FLAT while the corpus (and
-  * build) grows by orders of magnitude, or the index would be
-  * re-encoded per append and the build-once/query-many story
-  * collapses. The append is a MOR fast-append ([[graft.pipeline
-  * .Snapshot.morCommit]]) — the path a streaming maintainer commits
-  * through — so the soak times the discovery arm that runs at scale.
+  * commit, and a second refresh after a FIXED 1k-vector EQUALITY-
+  * DELETE commit. The 100-TB claim: build is O(corpus) (every vector
+  * encodes), refresh is O(window delta) — appends come from the
+  * window's append sidecars, deleted keys from its delete sidecars
+  * (propagated as a key-scoped equality delete on the codes table) —
+  * so the corpus is never re-scanned and BOTH refresh arms must stay
+  * FLAT while the corpus (and build) grows by orders of magnitude.
+  * (Positional deletes additionally read the files their pairs
+  * reference — O(touched files), so a scattered positional delete is
+  * priced by its scatter; the equality arm timed here is the
+  * identifier-keyed DML/GDPR-erase shape that stays O(delta).)
   *
   * Usage: `sbt "runMain graft.SoakPq [mult,mult,…]"` (default
   * 2,16,128,256 over sf0.1 embeddings — the fixture has 2k vectors,
   * so the corpus spans 4k → 512k, a 128× growth, with a fixed
-  * 2k-vector append). Prints one JSON line. */
+  * 2k-vector append and 1k-vector delete). Prints one JSON line. */
 object SoakPq {
   def main(args: Array[String]): Unit = {
     val mults = args.headOption
@@ -68,8 +70,19 @@ object SoakPq {
       val d = graft.ext.PqIndex.refresh(spark, corpus, idx)
       val tRefresh = (System.nanoTime() - t1) / 1e9
       require(d == deltaSize, s"delta must be $deltaSize, got $d")
+      // fixed-size equality delete (full rows — the DML shape), then
+      // the delete-propagating refresh: discovery reads the delete
+      // sidecar only, the codes table receives a key-scoped delete —
+      // no corpus read, no index read; must stay flat with scale
+      val victims = v1.limit(1000).localCheckpoint()
+      graft.pipeline.Snapshot.morCommit(spark, corpus,
+        deletes = Some(victims), appends = None, operation = "delete")
+      val t2 = System.nanoTime()
+      val d2 = graft.ext.PqIndex.refresh(spark, corpus, idx)
+      val tDelRefresh = (System.nanoTime() - t2) / 1e9
+      require(d2 == 0L, s"a delete-only window appends nothing: $d2")
       s""""x$mult":{"rows":$rows,"build_sec":$tBuild,""" +
-        s""""refresh_sec":$tRefresh}"""
+        s""""refresh_sec":$tRefresh,"del_refresh_sec":$tDelRefresh}"""
     }
     println(s"""{"soak":"pq_index_refresh","delta_rows":$deltaSize,""" +
       out.mkString(",") + "}")

@@ -6,24 +6,28 @@ import org.apache.spark.sql.functions._
 
 /** Shared delta discovery for the persisted ANN indexes ([[PqIndex]],
   * [[IvfIndex]], [[IvfPqIndex]]) and the streaming maintainer: the
-  * rows appended to a corpus snapshot since the version an index last
-  * saw, WITHOUT re-scanning the corpus.
+  * row-level CHANGES to a corpus snapshot since the version an index
+  * last saw, WITHOUT re-scanning the corpus.
   *
   * The discovery is version-window driven ([[Snapshot.commitsSince]]):
   *  - **fast-append window** (the normal append path, incl. every
   *    streaming micro-batch): the delta IS the union of the window's
   *    append-sidecar dirs — O(appended rows), zero base-table reads,
   *    at any corpus size.
-  *  - **delete-carrying window**: rows were removed or updated; an
-  *    append-only index CANNOT refresh over that (orphan entries would
-  *    resurrect deleted neighbors) — raise requiring a rebuild, and
-  *    leave the index version stale so `search` keeps refusing.
+  *  - **delete-carrying window**: rows were removed or updated; the
+  *    change set comes from the window's DELETE SIDECARS
+  *    ([[Snapshot.windowChanges]]) — equality-delete files carry the
+  *    keys directly, position-delete pairs resolve against only the
+  *    files they reference — so the index PROPAGATES the deletes as a
+  *    key-scoped equality delete on its own MOR table, still
+  *    O(window delta), never O(corpus). An updated vector is a
+  *    delete-then-append in one index commit (the upsert shape
+  *    [[Snapshot.applySidecars]]'s flush order guarantees).
   *  - **re-based window** (a copy-on-write replace/compaction landed):
   *    per-commit deltas are gone; recover the exact row-level diff via
   *    [[Snapshot.diff]] against the retained indexed version — the
   *    honest O(corpus) fallback, taken only when the corpus was
-  *    rewritten. Deletes/updates in the diff raise the same
-  *    rebuild-required error.
+  *    rewritten. Deletes/updates in the diff propagate the same way.
   */
 private[graft] object IndexDelta {
 
@@ -52,28 +56,37 @@ private[graft] object IndexDelta {
           "completes, or rebuild")
   }
 
-  /** The corpus rows appended in `(sinceVersion, liveVersion]`.
+  /** The corpus change set of the window `(sinceVersion, liveVersion]`:
+    * `appended` are the NET new/replacement rows; `deletedKeys` (when
+    * the window carried deletes) are the distinct `keyCol` values any
+    * window commit removed — possibly including keys re-appearing in
+    * `appended` (updates: the consumer deletes-then-appends in one
+    * commit) or keys the index never held (appended-then-removed
+    * inside the window: deleting them is a no-op). */
+  final case class Changes(appended: DataFrame,
+                           deletedKeys: Option[DataFrame])
+
+  /** Discover [[Changes]] for `(sinceVersion, liveVersion]`.
     * `liveVersion` is the version the CALLER captured and will stamp —
     * it bounds the window, so a concurrent commit landing after the
     * capture stays out of this delta (it would otherwise be encoded
     * now but stamped as not-yet-seen, and re-encoded as duplicate
     * index entries by the next refresh).
     * @param what index family name for error messages */
-  def appendedSince(spark: SparkSession, corpusPath: String,
-                    sinceVersion: Long, liveVersion: Long,
-                    what: String): DataFrame =
+  def changesSince(spark: SparkSession, corpusPath: String,
+                   sinceVersion: Long, liveVersion: Long,
+                   what: String, keyCol: String = "vec_id"): Changes =
     Snapshot.commitsSince(corpusPath, sinceVersion,
         Some(liveVersion)) match {
       case Snapshot.CommitWindow.FastAppends(dirs) =>
-        if (dirs.isEmpty) Snapshot.read(spark, corpusPath).limit(0)
-        else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
-      case Snapshot.CommitWindow.CarriesDeletes(vs) =>
-        throw new IllegalStateException(
-          s"$what over $corpusPath cannot refresh: corpus commit(s) " +
-            s"${vs.map(v => s"v$v").mkString(", ")} removed or " +
-            "updated rows, and an append-only index would keep serving " +
-            "them as neighbors — rebuild the index (the version gate " +
-            "stays stale until then)")
+        Changes(
+          if (dirs.isEmpty) Snapshot.read(spark, corpusPath).limit(0)
+          else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _),
+          None)
+      case Snapshot.CommitWindow.CarriesDeletes(_) =>
+        val (net, dels) = Snapshot.windowChanges(spark, corpusPath,
+          sinceVersion, liveVersion, Seq(keyCol), what)
+        Changes(net, Some(dels))
       case Snapshot.CommitWindow.Rebased(_) =>
         if (!Snapshot.retainedVersions(corpusPath).contains(sinceVersion))
           throw new IllegalStateException(
@@ -82,13 +95,58 @@ private[graft] object IndexDelta {
               "longer retained, so the row-level delta is unrecoverable " +
               "— rebuild the index")
         val d = Snapshot.diff(spark, corpusPath, sinceVersion,
-          liveVersion, Seq("vec_id")).localCheckpoint()
-        if (d.filter(col("op") =!= "insert").limit(1).count() > 0)
-          throw new IllegalStateException(
-            s"$what over $corpusPath cannot refresh: the rewrite " +
-              s"between v$sinceVersion and v$liveVersion deleted or " +
-              "updated vectors — rebuild the index")
-        Snapshot.read(spark, corpusPath)
-          .join(d.select("vec_id"), Seq("vec_id"), "left_semi")
+          liveVersion, Seq(keyCol)).localCheckpoint()
+        val appended = Snapshot.read(spark, corpusPath)
+          .join(d.filter(col("op") =!= "delete").select(keyCol),
+            Seq(keyCol), "left_semi")
+        val deleted = d.filter(col("op") =!= "insert").select(keyCol)
+        Changes(appended,
+          if (deleted.limit(1).count() > 0) Some(deleted) else None)
     }
+
+  /** The shared refresh body all three index families run: discover
+    * the corpus changes of `(sinceVersion, liveVersion]`, apply them
+    * to the index's own MOR table as ONE commit — deleted corpus keys
+    * become a key-scoped equality delete ([[Snapshot.applySidecars]]
+    * removes every index row carrying the key), the net-appended rows
+    * land through `encode` as the append arm; a window that both
+    * deletes and appends a key upserts it (deletes flush before the
+    * same commit's appends).
+    *
+    * Crash replay: when `tableDir` sits PAST `recordedVersion` (a
+    * previous refresh committed, then died before its meta write),
+    * the replay must not stack duplicate entries — it self-heals as
+    * an UPSERT, deleting every key this window touches (the crashed
+    * commit may have already appended them) before re-appending.
+    * Still O(window delta); the index table is never read.
+    * @return net rows appended (the caller's refresh return value) */
+  private[graft] def applyRefresh(spark: SparkSession,
+      corpusPath: String, tableDir: String, recordedVersion: Long,
+      sinceVersion: Long, liveVersion: Long, what: String,
+      keyCol: String = "vec_id")
+      (encode: DataFrame => DataFrame): Long = {
+    val ch = changesSince(spark, corpusPath, sinceVersion, liveVersion,
+      what, keyCol)
+    val delta = ch.appended.localCheckpoint()
+    val n = delta.count()
+    val delKeys = ch.deletedKeys.map(_.select(keyCol).localCheckpoint())
+      .filter(_.count() > 0)
+    val crashed =
+      !Snapshot.currentVersion(tableDir).contains(recordedVersion)
+    val deletes =
+      if (!crashed) delKeys
+      else {
+        val touched = delKeys
+          .foldLeft(delta.select(keyCol))(_ unionByName _)
+          .distinct().localCheckpoint()
+        if (touched.count() > 0) Some(touched) else None
+      }
+    if (n > 0 || deletes.isDefined)
+      Snapshot.morCommit(spark, tableDir, deletes = deletes,
+        appends = if (n > 0) Some(encode(delta)) else None,
+        operation =
+          if (deletes.isDefined && n > 0) "overwrite"
+          else if (deletes.isDefined) "delete" else "append")
+    n
+  }
 }

@@ -22,19 +22,19 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *
   * Same lifecycle contract as [[PqIndex]]: [[build]] stamps the corpus
   * snapshot version the cells describe; [[refresh]] discovers the
-  * delta from the corpus's commit window
-  * ([[IndexDelta.appendedSince]] — O(appended rows) on the
-  * fast-append path, never a corpus re-scan), assigns it against the
-  * broadcast centroids, and appends it as a fast-append MOR sidecar —
-  * base cell files untouched; reads stay correct because the sidecar
-  * merge applies the probe filter to the (small) append frame too, and
-  * `rewrite_position_delete_files`-style compaction re-fragments the
-  * delta on the maintenance cadence. [[search]] refuses a stale index.
-  * Removed corpus content is rebuild-only, like PQ — and refresh
-  * RAISES on a delete-carrying window instead of stamping the version
-  * (a silently "fresh" index would keep serving deleted vectors, the
-  * one case IVF cannot mask: its cells store the embeddings and
-  * search never joins back to the corpus). */
+  * change set from the corpus's commit window
+  * ([[IndexDelta.changesSince]] — O(window delta) except a
+  * copy-on-write rebase, never a plain corpus re-scan), assigns the
+  * net-appended rows against the broadcast centroids, and commits
+  * them as a MOR sidecar — base cell files untouched; reads stay
+  * correct because the sidecar merge applies the probe filter to the
+  * (small) append frame too, and `rewrite_position_delete_files`-style
+  * compaction re-fragments the delta on the maintenance cadence.
+  * Corpus DELETES propagate as a key-scoped equality delete on the
+  * cells table in the same commit — the case IVF can least afford to
+  * miss: its cells store the embeddings and search never joins back
+  * to the corpus, so a lingering cell row WOULD be served as a
+  * neighbor. [[search]] refuses a stale index. */
 object IvfIndex {
 
   /** `cellsVersion`: crash detector for the idempotence guard — see
@@ -114,10 +114,12 @@ object IvfIndex {
     cellsRead(spark, indexDir).count()
   }
 
-  /** Assign the commit-window delta ([[IndexDelta.appendedSince]] —
-    * O(appended rows), no corpus re-scan; raises on removed rows) and
-    * append it as a MOR fast-append sidecar. The id idempotence guard
-    * runs only when `cellsVersion` shows a crashed partial refresh.
+  /** Apply the commit-window change set ([[IndexDelta.changesSince]] —
+    * O(window delta), no corpus re-scan): net-appended vectors assign
+    * against the frozen centroids and land as a MOR sidecar; deleted
+    * corpus keys propagate as a key-scoped equality delete on the
+    * cells table in the same commit. A crashed partial refresh
+    * (detected from `cellsVersion`) replays as a self-healing upsert.
     * @return newly assigned vectors */
   def refresh(spark: SparkSession, corpusPath: String,
               indexDir: String): Long = {
@@ -125,22 +127,12 @@ object IvfIndex {
       s"no IVF index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
-    val appended = IndexDelta.appendedSince(spark, corpusPath,
-      im.corpusVersion, version, "IVF index")
-    val cellsLive = Snapshot.currentVersion(cellsDir(indexDir))
-    val fresh =
-      if (cellsLive.contains(im.cellsVersion)) appended
-      else appended.join(cellsRead(spark, indexDir).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-    val delta = fresh.localCheckpoint()
-    val n = delta.count()
-    if (n > 0) {
+    val n = IndexDelta.applyRefresh(spark, corpusPath,
+        cellsDir(indexDir), im.cellsVersion, im.corpusVersion, version,
+        "IVF index") { delta =>
       val centroids = Snapshot.read(spark, centroidsDir(indexDir))
-      Snapshot.morCommit(spark, cellsDir(indexDir), deletes = None,
-        appends = Some(
-          SimilarityOps.assignCentroids(delta, centroids, 1)
-            .withColumn("centroid_id", col("centroid_id").cast("long"))),
-        operation = "append")
+      SimilarityOps.assignCentroids(delta, centroids, 1)
+        .withColumn("centroid_id", col("centroid_id").cast("long"))
     }
     writeMeta(indexDir, im.copy(corpusVersion = version,
       cellsVersion =
@@ -221,7 +213,7 @@ object IvfIndex {
       throw new IllegalStateException(
         s"IVF index at $indexDir is STALE: it clusters corpus version " +
           s"${im.corpusVersion} but the live corpus is v$version — " +
-          "run IvfIndex.refresh (append-only) or rebuild")
+          "run IvfIndex.refresh or rebuild")
     IndexDelta.requireCoherent(indexDir,
       Seq(centroidsDir(indexDir), cellsDir(indexDir)), "IVF index")
     val centroids = Snapshot.read(spark, centroidsDir(indexDir))

@@ -41,10 +41,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * audit lays them side by side).
   *
   * Same lifecycle contract as the parents: build stamps the corpus
-  * version; refresh assigns + encodes the commit-window delta
-  * ([[IndexDelta.appendedSince]] — O(appended rows), no corpus
-  * re-scan; raises on removed rows) as a fast-append sidecar; search
-  * refuses a stale index. */
+  * version; refresh assigns + encodes the commit-window change set
+  * ([[IndexDelta.changesSince]] — O(window delta), no corpus
+  * re-scan) as a MOR sidecar, propagating corpus deletes as a
+  * key-scoped equality delete on the codes table; search refuses a
+  * stale index. */
 object IvfPqIndex {
 
   /** `cellsVersion`: crash detector for the idempotence guard — see
@@ -181,34 +182,27 @@ object IvfPqIndex {
     cellsRead(spark, indexDir).count()
   }
 
-  /** Assign + encode the commit-window delta as a fast-append
-    * sidecar — O(appended rows); raises (version gate stays stale)
-    * when the window removed rows. @return newly indexed vectors */
+  /** Assign + encode the commit-window change set as a MOR sidecar —
+    * O(window delta); deleted corpus keys propagate as a key-scoped
+    * equality delete on the codes table in the same commit; a crashed
+    * partial refresh replays as a self-healing upsert.
+    * @return newly indexed vectors */
   def refresh(spark: SparkSession, corpusPath: String,
               indexDir: String): Long = {
     val im = meta(indexDir).getOrElse(throw new IllegalStateException(
       s"no IVF-PQ index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
-    val appended = IndexDelta.appendedSince(spark, corpusPath,
-      im.corpusVersion, version, "IVF-PQ index")
-    val cellsLive = Snapshot.currentVersion(cellsDir(indexDir))
-    val fresh =
-      if (cellsLive.contains(im.cellsVersion)) appended
-      else appended.join(cellsRead(spark, indexDir).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-    val delta = fresh.localCheckpoint()
-    val n = delta.count()
-    if (n > 0) {
+    val n = IndexDelta.applyRefresh(spark, corpusPath,
+        cellsDir(indexDir), im.cellsVersion, im.corpusVersion, version,
+        "IVF-PQ index") { delta =>
       val centroids = Snapshot.read(spark, centroidsDir(indexDir))
       val book = Snapshot.read(spark, codebookDir(indexDir))
         .select("sub", "code", "c_sub").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
         .toSeq.sortBy(t => (t._1, t._2))
-      Snapshot.morCommit(spark, cellsDir(indexDir), deletes = None,
-        appends = Some(assignAndEncode(spark, delta, centroids, book,
-          im.m, im.dsub, im.residual)),
-        operation = "append")
+      assignAndEncode(spark, delta, centroids, book,
+        im.m, im.dsub, im.residual)
     }
     writeMeta(indexDir, im.copy(corpusVersion = version,
       cellsVersion =

@@ -22,16 +22,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    encodes everything; the meta records WHICH corpus snapshot
   *    version the codes describe.
   *  - [[refresh]] discovers the delta from the corpus's COMMIT WINDOW
-  *    ([[IndexDelta.appendedSince]]): fast-append commits carry their
+  *    ([[IndexDelta.changesSince]]): fast-append commits carry their
   *    rows as sidecar files, so the delta read is O(appended rows) —
   *    the corpus is never re-scanned (SoakPq measures refresh FLAT
   *    while the corpus grows 128× at fixed delta). The new codes
   *    commit as a merge-on-read fast-append sidecar — base code files
-  *    untouched. The codebook is NOT retrained (standard PQ practice:
-  *    codebooks drift slowly; retrain = rebuild). Content REMOVED
-  *    from the corpus is not refresh-able — refresh RAISES and leaves
-  *    the version gate stale (orphan codes would resurrect deleted
-  *    neighbors); rebuild instead.
+  *    untouched. Content REMOVED from the corpus PROPAGATES: the
+  *    window's delete sidecars resolve to keys (O(window delta)) and
+  *    land as a key-scoped equality delete on the codes table, so the
+  *    index stops serving deleted vectors without a rebuild; an
+  *    UPDATE is the delete+append composition in one commit. The
+  *    codebook is NOT retrained (standard PQ practice: codebooks
+  *    drift slowly; retrain = rebuild).
   *  - [[search]] is the two-stage read (broad ADC shortlist from the
   *    codes, exact rerank of the shortlist against full-precision
   *    vectors) and REFUSES a stale index: the meta's corpus version
@@ -114,42 +116,33 @@ object PqIndex {
     Snapshot.read(spark, codesDir(indexDir)).count()
   }
 
-  /** Incrementally encode vectors appended to the corpus since the
-    * index last saw it. The delta comes from the corpus's COMMIT
-    * WINDOW ([[IndexDelta.appendedSince]]) — on the fast-append path
-    * the read is O(appended rows) and the corpus base files are never
-    * touched; a window that removed rows raises (rebuild required,
-    * version gate stays stale); a copy-on-write rebase falls back to
-    * the exact [[Snapshot.diff]]. The stored codebook encodes the
-    * delta scan-side and the new codes land as a fast-append MOR
-    * sidecar. A refresh that crashed between its codes commit and its
-    * meta write is detected from `codesVersion` and guarded by an
-    * id anti-join with the SMALL delta on the probe side — the happy
-    * path never reads the index. @return newly encoded vectors */
+  /** Incrementally apply corpus changes since the index last saw it.
+    * The change set comes from the corpus's COMMIT WINDOW
+    * ([[IndexDelta.changesSince]]) — on the fast-append path the read
+    * is O(appended rows) and the corpus base files are never touched;
+    * a window that removed rows propagates them as a key-scoped
+    * equality delete on the codes table (still O(window delta)); a
+    * copy-on-write rebase falls back to the exact [[Snapshot.diff]].
+    * The stored codebook encodes the delta scan-side and the new
+    * codes land as a MOR sidecar commit. A refresh that crashed
+    * between its codes commit and its meta write is detected from
+    * `codesVersion` and replays as a self-healing upsert
+    * ([[IndexDelta.applyRefresh]]) — the happy path never reads the
+    * index. @return newly encoded vectors */
   def refresh(spark: SparkSession, corpusPath: String,
               indexDir: String): Long = {
     val im = meta(indexDir).getOrElse(throw new IllegalStateException(
       s"no PQ index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
-    val appended = IndexDelta.appendedSince(spark, corpusPath,
-      im.corpusVersion, version, "PQ index")
-    val codesLive = Snapshot.currentVersion(codesDir(indexDir))
-    val fresh =
-      if (codesLive.contains(im.codesVersion)) appended
-      else appended.join(
-        Snapshot.read(spark, codesDir(indexDir)).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-    val delta = fresh.localCheckpoint()
-    val n = delta.count()
-    if (n > 0) {
+    val n = IndexDelta.applyRefresh(spark, corpusPath,
+        codesDir(indexDir), im.codesVersion, im.corpusVersion, version,
+        "PQ index") { delta =>
       val book = Snapshot.read(spark, codebookDir(indexDir))
         .select("sub", "code", "c_sub").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
         .toSeq.sortBy(t => (t._1, t._2))
-      Snapshot.morCommit(spark, codesDir(indexDir), deletes = None,
-        appends = Some(SimilarityOps.pqEncode(delta, book, im.m, im.dsub)),
-        operation = "append")
+      SimilarityOps.pqEncode(delta, book, im.m, im.dsub)
     }
     writeMeta(indexDir, im.copy(corpusVersion = version,
       codesVersion =
@@ -173,7 +166,7 @@ object PqIndex {
       throw new IllegalStateException(
         s"PQ index at $indexDir is STALE: it encodes corpus version " +
           s"${im.corpusVersion} but the live corpus is v$version — " +
-          "run PqIndex.refresh (append-only) or rebuild")
+          "run PqIndex.refresh or rebuild")
     IndexDelta.requireCoherent(indexDir,
       Seq(codebookDir(indexDir), codesDir(indexDir)), "PQ index")
     val codes = Snapshot.read(spark, codesDir(indexDir))

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, regexp_replace}
+import org.apache.spark.sql.functions.{col, count, lit, max, regexp_replace}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Snapshot-replace sink: the reference's `writeTo(t).createOrReplace()`
@@ -1693,14 +1693,194 @@ object Snapshot {
         // a zero-row fast-append (e.g. INSERT ... WHERE false) leaves
         // a dir with no parquet files — it contributes no rows, and
         // surfacing it would fail the consumer's schema inference
-        .filter(d => Files.isDirectory(d) && {
-          val s = Files.list(d)
-          try s.anyMatch(p =>
-            p.getFileName.toString.endsWith(".parquet"))
-          finally s.close()
-        })
+        .filter(d => Files.isDirectory(d) && hasParquet(d))
         .map(_.toString))
     }
+  }
+
+  private def hasParquet(d: Path): Boolean = {
+    val s = Files.list(d)
+    try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  /** Resolve position-delete pairs (file_path relative to `path`'s
+    * live dir, pos) to the FULL row images they address. Reads ONLY
+    * the referenced data files — the file list is collected
+    * driver-side, bounded by the number of files the delete
+    * predicates touched (the same bound Iceberg's delete-file
+    * manifests carry), never the table. */
+  private def resolvePosDeleteRows(spark: SparkSession, path: String,
+                                   pairs: DataFrame): DataFrame = {
+    val dir = Paths.get(path).toAbsolutePath.normalize.toString
+    val files = pairs.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (files.isEmpty)
+      return read(spark, path).limit(0)
+    val rows = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    val tagged = rows
+      .withColumn(LineageFile, relFileId(dir))
+      .withColumn(LineagePos, col("_metadata.row_index"))
+    tagged
+      .join(pairs, tagged(LineageFile) === pairs("file_path") &&
+        tagged(LineagePos) === pairs("pos"), "left_semi")
+      .drop(LineageFile, LineagePos)
+  }
+
+  /** [[resolvePosDeleteRows]] projected to `keyCols`, with a loud
+    * failure when the referenced files do not store them. */
+  private def resolvePosDeleteKeys(spark: SparkSession, path: String,
+                                   pairsDir: String, keyCols: Seq[String],
+                                   what: String): DataFrame = {
+    val resolved = resolvePosDeleteRows(spark, path,
+      spark.read.parquet(pairsDir))
+    val missing = keyCols.filterNot(resolved.columns.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$what over $path cannot resolve position-delete sidecars to " +
+        s"keys: column(s) ${missing.mkString(", ")} are not stored in " +
+        "the referenced data files (partition-transformed away?) — " +
+        "rebuild the derived table instead")
+    resolved.select(keyCols.map(col): _*)
+  }
+
+  /** EXACT value-level row delta of the MOR commits in `(since,
+    * until]` of `path` — the O(window) changelog an incremental
+    * aggregate maintainer consumes: `plus` rows entered the table in
+    * the window and are still present at `until`; `minus` rows were
+    * present at `since` and left inside the window. Multiplicity is
+    * per-instance on both sides, which is why delete commits must be
+    * POSITION deletes (`write.mor.deletes = position`): an
+    * equality-delete commit removes ALL instances identical to a row
+    * image, a count the sidecar alone cannot price — such windows
+    * raise (recompute instead). Appends read from their sidecars;
+    * position pairs resolve against ONLY the files they reference;
+    * pairs into the window's own append sidecars cancel against
+    * `plus` instead of appearing in `minus`.
+    * @return (plus rows, minus rows) */
+  def windowRowDelta(spark: SparkSession, path: String, since: Long,
+                     until: Long, what: String)
+      : (DataFrame, DataFrame) = {
+    val vs = morVersions(path).filter(v => v > since && v <= until)
+    val eq = vs.filter { v =>
+      val d = morRoot(path).resolve(s"v$v").resolve("deletes")
+      Files.isDirectory(d) && hasParquet(d)
+    }
+    if (eq.nonEmpty) throw new IllegalStateException(
+      s"$what over $path cannot price the window exactly: commit(s) " +
+        s"${eq.map(v => s"v$v").mkString(", ")} carry EQUALITY deletes " +
+        "(each removes every identical row instance — per-instance " +
+        "accounting needs position deletes; set " +
+        "'write.mor.deletes'='position' on the source) — recompute " +
+        "instead")
+    def sidecar(v: Long, kind: String): Option[String] = {
+      val d = morRoot(path).resolve(s"v$v").resolve(kind)
+      if (Files.isDirectory(d) && hasParquet(d)) Some(d.toString)
+      else None
+    }
+    val dir = Paths.get(path).toAbsolutePath.normalize.toString
+    val plusRaw = vs.flatMap(v => sidecar(v, "appends"))
+      .map(d => spark.read.parquet(d)
+        .withColumn(LineageFile, relFileId(dir))
+        .withColumn(LineagePos, col("_metadata.row_index")))
+      .reduceOption(_ unionByName _)
+    val pairs = vs.flatMap(v => sidecar(v, "pos_deletes"))
+      .map(spark.read.parquet(_)).reduceOption(_ unionByName _)
+      // a (file, pos) pair addresses one immutable row — re-deleting
+      // it in a later commit must not double-subtract
+      .map(_.distinct().localCheckpoint())
+    val emptyRows = read(spark, path).limit(0)
+    pairs match {
+      case None =>
+        (plusRaw.map(_.drop(LineageFile, LineagePos))
+          .getOrElse(emptyRows), emptyRows)
+      case Some(pc) =>
+        val plus = plusRaw.map { p =>
+          p.join(pc, p(LineageFile) === pc("file_path") &&
+              p(LineagePos) === pc("pos"), "left_anti")
+            .drop(LineageFile, LineagePos)
+        }.getOrElse(emptyRows)
+        // pairs into the window's OWN append sidecars already
+        // cancelled against plus; everything else — base files and
+        // pre-window sidecars — was present at `since`
+        val ver = regexp_replace(col("file_path"),
+          "^_mor/v([0-9]+)/appends/.*$", "$1")
+        val inWindow = ver.rlike("^[0-9]+$") &&
+          ver.cast("long") > lit(since) && ver.cast("long") <= lit(until)
+        val minus = resolvePosDeleteRows(spark, path,
+          pc.filter(!inWindow))
+        (plus, minus)
+    }
+  }
+
+  /** Row-level change set of the MOR commits in `(sinceVersion,
+    * untilVersion]` of `path`, for a keyed incremental consumer
+    * (persisted-index refresh): the NET appended rows (window appends
+    * minus rows a LATER window delete removed again — a commit's own
+    * deletes never touch its appends, matching [[applySidecars]]'s
+    * flush order) and the DISTINCT keys any window commit deleted.
+    * The delete-key set may include keys that were appended-then-
+    * removed inside the window (their net-append rows are already
+    * filtered out, so deleting the key from the derived table is a
+    * no-op) and keys whose rows were REPLACED (their new rows are in
+    * the net appends — delete-then-append upserts them): for a
+    * consumer keyed by `keyCols`, applying (deleted keys, net
+    * appends) as one delete-first commit reproduces the window
+    * exactly.
+    *
+    * Cost: O(window sidecar rows) plus the data files position
+    * deletes reference — never a base-table scan. Requires `keyCols`
+    * to identify rows (the derived-table contract) and every
+    * equality-delete sidecar in the window to CARRY the key columns
+    * (full-row deletes always do; identifier-scoped deletes iff the
+    * identifier fields cover `keyCols`) — raises otherwise.
+    * @return (net appended rows, distinct deleted keys) */
+  def windowChanges(spark: SparkSession, path: String,
+                    sinceVersion: Long, untilVersion: Long,
+                    keyCols: Seq[String], what: String)
+      : (DataFrame, DataFrame) = {
+    val vs = morVersions(path)
+      .filter(v => v > sinceVersion && v <= untilVersion)
+    def sidecar(v: Long, kind: String): Option[String] = {
+      val d = morRoot(path).resolve(s"v$v").resolve(kind)
+      if (Files.isDirectory(d) && hasParquet(d)) Some(d.toString)
+      else None
+    }
+    val delFrames = vs.flatMap { v =>
+      val eq = sidecar(v, "deletes").map { d =>
+        val df = spark.read.parquet(d)
+        val missing = keyCols.filterNot(df.columns.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"$what over $path cannot resolve the equality-delete " +
+            s"sidecar of commit v$v to keys: column(s) " +
+            s"${missing.mkString(", ")} are not in the delete file " +
+            "(identifier fields do not cover the key) — rebuild the " +
+            "derived table instead")
+        df.select(keyCols.map(col): _*)
+      }
+      val pos = sidecar(v, "pos_deletes")
+        .map(d => resolvePosDeleteKeys(spark, path, d, keyCols, what))
+      (eq ++ pos).reduceOption(_ unionByName _)
+        .map(_.withColumn("_graft_del_v", lit(v)))
+    }
+    val appended0 = vs.flatMap(v => sidecar(v, "appends").map(d =>
+        spark.read.parquet(d).withColumn("_graft_app_v", lit(v))))
+      .reduceOption(_ unionByName _)
+    val emptyRows = read(spark, path).limit(0)
+    if (delFrames.isEmpty)
+      return (appended0.map(_.drop("_graft_app_v")).getOrElse(emptyRows),
+        emptyRows.select(keyCols.map(col): _*))
+    val delKeys = delFrames.reduce(_ unionByName _)
+    val lastDel = delKeys.groupBy(keyCols.map(col): _*)
+      .agg(max("_graft_del_v").as("_graft_last_del_v"))
+    val net = appended0 match {
+      case None => emptyRows
+      case Some(apps) => apps
+        .join(lastDel, keyCols, "left")
+        .filter(col("_graft_last_del_v").isNull ||
+          col("_graft_last_del_v") <= col("_graft_app_v"))
+        .drop("_graft_app_v", "_graft_last_del_v")
+    }
+    (net, delKeys.select(keyCols.map(col): _*).distinct())
   }
 
   /** Table maintenance — Iceberg's `expire_snapshots` over the

@@ -1117,6 +1117,45 @@ object ExtQueries {
       res.orderBy("query_id", "rank")
     }),
 
+    // X3c'' — DELETE PROPAGATION through the persisted-index family:
+    // build clusters the FULL corpus, a DELETE commit removes a slice,
+    // and refresh propagates it from the window's delete sidecars
+    // (O(window delta), no rebuild, no corpus re-scan) as a key-scoped
+    // equality delete on the cells table — REQUIRED: zero rows
+    // re-assigned, the version gate stamped fresh, and the search
+    // serving from STORED cell embeddings (the family that cannot mask
+    // orphans with a corpus join) never returns a deleted vector.
+    // Oracle replays build-time centroids (full-corpus md5 sample) and
+    // the assignment, minus the deleted slice.
+    "q_index_delete" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = java.nio.file.Files.createTempDirectory("ivfdelq")
+        .toString
+      val corpus = s"$root/corpus"
+      val idx = s"$root/ivf"
+      graft.pipeline.Snapshot.createOrReplace(emb, corpus,
+        keepVersions = 3)
+      graft.ext.IvfIndex.build(s, corpus, idx, IvfNlist)
+      graft.pipeline.Snapshot.morCommit(s, corpus,
+        deletes = Some(emb.filter(col("vec_id") % 10 === 3)),
+        appends = None, operation = "delete")
+      require(graft.ext.IvfIndex.refresh(s, corpus, idx) == 0L,
+        "a delete-only window must assign nothing")
+      require(graft.ext.IvfIndex.meta(idx).map(_.corpusVersion)
+        == graft.pipeline.Snapshot.currentVersion(corpus),
+        "the propagated refresh must stamp the live version")
+      require(graft.pipeline.Snapshot.read(s,
+          graft.ext.IvfIndex.cellsDir(idx))
+        .filter(col("vec_id") % 10 === 3).isEmpty,
+        "deleted vectors' cell rows must be gone")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      graft.ext.IvfIndex.search(s, corpus, idx, queries,
+          k = 5, nprobe = IvfNprobe)
+        .withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+    }),
+
     // X3h'' — the recall audit the IVFADC composition ships with
     // (every approximate operator carries one): recall@5 of the
     // persisted three-stage read vs exact inner-product top-5, per
@@ -2847,6 +2886,45 @@ object ExtQueries {
                ${cosSql("qe", "a.embedding")} AS score
         FROM assign a JOIN q USING (centroid_id)
         WHERE a.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, rnk, score
+      FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "q_index_delete" -> s"""
+      WITH c AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfNlist
+      ),
+      assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qe, centroid_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotSql("e.embedding", "ce")} DESC,
+                            c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c
+          WHERE e.vec_id % 100 = 0
+        ) WHERE rn <= $IvfNprobe
+      ),
+      scored AS (
+        SELECT query_id, a.vec_id AS neighbor_id,
+               ${cosSql("qe", "a.embedding")} AS score
+        FROM assign a JOIN q USING (centroid_id)
+        WHERE a.vec_id <> q.query_id AND a.vec_id % 10 <> 3
       ),
       ranked AS (
         SELECT *, row_number() OVER

@@ -65,6 +65,40 @@ class IvfIndexSpec extends SparkSpec {
       "appended vectors must be reachable through the refreshed cells")
   }
 
+  test("corpus DELETE propagates onto the cells table: IVF is the " +
+    "family that CANNOT mask orphans (search scores stored cell " +
+    "embeddings, never joining back to the corpus)") {
+    val emb = Tables.embeddings(spark, sf)
+    val root = Files.createTempDirectory("ivfdel").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/ivf"
+    Snapshot.createOrReplace(emb, corpus, keepVersions = 3)
+    IvfIndex.build(spark, corpus, idx, nlist)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    // the currently-served top neighbor of the first query — the
+    // vector whose orphaned cell row WOULD come back as a neighbor
+    // if the delete only reached the corpus
+    val victimId = IvfIndex.search(spark, corpus, idx, queries, 5, 2)
+      .orderBy("query_id", "rank")
+      .select("neighbor_id").head().getLong(0)
+    Snapshot.morCommit(spark, corpus,
+      deletes = Some(emb.filter(col("vec_id") === victimId)),
+      appends = None, operation = "delete")
+    assert(IvfIndex.refresh(spark, corpus, idx) == 0L,
+      "a delete-only window assigns nothing")
+    assert(IvfIndex.meta(idx).map(_.corpusVersion)
+      == Snapshot.currentVersion(corpus),
+      "the propagated refresh must stamp the live version")
+    assert(Snapshot.read(spark, IvfIndex.cellsDir(idx))
+      .filter(col("vec_id") === victimId).isEmpty,
+      "the victim's cell row must be gone")
+    assert(IvfIndex.search(spark, corpus, idx, queries, 5, 2)
+      .filter(col("neighbor_id") === victimId).isEmpty,
+      "a deleted vector must never be served from stored cells")
+  }
+
   test("a rebuild that died between its component swaps is DETECTED: " +
     "mismatched build tokens raise instead of probing new centroids " +
     "against old cells") {

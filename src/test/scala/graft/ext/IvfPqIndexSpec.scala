@@ -71,6 +71,20 @@ class IvfPqIndexSpec extends SparkSpec {
     val r2 = IvfPqIndex.search(spark, corpus, idx, queries, 5, 2, 40)
     assert(r2.filter(col("neighbor_id") >= 1000000L).count() > 0,
       "appended vectors must be reachable after refresh")
+
+    // corpus DELETE propagates onto the cell-clustered codes: the
+    // whole synthetic +1000000 wave goes, codes shrink back, and no
+    // deleted id is served
+    Snapshot.morCommit(spark, corpus,
+      deletes = Some(Snapshot.read(spark, corpus)
+        .filter(col("vec_id") >= 1000000L)),
+      appends = None, operation = "delete")
+    assert(IvfPqIndex.refresh(spark, corpus, idx) == 0L)
+    assert(Snapshot.read(spark, IvfPqIndex.cellsDir(idx)).count()
+      == emb.count(), "deleted codes must be gone")
+    val r3 = IvfPqIndex.search(spark, corpus, idx, queries, 5, 2, 40)
+    assert(r3.filter(col("neighbor_id") >= 1000000L).isEmpty,
+      "deleted vectors must not be served")
   }
 
   /** Mean recall@5 of `approx` against exact inner-product top-5. */

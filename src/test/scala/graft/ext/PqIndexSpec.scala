@@ -100,8 +100,8 @@ class PqIndexSpec extends SparkSpec {
   }
 
   test("fast-append window: refresh consumes exactly the appended " +
-    "sidecar; a delete-carrying window raises and keeps the version " +
-    "gate stale") {
+    "sidecar; a delete-carrying window PROPAGATES — deleted and " +
+    "updated vectors stop being served without a rebuild") {
     val emb = Tables.embeddings(spark, sf)
     val root = Files.createTempDirectory("pqidxw").toString
     val corpus = s"$root/corpus"
@@ -120,24 +120,75 @@ class PqIndexSpec extends SparkSpec {
     assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
       == emb.count())
 
-    // a DELETE commit moves the corpus; refresh must refuse (an
-    // append-only index cannot un-serve removed vectors) and the
-    // version gate must stay stale so search keeps refusing
-    val victim = emb.orderBy("vec_id").limit(1).localCheckpoint()
-    Snapshot.morCommit(spark, corpus, deletes = Some(victim),
-      appends = None, operation = "delete")
-    val e = intercept[IllegalStateException] {
-      PqIndex.refresh(spark, corpus, idx)
-    }
-    assert(e.getMessage.contains("rebuild"))
+    // pick a vector the index currently SERVES as a top neighbor,
+    // then DELETE it from the corpus: refresh must propagate the
+    // delete onto the codes table (no rebuild) and stamp fresh
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_embedding"))
-    val stale = intercept[IllegalStateException] {
-      PqIndex.search(spark, corpus, idx, queries, 5, 40)
-    }
-    assert(stale.getMessage.contains("STALE"),
-      "a failed refresh must not have stamped the index fresh")
+    val victimId = PqIndex.search(spark, corpus, idx, queries, 5, 40)
+      .orderBy("query_id", "rank")
+      .select("neighbor_id").head().getLong(0)
+    val victim = emb.filter(col("vec_id") === victimId).localCheckpoint()
+    Snapshot.morCommit(spark, corpus, deletes = Some(victim),
+      appends = None, operation = "delete")
+    assert(PqIndex.refresh(spark, corpus, idx) == 0L,
+      "a delete-only window appends nothing")
+    assert(PqIndex.meta(idx).map(_.corpusVersion)
+      == Snapshot.currentVersion(corpus),
+      "the propagated refresh must stamp the live version")
+    assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
+      == emb.count() - 1, "the victim's code must be gone")
+    val afterDelete = PqIndex.search(spark, corpus, idx, queries, 5, 40)
+    assert(afterDelete.filter(col("neighbor_id") === victimId).isEmpty,
+      "a deleted vector must never be served as a neighbor")
+
+    // UPDATE = delete + append of the same key in ONE commit: the
+    // refresh upserts the code (exactly one code row for the key)
+    val targetId = emb.filter(col("vec_id") =!= victimId)
+      .orderBy("vec_id").limit(1).head().getLong(0)
+    val oldRow = emb.filter(col("vec_id") === targetId).localCheckpoint()
+    val newRow = oldRow.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x * lit(-1.0f))).localCheckpoint()
+    Snapshot.morCommit(spark, corpus, deletes = Some(oldRow),
+      appends = Some(newRow), operation = "overwrite")
+    assert(PqIndex.refresh(spark, corpus, idx) == 1L,
+      "the update's replacement row must re-encode")
+    assert(Snapshot.read(spark, PqIndex.codesDir(idx))
+      .filter(col("vec_id") === targetId).count() == 1L,
+      "an updated key must hold exactly one code row")
+    assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
+      == emb.count() - 1)
+    assert(PqIndex.search(spark, corpus, idx, queries, 5, 40).count()
+      > 0, "the upserted index must keep serving")
+  }
+
+  test("position-delete window: refresh resolves (file, pos) pairs " +
+    "to keys by reading ONLY the referenced files, and propagates") {
+    val emb = Tables.embeddings(spark, sf)
+    val root = Files.createTempDirectory("pqidxp").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/pq"
+    Snapshot.createOrReplace(emb, corpus, keepVersions = 3)
+    PqIndex.build(spark, corpus, idx, m, dsub, ksub)
+    // position-delete three vectors (the DELETE-FROM MOR shape)
+    val hits = Snapshot.readLineage(spark, corpus)
+      .filter(col("vec_id") % 97 === 3)
+    val nVictims = hits.count()
+    assert(nVictims > 0, "fixture must contain victims")
+    Snapshot.morCommit(spark, corpus, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(hits))
+    assert(PqIndex.refresh(spark, corpus, idx) == 0L)
+    assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
+      == emb.count() - nVictims,
+      "position-deleted vectors' codes must be gone")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val res = PqIndex.search(spark, corpus, idx, queries, 5, 40)
+    assert(res.filter(col("neighbor_id") % 97 === 3).isEmpty,
+      "position-deleted vectors must not be served")
   }
 
   test("compacting one index component keeps the build tokens " +
@@ -167,8 +218,8 @@ class PqIndexSpec extends SparkSpec {
   }
 
   test("crashed refresh (codes committed, meta not): the detector " +
-    "sees the moved codes table, the id guard dedupes, and the " +
-    "re-run heals without duplicate codes") {
+    "sees the moved codes table and the replay self-heals as an " +
+    "UPSERT — no duplicate codes, deletes stay applied") {
     val emb = Tables.embeddings(spark, sf)
     val root = Files.createTempDirectory("pqidxc").toString
     val corpus = s"$root/corpus"
@@ -182,16 +233,27 @@ class PqIndexSpec extends SparkSpec {
     // codes commit and the meta write leaves behind
     val metaFile = java.nio.file.Paths.get(idx, "_pq_meta")
     val preMeta = Files.readAllBytes(metaFile)
-    Snapshot.morCommit(spark, corpus, deletes = None,
-      appends = Some(tail), operation = "append")
+    // a window that BOTH appends and deletes: the hardest replay —
+    // a blind re-append would duplicate, a blind skip would lose the
+    // delete, a skip-appends-apply-deletes would drop the appended key
+    val victim = v1.orderBy("vec_id").limit(1).localCheckpoint()
+    val victimId = victim.head().getLong(0)
+    Snapshot.morCommit(spark, corpus, deletes = Some(victim),
+      appends = Some(tail), operation = "overwrite")
     assert(PqIndex.refresh(spark, corpus, idx) == tail.count())
     Files.write(metaFile, preMeta)
-    // replayed refresh: delta re-derived from the same window, but the
-    // codes table moved past the meta's codesVersion → the guard
-    // anti-joins the delta and nothing re-encodes
-    assert(PqIndex.refresh(spark, corpus, idx) == 0L)
-    assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
-      == emb.count(), "the replay must not duplicate codes")
+    // replayed refresh: the same window re-derives, the codes table
+    // sits PAST the meta's codesVersion → upsert replay (delete every
+    // touched key, re-append) — idempotent by construction
+    assert(PqIndex.refresh(spark, corpus, idx) == tail.count())
+    val codes = Snapshot.read(spark, PqIndex.codesDir(idx))
+    assert(codes.count() == emb.count() - 1,
+      "the replay must neither duplicate codes nor resurrect the " +
+        "deleted vector")
+    assert(codes.groupBy("vec_id").count()
+      .filter(col("count") > 1).isEmpty,
+      "no key may hold more than one code row after the replay")
+    assert(codes.filter(col("vec_id") === victimId).isEmpty)
     assert(PqIndex.meta(idx).map(_.corpusVersion)
       == Snapshot.currentVersion(corpus),
       "the healed meta must stamp the live corpus version")
