@@ -129,6 +129,44 @@ object PipelineQueries {
         .orderBy("order_id")
     }),
 
+    // S19 — INCREMENTAL ROLLUP MAINTENANCE (r13): the gold-layer
+    // aggregate maintained from commit windows instead of recomputed
+    // (the reference rebuilds derived tables per run —
+    // build_orders_silver.py:95). Lifecycle: build on 90% of orders,
+    // fast-append the rest + REFRESH (adds), position-delete a slice
+    // + REFRESH (subtracts per-instance), then read. REQUIRED: both
+    // refreshes touch groups, a third is a no-op, and the maintained
+    // sums — exact DECIMAL accumulation, so maintenance commutes —
+    // equal the oracle's full recompute over the final state
+    // bit-for-bit.
+    "q_rollup_maintain" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("rollupq")
+        .toString
+      val src = s"$root/src"
+      val ru = s"$root/rollup"
+      graft.pipeline.Snapshot.createOrReplace(
+        orders.filter(col("o_orderkey") % 10 =!= 7), src,
+        keepVersions = 2)
+      graft.pipeline.Rollup.build(s, src, ru,
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+      graft.pipeline.Snapshot.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      require(graft.pipeline.Rollup.refresh(s, src, ru) > 0L,
+        "the append window must touch groups")
+      graft.pipeline.Snapshot.morCommit(s, src, deletes = None,
+        appends = None, operation = "delete",
+        posDeletes = Some(graft.pipeline.Snapshot.readLineage(s, src)
+          .filter(col("o_orderkey") % 100 === 1)))
+      require(graft.pipeline.Rollup.refresh(s, src, ru) > 0L,
+        "the delete window must touch groups")
+      require(graft.pipeline.Rollup.refresh(s, src, ru) == 0L,
+        "a third refresh must be a no-op")
+      graft.pipeline.Rollup.read(s, src, ru)
+        .orderBy("o_orderpriority")
+    }),
+
     // X14c — GDPR erasure through the snapshot layer: silver built into
     // a two-version snapshot, then every row of the subject cohort
     // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
@@ -1798,6 +1836,19 @@ FROM iceberg.silver.orders_current""")
 
   val oracles: Map[String, String] = Map(
     "q_cdc_bronze" -> bronzeSql,
+
+    // Incremental-rollup twin: the maintained aggregate must equal a
+    // full recompute over the FINAL source state (base ∪ appends,
+    // minus the position-deleted slice) — the decimal accumulation
+    // makes add/subtract maintenance commute bit-for-bit with this.
+    "q_rollup_maintain" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_o_totalprice
+      FROM orders
+      WHERE o_orderkey % 100 <> 1
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
 
     "q_cdc_parse" -> s"""
       WITH $evoCte

@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import graft.{SparkSpec, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Incremental-rollup pins: the maintained aggregate equals a full
+  * recompute EXACTLY (decimal-accumulated, order-free) under
+  * fast-append and position-delete windows; equality-delete and
+  * rebased windows raise; zero-count groups vanish; the operation
+  * marker makes crash replays exactly-once. */
+class RollupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The recompute the rollup must match bit-for-bit. */
+  private def recompute(df: DataFrame): Set[(String, Long, Double)] = {
+    import spark.implicits._
+    df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(27, 6)))
+          .cast(DoubleType).as("s"))
+      .as[(String, Long, Double)].collect().toSet
+  }
+
+  private def served(src: String, ru: String): Set[(String, Long, Double)] = {
+    import spark.implicits._
+    Rollup.read(spark, src, ru)
+      .select(col("o_orderpriority"), col("cnt"),
+        col("sum_o_totalprice").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+  }
+
+  test("build + fast-append refresh equals a full recompute exactly; " +
+    "a second refresh is a no-op; read refuses stale") {
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollup1").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, src, keepVersions = 2)
+    Rollup.build(spark, src, ru,
+      Seq("o_orderpriority"), Seq("o_totalprice"))
+    assert(served(src, ru) == recompute(v1))
+
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+      operation = "append")
+    assert(intercept[IllegalStateException] {
+      Rollup.read(spark, src, ru)
+    }.getMessage.contains("STALE"))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(Rollup.refresh(spark, src, ru) == 0L)
+    assert(served(src, ru) == recompute(orders),
+      "the maintained rollup must equal the recompute EXACTLY")
+  }
+
+  test("position-delete window subtracts per-instance; appended-then-" +
+    "deleted rows cancel; a group whose count reaches 0 vanishes") {
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollup2").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    Snapshot.createOrReplace(orders, src, keepVersions = 2)
+    Rollup.build(spark, src, ru,
+      Seq("o_orderpriority"), Seq("o_totalprice"))
+
+    // one window, two commits: append a synthetic group, then
+    // position-delete a base slice AND part of the appended group —
+    // the appended-then-deleted rows must appear on NEITHER side
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("o_orderkey")
+    val extra = orders.orderBy("o_orderkey").limit(3)
+      .withColumn("o_orderkey",
+        lit(900000000L) + row_number().over(w))
+      .withColumn("o_orderpriority", lit("9-SYNTH"))
+      .localCheckpoint()
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(extra), operation = "append")
+    val hits = Snapshot.readLineage(spark, src)
+      .filter(col("o_orderkey") % 50 === 1 ||
+        (col("o_orderpriority") === "9-SYNTH" &&
+          col("o_orderkey") % 3 === 0))
+      .localCheckpoint()
+    Snapshot.morCommit(spark, src, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(hits))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    val want = recompute(Snapshot.read(spark, src).localCheckpoint())
+    assert(served(src, ru) == want,
+      "per-instance subtraction must reproduce the live state exactly")
+
+    // delete the REST of the synthetic group: count reaches 0 and the
+    // group row must disappear from the stored rollup
+    val rest = Snapshot.readLineage(spark, src)
+      .filter(col("o_orderpriority") === "9-SYNTH").localCheckpoint()
+    assert(rest.count() > 0)
+    Snapshot.morCommit(spark, src, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(rest))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(Snapshot.read(spark, Rollup.tableDir(ru))
+      .filter(col("o_orderpriority") === "9-SYNTH").isEmpty,
+      "a zero-count group must vanish, not linger at cnt=0")
+    assert(served(src, ru) == recompute(Snapshot.read(spark, src)))
+  }
+
+  test("equality-delete and rebased windows raise (recompute is the " +
+    "honest path); the version gate stays stale") {
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollup3").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    Snapshot.createOrReplace(orders, src, keepVersions = 3)
+    Rollup.build(spark, src, ru,
+      Seq("o_orderpriority"), Seq("o_totalprice"))
+    Snapshot.morCommit(spark, src,
+      deletes = Some(orders.limit(2)), appends = None,
+      operation = "delete")
+    val e = intercept[IllegalStateException] {
+      Rollup.refresh(spark, src, ru)
+    }
+    assert(e.getMessage.contains("position"),
+      "the error must name the fix: position deletes")
+    assert(intercept[IllegalStateException] {
+      Rollup.read(spark, src, ru)
+    }.getMessage.contains("STALE"),
+      "a failed refresh must not have stamped the rollup fresh")
+
+    // copy-on-write rebase: per-commit deltas are gone
+    Snapshot.createOrReplace(orders.limit(500), src, keepVersions = 3)
+    assert(intercept[IllegalStateException] {
+      Rollup.refresh(spark, src, ru)
+    }.getMessage.contains("rebuild"))
+  }
+
+  test("crash replay is exactly-once: the rollup commit's operation " +
+    "marker records the applied window, so a replayed refresh skips " +
+    "it and applies only NEWER commits") {
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollup4").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    val wave1 = orders.filter(col("o_orderkey") % 20 === 7)
+      .localCheckpoint()
+    val wave2 = orders.filter(col("o_orderkey") % 20 === 17)
+      .localCheckpoint()
+    Snapshot.createOrReplace(v1, src, keepVersions = 2)
+    Rollup.build(spark, src, ru,
+      Seq("o_orderpriority"), Seq("o_totalprice"))
+    // crash shape: refresh commits + stamps, then the meta is rolled
+    // back to the pre-refresh bytes (= died before the meta write)
+    val metaFile = java.nio.file.Paths.get(ru, "_rollup_meta")
+    val preMeta = Files.readAllBytes(metaFile)
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(wave1), operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    Files.write(metaFile, preMeta)
+    // a second wave lands before the replay: the replayed refresh
+    // must apply wave2 ONLY (wave1's window is marked applied)
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(wave2), operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(served(src, ru) == recompute(orders),
+      "the replay must not double-count the already-applied window")
+    // pure replay (no new commits): restamp only, no new rollup commit
+    Files.write(metaFile, preMeta)
+    val commitsBefore = Snapshot.morVersions(Rollup.tableDir(ru)).size
+    assert(Rollup.refresh(spark, src, ru) == 0L)
+    assert(Snapshot.morVersions(Rollup.tableDir(ru)).size
+      == commitsBefore, "a fully-applied window must only restamp")
+    assert(served(src, ru) == recompute(orders))
+  }
+}
