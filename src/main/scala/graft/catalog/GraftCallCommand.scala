@@ -405,7 +405,10 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         val viewName = arg("changelog_view", 4).map(_.toString)
           .getOrElse(required("table", 0).toString
             .split("\\.").last + "_changes")
-        graft.pipeline.Snapshot.diff(spark, path, startV, endV, keys)
+        // O(window delta) when the window is sidecar-priced (full-row
+        // equality / position deletes), exact diff fallback otherwise
+        graft.pipeline.Snapshot.diffIncremental(spark, path, startV,
+            endV, keys)
           .createOrReplaceTempView(viewName)
         Seq(Row(viewName))
       case "rebalance_index" =>

@@ -1704,6 +1704,122 @@ object Snapshot {
     finally s.close()
   }
 
+  /** [[diff]] with an O(window delta) fast path: when every commit in
+    * `(fromVersion, toVersion]` is a MOR sidecar commit whose delete
+    * files carry FULL row images (full-row equality deletes and/or
+    * position deletes), the row-level diff derives from the sidecars
+    * alone — delete files are read as-is, position pairs resolve
+    * against only the files they reference, appends against their own
+    * dirs — so NEITHER version is scanned; at 100 TB the nightly
+    * "what changed" question stops reading the table. Anything the
+    * sidecars cannot price exactly — a re-based window, key-scoped
+    * equality deletes (no values to compare for the no-op-update
+    * filter), referenced files missing columns — falls back to the
+    * exact two-version [[diff]], so the result is ALWAYS
+    * diff-identical. Requires `keyCols` to uniquely identify rows
+    * (the identifier-columns contract the changelog CALL surface
+    * already demands; Iceberg's identifier fields assert the same). */
+  def diffIncremental(spark: SparkSession, path: String,
+                      fromVersion: Long, toVersion: Long,
+                      keyCols: Seq[String]): DataFrame =
+    windowOpDelta(spark, path, fromVersion, toVersion, keyCols)
+      .getOrElse(diff(spark, path, fromVersion, toVersion, keyCols))
+
+  /** The sidecar-derived diff of `(from, to]`, or None when the
+    * window cannot be priced exactly from sidecars (see
+    * [[diffIncremental]]). Per-key op classification under the
+    * unique-key contract: a key's FIRST in-window delete at or before
+    * its first in-window append means it existed at `from` (a second
+    * live instance would violate uniqueness); its LAST append
+    * surviving every later delete means it is present at `to`;
+    * (existed, present) maps to delete / insert / update, and an
+    * update whose old and new non-key values are null-safe-equal is
+    * dropped — exactly [[diff]]'s net-state semantics. */
+  private def windowOpDelta(spark: SparkSession, path: String,
+                            from: Long, to: Long,
+                            keyCols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{max_by, min, min_by, struct,
+      when}
+    if (markerVersion(path).getOrElse(0L) > from) return None
+    if (currentVersion(path).forall(_ < to)) return None
+    val tableCols = read(spark, path).limit(0).columns.toSeq
+    if (!keyCols.forall(tableCols.contains)) return None
+    val vs = morVersions(path).filter(v => v > from && v <= to)
+    def sidecar(v: Long, kind: String): Option[String] = {
+      val d = morRoot(path).resolve(s"v$v").resolve(kind)
+      if (Files.isDirectory(d) && hasParquet(d)) Some(d.toString)
+      else None
+    }
+    // delete events must carry full row images
+    var delFrames = List.empty[DataFrame]
+    var appFrames = List.empty[DataFrame]
+    for (v <- vs) {
+      sidecar(v, "deletes").foreach { d =>
+        val df = spark.read.parquet(d)
+        if (!tableCols.forall(df.columns.contains)) return None
+        delFrames ::= df.select(tableCols.map(col): _*)
+          .withColumn("_graft_v", lit(v))
+      }
+      sidecar(v, "pos_deletes").foreach { d =>
+        val rows = resolvePosDeleteRows(spark, path,
+          spark.read.parquet(d))
+        if (!tableCols.forall(rows.columns.contains)) return None
+        delFrames ::= rows.select(tableCols.map(col): _*)
+          .withColumn("_graft_v", lit(v))
+      }
+      sidecar(v, "appends").foreach { d =>
+        appFrames ::= spark.read.parquet(d)
+          .select(tableCols.map(col): _*).withColumn("_graft_v", lit(v))
+      }
+    }
+    val emptyOut = read(spark, path).limit(0)
+      .select(keyCols.map(col): _*).withColumn("op", lit("insert"))
+    if (delFrames.isEmpty && appFrames.isEmpty) return Some(emptyOut)
+    val nonKey = tableCols.filterNot(keyCols.contains)
+    def valOf = if (nonKey.isEmpty) lit(0) else
+      struct(nonKey.map(col): _*)
+    val valType = read(spark, path).limit(0)
+      .select(valOf.as("v")).schema.head.dataType
+    val dAgg = delFrames.reduceOption(_ unionByName _).map(
+      _.groupBy(keyCols.map(col): _*).agg(
+        min("_graft_v").as("_first_del"),
+        max("_graft_v").as("_last_del"),
+        min_by(valOf, col("_graft_v")).as("_old_val")))
+    val aAgg = appFrames.reduceOption(_ unionByName _).map(
+      _.groupBy(keyCols.map(col): _*).agg(
+        min("_graft_v").as("_first_app"),
+        max("_graft_v").as("_last_app"),
+        max_by(valOf, col("_graft_v")).as("_new_val")))
+    val joined = (dAgg, aAgg) match {
+      case (Some(d), Some(a)) => d.join(a, keyCols, "full_outer")
+      case (Some(d), None) => d
+        .withColumn("_first_app", lit(null).cast("long"))
+        .withColumn("_last_app", lit(null).cast("long"))
+        .withColumn("_new_val", lit(null).cast(valType))
+      case (None, Some(a)) => a
+        .withColumn("_first_del", lit(null).cast("long"))
+        .withColumn("_last_del", lit(null).cast("long"))
+        .withColumn("_old_val", lit(null).cast(valType))
+      case (None, None) => return Some(emptyOut)
+    }
+    val existedStart = col("_first_del").isNotNull &&
+      (col("_first_app").isNull ||
+        col("_first_del") <= col("_first_app"))
+    val presentEnd = col("_last_app").isNotNull &&
+      (col("_last_del").isNull ||
+        col("_last_del") <= col("_last_app"))
+    val changed =
+      if (nonKey.isEmpty) lit(false)
+      else !(col("_old_val") <=> col("_new_val"))
+    Some(joined
+      .select(keyCols.map(col) :+
+        when(existedStart && !presentEnd, "delete")
+          .when(!existedStart && presentEnd, "insert")
+          .when(existedStart && presentEnd && changed, "update")
+          .as("op"): _*)
+      .filter(col("op").isNotNull))
+  }
+
   /** Resolve position-delete pairs (file_path relative to `path`'s
     * live dir, pos) to the FULL row images they address. Reads ONLY
     * the referenced data files — the file list is collected

@@ -129,6 +129,55 @@ object PipelineQueries {
         .orderBy("order_id")
     }),
 
+    // S4+++++++ — O(delta) CHANGELOG (r13): Snapshot.diffIncremental
+    // prices a sidecar-only commit window from the sidecars alone —
+    // full-row equality deletes read as-is, appends from their dirs —
+    // with diff-identical net-state semantics: inserts, deletes,
+    // updates (delete+append), and a no-op identical rewrite that
+    // must NOT surface. REQUIRED in-query: the plan scans NO base
+    // data file of the snapshot (the O(delta) claim, pinned
+    // structurally), and the oracle replays the net classification.
+    "q_changelog_window" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("clwin")
+        .toString
+      val src = s"$root/src"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val from = S.currentVersion(src).get
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      S.morCommit(s, src,
+        deletes = Some(S.read(s, src)
+          .filter(col("o_orderkey") % 100 === 1)),
+        appends = None, operation = "delete")
+      val upd = S.read(s, src).filter(col("o_orderkey") % 100 === 2)
+      S.morCommit(s, src, deletes = Some(upd),
+        appends = Some(upd.withColumn("o_totalprice",
+          col("o_totalprice") + 1.0)), operation = "overwrite")
+      val noop = S.read(s, src).filter(col("o_orderkey") % 100 === 3)
+      S.morCommit(s, src, deletes = Some(noop),
+        appends = Some(noop), operation = "overwrite")
+      val out = S.diffIncremental(s, src, from,
+        S.currentVersion(src).get, Seq("o_orderkey"))
+      val baseFiles = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(src))
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally st.close()
+      }
+      require(baseFiles.nonEmpty)
+      val planStr = out.queryExecution.executedPlan.toString
+      baseFiles.foreach(f => require(!planStr.contains(f),
+        s"the O(delta) changelog must not scan base file $f"))
+      out.orderBy("o_orderkey")
+    }),
+
     // S19 — INCREMENTAL ROLLUP MAINTENANCE (r13): the gold-layer
     // aggregate maintained from commit windows instead of recomputed
     // (the reference rebuilds derived tables per run —
@@ -1836,6 +1885,22 @@ FROM iceberg.silver.orders_current""")
 
   val oracles: Map[String, String] = Map(
     "q_cdc_bronze" -> bronzeSql,
+
+    // O(delta)-changelog twin: the net-state classification of the
+    // constructed window — %10=7 appended (insert), %100=1 removed
+    // from the pre-append state (delete, disjoint from the appends by
+    // last digit), %100=2 rewritten with a changed price (update),
+    // %100=3 rewritten identically (MUST NOT surface).
+    "q_changelog_window" -> s"""
+      SELECT o_orderkey, 'insert' AS op FROM orders
+      WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey, 'delete' FROM orders
+      WHERE o_orderkey % 10 <> 7 AND o_orderkey % 100 = 1
+      UNION ALL
+      SELECT o_orderkey, 'update' FROM orders
+      WHERE o_orderkey % 10 <> 7 AND o_orderkey % 100 = 2
+      ORDER BY o_orderkey""",
 
     // Incremental-rollup twin: the maintained aggregate must equal a
     // full recompute over the FINAL source state (base ∪ appends,
