@@ -1768,7 +1768,11 @@ object Snapshot {
           .withColumn("_graft_v", lit(v))
       }
       sidecar(v, "appends").foreach { d =>
-        appFrames ::= spark.read.parquet(d)
+        val df = spark.read.parquet(d)
+        // a pre-schema-evolution append sidecar lacks later columns —
+        // unpriceable against the live schema; fall back to diff
+        if (!tableCols.forall(df.columns.contains)) return None
+        appFrames ::= df
           .select(tableCols.map(col): _*).withColumn("_graft_v", lit(v))
       }
     }
