@@ -437,6 +437,42 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           else throw new IllegalArgumentException(
             s"rebalance_index: no IVF or IVF-PQ index at $idxDir")
         Seq(Row(if (fired) 1L else 0L, mx, med))
+      case "create_rollup" =>
+        // The S19 incremental aggregate as a CALL: build the rollup
+        // beside the source snapshot and register the maintained
+        // GROUP-BY table under a catalog name; the linkage (rollup
+        // root + source path) rides the gold table's properties so
+        // refresh_rollup needs only the name. Sums accumulate in
+        // exact DECIMAL; read the registered table for the raw state
+        // or Rollup.read for the double-cast surface.
+        val Seq(gns, gt) = tableParts(required("name", 1).toString)
+        val groupBy = required("group_by", 2).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sums = required("sum_cols", 3).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val ruDir = arg("rollup_dir", 4).map(_.toString)
+          .getOrElse(s"$path.rollup-$gt")
+        val n = graft.pipeline.Rollup.build(spark, path, ruDir,
+          groupBy, sums)
+        val ts = new TableStore(spark)
+        ts.registerSnapshot(gns, gt,
+          graft.pipeline.Rollup.tableDir(ruDir))
+        ts.setProperties(gns, gt, Map(
+          "graft.rollup.dir" -> ruDir,
+          "graft.rollup.source" -> path))
+        Seq(Row(n))
+      case "refresh_rollup" =>
+        // table => the REGISTERED gold table; its properties carry
+        // the rollup root and source — O(window delta) maintenance
+        // (see Rollup.refresh for the exactness contract).
+        val Seq(gns, gt) = tableParts(required("table", 0).toString)
+        val props = new TableStore(spark).properties(gns, gt)
+        val ruDir = props.getOrElse("graft.rollup.dir",
+          throw new IllegalArgumentException(
+            s"refresh_rollup: $gns.$gt is not a rollup table " +
+              "(create it with CALL system.create_rollup)"))
+        val srcPath = props("graft.rollup.source")
+        Seq(Row(graft.pipeline.Rollup.refresh(spark, srcPath, ruDir)))
       case "ancestors_of" =>
         // Iceberg returns the current snapshot's ancestor chain newest
         // first; in this linear-history layout that is every retained
@@ -460,7 +496,8 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           "register_table, add_files, rollback_to_timestamp, " +
           "cherrypick_snapshot, publish_changes, " +
           "rewrite_position_delete_files, set_current_snapshot, " +
-          "rewrite_manifests, rebalance_index)")
+          "rewrite_manifests, rebalance_index, create_rollup, " +
+          "refresh_rollup)")
     }
   }
 }
@@ -499,6 +536,8 @@ object GraftCallCommand {
       case "fast_forward" => Seq("previous_version", "current_version")
       case "rebalance_index" =>
         Seq("rebalanced", "max_cell_rows", "median_cell_rows")
+      case "create_rollup" => Seq("group_rows")
+      case "refresh_rollup" => Seq("touched_groups")
       case "cherrypick_snapshot" | "publish_changes" =>
         Seq("source_snapshot_id", "current_version")
       case _ => Seq("orphan_file_count")

@@ -43,6 +43,56 @@ class CallSqlSpec extends SparkSpec {
       == Map("android" -> Seq("1")))
   }
 
+  test("create_rollup registers the maintained GROUP-BY table; " +
+    "refresh_rollup folds the source's commit window into it by name") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("callru")
+      .toString + "/facts"
+    val facts = (1 to 100).map(i => (i.toLong, s"g${i % 4}",
+      i.toDouble)).toDF("id", "grp", "amount")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("gold", "facts", dir)
+    val created = spark.sql(
+      """CALL iceberg.system.create_rollup(
+         table => 'gold.facts', name => 'gold.by_grp',
+         group_by => 'grp', sum_cols => 'amount')""").collect()
+    assert(created.head.getLong(0) == 4L)
+    // the gold table is a plain catalog table now
+    val served = spark.table("gold.by_grp")
+      .select(col("grp"), col("cnt"),
+        col("sum_amount").cast("double").as("s"))
+      .as[(String, Long, Double)].collect()
+      .map { case (g, c, s) => g -> ((c, s)) }.toMap
+    assert(served("g1") ==
+      ((25L, (1 to 100).filter(_ % 4 == 1).sum.toDouble)))
+    // a fast-append wave, then refresh BY NAME
+    Snapshot.morCommit(spark, dir, deletes = None,
+      appends = Some(Seq((1000L, "g1", 5.0))
+        .toDF("id", "grp", "amount")), operation = "append")
+    val touched = spark.sql(
+      """CALL iceberg.system.refresh_rollup(table => 'gold.by_grp')"""
+    ).collect()
+    assert(touched.head.getLong(0) == 1L)
+    val after = spark.table("gold.by_grp")
+      .filter(col("grp") === "g1")
+      .select(col("cnt"), col("sum_amount").cast("double"))
+      .as[(Long, Double)].collect().head
+    assert(after == ((26L,
+      (1 to 100).filter(_ % 4 == 1).sum.toDouble + 5.0)))
+    // a second refresh is a no-op
+    assert(spark.sql(
+      """CALL iceberg.system.refresh_rollup(table => 'gold.by_grp')"""
+    ).collect().head.getLong(0) == 0L)
+    // a non-rollup table refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        "CALL iceberg.system.refresh_rollup(table => 'gold.facts')")
+        .collect()
+    }
+    assert(e.getMessage.contains("create_rollup"))
+  }
+
   test("rewrite_data_files compacts to the target file count, keeps " +
     "rows and history") {
     val (_, dir) = fixture()
