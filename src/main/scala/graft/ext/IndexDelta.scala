@@ -119,11 +119,22 @@ private[graft] object IndexDelta {
     * an UPSERT, deleting every key this window touches (the crashed
     * commit may have already appended them) before re-appending.
     * Still O(window delta); the index table is never read.
+    *
+    * READ-TAX BOUND: every refresh stacks one MOR sidecar on the
+    * index table; a long-running maintenance loop (ST9 streams a
+    * refresh per micro-batch) would otherwise grow the read's merge
+    * cost without bound. After the commit, when the stacked sidecar
+    * count reaches `compactAfterCommits`, the table auto-compacts
+    * through [[Snapshot.rewritePositionDeletes]] — spec-aware (cell
+    * fragments and build tokens survive, the PqIndexSpec pin) and
+    * best-effort (a concurrent writer losing the race never fails
+    * the refresh), the same sawtooth contract as
+    * `write.mor.compact-after-commits` on the DML arms.
     * @return net rows appended (the caller's refresh return value) */
   private[graft] def applyRefresh(spark: SparkSession,
       corpusPath: String, tableDir: String, recordedVersion: Long,
       sinceVersion: Long, liveVersion: Long, what: String,
-      keyCol: String = "vec_id")
+      keyCol: String = "vec_id", compactAfterCommits: Int = 64)
       (encode: DataFrame => DataFrame): Long = {
     val ch = changesSince(spark, corpusPath, sinceVersion, liveVersion,
       what, keyCol)
@@ -147,6 +158,10 @@ private[graft] object IndexDelta {
         operation =
           if (deletes.isDefined && n > 0) "overwrite"
           else if (deletes.isDefined) "delete" else "append")
+    if (compactAfterCommits > 0 &&
+        Snapshot.morVersions(tableDir).size >= compactAfterCommits)
+      try Snapshot.rewritePositionDeletes(spark, tableDir)
+      catch { case scala.util.control.NonFatal(_) => () }
     n
   }
 }

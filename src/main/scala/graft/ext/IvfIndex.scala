@@ -122,14 +122,14 @@ object IvfIndex {
     * (detected from `cellsVersion`) replays as a self-healing upsert.
     * @return newly assigned vectors */
   def refresh(spark: SparkSession, corpusPath: String,
-              indexDir: String): Long = {
+              indexDir: String, compactAfterCommits: Int = 64): Long = {
     val im = meta(indexDir).getOrElse(throw new IllegalStateException(
       s"no IVF index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
     val n = IndexDelta.applyRefresh(spark, corpusPath,
         cellsDir(indexDir), im.cellsVersion, im.corpusVersion, version,
-        "IVF index") { delta =>
+        "IVF index", compactAfterCommits = compactAfterCommits) { delta =>
       val centroids = Snapshot.read(spark, centroidsDir(indexDir))
       SimilarityOps.assignCentroids(delta, centroids, 1)
         .withColumn("centroid_id", col("centroid_id").cast("long"))

@@ -188,14 +188,14 @@ object IvfPqIndex {
     * partial refresh replays as a self-healing upsert.
     * @return newly indexed vectors */
   def refresh(spark: SparkSession, corpusPath: String,
-              indexDir: String): Long = {
+              indexDir: String, compactAfterCommits: Int = 64): Long = {
     val im = meta(indexDir).getOrElse(throw new IllegalStateException(
       s"no IVF-PQ index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
     val n = IndexDelta.applyRefresh(spark, corpusPath,
         cellsDir(indexDir), im.cellsVersion, im.corpusVersion, version,
-        "IVF-PQ index") { delta =>
+        "IVF-PQ index", compactAfterCommits = compactAfterCommits) { delta =>
       val centroids = Snapshot.read(spark, centroidsDir(indexDir))
       val book = Snapshot.read(spark, codebookDir(indexDir))
         .select("sub", "code", "c_sub").collect()

@@ -130,14 +130,14 @@ object PqIndex {
     * ([[IndexDelta.applyRefresh]]) — the happy path never reads the
     * index. @return newly encoded vectors */
   def refresh(spark: SparkSession, corpusPath: String,
-              indexDir: String): Long = {
+              indexDir: String, compactAfterCommits: Int = 64): Long = {
     val im = meta(indexDir).getOrElse(throw new IllegalStateException(
       s"no PQ index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
     val n = IndexDelta.applyRefresh(spark, corpusPath,
         codesDir(indexDir), im.codesVersion, im.corpusVersion, version,
-        "PQ index") { delta =>
+        "PQ index", compactAfterCommits = compactAfterCommits) { delta =>
       val book = Snapshot.read(spark, codebookDir(indexDir))
         .select("sub", "code", "c_sub").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))

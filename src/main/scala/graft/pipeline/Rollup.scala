@@ -135,9 +135,18 @@ object Rollup {
 
   /** Apply the source commits since the rollup last saw it — cost
     * O(window delta), never a source scan (see the object doc for the
-    * exactness contract). @return touched group count */
+    * exactness contract).
+    *
+    * READ-TAX BOUND: each refresh stacks one delete+append sidecar on
+    * the rollup table; a per-batch maintenance loop (ST10) would grow
+    * the read's merge cost without bound. When the stacked commit
+    * count reaches `compactAfterCommits` the table auto-compacts
+    * (best-effort, AFTER the meta stamp — the applied-window markers
+    * it erases are only needed for crashes that predate the stamp),
+    * the `write.mor.compact-after-commits` sawtooth contract.
+    * @return touched group count */
   def refresh(spark: SparkSession, srcPath: String,
-              rollupDir: String): Long = {
+              rollupDir: String, compactAfterCommits: Int = 64): Long = {
     val m = meta(rollupDir).getOrElse(throw new IllegalStateException(
       s"no rollup at $rollupDir (build first)"))
     val version = srcVersionOf(srcPath)
@@ -206,6 +215,15 @@ object Rollup {
     writeMeta(rollupDir, m.copy(srcVersion = version,
       rollupVersion =
         Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L)))
+    if (compactAfterCommits > 0 &&
+        Snapshot.morVersions(tableDir(rollupDir)).size
+          >= compactAfterCommits) {
+      try {
+        Snapshot.rewritePositionDeletes(spark, tableDir(rollupDir))
+        writeMeta(rollupDir, meta(rollupDir).get.copy(rollupVersion =
+          Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L)))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     n
   }
 

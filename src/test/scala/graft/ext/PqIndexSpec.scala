@@ -217,6 +217,34 @@ class PqIndexSpec extends SparkSpec {
       "a compacted component must not read as mid-rebuild")
   }
 
+  test("refresh auto-compaction bounds the codes table's sidecar " +
+    "stack: the per-batch maintenance loop cannot grow the read tax " +
+    "without bound") {
+    val emb = Tables.embeddings(spark, sf)
+    val root = Files.createTempDirectory("pqidxac").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/pq"
+    Snapshot.createOrReplace(emb.filter(col("vec_id") % 5 === 0),
+      corpus, keepVersions = 2)
+    PqIndex.build(spark, corpus, idx, m, dsub, ksub)
+    (1 to 4).foreach { w =>
+      Snapshot.morCommit(spark, corpus, deletes = None,
+        appends = Some(emb.filter(col("vec_id") % 5 === w)),
+        operation = "append")
+      assert(PqIndex.refresh(spark, corpus, idx,
+        compactAfterCommits = 2) > 0L)
+      assert(Snapshot.morVersions(PqIndex.codesDir(idx)).size < 2,
+        "the stack must sawtooth under the threshold")
+    }
+    assert(Snapshot.read(spark, PqIndex.codesDir(idx)).count()
+      == emb.count(), "compaction must not change the codes")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    assert(PqIndex.search(spark, corpus, idx, queries, 5, 40)
+      .count() > 0, "the compacted index must keep serving")
+  }
+
   test("crashed refresh (codes committed, meta not): the detector " +
     "sees the moved codes table and the replay self-heals as an " +
     "UPSERT — no duplicate codes, deletes stay applied") {

@@ -134,6 +134,29 @@ class RollupSpec extends SparkSpec {
     }.getMessage.contains("rebuild"))
   }
 
+  test("auto-compaction bounds the refresh sidecar stack: repeated " +
+    "waves keep the MOR depth sawtoothed and the aggregate exact") {
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollup5").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    Snapshot.createOrReplace(orders.filter(col("o_orderkey") % 8 === 0),
+      src, keepVersions = 2)
+    Rollup.build(spark, src, ru,
+      Seq("o_orderpriority"), Seq("o_totalprice"))
+    (1 to 7).foreach { w =>
+      Snapshot.morCommit(spark, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 8 === w)),
+        operation = "append")
+      assert(Rollup.refresh(spark, src, ru,
+        compactAfterCommits = 3) > 0L)
+      assert(Snapshot.morVersions(Rollup.tableDir(ru)).size < 3,
+        "the stack must compact before reaching the threshold again")
+    }
+    assert(served(src, ru) == recompute(orders),
+      "compaction must never change the maintained aggregate")
+  }
+
   test("crash replay is exactly-once: the rollup commit's operation " +
     "marker records the applied window, so a replayed refresh skips " +
     "it and applies only NEWER commits") {
