@@ -452,8 +452,11 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val ruDir = arg("rollup_dir", 4).map(_.toString)
           .getOrElse(s"$path.rollup-$gt")
+        val minMax = arg("min_max_cols", 5).map(_.toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
         val n = graft.pipeline.Rollup.build(spark, path, ruDir,
-          groupBy, sums)
+          groupBy, sums, minMax)
         val ts = new TableStore(spark)
         ts.registerSnapshot(gns, gt,
           graft.pipeline.Rollup.tableDir(ruDir))

@@ -52,7 +52,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object Rollup {
 
   final case class Meta(srcVersion: Long, rollupVersion: Long,
-                        groupCols: Seq[String], measures: Seq[String])
+                        groupCols: Seq[String], measures: Seq[String],
+                        minMax: Seq[String])
 
   def tableDir(rollupDir: String): String = s"$rollupDir/table"
   private def metaFile(rollupDir: String) =
@@ -65,11 +66,13 @@ object Rollup {
       val lines = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim
         .split("\n").toSeq
-      if (lines.length != 4) throw new IllegalStateException(
+      if (lines.length != 5) throw new IllegalStateException(
         s"rollup meta at $rollupDir has ${lines.length} lines (this " +
-          "version writes 4) — persisted by an older format; rebuild")
+          "version writes 5) — persisted by an older format; rebuild")
       Some(Meta(lines.head.toLong, lines(1).toLong,
-        lines(2).split("\t").toSeq, lines(3).split("\t").toSeq))
+        lines(2).split("\t").toSeq, lines(3).split("\t").toSeq,
+        lines(4).stripPrefix("mm:").split("\t").toSeq
+          .filter(_.nonEmpty)))
     }
   }
 
@@ -78,7 +81,8 @@ object Rollup {
     val tmp = Paths.get(rollupDir, "_rollup_meta.tmp")
     Files.write(tmp,
       (s"${m.srcVersion}\n${m.rollupVersion}\n" +
-        s"${m.groupCols.mkString("\t")}\n${m.measures.mkString("\t")}\n")
+        s"${m.groupCols.mkString("\t")}\n${m.measures.mkString("\t")}\n" +
+        s"mm:${m.minMax.mkString("\t")}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(rollupDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -94,30 +98,36 @@ object Rollup {
     * Sums pin to DECIMAL(27,6) (Spark widens sum(decimal) results —
     * the STORED type must stay fixed across build and every refresh
     * or the MOR union would coerce). */
-  private def aggExprs(measures: Seq[String]): Seq[Column] =
+  private def aggExprs(measures: Seq[String],
+                       minMax: Seq[String]): Seq[Column] =
     count(lit(1)).as("cnt") +:
-      measures.map(m =>
+      (measures.map(m =>
         sum(col(m).cast(DecimalType(27, 6)))
-          .cast(DecimalType(27, 6)).as(s"sum_$m"))
+          .cast(DecimalType(27, 6)).as(s"sum_$m")) ++
+        minMax.flatMap(mm => Seq(
+          min(col(mm)).as(s"min_$mm"),
+          max(col(mm)).as(s"max_$mm"))))
 
   private def aggOf(df: DataFrame, groupCols: Seq[String],
-                    measures: Seq[String]): DataFrame = {
-    val es = aggExprs(measures)
+                    measures: Seq[String],
+                    minMax: Seq[String]): DataFrame = {
+    val es = aggExprs(measures, minMax)
     df.groupBy(groupCols.map(col): _*).agg(es.head, es.tail: _*)
   }
 
   /** Build (or rebuild): one full aggregation pass over the live
     * source, stamped with its version. @return group rows */
   def build(spark: SparkSession, srcPath: String, rollupDir: String,
-            groupCols: Seq[String], measures: Seq[String]): Long = {
+            groupCols: Seq[String], measures: Seq[String],
+            minMax: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
     val version = srcVersionOf(srcPath)
     Snapshot.createOrReplace(
-      aggOf(Snapshot.read(spark, srcPath), groupCols, measures),
+      aggOf(Snapshot.read(spark, srcPath), groupCols, measures, minMax),
       tableDir(rollupDir), keepVersions = 1)
     writeMeta(rollupDir, Meta(version,
       Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L),
-      groupCols, measures))
+      groupCols, measures, minMax))
     Snapshot.read(spark, tableDir(rollupDir)).count()
   }
 
@@ -168,24 +178,36 @@ object Rollup {
             "per-commit deltas are gone — rebuild the rollup")
       case _ => ()
     }
-    val (plus, minus) = Snapshot.windowRowDelta(spark, srcPath,
+    val (plus, minus0) = Snapshot.windowRowDelta(spark, srcPath,
       since, version, "rollup")
+    val minus = minus0.localCheckpoint()
     val key = m.groupCols
-    val es = aggExprs(m.measures)
     val sumCols = m.measures.map(mm => s"sum_$mm")
     // signed partial aggregates: appends count +1, deletes −1; the
     // merged group is old ⊎ (+delta) ⊎ (−delta) summed per column —
-    // decimal addition/subtraction is exact and order-free
+    // decimal addition/subtraction is exact and order-free. Min/max
+    // are NOT subtractable: the minus side contributes nulls here,
+    // and every group the window removed rows from recomputes its
+    // min/max below.
     def signed(df: DataFrame, sign: Int): DataFrame = {
-      var a = aggOf(df, key, m.measures)
+      var a = aggOf(df, key, m.measures, m.minMax)
       if (sign < 0) {
         a = a.withColumn("cnt", -col("cnt"))
         sumCols.foreach(c => a = a.withColumn(c, -col(c)))
+        m.minMax.foreach { mm =>
+          a = a.withColumn(s"min_$mm",
+            lit(null).cast(a.schema(s"min_$mm").dataType))
+          a = a.withColumn(s"max_$mm",
+            lit(null).cast(a.schema(s"max_$mm").dataType))
+        }
       }
       a
     }
     val dexprs = sum("cnt").as("cnt") +:
-      sumCols.map(c => sum(c).cast(DecimalType(27, 6)).as(c))
+      (sumCols.map(c => sum(c).cast(DecimalType(27, 6)).as(c)) ++
+        m.minMax.flatMap(mm => Seq(
+          min(col(s"min_$mm")).as(s"min_$mm"),
+          max(col(s"max_$mm")).as(s"max_$mm"))))
     val delta = signed(plus, 1).unionByName(signed(minus, -1))
       .groupBy(key.map(col): _*)
       .agg(dexprs.head, dexprs.tail: _*)
@@ -196,12 +218,44 @@ object Rollup {
       val old = Snapshot.read(spark, tableDir(rollupDir))
         .join(broadcast(touched), key, "left_semi")
       val mexprs = sum("cnt").cast("long").as("cnt") +:
-        sumCols.map(c =>
-          sum(col(c)).cast(DecimalType(27, 6)).as(c))
-      val merged = old.unionByName(delta)
+        (sumCols.map(c =>
+          sum(col(c)).cast(DecimalType(27, 6)).as(c)) ++
+          m.minMax.flatMap(mm => Seq(
+            min(col(s"min_$mm")).as(s"min_$mm"),
+            max(col(s"max_$mm")).as(s"max_$mm"))))
+      var merged = old.unionByName(delta)
         .groupBy(key.map(col): _*)
         .agg(mexprs.head, mexprs.tail: _*)
-        .localCheckpoint()
+      // affected-group min/max recompute: a deleted row may have BEEN
+      // the group's extremum, so every group the window removed rows
+      // from re-derives min/max from the source AS OF the window end,
+      // restricted to those groups — O(affected groups' rows) with
+      // the filter pushed to the scan (the classic bound for
+      // non-subtractable aggregates under deletes)
+      if (m.minMax.nonEmpty) {
+        val minusG = minus.select(key.map(col): _*).distinct()
+          .localCheckpoint()
+        if (minusG.limit(1).count() > 0) {
+          val rexprs = m.minMax.flatMap(mm => Seq(
+            min(col(mm)).as(s"_r_min_$mm"),
+            max(col(mm)).as(s"_r_max_$mm")))
+          val rec = Snapshot.readAsOf(spark, srcPath, version)
+            .join(broadcast(minusG), key, "left_semi")
+            .groupBy(key.map(col): _*)
+            .agg(rexprs.head, rexprs.tail: _*)
+          merged = merged.join(rec, key, "left")
+          m.minMax.foreach { mm =>
+            merged = merged
+              .withColumn(s"min_$mm",
+                coalesce(col(s"_r_min_$mm"), col(s"min_$mm")))
+              .withColumn(s"max_$mm",
+                coalesce(col(s"_r_max_$mm"), col(s"max_$mm")))
+          }
+          merged = merged.drop(m.minMax.flatMap(mm =>
+            Seq(s"_r_min_$mm", s"_r_max_$mm")): _*)
+        }
+      }
+      merged = merged.localCheckpoint()
       if (merged.filter(col("cnt") < 0).limit(1).count() > 0)
         throw new IllegalStateException(
           s"rollup at $rollupDir went NEGATIVE on a group count — " +

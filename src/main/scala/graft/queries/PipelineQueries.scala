@@ -198,7 +198,8 @@ object PipelineQueries {
         orders.filter(col("o_orderkey") % 10 =!= 7), src,
         keepVersions = 2)
       graft.pipeline.Rollup.build(s, src, ru,
-        Seq("o_orderpriority"), Seq("o_totalprice"))
+        Seq("o_orderpriority"), Seq("o_totalprice"),
+        minMax = Seq("o_totalprice"))
       graft.pipeline.Snapshot.morCommit(s, src, deletes = None,
         appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
         operation = "append")
@@ -1909,7 +1910,9 @@ FROM iceberg.silver.orders_current""")
     "q_rollup_maintain" -> s"""
       SELECT o_orderpriority, COUNT(*) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
-               AS sum_o_totalprice
+               AS sum_o_totalprice,
+             MIN(o_totalprice) AS min_o_totalprice,
+             MAX(o_totalprice) AS max_o_totalprice
       FROM orders
       WHERE o_orderkey % 100 <> 1
       GROUP BY o_orderpriority

@@ -134,6 +134,58 @@ class RollupSpec extends SparkSpec {
     }.getMessage.contains("rebuild"))
   }
 
+  test("min/max maintenance: appends merge arithmetically; deleting " +
+    "a group's extremum recomputes ONLY the affected groups from the " +
+    "source") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollupmm").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    def mmRecompute(df: DataFrame): Set[(String, Double, Double)] =
+      df.groupBy("o_orderpriority")
+        .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .as[(String, Double, Double)].collect().toSet
+    def mmServed(): Set[(String, Double, Double)] =
+      Rollup.read(spark, src, ru)
+        .select(col("o_orderpriority"),
+          col("min_o_totalprice"), col("max_o_totalprice"))
+        .as[(String, Double, Double)].collect().toSet
+
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, src, keepVersions = 2)
+    Rollup.build(spark, src, ru, Seq("o_orderpriority"),
+      Seq("o_totalprice"), minMax = Seq("o_totalprice"))
+    assert(mmServed() == mmRecompute(v1))
+
+    // append-only window: min/max merge without touching the source
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(mmServed() == mmRecompute(orders))
+
+    // delete THE maximum row of one group: its max must recompute
+    // from the surviving rows (a subtraction could never produce it)
+    val g = orders.orderBy("o_orderpriority").limit(1)
+      .select("o_orderpriority").head().getString(0)
+    val victim = Snapshot.read(spark, src)
+      .filter(col("o_orderpriority") === g)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(1).localCheckpoint()
+    Snapshot.morCommit(spark, src, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(
+        Snapshot.readLineage(spark, src)
+          .join(victim.select("o_orderkey"), Seq("o_orderkey"),
+            "left_semi")))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(mmServed() == mmRecompute(Snapshot.read(spark, src)),
+      "the deleted extremum's group must recompute exactly")
+    assert(served(src, ru) ==
+      recompute(Snapshot.read(spark, src).localCheckpoint()),
+      "count/sum stay exact alongside the min/max arm")
+  }
+
   test("auto-compaction bounds the refresh sidecar stack: repeated " +
     "waves keep the MOR depth sawtoothed and the aggregate exact") {
     val orders = Tables.orders(spark, sf).localCheckpoint()
