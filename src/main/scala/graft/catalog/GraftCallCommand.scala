@@ -455,8 +455,11 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         val minMax = arg("min_max_cols", 5).map(_.toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
+        val ndv = arg("ndv_cols", 6).map(_.toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
         val n = graft.pipeline.Rollup.build(spark, path, ruDir,
-          groupBy, sums, minMax)
+          groupBy, sums, minMax, ndv)
         val ts = new TableStore(spark)
         ts.registerSnapshot(gns, gt,
           graft.pipeline.Rollup.tableDir(ruDir))

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** 2^60 as double (exact — dyadic, well under double range). */
-  private val HashSpace = 1152921504606846976.0d
+  private[graft] val HashSpace = 1152921504606846976.0d
 
   /** 60-bit uniform hash of a column's string form (15 md5 hex chars —
     * mirrored in DuckDB as `('0x' || md5(x)[1:15])::BIGINT`). */

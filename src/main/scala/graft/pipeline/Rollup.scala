@@ -25,9 +25,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * and subtractions commute bit-identically, so the maintained value
   * equals a full recompute EXACTLY, not approximately; the
   * [[read]]-side casts back to double). `avg` is derivable as
-  * `sum/cnt`; min/max are NOT self-maintainable under deletes and are
-  * deliberately out of scope (their incremental form needs per-group
-  * recomputation of affected groups).
+  * `sum/cnt`. MIN/MAX and per-group KMV NDV sketches join the
+  * maintained set as the NON-SUBTRACTABLE class: appends merge
+  * arithmetically (min-of-mins; sketch = distinct-union keep-k), and
+  * since a deleted row may have been the extremum or a sketch member,
+  * every group the window removed rows from re-derives them from the
+  * source AS OF the window end restricted to those groups —
+  * O(affected groups' rows), the classic incremental-view bound for
+  * non-distributive aggregates under deletes.
   *
   * Lifecycle contract (the persisted-index discipline):
   *  - [[build]] aggregates the live source and stamps its version.
@@ -53,7 +58,8 @@ object Rollup {
 
   final case class Meta(srcVersion: Long, rollupVersion: Long,
                         groupCols: Seq[String], measures: Seq[String],
-                        minMax: Seq[String])
+                        minMax: Seq[String], ndv: Seq[String],
+                        ndvK: Int)
 
   def tableDir(rollupDir: String): String = s"$rollupDir/table"
   private def metaFile(rollupDir: String) =
@@ -66,13 +72,16 @@ object Rollup {
       val lines = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim
         .split("\n").toSeq
-      if (lines.length != 5) throw new IllegalStateException(
+      if (lines.length != 7) throw new IllegalStateException(
         s"rollup meta at $rollupDir has ${lines.length} lines (this " +
-          "version writes 5) — persisted by an older format; rebuild")
+          "version writes 7) — persisted by an older format; rebuild")
       Some(Meta(lines.head.toLong, lines(1).toLong,
         lines(2).split("\t").toSeq, lines(3).split("\t").toSeq,
         lines(4).stripPrefix("mm:").split("\t").toSeq
-          .filter(_.nonEmpty)))
+          .filter(_.nonEmpty),
+        lines(5).stripPrefix("nd:").split("\t").toSeq
+          .filter(_.nonEmpty),
+        lines(6).stripPrefix("k:").toInt))
     }
   }
 
@@ -82,7 +91,8 @@ object Rollup {
     Files.write(tmp,
       (s"${m.srcVersion}\n${m.rollupVersion}\n" +
         s"${m.groupCols.mkString("\t")}\n${m.measures.mkString("\t")}\n" +
-        s"mm:${m.minMax.mkString("\t")}\n")
+        s"mm:${m.minMax.mkString("\t")}\n" +
+        s"nd:${m.ndv.mkString("\t")}\nk:${m.ndvK}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(rollupDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -115,19 +125,53 @@ object Rollup {
     df.groupBy(groupCols.map(col): _*).agg(es.head, es.tail: _*)
   }
 
+  /** Per-group KMV sketches of each `ndv` column: `ndvsk_<c>` is the
+    * sorted array of the k smallest distinct 60-bit hashes of the
+    * column's non-null values ([[graft.ext.Sketches.kmvTopK]]) — the
+    * mergeable approximate-distinct state. Sketches UNION under
+    * appends (merge = distinct ∪, keep k smallest) but cannot forget
+    * under deletes — affected groups recompute, like min/max. */
+  private def sketchFrame(df: DataFrame, groupCols: Seq[String],
+                          ndv: Seq[String], k: Int,
+                          prefix: String = "ndvsk_"): DataFrame =
+    ndv.map { c =>
+      graft.ext.Sketches.kmvTopK(
+          df.filter(col(c).isNotNull), groupCols, c, k)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sort_array(collect_list(col("_h"))).as(s"$prefix$c"))
+    }.reduce((a, b) => a.join(b, groupCols, "full_outer"))
+
+  /** Merge-aggregate for sketch columns: per group, the k smallest
+    * distinct hashes across every contributing sketch array. */
+  private def sketchMerge(c: String, k: Int): Column =
+    slice(array_sort(array_distinct(flatten(
+      collect_list(col(s"ndvsk_$c"))))), 1, k).as(s"ndvsk_$c")
+
+  /** Attach sketch columns to an aggregated frame (left join — a
+    * group whose ndv column is all-null carries a null sketch). */
+  private def withSketches(agg: DataFrame, src: DataFrame,
+                           groupCols: Seq[String], ndv: Seq[String],
+                           k: Int): DataFrame =
+    if (ndv.isEmpty) agg
+    else agg.join(sketchFrame(src, groupCols, ndv, k), groupCols,
+      "left")
+
   /** Build (or rebuild): one full aggregation pass over the live
     * source, stamped with its version. @return group rows */
   def build(spark: SparkSession, srcPath: String, rollupDir: String,
             groupCols: Seq[String], measures: Seq[String],
-            minMax: Seq[String] = Nil): Long = {
+            minMax: Seq[String] = Nil, ndv: Seq[String] = Nil,
+            ndvK: Int = 256): Long = {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
     val version = srcVersionOf(srcPath)
+    val src = Snapshot.read(spark, srcPath)
     Snapshot.createOrReplace(
-      aggOf(Snapshot.read(spark, srcPath), groupCols, measures, minMax),
+      withSketches(aggOf(src, groupCols, measures, minMax), src,
+        groupCols, ndv, ndvK),
       tableDir(rollupDir), keepVersions = 1)
     writeMeta(rollupDir, Meta(version,
       Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L),
-      groupCols, measures, minMax))
+      groupCols, measures, minMax, ndv, ndvK))
     Snapshot.read(spark, tableDir(rollupDir)).count()
   }
 
@@ -208,9 +252,12 @@ object Rollup {
         m.minMax.flatMap(mm => Seq(
           min(col(s"min_$mm")).as(s"min_$mm"),
           max(col(s"max_$mm")).as(s"max_$mm"))))
-    val delta = signed(plus, 1).unionByName(signed(minus, -1))
+    val delta0 = signed(plus, 1).unionByName(signed(minus, -1))
       .groupBy(key.map(col): _*)
       .agg(dexprs.head, dexprs.tail: _*)
+    // plus-side sketches join the delta (the minus side contributes
+    // none — sketches cannot forget; affected groups recompute below)
+    val delta = withSketches(delta0, plus, key, m.ndv, m.ndvK)
       .localCheckpoint()
     val touched = delta.select(key.map(col): _*).localCheckpoint()
     val n = touched.count()
@@ -222,37 +269,64 @@ object Rollup {
           sum(col(c)).cast(DecimalType(27, 6)).as(c)) ++
           m.minMax.flatMap(mm => Seq(
             min(col(s"min_$mm")).as(s"min_$mm"),
-            max(col(s"max_$mm")).as(s"max_$mm"))))
+            max(col(s"max_$mm")).as(s"max_$mm"))) ++
+          m.ndv.map(c => sketchMerge(c, m.ndvK)))
       var merged = old.unionByName(delta)
         .groupBy(key.map(col): _*)
         .agg(mexprs.head, mexprs.tail: _*)
-      // affected-group min/max recompute: a deleted row may have BEEN
-      // the group's extremum, so every group the window removed rows
-      // from re-derives min/max from the source AS OF the window end,
+      // affected-group recompute for the NON-SUBTRACTABLE aggregates:
+      // a deleted row may have BEEN the extremum (or a sketch member),
+      // so every group the window removed rows from re-derives
+      // min/max/sketches from the source AS OF the window end,
       // restricted to those groups — O(affected groups' rows) with
       // the filter pushed to the scan (the classic bound for
       // non-subtractable aggregates under deletes)
-      if (m.minMax.nonEmpty) {
+      if (m.minMax.nonEmpty || m.ndv.nonEmpty) {
         val minusG = minus.select(key.map(col): _*).distinct()
           .localCheckpoint()
         if (minusG.limit(1).count() > 0) {
-          val rexprs = m.minMax.flatMap(mm => Seq(
-            min(col(mm)).as(s"_r_min_$mm"),
-            max(col(mm)).as(s"_r_max_$mm")))
-          val rec = Snapshot.readAsOf(spark, srcPath, version)
+          val recSrc = Snapshot.readAsOf(spark, srcPath, version)
             .join(broadcast(minusG), key, "left_semi")
-            .groupBy(key.map(col): _*)
-            .agg(rexprs.head, rexprs.tail: _*)
-          merged = merged.join(rec, key, "left")
-          m.minMax.foreach { mm =>
-            merged = merged
-              .withColumn(s"min_$mm",
-                coalesce(col(s"_r_min_$mm"), col(s"min_$mm")))
-              .withColumn(s"max_$mm",
-                coalesce(col(s"_r_max_$mm"), col(s"max_$mm")))
+          // STRICT override for every minus-touched group — not a
+          // coalesce: a touched group whose surviving values are all
+          // null must surface null, not the stale merged value (which
+          // may reflect deleted rows); an untouched group keeps its
+          // arithmetic merge; a fully-deleted group's row is dropped
+          // by the cnt filter regardless
+          merged = merged.join(
+            broadcast(minusG.withColumn("_r_touched", lit(true))),
+            key, "left")
+          if (m.minMax.nonEmpty) {
+            val rexprs = m.minMax.flatMap(mm => Seq(
+              min(col(mm)).as(s"_r_min_$mm"),
+              max(col(mm)).as(s"_r_max_$mm")))
+            val rec = recSrc.groupBy(key.map(col): _*)
+              .agg(rexprs.head, rexprs.tail: _*)
+            merged = merged.join(rec, key, "left")
+            m.minMax.foreach { mm =>
+              merged = merged
+                .withColumn(s"min_$mm",
+                  when(col("_r_touched"), col(s"_r_min_$mm"))
+                    .otherwise(col(s"min_$mm")))
+                .withColumn(s"max_$mm",
+                  when(col("_r_touched"), col(s"_r_max_$mm"))
+                    .otherwise(col(s"max_$mm")))
+            }
+            merged = merged.drop(m.minMax.flatMap(mm =>
+              Seq(s"_r_min_$mm", s"_r_max_$mm")): _*)
           }
-          merged = merged.drop(m.minMax.flatMap(mm =>
-            Seq(s"_r_min_$mm", s"_r_max_$mm")): _*)
+          if (m.ndv.nonEmpty) {
+            val recSk = sketchFrame(recSrc, key, m.ndv, m.ndvK,
+              prefix = "_r_ndvsk_")
+            merged = merged.join(recSk, key, "left")
+            m.ndv.foreach { c =>
+              merged = merged.withColumn(s"ndvsk_$c",
+                when(col("_r_touched"), col(s"_r_ndvsk_$c"))
+                  .otherwise(col(s"ndvsk_$c")))
+            }
+            merged = merged.drop(m.ndv.map(c => s"_r_ndvsk_$c"): _*)
+          }
+          merged = merged.drop("_r_touched")
         }
       }
       merged = merged.localCheckpoint()
@@ -283,8 +357,11 @@ object Rollup {
 
   /** The maintained rollup, sums cast back to double (the storage is
     * exact DECIMAL so maintenance commutes; the read surface matches
-    * the `CAST(SUM(CAST(… AS DECIMAL)) AS DOUBLE)` oracle idiom).
-    * Raises when the source moved past the maintained version — the
+    * the `CAST(SUM(CAST(… AS DECIMAL)) AS DOUBLE)` oracle idiom) and
+    * each `ndvsk_<c>` sketch surfaced as the `ndv_<c>` KMV estimate
+    * (m below k → exact m; else the unbiased (k−1)·2^60/h_k — the
+    * same form [[graft.ext.Sketches.kmvDistinct]] serves). Raises
+    * when the source moved past the maintained version — the
     * stats-serve-no-stale-plans discipline every derived artifact in
     * this engine follows. */
   def read(spark: SparkSession, srcPath: String,
@@ -297,9 +374,19 @@ object Rollup {
         s"rollup at $rollupDir is STALE: it aggregates source version " +
           s"${m.srcVersion} but the live source is v$version — run " +
           "Rollup.refresh or rebuild")
-    m.measures.foldLeft(Snapshot.read(spark, tableDir(rollupDir))) {
-      (df, mm) =>
+    val sums = m.measures.foldLeft(
+      Snapshot.read(spark, tableDir(rollupDir))) { (df, mm) =>
         df.withColumn(s"sum_$mm", col(s"sum_$mm").cast(DoubleType))
+    }
+    m.ndv.foldLeft(sums) { (df, c) =>
+      val sk = col(s"ndvsk_$c")
+      df.withColumn(s"ndv_$c",
+          when(sk.isNull, lit(0.0))
+            .when(size(sk) < m.ndvK, size(sk).cast("double"))
+            .otherwise(lit((m.ndvK - 1).toDouble) *
+              lit(graft.ext.Sketches.HashSpace) /
+              element_at(sk, size(sk))))
+        .drop(s"ndvsk_$c")
     }
   }
 }

@@ -199,7 +199,8 @@ object PipelineQueries {
         keepVersions = 2)
       graft.pipeline.Rollup.build(s, src, ru,
         Seq("o_orderpriority"), Seq("o_totalprice"),
-        minMax = Seq("o_totalprice"))
+        minMax = Seq("o_totalprice"), ndv = Seq("o_custkey"),
+        ndvK = 64)
       graft.pipeline.Snapshot.morCommit(s, src, deletes = None,
         appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
         operation = "append")
@@ -1908,15 +1909,35 @@ FROM iceberg.silver.orders_current""")
     // minus the position-deleted slice) — the decimal accumulation
     // makes add/subtract maintenance commute bit-for-bit with this.
     "q_rollup_maintain" -> s"""
-      SELECT o_orderpriority, COUNT(*) AS cnt,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
-               AS sum_o_totalprice,
-             MIN(o_totalprice) AS min_o_totalprice,
-             MAX(o_totalprice) AS max_o_totalprice
-      FROM orders
-      WHERE o_orderkey % 100 <> 1
-      GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      WITH fin AS (
+        SELECT * FROM orders WHERE o_orderkey % 100 <> 1
+      ), h AS (
+        SELECT DISTINCT o_orderpriority,
+               ('0x' || md5(CAST(o_custkey AS VARCHAR))[1:15])::BIGINT
+                 AS h
+        FROM fin
+      ), r AS (
+        SELECT o_orderpriority, h, row_number() OVER
+          (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        FROM h
+      ), kmv AS (
+        SELECT o_orderpriority,
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / max(h) END
+                 AS ndv_o_custkey
+        FROM r WHERE rn <= 64 GROUP BY o_orderpriority
+      ), g AS (
+        SELECT o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_o_totalprice,
+               MIN(o_totalprice) AS min_o_totalprice,
+               MAX(o_totalprice) AS max_o_totalprice
+        FROM fin GROUP BY o_orderpriority
+      )
+      SELECT g.o_orderpriority, g.cnt, g.sum_o_totalprice,
+             g.min_o_totalprice, g.max_o_totalprice, kmv.ndv_o_custkey
+      FROM g JOIN kmv USING (o_orderpriority)
+      ORDER BY g.o_orderpriority""",
 
     "q_cdc_parse" -> s"""
       WITH $evoCte

@@ -186,6 +186,52 @@ class RollupSpec extends SparkSpec {
       "count/sum stay exact alongside the min/max arm")
   }
 
+  test("ndv sketches: appends UNION the sketch (merge equals the " +
+    "recomputed sketch exactly); deletes recompute affected groups " +
+    "so the estimate forgets removed members") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollupndv").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    val k = 8 // small k so the cap + estimate formula both exercise
+    def kmvOf(df: DataFrame): Set[(String, Double)] =
+      graft.ext.Sketches.kmvDistinct(
+          df.filter(col("o_custkey").isNotNull),
+          Seq("o_orderpriority"), "o_custkey", k)
+        .as[(String, Double)].collect().toSet
+    def ndvServed(): Set[(String, Double)] =
+      Rollup.read(spark, src, ru)
+        .select(col("o_orderpriority"), col("ndv_o_custkey"))
+        .as[(String, Double)].collect().toSet
+
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, src, keepVersions = 2)
+    Rollup.build(spark, src, ru, Seq("o_orderpriority"),
+      Seq("o_totalprice"), ndv = Seq("o_custkey"), ndvK = k)
+    assert(ndvServed() == kmvOf(v1))
+
+    // append wave: the MERGED sketch must equal the sketch a full
+    // recompute would build (distinct-union keep-k is exact-by-value)
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(ndvServed() == kmvOf(orders))
+
+    // position-delete a custkey slice: affected groups recompute, so
+    // deleted members leave the sketch (an append-only merge could
+    // never lower the estimate)
+    Snapshot.morCommit(spark, src, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(
+        Snapshot.readLineage(spark, src)
+          .filter(col("o_custkey") % 3 === 1)))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(ndvServed() ==
+      kmvOf(Snapshot.read(spark, src).localCheckpoint()),
+      "the post-delete sketch must equal a recompute over survivors")
+  }
+
   test("auto-compaction bounds the refresh sidecar stack: repeated " +
     "waves keep the MOR depth sawtoothed and the aggregate exact") {
     val orders = Tables.orders(spark, sf).localCheckpoint()
