@@ -47,6 +47,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    rollup table: a key-scoped equality delete drops their old
   *    rows, the re-summed rows append; groups whose count reaches 0
   *    disappear; a count below 0 raises (corruption guard).
+  *  - NULL group keys are in-contract (`groupBy` creates the null
+  *    group like SQL does); every internal join on the group keys is
+  *    null-safe ([[nsJoin]]) so the null group maintains exactly like
+  *    any other.
   *  - Crash replay: each refresh commit carries the window's END
   *    version in its operation marker (`rollup-to-v<N>`), so a replay
   *    after a crash between the rollup commit and the meta write
@@ -76,7 +80,11 @@ object Rollup {
         s"rollup meta at $rollupDir has ${lines.length} lines (this " +
           "version writes 7) — persisted by an older format; rebuild")
       Some(Meta(lines.head.toLong, lines(1).toLong,
-        lines(2).split("\t").toSeq, lines(3).split("\t").toSeq,
+        lines(2).split("\t").toSeq,
+        // a count-only rollup (measures = Nil) writes an empty line;
+        // "".split returns Seq("") — filter, or every refresh/read
+        // would chase a phantom `sum_` column
+        lines(3).split("\t").toSeq.filter(_.nonEmpty),
         lines(4).stripPrefix("mm:").split("\t").toSeq
           .filter(_.nonEmpty),
         lines(5).stripPrefix("nd:").split("\t").toSeq
@@ -96,6 +104,32 @@ object Rollup {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(rollupDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Null-safe multi-key join on the GROUP columns. `groupBy`
+    * happily creates a null-key group (and multi-key rollups null
+    * individual key columns), but a plain `usingColumns` equi-join
+    * never matches null keys — the touched/old/recompute joins would
+    * silently skip the null group while the commit's null-safe
+    * equality delete still removes its stored row: data loss. This
+    * renames the right side's keys, joins on `<=>`, and (for outer
+    * shapes) coalesces the keys back. */
+  private def nsJoin(left: DataFrame, right: DataFrame,
+                     keys: Seq[String], joinType: String): DataFrame = {
+    val r2 = keys.foldLeft(right)((df, k) =>
+      df.withColumnRenamed(k, s"_nsk_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"_nsk_$k")).reduce(_ && _)
+    val joined = left.join(r2, cond, joinType)
+    if (joinType == "left_semi" || joinType == "left_anti") joined
+    else {
+      val patched =
+        if (joinType.startsWith("full") || joinType.startsWith("right")
+            || joinType == "outer")
+          keys.foldLeft(joined)((df, k) =>
+            df.withColumn(k, coalesce(col(k), col(s"_nsk_$k"))))
+        else joined
+      patched.drop(keys.map(k => s"_nsk_$k"): _*)
+    }
   }
 
   private def srcVersionOf(srcPath: String): Long =
@@ -139,7 +173,7 @@ object Rollup {
           df.filter(col(c).isNotNull), groupCols, c, k)
         .groupBy(groupCols.map(col): _*)
         .agg(sort_array(collect_list(col("_h"))).as(s"$prefix$c"))
-    }.reduce((a, b) => a.join(b, groupCols, "full_outer"))
+    }.reduce((a, b) => nsJoin(a, b, groupCols, "full_outer"))
 
   /** Merge-aggregate for sketch columns: per group, the k smallest
     * distinct hashes across every contributing sketch array. */
@@ -153,7 +187,7 @@ object Rollup {
                            groupCols: Seq[String], ndv: Seq[String],
                            k: Int): DataFrame =
     if (ndv.isEmpty) agg
-    else agg.join(sketchFrame(src, groupCols, ndv, k), groupCols,
+    else nsJoin(agg, sketchFrame(src, groupCols, ndv, k), groupCols,
       "left")
 
   /** Build (or rebuild): one full aggregation pass over the live
@@ -262,8 +296,8 @@ object Rollup {
     val touched = delta.select(key.map(col): _*).localCheckpoint()
     val n = touched.count()
     if (n > 0) {
-      val old = Snapshot.read(spark, tableDir(rollupDir))
-        .join(broadcast(touched), key, "left_semi")
+      val old = nsJoin(Snapshot.read(spark, tableDir(rollupDir)),
+        broadcast(touched), key, "left_semi")
       val mexprs = sum("cnt").cast("long").as("cnt") +:
         (sumCols.map(c =>
           sum(col(c)).cast(DecimalType(27, 6)).as(c)) ++
@@ -285,15 +319,15 @@ object Rollup {
         val minusG = minus.select(key.map(col): _*).distinct()
           .localCheckpoint()
         if (minusG.limit(1).count() > 0) {
-          val recSrc = Snapshot.readAsOf(spark, srcPath, version)
-            .join(broadcast(minusG), key, "left_semi")
+          val recSrc = nsJoin(Snapshot.readAsOf(spark, srcPath, version),
+            broadcast(minusG), key, "left_semi")
           // STRICT override for every minus-touched group — not a
           // coalesce: a touched group whose surviving values are all
           // null must surface null, not the stale merged value (which
           // may reflect deleted rows); an untouched group keeps its
           // arithmetic merge; a fully-deleted group's row is dropped
           // by the cnt filter regardless
-          merged = merged.join(
+          merged = nsJoin(merged,
             broadcast(minusG.withColumn("_r_touched", lit(true))),
             key, "left")
           if (m.minMax.nonEmpty) {
@@ -302,7 +336,7 @@ object Rollup {
               max(col(mm)).as(s"_r_max_$mm")))
             val rec = recSrc.groupBy(key.map(col): _*)
               .agg(rexprs.head, rexprs.tail: _*)
-            merged = merged.join(rec, key, "left")
+            merged = nsJoin(merged, rec, key, "left")
             m.minMax.foreach { mm =>
               merged = merged
                 .withColumn(s"min_$mm",
@@ -318,7 +352,7 @@ object Rollup {
           if (m.ndv.nonEmpty) {
             val recSk = sketchFrame(recSrc, key, m.ndv, m.ndvK,
               prefix = "_r_ndvsk_")
-            merged = merged.join(recSk, key, "left")
+            merged = nsJoin(merged, recSk, key, "left")
             m.ndv.foreach { c =>
               merged = merged.withColumn(s"ndvsk_$c",
                 when(col("_r_touched"), col(s"_r_ndvsk_$c"))

@@ -523,8 +523,9 @@ object Snapshot {
     * pipeline already tells. */
   def createOrReplace(df: DataFrame, path: String,
                       keepVersions: Int = 0,
-                      options: Map[String, String] = Map.empty): Unit =
-    swapIn(path, keepVersions) { tmp =>
+                      options: Map[String, String] = Map.empty,
+                      operation: String = "overwrite"): Unit =
+    swapIn(path, keepVersions, operation = operation) { tmp =>
       // `options` reach the parquet writer — e.g.
       // [[ScanPruning.bloomWriteOptions]] to index a column for
       // point-lookup file pruning
@@ -1688,13 +1689,8 @@ object Snapshot {
           Files.isDirectory(root.resolve("pos_deletes"))
       }
       if (withDeletes.nonEmpty) CommitWindow.CarriesDeletes(withDeletes)
-      else CommitWindow.FastAppends(window
-        .map(v => morRoot(path).resolve(s"v$v").resolve("appends"))
-        // a zero-row fast-append (e.g. INSERT ... WHERE false) leaves
-        // a dir with no parquet files — it contributes no rows, and
-        // surfacing it would fail the consumer's schema inference
-        .filter(d => Files.isDirectory(d) && hasParquet(d))
-        .map(_.toString))
+      else CommitWindow.FastAppends(
+        window.flatMap(v => sidecarDir(path, v, "appends")))
     }
   }
 
@@ -1702,6 +1698,18 @@ object Snapshot {
     val s = Files.list(d)
     try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
     finally s.close()
+  }
+
+  /** Commit v's sidecar dir of `kind` (`appends` / `deletes` /
+    * `pos_deletes`) iff it exists AND holds at least one parquet file
+    * — the one definition of "this commit carries rows of this kind"
+    * every window consumer shares (a zero-row sidecar contributes
+    * nothing and would fail schema inference). */
+  private def sidecarDir(path: String, v: Long,
+                         kind: String): Option[String] = {
+    val d = morRoot(path).resolve(s"v$v").resolve(kind)
+    if (Files.isDirectory(d) && hasParquet(d)) Some(d.toString)
+    else None
   }
 
   /** [[diff]] with an O(window delta) fast path: when every commit in
@@ -1740,34 +1748,27 @@ object Snapshot {
                             keyCols: Seq[String]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{max_by, min, min_by, struct,
       when}
+    // a reversed range is not a window this fast path can price —
+    // delegate to [[diff]] (which serves the reverse diff), keeping
+    // the ALWAYS-diff-identical contract instead of silently
+    // returning an empty changelog
+    if (from > to) return None
     if (markerVersion(path).getOrElse(0L) > from) return None
     if (currentVersion(path).forall(_ < to)) return None
     val tableCols = read(spark, path).limit(0).columns.toSeq
     if (!keyCols.forall(tableCols.contains)) return None
     val vs = morVersions(path).filter(v => v > from && v <= to)
-    def sidecar(v: Long, kind: String): Option[String] = {
-      val d = morRoot(path).resolve(s"v$v").resolve(kind)
-      if (Files.isDirectory(d) && hasParquet(d)) Some(d.toString)
-      else None
-    }
     // delete events must carry full row images
     var delFrames = List.empty[DataFrame]
     var appFrames = List.empty[DataFrame]
     for (v <- vs) {
-      sidecar(v, "deletes").foreach { d =>
+      sidecarDir(path, v, "deletes").foreach { d =>
         val df = spark.read.parquet(d)
         if (!tableCols.forall(df.columns.contains)) return None
         delFrames ::= df.select(tableCols.map(col): _*)
           .withColumn("_graft_v", lit(v))
       }
-      sidecar(v, "pos_deletes").foreach { d =>
-        val rows = resolvePosDeleteRows(spark, path,
-          spark.read.parquet(d))
-        if (!tableCols.forall(rows.columns.contains)) return None
-        delFrames ::= rows.select(tableCols.map(col): _*)
-          .withColumn("_graft_v", lit(v))
-      }
-      sidecar(v, "appends").foreach { d =>
+      sidecarDir(path, v, "appends").foreach { d =>
         val df = spark.read.parquet(d)
         // a pre-schema-evolution append sidecar lacks later columns —
         // unpriceable against the live schema; fall back to diff
@@ -1775,6 +1776,20 @@ object Snapshot {
         appFrames ::= df
           .select(tableCols.map(col): _*).withColumn("_graft_v", lit(v))
       }
+    }
+    // position pairs of EVERY window commit resolve in ONE pass (tag
+    // each pair with its commit, union, read the referenced files
+    // once) — a 200-micro-batch changelog window otherwise re-scans
+    // the same hot base files 200 times with a driver collect each
+    val posPairs = vs
+      .flatMap(v => sidecarDir(path, v, "pos_deletes").map(d =>
+        spark.read.parquet(d).select(col("file_path"), col("pos"))
+          .withColumn("_graft_v", lit(v))))
+      .reduceOption(_ unionByName _)
+    posPairs.foreach { pp =>
+      val rows = resolvePosDeleteRowsTagged(spark, path, pp)
+      if (!tableCols.forall(rows.columns.contains)) return None
+      delFrames ::= rows.select((tableCols :+ "_graft_v").map(col): _*)
     }
     val emptyOut = read(spark, path).limit(0)
       .select(keyCols.map(col): _*).withColumn("op", lit("insert"))
@@ -1847,6 +1862,33 @@ object Snapshot {
       .drop(LineageFile, LineagePos)
   }
 
+  /** [[resolvePosDeleteRows]] that PRESERVES the pairs' extra columns
+    * (e.g. a per-commit `_graft_v` tag) on the resolved row images —
+    * an inner join instead of the semi, so the same (file, pos) pair
+    * deleted by two commits resolves once per tag, exactly the
+    * per-commit accounting the caller priced. */
+  private def resolvePosDeleteRowsTagged(spark: SparkSession,
+                                         path: String,
+                                         pairs: DataFrame): DataFrame = {
+    val dir = Paths.get(path).toAbsolutePath.normalize.toString
+    val extra = pairs.columns.toSeq.filterNot(
+      Seq("file_path", "pos").contains)
+    val files = pairs.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (files.isEmpty)
+      return extra.foldLeft(read(spark, path).limit(0))((df, c) =>
+        df.withColumn(c, lit(null).cast(
+          pairs.schema(c).dataType)))
+    val rows = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    val tagged = rows
+      .withColumn(LineageFile, relFileId(dir))
+      .withColumn(LineagePos, col("_metadata.row_index"))
+    tagged
+      .join(pairs, tagged(LineageFile) === pairs("file_path") &&
+        tagged(LineagePos) === pairs("pos"))
+      .drop(LineageFile, LineagePos, "file_path", "pos")
+  }
+
   /** [[resolvePosDeleteRows]] projected to `keyCols`, with a loud
     * failure when the referenced files do not store them. */
   private def resolvePosDeleteKeys(spark: SparkSession, path: String,
@@ -1892,18 +1934,13 @@ object Snapshot {
         "accounting needs position deletes; set " +
         "'write.mor.deletes'='position' on the source) — recompute " +
         "instead")
-    def sidecar(v: Long, kind: String): Option[String] = {
-      val d = morRoot(path).resolve(s"v$v").resolve(kind)
-      if (Files.isDirectory(d) && hasParquet(d)) Some(d.toString)
-      else None
-    }
     val dir = Paths.get(path).toAbsolutePath.normalize.toString
-    val plusRaw = vs.flatMap(v => sidecar(v, "appends"))
+    val plusRaw = vs.flatMap(v => sidecarDir(path, v, "appends"))
       .map(d => spark.read.parquet(d)
         .withColumn(LineageFile, relFileId(dir))
         .withColumn(LineagePos, col("_metadata.row_index")))
       .reduceOption(_ unionByName _)
-    val pairs = vs.flatMap(v => sidecar(v, "pos_deletes"))
+    val pairs = vs.flatMap(v => sidecarDir(path, v, "pos_deletes"))
       .map(spark.read.parquet(_)).reduceOption(_ unionByName _)
       // a (file, pos) pair addresses one immutable row — re-deleting
       // it in a later commit must not double-subtract
@@ -1960,13 +1997,8 @@ object Snapshot {
       : (DataFrame, DataFrame) = {
     val vs = morVersions(path)
       .filter(v => v > sinceVersion && v <= untilVersion)
-    def sidecar(v: Long, kind: String): Option[String] = {
-      val d = morRoot(path).resolve(s"v$v").resolve(kind)
-      if (Files.isDirectory(d) && hasParquet(d)) Some(d.toString)
-      else None
-    }
     val delFrames = vs.flatMap { v =>
-      val eq = sidecar(v, "deletes").map { d =>
+      val eq = sidecarDir(path, v, "deletes").map { d =>
         val df = spark.read.parquet(d)
         val missing = keyCols.filterNot(df.columns.contains)
         if (missing.nonEmpty) throw new IllegalStateException(
@@ -1977,12 +2009,12 @@ object Snapshot {
             "derived table instead")
         df.select(keyCols.map(col): _*)
       }
-      val pos = sidecar(v, "pos_deletes")
+      val pos = sidecarDir(path, v, "pos_deletes")
         .map(d => resolvePosDeleteKeys(spark, path, d, keyCols, what))
       (eq ++ pos).reduceOption(_ unionByName _)
         .map(_.withColumn("_graft_del_v", lit(v)))
     }
-    val appended0 = vs.flatMap(v => sidecar(v, "appends").map(d =>
+    val appended0 = vs.flatMap(v => sidecarDir(path, v, "appends").map(d =>
         spark.read.parquet(d).withColumn("_graft_app_v", lit(v))))
       .reduceOption(_ unionByName _)
     val emptyRows = read(spark, path).limit(0)

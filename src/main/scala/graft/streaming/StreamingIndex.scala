@@ -63,8 +63,10 @@ object StreamingIndex {
               corpusDir: String, indexDir: String, checkpointDir: String,
               m: Int, dsub: Int, ksub: Int,
               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    startMaintained(spark, vectorsDir, corpusDir, checkpointDir, trigger,
-      indexExists = PqIndex.meta(indexDir).isDefined,
+    startMaintained(spark, vectorsDir, vectorSchema, corpusDir,
+      checkpointDir, trigger, maxFilesPerTrigger = 4,
+      dedupKey = Some("vec_id"),
+      artifactExists = PqIndex.meta(indexDir).isDefined,
       bootstrap = PqIndex.build(spark, corpusDir, indexDir, m, dsub, ksub),
       refresh = PqIndex.refresh(spark, corpusDir, indexDir))
 
@@ -81,57 +83,85 @@ object StreamingIndex {
                  m: Int, dsub: Int, ksub: Int,
                  trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =
-    startMaintained(spark, vectorsDir, corpusDir, checkpointDir, trigger,
-      indexExists = IvfPqIndex.meta(indexDir).isDefined,
+    startMaintained(spark, vectorsDir, vectorSchema, corpusDir,
+      checkpointDir, trigger, maxFilesPerTrigger = 4,
+      dedupKey = Some("vec_id"),
+      artifactExists = IvfPqIndex.meta(indexDir).isDefined,
       bootstrap = IvfPqIndex.build(spark, corpusDir, indexDir, nlist,
         m, dsub, ksub),
       refresh = IvfPqIndex.refresh(spark, corpusDir, indexDir))
 
-  /** The shared per-batch maintenance loop: bootstrap on the first
-    * batch, then batch-id-marked fast-appends + an unconditional
-    * version-checked index refresh. `indexExists` re-evaluates per
-    * batch: a crash between the bootstrap corpus write and the index
-    * build would otherwise wedge every replay on a meta-less refresh —
-    * instead the next batch re-runs the bootstrap build against the
-    * corpus as it stands. */
-  private def startMaintained(spark: SparkSession, vectorsDir: String,
-                              corpusDir: String, checkpointDir: String,
-                              trigger: Trigger,
-                              indexExists: => Boolean,
-                              bootstrap: => Long,
-                              refresh: => Long): StreamingQuery = {
+  /** The shared per-batch maintenance loop — ST9's and ST10's one
+    * audited replay protocol: bootstrap on the first batch, then
+    * batch-id-marked fast-appends + an unconditional version-checked
+    * derived-artifact refresh. `artifactExists` re-evaluates per
+    * batch: a crash between the bootstrap table write and the
+    * artifact build would otherwise wedge every replay on a meta-less
+    * refresh — instead the next batch re-runs the bootstrap build
+    * against the table as it stands. `dedupKey` optionally exact-
+    * dedups re-delivered rows by id against the column-pruned table
+    * (ST9's vec_id contract); keyless facts (ST10) skip it — the
+    * batch marker is their idempotence boundary. */
+  private[streaming] def startMaintained(
+      spark: SparkSession, sourceDir: String, schema: StructType,
+      tableDir: String, checkpointDir: String, trigger: Trigger,
+      maxFilesPerTrigger: Int, dedupKey: Option[String],
+      artifactExists: => Boolean, bootstrap: => Long,
+      refresh: => Long): StreamingQuery = {
     spark.readStream
-      .schema(vectorSchema)
-      .option("maxFilesPerTrigger", 4)
-      .parquet(vectorsDir)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val batch = batch0.localCheckpoint()
-        if (!new java.io.File(corpusDir).exists) {
-          Snapshot.createOrReplace(batch, corpusDir, keepVersions = 2)
-          bootstrap
-        } else {
-          val live = Snapshot.currentVersion(corpusDir).getOrElse(0L)
-          val replayed = Snapshot.operationOf(corpusDir, live)
-            .contains(batchOp(checkpointDir, batchId))
-          if (!replayed) {
-            val fresh = batch.join(
-              Snapshot.read(spark, corpusDir).select("vec_id"),
-              Seq("vec_id"), "left_anti")
-            if (!fresh.isEmpty)
-              Snapshot.morCommit(spark, corpusDir, deletes = None,
-                appends = Some(fresh),
-                operation = batchOp(checkpointDir, batchId))
-          }
-          // unconditional: heals a crash that landed the corpus commit
-          // but not the refresh (O(1) no-op when versions agree) — and
-          // a crash BEFORE the index ever built re-runs the bootstrap
-          if (indexExists) refresh else bootstrap
-        }
-        ()
+        applyBatch(spark, batch0.localCheckpoint(), batchId, tableDir,
+          checkpointDir, dedupKey, artifactExists, bootstrap, refresh)
       }
       .start()
+  }
+
+  /** One micro-batch of the maintenance loop, factored out so specs
+    * drive replay DIRECTLY (calling it twice with the same batchId is
+    * the at-least-once redelivery). The BOOTSTRAP commit carries the
+    * batch marker too — `createOrReplace`'s default 'overwrite'
+    * operation would make a replayed batch 0 (crash between bootstrap
+    * and checkpoint advance) unrecognizable, re-appending its rows:
+    * for keyless facts that is silent permanent double-counting. */
+  private[streaming] def applyBatch(spark: SparkSession,
+                                    batch: DataFrame, batchId: Long,
+                                    tableDir: String,
+                                    checkpointDir: String,
+                                    dedupKey: Option[String],
+                                    artifactExists: => Boolean,
+                                    bootstrap: => Long,
+                                    refresh: => Long): Unit = {
+    if (!new java.io.File(tableDir).exists) {
+      Snapshot.createOrReplace(batch, tableDir, keepVersions = 2,
+        operation = batchOp(checkpointDir, batchId))
+      bootstrap
+    } else {
+      val live = Snapshot.currentVersion(tableDir).getOrElse(0L)
+      val replayed = Snapshot.operationOf(tableDir, live)
+        .contains(batchOp(checkpointDir, batchId))
+      if (!replayed) {
+        val fresh = dedupKey match {
+          case Some(k) => batch.join(
+            Snapshot.read(spark, tableDir).select(k),
+            Seq(k), "left_anti")
+          case None => batch
+        }
+        if (!fresh.isEmpty)
+          Snapshot.morCommit(spark, tableDir, deletes = None,
+            appends = Some(fresh),
+            operation = batchOp(checkpointDir, batchId))
+      }
+      // unconditional: heals a crash that landed the table commit
+      // but not the refresh (O(1) no-op when versions agree) — and
+      // a crash BEFORE the artifact ever built re-runs the bootstrap
+      if (artifactExists) refresh else bootstrap
+    }
+    ()
   }
 }

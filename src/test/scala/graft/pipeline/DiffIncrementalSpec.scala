@@ -56,6 +56,14 @@ class DiffIncrementalSpec extends SparkSpec {
     val slow = Snapshot.diff(spark, src, from, to, Seq("order_id"))
     assert(asSet(fast) == asSet(slow),
       "the sidecar-derived diff must equal the two-version diff")
+
+    // a REVERSED range is not a window the fast path can price — it
+    // must fall back to diff (which serves the reverse diff), never
+    // silently return an empty changelog
+    assert(asSet(Snapshot.diffIncremental(spark, src, to, from,
+        Seq("order_id"))) ==
+      asSet(Snapshot.diff(spark, src, to, from, Seq("order_id"))),
+      "a reversed range must stay diff-identical, not go empty")
     assert(asSet(fast).count(_._2 == "insert") == 20)
     assert(asSet(fast).count(_._2 == "delete") == 5)
     assert(asSet(fast) contains ((50L, "update")))

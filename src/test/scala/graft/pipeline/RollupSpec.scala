@@ -232,6 +232,87 @@ class RollupSpec extends SparkSpec {
       "the post-delete sketch must equal a recompute over survivors")
   }
 
+  test("NULL group keys maintain exactly like any other group: " +
+    "appends merge into the null group and deletes recompute it " +
+    "(a plain equi-join would silently drop its stored row)") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      // null the key for one slice — groupBy creates the null group
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 4 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      .localCheckpoint()
+    val root = Files.createTempDirectory("rollupnull").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    def mmRecompute(df: DataFrame): Set[(String, Double, Double)] =
+      df.groupBy("o_orderpriority")
+        .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .as[(String, Double, Double)].collect().toSet
+    def mmServed(): Set[(String, Double, Double)] =
+      Rollup.read(spark, src, ru)
+        .select(col("o_orderpriority"),
+          col("min_o_totalprice"), col("max_o_totalprice"))
+        .as[(String, Double, Double)].collect().toSet
+
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, src, keepVersions = 2)
+    Rollup.build(spark, src, ru, Seq("o_orderpriority"),
+      Seq("o_totalprice"), minMax = Seq("o_totalprice"),
+      ndv = Seq("o_custkey"), ndvK = 8)
+    assert(served(src, ru) == recompute(v1))
+
+    // append window INTO the null group: the old null-group row must
+    // MERGE with the delta, not be replaced by it
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(served(src, ru) == recompute(orders),
+      "the null group's count/sum must merge, not reset to the delta")
+    assert(mmServed() == mmRecompute(orders))
+
+    // delete the null group's MAXIMUM: the strict recompute override
+    // must reach the null group through its null-safe joins
+    val victim = Snapshot.read(spark, src)
+      .filter(col("o_orderpriority").isNull)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(1).localCheckpoint()
+    Snapshot.morCommit(spark, src, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(
+        Snapshot.readLineage(spark, src)
+          .join(victim.select("o_orderkey"), Seq("o_orderkey"),
+            "left_semi")))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    val live = Snapshot.read(spark, src).localCheckpoint()
+    assert(served(src, ru) == recompute(live))
+    assert(mmServed() == mmRecompute(live),
+      "the deleted null-group extremum must recompute exactly")
+  }
+
+  test("a count-only rollup (measures = Nil) builds, refreshes and " +
+    "reads — the empty measures line must round-trip through the " +
+    "meta, not resurrect as a phantom sum_ column") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollupcnt").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    def cntOf(df: DataFrame): Set[(String, Long)] =
+      df.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toSet
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, src, keepVersions = 2)
+    Rollup.build(spark, src, ru, Seq("o_orderpriority"), Nil)
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(Rollup.read(spark, src, ru)
+      .select(col("o_orderpriority"), col("cnt"))
+      .as[(String, Long)].collect().toSet == cntOf(orders))
+  }
+
   test("auto-compaction bounds the refresh sidecar stack: repeated " +
     "waves keep the MOR depth sawtoothed and the aggregate exact") {
     val orders = Tables.orders(spark, sf).localCheckpoint()

@@ -72,6 +72,37 @@ class StreamingRollupSpec extends SparkSpec {
     assert(Snapshot.currentVersion(Rollup.tableDir(ru)) == rv)
   }
 
+  test("a replayed BOOTSTRAP batch (crash between the bootstrap " +
+    "commit and the checkpoint advance) is recognized by its marker " +
+    "and not re-appended — keyless facts would otherwise silently " +
+    "double-count forever") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .localCheckpoint()
+    val root = Files.createTempDirectory("strrubr").toString
+    val table = s"$root/table"
+    val ru = s"$root/rollup"
+    val cp = s"$root/cp"
+    val w1 = orders.filter(col("o_orderkey") % 3 === 0).localCheckpoint()
+    // applyBatch IS the foreachBatch body; calling it twice with the
+    // same batchId is the at-least-once redelivery after a crash
+    // before the checkpoint commit
+    def run(): Unit = StreamingIndex.applyBatch(spark, w1, 0L, table,
+      cp, dedupKey = None,
+      artifactExists = Rollup.meta(ru).isDefined,
+      bootstrap = Rollup.build(spark, table, ru,
+        Seq("o_orderpriority"), Seq("o_totalprice")),
+      refresh = Rollup.refresh(spark, table, ru))
+    run()
+    val v = Snapshot.currentVersion(table)
+    run()
+    assert(Snapshot.read(spark, table).count() == w1.count(),
+      "the replayed bootstrap batch must not re-append its rows")
+    assert(Snapshot.currentVersion(table) == v,
+      "the replay must not commit at all")
+    assert(served(table, ru) == recompute(w1))
+  }
+
   test("a restart on a FRESH checkpoint (batch ids restart at 0) is " +
     "not mistaken for a replay: the re-fed rows reach the facts and " +
     "the rollup") {
