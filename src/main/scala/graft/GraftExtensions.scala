@@ -116,6 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.Hex(children.head)
     ))
     ext.injectResolutionRule(graft.catalog.ResolveGraftRelations.apply)
+    // materialized-view rewrite: aggregates over a base table with a
+    // registered FRESH rollup re-target the gold table (RollupRewrite;
+    // post-hoc so it sees the ANALYZED scan shape, pre-optimizer)
+    ext.injectPostHocResolutionRule(graft.catalog.RollupRewrite.apply)
     ext.injectParser((session, parser) =>
       new graft.catalog.GraftSqlParser(session, parser))
   }

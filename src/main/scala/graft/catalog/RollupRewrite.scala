@@ -1,0 +1,221 @@
+package graft.catalog
+
+import graft.pipeline.{Rollup, Snapshot}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** AUTOMATIC MATERIALIZED-VIEW REWRITE — the optimizer rule that makes
+  * the maintained rollup ([[graft.pipeline.Rollup]], S19) transparent:
+  * an aggregate over the BASE table whose result is derivable from a
+  * registered, FRESH rollup is rewritten to aggregate the (tiny) gold
+  * table instead — the classic materialized-view rewrite (Calcite /
+  * Trino MV semantics), Spark-first as a `Rule[LogicalPlan]` injected
+  * via `SparkSessionExtensions`. At 100 TB this turns the recurring
+  * dashboard `GROUP BY` from a full-table scan into a read of a few
+  * thousand pre-aggregated rows, with zero query changes.
+  *
+  * The rewrite fires only when it is provably EXACT:
+  *  - the rollup's meta pins the base-table snapshot version it
+  *    aggregates; a stale rollup (base moved) never rewrites — the
+  *    stats-serve-no-stale-plans discipline every derived artifact in
+  *    this engine follows, which is what makes the rewrite safe to
+  *    leave always-on;
+  *  - the aggregate child must be the base table's scan plan itself
+  *    (canonicalized `sameResult`, optionally under a column-pruning
+  *    Project) — filters or joins below the aggregate disqualify;
+  *  - grouping columns must be a SUBSET of the rollup's group columns
+  *    (a coarser GROUP BY re-aggregates the gold table — sums of sums,
+  *    min of mins: the standard roll-up match);
+  *  - every aggregate must be exactly derivable: `count(*)` →
+  *    `sum(cnt)` (coalesced to 0 for the global-aggregate-over-empty
+  *    edge), `sum(m)` over integral/decimal measures and the
+  *    `sum(cast(m as decimal(27,6)))` idiom → `sum(sum_m)` (the store
+  *    accumulates exact DECIMAL(27,6), so re-aggregation commutes
+  *    bit-for-bit), `min/max(c)` over maintained min/max columns,
+  *    `avg(m)` over integral measures (`sum/cnt` reproduces Spark's
+  *    long-sum-then-double-divide exactly). `sum(double)` is NOT
+  *    rewritten (floating-point sums are order-dependent; the rewrite
+  *    must never change a result), nor are distinct/filtered
+  *    aggregates.
+  *
+  * Disable with `spark.graft.rollup.rewrite.enabled = false`. The
+  * linkage comes from the gold table's TBLPROPERTIES
+  * (`graft.rollup.dir` / `graft.rollup.source`, written by
+  * `CALL system.create_rollup` — GraftCallCommand.scala).
+  *
+  * Runs as a POST-HOC RESOLUTION rule (once, on the fully-ANALYZED
+  * plan): the base-plan comparison is `sameResult` against the
+  * analyzed `Snapshot.read` shape, and an optimizer-time rule would
+  * see the merge-on-read subtree mid-rewrite (pruned projections,
+  * pushed filters) where the canonical comparison can no longer
+  * recognize it. The spliced gold subtree is analyzed and flows
+  * through the whole optimizer like any hand-written query.
+  */
+case class RollupRewrite(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (session.conf.get("spark.graft.rollup.rewrite.enabled", "true")
+          != "true") return plan
+    // a rollup BUILD/REFRESH aggregates the base table in exactly the
+    // derivable shape — rewriting it would rebuild the gold table
+    // from itself; maintenance suppresses the rule on its thread
+    if (Rollup.maintaining.get()) return plan
+    val targets = new TableStore(session)
+      .tablesWithProperty("graft.rollup.dir")
+    if (targets.isEmpty) return plan
+    plan.transformUp {
+      case agg: Aggregate =>
+        targets.view.flatMap(t => tryRewrite(agg,
+            t("graft.rollup.source"), t("graft.rollup.dir")))
+          .headOption.getOrElse(agg)
+    }
+  }
+
+  /** Aliases name things and attr-only Projects prune things; neither
+    * changes the rows an aggregate consumes. */
+  @scala.annotation.tailrec
+  private def strip(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => strip(c)
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      strip(c)
+    case other => other
+  }
+
+  /** The base-table plan the rollup maintains, canonical-comparable —
+    * cached per (path, version, sidecar count) so the common
+    * no-rollups-touched query pays one map lookup, not a re-analysis. */
+  private def basePlanOf(srcPath: String): Option[LogicalPlan] = {
+    val ver = Snapshot.currentVersion(srcPath).getOrElse(return None)
+    val key = (srcPath, ver, Snapshot.morVersions(srcPath).size)
+    Some(RollupRewrite.planCache.getOrElseUpdate(key, {
+      RollupRewrite.planCache.filterInPlace((k, _) => k._1 != srcPath
+        || k == key) // drop superseded versions of this path
+      Snapshot.read(session, srcPath).queryExecution.analyzed
+    }))
+  }
+
+  private def tryRewrite(agg: Aggregate, srcPath: String,
+                         ruDir: String): Option[Aggregate] = {
+    val m = Rollup.meta(ruDir).getOrElse(return None)
+    // freshness gate: the rollup must describe the LIVE base version
+    if (!Snapshot.currentVersion(srcPath).contains(m.srcVersion))
+      return None
+    // the aggregate input must BE the base table (aliases and
+    // column-pruning Projects in between are transparent)
+    val core = strip(agg.child)
+    val base = basePlanOf(srcPath).getOrElse(return None)
+    if (!core.sameResult(base)) return None
+    // grouping: plain attributes, a subset of the rollup's group cols
+    val resolver = session.sessionState.analyzer.resolver
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    if (!groupAttrs.forall(g => m.groupCols.exists(resolver(_, g.name))))
+      return None
+    val ruPlan = Snapshot.read(session, Rollup.tableDir(ruDir))
+      .queryExecution.analyzed
+    def ruAttr(name: String): Option[Attribute] =
+      ruPlan.output.find(a => resolver(a.name, name))
+    val groupMap: Map[ExprId, Attribute] = groupAttrs.flatMap(g =>
+      ruAttr(g.name).map(g.exprId -> _)).toMap
+    if (groupMap.size != groupAttrs.size) return None
+
+    def derivable(name: String, in: Seq[String]): Boolean =
+      in.exists(resolver(_, name))
+    def sumOf(e: Expression) =
+      AggregateExpression(Sum(e), Complete, isDistinct = false)
+
+    /** The rollup-side aggregate function equal to `fn` over the base
+      * — None when not exactly derivable. */
+    def translate(fn: AggregateFunction): Option[Expression] = fn match {
+      case Count(Seq(l: Literal)) if l.value != null =>
+        // count(*): sum of maintained counts; a GLOBAL aggregate over
+        // an empty gold table must yield 0, not sum's null
+        ruAttr("cnt").map(c =>
+          Coalesce(Seq(sumOf(c), Literal(0L))))
+      case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
+          if dt == DecimalType(27, 6) && derivable(a.name, m.measures) =>
+        // the exact-sum idiom: the store IS decimal(27,6) accumulation
+        ruAttr(s"sum_${a.name}").map(sumOf)
+      case Sum(a: AttributeReference, _)
+          if derivable(a.name, m.measures) =>
+        a.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            // integral sums are exact in the decimal store; cast back
+            // to the LongType the base-side sum produces
+            ruAttr(s"sum_${a.name}").map(s =>
+              Cast(sumOf(s), LongType))
+          case d: DecimalType if d.scale <= 6 && d.precision <= 27 =>
+            ruAttr(s"sum_${a.name}").map(s =>
+              Cast(sumOf(s), Sum(a).dataType))
+          case _ => None // float/double sums are order-dependent
+        }
+      case Min(a: AttributeReference)
+          if derivable(a.name, m.minMax) =>
+        ruAttr(s"min_${a.name}").map(x =>
+          AggregateExpression(Min(x), Complete, isDistinct = false))
+      case Max(a: AttributeReference)
+          if derivable(a.name, m.minMax) =>
+        ruAttr(s"max_${a.name}").map(x =>
+          AggregateExpression(Max(x), Complete, isDistinct = false))
+      case Average(a: AttributeReference, _)
+          if derivable(a.name, m.measures) &&
+            Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+              .contains(a.dataType) =>
+        // integral avg: Spark computes exact long sum, then one double
+        // divide — long-exact decimal → long → double reproduces it
+        (ruAttr(s"sum_${a.name}"), ruAttr("cnt")) match {
+          case (Some(s), Some(c)) => Some(Divide(
+            Cast(Cast(sumOf(s), LongType), DoubleType),
+            Cast(sumOf(c), DoubleType)))
+          case _ => None
+        }
+      case _ => None
+    }
+
+    /** Rebuild an output expression over the rollup: aggregate
+      * functions translate, grouping attrs remap, literals and scalar
+      * structure (casts, arithmetic, aliases) carry over; any leftover
+      * base attribute aborts. */
+    def rebuild(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        translate(ae.aggregateFunction)
+      case a: AttributeReference => groupMap.get(a.exprId)
+      case _ if e.children.isEmpty => Some(e)
+      case _ =>
+        val cs = e.children.map(rebuild)
+        if (cs.forall(_.isDefined)) Some(e.withNewChildren(cs.map(_.get)))
+        else None
+    }
+
+    val newAggExprs = agg.aggregateExpressions.map { ne =>
+      val inner = ne match {
+        case Alias(child, _) => child
+        case other => other
+      }
+      rebuild(inner) match {
+        // the rewrite must be invisible: same name, same exprId (the
+        // parent operators reference it), same data type
+        case Some(r) if r.dataType == ne.dataType =>
+          Alias(r, ne.name)(exprId = ne.exprId,
+            qualifier = ne.qualifier)
+        case _ => return None
+      }
+    }
+    Some(Aggregate(groupAttrs.map(g => groupMap(g.exprId)),
+      newAggExprs, ruPlan))
+  }
+}
+
+object RollupRewrite {
+  /** (path, version, sidecar count) → analyzed base plan. */
+  private val planCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int), LogicalPlan]
+}

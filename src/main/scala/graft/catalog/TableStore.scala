@@ -327,6 +327,13 @@ class TableStore(val spark: SparkSession) {
   def properties(ns: String, name: String): Map[String, String] =
     st.properties.getOrElse(requireTableKey(ns, name), Map.empty)
 
+  /** Every table whose properties carry `prop` — the reverse index
+    * the rollup query rewrite walks (gold tables advertise their
+    * base-table linkage in TBLPROPERTIES, the same place Iceberg
+    * would keep it). */
+  def tablesWithProperty(prop: String): Seq[Map[String, String]] =
+    st.properties.values.toSeq.filter(_.contains(prop))
+
   private def requireTableKey(ns: String, name: String): Seq[String] = {
     val k = key(ns, name)
     if (!st.registry.contains(k) && !st.snapshotPaths.contains(k))

@@ -60,6 +60,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object Rollup {
 
+  /** True while build/refresh aggregate the base table on this thread
+    * — [[graft.catalog.RollupRewrite]] must not rewrite maintenance's
+    * own aggregates to read the gold table they are rebuilding. */
+  val maintaining: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  private def suppressRewrite[T](body: => T): T = {
+    val prev = maintaining.get()
+    maintaining.set(true)
+    try body finally maintaining.set(prev)
+  }
+
   final case class Meta(srcVersion: Long, rollupVersion: Long,
                         groupCols: Seq[String], measures: Seq[String],
                         minMax: Seq[String], ndv: Seq[String],
@@ -195,7 +207,7 @@ object Rollup {
   def build(spark: SparkSession, srcPath: String, rollupDir: String,
             groupCols: Seq[String], measures: Seq[String],
             minMax: Seq[String] = Nil, ndv: Seq[String] = Nil,
-            ndvK: Int = 256): Long = {
+            ndvK: Int = 256): Long = suppressRewrite {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
     val version = srcVersionOf(srcPath)
     val src = Snapshot.read(spark, srcPath)
@@ -234,7 +246,8 @@ object Rollup {
     * the `write.mor.compact-after-commits` sawtooth contract.
     * @return touched group count */
   def refresh(spark: SparkSession, srcPath: String,
-              rollupDir: String, compactAfterCommits: Int = 64): Long = {
+              rollupDir: String,
+              compactAfterCommits: Int = 64): Long = suppressRewrite {
     val m = meta(rollupDir).getOrElse(throw new IllegalStateException(
       s"no rollup at $rollupDir (build first)"))
     val version = srcVersionOf(srcPath)

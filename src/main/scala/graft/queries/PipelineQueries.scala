@@ -218,6 +218,64 @@ object PipelineQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // S20 — AUTOMATIC MATERIALIZED-VIEW REWRITE (r13): the optimizer
+    // rule (RollupRewrite, injected via SparkSessionExtensions) that
+    // makes the maintained rollup transparent — a derivable GROUP BY
+    // over the BASE table re-targets the (tiny) gold table, with zero
+    // query changes, and only while the rollup is FRESH. Lifecycle:
+    // register base, CALL create_rollup, fast-append + refresh (the
+    // rewrite must serve a MAINTAINED table, not a one-shot build),
+    // then run a plain SQL aggregate over the base. REQUIRED inside
+    // the query: the optimized plan reads the gold table and never
+    // touches the base scan — at 100 TB that is the difference
+    // between a dashboard query scanning the table and reading a few
+    // thousand pre-aggregated rows.
+    "q_rollup_rewrite" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("rurwq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvq", "orders", src)
+      s.sql("""CALL iceberg.system.create_rollup(
+        table => 'mvq.orders', name => 'mvq.gold',
+        group_by => 'o_orderpriority', sum_cols => 'o_totalprice',
+        min_max_cols => 'o_totalprice')""").collect()
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      s.sql("CALL iceberg.system.refresh_rollup(table => 'mvq.gold')")
+        .collect()
+      val q = s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+          AS sum_price,
+        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        FROM mvq.orders GROUP BY o_orderpriority""")
+      val ruDir = ts.properties("mvq", "gold")("graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir),
+        "the derivable aggregate must be rewritten to the gold rollup")
+      require(!reads(src),
+        "the rewritten plan must not scan the base table")
+      // unregister so later queries in the shared session never pay
+      // the (cheap) target probe
+      ts.dropTable("mvq", "gold"); ts.dropTable("mvq", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
     // X14c — GDPR erasure through the snapshot layer: silver built into
     // a two-version snapshot, then every row of the subject cohort
     // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
@@ -1938,6 +1996,19 @@ FROM iceberg.silver.orders_current""")
              g.min_o_totalprice, g.max_o_totalprice, kmv.ndv_o_custkey
       FROM g JOIN kmv USING (o_orderpriority)
       ORDER BY g.o_orderpriority""",
+
+    // MV-rewrite twin: the rewritten plan reads the gold table, but
+    // the ANSWER is the plain aggregate over the full base — the
+    // oracle computes exactly that (decimal accumulation on both
+    // sides, so the maintained-and-rewritten sum matches bit-for-bit).
+    "q_rollup_rewrite" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
 
     "q_cdc_parse" -> s"""
       WITH $evoCte

@@ -1,0 +1,133 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.pipeline.{Rollup, Snapshot}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Materialized-view rewrite pins: an aggregate over the base table
+  * re-targets the FRESH gold rollup (and only then), the rewrite is
+  * bit-identical to the base-side answer for every derivable shape
+  * (count/sum-exact/min/max/avg-integral, subset-group roll-up,
+  * global aggregate), and every unsafe shape — stale rollup, raw
+  * double sum, filters below the aggregate, distinct — is left on the
+  * base scan. */
+class RollupRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Does the OPTIMIZED plan read from `dir` (path-boundary exact —
+    * the default rollup dir is `<base>.rollup-<name>`, a string
+    * PREFIXED by the base path, so substring matching lies)? */
+  private def scans(df: DataFrame, dir: String): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.map(_.toUri.getPath).exists(p =>
+            p == dir || p.startsWith(s"$dir/"))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** The same frame with the rewrite forced off — the base-side
+    * answer every rewritten result must equal exactly. */
+  private def baseline(sql: String): Set[Seq[Any]] = {
+    spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+    try spark.sql(sql).collect().map(_.toSeq).toSet
+    finally spark.conf.set("spark.graft.rollup.rewrite.enabled", "true")
+  }
+
+  private def fixture(): (String, String) = {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurw").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 400).map(i => (i.toLong, s"g${i % 4}",
+      s"r${i % 2}", (i % 13).toLong, i.toDouble)).toDF(
+      "id", "grp", "region", "qty", "amount")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mv", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mv.facts', name => 'mv.gold',
+      group_by => 'grp,region', sum_cols => 'qty,amount',
+      min_max_cols => 'amount')""").collect()
+    (dir, new TableStore(spark).properties("mv", "gold")(
+      "graft.rollup.dir"))
+  }
+
+  test("an exact-match aggregate re-targets the fresh gold table and " +
+    "the answer is bit-identical; raw double sums and filters stay " +
+    "on the base scan") {
+    val (dir, ru) = fixture()
+    val q = """SELECT grp, region, count(*) AS c,
+      CAST(sum(CAST(amount AS DECIMAL(27,6))) AS DOUBLE) AS s,
+      sum(qty) AS q, min(amount) AS mn, max(amount) AS mx,
+      avg(qty) AS a
+      FROM mv.facts GROUP BY grp, region"""
+    val df = spark.sql(q)
+    assert(scans(df, ru), "the derivable aggregate must read the gold")
+    assert(!scans(df, dir), "…and must NOT touch the base table")
+    assert(df.collect().map(_.toSeq).toSet == baseline(q))
+
+    // a raw double sum is order-dependent — never rewritten
+    val dbl = spark.sql(
+      "SELECT grp, sum(amount) AS s FROM mv.facts GROUP BY grp")
+    assert(!scans(dbl, ru) && scans(dbl, dir),
+      "sum(double) must stay on the base scan")
+    // a filter below the aggregate disqualifies (v1 scope)
+    val flt = spark.sql("SELECT grp, count(*) AS c FROM mv.facts " +
+      "WHERE qty > 3 GROUP BY grp")
+    assert(!scans(flt, ru) && scans(flt, dir))
+    // distinct aggregates are not derivable from the store
+    val dst = spark.sql(
+      "SELECT grp, count(DISTINCT qty) AS c FROM mv.facts GROUP BY grp")
+    assert(!scans(dst, ru) && scans(dst, dir))
+  }
+
+  test("a COARSER group-by (subset of the rollup keys) re-aggregates " +
+    "the gold table — sums of sums, min of mins — and a GLOBAL " +
+    "aggregate derives from it too") {
+    val (dir, ru) = fixture()
+    val rollq = """SELECT grp, count(*) AS c, sum(qty) AS q,
+      min(amount) AS mn FROM mv.facts GROUP BY grp"""
+    val roll = spark.sql(rollq)
+    assert(scans(roll, ru) && !scans(roll, dir),
+      "the subset-group roll-up must read the gold")
+    assert(roll.collect().map(_.toSeq).toSet == baseline(rollq))
+
+    val allq = "SELECT count(*) AS c, sum(qty) AS q FROM mv.facts"
+    val all = spark.sql(allq)
+    assert(scans(all, ru) && !scans(all, dir))
+    assert(all.collect().map(_.toSeq).toSet == baseline(allq))
+  }
+
+  test("a STALE rollup never rewrites; refresh re-arms it; the " +
+    "session flag disables it") {
+    val (dir, ru) = fixture()
+    val q = "SELECT grp, count(*) AS c FROM mv.facts GROUP BY grp"
+    assert(scans(spark.sql(q), ru))
+    // base moves → stale → the very same query returns to the base
+    Snapshot.morCommit(spark, dir, deletes = None,
+      appends = Some(Seq((9999L, "g1", "r1", 5L, 5.0))
+        .toDF("id", "grp", "region", "qty", "amount")),
+      operation = "append")
+    val stale = spark.sql(q)
+    assert(!scans(stale, ru) && scans(stale, dir),
+      "a stale rollup must NEVER serve the rewrite")
+    assert(stale.collect().map(_.toSeq).toSet == baseline(q))
+    // refresh → fresh again → rewrite returns, counting the new row
+    spark.sql("CALL iceberg.system.refresh_rollup(table => 'mv.gold')")
+      .collect()
+    val fresh = spark.sql(q)
+    assert(scans(fresh, ru))
+    assert(fresh.collect().map(_.toSeq).toSet == baseline(q))
+
+    spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+    try assert(!scans(spark.sql(q), ru),
+      "the session flag must force the base plan")
+    finally
+      spark.conf.set("spark.graft.rollup.rewrite.enabled", "true")
+  }
+}
