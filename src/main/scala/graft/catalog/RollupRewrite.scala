@@ -26,7 +26,10 @@ import org.apache.spark.sql.types._
   *    leave always-on;
   *  - the aggregate child must be the base table's scan plan itself
   *    (canonicalized `sameResult`, optionally under a column-pruning
-  *    Project) — filters or joins below the aggregate disqualify;
+  *    Project); WHERE predicates over rollup GROUP columns re-apply
+  *    to the gold table (they commute with partial aggregation — the
+  *    dashboard `WHERE region = 'x' GROUP BY day` shape); any other
+  *    filter or a join below the aggregate disqualifies;
   *  - grouping columns must be a SUBSET of the rollup's group columns
   *    (a coarser GROUP BY re-aggregates the gold table — sums of sums,
   *    min of mins: the standard roll-up match);
@@ -77,13 +80,20 @@ case class RollupRewrite(session: SparkSession)
   }
 
   /** Aliases name things and attr-only Projects prune things; neither
-    * changes the rows an aggregate consumes. */
-  @scala.annotation.tailrec
-  private def strip(p: LogicalPlan): LogicalPlan = p match {
-    case SubqueryAlias(_, c) => strip(c)
+    * changes the rows an aggregate consumes. Filters are COLLECTED —
+    * a predicate over rollup GROUP columns commutes with partial
+    * aggregation (every base row of a gold group shares its key
+    * values), so it re-applies on the gold table; tryRewrite verifies
+    * that and aborts otherwise. */
+  private def strip(p: LogicalPlan,
+                    conds: Seq[Expression] = Nil)
+      : (LogicalPlan, Seq[Expression]) = p match {
+    case SubqueryAlias(_, c) => strip(c, conds)
     case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      strip(c)
-    case other => other
+      strip(c, conds)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+      strip(c, conds :+ cond)
+    case other => (other, conds)
   }
 
   /** The base-table plan the rollup maintains, canonical-comparable —
@@ -106,8 +116,9 @@ case class RollupRewrite(session: SparkSession)
     if (!Snapshot.currentVersion(srcPath).contains(m.srcVersion))
       return None
     // the aggregate input must BE the base table (aliases and
-    // column-pruning Projects in between are transparent)
-    val core = strip(agg.child)
+    // column-pruning Projects in between are transparent; filters
+    // over rollup keys are re-applied on the gold table below)
+    val (core, filters) = strip(agg.child)
     val base = basePlanOf(srcPath).getOrElse(return None)
     if (!core.sameResult(base)) return None
     // grouping: plain attributes, a subset of the rollup's group cols
@@ -195,6 +206,26 @@ case class RollupRewrite(session: SparkSession)
         else None
     }
 
+    /** A collected WHERE predicate re-targets the gold table iff it
+      * is deterministic, subquery-free, and references only rollup
+      * GROUP columns (every base row of a gold group shares its key
+      * values, so filtering groups ≡ filtering rows). */
+    def remapFilter(e: Expression): Option[Expression] = e match {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        None
+      case a: AttributeReference =>
+        if (m.groupCols.exists(resolver(_, a.name))) ruAttr(a.name)
+        else None
+      case _ if !e.deterministic => None
+      case _ if e.children.isEmpty => Some(e)
+      case _ =>
+        val cs = e.children.map(remapFilter)
+        if (cs.forall(_.isDefined)) Some(e.withNewChildren(cs.map(_.get)))
+        else None
+    }
+    val newFilters = filters.map(f =>
+      remapFilter(f).getOrElse(return None))
+
     val newAggExprs = agg.aggregateExpressions.map { ne =>
       val inner = ne match {
         case Alias(child, _) => child
@@ -209,8 +240,10 @@ case class RollupRewrite(session: SparkSession)
         case _ => return None
       }
     }
+    val child = newFilters.foldRight(ruPlan)(
+      org.apache.spark.sql.catalyst.plans.logical.Filter(_, _))
     Some(Aggregate(groupAttrs.map(g => groupMap(g.exprId)),
-      newAggExprs, ruPlan))
+      newAggExprs, child))
   }
 }
 

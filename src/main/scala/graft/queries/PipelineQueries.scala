@@ -249,11 +249,14 @@ object PipelineQueries {
         operation = "append")
       s.sql("CALL iceberg.system.refresh_rollup(table => 'mvq.gold')")
         .collect()
+      // the dashboard shape: a WHERE over a rollup group column rides
+      // the rewrite (it commutes with the partial aggregation)
       val q = s.sql("""SELECT o_orderpriority, count(*) AS cnt,
         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
           AS sum_price,
         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-        FROM mvq.orders GROUP BY o_orderpriority""")
+        FROM mvq.orders WHERE o_orderpriority <> '3-MEDIUM'
+        GROUP BY o_orderpriority""")
       val ruDir = ts.properties("mvq", "gold")("graft.rollup.dir")
       val leaves = q.queryExecution.optimizedPlan.collectLeaves()
       def reads(dir: String): Boolean = leaves.exists {
@@ -2007,7 +2010,8 @@ FROM iceberg.silver.orders_current""")
                AS sum_price,
              MIN(o_totalprice) AS min_price,
              MAX(o_totalprice) AS max_price
-      FROM orders GROUP BY o_orderpriority
+      FROM orders WHERE o_orderpriority <> '3-MEDIUM'
+      GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
     "q_cdc_parse" -> s"""

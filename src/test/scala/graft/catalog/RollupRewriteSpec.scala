@@ -76,7 +76,15 @@ class RollupRewriteSpec extends SparkSpec {
       "SELECT grp, sum(amount) AS s FROM mv.facts GROUP BY grp")
     assert(!scans(dbl, ru) && scans(dbl, dir),
       "sum(double) must stay on the base scan")
-    // a filter below the aggregate disqualifies (v1 scope)
+    // a WHERE over rollup GROUP columns commutes with the partial
+    // aggregation — it re-applies on the gold table
+    val keyq = """SELECT grp, count(*) AS c, sum(qty) AS q
+      FROM mv.facts WHERE region = 'r1' AND grp <> 'g2' GROUP BY grp"""
+    val keyf = spark.sql(keyq)
+    assert(scans(keyf, ru) && !scans(keyf, dir),
+      "a group-key filter must ride the rewrite")
+    assert(keyf.collect().map(_.toSeq).toSet == baseline(keyq))
+    // …but a filter over a NON-key column disqualifies
     val flt = spark.sql("SELECT grp, count(*) AS c FROM mv.facts " +
       "WHERE qty > 3 GROUP BY grp")
     assert(!scans(flt, ru) && scans(flt, dir))
