@@ -39,8 +39,10 @@ import org.apache.spark.sql.types._
   *    `sum(cast(m as decimal(27,6)))` idiom → `sum(sum_m)` (the store
   *    accumulates exact DECIMAL(27,6), so re-aggregation commutes
   *    bit-for-bit), `min/max(c)` over maintained min/max columns,
-  *    `avg(m)` over integral measures (`sum/cnt` reproduces Spark's
-  *    long-sum-then-double-divide exactly). `sum(double)` is NOT
+  *    `count(m)` → `sum(cnt_m)` (the maintained NON-NULL count),
+  *    `avg(m)` over integral measures (`sum_m/cnt_m` — the non-null
+  *    denominator, exact on nullable measures, reproducing Spark's
+  *    sum-then-one-double-divide). `sum(double)` is NOT
   *    rewritten (floating-point sums are order-dependent; the rewrite
   *    must never change a result), nor are distinct/filtered
   *    aggregates.
@@ -73,9 +75,14 @@ case class RollupRewrite(session: SparkSession)
     if (targets.isEmpty) return plan
     plan.transformUp {
       case agg: Aggregate =>
-        targets.view.flatMap(t => tryRewrite(agg,
-            t("graft.rollup.source"), t("graft.rollup.dir")))
-          .headOption.getOrElse(agg)
+        // several rollups can serve the same query (a rollup
+        // hierarchy over one base); prefer the COARSEST store — the
+        // fewest group columns bounds the gold rows scanned
+        targets.flatMap(t => tryRewrite(agg,
+            t("graft.rollup.source"), t("graft.rollup.dir"))
+          .map((Rollup.meta(t("graft.rollup.dir"))
+            .map(_.groupCols.size).getOrElse(Int.MaxValue), _)))
+          .sortBy(_._1).headOption.map(_._2).getOrElse(agg)
     }
   }
 
@@ -150,6 +157,12 @@ case class RollupRewrite(session: SparkSession)
         // an empty gold table must yield 0, not sum's null
         ruAttr("cnt").map(c =>
           Coalesce(Seq(sumOf(c), Literal(0L))))
+      case Count(Seq(a: AttributeReference))
+          if derivable(a.name, m.measures) =>
+        // count(m): the maintained NON-NULL count — `cnt` (count(*))
+        // would overcount on a nullable measure
+        ruAttr(s"cnt_${a.name}").map(c =>
+          Coalesce(Seq(sumOf(c), Literal(0L))))
       case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
           if dt == DecimalType(27, 6) && derivable(a.name, m.measures) =>
         // the exact-sum idiom: the store IS decimal(27,6) accumulation
@@ -179,12 +192,19 @@ case class RollupRewrite(session: SparkSession)
           if derivable(a.name, m.measures) &&
             Seq[DataType](ByteType, ShortType, IntegerType, LongType)
               .contains(a.dataType) =>
-        // integral avg: Spark computes exact long sum, then one double
-        // divide — long-exact decimal → long → double reproduces it
-        (ruAttr(s"sum_${a.name}"), ruAttr("cnt")) match {
-          case (Some(s), Some(c)) => Some(Divide(
-            Cast(Cast(sumOf(s), LongType), DoubleType),
-            Cast(sumOf(c), DoubleType)))
+        // integral avg = exact sum / NON-NULL count (the row count
+        // `cnt` would be the wrong denominator on a nullable
+        // measure), one double divide at the end. A group whose
+        // measure is all-null has cnt_<m> = 0 and a null base avg —
+        // the If routes it to null instead of tripping ANSI
+        // divide-by-zero; an empty global aggregate nulls the
+        // denominator and falls through to the (null) divide.
+        (ruAttr(s"sum_${a.name}"), ruAttr(s"cnt_${a.name}")) match {
+          case (Some(s), Some(c)) =>
+            val den = Cast(sumOf(c), DoubleType)
+            Some(If(EqualTo(den, Literal(0.0d)),
+              Literal(null, DoubleType),
+              Divide(Cast(Cast(sumOf(s), LongType), DoubleType), den)))
           case _ => None
         }
       case _ => None

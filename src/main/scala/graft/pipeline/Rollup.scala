@@ -24,8 +24,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Sums accumulate in DECIMAL(27,6) (exact, order-free — additions
   * and subtractions commute bit-identically, so the maintained value
   * equals a full recompute EXACTLY, not approximately; the
-  * [[read]]-side casts back to double). `avg` is derivable as
-  * `sum/cnt`. MIN/MAX and per-group KMV NDV sketches join the
+  * [[read]]-side casts back to double). Each measure also maintains
+  * its NON-NULL count `cnt_<m>` (subtractable like `cnt`), so
+  * `count(m)` is served directly and `avg(m)` derives as
+  * `sum_<m>/cnt_<m>` — exact on nullable measures, where the row
+  * count `cnt` would be the wrong denominator. MIN/MAX and per-group
+  * KMV NDV sketches join the
   * maintained set as the NON-SUBTRACTABLE class: appends merge
   * arithmetically (min-of-mins; sketch = distinct-union keep-k), and
   * since a deleted row may have been the extremum or a sketch member,
@@ -150,16 +154,21 @@ object Rollup {
         s"rollup requires a versioned snapshot source at $srcPath — " +
           "the staleness contract pins rollup to source version"))
 
-  /** One group's maintained columns: exact decimal sums + count.
+  /** One group's maintained columns: exact decimal sums + counts.
     * Sums pin to DECIMAL(27,6) (Spark widens sum(decimal) results —
     * the STORED type must stay fixed across build and every refresh
-    * or the MOR union would coerce). */
+    * or the MOR union would coerce). Each measure also maintains its
+    * NON-NULL count (`cnt_<m>`): `count(m)` and the denominator of
+    * `avg(m)` are non-null counts in SQL, and on a nullable measure
+    * they differ from `cnt` — a `cnt`-based avg rewrite would be
+    * silently wrong, so the store carries the exact value. */
   private def aggExprs(measures: Seq[String],
                        minMax: Seq[String]): Seq[Column] =
     count(lit(1)).as("cnt") +:
-      (measures.map(m =>
+      (measures.flatMap(m => Seq(
         sum(col(m).cast(DecimalType(27, 6)))
-          .cast(DecimalType(27, 6)).as(s"sum_$m")) ++
+          .cast(DecimalType(27, 6)).as(s"sum_$m"),
+        count(col(m)).as(s"cnt_$m"))) ++
         minMax.flatMap(mm => Seq(
           min(col(mm)).as(s"min_$mm"),
           max(col(mm)).as(s"max_$mm"))))
@@ -274,6 +283,14 @@ object Rollup {
     val minus = minus0.localCheckpoint()
     val key = m.groupCols
     val sumCols = m.measures.map(mm => s"sum_$mm")
+    val cntCols = m.measures.map(mm => s"cnt_$mm")
+    // a store built by a pre-cnt_<m> version lacks the non-null
+    // counts — maintenance cannot invent them; rebuild
+    val storedCols = Snapshot.read(spark, tableDir(rollupDir)).columns
+    cntCols.find(!storedCols.contains(_)).foreach(c =>
+      throw new IllegalStateException(
+        s"rollup at $rollupDir predates per-measure non-null counts " +
+          s"(missing $c) — rebuild the rollup"))
     // signed partial aggregates: appends count +1, deletes −1; the
     // merged group is old ⊎ (+delta) ⊎ (−delta) summed per column —
     // decimal addition/subtraction is exact and order-free. Min/max
@@ -284,6 +301,7 @@ object Rollup {
       var a = aggOf(df, key, m.measures, m.minMax)
       if (sign < 0) {
         a = a.withColumn("cnt", -col("cnt"))
+        cntCols.foreach(c => a = a.withColumn(c, -col(c)))
         sumCols.foreach(c => a = a.withColumn(c, -col(c)))
         m.minMax.foreach { mm =>
           a = a.withColumn(s"min_$mm",
@@ -296,6 +314,7 @@ object Rollup {
     }
     val dexprs = sum("cnt").as("cnt") +:
       (sumCols.map(c => sum(c).cast(DecimalType(27, 6)).as(c)) ++
+        cntCols.map(c => sum(c).as(c)) ++
         m.minMax.flatMap(mm => Seq(
           min(col(s"min_$mm")).as(s"min_$mm"),
           max(col(s"max_$mm")).as(s"max_$mm"))))
@@ -314,6 +333,7 @@ object Rollup {
       val mexprs = sum("cnt").cast("long").as("cnt") +:
         (sumCols.map(c =>
           sum(col(c)).cast(DecimalType(27, 6)).as(c)) ++
+          cntCols.map(c => sum(col(c)).cast("long").as(c)) ++
           m.minMax.flatMap(mm => Seq(
             min(col(s"min_$mm")).as(s"min_$mm"),
             max(col(s"max_$mm")).as(s"max_$mm"))) ++
@@ -377,7 +397,9 @@ object Rollup {
         }
       }
       merged = merged.localCheckpoint()
-      if (merged.filter(col("cnt") < 0).limit(1).count() > 0)
+      val negative = (col("cnt") < 0) +:
+        cntCols.map(c => col(c) < 0)
+      if (merged.filter(negative.reduce(_ || _)).limit(1).count() > 0)
         throw new IllegalStateException(
           s"rollup at $rollupDir went NEGATIVE on a group count — " +
             "the window subtracted rows the rollup never saw " +

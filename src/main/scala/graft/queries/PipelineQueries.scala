@@ -279,6 +279,117 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20b — MV rewrite on a NULLABLE measure: count(m) and avg(m)
+    // derive from the maintained NON-NULL count cnt_<m>, not the row
+    // count (on a measure with nulls the two differ — a cnt-based avg
+    // rewrite is silently wrong, which is why the store carries both).
+    // REQUIRED inside the query: the plan reads the gold table, never
+    // the base, and the refresh arm proves the non-null count
+    // maintains under the append window.
+    "q_rollup_avg" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 5 === 0,
+            lit(null).cast("long"))
+            .otherwise(col("o_custkey")))
+      val root = java.nio.file.Files.createTempDirectory("ruavgq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvavg", "orders", src)
+      s.sql("""CALL iceberg.system.create_rollup(
+        table => 'mvavg.orders', name => 'mvavg.gold',
+        group_by => 'o_orderpriority', sum_cols => 'o_custkey')""")
+        .collect()
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      s.sql("CALL iceberg.system.refresh_rollup(table => 'mvavg.gold')")
+        .collect()
+      val q = s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+        count(o_custkey) AS cnt_m, avg(o_custkey) AS avg_m
+        FROM mvavg.orders GROUP BY o_orderpriority""")
+      val ruDir = ts.properties("mvavg", "gold")("graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir),
+        "count(m)/avg(m) over the maintained measure must be " +
+          "rewritten to the gold rollup")
+      require(!reads(src),
+        "the rewritten plan must not scan the base table")
+      ts.dropTable("mvavg", "gold"); ts.dropTable("mvavg", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
+    // S20c — CREATE/REFRESH MATERIALIZED VIEW (SQL DDL over the
+    // maintained rollup + rewrite): the MV name binds as a view of the
+    // defining query, CREATE builds the gold store and validates
+    // END-TO-END derivability, REFRESH applies the commit window at
+    // O(delta), and a fresh MV read serves from the store. REQUIRED
+    // inside the query: SELECT * FROM the MV reads the gold directory
+    // and never the base table.
+    "q_mv_sql" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvsqlq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvddl", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvddl.daily AS
+        SELECT o_orderpriority, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               avg(o_custkey) AS avg_cust
+        FROM mvddl.orders GROUP BY o_orderpriority""").collect()
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      require(s.sql("REFRESH MATERIALIZED VIEW mvddl.daily")
+        .collect().head.getLong(0) > 0L,
+        "the append window must touch groups")
+      val q = s.sql("SELECT * FROM mvddl.daily")
+      val ruDir = ts.properties("mvddl", "daily__storage")(
+        "graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir),
+        "a fresh MV must serve its defining query from the gold store")
+      require(!reads(src),
+        "the MV read must not scan the base table")
+      // drop the registrations only (the returned frame still reads
+      // the gold files lazily) so later queries never pay the probe
+      ts.dropView("mvddl", "daily")
+      ts.dropTable("mvddl", "daily__storage")
+      ts.dropTable("mvddl", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
     // X14c — GDPR erasure through the snapshot layer: silver built into
     // a two-version snapshot, then every row of the subject cohort
     // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
@@ -1991,11 +2102,13 @@ FROM iceberg.silver.orders_current""")
         SELECT o_orderpriority, COUNT(*) AS cnt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
                  AS sum_o_totalprice,
+               COUNT(o_totalprice) AS cnt_o_totalprice,
                MIN(o_totalprice) AS min_o_totalprice,
                MAX(o_totalprice) AS max_o_totalprice
         FROM fin GROUP BY o_orderpriority
       )
       SELECT g.o_orderpriority, g.cnt, g.sum_o_totalprice,
+             g.cnt_o_totalprice,
              g.min_o_totalprice, g.max_o_totalprice, kmv.ndv_o_custkey
       FROM g JOIN kmv USING (o_orderpriority)
       ORDER BY g.o_orderpriority""",
@@ -2012,6 +2125,32 @@ FROM iceberg.silver.orders_current""")
              MAX(o_totalprice) AS max_price
       FROM orders WHERE o_orderpriority <> '3-MEDIUM'
       GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // Nullable-measure MV-rewrite twin: the answer is the plain
+    // aggregate over the full base with the same null mapping; the
+    // non-null count is the avg denominator on both sides.
+    "q_rollup_avg" -> s"""
+      WITH src AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_custkey END AS m
+        FROM orders
+      )
+      SELECT o_orderpriority, COUNT(*) AS cnt, COUNT(m) AS cnt_m,
+             AVG(m) AS avg_m
+      FROM src GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // MV-DDL twin: the MV's defining query over the final base state.
+    "q_mv_sql" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price,
+             AVG(o_custkey) AS avg_cust
+      FROM orders GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
     "q_cdc_parse" -> s"""

@@ -111,6 +111,47 @@ class RollupRewriteSpec extends SparkSpec {
     assert(all.collect().map(_.toSeq).toSet == baseline(allq))
   }
 
+  test("NULLABLE measures: count(m) and avg(m) derive from the " +
+    "maintained NON-NULL count — the row count would silently " +
+    "overcount — and an all-null group's avg surfaces null") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwnull").toString
+    val dir = s"$root/nfacts"
+    val facts = ((1 to 300).map(i => (i.toLong, s"g${i % 3}",
+        if (i % 5 == 0) None else Some((i % 13).toLong))) ++
+      // one group whose measure is ALL null: count(qty) = 0 there and
+      // avg(qty) is null — the exact shapes a cnt-based rewrite breaks
+      (901 to 905).map(i => (i.toLong, "gz", None: Option[Long])))
+      .toDF("id", "grp", "qty")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mv", "nfacts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mv.nfacts', name => 'mv.ngold',
+      group_by => 'grp', sum_cols => 'qty')""").collect()
+    val ru = new TableStore(spark).properties("mv", "ngold")(
+      "graft.rollup.dir")
+    val q = """SELECT grp, count(*) AS c, count(qty) AS cq,
+      avg(qty) AS a, sum(qty) AS s FROM mv.nfacts GROUP BY grp"""
+    val df = spark.sql(q)
+    assert(scans(df, ru) && !scans(df, dir),
+      "count(m)/avg(m) over a maintained measure must read the gold")
+    assert(df.collect().map(_.toSeq).toSet == baseline(q))
+    val gz = df.filter($"grp" === "gz").head()
+    assert(gz.getLong(1) == 5L && gz.getLong(2) == 0L
+      && gz.isNullAt(3) && gz.isNullAt(4),
+      "the all-null group must serve cq=0 and null avg/sum")
+    // the global shape re-aggregates the same derivations
+    val gq = "SELECT count(qty) AS cq, avg(qty) AS a FROM mv.nfacts"
+    val g = spark.sql(gq)
+    assert(scans(g, ru) && !scans(g, dir))
+    assert(g.collect().map(_.toSeq).toSet == baseline(gq))
+    // count over a NON-measure column is not derivable
+    val nd = spark.sql(
+      "SELECT grp, count(id) AS ci FROM mv.nfacts GROUP BY grp")
+    assert(!scans(nd, ru) && scans(nd, dir))
+  }
+
   test("a STALE rollup never rewrites; refresh re-arms it; the " +
     "session flag disables it") {
     val (dir, ru) = fixture()

@@ -290,6 +290,57 @@ class RollupSpec extends SparkSpec {
       "the deleted null-group extremum must recompute exactly")
   }
 
+  test("a NULLABLE measure maintains its non-null count (cnt_<m>) " +
+    "exactly under append and position-delete windows — count(m) and " +
+    "avg(m) denominators differ from cnt and must track deletes") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+      .localCheckpoint()
+    val root = Files.createTempDirectory("rollupnn").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    def nnRecompute(df: DataFrame): Set[(String, Long, Long)] =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("o_totalprice")).as("cm"))
+        .as[(String, Long, Long)].collect().toSet
+    def nnServed(): Set[(String, Long, Long)] =
+      Rollup.read(spark, src, ru)
+        .select(col("o_orderpriority"), col("cnt"),
+          col("cnt_o_totalprice"))
+        .as[(String, Long, Long)].collect().toSet
+
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, src, keepVersions = 2)
+    Rollup.build(spark, src, ru,
+      Seq("o_orderpriority"), Seq("o_totalprice"))
+    assert(nnServed() == nnRecompute(v1))
+    assert(served(src, ru) == recompute(v1),
+      "null measure values must not disturb the decimal sum")
+
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(nnServed() == nnRecompute(orders))
+
+    // delete a slice that mixes null and non-null measure rows: the
+    // subtraction must decrement cnt for every row but cnt_<m> only
+    // for the non-null ones
+    Snapshot.morCommit(spark, src, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(
+        Snapshot.readLineage(spark, src)
+          .filter(col("o_orderkey") % 10 === 0)))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    val live = Snapshot.read(spark, src).localCheckpoint()
+    assert(nnServed() == nnRecompute(live),
+      "cnt_<m> must subtract per NON-NULL instance, cnt per row")
+    assert(served(src, ru) == recompute(live))
+  }
+
   test("a count-only rollup (measures = Nil) builds, refreshes and " +
     "reads — the empty measures line must round-trip through the " +
     "meta, not resurrect as a phantom sum_ column") {
