@@ -157,6 +157,7 @@ private[catalog] object GraftDml {
             keepVersions =
               graft.pipeline.Snapshot.historicalVersions(p).size + 1)
           maybeRefreshStats(spark, key, p)
+          maybeRefreshRollups(spark, p)
       }
       case None =>
         val result = next.localCheckpoint()
@@ -279,6 +280,30 @@ private[catalog] object GraftDml {
                 s" will retry at the next threshold commit): $e")
         }
     }
+  }
+
+  /** Post-commit ROLLUP MAINTENANCE — `graft.rollup.auto-refresh =
+    * true` on a gold/MV storage table: after a DML commit on its
+    * SOURCE, apply the commit window ([[graft.pipeline.Rollup
+    * .refresh]], O(window delta)) so the very next read serves from
+    * the store without a manual REFRESH/CALL. Best-effort like
+    * auto-compaction: a window the incremental maintenance cannot
+    * price exactly (equality deletes, copy-on-write rebases) leaves
+    * the rollup STALE — reads fall back to the base scan (never
+    * wrong, only slower) and `REFRESH MATERIALIZED VIEW` brings it
+    * current via its rebuild fallback. Skipped under a WAP session
+    * (the live table did not move). Default off. */
+  def maybeRefreshRollups(spark: SparkSession, path: String): Unit = {
+    if (wapBranch(spark).nonEmpty) return
+    if (graft.pipeline.Rollup.maintaining.get()) return
+    new TableStore(spark).tablesWithProperty("graft.rollup.dir")
+      .filter(_.get("graft.rollup.source").contains(path))
+      .filter(_.get("graft.rollup.auto-refresh").exists(_.toBoolean))
+      .foreach { t =>
+        try graft.pipeline.Rollup.refresh(spark, path,
+          t("graft.rollup.dir"))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
   }
 
   /** Post-commit STATS REFRESH — `graft.stats.auto-refresh = true`:
@@ -460,6 +485,7 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
             .filter(cond).select(S.LineageFile, S.LineagePos)))
         GraftDml.maybeAutoCompact(spark, key, p)
         GraftDml.maybeRefreshStats(spark, key, p)
+        GraftDml.maybeRefreshRollups(spark, p)
       case Some(p) =>
         // merge-on-read: write ONLY the matched rows as an
         // equality-delete sidecar (distinct — the read-side anti-join
@@ -472,6 +498,7 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
           appends = None, operation = "delete")
         GraftDml.maybeAutoCompact(spark, key, p)
         GraftDml.maybeRefreshStats(spark, key, p)
+        GraftDml.maybeRefreshRollups(spark, p)
       case None =>
         GraftDml.commit(spark, key, df.as(alias).filter(!cond))
     }
@@ -579,6 +606,7 @@ case class GraftInsertCommand(ns: String, name: String,
           deletes = None, appends = Some(checked), operation = "append")
         GraftDml.maybeAutoCompact(spark, Seq(ns, name), p)
         GraftDml.maybeRefreshStats(spark, Seq(ns, name), p)
+        GraftDml.maybeRefreshRollups(spark, p)
       case None =>
         GraftDml.commit(spark, Seq(ns, name),
           if (insert.overwrite) rows else target.union(rows))
@@ -660,6 +688,7 @@ case class GraftUpdateCommand(update: UpdateTable)
           posDeletes = Some(matched.select(S.LineageFile, S.LineagePos)))
         GraftDml.maybeAutoCompact(spark, key, p)
         GraftDml.maybeRefreshStats(spark, key, p)
+        GraftDml.maybeRefreshRollups(spark, p)
       case Some(p) =>
         // merge-on-read UPDATE = delete-old + append-new, scoped to the
         // MATCHED rows only (Iceberg's MOR update decomposition). The
@@ -677,6 +706,7 @@ case class GraftUpdateCommand(update: UpdateTable)
           operation = "update")
         GraftDml.maybeAutoCompact(spark, key, p)
         GraftDml.maybeRefreshStats(spark, key, p)
+        GraftDml.maybeRefreshRollups(spark, p)
       case None =>
         GraftDml.commit(spark, key,
           df.as(alias).select(df.columns.toSeq.map(outCol): _*))

@@ -202,6 +202,7 @@ case class GraftMergeCommand(merge: MergeIntoTable)
           operation = "merge")
         GraftDml.maybeAutoCompact(spark, key, p)
         GraftDml.maybeRefreshStats(spark, key, p)
+        GraftDml.maybeRefreshRollups(spark, p)
       case None =>
         val next = joined
           .select(targetDf.columns.toSeq.map(outCol) :+

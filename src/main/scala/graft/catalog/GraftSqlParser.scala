@@ -581,6 +581,14 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+(SET|DROP)\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*$""".r
   private val WriteUnordered =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+WRITE\s+UNORDERED\s*$""".r
+  private val CreateMv =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*$""".r
+  private val RefreshMv =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*$""".r
+  private val DropMv =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val ShowMv =
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS(\s+(?:IN|FROM)\s+`?([\w]+)`?)?\s*$""".r
 
   private def graftTable(table: String, what: String): (String, String) = {
     def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -665,9 +673,137 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case _ => None
     }
 
+  /** Translate a CREATE MATERIALIZED VIEW's defining query into the
+    * rollup spec [[GraftCreateMaterializedViewCommand]] maintains:
+    * one registered table, plain GROUP BY columns, and aggregates from
+    * the self-maintainable class — count(*)/count(m), sum/avg (measure
+    * set), min/max, approx_count_distinct (KMV sketch set). CASTs
+    * around a function or its argument are transparent (the
+    * `CAST(sum(CAST(m AS DECIMAL(27,6))) AS DOUBLE)` exact-sum idiom).
+    * Everything else — joins, filters, HAVING, distinct, expressions
+    * as group keys — fails HERE with the contract, not at run time
+    * with an analyzer error. Datatype-level derivability (e.g. a raw
+    * double sum) is checked by the command after the build, by
+    * requiring the rewrite to actually serve the defining query. */
+  private def mvCreateCommand(ns: String, name: String,
+                              queryText: String, replace: Boolean,
+                              ifNotExists: Boolean): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
+    def fail(msg: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"CREATE MATERIALIZED VIEW $ns.$name: $msg (maintainable " +
+          "shape: SELECT <group cols>, count/sum/avg/min/max/" +
+          "approx_count_distinct(<col>) FROM <ns>.<table> " +
+          "GROUP BY <plain columns>)")
+    def unwrap(e: Expression): Expression = e match {
+      case Alias(c, _) => unwrap(c)
+      case Cast(c, _, _, _) => unwrap(c)
+      case other => other
+    }
+    def attrName(e: Expression): Option[String] = unwrap(e) match {
+      case UnresolvedAttribute(parts) => Some(parts.last)
+      case _ => None
+    }
+    val query = strip(delegate.parsePlan(queryText))
+    query match {
+      case agg: Aggregate =>
+        val groupExprs = agg.groupingExpressions
+        val aggExprs = agg.aggregateExpressions
+        val rel = agg.child match {
+          case u: UnresolvedRelation => u
+          case SubqueryAlias(_, u: UnresolvedRelation) => u
+          case _ => fail("the FROM clause must be a single registered " +
+            "table — no joins, filters, or subqueries")
+        }
+        val (srcNs, srcTable) = rel.multipartIdentifier match {
+          case Seq(n, t) => (n.toLowerCase(java.util.Locale.ROOT),
+            t.toLowerCase(java.util.Locale.ROOT))
+          case _ => fail("qualify the source as <ns>.<table>")
+        }
+        val groupBy = groupExprs.map(e => attrName(e).getOrElse(
+          fail("GROUP BY must list plain columns")))
+        if (groupBy.isEmpty)
+          fail("a global aggregate has no group keys to maintain — " +
+            "GROUP BY at least one column")
+        val measures = Seq.newBuilder[String]
+        val minMax = Seq.newBuilder[String]
+        val ndv = Seq.newBuilder[String]
+        def measureArg(f: UnresolvedFunction): String =
+          f.arguments match {
+            case Seq(a) => attrName(a).getOrElse(
+              fail(s"${f.nameParts.last} maintains a plain column, " +
+                s"got: ${f.arguments.head.sql}"))
+            case _ => fail(s"${f.nameParts.last} takes one column")
+          }
+        aggExprs.foreach { e =>
+          unwrap(e) match {
+            case a if attrName(a).isDefined &&
+                groupBy.exists(_.equalsIgnoreCase(attrName(a).get)) => ()
+            case f: UnresolvedFunction =>
+              if (f.isDistinct)
+                fail("DISTINCT aggregates are not maintainable")
+              f.nameParts.last.toLowerCase(java.util.Locale.ROOT) match {
+                case "count" => f.arguments match {
+                  case Seq() | Seq(_: Literal) | Seq(_: UnresolvedStar) =>
+                    () // count(*) rides the always-maintained cnt
+                  case _ => measures += measureArg(f)
+                }
+                case "sum" | "avg" => measures += measureArg(f)
+                case "min" | "max" => minMax += measureArg(f)
+                case "approx_count_distinct" =>
+                  // maintainable (KMV sketches) but NOT exactly
+                  // rewritable — Spark's HLL++ and the maintained KMV
+                  // estimate differ, and an MV read must never change
+                  // a result. The sketch surface lives on the rollup:
+                  fail("approx_count_distinct is maintainable but not " +
+                    "EXACTLY derivable (HLL++ vs the maintained KMV " +
+                    "sketch differ) — use CALL system.create_rollup" +
+                    "(ndv_cols => …) and read ndv_<col> from the gold " +
+                    "table instead")
+                case other => fail(s"$other() is not maintainable")
+              }
+            case other =>
+              fail(s"unsupported select item: ${other.sql}")
+          }
+        }
+        GraftCreateMaterializedViewCommand(ns, name, srcNs, srcTable,
+          groupBy, measures.result().distinct, minMax.result().distinct,
+          ndv.result().distinct, query, queryText, replace, ifNotExists)
+      case _ =>
+        fail("the defining query must be a plain GROUP BY aggregate")
+    }
+  }
+
+  /** MATERIALIZED VIEW statements are claimed BEFORE the delegate:
+    * Spark 4.1's parser accepts the grammar natively but only as a
+    * non-executable "pipeline dataset" (direct execution raises
+    * UNSUPPORTED_FEATURE.CREATE_PIPELINE_DATASET_QUERY_EXECUTION), so
+    * pre-claiming shadows nothing that works — it turns the statement
+    * into the maintained-rollup MV this engine actually serves. */
+  private def mvCommand(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case CreateMv(orReplace, ifNotExists, mvName, queryText) =>
+        val (ns, name) = graftTable(mvName, "CREATE MATERIALIZED VIEW")
+        Some(mvCreateCommand(ns, name, queryText,
+          replace = orReplace != null, ifNotExists = ifNotExists != null))
+      case RefreshMv(mvName) =>
+        val (ns, name) = graftTable(mvName, "REFRESH MATERIALIZED VIEW")
+        Some(GraftRefreshMaterializedViewCommand(ns, name))
+      case DropMv(ifExists, mvName) =>
+        val (ns, name) = graftTable(mvName, "DROP MATERIALIZED VIEW")
+        Some(GraftDropMaterializedViewCommand(ns, name,
+          ifExists != null))
+      case ShowMv(_, ns) =>
+        Some(GraftShowMaterializedViewsCommand(Option(ns)
+          .map(_.toLowerCase(java.util.Locale.ROOT))))
+      case _ => None
+    }
+
   private def parseTrinoTolerant(
       sqlText: String, f: String => LogicalPlan): LogicalPlan =
-    try f(sqlText)
+    try mvCommand(sqlText).getOrElse(f(sqlText))
     catch {
       case e: org.apache.spark.sql.catalyst.parser.ParseException
           if e.getMessage.contains("DATATYPE_MISSING_SIZE") &&

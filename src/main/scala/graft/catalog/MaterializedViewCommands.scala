@@ -1,0 +1,215 @@
+package graft.catalog
+
+import graft.pipeline.Rollup
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.LongType
+
+/** `CREATE / REFRESH / DROP MATERIALIZED VIEW` — the SQL surface over
+  * the maintained-rollup + automatic-rewrite machinery
+  * ([[graft.pipeline.Rollup]], [[RollupRewrite]]), shaped after
+  * Trino/Iceberg materialized views (the reference fabric's MV
+  * feature; the reference itself rebuilds derived tables from scratch,
+  * `/root/reference/jobs/build_orders_silver.py`):
+  *
+  *  - CREATE parses the defining aggregate into a rollup spec, builds
+  *    the gold store once, registers it as the hidden
+  *    `<name>__storage` table (carrying the `graft.rollup.*` linkage
+  *    the rewrite rule discovers), and binds `<name>` itself as a
+  *    LATE-BOUND VIEW of the defining query. Reading the MV therefore
+  *    re-plans the original aggregate — which the rewrite serves from
+  *    the gold store while it is FRESH and from the base table when
+  *    stale. Unlike Trino (which serves stale MV data until the next
+  *    refresh), a stale MV here is never wrong, only slower.
+  *  - REFRESH applies the source's commit window at O(delta)
+  *    ([[Rollup.refresh]]) and returns the touched-group count.
+  *  - DROP removes the view, the storage registration, and the rollup
+  *    directory (the store is derived data owned by the MV).
+  *
+  * CREATE validates derivability END-TO-END: after the build it plans
+  * the defining query and requires the optimizer to have re-targeted
+  * the gold store — a query with a non-derivable aggregate (e.g. a raw
+  * `sum(double)`, order-dependent) fails CREATE with guidance instead
+  * of silently registering an MV that every read would bypass.
+  */
+case class GraftCreateMaterializedViewCommand(
+    ns: String, name: String, srcNs: String, srcTable: String,
+    groupBy: Seq[String], measures: Seq[String], minMax: Seq[String],
+    ndv: Seq[String], query: LogicalPlan, queryText: String,
+    replace: Boolean, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  private def storageName = s"${name}__storage"
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    // the MV name is a view (registry) and its storage a snapshot
+    // table (snapshotPaths) — existence must probe both stores
+    val exists = store.tableExists(ns, name) ||
+      store.snapshotPath(ns, name).isDefined
+    val isMv = store.snapshotPath(ns, storageName).isDefined &&
+      store.properties(ns, storageName).contains("graft.mv")
+    if (exists && ifNotExists && !replace) return Seq.empty
+    if (exists && !replace)
+      throw new IllegalStateException(
+        s"materialized view (or table) already exists: $ns.$name")
+    if (exists && replace && !isMv)
+      throw new UnsupportedOperationException(
+        s"$ns.$name exists and is not a materialized view — " +
+          "CREATE OR REPLACE MATERIALIZED VIEW only replaces its own")
+    val srcPath = store.snapshotPath(srcNs, srcTable).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized views maintain over snapshot tables; " +
+          s"$srcNs.$srcTable is not one"))
+    if (exists && replace)
+      GraftDropMaterializedViewCommand(ns, name, ifExists = false)
+        .run(spark)
+    val ruDir = s"$srcPath.mv-$name"
+    MaterializedViews.deleteDir(ruDir) // a dead MV's leftovers
+    Rollup.build(spark, srcPath, ruDir, groupBy, measures, minMax, ndv)
+    try {
+      store.registerSnapshot(ns, storageName, Rollup.tableDir(ruDir))
+      store.setProperties(ns, storageName, Map(
+        "graft.rollup.dir" -> ruDir,
+        "graft.rollup.source" -> srcPath,
+        "graft.mv" -> s"$ns.$name"))
+      // derivability gate: the freshly-built store must serve the
+      // defining query via the rewrite, or the MV is an expensive no-op
+      val planned = PlanBridge.ofRows(spark, query)
+        .queryExecution.optimizedPlan
+      val servesGold = planned.collectLeaves().exists {
+        case l: LogicalRelation => l.relation match {
+          case f: HadoopFsRelation =>
+            f.location.rootPaths.map(_.toUri.getPath).exists(p =>
+              p == ruDir || p.startsWith(s"$ruDir/"))
+          case _ => false
+        }
+        case _ => false
+      }
+      if (!servesGold)
+        throw new UnsupportedOperationException(
+          s"the defining query of $ns.$name is not derivable from " +
+            "the maintained store (reads would always fall back to " +
+            "the base table). Derivable aggregates: count(*), " +
+            "count(m), sum/avg over integral or ≤DECIMAL(27,6) " +
+            "measures, the CAST(sum(CAST(m AS DECIMAL(27,6))) AS " +
+            "DOUBLE) idiom, min/max — a raw sum(double)/avg(double) " +
+            "is order-dependent and never rewritten")
+      GraftCreateViewCommand(ns, name, query,
+        allowExisting = false, replace = false,
+        originalText = Some(queryText)).run(spark)
+    } catch {
+      case t: Throwable =>
+        store.dropTable(ns, storageName)
+        MaterializedViews.deleteDir(ruDir)
+        throw t
+    }
+    Seq.empty
+  }
+}
+
+case class GraftRefreshMaterializedViewCommand(ns: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("touched_groups", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (ruDir, srcPath) = MaterializedViews.linkage(spark, ns, name)
+    val n =
+      try Rollup.refresh(spark, srcPath, ruDir)
+      catch {
+        // a window the incremental maintenance cannot price exactly
+        // (equality deletes, copy-on-write rebases). REFRESH means
+        // "bring the MV current", so fall back to the full recompute
+        // — Trino's REFRESH is always this full rebuild; ours only
+        // when the O(delta) path is impossible.
+        case e: IllegalStateException
+            if e.getMessage.contains("rebuild") ||
+              e.getMessage.contains("position") =>
+          val m = Rollup.meta(ruDir).getOrElse(throw e)
+          Rollup.build(spark, srcPath, ruDir, m.groupCols,
+            m.measures, m.minMax, m.ndv, m.ndvK)
+      }
+    Seq(Row(n))
+  }
+}
+
+case class GraftDropMaterializedViewCommand(ns: String, name: String,
+                                            ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    if (store.snapshotPath(ns, s"${name}__storage").isEmpty ||
+        !store.properties(ns, s"${name}__storage").contains("graft.mv")) {
+      if (ifExists) return Seq.empty
+      throw new java.util.NoSuchElementException(
+        s"no such materialized view: $ns.$name")
+    }
+    val (ruDir, _) = MaterializedViews.linkage(spark, ns, name)
+    store.dropView(ns, name)
+    store.dropTable(ns, s"${name}__storage")
+    MaterializedViews.deleteDir(ruDir)
+    Seq.empty
+  }
+}
+
+/** `SHOW MATERIALIZED VIEWS [IN <ns>]` — one row per MV with its
+  * source table and freshness (is the store current with the live
+  * source version — i.e. will reads serve from gold right now). */
+case class GraftShowMaterializedViewsCommand(nsFilter: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("name", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("source", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("is_fresh", org.apache.spark.sql.types.BooleanType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    new TableStore(spark).tablesWithProperty("graft.mv")
+      .map(_( "graft.mv"))
+      .distinct.sorted
+      .map { qualified =>
+        val Array(ns, name) = qualified.split("\\.", 2)
+        (ns, name)
+      }
+      .filter { case (ns, _) => nsFilter.forall(_ == ns) }
+      .map { case (ns, name) =>
+        val (ruDir, srcPath) = MaterializedViews.linkage(spark, ns, name)
+        val fresh = Rollup.meta(ruDir).exists(m =>
+          graft.pipeline.Snapshot.currentVersion(srcPath)
+            .contains(m.srcVersion))
+        Row(ns, name, srcPath, fresh)
+      }
+  }
+}
+
+private[catalog] object MaterializedViews {
+  /** The (rollup dir, source path) an MV's storage table records. */
+  def linkage(spark: SparkSession, ns: String,
+              name: String): (String, String) = {
+    val store = new TableStore(spark)
+    val props =
+      if (store.snapshotPath(ns, s"${name}__storage").isDefined)
+        store.properties(ns, s"${name}__storage")
+      else Map.empty[String, String]
+    if (!props.contains("graft.mv"))
+      throw new java.util.NoSuchElementException(
+        s"no such materialized view: $ns.$name")
+    (props("graft.rollup.dir"), props("graft.rollup.source"))
+  }
+
+  def deleteDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}

@@ -1,0 +1,268 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.pipeline.Snapshot
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** CREATE/REFRESH/DROP MATERIALIZED VIEW pins: the MV name serves the
+  * defining query FROM THE GOLD STORE while fresh and from the base
+  * table when stale (never wrong, only slower), REFRESH re-arms it at
+  * O(window delta), non-derivable defining queries fail CREATE with
+  * guidance (and leave no debris), and DROP removes the view, the
+  * storage registration, and the rollup directory. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scans(df: DataFrame, dir: String): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.map(_.toUri.getPath).exists(p =>
+            p == dir || p.startsWith(s"$dir/"))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def answers(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def fixture(): (String, DataFrame) = {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("mvddl").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 400).map(i => (i.toLong, s"g${i % 4}",
+      s"r${i % 2}", (i % 13).toLong, i.toDouble))
+      .toDF("id", "grp", "region", "qty", "amount")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvx", "facts", dir)
+    (dir, facts)
+  }
+
+  private def recompute(): Set[Seq[Any]] = {
+    spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+    try answers(spark.sql("""SELECT grp, count(*) AS c, sum(qty) AS q,
+      count(qty) AS cq, avg(qty) AS a, min(amount) AS mn,
+      max(amount) AS mx FROM mvx.facts GROUP BY grp"""))
+    finally spark.conf.set("spark.graft.rollup.rewrite.enabled", "true")
+  }
+
+  test("the MV lifecycle: CREATE serves reads from gold while fresh, " +
+    "a stale MV falls back to the base (correct, not stale-served), " +
+    "REFRESH re-arms, DROP removes view + storage + directory") {
+    val (dir, _) = fixture()
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.daily AS
+      SELECT grp, count(*) AS c, sum(qty) AS q, count(qty) AS cq,
+             avg(qty) AS a, min(amount) AS mn, max(amount) AS mx
+      FROM mvx.facts GROUP BY grp""").collect()
+    val ruDir = new TableStore(spark)
+      .properties("mvx", "daily__storage")("graft.rollup.dir")
+    assert(Files.exists(Paths.get(ruDir)))
+
+    val fresh = spark.sql("SELECT * FROM mvx.daily")
+    assert(scans(fresh, ruDir) && !scans(fresh, dir),
+      "a fresh MV must serve the defining query from the gold store")
+    assert(answers(fresh) == recompute())
+
+    // base moves → the MV is STALE: reads fall back to the base scan
+    // and stay CORRECT (Trino would serve the stale store here)
+    Snapshot.morCommit(spark, dir, deletes = None,
+      appends = Some(Seq((9001L, "g9", "r1", 5L, 5.0),
+          (9002L, "g1", "r0", 7L, 7.0))
+        .toDF("id", "grp", "region", "qty", "amount")),
+      operation = "append")
+    val stale = spark.sql("SELECT * FROM mvx.daily")
+    assert(!scans(stale, ruDir) && scans(stale, dir),
+      "a stale MV must fall back to the base table")
+    assert(answers(stale) == recompute(),
+      "the fallback answer includes the new rows")
+
+    val touched = spark
+      .sql("REFRESH MATERIALIZED VIEW mvx.daily").collect()
+    assert(touched.head.getLong(0) > 0L,
+      "the append window must touch groups")
+    val rearmed = spark.sql("SELECT * FROM mvx.daily")
+    assert(scans(rearmed, ruDir) && !scans(rearmed, dir))
+    assert(answers(rearmed) == recompute())
+
+    // aggregating the BASE directly also rides the MV's store — the
+    // MV registration IS the rewrite linkage
+    val baseAgg = spark.sql(
+      "SELECT grp, count(*) AS c FROM mvx.facts GROUP BY grp")
+    assert(scans(baseAgg, ruDir) && !scans(baseAgg, dir))
+
+    spark.sql("DROP MATERIALIZED VIEW mvx.daily").collect()
+    assert(!Files.exists(Paths.get(ruDir)),
+      "DROP must remove the rollup directory")
+    assert(new TableStore(spark)
+      .snapshotPath("mvx", "daily__storage").isEmpty)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM mvx.daily").collect()
+    }
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS mvx.daily").collect()
+    intercept[java.util.NoSuchElementException] {
+      spark.sql("DROP MATERIALIZED VIEW mvx.daily").collect()
+    }
+  }
+
+  test("auto-refresh: with graft.rollup.auto-refresh on the storage " +
+    "table, base DML maintains the MV inside the statement; a window " +
+    "the incremental path cannot price leaves it STALE (correct " +
+    "fallback) and REFRESH rebuilds") {
+    val (dir, _) = fixture()
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.daily AS
+      SELECT grp, count(*) AS c, sum(qty) AS q, count(qty) AS cq,
+             avg(qty) AS a, min(amount) AS mn, max(amount) AS mx
+      FROM mvx.facts GROUP BY grp""").collect()
+    val ruDir = new TableStore(spark)
+      .properties("mvx", "daily__storage")("graft.rollup.dir")
+    spark.sql("""ALTER TABLE mvx.daily__storage SET TBLPROPERTIES
+      ('graft.rollup.auto-refresh'='true')""").collect()
+    // fast-append INSERTs give the hook a priceable window
+    spark.sql("""ALTER TABLE mvx.facts SET TBLPROPERTIES
+      ('write.merge.mode'='merge-on-read')""").collect()
+
+    spark.sql(
+      "INSERT INTO mvx.facts VALUES (9001, 'g1', 'r1', 5, 5.0)")
+      .collect()
+    val served = spark.sql("SELECT * FROM mvx.daily")
+    assert(scans(served, ruDir) && !scans(served, dir),
+      "the DML statement itself must have maintained the MV")
+    assert(answers(served) == recompute())
+
+    // a copy-on-write DELETE rebases the source — unpriceable window:
+    // the hook leaves the MV stale, reads fall back and stay correct
+    spark.sql("DELETE FROM mvx.facts WHERE id % 7 = 0").collect()
+    val stale = spark.sql("SELECT * FROM mvx.daily")
+    assert(!scans(stale, ruDir) && scans(stale, dir),
+      "an unpriceable window must leave the MV stale, not wrong")
+    assert(answers(stale) == recompute())
+
+    // REFRESH means "bring it current": the incremental path raises
+    // rebuild, the command falls back to the full recompute
+    spark.sql("REFRESH MATERIALIZED VIEW mvx.daily").collect()
+    val rebuilt = spark.sql("SELECT * FROM mvx.daily")
+    assert(scans(rebuilt, ruDir) && !scans(rebuilt, dir),
+      "REFRESH must rebuild when the window is unpriceable")
+    assert(answers(rebuilt) == recompute())
+  }
+
+  test("CREATE is guarded: duplicate names need OR REPLACE, IF NOT " +
+    "EXISTS no-ops, and a non-derivable defining query fails with " +
+    "guidance and leaves no debris") {
+    val (dir, _) = fixture()
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.daily AS
+      SELECT grp, count(*) AS c FROM mvx.facts GROUP BY grp""").collect()
+    intercept[IllegalStateException] {
+      spark.sql("""CREATE MATERIALIZED VIEW mvx.daily AS
+        SELECT grp, count(*) AS c FROM mvx.facts GROUP BY grp""")
+        .collect()
+    }
+    spark.sql("""CREATE MATERIALIZED VIEW IF NOT EXISTS mvx.daily AS
+      SELECT grp, count(*) AS c FROM mvx.facts GROUP BY grp""").collect()
+    spark.sql("""CREATE OR REPLACE MATERIALIZED VIEW mvx.daily AS
+      SELECT grp, sum(qty) AS q FROM mvx.facts GROUP BY grp""").collect()
+    val ruDir = new TableStore(spark)
+      .properties("mvx", "daily__storage")("graft.rollup.dir")
+    val q = spark.sql("SELECT * FROM mvx.daily")
+    assert(scans(q, ruDir), "the replaced MV must serve the new query")
+
+    // a raw double sum is order-dependent — CREATE must refuse, name
+    // the contract, and clean up the half-built store
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("""CREATE MATERIALIZED VIEW mvx.bad AS
+        SELECT grp, sum(amount) AS s FROM mvx.facts GROUP BY grp""")
+        .collect()
+    }
+    assert(e.getMessage.contains("not derivable"))
+    assert(new TableStore(spark)
+      .snapshotPath("mvx", "bad__storage").isEmpty,
+      "a failed CREATE must deregister its storage table")
+    assert(!Files.exists(Paths.get(s"$dir.mv-bad")),
+      "a failed CREATE must remove the half-built rollup dir")
+    // …but the decimal-cast exact-sum idiom IS derivable
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.good AS
+      SELECT grp, CAST(sum(CAST(amount AS DECIMAL(27,6))) AS DOUBLE)
+        AS s FROM mvx.facts GROUP BY grp""").collect()
+    val good = spark.sql("SELECT * FROM mvx.good")
+    assert(scans(good, new TableStore(spark)
+      .properties("mvx", "good__storage")("graft.rollup.dir")))
+  }
+
+  test("SHOW MATERIALIZED VIEWS lists MVs with live freshness, and a " +
+    "rollup HIERARCHY serves the coarsest matching store") {
+    val (dir, _) = fixture()
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.by_grp_region AS
+      SELECT grp, region, count(*) AS c, sum(qty) AS q
+      FROM mvx.facts GROUP BY grp, region""").collect()
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.by_grp AS
+      SELECT grp, count(*) AS c, sum(qty) AS q
+      FROM mvx.facts GROUP BY grp""").collect()
+    val listed = spark.sql("SHOW MATERIALIZED VIEWS IN mvx").collect()
+      .map(r => (r.getString(1), r.getBoolean(3))).toSet
+    assert(listed == Set(("by_grp_region", true), ("by_grp", true)))
+
+    // both stores can serve the grp-only aggregate — the COARSER one
+    // (fewer group columns, fewer gold rows) must win
+    val store = new TableStore(spark)
+    val fine = store.properties("mvx", "by_grp_region__storage")(
+      "graft.rollup.dir")
+    val coarse = store.properties("mvx", "by_grp__storage")(
+      "graft.rollup.dir")
+    val q = spark.sql(
+      "SELECT grp, count(*) AS c FROM mvx.facts GROUP BY grp")
+    assert(scans(q, coarse) && !scans(q, fine) && !scans(q, dir),
+      "the hierarchy must serve the coarsest matching store")
+    // …while the finer aggregate is served by the finer store only
+    val q2 = spark.sql("""SELECT grp, region, count(*) AS c
+      FROM mvx.facts GROUP BY grp, region""")
+    assert(scans(q2, fine) && !scans(q2, dir))
+
+    // base moves → SHOW reports both stale
+    Snapshot.morCommit(spark, dir, deletes = None,
+      appends = Some(Seq((9100L, "g0", "r0", 1L, 1.0))
+        .toDF("id", "grp", "region", "qty", "amount")),
+      operation = "append")
+    val staleListed = spark.sql("SHOW MATERIALIZED VIEWS").collect()
+      .map(r => (r.getString(1), r.getBoolean(3))).toSet
+    assert(staleListed == Set(("by_grp_region", false),
+      ("by_grp", false)))
+  }
+
+  test("unmaintainable defining queries fail at parse with the " +
+    "contract: joins/filters, expression group keys, DISTINCT, " +
+    "approx_count_distinct, global aggregates") {
+    fixture()
+    def parseFails(sql: String, needle: String): Unit = {
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
+      SELECT grp, count(*) AS c FROM mvx.facts WHERE qty > 3
+      GROUP BY grp""", "single registered table")
+    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
+      SELECT substr(grp, 1, 1) AS g, count(*) AS c FROM mvx.facts
+      GROUP BY substr(grp, 1, 1)""", "plain columns")
+    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
+      SELECT grp, count(DISTINCT qty) AS c FROM mvx.facts
+      GROUP BY grp""", "DISTINCT")
+    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
+      SELECT grp, approx_count_distinct(id) AS n FROM mvx.facts
+      GROUP BY grp""", "create_rollup")
+    // a global aggregate parses as a Project (the analyzer introduces
+    // the Aggregate later) — rejected by the shape gate
+    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
+      SELECT count(*) AS c FROM mvx.facts""", "GROUP BY aggregate")
+    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
+      SELECT a.grp, count(*) AS c FROM mvx.facts a
+      JOIN mvx.facts b ON a.id = b.id GROUP BY a.grp""",
+      "single registered table")
+  }
+}
