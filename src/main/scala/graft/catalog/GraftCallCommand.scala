@@ -458,8 +458,12 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         val ndv = arg("ndv_cols", 6).map(_.toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
+        // where => '<predicate>' builds a PARTIAL rollup: only
+        // matching rows aggregate and every refresh window filters
+        // the same way (deterministic, subquery-free — build checks)
+        val where = arg("where", 7).map(_.toString).filter(_.nonEmpty)
         val n = graft.pipeline.Rollup.build(spark, path, ruDir,
-          groupBy, sums, minMax, ndv)
+          groupBy, sums, minMax, ndv, filter = where)
         val ts = new TableStore(spark)
         ts.registerSnapshot(gns, gt,
           graft.pipeline.Rollup.tableDir(ruDir))

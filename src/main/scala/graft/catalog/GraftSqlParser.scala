@@ -711,11 +711,24 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case agg: Aggregate =>
         val groupExprs = agg.groupingExpressions
         val aggExprs = agg.aggregateExpressions
-        val rel = agg.child match {
+        // a WHERE clause makes it a PARTIAL materialized view: the
+        // predicate is maintained with the store and consumed by the
+        // rewrite when the reading query repeats it
+        val (child, where) = agg.child match {
+          case org.apache.spark.sql.catalyst.plans.logical
+              .Filter(cond, c) =>
+            if (cond.exists(_.isInstanceOf[org.apache.spark.sql
+                .catalyst.expressions.SubqueryExpression]))
+              fail("the WHERE clause must be subquery-free (window " +
+                "deltas must filter exactly as the build did)")
+            (c, Some(cond.sql))
+          case c => (c, None)
+        }
+        val rel = child match {
           case u: UnresolvedRelation => u
           case SubqueryAlias(_, u: UnresolvedRelation) => u
           case _ => fail("the FROM clause must be a single registered " +
-            "table — no joins, filters, or subqueries")
+            "table — no joins or subqueries")
         }
         val (srcNs, srcTable) = rel.multipartIdentifier match {
           case Seq(n, t) => (n.toLowerCase(java.util.Locale.ROOT),
@@ -770,7 +783,8 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         }
         GraftCreateMaterializedViewCommand(ns, name, srcNs, srcTable,
           groupBy, measures.result().distinct, minMax.result().distinct,
-          ndv.result().distinct, query, queryText, replace, ifNotExists)
+          ndv.result().distinct, where, query, queryText, replace,
+          ifNotExists)
       case _ =>
         fail("the defining query must be a plain GROUP BY aggregate")
     }

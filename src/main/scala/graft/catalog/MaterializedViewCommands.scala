@@ -39,8 +39,8 @@ import org.apache.spark.sql.types.LongType
 case class GraftCreateMaterializedViewCommand(
     ns: String, name: String, srcNs: String, srcTable: String,
     groupBy: Seq[String], measures: Seq[String], minMax: Seq[String],
-    ndv: Seq[String], query: LogicalPlan, queryText: String,
-    replace: Boolean, ifNotExists: Boolean)
+    ndv: Seq[String], where: Option[String], query: LogicalPlan,
+    queryText: String, replace: Boolean, ifNotExists: Boolean)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
@@ -71,7 +71,8 @@ case class GraftCreateMaterializedViewCommand(
         .run(spark)
     val ruDir = s"$srcPath.mv-$name"
     MaterializedViews.deleteDir(ruDir) // a dead MV's leftovers
-    Rollup.build(spark, srcPath, ruDir, groupBy, measures, minMax, ndv)
+    Rollup.build(spark, srcPath, ruDir, groupBy, measures, minMax, ndv,
+      filter = where)
     try {
       store.registerSnapshot(ns, storageName, Rollup.tableDir(ruDir))
       store.setProperties(ns, storageName, Map(
@@ -133,7 +134,7 @@ case class GraftRefreshMaterializedViewCommand(ns: String, name: String)
               e.getMessage.contains("position") =>
           val m = Rollup.meta(ruDir).getOrElse(throw e)
           Rollup.build(spark, srcPath, ruDir, m.groupCols,
-            m.measures, m.minMax, m.ndv, m.ndvK)
+            m.measures, m.minMax, m.ndv, m.ndvK, m.filter)
       }
     Seq(Row(n))
   }
@@ -207,8 +208,11 @@ private[catalog] object MaterializedViews {
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
+      val walk = java.nio.file.Files.walk(p)
+      val paths =
+        try walk.iterator().asScala.toSeq
+        finally walk.close()
+      paths.sortBy(-_.getNameCount)
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }

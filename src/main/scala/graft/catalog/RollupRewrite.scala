@@ -73,16 +73,23 @@ case class RollupRewrite(session: SparkSession)
     val targets = new TableStore(session)
       .tablesWithProperty("graft.rollup.dir")
     if (targets.isEmpty) return plan
+    def serve(agg: Aggregate): Option[Aggregate] =
+      // several rollups can serve the same query (a rollup
+      // hierarchy over one base); prefer the COARSEST store — the
+      // fewest group columns bounds the gold rows scanned
+      targets.flatMap(t => tryRewrite(agg,
+          t("graft.rollup.source"), t("graft.rollup.dir"))
+        .map((Rollup.meta(t("graft.rollup.dir"))
+          .map(_.groupCols.size).getOrElse(Int.MaxValue), _)))
+        .sortBy(_._1).headOption.map(_._2)
     plan.transformUp {
-      case agg: Aggregate =>
-        // several rollups can serve the same query (a rollup
-        // hierarchy over one base); prefer the COARSEST store — the
-        // fewest group columns bounds the gold rows scanned
-        targets.flatMap(t => tryRewrite(agg,
-            t("graft.rollup.source"), t("graft.rollup.dir"))
-          .map((Rollup.meta(t("graft.rollup.dir"))
-            .map(_.groupCols.size).getOrElse(Int.MaxValue), _)))
-          .sortBy(_._1).headOption.map(_._2).getOrElse(agg)
+      case agg: Aggregate => serve(agg).getOrElse(agg)
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
+        // SELECT DISTINCT <group cols> is still a Distinct node at
+        // resolution time (ReplaceDistinctWithAggregate runs in the
+        // optimizer) — serve it as the key-only aggregate it is
+        serve(Aggregate(d.child.output, d.child.output, d.child))
+          .getOrElse(d)
     }
   }
 
@@ -102,6 +109,44 @@ case class RollupRewrite(session: SparkSession)
       strip(c, conds :+ cond)
     case other => (other, conds)
   }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Attribute references normalized to name-keyed identity (lowercase
+    * name hashed into the exprId) so expressions resolved against
+    * DIFFERENT scan instances of the same table compare equal. The
+    * `.sql` twin check keeps a hash collision from ever conflating two
+    * distinct columns. */
+  private def nameNormalized(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      val n = a.name.toLowerCase(java.util.Locale.ROOT)
+      AttributeReference(n, a.dataType, a.nullable)(
+        exprId = ExprId(n.hashCode.toLong & 0x7fffffffL))
+  }
+
+  private def normEquals(a: Expression, b: Expression): Boolean = {
+    val (na, nb) = (nameNormalized(a), nameNormalized(b))
+    na.semanticEquals(nb) && na.sql == nb.sql
+  }
+
+  /** A partial rollup's stored predicate, resolved against the base
+    * plan by the SAME analyzer pipeline the query went through (so
+    * implicit casts land identically) and split into conjuncts — None
+    * when it no longer resolves (schema drift: never rewrite). */
+  private def resolvedFilterConjuncts(
+      f: String, base: LogicalPlan): Option[Seq[Expression]] =
+    try {
+      val parsed = session.sessionState.sqlParser.parseExpression(f)
+      session.sessionState.analyzer.execute(
+        org.apache.spark.sql.catalyst.plans.logical.Filter(parsed, base))
+        .collectFirst {
+          case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            splitConjuncts(flt.condition)
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The base-table plan the rollup maintains, canonical-comparable —
     * cached per (path, version, sidecar count) so the common
@@ -243,7 +288,26 @@ case class RollupRewrite(session: SparkSession)
         if (cs.forall(_.isDefined)) Some(e.withNewChildren(cs.map(_.get)))
         else None
     }
-    val newFilters = filters.map(f =>
+    // PARTIAL rollup: every conjunct of its stored predicate must
+    // appear among the query's conjuncts — those are CONSUMED (gold
+    // rows satisfy them by construction); whatever remains re-maps to
+    // the gold table like any group-key filter. A query without the
+    // predicate aggregates rows the store never saw: no rewrite.
+    val queryConjs = filters.flatMap(splitConjuncts)
+    val remaining: Seq[Expression] = m.filter match {
+      case None => queryConjs
+      case Some(f) =>
+        val needed = resolvedFilterConjuncts(f, base)
+          .getOrElse(return None)
+        var rest = queryConjs
+        needed.foreach { n =>
+          val i = rest.indexWhere(normEquals(_, n))
+          if (i < 0) return None
+          rest = rest.patch(i, Nil, 1)
+        }
+        rest
+    }
+    val newFilters = remaining.map(f =>
       remapFilter(f).getOrElse(return None))
 
     val newAggExprs = agg.aggregateExpressions.map { ne =>

@@ -79,7 +79,7 @@ object Rollup {
   final case class Meta(srcVersion: Long, rollupVersion: Long,
                         groupCols: Seq[String], measures: Seq[String],
                         minMax: Seq[String], ndv: Seq[String],
-                        ndvK: Int)
+                        ndvK: Int, filter: Option[String] = None)
 
   def tableDir(rollupDir: String): String = s"$rollupDir/table"
   private def metaFile(rollupDir: String) =
@@ -92,9 +92,9 @@ object Rollup {
       val lines = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim
         .split("\n").toSeq
-      if (lines.length != 7) throw new IllegalStateException(
+      if (lines.length != 8) throw new IllegalStateException(
         s"rollup meta at $rollupDir has ${lines.length} lines (this " +
-          "version writes 7) — persisted by an older format; rebuild")
+          "version writes 8) — persisted by an older format; rebuild")
       Some(Meta(lines.head.toLong, lines(1).toLong,
         lines(2).split("\t").toSeq,
         // a count-only rollup (measures = Nil) writes an empty line;
@@ -105,7 +105,10 @@ object Rollup {
           .filter(_.nonEmpty),
         lines(5).stripPrefix("nd:").split("\t").toSeq
           .filter(_.nonEmpty),
-        lines(6).stripPrefix("k:").toInt))
+        lines(6).stripPrefix("k:").toInt,
+        // the partial-rollup predicate rides as ONE line of SQL (the
+        // parser never writes raw newlines into expression text)
+        Some(lines(7).stripPrefix("w:")).filter(_.nonEmpty)))
     }
   }
 
@@ -116,7 +119,8 @@ object Rollup {
       (s"${m.srcVersion}\n${m.rollupVersion}\n" +
         s"${m.groupCols.mkString("\t")}\n${m.measures.mkString("\t")}\n" +
         s"mm:${m.minMax.mkString("\t")}\n" +
-        s"nd:${m.ndv.mkString("\t")}\nk:${m.ndvK}\n")
+        s"nd:${m.ndv.mkString("\t")}\nk:${m.ndvK}\n" +
+        s"w:${m.filter.getOrElse("")}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(rollupDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -211,22 +215,55 @@ object Rollup {
     else nsJoin(agg, sketchFrame(src, groupCols, ndv, k), groupCols,
       "left")
 
+  /** Apply the partial-rollup predicate (and, at build time, validate
+    * it: deterministic, subquery-free — a nondeterministic or
+    * cross-table predicate breaks the maintenance algebra, because
+    * the window rows must filter the same way the build did). */
+  private def applyFilter(df: DataFrame, filter: Option[String],
+                          validate: Boolean = false): DataFrame =
+    filter.fold(df) { f =>
+      val filtered = df.filter(expr(f))
+      if (validate) {
+        val cond = filtered.queryExecution.analyzed.collectFirst {
+          case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            flt.condition
+        }
+        cond.foreach { c =>
+          if (!c.deterministic || c.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                .SubqueryExpression]))
+            throw new IllegalArgumentException(
+              s"a partial rollup's WHERE must be deterministic and " +
+                s"subquery-free (window deltas must filter exactly " +
+                s"as the build did): $f")
+        }
+      }
+      filtered
+    }
+
   /** Build (or rebuild): one full aggregation pass over the live
-    * source, stamped with its version. @return group rows */
+    * source, stamped with its version. A `filter` makes it a PARTIAL
+    * rollup: only matching rows aggregate, and every refresh window
+    * filters the same way — exact for deterministic row-local
+    * predicates. @return group rows */
   def build(spark: SparkSession, srcPath: String, rollupDir: String,
             groupCols: Seq[String], measures: Seq[String],
             minMax: Seq[String] = Nil, ndv: Seq[String] = Nil,
-            ndvK: Int = 256): Long = suppressRewrite {
+            ndvK: Int = 256, filter: Option[String] = None): Long =
+    suppressRewrite {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
+    val normFilter = filter.map(_.replaceAll("\\s+", " ").trim)
+      .filter(_.nonEmpty)
     val version = srcVersionOf(srcPath)
-    val src = Snapshot.read(spark, srcPath)
+    val src = applyFilter(Snapshot.read(spark, srcPath), normFilter,
+      validate = true)
     Snapshot.createOrReplace(
       withSketches(aggOf(src, groupCols, measures, minMax), src,
         groupCols, ndv, ndvK),
       tableDir(rollupDir), keepVersions = 1)
     writeMeta(rollupDir, Meta(version,
       Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L),
-      groupCols, measures, minMax, ndv, ndvK))
+      groupCols, measures, minMax, ndv, ndvK, normFilter))
     Snapshot.read(spark, tableDir(rollupDir)).count()
   }
 
@@ -278,9 +315,13 @@ object Rollup {
             "per-commit deltas are gone — rebuild the rollup")
       case _ => ()
     }
-    val (plus, minus0) = Snapshot.windowRowDelta(spark, srcPath,
+    val (plus0, minus0) = Snapshot.windowRowDelta(spark, srcPath,
       since, version, "rollup")
-    val minus = minus0.localCheckpoint()
+    // a PARTIAL rollup sees only matching rows — the window deltas
+    // filter exactly as the build did (deterministic, row-local), so
+    // out-of-predicate appends/deletes simply never touch the store
+    val plus = applyFilter(plus0, m.filter)
+    val minus = applyFilter(minus0, m.filter).localCheckpoint()
     val key = m.groupCols
     val sumCols = m.measures.map(mm => s"sum_$mm")
     val cntCols = m.measures.map(mm => s"cnt_$mm")
@@ -352,7 +393,9 @@ object Rollup {
         val minusG = minus.select(key.map(col): _*).distinct()
           .localCheckpoint()
         if (minusG.limit(1).count() > 0) {
-          val recSrc = nsJoin(Snapshot.readAsOf(spark, srcPath, version),
+          val recSrc = nsJoin(
+            applyFilter(Snapshot.readAsOf(spark, srcPath, version),
+              m.filter),
             broadcast(minusG), key, "left_semi")
           // STRICT override for every minus-touched group — not a
           // coalesce: a touched group whose surviving values are all

@@ -390,6 +390,58 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20d — PARTIAL materialized view: a WHERE in the defining query
+    // maintains only the matching slice (every refresh window filters
+    // exactly as the build did — deterministic row-local predicates),
+    // and the rewrite serves only queries that repeat the predicate
+    // (the conjunct is consumed; the store's rows satisfy it by
+    // construction). REQUIRED inside the query: the MV read serves
+    // from the gold directory after a mixed in/out-of-slice append +
+    // REFRESH.
+    "q_mv_where" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvwq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvw", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvw.hot AS
+        SELECT o_orderpriority, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvw.orders WHERE o_custkey % 2 = 0
+        GROUP BY o_orderpriority""").collect()
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      require(s.sql("REFRESH MATERIALIZED VIEW mvw.hot")
+        .collect().head.getLong(0) > 0L,
+        "the in-slice append rows must touch groups")
+      val q = s.sql("SELECT * FROM mvw.hot")
+      val ruDir = ts.properties("mvw", "hot__storage")(
+        "graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir) && !reads(src),
+        "the partial MV must serve its slice from the gold store")
+      ts.dropView("mvw", "hot")
+      ts.dropTable("mvw", "hot__storage")
+      ts.dropTable("mvw", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
     // X14c — GDPR erasure through the snapshot layer: silver built into
     // a two-version snapshot, then every row of the subject cohort
     // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
@@ -2151,6 +2203,15 @@ FROM iceberg.silver.orders_current""")
              MAX(o_totalprice) AS max_price,
              AVG(o_custkey) AS avg_cust
       FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // Partial-MV twin: the defining query's slice over the final base.
+    "q_mv_where" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders WHERE o_custkey % 2 = 0
+      GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
     "q_cdc_parse" -> s"""

@@ -193,6 +193,57 @@ class MaterializedViewSpec extends SparkSpec {
       .properties("mvx", "good__storage")("graft.rollup.dir")))
   }
 
+  test("a PARTIAL materialized view (WHERE in the defining query) " +
+    "maintains only its slice, serves reads that repeat the " +
+    "predicate, and REFRESH keeps it exact") {
+    val (dir, _) = fixture()
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.hot AS
+      SELECT grp, count(*) AS c, sum(qty) AS q FROM mvx.facts
+      WHERE region = 'r1' GROUP BY grp""").collect()
+    val ruDir = new TableStore(spark)
+      .properties("mvx", "hot__storage")("graft.rollup.dir")
+    def hotBaseline(): Set[Seq[Any]] = {
+      spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+      try answers(spark.sql("""SELECT grp, count(*) AS c,
+        sum(qty) AS q FROM mvx.facts WHERE region = 'r1'
+        GROUP BY grp"""))
+      finally
+        spark.conf.set("spark.graft.rollup.rewrite.enabled", "true")
+    }
+    val mv = spark.sql("SELECT * FROM mvx.hot")
+    assert(scans(mv, ruDir) && !scans(mv, dir),
+      "the partial MV must serve its own defining query from gold")
+    assert(answers(mv) == hotBaseline())
+    // the base-table query repeating the predicate rides too; the
+    // bare aggregate does not (rows the store never saw)
+    val direct = spark.sql("""SELECT grp, count(*) AS c,
+      sum(qty) AS q FROM mvx.facts WHERE region = 'r1' GROUP BY grp""")
+    assert(scans(direct, ruDir) && !scans(direct, dir))
+    val bare = spark.sql(
+      "SELECT grp, count(*) AS c FROM mvx.facts GROUP BY grp")
+    assert(!scans(bare, ruDir) && scans(bare, dir))
+
+    // maintain across a mixed append window (in- and out-of-slice)
+    Snapshot.morCommit(spark, dir, deletes = None,
+      appends = Some(Seq((9201L, "g0", "r1", 9L, 9.0),
+          (9202L, "g0", "r0", 9L, 9.0))
+        .toDF("id", "grp", "region", "qty", "amount")),
+      operation = "append")
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvx.hot")
+      .collect().head.getLong(0) > 0L)
+    val after = spark.sql("SELECT * FROM mvx.hot")
+    assert(scans(after, ruDir) && answers(after) == hotBaseline())
+
+    // a subquery WHERE fails at parse with the contract
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("""CREATE MATERIALIZED VIEW mvx.bad AS
+        SELECT grp, count(*) AS c FROM mvx.facts
+        WHERE qty IN (SELECT qty FROM mvx.facts) GROUP BY grp""")
+        .collect()
+    }
+    assert(e.getMessage.contains("subquery-free"))
+  }
+
   test("SHOW MATERIALIZED VIEWS lists MVs with live freshness, and a " +
     "rollup HIERARCHY serves the coarsest matching store") {
     val (dir, _) = fixture()
@@ -234,7 +285,7 @@ class MaterializedViewSpec extends SparkSpec {
   }
 
   test("unmaintainable defining queries fail at parse with the " +
-    "contract: joins/filters, expression group keys, DISTINCT, " +
+    "contract: joins, expression group keys, DISTINCT, " +
     "approx_count_distinct, global aggregates") {
     fixture()
     def parseFails(sql: String, needle: String): Unit = {
@@ -244,9 +295,6 @@ class MaterializedViewSpec extends SparkSpec {
       assert(e.getMessage.contains(needle),
         s"expected '$needle' in: ${e.getMessage}")
     }
-    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
-      SELECT grp, count(*) AS c FROM mvx.facts WHERE qty > 3
-      GROUP BY grp""", "single registered table")
     parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
       SELECT substr(grp, 1, 1) AS g, count(*) AS c FROM mvx.facts
       GROUP BY substr(grp, 1, 1)""", "plain columns")

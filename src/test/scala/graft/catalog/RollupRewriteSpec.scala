@@ -109,6 +109,14 @@ class RollupRewriteSpec extends SparkSpec {
     val all = spark.sql(allq)
     assert(scans(all, ru) && !scans(all, dir))
     assert(all.collect().map(_.toSeq).toSet == baseline(allq))
+
+    // SELECT DISTINCT over group columns is an Aggregate with no
+    // aggregate functions — the key-only roll-up match
+    val dq = "SELECT DISTINCT grp FROM mv.facts"
+    val d = spark.sql(dq)
+    assert(scans(d, ru) && !scans(d, dir),
+      "DISTINCT group keys must read the gold table")
+    assert(d.collect().map(_.toSeq).toSet == baseline(dq))
   }
 
   test("NULLABLE measures: count(m) and avg(m) derive from the " +
@@ -150,6 +158,50 @@ class RollupRewriteSpec extends SparkSpec {
     val nd = spark.sql(
       "SELECT grp, count(id) AS ci FROM mv.nfacts GROUP BY grp")
     assert(!scans(nd, ru) && scans(nd, dir))
+  }
+
+  test("a PARTIAL rollup serves only queries that repeat its " +
+    "predicate: the conjunct is consumed, extra group-key filters " +
+    "still ride, and a missing or different predicate stays on base") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwpart").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 400).map(i => (i.toLong, s"g${i % 4}",
+      s"r${i % 2}", (i % 13).toLong, i.toDouble)).toDF(
+      "id", "grp", "region", "qty", "amount")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mv", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mv.facts', name => 'mv.hot',
+      group_by => 'grp,region', sum_cols => 'qty',
+      where => 'qty > 3')""").collect()
+    val ru = new TableStore(spark).properties("mv", "hot")(
+      "graft.rollup.dir")
+
+    val hit = """SELECT grp, count(*) AS c, sum(qty) AS q
+      FROM mv.facts WHERE qty > 3 GROUP BY grp"""
+    val hitDf = spark.sql(hit)
+    assert(scans(hitDf, ru) && !scans(hitDf, dir),
+      "a query repeating the predicate must serve the partial store")
+    assert(hitDf.collect().map(_.toSeq).toSet == baseline(hit))
+
+    // predicate + group-key filter: the predicate consumes, the key
+    // filter re-applies on the gold table
+    val mixed = """SELECT grp, count(*) AS c FROM mv.facts
+      WHERE qty > 3 AND region = 'r1' GROUP BY grp"""
+    val mixedDf = spark.sql(mixed)
+    assert(scans(mixedDf, ru) && !scans(mixedDf, dir))
+    assert(mixedDf.collect().map(_.toSeq).toSet == baseline(mixed))
+
+    // no predicate → rows the store never saw → base scan
+    val miss1 = spark.sql(
+      "SELECT grp, count(*) AS c FROM mv.facts GROUP BY grp")
+    assert(!scans(miss1, ru) && scans(miss1, dir))
+    // a DIFFERENT predicate → base scan
+    val miss2 = spark.sql("SELECT grp, count(*) AS c FROM mv.facts " +
+      "WHERE qty > 4 GROUP BY grp")
+    assert(!scans(miss2, ru) && scans(miss2, dir))
   }
 
   test("a STALE rollup never rewrites; refresh re-arms it; the " +

@@ -341,6 +341,73 @@ class RollupSpec extends SparkSpec {
     assert(served(src, ru) == recompute(live))
   }
 
+  test("a PARTIAL rollup (where-predicate) maintains only matching " +
+    "rows: out-of-predicate appends and deletes never touch the " +
+    "store, mixed windows maintain exactly, and unsafe predicates " +
+    "are rejected at build") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollupw").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    // predicate on a column INDEPENDENT of the append-wave key split
+    val pred = col("o_custkey") % 2 === 0
+    def wRecompute(df: DataFrame): Set[(String, Long, Double)] =
+      recompute(df.filter(pred))
+
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, src, keepVersions = 2)
+    Rollup.build(spark, src, ru, Seq("o_orderpriority"),
+      Seq("o_totalprice"), minMax = Seq("o_totalprice"),
+      filter = Some("o_custkey % 2 = 0"))
+    assert(served(src, ru) == wRecompute(v1))
+
+    // a window of ONLY out-of-predicate rows: zero touched groups
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7 &&
+        col("o_custkey") % 2 === 1)),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) == 0L,
+      "rows outside the predicate must not touch the store")
+    assert(served(src, ru) == wRecompute(Snapshot.read(spark, src)))
+
+    // a mixed append window maintains exactly the matching slice
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7 &&
+        col("o_custkey") % 2 === 0)),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(served(src, ru) == wRecompute(orders))
+
+    // a mixed position-delete window: only matching victims subtract,
+    // and a deleted in-predicate extremum recomputes from the SLICE
+    Snapshot.morCommit(spark, src, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(
+        Snapshot.readLineage(spark, src)
+          .filter(col("o_orderkey") % 25 === 0)))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    val live = Snapshot.read(spark, src).localCheckpoint()
+    assert(served(src, ru) == wRecompute(live))
+    assert(Rollup.read(spark, src, ru)
+      .select(col("o_orderpriority"), col("min_o_totalprice"),
+        col("max_o_totalprice"))
+      .as[(String, Double, Double)].collect().toSet ==
+      live.filter(pred).groupBy("o_orderpriority")
+        .agg(min("o_totalprice"), max("o_totalprice"))
+        .as[(String, Double, Double)].collect().toSet)
+
+    // unsafe predicates refuse at build with the contract
+    assert(intercept[IllegalArgumentException] {
+      Rollup.build(spark, src, s"$root/bad1", Seq("o_orderpriority"),
+        Nil, filter = Some("rand() > 0.5"))
+    }.getMessage.contains("deterministic"))
+    assert(intercept[IllegalArgumentException] {
+      Rollup.build(spark, src, s"$root/bad2", Seq("o_orderpriority"),
+        Nil, filter =
+          Some("o_custkey IN (SELECT o_custkey FROM range(1))"))
+    }.getMessage.contains("subquery-free"))
+  }
+
   test("a count-only rollup (measures = Nil) builds, refreshes and " +
     "reads — the empty measures line must round-trip through the " +
     "meta, not resurrect as a phantom sum_ column") {
