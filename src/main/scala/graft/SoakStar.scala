@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Star-rollup (JOIN materialized view) lifecycle soak: at each fact
+  * scale, time the full star [[graft.pipeline.Rollup.build]] (fact ⋈
+  * customer dim, GROUP BY the DIM's segment) against a refresh after
+  * a FIXED 5k-row fast-append on the fact. The 100-TB claim: with the
+  * dim pinned, Δ(F ⋈ D) = ΔF ⋈ D — refresh joins ONLY the window to
+  * the dim, so its cost must stay FLAT while the fact, the joined
+  * build, and the recurring full recompute the reference pays
+  * (`/root/reference/jobs/build_orders_silver.py` rebuilds derived
+  * tables every run) all grow linearly.
+  *
+  * Usage: `sbt "runMain graft.SoakStar [mult,mult,…]"` (default
+  * 1,8,32 over sf0.1 orders ⋈ customer — 150k joined rows at 1×,
+  * 4.8M at 32×). Prints one JSON line. */
+object SoakStar {
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 8, 32))
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val S = graft.pipeline.Snapshot
+    val R = graft.pipeline.Rollup
+
+    val baseFact = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dimDf = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment")
+
+    val out = mults.map { mult =>
+      val scaled =
+        if (mult <= 1) baseFact
+        else (0 until mult).map(k => baseFact.withColumn("o_orderkey",
+          col("o_orderkey") + k * 1000000000L)).reduce(_ unionByName _)
+      val root = java.nio.file.Files.createTempDirectory(s"ss$mult")
+      val (fact, dim, ru) = (s"$root/fact", s"$root/dim", s"$root/ru")
+      val appendWave = baseFact.orderBy("o_orderkey").limit(5000)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000000L)
+        .localCheckpoint()
+      S.createOrReplace(scaled, fact, keepVersions = 2)
+      S.createOrReplace(dimDf, dim, keepVersions = 2)
+      val rows = S.read(spark, fact).count()
+      val t0 = System.nanoTime()
+      R.build(spark, fact, ru, Seq("c_mktsegment"),
+        Seq("o_totalprice"),
+        dims = Seq(R.DimSpec(dim, Seq(("o_custkey", "c_custkey")))))
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      S.morCommit(spark, fact, deletes = None,
+        appends = Some(appendWave), operation = "append")
+      val t1 = System.nanoTime()
+      require(R.refresh(spark, fact, ru) > 0L)
+      val tApp = (System.nanoTime() - t1) / 1e9
+      s""""x$mult":{"fact_rows":$rows,"star_build_sec":$tBuild,""" +
+        s""""star_append_refresh_sec":$tApp}"""
+    }
+    println(s"""{"soak":"star_rollup_refresh","append_rows":5000,""" +
+      out.mkString(",") + "}")
+    spark.stop()
+  }
+}

@@ -462,8 +462,28 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         // matching rows aggregate and every refresh window filters
         // the same way (deterministic, subquery-free — build checks)
         val where = arg("where", 7).map(_.toString).filter(_.nonEmpty)
+        // joins => 'ns.dim:fact_key=dim_key[+k2=k2][;ns.dim2:…]'
+        // builds a STAR rollup: the fact inner-joins each dimension
+        // (pinned at its live version) before aggregating; group and
+        // measure columns may come from either side. Refresh stays
+        // O(fact window) while dims hold; a moved dim raises
+        // (rebuild), the Trino full-recompute case.
+        val dims = arg("joins", 8).map(_.toString).filter(_.nonEmpty)
+          .map(_.split(";").toSeq.map { spec =>
+            val Array(dimName, keys) = spec.split(":", 2)
+            val Seq(dns, dt) = tableParts(dimName.trim)
+            val dimPath = new TableStore(spark).snapshotPath(dns, dt)
+              .getOrElse(throw new IllegalArgumentException(
+                s"create_rollup joins: $dns.$dt is not a snapshot " +
+                  "table"))
+            graft.pipeline.Rollup.DimSpec(dimPath,
+              keys.split("\\+").toSeq.map { kp =>
+                val Array(fk, dk) = kp.split("=", 2)
+                (fk.trim, dk.trim)
+              })
+          }).getOrElse(Nil)
         val n = graft.pipeline.Rollup.build(spark, path, ruDir,
-          groupBy, sums, minMax, ndv, filter = where)
+          groupBy, sums, minMax, ndv, filter = where, dims = dims)
         val ts = new TableStore(spark)
         ts.registerSnapshot(gns, gt,
           graft.pipeline.Rollup.tableDir(ruDir))

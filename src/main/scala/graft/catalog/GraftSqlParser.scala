@@ -695,7 +695,8 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       throw new UnsupportedOperationException(
         s"CREATE MATERIALIZED VIEW $ns.$name: $msg (maintainable " +
           "shape: SELECT <group cols>, count/sum/avg/min/max/" +
-          "approx_count_distinct(<col>) FROM <ns>.<table> " +
+          "approx_count_distinct(<col>) FROM <ns>.<fact> " +
+          "[JOIN <ns>.<dim> ON <col> = <col> …] [WHERE <predicate>] " +
           "GROUP BY <plain columns>)")
     def unwrap(e: Expression): Expression = e match {
       case Alias(c, _) => unwrap(c)
@@ -724,17 +725,51 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
             (c, Some(cond.sql))
           case c => (c, None)
         }
-        val rel = child match {
-          case u: UnresolvedRelation => u
-          case SubqueryAlias(_, u: UnresolvedRelation) => u
-          case _ => fail("the FROM clause must be a single registered " +
-            "table — no joins or subqueries")
+        def relParts(p: LogicalPlan): (String, String) = {
+          val u = p match {
+            case u: UnresolvedRelation => u
+            case SubqueryAlias(_, u: UnresolvedRelation) => u
+            case _ => fail("each FROM/JOIN relation must be a " +
+              "registered table — no subqueries")
+          }
+          u.multipartIdentifier match {
+            case Seq(n, t) => (n.toLowerCase(java.util.Locale.ROOT),
+              t.toLowerCase(java.util.Locale.ROOT))
+            case _ => fail("qualify every table as <ns>.<table>")
+          }
         }
-        val (srcNs, srcTable) = rel.multipartIdentifier match {
-          case Seq(n, t) => (n.toLowerCase(java.util.Locale.ROOT),
-            t.toLowerCase(java.util.Locale.ROOT))
-          case _ => fail("qualify the source as <ns>.<table>")
+        // a STAR join tree is maintainable: left-deep INNER joins of
+        // registered tables on column equalities (fact first; each
+        // JOIN adds one pinned dimension — the key pairs orient
+        // against the actual schemas at CREATE time)
+        def flattenJoins(p: LogicalPlan)
+            : ((String, String),
+               Seq[(String, String, Seq[(String, String)])]) = p match {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+            if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+              fail("only INNER joins are maintainable (an outer " +
+                "join's null-extension does not commute with the " +
+                "fact-window delta)")
+            val cond = j.condition.getOrElse(
+              fail("JOIN needs an ON <col> = <col> condition"))
+            def conjuncts(e: Expression): Seq[Expression] = e match {
+              case org.apache.spark.sql.catalyst.expressions
+                  .And(l, r) => conjuncts(l) ++ conjuncts(r)
+              case o => Seq(o)
+            }
+            val keys = conjuncts(cond).map {
+              case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                  a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+                (a.nameParts.last, b.nameParts.last)
+              case o => fail("JOIN conditions must be column " +
+                s"equalities, got: ${o.sql}")
+            }
+            val (root, dims) = flattenJoins(j.left)
+            val (dns, dt) = relParts(j.right)
+            (root, dims :+ ((dns, dt, keys)))
+          case other => (relParts(other), Nil)
         }
+        val ((srcNs, srcTable), joins) = flattenJoins(child)
         val groupBy = groupExprs.map(e => attrName(e).getOrElse(
           fail("GROUP BY must list plain columns")))
         if (groupBy.isEmpty)
@@ -784,7 +819,7 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         GraftCreateMaterializedViewCommand(ns, name, srcNs, srcTable,
           groupBy, measures.result().distinct, minMax.result().distinct,
           ndv.result().distinct, where, query, queryText, replace,
-          ifNotExists)
+          ifNotExists, joins)
       case _ =>
         fail("the defining query must be a plain GROUP BY aggregate")
     }

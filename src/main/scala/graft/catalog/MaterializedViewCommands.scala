@@ -40,7 +40,8 @@ case class GraftCreateMaterializedViewCommand(
     ns: String, name: String, srcNs: String, srcTable: String,
     groupBy: Seq[String], measures: Seq[String], minMax: Seq[String],
     ndv: Seq[String], where: Option[String], query: LogicalPlan,
-    queryText: String, replace: Boolean, ifNotExists: Boolean)
+    queryText: String, replace: Boolean, ifNotExists: Boolean,
+    joins: Seq[(String, String, Seq[(String, String)])] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
@@ -69,10 +70,35 @@ case class GraftCreateMaterializedViewCommand(
     if (exists && replace)
       GraftDropMaterializedViewCommand(ns, name, ifExists = false)
         .run(spark)
+    // each JOINed dimension resolves to its snapshot path, and the
+    // raw `ON a = b` pairs ORIENT against the actual schemas (the
+    // parser cannot know which side of the equality is the fact —
+    // the left side grows as dims chain, the DataFrame-join shape)
+    var leftCols = graft.pipeline.Snapshot.read(spark, srcPath)
+      .columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val dims = joins.map { case (dns, dt, rawKeys) =>
+      val dimPath = store.snapshotPath(dns, dt).getOrElse(
+        throw new IllegalArgumentException(
+          s"materialized views join snapshot tables; $dns.$dt is " +
+            "not one"))
+      val dimCols = graft.pipeline.Snapshot.read(spark, dimPath)
+        .columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val keys = rawKeys.map { case (a, b) =>
+        val (al, bl) = (a.toLowerCase(java.util.Locale.ROOT),
+          b.toLowerCase(java.util.Locale.ROOT))
+        if (leftCols.contains(al) && dimCols.contains(bl)) (a, b)
+        else if (leftCols.contains(bl) && dimCols.contains(al)) (b, a)
+        else throw new IllegalArgumentException(
+          s"join condition $a = $b does not pair a fact-side column " +
+            s"with a $dns.$dt column")
+      }
+      leftCols ++= dimCols
+      Rollup.DimSpec(dimPath, keys)
+    }
     val ruDir = s"$srcPath.mv-$name"
     MaterializedViews.deleteDir(ruDir) // a dead MV's leftovers
     Rollup.build(spark, srcPath, ruDir, groupBy, measures, minMax, ndv,
-      filter = where)
+      filter = where, dims = dims)
     try {
       store.registerSnapshot(ns, storageName, Rollup.tableDir(ruDir))
       store.setProperties(ns, storageName, Map(
@@ -133,8 +159,10 @@ case class GraftRefreshMaterializedViewCommand(ns: String, name: String)
             if e.getMessage.contains("rebuild") ||
               e.getMessage.contains("position") =>
           val m = Rollup.meta(ruDir).getOrElse(throw e)
+          // a JOIN MV whose dimension moved lands here too — the
+          // rebuild re-pins every dim at its NEW live version
           Rollup.build(spark, srcPath, ruDir, m.groupCols,
-            m.measures, m.minMax, m.ndv, m.ndvK, m.filter)
+            m.measures, m.minMax, m.ndv, m.ndvK, m.filter, m.dims)
       }
     Seq(Row(n))
   }
@@ -181,10 +209,7 @@ case class GraftShowMaterializedViewsCommand(nsFilter: Option[String])
       .filter { case (ns, _) => nsFilter.forall(_ == ns) }
       .map { case (ns, name) =>
         val (ruDir, srcPath) = MaterializedViews.linkage(spark, ns, name)
-        val fresh = Rollup.meta(ruDir).exists(m =>
-          graft.pipeline.Snapshot.currentVersion(srcPath)
-            .contains(m.srcVersion))
-        Row(ns, name, srcPath, fresh)
+        Row(ns, name, srcPath, Rollup.isFresh(ruDir, srcPath))
       }
   }
 }

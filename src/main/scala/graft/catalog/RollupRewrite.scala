@@ -148,16 +148,25 @@ case class RollupRewrite(session: SparkSession)
         }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** The base-table plan the rollup maintains, canonical-comparable —
-    * cached per (path, version, sidecar count) so the common
-    * no-rollups-touched query pays one map lookup, not a re-analysis. */
-  private def basePlanOf(srcPath: String): Option[LogicalPlan] = {
+  /** The plan the rollup maintains — the base scan, or for a JOIN
+    * rollup the fact ⋈ pinned-dims tree ([[Rollup.joinSource]], the
+    * SAME definition maintenance aggregates) — canonical-comparable,
+    * cached per (path+dims, version, sidecar count) so the common
+    * no-rollups-touched query pays one map lookup, not a re-analysis.
+    * Dim versions stay out of the key: the caller's freshness gate
+    * already refused a moved dim, so a cached entry is always built
+    * from the pinned dim versions. */
+  private def basePlanOf(srcPath: String,
+                         m: Rollup.Meta): Option[LogicalPlan] = {
     val ver = Snapshot.currentVersion(srcPath).getOrElse(return None)
-    val key = (srcPath, ver, Snapshot.morVersions(srcPath).size)
+    val id = srcPath +
+      m.dims.map(d => s"|${d.path}@${d.version}").mkString
+    val key = (id, ver, Snapshot.morVersions(srcPath).size)
     Some(RollupRewrite.planCache.getOrElseUpdate(key, {
-      RollupRewrite.planCache.filterInPlace((k, _) => k._1 != srcPath
+      RollupRewrite.planCache.filterInPlace((k, _) => k._1 != id
         || k == key) // drop superseded versions of this path
-      Snapshot.read(session, srcPath).queryExecution.analyzed
+      Rollup.joinSource(session, Snapshot.read(session, srcPath),
+        m.dims).queryExecution.analyzed
     }))
   }
 
@@ -165,13 +174,26 @@ case class RollupRewrite(session: SparkSession)
                          ruDir: String): Option[Aggregate] = {
     val m = Rollup.meta(ruDir).getOrElse(return None)
     // freshness gate: the rollup must describe the LIVE base version
-    if (!Snapshot.currentVersion(srcPath).contains(m.srcVersion))
-      return None
-    // the aggregate input must BE the base table (aliases and
-    // column-pruning Projects in between are transparent; filters
+    // AND every pinned dim version (a moved dim voids every group)
+    if (!Rollup.isFresh(ruDir, srcPath)) return None
+    // the aggregate input must BE the maintained plan (aliases and
+    // column-pruning Projects on EITHER side are transparent — a
+    // same-named join key leaves a pruning Project in the base tree,
+    // and a USING-join query leaves one in the query tree; filters
     // over rollup keys are re-applied on the gold table below)
     val (core, filters) = strip(agg.child)
-    val base = basePlanOf(srcPath).getOrElse(return None)
+    // base-side strip: ONLY aliases and attr-Projects (a same-named
+    // join key leaves a pruning Project over the join) — a Filter in
+    // the base plan is part of what the rollup maintains, never
+    // strippable
+    def stripBase(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => stripBase(c)
+      case Project(ps, c)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        stripBase(c)
+      case other => other
+    }
+    val base = stripBase(basePlanOf(srcPath, m).getOrElse(return None))
     if (!core.sameResult(base)) return None
     // grouping: plain attributes, a subset of the rollup's group cols
     val resolver = session.sessionState.analyzer.resolver

@@ -76,10 +76,43 @@ object Rollup {
     try body finally maintaining.set(prev)
   }
 
+  /** A star-schema DIMENSION joined into the maintained aggregate:
+    * `fact.<fk> = dim.<dk>` inner-joined per key pair, the dim PINNED
+    * at `version`. Maintenance stays O(fact window): with the dims
+    * frozen, Δ(F ⋈ D) = ΔF ⋈ D — the signed-delta algebra survives
+    * the join untouched (Gupta & Mumick, join views). A dim that
+    * moves makes the window unpriceable (any dim row change fans out
+    * to an unknowable set of joined rows), so refresh raises and the
+    * MV REFRESH surface falls back to the full recompute — exactly
+    * Trino's always-rebuild, paid only when a dimension actually
+    * changed. */
+  final case class DimSpec(path: String, keys: Seq[(String, String)],
+                           version: Long = -1L)
+
   final case class Meta(srcVersion: Long, rollupVersion: Long,
                         groupCols: Seq[String], measures: Seq[String],
                         minMax: Seq[String], ndv: Seq[String],
-                        ndvK: Int, filter: Option[String] = None)
+                        ndvK: Int, filter: Option[String] = None,
+                        dims: Seq[DimSpec] = Nil)
+
+  /** Dim list ⇄ one meta line: per dim `urlenc(path),fk=dk+fk2=dk2,v`
+    * tab-separated — URL-encoding keeps paths clear of the three
+    * separators; [[build]] refuses key names that carry them. */
+  private def encodeDims(dims: Seq[DimSpec]): String =
+    dims.map { d =>
+      val ks = d.keys.map { case (f, k) => s"$f=$k" }.mkString("+")
+      java.net.URLEncoder.encode(d.path, "UTF-8") + s",$ks,${d.version}"
+    }.mkString("\t")
+
+  private def decodeDims(s: String): Seq[DimSpec] =
+    s.split("\t").toSeq.filter(_.nonEmpty).map { e =>
+      val Array(p, ks, v) = e.split(",", 3)
+      DimSpec(java.net.URLDecoder.decode(p, "UTF-8"),
+        ks.split("\\+").toSeq.map { kp =>
+          val Array(f, k) = kp.split("=", 2)
+          (f, k)
+        }, v.toLong)
+    }
 
   def tableDir(rollupDir: String): String = s"$rollupDir/table"
   private def metaFile(rollupDir: String) =
@@ -92,9 +125,11 @@ object Rollup {
       val lines = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim
         .split("\n").toSeq
-      if (lines.length != 8) throw new IllegalStateException(
-        s"rollup meta at $rollupDir has ${lines.length} lines (this " +
-          "version writes 8) — persisted by an older format; rebuild")
+      // 8 lines = pre-join format (dims implicitly empty); 9 = current
+      if (lines.length != 8 && lines.length != 9)
+        throw new IllegalStateException(
+          s"rollup meta at $rollupDir has ${lines.length} lines (this " +
+            "version writes 9) — persisted by an older format; rebuild")
       Some(Meta(lines.head.toLong, lines(1).toLong,
         lines(2).split("\t").toSeq,
         // a count-only rollup (measures = Nil) writes an empty line;
@@ -108,7 +143,9 @@ object Rollup {
         lines(6).stripPrefix("k:").toInt,
         // the partial-rollup predicate rides as ONE line of SQL (the
         // parser never writes raw newlines into expression text)
-        Some(lines(7).stripPrefix("w:")).filter(_.nonEmpty)))
+        Some(lines(7).stripPrefix("w:")).filter(_.nonEmpty),
+        if (lines.length > 8) decodeDims(lines(8).stripPrefix("d:"))
+        else Nil))
     }
   }
 
@@ -120,7 +157,8 @@ object Rollup {
         s"${m.groupCols.mkString("\t")}\n${m.measures.mkString("\t")}\n" +
         s"mm:${m.minMax.mkString("\t")}\n" +
         s"nd:${m.ndv.mkString("\t")}\nk:${m.ndvK}\n" +
-        s"w:${m.filter.getOrElse("")}\n")
+        s"w:${m.filter.getOrElse("")}\n" +
+        s"d:${encodeDims(m.dims)}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(rollupDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -157,6 +195,50 @@ object Rollup {
       throw new IllegalStateException(
         s"rollup requires a versioned snapshot source at $srcPath — " +
           "the staleness contract pins rollup to source version"))
+
+  /** The maintained SOURCE FRAME: the fact rows joined to every pinned
+    * dimension (inner, ON-style — both key columns survive, which is
+    * the shape a SQL `JOIN … ON` query analyzes to, so the rewrite's
+    * plan match sees the same tree; a SAME-NAMED key drops the dim
+    * copy, the only unambiguous choice, and the two are equal under
+    * the join anyway). Used identically by build, every refresh
+    * window, the affected-group recompute, and the rewrite's base
+    * plan — ONE definition of what the gold table aggregates. */
+  private[graft] def joinSource(spark: SparkSession, fact: DataFrame,
+                                dims: Seq[DimSpec]): DataFrame =
+    dims.foldLeft(fact) { (acc, dim) =>
+      val d = Snapshot.read(spark, dim.path)
+      val cond = dim.keys.map { case (fk, dk) => acc(fk) === d(dk) }
+        .reduce(_ && _)
+      val joined = acc.join(d, cond, "inner")
+      dim.keys.collect { case (fk, dk) if fk == dk => d(dk) }
+        .foldLeft(joined)(_ drop _)
+    }
+
+  /** True iff the gold table describes the LIVE fact version AND every
+    * pinned dimension version — the one freshness predicate the
+    * rewrite, `read`, and SHOW MATERIALIZED VIEWS share. */
+  def isFresh(rollupDir: String, srcPath: String): Boolean =
+    meta(rollupDir).exists(m =>
+      Snapshot.currentVersion(srcPath).contains(m.srcVersion) &&
+        m.dims.forall(d =>
+          Snapshot.currentVersion(d.path).contains(d.version)))
+
+  /** Raise when a pinned dim moved — any dim row change fans out to an
+    * unknowable set of joined rows, so the fact window can no longer
+    * price the delta ("rebuild" in the message routes the MV REFRESH
+    * surface to its full-recompute fallback). */
+  private def requireDimsPinned(rollupDir: String,
+                                dims: Seq[DimSpec]): Unit =
+    dims.foreach { d =>
+      val live = Snapshot.currentVersion(d.path)
+      if (!live.contains(d.version))
+        throw new IllegalStateException(
+          s"rollup at $rollupDir joins dimension ${d.path} pinned at " +
+            s"v${d.version} but the dim moved to " +
+            s"v${live.getOrElse(-1L)} — a dimension change " +
+            "invalidates every joined group; rebuild the rollup")
+    }
 
   /** One group's maintained columns: exact decimal sums + counts.
     * Sums pin to DECIMAL(27,6) (Spark widens sum(decimal) results —
@@ -249,21 +331,34 @@ object Rollup {
   def build(spark: SparkSession, srcPath: String, rollupDir: String,
             groupCols: Seq[String], measures: Seq[String],
             minMax: Seq[String] = Nil, ndv: Seq[String] = Nil,
-            ndvK: Int = 256, filter: Option[String] = None): Long =
+            ndvK: Int = 256, filter: Option[String] = None,
+            dims: Seq[DimSpec] = Nil): Long =
     suppressRewrite {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
     val normFilter = filter.map(_.replaceAll("\\s+", " ").trim)
       .filter(_.nonEmpty)
+    // dim key names ride the meta's separator alphabet — refuse the
+    // three characters the encoding reserves (never real column names)
+    dims.flatMap(d => d.keys.flatMap(k => Seq(k._1, k._2)))
+      .find(k => k.exists(",+=".contains(_)))
+      .foreach(k => throw new IllegalArgumentException(
+        s"dim join key '$k' contains a reserved character (, + =)"))
     val version = srcVersionOf(srcPath)
-    val src = applyFilter(Snapshot.read(spark, srcPath), normFilter,
-      validate = true)
+    // pin every dim at ITS live version — refresh and the rewrite gate
+    // on these, and a moved dim routes to the full-recompute fallback
+    val pinned = dims.map(d => d.copy(version = Snapshot
+      .currentVersion(d.path).getOrElse(throw new IllegalStateException(
+        s"rollup dimension must be a versioned snapshot: ${d.path}"))))
+    val src = applyFilter(
+      joinSource(spark, Snapshot.read(spark, srcPath), pinned),
+      normFilter, validate = true)
     Snapshot.createOrReplace(
       withSketches(aggOf(src, groupCols, measures, minMax), src,
         groupCols, ndv, ndvK),
       tableDir(rollupDir), keepVersions = 1)
     writeMeta(rollupDir, Meta(version,
       Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L),
-      groupCols, measures, minMax, ndv, ndvK, normFilter))
+      groupCols, measures, minMax, ndv, ndvK, normFilter, pinned))
     Snapshot.read(spark, tableDir(rollupDir)).count()
   }
 
@@ -296,6 +391,10 @@ object Rollup {
               compactAfterCommits: Int = 64): Long = suppressRewrite {
     val m = meta(rollupDir).getOrElse(throw new IllegalStateException(
       s"no rollup at $rollupDir (build first)"))
+    // a moved dimension makes the fact window unpriceable — check
+    // BEFORE the fast no-op return, or a dim-only change would
+    // silently stay stale behind an "already fresh" refresh
+    requireDimsPinned(rollupDir, m.dims)
     val version = srcVersionOf(srcPath)
     if (version == m.srcVersion) return 0L
     // a crashed refresh's commit carries its window end in the
@@ -319,9 +418,13 @@ object Rollup {
       since, version, "rollup")
     // a PARTIAL rollup sees only matching rows — the window deltas
     // filter exactly as the build did (deterministic, row-local), so
-    // out-of-predicate appends/deletes simply never touch the store
-    val plus = applyFilter(plus0, m.filter)
-    val minus = applyFilter(minus0, m.filter).localCheckpoint()
+    // out-of-predicate appends/deletes simply never touch the store.
+    // JOIN rollups join the window to the PINNED dims first (dims
+    // frozen ⇒ Δ(F ⋈ D) = ΔF ⋈ D — each fact row maps to the same
+    // joined rows it mapped to at build, per-instance counts intact)
+    val plus = applyFilter(joinSource(spark, plus0, m.dims), m.filter)
+    val minus = applyFilter(joinSource(spark, minus0, m.dims), m.filter)
+      .localCheckpoint()
     val key = m.groupCols
     val sumCols = m.measures.map(mm => s"sum_$mm")
     val cntCols = m.measures.map(mm => s"cnt_$mm")
@@ -394,7 +497,8 @@ object Rollup {
           .localCheckpoint()
         if (minusG.limit(1).count() > 0) {
           val recSrc = nsJoin(
-            applyFilter(Snapshot.readAsOf(spark, srcPath, version),
+            applyFilter(joinSource(spark,
+              Snapshot.readAsOf(spark, srcPath, version), m.dims),
               m.filter),
             broadcast(minusG), key, "left_semi")
           // STRICT override for every minus-touched group — not a
@@ -486,6 +590,7 @@ object Rollup {
         s"rollup at $rollupDir is STALE: it aggregates source version " +
           s"${m.srcVersion} but the live source is v$version — run " +
           "Rollup.refresh or rebuild")
+    requireDimsPinned(rollupDir, m.dims)
     val sums = m.measures.foldLeft(
       Snapshot.read(spark, tableDir(rollupDir))) { (df, mm) =>
         df.withColumn(s"sum_$mm", col(s"sum_$mm").cast(DoubleType))

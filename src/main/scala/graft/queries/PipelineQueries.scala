@@ -442,6 +442,65 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20e — JOIN materialized view (star schema): the defining query
+    // inner-joins the fact to a dimension, the store maintains the
+    // JOINED aggregate (dim pinned at its version — Δ(F⋈D) = ΔF⋈D),
+    // and the rewrite serves the star-join SQL from gold. REQUIRED
+    // inside the query: after a fact append + REFRESH the MV read
+    // scans the gold store and neither base table.
+    "q_mv_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvjq")
+        .toString
+      val (fact, dim) = (s"$root/orders", s"$root/customer")
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        fact, keepVersions = 2)
+      S.createOrReplace(customer, dim, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvj", "orders", fact)
+      ts.registerSnapshot("mvj", "customer", dim)
+      s.sql("""CREATE MATERIALIZED VIEW mvj.seg AS
+        SELECT c_mktsegment, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM mvj.orders o JOIN mvj.customer c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment""").collect()
+      S.morCommit(s, fact, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      require(s.sql("REFRESH MATERIALIZED VIEW mvj.seg")
+        .collect().head.getLong(0) > 0L,
+        "the fact-append window must touch groups")
+      val q = s.sql("SELECT * FROM mvj.seg")
+      val ruDir = ts.properties("mvj", "seg__storage")(
+        "graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir),
+        "a fresh join MV must serve from the gold store")
+      require(!reads(fact) && !reads(dim),
+        "the join-MV read must scan neither base table")
+      ts.dropView("mvj", "seg")
+      ts.dropTable("mvj", "seg__storage")
+      ts.dropTable("mvj", "orders")
+      ts.dropTable("mvj", "customer")
+      q.orderBy("c_mktsegment")
+    }),
+
     // X14c — GDPR erasure through the snapshot layer: silver built into
     // a two-version snapshot, then every row of the subject cohort
     // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
@@ -2204,6 +2263,18 @@ FROM iceberg.silver.orders_current""")
              AVG(o_custkey) AS avg_cust
       FROM orders GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Join-MV twin: the star-join defining query over the final fact
+    // state (the fact append landed; the dim never moved).
+    "q_mv_join" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
 
     // Partial-MV twin: the defining query's slice over the final base.
     "q_mv_where" -> s"""

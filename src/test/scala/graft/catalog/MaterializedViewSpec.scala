@@ -308,9 +308,74 @@ class MaterializedViewSpec extends SparkSpec {
     // the Aggregate later) — rejected by the shape gate
     parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
       SELECT count(*) AS c FROM mvx.facts""", "GROUP BY aggregate")
+    // joins are maintainable since the star-MV work — but only INNER
+    // on column equalities
     parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
       SELECT a.grp, count(*) AS c FROM mvx.facts a
-      JOIN mvx.facts b ON a.id = b.id GROUP BY a.grp""",
-      "single registered table")
+      LEFT JOIN mvx.facts b ON a.id = b.id GROUP BY a.grp""",
+      "INNER")
+    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
+      SELECT a.grp, count(*) AS c FROM mvx.facts a
+      JOIN mvx.facts b ON a.id < b.id GROUP BY a.grp""",
+      "column equalities")
+  }
+
+  test("a JOIN materialized view (star schema): reads serve from " +
+    "gold, a fact append REFRESHes at O(window), a dim change routes " +
+    "REFRESH to the full-recompute fallback and re-pins") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("mvjoin").toString
+    val (fdir, ddir) = (s"$root/fact", s"$root/dim")
+    val facts = (1 to 400).map(i =>
+      (i.toLong, (i % 10).toLong, (i % 13).toLong))
+      .toDF("id", "cust_id", "qty")
+    val dim = (0 until 10).map(i => (i.toLong, s"seg${i % 3}"))
+      .toDF("cust_key", "segment")
+    Snapshot.createOrReplace(facts, fdir, keepVersions = 2)
+    Snapshot.createOrReplace(dim, ddir, keepVersions = 2)
+    store.registerSnapshot("mvs", "facts", fdir)
+    store.registerSnapshot("mvs", "cust", ddir)
+    spark.sql("""CREATE MATERIALIZED VIEW mvs.by_segment AS
+      SELECT segment, count(*) AS c, sum(qty) AS q
+      FROM mvs.facts f JOIN mvs.cust c ON f.cust_id = c.cust_key
+      GROUP BY segment""").collect()
+    val ruDir = new TableStore(spark)
+      .properties("mvs", "by_segment__storage")("graft.rollup.dir")
+    def mvRead() = spark.sql("SELECT * FROM mvs.by_segment")
+    def base(): Set[Seq[Any]] = {
+      spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+      try answers(mvRead())
+      finally
+        spark.conf.set("spark.graft.rollup.rewrite.enabled", "true")
+    }
+    assert(scans(mvRead(), ruDir) && !scans(mvRead(), fdir),
+      "a fresh join MV must serve from the gold store")
+    assert(answers(mvRead()) == base())
+
+    // fact append → stale → base fallback; REFRESH re-arms at O(delta)
+    Snapshot.morCommit(spark, fdir, deletes = None,
+      appends = Some(Seq((1001L, 3L, 5L)).toDF("id", "cust_id", "qty")),
+      operation = "append")
+    assert(!scans(mvRead(), ruDir) && scans(mvRead(), fdir))
+    assert(answers(mvRead()) == base())
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvs.by_segment")
+      .collect().head.getLong(0) > 0L)
+    assert(scans(mvRead(), ruDir))
+    assert(answers(mvRead()) == base())
+
+    // dim append → unpriceable window → REFRESH full-recomputes and
+    // re-pins the new dim version; reads serve gold again
+    Snapshot.morCommit(spark, ddir, deletes = None,
+      appends = Some(Seq((77L, "seg7")).toDF("cust_key", "segment")),
+      operation = "append")
+    assert(!scans(mvRead(), ruDir), "a moved dim must void the store")
+    assert(answers(mvRead()) == base())
+    spark.sql("REFRESH MATERIALIZED VIEW mvs.by_segment").collect()
+    assert(scans(mvRead(), ruDir),
+      "the rebuild fallback must re-pin the moved dim")
+    assert(answers(mvRead()) == base())
+    spark.sql("DROP MATERIALIZED VIEW mvs.by_segment").collect()
+    assert(!Files.exists(Paths.get(ruDir)))
   }
 }

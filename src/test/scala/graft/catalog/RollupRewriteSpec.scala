@@ -231,4 +231,55 @@ class RollupRewriteSpec extends SparkSpec {
     finally
       spark.conf.set("spark.graft.rollup.rewrite.enabled", "true")
   }
+
+  test("JOIN rollup rewrite: a star-join aggregate re-targets the " +
+    "gold store; the bare-fact aggregate and a moved dim do not") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwj").toString
+    val (fdir, ddir) = (s"$root/fact", s"$root/dim")
+    val facts = (1 to 400).map(i =>
+      (i.toLong, (i % 10).toLong, (i % 13).toLong))
+      .toDF("id", "cust_id", "qty")
+    val dim = (0 until 10).map(i => (i.toLong, s"seg${i % 3}"))
+      .toDF("cust_key", "segment")
+    Snapshot.createOrReplace(facts, fdir, keepVersions = 2)
+    Snapshot.createOrReplace(dim, ddir, keepVersions = 2)
+    store.registerSnapshot("mvj", "facts", fdir)
+    store.registerSnapshot("mvj", "cust", ddir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvj.facts', name => 'mvj.gold',
+      group_by => 'segment', sum_cols => 'qty',
+      joins => 'mvj.cust:cust_id=cust_key')""").collect()
+    val ru = new TableStore(spark).properties("mvj", "gold")(
+      "graft.rollup.dir")
+    val q = """SELECT segment, count(*) AS c, sum(qty) AS s
+      FROM mvj.facts f JOIN mvj.cust c ON f.cust_id = c.cust_key
+      GROUP BY segment"""
+    val df = spark.sql(q)
+    assert(scans(df, ru) && !scans(df, fdir) && !scans(df, ddir),
+      "the star-join aggregate must read ONLY the gold store")
+    assert(df.collect().map(_.toSeq).toSet == baseline(q))
+    // the REVERSED equality must canonicalize to the same join
+    val qr = """SELECT segment, count(*) AS c
+      FROM mvj.facts f JOIN mvj.cust c ON c.cust_key = f.cust_id
+      GROUP BY segment"""
+    val dfr = spark.sql(qr)
+    assert(scans(dfr, ru),
+      "ON a = b and ON b = a are the same join")
+    assert(dfr.collect().map(_.toSeq).toSet == baseline(qr))
+    // the bare-fact aggregate is a DIFFERENT plan — never served by
+    // the join store (its groups count joined multiplicity)
+    val bare = spark.sql(
+      "SELECT cust_id, count(*) AS c FROM mvj.facts GROUP BY cust_id")
+    assert(!scans(bare, ru) && scans(bare, fdir))
+    // a moved dim voids the store: base plan, still-correct answer
+    Snapshot.morCommit(spark, ddir, deletes = None,
+      appends = Some(Seq((99L, "seg9")).toDF("cust_key", "segment")),
+      operation = "append")
+    val stale = spark.sql(q)
+    assert(!scans(stale, ru) && scans(stale, fdir),
+      "a moved dim must force the base plan")
+    assert(stale.collect().map(_.toSeq).toSet == baseline(q))
+  }
 }

@@ -492,4 +492,114 @@ class RollupSpec extends SparkSpec {
       == commitsBefore, "a fully-applied window must only restamp")
     assert(served(src, ru) == recompute(orders))
   }
+
+  test("JOIN rollup (star): fact ⋈ dim maintains exactly under append " +
+    "and position-delete windows; a moved dim raises with 'rebuild'") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val customer = Tables.customer(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollupJ").toString
+    val (fact, dim, ru) = (s"$root/fact", s"$root/dim", s"$root/rollup")
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, fact, keepVersions = 2)
+    Snapshot.createOrReplace(customer, dim, keepVersions = 2)
+
+    def joinedRecompute(f: DataFrame): Set[(String, Long, Double, Double)] =
+      f.join(customer, f("o_custkey") === customer("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"),
+          min("o_totalprice").as("mn"))
+        .as[(String, Long, Double, Double)].collect().toSet
+    def goldState(): Set[(String, Long, Double, Double)] =
+      Rollup.read(spark, fact, ru)
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_o_totalprice"), col("min_o_totalprice"))
+        .as[(String, Long, Double, Double)].collect().toSet
+
+    Rollup.build(spark, fact, ru,
+      Seq("c_mktsegment"), Seq("o_totalprice"),
+      minMax = Seq("o_totalprice"),
+      dims = Seq(Rollup.DimSpec(dim,
+        Seq(("o_custkey", "c_custkey")))))
+    assert(goldState() == joinedRecompute(v1))
+
+    // fact append window: the delta joins to the FROZEN dim
+    Snapshot.morCommit(spark, fact, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+      operation = "append")
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    assert(goldState() == joinedRecompute(orders))
+
+    // fact position-delete window: victims include per-segment minima
+    // (forces the affected-group recompute THROUGH the join)
+    val lineage = Snapshot.readLineage(spark, fact)
+    val victims = lineage.join(customer,
+        lineage("o_custkey") === customer("c_custkey"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment").orderBy("o_totalprice")))
+      .filter(col("_rk") <= 3).select(lineage.columns.map(col): _*)
+      .localCheckpoint()
+    Snapshot.morCommit(spark, fact, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(victims))
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    assert(goldState() == joinedRecompute(
+      Snapshot.read(spark, fact).localCheckpoint()))
+
+    // a moved DIM makes the window unpriceable: refresh and read both
+    // raise, and the message routes MV REFRESH to its rebuild fallback
+    Snapshot.morCommit(spark, dim, deletes = None,
+      appends = Some(customer.limit(1)), operation = "append")
+    assert(intercept[IllegalStateException] {
+      Rollup.refresh(spark, fact, ru)
+    }.getMessage.contains("rebuild"))
+    assert(intercept[IllegalStateException] {
+      Rollup.read(spark, fact, ru)
+    }.getMessage.contains("rebuild"))
+    // the rebuild (what MV REFRESH does on this raise) re-pins the dim
+    val m = Rollup.meta(ru).get
+    Rollup.build(spark, fact, ru, m.groupCols, m.measures, m.minMax,
+      m.ndv, m.ndvK, m.filter, m.dims)
+    assert(Rollup.refresh(spark, fact, ru) == 0L)
+  }
+
+  test("JOIN rollup with a SAME-NAMED key keeps one copy and " +
+    "maintains; dim columns can be group keys") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollupJ2").toString
+    val (fact, dim, ru) = (s"$root/fact", s"$root/dim", s"$root/rollup")
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 3)
+    Snapshot.createOrReplace(v1, fact, keepVersions = 2)
+    // dim keyed by the SAME column name the fact carries
+    val prioDim = orders.select("o_orderpriority").distinct()
+      .withColumn("prio_class",
+        when(col("o_orderpriority") < "3", lit("hot"))
+          .otherwise(lit("cold")))
+      .localCheckpoint()
+    Snapshot.createOrReplace(prioDim, dim, keepVersions = 2)
+    Rollup.build(spark, fact, ru, Seq("prio_class"), Seq("o_totalprice"),
+      dims = Seq(Rollup.DimSpec(dim,
+        Seq(("o_orderpriority", "o_orderpriority")))))
+    def recomputeJ(f: DataFrame): Set[(String, Long, Double)] =
+      f.join(prioDim, Seq("o_orderpriority"))
+        .groupBy("prio_class")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+    def gold(): Set[(String, Long, Double)] =
+      Rollup.read(spark, fact, ru)
+        .select(col("prio_class"), col("cnt"),
+          col("sum_o_totalprice"))
+        .as[(String, Long, Double)].collect().toSet
+    assert(gold() == recomputeJ(v1))
+    Snapshot.morCommit(spark, fact, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 3)),
+      operation = "append")
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    assert(gold() == recomputeJ(orders))
+  }
 }
