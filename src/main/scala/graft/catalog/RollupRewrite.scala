@@ -42,10 +42,15 @@ import org.apache.spark.sql.types._
   *    `count(m)` → `sum(cnt_m)` (the maintained NON-NULL count),
   *    `avg(m)` over integral measures (`sum_m/cnt_m` — the non-null
   *    denominator, exact on nullable measures, reproducing Spark's
-  *    sum-then-one-double-divide). `sum(double)` is NOT
-  *    rewritten (floating-point sums are order-dependent; the rewrite
-  *    must never change a result), nor are distinct/filtered
-  *    aggregates.
+  *    sum-then-one-double-divide). Aggregates over GROUP columns
+  *    derive from the gold key columns — `min/max(g)`, `count(g)`
+  *    (= sum of non-null-key groups' counts) and `count(DISTINCT g)`
+  *    (the store has one row per LIVE key combination, so the
+  *    distinct key-value set is the base's) — the dashboard
+  *    cardinality query. `sum(double)` is NOT rewritten
+  *    (floating-point sums are order-dependent; the rewrite must
+  *    never change a result), nor are filtered aggregates or any
+  *    other distinct shape.
   *
   * Disable with `spark.graft.rollup.rewrite.enabled = false`. The
   * linkage comes from the gold table's TBLPROPERTIES
@@ -255,6 +260,28 @@ case class RollupRewrite(session: SparkSession)
           if derivable(a.name, m.minMax) =>
         ruAttr(s"max_${a.name}").map(x =>
           AggregateExpression(Max(x), Complete, isDistinct = false))
+      // aggregates over a GROUP column derive from the gold KEY
+      // column: the store carries one row per LIVE key combination
+      // (zero-count groups vanish), so the multiset of distinct key
+      // values — and hence min/max — is identical to the base's
+      case Min(a: AttributeReference)
+          if derivable(a.name, m.groupCols) =>
+        ruAttr(a.name).map(x =>
+          AggregateExpression(Min(x), Complete, isDistinct = false))
+      case Max(a: AttributeReference)
+          if derivable(a.name, m.groupCols) =>
+        ruAttr(a.name).map(x =>
+          AggregateExpression(Max(x), Complete, isDistinct = false))
+      case Count(Seq(a: AttributeReference))
+          if derivable(a.name, m.groupCols) =>
+        // count(g): rows where the key is non-null = sum of those
+        // groups' counts (the null group contributes nothing, like
+        // SQL's count)
+        (ruAttr(a.name), ruAttr("cnt")) match {
+          case (Some(g), Some(c)) => Some(Coalesce(Seq(
+            sumOf(If(IsNotNull(g), c, Literal(0L))), Literal(0L))))
+          case _ => None
+        }
       case Average(a: AttributeReference, _)
           if derivable(a.name, m.measures) &&
             Seq[DataType](ByteType, ShortType, IntegerType, LongType)
@@ -285,6 +312,19 @@ case class RollupRewrite(session: SparkSession)
       case ae: AggregateExpression
           if !ae.isDistinct && ae.filter.isEmpty =>
         translate(ae.aggregateFunction)
+      case ae: AggregateExpression
+          if ae.isDistinct && ae.filter.isEmpty =>
+        // count(DISTINCT g) over a GROUP column is exact on the gold
+        // table: one row per live key combination, so the distinct
+        // key-value SET matches the base's (nulls excluded by count
+        // on both sides). Other distinct aggregates never rewrite.
+        ae.aggregateFunction match {
+          case Count(Seq(a: AttributeReference))
+              if m.groupCols.exists(resolver(_, a.name)) =>
+            ruAttr(a.name).map(g => AggregateExpression(
+              Count(Seq(g)), Complete, isDistinct = true))
+          case _ => None
+        }
       case a: AttributeReference => groupMap.get(a.exprId)
       case _ if e.children.isEmpty => Some(e)
       case _ =>

@@ -279,6 +279,58 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20f — GROUP-column aggregates from the gold store: the rollup
+    // keyed (o_orderpriority, o_orderstatus) serves the dashboard
+    // cardinality query — count(DISTINCT status) per priority plus
+    // min/max over a key column — because the store carries one row
+    // per LIVE key combination. REQUIRED inside the query: the plan
+    // reads the gold table and never the base.
+    "q_rollup_distinct" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("rudsq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvds", "orders", src)
+      s.sql("""CALL iceberg.system.create_rollup(
+        table => 'mvds.orders', name => 'mvds.gold',
+        group_by => 'o_orderpriority,o_orderstatus',
+        sum_cols => 'o_totalprice')""").collect()
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      s.sql("CALL iceberg.system.refresh_rollup(table => 'mvds.gold')")
+        .collect()
+      val q = s.sql("""SELECT o_orderpriority,
+        count(DISTINCT o_orderstatus) AS n_status,
+        min(o_orderstatus) AS min_status,
+        max(o_orderstatus) AS max_status,
+        count(o_orderstatus) AS c_status,
+        count(*) AS cnt
+        FROM mvds.orders GROUP BY o_orderpriority""")
+      val ruDir = ts.properties("mvds", "gold")("graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir),
+        "the group-column aggregate must be served from the gold store")
+      require(!reads(src),
+        "the rewritten plan must not scan the base table")
+      ts.dropTable("mvds", "gold"); ts.dropTable("mvds", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
     // S20b — MV rewrite on a NULLABLE measure: count(m) and avg(m)
     // derive from the maintained NON-NULL count cnt_<m>, not the row
     // count (on a measure with nulls the two differ — a cnt-based avg
@@ -2261,6 +2313,18 @@ FROM iceberg.silver.orders_current""")
              MIN(o_totalprice) AS min_price,
              MAX(o_totalprice) AS max_price,
              AVG(o_custkey) AS avg_cust
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // Group-column-aggregate twin: the dashboard cardinality query
+    // over the final base state.
+    "q_rollup_distinct" -> s"""
+      SELECT o_orderpriority,
+             COUNT(DISTINCT o_orderstatus) AS n_status,
+             MIN(o_orderstatus) AS min_status,
+             MAX(o_orderstatus) AS max_status,
+             COUNT(o_orderstatus) AS c_status,
+             COUNT(*) AS cnt
       FROM orders GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 

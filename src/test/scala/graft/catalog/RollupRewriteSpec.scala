@@ -232,6 +232,40 @@ class RollupRewriteSpec extends SparkSpec {
       spark.conf.set("spark.graft.rollup.rewrite.enabled", "true")
   }
 
+  test("GROUP-column aggregates derive from the gold key columns: " +
+    "count(DISTINCT g), min/max(g), count(g) — other distinct shapes " +
+    "never rewrite") {
+    val (dir, ru) = fixture()
+    val q = """SELECT grp, count(DISTINCT region) AS dr,
+      min(region) AS mnr, max(region) AS mxr, count(region) AS cr,
+      count(*) AS c FROM mv.facts GROUP BY grp"""
+    val df = spark.sql(q)
+    assert(scans(df, ru) && !scans(df, dir),
+      "group-column aggregates must serve from the gold store")
+    assert(df.collect().map(_.toSeq).toSet == baseline(q))
+    // the GLOBAL cardinality query — the dashboard count-distinct
+    val g = "SELECT count(DISTINCT grp) AS n FROM mv.facts"
+    val gf = spark.sql(g)
+    assert(scans(gf, ru) && !scans(gf, dir))
+    assert(gf.collect().map(_.toSeq).toSet == baseline(g))
+    // distinct over a NON-key column is not derivable
+    val bad = spark.sql(
+      "SELECT grp, count(DISTINCT qty) AS n FROM mv.facts GROUP BY grp")
+    assert(!scans(bad, ru) && scans(bad, dir))
+    // sum(DISTINCT g) is not a served shape either
+    val sd = spark.sql(
+      "SELECT grp, sum(DISTINCT qty) AS n FROM mv.facts GROUP BY grp")
+    assert(!scans(sd, ru) && scans(sd, dir))
+    // HAVING rides for free: the filter sits ABOVE the rewritten
+    // aggregate, so the rule serves the inner Aggregate unchanged
+    val hq = """SELECT grp, count(*) AS c FROM mv.facts GROUP BY grp
+      HAVING count(*) > 90"""
+    val hf = spark.sql(hq)
+    assert(scans(hf, ru) && !scans(hf, dir),
+      "HAVING must not block the rewrite of the aggregate beneath it")
+    assert(hf.collect().map(_.toSeq).toSet == baseline(hq))
+  }
+
   test("JOIN rollup rewrite: a star-join aggregate re-targets the " +
     "gold store; the bare-fact aggregate and a moved dim do not") {
     TableStore.reset(spark)
