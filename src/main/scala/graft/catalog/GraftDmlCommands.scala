@@ -297,11 +297,18 @@ private[catalog] object GraftDml {
     if (wapBranch(spark).nonEmpty) return
     if (graft.pipeline.Rollup.maintaining.get()) return
     new TableStore(spark).tablesWithProperty("graft.rollup.dir")
-      .filter(_.get("graft.rollup.source").contains(path))
       .filter(_.get("graft.rollup.auto-refresh").exists(_.toBoolean))
+      .filter { t =>
+        // the committing table is this rollup's fact — or one of a
+        // STAR rollup's joined dimensions (their windows price
+        // incrementally too; Rollup.refresh reads the dims from meta)
+        t.get("graft.rollup.source").contains(path) ||
+          graft.pipeline.Rollup.meta(t("graft.rollup.dir"))
+            .exists(_.dims.exists(_.path == path))
+      }
       .foreach { t =>
-        try graft.pipeline.Rollup.refresh(spark, path,
-          t("graft.rollup.dir"))
+        try graft.pipeline.Rollup.refresh(spark,
+          t("graft.rollup.source"), t("graft.rollup.dir"))
         catch { case scala.util.control.NonFatal(_) => () }
       }
   }

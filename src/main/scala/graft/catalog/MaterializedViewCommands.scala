@@ -159,8 +159,9 @@ case class GraftRefreshMaterializedViewCommand(ns: String, name: String)
             if e.getMessage.contains("rebuild") ||
               e.getMessage.contains("position") =>
           val m = Rollup.meta(ruDir).getOrElse(throw e)
-          // a JOIN MV whose dimension moved lands here too — the
-          // rebuild re-pins every dim at its NEW live version
+          // a JOIN MV with an unpriceable DIM window (equality
+          // deletes, rebase, pruned as-of version) lands here too —
+          // the rebuild re-pins every dim at its NEW live version
           Rollup.build(spark, srcPath, ruDir, m.groupCols,
             m.measures, m.minMax, m.ndv, m.ndvK, m.filter, m.dims)
       }

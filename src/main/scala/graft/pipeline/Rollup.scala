@@ -78,14 +78,15 @@ object Rollup {
 
   /** A star-schema DIMENSION joined into the maintained aggregate:
     * `fact.<fk> = dim.<dk>` inner-joined per key pair, the dim PINNED
-    * at `version`. Maintenance stays O(fact window): with the dims
-    * frozen, Δ(F ⋈ D) = ΔF ⋈ D — the signed-delta algebra survives
-    * the join untouched (Gupta & Mumick, join views). A dim that
-    * moves makes the window unpriceable (any dim row change fans out
-    * to an unknowable set of joined rows), so refresh raises and the
-    * MV REFRESH surface falls back to the full recompute — exactly
-    * Trino's always-rebuild, paid only when a dimension actually
-    * changed. */
+    * at `version`. Refresh prices BOTH sides incrementally — a fact
+    * window joins to the dims as of the window start (O(fact
+    * window)), and a dim window pays one bounded fact read joined to
+    * the dim's (small) delta — the telescoped join-view identity in
+    * [[refresh]]. Only the unpriceable cases (equality-delete
+    * windows, copy-on-write rebases, a pruned as-of version) raise,
+    * routing the MV REFRESH surface to its full-recompute fallback —
+    * Trino's always-rebuild, paid only when the window truly cannot
+    * be priced. */
   final case class DimSpec(path: String, keys: Seq[(String, String)],
                            version: Long = -1L)
 
@@ -196,24 +197,29 @@ object Rollup {
         s"rollup requires a versioned snapshot source at $srcPath — " +
           "the staleness contract pins rollup to source version"))
 
-  /** The maintained SOURCE FRAME: the fact rows joined to every pinned
-    * dimension (inner, ON-style — both key columns survive, which is
-    * the shape a SQL `JOIN … ON` query analyzes to, so the rewrite's
-    * plan match sees the same tree; a SAME-NAMED key drops the dim
-    * copy, the only unambiguous choice, and the two are equal under
-    * the join anyway). Used identically by build, every refresh
-    * window, the affected-group recompute, and the rewrite's base
-    * plan — ONE definition of what the gold table aggregates. */
-  private[graft] def joinSource(spark: SparkSession, fact: DataFrame,
-                                dims: Seq[DimSpec]): DataFrame =
-    dims.foldLeft(fact) { (acc, dim) =>
-      val d = Snapshot.read(spark, dim.path)
+  /** The join chain against EXPLICIT dim frames — refresh substitutes
+    * window deltas and as-of reads per dimension (inner, ON-style —
+    * both key columns survive, which is the shape a SQL `JOIN … ON`
+    * query analyzes to, so the rewrite's plan match sees the same
+    * tree; a SAME-NAMED key drops the dim copy, the only unambiguous
+    * choice, and the two are equal under the join anyway). */
+  private def joinWith(fact: DataFrame, dims: Seq[DimSpec],
+                       dimFrames: Seq[DataFrame]): DataFrame =
+    dims.zip(dimFrames).foldLeft(fact) { case (acc, (dim, d)) =>
       val cond = dim.keys.map { case (fk, dk) => acc(fk) === d(dk) }
         .reduce(_ && _)
       val joined = acc.join(d, cond, "inner")
       dim.keys.collect { case (fk, dk) if fk == dk => d(dk) }
         .foldLeft(joined)(_ drop _)
     }
+
+  /** The maintained SOURCE FRAME: the fact rows joined to every
+    * dimension at its LIVE version. Used by build and the rewrite's
+    * base plan — ONE definition of what the gold table aggregates
+    * (refresh joins the same chain against version-bounded frames). */
+  private[graft] def joinSource(spark: SparkSession, fact: DataFrame,
+                                dims: Seq[DimSpec]): DataFrame =
+    joinWith(fact, dims, dims.map(d => Snapshot.read(spark, d.path)))
 
   /** True iff the gold table describes the LIVE fact version AND every
     * pinned dimension version — the one freshness predicate the
@@ -224,21 +230,31 @@ object Rollup {
         m.dims.forall(d =>
           Snapshot.currentVersion(d.path).contains(d.version)))
 
-  /** Raise when a pinned dim moved — any dim row change fans out to an
-    * unknowable set of joined rows, so the fact window can no longer
-    * price the delta ("rebuild" in the message routes the MV REFRESH
-    * surface to its full-recompute fallback). */
+  /** `read` refuses a moved dim the same way it refuses a moved fact
+    * — the store describes pinned versions; refresh prices the dim
+    * window incrementally, so staleness is a refresh away. */
   private def requireDimsPinned(rollupDir: String,
                                 dims: Seq[DimSpec]): Unit =
     dims.foreach { d =>
       val live = Snapshot.currentVersion(d.path)
       if (!live.contains(d.version))
         throw new IllegalStateException(
-          s"rollup at $rollupDir joins dimension ${d.path} pinned at " +
-            s"v${d.version} but the dim moved to " +
-            s"v${live.getOrElse(-1L)} — a dimension change " +
-            "invalidates every joined group; rebuild the rollup")
+          s"rollup at $rollupDir is STALE: it joins dimension " +
+            s"${d.path} at v${d.version} but the dim moved to " +
+            s"v${live.getOrElse(-1L)} — run Rollup.refresh or rebuild")
     }
+
+  /** A version-bounded dim read for window pricing — raises (with the
+    * MV-fallback "rebuild" hint) when the needed version was pruned. */
+  private def dimAsOf(spark: SparkSession, rollupDir: String,
+                      d: DimSpec, v: Long): DataFrame = {
+    if (!Snapshot.retainedVersionDirs(d.path).exists(_._1 == v))
+      throw new IllegalStateException(
+        s"rollup at $rollupDir needs dimension ${d.path} AS OF v$v to " +
+          "price the window, but that version is no longer retained — " +
+          "rebuild the rollup")
+    Snapshot.readAsOf(spark, d.path, v)
+  }
 
   /** One group's maintained columns: exact decimal sums + counts.
     * Sums pin to DECIMAL(27,6) (Spark widens sum(decimal) results —
@@ -362,17 +378,38 @@ object Rollup {
     Snapshot.read(spark, tableDir(rollupDir)).count()
   }
 
-  /** The source version a marker `rollup-to-v<N>` commit recorded —
+  /** Refresh commit marker: `rollup-to-v<factV>` for a plain rollup,
+    * `rollup-to-v<factV>+d<v1>,<v2>,…` for a star one (one version
+    * per joined dim, build order) — the crash-replay record of HOW
+    * FAR every window was applied. */
+  private def markerOf(factV: Long, dimVs: Seq[Long]): String =
+    s"rollup-to-v$factV" +
+      (if (dimVs.isEmpty) "" else s"+d${dimVs.mkString(",")}")
+
+  /** The (fact, dims) versions the LATEST marker commit recorded —
     * the replay detector: commits on the rollup table past the meta's
     * `rollupVersion` that carry one were applied by a refresh that
-    * died before its meta write. */
-  private def appliedThrough(rollupDir: String, m: Meta): Long =
+    * died before its meta write (versions only advance, so the newest
+    * commit's marker is the applied frontier). */
+  private def appliedThrough(rollupDir: String,
+                             m: Meta): (Long, Seq[Long]) = {
+    val pinned = m.dims.map(_.version)
     Snapshot.morVersions(tableDir(rollupDir))
-      .filter(_ > m.rollupVersion)
+      .filter(_ > m.rollupVersion).sorted.reverse
       .flatMap(v => Snapshot.operationOf(tableDir(rollupDir), v))
-      .collect { case op if op.startsWith("rollup-to-v") =>
-        op.stripPrefix("rollup-to-v").toLong }
-      .foldLeft(m.srcVersion)(math.max)
+      .collectFirst { case op if op.startsWith("rollup-to-v") =>
+        val body = op.stripPrefix("rollup-to-v")
+        val (f, ds) = body.split("\\+d", 2) match {
+          case Array(fv, dvs) =>
+            (fv.toLong, dvs.split(",").toSeq.map(_.toLong))
+          case _ => (body.toLong, Seq.empty[Long])
+        }
+        (math.max(f, m.srcVersion),
+          pinned.zipWithIndex.map { case (dv, i) =>
+            if (i < ds.length) math.max(ds(i), dv) else dv })
+      }
+      .getOrElse((m.srcVersion, pinned))
+  }
 
   /** Apply the source commits since the rollup last saw it — cost
     * O(window delta), never a source scan (see the object doc for the
@@ -391,39 +428,95 @@ object Rollup {
               compactAfterCommits: Int = 64): Long = suppressRewrite {
     val m = meta(rollupDir).getOrElse(throw new IllegalStateException(
       s"no rollup at $rollupDir (build first)"))
-    // a moved dimension makes the fact window unpriceable — check
-    // BEFORE the fast no-op return, or a dim-only change would
-    // silently stay stale behind an "already fresh" refresh
-    requireDimsPinned(rollupDir, m.dims)
     val version = srcVersionOf(srcPath)
-    if (version == m.srcVersion) return 0L
-    // a crashed refresh's commit carries its window end in the
-    // operation marker — resume AFTER it, never re-applying
-    val since = appliedThrough(rollupDir, m)
-    if (since >= version) {
+    // every window is BOUNDED by the versions captured here — a
+    // commit landing after the capture waits for the next refresh
+    val dimUntil = m.dims.map(d =>
+      Snapshot.currentVersion(d.path).getOrElse(
+        throw new IllegalStateException(
+          s"rollup dimension must be a versioned snapshot: ${d.path}")))
+    if (version == m.srcVersion &&
+        m.dims.zip(dimUntil).forall { case (d, u) => u == d.version })
+      return 0L
+    // a crashed refresh's commit carries its window ends in the
+    // operation marker — resume AFTER them, never re-applying
+    val (since, dimSince) = appliedThrough(rollupDir, m)
+    if (since >= version &&
+        m.dims.indices.forall(i => dimSince(i) >= dimUntil(i))) {
       writeMeta(rollupDir, m.copy(srcVersion = since,
+        dims = m.dims.zip(dimSince).map { case (d, v) =>
+          d.copy(version = v) },
         rollupVersion = Snapshot
           .currentVersion(tableDir(rollupDir)).getOrElse(0L)))
       return 0L
     }
-    Snapshot.commitsSince(srcPath, since, Some(version)) match {
-      case Snapshot.CommitWindow.Rebased(base) =>
-        throw new IllegalStateException(
-          s"rollup over $srcPath cannot refresh: a copy-on-write " +
-            s"commit re-based the source (base v$base) and the " +
-            "per-commit deltas are gone — rebuild the rollup")
-      case _ => ()
+    // a copy-on-write rebase on EITHER side voids the per-commit
+    // deltas — the recompute is the honest path
+    if (since < version)
+      Snapshot.commitsSince(srcPath, since, Some(version)) match {
+        case Snapshot.CommitWindow.Rebased(base) =>
+          throw new IllegalStateException(
+            s"rollup over $srcPath cannot refresh: a copy-on-write " +
+              s"commit re-based the source (base v$base) and the " +
+              "per-commit deltas are gone — rebuild the rollup")
+        case _ => ()
+      }
+    m.dims.zipWithIndex.foreach { case (d, i) =>
+      if (dimSince(i) < dimUntil(i))
+        Snapshot.commitsSince(d.path, dimSince(i),
+            Some(dimUntil(i))) match {
+          case Snapshot.CommitWindow.Rebased(base) =>
+            throw new IllegalStateException(
+              s"rollup over $srcPath cannot refresh: dimension " +
+                s"${d.path} was re-based (base v$base) and its " +
+                "per-commit deltas are gone — rebuild the rollup")
+          case _ => ()
+        }
     }
-    val (plus0, minus0) = Snapshot.windowRowDelta(spark, srcPath,
-      since, version, "rollup")
+    // SIGNED ROW DELTAS of the joined view — the telescoped join-view
+    // identity (Gupta & Mumick): with F' = F+ΔF and Di' = Di+ΔDi,
+    //   F'⋈D1'⋈…⋈Dn' − F⋈D1⋈…⋈Dn
+    //     = ΔF ⋈ D1 ⋈ … ⋈ Dn                (dims AS OF window START)
+    //     + Σi F' ⋈ D1' ⋈ … ⋈ ΔDi ⋈ … ⋈ Dn  (dims before i at their
+    //       window END, after i at their START — every joined row
+    //       change counted exactly once)
+    // The fact term is O(fact window); a dim term pays ONE bounded
+    // fact read joined to the (small) dim delta — far from the full
+    // rebuild (no full join, no full re-aggregation, no store
+    // rewrite), and paid only when that dim actually moved. A plain
+    // rollup (dims = Nil) reduces to the single fact term.
+    val plusParts = Seq.newBuilder[DataFrame]
+    val minusParts = Seq.newBuilder[DataFrame]
+    if (since < version) {
+      val (fp, fm) = Snapshot.windowRowDelta(spark, srcPath, since,
+        version, "rollup")
+      val startDims = m.dims.zip(dimSince).map { case (d, v) =>
+        dimAsOf(spark, rollupDir, d, v) }
+      plusParts += joinWith(fp, m.dims, startDims)
+      minusParts += joinWith(fm, m.dims, startDims)
+    }
+    lazy val factLive = Snapshot.readAsOf(spark, srcPath, version)
+    m.dims.zipWithIndex.foreach { case (d, i) =>
+      if (dimSince(i) < dimUntil(i)) {
+        val (dp, dm) = Snapshot.windowRowDelta(spark, d.path,
+          dimSince(i), dimUntil(i), "rollup dimension")
+        def chain(delta: DataFrame): DataFrame =
+          joinWith(factLive, m.dims, m.dims.indices.map { j =>
+            if (j < i) dimAsOf(spark, rollupDir, m.dims(j), dimUntil(j))
+            else if (j == i) delta
+            else dimAsOf(spark, rollupDir, m.dims(j), dimSince(j))
+          })
+        plusParts += chain(dp)
+        minusParts += chain(dm)
+      }
+    }
     // a PARTIAL rollup sees only matching rows — the window deltas
     // filter exactly as the build did (deterministic, row-local), so
-    // out-of-predicate appends/deletes simply never touch the store.
-    // JOIN rollups join the window to the PINNED dims first (dims
-    // frozen ⇒ Δ(F ⋈ D) = ΔF ⋈ D — each fact row maps to the same
-    // joined rows it mapped to at build, per-instance counts intact)
-    val plus = applyFilter(joinSource(spark, plus0, m.dims), m.filter)
-    val minus = applyFilter(joinSource(spark, minus0, m.dims), m.filter)
+    // out-of-predicate churn never touches the store
+    val plus = applyFilter(
+      plusParts.result().reduce(_ unionByName _), m.filter)
+    val minus = applyFilter(
+      minusParts.result().reduce(_ unionByName _), m.filter)
       .localCheckpoint()
     val key = m.groupCols
     val sumCols = m.measures.map(mm => s"sum_$mm")
@@ -497,8 +590,10 @@ object Rollup {
           .localCheckpoint()
         if (minusG.limit(1).count() > 0) {
           val recSrc = nsJoin(
-            applyFilter(joinSource(spark,
-              Snapshot.readAsOf(spark, srcPath, version), m.dims),
+            applyFilter(joinWith(
+              Snapshot.readAsOf(spark, srcPath, version), m.dims,
+              m.dims.zip(dimUntil).map { case (d, v) =>
+                dimAsOf(spark, rollupDir, d, v) }),
               m.filter),
             broadcast(minusG), key, "left_semi")
           // STRICT override for every minus-touched group — not a
@@ -554,9 +649,11 @@ object Rollup {
       Snapshot.morCommit(spark, tableDir(rollupDir),
         deletes = Some(touched),
         appends = Some(merged.filter(col("cnt") > 0)),
-        operation = s"rollup-to-v$version")
+        operation = markerOf(version, dimUntil))
     }
     writeMeta(rollupDir, m.copy(srcVersion = version,
+      dims = m.dims.zip(dimUntil).map { case (d, v) =>
+        d.copy(version = v) },
       rollupVersion =
         Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L)))
     if (compactAfterCommits > 0 &&

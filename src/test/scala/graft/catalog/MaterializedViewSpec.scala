@@ -321,8 +321,8 @@ class MaterializedViewSpec extends SparkSpec {
   }
 
   test("a JOIN materialized view (star schema): reads serve from " +
-    "gold, a fact append REFRESHes at O(window), a dim change routes " +
-    "REFRESH to the full-recompute fallback and re-pins") {
+    "gold, a fact append REFRESHes at O(window), and a dim change " +
+    "REFRESHes incrementally (the F' JOIN dim-delta term) and re-pins") {
     TableStore.reset(spark)
     val store = new TableStore(spark)
     val root = Files.createTempDirectory("mvjoin").toString
@@ -364,17 +364,36 @@ class MaterializedViewSpec extends SparkSpec {
     assert(scans(mvRead(), ruDir))
     assert(answers(mvRead()) == base())
 
-    // dim append → unpriceable window → REFRESH full-recomputes and
-    // re-pins the new dim version; reads serve gold again
+    // dim append — one row that MATCHES live facts (fan-out) and one
+    // that matches none → the stale store falls back until REFRESH
+    // prices the dim window (one bounded fact read ⋈ the dim delta)
+    // and re-pins; reads serve gold again
     Snapshot.morCommit(spark, ddir, deletes = None,
-      appends = Some(Seq((77L, "seg7")).toDF("cust_key", "segment")),
+      appends = Some(Seq((3L, "seg9"), (77L, "seg7"))
+        .toDF("cust_key", "segment")),
       operation = "append")
     assert(!scans(mvRead(), ruDir), "a moved dim must void the store")
     assert(answers(mvRead()) == base())
-    spark.sql("REFRESH MATERIALIZED VIEW mvs.by_segment").collect()
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvs.by_segment")
+      .collect().head.getLong(0) > 0L,
+      "the matching dim row must touch groups")
     assert(scans(mvRead(), ruDir),
-      "the rebuild fallback must re-pin the moved dim")
+      "the incremental dim refresh must re-pin the moved dim")
     assert(answers(mvRead()) == base())
+
+    // auto-refresh fires on DIM commits too: with the property set, a
+    // fast-append INSERT INTO the dimension (a fan-out duplicate of a
+    // live key) maintains the star MV inside the statement
+    spark.sql("""ALTER TABLE mvs.by_segment__storage SET TBLPROPERTIES
+      ('graft.rollup.auto-refresh'='true')""").collect()
+    spark.sql("""ALTER TABLE mvs.cust SET TBLPROPERTIES
+      ('write.merge.mode'='merge-on-read')""").collect()
+    spark.sql("INSERT INTO mvs.cust VALUES (5, 'seg5')").collect()
+    val auto = mvRead()
+    assert(scans(auto, ruDir) && !scans(auto, fdir),
+      "a dim DML must auto-maintain the star MV in-statement")
+    assert(answers(auto) == base())
+
     spark.sql("DROP MATERIALIZED VIEW mvs.by_segment").collect()
     assert(!Files.exists(Paths.get(ruDir)))
   }

@@ -548,21 +548,61 @@ class RollupSpec extends SparkSpec {
     assert(goldState() == joinedRecompute(
       Snapshot.read(spark, fact).localCheckpoint()))
 
-    // a moved DIM makes the window unpriceable: refresh and read both
-    // raise, and the message routes MV REFRESH to its rebuild fallback
+    // DIM windows price incrementally (the F' ⋈ ΔD term). The live
+    // joined recompute the maintained store must match from here on:
+    def liveRecompute(): Set[(String, Long, Double, Double)] = {
+      val f = Snapshot.read(spark, fact)
+      val d2 = Snapshot.read(spark, dim)
+      f.join(d2, f("o_custkey") === d2("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"),
+          min("o_totalprice").as("mn"))
+        .as[(String, Long, Double, Double)].collect().toSet
+    }
+    // dim APPEND of a DUPLICATE row: every live fact row of that
+    // customer now joins twice (fan-out) — read refuses first
+    val dupDim = customer.orderBy("c_custkey").limit(1)
+      .localCheckpoint()
     Snapshot.morCommit(spark, dim, deletes = None,
-      appends = Some(customer.limit(1)), operation = "append")
-    assert(intercept[IllegalStateException] {
-      Rollup.refresh(spark, fact, ru)
-    }.getMessage.contains("rebuild"))
+      appends = Some(dupDim), operation = "append")
     assert(intercept[IllegalStateException] {
       Rollup.read(spark, fact, ru)
-    }.getMessage.contains("rebuild"))
-    // the rebuild (what MV REFRESH does on this raise) re-pins the dim
+    }.getMessage.contains("STALE"))
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    assert(goldState() == liveRecompute(),
+      "the dim fan-out must maintain exactly")
+
+    // SIMULTANEOUS fact + dim windows in ONE refresh: a dim
+    // position-delete (its joined fact rows drop out, extrema
+    // recompute) landing together with a fresh fact append
+    val dimVictim = Snapshot.readLineage(spark, dim)
+      .orderBy("c_custkey").limit(1).localCheckpoint()
+    Snapshot.morCommit(spark, dim, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(dimVictim))
+    Snapshot.morCommit(spark, fact, deletes = None,
+      appends = Some(orders.orderBy("o_orderkey").limit(50)
+        .withColumn("o_orderkey", col("o_orderkey") + 777000000L)),
+      operation = "append")
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    assert(goldState() == liveRecompute(),
+      "fact and dim windows in one refresh must maintain exactly")
+    assert(Rollup.refresh(spark, fact, ru) == 0L)
+
+    // a dim EQUALITY-delete window is per-instance unpriceable: the
+    // raise carries the position-deletes hint (MV fallback catches
+    // it), and the rebuild re-pins the dims
+    Snapshot.morCommit(spark, dim, deletes = Some(dupDim),
+      appends = None, operation = "delete")
+    assert(intercept[IllegalStateException] {
+      Rollup.refresh(spark, fact, ru)
+    }.getMessage.contains("position"))
     val m = Rollup.meta(ru).get
     Rollup.build(spark, fact, ru, m.groupCols, m.measures, m.minMax,
       m.ndv, m.ndvK, m.filter, m.dims)
     assert(Rollup.refresh(spark, fact, ru) == 0L)
+    assert(goldState() == liveRecompute())
   }
 
   test("JOIN rollup with a SAME-NAMED key keeps one copy and " +
