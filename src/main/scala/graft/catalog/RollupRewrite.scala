@@ -164,12 +164,16 @@ case class RollupRewrite(session: SparkSession)
   private def basePlanOf(srcPath: String,
                          m: Rollup.Meta): Option[LogicalPlan] = {
     val ver = Snapshot.currentVersion(srcPath).getOrElse(return None)
-    val id = srcPath +
-      m.dims.map(d => s"|${d.path}@${d.version}").mkString
-    val key = (id, ver, Snapshot.morVersions(srcPath).size)
+    // the id is VERSION-FREE (paths only) so the cleanup below can
+    // drop every superseded entry of this rollup's plan; versions —
+    // fact + sidecar count + each pinned dim — ride the signature
+    val id = srcPath + m.dims.map(d => s"|${d.path}").mkString
+    val sig = s"$ver:${Snapshot.morVersions(srcPath).size}:" +
+      m.dims.map(_.version).mkString(",")
+    val key = (id, sig)
     Some(RollupRewrite.planCache.getOrElseUpdate(key, {
       RollupRewrite.planCache.filterInPlace((k, _) => k._1 != id
-        || k == key) // drop superseded versions of this path
+        || k == key) // drop superseded versions of this plan
       Rollup.joinSource(session, Snapshot.read(session, srcPath),
         m.dims).queryExecution.analyzed
     }))
@@ -394,7 +398,7 @@ case class RollupRewrite(session: SparkSession)
 }
 
 object RollupRewrite {
-  /** (path, version, sidecar count) → analyzed base plan. */
+  /** (paths id, version signature) → analyzed base plan. */
   private val planCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Int), LogicalPlan]
+    .empty[(String, String), LogicalPlan]
 }

@@ -394,6 +394,27 @@ class MaterializedViewSpec extends SparkSpec {
       "a dim DML must auto-maintain the star MV in-statement")
     assert(answers(auto) == base())
 
+    // WHERE and JOIN compose: a PARTIAL star MV maintains only the
+    // matching joined rows and serves the predicate-repeating query
+    // (the derivability gate inside CREATE proves the composition)
+    spark.sql("""CREATE MATERIALIZED VIEW mvs.hot AS
+      SELECT segment, count(*) AS c, sum(qty) AS q
+      FROM mvs.facts f JOIN mvs.cust c ON f.cust_id = c.cust_key
+      WHERE qty > 6 GROUP BY segment""").collect()
+    val hotRu = new TableStore(spark)
+      .properties("mvs", "hot__storage")("graft.rollup.dir")
+    val hot = spark.sql("SELECT * FROM mvs.hot")
+    assert(scans(hot, hotRu) && !scans(hot, fdir) && !scans(hot, ddir),
+      "the partial star MV must serve its slice from gold")
+    def hotBase(): Set[Seq[Any]] = {
+      spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+      try answers(spark.sql("SELECT * FROM mvs.hot"))
+      finally
+        spark.conf.set("spark.graft.rollup.rewrite.enabled", "true")
+    }
+    assert(answers(hot) == hotBase())
+    spark.sql("DROP MATERIALIZED VIEW mvs.hot").collect()
+
     spark.sql("DROP MATERIALIZED VIEW mvs.by_segment").collect()
     assert(!Files.exists(Paths.get(ruDir)))
   }

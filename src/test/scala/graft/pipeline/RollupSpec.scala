@@ -605,6 +605,63 @@ class RollupSpec extends SparkSpec {
     assert(goldState() == liveRecompute())
   }
 
+  test("star-rollup crash replay: the marker records fact AND dim " +
+    "window ends, so a replayed refresh applies only the unapplied " +
+    "windows — never double-counting either side") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("rollupJR").toString
+    val (fact, dim, ru) = (s"$root/fact", s"$root/dim", s"$root/rollup")
+    Snapshot.createOrReplace((1 to 200).map(i =>
+      (i.toLong, (i % 10).toLong, (i % 13).toLong))
+      .toDF("id", "cust_id", "qty"), fact, keepVersions = 2)
+    Snapshot.createOrReplace((0 until 10).map(i =>
+      (i.toLong, s"seg${i % 3}")).toDF("cust_key", "segment"),
+      dim, keepVersions = 2)
+    Rollup.build(spark, fact, ru, Seq("segment"), Seq("qty"),
+      dims = Seq(Rollup.DimSpec(dim, Seq(("cust_id", "cust_key")))))
+    def liveRecompute(): Set[(String, Long, Double)] = {
+      val f = Snapshot.read(spark, fact)
+      val d2 = Snapshot.read(spark, dim)
+      f.join(d2, f("cust_id") === d2("cust_key"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("qty").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+    }
+    def gold(): Set[(String, Long, Double)] =
+      Rollup.read(spark, fact, ru)
+        .select(col("segment"), col("cnt"), col("sum_qty"))
+        .as[(String, Long, Double)].collect().toSet
+    // crash shape: refresh a fact+dim window, then roll the meta back
+    // to the pre-refresh bytes (= died before the meta write)
+    val metaFile = java.nio.file.Paths.get(ru, "_rollup_meta")
+    val preMeta = Files.readAllBytes(metaFile)
+    Snapshot.morCommit(spark, fact, deletes = None,
+      appends = Some(Seq((1001L, 3L, 5L)).toDF("id", "cust_id", "qty")),
+      operation = "append")
+    Snapshot.morCommit(spark, dim, deletes = None,
+      appends = Some(Seq((3L, "segX")).toDF("cust_key", "segment")),
+      operation = "append")
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    Files.write(metaFile, preMeta)
+    // a NEW dim window lands before the replay: the replayed refresh
+    // must apply it alone (the marker pins both applied window ends)
+    Snapshot.morCommit(spark, dim, deletes = None,
+      appends = Some(Seq((4L, "segY")).toDF("cust_key", "segment")),
+      operation = "append")
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    assert(gold() == liveRecompute(),
+      "the replay must not double-count the applied fact+dim windows")
+    // pure replay (no new commits): restamp only, no new commit
+    Files.write(metaFile, preMeta)
+    val commitsBefore = Snapshot.morVersions(Rollup.tableDir(ru)).size
+    assert(Rollup.refresh(spark, fact, ru) == 0L)
+    assert(Snapshot.morVersions(Rollup.tableDir(ru)).size
+      == commitsBefore)
+    assert(gold() == liveRecompute())
+  }
+
   test("JOIN rollup with a SAME-NAMED key keeps one copy and " +
     "maintains; dim columns can be group keys") {
     import spark.implicits._
