@@ -482,8 +482,20 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
                 (fk.trim, dk.trim)
               })
           }).getOrElse(Nil)
+        // group_exprs => 'day:=date_trunc(''day'', ts)[;alias2:=…]'
+        // adds EXPRESSION group keys (deterministic, row-local): the
+        // alias becomes a derived key column, must be listed in
+        // group_by, and the rewrite matches queries grouping by the
+        // same expression — the time-bucketed dashboard shape
+        val groupExprs = arg("group_exprs", 9).map(_.toString)
+          .filter(_.nonEmpty)
+          .map(_.split(";").toSeq.map { spec =>
+            val Array(alias, e) = spec.split(":=", 2)
+            (alias.trim, e.trim)
+          }).getOrElse(Nil)
         val n = graft.pipeline.Rollup.build(spark, path, ruDir,
-          groupBy, sums, minMax, ndv, filter = where, dims = dims)
+          groupBy, sums, minMax, ndv, filter = where, dims = dims,
+          exprCols = groupExprs)
         val ts = new TableStore(spark)
         ts.registerSnapshot(gns, gt,
           graft.pipeline.Rollup.tableDir(ruDir))

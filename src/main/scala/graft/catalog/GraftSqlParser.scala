@@ -697,7 +697,7 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
           "shape: SELECT <group cols>, count/sum/avg/min/max/" +
           "approx_count_distinct(<col>) FROM <ns>.<fact> " +
           "[JOIN <ns>.<dim> ON <col> = <col> …] [WHERE <predicate>] " +
-          "GROUP BY <plain columns>)")
+          "GROUP BY <columns and select-aliased expressions>)")
     def unwrap(e: Expression): Expression = e match {
       case Alias(c, _) => unwrap(c)
       case Cast(c, _, _, _) => unwrap(c)
@@ -770,8 +770,24 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
           case other => (relParts(other), Nil)
         }
         val ((srcNs, srcTable), joins) = flattenJoins(child)
-        val groupBy = groupExprs.map(e => attrName(e).getOrElse(
-          fail("GROUP BY must list plain columns")))
+        // group keys: plain columns pass through; an EXPRESSION key
+        // (GROUP BY date_trunc('day', ts)) must appear in the SELECT
+        // list under an alias — the alias names the derived store
+        // column (determinism is validated by the build)
+        val exprCols = Seq.newBuilder[(String, String)]
+        val groupBy = groupExprs.map { e =>
+          attrName(e) match {
+            case Some(n) => n
+            case None =>
+              val alias = aggExprs.collectFirst {
+                case al: Alias if al.child.sql == e.sql => al.name
+              }.getOrElse(fail("an expression GROUP BY key must " +
+                s"appear in the SELECT list with an alias: ${e.sql}"))
+              exprCols += ((alias, e.sql))
+              alias
+          }
+        }
+        val exprColsRes = exprCols.result().distinct
         if (groupBy.isEmpty)
           fail("a global aggregate has no group keys to maintain — " +
             "GROUP BY at least one column")
@@ -786,7 +802,11 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
             case _ => fail(s"${f.nameParts.last} takes one column")
           }
         aggExprs.foreach { e =>
-          unwrap(e) match {
+          val isExprKey = e match {
+            case al: Alias => exprColsRes.exists(_._2 == al.child.sql)
+            case _ => false
+          }
+          if (!isExprKey) unwrap(e) match {
             case a if attrName(a).isDefined &&
                 groupBy.exists(_.equalsIgnoreCase(attrName(a).get)) => ()
             case f: UnresolvedFunction =>
@@ -819,7 +839,7 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         GraftCreateMaterializedViewCommand(ns, name, srcNs, srcTable,
           groupBy, measures.result().distinct, minMax.result().distinct,
           ndv.result().distinct, where, query, queryText, replace,
-          ifNotExists, joins)
+          ifNotExists, joins, exprColsRes)
       case _ =>
         fail("the defining query must be a plain GROUP BY aggregate")
     }

@@ -41,7 +41,8 @@ case class GraftCreateMaterializedViewCommand(
     groupBy: Seq[String], measures: Seq[String], minMax: Seq[String],
     ndv: Seq[String], where: Option[String], query: LogicalPlan,
     queryText: String, replace: Boolean, ifNotExists: Boolean,
-    joins: Seq[(String, String, Seq[(String, String)])] = Nil)
+    joins: Seq[(String, String, Seq[(String, String)])] = Nil,
+    exprCols: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
@@ -98,7 +99,7 @@ case class GraftCreateMaterializedViewCommand(
     val ruDir = s"$srcPath.mv-$name"
     MaterializedViews.deleteDir(ruDir) // a dead MV's leftovers
     Rollup.build(spark, srcPath, ruDir, groupBy, measures, minMax, ndv,
-      filter = where, dims = dims)
+      filter = where, dims = dims, exprCols = exprCols)
     try {
       store.registerSnapshot(ns, storageName, Rollup.tableDir(ruDir))
       store.setProperties(ns, storageName, Map(
@@ -163,7 +164,8 @@ case class GraftRefreshMaterializedViewCommand(ns: String, name: String)
           // deletes, rebase, pruned as-of version) lands here too —
           // the rebuild re-pins every dim at its NEW live version
           Rollup.build(spark, srcPath, ruDir, m.groupCols,
-            m.measures, m.minMax, m.ndv, m.ndvK, m.filter, m.dims)
+            m.measures, m.minMax, m.ndv, m.ndvK, m.filter, m.dims,
+            m.exprCols)
       }
     Seq(Row(n))
   }

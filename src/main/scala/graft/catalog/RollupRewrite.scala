@@ -204,21 +204,47 @@ case class RollupRewrite(session: SparkSession)
     }
     val base = stripBase(basePlanOf(srcPath, m).getOrElse(return None))
     if (!core.sameResult(base)) return None
-    // grouping: plain attributes, a subset of the rollup's group cols
     val resolver = session.sessionState.analyzer.resolver
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _ => return None
-    }
-    if (!groupAttrs.forall(g => m.groupCols.exists(resolver(_, g.name))))
-      return None
     val ruPlan = Snapshot.read(session, Rollup.tableDir(ruDir))
       .queryExecution.analyzed
     def ruAttr(name: String): Option[Attribute] =
       ruPlan.output.find(a => resolver(a.name, name))
-    val groupMap: Map[ExprId, Attribute] = groupAttrs.flatMap(g =>
-      ruAttr(g.name).map(g.exprId -> _)).toMap
-    if (groupMap.size != groupAttrs.size) return None
+    // EXPRESSION group keys resolve against the base plan through the
+    // same analyzer pipeline the query went through, then compare by
+    // normalized semantic equality — `GROUP BY date_trunc('day', ts)`
+    // matches the stored derived key column
+    val exprKeys: Seq[(String, Expression)] = m.exprCols.flatMap {
+      case (n, e) =>
+        try {
+          val parsed =
+            session.sessionState.sqlParser.parseExpression(e)
+          session.sessionState.analyzer.execute(
+            Project(Seq(Alias(parsed, n)()), base))
+            .collectFirst { case p: Project =>
+              p.projectList.head match {
+                case Alias(c, _) => n -> c
+                case o => n -> o
+              }
+            }
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    /** The gold KEY column a query expression denotes: a plain group
+      * column by name, or an expression key by normalized semantic
+      * equality. */
+    def keyAttrOf(e: Expression): Option[Attribute] = e match {
+      case a: AttributeReference
+          if m.groupCols.exists(resolver(_, a.name)) &&
+            !m.exprCols.exists(ec => resolver(ec._1, a.name)) =>
+        ruAttr(a.name)
+      case other =>
+        exprKeys.collectFirst {
+          case (n, re) if normEquals(other, re) => n }.flatMap(ruAttr)
+    }
+    // grouping: every grouping expression must denote a gold key — a
+    // subset of the rollup's keys (a coarser GROUP BY re-aggregates)
+    val groupPairs: Seq[(Expression, Attribute)] =
+      agg.groupingExpressions.map(ge =>
+        ge -> keyAttrOf(ge).getOrElse(return None))
 
     def derivable(name: String, in: Seq[String]): Boolean =
       in.exists(resolver(_, name))
@@ -264,24 +290,22 @@ case class RollupRewrite(session: SparkSession)
           if derivable(a.name, m.minMax) =>
         ruAttr(s"max_${a.name}").map(x =>
           AggregateExpression(Max(x), Complete, isDistinct = false))
-      // aggregates over a GROUP column derive from the gold KEY
-      // column: the store carries one row per LIVE key combination
-      // (zero-count groups vanish), so the multiset of distinct key
-      // values — and hence min/max — is identical to the base's
-      case Min(a: AttributeReference)
-          if derivable(a.name, m.groupCols) =>
-        ruAttr(a.name).map(x =>
+      // aggregates over a GROUP KEY (plain column or expression key)
+      // derive from the gold key column: the store carries one row
+      // per LIVE key combination (zero-count groups vanish), so the
+      // set of distinct key values — and hence min/max — is identical
+      // to the base's
+      case Min(e) if keyAttrOf(e).isDefined =>
+        keyAttrOf(e).map(x =>
           AggregateExpression(Min(x), Complete, isDistinct = false))
-      case Max(a: AttributeReference)
-          if derivable(a.name, m.groupCols) =>
-        ruAttr(a.name).map(x =>
+      case Max(e) if keyAttrOf(e).isDefined =>
+        keyAttrOf(e).map(x =>
           AggregateExpression(Max(x), Complete, isDistinct = false))
-      case Count(Seq(a: AttributeReference))
-          if derivable(a.name, m.groupCols) =>
+      case Count(Seq(e)) if keyAttrOf(e).isDefined =>
         // count(g): rows where the key is non-null = sum of those
         // groups' counts (the null group contributes nothing, like
         // SQL's count)
-        (ruAttr(a.name), ruAttr("cnt")) match {
+        (keyAttrOf(e), ruAttr("cnt")) match {
           case (Some(g), Some(c)) => Some(Coalesce(Seq(
             sumOf(If(IsNotNull(g), c, Literal(0L))), Literal(0L))))
           case _ => None
@@ -318,18 +342,17 @@ case class RollupRewrite(session: SparkSession)
         translate(ae.aggregateFunction)
       case ae: AggregateExpression
           if ae.isDistinct && ae.filter.isEmpty =>
-        // count(DISTINCT g) over a GROUP column is exact on the gold
+        // count(DISTINCT g) over a GROUP KEY is exact on the gold
         // table: one row per live key combination, so the distinct
         // key-value SET matches the base's (nulls excluded by count
         // on both sides). Other distinct aggregates never rewrite.
         ae.aggregateFunction match {
-          case Count(Seq(a: AttributeReference))
-              if m.groupCols.exists(resolver(_, a.name)) =>
-            ruAttr(a.name).map(g => AggregateExpression(
-              Count(Seq(g)), Complete, isDistinct = true))
+          case Count(Seq(g)) => keyAttrOf(g).map(x =>
+            AggregateExpression(Count(Seq(x)), Complete,
+              isDistinct = true))
           case _ => None
         }
-      case a: AttributeReference => groupMap.get(a.exprId)
+      case _ if keyAttrOf(e).isDefined => keyAttrOf(e)
       case _ if e.children.isEmpty => Some(e)
       case _ =>
         val cs = e.children.map(rebuild)
@@ -344,9 +367,10 @@ case class RollupRewrite(session: SparkSession)
     def remapFilter(e: Expression): Option[Expression] = e match {
       case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
         None
-      case a: AttributeReference =>
-        if (m.groupCols.exists(resolver(_, a.name))) ruAttr(a.name)
-        else None
+      // a group key — plain column or the full expression key — maps
+      // to the gold key column; any other attribute disqualifies
+      case _ if keyAttrOf(e).isDefined => keyAttrOf(e)
+      case _: AttributeReference => None
       case _ if !e.deterministic => None
       case _ if e.children.isEmpty => Some(e)
       case _ =>
@@ -392,8 +416,7 @@ case class RollupRewrite(session: SparkSession)
     }
     val child = newFilters.foldRight(ruPlan)(
       org.apache.spark.sql.catalyst.plans.logical.Filter(_, _))
-    Some(Aggregate(groupAttrs.map(g => groupMap(g.exprId)),
-      newAggExprs, child))
+    Some(Aggregate(groupPairs.map(_._2), newAggExprs, child))
   }
 }
 

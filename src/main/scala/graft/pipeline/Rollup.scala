@@ -94,7 +94,8 @@ object Rollup {
                         groupCols: Seq[String], measures: Seq[String],
                         minMax: Seq[String], ndv: Seq[String],
                         ndvK: Int, filter: Option[String] = None,
-                        dims: Seq[DimSpec] = Nil)
+                        dims: Seq[DimSpec] = Nil,
+                        exprCols: Seq[(String, String)] = Nil)
 
   /** Dim list ⇄ one meta line: per dim `urlenc(path),fk=dk+fk2=dk2,v`
     * tab-separated — URL-encoding keeps paths clear of the three
@@ -115,6 +116,21 @@ object Rollup {
         }, v.toLong)
     }
 
+  /** EXPRESSION group keys ⇄ one meta line: per key
+    * `urlenc(alias),urlenc(exprSql)` tab-separated. */
+  private def encodeExprs(es: Seq[(String, String)]): String =
+    es.map { case (n, e) =>
+      java.net.URLEncoder.encode(n, "UTF-8") + "," +
+        java.net.URLEncoder.encode(e, "UTF-8")
+    }.mkString("\t")
+
+  private def decodeExprs(s: String): Seq[(String, String)] =
+    s.split("\t").toSeq.filter(_.nonEmpty).map { kv =>
+      val Array(n, e) = kv.split(",", 2)
+      (java.net.URLDecoder.decode(n, "UTF-8"),
+        java.net.URLDecoder.decode(e, "UTF-8"))
+    }
+
   def tableDir(rollupDir: String): String = s"$rollupDir/table"
   private def metaFile(rollupDir: String) =
     Paths.get(rollupDir, "_rollup_meta")
@@ -126,11 +142,12 @@ object Rollup {
       val lines = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim
         .split("\n").toSeq
-      // 8 lines = pre-join format (dims implicitly empty); 9 = current
-      if (lines.length != 8 && lines.length != 9)
+      // 8 = pre-join, 9 = pre-expr-keys format (missing lines default
+      // empty); 10 = current
+      if (lines.length < 8 || lines.length > 10)
         throw new IllegalStateException(
           s"rollup meta at $rollupDir has ${lines.length} lines (this " +
-            "version writes 9) — persisted by an older format; rebuild")
+            "version writes 10) — persisted by an older format; rebuild")
       Some(Meta(lines.head.toLong, lines(1).toLong,
         lines(2).split("\t").toSeq,
         // a count-only rollup (measures = Nil) writes an empty line;
@@ -146,6 +163,8 @@ object Rollup {
         // parser never writes raw newlines into expression text)
         Some(lines(7).stripPrefix("w:")).filter(_.nonEmpty),
         if (lines.length > 8) decodeDims(lines(8).stripPrefix("d:"))
+        else Nil,
+        if (lines.length > 9) decodeExprs(lines(9).stripPrefix("e:"))
         else Nil))
     }
   }
@@ -159,7 +178,8 @@ object Rollup {
         s"mm:${m.minMax.mkString("\t")}\n" +
         s"nd:${m.ndv.mkString("\t")}\nk:${m.ndvK}\n" +
         s"w:${m.filter.getOrElse("")}\n" +
-        s"d:${encodeDims(m.dims)}\n")
+        s"d:${encodeDims(m.dims)}\n" +
+        s"e:${encodeExprs(m.exprCols)}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(rollupDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -313,6 +333,38 @@ object Rollup {
     else nsJoin(agg, sketchFrame(src, groupCols, ndv, k), groupCols,
       "left")
 
+  /** Attach the EXPRESSION group keys as columns — `GROUP BY
+    * date_trunc('day', ts)` materialized as a derived key column.
+    * Row-local and deterministic (build validates), so a window row
+    * computes exactly the key it computed at build: the signed-delta
+    * algebra is untouched. Applied to every source frame — build,
+    * window deltas, the affected-group recompute — AFTER the dim
+    * joins (an expr may use dim columns) and BEFORE the filter (the
+    * predicate may reference the alias). */
+  private def prepare(df: DataFrame,
+                      exprCols: Seq[(String, String)]): DataFrame =
+    exprCols.foldLeft(df) { case (d, (n, e)) =>
+      d.withColumn(n, expr(e)) }
+
+  private def validateExprCols(df: DataFrame,
+                               exprCols: Seq[(String, String)]): Unit =
+    exprCols.foreach { case (n, e) =>
+      // withColumn would silently REPLACE a same-named source column —
+      // the store and the rewrite would then disagree on what n means
+      if (df.columns.exists(_.equalsIgnoreCase(n)))
+        throw new IllegalArgumentException(
+          s"expression group key alias '$n' collides with a source " +
+            "column — pick a fresh name")
+      val proj = df.select(expr(e)).queryExecution.analyzed
+      val bad = proj.expressions.exists(x => !x.deterministic ||
+        x.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+          .expressions.SubqueryExpression]))
+      if (bad) throw new IllegalArgumentException(
+        s"expression group key '$n' must be deterministic and " +
+          s"subquery-free (window rows must derive exactly the key " +
+          s"they derived at build): $e")
+    }
+
   /** Apply the partial-rollup predicate (and, at build time, validate
     * it: deterministic, subquery-free — a nondeterministic or
     * cross-table predicate breaks the maintenance algebra, because
@@ -348,9 +400,12 @@ object Rollup {
             groupCols: Seq[String], measures: Seq[String],
             minMax: Seq[String] = Nil, ndv: Seq[String] = Nil,
             ndvK: Int = 256, filter: Option[String] = None,
-            dims: Seq[DimSpec] = Nil): Long =
+            dims: Seq[DimSpec] = Nil,
+            exprCols: Seq[(String, String)] = Nil): Long =
     suppressRewrite {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
+    require(exprCols.map(_._1).forall(groupCols.contains),
+      "every expression key's alias must appear among the group columns")
     val normFilter = filter.map(_.replaceAll("\\s+", " ").trim)
       .filter(_.nonEmpty)
     // dim key names ride the meta's separator alphabet — refuse the
@@ -365,16 +420,18 @@ object Rollup {
     val pinned = dims.map(d => d.copy(version = Snapshot
       .currentVersion(d.path).getOrElse(throw new IllegalStateException(
         s"rollup dimension must be a versioned snapshot: ${d.path}"))))
-    val src = applyFilter(
-      joinSource(spark, Snapshot.read(spark, srcPath), pinned),
-      normFilter, validate = true)
+    val joined = joinSource(spark, Snapshot.read(spark, srcPath), pinned)
+    validateExprCols(joined, exprCols)
+    val src = applyFilter(prepare(joined, exprCols), normFilter,
+      validate = true)
     Snapshot.createOrReplace(
       withSketches(aggOf(src, groupCols, measures, minMax), src,
         groupCols, ndv, ndvK),
       tableDir(rollupDir), keepVersions = 1)
     writeMeta(rollupDir, Meta(version,
       Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L),
-      groupCols, measures, minMax, ndv, ndvK, normFilter, pinned))
+      groupCols, measures, minMax, ndv, ndvK, normFilter, pinned,
+      exprCols))
     Snapshot.read(spark, tableDir(rollupDir)).count()
   }
 
@@ -512,11 +569,12 @@ object Rollup {
     }
     // a PARTIAL rollup sees only matching rows — the window deltas
     // filter exactly as the build did (deterministic, row-local), so
-    // out-of-predicate churn never touches the store
-    val plus = applyFilter(
-      plusParts.result().reduce(_ unionByName _), m.filter)
-    val minus = applyFilter(
-      minusParts.result().reduce(_ unionByName _), m.filter)
+    // out-of-predicate churn never touches the store; expression
+    // group keys derive first (the predicate may reference them)
+    val plus = applyFilter(prepare(
+      plusParts.result().reduce(_ unionByName _), m.exprCols), m.filter)
+    val minus = applyFilter(prepare(
+      minusParts.result().reduce(_ unionByName _), m.exprCols), m.filter)
       .localCheckpoint()
     val key = m.groupCols
     val sumCols = m.measures.map(mm => s"sum_$mm")
@@ -590,10 +648,10 @@ object Rollup {
           .localCheckpoint()
         if (minusG.limit(1).count() > 0) {
           val recSrc = nsJoin(
-            applyFilter(joinWith(
+            applyFilter(prepare(joinWith(
               Snapshot.readAsOf(spark, srcPath, version), m.dims,
               m.dims.zip(dimUntil).map { case (d, v) =>
-                dimAsOf(spark, rollupDir, d, v) }),
+                dimAsOf(spark, rollupDir, d, v) }), m.exprCols),
               m.filter),
             broadcast(minusG), key, "left_semi")
           // STRICT override for every minus-touched group — not a

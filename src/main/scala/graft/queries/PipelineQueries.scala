@@ -553,6 +553,59 @@ object PipelineQueries {
       q.orderBy("c_mktsegment")
     }),
 
+    // S20g — TIME-BUCKETED materialized view (expression group keys):
+    // the defining query groups by date_trunc('month', …) — the store
+    // maintains the derived key column and the rewrite matches the
+    // same expression. REQUIRED inside the query: after an append +
+    // REFRESH the MV read scans the gold store, never the base.
+    "q_mv_time" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvtq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvt", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvt.monthly AS
+        SELECT date_trunc('month', o_orderdate) AS omonth,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price,
+               min(o_totalprice) AS min_price
+        FROM mvt.orders
+        GROUP BY date_trunc('month', o_orderdate)""").collect()
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      require(s.sql("REFRESH MATERIALIZED VIEW mvt.monthly")
+        .collect().head.getLong(0) > 0L,
+        "the append window must touch month buckets")
+      val q = s.sql("SELECT * FROM mvt.monthly")
+      val ruDir = ts.properties("mvt", "monthly__storage")(
+        "graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir),
+        "the time-bucketed MV must serve from the gold store")
+      require(!reads(src),
+        "the MV read must not scan the base table")
+      ts.dropView("mvt", "monthly")
+      ts.dropTable("mvt", "monthly__storage")
+      ts.dropTable("mvt", "orders")
+      q.orderBy("omonth")
+    }),
+
     // X14c — GDPR erasure through the snapshot layer: silver built into
     // a two-version snapshot, then every row of the subject cohort
     // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
@@ -2327,6 +2380,17 @@ FROM iceberg.silver.orders_current""")
              COUNT(*) AS cnt
       FROM orders GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Time-bucketed-MV twin: the expression-keyed defining query over
+    // the final base state.
+    "q_mv_time" -> s"""
+      SELECT date_trunc('month', o_orderdate) AS omonth,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price,
+             MIN(o_totalprice) AS min_price
+      FROM orders GROUP BY 1
+      ORDER BY omonth""",
 
     // Join-MV twin: the star-join defining query over the final fact
     // state (the fact append landed; the dim never moved).

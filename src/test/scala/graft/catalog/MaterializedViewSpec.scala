@@ -295,9 +295,11 @@ class MaterializedViewSpec extends SparkSpec {
       assert(e.getMessage.contains(needle),
         s"expected '$needle' in: ${e.getMessage}")
     }
+    // expression group keys are maintainable since the expr-key work —
+    // but only when the SELECT list aliases the same expression
     parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
-      SELECT substr(grp, 1, 1) AS g, count(*) AS c FROM mvx.facts
-      GROUP BY substr(grp, 1, 1)""", "plain columns")
+      SELECT substr(grp, 1, 2) AS g, count(*) AS c FROM mvx.facts
+      GROUP BY substr(grp, 1, 1)""", "SELECT list with an alias")
     parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
       SELECT grp, count(DISTINCT qty) AS c FROM mvx.facts
       GROUP BY grp""", "DISTINCT")

@@ -266,6 +266,47 @@ class RollupRewriteSpec extends SparkSpec {
     assert(hf.collect().map(_.toSeq).toSet == baseline(hq))
   }
 
+  test("EXPRESSION group keys rewrite: GROUP BY the same expression " +
+    "re-targets the gold derived key; a different expression stays " +
+    "on base; filters and count(DISTINCT) over the key ride") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwe").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 400).map(i => (i.toLong, s"g${i % 4}",
+      (i % 13).toLong)).toDF("id", "grp", "qty")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mve", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mve.facts', name => 'mve.gold',
+      group_by => 'bucket,grp', sum_cols => 'qty',
+      group_exprs => 'bucket:=id % 10')""").collect()
+    val ru = new TableStore(spark).properties("mve", "gold")(
+      "graft.rollup.dir")
+    val q = """SELECT id % 10 AS bucket, count(*) AS c, sum(qty) AS s
+      FROM mve.facts GROUP BY id % 10"""
+    val df = spark.sql(q)
+    assert(scans(df, ru) && !scans(df, dir),
+      "grouping by the stored expression must read the gold")
+    assert(df.collect().map(_.toSeq).toSet == baseline(q))
+    // a filter over the expression key rides the rewrite
+    val fq = """SELECT grp, count(*) AS c FROM mve.facts
+      WHERE id % 10 = 3 GROUP BY grp"""
+    val ff = spark.sql(fq)
+    assert(scans(ff, ru) && !scans(ff, dir),
+      "a filter over the expression key must ride the rewrite")
+    assert(ff.collect().map(_.toSeq).toSet == baseline(fq))
+    // count(DISTINCT <expression key>) derives from the gold key
+    val dq = "SELECT count(DISTINCT id % 10) AS n FROM mve.facts"
+    val dfq = spark.sql(dq)
+    assert(scans(dfq, ru) && !scans(dfq, dir))
+    assert(dfq.collect().map(_.toSeq).toSet == baseline(dq))
+    // a DIFFERENT expression is not the stored key
+    val bad = spark.sql(
+      "SELECT id % 7 AS b, count(*) AS c FROM mve.facts GROUP BY id % 7")
+    assert(!scans(bad, ru) && scans(bad, dir))
+  }
+
   test("JOIN rollup rewrite: a star-join aggregate re-targets the " +
     "gold store; the bare-fact aggregate and a moved dim do not") {
     TableStore.reset(spark)

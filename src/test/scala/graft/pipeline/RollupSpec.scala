@@ -662,6 +662,63 @@ class RollupSpec extends SparkSpec {
     assert(gold() == liveRecompute())
   }
 
+  test("EXPRESSION group keys (GROUP BY month bucket): the derived " +
+    "key column maintains exactly under append and delete windows; " +
+    "nondeterministic and colliding keys are refused at build") {
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollupE").toString
+    val (src, ru) = (s"$root/src", s"$root/rollup")
+    Snapshot.createOrReplace(orders.filter(col("o_orderkey") % 10
+      =!= 7), src, keepVersions = 2)
+    val bucket = "date_trunc('month', o_orderdate)"
+    Rollup.build(spark, src, ru, Seq("omonth", "o_orderpriority"),
+      Seq("o_totalprice"), minMax = Seq("o_totalprice"),
+      exprCols = Seq(("omonth", bucket)))
+    def recomputeE(f: DataFrame): Set[Seq[Any]] =
+      f.withColumn("omonth", expr(bucket))
+        .groupBy("omonth", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"),
+          min("o_totalprice").as("mn"))
+        .collect().map(_.toSeq).toSet
+    def gold(): Set[Seq[Any]] =
+      Rollup.read(spark, src, ru)
+        .select(col("omonth"), col("o_orderpriority"), col("cnt"),
+          col("sum_o_totalprice"), col("min_o_totalprice"))
+        .collect().map(_.toSeq).toSet
+    assert(gold() == recomputeE(Snapshot.read(spark, src)
+      .localCheckpoint()))
+    // append window: the delta derives its bucket exactly as build did
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(gold() == recomputeE(orders))
+    // delete window: victims include bucket minima → the recompute
+    // re-derives the key column too
+    val victims = Snapshot.readLineage(spark, src)
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(expr(bucket))
+          .orderBy("o_totalprice")))
+      .filter(col("_rk") <= 2).localCheckpoint()
+    Snapshot.morCommit(spark, src, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(victims))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(gold() == recomputeE(Snapshot.read(spark, src)
+      .localCheckpoint()))
+    // guard rails: nondeterministic exprs and alias collisions refuse
+    assert(intercept[IllegalArgumentException] {
+      Rollup.build(spark, src, s"$root/bad1", Seq("r"), Nil,
+        exprCols = Seq(("r", "rand()")))
+    }.getMessage.contains("deterministic"))
+    assert(intercept[IllegalArgumentException] {
+      Rollup.build(spark, src, s"$root/bad2", Seq("o_orderkey"), Nil,
+        exprCols = Seq(("o_orderkey", "o_orderkey + 1")))
+    }.getMessage.contains("collides"))
+  }
+
   test("JOIN rollup with a SAME-NAMED key keeps one copy and " +
     "maintains; dim columns can be group keys") {
     import spark.implicits._
