@@ -483,10 +483,12 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
               })
           }).getOrElse(Nil)
         // group_exprs => 'day:=date_trunc(''day'', ts)[;alias2:=…]'
-        // adds EXPRESSION group keys (deterministic, row-local): the
-        // alias becomes a derived key column, must be listed in
-        // group_by, and the rewrite matches queries grouping by the
-        // same expression — the time-bucketed dashboard shape
+        // adds EXPRESSION columns (deterministic, row-local): an
+        // alias listed in group_by becomes a derived KEY (the
+        // time-bucketed dashboard shape), one listed in sum_cols /
+        // min_max_cols a derived MEASURE (revenue:=price*(1-disc),
+        // the TPC-H Q1 shape); the rewrite matches queries using the
+        // same expression
         val groupExprs = arg("group_exprs", 9).map(_.toString)
           .filter(_.nonEmpty)
           .map(_.split(";").toSeq.map { spec =>

@@ -774,7 +774,8 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         // (GROUP BY date_trunc('day', ts)) must appear in the SELECT
         // list under an alias — the alias names the derived store
         // column (determinism is validated by the build)
-        val exprCols = Seq.newBuilder[(String, String)]
+        val exprCols =
+          scala.collection.mutable.LinkedHashMap.empty[String, String]
         val groupBy = groupExprs.map { e =>
           attrName(e) match {
             case Some(n) => n
@@ -783,27 +784,47 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
                 case al: Alias if al.child.sql == e.sql => al.name
               }.getOrElse(fail("an expression GROUP BY key must " +
                 s"appear in the SELECT list with an alias: ${e.sql}"))
-              exprCols += ((alias, e.sql))
+              exprCols(alias) = e.sql
               alias
           }
         }
-        val exprColsRes = exprCols.result().distinct
         if (groupBy.isEmpty)
           fail("a global aggregate has no group keys to maintain — " +
             "GROUP BY at least one column")
         val measures = Seq.newBuilder[String]
         val minMax = Seq.newBuilder[String]
         val ndv = Seq.newBuilder[String]
-        def measureArg(f: UnresolvedFunction): String =
+        def stripCasts(x: Expression): Expression = x match {
+          case Cast(c, _, _, _) => stripCasts(c)
+          case o => o
+        }
+        /** The maintained column a one-argument aggregate works on: a
+          * plain column by name, or a DERIVED MEASURE — `sum(price *
+          * (1 - discount)) AS revenue`, the TPC-H Q1 shape — named by
+          * the select item's alias (casts around the argument are
+          * transparent; identical expressions share one store). */
+        def measureArg(f: UnresolvedFunction,
+                       outer: Expression): String =
           f.arguments match {
-            case Seq(a) => attrName(a).getOrElse(
-              fail(s"${f.nameParts.last} maintains a plain column, " +
-                s"got: ${f.arguments.head.sql}"))
+            case Seq(a) => attrName(a).getOrElse {
+              val sqlE = stripCasts(a).sql
+              exprCols.collectFirst {
+                case (n, e2) if e2 == sqlE => n
+              }.getOrElse {
+                val alias = outer match {
+                  case al: Alias => al.name
+                  case _ => fail("an expression measure must be " +
+                    s"aliased in the SELECT list: ${f.sql}")
+                }
+                exprCols(alias) = sqlE
+                alias
+              }
+            }
             case _ => fail(s"${f.nameParts.last} takes one column")
           }
         aggExprs.foreach { e =>
           val isExprKey = e match {
-            case al: Alias => exprColsRes.exists(_._2 == al.child.sql)
+            case al: Alias => exprCols.exists(_._2 == al.child.sql)
             case _ => false
           }
           if (!isExprKey) unwrap(e) match {
@@ -816,10 +837,10 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
                 case "count" => f.arguments match {
                   case Seq() | Seq(_: Literal) | Seq(_: UnresolvedStar) =>
                     () // count(*) rides the always-maintained cnt
-                  case _ => measures += measureArg(f)
+                  case _ => measures += measureArg(f, e)
                 }
-                case "sum" | "avg" => measures += measureArg(f)
-                case "min" | "max" => minMax += measureArg(f)
+                case "sum" | "avg" => measures += measureArg(f, e)
+                case "min" | "max" => minMax += measureArg(f, e)
                 case "approx_count_distinct" =>
                   // maintainable (KMV sketches) but NOT exactly
                   // rewritable — Spark's HLL++ and the maintained KMV
@@ -839,7 +860,7 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         GraftCreateMaterializedViewCommand(ns, name, srcNs, srcTable,
           groupBy, measures.result().distinct, minMax.result().distinct,
           ndv.result().distinct, where, query, queryText, replace,
-          ifNotExists, joins, exprColsRes)
+          ifNotExists, joins, exprCols.toSeq)
       case _ =>
         fail("the defining query must be a plain GROUP BY aggregate")
     }

@@ -250,6 +250,21 @@ case class RollupRewrite(session: SparkSession)
       in.exists(resolver(_, name))
     def sumOf(e: Expression) =
       AggregateExpression(Sum(e), Complete, isDistinct = false)
+    /** The stored column name a query expression denotes within `in`
+      * (measures / min-max set): a plain column by name, or a DERIVED
+      * column — `sum(price * (1 - discount)) AS revenue` — whose
+      * stored expression the query expression normalized-equals. */
+    def aliasOf(e: Expression, in: Seq[String]): Option[String] =
+      e match {
+        case a: AttributeReference
+            if derivable(a.name, in) &&
+              !m.exprCols.exists(ec => resolver(ec._1, a.name)) =>
+          in.find(resolver(_, a.name))
+        case other =>
+          exprKeys.collectFirst {
+            case (n, re) if derivable(n, in) && normEquals(other, re) =>
+              in.find(resolver(_, n)).get }
+      }
 
     /** The rollup-side aggregate function equal to `fn` over the base
       * — None when not exactly derivable. */
@@ -259,36 +274,36 @@ case class RollupRewrite(session: SparkSession)
         // an empty gold table must yield 0, not sum's null
         ruAttr("cnt").map(c =>
           Coalesce(Seq(sumOf(c), Literal(0L))))
-      case Count(Seq(a: AttributeReference))
-          if derivable(a.name, m.measures) =>
+      case Count(Seq(e)) if aliasOf(e, m.measures).isDefined =>
         // count(m): the maintained NON-NULL count — `cnt` (count(*))
         // would overcount on a nullable measure
-        ruAttr(s"cnt_${a.name}").map(c =>
+        aliasOf(e, m.measures).flatMap(n => ruAttr(s"cnt_$n")).map(c =>
           Coalesce(Seq(sumOf(c), Literal(0L))))
-      case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
-          if dt == DecimalType(27, 6) && derivable(a.name, m.measures) =>
+      case Sum(Cast(e, dt: DecimalType, _, _), _)
+          if dt == DecimalType(27, 6) &&
+            aliasOf(e, m.measures).isDefined =>
         // the exact-sum idiom: the store IS decimal(27,6) accumulation
-        ruAttr(s"sum_${a.name}").map(sumOf)
-      case Sum(a: AttributeReference, _)
-          if derivable(a.name, m.measures) =>
-        a.dataType match {
+        // — this is how a DOUBLE measure (or derived measure like
+        // price * (1 - discount)) rewrites exactly
+        aliasOf(e, m.measures).flatMap(n => ruAttr(s"sum_$n"))
+          .map(sumOf)
+      case Sum(e, _) if aliasOf(e, m.measures).isDefined =>
+        val n = aliasOf(e, m.measures).get
+        e.dataType match {
           case ByteType | ShortType | IntegerType | LongType =>
             // integral sums are exact in the decimal store; cast back
             // to the LongType the base-side sum produces
-            ruAttr(s"sum_${a.name}").map(s =>
-              Cast(sumOf(s), LongType))
+            ruAttr(s"sum_$n").map(s => Cast(sumOf(s), LongType))
           case d: DecimalType if d.scale <= 6 && d.precision <= 27 =>
-            ruAttr(s"sum_${a.name}").map(s =>
-              Cast(sumOf(s), Sum(a).dataType))
+            ruAttr(s"sum_$n").map(s =>
+              Cast(sumOf(s), Sum(e).dataType))
           case _ => None // float/double sums are order-dependent
         }
-      case Min(a: AttributeReference)
-          if derivable(a.name, m.minMax) =>
-        ruAttr(s"min_${a.name}").map(x =>
+      case Min(e) if aliasOf(e, m.minMax).isDefined =>
+        aliasOf(e, m.minMax).flatMap(n => ruAttr(s"min_$n")).map(x =>
           AggregateExpression(Min(x), Complete, isDistinct = false))
-      case Max(a: AttributeReference)
-          if derivable(a.name, m.minMax) =>
-        ruAttr(s"max_${a.name}").map(x =>
+      case Max(e) if aliasOf(e, m.minMax).isDefined =>
+        aliasOf(e, m.minMax).flatMap(n => ruAttr(s"max_$n")).map(x =>
           AggregateExpression(Max(x), Complete, isDistinct = false))
       // aggregates over a GROUP KEY (plain column or expression key)
       // derive from the gold key column: the store carries one row
@@ -310,10 +325,10 @@ case class RollupRewrite(session: SparkSession)
             sumOf(If(IsNotNull(g), c, Literal(0L))), Literal(0L))))
           case _ => None
         }
-      case Average(a: AttributeReference, _)
-          if derivable(a.name, m.measures) &&
+      case Average(e, _)
+          if aliasOf(e, m.measures).isDefined &&
             Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-              .contains(a.dataType) =>
+              .contains(e.dataType) =>
         // integral avg = exact sum / NON-NULL count (the row count
         // `cnt` would be the wrong denominator on a nullable
         // measure), one double divide at the end. A group whose
@@ -321,7 +336,8 @@ case class RollupRewrite(session: SparkSession)
         // the If routes it to null instead of tripping ANSI
         // divide-by-zero; an empty global aggregate nulls the
         // denominator and falls through to the (null) divide.
-        (ruAttr(s"sum_${a.name}"), ruAttr(s"cnt_${a.name}")) match {
+        val n = aliasOf(e, m.measures).get
+        (ruAttr(s"sum_$n"), ruAttr(s"cnt_$n")) match {
           case (Some(s), Some(c)) =>
             val den = Cast(sumOf(c), DoubleType)
             Some(If(EqualTo(den, Literal(0.0d)),

@@ -333,14 +333,15 @@ object Rollup {
     else nsJoin(agg, sketchFrame(src, groupCols, ndv, k), groupCols,
       "left")
 
-  /** Attach the EXPRESSION group keys as columns — `GROUP BY
-    * date_trunc('day', ts)` materialized as a derived key column.
-    * Row-local and deterministic (build validates), so a window row
-    * computes exactly the key it computed at build: the signed-delta
-    * algebra is untouched. Applied to every source frame — build,
-    * window deltas, the affected-group recompute — AFTER the dim
-    * joins (an expr may use dim columns) and BEFORE the filter (the
-    * predicate may reference the alias). */
+  /** Attach the EXPRESSION columns — derived group keys (`GROUP BY
+    * date_trunc('day', ts)`) and derived measures (`sum(price * (1 -
+    * discount)) AS revenue`). Row-local and deterministic (build
+    * validates), so a window row computes exactly the values it
+    * computed at build: the signed-delta algebra is untouched.
+    * Applied to every source frame — build, window deltas, the
+    * affected-group recompute — AFTER the dim joins (an expr may use
+    * dim columns) and BEFORE the filter (the predicate may reference
+    * an alias). */
   private def prepare(df: DataFrame,
                       exprCols: Seq[(String, String)]): DataFrame =
     exprCols.foldLeft(df) { case (d, (n, e)) =>
@@ -404,8 +405,13 @@ object Rollup {
             exprCols: Seq[(String, String)] = Nil): Long =
     suppressRewrite {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
-    require(exprCols.map(_._1).forall(groupCols.contains),
-      "every expression key's alias must appear among the group columns")
+    // an expression alias is either a derived GROUP KEY or a derived
+    // MEASURE (sum(price * (1 - discount)) AS revenue — the TPC-H Q1
+    // shape); either way it must be consumed somewhere
+    require(exprCols.map(_._1).forall(n => groupCols.contains(n) ||
+      measures.contains(n) || minMax.contains(n) || ndv.contains(n)),
+      "every expression alias must appear among the group columns, " +
+        "measures, min_max or ndv columns")
     val normFilter = filter.map(_.replaceAll("\\s+", " ").trim)
       .filter(_.nonEmpty)
     // dim key names ride the meta's separator alphabet — refuse the

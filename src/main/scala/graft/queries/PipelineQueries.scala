@@ -606,6 +606,59 @@ object PipelineQueries {
       q.orderBy("omonth")
     }),
 
+    // S20h — EXPRESSION measures (the TPC-H Q1 MV): the defining
+    // query sums a DERIVED measure, sum(l_extendedprice *
+    // (1 - l_discount)) AS revenue, maintained exactly through the
+    // decimal store. REQUIRED inside the query: after an append +
+    // REFRESH the MV read scans the gold store, never the base.
+    "q_mv_q1" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvq1q")
+        .toString
+      val src = s"$root/lineitem"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(li.filter(col("l_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvq1", "lineitem", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvq1.pricing AS
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM mvq1.lineitem
+        GROUP BY l_returnflag, l_linestatus""").collect()
+      S.morCommit(s, src, deletes = None,
+        appends = Some(li.filter(col("l_orderkey") % 10 === 7)),
+        operation = "append")
+      require(s.sql("REFRESH MATERIALIZED VIEW mvq1.pricing")
+        .collect().head.getLong(0) > 0L,
+        "the append window must touch groups")
+      val q = s.sql("SELECT * FROM mvq1.pricing")
+      val ruDir = ts.properties("mvq1", "pricing__storage")(
+        "graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir),
+        "the Q1 MV must serve its derived measure from the gold store")
+      require(!reads(src),
+        "the MV read must not scan the base table")
+      ts.dropView("mvq1", "pricing")
+      ts.dropTable("mvq1", "pricing__storage")
+      ts.dropTable("mvq1", "lineitem")
+      q.orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // X14c — GDPR erasure through the snapshot layer: silver built into
     // a two-version snapshot, then every row of the subject cohort
     // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
@@ -2380,6 +2433,17 @@ FROM iceberg.silver.orders_current""")
              COUNT(*) AS cnt
       FROM orders GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Q1-MV twin: the derived-measure defining query over the final
+    // base state.
+    "q_mv_q1" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
 
     // Time-bucketed-MV twin: the expression-keyed defining query over
     // the final base state.

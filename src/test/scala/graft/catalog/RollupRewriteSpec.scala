@@ -307,6 +307,44 @@ class RollupRewriteSpec extends SparkSpec {
     assert(!scans(bad, ru) && scans(bad, dir))
   }
 
+  test("EXPRESSION measures (TPC-H Q1 shape): sum over a derived " +
+    "measure rewrites via the exact-decimal idiom; the raw double " +
+    "sum of the same expression stays on base") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwm").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 400).map(i => (i.toLong, s"g${i % 4}",
+      (i % 13).toDouble, (i % 7) / 10.0)).toDF(
+      "id", "grp", "price", "disc")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvm", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvm.facts', name => 'mvm.gold',
+      group_by => 'grp', sum_cols => 'revenue',
+      group_exprs => 'revenue:=price * (1 - disc)')""").collect()
+    val ru = new TableStore(spark).properties("mvm", "gold")(
+      "graft.rollup.dir")
+    val q = """SELECT grp, count(*) AS c,
+      CAST(sum(CAST(price * (1 - disc) AS DECIMAL(27,6))) AS DOUBLE)
+        AS revenue
+      FROM mvm.facts GROUP BY grp"""
+    val df = spark.sql(q)
+    assert(scans(df, ru) && !scans(df, dir),
+      "the exact-decimal sum of the derived measure must read gold")
+    assert(df.collect().map(_.toSeq).toSet == baseline(q))
+    // count over the derived measure = its maintained non-null count
+    val cq = """SELECT grp, count(price * (1 - disc)) AS c
+      FROM mvm.facts GROUP BY grp"""
+    val cf = spark.sql(cq)
+    assert(scans(cf, ru) && !scans(cf, dir))
+    assert(cf.collect().map(_.toSeq).toSet == baseline(cq))
+    // the raw double sum is order-dependent — never rewritten
+    val raw = spark.sql("""SELECT grp, sum(price * (1 - disc)) AS r
+      FROM mvm.facts GROUP BY grp""")
+    assert(!scans(raw, ru) && scans(raw, dir))
+  }
+
   test("JOIN rollup rewrite: a star-join aggregate re-targets the " +
     "gold store; the bare-fact aggregate and a moved dim do not") {
     TableStore.reset(spark)
