@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Star-rollup (JOIN materialized view) lifecycle soak: at each fact
   * scale, time the full star [[graft.pipeline.Rollup.build]] (fact ⋈
-  * customer dim, GROUP BY the DIM's segment) against a refresh after
-  * a FIXED 5k-row fast-append on the fact. The 100-TB claim: with the
-  * dim pinned, Δ(F ⋈ D) = ΔF ⋈ D — refresh joins ONLY the window to
-  * the dim, so its cost must stay FLAT while the fact, the joined
-  * build, and the recurring full recompute the reference pays
-  * (`/root/reference/jobs/build_orders_silver.py` rebuilds derived
-  * tables every run) all grow linearly.
+  * customer dim, GROUP BY the DIM's segment) against (a) a refresh
+  * after a FIXED 5k-row fast-append on the FACT and (b) a refresh
+  * after a FIXED 100-key fan-out append on the DIM. The 100-TB
+  * claims: the fact window joins only ΔF to the pinned dim — FLAT in
+  * fact size; the dim window pays one bounded fact read joined to the
+  * broadcast dim delta (the F' ⋈ ΔD term) — O(fact scan), honestly
+  * linear but far below the full recompute the reference pays every
+  * run (`/root/reference/jobs/build_orders_silver.py` rebuilds
+  * derived tables from scratch).
   *
   * Usage: `sbt "runMain graft.SoakStar [mult,mult,…]"` (default
   * 1,8,32 over sf0.1 orders ⋈ customer — 150k joined rows at 1×,
@@ -64,8 +66,21 @@ object SoakStar {
       val t1 = System.nanoTime()
       require(R.refresh(spark, fact, ru) > 0L)
       val tApp = (System.nanoTime() - t1) / 1e9
+      // DIM window: a fixed 100-key fan-out append on the dimension —
+      // the F' ⋈ ΔD term pays one bounded fact read joined to the
+      // broadcast dim delta, the honest O(fact-scan) dim-change cost
+      // (vs the full rebuild's join + full re-aggregation + store
+      // rewrite)
+      val dimWave = dimDf.orderBy("c_custkey").limit(100)
+        .localCheckpoint()
+      S.morCommit(spark, dim, deletes = None,
+        appends = Some(dimWave), operation = "append")
+      val t2 = System.nanoTime()
+      require(R.refresh(spark, fact, ru) > 0L)
+      val tDim = (System.nanoTime() - t2) / 1e9
       s""""x$mult":{"fact_rows":$rows,"star_build_sec":$tBuild,""" +
-        s""""star_append_refresh_sec":$tApp}"""
+        s""""star_append_refresh_sec":$tApp,""" +
+        s""""dim_append_refresh_sec":$tDim}"""
     }
     println(s"""{"soak":"star_rollup_refresh","append_rows":5000,""" +
       out.mkString(",") + "}")
