@@ -132,6 +132,11 @@ object Rollup {
     }
 
   def tableDir(rollupDir: String): String = s"$rollupDir/table"
+
+  /** Literal budget for the dim-term fact-scan IN filter — above
+    * this the pushed filter would bloat the plan past codegen
+    * comfort; the plain scan takes over. */
+  private val MaxDimDeltaKeys = 4096
   private def metaFile(rollupDir: String) =
     Paths.get(rollupDir, "_rollup_meta")
 
@@ -563,8 +568,23 @@ object Rollup {
       if (dimSince(i) < dimUntil(i)) {
         val (dp, dm) = Snapshot.windowRowDelta(spark, d.path,
           dimSince(i), dimUntil(i), "rollup dimension")
+        // scan-pruning lever for the fact read: only fact rows whose
+        // join key HITS the (small) dim delta can contribute, so an
+        // IN filter of the delta's first-key values pushes to the
+        // parquet scan and prunes row groups by footer min/max — a
+        // conservative superset for multi-key dims; an oversized key
+        // set falls back to the plain scan, an empty delta to a
+        // constant-folded empty read
+        def prunedFact(delta: DataFrame): DataFrame = {
+          val (fk, dk) = d.keys.head
+          val vals = delta.select(col(dk)).distinct()
+            .limit(MaxDimDeltaKeys + 1).collect().map(_.get(0))
+          if (vals.isEmpty) factLive.filter(lit(false))
+          else if (vals.length > MaxDimDeltaKeys) factLive
+          else factLive.filter(col(fk).isin(vals.toIndexedSeq: _*))
+        }
         def chain(delta: DataFrame): DataFrame =
-          joinWith(factLive, m.dims, m.dims.indices.map { j =>
+          joinWith(prunedFact(delta), m.dims, m.dims.indices.map { j =>
             if (j < i) dimAsOf(spark, rollupDir, m.dims(j), dimUntil(j))
             else if (j == i) delta
             else dimAsOf(spark, rollupDir, m.dims(j), dimSince(j))
