@@ -415,4 +415,93 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       }
     }
   }
+
+  test("star-rollup maintenance equals the full recompute under RANDOM " +
+    "interleaved fact/dim commit sequences (appends, position deletes, " +
+    "fan-out, vanished groups) — seeded") {
+    val S = graft.pipeline.Snapshot
+    val R = graft.pipeline.Rollup
+    for (seed <- Seq(5, 83)) {
+      val rnd = new Random(seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"rndru$seed").toString
+      val (fact, dim, ru) = (s"$root/f", s"$root/d", s"$root/ru")
+      def factRows(n: Int, base: Int): Seq[(Long, Long, Option[Double])] =
+        Seq.tabulate(n)(i => ((base + i).toLong,
+          rnd.nextInt(14).toLong,
+          if (rnd.nextInt(5) == 0) None
+          else Some(rnd.nextInt(1000) / 10.0)))
+      S.createOrReplace(factRows(200, 0).toDF("id", "cust", "qty"),
+        fact, keepVersions = 2)
+      S.createOrReplace((0 until 12).map(i =>
+          (i.toLong, s"s${i % 4}")).toDF("ckey", "seg"),
+        dim, keepVersions = 2)
+      R.build(spark, fact, ru, Seq("seg"), Seq("qty"),
+        minMax = Seq("qty"),
+        dims = Seq(R.DimSpec(dim, Seq(("cust", "ckey")))))
+      def want(): Set[Seq[Any]] = {
+        val f = S.read(spark, fact)
+        val d = S.read(spark, dim)
+        f.join(d, f("cust") === d("ckey"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("qty").cast(
+              org.apache.spark.sql.types.DecimalType(27, 6)))
+              .cast("double").as("sum_qty"),
+            count(col("qty")).as("cnt_qty"),
+            min("qty").as("min_qty"), max("qty").as("max_qty"))
+          .collect().map(_.toSeq).toSet
+      }
+      def got(): Set[Seq[Any]] =
+        R.read(spark, fact, ru)
+          .select("seg", "cnt", "sum_qty", "cnt_qty", "min_qty",
+            "max_qty")
+          .collect().map(_.toSeq).toSet
+      assert(got() == want(), s"seed=$seed build")
+      var nextId = 10000
+      for (step <- 1 to 6) {
+        var committed = false
+        if (rnd.nextBoolean()) { // fact append (may fan into any seg)
+          S.morCommit(spark, fact, deletes = None,
+            appends = Some(factRows(20 + rnd.nextInt(30), nextId)
+              .toDF("id", "cust", "qty")),
+            operation = "append")
+          nextId += 100; committed = true
+        }
+        if (rnd.nextBoolean()) { // fact position-delete, random slice
+          val k = 3 + rnd.nextInt(5)
+          val r = rnd.nextInt(k)
+          val vic = S.readLineage(spark, fact)
+            .filter(col("id") % k === r).localCheckpoint()
+          if (vic.limit(1).count() > 0) {
+            S.morCommit(spark, fact, deletes = None, appends = None,
+              operation = "delete", posDeletes = Some(vic))
+            committed = true
+          }
+        }
+        if (rnd.nextBoolean()) { // dim append: fan-out dup OR new key
+          val row =
+            if (rnd.nextBoolean()) (rnd.nextInt(12).toLong, "s9")
+            else ((12 + rnd.nextInt(4)).toLong, s"s${rnd.nextInt(4)}")
+          S.morCommit(spark, dim, deletes = None,
+            appends = Some(Seq(row).toDF("ckey", "seg")),
+            operation = "append")
+          committed = true
+        }
+        if (rnd.nextInt(3) == 0) { // dim position-delete
+          val vic = S.readLineage(spark, dim)
+            .orderBy("ckey").limit(1 + rnd.nextInt(2))
+            .localCheckpoint()
+          if (vic.limit(1).count() > 0) {
+            S.morCommit(spark, dim, deletes = None, appends = None,
+              operation = "delete", posDeletes = Some(vic))
+            committed = true
+          }
+        }
+        R.refresh(spark, fact, ru)
+        assert(got() == want(), s"seed=$seed step=$step " +
+          s"(committed=$committed)")
+      }
+    }
+  }
 }
