@@ -719,6 +719,70 @@ class RollupSpec extends SparkSpec {
     }.getMessage.contains("collides"))
   }
 
+  test("TWO-dim star rollup: simultaneous windows on the fact and " +
+    "BOTH dims price through the telescoped terms (dims before the " +
+    "moving one at window END, after it at window START)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("rollupJ3").toString
+    val (fact, dimC, dimP, ru) =
+      (s"$root/fact", s"$root/dimc", s"$root/dimp", s"$root/rollup")
+    Snapshot.createOrReplace((1 to 300).map(i => (i.toLong,
+        (i % 10).toLong, (i % 5).toLong, (i % 13).toLong))
+      .toDF("id", "cust", "prio", "qty"), fact, keepVersions = 2)
+    Snapshot.createOrReplace((0 until 10).map(i =>
+        (i.toLong, s"seg${i % 3}")).toDF("ckey", "seg"),
+      dimC, keepVersions = 2)
+    Snapshot.createOrReplace((0 until 5).map(i =>
+        (i.toLong, s"p${i % 2}")).toDF("pkey", "pclass"),
+      dimP, keepVersions = 2)
+    Rollup.build(spark, fact, ru, Seq("seg", "pclass"), Seq("qty"),
+      minMax = Seq("qty"),
+      dims = Seq(Rollup.DimSpec(dimC, Seq(("cust", "ckey"))),
+        Rollup.DimSpec(dimP, Seq(("prio", "pkey")))))
+    def want(): Set[Seq[Any]] = {
+      val f = Snapshot.read(spark, fact)
+      val dc = Snapshot.read(spark, dimC)
+      val dp = Snapshot.read(spark, dimP)
+      f.join(dc, f("cust") === dc("ckey"))
+        .join(dp, f("prio") === dp("pkey"))
+        .groupBy("seg", "pclass")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("qty").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"),
+          min("qty").as("mn"), max("qty").as("mx"))
+        .collect().map(_.toSeq).toSet
+    }
+    def gold(): Set[Seq[Any]] =
+      Rollup.read(spark, fact, ru)
+        .select("seg", "pclass", "cnt", "sum_qty", "min_qty", "max_qty")
+        .collect().map(_.toSeq).toSet
+    assert(gold() == want(), "build")
+    // ONE refresh covering: a fact append, a fan-out append on dim 1,
+    // a fan-out append AND a position-delete on dim 2 — every
+    // telescoped term fires, with dim 1 read at window END inside
+    // dim 2's term and dim 2 at window START inside dim 1's
+    Snapshot.morCommit(spark, fact, deletes = None,
+      appends = Some(Seq((9001L, 3L, 2L, 7L), (9002L, 15L, 1L, 3L))
+        .toDF("id", "cust", "prio", "qty")),
+      operation = "append")
+    Snapshot.morCommit(spark, dimC, deletes = None,
+      appends = Some(Seq((3L, "segX"), (15L, "seg0"))
+        .toDF("ckey", "seg")),
+      operation = "append")
+    Snapshot.morCommit(spark, dimP, deletes = None,
+      appends = Some(Seq((2L, "pX")).toDF("pkey", "pclass")),
+      operation = "append")
+    val vic = Snapshot.readLineage(spark, dimP)
+      .filter(col("pkey") === 4L).localCheckpoint()
+    Snapshot.morCommit(spark, dimP, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(vic))
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    assert(gold() == want(),
+      "simultaneous fact + two-dim windows must maintain exactly")
+    assert(Rollup.refresh(spark, fact, ru) == 0L)
+    assert(gold() == want())
+  }
+
   test("JOIN rollup with a SAME-NAMED key keeps one copy and " +
     "maintains; dim columns can be group keys") {
     import spark.implicits._
