@@ -27,15 +27,23 @@ import org.apache.spark.sql.types.StructType
   * AND rollup. */
 object StreamingRollup {
 
+  /** `dims` makes it a streamed STAR rollup (the fact stream joins
+    * pinned snapshot dimensions; a dim that moves between batches is
+    * priced incrementally by [[Rollup.refresh]]'s dim-window terms)
+    * and `exprCols` adds derived keys/measures — both ride the meta,
+    * so only the bootstrap needs them. */
   def start(spark: SparkSession, factsDir: String, schema: StructType,
             tableDir: String, rollupDir: String, checkpointDir: String,
             groupCols: Seq[String], measures: Seq[String],
             maxFilesPerTrigger: Int = 4,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            dims: Seq[Rollup.DimSpec] = Nil,
+            exprCols: Seq[(String, String)] = Nil): StreamingQuery =
     StreamingIndex.startMaintained(spark, factsDir, schema, tableDir,
       checkpointDir, trigger, maxFilesPerTrigger, dedupKey = None,
       artifactExists = Rollup.meta(rollupDir).isDefined,
       bootstrap =
-        Rollup.build(spark, tableDir, rollupDir, groupCols, measures),
+        Rollup.build(spark, tableDir, rollupDir, groupCols, measures,
+          dims = dims, exprCols = exprCols),
       refresh = Rollup.refresh(spark, tableDir, rollupDir))
 }

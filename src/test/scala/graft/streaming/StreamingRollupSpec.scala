@@ -134,4 +134,56 @@ class StreamingRollupSpec extends SparkSpec {
       "a fresh checkpoint's batch 0 must not be dropped as a replay")
     assert(served(table, ru) == recompute(w1.unionByName(w2)))
   }
+
+  test("a streamed STAR rollup: fact micro-batches maintain the " +
+    "joined aggregate; a dim change between waves refreshes " +
+    "incrementally through the same loop") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .localCheckpoint()
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_custkey", "c_mktsegment").localCheckpoint()
+    val root = Files.createTempDirectory("strrustar").toString
+    val (facts, table, dim, ru, cp) = (s"$root/facts", s"$root/table",
+      s"$root/dim", s"$root/rollup", s"$root/cp")
+    Snapshot.createOrReplace(customer, dim, keepVersions = 2)
+    val schema = orders.schema
+    def joinedRecompute(): Set[(String, Long, Double)] = {
+      val f = Snapshot.read(spark, table)
+      val d = Snapshot.read(spark, dim)
+      f.join(d, f("o_custkey") === d("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+    }
+    def goldStar(): Set[(String, Long, Double)] =
+      Rollup.read(spark, table, ru)
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_o_totalprice").as("s"))
+        .as[(String, Long, Double)].collect().toSet
+    def run(): Unit =
+      StreamingRollup.start(spark, facts, schema, table, ru, cp,
+        Seq("c_mktsegment"), Seq("o_totalprice"),
+        dims = Seq(Rollup.DimSpec(dim,
+          Seq(("o_custkey", "c_custkey"))))).awaitTermination(60000)
+
+    val w1 = orders.filter(col("o_orderkey") % 3 === 0).localCheckpoint()
+    w1.write.parquet(facts)
+    run()
+    assert(goldStar() == joinedRecompute(),
+      "the bootstrapped star rollup must equal the joined recompute")
+
+    // a DIM fan-out append lands between waves; the next wave's
+    // refresh prices the fact batch AND the dim window together
+    Snapshot.morCommit(spark, dim, deletes = None,
+      appends = Some(customer.orderBy("c_custkey").limit(1)),
+      operation = "append")
+    val w2 = orders.filter(col("o_orderkey") % 3 =!= 0).localCheckpoint()
+    w2.write.mode("append").parquet(facts)
+    run()
+    assert(goldStar() == joinedRecompute(),
+      "the streamed star rollup must absorb the dim window too")
+  }
 }
