@@ -343,6 +343,22 @@ class RollupRewriteSpec extends SparkSpec {
     val raw = spark.sql("""SELECT grp, sum(price * (1 - disc)) AS r
       FROM mvm.facts GROUP BY grp""")
     assert(!scans(raw, ru) && scans(raw, dir))
+    // min/max over a derived measure ride the same mechanism (the
+    // alias listed in min_max_cols)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvm.facts', name => 'mvm.gold2',
+      group_by => 'grp', sum_cols => 'revenue',
+      min_max_cols => 'revenue', rollup_dir => '""" + root +
+      """/ru2', group_exprs => 'revenue:=price * (1 - disc)')""")
+      .collect()
+    val ru2 = new TableStore(spark).properties("mvm", "gold2")(
+      "graft.rollup.dir")
+    val mq = """SELECT grp, min(price * (1 - disc)) AS mn,
+      max(price * (1 - disc)) AS mx FROM mvm.facts GROUP BY grp"""
+    val mf = spark.sql(mq)
+    assert(scans(mf, ru2) && !scans(mf, dir),
+      "min/max over the derived measure must read gold")
+    assert(mf.collect().map(_.toSeq).toSet == baseline(mq))
   }
 
   test("JOIN rollup rewrite: a star-join aggregate re-targets the " +
