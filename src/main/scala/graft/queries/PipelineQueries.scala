@@ -659,6 +659,65 @@ object PipelineQueries {
       q.orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // S20i — the FULL MV composition in one statement: star JOIN +
+    // expression group key + WHERE slice, maintained and served
+    // together. REQUIRED inside the query: after a fact append +
+    // REFRESH the MV read scans the gold store and neither base.
+    "q_mv_star_time" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvcq")
+        .toString
+      val (fact, dim) = (s"$root/orders", s"$root/customer")
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        fact, keepVersions = 2)
+      S.createOrReplace(customer, dim, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvc", "orders", fact)
+      ts.registerSnapshot("mvc", "customer", dim)
+      s.sql("""CREATE MATERIALIZED VIEW mvc.seg_month AS
+        SELECT c_mktsegment,
+               date_trunc('month', o_orderdate) AS omonth,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvc.orders o JOIN mvc.customer c
+          ON o.o_custkey = c.c_custkey
+        WHERE o_orderpriority <> '3-MEDIUM'
+        GROUP BY c_mktsegment, date_trunc('month', o_orderdate)""")
+        .collect()
+      S.morCommit(s, fact, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      require(s.sql("REFRESH MATERIALIZED VIEW mvc.seg_month")
+        .collect().head.getLong(0) > 0L,
+        "the in-slice fact append must touch groups")
+      val q = s.sql("SELECT * FROM mvc.seg_month")
+      val ruDir = ts.properties("mvc", "seg_month__storage")(
+        "graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir),
+        "the composed MV must serve from the gold store")
+      require(!reads(fact) && !reads(dim),
+        "the composed MV read must scan neither base table")
+      ts.dropView("mvc", "seg_month")
+      ts.dropTable("mvc", "seg_month__storage")
+      ts.dropTable("mvc", "orders")
+      ts.dropTable("mvc", "customer")
+      q.orderBy("c_mktsegment", "omonth")
+    }),
+
     // X14c — GDPR erasure through the snapshot layer: silver built into
     // a two-version snapshot, then every row of the subject cohort
     // (user_id % 7 = 0) erased from the LIVE table and all RETAINED
@@ -2433,6 +2492,19 @@ FROM iceberg.silver.orders_current""")
              COUNT(*) AS cnt
       FROM orders GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Composed-MV twin: join + expression key + WHERE slice over the
+    // final base state.
+    "q_mv_star_time" -> s"""
+      SELECT c_mktsegment,
+             date_trunc('month', o_orderdate) AS omonth,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority <> '3-MEDIUM'
+      GROUP BY 1, 2
+      ORDER BY c_mktsegment, omonth""",
 
     // Q1-MV twin: the derived-measure defining query over the final
     // base state.
