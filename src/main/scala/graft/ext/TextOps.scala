@@ -136,6 +136,20 @@ object TextOps {
     val stats = docs.agg(
       countDistinct(col(idCol)).as("_n"),
       sum(size(tokens(col(textCol))).cast("long")).as("_dlsum"))
+    bm25Rank(tf, queryTerms, docFreq, stats, k, k1, b, idCol)
+  }
+
+  /** The BM25 scoring tail [[bm25TopK]] and the persisted
+    * [[TextIndex]] read path share — ONE definition of the formula, so
+    * an index search is bit-identical to the derive-per-query path by
+    * construction (TextIndexSpec pins it).
+    * @param tf      (idCol, dl, term, tf) pruned postings
+    * @param docFreq (term, df) — true corpus df of each queried term
+    * @param stats   1 row (_n = corpus doc count, _dlsum = Σ dl) */
+  private[graft] def bm25Rank(tf: DataFrame, queryTerms: DataFrame,
+                              docFreq: DataFrame, stats: DataFrame,
+                              k: Int, k1: Double, b: Double,
+                              idCol: String): DataFrame = {
     val termScore =
       log(lit(1.0) + (col("_n") - col("df") + lit(0.5))
           / (col("df") + lit(0.5))) *
