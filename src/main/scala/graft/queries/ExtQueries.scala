@@ -73,6 +73,53 @@ object ExtQueries {
     "k2" -> "spark", "k2" -> "stream",
     "k3" -> "fast", "k3" -> "slow", "k3" -> "value")
 
+  /** The one BM25 oracle (X4e) — shared by `q_bm25` and the
+    * persisted-index lifecycle queries, parameterized on the corpus
+    * slice (empty = all of documents; a WHERE clause replays a
+    * delete-propagated corpus). The formula text stays symbolic
+    * ((1.2 + 1.0) is an IEEE ADD at runtime in BOTH engines). */
+  private def bm25OracleSql(corpusWhere: String): String = s"""
+      WITH qt(query_id, term) AS (VALUES
+        ${Bm25Queries.map { case (q, t) => s"('$q', '$t')" }
+          .mkString(", ")}),
+      tf AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               w AS term, count(*) AS tf
+        FROM (SELECT doc_id, text,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents $corpusWhere)
+        GROUP BY doc_id, dl, term
+      ),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      stats AS (
+        SELECT count(DISTINCT doc_id) AS n,
+               sum(len(string_split(text, ' '))) AS dlsum
+        FROM documents $corpusWhere
+      ),
+      s AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(
+                 ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl /
+                   (CAST(stats.dlsum AS DOUBLE) / stats.n)))
+               AS DECIMAL(18,6)) AS s
+        FROM tf JOIN qt USING (term) JOIN df USING (term)
+        CROSS JOIN stats
+      ),
+      agg AS (
+        SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+        FROM s GROUP BY query_id, doc_id
+      ),
+      r AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM agg
+      )
+      SELECT query_id, doc_id, rank, score
+      FROM r WHERE rank <= 10
+      ORDER BY query_id, rank"""
+
   /** X11d mix-planner fixture: 50/30/20 over three sources, budget 40 —
     * small enough that rates land strictly below 100 at every SF. */
   val MixTargets: Map[String, Double] =
@@ -416,6 +463,80 @@ object ExtQueries {
     "q_bm25" -> ((s, d) => {
       val qt = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
       TextOps.bm25TopK(Tables.documents(s, d), qt, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // X4e' — PERSISTED inverted-index lifecycle (the text sibling of
+    // q_pq_index/q_ivf_index): build tokenizes the 90% corpus into
+    // term-bucket-partitioned postings, the held-out 10% lands as a
+    // FAST-APPEND MOR commit — so the refresh's commit-window delta
+    // discovery reads exactly the appended sidecar, never the corpus
+    // — refresh indexes exactly the delta (REQUIRED, then a no-op),
+    // and the search reads ONLY the queried terms' bucket fragments
+    // (pruning REQUIRED via the formatted plan). The search scores
+    // through the SAME shared formula as q_bm25 (TextOps.bm25Rank),
+    // so the oracle is the full-corpus BM25 recompute.
+    "q_text_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("txtidxq")
+        .toString
+      val corpus = s"$root/corpus"
+      val idx = s"$root/text"
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      graft.pipeline.Snapshot.createOrReplace(v1, corpus,
+        keepVersions = 3)
+      graft.ext.TextIndex.build(s, corpus, idx)
+      graft.pipeline.Snapshot.morCommit(s, corpus, deletes = None,
+        appends = Some(docs.filter(col("doc_id") % 10 === 7)),
+        operation = "append")
+      val delta = graft.ext.TextIndex.refresh(s, corpus, idx)
+      require(delta == docs.count() - v1.count(),
+        s"refresh must index exactly the appended docs: $delta")
+      require(graft.ext.TextIndex.refresh(s, corpus, idx) == 0L,
+        "a second refresh must be a no-op")
+      val qt = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+      val res = graft.ext.TextIndex.search(s, corpus, idx, qt, k = 10)
+      val explained = res.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      require(explained.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*term_bucket".r
+          .findFirstIn(explained).isDefined,
+        s"the search must prune unqueried term buckets:\n$explained")
+      res.orderBy("query_id", "rank")
+    }),
+
+    // X4e'' — DELETE PROPAGATION through the text index: a corpus
+    // DELETE resolves from the window's sidecars (O(window delta),
+    // no rebuild) into a doc-keyed equality delete on postings AND
+    // doclens, and the 1-row stats table decrements by the removed
+    // docs' lengths — REQUIRED: zero docs re-indexed, the version
+    // stamped fresh, no deleted doc served. The oracle recomputes
+    // BM25 over exactly the survivors: df, N and avgdl ALL shift, so
+    // a stale stats table or a lingering posting would hash-mismatch.
+    "q_text_index_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("txtdelq")
+        .toString
+      val corpus = s"$root/corpus"
+      val idx = s"$root/text"
+      graft.pipeline.Snapshot.createOrReplace(docs, corpus,
+        keepVersions = 3)
+      graft.ext.TextIndex.build(s, corpus, idx)
+      graft.pipeline.Snapshot.morCommit(s, corpus,
+        deletes = Some(docs.filter(col("doc_id") % 10 === 3)),
+        appends = None, operation = "delete")
+      require(graft.ext.TextIndex.refresh(s, corpus, idx) == 0L,
+        "a delete-only window must index nothing new")
+      require(graft.ext.TextIndex.meta(idx).map(_.corpusVersion)
+        == graft.pipeline.Snapshot.currentVersion(corpus),
+        "the propagated refresh must stamp the live version")
+      require(graft.pipeline.Snapshot.read(s,
+          graft.ext.TextIndex.postingsDir(idx))
+        .filter(col("doc_id") % 10 === 3).isEmpty,
+        "deleted docs' postings must be gone")
+      val qt = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+      graft.ext.TextIndex.search(s, corpus, idx, qt, k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -2137,47 +2258,18 @@ object ExtQueries {
       FROM s GROUP BY doc_id
       ORDER BY doc_id""",
 
-    "q_bm25" -> s"""
-      WITH qt(query_id, term) AS (VALUES
-        ${Bm25Queries.map { case (q, t) => s"('$q', '$t')" }
-          .mkString(", ")}),
-      tf AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl,
-               w AS term, count(*) AS tf
-        FROM (SELECT doc_id, text,
-                     unnest(string_split(text, ' ')) AS w
-              FROM documents)
-        GROUP BY doc_id, dl, term
-      ),
-      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      stats AS (
-        SELECT count(DISTINCT doc_id) AS n,
-               sum(len(string_split(text, ' '))) AS dlsum
-        FROM documents
-      ),
-      s AS (
-        SELECT qt.query_id, tf.doc_id,
-               CAST(
-                 ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
-                 (tf.tf * (1.2 + 1.0)) /
-                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl /
-                   (CAST(stats.dlsum AS DOUBLE) / stats.n)))
-               AS DECIMAL(18,6)) AS s
-        FROM tf JOIN qt USING (term) JOIN df USING (term)
-        CROSS JOIN stats
-      ),
-      agg AS (
-        SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
-        FROM s GROUP BY query_id, doc_id
-      ),
-      r AS (
-        SELECT *, row_number() OVER
-          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-        FROM agg
-      )
-      SELECT query_id, doc_id, rank, score
-      FROM r WHERE rank <= 10
-      ORDER BY query_id, rank""",
+    "q_bm25" -> bm25OracleSql(""),
+
+    // X4e' — the persisted-index lifecycle serves the SAME shared
+    // BM25 formula, so the oracle is the full-corpus recompute (the
+    // final corpus after build + fast-append + refresh IS documents).
+    "q_text_index" -> bm25OracleSql(""),
+
+    // X4e'' — delete propagation: the final corpus is documents MINUS
+    // the deleted slice, and df/N/avgdl all shift with it — the
+    // oracle recomputes BM25 over exactly the survivors.
+    "q_text_index_delete" ->
+      bm25OracleSql("WHERE doc_id % 10 <> 3"),
 
     // X4i/X1 — chunker CTE + the q_doc_dedup survivor formula at chunk
     // granularity.

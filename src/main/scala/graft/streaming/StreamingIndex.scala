@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ext.{IvfPqIndex, PqIndex}
+import graft.ext.{IvfPqIndex, PqIndex, TextIndex}
 import graft.pipeline.Snapshot
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -90,6 +90,31 @@ object StreamingIndex {
       bootstrap = IvfPqIndex.build(spark, corpusDir, indexDir, nlist,
         m, dsub, ksub),
       refresh = IvfPqIndex.refresh(spark, corpusDir, indexDir))
+
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** ST9's TEXT arm: the same per-batch loop maintaining the
+    * persisted inverted index ([[TextIndex]]) — each micro-batch of
+    * documents fast-appends to the corpus and the refresh tokenizes
+    * exactly the window delta into the term-bucketed postings (+
+    * doclens + signed-increment corpus stats). A streamed index is
+    * search-identical to one batch-built over the same corpus
+    * (StreamingIndexSpec pins it). */
+  def startText(spark: SparkSession, docsDir: String,
+                corpusDir: String, indexDir: String,
+                checkpointDir: String, termBuckets: Int = 16,
+                docBuckets: Int = 16,
+                trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    startMaintained(spark, docsDir, documentSchema, corpusDir,
+      checkpointDir, trigger, maxFilesPerTrigger = 4,
+      dedupKey = Some("doc_id"),
+      artifactExists = TextIndex.meta(indexDir).isDefined,
+      bootstrap = TextIndex.build(spark, corpusDir, indexDir,
+        termBuckets, docBuckets),
+      refresh = TextIndex.refresh(spark, corpusDir, indexDir))
 
   /** The shared per-batch maintenance loop — ST9's and ST10's one
     * audited replay protocol: bootstrap on the first batch, then

@@ -181,4 +181,56 @@ class StreamingIndexSpec extends SparkSpec {
     assert(streamed == batch,
       "streamed IVFADC search must equal the batch-built lifecycle")
   }
+
+  test("text arm: streamed inverted-index maintenance is search-" +
+    "identical to the batch-built lifecycle over the same corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val root = Files.createTempDirectory("strtext").toString
+    val docsDir = s"$root/docs"
+    val corpus = s"$root/corpus"
+    val idx = s"$root/text"
+    val cp = s"$root/cp"
+    val w1 = docs.filter(col("doc_id") % 3 === 0).localCheckpoint()
+    val w2 = docs.filter(col("doc_id") % 3 =!= 0).localCheckpoint()
+
+    // wave 1 bootstraps corpus + index; wave 2 refreshes through the
+    // commit window (plus an id OVERLAP the dedup must drop)
+    w1.coalesce(1).write.parquet(docsDir)
+    StreamingIndex.startText(spark, docsDir, corpus, idx, cp)
+      .awaitTermination(60000)
+    assert(graft.ext.TextIndex.meta(idx).isDefined)
+    w2.unionByName(w1.limit(10)).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    StreamingIndex.startText(spark, docsDir, corpus, idx, cp)
+      .awaitTermination(60000)
+    assert(Snapshot.read(spark, corpus).count() == docs.count(),
+      "overlapping ids must not duplicate in the corpus")
+    assert(Snapshot.read(spark, graft.ext.TextIndex.doclensDir(idx))
+      .count() == docs.count(), "the index must cover the corpus")
+
+    // batch twin
+    val corpus2 = s"$root/corpus2"
+    val idx2 = s"$root/text2"
+    Snapshot.createOrReplace(w1, corpus2, keepVersions = 2)
+    graft.ext.TextIndex.build(spark, corpus2, idx2)
+    Snapshot.morCommit(spark, corpus2, deletes = None,
+      appends = Some(w2), operation = "append")
+    graft.ext.TextIndex.refresh(spark, corpus2, idx2)
+
+    val qt = spark.createDataFrame(
+      graft.queries.ExtQueries.Bm25Queries).toDF("query_id", "term")
+    import spark.implicits._
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(String, Int, Long, Double)].collect().toSet
+    val streamed = asSet(graft.ext.TextIndex.search(
+      spark, corpus, idx, qt, k = 10))
+    assert(streamed == asSet(graft.ext.TextIndex.search(
+      spark, corpus2, idx2, qt, k = 10)),
+      "streamed text-index search must equal the batch lifecycle")
+    assert(streamed == asSet(graft.ext.TextOps.bm25TopK(
+      docs, qt, k = 10)),
+      "and both must equal the derive-per-query scorer")
+  }
 }
