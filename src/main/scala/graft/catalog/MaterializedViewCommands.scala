@@ -68,9 +68,44 @@ case class GraftCreateMaterializedViewCommand(
       throw new IllegalArgumentException(
         s"materialized views maintain over snapshot tables; " +
           s"$srcNs.$srcTable is not one"))
-    if (exists && replace)
-      GraftDropMaterializedViewCommand(ns, name, ifExists = false)
-        .run(spark)
+    // OR REPLACE parks the old MV instead of destroying it: a failed
+    // replacement (e.g. the new defining query flunks the
+    // derivability gate) must leave the PREVIOUS MV serving — the
+    // old store moves aside (one rename), the old catalog entries
+    // are captured, and the catch below restores both
+    var parked: Option[(String, String)] = None // (oldRuDir, parkDir)
+    var restore: Option[() => Unit] = None
+    if (exists && replace) {
+      val oldProps = store.properties(ns, storageName)
+      val oldView = store.viewDefinition(ns, name)
+      store.dropView(ns, name)
+      store.dropTable(ns, storageName)
+      oldProps.get("graft.rollup.dir").foreach { oldRuDir =>
+        val park = s"$oldRuDir.replaced"
+        MaterializedViews.deleteDir(park)
+        val op = java.nio.file.Paths.get(oldRuDir)
+        if (java.nio.file.Files.exists(op)) {
+          java.nio.file.Files.move(op, java.nio.file.Paths.get(park))
+          parked = Some((oldRuDir, park))
+        }
+      }
+      restore = Some(() => {
+        parked.foreach { case (oldRuDir, park) =>
+          MaterializedViews.deleteDir(oldRuDir)
+          java.nio.file.Files.move(java.nio.file.Paths.get(park),
+            java.nio.file.Paths.get(oldRuDir))
+          store.registerSnapshot(ns, storageName,
+            Rollup.tableDir(oldRuDir))
+          store.setProperties(ns, storageName, oldProps)
+        }
+        // the view alone still serves (late-bound: reads fall back
+        // to the base table when no fresh store exists)
+        oldView.foreach { case (p, text) =>
+          GraftCreateViewCommand(ns, name, p, allowExisting = false,
+            replace = false, originalText = text).run(spark)
+        }
+      })
+    }
     // each JOINed dimension resolves to its snapshot path, and the
     // raw `ON a = b` pairs ORIENT against the actual schemas (the
     // parser cannot know which side of the equality is the fact —
@@ -96,7 +131,10 @@ case class GraftCreateMaterializedViewCommand(
       leftCols ++= dimCols
       Rollup.DimSpec(dimPath, keys)
     }
-    val ruDir = s"$srcPath.mv-$name"
+    // the rollup dir is NAMESPACE-scoped: two same-named MVs in
+    // different namespaces over one source must not share (and
+    // destroy) each other's store
+    val ruDir = s"$srcPath.mv-$ns-$name"
     MaterializedViews.deleteDir(ruDir) // a dead MV's leftovers
     Rollup.build(spark, srcPath, ruDir, groupBy, measures, minMax, ndv,
       filter = where, dims = dims, exprCols = exprCols)
@@ -131,10 +169,15 @@ case class GraftCreateMaterializedViewCommand(
       GraftCreateViewCommand(ns, name, query,
         allowExisting = false, replace = false,
         originalText = Some(queryText)).run(spark)
+      // the replacement is live — discard the parked predecessor
+      parked.foreach { case (_, park) =>
+        MaterializedViews.deleteDir(park) }
     } catch {
       case t: Throwable =>
         store.dropTable(ns, storageName)
         MaterializedViews.deleteDir(ruDir)
+        try restore.foreach(_())
+        catch { case scala.util.control.NonFatal(_) => () }
         throw t
     }
     Seq.empty

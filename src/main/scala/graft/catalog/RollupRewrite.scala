@@ -75,6 +75,14 @@ case class RollupRewrite(session: SparkSession)
     // derivable shape — rewriting it would rebuild the gold table
     // from itself; maintenance suppresses the rule on its thread
     if (Rollup.maintaining.get()) return plan
+    // plans without an aggregate shape can never rewrite — skip the
+    // catalog scan on this (the common) planner path
+    if (!plan.exists {
+          case _: Aggregate => true
+          case _: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
+            true
+          case _ => false
+        }) return plan
     val targets = new TableStore(session)
       .tablesWithProperty("graft.rollup.dir")
     if (targets.isEmpty) return plan
@@ -82,11 +90,16 @@ case class RollupRewrite(session: SparkSession)
       // several rollups can serve the same query (a rollup
       // hierarchy over one base); prefer the COARSEST store — the
       // fewest group columns bounds the gold rows scanned
-      targets.flatMap(t => tryRewrite(agg,
-          t("graft.rollup.source"), t("graft.rollup.dir"))
-        .map((Rollup.meta(t("graft.rollup.dir"))
-          .map(_.groupCols.size).getOrElse(Int.MaxValue), _)))
-        .sortBy(_._1).headOption.map(_._2)
+      targets.flatMap { t =>
+        // error isolation: a corrupt or newer-format rollup meta (or
+        // a half-dropped registration) must cost THIS target its
+        // rewrite, never the query's analysis — the rule is always-on
+        try Rollup.meta(t("graft.rollup.dir")).flatMap(m =>
+          tryRewrite(agg, t("graft.rollup.source"),
+              t("graft.rollup.dir"), m)
+            .map((m.groupCols.size, _)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.sortBy(_._1).headOption.map(_._2)
     plan.transformUp {
       case agg: Aggregate => serve(agg).getOrElse(agg)
       case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
@@ -180,8 +193,8 @@ case class RollupRewrite(session: SparkSession)
   }
 
   private def tryRewrite(agg: Aggregate, srcPath: String,
-                         ruDir: String): Option[Aggregate] = {
-    val m = Rollup.meta(ruDir).getOrElse(return None)
+                         ruDir: String,
+                         m: Rollup.Meta): Option[Aggregate] = {
     // freshness gate: the rollup must describe the LIVE base version
     // AND every pinned dim version (a moved dim voids every group)
     if (!Rollup.isFresh(ruDir, srcPath)) return None

@@ -126,6 +126,17 @@ class TableStore(val spark: SparkSession) {
     TableStore.persist(spark)
   }
 
+  /** The stored definition of a LATE-BOUND view (unresolved plan +
+    * original SQL text), if `ns.name` is one — what a failed
+    * `CREATE OR REPLACE MATERIALIZED VIEW` needs to restore the view
+    * it dropped. */
+  def viewDefinition(ns: String, name: String)
+      : Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          Option[String])] = {
+    val k = key(ns, name)
+    st.viewPlans.get(k).map(p => (p, st.viewSql.get(k)))
+  }
+
   /** DROP VIEW [IF EXISTS] (`/root/reference/README.md:105`).
     * Also drops the flat `ns_name` temp-view alias created by
     * [[register]] — a dropped view must not stay queryable under any

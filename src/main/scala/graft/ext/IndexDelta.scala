@@ -104,6 +104,52 @@ private[graft] object IndexDelta {
           if (deleted.limit(1).count() > 0) Some(deleted) else None)
     }
 
+  /** The materialized change set of one refresh window, plus the
+    * upsert-replay resolution — the shared protocol core
+    * [[applyRefresh]] (single-table ANN indexes) and
+    * [[TextIndex.refresh]] (multi-table) both commit from, so the
+    * crash-replay and op-naming rules cannot diverge between the
+    * families. `touched` is the delete set to commit: the window's
+    * deleted keys on the happy path; on a crash replay the union with
+    * the delta's own keys (the crashed commit may have already
+    * appended them — delete-then-reappend is idempotent whatever
+    * state the table is in). */
+  private[graft] final case class WindowApply(delta: DataFrame, n: Long,
+      delKeys: Option[DataFrame], touched: Option[DataFrame],
+      op: String)
+
+  private[graft] def windowApply(spark: SparkSession,
+      corpusPath: String, sinceVersion: Long, liveVersion: Long,
+      what: String, keyCol: String, crashed: Boolean): WindowApply = {
+    val ch = changesSince(spark, corpusPath, sinceVersion, liveVersion,
+      what, keyCol)
+    val delta = ch.appended.localCheckpoint()
+    val n = delta.count()
+    val delKeys = ch.deletedKeys
+      .map(_.select(keyCol).distinct().localCheckpoint())
+      .filter(_.count() > 0)
+    val touched =
+      if (!crashed) delKeys
+      else {
+        val t = delKeys.foldLeft(delta.select(keyCol))(_ unionByName _)
+          .distinct().localCheckpoint()
+        if (t.count() > 0) Some(t) else None
+      }
+    val op = if (touched.isDefined && n > 0) "overwrite"
+             else if (touched.isDefined) "delete" else "append"
+    WindowApply(delta, n, delKeys, touched, op)
+  }
+
+  /** Best-effort sidecar-stack compaction past `threshold` — the
+    * READ-TAX BOUND every maintenance loop applies (see
+    * [[applyRefresh]]); spec-aware, a lost race never fails the
+    * refresh. */
+  private[graft] def maybeCompact(spark: SparkSession, dir: String,
+                                  threshold: Int): Unit =
+    if (threshold > 0 && Snapshot.morVersions(dir).size >= threshold)
+      try Snapshot.rewritePositionDeletes(spark, dir)
+      catch { case scala.util.control.NonFatal(_) => () }
+
   /** The shared refresh body all three index families run: discover
     * the corpus changes of `(sinceVersion, liveVersion]`, apply them
     * to the index's own MOR table as ONE commit — deleted corpus keys
@@ -136,32 +182,15 @@ private[graft] object IndexDelta {
       sinceVersion: Long, liveVersion: Long, what: String,
       keyCol: String = "vec_id", compactAfterCommits: Int = 64)
       (encode: DataFrame => DataFrame): Long = {
-    val ch = changesSince(spark, corpusPath, sinceVersion, liveVersion,
-      what, keyCol)
-    val delta = ch.appended.localCheckpoint()
-    val n = delta.count()
-    val delKeys = ch.deletedKeys.map(_.select(keyCol).localCheckpoint())
-      .filter(_.count() > 0)
     val crashed =
       !Snapshot.currentVersion(tableDir).contains(recordedVersion)
-    val deletes =
-      if (!crashed) delKeys
-      else {
-        val touched = delKeys
-          .foldLeft(delta.select(keyCol))(_ unionByName _)
-          .distinct().localCheckpoint()
-        if (touched.count() > 0) Some(touched) else None
-      }
-    if (n > 0 || deletes.isDefined)
-      Snapshot.morCommit(spark, tableDir, deletes = deletes,
-        appends = if (n > 0) Some(encode(delta)) else None,
-        operation =
-          if (deletes.isDefined && n > 0) "overwrite"
-          else if (deletes.isDefined) "delete" else "append")
-    if (compactAfterCommits > 0 &&
-        Snapshot.morVersions(tableDir).size >= compactAfterCommits)
-      try Snapshot.rewritePositionDeletes(spark, tableDir)
-      catch { case scala.util.control.NonFatal(_) => () }
-    n
+    val w = windowApply(spark, corpusPath, sinceVersion, liveVersion,
+      what, keyCol, crashed)
+    if (w.n > 0 || w.touched.isDefined)
+      Snapshot.morCommit(spark, tableDir, deletes = w.touched,
+        appends = if (w.n > 0) Some(encode(w.delta)) else None,
+        operation = w.op)
+    maybeCompact(spark, tableDir, compactAfterCommits)
+    w.n
   }
 }

@@ -371,6 +371,47 @@ object Rollup {
           s"they derived at build): $e")
     }
 
+  /** Collapse whitespace OUTSIDE quoted literals only — the meta file
+    * stores the predicate on one line, but whitespace INSIDE a string
+    * literal is semantic (`city = 'New  York'` must keep both
+    * spaces). Handles single- and double-quoted SQL literals with the
+    * doubled-quote escape; a literal containing a NEWLINE cannot ride
+    * the line-based meta format and is refused loudly. */
+  private[pipeline] def normalizePredicate(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) {
+            sb.append(quote); i += 1  // doubled-quote escape
+          } else quote = 0
+        }
+      } else if (c == '\'' || c == '"') {
+        if (pendingSpace && sb.nonEmpty) sb.append(' ')
+        pendingSpace = false
+        quote = c
+        sb.append(c)
+      } else if (c.isWhitespace) pendingSpace = true
+      else {
+        if (pendingSpace && sb.nonEmpty) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    val out = sb.toString
+    if (out.exists(ch => ch == '\n' || ch == '\r'))
+      throw new IllegalArgumentException(
+        "a partial rollup's WHERE cannot carry a newline inside a " +
+          s"string literal (the rollup meta stores it line-based): $s")
+    out
+  }
+
   /** Apply the partial-rollup predicate (and, at build time, validate
     * it: deterministic, subquery-free — a nondeterministic or
     * cross-table predicate breaks the maintenance algebra, because
@@ -417,8 +458,7 @@ object Rollup {
       measures.contains(n) || minMax.contains(n) || ndv.contains(n)),
       "every expression alias must appear among the group columns, " +
         "measures, min_max or ndv columns")
-    val normFilter = filter.map(_.replaceAll("\\s+", " ").trim)
-      .filter(_.nonEmpty)
+    val normFilter = filter.map(normalizePredicate).filter(_.nonEmpty)
     // dim key names ride the meta's separator alphabet — refuse the
     // three characters the encoding reserves (never real column names)
     dims.flatMap(d => d.keys.flatMap(k => Seq(k._1, k._2)))
@@ -597,8 +637,13 @@ object Rollup {
     // filter exactly as the build did (deterministic, row-local), so
     // out-of-predicate churn never touches the store; expression
     // group keys derive first (the predicate may reference them)
+    // BOTH window sides checkpoint: `plus` feeds the signed delta AND
+    // the per-group sketches (withSketches) — uncheckpointed, the
+    // fact/dim window reads and join chains would recompute per
+    // consumer (and per ndv column)
     val plus = applyFilter(prepare(
       plusParts.result().reduce(_ unionByName _), m.exprCols), m.filter)
+      .localCheckpoint()
     val minus = applyFilter(prepare(
       minusParts.result().reduce(_ unionByName _), m.exprCols), m.filter)
       .localCheckpoint()

@@ -45,5 +45,23 @@ object StreamingRollup {
       bootstrap =
         Rollup.build(spark, tableDir, rollupDir, groupCols, measures,
           dims = dims, exprCols = exprCols),
-      refresh = Rollup.refresh(spark, tableDir, rollupDir))
+      refresh =
+        try Rollup.refresh(spark, tableDir, rollupDir)
+        catch {
+          // a window the incremental maintenance cannot price exactly
+          // (an out-of-band equality delete on fact or dim, a
+          // copy-on-write rebase, a pruned as-of version) would
+          // otherwise terminate the stream — and every restart
+          // replays the batch and raises again, wedging it
+          // permanently. Fall back to the full recompute, exactly as
+          // REFRESH MATERIALIZED VIEW does; the rebuild re-pins dims
+          // at their live versions and the stream resumes O(delta).
+          case e: IllegalStateException
+              if e.getMessage.contains("rebuild") ||
+                e.getMessage.contains("position") =>
+            val m = Rollup.meta(rollupDir).getOrElse(throw e)
+            Rollup.build(spark, tableDir, rollupDir, m.groupCols,
+              m.measures, m.minMax, m.ndv, m.ndvK, m.filter, m.dims,
+              m.exprCols)
+        })
 }

@@ -420,4 +420,61 @@ class MaterializedViewSpec extends SparkSpec {
     spark.sql("DROP MATERIALIZED VIEW mvs.by_segment").collect()
     assert(!Files.exists(Paths.get(ruDir)))
   }
+
+  test("same-named MVs in different namespaces over ONE source keep " +
+    "separate stores: the second CREATE must not wipe the first's, " +
+    "and dropping one leaves the other serving and refreshable") {
+    val (dir, _) = fixture()
+    val store = new TableStore(spark)
+    store.createNamespace("mvy")
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.daily AS
+      SELECT grp, count(*) AS c FROM mvx.facts GROUP BY grp""")
+      .collect()
+    val ru1 = new TableStore(spark)
+      .properties("mvx", "daily__storage")("graft.rollup.dir")
+    spark.sql("""CREATE MATERIALIZED VIEW mvy.daily AS
+      SELECT region, count(*) AS c FROM mvx.facts GROUP BY region""")
+      .collect()
+    val ru2 = new TableStore(spark)
+      .properties("mvy", "daily__storage")("graft.rollup.dir")
+    assert(ru1 != ru2, "the rollup dir must be namespace-scoped")
+    assert(Files.exists(Paths.get(ru1)) && Files.exists(Paths.get(ru2)),
+      "creating the second MV must not destroy the first's store")
+    val q1 = spark.sql("SELECT * FROM mvx.daily")
+    assert(scans(q1, ru1) && !scans(q1, dir),
+      "the first MV must still serve from ITS OWN store")
+    spark.sql("DROP MATERIALIZED VIEW mvy.daily").collect()
+    assert(Files.exists(Paths.get(ru1)),
+      "dropping the namespace twin must not delete this MV's store")
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvx.daily")
+      .collect().length == 1, "the survivor must stay refreshable")
+  }
+
+  test("a failed CREATE OR REPLACE leaves the PREVIOUS MV serving: " +
+    "the old store, registration and view are restored when the " +
+    "replacement flunks the derivability gate") {
+    val (dir, _) = fixture()
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.daily AS
+      SELECT grp, count(*) AS c, sum(qty) AS q
+      FROM mvx.facts GROUP BY grp""").collect()
+    val ruDir = new TableStore(spark)
+      .properties("mvx", "daily__storage")("graft.rollup.dir")
+    val before = answers(spark.sql("SELECT * FROM mvx.daily"))
+    // a raw sum(double) is never derivable → the end-to-end gate
+    // throws AFTER the old MV was dropped; the restore must bring it
+    // back instead of leaving the session with no MV at all
+    intercept[UnsupportedOperationException] {
+      spark.sql("""CREATE OR REPLACE MATERIALIZED VIEW mvx.daily AS
+        SELECT grp, sum(amount) AS s FROM mvx.facts GROUP BY grp""")
+        .collect()
+    }
+    assert(Files.exists(Paths.get(ruDir)),
+      "the old store must survive the failed replace")
+    val after = spark.sql("SELECT * FROM mvx.daily")
+    assert(scans(after, ruDir) && !scans(after, dir),
+      "the restored MV must serve from its gold store again")
+    assert(answers(after) == before)
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvx.daily")
+      .collect().length == 1, "the restored MV must stay refreshable")
+  }
 }

@@ -411,4 +411,23 @@ class RollupRewriteSpec extends SparkSpec {
       "a moved dim must force the base plan")
     assert(stale.collect().map(_.toSeq).toSet == baseline(q))
   }
+
+  test("a corrupt (or foreign-format) rollup meta never fails query " +
+    "analysis: that target skips its rewrite, the query stays on the " +
+    "base — the always-on rule must be error-isolated per store") {
+    val (dir, ruDir) = fixture()
+    val q = "SELECT grp, region, count(*) AS c " +
+      "FROM mv.facts GROUP BY grp, region"
+    assert(scans(spark.sql(q), ruDir),
+      "sanity: the intact store serves the aggregate")
+    // the torn-write / newer-format state: the meta no longer parses
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ruDir, "_rollup_meta"),
+      "not-a-version corrupted\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val broken = spark.sql(q)
+    assert(!scans(broken, ruDir) && scans(broken, dir),
+      "a broken store must cost ITSELF the rewrite, not the query")
+    assert(broken.collect().map(_.toSeq).toSet == baseline(q))
+  }
 }

@@ -408,6 +408,53 @@ class RollupSpec extends SparkSpec {
     }.getMessage.contains("subquery-free"))
   }
 
+  test("a partial rollup's predicate keeps whitespace INSIDE string " +
+    "literals: a multi-space literal matches its rows (build AND " +
+    "refresh windows), incidental whitespace still normalizes, and " +
+    "a newline inside a literal refuses loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("rollupws").toString
+    val src = s"$root/src"
+    val ru = s"$root/rollup"
+    val rows = (1 to 100).map(i => (i.toLong,
+        if (i % 2 == 0) "New  York" else "Boston", (i % 7).toLong))
+      .toDF("id", "city", "qty")
+    Snapshot.createOrReplace(rows, src, keepVersions = 2)
+    def expect(df: DataFrame): Set[(String, Long, Double)] =
+      df.filter(col("city") === "New  York").groupBy("city")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("qty").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"))
+        .as[(String, Long, Double)].collect().toSet
+    def golden(): Set[(String, Long, Double)] =
+      Rollup.read(spark, src, ru)
+        .select(col("city"), col("cnt"), col("sum_qty").as("s"))
+        .as[(String, Long, Double)].collect().toSet
+    // semantic whitespace (inside the literal) AND incidental
+    // whitespace (tabs/runs around the operator) in one predicate —
+    // the old \\s+ collapse would mangle the literal to 'New York'
+    // and aggregate zero rows
+    Rollup.build(spark, src, ru, Seq("city"), Seq("qty"),
+      filter = Some("city \t =  'New  York'"))
+    assert(golden() == expect(rows),
+      "the literal's double space is semantic and must survive")
+    assert(golden().nonEmpty, "the predicate must match its rows")
+    // a refresh window filters with the SAME preserved literal
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(Seq((101L, "New  York", 3L), (102L, "New York", 9L))
+        .toDF("id", "city", "qty")),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    assert(golden() == expect(Snapshot.read(spark, src)),
+      "window rows must filter on the preserved literal (the " +
+        "single-space 'New York' row stays out)")
+    // a newline INSIDE a literal cannot ride the line-based meta
+    assert(intercept[IllegalArgumentException] {
+      Rollup.build(spark, src, s"$root/bad", Seq("city"), Nil,
+        filter = Some("city = 'New\nYork'"))
+    }.getMessage.contains("newline"))
+  }
+
   test("a count-only rollup (measures = Nil) builds, refreshes and " +
     "reads — the empty measures line must round-trip through the " +
     "meta, not resurrect as a phantom sum_ column") {

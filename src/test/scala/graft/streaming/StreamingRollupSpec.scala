@@ -186,4 +186,47 @@ class StreamingRollupSpec extends SparkSpec {
     assert(goldStar() == joinedRecompute(),
       "the streamed star rollup must absorb the dim window too")
   }
+
+  test("an unpriceable window (out-of-band equality delete on the " +
+    "fact table) does not wedge the stream: the per-batch refresh " +
+    "falls back to the full rebuild and the stream resumes O(delta)") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .localCheckpoint()
+    val root = Files.createTempDirectory("strruwedge").toString
+    val facts = s"$root/facts"
+    val table = s"$root/table"
+    val ru = s"$root/rollup"
+    val cp = s"$root/cp"
+    def run(): Unit =
+      StreamingRollup.start(spark, facts, factSchema, table, ru, cp,
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+        .awaitTermination(60000)
+
+    val w1 = orders.filter(col("o_orderkey") % 3 === 0).localCheckpoint()
+    w1.coalesce(1).write.parquet(facts)
+    run()
+    // an OUT-OF-BAND DML lands an equality delete on the fact table
+    // between waves — the next batch's O(delta) refresh cannot price
+    // it and would previously throw out of foreachBatch, terminating
+    // the stream on every restart
+    val victims = w1.orderBy("o_orderkey").limit(5).localCheckpoint()
+    Snapshot.morCommit(spark, table, deletes = Some(victims),
+      appends = None, operation = "delete")
+    val w2 = orders.filter(col("o_orderkey") % 3 === 1).localCheckpoint()
+    w2.coalesce(1).write.mode("append").parquet(facts)
+    run() // must not throw: the refresh rebuilds instead
+    val live = Snapshot.read(spark, table).localCheckpoint()
+    assert(live.count() == w1.count() - 5 + w2.count())
+    assert(served(table, ru) == recompute(live),
+      "the rebuilt rollup must equal the recompute of the live facts")
+    // and the NEXT wave prices incrementally again (no rebuild path:
+    // the gold version moves by exactly the refresh commit)
+    val w3 = orders.filter(col("o_orderkey") % 3 === 2).localCheckpoint()
+    w3.coalesce(1).write.mode("append").parquet(facts)
+    run()
+    assert(served(table, ru) ==
+      recompute(Snapshot.read(spark, table)),
+      "the stream must resume exact O(delta) maintenance")
+  }
 }
