@@ -62,10 +62,13 @@ object TextIndex {
 
   /** `postingsVersion`/`doclensVersion` record where the last
     * successful build/refresh left each component — the crash
-    * detector ([[PqIndex.Meta]]'s contract, per component). */
+    * detector ([[PqIndex.Meta]]'s contract, per component).
+    * `positional` indexes carry a per-posting sorted positions array
+    * (build flag; refresh reads it from here so delta postings match
+    * the stored schema). */
   final case class Meta(corpusVersion: Long, postingsVersion: Long,
                         doclensVersion: Long, termBuckets: Int,
-                        docBuckets: Int)
+                        docBuckets: Int, positional: Boolean)
 
   def postingsDir(indexDir: String): String = s"$indexDir/postings"
   def doclensDir(indexDir: String): String = s"$indexDir/doclens"
@@ -79,12 +82,12 @@ object TextIndex {
     else {
       val p = new String(Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-      if (p.length != 5) throw new IllegalStateException(
+      if (p.length != 6) throw new IllegalStateException(
         s"text index meta at $indexDir has ${p.length} fields (this " +
-          "version writes 5) — an index persisted by an older format; " +
+          "version writes 6) — an index persisted by an older format; " +
           "rebuild it")
       Some(Meta(p(0).toLong, p(1).toLong, p(2).toLong, p(3).toInt,
-        p(4).toInt))
+        p(4).toInt, p(5) == "1"))
     }
   }
 
@@ -93,7 +96,8 @@ object TextIndex {
     val tmp = Paths.get(indexDir, "_text_meta.tmp")
     Files.write(tmp,
       (s"${m.corpusVersion} ${m.postingsVersion} ${m.doclensVersion} " +
-        s"${m.termBuckets} ${m.docBuckets}\n")
+        s"${m.termBuckets} ${m.docBuckets} " +
+        s"${if (m.positional) 1 else 0}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, metaFile(indexDir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -130,13 +134,29 @@ object TextIndex {
       .withColumn("doc_bucket", col("doc_bucket").cast("long"))
 
   /** (term_bucket, term, doc_id, tf, dl) — the [[TextOps.bm25TopK]]
-    * tf frame with the bucket layout column. */
-  private def postingsOf(docs: DataFrame, termBuckets: Int): DataFrame =
-    docs.select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("dl"),
-        explode(TextOps.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("term_bucket", termBucket(col("term"), termBuckets))
+    * tf frame with the bucket layout column; a POSITIONAL index adds
+    * the sorted 0-based `positions` array per posting (the phrase /
+    * proximity read's input — Lucene's positions file, as a column). */
+  private def postingsOf(docs: DataFrame, termBuckets: Int,
+                         positional: Boolean): DataFrame = {
+    val base =
+      if (!positional)
+        docs.select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("dl"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).as("tf"))
+      else
+        docs.select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("dl"),
+            posexplode(TextOps.tokens(col("text")))
+              .as(Seq("pos", "term")))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos").cast("long")))
+              .as("positions"))
+    base.withColumn("term_bucket", termBucket(col("term"), termBuckets))
+  }
 
   private def doclensOf(docs: DataFrame, docBuckets: Int): DataFrame =
     docs.select(col("doc_id"),
@@ -158,7 +178,8 @@ object TextIndex {
     * bucket-partitioned postings + doclens + stats, stamp the corpus
     * version. @return docs indexed */
   def build(spark: SparkSession, corpusPath: String, indexDir: String,
-            termBuckets: Int = 16, docBuckets: Int = 16): Long = {
+            termBuckets: Int = 16, docBuckets: Int = 16,
+            positional: Boolean = false): Long = {
     require(termBuckets > 0 && docBuckets > 0,
       s"bucket counts must be positive: $termBuckets/$docBuckets")
     val version = corpusVersionOf(corpusPath)
@@ -168,7 +189,8 @@ object TextIndex {
     // against old stats
     val token = IndexDelta.newBuildToken()
     Snapshot.createOrReplacePartitioned(
-      postingsOf(corpus, termBuckets), postingsDir(indexDir),
+      postingsOf(corpus, termBuckets, positional),
+      postingsDir(indexDir),
       Seq("term_bucket"), keepVersions = 1,
       metaName = Some(IndexDelta.BuildTokenFile), metaContent = token)
     Snapshot.createOrReplacePartitioned(
@@ -179,7 +201,8 @@ object TextIndex {
       statsFrom(doclensRead(spark, indexDir)), statsDir(indexDir),
       keepVersions = 1, IndexDelta.BuildTokenFile, token)
     val (pv, dv) = componentVersions(indexDir)
-    writeMeta(indexDir, Meta(version, pv, dv, termBuckets, docBuckets))
+    writeMeta(indexDir, Meta(version, pv, dv, termBuckets, docBuckets,
+      positional))
     doclensRead(spark, indexDir).count()
   }
 
@@ -193,21 +216,20 @@ object TextIndex {
       s"no text index at $indexDir (build first)"))
     val version = corpusVersionOf(corpusPath)
     if (version == im.corpusVersion) return 0L
-    val ch = IndexDelta.changesSince(spark, corpusPath,
-      im.corpusVersion, version, "text index", keyCol = "doc_id")
-    val delta = ch.appended.select("doc_id", "text").localCheckpoint()
-    val n = delta.count()
-    val delKeys = ch.deletedKeys
-      .map(_.select("doc_id").distinct().localCheckpoint())
-      .filter(_.count() > 0)
     val (pv0, dv0) = componentVersions(indexDir)
     val crashed = pv0 != im.postingsVersion || dv0 != im.doclensVersion
+    // the family's shared window protocol (IndexDelta.windowApply):
+    // change discovery, delete-key resolution, and the crash-replay
+    // upsert rule are one definition across the ANN and text indexes
+    val w = IndexDelta.windowApply(spark, corpusPath, im.corpusVersion,
+      version, "text index", keyCol = "doc_id", crashed = crashed)
+    val delta = w.delta.select("doc_id", "text")
     // the stats decrement reads the doclens rows of the deleted keys
     // BEFORE the delete commits — bucket-pruned to their fragments
     // (distinct buckets are bounded by docBuckets, one tiny collect)
     val removed: Option[(Long, Long)] =
       if (crashed) None  // stats recompute from the healed table below
-      else delKeys.map { k =>
+      else w.delKeys.map { k =>
         val bs = k.select(docBucket(col("doc_id"), im.docBuckets)
             .as("b")).distinct().collect().map(_.getLong(0)).toSeq
         val r = doclensRead(spark, indexDir)
@@ -219,7 +241,7 @@ object TextIndex {
         (r.getLong(0), r.getLong(1))
       }
     val added: (Long, Long) =
-      if (n == 0) (0L, 0L)
+      if (w.n == 0) (0L, 0L)
       else {
         val r = delta
           .select(size(TextOps.tokens(col("text"))).cast("long").as("dl"))
@@ -227,40 +249,24 @@ object TextIndex {
             coalesce(sum(col("dl")), lit(0L)).as("s")).head()
         (r.getLong(0), r.getLong(1))
       }
-    // crash replay upserts: the crashed commit may have landed on
-    // either component, so delete every key this window touches
-    // before re-appending — idempotent whatever state each table is in
-    val touched: Option[DataFrame] =
-      if (!crashed) delKeys
-      else {
-        val t = delKeys.foldLeft(delta.select("doc_id"))(_ unionByName _)
-          .distinct().localCheckpoint()
-        if (t.count() > 0) Some(t) else None
-      }
-    val op = if (touched.isDefined && n > 0) "overwrite"
-             else if (touched.isDefined) "delete" else "append"
-    if (n > 0 || touched.isDefined) {
+    if (w.n > 0 || w.touched.isDefined) {
       Snapshot.morCommit(spark, postingsDir(indexDir),
-        deletes = touched,
+        deletes = w.touched,
         appends =
-          if (n > 0) Some(postingsOf(delta, im.termBuckets)) else None,
-        operation = op)
+          if (w.n > 0)
+            Some(postingsOf(delta, im.termBuckets, im.positional))
+          else None,
+        operation = w.op)
       Snapshot.morCommit(spark, doclensDir(indexDir),
-        deletes = touched,
+        deletes = w.touched,
         appends =
-          if (n > 0) Some(doclensOf(delta, im.docBuckets)) else None,
-        operation = op)
+          if (w.n > 0) Some(doclensOf(delta, im.docBuckets)) else None,
+        operation = w.op)
     }
-    // READ-TAX BOUND (the family's sawtooth contract): compact a
-    // component whose sidecar stack crossed the threshold —
-    // spec-aware (bucket fragments and build tokens survive),
-    // best-effort
-    if (compactAfterCommits > 0)
-      Seq(postingsDir(indexDir), doclensDir(indexDir)).foreach { d =>
-        if (Snapshot.morVersions(d).size >= compactAfterCommits)
-          try Snapshot.rewritePositionDeletes(spark, d)
-          catch { case scala.util.control.NonFatal(_) => () }
-      }
+    // READ-TAX BOUND (the family's sawtooth contract) on BOTH MOR
+    // components — spec-aware, best-effort
+    Seq(postingsDir(indexDir), doclensDir(indexDir)).foreach(
+      IndexDelta.maybeCompact(spark, _, compactAfterCommits))
     val newStats =
       if (crashed) statsFrom(doclensRead(spark, indexDir))
       else {
@@ -278,7 +284,7 @@ object TextIndex {
     val (pv, dv) = componentVersions(indexDir)
     writeMeta(indexDir, im.copy(corpusVersion = version,
       postingsVersion = pv, doclensVersion = dv))
-    n
+    w.n
   }
 
   /** BM25 top-k from the PERSISTED index: query terms map to their
@@ -317,5 +323,45 @@ object TextIndex {
       .select(col("n_docs").as("_n"), col("dl_sum").as("_dlsum"))
     TextOps.bm25Rank(tf, queryTerms, docFreq, stats, k, k1, b,
       "doc_id")
+  }
+
+  /** X4e''' — exact phrase occurrence counts from a POSITIONAL index
+    * ([[build]] with `positional = true`): the phrase terms map to
+    * their buckets, the postings scan prunes to those fragments, the
+    * stored positions explode, and [[TextOps.phraseHits]] runs the
+    * same anchor check as the derive-per-query scan — identical
+    * result, O(queried posting lists) read. Raises when the index is
+    * stale or carries no positions.
+    * @param phrases (phrase_id, space-separated phrase)
+    * @return (phrase_id, doc_id, n_hits) */
+  def phraseCount(spark: SparkSession, corpusPath: String,
+                  indexDir: String,
+                  phrases: Seq[(String, String)]): DataFrame = {
+    val im = meta(indexDir).getOrElse(throw new IllegalStateException(
+      s"no text index at $indexDir (build first)"))
+    if (!im.positional)
+      throw new IllegalStateException(
+        s"text index at $indexDir carries no positions — phrase " +
+          "search needs TextIndex.build(..., positional = true)")
+    val version = corpusVersionOf(corpusPath)
+    if (version != im.corpusVersion)
+      throw new IllegalStateException(
+        s"text index at $indexDir is STALE: it tokenizes corpus " +
+          s"version ${im.corpusVersion} but the live corpus is " +
+          s"v$version — run TextIndex.refresh or rebuild")
+    IndexDelta.requireCoherent(indexDir,
+      Seq(postingsDir(indexDir), doclensDir(indexDir),
+        statsDir(indexDir)), "text index")
+    val (pt, pl) = TextOps.phraseFrames(spark, phrases)
+    val qt = pt.select("term").distinct().localCheckpoint()
+    val buckets = qt
+      .select(termBucket(col("term"), im.termBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val occ = postingsRead(spark, indexDir)
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(broadcast(qt), Seq("term"), "left_semi")
+      .select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos"))
+    TextOps.phraseHits(occ, pt, pl)
   }
 }

@@ -172,6 +172,62 @@ object TextOps {
       .select(col("query_id"), col(idCol), col("rank"), col("score"))
   }
 
+  /** The (phrase_id, term_idx, term) and (phrase_id, n) frames of a
+    * phrase set — `n` is the term count the anchor check must reach.
+    * Shared by the naive scan ([[phraseCounts]]) and the positional
+    * index read ([[TextIndex.phraseCount]]). */
+  private[graft] def phraseFrames(
+      spark: org.apache.spark.sql.SparkSession,
+      phrases: Seq[(String, String)]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    require(phrases.nonEmpty, "no phrases given")
+    val terms = phrases.flatMap { case (id, p) =>
+      val ws = p.trim.split("\\s+").toSeq
+      require(ws.nonEmpty && ws.forall(_.nonEmpty),
+        s"empty phrase: '$p'")
+      ws.zipWithIndex.map { case (t, i) => (id, i.toLong, t) }
+    }
+    (terms.toDF("phrase_id", "term_idx", "term"),
+      phrases.map { case (id, p) =>
+        (id, p.trim.split("\\s+").length.toLong)
+      }.toDF("phrase_id", "n"))
+  }
+
+  /** The ANCHOR method both phrase paths share: a phrase of n terms
+    * occurs at position a iff for EVERY term_idx i its term appears
+    * at a + i — so each (doc, term, pos) occurrence votes for anchor
+    * `pos − term_idx`, and an anchor with n DISTINCT voting indexes
+    * is one occurrence (a repeated word in the phrase votes once per
+    * index, never double-counted). One partial-agg shuffle on
+    * (phrase, doc, anchor); the phrase tables broadcast.
+    * @param occ (doc_id, term, pos) occurrences, pos 0-based LONG
+    * @return (phrase_id, doc_id, n_hits) — docs with ≥1 occurrence */
+  private[graft] def phraseHits(occ: DataFrame, phraseTerms: DataFrame,
+                                phraseLens: DataFrame): DataFrame =
+    occ.join(broadcast(phraseTerms), "term")
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("term_idx")).as("anchor"), col("term_idx"))
+      .groupBy("phrase_id", "doc_id", "anchor")
+      .agg(countDistinct(col("term_idx")).as("k"))
+      .join(broadcast(phraseLens), "phrase_id")
+      .filter(col("k") === col("n"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** X4e''' — exact phrase occurrence counts by full corpus scan (the
+    * derive-per-query twin of the positional-index read): tokenize
+    * with positions, then the shared anchor check.
+    * @return (phrase_id, doc_id, n_hits) */
+  def phraseCounts(docs: DataFrame, phrases: Seq[(String, String)],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val (pt, pl) = phraseFrames(docs.sparkSession, phrases)
+    val occ = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .withColumn("pos", col("pos").cast("long"))
+    phraseHits(occ, pt, pl)
+  }
+
   /** X4f — unigram negative-log-likelihood scoring: the
     * perplexity-style quality gate (CCNet's LM filter with the corpus
     * itself as the unigram model). score(d) = −Σ ln p(wᵢ) / n, with

@@ -73,6 +73,13 @@ object ExtQueries {
     "k2" -> "spark", "k2" -> "stream",
     "k3" -> "fast", "k3" -> "slow", "k3" -> "value")
 
+  /** X4e''' phrase fixture — (phrase_id, space-separated phrase);
+    * p3 repeats a word, the anchor check's hardest case ("batch batch
+    * batch" is TWO overlapping occurrences of "batch batch"). */
+  val PhraseQueries: Seq[(String, String)] = Seq(
+    "p1" -> "join column", "p2" -> "sort table scan",
+    "p3" -> "batch batch")
+
   /** The one BM25 oracle (X4e) — shared by `q_bm25` and the
     * persisted-index lifecycle queries, parameterized on the corpus
     * slice (empty = all of documents; a WHERE clause replays a
@@ -504,6 +511,43 @@ object ExtQueries {
           .findFirstIn(explained).isDefined,
         s"the search must prune unqueried term buckets:\n$explained")
       res.orderBy("query_id", "rank")
+    }),
+
+    // X4e''' — PHRASE SEARCH from the POSITIONAL index: build stores
+    // per-posting sorted position arrays (Lucene's positions file, as
+    // a column), the held-out slice fast-appends and refresh extends
+    // the positional postings, and the phrase read prunes to the
+    // phrase terms' bucket fragments then runs the ANCHOR check (an
+    // occurrence at a needs every term_idx present at a + idx; a
+    // repeated-word phrase votes once per index). The oracle replays
+    // the anchor method over zipped unnest positions in DuckDB —
+    // integer counts, hash-exact.
+    "q_phrase_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("txtphq")
+        .toString
+      val corpus = s"$root/corpus"
+      val idx = s"$root/text"
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      graft.pipeline.Snapshot.createOrReplace(v1, corpus,
+        keepVersions = 3)
+      graft.ext.TextIndex.build(s, corpus, idx, positional = true)
+      graft.pipeline.Snapshot.morCommit(s, corpus, deletes = None,
+        appends = Some(docs.filter(col("doc_id") % 10 === 7)),
+        operation = "append")
+      require(graft.ext.TextIndex.refresh(s, corpus, idx)
+        == docs.count() - v1.count(),
+        "refresh must index exactly the appended docs")
+      val res = graft.ext.TextIndex.phraseCount(s, corpus, idx,
+        PhraseQueries)
+      val explained = res.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      require(explained.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*term_bucket".r
+          .findFirstIn(explained).isDefined,
+        s"phrase search must prune unqueried term buckets:\n$explained")
+      res.orderBy("phrase_id", "doc_id")
     }),
 
     // X4e'' — DELETE PROPAGATION through the text index: a corpus
@@ -2270,6 +2314,39 @@ object ExtQueries {
     // oracle recomputes BM25 over exactly the survivors.
     "q_text_index_delete" ->
       bm25OracleSql("WHERE doc_id % 10 <> 3"),
+
+    // X4e''' — the anchor method replayed: zipped unnests give
+    // (word, 0-based pos), each occurrence votes for anchor
+    // pos − term_idx, an anchor with n distinct voting indexes is one
+    // phrase occurrence.
+    "q_phrase_search" -> s"""
+      WITH ph(phrase_id, term_idx, term) AS (VALUES
+        ${PhraseQueries.flatMap { case (id, p) =>
+          p.split(" ").zipWithIndex.map { case (t, i) =>
+            s"('$id', $i, '$t')" } }.mkString(", ")}),
+      phn(phrase_id, n) AS (VALUES
+        ${PhraseQueries.map { case (id, p) =>
+          s"('$id', ${p.split(" ").length})" }.mkString(", ")}),
+      tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(range(0, len(string_split(text, ' ')))) AS pos
+        FROM documents
+      ),
+      anch AS (
+        SELECT ph.phrase_id, tok.doc_id,
+               tok.pos - ph.term_idx AS anchor,
+               count(DISTINCT ph.term_idx) AS k
+        FROM tok JOIN ph ON tok.w = ph.term
+        GROUP BY 1, 2, 3
+      ),
+      hits AS (
+        SELECT a.phrase_id, a.doc_id
+        FROM anch a JOIN phn USING (phrase_id) WHERE a.k = phn.n
+      )
+      SELECT phrase_id, doc_id, count(*) AS n_hits
+      FROM hits GROUP BY 1, 2
+      ORDER BY phrase_id, doc_id""",
 
     // X4i/X1 — chunker CTE + the q_doc_dedup survivor formula at chunk
     // granularity.

@@ -179,6 +179,53 @@ class TextIndexSpec extends SparkSpec {
         queryTerms, k = 10)))
   }
 
+  test("POSITIONAL index: phraseCount equals the derive-per-query " +
+    "anchor scan (incl. a repeated-word phrase), survives a refresh " +
+    "window, and a positionless index refuses phrase search") {
+    val docs = Tables.documents(spark, sf)
+    val root = Files.createTempDirectory("txtpos").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/text"
+    val phrases = Seq("p1" -> "join column", "p2" -> "batch batch")
+    val v1 = docs.filter(col("doc_id") % 10 =!= 7).localCheckpoint()
+    Snapshot.createOrReplace(v1, corpus, keepVersions = 3)
+    TextIndex.build(spark, corpus, idx, positional = true)
+    def hitsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("phrase_id", "doc_id", "n_hits")
+        .as[(String, Long, Long)].collect().toSet
+    val fromIndex = hitsOf(
+      TextIndex.phraseCount(spark, corpus, idx, phrases))
+    assert(fromIndex.nonEmpty, "fixture must contain the phrases")
+    assert(fromIndex == hitsOf(TextOps.phraseCounts(v1, phrases)),
+      "index phrase counts must equal the anchor scan")
+    // "batch batch batch" = 2 overlapping occurrences of "batch
+    // batch" — the repeated-word phrase must not double- or
+    // under-count (each anchor needs BOTH term indexes)
+    val triple = v1.filter(col("text").contains("batch batch batch"))
+    if (!triple.isEmpty) {
+      val id = triple.head().getLong(0)
+      assert(fromIndex.exists { case (p, d, n) =>
+        p == "p2" && d == id && n >= 2 })
+    }
+    // a refresh window extends the positional postings
+    Snapshot.morCommit(spark, corpus, deletes = None,
+      appends = Some(docs.filter(col("doc_id") % 10 === 7)),
+      operation = "append")
+    assert(TextIndex.refresh(spark, corpus, idx) > 0L)
+    assert(hitsOf(TextIndex.phraseCount(spark, corpus, idx, phrases))
+      == hitsOf(TextOps.phraseCounts(docs, phrases)),
+      "refreshed positional postings must cover the appended docs")
+    // BM25 search still serves from the positional layout
+    assert(asSet(TextIndex.search(spark, corpus, idx, queryTerms, 10))
+      == asSet(TextOps.bm25TopK(docs, queryTerms, k = 10)))
+    // a positionless index refuses loudly
+    val idx2 = s"$root/text2"
+    TextIndex.build(spark, corpus, idx2)
+    assert(intercept[IllegalStateException] {
+      TextIndex.phraseCount(spark, corpus, idx2, phrases)
+    }.getMessage.contains("no positions"))
+  }
+
   test("refresh auto-compaction bounds both MOR component stacks " +
     "(sawtooth) without changing the index content") {
     val docs = Tables.documents(spark, sf)
