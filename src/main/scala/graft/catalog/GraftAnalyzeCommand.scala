@@ -66,6 +66,14 @@ case class GraftAnalyzeCommand(ns: String, name: String,
     }
     val cols = resolveCols(frame)
     val props = scala.collection.mutable.LinkedHashMap[String, String]()
+    // capture the version BEFORE any measurement job: a commit landing
+    // mid-ANALYZE would otherwise get the OLD measurements stamped
+    // with the NEW version — stale stats served as current, the exact
+    // mode the version gate exists to prevent. Stamped with the
+    // pre-measure version, such a race self-resolves: the gate sees
+    // recorded ≠ live and serves nothing.
+    val liveVersion = snapPath
+      .flatMap(graft.pipeline.Snapshot.currentVersion).map(_.toString)
     val fileStats = snapPath.map(graft.pipeline.Snapshot.dataFileStats)
     if (noScan) {
       // NOSCAN records size only (Spark's contract) — raw file bytes,
@@ -89,8 +97,6 @@ case class GraftAnalyzeCommand(ns: String, name: String,
       }
       props += GraftStats.SizeKey -> size.toString
     }
-    val liveVersion = snapPath
-      .flatMap(graft.pipeline.Snapshot.currentVersion).map(_.toString)
     liveVersion.foreach(v => props += GraftStats.VersionKey -> v)
     if (cols.nonEmpty && !noScan)
       putColumnStats(frame, cols, props, identity)
@@ -171,6 +177,10 @@ case class GraftAnalyzeCommand(ns: String, name: String,
     def key(liveKey: String): String =
       pre + liveKey.stripPrefix(GraftStats.KeyRoot)
     val props = scala.collection.mutable.LinkedHashMap[String, String]()
+    // token captured BEFORE measuring (the live path's pre-capture
+    // discipline): a branch restaged mid-ANALYZE gets old numbers
+    // stamped with the OLD token, which the gate then refuses
+    val token = S.branchStatsToken(path, branch)
     val (bytes, fileRows) = S.branchDataFileStats(path, branch)
     if (noScan) props += key(GraftStats.SizeKey) -> bytes.toString
     else {
@@ -182,7 +192,6 @@ case class GraftAnalyzeCommand(ns: String, name: String,
         else bytes
       props += key(GraftStats.SizeKey) -> size.toString
     }
-    val token = S.branchStatsToken(path, branch)
     token.foreach(t =>
       props += pre + GraftStats.BranchTokenSuffix -> t)
     if (cols.nonEmpty && !noScan)

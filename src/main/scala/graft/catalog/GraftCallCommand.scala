@@ -119,8 +119,11 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         new TableStore(spark).registerSnapshot(ns, t, dir)
         val ver = graft.pipeline.Snapshot.currentVersion(dir)
           .getOrElse(0L)
+        // the LIVE state count: an adopted MOR-laden dir applies its
+        // sidecars (a raw parquet read would count deleted rows and
+        // miss appended ones)
         Seq(Row(ver,
-          spark.read.parquet(dir).count(),
+          graft.pipeline.Snapshot.read(spark, dir).count(),
           graft.pipeline.Snapshot.fileCount(dir).toLong))
       case "add_files" =>
         // Iceberg's add_files: import an external parquet layout into
@@ -137,7 +140,9 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         val keep =
           graft.pipeline.Snapshot.historicalVersions(path).size + 1
         val live = graft.pipeline.Snapshot.read(spark, path)
-        graft.pipeline.Snapshot.createOrReplace(
+        // spec-aware: importing into a partitioned/bucketed table must
+        // lay the merged state down under its layout, not flatten it
+        graft.pipeline.Snapshot.createOrReplaceCurrentSpec(
           live.unionByName(added.select(live.columns.map(
             org.apache.spark.sql.functions.col).toSeq: _*)),
           path, keepVersions = keep)
@@ -166,6 +171,16 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
             graft.pipeline.Snapshot.compact(spark, path, target,
               keepVersions = keep)
           case "sort" =>
+            // silently dropping the predicate would rewrite the WHOLE
+            // table (O(table) instead of O(matched partition)) with
+            // no sign the scope was ignored — refuse until the sort
+            // arm is partition-scoped too
+            if (named.contains("where"))
+              throw new IllegalArgumentException(
+                "rewrite_data_files: where => is supported with the " +
+                  "binpack strategy only; strategy => 'sort' " +
+                  "re-clusters the whole table — drop the predicate " +
+                  "or use binpack for the partition-scoped rewrite")
             val order = named.getOrElse("sort_order",
               throw new IllegalArgumentException(
                 "rewrite_data_files(strategy => 'sort') requires " +
@@ -210,8 +225,14 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
         // 'yyyy-MM-dd HH:mm:ss[.S]' string in the session's UTC zone).
         val dropped = named.get("older_than") match {
           case Some(cutoff) =>
-            graft.pipeline.Snapshot
-              .expireSnapshotsOlderThan(path, cutoffMicros(cutoff))
+            // retain_last beside older_than is a FLOOR limiting the
+            // cutoff expiry (Iceberg's combined form) — ignoring it
+            // would destroy the very rollback window the caller asked
+            // to keep
+            graft.pipeline.Snapshot.expireSnapshotsOlderThan(path,
+              cutoffMicros(cutoff),
+              retainLastFloor = named.get("retain_last")
+                .map(_.toString.toInt).getOrElse(1))
           case None =>
             val retain = required("retain_last", 1).toString.toInt
             graft.pipeline.Snapshot.expireSnapshots(path, retain)
@@ -392,12 +413,17 @@ case class GraftCallCommand(proc: String, args: Seq[Expression])
           "create_changelog_view needs identifier_columns, or " +
             "identifier fields set on the table (ALTER TABLE … SET " +
             "IDENTIFIER FIELDS …)")
+        // default start = OLDEST RETAINED version, which on a purely
+        // merge-on-read history is a sidecar commit, not a .vN dir —
+        // historicalVersions alone would wrongly raise on a table
+        // whose whole history is MOR commits (fully priceable)
         val startV = arg("start_version", 2).map(_.toString.toLong)
-          .orElse(graft.pipeline.Snapshot.historicalVersions(path)
-            .headOption)
+          .orElse(graft.pipeline.Snapshot.retainedVersions(path)
+            .sorted.headOption.filterNot(v => graft.pipeline.Snapshot
+              .currentVersion(path).contains(v)))
           .getOrElse(throw new IllegalArgumentException(
-            "create_changelog_view: no retained historical version " +
-              s"to diff from at $path"))
+            "create_changelog_view: no retained version to diff " +
+              s"from at $path"))
         val endV = arg("end_version", 3).map(_.toString.toLong)
           .orElse(graft.pipeline.Snapshot.currentVersion(path))
           .getOrElse(throw new IllegalArgumentException(
@@ -599,6 +625,15 @@ object GraftCallCommand {
     }.toMap
     val pos = args.takeWhile(!_.isInstanceOf[NamedArgumentExpression])
       .map(value)
+    // a positional AFTER a named argument would be silently dropped
+    // by the takeWhile — `create_tag('t', tag => 'x', 7)` falling
+    // back to a default instead of using 7 is a wrong-but-plausible
+    // result; reject the form loudly (Spark's own CALL contract)
+    if (pos.size + named.size != args.size)
+      throw new IllegalArgumentException(
+        "CALL: positional arguments must precede named arguments " +
+          s"(got ${args.size} arguments, ${named.size} named, with a " +
+          "positional after the first named one)")
     (pos, named)
   }
 

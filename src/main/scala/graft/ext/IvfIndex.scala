@@ -224,9 +224,11 @@ object IvfIndex {
         col("embedding").as("q_embedding"), col("centroid_id"))
       .localCheckpoint()
     // the probed cell ids — bounded by nlist, one tiny driver read
-    // that turns the cells scan into a fragment-pruned read
-    val probes = queryCells.select("centroid_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // that turns the cells scan into a fragment-pruned read; cast
+    // first (centroid_id inherits the corpus vec_id's type, and an
+    // INT-keyed corpus would ClassCastException the driver read)
+    val probes = queryCells.select(col("centroid_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     val cells = cellsRead(spark, indexDir)
       .filter(col("centroid_id").isin(probes: _*))
     val scored = cells.join(broadcast(queryCells), "centroid_id")

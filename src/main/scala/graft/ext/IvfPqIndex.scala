@@ -271,8 +271,11 @@ object IvfPqIndex {
              col("c_embedding")) * lit(1000000.0)).cast("long"))
          .drop("c_embedding"))
         .localCheckpoint()
-    val probes = qcells.select("centroid_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // centroid_id inherits the corpus vec_id's type — cast before the
+    // driver read so an INT-keyed corpus cannot ClassCastException
+    // (the cellsRead side already pins long for the same reason)
+    val probes = qcells.select(col("centroid_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     // per-query partial inner products against the broadcast codebook
     // (the full query slices in BOTH arms: for residual codes the
     // lookup approximates q_s·r_s, the residual's contribution)

@@ -1497,21 +1497,43 @@ object Snapshot {
       Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, t)
     }
-    def rewrite(dir: String): Unit = {
+    def rewrite(dir: String, underSpec: Boolean): Unit = {
       val tmp = Paths.get(dir + ".tmp-erase")
       val old = Paths.get(dir + ".old-erase")
       deleteRecursively(tmp); deleteRecursively(old)
-      spark.read.parquet(dir).filter(keep)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      // markers are COPIED with their mtimes (the commit instants
-      // TIMESTAMP AS OF travel reads) — erasure rewrites content, not
-      // history's clock
-      val vm = Paths.get(dir, VersionFile)
-      if (Files.exists(vm))
-        copyPreservingMtime(vm, tmp.resolve(VersionFile))
-      val om = Paths.get(dir, OperationFile)
-      if (Files.exists(om))
-        copyPreservingMtime(om, tmp.resolve(OperationFile))
+      // the LIVE dir rewrites under the table's current spec (fragment
+      // layout, bucket marker, write order all preserved — erasure
+      // must not demote a storage-partitioned table to exchanges);
+      // historical and branch dirs rewrite flat (their content is
+      // what matters; the one op allowed to lie about the past)
+      if (underSpec)
+        writeUnderCurrentSpec(
+          spark.read.parquet(dir).filter(keep), dir, tmp)
+      else
+        spark.read.parquet(dir).filter(keep)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // EVERY top-level marker file is COPIED with its mtime (the
+      // commit instants TIMESTAMP AS OF travel reads) — version and
+      // operation markers, streaming batch-idempotence markers
+      // (createOrReplaceWithMeta payloads: dropping one would make a
+      // crash replay re-apply an already-committed batch), index
+      // build tokens (dropping one reads as a permanent false
+      // MID-REBUILD), branch ids. `_SUCCESS` is the fresh write's
+      // own; the bucket marker is regenerated by the spec-aware
+      // write (copying the old one onto a flat rewrite would claim a
+      // layout the files no longer have).
+      locally {
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(Paths.get(dir))
+        try ls.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .filter(_.getFileName.toString.startsWith("_"))
+          .filterNot(p => Seq("_SUCCESS", BucketMarker)
+            .contains(p.getFileName.toString))
+          .foreach(p =>
+            copyPreservingMtime(p, tmp.resolve(p.getFileName.toString)))
+        finally ls.close()
+      }
       // merge-on-read sidecars hold ROW CONTENT (equality-delete rows
       // and appended rows) — erasure must purge the subject there too,
       // or a deletes file would retain what the base no longer has.
@@ -1595,8 +1617,15 @@ object Snapshot {
       Files.move(tmp, Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
       deleteRecursively(old)
     }
-    rewrite(path)
-    historicalVersions(path).foreach(v => rewrite(s"$path.v$v"))
+    rewrite(path, underSpec = true)
+    historicalVersions(path).foreach(v =>
+      rewrite(s"$path.v$v", underSpec = false))
+    // staged BRANCH dirs are full snapshot copies — a WAP branch that
+    // kept the subject's rows would serve them via readBranch and
+    // publish them back to live on fast_forward, defeating the
+    // erasure; purge them with the same predicate
+    branches(path).foreach(b =>
+      rewrite(branchDirPath(path, b), underSpec = false))
   }
 
   /** CDC between snapshots — the MERGE sink's inverse: row-level diff
@@ -2050,10 +2079,19 @@ object Snapshot {
   /** Iceberg's primary expire form: drop historical versions whose
     * commit instant is strictly before `olderThanMicros` (the live
     * version is never a victim; tagged versions stay reachable). */
-  def expireSnapshotsOlderThan(path: String,
-                               olderThanMicros: Long): Seq[Long] = {
+  /** `retainLastFloor` is Iceberg's combined-form semantics: even
+    * past the cutoff, the newest `retainLastFloor` snapshots (live +
+    * newest historical) survive — `retain_last` is a FLOOR limiting
+    * `older_than` expiry, never widened by it. */
+  def expireSnapshotsOlderThan(path: String, olderThanMicros: Long,
+                               retainLastFloor: Int = 1): Seq[Long] = {
+    // the live version always counts toward the floor (Iceberg keeps
+    // current + retain_last-1 ancestors at minimum)
+    val protectedNewest = historicalVersions(path)
+      .sorted.takeRight(math.max(retainLastFloor - 1, 0)).toSet
     val victims = historicalVersions(path)
       .filter(v => committedAt(path, v).exists(_ < olderThanMicros))
+      .filterNot(protectedNewest)
       .filterNot(dirProtected(path))
     victims.foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
     victims
@@ -2071,8 +2109,13 @@ object Snapshot {
     val base = currentVersion(path)
     val restored = readAsOf(spark, path, version).localCheckpoint()
     swapIn(path, historicalVersions(path).size + 1, Some(base)) { tmp =>
-      restored.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // spec-aware: a partitioned/bucketed/write-ordered table's
+      // rollback is a commit like any other — writing it flat would
+      // silently drop fragment pruning and the storage-partitioned
+      // join layout
+      writeUnderCurrentSpec(restored, path, tmp)
     }
+    publishOrderManifest(spark, path)
     currentVersion(path).get
   }
 
@@ -2483,12 +2526,18 @@ object Snapshot {
 
   /** Live-snapshot parquet file count (maintenance signal: schedule
     * [[compact]] when it exceeds the table's file-size budget). */
+  /** Data files of the serving dir, RECURSIVE — a partitioned table's
+    * parquet files live inside `k=v` fragment dirs, so a top-level
+    * listing would report 0 for every partitioned table (the
+    * rewrite_data_files before/after counts read this). MOR sidecar
+    * files under `_mor` are bookkeeping, not base data — excluded. */
   def fileCount(path: String): Int = {
     val dir = Paths.get(path)
     if (!Files.exists(dir)) 0
     else {
-      val s = Files.list(dir)
+      val s = Files.walk(dir)
       try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => !dir.relativize(p).toString.startsWith("_mor"))
         .count().toInt
       finally s.close()
     }

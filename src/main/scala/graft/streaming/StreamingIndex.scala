@@ -105,15 +105,17 @@ object StreamingIndex {
   def startText(spark: SparkSession, docsDir: String,
                 corpusDir: String, indexDir: String,
                 checkpointDir: String, termBuckets: Int = 16,
-                docBuckets: Int = 16,
+                docBuckets: Int = 16, positional: Boolean = false,
                 trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =
     startMaintained(spark, docsDir, documentSchema, corpusDir,
       checkpointDir, trigger, maxFilesPerTrigger = 4,
       dedupKey = Some("doc_id"),
       artifactExists = TextIndex.meta(indexDir).isDefined,
+      // only the bootstrap needs the flag — refresh reads it from
+      // the meta, so streamed deltas match the stored schema
       bootstrap = TextIndex.build(spark, corpusDir, indexDir,
-        termBuckets, docBuckets),
+        termBuckets, docBuckets, positional),
       refresh = TextIndex.refresh(spark, corpusDir, indexDir))
 
   /** The shared per-batch maintenance loop — ST9's and ST10's one

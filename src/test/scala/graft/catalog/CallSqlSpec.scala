@@ -287,6 +287,63 @@ class CallSqlSpec extends SparkSpec {
     assert(Snapshot.historicalVersions(dir).isEmpty)
   }
 
+  test("expire_snapshots: retain_last beside older_than is a FLOOR — " +
+    "a far-future cutoff must still keep the newest retained " +
+    "versions the caller asked for") {
+    val (_, dir) = fixture() // history v1, v2; live v3
+    val exp = spark.sql("""CALL iceberg.system.expire_snapshots(
+        table => 'maint.t',
+        older_than => TIMESTAMP '2099-01-01 00:00:00',
+        retain_last => 2)""").collect()
+    assert(exp.head.getLong(0) == 1L,
+      "only v1 may expire: live v3 + newest historical v2 are the " +
+        "two retained snapshots the floor protects")
+    assert(Snapshot.historicalVersions(dir) == Seq(2L))
+    assert(Snapshot.readAsOf(spark, dir, 2).count() == 2L)
+  }
+
+  test("a positional argument AFTER a named one is rejected loudly — " +
+    "silently dropping it would make create_tag point at the wrong " +
+    "version") {
+    fixture()
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(
+        "CALL iceberg.system.create_tag('maint.t', tag => 'x', 7)")
+        .collect()
+    }.getMessage.contains("positional"))
+  }
+
+  test("rewrite_data_files(strategy => 'sort') refuses a where " +
+    "predicate instead of silently rewriting the whole table") {
+    fixture()
+    assert(intercept[IllegalArgumentException] {
+      spark.sql("""CALL iceberg.system.rewrite_data_files(
+          table => 'maint.t', strategy => 'sort',
+          sort_order => 'id', where => 'id = 1')""").collect()
+    }.getMessage.contains("binpack"))
+  }
+
+  test("create_changelog_view defaults its window on a MERGE-ON-READ-" +
+    "only history: the oldest retained version is a sidecar commit, " +
+    "not a .vN dir") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val dir = java.nio.file.Files.createTempDirectory("callmorcl")
+      .toString + "/t"
+    Snapshot.createOrReplace(
+      Seq((1, "row1")).toDF("id", "tag"), dir, keepVersions = 5)
+    Snapshot.morCommit(spark, dir, deletes = None,
+      appends = Some(Seq((2, "row2")).toDF("id", "tag")),
+      operation = "append")
+    store.registerSnapshot("morcl", "t", dir)
+    assert(Snapshot.historicalVersions(dir).isEmpty,
+      "fixture: the whole history is MOR commits")
+    spark.sql("""CALL iceberg.system.create_changelog_view(
+        table => 'morcl.t', identifier_columns => 'id')""").collect()
+    assert(spark.sql("SELECT id, op FROM t_changes")
+      .as[(Int, String)].collect().toSet == Set((2, "insert")))
+  }
+
   test("rollback_to_snapshot restores an old version as a NEW commit; " +
     "positional args work") {
     val (_, dir) = fixture()

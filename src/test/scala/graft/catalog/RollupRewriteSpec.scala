@@ -412,6 +412,20 @@ class RollupRewriteSpec extends SparkSpec {
     assert(stale.collect().map(_.toSeq).toSet == baseline(q))
   }
 
+  test("HAVING rides the rewrite: the filter sits ABOVE the " +
+    "aggregate, so the served gold aggregate feeds it unchanged — " +
+    "same answer, gold-only scan") {
+    val (dir, ruDir) = fixture()
+    val q = """SELECT grp, region, count(*) AS c, sum(qty) AS q
+      FROM mv.facts GROUP BY grp, region HAVING sum(qty) > 250"""
+    val df = spark.sql(q)
+    assert(scans(df, ruDir) && !scans(df, dir),
+      "a HAVING query over a derivable aggregate must serve from gold")
+    assert(df.collect().map(_.toSeq).toSet == baseline(q))
+    assert(df.collect().nonEmpty && df.collect().length < 8,
+      "sanity: the HAVING must actually filter groups")
+  }
+
   test("a corrupt (or foreign-format) rollup meta never fails query " +
     "analysis: that target skips its rewrite, the query stays on the " +
     "base — the always-on rule must be error-isolated per store") {

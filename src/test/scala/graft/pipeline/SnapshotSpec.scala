@@ -434,6 +434,42 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.historicalVersions(dir) == Seq(1L))
   }
 
+  test("erase preserves commit-meta markers, purges STAGED BRANCHES, " +
+    "and keeps a bucketed table's storage-partitioned layout — a " +
+    "rewrite that dropped any of the three would replay a committed " +
+    "batch, leak the subject via the branch, or demote the join plan") {
+    val dir = Files.createTempDirectory("erasex").toString + "/t"
+    // a bucketed table committed with a streaming batch marker
+    Snapshot.createOrReplaceWithMeta(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "v"), dir,
+      keepVersions = 2, "_graft_batch_marker", "stream-b41")
+    Snapshot.setPartitionSpec(dir, Seq("bucket(4, user_id)"))
+    Snapshot.createOrReplaceCurrentSpec(
+      Seq((1L, "a2"), (2L, "b2"), (3L, "c2"), (4L, "d"))
+        .toDF("user_id", "v"), dir, keepVersions = 2)
+    assert(Snapshot.bucketLayout(dir).isDefined,
+      "fixture: the live dir must carry the bucket layout")
+    // a staged WAP branch holds a full copy INCLUDING the subject
+    Snapshot.writeBranch(
+      Seq((1L, "a3"), (5L, "e")).toDF("user_id", "v"), dir, "audit")
+
+    Snapshot.erase(spark, dir, col("user_id") === 1L)
+
+    assert(Snapshot.read(spark, dir)
+      .filter(col("user_id") === 1L).isEmpty)
+    assert(Snapshot.readBranch(spark, dir, "audit")
+      .filter(col("user_id") === 1L).isEmpty,
+      "the staged branch must not retain the subject's rows")
+    assert(Snapshot.readBranch(spark, dir, "audit")
+      .as[(Long, String)].collect().toSet == Set((5L, "e")))
+    assert(Snapshot.bucketLayout(dir).isDefined,
+      "the live rewrite must keep the storage-partitioned layout")
+    assert(Snapshot.commitMeta(s"$dir.v1", "_graft_batch_marker")
+      .contains("stream-b41"),
+      "the batch-idempotence marker must survive the rewrite — " +
+        "dropping it would re-apply a committed batch on crash replay")
+  }
+
   test("diff labels inserts, deletes, updates between versions and " +
     "drops unchanged rows") {
     val dir = Files.createTempDirectory("snapdiff").toString + "/t"
