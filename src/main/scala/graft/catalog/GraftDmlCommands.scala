@@ -99,13 +99,18 @@ private[catalog] object GraftDml {
     // evaluation and commits different rows on the next
     val materialized = written.localCheckpoint()
     val aggs = cs.zipWithIndex.map { case ((n, e), i) =>
-      try count(when(constraintViolation(e), 1)).as(s"_c$i")
+      // parse EAGERLY: Spark 4's Column API is lazy (expr() builds an
+      // unparsed SqlExpression node), so without this probe an
+      // unparseable constraint would only surface inside the agg job
+      // below, rewrapped as the misleading missing-columns error
+      try spark.sessionState.sqlParser.parseExpression(e)
       catch {
         case ex: org.apache.spark.sql.catalyst.parser.ParseException =>
           throw new IllegalArgumentException(
             s"CHECK constraint $prefix$n has an unparseable " +
               s"expression '$e': ${ex.getMessage}", ex)
       }
+      count(when(constraintViolation(e), 1)).as(s"_c$i")
     }
     val row =
       try materialized.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -550,9 +555,15 @@ case class GraftInsertCommand(ns: String, name: String,
         s"cannot INSERT into a view: $ns.$name")
     // snapshot-backed tables take the versioned-commit path (or the
     // WAP branch when spark.wap.branch is set); registry tables keep
-    // the in-memory commit — all through GraftDml.commit
-    val target = store.snapshotPath(ns, name)
-      .map(p => GraftDml.snapshotRead(spark, p))
+    // the in-memory commit — all through GraftDml.commit.
+    // REGISTRY-FIRST, the same resolution order SELECT/UPDATE/DELETE
+    // and GraftDml.commit use: a name that is both registered and
+    // snapshot-backed must read the same state it will commit to, or
+    // the INSERT would silently replace the registered contents with
+    // snapshot contents plus the new rows
+    val target = TableStore.registry(spark).get(Seq(ns, name))
+      .orElse(store.snapshotPath(ns, name)
+        .map(p => GraftDml.snapshotRead(spark, p)))
       .getOrElse(store.table(ns, name))
     val schema = target.schema
     val src = PlanBridge.ofRows(spark, insert.query)
@@ -579,8 +590,14 @@ case class GraftInsertCommand(ns: String, name: String,
           schema.fields.exists(_.name.equalsIgnoreCase(c)))
         if (unknown.nonEmpty) throw new IllegalArgumentException(
           s"INSERT columns not in $ns.$name: ${unknown.mkString(", ")}")
-        val bySpec = cols.map(_.toLowerCase(java.util.Locale.ROOT))
-          .zip(src.columns).toMap
+        // a duplicated target column would silently drop one source
+        // value through the map — Spark's native insert rejects it
+        val lowered = cols.map(_.toLowerCase(java.util.Locale.ROOT))
+        val dups = lowered.diff(lowered.distinct).distinct
+        if (dups.nonEmpty) throw new IllegalArgumentException(
+          s"INSERT column list names a column twice: " +
+            dups.mkString(", "))
+        val bySpec = lowered.zip(src.columns).toMap
         schema.fields.toSeq.map { f =>
           bySpec.get(f.name.toLowerCase(java.util.Locale.ROOT))
             .map(c => src(c).cast(f.dataType).as(f.name))

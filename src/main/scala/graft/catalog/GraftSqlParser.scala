@@ -24,17 +24,23 @@ import org.apache.spark.sql.types.StructType
 class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
 
+  /** One-lookup extractor for the metadata-table case below — the
+    * guard-then-body shape would resolve the table (catalog +
+    * filesystem probes) twice per matching relation. */
+  private object MetaTable {
+    def unapply(u: UnresolvedRelation): Option[LogicalPlan] =
+      if (u.multipartIdentifier.lengthCompare(2) > 0)
+        GraftMetaTables.lookup(session, u.multipartIdentifier)
+      else None
+  }
+
   private def strip(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
       // Iceberg metadata tables (`ns.t.history` / `ns.t.snapshots`,
       // optionally catalog-prefixed) over snapshot-backed tables —
       // resolved here because the built-in resolver throws on the
       // 3-/4-part name before an analyzer rule could claim it
-      case u: UnresolvedRelation
-          if u.multipartIdentifier.lengthCompare(2) > 0 &&
-            GraftMetaTables.lookup(session, u.multipartIdentifier)
-              .isDefined =>
-        GraftMetaTables.lookup(session, u.multipartIdentifier).get
+      case MetaTable(resolved) => resolved
       case u @ UnresolvedRelation(Seq(cat, ns, t), _, _)
           if GraftCatalogs.isGraft(cat) =>
         u.copy(multipartIdentifier = Seq(ns, t))
@@ -700,6 +706,12 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
           "GROUP BY <columns and select-aliased expressions>)")
     def unwrap(e: Expression): Expression = e match {
       case Alias(c, _) => unwrap(c)
+      // the parser wraps every NON-aliased select item in
+      // UnresolvedAlias — without peeling it, a plain `count(*)`
+      // (no alias) would fall to the unsupported-item branch even
+      // though it is exactly the maintainable shape
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias =>
+        unwrap(ua.child)
       case Cast(c, _, _, _) => unwrap(c)
       case other => other
     }
@@ -898,7 +910,13 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case e: org.apache.spark.sql.catalyst.parser.ParseException
           if e.getMessage.contains("DATATYPE_MISSING_SIZE") &&
             bareVarchar.findFirstIn(sqlText).isDefined =>
-        try f(bareVarchar.replaceAllIn(sqlText, "string"))
+        // the retry must go through the SAME routing as the first
+        // attempt: a Trino-dialect MATERIALIZED VIEW statement with
+        // an unbounded varchar cast would otherwise fall to Spark's
+        // native (inexecutable pipeline-dataset) plan instead of the
+        // graft MV command
+        val rewritten = bareVarchar.replaceAllIn(sqlText, "string")
+        try mvCommand(rewritten).getOrElse(f(rewritten))
         catch { case scala.util.control.NonFatal(_) => throw e }
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
         icebergExtCommand(sqlText).getOrElse(throw e)

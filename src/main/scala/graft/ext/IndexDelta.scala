@@ -142,13 +142,21 @@ private[graft] object IndexDelta {
 
   /** Best-effort sidecar-stack compaction past `threshold` — the
     * READ-TAX BOUND every maintenance loop applies (see
-    * [[applyRefresh]]); spec-aware, a lost race never fails the
-    * refresh. */
+    * [[applyRefresh]]; [[graft.streaming.StreamingSilver]]'s
+    * foreachBatch arm shares it); spec-aware, and a lost race (e.g.
+    * an optimistic conflict with a concurrent writer) is LOGGED but
+    * never fails the refresh — the next threshold crossing retries. */
   private[graft] def maybeCompact(spark: SparkSession, dir: String,
-                                  threshold: Int): Unit =
+                                  threshold: Int,
+                                  keepVersions: Int = 0): Unit =
     if (threshold > 0 && Snapshot.morVersions(dir).size >= threshold)
-      try Snapshot.rewritePositionDeletes(spark, dir)
-      catch { case scala.util.control.NonFatal(_) => () }
+      try Snapshot.rewritePositionDeletes(spark, dir, keepVersions)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"auto-compaction of $dir failed (the commit is durable; " +
+              s"retries at the next threshold crossing): $e")
+      }
 
   /** The shared refresh body all three index families run: discover
     * the corpus changes of `(sinceVersion, liveVersion]`, apply them

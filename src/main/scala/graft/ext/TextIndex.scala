@@ -203,7 +203,11 @@ object TextIndex {
     val (pv, dv) = componentVersions(indexDir)
     writeMeta(indexDir, Meta(version, pv, dv, termBuckets, docBuckets,
       positional))
-    doclensRead(spark, indexDir).count()
+    // the doc count was already aggregated into the 1-row stats
+    // table — re-scanning doclens for the return value would double
+    // the build's doclens read
+    Snapshot.read(spark, statsDir(indexDir))
+      .select("n_docs").head().getLong(0)
   }
 
   /** Incrementally apply corpus changes since the index last saw it —

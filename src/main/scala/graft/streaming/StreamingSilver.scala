@@ -125,18 +125,12 @@ object StreamingSilver {
             Snapshot.morCommit(spark, silverDir,
               deletes = Some(deletes), appends = Some(appends),
               operation = "merge")
-            compactAfterCommits.foreach { n =>
-              if (Snapshot.morVersions(silverDir).size >= n)
-                try Snapshot.rewritePositionDeletes(spark, silverDir,
-                  keepVersions = 2)
-                catch {
-                  case scala.util.control.NonFatal(e) =>
-                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                      s"streaming auto-compaction of $silverDir " +
-                        s"failed (batch committed; retries at the " +
-                        s"next threshold): $e")
-                }
-            }
+            // the maintenance loops' one compaction contract
+            // (IndexDelta.maybeCompact): threshold check, spec-aware
+            // rewrite, best-effort with a logged failure
+            compactAfterCommits.foreach(n =>
+              graft.ext.IndexDelta.maybeCompact(spark, silverDir, n,
+                keepVersions = 2))
           }
         }
         ()

@@ -137,6 +137,21 @@ class ConstraintsSpec extends SparkSpec {
         "CHECK (no_such_col > 0)")
     }
     assert(e5.getMessage.contains("ADD CONSTRAINT nope"))
+    // a constraint smuggled in UNPARSEABLE through the property form
+    // (ADD CONSTRAINT validates; SET TBLPROPERTIES cannot) must
+    // surface the parse diagnostic at the write, not the misleading
+    // missing-columns message — Spark 4's Column API is lazy, so the
+    // parse probe must be eager
+    spark.sql("""ALTER TABLE ck.ddl SET TBLPROPERTIES(
+      'graft.constraints.garbled'='amt >= (')""")
+    val e6 = intercept[IllegalArgumentException] {
+      spark.sql("INSERT INTO ck.ddl VALUES (9, 90.0)")
+    }
+    assert(e6.getMessage.contains("unparseable"),
+      s"the parse diagnostic must name the real problem: " +
+        s"${e6.getMessage}")
+    spark.sql(
+      "ALTER TABLE ck.ddl UNSET TBLPROPERTIES('graft.constraints.garbled')")
   }
 
   test(".position_deletes lists live (file, pos) pairs with their " +

@@ -421,6 +421,32 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(ruDir)))
   }
 
+  test("an UNALIASED aggregate parses (the parser wraps non-aliased " +
+    "select items in UnresolvedAlias) and a Trino-dialect unbounded " +
+    "varchar cast routes to the graft MV command on the retry") {
+    val (_, _) = fixture()
+    // count(*) with no alias is exactly the maintainable shape — it
+    // must not fall to the unsupported-select-item branch
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.noalias AS
+      SELECT grp, count(*) FROM mvx.facts GROUP BY grp""").collect()
+    assert(new TableStore(spark)
+      .properties("mvx", "noalias__storage").contains("graft.mv"))
+    assert(spark.sql("SELECT * FROM mvx.noalias").count() == 4)
+    spark.sql("DROP MATERIALIZED VIEW mvx.noalias").collect()
+    // Trino spells unbounded CAST(x AS varchar); the retry must
+    // re-attempt the MV command on the rewritten text, not fall to
+    // Spark's inexecutable native pipeline-dataset plan
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.vslice AS
+      SELECT grp, count(*) AS c FROM mvx.facts
+      WHERE CAST(grp AS varchar) <> 'zz' GROUP BY grp""").collect()
+    assert(new TableStore(spark)
+      .properties("mvx", "vslice__storage").contains("graft.mv"))
+    assert(spark.sql("SELECT * FROM mvx.vslice").count() == 4)
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvx.vslice")
+      .collect().length == 1)
+    spark.sql("DROP MATERIALIZED VIEW mvx.vslice").collect()
+  }
+
   test("same-named MVs in different namespaces over ONE source keep " +
     "separate stores: the second CREATE must not wipe the first's, " +
     "and dropping one leaves the other serving and refreshable") {

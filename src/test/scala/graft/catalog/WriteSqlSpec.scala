@@ -49,6 +49,11 @@ class WriteSqlSpec extends SparkSpec {
     intercept[Exception] { spark.sql("INSERT INTO ins.t VALUES (1, 'x')") }
     intercept[Exception] {
       spark.sql("INSERT INTO ins.t (id, nope) VALUES (1, 'x')") }
+    // a DUPLICATED target column would silently drop one source value
+    // through the name map — rejected like Spark's native insert
+    assert(intercept[IllegalArgumentException] {
+      spark.sql("INSERT INTO ins.t (id, id) VALUES (1, 2)")
+    }.getMessage.contains("twice"))
     intercept[Exception] {
       spark.sql("INSERT INTO ins.t BY NAME SELECT 1 AS id, 2 AS nope") }
     store.createView("ins", "view1", store.table("ins", "t"))
