@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   * [[graft.ext.TextOps.bm25TopK]] pays — timed beside it as the
   * honest comparison).
   *
-  * Usage: `sbt "runMain graft.SoakText [mult,mult,…]"` (default
-  * 1,4,16 over sf0.1 documents). Prints one JSON line. */
+  * Usage: `sbt "runMain graft.SoakText [mult,mult,…] [phrase]"`
+  * (default 1,4,16 over sf0.1 documents; the optional `phrase` arg
+  * builds the index POSITIONAL and additionally times the
+  * anchor-method phrase read against its derive-per-query scan).
+  * Prints one JSON line. */
 object SoakText {
   def main(args: Array[String]): Unit = {
     val mults = args.headOption
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 4, 16))
+    val phrase = args.contains("phrase")
     val sfDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -61,7 +65,7 @@ object SoakText {
       graft.pipeline.Snapshot.createOrReplace(v1, corpus,
         keepVersions = 2)
       val t0 = System.nanoTime()
-      graft.ext.TextIndex.build(spark, corpus, idx)
+      graft.ext.TextIndex.build(spark, corpus, idx, positional = phrase)
       val tBuild = (System.nanoTime() - t0) / 1e9
       graft.pipeline.Snapshot.morCommit(spark, corpus, deletes = None,
         appends = Some(tail), operation = "append")
@@ -88,9 +92,26 @@ object SoakText {
       val tDerive = (System.nanoTime() - t4) / 1e9
       require(nIdx == nDerive,
         s"index and derive row counts must agree: $nIdx vs $nDerive")
+      val phraseTimes =
+        if (!phrase) ""
+        else {
+          val ph = queries.ExtQueries.PhraseQueries
+          val t5 = System.nanoTime()
+          val nP = graft.ext.TextIndex.phraseCount(spark, corpus, idx,
+            ph).count()
+          val tP = (System.nanoTime() - t5) / 1e9
+          val t6 = System.nanoTime()
+          val nPd = graft.ext.TextOps.phraseCounts(
+            graft.pipeline.Snapshot.read(spark, corpus), ph).count()
+          val tPd = (System.nanoTime() - t6) / 1e9
+          require(nP == nPd,
+            s"phrase counts must agree: $nP vs $nPd")
+          s""","phrase_sec":$tP,"derive_phrase_sec":$tPd"""
+        }
       s""""x$mult":{"rows":$rows,"build_sec":$tBuild,""" +
         s""""refresh_sec":$tRefresh,"del_refresh_sec":$tDelRefresh,""" +
-        s""""search_sec":$tSearch,"derive_search_sec":$tDerive}"""
+        s""""search_sec":$tSearch,"derive_search_sec":$tDerive""" +
+        phraseTimes + "}"
     }
     println(s"""{"soak":"text_index","delta_rows":$deltaSize,""" +
       out.mkString(",") + "}")
