@@ -1712,11 +1712,14 @@ object Snapshot {
     else {
       val window = morVersions(path)
         .filter(v => v > sinceVersion && v <= until)
-      val withDeletes = window.filter { v =>
-        val root = morRoot(path).resolve(s"v$v")
-        Files.isDirectory(root.resolve("deletes")) ||
-          Files.isDirectory(root.resolve("pos_deletes"))
-      }
+      // sidecarDir is the ONE definition of "carries rows of this
+      // kind" (dir exists AND holds parquet) — a bare isDirectory
+      // would classify a zero-row DELETE's empty sidecar as
+      // delete-carrying while every window pricer sees no deletes,
+      // needlessly abandoning the O(appended rows) fast path
+      val withDeletes = window.filter(v =>
+        sidecarDir(path, v, "deletes").isDefined ||
+          sidecarDir(path, v, "pos_deletes").isDefined)
       if (withDeletes.nonEmpty) CommitWindow.CarriesDeletes(withDeletes)
       else CommitWindow.FastAppends(
         window.flatMap(v => sidecarDir(path, v, "appends")))
@@ -1784,7 +1787,11 @@ object Snapshot {
     if (from > to) return None
     if (markerVersion(path).getOrElse(0L) > from) return None
     if (currentVersion(path).forall(_ < to)) return None
-    val tableCols = read(spark, path).limit(0).columns.toSeq
+    // ONE empty read for every schema question below — each read()
+    // replans the full merged base-plus-sidecar tree, nontrivial on a
+    // long MOR run
+    val empty = read(spark, path).limit(0)
+    val tableCols = empty.columns.toSeq
     if (!keyCols.forall(tableCols.contains)) return None
     val vs = morVersions(path).filter(v => v > from && v <= to)
     // delete events must carry full row images
@@ -1820,14 +1827,13 @@ object Snapshot {
       if (!tableCols.forall(rows.columns.contains)) return None
       delFrames ::= rows.select((tableCols :+ "_graft_v").map(col): _*)
     }
-    val emptyOut = read(spark, path).limit(0)
+    val emptyOut = empty
       .select(keyCols.map(col): _*).withColumn("op", lit("insert"))
     if (delFrames.isEmpty && appFrames.isEmpty) return Some(emptyOut)
     val nonKey = tableCols.filterNot(keyCols.contains)
     def valOf = if (nonKey.isEmpty) lit(0) else
       struct(nonKey.map(col): _*)
-    val valType = read(spark, path).limit(0)
-      .select(valOf.as("v")).schema.head.dataType
+    val valType = empty.select(valOf.as("v")).schema.head.dataType
     val dAgg = delFrames.reduceOption(_ unionByName _).map(
       _.groupBy(keyCols.map(col): _*).agg(
         min("_graft_v").as("_first_del"),
@@ -1951,11 +1957,18 @@ object Snapshot {
   def windowRowDelta(spark: SparkSession, path: String, since: Long,
                      until: Long, what: String)
       : (DataFrame, DataFrame) = {
+    // REBASE GUARD: a copy-on-write commit landing after the caller
+    // classified the window (e.g. a concurrent compaction) collapses
+    // the window's sidecars into the base — pricing would silently
+    // return an empty delta and the consumer would stamp the window
+    // applied, permanent drift; raise to its rebuild fallback instead
+    if (markerVersion(path).getOrElse(0L) > since)
+      throw new IllegalStateException(
+        s"$what over $path cannot price the window: the table was " +
+          s"re-based past v$since (a copy-on-write commit landed) — " +
+          "rebuild/recompute instead")
     val vs = morVersions(path).filter(v => v > since && v <= until)
-    val eq = vs.filter { v =>
-      val d = morRoot(path).resolve(s"v$v").resolve("deletes")
-      Files.isDirectory(d) && hasParquet(d)
-    }
+    val eq = vs.filter(v => sidecarDir(path, v, "deletes").isDefined)
     if (eq.nonEmpty) throw new IllegalStateException(
       s"$what over $path cannot price the window exactly: commit(s) " +
         s"${eq.map(v => s"v$v").mkString(", ")} carry EQUALITY deletes " +
@@ -1994,7 +2007,18 @@ object Snapshot {
           ver.cast("long") > lit(since) && ver.cast("long") <= lit(until)
         val minus = resolvePosDeleteRows(spark, path,
           pc.filter(!inWindow))
-        (plus, minus)
+        // a partitioned base stores partition columns only in its
+        // directory names — explicit-leaf-file reads drop them, and
+        // a silently narrower minus side breaks the EXACT-delta
+        // contract (the loud-raise discipline resolvePosDeleteKeys
+        // already applies); raise to the rebuild fallback
+        val missing = emptyRows.columns.filterNot(minus.columns.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"$what over $path cannot price the window exactly: " +
+            s"position-deleted base rows lack column(s) " +
+            s"${missing.mkString(", ")} (stored only in partition " +
+            "directories) — recompute instead")
+        (plus, minus.select(emptyRows.columns.toSeq.map(col): _*))
     }
   }
 
@@ -2024,6 +2048,14 @@ object Snapshot {
                     sinceVersion: Long, untilVersion: Long,
                     keyCols: Seq[String], what: String)
       : (DataFrame, DataFrame) = {
+    // the same REBASE GUARD as [[windowRowDelta]]: a CoW commit that
+    // landed after the caller classified the window collapses its
+    // sidecars — pricing would silently return an empty change set
+    if (markerVersion(path).getOrElse(0L) > sinceVersion)
+      throw new IllegalStateException(
+        s"$what over $path cannot price the window: the table was " +
+          s"re-based past v$sinceVersion (a copy-on-write commit " +
+          "landed) — rebuild/recompute instead")
     val vs = morVersions(path)
       .filter(v => v > sinceVersion && v <= untilVersion)
     val delFrames = vs.flatMap { v =>
