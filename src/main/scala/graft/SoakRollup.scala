@@ -43,15 +43,21 @@ object SoakRollup {
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
 
     val out = mults.map { mult =>
-      val scaled =
+      val scaled0 =
         if (mult <= 1) base
         else (0 until mult).map(k => base.withColumn("o_orderkey",
           col("o_orderkey") + k * 1000000000L)).reduce(_ unionByName _)
+      // o_grp (o_orderkey/100) is the equality arm's group key:
+      // bounded ~100-row groups, clustered with the id layout, so
+      // affected-group re-derives prune by footer min/max
+      val scaled = scaled0.withColumn("o_grp",
+        expr("o_orderkey div 100"))
       val root = java.nio.file.Files.createTempDirectory(s"sr$mult")
       val src = s"$root/src"
       val ru = s"$root/rollup"
       val appendWave = base.orderBy("o_orderkey").limit(5000)
         .withColumn("o_orderkey", col("o_orderkey") + 900000000000L)
+        .withColumn("o_grp", expr("o_orderkey div 100"))
         .localCheckpoint()
       S.createOrReplace(scaled, src, keepVersions = 2)
       val rows = S.read(spark, src).count()
@@ -78,12 +84,33 @@ object SoakRollup {
       val t2 = System.nanoTime()
       require(R.refresh(spark, src, ru) > 0L)
       val tDel = (System.nanoTime() - t2) / 1e9
+      // EQUALITY-delete arm (r15): a fixed 1000-key keyed DELETE —
+      // the engine's DEFAULT delete mode, priced by the
+      // affected-group re-derive. The rollup groups on o_grp
+      // (o_orderkey/100, a fact column with bounded 100-row groups),
+      // so the 1000 consecutive keys touch a bounded group set and
+      // BOTH scans prune by footer min/max on the id-clustered
+      // layout: the as-of-start resolution of the id-scoped sidecar
+      // (IN on o_orderkey) and the re-derive (IN on o_grp). Flat
+      // while the source grows = the window is priced from its
+      // delta, never the table.
+      val ruEq = s"$root/rollup_eq"
+      R.build(spark, src, ruEq, Seq("o_grp"), Seq("o_totalprice"))
+      // the TOP unshifted keys — a region the position arm (first
+      // file) never touched, so every key still resolves at as-of
+      val eqKeys = base.orderBy(col("o_orderkey").desc).limit(1000)
+        .select("o_orderkey").localCheckpoint()
+      S.morCommit(spark, src, deletes = Some(eqKeys), appends = None,
+        operation = "delete")
+      val t3 = System.nanoTime()
+      require(R.refresh(spark, src, ruEq) > 0L)
+      val tEq = (System.nanoTime() - t3) / 1e9
       s""""x$mult":{"rows":$rows,"build_sec":$tBuild,""" +
         s""""append_refresh_sec":$tApp,"deleted":$nVic,""" +
-        s""""delete_refresh_sec":$tDel}"""
+        s""""delete_refresh_sec":$tDel,"eq_refresh_sec":$tEq}"""
     }
     println(s"""{"soak":"rollup_refresh","append_rows":5000,""" +
-      out.mkString(",") + "}")
+      s""""eq_deleted_keys":1000,""" + out.mkString(",") + "}")
     spark.stop()
   }
 }

@@ -174,6 +174,26 @@ object TextIndex {
     Snapshot.currentVersion(postingsDir(indexDir)).getOrElse(0L),
     Snapshot.currentVersion(doclensDir(indexDir)).getOrElse(0L))
 
+  /** The READ-side twin of refresh's crash detector: a rebuild that
+    * died after all three component swaps but BEFORE the meta write
+    * leaves coherent build tokens and (at an unchanged corpus
+    * version) a non-stale index — but the meta may describe the OLD
+    * bucket geometry, so a search would map query terms with the old
+    * bucket count against new-layout postings: silently incomplete
+    * results. The component versions the meta recorded are the
+    * tiebreaker — reads refuse anything the meta did not stamp. */
+  private def requireComponentsStamped(indexDir: String,
+                                       im: Meta): Unit = {
+    val (pv, dv) = componentVersions(indexDir)
+    if (pv != im.postingsVersion || dv != im.doclensVersion)
+      throw new IllegalStateException(
+        s"text index at $indexDir is MID-REBUILD (a rebuild or " +
+          "refresh died before its meta write): component versions " +
+          s"($pv, $dv) do not match the recorded " +
+          s"(${im.postingsVersion}, ${im.doclensVersion}) — run " +
+          "TextIndex.refresh (if the corpus moved) or rebuild")
+  }
+
   /** Build (or rebuild) the index: tokenize the live corpus into the
     * bucket-partitioned postings + doclens + stats, stamp the corpus
     * version. @return docs indexed */
@@ -314,6 +334,7 @@ object TextIndex {
     IndexDelta.requireCoherent(indexDir,
       Seq(postingsDir(indexDir), doclensDir(indexDir),
         statsDir(indexDir)), "text index")
+    requireComponentsStamped(indexDir, im)
     val qt = queryTerms.select("term").distinct().localCheckpoint()
     val buckets = qt
       .select(termBucket(col("term"), im.termBuckets).as("b"))
@@ -356,6 +377,7 @@ object TextIndex {
     IndexDelta.requireCoherent(indexDir,
       Seq(postingsDir(indexDir), doclensDir(indexDir),
         statsDir(indexDir)), "text index")
+    requireComponentsStamped(indexDir, im)
     val (pt, pl) = TextOps.phraseFrames(spark, phrases)
     val qt = pt.select("term").distinct().localCheckpoint()
     val buckets = qt

@@ -43,9 +43,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *  - [[refresh]] prices the window with [[Snapshot.windowRowDelta]]
   *    — O(window sidecar rows + position-referenced files), never a
   *    source scan. Appends add; POSITION deletes subtract exactly
-  *    (per-instance); an equality-delete window raises (the sidecar
-  *    cannot price how many identical instances died — set
-  *    `write.mor.deletes = position` on sources feeding a rollup); a
+  *    (per-instance); an EQUALITY-delete window (the engine's DEFAULT
+  *    `write.mor.deletes` mode — every keyed CDC DELETE) routes to
+  *    the affected-group re-derive ([[refreshRederive]]): touched
+  *    groups recompute from the source as of the window end,
+  *    O(affected groups' rows); a
   *    copy-on-write rebase raises (per-commit deltas are gone —
   *    rebuild). Touched groups upsert through ONE MOR commit on the
   *    rollup table: a key-scoped equality delete drops their old
@@ -274,7 +276,7 @@ object Rollup {
   private def dimAsOf(spark: SparkSession, rollupDir: String,
                       d: DimSpec, v: Long): DataFrame = {
     if (!Snapshot.retainedVersionDirs(d.path).exists(_._1 == v))
-      throw new IllegalStateException(
+      throw new UnpriceableWindowException(
         s"rollup at $rollupDir needs dimension ${d.path} AS OF v$v to " +
           "price the window, but that version is no longer retained — " +
           "rebuild the rollup")
@@ -563,7 +565,7 @@ object Rollup {
     if (since < version)
       Snapshot.commitsSince(srcPath, since, Some(version)) match {
         case Snapshot.CommitWindow.Rebased(base) =>
-          throw new IllegalStateException(
+          throw new UnpriceableWindowException(
             s"rollup over $srcPath cannot refresh: a copy-on-write " +
               s"commit re-based the source (base v$base) and the " +
               "per-commit deltas are gone — rebuild the rollup")
@@ -574,12 +576,33 @@ object Rollup {
         Snapshot.commitsSince(d.path, dimSince(i),
             Some(dimUntil(i))) match {
           case Snapshot.CommitWindow.Rebased(base) =>
-            throw new IllegalStateException(
+            throw new UnpriceableWindowException(
               s"rollup over $srcPath cannot refresh: dimension " +
                 s"${d.path} was re-based (base v$base) and its " +
                 "per-commit deltas are gone — rebuild the rollup")
           case _ => ()
         }
+    }
+    // EQUALITY-DELETE window: the engine's DEFAULT delete mode
+    // (`write.mor.deletes = equality`) removes every identical row
+    // instance, a count the signed-delta path below cannot price —
+    // route to the affected-group re-derive instead of raising:
+    // discover the touched groups from the window sidecars (plus the
+    // as-of-start resolution for identifier-scoped sidecars) and
+    // recompute exactly those groups from the source as of the
+    // window end — the discipline min/max already uses under
+    // deletes, extended to every maintained aggregate. A moved dim
+    // in the SAME window would need both mechanisms interleaved
+    // exactly — that rare combination recomputes.
+    if (since < version &&
+        Snapshot.windowHasEqualityDeletes(srcPath, since, version)) {
+      if (m.dims.indices.exists(i => dimSince(i) < dimUntil(i)))
+        throw new UnpriceableWindowException(
+          s"rollup over $srcPath cannot refresh: the window carries " +
+            "EQUALITY deletes on the fact AND a moved dimension — " +
+            "rebuild/recompute instead")
+      return refreshRederive(spark, srcPath, rollupDir, m, since,
+        version, dimUntil, compactAfterCommits)
     }
     // SIGNED ROW DELTAS of the joined view — the telescoped join-view
     // identity (Gupta & Mumick): with F' = F+ΔF and Di' = Di+ΔDi,
@@ -654,7 +677,7 @@ object Rollup {
     // counts — maintenance cannot invent them; rebuild
     val storedCols = Snapshot.read(spark, tableDir(rollupDir)).columns
     cntCols.find(!storedCols.contains(_)).foreach(c =>
-      throw new IllegalStateException(
+      throw new UnpriceableWindowException(
         s"rollup at $rollupDir predates per-measure non-null counts " +
           s"(missing $c) — rebuild the rollup"))
     // signed partial aggregates: appends count +1, deletes −1; the
@@ -720,7 +743,10 @@ object Rollup {
         if (minusG.limit(1).count() > 0) {
           val recSrc = nsJoin(
             applyFilter(prepare(joinWith(
-              Snapshot.readAsOf(spark, srcPath, version), m.dims,
+              pruneFactByGroups(
+                Snapshot.readAsOf(spark, srcPath, version), minusG,
+                key),
+              m.dims,
               m.dims.zip(dimUntil).map { case (d, v) =>
                 dimAsOf(spark, rollupDir, d, v) }), m.exprCols),
               m.filter),
@@ -771,13 +797,113 @@ object Rollup {
       val negative = (col("cnt") < 0) +:
         cntCols.map(c => col(c) < 0)
       if (merged.filter(negative.reduce(_ || _)).limit(1).count() > 0)
-        throw new IllegalStateException(
+        throw new UnpriceableWindowException(
           s"rollup at $rollupDir went NEGATIVE on a group count — " +
             "the window subtracted rows the rollup never saw " +
             "(source history rewritten under the rollup?); rebuild")
       Snapshot.morCommit(spark, tableDir(rollupDir),
         deletes = Some(touched),
         appends = Some(merged.filter(col("cnt") > 0)),
+        operation = markerOf(version, dimUntil))
+    }
+    writeMeta(rollupDir, m.copy(srcVersion = version,
+      dims = m.dims.zip(dimUntil).map { case (d, v) =>
+        d.copy(version = v) },
+      rollupVersion =
+        Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L)))
+    if (compactAfterCommits > 0 &&
+        Snapshot.morVersions(tableDir(rollupDir)).size
+          >= compactAfterCommits) {
+      try {
+        Snapshot.rewritePositionDeletes(spark, tableDir(rollupDir))
+        writeMeta(rollupDir, meta(rollupDir).get.copy(rollupVersion =
+          Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L)))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    n
+  }
+
+  /** Scan-pruning lever for an affected-group source read: push an
+    * IN filter of the touched groups' values of the first group key
+    * that IS a fact column (an expression or dim-side key cannot
+    * prune the fact scan) — a conservative SUPERSET (the exact
+    * restriction is the semi join downstream), but one that reaches
+    * the parquet footers, so a fact CLUSTERED on the group key reads
+    * O(affected groups' rows), not O(table). NULL group keys ride
+    * along explicitly; an oversized value set falls back to the
+    * plain scan (same literal budget as the dim-delta pruning). */
+  private def pruneFactByGroups(fact: DataFrame, groups: DataFrame,
+                                groupCols: Seq[String]): DataFrame =
+    groupCols.find(fact.columns.contains).fold(fact) { k =>
+      val vals = groups.select(col(k)).distinct()
+        .limit(MaxDimDeltaKeys + 1).collect().map(_.get(0))
+      if (vals.isEmpty) fact.filter(lit(false))
+      else if (vals.length > MaxDimDeltaKeys) fact
+      else {
+        val nn = vals.filter(_ != null).toIndexedSeq
+        if (nn.isEmpty) fact.filter(col(k).isNull)
+        else {
+          val in = col(k).isin(nn: _*)
+          fact.filter(
+            if (nn.length < vals.length) in || col(k).isNull else in)
+        }
+      }
+    }
+
+  /** The EQUALITY-window refresh arm — affected-group re-derive:
+    * every group the window could have touched (groups of the raw
+    * window appends ∪ groups of the deleted rows' images,
+    * [[Snapshot.windowDeleteImages]]) is deleted from the store and
+    * recomputed from the source AS OF the window end, restricted to
+    * those groups — trivially exact (per touched group it IS the
+    * full recompute), O(window delta) discovery + O(affected groups'
+    * rows) re-derive, never an unrestricted source aggregation. The
+    * reference's CDC workload deletes by key
+    * (`merge_orders_silver.py:139` op='d'), which is exactly this
+    * window shape on a default-configured (`write.mor.deletes =
+    * equality`) table. Dims must be static across the window
+    * (checked by the caller); the marker/meta/compaction discipline
+    * is [[refresh]]'s. */
+  private def refreshRederive(spark: SparkSession, srcPath: String,
+                              rollupDir: String, m: Meta, since: Long,
+                              version: Long, dimUntil: Seq[Long],
+                              compactAfterCommits: Int): Long = {
+    val key = m.groupCols
+    // a store built by a pre-cnt_<m> version cannot take re-derived
+    // rows carrying them — rebuild (same gate as the signed path)
+    val storedCols = Snapshot.read(spark, tableDir(rollupDir)).columns
+    m.measures.map(mm => s"cnt_$mm")
+      .find(!storedCols.contains(_)).foreach(c =>
+        throw new UnpriceableWindowException(
+          s"rollup at $rollupDir predates per-measure non-null " +
+            s"counts (missing $c) — rebuild the rollup"))
+    val deleted = Snapshot.windowDeleteImages(spark, srcPath, since,
+      version, "rollup")
+    val appended = Snapshot.windowAppendRows(spark, srcPath, since,
+      version, "rollup")
+    val pinnedDims = m.dims.zip(dimUntil).map { case (d, v) =>
+      dimAsOf(spark, rollupDir, d, v) }
+    def groupsOf(rows: DataFrame): DataFrame =
+      applyFilter(prepare(joinWith(rows, m.dims, pinnedDims),
+        m.exprCols), m.filter).select(key.map(col): _*)
+    val touched = groupsOf(deleted).unionByName(groupsOf(appended))
+      .distinct().localCheckpoint()
+    val n = touched.count()
+    if (n > 0) {
+      val recSrc = nsJoin(
+        applyFilter(prepare(joinWith(
+          pruneFactByGroups(
+            Snapshot.readAsOf(spark, srcPath, version), touched, key),
+          m.dims, pinnedDims), m.exprCols), m.filter),
+        broadcast(touched), key, "left_semi")
+      val rec = withSketches(
+        aggOf(recSrc, key, m.measures, m.minMax), recSrc, key,
+        m.ndv, m.ndvK)
+      // one MOR commit: drop the touched groups' old rows, append
+      // their recomputed rows (a fully-vanished group appends
+      // nothing — its store row just dies with the delete arm)
+      Snapshot.morCommit(spark, tableDir(rollupDir),
+        deletes = Some(touched), appends = Some(rec),
         operation = markerOf(version, dimUntil))
     }
     writeMeta(rollupDir, m.copy(srcVersion = version,

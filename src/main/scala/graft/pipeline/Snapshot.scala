@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, regexp_replace}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Snapshot-replace sink: the reference's `writeTo(t).createOrReplace()`
@@ -1932,7 +1932,7 @@ object Snapshot {
     val resolved = resolvePosDeleteRows(spark, path,
       spark.read.parquet(pairsDir))
     val missing = keyCols.filterNot(resolved.columns.contains)
-    if (missing.nonEmpty) throw new IllegalStateException(
+    if (missing.nonEmpty) throw new UnpriceableWindowException(
       s"$what over $path cannot resolve position-delete sidecars to " +
         s"keys: column(s) ${missing.mkString(", ")} are not stored in " +
         "the referenced data files (partition-transformed away?) — " +
@@ -1963,13 +1963,13 @@ object Snapshot {
     // return an empty delta and the consumer would stamp the window
     // applied, permanent drift; raise to its rebuild fallback instead
     if (markerVersion(path).getOrElse(0L) > since)
-      throw new IllegalStateException(
+      throw new UnpriceableWindowException(
         s"$what over $path cannot price the window: the table was " +
           s"re-based past v$since (a copy-on-write commit landed) — " +
           "rebuild/recompute instead")
     val vs = morVersions(path).filter(v => v > since && v <= until)
     val eq = vs.filter(v => sidecarDir(path, v, "deletes").isDefined)
-    if (eq.nonEmpty) throw new IllegalStateException(
+    if (eq.nonEmpty) throw new UnpriceableWindowException(
       s"$what over $path cannot price the window exactly: commit(s) " +
         s"${eq.map(v => s"v$v").mkString(", ")} carry EQUALITY deletes " +
         "(each removes every identical row instance — per-instance " +
@@ -2013,7 +2013,7 @@ object Snapshot {
         // contract (the loud-raise discipline resolvePosDeleteKeys
         // already applies); raise to the rebuild fallback
         val missing = emptyRows.columns.filterNot(minus.columns.contains)
-        if (missing.nonEmpty) throw new IllegalStateException(
+        if (missing.nonEmpty) throw new UnpriceableWindowException(
           s"$what over $path cannot price the window exactly: " +
             s"position-deleted base rows lack column(s) " +
             s"${missing.mkString(", ")} (stored only in partition " +
@@ -2052,7 +2052,7 @@ object Snapshot {
     // landed after the caller classified the window collapses its
     // sidecars — pricing would silently return an empty change set
     if (markerVersion(path).getOrElse(0L) > sinceVersion)
-      throw new IllegalStateException(
+      throw new UnpriceableWindowException(
         s"$what over $path cannot price the window: the table was " +
           s"re-based past v$sinceVersion (a copy-on-write commit " +
           "landed) — rebuild/recompute instead")
@@ -2062,7 +2062,7 @@ object Snapshot {
       val eq = sidecarDir(path, v, "deletes").map { d =>
         val df = spark.read.parquet(d)
         val missing = keyCols.filterNot(df.columns.contains)
-        if (missing.nonEmpty) throw new IllegalStateException(
+        if (missing.nonEmpty) throw new UnpriceableWindowException(
           s"$what over $path cannot resolve the equality-delete " +
             s"sidecar of commit v$v to keys: column(s) " +
             s"${missing.mkString(", ")} are not in the delete file " +
@@ -2095,6 +2095,142 @@ object Snapshot {
     }
     (net, delKeys.select(keyCols.map(col): _*).distinct())
   }
+
+  /** Does any commit in `(since, until]` carry an EQUALITY-delete
+    * sidecar? The dispatch question for incremental aggregate
+    * maintainers: [[windowRowDelta]] prices position-delete windows
+    * per-instance, but an equality window routes to the
+    * affected-group re-derive ([[windowDeleteImages]]) instead. Pure
+    * metadata, no data read. */
+  def windowHasEqualityDeletes(path: String, since: Long,
+                               until: Long): Boolean =
+    morVersions(path).filter(v => v > since && v <= until)
+      .exists(v => sidecarDir(path, v, "deletes").isDefined)
+
+  /** The RAW appended rows of every commit in `(since, until]` —
+    * including rows a later window commit deleted again (callers
+    * doing affected-GROUP discovery want the superset: a group that
+    * gained-then-lost a row recomputes to the same value). O(window
+    * sidecar rows), never a base read. */
+  def windowAppendRows(spark: SparkSession, path: String, since: Long,
+                       until: Long, what: String): DataFrame = {
+    val emptyRows = read(spark, path).limit(0)
+    val tableCols = emptyRows.columns.toSeq
+    morVersions(path).filter(v => v > since && v <= until)
+      .flatMap(v => sidecarDir(path, v, "appends"))
+      .map { d =>
+        val df = spark.read.parquet(d)
+        val missing = tableCols.filterNot(df.columns.contains)
+        if (missing.nonEmpty) throw new UnpriceableWindowException(
+          s"$what over $path cannot price the window exactly: the " +
+            s"append sidecar $d predates column(s) " +
+            s"${missing.mkString(", ")} (schema evolved mid-window) " +
+            "— recompute instead")
+        df.select(tableCols.map(col): _*)
+      }
+      .reduceOption(_ unionByName _).getOrElse(emptyRows)
+  }
+
+  /** FULL row images of (a superset of) the rows the window's DELETE
+    * commits removed — the affected-group discovery input for an
+    * incremental aggregate maintainer facing EQUALITY deletes, the
+    * case [[windowRowDelta]]'s per-instance accounting cannot price
+    * (the engine's DEFAULT `write.mor.deletes = equality` mode):
+    *
+    *  - a FULL-ROW equality sidecar (no identifier fields set) IS the
+    *    images — its rows carry every column, zero base reads (a
+    *    sidecar row that matched nothing contributes a harmless extra
+    *    group);
+    *  - an IDENTIFIER-SCOPED sidecar carries only the key columns, so
+    *    its matches resolve against the table AS OF the window start
+    *    — null-safe on the sidecar's own columns (exactly the rows
+    *    the equality delete removed), with the scan IN-pruned by the
+    *    first key column's values when they fit the literal budget
+    *    (row-group footer pruning on an id-clustered layout);
+    *  - position pairs resolve against only the files they reference.
+    *
+    * Raises [[UnpriceableWindowException]] when the `since` version
+    * is no longer retained or resolved rows lack table columns
+    * (partition-directory-only columns) — the rebuild fallback. */
+  def windowDeleteImages(spark: SparkSession, path: String,
+                         since: Long, until: Long,
+                         what: String): DataFrame = {
+    if (markerVersion(path).getOrElse(0L) > since)
+      throw new UnpriceableWindowException(
+        s"$what over $path cannot price the window: the table was " +
+          s"re-based past v$since (a copy-on-write commit landed) — " +
+          "rebuild/recompute instead")
+    val emptyRows = read(spark, path).limit(0)
+    val tableCols = emptyRows.columns.toSeq
+    val vs = morVersions(path).filter(v => v > since && v <= until)
+    val parts = Seq.newBuilder[DataFrame]
+    // id-scoped sidecars resolve against ONE as-of read per distinct
+    // column set (in practice one — the table's identifier fields)
+    val scoped = scala.collection.mutable.Map
+      .empty[Seq[String], List[DataFrame]]
+    vs.foreach { v =>
+      sidecarDir(path, v, "deletes").foreach { d =>
+        val df = spark.read.parquet(d)
+        if (tableCols.forall(df.columns.contains))
+          parts += df.select(tableCols.map(col): _*)
+        else {
+          val cols = df.columns.toSeq.sorted
+          scoped(cols) = df :: scoped.getOrElse(cols, Nil)
+        }
+      }
+    }
+    if (scoped.nonEmpty) {
+      val asOfSince =
+        try readAsOf(spark, path, since)
+        catch {
+          case e: NoSuchElementException =>
+            throw new UnpriceableWindowException(
+              s"$what over $path cannot resolve identifier-scoped " +
+                s"equality deletes: version $since is no longer " +
+                s"retained (${e.getMessage}) — rebuild/recompute " +
+                "instead")
+        }
+      scoped.foreach { case (cols, dfs) =>
+        val keys = dfs.reduce(_ unionByName _)
+          .select(cols.map(col): _*).distinct().localCheckpoint()
+        val first = cols.head
+        val vals = keys.select(col(first)).distinct()
+          .limit(MaxInPruneKeys + 1).collect().map(_.get(0))
+        val pruned =
+          if (vals.length <= MaxInPruneKeys && !vals.contains(null))
+            asOfSince.filter(col(first).isin(vals.toIndexedSeq: _*))
+          else asOfSince
+        // null-safe per-column match: exactly applySidecars'
+        // every-identical-instance semantics
+        val cond = cols.map(c =>
+          pruned(c) <=> keys(c)).reduce(_ && _)
+        parts += pruned.join(broadcast(keys), cond, "left_semi")
+          .select(tableCols.map(col): _*)
+      }
+    }
+    val posPairs = vs
+      .flatMap(v => sidecarDir(path, v, "pos_deletes")
+        .map(d => spark.read.parquet(d)
+          .select(col("file_path"), col("pos"))))
+      .reduceOption(_ unionByName _).map(_.distinct())
+    posPairs.foreach { pp =>
+      val rows = resolvePosDeleteRows(spark, path, pp)
+      val missing = tableCols.filterNot(rows.columns.contains)
+      if (missing.nonEmpty) throw new UnpriceableWindowException(
+        s"$what over $path cannot price the window exactly: " +
+          s"position-deleted base rows lack column(s) " +
+          s"${missing.mkString(", ")} (stored only in partition " +
+          "directories) — recompute instead")
+      parts += rows.select(tableCols.map(col): _*)
+    }
+    parts.result().reduceOption(_ unionByName _).getOrElse(emptyRows)
+  }
+
+  /** Literal budget for pushed IN filters on resolution scans —
+    * above this the plan bloats past codegen comfort and the plain
+    * scan takes over (same budget class as Rollup's dim-delta
+    * pruning). */
+  private val MaxInPruneKeys = 4096
 
   /** Table maintenance — Iceberg's `expire_snapshots` over the
     * versioned-dir history: delete the OLDEST historical versions

@@ -218,6 +218,55 @@ object PipelineQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // S19-EQ (r15) — ROLLUP MAINTENANCE UNDER THE ENGINE'S DEFAULT
+    // DELETE MODE: keyed SQL DELETEs on a merge-on-read table with
+    // identifier fields write IDENTIFIER-SCOPED EQUALITY sidecars
+    // (the reference CDC workload's exact shape —
+    // merge_orders_silver.py:139 op='d'), a window the signed-delta
+    // path cannot price per-instance. Through r14 such windows made
+    // Rollup.refresh raise and REFRESH MATERIALIZED VIEW silently
+    // full-recompute; the affected-group re-derive prices them:
+    // touched groups recompute from the source AS OF the window end,
+    // O(affected groups' rows). REQUIRED in-query: the DML really
+    // took the equality-sidecar path, refresh PRICES the window
+    // (returns touched groups, does not raise), the store advanced
+    // by an incremental MOR commit (not a rebuild rebase), and a
+    // replay refresh is a no-op. The maintained result must equal
+    // the oracle's full recompute bit-for-bit — decimal sums,
+    // min/max, and the KMV NDV sketch included.
+    "q_rollup_maintain_eq" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("rollupeq")
+        .toString
+      val src = s"$root/orders_eq"
+      val ru = s"$root/rollup"
+      val S = graft.pipeline.Snapshot
+      val R = graft.pipeline.Rollup
+      S.createOrReplace(Tables.orders(s, d), src, keepVersions = 4)
+      new TableStore(s).registerSnapshot("roeq", "orders", src)
+      s.sql("""ALTER TABLE roeq.orders SET TBLPROPERTIES(
+        'write.delete.mode'='merge-on-read')""")
+      s.sql("ALTER TABLE roeq.orders SET IDENTIFIER FIELDS o_orderkey")
+      R.build(s, src, ru, Seq("o_orderpriority"), Seq("o_totalprice"),
+        minMax = Seq("o_totalprice"), ndv = Seq("o_custkey"),
+        ndvK = 64)
+      val v0 = S.currentVersion(src).get
+      s.sql("DELETE FROM roeq.orders WHERE o_orderkey % 10 = 3")
+      s.sql("DELETE FROM roeq.orders WHERE o_orderkey % 10 = 4")
+      require(S.windowHasEqualityDeletes(src, v0,
+        S.currentVersion(src).get),
+        "the DEFAULT delete mode must write equality sidecars")
+      require(R.refresh(s, src, ru) > 0L,
+        "the equality window must be PRICED (re-derive), not raise")
+      val ruTable = R.tableDir(ru)
+      require(S.operationOf(ruTable, S.currentVersion(ruTable).get)
+        .exists(_.startsWith("rollup-to-v")),
+        "the store must advance by an incremental MOR commit, " +
+          "not a rebuild")
+      require(R.refresh(s, src, ru) == 0L,
+        "a replay refresh must be a no-op")
+      R.read(s, src, ru).orderBy("o_orderpriority")
+    }),
+
     // S20 — AUTOMATIC MATERIALIZED-VIEW REWRITE (r13): the optimizer
     // rule (RollupRewrite, injected via SparkSessionExtensions) that
     // makes the maintained rollup transparent — a derivable GROUP BY
@@ -2411,6 +2460,43 @@ FROM iceberg.silver.orders_current""")
     "q_rollup_maintain" -> s"""
       WITH fin AS (
         SELECT * FROM orders WHERE o_orderkey % 100 <> 1
+      ), h AS (
+        SELECT DISTINCT o_orderpriority,
+               ('0x' || md5(CAST(o_custkey AS VARCHAR))[1:15])::BIGINT
+                 AS h
+        FROM fin
+      ), r AS (
+        SELECT o_orderpriority, h, row_number() OVER
+          (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        FROM h
+      ), kmv AS (
+        SELECT o_orderpriority,
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / max(h) END
+                 AS ndv_o_custkey
+        FROM r WHERE rn <= 64 GROUP BY o_orderpriority
+      ), g AS (
+        SELECT o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_o_totalprice,
+               COUNT(o_totalprice) AS cnt_o_totalprice,
+               MIN(o_totalprice) AS min_o_totalprice,
+               MAX(o_totalprice) AS max_o_totalprice
+        FROM fin GROUP BY o_orderpriority
+      )
+      SELECT g.o_orderpriority, g.cnt, g.sum_o_totalprice,
+             g.cnt_o_totalprice,
+             g.min_o_totalprice, g.max_o_totalprice, kmv.ndv_o_custkey
+      FROM g JOIN kmv USING (o_orderpriority)
+      ORDER BY g.o_orderpriority""",
+
+    // Equality-window twin: two keyed DELETE waves in one window
+    // (the default merge-on-read delete mode) — the affected-group
+    // re-derive must land exactly the recompute over the survivors.
+    "q_rollup_maintain_eq" -> s"""
+      WITH fin AS (
+        SELECT * FROM orders
+        WHERE o_orderkey % 10 <> 3 AND o_orderkey % 10 <> 4
       ), h AS (
         SELECT DISTINCT o_orderpriority,
                ('0x' || md5(CAST(o_custkey AS VARCHAR))[1:15])::BIGINT

@@ -56,9 +56,10 @@ object StreamingRollup {
           // permanently. Fall back to the full recompute, exactly as
           // REFRESH MATERIALIZED VIEW does; the rebuild re-pins dims
           // at their live versions and the stream resumes O(delta).
-          case e: IllegalStateException
-              if e.getMessage.contains("rebuild") ||
-                e.getMessage.contains("position") =>
+          // Dispatch on the TYPE every window-pricing path throws —
+          // a reworded message must neither re-wedge the stream nor
+          // let an unrelated IllegalStateException trigger a rebuild.
+          case e: graft.pipeline.UnpriceableWindowException =>
             val m = Rollup.meta(rollupDir).getOrElse(throw e)
             Rollup.build(spark, tableDir, rollupDir, m.groupCols,
               m.measures, m.minMax, m.ndv, m.ndvK, m.filter, m.dims,

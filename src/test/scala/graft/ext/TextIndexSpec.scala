@@ -251,4 +251,28 @@ class TextIndexSpec extends SparkSpec {
       == asSet(TextOps.bm25TopK(docs, queryTerms, k = 10)),
       "the compacted index must serve identically")
   }
+
+  test("a rebuild that died after ALL component swaps but before the " +
+    "meta write (coherent tokens, unchanged corpus version, different " +
+    "bucket geometry) is refused by search — not silently scored " +
+    "with the old bucket count against new-layout postings") {
+    val docs = Tables.documents(spark, sf).limit(200).localCheckpoint()
+    val root = Files.createTempDirectory("txtidxmid").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/text"
+    Snapshot.createOrReplace(docs, corpus, keepVersions = 2)
+    TextIndex.build(spark, corpus, idx, termBuckets = 4)
+    val metaPath = java.nio.file.Paths.get(idx, "_text_meta")
+    val oldMeta = Files.readAllBytes(metaPath)
+    // the second build swaps all three components (new coherent
+    // token, new 8-bucket layout)…
+    TextIndex.build(spark, corpus, idx, termBuckets = 8)
+    // …then "dies" before its meta write: restore the 4-bucket meta
+    Files.write(metaPath, oldMeta)
+    val e = intercept[IllegalStateException] {
+      TextIndex.search(spark, corpus, idx, queryTerms, 10)
+    }
+    assert(e.getMessage.contains("MID-REBUILD"),
+      s"search must refuse the unstamped components: ${e.getMessage}")
+  }
 }

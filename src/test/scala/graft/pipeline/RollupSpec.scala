@@ -8,9 +8,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Incremental-rollup pins: the maintained aggregate equals a full
   * recompute EXACTLY (decimal-accumulated, order-free) under
-  * fast-append and position-delete windows; equality-delete and
-  * rebased windows raise; zero-count groups vanish; the operation
-  * marker makes crash replays exactly-once. */
+  * fast-append and position-delete windows; equality-delete windows
+  * (the engine default) refresh via affected-group re-derive;
+  * rebased windows raise typed; zero-count groups vanish; the
+  * operation marker makes crash replays exactly-once. */
 class RollupSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -105,31 +106,72 @@ class RollupSpec extends SparkSpec {
     assert(served(src, ru) == recompute(Snapshot.read(spark, src)))
   }
 
-  test("equality-delete and rebased windows raise (recompute is the " +
-    "honest path); the version gate stays stale") {
+  test("equality-delete windows (the engine's DEFAULT delete mode) " +
+    "refresh via affected-group re-derive — full-row and " +
+    "identifier-scoped sidecars, min/max and NDV included, " +
+    "bit-identical to a fresh rebuild; rebased windows still raise") {
     val orders = Tables.orders(spark, sf).localCheckpoint()
     val root = Files.createTempDirectory("rollup3").toString
     val src = s"$root/src"
     val ru = s"$root/rollup"
-    Snapshot.createOrReplace(orders, src, keepVersions = 3)
-    Rollup.build(spark, src, ru,
-      Seq("o_orderpriority"), Seq("o_totalprice"))
-    Snapshot.morCommit(spark, src,
-      deletes = Some(orders.limit(2)), appends = None,
-      operation = "delete")
-    val e = intercept[IllegalStateException] {
-      Rollup.refresh(spark, src, ru)
+    def allServed(dir: String): Set[Seq[Any]] =
+      Rollup.read(spark, src, dir).collect().map(_.toSeq).toSet
+    def rebuildAndCompare(tag: String): Unit = {
+      val ru2 = s"$root/rebuild-$tag"
+      Rollup.build(spark, src, ru2, Seq("o_orderpriority"),
+        Seq("o_totalprice"), minMax = Seq("o_totalprice"),
+        ndv = Seq("o_custkey"))
+      assert(allServed(ru) == allServed(ru2),
+        s"[$tag] the maintained rollup must equal a fresh rebuild " +
+          "EXACTLY — counts, decimal sums, min/max, NDV sketches")
     }
-    assert(e.getMessage.contains("position"),
-      "the error must name the fix: position deletes")
-    assert(intercept[IllegalStateException] {
-      Rollup.read(spark, src, ru)
-    }.getMessage.contains("STALE"),
-      "a failed refresh must not have stamped the rollup fresh")
+    Snapshot.createOrReplace(orders, src, keepVersions = 6)
+    Rollup.build(spark, src, ru, Seq("o_orderpriority"),
+      Seq("o_totalprice"), minMax = Seq("o_totalprice"),
+      ndv = Seq("o_custkey"))
 
-    // copy-on-write rebase: per-commit deltas are gone
+    // window 1: a FULL-ROW equality delete (no identifier fields —
+    // the sidecar carries every column) plus an append commit
+    val dead1 = Snapshot.read(spark, src)
+      .filter(col("o_orderkey") % 7 === 0).localCheckpoint()
+    Snapshot.morCommit(spark, src, deletes = Some(dead1),
+      appends = None, operation = "delete")
+    Snapshot.morCommit(spark, src, deletes = None,
+      appends = Some(orders.limit(50)
+        .withColumn("o_orderkey", col("o_orderkey") + 800000000L)),
+      operation = "append")
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    rebuildAndCompare("full-row")
+
+    // window 2: an IDENTIFIER-SCOPED sidecar (keys only — the keyed
+    // CDC DELETE shape) resolved against the as-of-start version,
+    // MIXED with a position delete in the same window
+    val dead2 = Snapshot.read(spark, src)
+      .filter(col("o_orderkey") % 11 === 3)
+      .select("o_orderkey").localCheckpoint()
+    assert(dead2.count() > 0)
+    Snapshot.morCommit(spark, src, deletes = Some(dead2),
+      appends = None, operation = "delete")
+    val posHits = Snapshot.readLineage(spark, src)
+      .filter(col("o_orderkey") % 13 === 5).localCheckpoint()
+    Snapshot.morCommit(spark, src, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(posHits))
+    assert(Rollup.refresh(spark, src, ru) > 0L)
+    rebuildAndCompare("id-scoped")
+
+    // a delete whose keys match NOTHING touches no group — the
+    // refresh stamps the window applied and returns 0
+    Snapshot.morCommit(spark, src,
+      deletes = Some(spark.range(1)
+        .select((col("id") + 999999999L).as("o_orderkey"))),
+      appends = None, operation = "delete")
+    assert(Rollup.refresh(spark, src, ru) == 0L)
+    assert(Rollup.refresh(spark, src, ru) == 0L, "and is idempotent")
+
+    // copy-on-write rebase: per-commit deltas are gone — the TYPED
+    // unpriceable raise routes consumers to their rebuild fallback
     Snapshot.createOrReplace(orders.limit(500), src, keepVersions = 3)
-    assert(intercept[IllegalStateException] {
+    assert(intercept[UnpriceableWindowException] {
       Rollup.refresh(spark, src, ru)
     }.getMessage.contains("rebuild"))
   }

@@ -187,9 +187,9 @@ class StreamingRollupSpec extends SparkSpec {
       "the streamed star rollup must absorb the dim window too")
   }
 
-  test("an unpriceable window (out-of-band equality delete on the " +
-    "fact table) does not wedge the stream: the per-batch refresh " +
-    "falls back to the full rebuild and the stream resumes O(delta)") {
+  test("out-of-band fact DML does not wedge the stream: an equality " +
+    "delete prices via re-derive; a copy-on-write rebase routes " +
+    "through the TYPED unpriceable catch to the rebuild fallback") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
       .localCheckpoint()
@@ -207,26 +207,31 @@ class StreamingRollupSpec extends SparkSpec {
     w1.coalesce(1).write.parquet(facts)
     run()
     // an OUT-OF-BAND DML lands an equality delete on the fact table
-    // between waves — the next batch's O(delta) refresh cannot price
-    // it and would previously throw out of foreachBatch, terminating
-    // the stream on every restart
+    // between waves — since r15 this window is PRICED (affected-group
+    // re-derive), so it must neither wedge the stream nor rebuild
     val victims = w1.orderBy("o_orderkey").limit(5).localCheckpoint()
     Snapshot.morCommit(spark, table, deletes = Some(victims),
       appends = None, operation = "delete")
     val w2 = orders.filter(col("o_orderkey") % 3 === 1).localCheckpoint()
     w2.coalesce(1).write.mode("append").parquet(facts)
-    run() // must not throw: the refresh rebuilds instead
+    run() // must not throw: the refresh prices the equality window
     val live = Snapshot.read(spark, table).localCheckpoint()
     assert(live.count() == w1.count() - 5 + w2.count())
     assert(served(table, ru) == recompute(live),
-      "the rebuilt rollup must equal the recompute of the live facts")
-    // and the NEXT wave prices incrementally again (no rebuild path:
-    // the gold version moves by exactly the refresh commit)
+      "the maintained rollup must equal the recompute of the live " +
+        "facts after the equality window")
+    // a genuinely unpriceable event — an out-of-band COPY-ON-WRITE
+    // rebase collapses the per-commit deltas — must route through the
+    // TYPED UnpriceableWindowException catch to the rebuild fallback
+    // (message-substring dispatch would silently re-wedge on any
+    // rewording), and the stream resumes O(delta) after it
+    Snapshot.createOrReplace(live, table, keepVersions = 2)
     val w3 = orders.filter(col("o_orderkey") % 3 === 2).localCheckpoint()
     w3.coalesce(1).write.mode("append").parquet(facts)
-    run()
+    run() // must not throw: the refresh rebuilds instead
     assert(served(table, ru) ==
       recompute(Snapshot.read(spark, table)),
-      "the stream must resume exact O(delta) maintenance")
+      "the stream must fall back to the rebuild on a rebased window " +
+        "and resume exact maintenance")
   }
 }
