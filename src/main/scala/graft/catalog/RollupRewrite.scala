@@ -192,6 +192,30 @@ case class RollupRewrite(session: SparkSession)
     }))
   }
 
+  /** Calendar-bucket ranks for the coarser-derivation law: truncating
+    * to level L a value already truncated at a FINER chain level F
+    * equals truncating the original (`date_trunc('month',
+    * date_trunc('day', ts)) = date_trunc('month', ts)`), so a month
+    * query re-buckets a day store. WEEK sits outside the
+    * month/quarter/year chain (a week crosses month boundaries): it
+    * derives only from day-or-finer stores, and nothing coarser
+    * derives from a week store. */
+  private val truncRanks = Map(
+    "MICROSECOND" -> -2, "MILLISECOND" -> -1,
+    "SECOND" -> 0, "MINUTE" -> 1, "HOUR" -> 2, "DAY" -> 3, "DD" -> 3,
+    "WEEK" -> 4, "MONTH" -> 5, "MM" -> 5, "MON" -> 5, "QUARTER" -> 6,
+    "YEAR" -> 7, "YYYY" -> 7, "YY" -> 7)
+
+  private def truncRank(e: Expression): Option[Int] = e match {
+    case Literal(s, StringType) if s != null =>
+      truncRanks.get(s.toString.toUpperCase(java.util.Locale.ROOT))
+    case _ => None
+  }
+
+  private def coarserDerivable(query: Int, stored: Int): Boolean =
+    if (query == 4) stored <= 3
+    else stored != 4 && query > stored
+
   private def tryRewrite(agg: Aggregate, srcPath: String,
                          ruDir: String,
                          m: Rollup.Meta): Option[Aggregate] = {
@@ -253,11 +277,63 @@ case class RollupRewrite(session: SparkSession)
         exprKeys.collectFirst {
           case (n, re) if normEquals(other, re) => n }.flatMap(ruAttr)
     }
-    // grouping: every grouping expression must denote a gold key — a
-    // subset of the rollup's keys (a coarser GROUP BY re-aggregates)
-    val groupPairs: Seq[(Expression, Attribute)] =
+    /** COARSER calendar bucket over a finer stored trunc key:
+      * `date_trunc('month', ts)` served by a `date_trunc('day', ts)`
+      * store re-buckets the gold day keys (the Calcite time-hierarchy
+      * derivation; see [[truncRanks]] for the lattice). */
+    def coarserKeyOf(e: Expression): Option[Expression] = e match {
+      case TruncTimestamp(fq, xq, tz) =>
+        truncRank(fq).flatMap { rq =>
+          exprKeys.collectFirst {
+            case (n, TruncTimestamp(fs, xs, _))
+                if truncRank(fs).exists(coarserDerivable(rq, _)) &&
+                  normEquals(xq, xs) && ruAttr(n).isDefined =>
+              TruncTimestamp(fq, ruAttr(n).get, tz): Expression
+          }
+        }
+      case TruncDate(xq, fq) =>
+        truncRank(fq).flatMap { rq =>
+          exprKeys.collectFirst {
+            case (n, TruncDate(xs, fs))
+                if truncRank(fs).exists(coarserDerivable(rq, _)) &&
+                  normEquals(xq, xs) && ruAttr(n).isDefined =>
+              TruncDate(ruAttr(n).get, fq): Expression
+          }
+        }
+      case _ => None
+    }
+    /** The gold-side EXPRESSION a query grouping (or key-level
+      * select/filter) expression denotes: a stored key directly, a
+      * coarser calendar bucket of one, or — the general roll-up law —
+      * any deterministic, aggregate- and subquery-free expression
+      * whose every attribute leaf is itself a key expression (each
+      * gold row carries its group's exact key values, so f(keys)
+      * evaluates identically there; grouping gold rows by f(keys)
+      * merges gold groups precisely as the base grouping would). */
+    def keyExprOf(e: Expression): Option[Expression] =
+      keyAttrOf(e).map(a => a: Expression)
+        .orElse(coarserKeyOf(e))
+        .orElse(e match {
+          case _: AttributeReference => None
+          case _ if e.exists(x =>
+            x.isInstanceOf[AggregateExpression] ||
+              x.isInstanceOf[org.apache.spark.sql.catalyst
+                .expressions.SubqueryExpression]) => None
+          case _ if !e.deterministic => None
+          case _ if e.children.isEmpty => Some(e)
+          case _ =>
+            val cs = e.children.map(keyExprOf)
+            if (cs.forall(_.isDefined))
+              Some(e.withNewChildren(cs.map(_.get)))
+            else None
+        })
+    // grouping: every grouping expression must denote a gold key
+    // expression — a subset of the rollup's keys, a coarser calendar
+    // bucket of one, or a function of them (re-aggregation is the
+    // standard roll-up match in every case)
+    val groupPairs: Seq[(Expression, Expression)] =
       agg.groupingExpressions.map(ge =>
-        ge -> keyAttrOf(ge).getOrElse(return None))
+        ge -> keyExprOf(ge).getOrElse(return None))
 
     def derivable(name: String, in: Seq[String]): Boolean =
       in.exists(resolver(_, name))
@@ -323,17 +399,20 @@ case class RollupRewrite(session: SparkSession)
       // per LIVE key combination (zero-count groups vanish), so the
       // set of distinct key values — and hence min/max — is identical
       // to the base's
-      case Min(e) if keyAttrOf(e).isDefined =>
-        keyAttrOf(e).map(x =>
+      case Min(e) if keyExprOf(e).isDefined =>
+        // min/max/count over ANY key expression: the gold key rows
+        // are exactly the live distinct key combinations, so f(keys)
+        // over them spans the same value set as over the base rows
+        keyExprOf(e).map(x =>
           AggregateExpression(Min(x), Complete, isDistinct = false))
-      case Max(e) if keyAttrOf(e).isDefined =>
-        keyAttrOf(e).map(x =>
+      case Max(e) if keyExprOf(e).isDefined =>
+        keyExprOf(e).map(x =>
           AggregateExpression(Max(x), Complete, isDistinct = false))
-      case Count(Seq(e)) if keyAttrOf(e).isDefined =>
+      case Count(Seq(e)) if keyExprOf(e).isDefined =>
         // count(g): rows where the key is non-null = sum of those
         // groups' counts (the null group contributes nothing, like
         // SQL's count)
-        (keyAttrOf(e), ruAttr("cnt")) match {
+        (keyExprOf(e), ruAttr("cnt")) match {
           case (Some(g), Some(c)) => Some(Coalesce(Seq(
             sumOf(If(IsNotNull(g), c, Literal(0L))), Literal(0L))))
           case _ => None
@@ -376,12 +455,13 @@ case class RollupRewrite(session: SparkSession)
         // key-value SET matches the base's (nulls excluded by count
         // on both sides). Other distinct aggregates never rewrite.
         ae.aggregateFunction match {
-          case Count(Seq(g)) => keyAttrOf(g).map(x =>
+          case Count(Seq(g)) => keyExprOf(g).map(x =>
             AggregateExpression(Count(Seq(x)), Complete,
               isDistinct = true))
           case _ => None
         }
-      case _ if keyAttrOf(e).isDefined => keyAttrOf(e)
+      case _ if !e.exists(_.isInstanceOf[AggregateExpression]) &&
+          keyExprOf(e).isDefined => keyExprOf(e)
       case _ if e.children.isEmpty => Some(e)
       case _ =>
         val cs = e.children.map(rebuild)
@@ -396,9 +476,10 @@ case class RollupRewrite(session: SparkSession)
     def remapFilter(e: Expression): Option[Expression] = e match {
       case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
         None
-      // a group key — plain column or the full expression key — maps
-      // to the gold key column; any other attribute disqualifies
-      case _ if keyAttrOf(e).isDefined => keyAttrOf(e)
+      // a group key — plain column, full expression key, coarser
+      // calendar bucket, or function of keys — maps to the gold
+      // side; any other attribute disqualifies
+      case _ if keyExprOf(e).isDefined => keyExprOf(e)
       case _: AttributeReference => None
       case _ if !e.deterministic => None
       case _ if e.children.isEmpty => Some(e)

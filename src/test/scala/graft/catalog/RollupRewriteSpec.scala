@@ -426,6 +426,133 @@ class RollupRewriteSpec extends SparkSpec {
       "sanity: the HAVING must actually filter groups")
   }
 
+  test("COARSER calendar buckets derive from a finer stored trunc " +
+    "key: month/quarter/year/week queries re-bucket a DAY store " +
+    "(the Calcite time-hierarchy law); a finer query than the store " +
+    "stays on base, and week — off the month chain — never serves " +
+    "coarser") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwt").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 400).map { i =>
+      (i.toLong, s"g${i % 4}", (i % 13).toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-${1 + (i % 6)}%02d-${1 + (i % 27)}%02d ${i % 24}%02d:30:00"))
+    }.toDF("id", "grp", "qty", "ts")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvt", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvt.facts', name => 'mvt.daily',
+      group_by => 'oday,grp', sum_cols => 'qty',
+      group_exprs => 'oday:=date_trunc(''day'', ts)')""").collect()
+    val ru = new TableStore(spark).properties("mvt", "daily")(
+      "graft.rollup.dir")
+    // month, quarter, year, week — each re-buckets the day store
+    for (lvl <- Seq("month", "quarter", "year", "week")) {
+      val q = s"""SELECT date_trunc('$lvl', ts) AS bucket,
+        count(*) AS c, sum(qty) AS s FROM mvt.facts
+        GROUP BY date_trunc('$lvl', ts)"""
+      val df = spark.sql(q)
+      assert(scans(df, ru) && !scans(df, dir),
+        s"the $lvl query must re-bucket the day store")
+      assert(df.collect().map(_.toSeq).toSet == baseline(q),
+        s"the $lvl re-bucketing must be bit-identical")
+    }
+    // the day query is the EXACT stored key (existing path, still on)
+    val dq = """SELECT date_trunc('day', ts) AS d, count(*) AS c
+      FROM mvt.facts GROUP BY date_trunc('day', ts)"""
+    assert(scans(spark.sql(dq), ru))
+    // a coarser-bucket FILTER rides the rewrite too
+    val fq = """SELECT grp, count(*) AS c FROM mvt.facts
+      WHERE date_trunc('month', ts) = TIMESTAMP '2024-03-01 00:00:00'
+      GROUP BY grp"""
+    val ff = spark.sql(fq)
+    assert(scans(ff, ru) && !scans(ff, dir),
+      "a coarser-bucket filter must ride the rewrite")
+    assert(ff.collect().map(_.toSeq).toSet == baseline(fq))
+    // min/max/count-distinct over a coarser bucket of the key derive
+    val mq = """SELECT grp, min(date_trunc('month', ts)) AS mn,
+      count(DISTINCT date_trunc('year', ts)) AS dy
+      FROM mvt.facts GROUP BY grp"""
+    val mf = spark.sql(mq)
+    assert(scans(mf, ru) && !scans(mf, dir))
+    assert(mf.collect().map(_.toSeq).toSet == baseline(mq))
+
+    // a FINER query than the store never derives: hour from day
+    val hq = spark.sql("""SELECT date_trunc('hour', ts) AS h,
+      count(*) AS c FROM mvt.facts GROUP BY date_trunc('hour', ts)""")
+    assert(!scans(hq, ru) && scans(hq, dir),
+      "an hour query must NOT be served by a day store")
+
+    // week sits OUTSIDE the month chain: a month query over a
+    // week-keyed store stays on base (a week crosses month
+    // boundaries), and a week query over a MONTH store does too
+    val dir2 = s"$root/facts2"
+    Snapshot.createOrReplace(facts, dir2, keepVersions = 2)
+    store.registerSnapshot("mvt", "facts2", dir2)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvt.facts2', name => 'mvt.weekly',
+      group_by => 'owk', sum_cols => 'qty',
+      group_exprs => 'owk:=date_trunc(''week'', ts)')""").collect()
+    val ru2 = new TableStore(spark).properties("mvt", "weekly")(
+      "graft.rollup.dir")
+    val wm = spark.sql("""SELECT date_trunc('month', ts) AS m,
+      count(*) AS c FROM mvt.facts2 GROUP BY date_trunc('month', ts)""")
+    assert(!scans(wm, ru2) && scans(wm, dir2),
+      "a month query must NOT be served by a week store")
+    val dir3 = s"$root/facts3"
+    Snapshot.createOrReplace(facts, dir3, keepVersions = 2)
+    store.registerSnapshot("mvt", "facts3", dir3)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvt.facts3', name => 'mvt.monthly',
+      group_by => 'omo', sum_cols => 'qty',
+      group_exprs => 'omo:=date_trunc(''month'', ts)')""").collect()
+    val ru3 = new TableStore(spark).properties("mvt", "monthly")(
+      "graft.rollup.dir")
+    val mw = spark.sql("""SELECT date_trunc('week', ts) AS w,
+      count(*) AS c FROM mvt.facts3 GROUP BY date_trunc('week', ts)""")
+    assert(!scans(mw, ru3) && scans(mw, dir3),
+      "a week query must NOT be served by a month store")
+    // …but year over the month store derives (chain holds)
+    val ym = """SELECT date_trunc('year', ts) AS y, count(*) AS c
+      FROM mvt.facts3 GROUP BY date_trunc('year', ts)"""
+    val ymf = spark.sql(ym)
+    assert(scans(ymf, ru3) && !scans(ymf, dir3))
+    assert(ymf.collect().map(_.toSeq).toSet == baseline(ym))
+  }
+
+  test("FUNCTIONS of group keys serve from the store: GROUP BY " +
+    "f(keys) merges gold groups exactly as the base grouping would; " +
+    "min/max/filters over f(keys) ride; a function touching a " +
+    "non-key column disqualifies") {
+    val (dir, ru) = fixture()
+    // grouping by a function of both keys
+    val q = """SELECT concat(grp, '/', region) AS gr, count(*) AS c,
+      sum(qty) AS s FROM mv.facts GROUP BY concat(grp, '/', region)"""
+    val df = spark.sql(q)
+    assert(scans(df, ru) && !scans(df, dir),
+      "GROUP BY f(keys) must re-aggregate the gold store")
+    assert(df.collect().map(_.toSeq).toSet == baseline(q))
+    // min/max over a function of a key; filter over f(keys) rides
+    val mq = """SELECT grp, max(upper(region)) AS ur, count(*) AS c
+      FROM mv.facts WHERE concat(grp, region) <> 'g1r1' GROUP BY grp"""
+    val mf = spark.sql(mq)
+    assert(scans(mf, ru) && !scans(mf, dir),
+      "f(keys) in aggregates and filters must ride the rewrite")
+    assert(mf.collect().map(_.toSeq).toSet == baseline(mq))
+    // a function over a NON-key column never derives
+    val bad = spark.sql("""SELECT upper(CAST(qty AS STRING)) AS uq,
+      count(*) AS c FROM mv.facts GROUP BY upper(CAST(qty AS STRING))""")
+    assert(!scans(bad, ru) && scans(bad, dir),
+      "f(non-key) must stay on the base scan")
+    // non-deterministic functions of keys never derive
+    val nd = spark.sql("""SELECT grp, count(*) AS c FROM mv.facts
+      WHERE rand() < 2 GROUP BY grp""")
+    assert(!scans(nd, ru),
+      "a non-deterministic filter must stay on the base scan")
+  }
+
   test("a corrupt (or foreign-format) rollup meta never fails query " +
     "analysis: that target skips its rewrite, the query stays on the " +
     "base — the always-on rule must be error-isolated per store") {
