@@ -120,6 +120,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered FRESH rollup re-target the gold table (RollupRewrite;
     // post-hoc so it sees the ANALYZED scan shape, pre-optimizer)
     ext.injectPostHocResolutionRule(graft.catalog.RollupRewrite.apply)
+    // rebuild-only MVs (the Trino-parity class): whole-plan match of
+    // a FRESH store's defining query → serve the materialized table
+    ext.injectPostHocResolutionRule(
+      graft.catalog.MaterializedReadRewrite.apply)
     ext.injectParser((session, parser) =>
       new graft.catalog.GraftSqlParser(session, parser))
   }

@@ -888,8 +888,24 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     sqlText match {
       case CreateMv(orReplace, ifNotExists, mvName, queryText) =>
         val (ns, name) = graftTable(mvName, "CREATE MATERIALIZED VIEW")
-        Some(mvCreateCommand(ns, name, queryText,
-          replace = orReplace != null, ifNotExists = ifNotExists != null))
+        Some(
+          try mvCreateCommand(ns, name, queryText,
+            replace = orReplace != null,
+            ifNotExists = ifNotExists != null)
+          catch {
+            // Trino parity: ANY defining query materializes. Shapes
+            // the incremental machinery cannot maintain (HAVING,
+            // DISTINCT, outer joins, window functions, subqueries,
+            // non-aggregate queries, …) become REBUILD-ONLY MVs:
+            // build once, REFRESH fully recomputes, reads serve the
+            // store only while every source pin is fresh. Genuine
+            // parse errors (ParseException) still propagate.
+            case _: UnsupportedOperationException =>
+              GraftCreateMaterializedTableCommand(ns, name,
+                strip(delegate.parsePlan(queryText)), queryText,
+                replace = orReplace != null,
+                ifNotExists = ifNotExists != null)
+          })
       case RefreshMv(mvName) =>
         val (ns, name) = graftTable(mvName, "REFRESH MATERIALIZED VIEW")
         Some(GraftRefreshMaterializedViewCommand(ns, name))

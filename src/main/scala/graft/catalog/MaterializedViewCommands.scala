@@ -70,41 +70,16 @@ case class GraftCreateMaterializedViewCommand(
           s"$srcNs.$srcTable is not one"))
     // OR REPLACE parks the old MV instead of destroying it: a failed
     // replacement (e.g. the new defining query flunks the
-    // derivability gate) must leave the PREVIOUS MV serving — the
-    // old store moves aside (one rename), the old catalog entries
-    // are captured, and the catch below restores both
+    // derivability gate AND the rebuild-only fallback) must leave
+    // the PREVIOUS MV serving — the old store moves aside (one
+    // rename), the old catalog entries are captured, and the catch
+    // below restores both
     var parked: Option[(String, String)] = None // (oldRuDir, parkDir)
     var restore: Option[() => Unit] = None
     if (exists && replace) {
-      val oldProps = store.properties(ns, storageName)
-      val oldView = store.viewDefinition(ns, name)
-      store.dropView(ns, name)
-      store.dropTable(ns, storageName)
-      oldProps.get("graft.rollup.dir").foreach { oldRuDir =>
-        val park = s"$oldRuDir.replaced"
-        MaterializedViews.deleteDir(park)
-        val op = java.nio.file.Paths.get(oldRuDir)
-        if (java.nio.file.Files.exists(op)) {
-          java.nio.file.Files.move(op, java.nio.file.Paths.get(park))
-          parked = Some((oldRuDir, park))
-        }
-      }
-      restore = Some(() => {
-        parked.foreach { case (oldRuDir, park) =>
-          MaterializedViews.deleteDir(oldRuDir)
-          java.nio.file.Files.move(java.nio.file.Paths.get(park),
-            java.nio.file.Paths.get(oldRuDir))
-          store.registerSnapshot(ns, storageName,
-            Rollup.tableDir(oldRuDir))
-          store.setProperties(ns, storageName, oldProps)
-        }
-        // the view alone still serves (late-bound: reads fall back
-        // to the base table when no fresh store exists)
-        oldView.foreach { case (p, text) =>
-          GraftCreateViewCommand(ns, name, p, allowExisting = false,
-            replace = false, originalText = text).run(spark)
-        }
-      })
+      val (pk, rs) = MaterializedViews.parkForReplace(
+        spark, store, ns, name, storageName)
+      parked = pk; restore = Some(rs)
     }
     // each JOINed dimension resolves to its snapshot path, and the
     // raw `ON a = b` pairs ORIENT against the actual schemas (the
@@ -133,12 +108,21 @@ case class GraftCreateMaterializedViewCommand(
     }
     // the rollup dir is NAMESPACE-scoped: two same-named MVs in
     // different namespaces over one source must not share (and
-    // destroy) each other's store
-    val ruDir = s"$srcPath.mv-$ns-$name"
+    // destroy) each other's store. Each part percent-escapes '-'
+    // (and '%') so the joining '-' never collides with one inside an
+    // identifier: a bare `mv-$ns-$name` maps ns "a-b"/name "c" and
+    // ns "a"/name "b-c" to the SAME dir and the second CREATE
+    // destroys the first's store
+    val ruDir = s"$srcPath.mv-${MaterializedViews.encodePart(ns)}-" +
+      MaterializedViews.encodePart(name)
     MaterializedViews.deleteDir(ruDir) // a dead MV's leftovers
-    Rollup.build(spark, srcPath, ruDir, groupBy, measures, minMax, ndv,
-      filter = where, dims = dims, exprCols = exprCols)
     try {
+      // INSIDE the try: a failing build (e.g. a nonexistent measure
+      // column surfacing as an analysis error) must run the same
+      // cleanup-and-restore as a failing gate — OR REPLACE parked
+      // the old MV above and a bare throw would strand it
+      Rollup.build(spark, srcPath, ruDir, groupBy, measures, minMax,
+        ndv, filter = where, dims = dims, exprCols = exprCols)
       store.registerSnapshot(ns, storageName, Rollup.tableDir(ruDir))
       store.setProperties(ns, storageName, Map(
         "graft.rollup.dir" -> ruDir,
@@ -157,15 +141,21 @@ case class GraftCreateMaterializedViewCommand(
         }
         case _ => false
       }
-      if (!servesGold)
-        throw new UnsupportedOperationException(
-          s"the defining query of $ns.$name is not derivable from " +
-            "the maintained store (reads would always fall back to " +
-            "the base table). Derivable aggregates: count(*), " +
-            "count(m), sum/avg over integral or ≤DECIMAL(27,6) " +
-            "measures, the CAST(sum(CAST(m AS DECIMAL(27,6))) AS " +
-            "DOUBLE) idiom, min/max — a raw sum(double)/avg(double) " +
-            "is order-dependent and never rewritten")
+      if (!servesGold) {
+        // Trino parity: a defining query that parses into the rollup
+        // shape but is not EXACTLY derivable (e.g. a raw sum(double)
+        // — order-dependent) still materializes, as a clearly-marked
+        // REBUILD-ONLY MV: tear down the incremental store and
+        // delegate; REFRESH will fully recompute (Trino's own
+        // semantics), reads stay fresh-serves-store / stale-falls-back
+        store.dropTable(ns, storageName)
+        MaterializedViews.deleteDir(ruDir)
+        GraftCreateMaterializedTableCommand(ns, name, query, queryText,
+          replace = false, ifNotExists = false).run(spark)
+        parked.foreach { case (_, park) =>
+          MaterializedViews.deleteDir(park) }
+        return Seq.empty
+      }
       GraftCreateViewCommand(ns, name, query,
         allowExisting = false, replace = false,
         originalText = Some(queryText)).run(spark)
@@ -184,6 +174,78 @@ case class GraftCreateMaterializedViewCommand(
   }
 }
 
+/** REBUILD-ONLY materialized view — the Trino-parity fallback for
+  * defining queries the rollup machinery cannot maintain (HAVING,
+  * DISTINCT, outer joins, window functions, raw double sums, …;
+  * Trino accepts any defining query, `docker-compose.yml:114`).
+  * CREATE materializes the result ONCE with every source snapshot
+  * version pinned ([[graft.pipeline.MaterializedTable]]); REFRESH
+  * fully recomputes (Trino's own semantics — there is no exact
+  * incremental path for this class, that is what MAKES it this
+  * class); reads serve the store only while every pin matches the
+  * live version ([[MaterializedReadRewrite]]) and fall back to the
+  * base plan otherwise — never stale-served. */
+case class GraftCreateMaterializedTableCommand(
+    ns: String, name: String, query: LogicalPlan, queryText: String,
+    replace: Boolean, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  private def storageName = s"${name}__storage"
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new TableStore(spark)
+    val exists = store.tableExists(ns, name) ||
+      store.snapshotPath(ns, name).isDefined
+    val isMv = store.snapshotPath(ns, storageName).isDefined &&
+      store.properties(ns, storageName).contains("graft.mv")
+    if (exists && ifNotExists && !replace) return Seq.empty
+    if (exists && !replace)
+      throw new IllegalStateException(
+        s"materialized view (or table) already exists: $ns.$name")
+    if (exists && replace && !isMv)
+      throw new UnsupportedOperationException(
+        s"$ns.$name exists and is not a materialized view — " +
+          "CREATE OR REPLACE MATERIALIZED VIEW only replaces its own")
+    var parked: Option[(String, String)] = None
+    var restore: Option[() => Unit] = None
+    if (exists && replace) {
+      val (pk, rs) = MaterializedViews.parkForReplace(
+        spark, store, ns, name, storageName)
+      parked = pk; restore = Some(rs)
+    }
+    val srcPaths = MaterializedViews.sourcePaths(spark, query, ns, name)
+    val dir = s"${srcPaths.head}.mv-" +
+      s"${MaterializedViews.encodePart(ns)}-" +
+      MaterializedViews.encodePart(name)
+    MaterializedViews.deleteDir(dir)
+    try {
+      graft.pipeline.MaterializedTable.materialize(spark, dir,
+        PlanBridge.ofRows(spark, query).toDF(), srcPaths)
+      store.registerSnapshot(ns, storageName,
+        graft.pipeline.MaterializedTable.tableDir(dir))
+      store.setProperties(ns, storageName, Map(
+        "graft.rollup.dir" -> dir,
+        "graft.rollup.source" -> srcPaths.head,
+        "graft.mv.rebuild-only" -> "true",
+        "graft.mv" -> s"$ns.$name"))
+      GraftCreateViewCommand(ns, name, query,
+        allowExisting = false, replace = false,
+        originalText = Some(queryText)).run(spark)
+      parked.foreach { case (_, park) =>
+        MaterializedViews.deleteDir(park) }
+    } catch {
+      case t: Throwable =>
+        store.dropTable(ns, storageName)
+        MaterializedViews.deleteDir(dir)
+        try restore.foreach(_())
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw t
+    }
+    Seq.empty
+  }
+}
+
 case class GraftRefreshMaterializedViewCommand(ns: String, name: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -191,17 +253,33 @@ case class GraftRefreshMaterializedViewCommand(ns: String, name: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (ruDir, srcPath) = MaterializedViews.linkage(spark, ns, name)
+    // a REBUILD-ONLY MV has no incremental path by definition —
+    // REFRESH is the full recompute of its stored defining query
+    // (skipped when every source pin still matches the live version)
+    val MT = graft.pipeline.MaterializedTable
+    if (MT.meta(ruDir).isDefined) {
+      if (MT.isFresh(ruDir)) return Seq(Row(0L))
+      val store = new TableStore(spark)
+      val plan = store.viewDefinition(ns, name).map(_._1).getOrElse(
+        throw new IllegalStateException(
+          s"rebuild-only MV $ns.$name lost its view definition — " +
+            "DROP and re-CREATE it"))
+      val n0 = MT.materialize(spark, ruDir,
+        PlanBridge.ofRows(spark, plan).toDF(),
+        MaterializedViews.sourcePaths(spark, plan, ns, name))
+      return Seq(Row(n0))
+    }
     val n =
       try Rollup.refresh(spark, srcPath, ruDir)
       catch {
         // a window the incremental maintenance cannot price exactly
-        // (equality deletes, copy-on-write rebases). REFRESH means
-        // "bring the MV current", so fall back to the full recompute
-        // — Trino's REFRESH is always this full rebuild; ours only
-        // when the O(delta) path is impossible.
-        case e: IllegalStateException
-            if e.getMessage.contains("rebuild") ||
-              e.getMessage.contains("position") =>
+        // (equality deletes without identifier coverage, copy-on-write
+        // rebases, pruned as-of versions). REFRESH means "bring the MV
+        // current", so fall back to the full recompute — Trino's
+        // REFRESH is always this full rebuild; ours only when the
+        // O(delta) path is impossible. Typed dispatch: every
+        // window-pricing path throws UnpriceableWindowException.
+        case e: graft.pipeline.UnpriceableWindowException =>
           val m = Rollup.meta(ruDir).getOrElse(throw e)
           // a JOIN MV with an unpriceable DIM window (equality
           // deletes, rebase, pruned as-of version) lands here too —
@@ -255,12 +333,97 @@ case class GraftShowMaterializedViewsCommand(nsFilter: Option[String])
       .filter { case (ns, _) => nsFilter.forall(_ == ns) }
       .map { case (ns, name) =>
         val (ruDir, srcPath) = MaterializedViews.linkage(spark, ns, name)
-        Row(ns, name, srcPath, Rollup.isFresh(ruDir, srcPath))
+        val fresh =
+          if (graft.pipeline.MaterializedTable.meta(ruDir).isDefined)
+            graft.pipeline.MaterializedTable.isFresh(ruDir)
+          else Rollup.isFresh(ruDir, srcPath)
+        Row(ns, name, srcPath, fresh)
       }
   }
 }
 
 private[catalog] object MaterializedViews {
+  /** OR REPLACE's park step, shared by both MV kinds: capture the
+    * old catalog entries, drop them, move the old store dir aside
+    * (one rename), and return (parked dirs, restore thunk). The
+    * restore re-registers WHICHEVER kind was parked — the storage
+    * path is re-derived from the parked dir's own layout (both kinds
+    * store their snapshot under `<dir>/table`). */
+  def parkForReplace(spark: SparkSession, store: TableStore,
+                     ns: String, name: String, storageName: String)
+      : (Option[(String, String)], () => Unit) = {
+    val oldProps = store.properties(ns, storageName)
+    val oldView = store.viewDefinition(ns, name)
+    store.dropView(ns, name)
+    store.dropTable(ns, storageName)
+    var parked: Option[(String, String)] = None
+    oldProps.get("graft.rollup.dir").foreach { oldRuDir =>
+      val park = s"$oldRuDir.replaced"
+      deleteDir(park)
+      val op = java.nio.file.Paths.get(oldRuDir)
+      if (java.nio.file.Files.exists(op)) {
+        java.nio.file.Files.move(op, java.nio.file.Paths.get(park))
+        parked = Some((oldRuDir, park))
+      }
+    }
+    val restore = () => {
+      parked.foreach { case (oldRuDir, park) =>
+        deleteDir(oldRuDir)
+        java.nio.file.Files.move(java.nio.file.Paths.get(park),
+          java.nio.file.Paths.get(oldRuDir))
+        store.registerSnapshot(ns, storageName, s"$oldRuDir/table")
+        store.setProperties(ns, storageName, oldProps)
+      }
+      // the view alone still serves (late-bound: reads fall back
+      // to the base table when no fresh store exists)
+      oldView.foreach { case (p, text) =>
+        GraftCreateViewCommand(ns, name, p, allowExisting = false,
+          replace = false, originalText = text).run(spark)
+      }
+    }
+    (parked, restore)
+  }
+
+  /** Every snapshot-table path a defining query reads (subqueries
+    * included) — the freshness pins of a rebuild-only MV. Raises
+    * when a relation is not a registered snapshot table: without a
+    * versioned source there is no freshness gate, and serving
+    * possibly-stale data would break the engine's never-wrong read
+    * contract. */
+  def sourcePaths(spark: SparkSession, query: LogicalPlan,
+                  ns: String, name: String): Seq[String] = {
+    val store = new TableStore(spark)
+    val rels = (query +: query.subqueriesAll).flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        u.multipartIdentifier
+    })
+    if (rels.isEmpty) throw new UnsupportedOperationException(
+      s"CREATE MATERIALIZED VIEW $ns.$name: the defining query reads " +
+        "no table — nothing to pin a freshness gate to")
+    rels.map { parts =>
+      val (rns, rt) = parts.map(_.toLowerCase(java.util.Locale.ROOT)) match {
+        case Seq(cat, n, t) if GraftCatalogs.isGraft(cat) => (n, t)
+        case Seq(n, t) => (n, t)
+        case other => throw new UnsupportedOperationException(
+          s"CREATE MATERIALIZED VIEW $ns.$name: qualify every table " +
+            s"as <ns>.<table> (got: ${other.mkString(".")})")
+      }
+      store.snapshotPath(rns, rt).getOrElse(
+        throw new UnsupportedOperationException(
+          s"CREATE MATERIALIZED VIEW $ns.$name: rebuild-only " +
+            s"materialized views need versioned snapshot sources " +
+            s"for the freshness gate; $rns.$rt is not one"))
+    }.distinct
+  }
+
+  /** Injective dir-name encoding of one identifier part: '%' and '-'
+    * percent-escape, so the encoded part never contains a bare '-'
+    * and the `mv-<ns>-<name>` separators are unambiguous. Existing
+    * MVs are untouched — the dir is resolved through the recorded
+    * `graft.rollup.dir` property, never re-derived. */
+  def encodePart(s: String): String =
+    s.replace("%", "%25").replace("-", "%2D")
+
   /** The (rollup dir, source path) an MV's storage table records. */
   def linkage(spark: SparkSession, ns: String,
               name: String): (String, String) = {

@@ -171,19 +171,19 @@ class MaterializedViewSpec extends SparkSpec {
     val q = spark.sql("SELECT * FROM mvx.daily")
     assert(scans(q, ruDir), "the replaced MV must serve the new query")
 
-    // a raw double sum is order-dependent — CREATE must refuse, name
-    // the contract, and clean up the half-built store
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql("""CREATE MATERIALIZED VIEW mvx.bad AS
-        SELECT grp, sum(amount) AS s FROM mvx.facts GROUP BY grp""")
-        .collect()
-    }
-    assert(e.getMessage.contains("not derivable"))
-    assert(new TableStore(spark)
-      .snapshotPath("mvx", "bad__storage").isEmpty,
-      "a failed CREATE must deregister its storage table")
-    assert(!Files.exists(Paths.get(s"$dir.mv-bad")),
-      "a failed CREATE must remove the half-built rollup dir")
+    // a raw double sum is order-dependent — not incrementally
+    // derivable, so CREATE lands it as a REBUILD-ONLY MV (Trino
+    // parity) instead of failing: reads serve its store while fresh
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.bad AS
+      SELECT grp, sum(amount) AS s FROM mvx.facts GROUP BY grp""")
+      .collect()
+    val badProps = new TableStore(spark).properties("mvx", "bad__storage")
+    assert(badProps.contains("graft.mv.rebuild-only"),
+      "a non-derivable aggregate must become a rebuild-only MV")
+    val badQ = spark.sql("SELECT * FROM mvx.bad")
+    assert(scans(badQ, badProps("graft.rollup.dir")) &&
+      !scans(badQ, dir),
+      "the rebuild-only MV must serve from its store while fresh")
     // …but the decimal-cast exact-sum idiom IS derivable
     spark.sql("""CREATE MATERIALIZED VIEW mvx.good AS
       SELECT grp, CAST(sum(CAST(amount AS DECIMAL(27,6))) AS DOUBLE)
@@ -234,14 +234,16 @@ class MaterializedViewSpec extends SparkSpec {
     val after = spark.sql("SELECT * FROM mvx.hot")
     assert(scans(after, ruDir) && answers(after) == hotBaseline())
 
-    // a subquery WHERE fails at parse with the contract
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql("""CREATE MATERIALIZED VIEW mvx.bad AS
-        SELECT grp, count(*) AS c FROM mvx.facts
-        WHERE qty IN (SELECT qty FROM mvx.facts) GROUP BY grp""")
-        .collect()
-    }
-    assert(e.getMessage.contains("subquery-free"))
+    // a subquery WHERE cannot maintain incrementally — it lands as a
+    // REBUILD-ONLY MV (Trino parity), with the subquery's relation
+    // among the freshness pins
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.subq AS
+      SELECT grp, count(*) AS c FROM mvx.facts
+      WHERE qty IN (SELECT max(qty) FROM mvx.facts) GROUP BY grp""")
+      .collect()
+    assert(new TableStore(spark).properties("mvx", "subq__storage")
+      .contains("graft.mv.rebuild-only"),
+      "a subquery WHERE must land as a rebuild-only MV")
   }
 
   test("SHOW MATERIALIZED VIEWS lists MVs with live freshness, and a " +
@@ -284,42 +286,113 @@ class MaterializedViewSpec extends SparkSpec {
       ("by_grp", false)))
   }
 
-  test("unmaintainable defining queries fail at parse with the " +
-    "contract: joins, expression group keys, DISTINCT, " +
-    "approx_count_distinct, global aggregates") {
-    fixture()
-    def parseFails(sql: String, needle: String): Unit = {
-      val e = intercept[UnsupportedOperationException] {
-        spark.sql(sql).collect()
-      }
-      assert(e.getMessage.contains(needle),
-        s"expected '$needle' in: ${e.getMessage}")
+  test("formerly-unmaintainable defining queries (DISTINCT, HAVING, " +
+    "outer joins, global aggregates) CREATE as REBUILD-ONLY MVs — " +
+    "Trino accepts any defining query; only a non-snapshot source " +
+    "still refuses (no freshness gate possible)") {
+    val (dir, _) = fixture()
+    var i = 0
+    def rebuildOnly(sql: String): Unit = {
+      i += 1
+      val name = s"ro$i"
+      spark.sql(sql.replace("mvx.RO", s"mvx.$name")).collect()
+      val props = new TableStore(spark)
+        .properties("mvx", s"${name}__storage")
+      assert(props.contains("graft.mv.rebuild-only"),
+        s"$name must land as a rebuild-only MV")
+      // fresh ⇒ the read serves the materialized store, and the
+      // answer equals the defining query run with the rewrite off
+      val q = spark.sql(s"SELECT * FROM mvx.$name")
+      assert(scans(q, props("graft.rollup.dir")) && !scans(q, dir),
+        s"$name must serve from its store while fresh")
+      spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+      val want =
+        try answers(spark.sql(s"SELECT * FROM mvx.$name"))
+        finally spark.conf.set(
+          "spark.graft.rollup.rewrite.enabled", "true")
+      assert(answers(q) == want,
+        s"$name: the store must equal the defining query's result")
     }
-    // expression group keys are maintainable since the expr-key work —
-    // but only when the SELECT list aliases the same expression
-    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
-      SELECT substr(grp, 1, 2) AS g, count(*) AS c FROM mvx.facts
-      GROUP BY substr(grp, 1, 1)""", "SELECT list with an alias")
-    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
+    rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
       SELECT grp, count(DISTINCT qty) AS c FROM mvx.facts
-      GROUP BY grp""", "DISTINCT")
-    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
-      SELECT grp, approx_count_distinct(id) AS n FROM mvx.facts
-      GROUP BY grp""", "create_rollup")
-    // a global aggregate parses as a Project (the analyzer introduces
-    // the Aggregate later) — rejected by the shape gate
-    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
-      SELECT count(*) AS c FROM mvx.facts""", "GROUP BY aggregate")
-    // joins are maintainable since the star-MV work — but only INNER
-    // on column equalities
-    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
+      GROUP BY grp""")
+    rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
+      SELECT grp, count(*) AS c FROM mvx.facts
+      GROUP BY grp HAVING count(*) > 90""")
+    rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
+      SELECT count(*) AS c, sum(amount) AS s FROM mvx.facts""")
+    rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
       SELECT a.grp, count(*) AS c FROM mvx.facts a
-      LEFT JOIN mvx.facts b ON a.id = b.id GROUP BY a.grp""",
-      "INNER")
-    parseFails("""CREATE MATERIALIZED VIEW mvx.bad AS
-      SELECT a.grp, count(*) AS c FROM mvx.facts a
-      JOIN mvx.facts b ON a.id < b.id GROUP BY a.grp""",
-      "column equalities")
+      LEFT JOIN mvx.facts b ON a.id = b.id GROUP BY a.grp""")
+    // no snapshot source ⇒ no freshness gate ⇒ still a hard refusal
+    (1 to 3).map(j => (j, s"x$j")).toDF("id", "v")
+      .createOrReplaceTempView("plainview")
+    val e = intercept[Exception] {
+      spark.sql("""CREATE MATERIALIZED VIEW mvx.bad AS
+        SELECT v, count(DISTINCT id) AS c FROM plainview GROUP BY v""")
+        .collect()
+    }
+    assert(e.getMessage.contains("snapshot") ||
+      e.getMessage.contains("qualify"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("rebuild-only MV lifecycle: a base commit makes it STALE " +
+    "(reads fall back to the live base — correct, never " +
+    "stale-served), REFRESH fully recomputes and re-arms, a fresh " +
+    "REFRESH is a no-op, DROP removes view + storage + directory") {
+    val (dir, facts) = fixture()
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.heavy AS
+      SELECT grp, count(DISTINCT qty) AS dq, sum(amount) AS s
+      FROM mvx.facts GROUP BY grp HAVING count(*) > 10""").collect()
+    val props = new TableStore(spark).properties("mvx", "heavy__storage")
+    val mvDir = props("graft.rollup.dir")
+    def recomputeHeavy(): Set[Seq[Any]] = {
+      spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+      try answers(spark.sql("SELECT * FROM mvx.heavy"))
+      finally spark.conf.set(
+        "spark.graft.rollup.rewrite.enabled", "true")
+    }
+    val fresh = spark.sql("SELECT * FROM mvx.heavy")
+    assert(scans(fresh, mvDir) && !scans(fresh, dir))
+    assert(answers(fresh) == recomputeHeavy())
+    assert(answers(spark.sql(
+      "SHOW MATERIALIZED VIEWS IN mvx")).exists(r =>
+        r(1) == "heavy" && r(3) == true))
+
+    // a base commit flips every pin stale — the read must fall back
+    // to the LIVE base and stay correct (Trino would stale-serve)
+    Snapshot.morCommit(spark, dir, deletes = None,
+      appends = Some(facts.limit(40)
+        .withColumn("id", col("id") + 10000L)
+        .withColumn("amount", col("amount") * 3)),
+      operation = "append")
+    val stale = spark.sql("SELECT * FROM mvx.heavy")
+    assert(!scans(stale, mvDir) && scans(stale, dir),
+      "a stale rebuild-only MV must fall back to the base plan")
+    assert(answers(stale) == recomputeHeavy(),
+      "the fallback must serve the LIVE answer")
+    assert(answers(spark.sql(
+      "SHOW MATERIALIZED VIEWS IN mvx")).exists(r =>
+        r(1) == "heavy" && r(3) == false))
+
+    // REFRESH = full recompute (Trino semantics for this class)
+    val n = spark.sql("REFRESH MATERIALIZED VIEW mvx.heavy")
+      .collect()(0).getLong(0)
+    assert(n > 0L, "the rebuild must report the materialized rows")
+    val rearmed = spark.sql("SELECT * FROM mvx.heavy")
+    assert(scans(rearmed, mvDir) && !scans(rearmed, dir),
+      "REFRESH must re-arm the store")
+    assert(answers(rearmed) == recomputeHeavy())
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvx.heavy")
+      .collect()(0).getLong(0) == 0L,
+      "a fresh rebuild-only MV must skip the recompute")
+
+    spark.sql("DROP MATERIALIZED VIEW mvx.heavy").collect()
+    assert(new TableStore(spark)
+      .snapshotPath("mvx", "heavy__storage").isEmpty)
+    assert(!Files.exists(Paths.get(mvDir)),
+      "DROP must remove the materialized store directory")
   }
 
   test("a JOIN materialized view (star schema): reads serve from " +
@@ -486,13 +559,13 @@ class MaterializedViewSpec extends SparkSpec {
     val ruDir = new TableStore(spark)
       .properties("mvx", "daily__storage")("graft.rollup.dir")
     val before = answers(spark.sql("SELECT * FROM mvx.daily"))
-    // a raw sum(double) is never derivable → the end-to-end gate
-    // throws AFTER the old MV was dropped; the restore must bring it
-    // back instead of leaving the session with no MV at all
-    intercept[UnsupportedOperationException] {
+    // a nonexistent measure column fails the build AFTER the old MV
+    // was dropped; the restore must bring it back instead of leaving
+    // the session with no MV at all
+    intercept[Exception] {
       spark.sql("""CREATE OR REPLACE MATERIALIZED VIEW mvx.daily AS
-        SELECT grp, sum(amount) AS s FROM mvx.facts GROUP BY grp""")
-        .collect()
+        SELECT grp, sum(no_such_col) AS s FROM mvx.facts
+        GROUP BY grp""").collect()
     }
     assert(Files.exists(Paths.get(ruDir)),
       "the old store must survive the failed replace")
@@ -502,5 +575,19 @@ class MaterializedViewSpec extends SparkSpec {
     assert(answers(after) == before)
     assert(spark.sql("REFRESH MATERIALIZED VIEW mvx.daily")
       .collect().length == 1, "the restored MV must stay refreshable")
+  }
+
+  test("the rollup-dir encoding is injective for hyphenated " +
+    "identifiers: ns a-b/name c and ns a/name b-c must not map to " +
+    "one dir (the second CREATE would destroy the first's store)") {
+    def dir(ns: String, name: String): String =
+      s"src.mv-${MaterializedViews.encodePart(ns)}-" +
+        MaterializedViews.encodePart(name)
+    assert(dir("a-b", "c") != dir("a", "b-c"))
+    assert(dir("a-", "b") != dir("a", "-b"))
+    assert(dir("a%2D", "b") != dir("a-", "b"),
+      "the escape character itself must be escaped")
+    assert(dir("a", "b") == "src.mv-a-b",
+      "plain identifiers keep the readable layout")
   }
 }
