@@ -328,6 +328,132 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20j (r15) — REBUILD-ONLY MATERIALIZED VIEWS, the Trino-parity
+    // class: a defining query the incremental machinery cannot
+    // maintain (here HAVING + count(DISTINCT)) still materializes —
+    // build once with every source snapshot version PINNED, reads
+    // serve the store via whole-plan matching while every pin is
+    // fresh, a base commit flips it stale and reads fall back to the
+    // LIVE base (Trino would stale-serve; this engine never does),
+    // and REFRESH fully recomputes (Trino's own REFRESH semantics —
+    // there is no exact incremental path for this class). REQUIRED
+    // in-query: the MV is marked rebuild-only, the fresh read scans
+    // ONLY the store, the stale read scans ONLY the base, and the
+    // refreshed read scans the store again.
+    "q_mv_rebuild" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvrbq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvrb", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvrb.heavy AS
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS dc,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_price
+        FROM mvrb.orders GROUP BY o_orderpriority
+        HAVING count(*) > 10""").collect()
+      val mvDir = ts.properties("mvrb", "heavy__storage")
+        .apply("graft.rollup.dir")
+      require(ts.properties("mvrb", "heavy__storage")
+        .contains("graft.mv.rebuild-only"),
+        "HAVING + count(DISTINCT) must land as a rebuild-only MV")
+      def reads(df: org.apache.spark.sql.DataFrame,
+                dir: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+                  .exists(p => p == dir || p.startsWith(s"$dir/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      val fresh = s.sql("SELECT * FROM mvrb.heavy")
+      require(reads(fresh, mvDir) && !reads(fresh, src),
+        "a FRESH rebuild-only MV must serve from its store")
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      val stale = s.sql("SELECT * FROM mvrb.heavy")
+      require(!reads(stale, mvDir) && reads(stale, src),
+        "a STALE rebuild-only MV must fall back to the live base")
+      require(s.sql("REFRESH MATERIALIZED VIEW mvrb.heavy")
+        .collect()(0).getLong(0) > 0L,
+        "REFRESH must fully recompute the store")
+      val q = s.sql("SELECT * FROM mvrb.heavy")
+      require(reads(q, mvDir) && !reads(q, src),
+        "the refreshed MV must serve from its store again")
+      ts.dropTable("mvrb", "heavy__storage"); ts.dropView("mvrb", "heavy")
+      ts.dropTable("mvrb", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
+    // S20k (r15) — COARSER-BUCKET MV DERIVATION (the Calcite
+    // time-hierarchy law): a MONTH dashboard query is served from a
+    // DAY-keyed materialized view by re-bucketing the gold day keys —
+    // date_trunc('month', date_trunc('day', ts)) = date_trunc('month',
+    // ts). REQUIRED in-query: the month query reads ONLY the day
+    // store, never the base; and the store stayed exact through an
+    // append + REFRESH first.
+    "q_mv_rollup_time" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvctq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvct", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvct.daily AS
+        SELECT date_trunc('day', o_orderdate) AS oday,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvct.orders
+        GROUP BY date_trunc('day', o_orderdate)""").collect()
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      require(s.sql("REFRESH MATERIALIZED VIEW mvct.daily")
+        .collect().head.getLong(0) > 0L,
+        "the append window must touch day buckets")
+      // the MONTH query — NOT the MV's own grain — must re-bucket
+      // the day store
+      val q = s.sql("""SELECT date_trunc('month', o_orderdate)
+          AS omonth, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+            AS sum_price
+        FROM mvct.orders
+        GROUP BY date_trunc('month', o_orderdate)""")
+      val ruDir = ts.properties("mvct", "daily__storage")(
+        "graft.rollup.dir")
+      val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+      def reads(dir: String): Boolean = leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(reads(ruDir),
+        "the month query must be served by the DAY store")
+      require(!reads(src),
+        "the coarser-bucket rewrite must not scan the base table")
+      ts.dropView("mvct", "daily")
+      ts.dropTable("mvct", "daily__storage")
+      ts.dropTable("mvct", "orders")
+      q.orderBy("omonth")
+    }),
+
     // S20f — GROUP-column aggregates from the gold store: the rollup
     // keyed (o_orderpriority, o_orderstatus) serves the dashboard
     // cardinality query — count(DISTINCT status) per priority plus
@@ -2526,6 +2652,27 @@ FROM iceberg.silver.orders_current""")
              g.min_o_totalprice, g.max_o_totalprice, kmv.ndv_o_custkey
       FROM g JOIN kmv USING (o_orderpriority)
       ORDER BY g.o_orderpriority""",
+
+    // Coarser-bucket twin: the month aggregate over the full base —
+    // the rewritten plan reads day gold, the ANSWER is this.
+    "q_mv_rollup_time" -> s"""
+      SELECT date_trunc('month', o_orderdate) AS omonth,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders GROUP BY 1
+      ORDER BY omonth""",
+
+    // Rebuild-only-MV twin: after the append + REFRESH the store
+    // holds the defining query over the FULL orders table — HAVING
+    // and count(DISTINCT) computed by the full recompute.
+    "q_mv_rebuild" -> s"""
+      SELECT o_orderpriority,
+             COUNT(DISTINCT o_custkey) AS dc,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 10
+      ORDER BY o_orderpriority""",
 
     // MV-rewrite twin: the rewritten plan reads the gold table, but
     // the ANSWER is the plain aggregate over the full base — the
