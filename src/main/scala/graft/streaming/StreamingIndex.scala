@@ -22,11 +22,11 @@ import org.apache.spark.sql.types._
   *    marker, so a redelivered batch whose id matches the newest
   *    commit skips the append without reading anything.
   *  - **source overlap** (the stream re-delivering vec_ids the corpus
-  *    already holds in OLDER commits) is exact-deduped by an id
-  *    anti-join with the SMALL batch on the probe side against the
-  *    column-pruned corpus id column — the documented cost of exact
-  *    global dedup; id-disciplined sources can drop it by keying
-  *    upstream.
+  *    already holds in OLDER commits) is exact-deduped at O(batch) by
+  *    the commit-maintained bloom sidecar ([[graft.ext.IdMembership]])
+  *    — bloom negatives are exact, bloom positives pay an exact
+  *    anti-join confirm against the column-pruned id column only when
+  *    a batch actually carries suspects.
   *  - [[PqIndex.refresh]] runs UNCONDITIONALLY on every non-bootstrap
   *    batch (it is a version-checked O(delta)/no-op), so a crash
   *    between the corpus commit and the index refresh heals on the
@@ -126,8 +126,9 @@ object StreamingIndex {
     * artifact build would otherwise wedge every replay on a meta-less
     * refresh — instead the next batch re-runs the bootstrap build
     * against the table as it stands. `dedupKey` optionally exact-
-    * dedups re-delivered rows by id against the column-pruned table
-    * (ST9's vec_id contract); keyless facts (ST10) skip it — the
+    * dedups re-delivered rows by id through the commit-maintained
+    * bloom guard ([[graft.ext.IdMembership]], O(batch) steady state;
+    * ST9's vec_id contract); keyless facts (ST10) skip it — the
     * batch marker is their idempotence boundary. */
   private[streaming] def startMaintained(
       spark: SparkSession, sourceDir: String, schema: StructType,
@@ -173,10 +174,14 @@ object StreamingIndex {
       val replayed = Snapshot.operationOf(tableDir, live)
         .contains(batchOp(checkpointDir, batchId))
       if (!replayed) {
+        // exact overlap guard at O(batch): the commit-maintained
+        // bloom sidecar clears fresh ids without touching the corpus;
+        // only bloom-positive suspects pay the exact id-column
+        // confirm (graft.ext.IdMembership — result identical to the
+        // full anti-join this replaced)
         val fresh = dedupKey match {
-          case Some(k) => batch.join(
-            Snapshot.read(spark, tableDir).select(k),
-            Seq(k), "left_anti")
+          case Some(k) =>
+            graft.ext.IdMembership.freshOnly(spark, tableDir, batch, k)
           case None => batch
         }
         if (!fresh.isEmpty)
