@@ -91,6 +91,33 @@ object PruningBridge {
         else Some(uppers.minBy(identity)(ScanPruning.boundOrdering)))
     }.toSeq
   }
+
+  /** ANY-OF value sets implied by pushed `IN` filters — the shape a
+    * key-list lookup (e.g. the dim-delta fact prune in
+    * [[graft.pipeline.Rollup]]) pushes to the scan. A file survives
+    * when ANY listed value can sit inside its [min,max]; on a
+    * key-clustered layout that prunes to O(files holding the listed
+    * keys). Both the literal `In` and the optimizer's `InSet`
+    * (conversion past the threshold) are recognized; a null in the
+    * list contributes nothing (`IN` never matches null anyway). */
+  private[graft] def inSetsOf(
+      filters: Seq[Expression]): Seq[(String, Seq[Any])] = {
+    def conv(v: Any): Option[Any] = v match {
+      case null => None
+      case s: UTF8String => Some(s.toString)
+      case n: java.lang.Number => Some(n)
+      case _ => None
+    }
+    filters.flatMap {
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(a.name ->
+          vs.flatMap(v => conv(v.asInstanceOf[Literal].value)))
+      case InSet(a: AttributeReference, hset) =>
+        Some(a.name -> hset.toSeq.flatMap(conv))
+      case _ => None
+    }
+  }
 }
 
 /** [[InMemoryFileIndex]] that additionally drops files whose manifest
@@ -108,24 +135,39 @@ class StatsPruningFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
     val ranges = PruningBridge.rangesOf(dataFilters)
-    if (ranges.isEmpty) base
+    val inSets = PruningBridge.inSetsOf(dataFilters)
+    if (ranges.isEmpty && inSets.isEmpty) base
     else base.map { pd =>
       PartitionDirectory(pd.values, pd.files.filter { f =>
         stats.get(f.getPath.getName) match {
           case None => true // unlisted file → cannot exclude
-          case Some(cols) => ranges.forall { r =>
-            cols.get(r.column.toLowerCase(java.util.Locale.ROOT)) match {
-              case None => true
-              case Some((mn, mx)) =>
-                // a type mismatch between a filter literal and the
-                // stored stat (caller cast an incompatible value)
-                // must keep the file, not fail the plan
-                try {
-                  r.lower.forall(l => ScanPruning.cmp(mx, l) >= 0) &&
-                    r.upper.forall(u => ScanPruning.cmp(mn, u) <= 0)
-                } catch { case _: IllegalArgumentException => true }
+          case Some(cols) =>
+            def statOf(column: String) =
+              cols.get(column.toLowerCase(java.util.Locale.ROOT))
+            ranges.forall { r =>
+              statOf(r.column) match {
+                case None => true
+                case Some((mn, mx)) =>
+                  // a type mismatch between a filter literal and the
+                  // stored stat (caller cast an incompatible value)
+                  // must keep the file, not fail the plan
+                  try {
+                    r.lower.forall(l => ScanPruning.cmp(mx, l) >= 0) &&
+                      r.upper.forall(u => ScanPruning.cmp(mn, u) <= 0)
+                  } catch { case _: IllegalArgumentException => true }
+              }
+            } && inSets.forall { case (column, values) =>
+              statOf(column) match {
+                case None => true
+                case Some((mn, mx)) =>
+                  // ANY-OF: the file survives when some listed value
+                  // can sit inside its [min,max]
+                  try values.exists(v =>
+                    ScanPruning.cmp(v, mn) >= 0 &&
+                      ScanPruning.cmp(v, mx) <= 0)
+                  catch { case _: IllegalArgumentException => true }
+              }
             }
-          }
         }
       })
     }.filter(_.files.nonEmpty)

@@ -150,6 +150,43 @@ class ScanPruningSpec extends SparkSpec {
     assert(afterMor.count() == 99)
   }
 
+  test("an IN-list lookup skips files through the manifest index " +
+    "(any-of min/max): the key-list shape the rollup dim-window " +
+    "fact prune pushes — both the In and the optimizer's InSet form " +
+    "prune, results stay exact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpTable("prune10")
+    Snapshot.createOrReplace(rows.toDF("k", "v", "s"), dir)
+    Snapshot.rewriteSorted(spark, dir, 8, Seq(col("k")))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    // 3 keys from one neighborhood (≤ In conversion threshold, stays
+    // the literal In form) → at most the files holding that range
+    val inQ = Snapshot.read(spark, dir)
+      .filter(col("k").isin(150L, 151L, 152L))
+    assert(scannedFiles(inQ) <= 2,
+      "the In pushdown must prune files by any-of min/max")
+    assert(inQ.count() == 3)
+    // 12 keys (past the InSet conversion threshold of 10), two
+    // clusters → at most the files covering the two neighborhoods
+    val many = ((100L to 105L) ++ (700L to 705L)).toSeq
+    val inSetQ = Snapshot.read(spark, dir)
+      .filter(col("k").isin(many: _*))
+    assert(scannedFiles(inSetQ) <= 4,
+      "the InSet pushdown must prune files by any-of min/max")
+    assert(inSetQ.count() == many.size)
+    // an all-miss list scans zero files and returns nothing
+    val missQ = Snapshot.read(spark, dir)
+      .filter(col("k").isin(100000L, 100001L))
+    assert(missQ.count() == 0)
+    assert(scannedFiles(Snapshot.read(spark, dir)
+      .filter(col("k").isin(100000L, 100001L))) == 0)
+  }
+
   test("WRITE ORDERED BY commits and zorder rewrites publish manifests " +
     "so their layouts skip files too") {
     // ordered commit → manifest for the order column
