@@ -30,6 +30,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // JDK codec setup: ImageIO defaults to DISK-BACKED stream caching —
+  // without this flag every in-memory decode/encode spills through a
+  // temp file, so a 45k-call codec batch pays 45k file create/write/
+  // delete cycles and its wall time rides /tmp pressure (the
+  // q_frame_sample drift r14 flagged: 4.8 → 8.4 s on untouched code).
+  // Memory-backed streams are strictly right for byte-array payloads.
+  // Object-init runs once per JVM, executor-side too (the codec
+  // closures reference this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Metadata carried with every media payload. */
   val metadataSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
