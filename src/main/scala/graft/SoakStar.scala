@@ -78,9 +78,30 @@ object SoakStar {
       val t2 = System.nanoTime()
       require(R.refresh(spark, fact, ru) > 0L)
       val tDim = (System.nanoTime() - t2) / 1e9
+      // CLUSTERED twin: the same dim window against a fact
+      // sort-clustered on the JOIN KEY (rewriteSorted publishes the
+      // scan manifest) — the F' ⋈ ΔD fact read pushes an IN filter of
+      // the dim-delta keys, and the any-of manifest skipping prunes
+      // it to the FILES holding those keys: the dim-change refresh
+      // stays O(matching files) while the unclustered twin above
+      // shows its honest O(fact-scan) term
+      val (fact2, dim2, ru2) = (s"$root/fact2", s"$root/dim2",
+        s"$root/ru2")
+      S.createOrReplace(scaled, fact2, keepVersions = 2)
+      S.rewriteSorted(spark, fact2, 64, Seq(col("o_custkey")))
+      S.createOrReplace(dimDf, dim2, keepVersions = 2)
+      R.build(spark, fact2, ru2, Seq("c_mktsegment"),
+        Seq("o_totalprice"),
+        dims = Seq(R.DimSpec(dim2, Seq(("o_custkey", "c_custkey")))))
+      S.morCommit(spark, dim2, deletes = None,
+        appends = Some(dimWave), operation = "append")
+      val t3 = System.nanoTime()
+      require(R.refresh(spark, fact2, ru2) > 0L)
+      val tDimClustered = (System.nanoTime() - t3) / 1e9
       s""""x$mult":{"fact_rows":$rows,"star_build_sec":$tBuild,""" +
         s""""star_append_refresh_sec":$tApp,""" +
-        s""""dim_append_refresh_sec":$tDim}"""
+        s""""dim_append_refresh_sec":$tDim,""" +
+        s""""dim_refresh_clustered_sec":$tDimClustered}"""
     }
     println(s"""{"soak":"star_rollup_refresh","append_rows":5000,""" +
       out.mkString(",") + "}")

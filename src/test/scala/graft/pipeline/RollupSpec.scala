@@ -909,4 +909,77 @@ class RollupSpec extends SparkSpec {
     assert(Rollup.refresh(spark, fact, ru) > 0L)
     assert(gold() == recomputeJ(orders))
   }
+
+  test("dim-window refresh on a JOIN-KEY-CLUSTERED fact prunes the " +
+    "F' ⋈ ΔD fact read to the FILES holding the dim-delta keys " +
+    "(pushed IN filter + any-of manifest skipping) — and stays exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import spark.implicits._
+    val root = Files.createTempDirectory("rollupJP").toString
+    val (fact, dim, ru) = (s"$root/fact", s"$root/dim", s"$root/ru")
+    val facts = (1 to 64000).map(i =>
+      (i.toLong, (i % 1600).toLong, (i % 13).toLong))
+      .toDF("id", "cust_id", "qty")
+    val dimDf = (0 until 1600).map(i => (i.toLong, s"seg${i % 5}"))
+      .toDF("cust_key", "segment")
+    Snapshot.createOrReplace(facts, fact, keepVersions = 2)
+    // cluster the fact on the JOIN KEY: 16 sorted files + the scan
+    // manifest (what a 100-TB star layout does for its FK)
+    Snapshot.rewriteSorted(spark, fact, 16, Seq(col("cust_id")))
+    Snapshot.createOrReplace(dimDf, dim, keepVersions = 2)
+    Rollup.build(spark, fact, ru, Seq("segment"), Seq("qty"),
+      dims = Seq(Rollup.DimSpec(dim, Seq(("cust_id", "cust_key")))))
+    // a dim delta touching a NARROW key neighborhood (8 of 1600 keys)
+    val wave = (0 until 8).map(i => (i.toLong, "segZ"))
+      .toDF("cust_key", "segment")
+    Snapshot.morCommit(spark, dim, deletes = None,
+      appends = Some(wave), operation = "append")
+    // capture every fact-file scan the refresh executes
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val factScans =
+      scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val listener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          allScans(qe.executedPlan).foreach { f =>
+            if (f.relation.location.rootPaths.exists(p =>
+                p.toUri.getPath.startsWith(fact)))
+              factScans.put(f.id, f.metrics("numFiles").value)
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+    spark.listenerManager.register(listener)
+    try {
+      assert(Rollup.refresh(spark, fact, ru) > 0L)
+      // the execution listener bus is async — wait for the records
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (factScans.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally spark.listenerManager.unregister(listener)
+    assert(factScans.nonEmpty,
+      "the dim-window refresh must have read the fact (F' ⋈ ΔD)")
+    assert(factScans.values.forall(_ <= 4),
+      s"the pruned fact read must keep numFiles bounded " +
+        s"(8 of 1600 keys over 16 sorted files): $factScans")
+    // and the maintained store equals the recompute over live state
+    val want = Snapshot.read(spark, fact)
+      .join(Snapshot.read(spark, dim),
+        col("cust_id") === col("cust_key"))
+      .groupBy("segment").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toSet
+    val got = Rollup.read(spark, fact, ru)
+      .select(col("segment"), col("cnt"))
+      .as[(String, Long)].collect().toSet
+    assert(got == want,
+      "the file-pruned dim-window refresh must stay exact")
+  }
 }
