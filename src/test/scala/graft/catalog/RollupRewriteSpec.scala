@@ -551,6 +551,18 @@ class RollupRewriteSpec extends SparkSpec {
       WHERE rand() < 2 GROUP BY grp""")
     assert(!scans(nd, ru),
       "a non-deterministic filter must stay on the base scan")
+    // SUM/AVG over f(keys) must NEVER rewrite: each gold row is one
+    // GROUP, so a row-weighted aggregate over f(keys) would silently
+    // drop the per-group multiplicities (min/max/count-distinct span
+    // value SETS and are safe; sum/avg are not)
+    val sk = spark.sql("""SELECT grp, sum(length(region)) AS s
+      FROM mv.facts GROUP BY grp""")
+    assert(!scans(sk, ru) && scans(sk, dir),
+      "sum over a function of keys must stay on the base scan")
+    val ak = spark.sql("""SELECT grp, avg(length(region)) AS a
+      FROM mv.facts GROUP BY grp""")
+    assert(!scans(ak, ru) && scans(ak, dir),
+      "avg over a function of keys must stay on the base scan")
   }
 
   test("a corrupt (or foreign-format) rollup meta never fails query " +
