@@ -97,6 +97,12 @@ case class MaterializedReadRewrite(session: SparkSession)
         finally MaterializedReadRewrite.resolving.set(false)
       MaterializedReadRewrite.planCache
         .filterInPlace((k, _) => k._1 != dir || k == key)
+      // bound the cache across long create/drop-heavy sessions: a
+      // dropped MV's entry is never consulted again (targets come
+      // from the live catalog) but would otherwise pin its analyzed
+      // plan forever
+      if (MaterializedReadRewrite.planCache.size >= 64)
+        MaterializedReadRewrite.planCache.clear()
       MaterializedReadRewrite.planCache.put(key, analyzed)
       Some(analyzed)
     }
