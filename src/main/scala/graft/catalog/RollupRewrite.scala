@@ -97,7 +97,13 @@ case class RollupRewrite(session: SparkSession)
         try Rollup.meta(t("graft.rollup.dir")).flatMap(m =>
           tryRewrite(agg, t("graft.rollup.source"),
               t("graft.rollup.dir"), m)
-            .map((m.groupCols.size, _)))
+            .map { case (served, rederived) =>
+              // coarsest store first (fewest key columns bounds the
+              // gold rows); ties prefer the store whose grain the
+              // query hits EXACTLY over one it must re-bucket (a
+              // month query over day+month stores reads the month
+              // store, ~30x fewer gold rows)
+              ((m.groupCols.size, rederived), served) })
         catch { case scala.util.control.NonFatal(_) => None }
       }.sortBy(_._1).headOption.map(_._2)
     plan.transformUp {
@@ -218,7 +224,12 @@ case class RollupRewrite(session: SparkSession)
 
   private def tryRewrite(agg: Aggregate, srcPath: String,
                          ruDir: String,
-                         m: Rollup.Meta): Option[Aggregate] = {
+                         m: Rollup.Meta): Option[(Aggregate, Boolean)] = {
+    // does serving this query re-bucket or re-derive any grouping
+    // expression (vs a bare stored-key hit)? a tiebreaker for the
+    // hierarchy choice: an exact-grain store beats a finer one the
+    // query would have to re-bucket (fewer gold rows scanned)
+    var rederived = false
     // freshness gate: the rollup must describe the LIVE base version
     // AND every pinned dim version (a moved dim voids every group)
     if (!Rollup.isFresh(ruDir, srcPath)) return None
@@ -312,7 +323,8 @@ case class RollupRewrite(session: SparkSession)
       * merges gold groups precisely as the base grouping would). */
     def keyExprOf(e: Expression): Option[Expression] =
       keyAttrOf(e).map(a => a: Expression)
-        .orElse(coarserKeyOf(e))
+        .orElse { val r = coarserKeyOf(e)
+          if (r.isDefined) rederived = true; r }
         .orElse(e match {
           case _: AttributeReference => None
           case _ if e.exists(x =>
@@ -323,9 +335,10 @@ case class RollupRewrite(session: SparkSession)
           case _ if e.children.isEmpty => Some(e)
           case _ =>
             val cs = e.children.map(keyExprOf)
-            if (cs.forall(_.isDefined))
+            if (cs.forall(_.isDefined)) {
+              rederived = true
               Some(e.withNewChildren(cs.map(_.get)))
-            else None
+            } else None
         })
     // grouping: every grouping expression must denote a gold key
     // expression — a subset of the rollup's keys, a coarser calendar
@@ -526,7 +539,8 @@ case class RollupRewrite(session: SparkSession)
     }
     val child = newFilters.foldRight(ruPlan)(
       org.apache.spark.sql.catalyst.plans.logical.Filter(_, _))
-    Some(Aggregate(groupPairs.map(_._2), newAggExprs, child))
+    Some((Aggregate(groupPairs.map(_._2), newAggExprs, child),
+      rederived))
   }
 }
 

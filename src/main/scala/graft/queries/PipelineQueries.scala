@@ -454,6 +454,39 @@ object PipelineQueries {
       q.orderBy("omonth")
     }),
 
+    // ST9-guard (r15) — the commit-maintained id-membership bloom
+    // that replaced the streaming loops' per-batch full-corpus
+    // anti-join, driven end-to-end and hash-checked: bootstrap over
+    // the corpus, a first batch probed (bloom negatives pass, true
+    // duplicates confirmed exactly against the IN-pruned id column)
+    // and committed, then a second batch probed through the O(delta)
+    // commit-window catch-up. The returned rows are exactly
+    // `batch2 WHERE key NOT IN (corpus ∪ batch1-fresh)` — the oracle
+    // recomputes that relationally.
+    "q_stream_guard" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("sguardq")
+        .toString
+      val corpus = s"$root/corpus"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 3 =!= 0),
+        corpus, keepVersions = 2)
+      val M = graft.ext.IdMembership
+      val batch1 = orders.filter(col("o_orderkey") % 5 === 0)
+        .localCheckpoint()
+      val fresh1 = M.freshOnly(s, corpus, batch1, "o_orderkey")
+        .localCheckpoint()
+      require(fresh1.count() > 0 && fresh1.count() < batch1.count(),
+        "batch 1 must carry both fresh ids and true duplicates")
+      S.morCommit(s, corpus, deletes = None, appends = Some(fresh1),
+        operation = "append")
+      val batch2 = orders.filter(col("o_orderkey") % 7 === 0)
+        .localCheckpoint()
+      M.freshOnly(s, corpus, batch2, "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
     // S20f — GROUP-column aggregates from the gold store: the rollup
     // keyed (o_orderpriority, o_orderstatus) serves the dashboard
     // cardinality query — count(DISTINCT status) per priority plus
@@ -2662,6 +2695,16 @@ FROM iceberg.silver.orders_current""")
                AS sum_price
       FROM orders GROUP BY 1
       ORDER BY omonth""",
+
+    // Stream-guard twin: batch 2 (%7 keys) minus the corpus as batch 2
+    // saw it — the %3≠0 bootstrap plus batch 1's fresh rows (%5 keys
+    // divisible by 3).
+    "q_stream_guard" -> s"""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 7 = 0
+        AND o_orderkey % 3 = 0
+        AND o_orderkey % 5 <> 0
+      ORDER BY o_orderkey""",
 
     // Rebuild-only-MV twin: after the append + REFRESH the store
     // holds the defining query over the FULL orders table — HAVING

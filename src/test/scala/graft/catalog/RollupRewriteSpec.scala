@@ -520,6 +520,23 @@ class RollupRewriteSpec extends SparkSpec {
     val ymf = spark.sql(ym)
     assert(scans(ymf, ru3) && !scans(ymf, dir3))
     assert(ymf.collect().map(_.toSeq).toSet == baseline(ym))
+
+    // HIERARCHY TIEBREAK: with a day store AND a month store both
+    // fresh on ONE table, the month query must read the store whose
+    // grain it hits EXACTLY (the month store, ~30× fewer gold rows),
+    // not the day store it would have to re-bucket
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvt.facts', name => 'mvt.monthly0',
+      group_by => 'omo0', sum_cols => 'qty',
+      group_exprs => 'omo0:=date_trunc(''month'', ts)')""").collect()
+    val ruM = new TableStore(spark).properties("mvt", "monthly0")(
+      "graft.rollup.dir")
+    val tie = """SELECT date_trunc('month', ts) AS m, count(*) AS c,
+      sum(qty) AS s FROM mvt.facts GROUP BY date_trunc('month', ts)"""
+    val tieF = spark.sql(tie)
+    assert(scans(tieF, ruM) && !scans(tieF, ru) && !scans(tieF, dir),
+      "an exact-grain store must win the tie over a finer one")
+    assert(tieF.collect().map(_.toSeq).toSet == baseline(tie))
   }
 
   test("FUNCTIONS of group keys serve from the store: GROUP BY " +
