@@ -582,6 +582,58 @@ class RollupRewriteSpec extends SparkSpec {
       "avg over a function of keys must stay on the base scan")
   }
 
+  test("SEEDED RANDOMIZED equivalence: random derivable query shapes " +
+    "(key subsets, f(keys) groupings, coarser buckets, key filters, " +
+    "mixed aggregates) answer bit-identically with the rewrite on " +
+    "and off — and when they scan gold, gold only") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwr").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 500).map { i =>
+      (i.toLong, s"g${i % 5}", s"r${i % 3}", (i % 17).toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-${1 + (i % 4)}%02d-${1 + (i % 25)}%02d 10:00:00"))
+    }.toDF("id", "grp", "region", "qty", "ts")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvr", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvr.facts', name => 'mvr.gold',
+      group_by => 'oday,grp,region', sum_cols => 'qty',
+      min_max_cols => 'qty',
+      group_exprs => 'oday:=date_trunc(''day'', ts)')""").collect()
+    val ru = new TableStore(spark).properties("mvr", "gold")(
+      "graft.rollup.dir")
+    val rnd = new scala.util.Random(20260815L)
+    val groupings = Seq("grp", "region", "date_trunc('day', ts)",
+      "date_trunc('month', ts)", "date_trunc('year', ts)",
+      "concat(grp, region)", "upper(grp)",
+      "substring(region, 1, 1)")
+    val aggs = Seq("count(*) AS c", "sum(qty) AS s",
+      "min(qty) AS mn", "max(qty) AS mx", "avg(qty) AS a",
+      "count(DISTINCT grp) AS dg", "min(region) AS mr",
+      "count(DISTINCT date_trunc('month', ts)) AS dm")
+    val filters = Seq("", "WHERE grp <> 'g2'", "WHERE region = 'r1'",
+      "WHERE concat(grp, region) <> 'g1r1'",
+      "WHERE date_trunc('month', ts) >= TIMESTAMP '2024-02-01'")
+    var served = 0
+    (1 to 40).foreach { _ =>
+      val gs = rnd.shuffle(groupings).take(1 + rnd.nextInt(2))
+      val as = rnd.shuffle(aggs).take(1 + rnd.nextInt(3))
+      val f = filters(rnd.nextInt(filters.size))
+      val q = s"SELECT ${(gs ++ as).mkString(", ")} FROM mvr.facts " +
+        s"$f GROUP BY ${gs.mkString(", ")}"
+      val df = spark.sql(q)
+      val fromGold = scans(df, ru)
+      if (fromGold) { served += 1
+        assert(!scans(df, dir), s"gold AND base scanned: $q") }
+      assert(df.collect().map(_.toSeq).toSet == baseline(q),
+        s"rewrite changed the answer of: $q (served=$fromGold)")
+    }
+    assert(served >= 30,
+      s"sanity: the derivable shapes should mostly serve ($served/40)")
+  }
+
   test("a corrupt (or foreign-format) rollup meta never fails query " +
     "analysis: that target skips its rewrite, the query stays on the " +
     "base — the always-on rule must be error-isolated per store") {
