@@ -686,11 +686,15 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     * set), min/max, approx_count_distinct (KMV sketch set). CASTs
     * around a function or its argument are transparent (the
     * `CAST(sum(CAST(m AS DECIMAL(27,6))) AS DOUBLE)` exact-sum idiom).
-    * Everything else — joins, filters, HAVING, distinct, expressions
-    * as group keys — fails HERE with the contract, not at run time
-    * with an analyzer error. Datatype-level derivability (e.g. a raw
-    * double sum) is checked by the command after the build, by
-    * requiring the rewrite to actually serve the defining query. */
+    * HAVING over maintainable aggregates maintains the un-HAVING'd
+    * rollup (the view keeps the filter; the rewrite serves
+    * Filter-over-Aggregate), and `count(DISTINCT col)` maintains a
+    * store keyed one grain finer. Everything else — outer joins,
+    * other distinct aggregates, subqueries — fails HERE with the
+    * contract, not at run time with an analyzer error. Datatype-level
+    * derivability (e.g. a raw double sum) is checked by the command
+    * after the build, by requiring the rewrite to actually serve the
+    * defining query. */
   private def mvCreateCommand(ns: String, name: String,
                               queryText: String, replace: Boolean,
                               ifNotExists: Boolean): LogicalPlan = {
@@ -720,8 +724,25 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case _ => None
     }
     val query = strip(delegate.parsePlan(queryText))
-    query match {
-      case agg: Aggregate =>
+    // HAVING over maintainable aggregates IS incrementally
+    // maintainable: the store maintains the un-HAVING'd rollup (plus
+    // any aggregate the predicate references), the late-bound view
+    // keeps the filter, and the rewrite serves Filter-over-Aggregate
+    // from gold — O(delta) REFRESH where a rebuild-only MV would pay
+    // a full recompute
+    val (aggNode, havingCond) = query match {
+      case org.apache.spark.sql.catalyst.analysis
+          .UnresolvedHaving(cond, agg: Aggregate) =>
+        if (cond.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+            .expressions.SubqueryExpression]))
+          fail("the HAVING clause must be subquery-free")
+        (agg, Some(cond))
+      case agg: Aggregate => (agg, None)
+      case _ =>
+        fail("the defining query must be a plain GROUP BY aggregate")
+    }
+    locally {
+      val agg = aggNode
         val groupExprs = agg.groupingExpressions
         val aggExprs = agg.aggregateExpressions
         // a WHERE clause makes it a PARTIAL materialized view: the
@@ -800,12 +821,16 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
               alias
           }
         }
-        if (groupBy.isEmpty)
-          fail("a global aggregate has no group keys to maintain — " +
-            "GROUP BY at least one column")
         val measures = Seq.newBuilder[String]
         val minMax = Seq.newBuilder[String]
         val ndv = Seq.newBuilder[String]
+        // count(DISTINCT <plain col>) columns join the STORE's group
+        // keys (finer grain than the query's): the gold table then
+        // carries one row per live key combination and the rewrite's
+        // group-key derivation (count/min/max/count-distinct over
+        // keys, sum/avg re-aggregation to the coarser query grain)
+        // serves the defining query exactly
+        val extraKeys = Seq.newBuilder[String]
         def stripCasts(x: Expression): Expression = x match {
           case Cast(c, _, _, _) => stripCasts(c)
           case o => o
@@ -834,6 +859,43 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
             }
             case _ => fail(s"${f.nameParts.last} takes one column")
           }
+        /** One aggregate call, from the SELECT list or the HAVING
+          * condition — both feed the same store columns. */
+        def handleFn(f: UnresolvedFunction, outer: Expression): Unit = {
+          val fname = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+          if (f.isDistinct) {
+            // count(DISTINCT <plain column(s)>): derivable from a
+            // store whose grain includes those columns — everything
+            // else distinct is order/set-dependent with no exact
+            // store-side twin
+            if (fname == "count" && f.arguments.nonEmpty &&
+                f.arguments.forall(a => attrName(a).isDefined) &&
+                f.filter.isEmpty)
+              f.arguments.foreach(a => extraKeys += attrName(a).get)
+            else fail("among DISTINCT aggregates only " +
+              "count(DISTINCT <column…>) is maintainable (served " +
+              "from a store keyed by those columns)")
+          } else fname match {
+            case "count" => f.arguments match {
+              case Seq() | Seq(_: Literal) | Seq(_: UnresolvedStar) =>
+                () // count(*) rides the always-maintained cnt
+              case _ => measures += measureArg(f, outer)
+            }
+            case "sum" | "avg" => measures += measureArg(f, outer)
+            case "min" | "max" => minMax += measureArg(f, outer)
+            case "approx_count_distinct" =>
+              // maintainable (KMV sketches) but NOT exactly
+              // rewritable — Spark's HLL++ and the maintained KMV
+              // estimate differ, and an MV read must never change
+              // a result. The sketch surface lives on the rollup:
+              fail("approx_count_distinct is maintainable but not " +
+                "EXACTLY derivable (HLL++ vs the maintained KMV " +
+                "sketch differ) — use CALL system.create_rollup" +
+                "(ndv_cols => …) and read ndv_<col> from the gold " +
+                "table instead")
+            case other => fail(s"$other() is not maintainable")
+          }
+        }
         aggExprs.foreach { e =>
           val isExprKey = e match {
             case al: Alias => exprCols.exists(_._2 == al.child.sql)
@@ -842,39 +904,40 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
           if (!isExprKey) unwrap(e) match {
             case a if attrName(a).isDefined &&
                 groupBy.exists(_.equalsIgnoreCase(attrName(a).get)) => ()
-            case f: UnresolvedFunction =>
-              if (f.isDistinct)
-                fail("DISTINCT aggregates are not maintainable")
-              f.nameParts.last.toLowerCase(java.util.Locale.ROOT) match {
-                case "count" => f.arguments match {
-                  case Seq() | Seq(_: Literal) | Seq(_: UnresolvedStar) =>
-                    () // count(*) rides the always-maintained cnt
-                  case _ => measures += measureArg(f, e)
-                }
-                case "sum" | "avg" => measures += measureArg(f, e)
-                case "min" | "max" => minMax += measureArg(f, e)
-                case "approx_count_distinct" =>
-                  // maintainable (KMV sketches) but NOT exactly
-                  // rewritable — Spark's HLL++ and the maintained KMV
-                  // estimate differ, and an MV read must never change
-                  // a result. The sketch surface lives on the rollup:
-                  fail("approx_count_distinct is maintainable but not " +
-                    "EXACTLY derivable (HLL++ vs the maintained KMV " +
-                    "sketch differ) — use CALL system.create_rollup" +
-                    "(ndv_cols => …) and read ndv_<col> from the gold " +
-                    "table instead")
-                case other => fail(s"$other() is not maintainable")
-              }
+            case f: UnresolvedFunction => handleFn(f, e)
             case other =>
               fail(s"unsupported select item: ${other.sql}")
           }
         }
+        // HAVING aggregates must be maintained too — the late-bound
+        // view's filter evaluates them, and the rewrite can only
+        // derive what the store carries (`HAVING count(*) > 10` rides
+        // cnt; `HAVING sum(v) > 5` adds v to the measure set even
+        // when unselected)
+        havingCond.foreach { cond =>
+          def walk(e: Expression): Unit = e match {
+            case f: UnresolvedFunction if Set("count", "sum", "avg",
+                "min", "max", "approx_count_distinct").contains(
+                f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+              handleFn(f, f)
+            case other => other.children.foreach(walk)
+          }
+          walk(cond)
+        }
+        // the STORE's grain: the query's keys plus any
+        // count(DISTINCT …) columns (case-insensitively deduped)
+        val storeGroupBy = extraKeys.result().foldLeft(groupBy) {
+          (acc, k) =>
+            if (acc.exists(_.equalsIgnoreCase(k))) acc else acc :+ k
+        }
+        if (storeGroupBy.isEmpty)
+          fail("a global aggregate has no group keys to maintain — " +
+            "GROUP BY at least one column (or count DISTINCT one)")
         GraftCreateMaterializedViewCommand(ns, name, srcNs, srcTable,
-          groupBy, measures.result().distinct, minMax.result().distinct,
-          ndv.result().distinct, where, query, queryText, replace,
-          ifNotExists, joins, exprCols.toSeq)
-      case _ =>
-        fail("the defining query must be a plain GROUP BY aggregate")
+          storeGroupBy, measures.result().distinct,
+          minMax.result().distinct, ndv.result().distinct, where,
+          query, queryText, replace, ifNotExists, joins,
+          exprCols.toSeq)
     }
   }
 
@@ -894,9 +957,11 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
             ifNotExists = ifNotExists != null)
           catch {
             // Trino parity: ANY defining query materializes. Shapes
-            // the incremental machinery cannot maintain (HAVING,
-            // DISTINCT, outer joins, window functions, subqueries,
-            // non-aggregate queries, …) become REBUILD-ONLY MVs:
+            // the incremental machinery cannot maintain (outer joins,
+            // window functions, subqueries, non-count DISTINCT
+            // aggregates, non-aggregate queries, …; HAVING and
+            // count(DISTINCT col) are maintainable and classified
+            // above) become REBUILD-ONLY MVs:
             // build once, REFRESH fully recomputes, reads serve the
             // store only while every source pin is fresh. Genuine
             // parse errors (ParseException) still propagate.

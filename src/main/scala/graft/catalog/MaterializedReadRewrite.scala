@@ -2,7 +2,7 @@ package graft.catalog
 
 import graft.pipeline.{MaterializedTable, Snapshot}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.PlanBridge
@@ -22,6 +22,15 @@ import org.apache.spark.sql.graft.PlanBridge
   * Catalyst's canonicalizer (exprIds, aliases and subquery-alias
   * wrappers normalized away).
   *
+  * Always-on cost discipline: the rule runs on EVERY analysis, so the
+  * per-call filesystem work is one directory listing per MV source
+  * ([[Snapshot.versionState]] — freshness check and plan-cache
+  * signature share it) plus an mtime-validated meta-sidecar cache;
+  * the catalog listing itself is an in-memory property scan. Analyzed
+  * defining plans are LRU-cached per (store, signature) and evicted
+  * PER ENTRY — a create/drop-heavy session must not dump hot plans
+  * wholesale.
+  *
   * Error-isolated and always-on like RollupRewrite; disable with
   * `spark.graft.rollup.rewrite.enabled = false` (one switch for both
   * MV read paths). */
@@ -39,14 +48,27 @@ case class MaterializedReadRewrite(session: SparkSession)
     val targets = new TableStore(session)
       .tablesWithProperty("graft.mv.rebuild-only")
     if (targets.isEmpty) return plan
-    val resolver = session.sessionState.analyzer.resolver
     val cands: Seq[(LogicalPlan, String)] = targets.flatMap { t =>
       // error isolation: a half-dropped MV or unparseable stored view
       // costs THIS target its rewrite, never the query's analysis
       try {
         val dir = t("graft.rollup.dir")
-        if (!MaterializedTable.isFresh(dir)) None
-        else definingPlanOf(t("graft.mv"), dir).map((_, dir))
+        MaterializedReadRewrite.metaCached(dir).flatMap { m =>
+          // ONE listing per source, feeding both the freshness gate
+          // and the cache signature (a source commit changes how its
+          // relations resolve — new sidecars — so the cached plan
+          // rebuilds exactly when freshness flips anyway)
+          val states = m.sources.map { case (p, v) =>
+            (v, Snapshot.versionState(p)) }
+          val fresh = states.forall { case (v, (cur, _)) =>
+            cur.contains(v) }
+          if (!fresh) None
+          else {
+            val sig = states.map { case (v, (_, n)) => s"$v:$n" }
+              .mkString(",")
+            definingPlanOf(t("graft.mv"), dir, sig).map((_, dir))
+          }
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     if (cands.isEmpty) return plan
@@ -77,33 +99,20 @@ case class MaterializedReadRewrite(session: SparkSession)
     Some(Project(projections, store))
   }
 
-  /** The ANALYZED defining plan of MV `qualified` — cached per
-    * (store dir, source-version signature): a source commit changes
-    * how its relations resolve (new sidecars), so the entry rebuilds
-    * exactly when freshness flips anyway. */
-  private def definingPlanOf(qualified: String,
-                             dir: String): Option[LogicalPlan] = {
+  /** The ANALYZED defining plan of MV `qualified` at cache key
+    * (store dir, `sig` — the caller's source-version signature). */
+  private def definingPlanOf(qualified: String, dir: String,
+                             sig: String): Option[LogicalPlan] = {
     val Array(ns, name) = qualified.split("\\.", 2)
-    val m = MaterializedTable.meta(dir).getOrElse(return None)
-    val sig = m.sources.map { case (p, v) =>
-      s"$v:${Snapshot.morVersions(p).size}" }.mkString(",")
     val key = (dir, sig)
-    MaterializedReadRewrite.planCache.get(key).orElse {
+    MaterializedReadRewrite.cacheGet(key).orElse {
       val parsed = new TableStore(session).viewDefinition(ns, name)
         .map(_._1).getOrElse(return None)
       MaterializedReadRewrite.resolving.set(true)
       val analyzed =
         try PlanBridge.ofRows(session, parsed).queryExecution.analyzed
         finally MaterializedReadRewrite.resolving.set(false)
-      MaterializedReadRewrite.planCache
-        .filterInPlace((k, _) => k._1 != dir || k == key)
-      // bound the cache across long create/drop-heavy sessions: a
-      // dropped MV's entry is never consulted again (targets come
-      // from the live catalog) but would otherwise pin its analyzed
-      // plan forever
-      if (MaterializedReadRewrite.planCache.size >= 64)
-        MaterializedReadRewrite.planCache.clear()
-      MaterializedReadRewrite.planCache.put(key, analyzed)
+      MaterializedReadRewrite.cachePut(key, analyzed)
       Some(analyzed)
     }
   }
@@ -112,7 +121,52 @@ case class MaterializedReadRewrite(session: SparkSession)
 object MaterializedReadRewrite {
   private val resolving: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
-  /** (store dir, source-version signature) → analyzed defining plan. */
-  private val planCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), LogicalPlan]
+
+  /** (store dir, source-version signature) → analyzed defining plan.
+    * Access-ordered LRU, bounded at 64: eviction drops the COLDEST
+    * entry, never the whole cache (a create/drop-heavy session keeps
+    * its hot defining plans). Superseded signatures of the same dir
+    * are dropped eagerly on insert — they can never be consulted
+    * again (the signature only moves forward with commits). */
+  private val planCache =
+    new java.util.LinkedHashMap[(String, String), LogicalPlan](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), LogicalPlan]): Boolean =
+        size() > 64
+    }
+
+  private def cacheGet(key: (String, String)): Option[LogicalPlan] =
+    planCache.synchronized(Option(planCache.get(key)))
+
+  private def cachePut(key: (String, String), p: LogicalPlan): Unit =
+    planCache.synchronized {
+      val it = planCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == key._1 && k != key) it.remove()
+      }
+      planCache.put(key, p)
+    }
+
+  /** [[MaterializedTable.meta]] validated by the sidecar's mtime —
+    * the always-on rule re-reads the file only when a rebuild
+    * actually rewrote it. */
+  private val metaCache = scala.collection.concurrent.TrieMap
+    .empty[String, (java.nio.file.attribute.FileTime, MaterializedTable.Meta)]
+
+  private def metaCached(dir: String): Option[MaterializedTable.Meta] = {
+    val f = java.nio.file.Paths.get(dir, "_mt_meta")
+    if (!java.nio.file.Files.exists(f)) { metaCache.remove(dir); None }
+    else {
+      val mtime = java.nio.file.Files.getLastModifiedTime(f)
+      metaCache.get(dir) match {
+        case Some((t, m)) if t == mtime => Some(m)
+        case _ =>
+          val m = MaterializedTable.meta(dir)
+          m.foreach(v => metaCache.put(dir, (mtime, v)))
+          m
+      }
+    }
+  }
 }

@@ -156,6 +156,112 @@ case class RollupRewrite(session: SparkSession)
     na.semanticEquals(nb) && na.sql == nb.sql
   }
 
+  /** Single-column comparison conjunct as an interval and/or value
+    * set — the shape the implication check reasons over. Bounds are
+    * (value, inclusive); only a BARE attribute against a same-typed
+    * non-null literal qualifies (an analyzer-inserted Cast means the
+    * literal lives in a different domain: no implication claimed). */
+  private case class ColPred(col: String, dt: DataType,
+                             lower: Option[(Any, Boolean)],
+                             upper: Option[(Any, Boolean)],
+                             inSet: Option[Seq[Any]])
+
+  private def colPredOf(e: Expression): Option[ColPred] = {
+    def name(a: AttributeReference) =
+      a.name.toLowerCase(java.util.Locale.ROOT)
+    def lit(l: Literal): Option[Any] = Option(l.value)
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if l.dataType == a.dataType =>
+        lit(l).map(v => ColPred(name(a), a.dataType,
+          Some((v, true)), Some((v, true)), Some(Seq(v))))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if l.dataType == a.dataType =>
+        lit(l).map(v => ColPred(name(a), a.dataType,
+          Some((v, true)), Some((v, true)), Some(Seq(v))))
+      case GreaterThan(a: AttributeReference, l: Literal)
+          if l.dataType == a.dataType =>
+        lit(l).map(v => ColPred(name(a), a.dataType,
+          Some((v, false)), None, None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+          if l.dataType == a.dataType =>
+        lit(l).map(v => ColPred(name(a), a.dataType,
+          Some((v, true)), None, None))
+      case LessThan(a: AttributeReference, l: Literal)
+          if l.dataType == a.dataType =>
+        lit(l).map(v => ColPred(name(a), a.dataType,
+          None, Some((v, false)), None))
+      case LessThanOrEqual(a: AttributeReference, l: Literal)
+          if l.dataType == a.dataType =>
+        lit(l).map(v => ColPred(name(a), a.dataType,
+          None, Some((v, true)), None))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        colPredOf(LessThan(a, l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        colPredOf(LessThanOrEqual(a, l))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        colPredOf(GreaterThan(a, l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        colPredOf(GreaterThanOrEqual(a, l))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall {
+            case l: Literal => l.value != null && l.dataType == a.dataType
+            case _ => false
+          } =>
+        Some(ColPred(name(a), a.dataType, None, None,
+          Some(vs.map(_.asInstanceOf[Literal].value))))
+      case InSet(a: AttributeReference, hset)
+          if hset.nonEmpty && !hset.contains(null) =>
+        Some(ColPred(name(a), a.dataType, None, None,
+          Some(hset.toSeq)))
+      case _ => None
+    }
+  }
+
+  /** Does conjunct `q` IMPLY conjunct `n` (every row satisfying q
+    * satisfies n)? Sound and intentionally incomplete: same bare
+    * column, same literal domain, range subsumption (`x > 5` ⟹
+    * `x > 0`), IN-list subset, point-in-range. False ⇒ "don't know",
+    * never "no but served anyway" — the caller refuses the rewrite. */
+  private def implies(q: Expression, n: Expression): Boolean =
+    (colPredOf(q), colPredOf(n)) match {
+      case (Some(pq), Some(pn))
+          if pq.col == pn.col && pq.dt == pn.dt &&
+            org.apache.spark.sql.catalyst.util.TypeUtils
+              .typeWithProperEquals(pq.dt) =>
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(pq.dt)
+        def aboveLower(v: Any) = pn.lower.forall { case (b, incl) =>
+          val c = ord.compare(v, b); c > 0 || (c == 0 && incl) }
+        def belowUpper(v: Any) = pn.upper.forall { case (b, incl) =>
+          val c = ord.compare(v, b); c < 0 || (c == 0 && incl) }
+        pn.inSet match {
+          case Some(ns) =>
+            // n is an IN: q must enumerate a subset of its values
+            pq.inSet.exists(_.forall(v => ns.exists(ord.equiv(_, v))))
+          case None =>
+            pq.inSet match {
+              case Some(qs) => qs.forall(v =>
+                aboveLower(v) && belowUpper(v))
+              case None =>
+                val lowOk = pn.lower.isEmpty || pq.lower.exists {
+                  case (v, qIncl) => pn.lower.exists { case (b, nIncl) =>
+                    val c = ord.compare(v, b)
+                    c > 0 || (c == 0 && (nIncl || !qIncl))
+                  }
+                }
+                val upOk = pn.upper.isEmpty || pq.upper.exists {
+                  case (v, qIncl) => pn.upper.exists { case (b, nIncl) =>
+                    val c = ord.compare(v, b)
+                    c < 0 || (c == 0 && (nIncl || !qIncl))
+                  }
+                }
+                lowOk && upOk
+            }
+        }
+      case _ => false
+    }
+
   /** A partial rollup's stored predicate, resolved against the base
     * plan by the SAME analyzer pipeline the query went through (so
     * implicit casts land identically) and split into conjuncts — None
@@ -463,14 +569,18 @@ case class RollupRewrite(session: SparkSession)
         translate(ae.aggregateFunction)
       case ae: AggregateExpression
           if ae.isDistinct && ae.filter.isEmpty =>
-        // count(DISTINCT g) over a GROUP KEY is exact on the gold
+        // count(DISTINCT g…) over GROUP KEYS is exact on the gold
         // table: one row per live key combination, so the distinct
-        // key-value SET matches the base's (nulls excluded by count
-        // on both sides). Other distinct aggregates never rewrite.
+        // key-TUPLE set matches the base's (rows with any null arg
+        // excluded by count on both sides). Other distinct
+        // aggregates never rewrite.
         ae.aggregateFunction match {
-          case Count(Seq(g)) => keyExprOf(g).map(x =>
-            AggregateExpression(Count(Seq(x)), Complete,
-              isDistinct = true))
+          case Count(gs) if gs.nonEmpty =>
+            val xs = gs.map(keyExprOf)
+            if (xs.forall(_.isDefined))
+              Some(AggregateExpression(Count(xs.map(_.get)), Complete,
+                isDistinct = true))
+            else None
           case _ => None
         }
       case _ if !e.exists(_.isInstanceOf[AggregateExpression]) &&
@@ -501,11 +611,15 @@ case class RollupRewrite(session: SparkSession)
         if (cs.forall(_.isDefined)) Some(e.withNewChildren(cs.map(_.get)))
         else None
     }
-    // PARTIAL rollup: every conjunct of its stored predicate must
-    // appear among the query's conjuncts — those are CONSUMED (gold
-    // rows satisfy them by construction); whatever remains re-maps to
-    // the gold table like any group-key filter. A query without the
-    // predicate aggregates rows the store never saw: no rewrite.
+    // PARTIAL rollup: every conjunct of its stored predicate must be
+    // SATISFIED by the query — repeated verbatim (CONSUMED: gold rows
+    // satisfy it by construction) or IMPLIED by a strictly-narrower
+    // query conjunct (`x > 5` over an `x > 0` store; IN-list subset —
+    // the Calcite predicate-implication serve). An implying conjunct
+    // is NOT consumed: it stays in `remaining` and must re-map to
+    // gold key columns below, which re-applies the narrower slice on
+    // the gold rows. A query that leaves a stored conjunct
+    // unsatisfied aggregates rows the store never saw: no rewrite.
     val queryConjs = filters.flatMap(splitConjuncts)
     val remaining: Seq[Expression] = m.filter match {
       case None => queryConjs
@@ -515,8 +629,8 @@ case class RollupRewrite(session: SparkSession)
         var rest = queryConjs
         needed.foreach { n =>
           val i = rest.indexWhere(normEquals(_, n))
-          if (i < 0) return None
-          rest = rest.patch(i, Nil, 1)
+          if (i >= 0) rest = rest.patch(i, Nil, 1)
+          else if (!queryConjs.exists(q => implies(q, n))) return None
         }
         rest
     }

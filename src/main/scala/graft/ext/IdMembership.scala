@@ -78,7 +78,18 @@ object IdMembership {
   /** Serialized bloom over `xxhash64(keyCol)` plus the row count, in
     * ONE pass over `df` — the exact probe protocol
     * [[BloomFilterMightContain]] expects ([[BloomJoin]] uses the same
-    * pair in-plan). Bloom is None when `df` is empty. */
+    * pair in-plan). Bloom is None when `df` is empty.
+    *
+    * [[BloomFilterAggregate]] SILENTLY clamps both parameters to
+    * `spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}`
+    * (defaults 4M items / 8 MB — sized for its join-filter role, not
+    * an id corpus): past ~4M ids the sketch would be capped and
+    * over-full while the caller believes it got the requested
+    * capacity, so the geometric resize never fires and the guard
+    * degrades toward confirming every batch. Raise the two confs to
+    * cover the request for the duration of the build, and let callers
+    * read the REAL capacity off the serialized sketch
+    * ([[capacityOf]]) rather than trusting the request. */
   private def bloomAndCount(df: DataFrame, keyCol: String,
                             items: Long): (Option[Array[Byte]], Long) = {
     val agg = ColumnBridge.column(
@@ -86,9 +97,30 @@ object IdMembership {
         ColumnBridge.expression(xxhash64(col(keyCol))),
         Literal(items), Literal(numBits(items)))
         .toAggregateExpression())
-    val row = df.select(agg.as("bf"), count(lit(1)).as("n")).head()
+    val conf = df.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    val row =
+      try {
+        conf.set(itemsKey, math.max(items, oldItems.toLong))
+        conf.set(bitsKey, math.max(numBits(items), oldBits.toLong))
+        df.select(agg.as("bf"), count(lit(1)).as("n")).head()
+      } finally {
+        conf.set(itemsKey, oldItems)
+        conf.set(bitsKey, oldBits)
+      }
     (Option(row.getAs[Array[Byte]](0)), row.getLong(1))
   }
+
+  /** The item capacity the serialized sketch ACTUALLY has, from its
+    * bit size under this module's 8-bits/item sizing — the ground
+    * truth the resize trigger compares against (a clamped or
+    * foreign-built sketch must resize by its real geometry, not the
+    * requested one). */
+  private def capacityOf(bloom: Array[Byte]): Long =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloom)).bitSize() / 8
 
   private def emptyBloom(items: Long): Array[Byte] = {
     val f = org.apache.spark.util.sketch.BloomFilter
@@ -143,8 +175,15 @@ object IdMembership {
       if (bytes.length <= 24) None // torn/empty → rebuild
       else {
         val buf = java.nio.ByteBuffer.wrap(bytes)
-        Some(State(buf.getLong, buf.getLong, buf.getLong,
-          java.util.Arrays.copyOfRange(bytes, 24, bytes.length)))
+        val (version, _, approx) = (buf.getLong, buf.getLong, buf.getLong)
+        val bloom = java.util.Arrays.copyOfRange(bytes, 24, bytes.length)
+        // capacity from the sketch's REAL geometry, not the stored
+        // request: a sidecar written under a clamped build (the
+        // BloomFilterAggregate maxNumBits default) records a capacity
+        // its bits cannot honor — trusting it would suppress the
+        // resize forever while false positives climb
+        try Some(State(version, capacityOf(bloom), approx, bloom))
+        catch { case _: java.io.IOException => None } // corrupt → rebuild
       }
     }
   }
@@ -162,7 +201,10 @@ object IdMembership {
       val n = ids.count()
       val cap = capacityFor(n)
       val (bf, _) = bloomAndCount(ids, keyCol, cap)
-      State(live, cap, n, bf.getOrElse(emptyBloom(cap)))
+      val bloom = bf.getOrElse(emptyBloom(cap))
+      // record what the sketch REALLY holds (== cap under the raised
+      // confs; the honest trigger if anything ever clamps the build)
+      State(live, capacityOf(bloom), n, bloom)
     }
   }
 
@@ -234,6 +276,11 @@ object IdMembership {
             // compaction/rebase past the stamp: the window is
             // unrecoverable — the amortized full rebuild
             case _: IllegalStateException =>
+              rebuild(spark, tableDir, keyCol, live)
+            // a legacy sidecar built under the clamped aggregate has
+            // geometry a correctly-sized window sketch cannot merge
+            // with — heal by rebuilding at the honest size
+            case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
               rebuild(spark, tableDir, keyCol, live)
           }
         case _ => rebuild(spark, tableDir, keyCol, live)

@@ -41,6 +41,16 @@ object Snapshot {
   def currentVersion(path: String): Option[Long] =
     markerVersion(path).map(b => (b +: morVersions(path)).max)
 
+  /** (live version, MOR-commit count) in ONE directory listing — the
+    * polling shape freshness gates and cache signatures share
+    * ([[graft.catalog.MaterializedReadRewrite]] consults both per
+    * source on every analysis; two separate calls would pay the
+    * listing twice). */
+  def versionState(path: String): (Option[Long], Int) = {
+    val mv = morVersions(path)
+    (markerVersion(path).map(b => (b +: mv).max), mv.size)
+  }
+
   /** Retained HISTORICAL versions of `path` (ascending, not counting
     * the live version — see [[currentVersion]] for that). */
   def historicalVersions(path: String): Seq[Long] = {
@@ -2191,6 +2201,19 @@ object Snapshot {
                 "instead")
         }
       scoped.foreach { case (cols, dfs) =>
+        // schema drift across the window (identifier column added
+        // after `since`, or a current column the as-of read lacks)
+        // must take the caller's recompute fallback, not explode as
+        // an AnalysisException out of the condition/select below
+        val asOfCols = asOfSince.columns.toSet
+        val unresolvable =
+          (cols ++ tableCols).filterNot(asOfCols.contains).distinct
+        if (unresolvable.nonEmpty) throw new UnpriceableWindowException(
+          s"$what over $path cannot resolve identifier-scoped " +
+            s"equality deletes: column(s) " +
+            s"${unresolvable.mkString(", ")} are not in the v$since " +
+            "schema (columns changed mid-window) — rebuild/recompute " +
+            "instead")
         val keys = dfs.reduce(_ unionByName _)
           .select(cols.map(col): _*).distinct().localCheckpoint()
         val first = cols.head

@@ -330,7 +330,10 @@ object PipelineQueries {
 
     // S20j (r15) — REBUILD-ONLY MATERIALIZED VIEWS, the Trino-parity
     // class: a defining query the incremental machinery cannot
-    // maintain (here HAVING + count(DISTINCT)) still materializes —
+    // maintain (here sum(DISTINCT) — order/set-dependent with no
+    // exact store-side twin; HAVING and count(DISTINCT) graduated to
+    // the INCREMENTAL class in r16, see q_mv_having) still
+    // materializes —
     // build once with every source snapshot version PINNED, reads
     // serve the store via whole-plan matching while every pin is
     // fresh, a base commit flips it stale and reads fall back to the
@@ -351,7 +354,8 @@ object PipelineQueries {
       val ts = new TableStore(s)
       ts.registerSnapshot("mvrb", "orders", src)
       s.sql("""CREATE MATERIALIZED VIEW mvrb.heavy AS
-        SELECT o_orderpriority, count(DISTINCT o_custkey) AS dc,
+        SELECT o_orderpriority,
+               CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sdc,
                CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
                  AS sum_price
         FROM mvrb.orders GROUP BY o_orderpriority
@@ -360,7 +364,7 @@ object PipelineQueries {
         .apply("graft.rollup.dir")
       require(ts.properties("mvrb", "heavy__storage")
         .contains("graft.mv.rebuild-only"),
-        "HAVING + count(DISTINCT) must land as a rebuild-only MV")
+        "sum(DISTINCT) must land as a rebuild-only MV")
       def reads(df: org.apache.spark.sql.DataFrame,
                 dir: String): Boolean =
         df.queryExecution.optimizedPlan.collectLeaves().exists {
@@ -390,6 +394,72 @@ object PipelineQueries {
         "the refreshed MV must serve from its store again")
       ts.dropTable("mvrb", "heavy__storage"); ts.dropView("mvrb", "heavy")
       ts.dropTable("mvrb", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
+    // S20l (r16) — HAVING + count(DISTINCT group key) MVs are
+    // INCREMENTALLY maintained: the store keeps the un-HAVING'd
+    // rollup one grain finer (priority, custkey); the late-bound view
+    // keeps the HAVING filter and the rewrite serves
+    // Filter-over-Aggregate from gold (count(*) rides cnt, the
+    // distinct count is exact on the gold key rows — S20f). REQUIRED
+    // in-query: the MV is NOT rebuild-only, the fresh and refreshed
+    // reads scan ONLY the store, and REFRESH prices the append window
+    // (touched groups ≤ the delta's distinct key combinations — never
+    // the full recompute a rebuild-only MV would pay).
+    "q_mv_having" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvhvq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
+        src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvhv", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvhv.pri AS
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS dc,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_price
+        FROM mvhv.orders GROUP BY o_orderpriority
+        HAVING count(*) > 10""").collect()
+      val props = ts.properties("mvhv", "pri__storage")
+      require(!props.contains("graft.mv.rebuild-only"),
+        "HAVING + count(DISTINCT col) must land as an INCREMENTAL MV")
+      val mvDir = props("graft.rollup.dir")
+      require(graft.pipeline.Rollup.meta(mvDir).isDefined,
+        "the incremental MV must carry rollup meta (maintained store)")
+      def reads(df: org.apache.spark.sql.DataFrame,
+                dir: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+                  .exists(p => p == dir || p.startsWith(s"$dir/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      val fresh = s.sql("SELECT * FROM mvhv.pri")
+      require(reads(fresh, mvDir) && !reads(fresh, src),
+        "a fresh HAVING MV must serve the defining query from gold")
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      val touched = s.sql("REFRESH MATERIALIZED VIEW mvhv.pri")
+        .collect()(0).getLong(0)
+      require(touched > 0L, "the append window must touch groups")
+      val deltaGroups = orders.filter(col("o_orderkey") % 10 === 7)
+        .select("o_orderpriority", "o_custkey").distinct().count()
+      require(touched <= deltaGroups,
+        s"REFRESH must price the window ($touched touched vs " +
+          s"$deltaGroups delta groups), not recompute the store")
+      val q = s.sql("SELECT * FROM mvhv.pri")
+      require(reads(q, mvDir) && !reads(q, src),
+        "the refreshed HAVING MV must serve from gold again")
+      ts.dropTable("mvhv", "pri__storage"); ts.dropView("mvhv", "pri")
+      ts.dropTable("mvhv", "orders")
       q.orderBy("o_orderpriority")
     }),
 
@@ -2708,8 +2778,20 @@ FROM iceberg.silver.orders_current""")
 
     // Rebuild-only-MV twin: after the append + REFRESH the store
     // holds the defining query over the FULL orders table — HAVING
-    // and count(DISTINCT) computed by the full recompute.
+    // and sum(DISTINCT) computed by the full recompute.
     "q_mv_rebuild" -> s"""
+      SELECT o_orderpriority,
+             CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sdc,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 10
+      ORDER BY o_orderpriority""",
+
+    // Incremental HAVING/count-DISTINCT MV twin: the served answer is
+    // the defining query over the FULL orders table — the plan reads
+    // gold, the filter applies late-bound, the distinct count derives
+    // from the (priority, custkey)-grain store.
+    "q_mv_having" -> s"""
       SELECT o_orderpriority,
              COUNT(DISTINCT o_custkey) AS dc,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)

@@ -99,7 +99,15 @@ object PruningBridge {
     * key-clustered layout that prunes to O(files holding the listed
     * keys). Both the literal `In` and the optimizer's `InSet`
     * (conversion past the threshold) are recognized; a null in the
-    * list contributes nothing (`IN` never matches null anyway). */
+    * list contributes nothing (`IN` never matches null anyway).
+    *
+    * A value the comparable conversion cannot handle (Decimal
+    * literals over decimal columns, `Array[Byte]` over binary — both
+    * of which DO carry manifest stats as long/string) must abort the
+    * WHOLE entry, not just drop the value: an any-of check over a
+    * reduced set would prune files that hold exactly the dropped
+    * values and silently return missing rows. Mirrors how
+    * [[rangesOf]] rejects unconvertible literals per-filter. */
   private[graft] def inSetsOf(
       filters: Seq[Expression]): Seq[(String, Seq[Any])] = {
     def conv(v: Any): Option[Any] = v match {
@@ -108,13 +116,21 @@ object PruningBridge {
       case n: java.lang.Number => Some(n)
       case _ => None
     }
+    // None = at least one non-null value is not comparable → the
+    // filter contributes no skipping (every file kept on its account)
+    def convAll(vs: Iterable[Any]): Option[Seq[Any]] = {
+      val nonNull = vs.filter(_ != null).toSeq
+      val converted = nonNull.flatMap(conv(_))
+      if (converted.length == nonNull.length && converted.nonEmpty)
+        Some(converted)
+      else None
+    }
     filters.flatMap {
       case In(a: AttributeReference, vs)
           if vs.forall(_.isInstanceOf[Literal]) =>
-        Some(a.name ->
-          vs.flatMap(v => conv(v.asInstanceOf[Literal].value)))
+        convAll(vs.map(_.asInstanceOf[Literal].value)).map(a.name -> _)
       case InSet(a: AttributeReference, hset) =>
-        Some(a.name -> hset.toSeq.flatMap(conv))
+        convAll(hset).map(a.name -> _)
       case _ => None
     }
   }

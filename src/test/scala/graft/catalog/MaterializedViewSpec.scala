@@ -286,7 +286,75 @@ class MaterializedViewSpec extends SparkSpec {
       ("by_grp", false)))
   }
 
-  test("formerly-unmaintainable defining queries (DISTINCT, HAVING, " +
+  test("HAVING over maintainable aggregates and count(DISTINCT col) " +
+    "land as INCREMENTAL MVs: the store maintains the un-HAVING'd " +
+    "rollup (one grain finer for the distinct count), reads serve " +
+    "gold, and REFRESH prices the window — never the full recompute " +
+    "a rebuild-only MV pays") {
+    val (dir, facts) = fixture()
+
+    def incremental(createSql: String, name: String,
+                    deltaGroupsOf: DataFrame => Long): Unit = {
+      spark.sql(createSql).collect()
+      val props = new TableStore(spark)
+        .properties("mvx", s"${name}__storage")
+      assert(!props.contains("graft.mv.rebuild-only"),
+        s"$name must land as an INCREMENTAL MV, not rebuild-only")
+      val mvDir = props("graft.rollup.dir")
+      assert(graft.pipeline.Rollup.meta(mvDir).isDefined,
+        s"$name must carry rollup meta (a maintained store)")
+      def recomputeIt(): Set[Seq[Any]] = {
+        spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+        try answers(spark.sql(s"SELECT * FROM mvx.$name"))
+        finally spark.conf.set(
+          "spark.graft.rollup.rewrite.enabled", "true")
+      }
+      val fresh = spark.sql(s"SELECT * FROM mvx.$name")
+      assert(scans(fresh, mvDir) && !scans(fresh, dir),
+        s"$name must serve from gold while fresh")
+      assert(answers(fresh) == recomputeIt())
+      // a delta lands in ONE query group — REFRESH must touch only
+      // the delta's store-grain groups, proving the O(delta) path
+      val delta = facts.limit(30)
+        .withColumn("id", col("id") + 50000L)
+        .withColumn("grp", lit("g1"))
+      Snapshot.morCommit(spark, dir, deletes = None,
+        appends = Some(delta), operation = "append")
+      val touched = spark
+        .sql(s"REFRESH MATERIALIZED VIEW mvx.$name")
+        .collect()(0).getLong(0)
+      assert(touched > 0L, s"$name: the append must touch groups")
+      assert(touched <= deltaGroupsOf(delta),
+        s"$name: REFRESH must price the window, got $touched")
+      val rearmed = spark.sql(s"SELECT * FROM mvx.$name")
+      assert(scans(rearmed, mvDir) && !scans(rearmed, dir),
+        s"$name must serve from gold after the incremental refresh")
+      assert(answers(rearmed) == recomputeIt(),
+        s"$name: the refreshed gold answer must equal the recompute")
+      spark.sql(s"DROP MATERIALIZED VIEW mvx.$name").collect()
+    }
+
+    // HAVING whose aggregate is NOT selected: the store maintains cnt
+    // anyway, the view filter evaluates it on gold
+    incremental("""CREATE MATERIALIZED VIEW mvx.hv AS
+      SELECT grp, sum(qty) AS q FROM mvx.facts
+      GROUP BY grp HAVING count(*) > 90""", "hv",
+      d => d.select("grp").distinct().count())
+    // count(DISTINCT col): the store is keyed one grain finer
+    incremental("""CREATE MATERIALIZED VIEW mvx.cd AS
+      SELECT grp, count(DISTINCT qty) AS dq, count(*) AS c
+      FROM mvx.facts GROUP BY grp""", "cd",
+      d => d.select("grp", "qty").distinct().count())
+    // both at once, plus a HAVING aggregate over an unselected
+    // measure (amount joins the measure set through the predicate)
+    incremental("""CREATE MATERIALIZED VIEW mvx.both AS
+      SELECT grp, count(DISTINCT qty) AS dq, sum(qty) AS q
+      FROM mvx.facts GROUP BY grp
+      HAVING count(*) > 90 AND sum(qty) > 0""", "both",
+      d => d.select("grp", "qty").distinct().count())
+  }
+
+  test("formerly-unmaintainable defining queries (sum DISTINCT, " +
     "outer joins, global aggregates) CREATE as REBUILD-ONLY MVs — " +
     "Trino accepts any defining query; only a non-snapshot source " +
     "still refuses (no freshness gate possible)") {
@@ -314,11 +382,8 @@ class MaterializedViewSpec extends SparkSpec {
         s"$name: the store must equal the defining query's result")
     }
     rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
-      SELECT grp, count(DISTINCT qty) AS c FROM mvx.facts
-      GROUP BY grp""")
-    rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
-      SELECT grp, count(*) AS c FROM mvx.facts
-      GROUP BY grp HAVING count(*) > 90""")
+      SELECT grp, CAST(sum(DISTINCT qty) AS BIGINT) AS c
+      FROM mvx.facts GROUP BY grp""")
     rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
       SELECT count(*) AS c, sum(amount) AS s FROM mvx.facts""")
     rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS

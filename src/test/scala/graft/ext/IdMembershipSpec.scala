@@ -138,6 +138,34 @@ class IdMembershipSpec extends SparkSpec {
       s"capacity must re-size past the item count: $st")
   }
 
+  test("a past-the-clamp corpus gets its REQUESTED sketch geometry: " +
+    "BloomFilterAggregate's runtime-filter confs (4M items / 8 MB) " +
+    "must not silently cap the sidecar, and capacity reflects the " +
+    "serialized bits") {
+    val root = Files.createTempDirectory("idmembig").toString
+    val t = s"$root/corpus"
+    val n = 5000000L
+    Snapshot.createOrReplace(
+      spark.range(n).select(col("id").as("vec_id"),
+        (col("id") % 97).as("payload")), t, keepVersions = 1)
+    IdMembership.invalidate(t)
+    val st = IdMembership.ensureCurrent(spark, t, "vec_id")
+    // 2× the live count, NOT the 8,388,608-item ceiling the default
+    // maxNumBits clamp would leave behind
+    assert(st.capacity == 2 * n,
+      s"capacity must match the request past the 4M clamp: $st")
+    assert(st.bloom.length > 9 * 1024 * 1024,
+      s"the serialized sketch must hold 2n×8 bits (~10 MB), " +
+        s"got ${st.bloom.length} bytes")
+    // the confs were restored after the build
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits") ==
+      "67108864")
+    // and the guard stays exact at this size
+    val b = ids(Seq(1234567L, n + 5L))
+    assert(guarded(t, b) == Set(n + 5L))
+  }
+
   test("fallbacks stay exact: a torn sidecar rebuilds from the id " +
     "column, and a compaction past the stamp (unrecoverable window) " +
     "falls back to the full rebuild") {

@@ -187,6 +187,48 @@ class ScanPruningSpec extends SparkSpec {
       .filter(col("k").isin(100000L, 100001L))) == 0)
   }
 
+  test("an IN-list whose literals the stats domain cannot compare " +
+    "(decimal column — manifest stats are unscaled longs) keeps every " +
+    "file instead of pruning on a silently-reduced value set") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpTable("prune11")
+    val dec = (0 until 800).map(i =>
+      (i.toLong, new java.math.BigDecimal(s"$i.5"), f"s$i%04d"))
+    Snapshot.createOrReplace(
+      dec.toDF("k", "d", "s")
+        .withColumn("d", col("d").cast("decimal(10,2)")), dir)
+    Snapshot.rewriteSorted(spark, dir, 8, Seq(col("k")))
+    // publish stats for the decimal column too: parquet stores
+    // decimal(10,2) as INT64, so the manifest carries UNSCALED longs
+    // a Catalyst Decimal literal can never compare against
+    ScanPruning.writeStatsManifest(spark, dir, Seq("k", "d"))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    // both the In form (3 values) and the InSet form (12) must return
+    // the exact rows — a dropped-value any-of would prune every
+    // stats-carrying file and return nothing
+    val inQ = Snapshot.read(spark, dir)
+      .filter(col("d").isin(new java.math.BigDecimal("150.5"),
+        new java.math.BigDecimal("151.5"),
+        new java.math.BigDecimal("152.5")))
+    assert(inQ.count() == 3,
+      "decimal IN-list must not be mis-pruned by the manifest index")
+    val many = ((100 to 105) ++ (700 to 705))
+      .map(i => new java.math.BigDecimal(s"$i.5"))
+    val inSetQ = Snapshot.read(spark, dir)
+      .filter(col("d").isin(many: _*))
+    assert(inSetQ.count() == many.size,
+      "decimal InSet must not be mis-pruned by the manifest index")
+    // the k column (integral — convertible) still prunes in the same
+    // snapshot, proving the abort is per-filter, not global
+    assert(scannedFiles(Snapshot.read(spark, dir)
+      .filter(col("k").isin(150L, 151L, 152L))) <= 2)
+  }
+
   test("WRITE ORDERED BY commits and zorder rewrites publish manifests " +
     "so their layouts skip files too") {
     // ordered commit → manifest for the order column
