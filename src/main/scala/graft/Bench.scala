@@ -105,6 +105,15 @@ object Bench {
     val results =
       if (!auditMode) pass(spark0, sfDir, names, gcBetween)
       else {
+        // UNTIMED warmup of the audited queries themselves first: the
+        // child JVM is deliberately fresh (no inherited aging), but a
+        // fixture-heavy query must not bill full Spark init + cold
+        // codegen + cold FS caches as plan cost — r15's audit read
+        // q_snapshot_refs 19.99 s isolated vs 5.99 s in-context
+        // through exactly that, and min-of-two inside one cold
+        // process doesn't absorb it (the first timed pass IS the
+        // cold one). Warm, then min-of-two.
+        pass(spark0, sfDir, names, gcBetween)
         val once = pass(spark0, sfDir, names, gcBetween).toMap
         val twice = pass(spark0, sfDir, names, gcBetween).toMap
         names.map(n => n -> math.min(once(n), twice(n)))
@@ -133,6 +142,7 @@ object Bench {
         // spawn failed (exotic classpath/env): the in-process
         // fresh-session audit is still better than nothing
         val spark1 = mkSession(cpus)
+        pass(spark1, sfDir, outliers, gcBetween) // untimed warmup
         val once = pass(spark1, sfDir, outliers, gcBetween).toMap
         val twice = pass(spark1, sfDir, outliers, gcBetween).toMap
         val res = outliers.map(n => n -> math.min(once(n), twice(n)))

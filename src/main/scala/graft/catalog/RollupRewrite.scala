@@ -136,6 +136,21 @@ case class RollupRewrite(session: SparkSession)
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    // BETWEEN (and friends) analyze to RuntimeReplaceable nodes whose
+    // expansion only lands in the optimizer — split on the semantic
+    // replacement so `x BETWEEN a AND b` contributes its two
+    // comparisons as ordinary conjuncts
+    case r: RuntimeReplaceable => splitConjuncts(r.replacement)
+    // a replacement may arrive wrapped in `With` (Spark shares the
+    // input via common-expression refs to evaluate it once) — inline
+    // each ref's definition; the duplication is fine here, these
+    // conjuncts are reasoned over and re-built, never evaluated as-is
+    case w: With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      splitConjuncts(w.child.transformUp {
+        case ref: CommonExpressionRef =>
+          defs.getOrElse(ref.id, ref)
+      })
     case other => Seq(other)
   }
 
@@ -159,41 +174,71 @@ case class RollupRewrite(session: SparkSession)
   /** Single-column comparison conjunct as an interval and/or value
     * set — the shape the implication check reasons over. Bounds are
     * (value, inclusive); only a BARE attribute against a same-typed
-    * non-null literal qualifies (an analyzer-inserted Cast means the
-    * literal lives in a different domain: no implication claimed). */
+    * non-null literal qualifies. A post-hoc rule sees ANALYZED (not
+    * optimized) plans, so a type-coercion Cast around a literal is
+    * still unfolded — [[foldLitCasts]] evaluates those first. With
+    * the attribute bare, the coerced common type IS the attribute's
+    * type, so the fold moves the literal INTO the column's domain
+    * (a widening, never lossy); a cast that still comes out
+    * null-or-failing keeps its node and claims no implication. */
   private case class ColPred(col: String, dt: DataType,
                              lower: Option[(Any, Boolean)],
                              upper: Option[(Any, Boolean)],
                              inSet: Option[Seq[Any]])
 
-  private def colPredOf(e: Expression): Option[ColPred] = {
+  /** Evaluate foldable Casts of literals (the analyzer's implicit
+    * widening around `qty > 5` when qty is bigint) and strip IDENTITY
+    * casts (IN coercion wraps even the attribute in a same-type cast:
+    * `cast(qty as bigint) IN (…)` on a bigint column) so colPredOf
+    * sees bare attributes against plain Literals in the column's own
+    * domain. */
+  private def foldLitCasts(e: Expression): Expression = e.transformUp {
+    case c: Cast if c.child.dataType == c.dataType => c.child
+    case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+      try {
+        val v = c.eval(null)
+        if (v == null && c.child.asInstanceOf[Literal].value != null) c
+        else Literal(v, c.dataType)
+      } catch { case scala.util.control.NonFatal(_) => c }
+  }
+
+  /** A non-null literal's value carried INTO `dt`'s domain: verbatim
+    * when same-typed, via a guaranteed-lossless up-cast otherwise
+    * (`Cast.canUpCast` — the BETWEEN replacement compares a bigint
+    * column against raw int literals with no analyzer cast at all).
+    * None for a null literal or any lossy/failing conversion. */
+  private def litInto(l: Literal, dt: DataType): Option[Any] =
+    if (l.value == null) None
+    else if (l.dataType == dt) Some(l.value)
+    else if (Cast.canUpCast(l.dataType, dt))
+      try Option(Cast(l, dt).eval(null))
+      catch { case scala.util.control.NonFatal(_) => None }
+    else None
+
+  private def colPredOf(e0: Expression): Option[ColPred] = {
     def name(a: AttributeReference) =
       a.name.toLowerCase(java.util.Locale.ROOT)
-    def lit(l: Literal): Option[Any] = Option(l.value)
-    e match {
-      case EqualTo(a: AttributeReference, l: Literal)
-          if l.dataType == a.dataType =>
-        lit(l).map(v => ColPred(name(a), a.dataType,
+    def pred(a: AttributeReference, l: Literal,
+             f: Any => ColPred): Option[ColPred] =
+      litInto(l, a.dataType).map(f)
+    foldLitCasts(e0) match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        pred(a, l, v => ColPred(name(a), a.dataType,
           Some((v, true)), Some((v, true)), Some(Seq(v))))
-      case EqualTo(l: Literal, a: AttributeReference)
-          if l.dataType == a.dataType =>
-        lit(l).map(v => ColPred(name(a), a.dataType,
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        pred(a, l, v => ColPred(name(a), a.dataType,
           Some((v, true)), Some((v, true)), Some(Seq(v))))
-      case GreaterThan(a: AttributeReference, l: Literal)
-          if l.dataType == a.dataType =>
-        lit(l).map(v => ColPred(name(a), a.dataType,
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        pred(a, l, v => ColPred(name(a), a.dataType,
           Some((v, false)), None, None))
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
-          if l.dataType == a.dataType =>
-        lit(l).map(v => ColPred(name(a), a.dataType,
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        pred(a, l, v => ColPred(name(a), a.dataType,
           Some((v, true)), None, None))
-      case LessThan(a: AttributeReference, l: Literal)
-          if l.dataType == a.dataType =>
-        lit(l).map(v => ColPred(name(a), a.dataType,
+      case LessThan(a: AttributeReference, l: Literal) =>
+        pred(a, l, v => ColPred(name(a), a.dataType,
           None, Some((v, false)), None))
-      case LessThanOrEqual(a: AttributeReference, l: Literal)
-          if l.dataType == a.dataType =>
-        lit(l).map(v => ColPred(name(a), a.dataType,
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        pred(a, l, v => ColPred(name(a), a.dataType,
           None, Some((v, true)), None))
       case GreaterThan(l: Literal, a: AttributeReference) =>
         colPredOf(LessThan(a, l))
@@ -204,12 +249,15 @@ case class RollupRewrite(session: SparkSession)
       case LessThanOrEqual(l: Literal, a: AttributeReference) =>
         colPredOf(GreaterThanOrEqual(a, l))
       case In(a: AttributeReference, vs)
-          if vs.nonEmpty && vs.forall {
-            case l: Literal => l.value != null && l.dataType == a.dataType
-            case _ => false
-          } =>
-        Some(ColPred(name(a), a.dataType, None, None,
-          Some(vs.map(_.asInstanceOf[Literal].value))))
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val conv = vs.map(v =>
+          litInto(v.asInstanceOf[Literal], a.dataType))
+        // ALL values must carry over — a reduced set would claim a
+        // smaller predicate than the query's (unsound to imply from)
+        if (conv.forall(_.isDefined))
+          Some(ColPred(name(a), a.dataType, None, None,
+            Some(conv.map(_.get))))
+        else None
       case InSet(a: AttributeReference, hset)
           if hset.nonEmpty && !hset.contains(null) =>
         Some(ColPred(name(a), a.dataType, None, None,
@@ -218,13 +266,54 @@ case class RollupRewrite(session: SparkSession)
     }
   }
 
+  /** INTEGRAL bound tightening: on an integer domain an EXCLUSIVE
+    * bound equals the adjacent INCLUSIVE one (`x > 3` ⟺ `x >= 4`),
+    * so normalizing both sides to inclusive bounds lets `x > 3`
+    * serve an `x >= 4` store. Extremes that would overflow keep
+    * their exclusive form (such predicates are empty anyway). Only
+    * integral types — float/decimal/string domains have no adjacent
+    * value. */
+  private def tighten(p: ColPred): ColPred = {
+    def adj(v: Any, up: Boolean): Option[Any] = (p.dt, v) match {
+      case (ByteType, b: java.lang.Byte) =>
+        if (up) (if (b == Byte.MaxValue) None
+                 else Some(java.lang.Byte.valueOf((b + 1).toByte)))
+        else (if (b == Byte.MinValue) None
+              else Some(java.lang.Byte.valueOf((b - 1).toByte)))
+      case (ShortType, s: java.lang.Short) =>
+        if (up) (if (s == Short.MaxValue) None
+                 else Some(java.lang.Short.valueOf((s + 1).toShort)))
+        else (if (s == Short.MinValue) None
+              else Some(java.lang.Short.valueOf((s - 1).toShort)))
+      case (IntegerType, i: java.lang.Integer) =>
+        if (up) (if (i == Int.MaxValue) None
+                 else Some(java.lang.Integer.valueOf(i + 1)))
+        else (if (i == Int.MinValue) None
+              else Some(java.lang.Integer.valueOf(i - 1)))
+      case (LongType, l: java.lang.Long) =>
+        if (up) (if (l == Long.MaxValue) None
+                 else Some(java.lang.Long.valueOf(l + 1)))
+        else (if (l == Long.MinValue) None
+              else Some(java.lang.Long.valueOf(l - 1)))
+      case _ => None
+    }
+    p.copy(
+      lower = p.lower.map { case (v, incl) =>
+        if (incl) (v, true)
+        else adj(v, up = true).map((_, true)).getOrElse((v, false)) },
+      upper = p.upper.map { case (v, incl) =>
+        if (incl) (v, true)
+        else adj(v, up = false).map((_, true)).getOrElse((v, false)) })
+  }
+
   /** Does conjunct `q` IMPLY conjunct `n` (every row satisfying q
     * satisfies n)? Sound and intentionally incomplete: same bare
-    * column, same literal domain, range subsumption (`x > 5` ⟹
+    * column, same literal domain (integral bounds tightened to
+    * inclusive on both sides first), range subsumption (`x > 5` ⟹
     * `x > 0`), IN-list subset, point-in-range. False ⇒ "don't know",
     * never "no but served anyway" — the caller refuses the rewrite. */
   private def implies(q: Expression, n: Expression): Boolean =
-    (colPredOf(q), colPredOf(n)) match {
+    (colPredOf(q).map(tighten), colPredOf(n).map(tighten)) match {
       case (Some(pq), Some(pn))
           if pq.col == pn.col && pq.dt == pn.dt &&
             org.apache.spark.sql.catalyst.util.TypeUtils

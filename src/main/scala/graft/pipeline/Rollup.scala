@@ -84,11 +84,13 @@ object Rollup {
     * window joins to the dims as of the window start (O(fact
     * window)), and a dim window pays one bounded fact read joined to
     * the dim's (small) delta — the telescoped join-view identity in
-    * [[refresh]]. Only the unpriceable cases (equality-delete
-    * windows, copy-on-write rebases, a pruned as-of version) raise,
-    * routing the MV REFRESH surface to its full-recompute fallback —
-    * Trino's always-rebuild, paid only when the window truly cannot
-    * be priced. */
+    * [[refresh]]. A fact EQUALITY window re-derives affected groups
+    * ([[refreshRederive]]), even combined with moved dims (fact-first
+    * telescoping). Only the truly unpriceable cases (an equality
+    * window on a DIM itself, copy-on-write rebases, a pruned as-of
+    * version) raise, routing the MV REFRESH surface to its
+    * full-recompute fallback — Trino's always-rebuild, paid only when
+    * the window truly cannot be priced. */
   final case class DimSpec(path: String, keys: Seq[(String, String)],
                            version: Long = -1L)
 
@@ -591,18 +593,30 @@ object Rollup {
     // as-of-start resolution for identifier-scoped sidecars) and
     // recompute exactly those groups from the source as of the
     // window end — the discipline min/max already uses under
-    // deletes, extended to every maintained aggregate. A moved dim
-    // in the SAME window would need both mechanisms interleaved
-    // exactly — that rare combination recomputes.
+    // deletes, extended to every maintained aggregate.
+    //
+    // A moved dim in the SAME window TELESCOPES fact-first instead of
+    // recomputing: phase 1 re-derives the fact window against dims
+    // pinned at their window STARTS (exact — the store then equals
+    // Agg(F' ⋈ D_start); the touched-group discovery and the
+    // re-derive read the SAME pinned dims, so the restriction is
+    // consistent), phase 2 re-enters refresh with the fact now
+    // static and only the dims behind, which is precisely the signed
+    // path's Σi F' ⋈ ΔDi ⋈ … dim-term shape. Each phase's commit is
+    // a valid durable state: the marker advances the fact window
+    // first, so a crash between phases resumes at the dim phase.
+    // (A dim whose OWN window carries equality deletes still raises
+    // in phase 2 — the same bound the dim-only path has always had.)
     if (since < version &&
         Snapshot.windowHasEqualityDeletes(srcPath, since, version)) {
-      if (m.dims.indices.exists(i => dimSince(i) < dimUntil(i)))
-        throw new UnpriceableWindowException(
-          s"rollup over $srcPath cannot refresh: the window carries " +
-            "EQUALITY deletes on the fact AND a moved dimension — " +
-            "rebuild/recompute instead")
-      return refreshRederive(spark, srcPath, rollupDir, m, since,
-        version, dimUntil, compactAfterCommits)
+      val dimsMoved = m.dims.indices.exists(i =>
+        dimSince(i) < dimUntil(i))
+      val n1 = refreshRederive(spark, srcPath, rollupDir, m, since,
+        version, dimSince,
+        if (dimsMoved) 0 else compactAfterCommits)
+      return if (!dimsMoved) n1
+        else n1 + refresh(spark, srcPath, rollupDir,
+          compactAfterCommits)
     }
     // SIGNED ROW DELTAS of the joined view — the telescoped join-view
     // identity (Gupta & Mumick): with F' = F+ΔF and Di' = Di+ΔDi,

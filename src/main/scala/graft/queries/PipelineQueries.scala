@@ -772,6 +772,64 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20m (r16) — PREDICATE IMPLICATION in the partial-MV rewrite
+    // (Calcite's implied-filter serve): a store sliced over
+    // `o_custkey > 0` serves a query whose `o_custkey > 750` IMPLIES
+    // the slice — the stored conjunct is SATISFIED (every candidate
+    // row is in the store) and the query's own narrower filter
+    // re-applies on the gold key column. REQUIRED in-query: the
+    // subsumed read scans ONLY the store; a WIDER probe
+    // (`o_custkey >= 0` admits rows the slice never saw) scans ONLY
+    // the base.
+    "q_mv_implied" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvipq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders, src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvip", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvip.slice AS
+        SELECT o_orderpriority, o_custkey, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvip.orders WHERE o_custkey > 0
+        GROUP BY o_orderpriority, o_custkey""").collect()
+      val mvDir = ts.properties("mvip", "slice__storage")(
+        "graft.rollup.dir")
+      def reads(df: org.apache.spark.sql.DataFrame,
+                dir: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+                  .exists(p => p == dir || p.startsWith(s"$dir/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      val q = s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvip.orders WHERE o_custkey > 750
+        GROUP BY o_orderpriority""")
+      require(reads(q, mvDir) && !reads(q, src),
+        "o_custkey > 750 implies the slice o_custkey > 0 — the " +
+          "subsumed query must serve from the gold store")
+      val wider = s.sql("""SELECT o_orderpriority, count(*) AS cnt
+        FROM mvip.orders WHERE o_custkey >= 0
+        GROUP BY o_orderpriority""")
+      require(!reads(wider, mvDir) && reads(wider, src),
+        "o_custkey >= 0 admits rows outside the slice — the wider " +
+          "query must stay on the base")
+      ts.dropView("mvip", "slice")
+      ts.dropTable("mvip", "slice__storage")
+      ts.dropTable("mvip", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
     // S20e — JOIN materialized view (star schema): the defining query
     // inner-joins the fact to a dimension, the store maintains the
     // JOINED aggregate (dim pinned at its version — Δ(F⋈D) = ΔF⋈D),
@@ -2904,6 +2962,17 @@ FROM iceberg.silver.orders_current""")
              CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
                AS sum_price
       FROM orders WHERE o_custkey % 2 = 0
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // Implied-predicate twin: the served answer is the narrower
+    // aggregate over the base — the plan reads the partial gold
+    // store, the query's own filter re-applies on the gold key.
+    "q_mv_implied" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders WHERE o_custkey > 750
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 

@@ -460,6 +460,48 @@ class MaterializedViewSpec extends SparkSpec {
       "DROP must remove the materialized store directory")
   }
 
+  test("rebuild-only MV SUBSUMPTION: a Filter, Project, sort or " +
+    "outer aggregate ON TOP of the defining shape still serves the " +
+    "store — the defining plan matches as a SUBTREE and the " +
+    "residual operators stay above the store read; stale still " +
+    "falls back entirely") {
+    val (dir, facts) = fixture()
+    spark.sql("""CREATE MATERIALIZED VIEW mvx.hv2 AS
+      SELECT grp, CAST(sum(DISTINCT qty) AS BIGINT) AS sd,
+             sum(amount) AS s
+      FROM mvx.facts GROUP BY grp""").collect()
+    val props = new TableStore(spark).properties("mvx", "hv2__storage")
+    assert(props.contains("graft.mv.rebuild-only"),
+      "sanity: sum(DISTINCT) over a raw double lands rebuild-only")
+    val mvDir = props("graft.rollup.dir")
+    def chk(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assert(scans(df, mvDir) && !scans(df, dir),
+        s"must serve the store under residual operators: $sql")
+      spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+      val want =
+        try answers(spark.sql(sql))
+        finally spark.conf.set(
+          "spark.graft.rollup.rewrite.enabled", "true")
+      assert(answers(df) == want, s"subsumed read changed: $sql")
+    }
+    chk("SELECT * FROM mvx.hv2 WHERE sd > 100")
+    chk("SELECT grp, s FROM mvx.hv2")
+    chk("SELECT grp FROM mvx.hv2 WHERE s > 0 ORDER BY grp")
+    chk("SELECT count(*) AS n, sum(s) AS ts FROM mvx.hv2 " +
+      "WHERE sd >= 0")
+    // a base commit flips the pins — every residual shape must fall
+    // back to the live base, never the stale store
+    Snapshot.morCommit(spark, dir, deletes = None,
+      appends = Some(facts.limit(20)
+        .withColumn("id", col("id") + 90000L)),
+      operation = "append")
+    val stale = spark.sql("SELECT grp, s FROM mvx.hv2 WHERE sd > 0")
+    assert(!scans(stale, mvDir) && scans(stale, dir),
+      "a stale store must not serve under residual operators either")
+    spark.sql("DROP MATERIALIZED VIEW mvx.hv2").collect()
+  }
+
   test("a JOIN materialized view (star schema): reads serve from " +
     "gold, a fact append REFRESHes at O(window), and a dim change " +
     "REFRESHes incrementally (the F' JOIN dim-delta term) and re-pins") {

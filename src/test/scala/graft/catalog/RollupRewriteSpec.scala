@@ -198,10 +198,152 @@ class RollupRewriteSpec extends SparkSpec {
     val miss1 = spark.sql(
       "SELECT grp, count(*) AS c FROM mv.facts GROUP BY grp")
     assert(!scans(miss1, ru) && scans(miss1, dir))
-    // a DIFFERENT predicate → base scan
+    // a NARROWER predicate over a NON-KEY column → base scan: the
+    // implication holds (qty > 4 ⟹ qty > 3) but the residual cannot
+    // re-apply on the gold table (qty is a measure there, its
+    // pre-aggregation rows are gone)
     val miss2 = spark.sql("SELECT grp, count(*) AS c FROM mv.facts " +
       "WHERE qty > 4 GROUP BY grp")
     assert(!scans(miss2, ru) && scans(miss2, dir))
+  }
+
+  test("PREDICATE IMPLICATION serves the partial store: a strictly-" +
+    "narrower range, point, or IN-subset over a gold KEY column " +
+    "satisfies the stored predicate (Calcite's implied-filter " +
+    "serve) — the query's own filter re-applies on the gold key; a " +
+    "wider or boundary-violating predicate stays on base") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwimp").toString
+    val dir = s"$root/facts"
+    // amount is BIGINT: a raw double sum never rewrites (by design),
+    // and these pins are about implication, not measure types
+    val facts = (1 to 600).map(i => (i.toLong, s"g${i % 4}",
+      s"r${i % 3}", (i % 13).toLong, (i % 7).toLong)).toDF(
+      "id", "grp", "region", "qty", "amount")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvi", "facts", dir)
+    // RANGE store: qty is a GROUP KEY, the slice is qty > 3
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvi.facts', name => 'mvi.rng',
+      group_by => 'grp,qty', sum_cols => 'amount',
+      where => 'qty > 3')""").collect()
+    val rng = new TableStore(spark).properties("mvi", "rng")(
+      "graft.rollup.dir")
+    // IN store: region is a GROUP KEY, the slice is two of its values
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvi.facts', name => 'mvi.set',
+      group_by => 'grp,region', sum_cols => 'qty',
+      where => 'region IN (''r0'', ''r2'')')""").collect()
+    val set = new TableStore(spark).properties("mvi", "set")(
+      "graft.rollup.dir")
+
+    def served(sql: String, ru: String): Unit = {
+      val df = spark.sql(sql)
+      assert(scans(df, ru) && !scans(df, dir),
+        s"must serve the partial store: $sql")
+      assert(df.collect().map(_.toSeq).toSet == baseline(sql),
+        s"rewrite changed the answer of: $sql")
+    }
+    def onBase(sql: String, ru: String): Unit = {
+      val df = spark.sql(sql)
+      assert(!scans(df, ru) && scans(df, dir),
+        s"must stay on base (no implication): $sql")
+      assert(df.collect().map(_.toSeq).toSet == baseline(sql))
+    }
+
+    // range subsumption: qty > 5 ⟹ qty > 3; the int literal rides an
+    // analyzer cast to qty's bigint and must still be recognized
+    served("SELECT grp, count(*) AS c, sum(amount) AS s " +
+      "FROM mvi.facts WHERE qty > 5 GROUP BY grp", rng)
+    // inclusive boundary: qty >= 4 ⟹ qty > 3
+    served("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE qty >= 4 GROUP BY grp", rng)
+    // point-in-range: qty = 7 ⟹ qty > 3
+    served("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE qty = 7 GROUP BY grp", rng)
+    // IN-list inside the range: every value > 3
+    served("SELECT grp, sum(amount) AS s FROM mvi.facts " +
+      "WHERE qty IN (5, 9, 12) GROUP BY grp", rng)
+    // range + extra key filter: the implied conjunct satisfies the
+    // slice, BOTH residuals re-apply on gold keys
+    served("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE qty > 5 AND grp = 'g1' GROUP BY grp", rng)
+    // BETWEEN analyzes to two conjuncts; the lower bound implies the
+    // slice, the upper re-applies on the gold key
+    served("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE qty BETWEEN 5 AND 9 GROUP BY grp", rng)
+    // IN-subset: {r0} ⊆ {r0, r2}; equality and IN shapes both
+    served("SELECT grp, count(*) AS c, sum(qty) AS s " +
+      "FROM mvi.facts WHERE region = 'r0' GROUP BY grp", set)
+    served("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE region IN ('r2') GROUP BY grp", set)
+
+    // WIDER range: qty > 2 includes rows the store never saw
+    onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE qty > 2 GROUP BY grp", rng)
+    // boundary violation: qty >= 3 admits qty = 3, outside qty > 3
+    onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE qty >= 3 GROUP BY grp", rng)
+    // IN-list straddling the bound
+    onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE qty IN (2, 5) GROUP BY grp", rng)
+    // point below the bound
+    onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE qty = 3 GROUP BY grp", rng)
+    // IN NOT a subset: r1 is outside the slice
+    onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE region IN ('r0', 'r1') GROUP BY grp", set)
+    // different column entirely
+    onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE grp = 'g1' GROUP BY grp", set)
+  }
+
+  test("SEEDED RANDOMIZED implication: random range/point/IN " +
+    "predicates over a partial store answer bit-identically with " +
+    "the rewrite on and off, serve exactly when the predicate " +
+    "implies the slice, and never scan gold AND base") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwimpf").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 600).map(i => (i.toLong, s"g${i % 4}",
+      (i % 13).toLong, (i % 7).toLong))
+      .toDF("id", "grp", "qty", "amount")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvf", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvf.facts', name => 'mvf.slice',
+      group_by => 'grp,qty', sum_cols => 'amount',
+      where => 'qty >= 4')""").collect()
+    val ru = new TableStore(spark).properties("mvf", "slice")(
+      "graft.rollup.dir")
+    val rnd = new scala.util.Random(20260816L)
+    var servedN = 0
+    (1 to 60).foreach { _ =>
+      val x = rnd.nextInt(13)
+      val (pred, impliesSlice) = rnd.nextInt(4) match {
+        case 0 => (s"qty > $x", x >= 3)
+        case 1 => (s"qty >= $x", x >= 4)
+        case 2 => (s"qty = $x", x >= 4)
+        case _ =>
+          val vs = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(13))
+          (s"qty IN (${vs.mkString(", ")})", vs.forall(_ >= 4))
+      }
+      val q = s"SELECT grp, count(*) AS c, sum(amount) AS s " +
+        s"FROM mvf.facts WHERE $pred GROUP BY grp"
+      val df = spark.sql(q)
+      val fromGold = scans(df, ru)
+      assert(fromGold == impliesSlice,
+        s"serving must track implication exactly: $q " +
+          s"(served=$fromGold, implies=$impliesSlice)")
+      if (fromGold) { servedN += 1
+        assert(!scans(df, dir), s"gold AND base scanned: $q") }
+      assert(df.collect().map(_.toSeq).toSet == baseline(q),
+        s"rewrite changed the answer of: $q")
+    }
+    assert(servedN >= 15 && servedN <= 55,
+      s"sanity: the seed must exercise both directions ($servedN/60)")
   }
 
   test("a STALE rollup never rewrites; refresh re-arms it; the " +

@@ -9,9 +9,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 /** Incremental-rollup pins: the maintained aggregate equals a full
   * recompute EXACTLY (decimal-accumulated, order-free) under
   * fast-append and position-delete windows; equality-delete windows
-  * (the engine default) refresh via affected-group re-derive;
-  * rebased windows raise typed; zero-count groups vanish; the
-  * operation marker makes crash replays exactly-once. */
+  * (the engine default) refresh via affected-group re-derive — even
+  * COMBINED with moved dims (fact-first telescoping); rebased
+  * windows raise typed; zero-count groups vanish; the operation
+  * marker makes crash replays exactly-once. */
 class RollupSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -692,6 +693,97 @@ class RollupSpec extends SparkSpec {
       m.ndv, m.ndvK, m.filter, m.dims)
     assert(Rollup.refresh(spark, fact, ru) == 0L)
     assert(goldState() == liveRecompute())
+  }
+
+  test("COMBINED equality-delete + moved-dim window TELESCOPES " +
+    "fact-first: phase 1 re-derives the fact window against dims " +
+    "as of their window STARTS, phase 2 applies the dim terms over " +
+    "the static fact — one refresh call, bit-identical to the live " +
+    "joined recompute, idempotent after") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val customer = Tables.customer(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollupEQD").toString
+    val (fact, dim, ru) = (s"$root/fact", s"$root/dim", s"$root/rollup")
+    val v1 = orders.filter(col("o_orderkey") % 10 =!= 7)
+    Snapshot.createOrReplace(v1, fact, keepVersions = 4)
+    Snapshot.createOrReplace(customer, dim, keepVersions = 4)
+    Rollup.build(spark, fact, ru,
+      Seq("c_mktsegment"), Seq("o_totalprice"),
+      minMax = Seq("o_totalprice"),
+      dims = Seq(Rollup.DimSpec(dim,
+        Seq(("o_custkey", "c_custkey")))))
+    def liveRecompute(): Set[(String, Long, Double, Double)] = {
+      val f = Snapshot.read(spark, fact)
+      val d2 = Snapshot.read(spark, dim)
+      f.join(d2, f("o_custkey") === d2("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"),
+          min("o_totalprice").as("mn"))
+        .as[(String, Long, Double, Double)].collect().toSet
+    }
+    def goldState(): Set[(String, Long, Double, Double)] =
+      Rollup.read(spark, fact, ru)
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_o_totalprice"), col("min_o_totalprice"))
+        .as[(String, Long, Double, Double)].collect().toSet
+
+    // ONE window, BOTH sides move. Fact: an EQUALITY delete whose
+    // victims include per-segment minima (forces the re-derive to
+    // recompute extrema through the join) plus a fresh append. Dim: a
+    // position delete (its joined fact rows drop out) plus an append
+    // that RE-SEGMENTS re-added customers (the moved-dim term).
+    val lineage0 = Snapshot.read(spark, fact)
+    val dimNow = Snapshot.read(spark, dim)
+    val minVictims = lineage0.join(dimNow,
+        lineage0("o_custkey") === dimNow("c_custkey"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment").orderBy("o_totalprice")))
+      .filter(col("_rk") <= 2).select(lineage0.columns.map(col): _*)
+      .localCheckpoint()
+    assert(minVictims.count() > 0)
+    Snapshot.morCommit(spark, fact, deletes = Some(minVictims),
+      appends = None, operation = "delete")
+    Snapshot.morCommit(spark, fact, deletes = None,
+      appends = Some(orders.orderBy("o_orderkey").limit(60)
+        .withColumn("o_orderkey", col("o_orderkey") + 555000000L)),
+      operation = "append")
+    val dimVictim = Snapshot.readLineage(spark, dim)
+      .orderBy("c_custkey").limit(2).localCheckpoint()
+    Snapshot.morCommit(spark, dim, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(dimVictim))
+    Snapshot.morCommit(spark, dim, deletes = None,
+      appends = Some(dimVictim.select(customer.columns.map(col): _*)
+        .withColumn("c_mktsegment", lit("RESEGMENTED"))),
+      operation = "append")
+
+    assert(Rollup.refresh(spark, fact, ru) > 0L,
+      "the combined window must PRICE, not raise")
+    assert(goldState() == liveRecompute(),
+      "telescoped combined window must equal the live recompute " +
+        "exactly — counts, decimal sums, joined extrema")
+    assert(Rollup.refresh(spark, fact, ru) == 0L, "and be idempotent")
+
+    // a SECOND combined window over the refreshed store (regression:
+    // the phase-1 marker must not confuse the next window's bounds)
+    val dead2 = Snapshot.read(spark, fact)
+      .filter(col("o_orderkey") % 9 === 1)
+      .select("o_orderkey").localCheckpoint()
+    assert(dead2.count() > 0)
+    Snapshot.morCommit(spark, fact, deletes = Some(dead2),
+      appends = None, operation = "delete")
+    val dimVictim2 = Snapshot.readLineage(spark, dim)
+      .orderBy(desc("c_custkey")).limit(1).localCheckpoint()
+    Snapshot.morCommit(spark, dim, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(dimVictim2))
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    assert(goldState() == liveRecompute(),
+      "an identifier-scoped equality delete + dim delete window " +
+        "must also telescope exactly")
+    assert(Rollup.refresh(spark, fact, ru) == 0L)
   }
 
   test("star-rollup crash replay: the marker records fact AND dim " +
