@@ -40,23 +40,35 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * sidecar is a monotone SUPERSET of the live id set, which is the
   * safe direction.
   *
-  * Sizing is ADAPTIVE: the bootstrap sizes the sketch at 2× the live
-  * id count (~16 bits/item → ~0.05% false positives), the sidecar
-  * tracks an approximate item count as catch-ups fold appends, and
-  * when the count outgrows the capacity the sketch is rebuilt at the
-  * next power-of-two size from the full id column — geometric, so the
-  * amortized rebuild cost per streamed row is O(1), exactly like a
-  * growing hash table. An overfull bloom between rebuilds degrades to
-  * more exact confirmations, never to wrong answers. The sketch is
-  * ~2 bytes/id (a 9.6M-id corpus rides a 19 MB sidecar; a billion-id
-  * corpus ~2 GB — at that scale tune `minItems` down to trade false-
-  * positive confirms for sketch bytes; the confirm keeps every
-  * trade-off exact). */
+  * Sizing is ADAPTIVE WITH A HARD CAP: the bootstrap sizes the
+  * sketch at 2× the live id count (~16 bits/item → ~0.05% false
+  * positives), the sidecar tracks an approximate item count as
+  * catch-ups fold appends, and when the count outgrows the capacity
+  * the sketch is rebuilt at the next size from the full id column —
+  * geometric, amortized O(1) per streamed row — UP TO [[MaxItems]]
+  * (16 MB of sketch). The cap is a MEASURED trade, not a shortcut:
+  * every byte of sketch is paid on EVERY batch (the probe ships it
+  * to each task, the driver fold deserializes + reserializes it, the
+  * catch-up persists it) and in every distributed build (one
+  * capacity-sized buffer per partial-aggregate task), so an
+  * uncapped 38.4M-id corpus would ride a 77 MB sketch that costs
+  * MORE per batch than the anti-join it replaces — while a
+  * saturated capped sketch merely sends more bloom-positives to the
+  * exact IN-pruned confirm, which the x256 soak measured FLAT.
+  * Past the cap the bloom is a prefilter, not a registry; the
+  * confirm keeps every trade-off exact, and an overfull bloom can
+  * degrade only to more confirmations, never to wrong answers. */
 object IdMembership {
 
   /** Sizing floor — sketches never start smaller than this many
     * expected items (4 MB at 8 bits/item). */
   val MinItems: Long = 1L << 22
+
+  /** Sizing CAP — 16 MB of sketch at 8 bits/item (~16.7M items):
+    * the largest sketch whose per-batch shipping/fold/persist cost
+    * stays well under the exact confirm it saves (object doc). */
+  val MaxItems: Long = 1L << 24
+
   private def numBits(items: Long): Long = items * 8
 
   /** Suspect sets up to this size confirm under an `IN` pushdown
@@ -140,7 +152,8 @@ object IdMembership {
     out.toByteArray
   }
 
-  private def capacityFor(n: Long): Long = math.max(MinItems, 2 * n)
+  private def capacityFor(n: Long): Long =
+    math.min(MaxItems, math.max(MinItems, 2 * n))
 
   /** Windows up to this many rows fold DRIVER-SIDE (collect the ids,
     * putLong into the cached sketch): a distributed fold allocates a
@@ -269,7 +282,11 @@ object IdMembership {
                 (bf.map(merge(s.bloom, _)).getOrElse(s.bloom), m)
               }
             val grown = s.approxItems + n
-            if (grown > s.capacity)
+            // geometric re-size ONLY while it can actually grow: at
+            // MaxItems a rebuild would produce the same geometry, so
+            // an at-cap sketch folds forever (saturation is absorbed
+            // by the exact confirm, not by futile per-window rebuilds)
+            if (grown > s.capacity && s.capacity < MaxItems)
               rebuild(spark, tableDir, keyCol, live)
             else State(live, s.capacity, grown, folded)
           } catch {

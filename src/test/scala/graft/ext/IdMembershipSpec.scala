@@ -166,6 +166,42 @@ class IdMembershipSpec extends SparkSpec {
     assert(guarded(t, b) == Set(n + 5L))
   }
 
+  test("an AT-CAP sketch folds forever instead of rebuilding: past " +
+    "MaxItems a rebuild would produce the same geometry, so the " +
+    "catch-up keeps folding (saturation rides the exact confirm) " +
+    "and the guard stays exact") {
+    val root = Files.createTempDirectory("idmemcap").toString
+    val t = s"$root/corpus"
+    Snapshot.createOrReplace(ids(1L to 100L), t, keepVersions = 2)
+    val v = Snapshot.currentVersion(t).get
+    // hand-craft an AT-CAP sidecar whose approx count already
+    // exceeds the cap (a saturated long-lived guard), covering the
+    // live ids
+    val cap = IdMembership.MaxItems
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(cap, cap * 8)
+    val hasher = (x: Long) =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        x, org.apache.spark.sql.types.LongType, 42L)
+    (1L to 100L).foreach(i => bf.putLong(hasher(i)))
+    val bout = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bout)
+    val bytes = bout.toByteArray
+    val buf = java.nio.ByteBuffer.allocate(24 + bytes.length)
+    buf.putLong(v).putLong(cap).putLong(cap + 5L).put(bytes)
+    Files.write(Paths.get(t, "_id_bloom"), buf.array())
+    IdMembership.invalidate(t)
+    Snapshot.morCommit(spark, t, deletes = None,
+      appends = Some(ids(2001L to 2050L)), operation = "append")
+    val b = ids(Seq(50L, 2025L, 9000L))
+    assert(guarded(t, b) == Set(9000L),
+      "the at-cap fold must see old and new ids and stay exact")
+    val st = IdMembership.ensureCurrent(spark, t, "vec_id")
+    assert(st.capacity == cap && st.approxItems == cap + 55L,
+      s"an at-cap sketch must FOLD (approx grows), never rebuild " +
+        s"(which would reset approx to the 150-id live count): $st")
+  }
+
   test("fallbacks stay exact: a torn sidecar rebuilds from the id " +
     "column, and a compaction past the stamp (unrecoverable window) " +
     "falls back to the full rebuild") {
