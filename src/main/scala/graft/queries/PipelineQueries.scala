@@ -267,6 +267,65 @@ object PipelineQueries {
       R.read(s, src, ru).orderBy("o_orderpriority")
     }),
 
+    // S19-EQ+DIM (r16) — the COMBINED window: equality deletes on the
+    // FACT and a moved DIMENSION in ONE refresh window. Through r15
+    // this raised UnpriceableWindowException and REFRESH paid the
+    // full recompute; it now TELESCOPES fact-first — phase 1
+    // re-derives the fact window's touched groups against dims as of
+    // their window STARTS, phase 2 applies the ordinary signed dim
+    // terms over the now-static fact. REQUIRED in-query: the DML
+    // really wrote equality sidecars, the dim really moved, refresh
+    // PRICES the window (no raise), the store advanced by
+    // incremental MOR commits (never a rebuild rebase), and a replay
+    // refresh is a no-op. The result must equal the oracle's star
+    // recompute of the final state bit-for-bit.
+    "q_rollup_maintain_eqdim" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("rollupeqd")
+        .toString
+      val (fact, dim, ru) = (s"$root/orders", s"$root/customer",
+        s"$root/rollup")
+      val S = graft.pipeline.Snapshot
+      val R = graft.pipeline.Rollup
+      S.createOrReplace(Tables.orders(s, d), fact, keepVersions = 4)
+      S.createOrReplace(Tables.customer(s, d), dim, keepVersions = 4)
+      new TableStore(s).registerSnapshot("roeqd", "orders", fact)
+      s.sql("""ALTER TABLE roeqd.orders SET TBLPROPERTIES(
+        'write.delete.mode'='merge-on-read')""")
+      s.sql("ALTER TABLE roeqd.orders SET IDENTIFIER FIELDS o_orderkey")
+      R.build(s, fact, ru, Seq("c_mktsegment"), Seq("o_totalprice"),
+        minMax = Seq("o_totalprice"),
+        dims = Seq(R.DimSpec(dim, Seq(("o_custkey", "c_custkey")))))
+      val v0 = S.currentVersion(fact).get
+      val d0 = S.currentVersion(dim).get
+      // ONE window, both sides: a keyed equality DELETE on the fact
+      // (the engine's default CDC delete shape) and a position
+      // delete on the dim (its joined fact rows drop out)
+      s.sql("DELETE FROM roeqd.orders WHERE o_orderkey % 10 = 3")
+      S.morCommit(s, dim, deletes = None, appends = None,
+        operation = "delete",
+        posDeletes = Some(S.readLineage(s, dim)
+          .filter(col("c_custkey") % 50 === 7)))
+      require(S.windowHasEqualityDeletes(fact, v0,
+        S.currentVersion(fact).get),
+        "the fact DML must write equality sidecars")
+      require(S.currentVersion(dim).get > d0, "the dim must move")
+      require(R.refresh(s, fact, ru) > 0L,
+        "the COMBINED window must be PRICED (telescoped), not raise")
+      val ruTable = R.tableDir(ru)
+      require(S.operationOf(ruTable, S.currentVersion(ruTable).get)
+        .exists(_.startsWith("rollup-to-v")),
+        "the store must advance by incremental MOR commits, " +
+          "not a rebuild")
+      require(R.refresh(s, fact, ru) == 0L,
+        "a replay refresh must be a no-op")
+      new TableStore(s).dropTable("roeqd", "orders")
+      R.read(s, fact, ru)
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_o_totalprice"), col("min_o_totalprice"),
+          col("max_o_totalprice"))
+        .orderBy("c_mktsegment")
+    }),
+
     // S20 — AUTOMATIC MATERIALIZED-VIEW REWRITE (r13): the optimizer
     // rule (RollupRewrite, injected via SparkSessionExtensions) that
     // makes the maintained rollup transparent — a derivable GROUP BY
@@ -2813,6 +2872,20 @@ FROM iceberg.silver.orders_current""")
              g.min_o_totalprice, g.max_o_totalprice, kmv.ndv_o_custkey
       FROM g JOIN kmv USING (o_orderpriority)
       ORDER BY g.o_orderpriority""",
+
+    // Combined-window twin: the star recompute of the FINAL state —
+    // fact minus the equality-deleted keys, dim minus the
+    // position-deleted customers, one telescoped refresh window.
+    "q_rollup_maintain_eqdim" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_o_totalprice,
+             MIN(o_totalprice) AS min_o_totalprice,
+             MAX(o_totalprice) AS max_o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey % 10 <> 3 AND c_custkey % 50 <> 7
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
 
     // Coarser-bucket twin: the month aggregate over the full base —
     // the rewritten plan reads day gold, the ANSWER is this.
