@@ -730,7 +730,7 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     // keeps the filter, and the rewrite serves Filter-over-Aggregate
     // from gold — O(delta) REFRESH where a rebuild-only MV would pay
     // a full recompute
-    val (aggNode, havingCond) = query match {
+    val (agg, havingCond) = query match {
       case org.apache.spark.sql.catalyst.analysis
           .UnresolvedHaving(cond, agg: Aggregate) =>
         if (cond.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
@@ -741,204 +741,222 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case _ =>
         fail("the defining query must be a plain GROUP BY aggregate")
     }
-    locally {
-      val agg = aggNode
-        val groupExprs = agg.groupingExpressions
-        val aggExprs = agg.aggregateExpressions
-        // a WHERE clause makes it a PARTIAL materialized view: the
-        // predicate is maintained with the store and consumed by the
-        // rewrite when the reading query repeats it
-        val (child, where) = agg.child match {
-          case org.apache.spark.sql.catalyst.plans.logical
-              .Filter(cond, c) =>
-            if (cond.exists(_.isInstanceOf[org.apache.spark.sql
-                .catalyst.expressions.SubqueryExpression]))
-              fail("the WHERE clause must be subquery-free (window " +
-                "deltas must filter exactly as the build did)")
-            (c, Some(cond.sql))
-          case c => (c, None)
-        }
-        def relParts(p: LogicalPlan): (String, String) = {
-          val u = p match {
-            case u: UnresolvedRelation => u
-            case SubqueryAlias(_, u: UnresolvedRelation) => u
-            case _ => fail("each FROM/JOIN relation must be a " +
-              "registered table — no subqueries")
-          }
-          u.multipartIdentifier match {
-            case Seq(n, t) => (n.toLowerCase(java.util.Locale.ROOT),
-              t.toLowerCase(java.util.Locale.ROOT))
-            case _ => fail("qualify every table as <ns>.<table>")
-          }
-        }
-        // a STAR join tree is maintainable: left-deep INNER joins of
-        // registered tables on column equalities (fact first; each
-        // JOIN adds one pinned dimension — the key pairs orient
-        // against the actual schemas at CREATE time)
-        def flattenJoins(p: LogicalPlan)
-            : ((String, String),
-               Seq[(String, String, Seq[(String, String)])]) = p match {
-          case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
-            if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
-              fail("only INNER joins are maintainable (an outer " +
-                "join's null-extension does not commute with the " +
-                "fact-window delta)")
-            val cond = j.condition.getOrElse(
-              fail("JOIN needs an ON <col> = <col> condition"))
-            def conjuncts(e: Expression): Seq[Expression] = e match {
-              case org.apache.spark.sql.catalyst.expressions
-                  .And(l, r) => conjuncts(l) ++ conjuncts(r)
-              case o => Seq(o)
-            }
-            val keys = conjuncts(cond).map {
-              case org.apache.spark.sql.catalyst.expressions.EqualTo(
-                  a: UnresolvedAttribute, b: UnresolvedAttribute) =>
-                (a.nameParts.last, b.nameParts.last)
-              case o => fail("JOIN conditions must be column " +
-                s"equalities, got: ${o.sql}")
-            }
-            val (root, dims) = flattenJoins(j.left)
-            val (dns, dt) = relParts(j.right)
-            (root, dims :+ ((dns, dt, keys)))
-          case other => (relParts(other), Nil)
-        }
-        val ((srcNs, srcTable), joins) = flattenJoins(child)
-        // group keys: plain columns pass through; an EXPRESSION key
-        // (GROUP BY date_trunc('day', ts)) must appear in the SELECT
-        // list under an alias — the alias names the derived store
-        // column (determinism is validated by the build)
-        val exprCols =
-          scala.collection.mutable.LinkedHashMap.empty[String, String]
-        val groupBy = groupExprs.map { e =>
-          attrName(e) match {
-            case Some(n) => n
-            case None =>
-              val alias = aggExprs.collectFirst {
-                case al: Alias if al.child.sql == e.sql => al.name
-              }.getOrElse(fail("an expression GROUP BY key must " +
-                s"appear in the SELECT list with an alias: ${e.sql}"))
-              exprCols(alias) = e.sql
-              alias
-          }
-        }
-        val measures = Seq.newBuilder[String]
-        val minMax = Seq.newBuilder[String]
-        val ndv = Seq.newBuilder[String]
-        // count(DISTINCT <plain col>) columns join the STORE's group
-        // keys (finer grain than the query's): the gold table then
-        // carries one row per live key combination and the rewrite's
-        // group-key derivation (count/min/max/count-distinct over
-        // keys, sum/avg re-aggregation to the coarser query grain)
-        // serves the defining query exactly
-        val extraKeys = Seq.newBuilder[String]
-        def stripCasts(x: Expression): Expression = x match {
-          case Cast(c, _, _, _) => stripCasts(c)
-          case o => o
-        }
-        /** The maintained column a one-argument aggregate works on: a
-          * plain column by name, or a DERIVED MEASURE — `sum(price *
-          * (1 - discount)) AS revenue`, the TPC-H Q1 shape — named by
-          * the select item's alias (casts around the argument are
-          * transparent; identical expressions share one store). */
-        def measureArg(f: UnresolvedFunction,
-                       outer: Expression): String =
-          f.arguments match {
-            case Seq(a) => attrName(a).getOrElse {
-              val sqlE = stripCasts(a).sql
-              exprCols.collectFirst {
-                case (n, e2) if e2 == sqlE => n
-              }.getOrElse {
-                val alias = outer match {
-                  case al: Alias => al.name
-                  case _ => fail("an expression measure must be " +
-                    s"aliased in the SELECT list: ${f.sql}")
-                }
-                exprCols(alias) = sqlE
-                alias
-              }
-            }
-            case _ => fail(s"${f.nameParts.last} takes one column")
-          }
-        /** One aggregate call, from the SELECT list or the HAVING
-          * condition — both feed the same store columns. */
-        def handleFn(f: UnresolvedFunction, outer: Expression): Unit = {
-          val fname = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
-          if (f.isDistinct) {
-            // count(DISTINCT <plain column(s)>): derivable from a
-            // store whose grain includes those columns — everything
-            // else distinct is order/set-dependent with no exact
-            // store-side twin
-            if (fname == "count" && f.arguments.nonEmpty &&
-                f.arguments.forall(a => attrName(a).isDefined) &&
-                f.filter.isEmpty)
-              f.arguments.foreach(a => extraKeys += attrName(a).get)
-            else fail("among DISTINCT aggregates only " +
-              "count(DISTINCT <column…>) is maintainable (served " +
-              "from a store keyed by those columns)")
-          } else fname match {
-            case "count" => f.arguments match {
-              case Seq() | Seq(_: Literal) | Seq(_: UnresolvedStar) =>
-                () // count(*) rides the always-maintained cnt
-              case _ => measures += measureArg(f, outer)
-            }
-            case "sum" | "avg" => measures += measureArg(f, outer)
-            case "min" | "max" => minMax += measureArg(f, outer)
-            case "approx_count_distinct" =>
-              // maintainable (KMV sketches) but NOT exactly
-              // rewritable — Spark's HLL++ and the maintained KMV
-              // estimate differ, and an MV read must never change
-              // a result. The sketch surface lives on the rollup:
-              fail("approx_count_distinct is maintainable but not " +
-                "EXACTLY derivable (HLL++ vs the maintained KMV " +
-                "sketch differ) — use CALL system.create_rollup" +
-                "(ndv_cols => …) and read ndv_<col> from the gold " +
-                "table instead")
-            case other => fail(s"$other() is not maintainable")
-          }
-        }
-        aggExprs.foreach { e =>
-          val isExprKey = e match {
-            case al: Alias => exprCols.exists(_._2 == al.child.sql)
-            case _ => false
-          }
-          if (!isExprKey) unwrap(e) match {
-            case a if attrName(a).isDefined &&
-                groupBy.exists(_.equalsIgnoreCase(attrName(a).get)) => ()
-            case f: UnresolvedFunction => handleFn(f, e)
-            case other =>
-              fail(s"unsupported select item: ${other.sql}")
-          }
-        }
-        // HAVING aggregates must be maintained too — the late-bound
-        // view's filter evaluates them, and the rewrite can only
-        // derive what the store carries (`HAVING count(*) > 10` rides
-        // cnt; `HAVING sum(v) > 5` adds v to the measure set even
-        // when unselected)
-        havingCond.foreach { cond =>
-          def walk(e: Expression): Unit = e match {
-            case f: UnresolvedFunction if Set("count", "sum", "avg",
-                "min", "max", "approx_count_distinct").contains(
-                f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
-              handleFn(f, f)
-            case other => other.children.foreach(walk)
-          }
-          walk(cond)
-        }
-        // the STORE's grain: the query's keys plus any
-        // count(DISTINCT …) columns (case-insensitively deduped)
-        val storeGroupBy = extraKeys.result().foldLeft(groupBy) {
-          (acc, k) =>
-            if (acc.exists(_.equalsIgnoreCase(k))) acc else acc :+ k
-        }
-        if (storeGroupBy.isEmpty)
-          fail("a global aggregate has no group keys to maintain — " +
-            "GROUP BY at least one column (or count DISTINCT one)")
-        GraftCreateMaterializedViewCommand(ns, name, srcNs, srcTable,
-          storeGroupBy, measures.result().distinct,
-          minMax.result().distinct, ndv.result().distinct, where,
-          query, queryText, replace, ifNotExists, joins,
-          exprCols.toSeq)
+    val groupExprs = agg.groupingExpressions
+    val aggExprs = agg.aggregateExpressions
+    // a WHERE clause makes it a PARTIAL materialized view: the
+    // predicate is maintained with the store and consumed by the
+    // rewrite when the reading query repeats it
+    val (child, where) = agg.child match {
+      case org.apache.spark.sql.catalyst.plans.logical
+          .Filter(cond, c) =>
+        if (cond.exists(_.isInstanceOf[org.apache.spark.sql
+            .catalyst.expressions.SubqueryExpression]))
+          fail("the WHERE clause must be subquery-free (window " +
+            "deltas must filter exactly as the build did)")
+        (c, Some(cond.sql))
+      case c => (c, None)
     }
+    def relParts(p: LogicalPlan): (String, String) = {
+      val u = p match {
+        case u: UnresolvedRelation => u
+        case SubqueryAlias(_, u: UnresolvedRelation) => u
+        case _ => fail("each FROM/JOIN relation must be a " +
+          "registered table — no subqueries")
+      }
+      u.multipartIdentifier match {
+        case Seq(n, t) => (n.toLowerCase(java.util.Locale.ROOT),
+          t.toLowerCase(java.util.Locale.ROOT))
+        case _ => fail("qualify every table as <ns>.<table>")
+      }
+    }
+    // a STAR join tree is maintainable: left-deep INNER joins of
+    // registered tables on column equalities (fact first; each
+    // JOIN adds one pinned dimension — the key pairs orient
+    // against the actual schemas at CREATE time)
+    def flattenJoins(p: LogicalPlan)
+        : ((String, String),
+           Seq[(String, String, Seq[(String, String)])]) = p match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+          fail("only INNER joins are maintainable (an outer " +
+            "join's null-extension does not commute with the " +
+            "fact-window delta)")
+        val cond = j.condition.getOrElse(
+          fail("JOIN needs an ON <col> = <col> condition"))
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions
+              .And(l, r) => conjuncts(l) ++ conjuncts(r)
+          case o => Seq(o)
+        }
+        val keys = conjuncts(cond).map {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+            (a.nameParts.last, b.nameParts.last)
+          case o => fail("JOIN conditions must be column " +
+            s"equalities, got: ${o.sql}")
+        }
+        val (root, dims) = flattenJoins(j.left)
+        val (dns, dt) = relParts(j.right)
+        (root, dims :+ ((dns, dt, keys)))
+      case other => (relParts(other), Nil)
+    }
+    val ((srcNs, srcTable), joins) = flattenJoins(child)
+    // group keys: plain columns pass through; an EXPRESSION key
+    // (GROUP BY date_trunc('day', ts)) must appear in the SELECT
+    // list under an alias — the alias names the derived store
+    // column (determinism is validated by the build)
+    val exprCols =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val groupBy = groupExprs.map { e =>
+      attrName(e) match {
+        case Some(n) => n
+        case None =>
+          val alias = aggExprs.collectFirst {
+            case al: Alias if al.child.sql == e.sql => al.name
+          }.getOrElse(fail("an expression GROUP BY key must " +
+            s"appear in the SELECT list with an alias: ${e.sql}"))
+          exprCols(alias) = e.sql
+          alias
+      }
+    }
+    val measures = Seq.newBuilder[String]
+    val minMax = Seq.newBuilder[String]
+    val ndv = Seq.newBuilder[String]
+    // count(DISTINCT <plain col>) columns join the STORE's group
+    // keys (finer grain than the query's): the gold table then
+    // carries one row per live key combination and the rewrite's
+    // group-key derivation (count/min/max/count-distinct over
+    // keys, sum/avg re-aggregation to the coarser query grain)
+    // serves the defining query exactly
+    val extraKeys = Seq.newBuilder[String]
+    def stripCasts(x: Expression): Expression = x match {
+      case Cast(c, _, _, _) => stripCasts(c)
+      case o => o
+    }
+    /** The maintained column a one-argument aggregate works on: a
+      * plain column by name, or a DERIVED MEASURE — `sum(price *
+      * (1 - discount)) AS revenue`, the TPC-H Q1 shape — named by
+      * the select item's alias (casts around the argument are
+      * transparent; identical expressions share one store). */
+    def measureArg(f: UnresolvedFunction,
+                   outer: Expression): String =
+      f.arguments match {
+        case Seq(a) => attrName(a).getOrElse {
+          val sqlE = stripCasts(a).sql
+          exprCols.collectFirst {
+            case (n, e2) if e2 == sqlE => n
+          }.getOrElse {
+            val alias = outer match {
+              case al: Alias => al.name
+              case _ => fail("an expression measure must be " +
+                s"aliased in the SELECT list: ${f.sql}")
+            }
+            exprCols(alias) = sqlE
+            alias
+          }
+        }
+        case _ => fail(s"${f.nameParts.last} takes one column")
+      }
+    /** One aggregate call, from the SELECT list or the HAVING
+      * condition — both feed the same store columns. */
+    def handleFn(f: UnresolvedFunction, outer: Expression): Unit = {
+      val fname = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+      // agg(x) FILTER (WHERE p) has no store-side twin — the store
+      // maintains the unfiltered aggregate; fail HERE (one-pass route
+      // to rebuild-only), not after a wasted incremental build
+      if (f.filter.nonEmpty)
+        fail(s"$fname(…) FILTER (WHERE …) is not maintainable")
+      if (f.isDistinct) {
+        // count(DISTINCT <plain column(s)>): derivable from a
+        // store whose grain includes those columns — everything
+        // else distinct is order/set-dependent with no exact
+        // store-side twin
+        if (fname == "count" && f.arguments.nonEmpty &&
+            f.arguments.forall(a => attrName(a).isDefined) &&
+            f.filter.isEmpty)
+          f.arguments.foreach(a => extraKeys += attrName(a).get)
+        else fail("among DISTINCT aggregates only " +
+          "count(DISTINCT <column…>) is maintainable (served " +
+          "from a store keyed by those columns)")
+      } else fname match {
+        case "count" => f.arguments match {
+          case Seq() | Seq(_: Literal) | Seq(_: UnresolvedStar) =>
+            () // count(*) rides the always-maintained cnt
+          case _ => measures += measureArg(f, outer)
+        }
+        case "sum" | "avg" => measures += measureArg(f, outer)
+        case "min" | "max" => minMax += measureArg(f, outer)
+        case "approx_count_distinct" =>
+          // maintainable (KMV sketches) but NOT exactly
+          // rewritable — Spark's HLL++ and the maintained KMV
+          // estimate differ, and an MV read must never change
+          // a result. The sketch surface lives on the rollup:
+          fail("approx_count_distinct is maintainable but not " +
+            "EXACTLY derivable (HLL++ vs the maintained KMV " +
+            "sketch differ) — use CALL system.create_rollup" +
+            "(ndv_cols => …) and read ndv_<col> from the gold " +
+            "table instead")
+        case other => fail(s"$other() is not maintainable")
+      }
+    }
+    aggExprs.foreach { e =>
+      val isExprKey = e match {
+        case al: Alias => exprCols.exists(_._2 == al.child.sql)
+        case _ => false
+      }
+      if (!isExprKey) unwrap(e) match {
+        case a if attrName(a).isDefined &&
+            groupBy.exists(_.equalsIgnoreCase(attrName(a).get)) => ()
+        case f: UnresolvedFunction => handleFn(f, e)
+        case other =>
+          fail(s"unsupported select item: ${other.sql}")
+      }
+    }
+    // HAVING aggregates must be maintained too — the late-bound
+    // view's filter evaluates them, and the rewrite can only
+    // derive what the store carries (`HAVING count(*) > 10` rides
+    // cnt; `HAVING sum(v) > 5` adds v to the measure set even
+    // when unselected)
+    havingCond.foreach { cond =>
+      // a non-maintainable AGGREGATE in the predicate must fail HERE
+      // (routing to the rebuild-only class with ONE build) — silently
+      // recursing past it would classify the MV incremental, pay a
+      // full rollup build, and only then have the derivability gate
+      // demote it: two O(table) passes for one CREATE. Scalar
+      // functions (abs, coalesce, …) recurse as before; the builtin
+      // registry's function group tells the two apart.
+      def isAggregate(name: String): Boolean =
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+          .lookupFunction(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+          .exists(_.getGroup == "agg_funcs")
+      def walk(e: Expression): Unit = e match {
+        case f: UnresolvedFunction if Set("count", "sum", "avg",
+            "min", "max", "approx_count_distinct").contains(
+            f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+          handleFn(f, f)
+        case f: UnresolvedFunction
+            if isAggregate(
+              f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+          fail(s"${f.nameParts.last}() in HAVING is not maintainable")
+        case other => other.children.foreach(walk)
+      }
+      walk(cond)
+    }
+    // the STORE's grain: the query's keys plus any
+    // count(DISTINCT …) columns (case-insensitively deduped)
+    val storeGroupBy = extraKeys.result().foldLeft(groupBy) {
+      (acc, k) =>
+        if (acc.exists(_.equalsIgnoreCase(k))) acc else acc :+ k
+    }
+    if (storeGroupBy.isEmpty)
+      fail("a global aggregate has no group keys to maintain — " +
+        "GROUP BY at least one column (or count DISTINCT one)")
+    GraftCreateMaterializedViewCommand(ns, name, srcNs, srcTable,
+      storeGroupBy, measures.result().distinct,
+      minMax.result().distinct, ndv.result().distinct, where,
+      query, queryText, replace, ifNotExists, joins,
+      exprCols.toSeq)
   }
 
   /** MATERIALIZED VIEW statements are claimed BEFORE the delegate:

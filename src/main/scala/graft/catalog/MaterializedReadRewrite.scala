@@ -149,22 +149,35 @@ object MaterializedReadRewrite {
       planCache.put(key, p)
     }
 
-  /** [[MaterializedTable.meta]] validated by the sidecar's mtime —
-    * the always-on rule re-reads the file only when a rebuild
-    * actually rewrote it. */
+  /** [[MaterializedTable.meta]] validated by the sidecar's
+    * (mtime, size) plus a short wall-clock TTL — the always-on rule
+    * re-reads the file only when a rebuild actually rewrote it. The
+    * TTL bounds the coarse-timestamp edge: on a second-granularity
+    * filesystem a rebuild landing in the SAME tick as the cached read
+    * (with the same byte length) would otherwise serve the old pinned
+    * versions forever; with the TTL it costs at most a few seconds of
+    * not-serving (the freshness gate fails safe — base reads, never
+    * wrong results) before the re-read picks up the new pins. */
   private val metaCache = scala.collection.concurrent.TrieMap
-    .empty[String, (java.nio.file.attribute.FileTime, MaterializedTable.Meta)]
+    .empty[String, (java.nio.file.attribute.FileTime, Long, Long,
+      MaterializedTable.Meta)]
+
+  private val MetaTtlNanos = 5L * 1000 * 1000 * 1000
 
   private def metaCached(dir: String): Option[MaterializedTable.Meta] = {
     val f = java.nio.file.Paths.get(dir, "_mt_meta")
     if (!java.nio.file.Files.exists(f)) { metaCache.remove(dir); None }
     else {
       val mtime = java.nio.file.Files.getLastModifiedTime(f)
+      val size = java.nio.file.Files.size(f)
+      val now = System.nanoTime()
       metaCache.get(dir) match {
-        case Some((t, m)) if t == mtime => Some(m)
+        case Some((t, sz, at, m))
+            if t == mtime && sz == size && now - at < MetaTtlNanos =>
+          Some(m)
         case _ =>
           val m = MaterializedTable.meta(dir)
-          m.foreach(v => metaCache.put(dir, (mtime, v)))
+          m.foreach(v => metaCache.put(dir, (mtime, size, now, v)))
           m
       }
     }

@@ -87,6 +87,10 @@ object IdMembership {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[String, State]
 
+  /** Serializes the [[bloomAndCount]] conf raise/restore (a
+    * session-global mutation two concurrent builds would corrupt). */
+  private val confLock = new Object
+
   /** Serialized bloom over `xxhash64(keyCol)` plus the row count, in
     * ONE pass over `df` — the exact probe protocol
     * [[BloomFilterMightContain]] expects ([[BloomJoin]] uses the same
@@ -112,16 +116,24 @@ object IdMembership {
     val conf = df.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
-    val row =
+    // the raise/restore is a session-global mutation: serialize
+    // builds on one lock so two interleaved guards cannot "restore"
+    // each other's raised value and leak the limits to unrelated
+    // runtime-filter planning; a non-numeric user-set value reads as
+    // 0 (the raise then simply covers the request)
+    val row = IdMembership.confLock.synchronized {
+      def asLong(s: String): Long =
+        try s.toLong catch { case _: NumberFormatException => 0L }
+      val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
       try {
-        conf.set(itemsKey, math.max(items, oldItems.toLong))
-        conf.set(bitsKey, math.max(numBits(items), oldBits.toLong))
+        conf.set(itemsKey, math.max(items, asLong(oldItems)))
+        conf.set(bitsKey, math.max(numBits(items), asLong(oldBits)))
         df.select(agg.as("bf"), count(lit(1)).as("n")).head()
       } finally {
         conf.set(itemsKey, oldItems)
         conf.set(bitsKey, oldBits)
       }
+    }
     (Option(row.getAs[Array[Byte]](0)), row.getLong(1))
   }
 
@@ -129,10 +141,22 @@ object IdMembership {
     * bit size under this module's 8-bits/item sizing — the ground
     * truth the resize trigger compares against (a clamped or
     * foreign-built sketch must resize by its real geometry, not the
-    * requested one). */
-  private def capacityOf(bloom: Array[Byte]): Long =
+    * requested one). Read from the 12-byte header (V1 format: int
+    * version, int numHashFunctions, int word count), NOT by a full
+    * readFrom — deserializing a 16 MB sketch just for its bit size
+    * would tax every sidecar load; any unexpected version falls back
+    * to the real deserializer. */
+  private def capacityOf(bloom: Array[Byte]): Long = {
+    if (bloom.length >= 12) {
+      val buf = java.nio.ByteBuffer.wrap(bloom)
+      val (version, _, words) = (buf.getInt, buf.getInt, buf.getInt)
+      if (version == 1 && words >= 0 &&
+          bloom.length >= 12 + words.toLong * 8)
+        return words.toLong * 64 / 8
+    }
     org.apache.spark.util.sketch.BloomFilter
       .readFrom(new java.io.ByteArrayInputStream(bloom)).bitSize() / 8
+  }
 
   private def emptyBloom(items: Long): Array[Byte] = {
     val f = org.apache.spark.util.sketch.BloomFilter

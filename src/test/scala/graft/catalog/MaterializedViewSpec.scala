@@ -386,6 +386,17 @@ class MaterializedViewSpec extends SparkSpec {
       FROM mvx.facts GROUP BY grp""")
     rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
       SELECT count(*) AS c, sum(amount) AS s FROM mvx.facts""")
+    // a non-maintainable AGGREGATE inside HAVING must classify at
+    // parse (ONE pass to the rebuild-only store, never a wasted
+    // incremental build the derivability gate then tears down)
+    rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
+      SELECT grp, sum(qty) AS q FROM mvx.facts
+      GROUP BY grp HAVING CAST(stddev(qty) AS DOUBLE) >= 0""")
+    // agg FILTER (WHERE …) has no store-side twin — same one-pass
+    // route, in the SELECT list and in HAVING
+    rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
+      SELECT grp, CAST(sum(qty) FILTER (WHERE qty > 3) AS BIGINT) AS q
+      FROM mvx.facts GROUP BY grp""")
     rebuildOnly("""CREATE MATERIALIZED VIEW mvx.RO AS
       SELECT a.grp, count(*) AS c FROM mvx.facts a
       LEFT JOIN mvx.facts b ON a.id = b.id GROUP BY a.grp""")
