@@ -262,6 +262,20 @@ case class RollupRewrite(session: SparkSession)
           if hset.nonEmpty && !hset.contains(null) =>
         Some(ColPred(name(a), a.dataType, None, None,
           Some(hset.toSeq)))
+      // OR of value-set predicates on the SAME column is a set
+      // union (`x = 1 OR x IN (2, 3)` ⟺ `x IN (1, 2, 3)`) — the
+      // disjunctive shape dashboards write by hand. Only pure value
+      // sets combine; a range disjunct has no single-interval
+      // representation and claims nothing.
+      case Or(l, r) =>
+        (colPredOf(l), colPredOf(r)) match {
+          case (Some(pl), Some(pr))
+              if pl.col == pr.col && pl.dt == pr.dt &&
+                pl.inSet.isDefined && pr.inSet.isDefined =>
+            Some(ColPred(pl.col, pl.dt, None, None,
+              Some(pl.inSet.get ++ pr.inSet.get)))
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -271,8 +285,8 @@ case class RollupRewrite(session: SparkSession)
     * so normalizing both sides to inclusive bounds lets `x > 3`
     * serve an `x >= 4` store. Extremes that would overflow keep
     * their exclusive form (such predicates are empty anyway). Only
-    * integral types — float/decimal/string domains have no adjacent
-    * value. */
+    * integral domains — ints, DATE (whole days), TIMESTAMP (whole
+    * microseconds); float/decimal/string have no adjacent value. */
   private def tighten(p: ColPred): ColPred = {
     def adj(v: Any, up: Boolean): Option[Any] = (p.dt, v) match {
       case (ByteType, b: java.lang.Byte) =>
@@ -291,6 +305,18 @@ case class RollupRewrite(session: SparkSession)
         else (if (i == Int.MinValue) None
               else Some(java.lang.Integer.valueOf(i - 1)))
       case (LongType, l: java.lang.Long) =>
+        if (up) (if (l == Long.MaxValue) None
+                 else Some(java.lang.Long.valueOf(l + 1)))
+        else (if (l == Long.MinValue) None
+              else Some(java.lang.Long.valueOf(l - 1)))
+      // DATE is whole days (Int), TIMESTAMP whole microseconds
+      // (Long) — integral domains with a well-defined adjacent value
+      case (DateType, i: java.lang.Integer) =>
+        if (up) (if (i == Int.MaxValue) None
+                 else Some(java.lang.Integer.valueOf(i + 1)))
+        else (if (i == Int.MinValue) None
+              else Some(java.lang.Integer.valueOf(i - 1)))
+      case (TimestampType | TimestampNTZType, l: java.lang.Long) =>
         if (up) (if (l == Long.MaxValue) None
                  else Some(java.lang.Long.valueOf(l + 1)))
         else (if (l == Long.MinValue) None

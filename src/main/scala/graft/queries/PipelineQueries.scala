@@ -522,6 +522,55 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20j' (r16) — REBUILD-ONLY MV SUBSUMPTION: the defining plan
+    // matches as a SUBTREE, so a query that FILTERS and PROJECTS the
+    // MV still serves the store — the residual operators stay above
+    // the store read (Filter on a computed column the store
+    // materialized, Project to a column subset). REQUIRED in-query:
+    // the MV is rebuild-only and the filtered+projected read scans
+    // ONLY the store, never the base.
+    "q_mv_subsumed" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvsbq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      S.createOrReplace(orders, src, keepVersions = 2)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvsb", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvsb.heavy AS
+        SELECT o_orderpriority,
+               CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sdc,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvsb.orders GROUP BY o_orderpriority""").collect()
+      val props = ts.properties("mvsb", "heavy__storage")
+      require(props.contains("graft.mv.rebuild-only"),
+        "sum(DISTINCT) must land as a rebuild-only MV")
+      val mvDir = props("graft.rollup.dir")
+      def reads(df: org.apache.spark.sql.DataFrame,
+                dir: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+                  .exists(p => p == dir || p.startsWith(s"$dir/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      val q = s.sql("""SELECT o_orderpriority, sum_price
+        FROM mvsb.heavy WHERE sdc % 2 = 1""")
+      require(reads(q, mvDir) && !reads(q, src),
+        "a Filter + Project over the defining shape must still " +
+          "serve the store (subtree subsumption)")
+      ts.dropView("mvsb", "heavy")
+      ts.dropTable("mvsb", "heavy__storage")
+      ts.dropTable("mvsb", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
     // S20k (r15) — COARSER-BUCKET MV DERIVATION (the Calcite
     // time-hierarchy law): a MONTH dashboard query is served from a
     // DAY-keyed materialized view by re-bucketing the gold day keys —
@@ -2916,6 +2965,20 @@ FROM iceberg.silver.orders_current""")
              CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
                AS sum_price
       FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 10
+      ORDER BY o_orderpriority""",
+
+    // Subsumption twin: the residual Filter + Project applied to the
+    // defining query over the full base — the plan reads the store,
+    // the ANSWER is this.
+    "q_mv_subsumed" -> s"""
+      WITH mv AS (
+        SELECT o_orderpriority,
+               CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sdc,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderpriority
+      )
+      SELECT o_orderpriority, sum_price FROM mv WHERE sdc % 2 = 1
       ORDER BY o_orderpriority""",
 
     // Incremental HAVING/count-DISTINCT MV twin: the served answer is

@@ -278,6 +278,40 @@ class RollupRewriteSpec extends SparkSpec {
       "FROM mvi.facts WHERE region = 'r0' GROUP BY grp", set)
     served("SELECT grp, count(*) AS c FROM mvi.facts " +
       "WHERE region IN ('r2') GROUP BY grp", set)
+    // OR of value sets is a set union: {r0} ∪ {r2} ⊆ the slice
+    served("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE region = 'r0' OR region = 'r2' GROUP BY grp", set)
+    // OR of points within the range slice
+    served("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE qty = 5 OR qty IN (9, 12) GROUP BY grp", rng)
+
+    // DATE is an integral domain (whole days): d >= 16th tightens to
+    // the same bound as the stored d > 15th
+    val dfacts = (1 to 200).map(i => (i.toLong, s"g${i % 4}",
+      java.sql.Date.valueOf(f"2024-01-${1 + (i % 28)}%02d"),
+      (i % 7).toLong))
+      .toDF("id", "grp", "d", "v")
+    val ddir = s"$root/dfacts"
+    Snapshot.createOrReplace(dfacts, ddir, keepVersions = 2)
+    store.registerSnapshot("mvi", "dfacts", ddir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvi.dfacts', name => 'mvi.dates',
+      group_by => 'grp,d', sum_cols => 'v',
+      where => 'd > DATE ''2024-01-15''')""").collect()
+    val dates = new TableStore(spark).properties("mvi", "dates")(
+      "graft.rollup.dir")
+    locally {
+      val q = "SELECT grp, count(*) AS c FROM mvi.dfacts " +
+        "WHERE d >= DATE '2024-01-16' GROUP BY grp"
+      val df = spark.sql(q)
+      assert(scans(df, dates) && !scans(df, ddir),
+        "d >= 16th must serve the d > 15th store (date tightening)")
+      assert(df.collect().map(_.toSeq).toSet == baseline(q))
+      val wider = spark.sql("SELECT grp, count(*) AS c " +
+        "FROM mvi.dfacts WHERE d >= DATE '2024-01-15' GROUP BY grp")
+      assert(!scans(wider, dates) && scans(wider, ddir),
+        "d >= 15th admits the boundary day — base only")
+    }
 
     // WIDER range: qty > 2 includes rows the store never saw
     onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
@@ -294,6 +328,11 @@ class RollupRewriteSpec extends SparkSpec {
     // IN NOT a subset: r1 is outside the slice
     onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
       "WHERE region IN ('r0', 'r1') GROUP BY grp", set)
+    // OR straddling the slice, and OR across DIFFERENT columns
+    onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE region = 'r0' OR region = 'r1' GROUP BY grp", set)
+    onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
+      "WHERE region = 'r0' OR grp = 'g1' GROUP BY grp", set)
     // different column entirely
     onBase("SELECT grp, count(*) AS c FROM mvi.facts " +
       "WHERE grp = 'g1' GROUP BY grp", set)
