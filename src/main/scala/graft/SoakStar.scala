@@ -98,10 +98,29 @@ object SoakStar {
       val t3 = System.nanoTime()
       require(R.refresh(spark, fact2, ru2) > 0L)
       val tDimClustered = (System.nanoTime() - t3) / 1e9
+      // COMBINED window: a FIXED 1k-key equality delete on the FACT
+      // plus another dim wave in ONE window — the telescoped
+      // fact-first path (phase 1 affected-group re-derive against
+      // start dims, phase 2 the ordinary dim term). The 100-TB
+      // claim: O(window delta + affected groups + dim-term fact
+      // read), never a recompute — flat-ish in fact size like the
+      // eq arm of SoakRollup
+      val eqWave = S.read(spark, fact).orderBy("o_orderkey")
+        .limit(1000).select("o_orderkey").localCheckpoint()
+      S.morCommit(spark, fact, deletes = Some(eqWave),
+        appends = None, operation = "delete")
+      S.morCommit(spark, dim, deletes = None,
+        appends = Some(dimDf.orderBy(org.apache.spark.sql.functions
+          .desc("c_custkey")).limit(100).localCheckpoint()),
+        operation = "append")
+      val t4 = System.nanoTime()
+      require(R.refresh(spark, fact, ru) > 0L)
+      val tCombined = (System.nanoTime() - t4) / 1e9
       s""""x$mult":{"fact_rows":$rows,"star_build_sec":$tBuild,""" +
         s""""star_append_refresh_sec":$tApp,""" +
         s""""dim_append_refresh_sec":$tDim,""" +
-        s""""dim_refresh_clustered_sec":$tDimClustered}"""
+        s""""dim_refresh_clustered_sec":$tDimClustered,""" +
+        s""""eq_plus_dim_refresh_sec":$tCombined}"""
     }
     println(s"""{"soak":"star_rollup_refresh","append_rows":5000,""" +
       out.mkString(",") + "}")

@@ -361,10 +361,17 @@ class RollupRewriteSpec extends SparkSpec {
     var servedN = 0
     (1 to 60).foreach { _ =>
       val x = rnd.nextInt(13)
-      val (pred, impliesSlice) = rnd.nextInt(4) match {
+      val (pred, impliesSlice) = rnd.nextInt(6) match {
         case 0 => (s"qty > $x", x >= 3)
         case 1 => (s"qty >= $x", x >= 4)
         case 2 => (s"qty = $x", x >= 4)
+        case 3 =>
+          val y = rnd.nextInt(13)
+          (s"(qty = $x OR qty = $y)", x >= 4 && y >= 4)
+        case 4 =>
+          val vs = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(13))
+          (s"(qty = $x OR qty IN (${vs.mkString(", ")}))",
+            x >= 4 && vs.forall(_ >= 4))
         case _ =>
           val vs = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(13))
           (s"qty IN (${vs.mkString(", ")})", vs.forall(_ >= 4))
