@@ -86,11 +86,13 @@ object Rollup {
     * the dim's (small) delta — the telescoped join-view identity in
     * [[refresh]]. A fact EQUALITY window re-derives affected groups
     * ([[refreshRederive]]), even combined with moved dims (fact-first
-    * telescoping). Only the truly unpriceable cases (an equality
-    * window on a DIM itself, copy-on-write rebases, a pruned as-of
-    * version) raise, routing the MV REFRESH surface to its
-    * full-recompute fallback — Trino's always-rebuild, paid only when
-    * the window truly cannot be priced. */
+    * telescoping); a DIM equality window — the default-delete-mode
+    * CDC MERGE shape on a dimension — re-derives the groups its
+    * changed rows join ([[refreshDimRederive]]). Only the truly
+    * unpriceable cases (copy-on-write rebases, a pruned as-of
+    * version, mid-window schema drift) raise, routing the MV REFRESH
+    * surface to its full-recompute fallback — Trino's always-rebuild,
+    * paid only when the window truly cannot be priced. */
   final case class DimSpec(path: String, keys: Seq[(String, String)],
                            version: Long = -1L)
 
@@ -605,8 +607,6 @@ object Rollup {
     // path's Σi F' ⋈ ΔDi ⋈ … dim-term shape. Each phase's commit is
     // a valid durable state: the marker advances the fact window
     // first, so a crash between phases resumes at the dim phase.
-    // (A dim whose OWN window carries equality deletes still raises
-    // in phase 2 — the same bound the dim-only path has always had.)
     if (since < version &&
         Snapshot.windowHasEqualityDeletes(srcPath, since, version)) {
       val dimsMoved = m.dims.indices.exists(i =>
@@ -618,6 +618,35 @@ object Rollup {
         else n1 + refresh(spark, srcPath, rollupDir,
           compactAfterCommits)
     }
+    // DIM-side EQUALITY window (r17): a dimension maintained by keyed
+    // CDC MERGE/DELETE under the engine's default delete mode carries
+    // equality sidecars — the signed ΔDi term below cannot price them
+    // per-instance (windowRowDelta would raise and the MV REFRESH
+    // surface paid a full rebuild EVERY refresh interval, the most
+    // common star-schema CDC pattern). Route to the dim-side
+    // affected-group re-derive instead: groups whose fact rows join
+    // any CHANGED dim row (appends ∪ delete images, a superset) —
+    // under the OLD dim state or the NEW (a deleted dim row's groups
+    // only surface via the start join; a new row's via the end join)
+    // — recompute from the fact joined to dims at their window ENDS.
+    // O(dim window delta + fact rows hitting changed dim keys +
+    // affected groups' rows), never O(table).
+    //
+    // A fact window in the SAME refresh telescopes fact-first, same
+    // discipline as above: phase 1 applies the signed fact term with
+    // every dim pinned at its window START (`dimTarget = dimSince` —
+    // the dim-term loop never fires and the marker advances the fact
+    // window first, so a crash between phases resumes at the dim
+    // phase), phase 2 re-enters with the fact static.
+    val dimHasEq = m.dims.indices.map(i =>
+      dimSince(i) < dimUntil(i) &&
+        Snapshot.windowHasEqualityDeletes(m.dims(i).path, dimSince(i),
+          dimUntil(i)))
+    val anyDimEq = dimHasEq.exists(identity)
+    if (anyDimEq && since >= version)
+      return refreshDimRederive(spark, srcPath, rollupDir, m, version,
+        dimSince, dimUntil, compactAfterCommits)
+    val dimTarget = if (anyDimEq) dimSince else dimUntil
     // SIGNED ROW DELTAS of the joined view — the telescoped join-view
     // identity (Gupta & Mumick): with F' = F+ΔF and Di' = Di+ΔDi,
     //   F'⋈D1'⋈…⋈Dn' − F⋈D1⋈…⋈Dn
@@ -642,9 +671,9 @@ object Rollup {
     }
     lazy val factLive = Snapshot.readAsOf(spark, srcPath, version)
     m.dims.zipWithIndex.foreach { case (d, i) =>
-      if (dimSince(i) < dimUntil(i)) {
+      if (dimSince(i) < dimTarget(i)) {
         val (dp, dm) = Snapshot.windowRowDelta(spark, d.path,
-          dimSince(i), dimUntil(i), "rollup dimension")
+          dimSince(i), dimTarget(i), "rollup dimension")
         // scan-pruning lever for the fact read: only fact rows whose
         // join key HITS the (small) dim delta can contribute, so an
         // IN filter of the delta's first-key values pushes to the
@@ -662,7 +691,7 @@ object Rollup {
         }
         def chain(delta: DataFrame): DataFrame =
           joinWith(prunedFact(delta), m.dims, m.dims.indices.map { j =>
-            if (j < i) dimAsOf(spark, rollupDir, m.dims(j), dimUntil(j))
+            if (j < i) dimAsOf(spark, rollupDir, m.dims(j), dimTarget(j))
             else if (j == i) delta
             else dimAsOf(spark, rollupDir, m.dims(j), dimSince(j))
           })
@@ -761,7 +790,7 @@ object Rollup {
                 Snapshot.readAsOf(spark, srcPath, version), minusG,
                 key),
               m.dims,
-              m.dims.zip(dimUntil).map { case (d, v) =>
+              m.dims.zip(dimTarget).map { case (d, v) =>
                 dimAsOf(spark, rollupDir, d, v) }), m.exprCols),
               m.filter),
             broadcast(minusG), key, "left_semi")
@@ -818,13 +847,18 @@ object Rollup {
       Snapshot.morCommit(spark, tableDir(rollupDir),
         deletes = Some(touched),
         appends = Some(merged.filter(col("cnt") > 0)),
-        operation = markerOf(version, dimUntil))
+        operation = markerOf(version, dimTarget))
     }
     writeMeta(rollupDir, m.copy(srcVersion = version,
-      dims = m.dims.zip(dimUntil).map { case (d, v) =>
+      dims = m.dims.zip(dimTarget).map { case (d, v) =>
         d.copy(version = v) },
       rollupVersion =
         Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L)))
+    // phase 2 of the dim-eq telescoping: the fact term just landed
+    // with dims pinned at their starts — re-enter for the dim windows
+    // (its arm compacts; compacting between phases is wasted work)
+    if (anyDimEq)
+      return n + refresh(spark, srcPath, rollupDir, compactAfterCommits)
     if (compactAfterCommits > 0 &&
         Snapshot.morVersions(tableDir(rollupDir)).size
           >= compactAfterCommits) {
@@ -883,14 +917,7 @@ object Rollup {
                               version: Long, dimUntil: Seq[Long],
                               compactAfterCommits: Int): Long = {
     val key = m.groupCols
-    // a store built by a pre-cnt_<m> version cannot take re-derived
-    // rows carrying them — rebuild (same gate as the signed path)
-    val storedCols = Snapshot.read(spark, tableDir(rollupDir)).columns
-    m.measures.map(mm => s"cnt_$mm")
-      .find(!storedCols.contains(_)).foreach(c =>
-        throw new UnpriceableWindowException(
-          s"rollup at $rollupDir predates per-measure non-null " +
-            s"counts (missing $c) — rebuild the rollup"))
+    requireCntCols(spark, rollupDir, m)
     val deleted = Snapshot.windowDeleteImages(spark, srcPath, since,
       version, "rollup")
     val appended = Snapshot.windowAppendRows(spark, srcPath, since,
@@ -902,6 +929,105 @@ object Rollup {
         m.exprCols), m.filter).select(key.map(col): _*)
     val touched = groupsOf(deleted).unionByName(groupsOf(appended))
       .distinct().localCheckpoint()
+    rederiveGroups(spark, srcPath, rollupDir, m, version, dimUntil,
+      pinnedDims, touched, compactAfterCommits)
+  }
+
+  /** The DIM-side equality-window refresh arm (the fact is static —
+    * [[refresh]] telescopes a moved fact first): a dimension
+    * maintained by keyed CDC MERGE/DELETE under the engine's default
+    * `write.mor.deletes = equality` writes sidecars the signed ΔDi
+    * term cannot price per-instance; instead, re-derive the groups
+    * its changes could have touched. Discovery: each moved dim's
+    * CHANGED-ROW superset (raw window appends ∪ resolved delete
+    * images, [[Snapshot.windowDeleteImages]]) keys a restriction of
+    * the fact — only fact rows joining a changed dim row can change
+    * their group's value — and those rows' groups are collected under
+    * BOTH the start-pinned and end-pinned dim joins (a deleted dim
+    * row's groups only surface via the start join; an appended row's
+    * via the end join; a replaced row via both). The touched groups
+    * then recompute from the fact joined to every dim at its window
+    * END — per group it IS the full recompute, so exactness is by
+    * construction. O(dim window delta + fact rows hitting changed
+    * keys + affected groups' rows), with the fact scan IN-pruned by
+    * the changed keys when they fit the literal budget. Handles ALL
+    * moved dims uniformly (an eq-window dim alongside a
+    * position-window dim re-derives both — exact either way). */
+  private def refreshDimRederive(spark: SparkSession, srcPath: String,
+                                 rollupDir: String, m: Meta,
+                                 version: Long, dimSince: Seq[Long],
+                                 dimUntil: Seq[Long],
+                                 compactAfterCommits: Int): Long = {
+    val key = m.groupCols
+    requireCntCols(spark, rollupDir, m)
+    val factLive = Snapshot.readAsOf(spark, srcPath, version)
+    val startDims = m.dims.zip(dimSince).map { case (d, v) =>
+      dimAsOf(spark, rollupDir, d, v) }
+    val endDims = m.dims.zip(dimUntil).map { case (d, v) =>
+      dimAsOf(spark, rollupDir, d, v) }
+    val touchedFact = m.dims.indices
+      .filter(i => dimSince(i) < dimUntil(i)).map { i =>
+        val d = m.dims(i)
+        val changed = Snapshot.windowAppendRows(spark, d.path,
+            dimSince(i), dimUntil(i), "rollup dimension")
+          .unionByName(Snapshot.windowDeleteImages(spark, d.path,
+            dimSince(i), dimUntil(i), "rollup dimension"))
+        // a null join key never matches the inner join — it cannot
+        // affect any group, so the key set drops nulls outright
+        val keysDf = changed
+          .select(d.keys.map { case (_, dk) => col(dk) }: _*)
+          .na.drop("any").distinct().localCheckpoint()
+        val (fk0, dk0) = d.keys.head
+        val vals = keysDf.select(col(dk0)).distinct()
+          .limit(MaxDimDeltaKeys + 1).collect().map(_.get(0))
+        // footer-level prune on the first key when it fits the
+        // budget; the broadcast semi below is the exact restriction
+        val pruned =
+          if (vals.isEmpty) factLive.filter(lit(false))
+          else if (vals.length > MaxDimDeltaKeys) factLive
+          else factLive.filter(col(fk0).isin(vals.toIndexedSeq: _*))
+        val semiKeys =
+          if (vals.length <= MaxDimDeltaKeys) broadcast(keysDf)
+          else keysDf
+        val cond = d.keys.map { case (fk, dk) =>
+          pruned(fk) === semiKeys(dk) }.reduce(_ && _)
+        pruned.join(semiKeys, cond, "left_semi")
+      }
+      .reduce(_ unionByName _).localCheckpoint()
+    def groupsOf(dimFrames: Seq[DataFrame]): DataFrame =
+      applyFilter(prepare(joinWith(touchedFact, m.dims, dimFrames),
+        m.exprCols), m.filter).select(key.map(col): _*)
+    val touched = groupsOf(startDims).unionByName(groupsOf(endDims))
+      .distinct().localCheckpoint()
+    rederiveGroups(spark, srcPath, rollupDir, m, version, dimUntil,
+      endDims, touched, compactAfterCommits)
+  }
+
+  /** A store built by a pre-`cnt_<m>` engine version cannot take
+    * re-derived rows carrying the non-null counts — rebuild. */
+  private def requireCntCols(spark: SparkSession, rollupDir: String,
+                             m: Meta): Unit = {
+    val storedCols = Snapshot.read(spark, tableDir(rollupDir)).columns
+    m.measures.map(mm => s"cnt_$mm")
+      .find(!storedCols.contains(_)).foreach(c =>
+        throw new UnpriceableWindowException(
+          s"rollup at $rollupDir predates per-measure non-null " +
+            s"counts (missing $c) — rebuild the rollup"))
+  }
+
+  /** Shared re-derive tail: recompute `touched` groups from the fact
+    * AS OF `version` joined to `pinnedDims`, upsert them through ONE
+    * MOR commit (delete the groups' old rows, append the re-summed
+    * ones — a fully-vanished group appends nothing and its store row
+    * dies with the delete arm), stamp the meta, compact past the
+    * sawtooth threshold. Exact per touched group by construction. */
+  private def rederiveGroups(spark: SparkSession, srcPath: String,
+                             rollupDir: String, m: Meta, version: Long,
+                             dimUntil: Seq[Long],
+                             pinnedDims: Seq[DataFrame],
+                             touched: DataFrame,
+                             compactAfterCommits: Int): Long = {
+    val key = m.groupCols
     val n = touched.count()
     if (n > 0) {
       val recSrc = nsJoin(
@@ -913,9 +1039,6 @@ object Rollup {
       val rec = withSketches(
         aggOf(recSrc, key, m.measures, m.minMax), recSrc, key,
         m.ndv, m.ndvK)
-      // one MOR commit: drop the touched groups' old rows, append
-      // their recomputed rows (a fully-vanished group appends
-      // nothing — its store row just dies with the delete arm)
       Snapshot.morCommit(spark, tableDir(rollupDir),
         deletes = Some(touched), appends = Some(rec),
         operation = markerOf(version, dimUntil))

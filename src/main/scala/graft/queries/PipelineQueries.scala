@@ -326,6 +326,70 @@ object PipelineQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // S19-DIMEQ (r17) — DIM-side equality windows: a DIMENSION
+    // maintained by keyed CDC DELETE/MERGE under the engine's DEFAULT
+    // delete mode (`write.mor.deletes = equality`) writes equality
+    // sidecars its window — through r16 Rollup.refresh raised on such
+    // windows and REFRESH MATERIALIZED VIEW paid a FULL REBUILD every
+    // refresh interval, the most common star-schema CDC pattern. The
+    // dim-side affected-group re-derive prices it: only groups whose
+    // fact rows join a CHANGED dim row (under the old dim state or
+    // the new) recompute, O(dim delta + fact rows hitting changed
+    // keys + affected groups' rows). REQUIRED in-query: the dim DML
+    // really wrote an equality sidecar, refresh PRICES the window
+    // (no raise), the store advanced by an incremental MOR commit
+    // (never a rebuild rebase), and a replay refresh is a no-op. The
+    // window carries BOTH CDC shapes — a keyed DELETE and an upsert
+    // that RE-SEGMENTS customers (their fact rows move groups). The
+    // result must equal the oracle's star recompute bit-for-bit.
+    "q_rollup_maintain_dimeq" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("rollupdeq")
+        .toString
+      val (fact, dim, ru) = (s"$root/orders", s"$root/customer",
+        s"$root/rollup")
+      val S = graft.pipeline.Snapshot
+      val R = graft.pipeline.Rollup
+      S.createOrReplace(Tables.orders(s, d), fact, keepVersions = 4)
+      S.createOrReplace(Tables.customer(s, d), dim, keepVersions = 4)
+      new TableStore(s).registerSnapshot("rodm", "customer", dim)
+      s.sql("""ALTER TABLE rodm.customer SET TBLPROPERTIES(
+        'write.delete.mode'='merge-on-read')""")
+      s.sql("ALTER TABLE rodm.customer SET IDENTIFIER FIELDS c_custkey")
+      R.build(s, fact, ru, Seq("c_mktsegment"), Seq("o_totalprice"),
+        minMax = Seq("o_totalprice"),
+        dims = Seq(R.DimSpec(dim, Seq(("o_custkey", "c_custkey")))))
+      val d0 = S.currentVersion(dim).get
+      // ONE window, both CDC shapes on the DIM: a keyed equality
+      // DELETE (identifier-scoped sidecar) and a MERGE-style upsert
+      // (full-row delete + re-append) that re-segments customers
+      s.sql("DELETE FROM rodm.customer WHERE c_custkey % 9 = 2")
+      val moved = S.read(s, dim)
+        .filter(col("c_custkey") % 9 === 4).localCheckpoint()
+      S.morCommit(s, dim, deletes = Some(moved),
+        appends = Some(moved.withColumn("c_mktsegment",
+          lit("RESEGMENTED"))),
+        operation = "overwrite")
+      require(S.windowHasEqualityDeletes(dim, d0,
+        S.currentVersion(dim).get),
+        "the keyed dim DML must write equality sidecars")
+      require(R.refresh(s, fact, ru) > 0L,
+        "the dim equality window must be PRICED (dim re-derive), " +
+          "not raise")
+      val ruTable = R.tableDir(ru)
+      require(S.operationOf(ruTable, S.currentVersion(ruTable).get)
+        .exists(_.startsWith("rollup-to-v")),
+        "the store must advance by an incremental MOR commit, " +
+          "not a rebuild")
+      require(R.refresh(s, fact, ru) == 0L,
+        "a replay refresh must be a no-op")
+      new TableStore(s).dropTable("rodm", "customer")
+      R.read(s, fact, ru)
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_o_totalprice"), col("min_o_totalprice"),
+          col("max_o_totalprice"))
+        .orderBy("c_mktsegment")
+    }),
+
     // S20 — AUTOMATIC MATERIALIZED-VIEW REWRITE (r13): the optimizer
     // rule (RollupRewrite, injected via SparkSessionExtensions) that
     // makes the maintained rollup transparent — a derivable GROUP BY
@@ -2933,6 +2997,25 @@ FROM iceberg.silver.orders_current""")
              MAX(o_totalprice) AS max_o_totalprice
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE o_orderkey % 10 <> 3 AND c_custkey % 50 <> 7
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    // Dim-equality twin: the star recompute over the dim's FINAL
+    // state — keyed-deleted customers gone, %9=4 customers
+    // re-segmented, one dim-side re-derive refresh window.
+    "q_rollup_maintain_dimeq" -> s"""
+      WITH dim AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 9 = 4 THEN 'RESEGMENTED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 9 <> 2
+      )
+      SELECT c_mktsegment, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_o_totalprice,
+             MIN(o_totalprice) AS min_o_totalprice,
+             MAX(o_totalprice) AS max_o_totalprice
+      FROM orders JOIN dim ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
 

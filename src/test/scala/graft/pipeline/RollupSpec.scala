@@ -584,7 +584,7 @@ class RollupSpec extends SparkSpec {
   }
 
   test("JOIN rollup (star): fact ⋈ dim maintains exactly under append " +
-    "and position-delete windows; a moved dim raises with 'rebuild'") {
+    "and position-delete windows; a dim equality window prices too") {
     import spark.implicits._
     val orders = Tables.orders(spark, sf).localCheckpoint()
     val customer = Tables.customer(spark, sf).localCheckpoint()
@@ -680,19 +680,17 @@ class RollupSpec extends SparkSpec {
       "fact and dim windows in one refresh must maintain exactly")
     assert(Rollup.refresh(spark, fact, ru) == 0L)
 
-    // a dim EQUALITY-delete window is per-instance unpriceable: the
-    // raise carries the position-deletes hint (MV fallback catches
-    // it), and the rebuild re-pins the dims
+    // a dim EQUALITY-delete window (the default-delete-mode CDC
+    // MERGE shape on a dimension) PRICES via the dim-side
+    // affected-group re-derive — through r16 this raised and the MV
+    // REFRESH surface paid a full rebuild every refresh interval
     Snapshot.morCommit(spark, dim, deletes = Some(dupDim),
       appends = None, operation = "delete")
-    assert(intercept[IllegalStateException] {
-      Rollup.refresh(spark, fact, ru)
-    }.getMessage.contains("position"))
-    val m = Rollup.meta(ru).get
-    Rollup.build(spark, fact, ru, m.groupCols, m.measures, m.minMax,
-      m.ndv, m.ndvK, m.filter, m.dims)
+    assert(Rollup.refresh(spark, fact, ru) > 0L,
+      "a dim equality window must PRICE (dim re-derive), not raise")
+    assert(goldState() == liveRecompute(),
+      "the dim-eq re-derive must equal the live joined recompute")
     assert(Rollup.refresh(spark, fact, ru) == 0L)
-    assert(goldState() == liveRecompute())
   }
 
   test("COMBINED equality-delete + moved-dim window TELESCOPES " +
@@ -783,6 +781,126 @@ class RollupSpec extends SparkSpec {
     assert(goldState() == liveRecompute(),
       "an identifier-scoped equality delete + dim delete window " +
         "must also telescope exactly")
+    assert(Rollup.refresh(spark, fact, ru) == 0L)
+  }
+
+  test("DIM-side equality windows (the CDC MERGE shape on a " +
+    "dimension) PRICE via the dim re-derive: keyed deletes, a fan-out " +
+    "update that re-segments customers, min/max through the join, " +
+    "incremental MOR commits (never a rebuild), idempotent replay; " +
+    "combined fact-eq + dim-eq telescopes both") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf).localCheckpoint()
+    val customer = Tables.customer(spark, sf).localCheckpoint()
+    val root = Files.createTempDirectory("rollupDEQ").toString
+    val (fact, dim, ru) = (s"$root/fact", s"$root/dim", s"$root/rollup")
+    Snapshot.createOrReplace(orders, fact, keepVersions = 6)
+    Snapshot.createOrReplace(customer, dim, keepVersions = 6)
+    Rollup.build(spark, fact, ru,
+      Seq("c_mktsegment"), Seq("o_totalprice"),
+      minMax = Seq("o_totalprice"),
+      dims = Seq(Rollup.DimSpec(dim, Seq(("o_custkey", "c_custkey")))))
+    def liveRecompute(): Set[(String, Long, Double, Double, Double)] = {
+      val f = Snapshot.read(spark, fact)
+      val d2 = Snapshot.read(spark, dim)
+      f.join(d2, f("o_custkey") === d2("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(27, 6)))
+            .cast(DoubleType).as("s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+    }
+    def gold(): Set[(String, Long, Double, Double, Double)] =
+      Rollup.read(spark, fact, ru)
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_o_totalprice"), col("min_o_totalprice"),
+          col("max_o_totalprice"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+
+    // window 1: an IDENTIFIER-SCOPED equality delete on the dim (the
+    // keyed CDC DELETE — sidecar carries only c_custkey) — its joined
+    // fact rows drop out of their groups, extrema recompute
+    val dead = Snapshot.read(spark, dim)
+      .filter(col("c_custkey") % 9 === 2)
+      .select("c_custkey").localCheckpoint()
+    assert(dead.count() > 0)
+    Snapshot.morCommit(spark, dim, deletes = Some(dead),
+      appends = None, operation = "delete")
+    assert(Snapshot.windowHasEqualityDeletes(dim,
+      Rollup.meta(ru).get.dims.head.version,
+      Snapshot.currentVersion(dim).get),
+      "the keyed dim DELETE must write an equality sidecar")
+    assert(Rollup.refresh(spark, fact, ru) > 0L,
+      "the dim equality window must PRICE, not raise")
+    assert(gold() == liveRecompute(),
+      "dim-eq re-derive must equal the live star recompute exactly")
+    assert(Rollup.refresh(spark, fact, ru) == 0L, "and be idempotent")
+
+    // window 2: the CDC MERGE upsert shape — a FULL-ROW equality
+    // delete + re-append that RE-SEGMENTS customers (fan-out update):
+    // their fact rows MOVE groups, both old and new groups re-derive
+    val moved = Snapshot.read(spark, dim)
+      .filter(col("c_custkey") % 9 === 4).localCheckpoint()
+    assert(moved.count() > 0)
+    Snapshot.morCommit(spark, dim, deletes = Some(moved),
+      appends = Some(moved.withColumn("c_mktsegment",
+        lit("RESEGMENTED"))),
+      operation = "overwrite")
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    assert(gold() == liveRecompute(),
+      "a dim MERGE (delete + re-append) window must move the fact " +
+        "rows' groups exactly — old groups shrink, RESEGMENTED grows")
+    assert(Snapshot.read(spark, Rollup.tableDir(ru))
+      .filter(col("c_mktsegment") === "RESEGMENTED").count() == 1L,
+      "the re-segmented group must materialize")
+
+    // the store advanced by an incremental marker-stamped MOR commit
+    // (a rebuild would rebase and stamp "replace")
+    assert(Snapshot.operationOf(Rollup.tableDir(ru),
+        Snapshot.currentVersion(Rollup.tableDir(ru)).get)
+      .exists(_.startsWith("rollup-to-v")),
+      "the store must advance by marker-stamped MOR commits, " +
+        "never a rebuild rebase")
+
+    // crash replay: refresh a dim-eq window, roll the meta back to
+    // the pre-refresh bytes (= died before the meta write) — the
+    // replayed refresh must restamp only, never double-applying
+    val metaFile = java.nio.file.Paths.get(ru, "_rollup_meta")
+    val preMeta = Files.readAllBytes(metaFile)
+    val dead2 = Snapshot.read(spark, dim)
+      .filter(col("c_custkey") % 9 === 5)
+      .select("c_custkey").localCheckpoint()
+    Snapshot.morCommit(spark, dim, deletes = Some(dead2),
+      appends = None, operation = "delete")
+    assert(Rollup.refresh(spark, fact, ru) > 0L)
+    Files.write(metaFile, preMeta)
+    val commitsBefore = Snapshot.morVersions(Rollup.tableDir(ru)).size
+    assert(Rollup.refresh(spark, fact, ru) == 0L,
+      "a fully-applied dim-eq window must only restamp on replay")
+    assert(Snapshot.morVersions(Rollup.tableDir(ru)).size
+      == commitsBefore)
+    assert(gold() == liveRecompute())
+
+    // COMBINED fact-eq + dim-eq in ONE window: phase 1 re-derives the
+    // fact window against the dim at its start, phase 2 the dim's
+    // equality window over the static fact — two telescoped commits
+    val factDead = Snapshot.read(spark, fact)
+      .filter(col("o_orderkey") % 8 === 1)
+      .select("o_orderkey").localCheckpoint()
+    assert(factDead.count() > 0)
+    Snapshot.morCommit(spark, fact, deletes = Some(factDead),
+      appends = None, operation = "delete")
+    val dead3 = Snapshot.read(spark, dim)
+      .filter(col("c_custkey") % 9 === 7)
+      .select("c_custkey").localCheckpoint()
+    assert(dead3.count() > 0)
+    Snapshot.morCommit(spark, dim, deletes = Some(dead3),
+      appends = None, operation = "delete")
+    assert(Rollup.refresh(spark, fact, ru) > 0L,
+      "fact-eq + dim-eq in one refresh must price both phases")
+    assert(gold() == liveRecompute(),
+      "the double-telescoped window must equal the live recompute")
     assert(Rollup.refresh(spark, fact, ru) == 0L)
   }
 
