@@ -923,13 +923,16 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       // recursing past it would classify the MV incremental, pay a
       // full rollup build, and only then have the derivability gate
       // demote it: two O(table) passes for one CREATE. Scalar
-      // functions (abs, coalesce, …) recurse as before; the builtin
-      // registry's function group tells the two apart.
+      // functions (abs, coalesce, …) recurse as before. The SESSION's
+      // registry answers, not the builtin one — a user scalar
+      // SHADOWING a builtin aggregate name must recurse, not route
+      // rebuild-only; an unknown name stays non-aggregate (analysis
+      // will name the real problem later if there is one).
       def isAggregate(name: String): Boolean =
-        org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
-          .lookupFunction(
+        try Option(session.sessionState.catalog.lookupFunctionInfo(
             org.apache.spark.sql.catalyst.FunctionIdentifier(name))
-          .exists(_.getGroup == "agg_funcs")
+          .getGroup).contains("agg_funcs")
+        catch { case scala.util.control.NonFatal(_) => false }
       def walk(e: Expression): Unit = e match {
         case f: UnresolvedFunction if Set("count", "sum", "avg",
             "min", "max", "approx_count_distinct").contains(

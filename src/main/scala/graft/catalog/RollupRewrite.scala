@@ -144,9 +144,19 @@ case class RollupRewrite(session: SparkSession)
     // a replacement may arrive wrapped in `With` (Spark shares the
     // input via common-expression refs to evaluate it once) — inline
     // each ref's definition; the duplication is fine here, these
-    // conjuncts are reasoned over and re-built, never evaluated as-is
+    // conjuncts are reasoned over and re-built, never evaluated as-is.
+    // Defs may reference EARLIER defs, so substitute in declaration
+    // order first — a ref nested inside an inlined def body must
+    // resolve too, or the leftover CommonExpressionRef silently
+    // blocks colPredOf for that conjunct
     case w: With =>
-      val defs = w.defs.map(d => d.id -> d.child).toMap
+      val defs = scala.collection.mutable
+        .LinkedHashMap.empty[CommonExpressionId, Expression]
+      w.defs.foreach { d =>
+        defs(d.id) = d.child.transformUp {
+          case ref: CommonExpressionRef => defs.getOrElse(ref.id, ref)
+        }
+      }
       splitConjuncts(w.child.transformUp {
         case ref: CommonExpressionRef =>
           defs.getOrElse(ref.id, ref)
@@ -171,20 +181,132 @@ case class RollupRewrite(session: SparkSession)
     na.semanticEquals(nb) && na.sql == nb.sql
   }
 
-  /** Single-column comparison conjunct as an interval and/or value
+  /** Single-subject comparison conjunct as an interval and/or value
     * set — the shape the implication check reasons over. Bounds are
-    * (value, inclusive); only a BARE attribute against a same-typed
-    * non-null literal qualifies. A post-hoc rule sees ANALYZED (not
-    * optimized) plans, so a type-coercion Cast around a literal is
-    * still unfolded — [[foldLitCasts]] evaluates those first. With
-    * the attribute bare, the coerced common type IS the attribute's
-    * type, so the fold moves the literal INTO the column's domain
-    * (a widening, never lossy); a cast that still comes out
-    * null-or-failing keeps its node and claims no implication. */
+    * (value, inclusive). The subject is a BARE attribute, or (r17) a
+    * CALENDAR-TRUNC of one (`date_trunc('day', ts)` — the time-sliced
+    * dashboard MV's slice predicate), compared against a same-typed
+    * non-null literal. A post-hoc rule sees ANALYZED (not optimized)
+    * plans, so a type-coercion Cast around a literal is still
+    * unfolded — [[foldLitCasts]] evaluates those first. With the
+    * subject's type fixed, the coerced common type IS the subject's
+    * type, so the fold moves the literal INTO its domain (a widening,
+    * never lossy); a cast that still comes out null-or-failing keeps
+    * its node and claims no implication.
+    *
+    * `base` is set for a trunc subject: the underlying bare column's
+    * (name, type) plus the literal evaluator that carries a value of
+    * the column's domain through the SAME trunc expression (widening
+    * cast included) — the monotone-lift hook [[implies]] uses. */
   private case class ColPred(col: String, dt: DataType,
                              lower: Option[(Any, Boolean)],
                              upper: Option[(Any, Boolean)],
-                             inSet: Option[Seq[Any]])
+                             inSet: Option[Seq[Any]],
+                             base: Option[(String, DataType,
+                               Any => Option[Any])] = None)
+
+  /** Order-preserving INJECTIVE widening casts — the analyzer wraps a
+    * DATE column in `CAST(… AS TIMESTAMP)` under date_trunc, and the
+    * monotone-trunc reasoning stays sound only through an
+    * order-embedding (x ≥ y ⟺ cast(x) ≥ cast(y)). */
+  private def monotoneUpCast(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (DateType, TimestampType | TimestampNTZType) => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case _ => false
+    }
+
+  /** NTZ ⇄ TZ reinterpretation is an order-embedding only under a
+    * FIXED-OFFSET zone — a DST zone has ambiguous local times (not
+    * injective) and gaps (not monotone across them). */
+  private def fixedOffsetZone(tz: Option[String]): Boolean =
+    tz.exists(z =>
+      try java.time.ZoneId.of(z).getRules.isFixedOffset
+      catch { case scala.util.control.NonFatal(_) => false })
+
+  /** The bare column under an optional order-preserving widening cast:
+    * (attr, wrap) where wrap embeds a value of the attr's domain into
+    * the cast's. The analyzer wraps an NTZ column in
+    * `CAST(… AS TIMESTAMP)` under date_trunc — admitted only for
+    * fixed-offset session zones. */
+  private def monotoneBase(x: Expression)
+      : Option[(AttributeReference, Any => Option[Any])] = x match {
+    case a: AttributeReference => Some((a, v => Some(v)))
+    case c @ Cast(a: AttributeReference, dt, _, _)
+        if monotoneUpCast(a.dataType, dt) ||
+          ((a.dataType, dt) match {
+            case (TimestampNTZType, TimestampType) |
+                 (TimestampType, TimestampNTZType) =>
+              fixedOffsetZone(c.timeZoneId)
+            case _ => false
+          }) =>
+      Some((a, v =>
+        try Option(Cast(Literal(v, a.dataType), dt, c.timeZoneId)
+          .eval(null))
+        catch { case scala.util.control.NonFatal(_) => None }))
+    case _ => None
+  }
+
+  private def monotoneBaseAttr(x: Expression): Option[AttributeReference] =
+    monotoneBase(x).map(_._1)
+
+  /** `l` carried through `x`'s widening into the trunc's input
+    * domain, then through the trunc itself (`ev`): Some(literal in
+    * the trunc's domain) iff the carried value sits exactly ON a
+    * bucket boundary (trunc(w) == w); None otherwise — a misaligned
+    * bound cuts a bucket mid-way and must refuse. */
+  private def carryAligned(l: Literal, x: Expression,
+                           ev: Expression => Any): Option[Literal] =
+    monotoneBase(x).flatMap { case (_, wrap) =>
+      wrap(l.value).flatMap { w =>
+        try {
+          val t = ev(Literal(w, x.dataType))
+          if (t != null && t == w) Some(Literal(t, x.dataType))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+
+  /** The comparison SUBJECT of a conjunct side: a bare attribute, or
+    * a calendar trunc over one (id, output type, optional trunc-lift
+    * base). The id canonicalizes unit + timezone + column so two
+    * resolutions of the same predicate compare equal. */
+  private def subjectOf(e: Expression)
+      : Option[(String, DataType,
+        Option[(String, DataType, Any => Option[Any])])] = {
+    def name(a: AttributeReference) =
+      a.name.toLowerCase(java.util.Locale.ROOT)
+    e match {
+      case a: AttributeReference => Some((name(a), a.dataType, None))
+      case t @ TruncTimestamp(f @ Literal(fs, StringType), x, tz)
+          if fs != null =>
+        monotoneBase(x).map { case (a, wrap) =>
+          val ev: Any => Option[Any] = v => wrap(v).flatMap(w =>
+            try Option(t.withNewChildren(Seq(f,
+              Literal(w, x.dataType))).eval(null))
+            catch { case scala.util.control.NonFatal(_) => None })
+          (s"date_trunc(${fs.toString.toLowerCase(
+              java.util.Locale.ROOT)};${tz.getOrElse("")};${name(a)};" +
+            s"${nameNormalized(x).sql})",
+            t.dataType, Some((name(a), a.dataType, ev)))
+        }
+      case t @ TruncDate(x, f @ Literal(fs, StringType))
+          if fs != null =>
+        monotoneBase(x).map { case (a, wrap) =>
+          val ev: Any => Option[Any] = v => wrap(v).flatMap(w =>
+            try Option(t.withNewChildren(Seq(
+              Literal(w, x.dataType), f)).eval(null))
+            catch { case scala.util.control.NonFatal(_) => None })
+          (s"trunc(${fs.toString.toLowerCase(
+              java.util.Locale.ROOT)};${name(a)};" +
+            s"${nameNormalized(x).sql})",
+            t.dataType, Some((name(a), a.dataType, ev)))
+        }
+      case _ => None
+    }
+  }
 
   /** Evaluate foldable Casts of literals (the analyzer's implicit
     * widening around `qty > 5` when qty is bigint) and strip IDENTITY
@@ -216,52 +338,56 @@ case class RollupRewrite(session: SparkSession)
     else None
 
   private def colPredOf(e0: Expression): Option[ColPred] = {
-    def name(a: AttributeReference) =
-      a.name.toLowerCase(java.util.Locale.ROOT)
-    def pred(a: AttributeReference, l: Literal,
-             f: Any => ColPred): Option[ColPred] =
-      litInto(l, a.dataType).map(f)
+    def pred(s: Expression, l: Literal,
+             f: (String, DataType, Any,
+               Option[(String, DataType, Any => Option[Any])])
+               => ColPred): Option[ColPred] =
+      subjectOf(s).flatMap { case (id, dt, base) =>
+        litInto(l, dt).map(v => f(id, dt, v, base)) }
     foldLitCasts(e0) match {
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        pred(a, l, v => ColPred(name(a), a.dataType,
-          Some((v, true)), Some((v, true)), Some(Seq(v))))
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        pred(a, l, v => ColPred(name(a), a.dataType,
-          Some((v, true)), Some((v, true)), Some(Seq(v))))
-      case GreaterThan(a: AttributeReference, l: Literal) =>
-        pred(a, l, v => ColPred(name(a), a.dataType,
-          Some((v, false)), None, None))
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        pred(a, l, v => ColPred(name(a), a.dataType,
-          Some((v, true)), None, None))
-      case LessThan(a: AttributeReference, l: Literal) =>
-        pred(a, l, v => ColPred(name(a), a.dataType,
-          None, Some((v, false)), None))
-      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        pred(a, l, v => ColPred(name(a), a.dataType,
-          None, Some((v, true)), None))
-      case GreaterThan(l: Literal, a: AttributeReference) =>
-        colPredOf(LessThan(a, l))
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        colPredOf(LessThanOrEqual(a, l))
-      case LessThan(l: Literal, a: AttributeReference) =>
-        colPredOf(GreaterThan(a, l))
-      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        colPredOf(GreaterThanOrEqual(a, l))
-      case In(a: AttributeReference, vs)
-          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val conv = vs.map(v =>
-          litInto(v.asInstanceOf[Literal], a.dataType))
+      case EqualTo(s, l: Literal) if subjectOf(s).isDefined =>
+        pred(s, l, (id, dt, v, b) => ColPred(id, dt,
+          Some((v, true)), Some((v, true)), Some(Seq(v)), b))
+      case EqualTo(l: Literal, s) if subjectOf(s).isDefined =>
+        pred(s, l, (id, dt, v, b) => ColPred(id, dt,
+          Some((v, true)), Some((v, true)), Some(Seq(v)), b))
+      case GreaterThan(s, l: Literal) if subjectOf(s).isDefined =>
+        pred(s, l, (id, dt, v, b) => ColPred(id, dt,
+          Some((v, false)), None, None, b))
+      case GreaterThanOrEqual(s, l: Literal)
+          if subjectOf(s).isDefined =>
+        pred(s, l, (id, dt, v, b) => ColPred(id, dt,
+          Some((v, true)), None, None, b))
+      case LessThan(s, l: Literal) if subjectOf(s).isDefined =>
+        pred(s, l, (id, dt, v, b) => ColPred(id, dt,
+          None, Some((v, false)), None, b))
+      case LessThanOrEqual(s, l: Literal) if subjectOf(s).isDefined =>
+        pred(s, l, (id, dt, v, b) => ColPred(id, dt,
+          None, Some((v, true)), None, b))
+      case GreaterThan(l: Literal, s) if subjectOf(s).isDefined =>
+        colPredOf(LessThan(s, l))
+      case GreaterThanOrEqual(l: Literal, s)
+          if subjectOf(s).isDefined =>
+        colPredOf(LessThanOrEqual(s, l))
+      case LessThan(l: Literal, s) if subjectOf(s).isDefined =>
+        colPredOf(GreaterThan(s, l))
+      case LessThanOrEqual(l: Literal, s) if subjectOf(s).isDefined =>
+        colPredOf(GreaterThanOrEqual(s, l))
+      case In(s, vs)
+          if subjectOf(s).isDefined &&
+            vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val (id, dt, b) = subjectOf(s).get
+        val conv = vs.map(v => litInto(v.asInstanceOf[Literal], dt))
         // ALL values must carry over — a reduced set would claim a
         // smaller predicate than the query's (unsound to imply from)
         if (conv.forall(_.isDefined))
-          Some(ColPred(name(a), a.dataType, None, None,
-            Some(conv.map(_.get))))
+          Some(ColPred(id, dt, None, None, Some(conv.map(_.get)), b))
         else None
-      case InSet(a: AttributeReference, hset)
-          if hset.nonEmpty && !hset.contains(null) =>
-        Some(ColPred(name(a), a.dataType, None, None,
-          Some(hset.toSeq)))
+      case InSet(s, hset)
+          if subjectOf(s).isDefined &&
+            hset.nonEmpty && !hset.contains(null) =>
+        val (id, dt, b) = subjectOf(s).get
+        Some(ColPred(id, dt, None, None, Some(hset.toSeq), b))
       // OR of value-set predicates on the SAME column is a set
       // union (`x = 1 OR x IN (2, 3)` ⟺ `x IN (1, 2, 3)`) — the
       // disjunctive shape dashboards write by hand. Only pure value
@@ -332,15 +458,61 @@ case class RollupRewrite(session: SparkSession)
         else adj(v, up = false).map((_, true)).getOrElse((v, false)) })
   }
 
+  /** FORWARD monotone-trunc lift: a bare-column conjunct's bounds
+    * carried through the trunc conjunct's own expression. Sound by
+    * monotonicity — `x ≥ v ⟹ trunc(x) ≥ trunc(v)` (inclusive
+    * regardless of the source's exclusivity: x > v still allows
+    * trunc(x) = trunc(v)); an EXCLUSIVE upper stays exclusive only
+    * when the bound sits ON a bucket boundary (x < v aligned ⟹
+    * trunc(x) < v). A value the evaluator cannot carry drops its
+    * bound/set — the derived pred claims less, never more. */
+  private def liftThroughTrunc(pq: ColPred, pn: ColPred): ColPred = {
+    val ev = pn.base.get._3
+    ColPred(pn.col, pn.dt,
+      lower = pq.lower.flatMap { case (v, _) =>
+        ev(v).map((_, true)) },
+      upper = pq.upper.flatMap { case (v, incl) =>
+        ev(v).map(tv => (tv, !(!incl && tv == v))) },
+      inSet = pq.inSet.flatMap { vs =>
+        val ts = vs.map(ev)
+        if (ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
+      })
+  }
+
   /** Does conjunct `q` IMPLY conjunct `n` (every row satisfying q
-    * satisfies n)? Sound and intentionally incomplete: same bare
-    * column, same literal domain (integral bounds tightened to
-    * inclusive on both sides first), range subsumption (`x > 5` ⟹
-    * `x > 0`), IN-list subset, point-in-range. False ⇒ "don't know",
-    * never "no but served anyway" — the caller refuses the rewrite. */
+    * satisfies n)? Sound and intentionally incomplete: same subject
+    * (bare column or calendar trunc of one), same literal domain
+    * (integral bounds tightened to inclusive on both sides first),
+    * range subsumption (`x > 5` ⟹ `x > 0`), IN-list subset,
+    * point-in-range — plus the MONOTONE-TRUNC lifts (r17): a bare
+    * `ts >= Q` implies a stored `date_trunc('day', ts) >= D` slice
+    * whenever trunc(Q) clears D (forward lift), and a trunc
+    * conjunct's lower bound implies the bare column's (reverse —
+    * trunc(x) <= x). False ⇒ "don't know", never "no but served
+    * anyway" — the caller refuses the rewrite. */
   private def implies(q: Expression, n: Expression): Boolean =
     (colPredOf(q).map(tighten), colPredOf(n).map(tighten)) match {
-      case (Some(pq), Some(pn))
+      // forward lift: n is a trunc over q's bare column — carry q's
+      // bounds through n's own trunc expression, then subsume below
+      case (Some(pq0), Some(pn))
+          if pn.base.exists { case (c, dt, _) =>
+            pq0.base.isEmpty && pq0.col == c && pq0.dt == dt } =>
+        impliesPred(liftThroughTrunc(pq0, pn), pn)
+      // reverse lift: q is a trunc over n's bare column (no widening
+      // cast — types must agree) — trunc(x) <= x, so q's LOWER bound
+      // transfers verbatim; upper bounds and value sets do not
+      case (Some(pq0), Some(pn))
+          if pq0.base.exists { case (c, dt, _) =>
+            pn.base.isEmpty && pn.col == c && pn.dt == dt &&
+              dt == pq0.dt } =>
+        impliesPred(ColPred(pn.col, pn.dt, pq0.lower, None, None), pn)
+      case (Some(pq), Some(pn)) => impliesPred(pq, pn)
+      case _ => false
+    }
+
+  private def impliesPred(pq: ColPred, pn: ColPred): Boolean =
+    (pq, pn) match {
+      case (pq, pn)
           if pq.col == pn.col && pq.dt == pn.dt &&
             org.apache.spark.sql.catalyst.util.TypeUtils
               .typeWithProperEquals(pq.dt) =>
@@ -707,10 +879,54 @@ case class RollupRewrite(session: SparkSession)
         else None
     }
 
+    /** A BARE-COLUMN range endpoint rewrites to the stored trunc key
+      * when the literal sits ON a bucket boundary: `ts >= Q`
+      * (Q day-aligned) ⟺ `day_key >= Q` and `ts < Q` ⟺
+      * `day_key < Q` — the monotone-trunc law on whole buckets.
+      * `<=` / `>` / a misaligned literal cut a bucket mid-way (gold
+      * rows aggregate the WHOLE bucket and cannot express the cut)
+      * and refuse. A widening cast the analyzer placed under the
+      * stored trunc (`date_trunc('day', CAST(d AS TIMESTAMP))`)
+      * carries the literal along — an order-embedding, so the
+      * equivalence survives. */
+    def truncKeyCmpOf(e: Expression): Option[Expression] = {
+      // (gold key attr, literal carried into the trunc's domain) for
+      // an ALIGNED bound; None otherwise
+      def k(a: AttributeReference, l: Literal): Option[(Attribute, Literal)] =
+        if (l.value == null || l.dataType != a.dataType) None
+        else exprKeys.collectFirst {
+          case (n, ke @ TruncTimestamp(f: Literal, x, _))
+              if ruAttr(n).isDefined &&
+                monotoneBaseAttr(x).exists(normEquals(_, a)) =>
+            (ruAttr(n).get,
+              carryAligned(l, x, w =>
+                ke.withNewChildren(Seq(f, w)).eval(null)))
+          case (n, ke @ TruncDate(x, f: Literal))
+              if ruAttr(n).isDefined &&
+                monotoneBaseAttr(x).exists(normEquals(_, a)) =>
+            (ruAttr(n).get,
+              carryAligned(l, x, w =>
+                ke.withNewChildren(Seq(w, f)).eval(null)))
+        }.collect {
+          case (g, Some(lw)) if lw.dataType == g.dataType => (g, lw) }
+      foldLitCasts(e) match {
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          k(a, l).map { case (g, lw) => GreaterThanOrEqual(g, lw) }
+        case LessThan(a: AttributeReference, l: Literal) =>
+          k(a, l).map { case (g, lw) => LessThan(g, lw) }
+        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          k(a, l).map { case (g, lw) => GreaterThanOrEqual(g, lw) }
+        case GreaterThan(l: Literal, a: AttributeReference) =>
+          k(a, l).map { case (g, lw) => LessThan(g, lw) }
+        case _ => None
+      }
+    }
+
     /** A collected WHERE predicate re-targets the gold table iff it
       * is deterministic, subquery-free, and references only rollup
       * GROUP columns (every base row of a gold group shares its key
-      * values, so filtering groups ≡ filtering rows). */
+      * values, so filtering groups ≡ filtering rows) — or is a
+      * bucket-aligned bare-column bound over a stored trunc key. */
     def remapFilter(e: Expression): Option[Expression] = e match {
       case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
         None
@@ -718,13 +934,16 @@ case class RollupRewrite(session: SparkSession)
       // calendar bucket, or function of keys — maps to the gold
       // side; any other attribute disqualifies
       case _ if keyExprOf(e).isDefined => keyExprOf(e)
-      case _: AttributeReference => None
-      case _ if !e.deterministic => None
-      case _ if e.children.isEmpty => Some(e)
-      case _ =>
-        val cs = e.children.map(remapFilter)
-        if (cs.forall(_.isDefined)) Some(e.withNewChildren(cs.map(_.get)))
-        else None
+      case _ => truncKeyCmpOf(e).orElse(e match {
+        case _: AttributeReference => None
+        case _ if !e.deterministic => None
+        case _ if e.children.isEmpty => Some(e)
+        case _ =>
+          val cs = e.children.map(remapFilter)
+          if (cs.forall(_.isDefined))
+            Some(e.withNewChildren(cs.map(_.get)))
+          else None
+      })
     }
     // PARTIAL rollup: every conjunct of its stored predicate must be
     // SATISFIED by the query — repeated verbatim (CONSUMED: gold rows

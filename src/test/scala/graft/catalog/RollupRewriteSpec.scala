@@ -338,6 +338,79 @@ class RollupRewriteSpec extends SparkSpec {
       "WHERE grp = 'g1' GROUP BY grp", set)
   }
 
+  test("MONOTONE-TRUNC implication (r17): a bare-column bound over a " +
+    "date_trunc-sliced store serves when the literal sits ON a " +
+    "bucket boundary and implies the slice — `ts >= aligned-Q` and " +
+    "`ts < aligned-Q` rewrite to the stored trunc key; misaligned, " +
+    "wider, and `<=` bounds stay on base; a narrower trunc-subject " +
+    "conjunct subsumes too") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwtt").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 600).map { i =>
+      val day = 1 + (i % 28)
+      val hour = i % 24
+      (i.toLong, s"g${i % 4}",
+        java.sql.Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:15:00"),
+        (i % 7).toLong)
+    }.toDF("id", "grp", "ts", "v")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvtt", "facts", dir)
+    // the time-sliced dashboard MV: day-bucketed, last-weeks slice
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvtt.facts', name => 'mvtt.recent',
+      group_by => 'grp,oday', sum_cols => 'v',
+      group_exprs => 'oday:=date_trunc(''day'', ts)',
+      where =>
+        'date_trunc(''day'', ts) >= TIMESTAMP ''2024-03-10 00:00:00''')
+      """).collect()
+    val ru = new TableStore(spark).properties("mvtt", "recent")(
+      "graft.rollup.dir")
+    def served(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assert(scans(df, ru) && !scans(df, dir),
+        s"must serve the time-sliced store: $sql")
+      assert(df.collect().map(_.toSeq).toSet == baseline(sql),
+        s"rewrite changed the answer of: $sql")
+    }
+    def onBase(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assert(!scans(df, ru) && scans(df, dir),
+        s"must stay on base: $sql")
+      assert(df.collect().map(_.toSeq).toSet == baseline(sql))
+    }
+    def q(pred: String) = "SELECT grp, count(*) AS c, sum(v) AS s " +
+      s"FROM mvtt.facts WHERE $pred GROUP BY grp"
+
+    // aligned bare bound inside the slice: ts >= Q ⟺ oday >= Q
+    served(q("ts >= TIMESTAMP '2024-03-12 00:00:00'"))
+    // the slice boundary itself
+    served(q("ts >= TIMESTAMP '2024-03-10 00:00:00'"))
+    // aligned window: `<` keeps whole buckets below Q
+    served(q("ts >= TIMESTAMP '2024-03-12 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-20 00:00:00'"))
+    // a narrower trunc-subject conjunct subsumes the stored one
+    served(q("date_trunc('day', ts) >= " +
+      "TIMESTAMP '2024-03-12 00:00:00'"))
+    // …and a misaligned trunc-subject bound still serves: gold keys
+    // are bucket starts, so oday >= X re-applies exactly
+    served(q("date_trunc('day', ts) >= " +
+      "TIMESTAMP '2024-03-12 06:00:00'"))
+
+    // MISALIGNED bare bound: implies the slice but cuts bucket 12
+    // mid-day — gold rows aggregate whole buckets; must refuse
+    onBase(q("ts >= TIMESTAMP '2024-03-12 06:00:00'"))
+    // wider than the slice
+    onBase(q("ts >= TIMESTAMP '2024-03-08 00:00:00'"))
+    // `<=` admits exactly the bucket-start instant of day 20 — the
+    // cut-bucket shape even on an aligned literal
+    onBase(q("ts >= TIMESTAMP '2024-03-12 00:00:00' AND " +
+      "ts <= TIMESTAMP '2024-03-20 00:00:00'"))
+    // upper bound alone never implies the lower-bounded slice
+    onBase(q("ts < TIMESTAMP '2024-03-20 00:00:00'"))
+  }
+
   test("SEEDED RANDOMIZED implication: random range/point/IN " +
     "predicates over a partial store answer bit-identically with " +
     "the rewrite on and off, serve exactly when the predicate " +
@@ -390,6 +463,66 @@ class RollupRewriteSpec extends SparkSpec {
     }
     assert(servedN >= 15 && servedN <= 55,
       s"sanity: the seed must exercise both directions ($servedN/60)")
+  }
+
+  test("SEEDED RANDOMIZED trunc implication: random bare- and " +
+    "trunc-subject bounds over a time-sliced store serve exactly " +
+    "when aligned-and-implying, answer bit-identically either way") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwttf").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 600).map { i =>
+      val day = 1 + (i % 28)
+      val hour = i % 24
+      (i.toLong, s"g${i % 4}",
+        java.sql.Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:45:00"),
+        (i % 7).toLong)
+    }.toDF("id", "grp", "ts", "v")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvtf", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvtf.facts', name => 'mvtf.recent',
+      group_by => 'grp,oday', sum_cols => 'v',
+      group_exprs => 'oday:=date_trunc(''day'', ts)',
+      where =>
+        'date_trunc(''day'', ts) >= TIMESTAMP ''2024-03-10 00:00:00''')
+      """).collect()
+    val ru = new TableStore(spark).properties("mvtf", "recent")(
+      "graft.rollup.dir")
+    val rnd = new scala.util.Random(20260817L)
+    var servedN = 0
+    (1 to 40).foreach { _ =>
+      val day = 1 + rnd.nextInt(28)
+      val hh = if (rnd.nextBoolean()) 0 else rnd.nextInt(24)
+      val lit = f"TIMESTAMP '2024-03-$day%02d $hh%02d:00:00'"
+      val (pred, expectServe) = rnd.nextInt(3) match {
+        // bare bound: serves iff bucket-aligned AND implying
+        case 0 => (s"ts >= $lit", hh == 0 && day >= 10)
+        // trunc subject: gold keys re-apply any bound exactly, so
+        // serving tracks implication alone (X >= slice start)
+        case 1 => (s"date_trunc('day', ts) >= $lit",
+          day > 10 || (day == 10))
+        // aligned window: both ends must remap, lower must imply
+        case _ =>
+          val d2 = math.min(day + 1 + rnd.nextInt(10), 28)
+          (f"ts >= $lit%s AND ts < TIMESTAMP '2024-03-$d2%02d 00:00:00'",
+            hh == 0 && day >= 10)
+      }
+      val q = s"SELECT grp, count(*) AS c, sum(v) AS s " +
+        s"FROM mvtf.facts WHERE $pred GROUP BY grp"
+      val df = spark.sql(q)
+      val fromGold = scans(df, ru)
+      assert(fromGold == expectServe,
+        s"serving must track aligned implication exactly: $q " +
+          s"(served=$fromGold, expected=$expectServe)")
+      if (fromGold) { servedN += 1
+        assert(!scans(df, dir), s"gold AND base scanned: $q") }
+      assert(df.collect().map(_.toSeq).toSet == baseline(q),
+        s"rewrite changed the answer of: $q")
+    }
+    assert(servedN >= 8 && servedN <= 35,
+      s"sanity: the seed must exercise both directions ($servedN/40)")
   }
 
   test("a STALE rollup never rewrites; refresh re-arms it; the " +
