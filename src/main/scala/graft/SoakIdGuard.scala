@@ -42,10 +42,14 @@ object SoakIdGuard {
     val batchSize = 5000
 
     val out = mults.map { mult =>
+      // crossJoin scaling (NOT a mult-way union: a 1024-child union
+      // plan chokes planning long before the data does)
       val scaled =
         if (mult <= 1) baseIds
-        else (0 until mult).map(k => baseIds.withColumn("vec_id",
-          col("vec_id") + k * 100000000L)).reduce(_ unionByName _)
+        else baseIds.crossJoin(
+            spark.range(mult).select(col("id").as("_k")))
+          .withColumn("vec_id", col("vec_id") + col("_k") * 100000000L)
+          .drop("_k")
       val root = java.nio.file.Files.createTempDirectory(s"sig$mult")
       val corpus = s"$root/corpus"
       val rows = scaled.count()

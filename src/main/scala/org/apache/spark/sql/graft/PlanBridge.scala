@@ -21,4 +21,11 @@ object PlanBridge {
 
   /** A user-facing Column over a raw Catalyst expression. */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** A detached twin of `spark` — same shared state, a COPY of the
+    * session state (confs included), so a caller can raise session
+    * confs for ONE job without mutating (or locking) the user
+    * session. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }

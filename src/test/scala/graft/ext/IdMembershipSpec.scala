@@ -134,7 +134,7 @@ class IdMembershipSpec extends SparkSpec {
       "the re-sized sketch must see both old and folded ids")
     assert(guarded(t, b) == naive(t, b))
     val st = IdMembership.ensureCurrent(spark, t, "vec_id")
-    assert(st.capacity >= 2200 && st.approxItems == 1100,
+    assert(st.capacity >= 2200 && st.approxItems.sum == 1100,
       s"capacity must re-size past the item count: $st")
   }
 
@@ -154,10 +154,12 @@ class IdMembershipSpec extends SparkSpec {
     // maxNumBits clamp would leave behind
     assert(st.capacity == 2 * n,
       s"capacity must match the request past the 4M clamp: $st")
-    assert(st.bloom.length > 9 * 1024 * 1024,
+    assert(st.shardBits == 0 &&
+      st.shards.head.length > 9 * 1024 * 1024,
       s"the serialized sketch must hold 2n×8 bits (~10 MB), " +
-        s"got ${st.bloom.length} bytes")
-    // the confs were restored after the build
+        s"got ${st.shards.head.length} bytes")
+    // the raise ran on a CLONED session — the user session's conf
+    // was never touched
     assert(spark.conf.get(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits") ==
       "67108864")
@@ -166,40 +168,115 @@ class IdMembershipSpec extends SparkSpec {
     assert(guarded(t, b) == Set(n + 5L))
   }
 
-  test("an AT-CAP sketch folds forever instead of rebuilding: past " +
-    "MaxItems a rebuild would produce the same geometry, so the " +
-    "catch-up keeps folding (saturation rides the exact confirm) " +
-    "and the guard stays exact") {
-    val root = Files.createTempDirectory("idmemcap").toString
-    val t = s"$root/corpus"
-    Snapshot.createOrReplace(ids(1L to 100L), t, keepVersions = 2)
-    val v = Snapshot.currentVersion(t).get
-    // hand-craft an AT-CAP sidecar whose approx count already
-    // exceeds the cap (a saturated long-lived guard), covering the
-    // live ids
-    val cap = IdMembership.MaxItems
-    val bf = org.apache.spark.util.sketch.BloomFilter
-      .create(cap, cap * 8)
-    val hasher = (x: Long) =>
-      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        x, org.apache.spark.sql.types.LongType, 42L)
-    (1L to 100L).foreach(i => bf.putLong(hasher(i)))
-    val bout = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bout)
-    val bytes = bout.toByteArray
-    val buf = java.nio.ByteBuffer.allocate(24 + bytes.length)
-    buf.putLong(v).putLong(cap).putLong(cap + 5L).put(bytes)
-    Files.write(Paths.get(t, "_id_bloom"), buf.array())
-    IdMembership.invalidate(t)
-    Snapshot.morCommit(spark, t, deletes = None,
-      appends = Some(ids(2001L to 2050L)), operation = "append")
-    val b = ids(Seq(50L, 2025L, 9000L))
-    assert(guarded(t, b) == Set(9000L),
-      "the at-cap fold must see old and new ids and stay exact")
-    val st = IdMembership.ensureCurrent(spark, t, "vec_id")
-    assert(st.capacity == cap && st.approxItems == cap + 55L,
-      s"an at-cap sketch must FOLD (approx grows), never rebuild " +
-        s"(which would reset approx to the 150-id live count): $st")
+  /** The driver-side xxhash64 twin (seed 42, Spark's internal
+    * representation) — the spec's shard-targeting helper. */
+  private def hashOf(x: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      x, org.apache.spark.sql.types.LongType, 42L)
+
+  private def shardOf(x: Long, bits: Int): Int =
+    (hashOf(x) >>> (64 - bits)).toInt
+
+  test("past the cap the sketch SPLITS into hash-range shards: the " +
+    "bootstrap picks the shard count from the corpus, the guard " +
+    "stays exactly the anti-join through window folds and a further " +
+    "split, and the sharded sidecar round-trips a reload") {
+    IdMembership.minItemsForTests = Some(256)
+    IdMembership.maxItemsForTests = Some(2048)
+    try {
+      val root = Files.createTempDirectory("idmemshard").toString
+      val t = s"$root/corpus"
+      Snapshot.createOrReplace(ids(1L to 5000L), t, keepVersions = 2)
+      IdMembership.invalidate(t)
+      val st = IdMembership.ensureCurrent(spark, t, "vec_id")
+      // 2n = 10000 > 2048 → 8 shards of ~625 expected items each
+      assert(st.shardBits == 3,
+        s"a past-the-cap corpus must bootstrap SHARDED: $st")
+      assert(st.approxItems.sum == 5000L, s"per-shard counts: $st")
+      // exactness across shard boundaries: fresh, dup, mixed
+      for (batch <- Seq(ids(9001L to 9050L), ids(100L to 140L),
+          ids(4980L to 5020L))) {
+        assert(guarded(t, batch) == naive(t, batch),
+          "the sharded guard must equal the exact anti-join")
+      }
+      // window fold: the catch-up must land in the right shards
+      Snapshot.morCommit(spark, t, deletes = None,
+        appends = Some(ids(20001L to 20100L)), operation = "append")
+      val after = ids(Seq(20050L, 20051L, 30000L))
+      assert(guarded(t, after) == Set(30000L),
+        "the sharded window catch-up must fold before probing")
+      // the sidecar round-trips: drop the in-process caches, reload
+      // the v2 file, keep answering exactly. NOTE the lazy-persist
+      // contract: the FILE may lag the fold (stamp ≤ bytes), and the
+      // reload must re-fold the gap from the commit window.
+      IdMembership.invalidate(t)
+      assert(guarded(t, after) == Set(30000L),
+        "a reloaded sharded sidecar must re-fold its lag and answer")
+      val st2 = IdMembership.ensureCurrent(spark, t, "vec_id")
+      assert(st2.shardBits == 3 && st2.version ==
+        Snapshot.currentVersion(t).get, s"reload state: $st2")
+      // grow the corpus past the per-shard capacity → the catch-up
+      // SPLITS again (more shards), never saturates
+      Snapshot.morCommit(spark, t, deletes = None,
+        appends = Some(ids(40001L to 48000L)), operation = "append")
+      val b2 = ids(Seq(45000L, 90000L, 123L))
+      assert(guarded(t, b2) == Set(90000L))
+      val st3 = IdMembership.ensureCurrent(spark, t, "vec_id")
+      assert(st3.shardBits > 3,
+        s"outgrowing every shard must SPLIT, not saturate: $st3")
+      assert(guarded(t, ids(47001L to 47050L)) == Set.empty[Long],
+        "post-split probes must see the folded ids")
+    } finally {
+      IdMembership.minItemsForTests = None
+      IdMembership.maxItemsForTests = None
+    }
+  }
+
+  test("a sharded probe touches ONLY the shards the batch's ids land " +
+    "in (one deserialization per shard per process), and a " +
+    "SKEW-overflowed shard folds forever instead of a futile " +
+    "same-geometry rebuild") {
+    IdMembership.minItemsForTests = Some(256)
+    IdMembership.maxItemsForTests = Some(2048)
+    try {
+      val root = Files.createTempDirectory("idmemshardp").toString
+      val t = s"$root/corpus"
+      Snapshot.createOrReplace(ids(1L to 5000L), t, keepVersions = 2)
+      IdMembership.invalidate(t)
+      val st = IdMembership.ensureCurrent(spark, t, "vec_id")
+      assert(st.shardBits == 3)
+      // a batch crafted to land ENTIRELY in one shard
+      val target = 0
+      val oneShard = (10000L to 40000L)
+        .filter(shardOf(_, 3) == target).take(40)
+      assert(oneShard.size == 40)
+      val before = IdMembership.shardLoads.get()
+      assert(guarded(t, ids(oneShard)) == oneShard.toSet)
+      val loads = IdMembership.shardLoads.get() - before
+      assert(loads == 1,
+        s"a single-shard batch must deserialize exactly 1 shard, " +
+          s"not $loads")
+      // SKEW: overflow one shard (fold > capacity) while the TOTAL
+      // would rebuild into the same geometry — must keep folding
+      // (futile rebuilds are O(corpus) per window)
+      val cap = st.capacity
+      val skewIds = Iterator.iterate(100000L)(_ + 1)
+        .filter(shardOf(_, 3) == target).take(cap.toInt + 50)
+        .toSeq
+      Snapshot.morCommit(spark, t, deletes = None,
+        appends = Some(ids(skewIds)), operation = "append")
+      val b = ids(Seq(skewIds.head, 999999999L))
+      assert(guarded(t, b) == Set(999999999L),
+        "the skew fold must stay exact")
+      val st2 = IdMembership.ensureCurrent(spark, t, "vec_id")
+      assert(st2.shardBits == st.shardBits &&
+        st2.approxItems(target) > cap,
+        s"a skew overflow whose total would not regrow must FOLD " +
+          s"(approx grows past capacity), never rebuild: $st2")
+    } finally {
+      IdMembership.minItemsForTests = None
+      IdMembership.maxItemsForTests = None
+    }
   }
 
   test("fallbacks stay exact: a torn sidecar rebuilds from the id " +
