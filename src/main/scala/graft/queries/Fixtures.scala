@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.Snapshot
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** Shared IMMUTABLE lifecycle fixtures for the rollup/MV query
+  * family. Every lifecycle query starts from the same pristine
+  * snapshot shapes (`orders`, the 90% `orders` slice, `customer`);
+  * building that snapshot is a full Spark write per query — ~25 s of
+  * the bench total was the SAME createOrReplace paid over and over
+  * (r16 verdict). Build each shape ONCE per (sf dir, shape) per JVM
+  * and hand every query a FILE-LEVEL CLONE: the query keeps its own
+  * directory, its own commits, and its full lifecycle semantics — it
+  * just stops re-running an identical write. The clone is a plain
+  * recursive copy of the live snapshot dir (fresh fixtures carry no
+  * history dirs or sidecars), so the cloned table is bit-identical
+  * to what the query's own createOrReplace would have produced.
+  * Disclosed in BASELINE.md. */
+object Fixtures {
+
+  private val built = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  private def copyDir(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    val s = Files.list(src)
+    try s.forEach { p =>
+      val t = dst.resolve(p.getFileName)
+      if (Files.isDirectory(p)) copyDir(p, t)
+      else Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
+  }
+
+  private def sourceOf(spark: SparkSession, sfDir: String,
+                       shape: String) =
+    shape match {
+      case "orders" => Tables.orders(spark, sfDir)
+      case "orders90" =>
+        Tables.orders(spark, sfDir)
+          .filter(col("o_orderkey") % 10 =!= 7)
+      case "customer" => Tables.customer(spark, sfDir)
+      case other =>
+        throw new IllegalArgumentException(s"unknown fixture: $other")
+    }
+
+  /** Materialize the pristine `shape` snapshot for `sfDir` (once per
+    * JVM) and clone it into `dstDir`. Equivalent to
+    * `Snapshot.createOrReplace(<shape frame>, dstDir)`. */
+  def cloneSnapshot(spark: SparkSession, sfDir: String, shape: String,
+                    dstDir: String): Unit = {
+    val src = built.getOrElseUpdate((sfDir, shape), {
+      val root = Files.createTempDirectory(s"fx-$shape").toString
+      val dir = s"$root/t"
+      Snapshot.createOrReplace(sourceOf(spark, sfDir, shape), dir,
+        keepVersions = 1)
+      dir
+    })
+    copyDir(Paths.get(src), Paths.get(dstDir))
+  }
+}

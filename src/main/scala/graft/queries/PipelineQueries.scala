@@ -144,6 +144,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/src"
       val S = graft.pipeline.Snapshot
+      // NOT the shared fixture: this table is the 3-column projection
       S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
         src, keepVersions = 2)
       val from = S.currentVersion(src).get
@@ -194,9 +195,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/src"
       val ru = s"$root/rollup"
-      graft.pipeline.Snapshot.createOrReplace(
-        orders.filter(col("o_orderkey") % 10 =!= 7), src,
-        keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
       graft.pipeline.Rollup.build(s, src, ru,
         Seq("o_orderpriority"), Seq("o_totalprice"),
         minMax = Seq("o_totalprice"), ndv = Seq("o_custkey"),
@@ -241,7 +240,7 @@ object PipelineQueries {
       val ru = s"$root/rollup"
       val S = graft.pipeline.Snapshot
       val R = graft.pipeline.Rollup
-      S.createOrReplace(Tables.orders(s, d), src, keepVersions = 4)
+      Fixtures.cloneSnapshot(s, d, "orders", src)
       new TableStore(s).registerSnapshot("roeq", "orders", src)
       s.sql("""ALTER TABLE roeq.orders SET TBLPROPERTIES(
         'write.delete.mode'='merge-on-read')""")
@@ -286,8 +285,8 @@ object PipelineQueries {
         s"$root/rollup")
       val S = graft.pipeline.Snapshot
       val R = graft.pipeline.Rollup
-      S.createOrReplace(Tables.orders(s, d), fact, keepVersions = 4)
-      S.createOrReplace(Tables.customer(s, d), dim, keepVersions = 4)
+      Fixtures.cloneSnapshot(s, d, "orders", fact)
+      Fixtures.cloneSnapshot(s, d, "customer", dim)
       new TableStore(s).registerSnapshot("roeqd", "orders", fact)
       s.sql("""ALTER TABLE roeqd.orders SET TBLPROPERTIES(
         'write.delete.mode'='merge-on-read')""")
@@ -349,8 +348,8 @@ object PipelineQueries {
         s"$root/rollup")
       val S = graft.pipeline.Snapshot
       val R = graft.pipeline.Rollup
-      S.createOrReplace(Tables.orders(s, d), fact, keepVersions = 4)
-      S.createOrReplace(Tables.customer(s, d), dim, keepVersions = 4)
+      Fixtures.cloneSnapshot(s, d, "orders", fact)
+      Fixtures.cloneSnapshot(s, d, "customer", dim)
       new TableStore(s).registerSnapshot("rodm", "customer", dim)
       s.sql("""ALTER TABLE rodm.customer SET TBLPROPERTIES(
         'write.delete.mode'='merge-on-read')""")
@@ -408,8 +407,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvq", "orders", src)
       s.sql("""CALL iceberg.system.create_rollup(
@@ -472,8 +470,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvrb", "orders", src)
       s.sql("""CREATE MATERIALIZED VIEW mvrb.heavy AS
@@ -536,8 +533,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvhv", "orders", src)
       s.sql("""CREATE MATERIALIZED VIEW mvhv.pri AS
@@ -599,7 +595,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders, src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvsb", "orders", src)
       s.sql("""CREATE MATERIALIZED VIEW mvsb.heavy AS
@@ -648,8 +644,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvct", "orders", src)
       s.sql("""CREATE MATERIALIZED VIEW mvct.daily AS
@@ -741,8 +736,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvds", "orders", src)
       s.sql("""CALL iceberg.system.create_rollup(
@@ -798,6 +792,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
+      // NOT the shared fixture: this query NULLS o_custkey first
       S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
         src, keepVersions = 2)
       val ts = new TableStore(s)
@@ -848,8 +843,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvddl", "orders", src)
       s.sql("""CREATE MATERIALIZED VIEW mvddl.daily AS
@@ -906,8 +900,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvw", "orders", src)
       s.sql("""CREATE MATERIALIZED VIEW mvw.hot AS
@@ -959,7 +952,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders, src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvip", "orders", src)
       s.sql("""CREATE MATERIALIZED VIEW mvip.slice AS
@@ -1002,6 +995,138 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20n (r17) — MONOTONE-TRUNC implication: the time-sliced
+    // dashboard MV (`WHERE date_trunc('month', d) >= …` over a month
+    // bucket key) serves a query's BARE date bound — `o_orderdate >=
+    // DATE '1996-03-01'` implies the trunc slice by monotonicity and,
+    // with the literal ON a bucket boundary, rewrites EXACTLY to the
+    // stored month key (`omonth >= …`). REQUIRED in-query: the
+    // aligned-and-implying read scans ONLY the store; a misaligned
+    // bound (cuts a bucket mid-month — gold rows aggregate whole
+    // buckets) and a pre-slice bound each scan ONLY the base.
+    "q_mv_implied_time" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvitq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      Fixtures.cloneSnapshot(s, d, "orders", src)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvit", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvit.recent AS
+        SELECT date_trunc('month', o_orderdate) AS omonth,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvit.orders
+        WHERE date_trunc('month', o_orderdate)
+          >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY date_trunc('month', o_orderdate)""").collect()
+      val mvDir = ts.properties("mvit", "recent__storage")(
+        "graft.rollup.dir")
+      def reads(df: org.apache.spark.sql.DataFrame,
+                dir: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+                  .exists(p => p == dir || p.startsWith(s"$dir/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      val q = s.sql("""SELECT date_trunc('month', o_orderdate)
+          AS omonth, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+            AS sum_price
+        FROM mvit.orders WHERE o_orderdate >= DATE '1996-03-01'
+        GROUP BY date_trunc('month', o_orderdate)""")
+      require(reads(q, mvDir) && !reads(q, src),
+        "an aligned bare date bound implying the trunc slice must " +
+          "serve from the gold store")
+      val misaligned = s.sql("""SELECT count(*) AS cnt
+        FROM mvit.orders WHERE o_orderdate >= DATE '1996-03-15'""")
+      require(!reads(misaligned, mvDir) && reads(misaligned, src),
+        "a mid-bucket bound cuts a month in half — base only")
+      val preslice = s.sql("""SELECT count(*) AS cnt
+        FROM mvit.orders WHERE o_orderdate >= DATE '1995-06-01'""")
+      require(!reads(preslice, mvDir) && reads(preslice, src),
+        "an aligned bound BEFORE the slice start admits rows the " +
+          "store never saw — base only")
+      ts.dropView("mvit", "recent")
+      ts.dropTable("mvit", "recent__storage")
+      ts.dropTable("mvit", "orders")
+      q.orderBy("omonth")
+    }),
+
+    // S14+MV (r17) — MV PERSISTENCE ACROSS SESSIONS: the
+    // shared-dashboard deployment — one session CREATEs a
+    // MATERIALIZED VIEW against a persistent catalog dir, a FRESH
+    // session attaches the same dir and must (a) read the MV, (b)
+    // serve the always-on rewrite from the gold store, (c) REFRESH
+    // it INCREMENTALLY after a base commit. REQUIRED in-query: the
+    // fresh session's post-refresh aggregate scans ONLY the store,
+    // the stale read between commit and refresh scans ONLY the base,
+    // and the refresh touches groups (incremental, not a rebuild).
+    // Both sessions are SECONDARY (newSession) so the shared driver
+    // session never carries the catalog attachment.
+    "q_mv_persistent" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvpq")
+        .toString
+      val (src, meta) = (s"$root/orders", s"$root/catalog")
+      val S = graft.pipeline.Snapshot
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
+      def reads(df: org.apache.spark.sql.DataFrame,
+                dir: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+                  .exists(p => p == dir || p.startsWith(s"$dir/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      // session 1: register + create the MV against the catalog dir
+      val s1 = s.newSession()
+      TableStore.attachCatalog(s1, meta)
+      new TableStore(s1).registerSnapshot("mvpp", "orders", src)
+      s1.sql("""CREATE MATERIALIZED VIEW iceberg.mvpp.gold AS
+        SELECT o_orderpriority, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvpp.orders GROUP BY o_orderpriority""").collect()
+      // session 2: a cold attach of the same catalog dir
+      val s2 = s.newSession()
+      TableStore.attachCatalog(s2, meta)
+      val ruDir = new TableStore(s2).properties("mvpp",
+        "gold__storage")("graft.rollup.dir")
+      val served = s2.sql("SELECT * FROM mvpp.gold")
+      require(reads(served, ruDir) && !reads(served, src),
+        "a reloaded MV must serve its gold store in a fresh session")
+      // a base commit stales it; the stale read falls back to base
+      S.morCommit(s2, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      val stale = s2.sql("""SELECT o_orderpriority, count(*) AS cnt
+        FROM mvpp.orders GROUP BY o_orderpriority""")
+      require(!reads(stale, ruDir) && reads(stale, src),
+        "a stale reloaded MV must never serve")
+      require(s2.sql("REFRESH MATERIALIZED VIEW mvpp.gold")
+        .collect().head.getLong(0) > 0L,
+        "the reloaded MV must refresh INCREMENTALLY (touch groups)")
+      val q = s2.sql("""SELECT o_orderpriority, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvpp.orders GROUP BY o_orderpriority""")
+      require(reads(q, ruDir) && !reads(q, src),
+        "the refreshed reloaded MV must serve the store again")
+      q.orderBy("o_orderpriority")
+    }),
+
     // S20e — JOIN materialized view (star schema): the defining query
     // inner-joins the fact to a dimension, the store maintains the
     // JOINED aggregate (dim pinned at its version — Δ(F⋈D) = ΔF⋈D),
@@ -1015,9 +1140,8 @@ object PipelineQueries {
         .toString
       val (fact, dim) = (s"$root/orders", s"$root/customer")
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        fact, keepVersions = 2)
-      S.createOrReplace(customer, dim, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", fact)
+      Fixtures.cloneSnapshot(s, d, "customer", dim)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvj", "orders", fact)
       ts.registerSnapshot("mvj", "customer", dim)
@@ -1072,8 +1196,7 @@ object PipelineQueries {
         .toString
       val src = s"$root/orders"
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        src, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvt", "orders", src)
       s.sql("""CREATE MATERIALIZED VIEW mvt.monthly AS
@@ -1178,9 +1301,8 @@ object PipelineQueries {
         .toString
       val (fact, dim) = (s"$root/orders", s"$root/customer")
       val S = graft.pipeline.Snapshot
-      S.createOrReplace(orders.filter(col("o_orderkey") % 10 =!= 7),
-        fact, keepVersions = 2)
-      S.createOrReplace(customer, dim, keepVersions = 2)
+      Fixtures.cloneSnapshot(s, d, "orders90", fact)
+      Fixtures.cloneSnapshot(s, d, "customer", dim)
       val ts = new TableStore(s)
       ts.registerSnapshot("mvc", "orders", fact)
       ts.registerSnapshot("mvc", "customer", dim)
@@ -3194,6 +3316,29 @@ FROM iceberg.silver.orders_current""")
       FROM orders WHERE o_custkey > 750
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Cross-session MV twin: after the fresh session's commit +
+    // REFRESH the store holds the full-orders aggregate — the plan
+    // reads gold in a cold-attached session, the ANSWER is this.
+    "q_mv_persistent" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // Monotone-trunc implication twin: the month aggregate over the
+    // aligned date bound — the plan reads the month store, the
+    // ANSWER is this.
+    "q_mv_implied_time" -> s"""
+      SELECT date_trunc('month', o_orderdate) AS omonth,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders WHERE o_orderdate >= DATE '1996-03-01'
+      GROUP BY 1
+      ORDER BY omonth""",
 
     "q_cdc_parse" -> s"""
       WITH $evoCte

@@ -138,6 +138,100 @@ class PersistentCatalogSpec extends SparkSpec {
     assert(json.contains("\"a\"") && json.contains("\"b\""))
   }
 
+  test("MATERIALIZED VIEWS survive a fresh session attaching the " +
+    "same catalog dir: the view reads, the always-on rewrite serves " +
+    "gold, REFRESH maintains incrementally, and a rebuild-only MV " +
+    "still gates freshness (stale → base, refresh → store)") {
+    TableStore.reset(spark)
+    val meta = Files.createTempDirectory("gcatmv").toString
+    val dataDir = Files.createTempDirectory("gcatmvd").toString +
+      "/facts"
+    def reads(df: org.apache.spark.sql.DataFrame,
+              dir: String): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+                .exists(p => p == dir || p.startsWith(s"$dir/"))
+            case _ => false
+          }
+        case _ => false
+      }
+    TableStore.attachCatalog(spark, meta)
+    Snapshot.createOrReplace(
+      (1 to 400).map(i => (i.toLong, s"g${i % 4}", (i % 13).toLong))
+        .toDF("id", "grp", "qty"), dataDir, keepVersions = 3)
+    new TableStore(spark).registerSnapshot("mvp", "facts", dataDir)
+    // session 1 creates BOTH MV classes
+    spark.sql("""CREATE MATERIALIZED VIEW iceberg.mvp.gold AS
+      SELECT grp, count(*) AS cnt,
+             CAST(sum(CAST(qty AS DECIMAL(27,6))) AS DOUBLE) AS s
+      FROM mvp.facts GROUP BY grp""").collect()
+    spark.sql("""CREATE MATERIALIZED VIEW iceberg.mvp.heavy AS
+      SELECT grp, CAST(sum(DISTINCT qty) AS BIGINT) AS sd
+      FROM mvp.facts GROUP BY grp""").collect()
+    assert(new TableStore(spark).properties("mvp", "heavy__storage")
+      .contains("graft.mv.rebuild-only"))
+
+    // session 2: same catalog dir, nothing else carried over
+    val s2 = spark.newSession()
+    TableStore.attachCatalog(s2, meta)
+    val ts2 = new TableStore(s2)
+    val ruDir = ts2.properties("mvp", "gold__storage")(
+      "graft.rollup.dir")
+    val hvDir = ts2.properties("mvp", "heavy__storage")(
+      "graft.rollup.dir")
+    // the MV view reads and the rewrite serves the STORE in the
+    // fresh session — the shared-dashboard deployment shape
+    val mv = s2.sql("SELECT * FROM mvp.gold")
+    assert(reads(mv, ruDir) && !reads(mv, dataDir),
+      "a reloaded MV must serve its gold store, not the base")
+    assert(mv.count() == 4)
+    val agg = s2.sql(
+      "SELECT grp, count(*) AS cnt FROM mvp.facts GROUP BY grp")
+    assert(reads(agg, ruDir) && !reads(agg, dataDir),
+      "the always-on rewrite must survive the catalog reload")
+
+    // a base commit in the NEW session stales both MVs
+    Snapshot.morCommit(s2, dataDir, deletes = None,
+      appends = Some((401 to 450).map(i =>
+        (i.toLong, s"g${i % 4}", (i % 13).toLong))
+        .toDF("id", "grp", "qty")), operation = "append")
+    val stale = s2.sql(
+      "SELECT grp, count(*) AS cnt FROM mvp.facts GROUP BY grp")
+    assert(!reads(stale, ruDir) && reads(stale, dataDir),
+      "a stale reloaded MV must never serve")
+    val staleHeavy = s2.sql("SELECT * FROM mvp.heavy")
+    assert(!reads(staleHeavy, hvDir) && reads(staleHeavy, dataDir),
+      "a stale rebuild-only MV must fall back to the live base")
+    // stale reads still answer correctly (late-bound fallback)
+    assert(staleHeavy.count() == 4)
+
+    // REFRESH in the new session maintains the incremental MV from
+    // the commit window and re-arms the rewrite
+    assert(s2.sql("REFRESH MATERIALIZED VIEW mvp.gold")
+      .collect().head.getLong(0) > 0L,
+      "the reloaded MV must refresh INCREMENTALLY (touch groups)")
+    val fresh = s2.sql(
+      "SELECT grp, count(*) AS cnt FROM mvp.facts GROUP BY grp")
+    assert(reads(fresh, ruDir) && !reads(fresh, dataDir))
+    // and the served values equal the recompute
+    val want = s2.sql("SELECT grp, count(*) AS cnt FROM mvp.facts " +
+      "GROUP BY grp")
+    s2.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+    val base = try s2.sql("SELECT grp, count(*) AS cnt " +
+      "FROM mvp.facts GROUP BY grp").collect().map(_.toSeq).toSet
+    finally s2.conf.set("spark.graft.rollup.rewrite.enabled", "true")
+    assert(want.collect().map(_.toSeq).toSet == base)
+
+    // the rebuild-only MV refreshes (full recompute) and serves again
+    s2.sql("REFRESH MATERIALIZED VIEW mvp.heavy").collect()
+    val heavy = s2.sql("SELECT * FROM mvp.heavy")
+    assert(reads(heavy, hvDir) && !reads(heavy, dataDir),
+      "a refreshed rebuild-only MV must serve its store again")
+  }
+
   test("spark.graft.catalog.dir auto-attaches on first catalog touch; " +
     "DROP writes through so a later session no longer sees the table") {
     TableStore.reset(spark)
