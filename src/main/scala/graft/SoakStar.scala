@@ -116,11 +116,26 @@ object SoakStar {
       val t4 = System.nanoTime()
       require(R.refresh(spark, fact, ru) > 0L)
       val tCombined = (System.nanoTime() - t4) / 1e9
+      // DIM-EQUALITY window (r17): a fixed 100-key CDC MERGE shape on
+      // the DIM — full-row equality delete + re-segmenting re-append
+      // — priced by the dim-side affected-group re-derive:
+      // O(dim delta + fact rows hitting the changed keys + affected
+      // groups' rows), where the pre-r17 behavior was the
+      // full-recompute fallback on EVERY refresh interval
+      val dimEqWave = S.read(spark, dim).orderBy("c_custkey")
+        .limit(100).localCheckpoint()
+      S.morCommit(spark, dim, deletes = Some(dimEqWave),
+        appends = Some(dimEqWave.withColumn("c_mktsegment",
+          lit("RESEG"))), operation = "overwrite")
+      val t5 = System.nanoTime()
+      require(R.refresh(spark, fact, ru) > 0L)
+      val tDimEq = (System.nanoTime() - t5) / 1e9
       s""""x$mult":{"fact_rows":$rows,"star_build_sec":$tBuild,""" +
         s""""star_append_refresh_sec":$tApp,""" +
         s""""dim_append_refresh_sec":$tDim,""" +
         s""""dim_refresh_clustered_sec":$tDimClustered,""" +
-        s""""eq_plus_dim_refresh_sec":$tCombined}"""
+        s""""eq_plus_dim_refresh_sec":$tCombined,""" +
+        s""""dim_eq_refresh_sec":$tDimEq}"""
     }
     println(s"""{"soak":"star_rollup_refresh","append_rows":5000,""" +
       out.mkString(",") + "}")
