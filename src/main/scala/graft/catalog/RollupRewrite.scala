@@ -280,8 +280,12 @@ case class RollupRewrite(session: SparkSession)
       a.name.toLowerCase(java.util.Locale.ROOT)
     e match {
       case a: AttributeReference => Some((name(a), a.dataType, None))
+      // the trunc's OWN zone must be fixed-offset too: under a DST
+      // zone a sub-day truncation is not monotone in the instant
+      // domain (fall-back repeats local times), so the lift's
+      // `x >= v ⟹ trunc(x) >= trunc(v)` law would not hold
       case t @ TruncTimestamp(f @ Literal(fs, StringType), x, tz)
-          if fs != null =>
+          if fs != null && fixedOffsetZone(tz) =>
         monotoneBase(x).map { case (a, wrap) =>
           val ev: Any => Option[Any] = v => wrap(v).flatMap(w =>
             try Option(t.withNewChildren(Seq(f,
@@ -895,8 +899,10 @@ case class RollupRewrite(session: SparkSession)
       def k(a: AttributeReference, l: Literal): Option[(Attribute, Literal)] =
         if (l.value == null || l.dataType != a.dataType) None
         else exprKeys.collectFirst {
-          case (n, ke @ TruncTimestamp(f: Literal, x, _))
-              if ruAttr(n).isDefined &&
+          // the trunc's zone must be fixed-offset (see subjectOf —
+          // DST zones break the whole-bucket equivalence)
+          case (n, ke @ TruncTimestamp(f: Literal, x, tz))
+              if ruAttr(n).isDefined && fixedOffsetZone(tz) &&
                 monotoneBaseAttr(x).exists(normEquals(_, a)) =>
             (ruAttr(n).get,
               carryAligned(l, x, w =>

@@ -587,6 +587,38 @@ class MaterializedViewSpec extends SparkSpec {
       "a dim DML must auto-maintain the star MV in-statement")
     assert(answers(auto) == base())
 
+    // DIM-side EQUALITY window through the SQL surface (r17): a keyed
+    // DELETE on the dimension under the default delete mode writes an
+    // identifier-scoped equality sidecar — REFRESH must PRICE it via
+    // the dim-side re-derive (incremental MOR commit on the store,
+    // never the full-rebuild fallback Trino pays)
+    spark.sql("""ALTER TABLE mvs.by_segment__storage SET TBLPROPERTIES
+      ('graft.rollup.auto-refresh'='false')""").collect()
+    spark.sql("""ALTER TABLE mvs.cust SET TBLPROPERTIES
+      ('write.delete.mode'='merge-on-read')""").collect()
+    spark.sql("ALTER TABLE mvs.cust SET IDENTIFIER FIELDS cust_key")
+      .collect()
+    val d0 = Snapshot.currentVersion(ddir).get
+    // key 3 joins live facts (and carries the fan-out duplicate) —
+    // its groups must re-derive; an unmatched key would touch none
+    spark.sql("DELETE FROM mvs.cust WHERE cust_key = 3").collect()
+    assert(Snapshot.windowHasEqualityDeletes(ddir, d0,
+      Snapshot.currentVersion(ddir).get),
+      "the keyed dim DELETE must write an equality sidecar")
+    assert(!scans(mvRead(), ruDir), "the dim delete must void the store")
+    assert(answers(mvRead()) == base())
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvs.by_segment")
+      .collect().head.getLong(0) > 0L,
+      "a dim equality window must REFRESH incrementally, not raise")
+    val storeTable = s"$ruDir/table"
+    assert(Snapshot.operationOf(storeTable,
+        Snapshot.currentVersion(storeTable).get)
+      .exists(_.startsWith("rollup-to-v")),
+      "the store must advance by an incremental MOR commit, " +
+        "never the full-rebuild fallback")
+    assert(scans(mvRead(), ruDir))
+    assert(answers(mvRead()) == base())
+
     // WHERE and JOIN compose: a PARTIAL star MV maintains only the
     // matching joined rows and serves the predicate-repeating query
     // (the derivability gate inside CREATE proves the composition)

@@ -465,6 +465,44 @@ class RollupRewriteSpec extends SparkSpec {
       s"sanity: the seed must exercise both directions ($servedN/60)")
   }
 
+  test("a DST session zone REFUSES the monotone-trunc serve: sub-day " +
+    "truncation is not monotone across fall-back (repeated local " +
+    "times), so the bare-bound lift must not fire — answers stay " +
+    "correct on the base scan") {
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "America/Los_Angeles")
+    try {
+      TableStore.reset(spark)
+      val store = new TableStore(spark)
+      val root = Files.createTempDirectory("rurwdst").toString
+      val dir = s"$root/facts"
+      val facts = (1 to 300).map { i =>
+        (i.toLong, s"g${i % 4}",
+          java.sql.Timestamp.valueOf(
+            f"2024-03-${1 + (i % 28)}%02d ${i % 24}%02d:15:00"),
+          (i % 7).toLong)
+      }.toDF("id", "grp", "ts", "v")
+      Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+      store.registerSnapshot("mvdst", "facts", dir)
+      spark.sql("""CALL iceberg.system.create_rollup(
+        table => 'mvdst.facts', name => 'mvdst.recent',
+        group_by => 'grp,oday', sum_cols => 'v',
+        group_exprs => 'oday:=date_trunc(''day'', ts)',
+        where => 'date_trunc(''day'', ts) >= TIMESTAMP ''2024-03-10 00:00:00''')
+        """).collect()
+      val ru = new TableStore(spark).properties("mvdst", "recent")(
+        "graft.rollup.dir")
+      val q = "SELECT grp, count(*) AS c, sum(v) AS s " +
+        "FROM mvdst.facts WHERE ts >= TIMESTAMP " +
+        "'2024-03-12 00:00:00' GROUP BY grp"
+      val df = spark.sql(q)
+      assert(!scans(df, ru) && scans(df, dir),
+        "a DST-zone trunc slice must refuse the bare-bound serve")
+      assert(df.collect().map(_.toSeq).toSet == baseline(q))
+    } finally spark.conf.set(tzKey, prevTz)
+  }
+
   test("SEEDED RANDOMIZED trunc implication: random bare- and " +
     "trunc-subject bounds over a time-sliced store serve exactly " +
     "when aligned-and-implying, answer bit-identically either way") {
