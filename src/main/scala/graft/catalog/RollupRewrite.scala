@@ -202,8 +202,16 @@ case class RollupRewrite(session: SparkSession)
                              lower: Option[(Any, Boolean)],
                              upper: Option[(Any, Boolean)],
                              inSet: Option[Seq[Any]],
-                             base: Option[(String, DataType,
-                               Any => Option[Any])] = None)
+                             base: Option[TruncBase] = None)
+
+  /** A trunc subject's underlying geometry: the bare column, the
+    * literal evaluator through the SAME trunc (widening cast
+    * included), the unit's lattice rank, and a unit-free key (tz +
+    * input expression) identifying "truncs of the same thing" for
+    * the cross-unit laws. */
+  private case class TruncBase(col: String, colDt: DataType,
+                               ev: Any => Option[Any],
+                               rank: Int, xKey: String)
 
   /** Order-preserving INJECTIVE widening casts — the analyzer wraps a
     * DATE column in `CAST(… AS TIMESTAMP)` under date_trunc, and the
@@ -274,8 +282,7 @@ case class RollupRewrite(session: SparkSession)
     * base). The id canonicalizes unit + timezone + column so two
     * resolutions of the same predicate compare equal. */
   private def subjectOf(e: Expression)
-      : Option[(String, DataType,
-        Option[(String, DataType, Any => Option[Any])])] = {
+      : Option[(String, DataType, Option[TruncBase])] = {
     def name(a: AttributeReference) =
       a.name.toLowerCase(java.util.Locale.ROOT)
     e match {
@@ -283,30 +290,36 @@ case class RollupRewrite(session: SparkSession)
       // the trunc's OWN zone must be fixed-offset too: under a DST
       // zone a sub-day truncation is not monotone in the instant
       // domain (fall-back repeats local times), so the lift's
-      // `x >= v ⟹ trunc(x) >= trunc(v)` law would not hold
+      // `x >= v ⟹ trunc(x) >= trunc(v)` law would not hold. The unit
+      // must be a KNOWN one — an invalid unit returns null for every
+      // input, voiding both monotonicity and null-transparency.
       case t @ TruncTimestamp(f @ Literal(fs, StringType), x, tz)
-          if fs != null && fixedOffsetZone(tz) =>
+          if fs != null && fixedOffsetZone(tz) &&
+            truncRank(f).isDefined =>
         monotoneBase(x).map { case (a, wrap) =>
           val ev: Any => Option[Any] = v => wrap(v).flatMap(w =>
             try Option(t.withNewChildren(Seq(f,
               Literal(w, x.dataType))).eval(null))
             catch { case scala.util.control.NonFatal(_) => None })
+          val xKey = s"ts;${tz.getOrElse("")};${name(a)};" +
+            nameNormalized(x).sql
           (s"date_trunc(${fs.toString.toLowerCase(
-              java.util.Locale.ROOT)};${tz.getOrElse("")};${name(a)};" +
-            s"${nameNormalized(x).sql})",
-            t.dataType, Some((name(a), a.dataType, ev)))
+              java.util.Locale.ROOT)};$xKey)",
+            t.dataType, Some(TruncBase(name(a), a.dataType, ev,
+              truncRank(f).get, xKey)))
         }
       case t @ TruncDate(x, f @ Literal(fs, StringType))
-          if fs != null =>
+          if fs != null && truncRank(f).isDefined =>
         monotoneBase(x).map { case (a, wrap) =>
           val ev: Any => Option[Any] = v => wrap(v).flatMap(w =>
             try Option(t.withNewChildren(Seq(
               Literal(w, x.dataType), f)).eval(null))
             catch { case scala.util.control.NonFatal(_) => None })
+          val xKey = s"d;${name(a)};" + nameNormalized(x).sql
           (s"trunc(${fs.toString.toLowerCase(
-              java.util.Locale.ROOT)};${name(a)};" +
-            s"${nameNormalized(x).sql})",
-            t.dataType, Some((name(a), a.dataType, ev)))
+              java.util.Locale.ROOT)};$xKey)",
+            t.dataType, Some(TruncBase(name(a), a.dataType, ev,
+              truncRank(f).get, xKey)))
         }
       case _ => None
     }
@@ -343,8 +356,7 @@ case class RollupRewrite(session: SparkSession)
 
   private def colPredOf(e0: Expression): Option[ColPred] = {
     def pred(s: Expression, l: Literal,
-             f: (String, DataType, Any,
-               Option[(String, DataType, Any => Option[Any])])
+             f: (String, DataType, Any, Option[TruncBase])
                => ColPred): Option[ColPred] =
       subjectOf(s).flatMap { case (id, dt, base) =>
         litInto(l, dt).map(v => f(id, dt, v, base)) }
@@ -471,7 +483,7 @@ case class RollupRewrite(session: SparkSession)
     * trunc(x) < v). A value the evaluator cannot carry drops its
     * bound/set — the derived pred claims less, never more. */
   private def liftThroughTrunc(pq: ColPred, pn: ColPred): ColPred = {
-    val ev = pn.base.get._3
+    val ev = pn.base.get.ev
     ColPred(pn.col, pn.dt,
       lower = pq.lower.flatMap { case (v, _) =>
         ev(v).map((_, true)) },
@@ -495,21 +507,80 @@ case class RollupRewrite(session: SparkSession)
     * trunc(x) <= x). False ⇒ "don't know", never "no but served
     * anyway" — the caller refuses the rewrite. */
   private def implies(q: Expression, n: Expression): Boolean =
+    foldLitCasts(n) match {
+      case IsNotNull(sn) => impliesNotNull(q, sn)
+      case _ => impliesCmp(q, n)
+    }
+
+  /** q ⟹ `sn IS NOT NULL`? Any comparison conjunct (or IS NOT NULL)
+    * whose subject is sn itself, sn's bare base column, or another
+    * valid calendar trunc OVER that column — a true comparison
+    * rejects a null subject, and null-ness carries through a valid
+    * trunc (and its widening cast) in BOTH directions: trunc(x) is
+    * null iff x is. The `WHERE key IS NOT NULL` slice is a common
+    * hand-written partial-MV predicate a narrower range query should
+    * satisfy without repeating it. */
+  private def impliesNotNull(q: Expression, sn: Expression): Boolean =
+    subjectOf(sn) match {
+      case None => false
+      case Some((idN, dtN, baseN)) =>
+        val bareN = baseN.map(b => (b.col, b.colDt))
+          .getOrElse((idN, dtN))
+        def covers(id: String, dt: DataType,
+                   base: Option[TruncBase]): Boolean =
+          id == idN ||
+            base.map(b => (b.col, b.colDt)).getOrElse((id, dt)) == bareN
+        colPredOf(q).exists(p => covers(p.col, p.dt, p.base)) ||
+          (foldLitCasts(q) match {
+            case IsNotNull(sq) =>
+              subjectOf(sq).exists { case (id, dt, b) =>
+                covers(id, dt, b) }
+            case _ => false
+          })
+    }
+
+  private def impliesCmp(q: Expression, n: Expression): Boolean =
     (colPredOf(q).map(tighten), colPredOf(n).map(tighten)) match {
       // forward lift: n is a trunc over q's bare column — carry q's
       // bounds through n's own trunc expression, then subsume below
       case (Some(pq0), Some(pn))
-          if pn.base.exists { case (c, dt, _) =>
-            pq0.base.isEmpty && pq0.col == c && pq0.dt == dt } =>
+          if pn.base.exists(b =>
+            pq0.base.isEmpty && pq0.col == b.col &&
+              pq0.dt == b.colDt) =>
         impliesPred(liftThroughTrunc(pq0, pn), pn)
       // reverse lift: q is a trunc over n's bare column (no widening
       // cast — types must agree) — trunc(x) <= x, so q's LOWER bound
       // transfers verbatim; upper bounds and value sets do not
       case (Some(pq0), Some(pn))
-          if pq0.base.exists { case (c, dt, _) =>
-            pn.base.isEmpty && pn.col == c && pn.dt == dt &&
-              dt == pq0.dt } =>
+          if pq0.base.exists(b =>
+            pn.base.isEmpty && pn.col == b.col && pn.dt == b.colDt &&
+              b.colDt == pq0.dt) =>
         impliesPred(ColPred(pn.col, pn.dt, pq0.lower, None, None), pn)
+      // CROSS-UNIT lifts (r17): both conjuncts are truncs of the SAME
+      // input (unit-free xKey equal), different units.
+      case (Some(pq0), Some(pn))
+          if pq0.base.isDefined && pn.base.isDefined &&
+            pq0.col != pn.col && pq0.dt == pn.dt &&
+            pq0.base.get.xKey == pn.base.get.xKey =>
+        val (bq, bn) = (pq0.base.get, pn.base.get)
+        if (coarserDerivable(bq.rank, bn.rank))
+          // query COARSER, store FINER: the finer unit's boundary set
+          // CONTAINS the coarser's (the derivability lattice), so
+          // fine(ts) >= coarse(ts) always — the coarser lower bound
+          // transfers verbatim, inclusivity included (fine >= coarse
+          // > M ⟹ fine > M). Uppers do not transfer (fine(ts) can
+          // exceed a coarse upper inside the last coarse bucket).
+          impliesPred(ColPred(pn.col, pn.dt, pq0.lower, None, None),
+            pn)
+        else if (bq.colDt == pq0.dt)
+          // query FINER (or any other unit), store COARSER: ts >=
+          // fine(ts) >= Q, so carry Q through the STORE's own trunc
+          // — coarse(ts) >= coarse(Q) by monotonicity. Identity-base
+          // only: the evaluator expects the bare column's domain.
+          impliesPred(ColPred(pn.col, pn.dt,
+            pq0.lower.flatMap { case (v, _) =>
+              bn.ev(v).map((_, true)) }, None, None), pn)
+        else false
       case (Some(pq), Some(pn)) => impliesPred(pq, pn)
       case _ => false
     }
@@ -915,15 +986,46 @@ case class RollupRewrite(session: SparkSession)
                 ke.withNewChildren(Seq(w, f)).eval(null)))
         }.collect {
           case (g, Some(lw)) if lw.dataType == g.dataType => (g, lw) }
+      // a TRUNC-subject bound (identity base, valid unit, fixed
+      // offset) whose literal sits ON the query trunc's own boundary
+      // behaves exactly like the bare bound: `fine(x) >= L` ⟺
+      // `x >= L` when L is fine-aligned (x >= fine(x) >= L one way,
+      // x >= L ⟹ fine(x) >= fine(L) = L the other) — so a
+      // day-trunc bound can serve a MONTH-sliced store when its
+      // literal clears both alignments
+      def asBare(s: Expression, l: Literal)
+          : Option[(AttributeReference, Literal)] = s match {
+        case a: AttributeReference => Some((a, l))
+        case t @ TruncTimestamp(f @ Literal(_, StringType),
+            a: AttributeReference, tz)
+            if truncRank(f).isDefined && fixedOffsetZone(tz) &&
+              l.value != null && l.dataType == t.dataType &&
+              a.dataType == t.dataType &&
+              (try t.withNewChildren(Seq(f, l)).eval(null) == l.value
+               catch { case scala.util.control.NonFatal(_) => false }) =>
+          Some((a, l))
+        case t @ TruncDate(a: AttributeReference,
+            f @ Literal(_, StringType))
+            if truncRank(f).isDefined && l.value != null &&
+              l.dataType == t.dataType && a.dataType == t.dataType &&
+              (try t.withNewChildren(Seq(l, f)).eval(null) == l.value
+               catch { case scala.util.control.NonFatal(_) => false }) =>
+          Some((a, l))
+        case _ => None
+      }
       foldLitCasts(e) match {
-        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-          k(a, l).map { case (g, lw) => GreaterThanOrEqual(g, lw) }
-        case LessThan(a: AttributeReference, l: Literal) =>
-          k(a, l).map { case (g, lw) => LessThan(g, lw) }
-        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-          k(a, l).map { case (g, lw) => GreaterThanOrEqual(g, lw) }
-        case GreaterThan(l: Literal, a: AttributeReference) =>
-          k(a, l).map { case (g, lw) => LessThan(g, lw) }
+        case GreaterThanOrEqual(s, l: Literal) =>
+          asBare(s, l).flatMap { case (a, lb) =>
+            k(a, lb).map { case (g, lw) => GreaterThanOrEqual(g, lw) } }
+        case LessThan(s, l: Literal) =>
+          asBare(s, l).flatMap { case (a, lb) =>
+            k(a, lb).map { case (g, lw) => LessThan(g, lw) } }
+        case LessThanOrEqual(l: Literal, s) =>
+          asBare(s, l).flatMap { case (a, lb) =>
+            k(a, lb).map { case (g, lw) => GreaterThanOrEqual(g, lw) } }
+        case GreaterThan(l: Literal, s) =>
+          asBare(s, l).flatMap { case (a, lb) =>
+            k(a, lb).map { case (g, lw) => LessThan(g, lw) } }
         case _ => None
       }
     }

@@ -409,6 +409,73 @@ class RollupRewriteSpec extends SparkSpec {
       "ts <= TIMESTAMP '2024-03-20 00:00:00'"))
     // upper bound alone never implies the lower-bounded slice
     onBase(q("ts < TIMESTAMP '2024-03-20 00:00:00'"))
+
+    // CROSS-UNIT: a WEEK-trunc bound over the DAY-sliced store — the
+    // day lattice contains the week boundaries, so week(ts) >= W
+    // (W = Mon 2024-03-11, inside the slice) implies day(ts) >= W,
+    // and the week bound re-maps to the day key exactly (W is
+    // aligned to both units)
+    served(q("date_trunc('week', ts) >= " +
+      "TIMESTAMP '2024-03-11 00:00:00'"))
+    // a week bound BEFORE the slice start admits day buckets the
+    // store never saw
+    onBase(q("date_trunc('week', ts) >= " +
+      "TIMESTAMP '2024-03-04 00:00:00'"))
+  }
+
+  test("CROSS-UNIT trunc implication over a MONTH-sliced store: a " +
+    "finer day-trunc (or bare) bound aligned to both units serves — " +
+    "day(ts) >= Apr-1 implies month(ts) >= Apr-1 — while bounds " +
+    "inside a month bucket, or clearing only the finer alignment, " +
+    "stay on base") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwxu").toString
+    val dir = s"$root/facts"
+    // two months of data, hours spread across the day
+    val facts = (1 to 600).map { i =>
+      val day = i % 56
+      val date = java.time.LocalDateTime.of(2024, 3, 1, i % 24, 15)
+        .plusDays(day)
+      (i.toLong, s"g${i % 4}", java.sql.Timestamp.valueOf(date),
+        (i % 7).toLong)
+    }.toDF("id", "grp", "ts", "v")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvxu", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvxu.facts', name => 'mvxu.recent',
+      group_by => 'grp,omonth', sum_cols => 'v',
+      group_exprs => 'omonth:=date_trunc(''month'', ts)',
+      where =>
+        'date_trunc(''month'', ts) >= TIMESTAMP ''2024-04-01 00:00:00''')
+      """).collect()
+    val ru = new TableStore(spark).properties("mvxu", "recent")(
+      "graft.rollup.dir")
+    def served(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assert(scans(df, ru) && !scans(df, dir),
+        s"must serve the month-sliced store: $sql")
+      assert(df.collect().map(_.toSeq).toSet == baseline(sql),
+        s"rewrite changed the answer of: $sql")
+    }
+    def onBase(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assert(!scans(df, ru) && scans(df, dir), s"must stay on base: $sql")
+      assert(df.collect().map(_.toSeq).toSet == baseline(sql))
+    }
+    def q(pred: String) = "SELECT grp, count(*) AS c, sum(v) AS s " +
+      s"FROM mvxu.facts WHERE $pred GROUP BY grp"
+    // finer day-trunc bound, aligned to the month too: serves
+    served(q("date_trunc('day', ts) >= " +
+      "TIMESTAMP '2024-04-01 00:00:00'"))
+    // bare bound aligned to the month: serves
+    served(q("ts >= TIMESTAMP '2024-04-01 00:00:00'"))
+    // day-aligned but MID-month: cuts the April bucket — base
+    onBase(q("date_trunc('day', ts) >= " +
+      "TIMESTAMP '2024-04-05 00:00:00'"))
+    // before the slice start — base
+    onBase(q("date_trunc('day', ts) >= " +
+      "TIMESTAMP '2024-03-20 00:00:00'"))
   }
 
   test("SEEDED RANDOMIZED implication: random range/point/IN " +
@@ -463,6 +530,49 @@ class RollupRewriteSpec extends SparkSpec {
     }
     assert(servedN >= 15 && servedN <= 55,
       s"sanity: the seed must exercise both directions ($servedN/60)")
+  }
+
+  test("an IS NOT NULL slice is satisfied by ANY comparison on the " +
+    "key (a true comparison rejects a null subject) — the " +
+    "hand-written `WHERE key IS NOT NULL` partial MV serves narrower " +
+    "range/IN/point queries without repeating the predicate; an " +
+    "unrelated-column query stays on base") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwnn").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 600).map(i => (i.toLong, s"g${i % 4}",
+      if (i % 11 == 0) None else Some((i % 13).toLong),
+      (i % 7).toLong)).toDF("id", "grp", "qty", "amount")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvnn", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvnn.facts', name => 'mvnn.nn',
+      group_by => 'grp,qty', sum_cols => 'amount',
+      where => 'qty IS NOT NULL')""").collect()
+    val ru = new TableStore(spark).properties("mvnn", "nn")(
+      "graft.rollup.dir")
+    def served(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assert(scans(df, ru) && !scans(df, dir),
+        s"must serve the IS-NOT-NULL store: $sql")
+      assert(df.collect().map(_.toSeq).toSet == baseline(sql),
+        s"rewrite changed the answer of: $sql")
+    }
+    def onBase(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assert(!scans(df, ru) && scans(df, dir), s"must stay on base: $sql")
+      assert(df.collect().map(_.toSeq).toSet == baseline(sql))
+    }
+    def q(pred: String) = "SELECT grp, count(*) AS c, " +
+      s"sum(amount) AS s FROM mvnn.facts WHERE $pred GROUP BY grp"
+    served(q("qty > 5"))
+    served(q("qty IN (4, 9)"))
+    served(q("qty = 7 AND grp = 'g1'"))
+    served(q("qty IS NOT NULL")) // verbatim — consumed
+    // a filter that does not constrain qty admits the null-qty rows
+    // the store never saw
+    onBase(q("grp = 'g1'"))
   }
 
   test("a DST session zone REFUSES the monotone-trunc serve: sub-day " +
