@@ -1080,6 +1080,28 @@ class RollupSpec extends SparkSpec {
       "simultaneous fact + two-dim windows must maintain exactly")
     assert(Rollup.refresh(spark, fact, ru) == 0L)
     assert(gold() == want())
+
+    // MIXED moved dims in ONE window (r17): dim 1 takes an EQUALITY
+    // delete (the CDC MERGE shape) while dim 2 takes a POSITION
+    // delete — the dim-side re-derive must price BOTH uniformly
+    // (groups touched under either dim's old or new join state)
+    val eqVic = Snapshot.read(spark, dimC)
+      .filter(col("ckey") === 3L).select("ckey").localCheckpoint()
+    assert(eqVic.count() > 0)
+    Snapshot.morCommit(spark, dimC, deletes = Some(eqVic),
+      appends = None, operation = "delete")
+    val posVic = Snapshot.readLineage(spark, dimP)
+      .filter(col("pkey") === 1L).localCheckpoint()
+    assert(posVic.count() > 0)
+    Snapshot.morCommit(spark, dimP, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(posVic))
+    assert(Rollup.refresh(spark, fact, ru) > 0L,
+      "a mixed eq + position dim window must PRICE, not raise")
+    assert(gold() == want(),
+      "mixed moved dims must re-derive exactly — both dims' dropped " +
+        "join partners leave their groups")
+    assert(Rollup.refresh(spark, fact, ru) == 0L)
+    assert(gold() == want())
   }
 
   test("JOIN rollup with a SAME-NAMED key keeps one copy and " +
