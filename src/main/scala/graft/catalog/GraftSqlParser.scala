@@ -932,7 +932,16 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         try Option(session.sessionState.catalog.lookupFunctionInfo(
             org.apache.spark.sql.catalyst.FunctionIdentifier(name))
           .getGroup).contains("agg_funcs")
-        catch { case scala.util.control.NonFatal(_) => false }
+        catch {
+          // ONLY the expected unknown-name answers stay non-aggregate
+          // (analysis names the real problem later); a transient
+          // catalog/registry failure must propagate — swallowing it
+          // would silently classify a real aggregate as scalar and
+          // pay the double build-then-demote pass this gate avoids
+          case _: org.apache.spark.sql.catalyst.analysis
+            .NoSuchFunctionException => false
+          case _: org.apache.spark.sql.AnalysisException => false
+        }
       def walk(e: Expression): Unit = e match {
         case f: UnresolvedFunction if Set("count", "sum", "avg",
             "min", "max", "approx_count_distinct").contains(

@@ -233,6 +233,15 @@ object IdMembership {
   private def bloomsByShard(df: DataFrame, keyCol: String, bits: Int,
                             items: Long)
       : Map[Int, (Array[Byte], Long)] = {
+    if (bits == 0)
+      // single-sketch state: there is nothing to group by, and the
+      // shard repartition below would funnel the whole bulk window
+      // through ONE task for both partial and final aggregation —
+      // aggregate at full input parallelism instead
+      return bloomAndCount(df, keyCol, items) match {
+        case (Some(b), n) => Map(0 -> (b, n))
+        case _ => Map.empty
+      }
     val shards = 1 << bits
     val keyed = df.withColumn("_graft_sh", shardCol(keyCol, bits))
       .repartition(shards, col("_graft_sh"))
@@ -498,6 +507,15 @@ object IdMembership {
             val win = w.appended.select(keyCol)
             val (added, shardsAfter) =
               lockFor(tableDir).synchronized {
+                // re-check under the lock: the lock covers each fold,
+                // not the read-decide-fold sequence, so a concurrent
+                // ensureCurrent may have folded this same window
+                // already — folding again keeps the bloom a safe
+                // superset (putLong is idempotent) but double-counts
+                // approxItems, skewing the lazy-persist cadence and
+                // the resize trigger; skip to the advanced state
+                cache.get(tableDir).filter(_.version >= live)
+                  .foreach(cur => return cur)
                 foldDriverSide(win, keyCol, tableDir, s) match {
                   case Some(a) =>
                     // filters mutated in place — they supersede the
@@ -608,18 +626,27 @@ object IdMembership {
   }
 
   /** The sharded probe as a Column — each row consults its own
-    * shard's filter (CASE over the hash's top bits). Used only on
+    * shard's filter (CASE over the hash's top bits), built over ONLY
+    * the shards in `hit` (the batch's own shard set): at 64 shards
+    * the full chain would embed every serialized filter — ~1 GB of
+    * plan literals per bulk probe — even when the batch touches two
+    * of them. A row landing OUTSIDE the listed shards (possible only
+    * if the batch re-evaluates nondeterministically between the
+    * shard-set aggregate and the probe) defaults to SUSPECT, which
+    * the exact confirm resolves — never silently fresh. Used only on
     * the bulk distributed path; ordinary batches probe driver-side. */
   private def mightContainSharded(spark: SparkSession, s: State,
-                                  key: Column): Column =
+                                  key: Column, hit: Seq[Int]): Column =
     if (s.shardBits == 0) mightContain(spark, s.shards(0), key)
-    else {
-      val sh = shiftrightunsigned(xxhash64(key), 64 - s.shardBits)
-      (1 until s.shardCount).foldLeft(
-        when(sh === lit(0L), mightContain(spark, s.shards(0), key))) {
-        (acc, i) => acc.when(sh === lit(i.toLong),
-          mightContain(spark, s.shards(i), key))
-      }
+    else hit.filter(i => i >= 0 && i < s.shardCount) match {
+      case Seq() => lit(true)
+      case h +: t =>
+        val sh = shiftrightunsigned(xxhash64(key), 64 - s.shardBits)
+        t.foldLeft(when(sh === lit(h.toLong),
+            mightContain(spark, s.shards(h), key))) {
+          (acc, i) => acc.when(sh === lit(i.toLong),
+            mightContain(spark, s.shards(i), key))
+        }.otherwise(lit(true))
     }
 
   /** Driver-side probe of a SMALL batch: collect the DISTINCT ids,
@@ -665,9 +692,15 @@ object IdMembership {
       probeDriverSide(batch, keyCol, tableDir, s).getOrElse {
         // bulk path: ONE distributed bloom evaluation per batch over
         // synced shard bytes (the probe deserializes per task —
-        // materialize the suspects once)
+        // materialize the suspects once). One cheap aggregate first
+        // finds the shard indices this batch actually hits, so the
+        // probe plan embeds only those shards' filters
         val sb = lockFor(tableDir).synchronized(synced(tableDir, s))
-        val mc = mightContainSharded(spark, sb, col(keyCol))
+        val hit: Seq[Int] =
+          if (sb.shardBits == 0) Seq(0)
+          else batch.select(shardCol(keyCol, sb.shardBits).as("_sh"))
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        val mc = mightContainSharded(spark, sb, col(keyCol), hit)
         batch.filter(mc).select(keyCol).distinct()
           .limit(MaxInListSuspects + 1).collect().map(_.get(0))
       }

@@ -22,6 +22,28 @@ object Mask {
   def pseudonym(value: Column, salt: String): Column =
     sha2(concat_ws("::", value.cast("string"), lit(salt)), 256)
 
+  /** The deployment salt, FAIL-CLOSED: raises when `PII_SALT` is
+    * unset or empty — the reference's operational contract
+    * (`/root/reference/jobs/build_privacy_table.py:6-8` refuses to
+    * build the privacy table without it; an empty salt would silently
+    * publish unsalted-equivalent digests, joinable by anyone who can
+    * hash the id space). Production builder paths call this; test and
+    * oracle queries pass an explicit literal for determinism. */
+  def saltFromEnv(env: String => Option[String] = sys.env.get)
+      : String =
+    env("PII_SALT").map(_.trim).filter(_.nonEmpty).getOrElse(
+      throw new IllegalStateException(
+        "PII_SALT is not set. Export it in the job environment — " +
+          "the privacy table must never be built with an empty salt"))
+
+  /** [[pseudonymize]] with the salt read fail-closed from the
+    * environment — the builder-path twin of the reference job. */
+  def pseudonymizeFromEnv(df: DataFrame, column: String,
+                          keyName: String = "",
+                          env: String => Option[String] = sys.env.get)
+      : DataFrame =
+    pseudonymize(df, column, saltFromEnv(env), keyName)
+
   /** Replace `column` with `<column>_key` in place (ordinal-preserving:
     * the masked column appears where the original was, as the reference's
     * SELECT-list projection does). */

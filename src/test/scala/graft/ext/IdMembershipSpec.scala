@@ -279,6 +279,66 @@ class IdMembershipSpec extends SparkSpec {
     }
   }
 
+  test("the BULK distributed path stays exact with hit-shard-only " +
+    "probe plans: a key type with no driver-side hash twin routes " +
+    "fold and probe through the distributed arms, sharded and " +
+    "unsharded (the bits==0 fold keeps full parallelism)") {
+    // DECIMAL ids have no driver-side xxhash64 twin → every fold and
+    // probe takes the bulk path: bloomsByShard for catch-ups (incl.
+    // the bits==0 no-repartition arm) and the hit-shard CASE probe
+    def decIds(xs: Seq[Long]): DataFrame =
+      xs.map(i => (BigDecimal(i), s"p$i")).toDF("vec_id", "payload")
+    def naiveDec(table: String, batch: DataFrame): Set[BigDecimal] =
+      batch.join(Snapshot.read(spark, table).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+        .select("vec_id").collect().map(_.getDecimal(0): BigDecimal)
+        .toSet
+    def guardedDec(table: String, batch: DataFrame): Set[BigDecimal] =
+      IdMembership.freshOnly(spark, table, batch, "vec_id")
+        .select("vec_id").collect().map(_.getDecimal(0): BigDecimal)
+        .toSet
+    // unsharded (bits == 0): bootstrap, probe, window fold
+    val root = Files.createTempDirectory("idmembulk").toString
+    val t0 = s"$root/flat"
+    Snapshot.createOrReplace(decIds(1L to 400L), t0, keepVersions = 2)
+    IdMembership.invalidate(t0)
+    for (batch <- Seq(decIds(401L to 440L), decIds(50L to 90L),
+        decIds(380L to 420L)))
+      assert(guardedDec(t0, batch) == naiveDec(t0, batch),
+        "the unsharded bulk guard must equal the exact anti-join")
+    Snapshot.morCommit(spark, t0, deletes = None,
+      appends = Some(decIds(501L to 540L)), operation = "append")
+    val after = decIds(Seq(510L, 511L, 900L))
+    assert(guardedDec(t0, after) == Set(BigDecimal(900L)),
+      "the bits==0 distributed window fold must land before probing")
+    // sharded: the probe plan embeds only the batch's hit shards —
+    // exactness across shard boundaries is the pin (the plan-size
+    // win is structural: the CASE enumerates the batch's shard set)
+    IdMembership.minItemsForTests = Some(256)
+    IdMembership.maxItemsForTests = Some(2048)
+    try {
+      val t1 = s"$root/sharded"
+      Snapshot.createOrReplace(decIds(1L to 5000L), t1,
+        keepVersions = 2)
+      IdMembership.invalidate(t1)
+      val st = IdMembership.ensureCurrent(spark, t1, "vec_id")
+      assert(st.shardBits > 0, s"must bootstrap sharded: $st")
+      for (batch <- Seq(decIds(9001L to 9040L), decIds(100L to 140L),
+          decIds(4980L to 5020L)))
+        assert(guardedDec(t1, batch) == naiveDec(t1, batch),
+          "the sharded bulk probe must equal the exact anti-join")
+      // a sharded DISTRIBUTED window fold (bloomsByShard) then probes
+      Snapshot.morCommit(spark, t1, deletes = None,
+        appends = Some(decIds(20001L to 20080L)), operation = "append")
+      val b = decIds(Seq(20040L, 20041L, 31000L))
+      assert(guardedDec(t1, b) == Set(BigDecimal(31000L)),
+        "the sharded distributed fold must land before probing")
+    } finally {
+      IdMembership.minItemsForTests = None
+      IdMembership.maxItemsForTests = None
+    }
+  }
+
   test("fallbacks stay exact: a torn sidecar rebuilds from the id " +
     "column, and a compaction past the stamp (unrecoverable window) " +
     "falls back to the full rebuild") {

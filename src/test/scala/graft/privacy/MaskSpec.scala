@@ -25,6 +25,28 @@ class MaskSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "user_key", "s"))
   }
 
+  test("saltFromEnv FAILS CLOSED when PII_SALT is unset or blank, " +
+    "and builds the same digests as the explicit-salt path when set") {
+    // unset → raise (the reference job's contract,
+    // build_privacy_table.py:6-8)
+    val unset = intercept[IllegalStateException] {
+      Mask.saltFromEnv(_ => None)
+    }
+    assert(unset.getMessage.contains("PII_SALT"))
+    // blank counts as unset — an empty salt would publish
+    // unsalted-equivalent digests
+    intercept[IllegalStateException] { Mask.saltFromEnv(_ => Some("")) }
+    intercept[IllegalStateException] {
+      Mask.saltFromEnv(_ => Some("   "))
+    }
+    // set → the env path is digest-identical to the literal path
+    val df = Seq((1, 42)).toDF("id", "user_id")
+    val viaEnv = Mask.pseudonymizeFromEnv(df, "user_id", "user_key",
+      env = k => if (k == "PII_SALT") Some("SALT123") else None)
+    val viaLit = Mask.pseudonymize(df, "user_id", "SALT123", "user_key")
+    assert(viaEnv.collect().toSeq == viaLit.collect().toSeq)
+  }
+
   test("same value+salt → same key (join stability)") {
     val df = Seq(7, 7, 8).toDF("u")
     val keys = df.select(Mask.pseudonym(col("u"), "s").as("k"))
