@@ -130,12 +130,42 @@ object SoakStar {
       val t5 = System.nanoTime()
       require(R.refresh(spark, fact, ru) > 0L)
       val tDimEq = (System.nanoTime() - t5) / 1e9
+      // HOT-DIM window (r18): a 50k-key dim churn — far past the
+      // 4096 IN-literal budget — prices via the in-plan BLOOM prune
+      // on the fact scan (through r17 the past-budget path read the
+      // WHOLE fact). 45k of the churned keys are synthetic and match
+      // no facts; 5k are live — the refresh must stay in the dim-eq
+      // band (O(fact rows hitting changed keys + affected groups)),
+      // not explode to O(table × keys).
+      val (fact3, dim3, ru3) = (s"$root/fact3", s"$root/dim3",
+        s"$root/ru3")
+      S.createOrReplace(scaled, fact3, keepVersions = 2)
+      val synth = spark.range(10000000L, 10085000L)
+        .select(col("id").as("c_custkey"),
+          lit("SYNT").as("c_mktsegment"))
+      S.createOrReplace(dimDf.unionByName(synth), dim3,
+        keepVersions = 2)
+      R.build(spark, fact3, ru3, Seq("c_mktsegment"),
+        Seq("o_totalprice"),
+        dims = Seq(R.DimSpec(dim3, Seq(("o_custkey", "c_custkey")))))
+      val hotWave = S.read(spark, dim3)
+        .filter(col("c_custkey") < 5000 ||
+          (col("c_custkey") >= 10000000L &&
+            col("c_custkey") < 10045000L))
+        .localCheckpoint()
+      S.morCommit(spark, dim3, deletes = Some(hotWave),
+        appends = Some(hotWave.withColumn("c_mktsegment",
+          lit("HOT50K"))), operation = "overwrite")
+      val t6 = System.nanoTime()
+      require(R.refresh(spark, fact3, ru3) > 0L)
+      val tDimHot = (System.nanoTime() - t6) / 1e9
       s""""x$mult":{"fact_rows":$rows,"star_build_sec":$tBuild,""" +
         s""""star_append_refresh_sec":$tApp,""" +
         s""""dim_append_refresh_sec":$tDim,""" +
         s""""dim_refresh_clustered_sec":$tDimClustered,""" +
         s""""eq_plus_dim_refresh_sec":$tCombined,""" +
-        s""""dim_eq_refresh_sec":$tDimEq}"""
+        s""""dim_eq_refresh_sec":$tDimEq,""" +
+        s""""dim_hot50k_refresh_sec":$tDimHot}"""
     }
     println(s"""{"soak":"star_rollup_refresh","append_rows":5000,""" +
       out.mkString(",") + "}")

@@ -20,10 +20,15 @@ import org.apache.spark.sql.types._
   *
   * The rewrite fires only when it is provably EXACT:
   *  - the rollup's meta pins the base-table snapshot version it
-  *    aggregates; a stale rollup (base moved) never rewrites — the
-  *    stats-serve-no-stale-plans discipline every derived artifact in
-  *    this engine follows, which is what makes the rewrite safe to
-  *    leave always-on;
+  *    aggregates; a STALE rollup (base moved) serves by
+  *    COMPENSATION when the window is priceable — the rewrite reads
+  *    `store ⊎ signed window delta` ([[Rollup.compensated]], exact
+  *    by the same Gupta–Mumick identity refresh trusts, zero store
+  *    mutation at plan time; DBToaster/Calcite's move) within
+  *    `spark.graft.mv.maxStalenessCommits` (default 16, 0 disables);
+  *    an unpriceable or over-budget window falls back to the base
+  *    plan, so the answer is ALWAYS the live base's — never a stale
+  *    result;
   *  - the aggregate child must be the base table's scan plan itself
   *    (canonicalized `sameResult`, optionally under a column-pruning
   *    Project); WHERE predicates over rollup GROUP columns re-apply
@@ -86,6 +91,9 @@ case class RollupRewrite(session: SparkSession)
     val targets = new TableStore(session)
       .tablesWithProperty("graft.rollup.dir")
     if (targets.isEmpty) return plan
+    // compensated-plan cache keys already spliced into THIS query —
+    // see compensatedPlanOf (exprId uniqueness within one tree)
+    val usedComp = scala.collection.mutable.Set.empty[(String, String)]
     def serve(agg: Aggregate): Option[Aggregate] =
       // several rollups can serve the same query (a rollup
       // hierarchy over one base); prefer the COARSEST store — the
@@ -96,14 +104,16 @@ case class RollupRewrite(session: SparkSession)
         // rewrite, never the query's analysis — the rule is always-on
         try Rollup.meta(t("graft.rollup.dir")).flatMap(m =>
           tryRewrite(agg, t("graft.rollup.source"),
-              t("graft.rollup.dir"), m)
-            .map { case (served, rederived) =>
+              t("graft.rollup.dir"), m, usedComp)
+            .map { case (served, rederived, stale) =>
+              // a FRESH store beats a compensated (stale) one — the
+              // compensation adds the window-delta read; then
               // coarsest store first (fewest key columns bounds the
               // gold rows); ties prefer the store whose grain the
               // query hits EXACTLY over one it must re-bucket (a
               // month query over day+month stores reads the month
               // store, ~30x fewer gold rows)
-              ((m.groupCols.size, rederived), served) })
+              ((stale, m.groupCols.size, rederived), served) })
         catch { case scala.util.control.NonFatal(_) => None }
       }.sortBy(_._1).headOption.map(_._2)
     plan.transformUp {
@@ -354,12 +364,134 @@ case class RollupRewrite(session: SparkSession)
       catch { case scala.util.control.NonFatal(_) => None }
     else None
 
+  /** Strip RuntimeReplaceable wrappers (`to_date(ts)` analyzes to
+    * ParseToDate whose replacement is the Cast the reasoning needs). */
+  private def unwrapRR(e: Expression): Expression = e match {
+    case r: RuntimeReplaceable => unwrapRR(r.replacement)
+    case other => other
+  }
+
+  /** EXTRACT-form comparison conjuncts normalized to BARE-COLUMN
+    * intervals (r18): `year(x)` and `to_date(x)` are STEP-MONOTONE
+    * SURJECTIONS of x onto calendar periods, so each comparison
+    * against a literal is EQUIVALENT to an interval over x itself —
+    * `year(x) = 2024` ⟺ `x ∈ [2024-01-01, 2025-01-01)`,
+    * `to_date(x) >= D` ⟺ `x >= midnight(D)` — after which the whole
+    * existing lattice (tightening, subsumption, trunc lifts) applies
+    * unchanged. `month()`/`quarter()` are NOT monotone in x (the
+    * same month recurs every year) and claim nothing — the unsound
+    * bare-month slice implication is refused by construction. A
+    * timestamp subject requires a FIXED-OFFSET zone: a DST zone with
+    * a midnight transition makes even the local DATE non-monotone in
+    * the instant (a fall-back across midnight repeats a date). */
+  private def extractPredOf(e: Expression): Option[ColPred] = {
+    // the comparison subject: (bare attr, embed: epoch-day →
+    // value in the attr's own domain at that date's start)
+    def subj(x: Expression)
+        : Option[(AttributeReference, Int => Option[Any])] = x match {
+      case a: AttributeReference if a.dataType == DateType =>
+        Some((a, d => Some(d)))
+      // to_date over a DATE column replaces to an IDENTITY cast
+      case Cast(a: AttributeReference, DateType, _, _)
+          if a.dataType == DateType =>
+        Some((a, d => Some(d)))
+      case c @ Cast(a: AttributeReference, DateType, _, _)
+          if (a.dataType == TimestampType &&
+              fixedOffsetZone(c.timeZoneId)) ||
+            a.dataType == TimestampNTZType =>
+        Some((a, d =>
+          try Option(Cast(Literal(d, DateType), a.dataType,
+            c.timeZoneId).eval(null))
+          catch { case scala.util.control.NonFatal(_) => None }))
+      case _ => None
+    }
+    def yearStartDays(y: Long): Option[Int] =
+      if (y < 1 || y > 9998) None // outside the DateType-safe range
+      else Some(java.time.LocalDate.of(y.toInt, 1, 1)
+        .toEpochDay.toInt)
+    // (subject, period-start-days of the literal's period, and of
+    // the NEXT period) — the interval alphabet both forms share
+    def pieces(s: Expression, l: Literal)
+        : Option[(AttributeReference, Int => Option[Any], Int, Int)] =
+      unwrapRR(s) match {
+        case Year(x) =>
+          subj(x).flatMap { case (a, embed) =>
+            litInto(l, IntegerType).flatMap { v =>
+              val y = v.asInstanceOf[Int].toLong
+              for (s0 <- yearStartDays(y); s1 <- yearStartDays(y + 1))
+                yield (a, embed, s0, s1)
+            }
+          }
+        case c @ Cast(_, DateType, _, _) =>
+          subj(c).flatMap { case (a, embed) =>
+            litInto(l, DateType).flatMap { v =>
+              val d = v.asInstanceOf[Int]
+              if (d == Int.MaxValue) None
+              else Some((a, embed, d, d + 1))
+            }
+          }
+        case _ => None
+      }
+    def mk(a: AttributeReference, embed: Int => Option[Any],
+           lower: Option[Int], upper: Option[Int]): Option[ColPred] = {
+      // an unembeddable bound voids the WHOLE conjunct (claiming a
+      // one-sided interval for an equality would claim too much)
+      val lo = lower.map(embed)
+      val hi = upper.map(embed)
+      if (lo.exists(_.isEmpty) || hi.exists(_.isEmpty)) None
+      else Some(ColPred(
+        a.name.toLowerCase(java.util.Locale.ROOT), a.dataType,
+        lo.flatten.map((_, true)), hi.flatten.map((_, false)), None))
+    }
+    foldLitCasts(e) match {
+      case EqualTo(s, l: Literal) => pieces(s, l).flatMap {
+        case (a, em, s0, s1) => mk(a, em, Some(s0), Some(s1)) }
+      case EqualTo(l: Literal, s) => pieces(s, l).flatMap {
+        case (a, em, s0, s1) => mk(a, em, Some(s0), Some(s1)) }
+      case GreaterThanOrEqual(s, l: Literal) => pieces(s, l).flatMap {
+        case (a, em, s0, _) => mk(a, em, Some(s0), None) }
+      case GreaterThan(s, l: Literal) => pieces(s, l).flatMap {
+        case (a, em, _, s1) => mk(a, em, Some(s1), None) }
+      case LessThan(s, l: Literal) => pieces(s, l).flatMap {
+        case (a, em, s0, _) => mk(a, em, None, Some(s0)) }
+      case LessThanOrEqual(s, l: Literal) => pieces(s, l).flatMap {
+        case (a, em, _, s1) => mk(a, em, None, Some(s1)) }
+      case GreaterThanOrEqual(l: Literal, s) => pieces(s, l).flatMap {
+        case (a, em, _, s1) => mk(a, em, None, Some(s1)) }   // s <= l
+      case GreaterThan(l: Literal, s) => pieces(s, l).flatMap {
+        case (a, em, s0, _) => mk(a, em, None, Some(s0)) }   // s < l
+      case LessThanOrEqual(l: Literal, s) => pieces(s, l).flatMap {
+        case (a, em, s0, _) => mk(a, em, Some(s0), None) }   // s >= l
+      case LessThan(l: Literal, s) => pieces(s, l).flatMap {
+        case (a, em, _, s1) => mk(a, em, Some(s1), None) }   // s > l
+      case In(s, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        // a CONTIGUOUS value set is one interval (`year(x) IN
+        // (2023, 2024)`); a gapped set has no single-interval bare
+        // form and claims nothing
+        val ps = vs.map(v => pieces(s, v.asInstanceOf[Literal]))
+        if (ps.exists(_.isEmpty)) None
+        else {
+          val sorted = ps.map(_.get).distinctBy(_._3).sortBy(_._3)
+          val contiguous = sorted.sliding(2).forall {
+            case Seq((_, _, _, hi), (_, _, lo, _)) => hi == lo
+            case _ => true
+          }
+          if (!contiguous) None
+          else mk(sorted.head._1, sorted.head._2,
+            Some(sorted.head._3), Some(sorted.last._4))
+        }
+      case _ => None
+    }
+  }
+
   private def colPredOf(e0: Expression): Option[ColPred] = {
     def pred(s: Expression, l: Literal,
              f: (String, DataType, Any, Option[TruncBase])
                => ColPred): Option[ColPred] =
       subjectOf(s).flatMap { case (id, dt, base) =>
         litInto(l, dt).map(v => f(id, dt, v, base)) }
+    extractPredOf(e0).foreach(p => return Some(p))
     foldLitCasts(e0) match {
       case EqualTo(s, l: Literal) if subjectOf(s).isDefined =>
         pred(s, l, (id, dt, v, b) => ColPred(id, dt,
@@ -690,17 +822,73 @@ case class RollupRewrite(session: SparkSession)
     if (query == 4) stored <= 3
     else stored != 4 && query > stored
 
+  /** The compensated (store ⊎ signed window delta) plan for a STALE
+    * store — [[Rollup.compensated]] analyzed once and cached per
+    * (store, live-version) signature, so a dashboard re-issuing the
+    * same query between refreshes prices the window once. A cached
+    * instance splices into at most ONE aggregate per query (`used`
+    * tracks this apply() invocation's splices): a second aggregate
+    * over the same stale store gets a freshly-built plan, keeping
+    * exprIds unique within the query tree — the same property the
+    * fresh path has from building a new Snapshot.read per serve. */
+  private def compensatedPlanOf(srcPath: String, ruDir: String,
+                                m: Rollup.Meta, maxCommits: Int,
+                                used: scala.collection.mutable
+                                  .Set[(String, String)])
+      : Option[LogicalPlan] = {
+    val (srcVer, srcMor) = Snapshot.versionState(srcPath)
+    val (ruVer, ruMor) = Snapshot.versionState(Rollup.tableDir(ruDir))
+    val id = s"comp:$ruDir"
+    val sig = s"${srcVer.getOrElse(-1L)}:$srcMor:" +
+      s"${ruVer.getOrElse(-1L)}:$ruMor:$maxCommits:" +
+      m.dims.map(_.version).mkString(",")
+    val key = (id, sig)
+    def build(): Option[LogicalPlan] =
+      Rollup.compensated(session, srcPath, ruDir, maxCommits)
+        .map(_._1.queryExecution.analyzed)
+    val cached = RollupRewrite.planCache.get(key)
+    val p =
+      if (cached.isDefined && !used.contains(key)) cached
+      else {
+        val built = build()
+        built.foreach { pl =>
+          RollupRewrite.planCache.filterInPlace((k, _) => k._1 != id
+            || k == key) // drop superseded compensations of this store
+          RollupRewrite.planCache.put(key, pl)
+        }
+        built
+      }
+    p.foreach(_ => used += key)
+    p
+  }
+
   private def tryRewrite(agg: Aggregate, srcPath: String,
-                         ruDir: String,
-                         m: Rollup.Meta): Option[(Aggregate, Boolean)] = {
+                         ruDir: String, m: Rollup.Meta,
+                         usedComp: scala.collection.mutable
+                           .Set[(String, String)])
+      : Option[(Aggregate, Boolean, Boolean)] = {
     // does serving this query re-bucket or re-derive any grouping
     // expression (vs a bare stored-key hit)? a tiebreaker for the
     // hierarchy choice: an exact-grain store beats a finer one the
     // query would have to re-bucket (fewer gold rows scanned)
     var rederived = false
     // freshness gate: the rollup must describe the LIVE base version
-    // AND every pinned dim version (a moved dim voids every group)
-    if (!Rollup.isFresh(ruDir, srcPath)) return None
+    // AND every pinned dim version — a STALE store may still serve
+    // by COMPENSATION (store ⊎ signed window delta, exact) when the
+    // window is priceable and within the staleness budget; otherwise
+    // the query stays on the base
+    val stale = !Rollup.isFresh(ruDir, srcPath)
+    val compensatedPlan: Option[LogicalPlan] =
+      if (!stale) None
+      else {
+        val maxStale =
+          try session.conf
+            .get("spark.graft.mv.maxStalenessCommits", "16").toInt
+          catch { case _: NumberFormatException => 0 }
+        if (maxStale <= 0) return None
+        Some(compensatedPlanOf(srcPath, ruDir, m, maxStale, usedComp)
+          .getOrElse(return None))
+      }
     // the aggregate input must BE the maintained plan (aliases and
     // column-pruning Projects on EITHER side are transparent — a
     // same-named join key leaves a pruning Project in the base tree,
@@ -721,8 +909,14 @@ case class RollupRewrite(session: SparkSession)
     val base = stripBase(basePlanOf(srcPath, m).getOrElse(return None))
     if (!core.sameResult(base)) return None
     val resolver = session.sessionState.analyzer.resolver
-    val ruPlan = Snapshot.read(session, Rollup.tableDir(ruDir))
-      .queryExecution.analyzed
+    // the gold side: the store itself when fresh, the compensated
+    // store ⊎ window plan when stale — translations resolve against
+    // its output either way (a compensated plan simply lacks the
+    // min/max/sketch columns a delete-bearing window invalidates, so
+    // queries needing them refuse naturally and stay on the base)
+    val ruPlan = compensatedPlan.getOrElse(
+      Snapshot.read(session, Rollup.tableDir(ruDir))
+        .queryExecution.analyzed)
     def ruAttr(name: String): Option[Attribute] =
       ruPlan.output.find(a => resolver(a.name, name))
     // EXPRESSION group keys resolve against the base plan through the
@@ -764,9 +958,13 @@ case class RollupRewrite(session: SparkSession)
       case TruncTimestamp(fq, xq, tz) =>
         truncRank(fq).flatMap { rq =>
           exprKeys.collectFirst {
-            case (n, TruncTimestamp(fs, xs, _))
+            // the trunc ZONES must agree: day buckets of one zone
+            // are not aligned to month boundaries of another, so
+            // cross-zone re-bucketing would split buckets mid-way
+            case (n, TruncTimestamp(fs, xs, tzS))
                 if truncRank(fs).exists(coarserDerivable(rq, _)) &&
-                  normEquals(xq, xs) && ruAttr(n).isDefined =>
+                  normEquals(xq, xs) && tz == tzS &&
+                  ruAttr(n).isDefined =>
               TruncTimestamp(fq, ruAttr(n).get, tz): Expression
           }
         }
@@ -781,6 +979,91 @@ case class RollupRewrite(session: SparkSession)
         }
       case _ => None
     }
+    /** EXTRACT-form calendar keys over a trunc-keyed store (r18):
+      * `year(x)` / `quarter(x)` / `month(x)` / `to_date(x)` derive
+      * from a stored `date_trunc(u, x)` key whenever u is a CHAIN
+      * unit at least as fine as the extracted field — truncating to
+      * u preserves every coarser calendar field, so f(bucket start)
+      * = f(x) per row and grouping gold rows by it merges groups
+      * exactly as the base grouping would. All zones involved (the
+      * query cast's, the store's trunc and its inner widening
+      * cast's) must be the SAME zone: the law is per-zone calendar
+      * arithmetic, no monotonicity needed, so DST zones are fine
+      * here (the predicate path is stricter). WEEK stores never
+      * derive (a week bucket crosses month and year boundaries). */
+    def extractKeyOf(e: Expression): Option[Expression] = {
+      def overTrunc(x: Expression, needRank: Int,
+                    mk: Expression => Expression): Option[Expression] = {
+        val (attr, tzQ) = unwrapRR(x) match {
+          case a: AttributeReference if a.dataType == DateType =>
+            (a, None)
+          // to_date over a DATE column replaces to an IDENTITY cast
+          case Cast(a: AttributeReference, DateType, _, _)
+              if a.dataType == DateType =>
+            (a, None)
+          case c @ Cast(a: AttributeReference, DateType, _, _)
+              if a.dataType == TimestampType ||
+                a.dataType == TimestampNTZType =>
+            (a, Some(c.timeZoneId))
+          case _ => return None
+        }
+        exprKeys.collectFirst {
+          case (n, TruncTimestamp(f, xs, tzS))
+              if truncRank(f).exists(r => r != 4 && r <= needRank) &&
+                ruAttr(n).isDefined && fixedOffsetZone(tzS) &&
+                (xs match {
+                  // LTZ timestamp column: the query's cast-to-date
+                  // zone must equal the store's trunc zone
+                  case a: AttributeReference
+                      if a.dataType == TimestampType =>
+                    normEquals(a, attr) && tzQ.contains(tzS)
+                  // bare NTZ input: the trunc is naive-calendar and
+                  // the query cast's zone id is vestigial
+                  case a: AttributeReference
+                      if a.dataType == TimestampNTZType =>
+                    normEquals(a, attr)
+                  // NTZ column WIDENED to LTZ under the store's
+                  // trunc (the analyzer's shape): naive-calendar
+                  // arithmetic is exact when the widening and the
+                  // trunc share one fixed-offset zone; the query's
+                  // ntz→date cast is zone-free
+                  case c @ Cast(a: AttributeReference,
+                      TimestampType, _, _)
+                      if a.dataType == TimestampNTZType =>
+                    normEquals(a, attr) && c.timeZoneId == tzS
+                  // DATE column widened under the store's trunc: the
+                  // widening and the trunc must share one zone, and
+                  // the query side is the bare date (no cast)
+                  case c @ Cast(a: AttributeReference, _, _, _)
+                      if a.dataType == DateType =>
+                    normEquals(a, attr) && tzQ.isEmpty &&
+                      c.timeZoneId == tzS
+                  case _ => false
+                }) =>
+            // the gold key is the bucket-start TIMESTAMP: its date
+            // in the same zone is the period's first day, whose
+            // year/quarter/month (and, at day grain, date) equal the
+            // source's
+            mk(Cast(ruAttr(n).get, DateType, tzS))
+        }.orElse(exprKeys.collectFirst {
+          case (n, TruncDate(xs, f))
+              if truncRank(f).exists(r => r != 4 && r <= needRank) &&
+                tzQ.isEmpty && ruAttr(n).isDefined &&
+                (unwrapRR(xs) match {
+                  case a: AttributeReference => normEquals(a, attr)
+                  case _ => false
+                }) =>
+            mk(ruAttr(n).get)
+        })
+      }
+      unwrapRR(e) match {
+        case Year(x) => overTrunc(x, 7, Year(_))
+        case Quarter(x) => overTrunc(x, 6, Quarter(_))
+        case Month(x) => overTrunc(x, 5, Month(_))
+        case c @ Cast(_, DateType, _, _) => overTrunc(c, 3, identity)
+        case _ => None
+      }
+    }
     /** The gold-side EXPRESSION a query grouping (or key-level
       * select/filter) expression denotes: a stored key directly, a
       * coarser calendar bucket of one, or — the general roll-up law —
@@ -792,6 +1075,8 @@ case class RollupRewrite(session: SparkSession)
     def keyExprOf(e: Expression): Option[Expression] =
       keyAttrOf(e).map(a => a: Expression)
         .orElse { val r = coarserKeyOf(e)
+          if (r.isDefined) rederived = true; r }
+        .orElse { val r = extractKeyOf(e)
           if (r.isDefined) rederived = true; r }
         .orElse(e match {
           case _: AttributeReference => None
@@ -1096,7 +1381,7 @@ case class RollupRewrite(session: SparkSession)
     val child = newFilters.foldRight(ruPlan)(
       org.apache.spark.sql.catalyst.plans.logical.Filter(_, _))
     Some((Aggregate(groupPairs.map(_._2), newAggExprs, child),
-      rederived))
+      rederived, stale))
   }
 }
 

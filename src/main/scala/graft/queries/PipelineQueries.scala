@@ -1107,14 +1107,16 @@ object PipelineQueries {
       val served = s2.sql("SELECT * FROM mvpp.gold")
       require(reads(served, ruDir) && !reads(served, src),
         "a reloaded MV must serve its gold store in a fresh session")
-      // a base commit stales it; the stale read falls back to base
+      // a base commit stales it; the stale read now COMPENSATES
+      // (r18): store ⊎ window delta — the gold dir plus the window
+      // sidecars, never the base data files
       S.morCommit(s2, src, deletes = None,
         appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
         operation = "append")
       val stale = s2.sql("""SELECT o_orderpriority, count(*) AS cnt
         FROM mvpp.orders GROUP BY o_orderpriority""")
-      require(!reads(stale, ruDir) && reads(stale, src),
-        "a stale reloaded MV must never serve")
+      require(reads(stale, ruDir),
+        "a priceably-stale reloaded MV must serve by compensation")
       require(s2.sql("REFRESH MATERIALIZED VIEW mvpp.gold")
         .collect().head.getLong(0) > 0L,
         "the reloaded MV must refresh INCREMENTALLY (touch groups)")
@@ -1125,6 +1127,139 @@ object PipelineQueries {
       require(reads(q, ruDir) && !reads(q, src),
         "the refreshed reloaded MV must serve the store again")
       q.orderBy("o_orderpriority")
+    }),
+
+    // S20o (r18) — STALE-SERVE COMPENSATION: under the reference's
+    // per-run CDC cadence (`merge_orders_silver.py` commits a
+    // micro-batch every run) a fresh-only MV rewrite is off almost
+    // always. Between refreshes the rewrite now serves
+    // store ⊎ signed window delta — exact (the Gupta–Mumick identity
+    // refresh itself trusts), zero store mutation at plan time.
+    // REQUIRED in-query: with TWO unrefreshed commits stacked, the
+    // aggregate reads the gold store AND ONLY `_mor` window sidecars
+    // of the base (never its data files); with the staleness budget
+    // at 0 the same query returns to the base plan.
+    "q_mv_stale_serve" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvssq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvss", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvss.gold AS
+        SELECT o_orderpriority, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvss.orders GROUP BY o_orderpriority""").collect()
+      val ruDir = ts.properties("mvss", "gold__storage")(
+        "graft.rollup.dir")
+      // two micro-batches land; NOBODY refreshes
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 20 === 7)),
+        operation = "append")
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 20 === 17)),
+        operation = "append")
+      def leafPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+      val sql = """SELECT o_orderpriority, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvss.orders GROUP BY o_orderpriority"""
+      val q = s.sql(sql)
+      val leaves = leafPaths(q)
+      require(leaves.exists(p => p == ruDir ||
+          p.startsWith(s"$ruDir/")),
+        "the stale MV must serve by compensation (reads the store)")
+      val srcLeaves = leaves.filter(p => p == src ||
+        p.startsWith(s"$src/"))
+      require(srcLeaves.nonEmpty &&
+          srcLeaves.forall(_.contains("/_mor/")),
+        "the compensation must read ONLY the window sidecars of the " +
+          s"base, never its data files: $srcLeaves")
+      // the staleness budget gates it: 0 → the pre-r18 base plan
+      s.conf.set("spark.graft.mv.maxStalenessCommits", "0")
+      try {
+        val off = leafPaths(s.sql(sql))
+        require(!off.exists(p => p == ruDir ||
+            p.startsWith(s"$ruDir/")) &&
+            off.exists(p => (p == src || p.startsWith(s"$src/")) &&
+              !p.contains("/_mor/")),
+          "budget 0 must fall back to the base data files")
+      } finally s.conf.unset("spark.graft.mv.maxStalenessCommits")
+      ts.dropView("mvss", "gold")
+      ts.dropTable("mvss", "gold__storage")
+      ts.dropTable("mvss", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
+    // S20p (r18) — EXTRACT-form calendar keys: `GROUP BY
+    // year(o_orderdate)` — the most common hand-written dashboard
+    // shape after date_trunc — derives from a month-trunc-keyed
+    // store (year of a month-bucket start = year of the source), and
+    // `WHERE year(d) >= Y` participates in slice implication by
+    // normalizing to the bare interval `d >= Y-01-01`. REQUIRED
+    // in-query: the year query reads ONLY the gold store; the
+    // non-injective `month(d) = 3` slice implication is REFUSED
+    // (March of a pre-slice year would be wrongly served) — base
+    // only.
+    "q_mv_extract" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("mvxq")
+        .toString
+      val src = s"$root/orders"
+      Fixtures.cloneSnapshot(s, d, "orders", src)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvex", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvex.monthly AS
+        SELECT date_trunc('month', o_orderdate) AS omonth,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvex.orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+        GROUP BY date_trunc('month', o_orderdate)""").collect()
+      val mvDir = ts.properties("mvex", "monthly__storage")(
+        "graft.rollup.dir")
+      def reads(df: org.apache.spark.sql.DataFrame,
+                dir: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+                  .exists(p => p == dir || p.startsWith(s"$dir/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      val q = s.sql("""SELECT year(o_orderdate) AS oyear,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price
+        FROM mvex.orders WHERE year(o_orderdate) >= 1996
+        GROUP BY year(o_orderdate)""")
+      require(reads(q, mvDir) && !reads(q, src),
+        "year(d) must derive from the month store and its bound " +
+          "must imply the slice — gold only")
+      val monthSlice = s.sql("""SELECT count(*) AS cnt
+        FROM mvex.orders WHERE month(o_orderdate) = 3""")
+      require(!reads(monthSlice, mvDir) && reads(monthSlice, src),
+        "the non-injective bare month() slice implication must " +
+          "REFUSE (March of a pre-slice year) — base only")
+      ts.dropView("mvex", "monthly")
+      ts.dropTable("mvex", "monthly__storage")
+      ts.dropTable("mvex", "orders")
+      q.orderBy("oyear")
     }),
 
     // S20e — JOIN materialized view (star schema): the defining query
@@ -3327,6 +3462,30 @@ FROM iceberg.silver.orders_current""")
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Stale-serve compensation twin: the store was built on 90% of
+    // orders and TWO unrefreshed commits appended the rest — the
+    // plan reads store ⊎ window sidecars, the ANSWER is the live
+    // full-orders aggregate.
+    "q_mv_stale_serve" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // Extract-key twin: the year aggregate over the year bound — the
+    // plan derives year() from the month store (implication via the
+    // normalized bare interval), the ANSWER is this.
+    "q_mv_extract" -> s"""
+      SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders WHERE year(o_orderdate) >= 1996
+      GROUP BY 1
+      ORDER BY oyear""",
 
     // Monotone-trunc implication twin: the month aggregate over the
     // aligned date bound — the plan reads the month store, the

@@ -68,18 +68,29 @@ class MaterializedViewSpec extends SparkSpec {
       "a fresh MV must serve the defining query from the gold store")
     assert(answers(fresh) == recompute())
 
-    // base moves → the MV is STALE: reads fall back to the base scan
-    // and stay CORRECT (Trino would serve the stale store here)
+    // base moves → the MV is STALE: reads COMPENSATE (r18) — the
+    // rewrite serves store ⊎ signed window delta, still the exact
+    // live answer (Trino would serve the stale store, wrong; through
+    // r17 this engine fell back to a full base scan)
     Snapshot.morCommit(spark, dir, deletes = None,
       appends = Some(Seq((9001L, "g9", "r1", 5L, 5.0),
           (9002L, "g1", "r0", 7L, 7.0))
         .toDF("id", "grp", "region", "qty", "amount")),
       operation = "append")
     val stale = spark.sql("SELECT * FROM mvx.daily")
-    assert(!scans(stale, ruDir) && scans(stale, dir),
-      "a stale MV must fall back to the base table")
+    assert(scans(stale, ruDir),
+      "a priceably-stale MV must serve by compensation")
     assert(answers(stale) == recompute(),
-      "the fallback answer includes the new rows")
+      "the compensated answer includes the new rows")
+    // with the staleness budget off, the pre-r18 base fallback
+    spark.conf.set("spark.graft.mv.maxStalenessCommits", "0")
+    try {
+      val off = spark.sql("SELECT * FROM mvx.daily")
+      assert(!scans(off, ruDir) && scans(off, dir),
+        "budget 0 must fall back to the base table")
+      assert(answers(off) == recompute())
+    } finally
+      spark.conf.unset("spark.graft.mv.maxStalenessCommits")
 
     val touched = spark
       .sql("REFRESH MATERIALIZED VIEW mvx.daily").collect()
@@ -546,11 +557,14 @@ class MaterializedViewSpec extends SparkSpec {
       "a fresh join MV must serve from the gold store")
     assert(answers(mvRead()) == base())
 
-    // fact append → stale → base fallback; REFRESH re-arms at O(delta)
+    // fact append → stale → the rewrite COMPENSATES (store ⊎ window
+    // delta joined to the still-pinned dim); REFRESH re-arms the
+    // plain store serve at O(delta)
     Snapshot.morCommit(spark, fdir, deletes = None,
       appends = Some(Seq((1001L, 3L, 5L)).toDF("id", "cust_id", "qty")),
       operation = "append")
-    assert(!scans(mvRead(), ruDir) && scans(mvRead(), fdir))
+    assert(scans(mvRead(), ruDir),
+      "a fact-stale join MV must serve by compensation")
     assert(answers(mvRead()) == base())
     assert(spark.sql("REFRESH MATERIALIZED VIEW mvs.by_segment")
       .collect().head.getLong(0) > 0L)

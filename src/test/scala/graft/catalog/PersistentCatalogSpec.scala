@@ -200,8 +200,12 @@ class PersistentCatalogSpec extends SparkSpec {
         .toDF("id", "grp", "qty")), operation = "append")
     val stale = s2.sql(
       "SELECT grp, count(*) AS cnt FROM mvp.facts GROUP BY grp")
-    assert(!reads(stale, ruDir) && reads(stale, dataDir),
-      "a stale reloaded MV must never serve")
+    assert(reads(stale, ruDir),
+      "a priceably-stale reloaded MV must serve by compensation " +
+        "(store ⊎ window delta) in the fresh session too")
+    assert(stale.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toMap.values.sum == 450L,
+      "the compensated answer must count the window's rows")
     val staleHeavy = s2.sql("SELECT * FROM mvp.heavy")
     assert(!reads(staleHeavy, hvDir) && reads(staleHeavy, dataDir),
       "a stale rebuild-only MV must fall back to the live base")

@@ -705,25 +705,93 @@ class RollupRewriteSpec extends SparkSpec {
       s"sanity: the seed must exercise both directions ($servedN/40)")
   }
 
-  test("a STALE rollup never rewrites; refresh re-arms it; the " +
-    "session flag disables it") {
+  /** Does the OPTIMIZED plan read any BASE DATA file of `dir` —
+    * i.e. a leaf under the table dir that is NOT a `_mor` window
+    * sidecar? The compensation pin: a stale-served query may read
+    * the window sidecars but never the base's data files. */
+  private def scansBaseData(df: DataFrame, dir: String): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.map(_.toUri.getPath).exists(p =>
+            (p == dir || p.startsWith(s"$dir/")) &&
+              !p.contains("/_mor/"))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  test("a STALE rollup serves by COMPENSATION — store ⊎ signed " +
+    "window delta, reading the gold store and the window sidecars " +
+    "but never the base data files; min/max ride an append-only " +
+    "window but refuse a delete-bearing one; the staleness budget, " +
+    "equality windows, and the session flag fall back to the base; " +
+    "refresh re-arms the plain store serve") {
     val (dir, ru) = fixture()
     val q = "SELECT grp, count(*) AS c FROM mv.facts GROUP BY grp"
     assert(scans(spark.sql(q), ru))
-    // base moves → stale → the very same query returns to the base
+    // base moves by an APPEND → the very same query now serves the
+    // compensated store: gold + the window sidecar, zero base data
     Snapshot.morCommit(spark, dir, deletes = None,
       appends = Some(Seq((9999L, "g1", "r1", 5L, 5.0))
         .toDF("id", "grp", "region", "qty", "amount")),
       operation = "append")
-    val stale = spark.sql(q)
-    assert(!scans(stale, ru) && scans(stale, dir),
-      "a stale rollup must NEVER serve the rewrite")
-    assert(stale.collect().map(_.toSeq).toSet == baseline(q))
-    // refresh → fresh again → rewrite returns, counting the new row
+    val comp = spark.sql(q)
+    assert(scans(comp, ru),
+      "a priceably-stale rollup must serve by compensation")
+    assert(!scansBaseData(comp, dir),
+      "the compensated serve must never read base data files")
+    assert(comp.collect().map(_.toSeq).toSet == baseline(q),
+      "the compensated answer must equal the live base recompute")
+    // sums, non-null counts, avg — and, over an APPEND-ONLY window,
+    // min/max — all compensate
+    val qAll = """SELECT grp, count(*) AS c, sum(qty) AS s,
+      count(qty) AS cq, avg(qty) AS a, min(amount) AS mn,
+      max(amount) AS mx FROM mv.facts GROUP BY grp"""
+    val compAll = spark.sql(qAll)
+    assert(scans(compAll, ru) && !scansBaseData(compAll, dir),
+      "min/max must compensate over an append-only window")
+    assert(compAll.collect().map(_.toSeq).toSet == baseline(qAll))
+    // staleness budget 0 disables compensation → base plan
+    spark.conf.set("spark.graft.mv.maxStalenessCommits", "0")
+    try {
+      val off = spark.sql(q)
+      assert(!scans(off, ru) && scansBaseData(off, dir),
+        "maxStalenessCommits=0 must force the base plan")
+      assert(off.collect().map(_.toSeq).toSet == baseline(q))
+    } finally
+      spark.conf.unset("spark.graft.mv.maxStalenessCommits")
+    // a POSITION-delete window still compensates the subtractable
+    // set (counts/sums), but min/max refuse — the deleted row may
+    // have been the extremum
+    val victim = Snapshot.readLineage(spark, dir)
+      .filter(col("id") === 1L).localCheckpoint()
+    Snapshot.morCommit(spark, dir, deletes = None, appends = None,
+      operation = "delete", posDeletes = Some(victim))
+    val compDel = spark.sql(q)
+    assert(scans(compDel, ru),
+      "a position-delete window must still compensate counts")
+    assert(compDel.collect().map(_.toSeq).toSet == baseline(q))
+    val mmDel = spark.sql(
+      "SELECT grp, min(amount) AS mn FROM mv.facts GROUP BY grp")
+    assert(!scans(mmDel, ru) && scansBaseData(mmDel, dir),
+      "min/max must refuse a delete-bearing window (base plan)")
+    assert(mmDel.collect().map(_.toSeq).toSet == baseline(
+      "SELECT grp, min(amount) AS mn FROM mv.facts GROUP BY grp"))
+    // an EQUALITY-delete window is compensation-unpriceable → base
+    Snapshot.morCommit(spark, dir,
+      deletes = Some(Seq((9999L, "g1", "r1", 5L, 5.0))
+        .toDF("id", "grp", "region", "qty", "amount")),
+      appends = None, operation = "delete")
+    val eq = spark.sql(q)
+    assert(!scans(eq, ru) && scansBaseData(eq, dir),
+      "an equality window must fall back to the base plan")
+    assert(eq.collect().map(_.toSeq).toSet == baseline(q))
+    // refresh → fresh again → the PLAIN store serves (no window read)
     spark.sql("CALL iceberg.system.refresh_rollup(table => 'mv.gold')")
       .collect()
     val fresh = spark.sql(q)
-    assert(scans(fresh, ru))
+    assert(scans(fresh, ru) && !scansBaseData(fresh, dir))
     assert(fresh.collect().map(_.toSeq).toSet == baseline(q))
 
     spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
@@ -1038,6 +1106,229 @@ class RollupRewriteSpec extends SparkSpec {
     assert(scans(tieF, ruM) && !scans(tieF, ru) && !scans(tieF, dir),
       "an exact-grain store must win the tie over a finer one")
     assert(tieF.collect().map(_.toSeq).toSet == baseline(tie))
+  }
+
+  test("EXTRACT-form calendar keys (r18): year/quarter/month/to_date " +
+    "derive from a trunc-keyed store — GROUP keys, filters, and " +
+    "slice implications — with month()'s non-injective implication " +
+    "refused; to_date needs a day-or-finer store; week stores never " +
+    "serve extracts") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwx").toString
+    val dir = s"$root/facts"
+    // two years of timestamps so year/quarter grouping is non-trivial
+    val facts = (1 to 800).map { i =>
+      (i.toLong, s"g${i % 4}", (i % 13).toLong,
+        java.sql.Timestamp.valueOf(
+          f"${2023 + (i % 2)}%d-${1 + (i % 12)}%02d-${1 + (i % 27)}%02d ${i % 24}%02d:30:00"))
+    }.toDF("id", "grp", "qty", "ts")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvx", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvx.facts', name => 'mvx.daily',
+      group_by => 'oday,grp', sum_cols => 'qty',
+      group_exprs => 'oday:=date_trunc(''day'', ts)')""").collect()
+    val ru = new TableStore(spark).properties("mvx", "daily")(
+      "graft.rollup.dir")
+    // each extract form is a derivable GROUP key over the day store
+    for (sel <- Seq("year(ts) AS y", "quarter(ts) AS q2",
+        "month(ts) AS m", "to_date(ts) AS d")) {
+      val key = sel.split(" ").head
+      val q = s"SELECT $sel, count(*) AS c, sum(qty) AS s " +
+        s"FROM mvx.facts GROUP BY $key"
+      val df = spark.sql(q)
+      assert(scans(df, ru) && !scans(df, dir),
+        s"$key must derive from the day store")
+      assert(df.collect().map(_.toSeq).toSet == baseline(q),
+        s"$key derivation must be bit-identical")
+    }
+    // the dashboard pair — year + month together
+    val ym = """SELECT year(ts) AS y, month(ts) AS m, count(*) AS c
+      FROM mvx.facts GROUP BY year(ts), month(ts)"""
+    val ymf = spark.sql(ym)
+    assert(scans(ymf, ru) && !scans(ymf, dir))
+    assert(ymf.collect().map(_.toSeq).toSet == baseline(ym))
+    // an extract FILTER over the keys rides the rewrite (month is
+    // fine HERE: filtering groups by a key function is row-local —
+    // only the slice IMPLICATION below is the unsound shape)
+    val fq = """SELECT grp, count(*) AS c FROM mvx.facts
+      WHERE year(ts) = 2024 AND month(ts) = 3 GROUP BY grp"""
+    val ff = spark.sql(fq)
+    assert(scans(ff, ru) && !scans(ff, dir),
+      "extract filters over the key must ride the rewrite")
+    assert(ff.collect().map(_.toSeq).toSet == baseline(fq))
+
+    // to_date needs DAY-or-finer: over a MONTH store it must refuse,
+    // while year still derives
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvx.facts', name => 'mvx.monthly',
+      group_by => 'omo', sum_cols => 'qty',
+      group_exprs => 'omo:=date_trunc(''month'', ts)')""").collect()
+    val ruM = new TableStore(spark).properties("mvx", "monthly")(
+      "graft.rollup.dir")
+    val td = spark.sql("""SELECT to_date(ts) AS d, count(*) AS c
+      FROM mvx.facts GROUP BY to_date(ts)""")
+    assert(!scans(td, ruM),
+      "to_date must NOT derive from a month store")
+    val yM = spark.sql("""SELECT year(ts) AS y, sum(qty) AS s
+      FROM mvx.facts GROUP BY year(ts)""")
+    // (the day store also serves year; the pin is only that the
+    // month store is ADMISSIBLE for it — either store, never base)
+    assert(!scans(yM, dir), "year must serve from a trunc store")
+
+    // WEEK store: a week bucket crosses month/year boundaries —
+    // extracts never derive from it
+    val dirW = s"$root/factsw"
+    Snapshot.createOrReplace(facts, dirW, keepVersions = 2)
+    store.registerSnapshot("mvx", "factsw", dirW)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvx.factsw', name => 'mvx.weekly',
+      group_by => 'owk', sum_cols => 'qty',
+      group_exprs => 'owk:=date_trunc(''week'', ts)')""").collect()
+    val ruW = new TableStore(spark).properties("mvx", "weekly")(
+      "graft.rollup.dir")
+    val yW = spark.sql("""SELECT year(ts) AS y, count(*) AS c
+      FROM mvx.factsw GROUP BY year(ts)""")
+    assert(!scans(yW, ruW) && scans(yW, dirW),
+      "year must NOT derive from a week store")
+
+    // SLICE IMPLICATION over a partial day store on a DATE column:
+    // year/to_date bounds imply, month() refuses (non-injective)
+    val dirD = s"$root/factsd"
+    val factsD = (1 to 800).map { i =>
+      (i.toLong, s"g${i % 4}", (i % 13).toLong,
+        java.sql.Date.valueOf(
+          f"${2023 + (i % 2)}%d-${1 + (i % 12)}%02d-${1 + (i % 27)}%02d"))
+    }.toDF("id", "grp", "qty", "dt")
+    Snapshot.createOrReplace(factsD, dirD, keepVersions = 2)
+    store.registerSnapshot("mvx", "factsd", dirD)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvx.factsd', name => 'mvx.recent',
+      group_by => 'odayd,grp', sum_cols => 'qty',
+      group_exprs => 'odayd:=date_trunc(''day'', dt)',
+      where => 'dt >= DATE ''2024-01-01''')""").collect()
+    val ruD = new TableStore(spark).properties("mvx", "recent")(
+      "graft.rollup.dir")
+    for ((pred, expectServe) <- Seq(
+        ("year(dt) = 2024", true),          // ⟺ [2024-01-01, 2025)
+        ("year(dt) >= 2024", true),
+        ("year(dt) = 2023", false),         // admits pre-slice rows
+        ("year(dt) IN (2024, 2025)", true), // contiguous interval
+        ("year(dt) IN (2023, 2025)", false),// gapped: claims nothing
+        ("to_date(dt) >= DATE '2024-03-15'", true),
+        ("month(dt) = 3", false))) {        // March 2023 is pre-slice
+      val q = s"SELECT grp, count(*) AS c FROM mvx.factsd " +
+        s"WHERE $pred GROUP BY grp"
+      val df = spark.sql(q)
+      assert(scans(df, ruD) == expectServe,
+        s"implication must be exact for: $pred " +
+          s"(served=${scans(df, ruD)}, expected=$expectServe)")
+      assert(df.collect().map(_.toSeq).toSet == baseline(q),
+        s"rewrite changed the answer of: $q")
+    }
+  }
+
+  test("EXTRACT keys over an NTZ column (the parquet-native " +
+    "timestamp type): the analyzer widens NTZ to LTZ under the " +
+    "store's date_trunc — the extract still derives when the " +
+    "widening and the trunc share one fixed-offset zone, and an NTZ " +
+    "year bound implies an NTZ slice") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwn").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 400).map { i =>
+      (i.toLong, s"g${i % 4}", (i % 13).toLong,
+        java.sql.Timestamp.valueOf(
+          f"${1994 + (i % 4)}%d-${1 + (i % 12)}%02d-${1 + (i % 27)}%02d 10:30:00"))
+    }.toDF("id", "grp", "qty", "ts0")
+      .withColumn("dt", col("ts0").cast("timestamp_ntz")).drop("ts0")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("ntz", "facts", dir)
+    spark.sql("""CREATE MATERIALIZED VIEW ntz.monthly AS
+      SELECT date_trunc('month', dt) AS omonth, count(*) AS cnt
+      FROM ntz.facts
+      WHERE dt >= DATE '1995-01-01'
+      GROUP BY date_trunc('month', dt)""").collect()
+    val ru = new TableStore(spark).properties("ntz",
+      "monthly__storage")("graft.rollup.dir")
+    val q = """SELECT year(dt) AS y, count(*) AS c
+      FROM ntz.facts WHERE year(dt) >= 1996 GROUP BY year(dt)"""
+    val df = spark.sql(q)
+    assert(scans(df, ru) && !scans(df, dir),
+      "the NTZ year bound must imply the NTZ slice and derive from " +
+        "the widened-trunc month key")
+    assert(df.collect().map(_.toSeq).toSet == baseline(q))
+    // a bound NOT implying the slice stays on base, still correct
+    val wide = """SELECT year(dt) AS y, count(*) AS c
+      FROM ntz.facts WHERE year(dt) >= 1994 GROUP BY year(dt)"""
+    val wf = spark.sql(wide)
+    assert(!scans(wf, ru) && scans(wf, dir))
+    assert(wf.collect().map(_.toSeq).toSet == baseline(wide))
+  }
+
+  test("SEEDED RANDOMIZED extract implication: random year/to_date/" +
+    "month predicates over a time-sliced store serve exactly when " +
+    "the normalized interval implies the slice, answer " +
+    "bit-identically either way") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwxf").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 800).map { i =>
+      (i.toLong, s"g${i % 4}", (i % 7).toLong,
+        java.sql.Timestamp.valueOf(
+          f"${2022 + (i % 4)}%d-${1 + (i % 12)}%02d-${1 + (i % 27)}%02d ${i % 24}%02d:15:00"))
+    }.toDF("id", "grp", "v", "ts")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvxf", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvxf.facts', name => 'mvxf.recent',
+      group_by => 'oday,grp', sum_cols => 'v',
+      group_exprs => 'oday:=date_trunc(''day'', ts)',
+      where => 'ts >= TIMESTAMP ''2023-07-01 00:00:00''')""").collect()
+    val ru = new TableStore(spark).properties("mvxf", "recent")(
+      "graft.rollup.dir")
+    val sliceDay = java.time.LocalDate.of(2023, 7, 1)
+    val rnd = new scala.util.Random(20260816L)
+    var servedN = 0
+    (1 to 40).foreach { _ =>
+      val (pred, expectServe) = rnd.nextInt(5) match {
+        case 0 =>
+          val y = 2022 + rnd.nextInt(4)
+          (s"year(ts) >= $y", y >= 2024)
+        case 1 =>
+          val y = 2022 + rnd.nextInt(4)
+          (s"year(ts) = $y", y >= 2024)
+        case 2 =>
+          val d = sliceDay.plusDays(rnd.nextInt(400) - 200L)
+          (s"to_date(ts) >= DATE '$d'", !d.isBefore(sliceDay))
+        case 3 =>
+          (s"month(ts) = ${1 + rnd.nextInt(12)}", false)
+        case _ =>
+          val y = 2022 + rnd.nextInt(3)
+          val gap = rnd.nextBoolean()
+          (s"year(ts) IN ($y, ${y + (if (gap) 2 else 1)})",
+            !gap && y >= 2024)
+      }
+      // the grouping shape varies too — every extract key derives
+      val key = Seq("year(ts)", "to_date(ts)", "quarter(ts)",
+        "grp")(rnd.nextInt(4))
+      val q = s"SELECT $key AS k, count(*) AS c, sum(v) AS s " +
+        s"FROM mvxf.facts WHERE $pred GROUP BY $key"
+      val df = spark.sql(q)
+      val fromGold = scans(df, ru)
+      assert(fromGold == expectServe,
+        s"serving must track the normalized implication: $q " +
+          s"(served=$fromGold, expected=$expectServe)")
+      if (fromGold) { servedN += 1
+        assert(!scans(df, dir), s"gold AND base scanned: $q") }
+      assert(df.collect().map(_.toSeq).toSet == baseline(q),
+        s"rewrite changed the answer of: $q")
+    }
+    assert(servedN >= 6 && servedN <= 34,
+      s"sanity: the seed must exercise both directions ($servedN/40)")
   }
 
   test("FUNCTIONS of group keys serve from the store: GROUP BY " +

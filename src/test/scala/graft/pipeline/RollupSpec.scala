@@ -1214,4 +1214,81 @@ class RollupSpec extends SparkSpec {
     assert(got == want,
       "the file-pruned dim-window refresh must stay exact")
   }
+
+  test("an OVERSIZED delta (past the IN-literal budget) prunes the " +
+    "fact with the in-plan BLOOM instead of a full scan — the " +
+    "signed dim term, the dim-eq re-derive, and the fact-eq " +
+    "affected-group recompute all stay exact past the budget") {
+    import spark.implicits._
+    // shrink the literal budget so every arm crosses it with a small
+    // fixture — the bloom path is the one under test, and its
+    // contract (a SUPERSET prune; the join downstream is exact) is
+    // size-independent
+    Rollup.maxDimDeltaKeysForTests = Some(8)
+    try {
+      val root = Files.createTempDirectory("rollupBP").toString
+      val (fact, dim, ru) = (s"$root/fact", s"$root/dim", s"$root/ru")
+      val facts = (1 to 3000).map(i =>
+        (i.toLong, (i % 100).toLong, (i % 25).toLong,
+          (i % 7).toDouble))
+        .toDF("id", "cust", "grp", "amt")
+      val dimDf = (0 until 100).map(i => (i.toLong, s"seg${i % 5}"))
+        .toDF("cust_key", "segment")
+      Snapshot.createOrReplace(facts, fact, keepVersions = 2)
+      Snapshot.createOrReplace(dimDf, dim, keepVersions = 2)
+      Rollup.build(spark, fact, ru, Seq("grp"), Seq("amt"),
+        minMax = Seq("amt"),
+        dims = Seq(Rollup.DimSpec(dim, Seq(("cust", "cust_key")))))
+      def live(): Set[(Long, Long, Double, Double)] = {
+        val f = Snapshot.read(spark, fact)
+        val d2 = Snapshot.read(spark, dim)
+        f.join(d2, f("cust") === d2("cust_key"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("amt").cast(DecimalType(27, 6)))
+              .cast(DoubleType).as("s"),
+            min("amt").as("mn"))
+          .as[(Long, Long, Double, Double)].collect().toSet
+      }
+      def gold(): Set[(Long, Long, Double, Double)] =
+        Rollup.read(spark, fact, ru)
+          .select(col("grp"), col("cnt"), col("sum_amt"),
+            col("min_amt"))
+          .as[(Long, Long, Double, Double)].collect().toSet
+
+      // (1) fact EQUALITY window touching 25 groups (> 8): the
+      // affected-group recompute's fact prune takes the bloom arm
+      val victims = Snapshot.read(spark, fact)
+        .filter(col("id") % 40 === 0).localCheckpoint()
+      Snapshot.morCommit(spark, fact, deletes = Some(victims),
+        appends = None, operation = "delete")
+      assert(Rollup.refresh(spark, fact, ru) > 0L)
+      assert(gold() == live(),
+        "the bloom-pruned fact-eq re-derive must stay exact")
+
+      // (2) dim POSITION-delete + append window replacing 40 keys
+      // (> 8): the signed F' ⋈ ΔD term's fact prune takes the bloom
+      // arm on both delta sides
+      val dimVictims = Snapshot.readLineage(spark, dim)
+        .filter(col("cust_key") < 40).localCheckpoint()
+      Snapshot.morCommit(spark, dim, deletes = None,
+        appends = Some((0 until 40).map(i => (i.toLong, "segNEW"))
+          .toDF("cust_key", "segment")),
+        operation = "update", posDeletes = Some(dimVictims))
+      assert(Rollup.refresh(spark, fact, ru) > 0L)
+      assert(gold() == live(),
+        "the bloom-pruned signed dim term must stay exact")
+
+      // (3) dim EQUALITY window deleting 20 keys (> 8): the dim-side
+      // re-derive's fact prune takes the bloom arm
+      val dimEq = Snapshot.read(spark, dim)
+        .filter(col("cust_key") >= 80).localCheckpoint()
+      Snapshot.morCommit(spark, dim, deletes = Some(dimEq),
+        appends = None, operation = "delete")
+      assert(Rollup.refresh(spark, fact, ru) > 0L)
+      assert(gold() == live(),
+        "the bloom-pruned dim-eq re-derive must stay exact")
+      assert(Rollup.refresh(spark, fact, ru) == 0L)
+    } finally Rollup.maxDimDeltaKeysForTests = None
+  }
 }
