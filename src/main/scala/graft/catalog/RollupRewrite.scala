@@ -971,8 +971,15 @@ case class RollupRewrite(session: SparkSession)
       case TruncDate(xq, fq) =>
         truncRank(fq).flatMap { rq =>
           exprKeys.collectFirst {
+            // TruncDate supports only week-and-coarser units — a
+            // finer unit returns NULL for every row, so a stored
+            // rank < 4 is a DEGENERATE all-null key; serving from it
+            // structurally would be wrong (the evaluator-based
+            // predicate paths refuse it naturally, the structural
+            // derivations must too)
             case (n, TruncDate(xs, fs))
-                if truncRank(fs).exists(coarserDerivable(rq, _)) &&
+                if truncRank(fs).exists(rs =>
+                  rs >= 4 && coarserDerivable(rq, rs)) &&
                   normEquals(xq, xs) && ruAttr(n).isDefined =>
               TruncDate(ruAttr(n).get, fq): Expression
           }
@@ -1046,8 +1053,12 @@ case class RollupRewrite(session: SparkSession)
             // source's
             mk(Cast(ruAttr(n).get, DateType, tzS))
         }.orElse(exprKeys.collectFirst {
+          // TruncDate units finer than week return NULL for every
+          // row (degenerate all-null store key) — require a REAL
+          // unit (rank ≥ 5; week itself is already excluded)
           case (n, TruncDate(xs, f))
-              if truncRank(f).exists(r => r != 4 && r <= needRank) &&
+              if truncRank(f).exists(r =>
+                r >= 5 && r <= needRank) &&
                 tzQ.isEmpty && ruAttr(n).isDefined &&
                 (unwrapRR(xs) match {
                   case a: AttributeReference => normEquals(a, attr)
@@ -1060,6 +1071,8 @@ case class RollupRewrite(session: SparkSession)
         case Year(x) => overTrunc(x, 7, Year(_))
         case Quarter(x) => overTrunc(x, 6, Quarter(_))
         case Month(x) => overTrunc(x, 5, Month(_))
+        case DayOfMonth(x) => overTrunc(x, 3, DayOfMonth(_))
+        case DayOfYear(x) => overTrunc(x, 3, DayOfYear(_))
         case c @ Cast(_, DateType, _, _) => overTrunc(c, 3, identity)
         case _ => None
       }

@@ -1109,15 +1109,30 @@ object Rollup {
     * (merge = min-of-mins; a delete may have removed the extremum);
     * sketches never (the rewrite does not consume them).
     *
+    * An EQUALITY-DELETE window — the engine's DEFAULT delete mode,
+    * i.e. the reference's own CDC MERGE shape — compensates by the
+    * AFFECTED-GROUP form instead (r18): `store ∖ touched ⊎
+    * Agg(live base restricted to touched)`, the lazy twin of
+    * [[refreshRederive]] — touched groups (groups of the window's
+    * delete images ∪ appends, discovered ONCE at plan time and
+    * bounded by the IN-literal budget) recompute from the live base
+    * with the group values pushed to the scan, untouched groups read
+    * from the store via an anti-join. Exact for EVERY maintained
+    * aggregate (min/max included — per touched group it IS the full
+    * recompute); the plan reads the store + window sidecars + the
+    * touched slice of the base, O(store + window + affected groups'
+    * rows).
+    *
     * None — the caller falls back to the base plan — when the window
     * is not compensation-priceable: more than `maxCommits` commits
-    * behind, a copy-on-write rebase, equality deletes (per-instance
-    * accounting impossible), a MOVED DIMENSION (the dim term needs a
-    * refresh's re-derive machinery), a pruned as-of version, or a
-    * pre-`cnt_<m>` store. Crash-replay safe: the window starts at
-    * the APPLIED frontier ([[appliedThrough]]), not the meta stamp,
-    * so a refresh that died before its meta write never
-    * double-counts.
+    * behind, a copy-on-write rebase, an equality window whose
+    * affected-group count exceeds the literal budget (the recompute
+    * would approach the base aggregate anyway), a MOVED DIMENSION
+    * (the dim term needs a refresh's re-derive machinery), a pruned
+    * as-of version, or a pre-`cnt_<m>` store. Crash-replay safe: the
+    * window starts at the APPLIED frontier ([[appliedThrough]]), not
+    * the meta stamp, so a refresh that died before its meta write
+    * never double-counts.
     * @return (compensated frame, min/max columns included) */
   def compensated(spark: SparkSession, srcPath: String,
                   rollupDir: String, maxCommits: Int)
@@ -1134,21 +1149,23 @@ object Rollup {
     val store = Snapshot.read(spark, tableDir(rollupDir))
     val cntCols = m.measures.map(mm => s"cnt_$mm")
     if (cntCols.exists(c => !store.columns.contains(c))) return None
-    val appendOnly =
-      if (since >= version) true
+    val (appendOnly, eqWindow) =
+      if (since >= version) (true, false)
       else Snapshot.commitsSince(srcPath, since, Some(version)) match {
         case Snapshot.CommitWindow.Rebased(_) => return None
-        case Snapshot.CommitWindow.FastAppends(_) => true
+        case Snapshot.CommitWindow.FastAppends(_) => (true, false)
         case Snapshot.CommitWindow.CarriesDeletes(_) =>
-          if (Snapshot.windowHasEqualityDeletes(srcPath, since,
-              version)) return None
-          false
+          (false, Snapshot.windowHasEqualityDeletes(srcPath, since,
+            version))
       }
     if (Snapshot.morVersions(srcPath)
           .count(v => v > since && v <= version) > maxCommits)
       return None
     val key = m.groupCols
-    val mmCols = if (appendOnly) m.minMax else Nil
+    // min/max ride append-only windows (merge = min-of-mins) AND the
+    // affected-group arm (per-group full recompute); only the signed
+    // position-delete arm drops them
+    val mmCols = if (appendOnly || eqWindow) m.minMax else Nil
     val keep = key ++ Seq("cnt") ++
       m.measures.flatMap(mm => Seq(s"sum_$mm", s"cnt_$mm")) ++
       mmCols.flatMap(mm => Seq(s"min_$mm", s"max_$mm"))
@@ -1157,16 +1174,51 @@ object Rollup {
     // between its commit and its meta write) compensates with an
     // empty window: the store rows ARE current
     if (since >= version) return Some((trimmed, mmCols.nonEmpty))
-    val (fp, fm) =
-      try Snapshot.windowRowDelta(spark, srcPath, since, version,
-        "stale-serve compensation")
-      catch { case _: UnpriceableWindowException => return None }
     // dims are PINNED-AND-LIVE (checked above), so the window joins
     // the live dim frames — the same chain build aggregated
     val dimFrames = m.dims.map(d => Snapshot.read(spark, d.path))
     def prep(df: DataFrame): DataFrame =
       applyFilter(prepare(joinWith(df, m.dims, dimFrames),
         m.exprCols), m.filter)
+    if (eqWindow) {
+      // AFFECTED-GROUP compensation — the lazy refreshRederive:
+      // discover the touched groups ONCE here (the plan caches per
+      // store+version signature, so a dashboard re-issuing queries
+      // between refreshes pays this once); past the literal budget
+      // the recompute term loses its scan prune and approaches the
+      // base aggregate — refuse to base instead
+      val (deleted, appended) =
+        try (Snapshot.windowDeleteImages(spark, srcPath, since,
+            version, "stale-serve compensation"),
+          Snapshot.windowAppendRows(spark, srcPath, since, version,
+            "stale-serve compensation"))
+        catch { case _: UnpriceableWindowException => return None }
+      def groupsOf(rows: DataFrame): DataFrame =
+        prep(rows).select(key.map(col): _*)
+      val touchedRows = groupsOf(deleted).unionByName(
+          groupsOf(appended)).distinct()
+        .limit(maxDimDeltaKeys + 1).collect()
+      if (touchedRows.length > maxDimDeltaKeys) return None
+      val touched = spark.createDataFrame(
+        java.util.Arrays.asList(touchedRows: _*),
+        org.apache.spark.sql.types.StructType(
+          groupsOf(deleted).schema.fields))
+      val recSrc = nsJoin(
+        prep(pruneFactByGroups(
+          Snapshot.readAsOf(spark, srcPath, version), touched, key)),
+        broadcast(touched), key, "left_semi")
+      val rec = aggOf(recSrc, key, m.measures, mmCols)
+        .select(keep.map(col): _*)
+      val untouched = nsJoin(trimmed, broadcast(touched), key,
+        "left_anti")
+      val merged = untouched.unionByName(rec)
+      merged.queryExecution.assertAnalyzed()
+      return Some((merged, mmCols.nonEmpty))
+    }
+    val (fp, fm) =
+      try Snapshot.windowRowDelta(spark, srcPath, since, version,
+        "stale-serve compensation")
+      catch { case _: UnpriceableWindowException => return None }
     def signed(df: DataFrame, sign: Int): DataFrame = {
       var a = aggOf(df, key, m.measures, mmCols)
       if (sign < 0) {

@@ -1203,6 +1203,73 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20o' (r18) — EQUALITY-window stale-serve: the engine's
+    // DEFAULT delete mode means the reference's CDC MERGE commits
+    // equality sidecars — the signed-delta compensation cannot price
+    // those per-instance, so the rewrite serves the AFFECTED-GROUP
+    // form instead: untouched groups anti-join out of the store,
+    // touched groups recompute from the pruned live base — exact for
+    // EVERY maintained aggregate, min/max included. REQUIRED
+    // in-query: with one unrefreshed MERGE-shaped commit (equality
+    // delete + append) the min/max-bearing aggregate reads the gold
+    // store; budget 0 returns to the base plan.
+    "q_mv_stale_eq" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvseq")
+        .toString
+      val src = s"$root/orders"
+      val S = graft.pipeline.Snapshot
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvse", "orders", src)
+      s.sql("""CREATE MATERIALIZED VIEW mvse.gold AS
+        SELECT o_orderpriority, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM mvse.orders GROUP BY o_orderpriority""").collect()
+      val ruDir = ts.properties("mvse", "gold__storage")(
+        "graft.rollup.dir")
+      // ONE CDC MERGE-shaped commit: full-row equality deletes plus
+      // appends; NOBODY refreshes
+      S.morCommit(s, src,
+        deletes = Some(S.read(s, src)
+          .filter(col("o_orderkey") % 10 === 3).localCheckpoint()),
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "merge")
+      def reads(df: org.apache.spark.sql.DataFrame,
+                dir: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+                  .exists(p => p == dir || p.startsWith(s"$dir/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      val sql = """SELECT o_orderpriority, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM mvse.orders GROUP BY o_orderpriority"""
+      val q = s.sql(sql)
+      require(reads(q, ruDir),
+        "an equality-stale MV must serve by affected-group " +
+          "compensation — min/max included")
+      s.conf.set("spark.graft.mv.maxStalenessCommits", "0")
+      try require(!reads(s.sql(sql), ruDir),
+        "budget 0 must fall back to the base plan")
+      finally s.conf.unset("spark.graft.mv.maxStalenessCommits")
+      ts.dropView("mvse", "gold")
+      ts.dropTable("mvse", "gold__storage")
+      ts.dropTable("mvse", "orders")
+      q.orderBy("o_orderpriority")
+    }),
+
     // S20p (r18) — EXTRACT-form calendar keys: `GROUP BY
     // year(o_orderdate)` — the most common hand-written dashboard
     // shape after date_trunc — derives from a month-trunc-keyed
@@ -3472,6 +3539,20 @@ FROM iceberg.silver.orders_current""")
              CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
                AS sum_price
       FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // Equality-window stale-serve twin: one MERGE-shaped commit
+    // deleted the %10==3 rows and appended the %10==7 rows of the
+    // 90%-slice store — the plan serves store∖touched ⊎ recompute,
+    // the ANSWER is the live aggregate.
+    "q_mv_stale_eq" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders WHERE o_orderkey % 10 <> 3
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 

@@ -724,9 +724,11 @@ class RollupRewriteSpec extends SparkSpec {
   test("a STALE rollup serves by COMPENSATION — store ⊎ signed " +
     "window delta, reading the gold store and the window sidecars " +
     "but never the base data files; min/max ride an append-only " +
-    "window but refuse a delete-bearing one; the staleness budget, " +
-    "equality windows, and the session flag fall back to the base; " +
-    "refresh re-arms the plain store serve") {
+    "window but refuse the signed position-delete arm; an EQUALITY " +
+    "window (the default CDC MERGE shape) serves by the " +
+    "affected-group form with min/max exact; the staleness budget " +
+    "and the session flag fall back to the base; refresh re-arms " +
+    "the plain store serve") {
     val (dir, ru) = fixture()
     val q = "SELECT grp, count(*) AS c FROM mv.facts GROUP BY grp"
     assert(scans(spark.sql(q), ru))
@@ -778,15 +780,23 @@ class RollupRewriteSpec extends SparkSpec {
       "min/max must refuse a delete-bearing window (base plan)")
     assert(mmDel.collect().map(_.toSeq).toSet == baseline(
       "SELECT grp, min(amount) AS mn FROM mv.facts GROUP BY grp"))
-    // an EQUALITY-delete window is compensation-unpriceable → base
+    // an EQUALITY-delete window — the engine's DEFAULT delete mode,
+    // the CDC MERGE shape — compensates by the AFFECTED-GROUP form:
+    // untouched groups read from the store (anti-join), touched
+    // groups recompute from the pruned live base; min/max are EXACT
+    // here (per-group full recompute), unlike the signed arm above
     Snapshot.morCommit(spark, dir,
       deletes = Some(Seq((9999L, "g1", "r1", 5L, 5.0))
         .toDF("id", "grp", "region", "qty", "amount")),
       appends = None, operation = "delete")
     val eq = spark.sql(q)
-    assert(!scans(eq, ru) && scansBaseData(eq, dir),
-      "an equality window must fall back to the base plan")
+    assert(scans(eq, ru),
+      "an equality window must serve by affected-group compensation")
     assert(eq.collect().map(_.toSeq).toSet == baseline(q))
+    val eqAll = spark.sql(qAll)
+    assert(scans(eqAll, ru),
+      "min/max must serve through the affected-group arm")
+    assert(eqAll.collect().map(_.toSeq).toSet == baseline(qAll))
     // refresh → fresh again → the PLAIN store serves (no window read)
     spark.sql("CALL iceberg.system.refresh_rollup(table => 'mv.gold')")
       .collect()
@@ -1133,7 +1143,8 @@ class RollupRewriteSpec extends SparkSpec {
       "graft.rollup.dir")
     // each extract form is a derivable GROUP key over the day store
     for (sel <- Seq("year(ts) AS y", "quarter(ts) AS q2",
-        "month(ts) AS m", "to_date(ts) AS d")) {
+        "month(ts) AS m", "to_date(ts) AS d",
+        "dayofmonth(ts) AS dom", "dayofyear(ts) AS doy")) {
       val key = sel.split(" ").head
       val q = s"SELECT $sel, count(*) AS c, sum(qty) AS s " +
         s"FROM mvx.facts GROUP BY $key"
@@ -1210,6 +1221,27 @@ class RollupRewriteSpec extends SparkSpec {
       where => 'dt >= DATE ''2024-01-01''')""").collect()
     val ruD = new TableStore(spark).properties("mvx", "recent")(
       "graft.rollup.dir")
+    // a DEGENERATE TruncDate store: trunc(date, 'dd') is NULL for
+    // every row (TruncDate supports week-and-coarser only) — the
+    // structural derivations must refuse it, or year()/month
+    // queries would serve from an all-null key
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvx.factsd', name => 'mvx.degen',
+      group_by => 'odeg', sum_cols => 'qty',
+      group_exprs => 'odeg:=trunc(dt, ''dd'')')""").collect()
+    val ruDg = new TableStore(spark).properties("mvx", "degen")(
+      "graft.rollup.dir")
+    for (qq <- Seq(
+        """SELECT year(dt) AS y, count(*) AS c FROM mvx.factsd
+           GROUP BY year(dt)""",
+        """SELECT trunc(dt, 'month') AS mth, count(*) AS c
+           FROM mvx.factsd GROUP BY trunc(dt, 'month')""")) {
+      val dgf = spark.sql(qq)
+      assert(!scans(dgf, ruDg),
+        s"a degenerate day-TruncDate store must never serve: $qq")
+      assert(dgf.collect().map(_.toSeq).toSet == baseline(qq))
+    }
+
     for ((pred, expectServe) <- Seq(
         ("year(dt) = 2024", true),          // ⟺ [2024-01-01, 2025)
         ("year(dt) >= 2024", true),
