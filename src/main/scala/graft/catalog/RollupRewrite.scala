@@ -843,6 +843,12 @@ case class RollupRewrite(session: SparkSession)
       s"${ruVer.getOrElse(-1L)}:$ruMor:$maxCommits:" +
       m.dims.map(_.version).mkString(",")
     val key = (id, sig)
+    // NEGATIVE cache: a window this state cannot compensate (eq
+    // discovery over budget, unpriceable sidecars, …) refuses the
+    // same way until a version moves — without this a dashboard
+    // hammering a hot-but-unpriceable stale store would pay the
+    // plan-time discovery jobs on EVERY query
+    if (RollupRewrite.compRefused.contains(key)) return None
     def build(): Option[LogicalPlan] =
       Rollup.compensated(session, srcPath, ruDir, maxCommits)
         .map(_._1.queryExecution.analyzed)
@@ -851,10 +857,15 @@ case class RollupRewrite(session: SparkSession)
       if (cached.isDefined && !used.contains(key)) cached
       else {
         val built = build()
-        built.foreach { pl =>
-          RollupRewrite.planCache.filterInPlace((k, _) => k._1 != id
-            || k == key) // drop superseded compensations of this store
-          RollupRewrite.planCache.put(key, pl)
+        built match {
+          case Some(pl) =>
+            RollupRewrite.planCache.filterInPlace((k, _) => k._1 != id
+              || k == key) // drop superseded compensations of this store
+            RollupRewrite.planCache.put(key, pl)
+          case None =>
+            RollupRewrite.compRefused
+              .filterInPlace(k => k._1 != id || k == key)
+            RollupRewrite.compRefused.add(key)
         }
         built
       }
@@ -1402,4 +1413,12 @@ object RollupRewrite {
   /** (paths id, version signature) → analyzed base plan. */
   private val planCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), LogicalPlan]
+
+  /** Compensation refusals per (store id, version signature) — the
+    * negative twin of [[planCache]], bounded the same way (each
+    * store keeps only its newest signature's entry). */
+  private val compRefused: scala.collection.mutable.Set[(String, String)] =
+    scala.jdk.CollectionConverters.SetHasAsScala(
+      java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(String, String)]()).asScala
 }
