@@ -1261,6 +1261,92 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("SEEDED RANDOMIZED stale-serve compensation: random " +
+    "unrefreshed window mixes (appends, position deletes, equality " +
+    "deletes, multi-commit) answer bit-identically with the rewrite " +
+    "on and off, and serve exactly per window class — eq windows " +
+    "via the affected-group arm (min/max exact), pos windows via " +
+    "the signed arm (min/max to base), append-only windows fully") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwcf").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 600).map(i => (i.toLong, s"g${i % 4}",
+      s"r${i % 2}", (i % 13).toLong, (i % 41).toDouble)).toDF(
+      "id", "grp", "region", "qty", "amount")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 2)
+    store.registerSnapshot("mvc", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvc.facts', name => 'mvc.gold',
+      group_by => 'grp', sum_cols => 'qty,amount',
+      min_max_cols => 'amount')""").collect()
+    val ru = new TableStore(spark).properties("mvc", "gold")(
+      "graft.rollup.dir")
+    val qSum = """SELECT grp, count(*) AS c, sum(qty) AS s,
+      count(amount) AS ca, avg(qty) AS a
+      FROM mvc.facts GROUP BY grp"""
+    val qMm = """SELECT grp, min(amount) AS mn, max(amount) AS mx
+      FROM mvc.facts GROUP BY grp"""
+    val rnd = new scala.util.Random(20260818L)
+    var nextId = 10000L
+    (1 to 10).foreach { round =>
+      var hasEq = false
+      var hasPos = false
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val n = 5 + rnd.nextInt(40)
+            val rows = (0 until n).map { k =>
+              val i = nextId + k
+              (i, s"g${rnd.nextInt(5)}", s"r${i % 2}",
+                rnd.nextInt(13).toLong, rnd.nextInt(41).toDouble)
+            }.toDF("id", "grp", "region", "qty", "amount")
+            nextId += n
+            Snapshot.morCommit(spark, dir, deletes = None,
+              appends = Some(rows), operation = "append")
+          case 1 =>
+            hasPos = true
+            val victims = Snapshot.readLineage(spark, dir)
+              .filter(pmod(col("id"), lit(97L)) === (round % 7))
+              .limit(30).localCheckpoint()
+            Snapshot.morCommit(spark, dir, deletes = None,
+              appends = None, operation = "delete",
+              posDeletes = Some(victims))
+          case _ =>
+            hasEq = true
+            val victims = Snapshot.read(spark, dir)
+              .filter(pmod(col("id"), lit(89L)) === (round % 5))
+              .limit(30).localCheckpoint()
+            Snapshot.morCommit(spark, dir, deletes = Some(victims),
+              appends = None, operation = "delete")
+        }
+      }
+      // count/sum/avg serve for EVERY compensable class
+      val dfSum = spark.sql(qSum)
+      assert(scans(dfSum, ru),
+        s"round $round (eq=$hasEq pos=$hasPos): counts/sums must " +
+          "serve by compensation")
+      assert(dfSum.collect().map(_.toSeq).toSet == baseline(qSum),
+        s"round $round: compensated counts/sums changed the answer")
+      // min/max: exact via the affected-group arm (any eq in the
+      // window) or the append-only signed arm; a pos-only window
+      // drops them and the query stays on base
+      val dfMm = spark.sql(qMm)
+      val expectMm = hasEq || !hasPos
+      assert(scans(dfMm, ru) == expectMm,
+        s"round $round (eq=$hasEq pos=$hasPos): min/max serve " +
+          s"must be ${expectMm}")
+      assert(dfMm.collect().map(_.toSeq).toSet == baseline(qMm),
+        s"round $round: the min/max answer changed")
+      // REFRESH re-arms the plain store and bounds the next window
+      spark.sql("CALL iceberg.system.refresh_rollup(table => " +
+        "'mvc.gold')").collect()
+      val fresh = spark.sql(qSum)
+      assert(scans(fresh, ru))
+      assert(fresh.collect().map(_.toSeq).toSet == baseline(qSum))
+    }
+  }
+
   test("EXTRACT keys over an NTZ column (the parquet-native " +
     "timestamp type): the analyzer widens NTZ to LTZ under the " +
     "store's date_trunc — the extract still derives when the " +
