@@ -119,6 +119,58 @@ object SoakCompensate {
           col("o_totalprice") + 1.0)), operation = "merge")
       val tEqClFirst = time(spark.sql(q2).collect())
       val tEqClWarm = time(spark.sql(q2).collect())
+      // (d) DIM-window affected-group compensation (r19): a star
+      // store keyed on a DIM attribute (5k seg_id groups); one
+      // unrefreshed dim MERGE re-segments 500 customers — the serve
+      // reads store ∖ touched ⊎ recompute of the touched groups with
+      // the fact pruned to rows hitting the changed dim keys
+      // (dimTouchedFact), O(dim delta + matching fact rows), never
+      // O(fact). Built on the live fact (post-eq-wave) so the dim
+      // window is the ONLY staleness.
+      val dimPath = s"$root/dim"
+      S.createOrReplace(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"),
+            pmod(col("c_custkey"), lit(5000L)).as("seg_id")),
+        dimPath, keepVersions = 2)
+      val ns3 = s"sc${mult}d"
+      ts.registerSnapshot(ns3, "orders", fact)
+      ts.registerSnapshot(ns3, "dim", dimPath)
+      spark.sql(s"""CALL iceberg.system.create_rollup(
+        table => '$ns3.orders', name => '$ns3.gold',
+        group_by => 'seg_id', sum_cols => 'o_totalprice',
+        min_max_cols => 'o_totalprice',
+        joins => '$ns3.dim:o_custkey=c_custkey')""").collect()
+      val q3 = s"""SELECT seg_id, count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+          AS sum_price,
+        min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM $ns3.orders o JOIN $ns3.dim d
+          ON o.o_custkey = d.c_custkey
+        GROUP BY seg_id"""
+      val seg0 = S.read(spark, dimPath).orderBy("c_custkey")
+        .limit(500).localCheckpoint()
+      S.morCommit(spark, dimPath, deletes = Some(seg0),
+        appends = Some(seg0.withColumn("seg_id",
+          pmod(col("seg_id") + 1, lit(5000L)))),
+        operation = "merge")
+      val tDimFirst = time(spark.sql(q3).collect())
+      val tDimWarm = time(spark.sql(q3).collect())
+      // (e) HOT eq window (r19): >4096 touched groups — past the
+      // IN-literal budget the bloom pattern (superset prune + exact
+      // confirm) keeps the serve on the store instead of falling to
+      // base. Refresh first so the hot window is the only staleness.
+      spark.sql(
+        s"CALL iceberg.system.refresh_rollup(table => '$ns.gold')")
+        .collect()
+      val hotWave = S.read(spark, fact).dropDuplicates("o_custkey")
+        .orderBy("o_custkey").limit(8000).localCheckpoint()
+      S.morCommit(spark, fact, deletes = Some(hotWave),
+        appends = Some(hotWave.withColumn("o_totalprice",
+          col("o_totalprice") + 1.0)), operation = "merge")
+      val tHotFirst = time(spark.sql(q).collect())
+      val tHotWarm = time(spark.sql(q).collect())
+      ts.dropTable(ns3, "gold"); ts.dropTable(ns3, "orders")
+      ts.dropTable(ns3, "dim")
       ts.dropTable(ns2, "gold"); ts.dropTable(ns2, "orders")
       ts.dropTable(ns, "gold"); ts.dropTable(ns, "orders")
       s""""x$mult":{"fact_rows":$rows,"base_agg_sec":$tBase,""" +
@@ -127,7 +179,11 @@ object SoakCompensate {
         s""""comp_eq_first_sec":$tEqFirst,""" +
         s""""comp_eq_warm_sec":$tEqWarm,""" +
         s""""comp_eq_clustered_first_sec":$tEqClFirst,""" +
-        s""""comp_eq_clustered_warm_sec":$tEqClWarm}"""
+        s""""comp_eq_clustered_warm_sec":$tEqClWarm,""" +
+        s""""comp_dim_first_sec":$tDimFirst,""" +
+        s""""comp_dim_warm_sec":$tDimWarm,""" +
+        s""""comp_hot_first_sec":$tHotFirst,""" +
+        s""""comp_hot_warm_sec":$tHotWarm}"""
     }
     println(s"""{"soak":"stale_serve_compensation",""" +
       out.mkString(",") + "}")

@@ -105,7 +105,7 @@ case class RollupRewrite(session: SparkSession)
         try Rollup.meta(t("graft.rollup.dir")).flatMap(m =>
           tryRewrite(agg, t("graft.rollup.source"),
               t("graft.rollup.dir"), m, usedComp)
-            .map { case (served, rederived, stale) =>
+            .map { case (served, rederived, stale, compKey) =>
               // a FRESH store beats a compensated (stale) one — the
               // compensation adds the window-delta read; then
               // coarsest store first (fewest key columns bounds the
@@ -113,9 +113,16 @@ case class RollupRewrite(session: SparkSession)
               // query hits EXACTLY over one it must re-bucket (a
               // month query over day+month stores reads the month
               // store, ~30x fewer gold rows)
-              ((stale, m.groupCols.size, rederived), served) })
+              ((stale, m.groupCols.size, rederived), served, compKey) })
         catch { case scala.util.control.NonFatal(_) => None }
-      }.sortBy(_._1).headOption.map(_._2)
+      }.sortBy(_._1).headOption.map { case (_, served, compKey) =>
+        // a compensated-plan cache key burns (exprId uniqueness)
+        // only when its candidate actually WINS the tiebreak and
+        // splices — an evaluated-but-discarded hierarchy candidate
+        // leaves the cached instance reusable (r19, advice)
+        compKey.foreach(usedComp += _)
+        served
+      }
     plan.transformUp {
       case agg: Aggregate => serve(agg).getOrElse(agg)
       case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
@@ -777,18 +784,25 @@ case class RollupRewrite(session: SparkSession)
     * SAME definition maintenance aggregates) — canonical-comparable,
     * cached per (path+dims, version, sidecar count) so the common
     * no-rollups-touched query pays one map lookup, not a re-analysis.
-    * Dim versions stay out of the key: the caller's freshness gate
-    * already refused a moved dim, so a cached entry is always built
-    * from the pinned dim versions. */
+    * LIVE dim version states ride the signature (r19): the tree is
+    * built over live dim reads, and a dim commit must rebuild it —
+    * the comparison against the query's own live scan would
+    * otherwise silently stop matching (and with r19's moved-dim
+    * compensation the match MUST keep succeeding while stale). */
   private def basePlanOf(srcPath: String,
                          m: Rollup.Meta): Option[LogicalPlan] = {
     val ver = Snapshot.currentVersion(srcPath).getOrElse(return None)
     // the id is VERSION-FREE (paths only) so the cleanup below can
     // drop every superseded entry of this rollup's plan; versions —
-    // fact + sidecar count + each pinned dim — ride the signature
+    // fact + sidecar count + each dim's live state — ride the
+    // signature
     val id = srcPath + m.dims.map(d => s"|${d.path}").mkString
     val sig = s"$ver:${Snapshot.morVersions(srcPath).size}:" +
-      m.dims.map(_.version).mkString(",")
+      s"${Snapshot.purgeEpoch(srcPath)}:" +
+      m.dims.map { d =>
+        val (dv, dc) = Snapshot.versionState(d.path)
+        s"${dv.getOrElse(-1L)}.$dc.${Snapshot.purgeEpoch(d.path)}"
+      }.mkString(",")
     val key = (id, sig)
     Some(RollupRewrite.planCache.getOrElseUpdate(key, {
       RollupRewrite.planCache.filterInPlace((k, _) => k._1 != id
@@ -825,33 +839,55 @@ case class RollupRewrite(session: SparkSession)
   /** The compensated (store ⊎ signed window delta) plan for a STALE
     * store — [[Rollup.compensated]] analyzed once and cached per
     * (store, live-version) signature, so a dashboard re-issuing the
-    * same query between refreshes prices the window once. A cached
+    * same query between refreshes prices the window once. The
+    * signature carries the LIVE version state of the fact, the store
+    * AND every dim (r19 — pinned dim versions alone would keep
+    * serving a cached plan joined against a superseded dim after a
+    * dim commit: a stale-DIM answer for a live-base query). A cached
     * instance splices into at most ONE aggregate per query (`used`
-    * tracks this apply() invocation's splices): a second aggregate
+    * tracks the splices this apply() invocation COMMITTED — the
+    * caller marks the key only when the candidate actually wins the
+    * serve tiebreak, so evaluating-then-discarding a hierarchy
+    * candidate does not burn the cache): a second spliced aggregate
     * over the same stale store gets a freshly-built plan, keeping
     * exprIds unique within the query tree — the same property the
-    * fresh path has from building a new Snapshot.read per serve. */
+    * fresh path has from building a new Snapshot.read per serve.
+    * @return (analyzed plan, cache key to mark used IF spliced) */
   private def compensatedPlanOf(srcPath: String, ruDir: String,
                                 m: Rollup.Meta, maxCommits: Int,
                                 used: scala.collection.mutable
                                   .Set[(String, String)])
-      : Option[LogicalPlan] = {
+      : Option[(LogicalPlan, (String, String))] = {
     val (srcVer, srcMor) = Snapshot.versionState(srcPath)
     val (ruVer, ruMor) = Snapshot.versionState(Rollup.tableDir(ruDir))
     val id = s"comp:$ruDir"
+    // PURGE EPOCHS ride too (r19): erase and expire_snapshots change
+    // the file layout while preserving version numbers — the only
+    // maintenance ops the version components cannot see. A cached
+    // plan pins concrete file listings (and the dim arm pins
+    // HISTORICAL dim version dirs an expire may delete), so a raced
+    // purge must force a rebuild — which then re-prices or refuses
+    // (dimAsOf raises on a pruned window start → negative cache →
+    // base plan), never serves a dangling listing.
     val sig = s"${srcVer.getOrElse(-1L)}:$srcMor:" +
       s"${ruVer.getOrElse(-1L)}:$ruMor:$maxCommits:" +
-      m.dims.map(_.version).mkString(",")
+      s"${Snapshot.purgeEpoch(srcPath)}." +
+      s"${Snapshot.purgeEpoch(Rollup.tableDir(ruDir))}:" +
+      m.dims.map { d =>
+        val (dv, dc) = Snapshot.versionState(d.path)
+        s"${d.version}@${dv.getOrElse(-1L)}.$dc" +
+          s".${Snapshot.purgeEpoch(d.path)}"
+      }.mkString(",")
     val key = (id, sig)
-    // NEGATIVE cache: a window this state cannot compensate (eq
-    // discovery over budget, unpriceable sidecars, …) refuses the
+    // NEGATIVE cache: a window this state cannot compensate (an
+    // unpriceable rebase, over-budget staleness, …) refuses the
     // same way until a version moves — without this a dashboard
     // hammering a hot-but-unpriceable stale store would pay the
     // plan-time discovery jobs on EVERY query
     if (RollupRewrite.compRefused.contains(key)) return None
     def build(): Option[LogicalPlan] =
       Rollup.compensated(session, srcPath, ruDir, maxCommits)
-        .map(_._1.queryExecution.analyzed)
+        .map(_.queryExecution.analyzed)
     val cached = RollupRewrite.planCache.get(key)
     val p =
       if (cached.isDefined && !used.contains(key)) cached
@@ -869,15 +905,15 @@ case class RollupRewrite(session: SparkSession)
         }
         built
       }
-    p.foreach(_ => used += key)
-    p
+    p.map(pl => (pl, key))
   }
 
   private def tryRewrite(agg: Aggregate, srcPath: String,
                          ruDir: String, m: Rollup.Meta,
                          usedComp: scala.collection.mutable
                            .Set[(String, String)])
-      : Option[(Aggregate, Boolean, Boolean)] = {
+      : Option[(Aggregate, Boolean, Boolean,
+                Option[(String, String)])] = {
     // does serving this query re-bucket or re-derive any grouping
     // expression (vs a bare stored-key hit)? a tiebreaker for the
     // hierarchy choice: an exact-grain store beats a finer one the
@@ -889,6 +925,7 @@ case class RollupRewrite(session: SparkSession)
     // window is priceable and within the staleness budget; otherwise
     // the query stays on the base
     val stale = !Rollup.isFresh(ruDir, srcPath)
+    var compKey: Option[(String, String)] = None
     val compensatedPlan: Option[LogicalPlan] =
       if (!stale) None
       else {
@@ -897,8 +934,11 @@ case class RollupRewrite(session: SparkSession)
             .get("spark.graft.mv.maxStalenessCommits", "16").toInt
           catch { case _: NumberFormatException => 0 }
         if (maxStale <= 0) return None
-        Some(compensatedPlanOf(srcPath, ruDir, m, maxStale, usedComp)
-          .getOrElse(return None))
+        val (pl, k) =
+          compensatedPlanOf(srcPath, ruDir, m, maxStale, usedComp)
+            .getOrElse(return None)
+        compKey = Some(k)
+        Some(pl)
       }
     // the aggregate input must BE the maintained plan (aliases and
     // column-pruning Projects on EITHER side are transparent — a
@@ -1405,7 +1445,7 @@ case class RollupRewrite(session: SparkSession)
     val child = newFilters.foldRight(ruPlan)(
       org.apache.spark.sql.catalyst.plans.logical.Filter(_, _))
     Some((Aggregate(groupPairs.map(_._2), newAggExprs, child),
-      rederived, stale))
+      rederived, stale, compKey))
   }
 }
 

@@ -510,7 +510,34 @@ object Rollup {
       Snapshot.currentVersion(tableDir(rollupDir)).getOrElse(0L),
       groupCols, measures, minMax, ndv, ndvK, normFilter, pinned,
       exprCols))
+    recordPurgeBaseline(rollupDir, srcPath, pinned)
     Snapshot.read(spark, tableDir(rollupDir)).count()
+  }
+
+  /** PURGE-RACE GUARD (r19): baseline [[Snapshot.purgeEpoch]] values
+    * of the source and every dim, recorded when the store is built or
+    * refreshed. `erase` and `expire_snapshots` change file content /
+    * layout while deliberately preserving version numbers — invisible
+    * to every version-keyed freshness check — so a compensation
+    * window priced ACROSS one could mis-serve (the store aggregates
+    * rows the erase purged) or chase deleted files. [[compensated]]
+    * refuses to base when any epoch moved since the last
+    * build/refresh; a refresh (which re-prices under the post-purge
+    * state) or rebuild re-records and re-arms. In-JVM, matching the
+    * epochs it mirrors — a missing record reads as epoch 0, so a
+    * purge in this JVM refuses even stores built by an earlier one. */
+  private val purgeBaselines =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Long]]
+  private def recordPurgeBaseline(rollupDir: String, srcPath: String,
+                                  dims: Seq[DimSpec]): Unit =
+    purgeBaselines.put(rollupDir,
+      (srcPath +: dims.map(_.path))
+        .map(p => p -> Snapshot.purgeEpoch(p)).toMap)
+  private def purgeRaced(rollupDir: String, srcPath: String,
+                         dims: Seq[DimSpec]): Boolean = {
+    val rec = purgeBaselines.getOrElse(rollupDir, Map.empty)
+    (srcPath +: dims.map(_.path)).exists(p =>
+      Snapshot.purgeEpoch(p) != rec.getOrElse(p, 0L))
   }
 
   /** Refresh commit marker: `rollup-to-v<factV>` for a plain rollup,
@@ -560,7 +587,20 @@ object Rollup {
     * @return touched group count */
   def refresh(spark: SparkSession, srcPath: String,
               rollupDir: String,
-              compactAfterCommits: Int = 64): Long = suppressRewrite {
+              compactAfterCommits: Int = 64): Long = {
+    val n = refreshInner(spark, srcPath, rollupDir, compactAfterCommits)
+    // the refresh priced (or confirmed empty) every window under the
+    // CURRENT file layout — re-arm stale-serve compensation past any
+    // prior erase/expire
+    meta(rollupDir).foreach(mm =>
+      recordPurgeBaseline(rollupDir, srcPath, mm.dims))
+    n
+  }
+
+  private def refreshInner(spark: SparkSession, srcPath: String,
+                           rollupDir: String,
+                           compactAfterCommits: Int): Long =
+    suppressRewrite {
     val m = meta(rollupDir).getOrElse(throw new IllegalStateException(
       s"no rollup at $rollupDir (build first)"))
     val version = srcVersionOf(srcPath)
@@ -991,7 +1031,30 @@ object Rollup {
       dimAsOf(spark, rollupDir, d, v) }
     val endDims = m.dims.zip(dimUntil).map { case (d, v) =>
       dimAsOf(spark, rollupDir, d, v) }
-    val touchedFact = m.dims.indices
+    val touchedFact =
+      dimTouchedFact(spark, factLive, m, dimSince, dimUntil)
+    def groupsOf(dimFrames: Seq[DataFrame]): DataFrame =
+      applyFilter(prepare(joinWith(touchedFact, m.dims, dimFrames),
+        m.exprCols), m.filter).select(key.map(col): _*)
+    val touched = groupsOf(startDims).unionByName(groupsOf(endDims))
+      .distinct().localCheckpoint()
+    rederiveGroups(spark, srcPath, rollupDir, m, version, dimUntil,
+      endDims, touched, compactAfterCommits)
+  }
+
+  /** Fact rows (as of the caller's fact version) whose join key HITS
+    * any CHANGED row of a moved dimension — the dim-side
+    * affected-group discovery restriction [[refreshDimRederive]] and
+    * [[compensated]] share. Per moved dim: the changed-row superset
+    * (raw window appends ∪ resolved delete images) keys the fact read
+    * — footer-level IN prune on the first key when the key set fits
+    * the literal budget, the in-plan bloom prune past it, the semi
+    * join the exact restriction either way. O(dim window delta + fact
+    * rows hitting changed keys), never O(fact). */
+  private def dimTouchedFact(spark: SparkSession, factLive: DataFrame,
+                             m: Meta, dimSince: Seq[Long],
+                             dimUntil: Seq[Long]): DataFrame =
+    m.dims.indices
       .filter(i => dimSince(i) < dimUntil(i)).map { i =>
         val d = m.dims(i)
         val changed = Snapshot.windowAppendRows(spark, d.path,
@@ -1022,14 +1085,6 @@ object Rollup {
         pruned.join(semiKeys, cond, "left_semi")
       }
       .reduce(_ unionByName _).localCheckpoint()
-    def groupsOf(dimFrames: Seq[DataFrame]): DataFrame =
-      applyFilter(prepare(joinWith(touchedFact, m.dims, dimFrames),
-        m.exprCols), m.filter).select(key.map(col): _*)
-    val touched = groupsOf(startDims).unionByName(groupsOf(endDims))
-      .distinct().localCheckpoint()
-    rederiveGroups(spark, srcPath, rollupDir, m, version, dimUntil,
-      endDims, touched, compactAfterCommits)
-  }
 
   /** A store built by a pre-`cnt_<m>` engine version cannot take
     * re-derived rows carrying the non-null counts — rebuild. */
@@ -1088,69 +1143,100 @@ object Rollup {
     n
   }
 
-  /** STALE-SERVE COMPENSATION (r18): the maintained store ⊎ the
-    * signed fact-window delta, as ONE LAZY PLAN equal to the
-    * refreshed store's subtractable columns — what the always-on MV
-    * rewrite serves when the base moved past the store's stamp
-    * (DBToaster/Calcite's compensation move). Under a continuous-CDC
-    * cadence (the reference commits a micro-batch every run,
-    * `/root/reference/jobs/merge_orders_silver.py`) a fresh-only
-    * rewrite is off almost always; this keeps it on between
-    * refreshes with zero store mutation at plan time — the query
-    * pays O(store + window delta), never the base scan.
+  /** STALE-SERVE COMPENSATION (r18, widened r19): the maintained
+    * store ⊎ the signed window delta, as ONE LAZY PLAN equal to the
+    * refreshed store — what the always-on MV rewrite serves when the
+    * base (or, since r19, a joined DIMENSION) moved past the store's
+    * stamp (DBToaster/Calcite's compensation move). Under a
+    * continuous-CDC cadence (the reference commits a micro-batch
+    * every run, `/root/reference/jobs/merge_orders_silver.py`) a
+    * fresh-only rewrite is off almost always; this keeps it on
+    * between refreshes with zero store mutation at plan time.
     *
-    * Exactness: the signed-delta identity [[refresh]] already
-    * trusts, re-aggregated inline — `Σ(store ⊎ +Δ ⊎ −Δ)` grouped by
-    * the keys with `cnt > 0` equals the refreshed store EXACTLY for
-    * `cnt` / `sum_<m>` / `cnt_<m>` (decimal addition commutes), and
-    * the `cnt > 0` gate makes the LIVE KEY SET exact too (key-level
-    * aggregates and `count(DISTINCT keys)` stay serveable).
-    * `min_<m>`/`max_<m>` ride along ONLY for an append-only window
-    * (merge = min-of-mins; a delete may have removed the extremum);
-    * sketches never (the rewrite does not consume them).
-    *
-    * An EQUALITY-DELETE window — the engine's DEFAULT delete mode,
-    * i.e. the reference's own CDC MERGE shape — compensates by the
-    * AFFECTED-GROUP form instead (r18): `store ∖ touched ⊎
-    * Agg(live base restricted to touched)`, the lazy twin of
-    * [[refreshRederive]] — touched groups (groups of the window's
-    * delete images ∪ appends, discovered ONCE at plan time and
-    * bounded by the IN-literal budget) recompute from the live base
-    * with the group values pushed to the scan, untouched groups read
-    * from the store via an anti-join. Exact for EVERY maintained
-    * aggregate (min/max included — per touched group it IS the full
-    * recompute); the plan reads the store + window sidecars + the
-    * touched slice of the base, O(store + window + affected groups'
-    * rows).
+    * Window → arm:
+    *  - FACT APPEND-ONLY, dims pinned: `Σ(store ⊎ +Δ)` grouped by
+    *    the keys with `cnt > 0` — exact for cnt/sum/cnt_<m> (decimal
+    *    addition commutes), for min/max (merge = min-of-mins), and —
+    *    with `withNdv` — for the KMV sketches (merge = distinct-∪
+    *    keep-k, the same [[sketchMerge]] refresh applies, so the
+    *    compensated sketch is BIT-IDENTICAL to the refreshed one).
+    *    Reads the store + append sidecars only.
+    *  - FACT POSITION-DELETE window, dims pinned, store carries no
+    *    min/max (nor requested sketches): the signed form
+    *    `Σ(store ⊎ +Δ ⊎ −Δ)` with `cnt > 0` — exact per-instance,
+    *    reads the store + window sidecars + the files position
+    *    pairs reference.
+    *  - EVERYTHING ELSE that is priceable — EQUALITY-delete windows
+    *    (the engine's DEFAULT delete mode, i.e. the reference's own
+    *    CDC MERGE shape), position windows on min/max- or
+    *    sketch-bearing stores (r19 — the extremum may have been
+    *    deleted, so those groups re-derive), and MOVED DIMENSIONS
+    *    (r19 — the reference's dim-MERGE cadence), alone or combined
+    *    with a fact window — compensates by the AFFECTED-GROUP form:
+    *    `store ∖ touched ⊎ Agg(live fact ⋈ live dims restricted to
+    *    touched)`, the lazy twin of [[refreshRederive]] /
+    *    [[refreshDimRederive]]. Touched groups = groups of the fact
+    *    window's changed rows (delete images ∪ appends) plus groups
+    *    of fact rows hitting any moved dim's changed keys
+    *    ([[dimTouchedFact]]) — each collected under BOTH the pinned
+    *    (window-start) and live dim joins, so a re-segmented row
+    *    voids its OLD and its NEW group. Exact for EVERY maintained
+    *    column (per touched group it IS the full recompute). Past
+    *    the IN-literal budget the store subtraction and the fact
+    *    prune switch to the r18 in-plan BLOOM pattern (superset
+    *    prune + exact join confirm) instead of refusing — a hot
+    *    window still serves, O(store + window + affected groups'
+    *    rows).
     *
     * None — the caller falls back to the base plan — when the window
     * is not compensation-priceable: more than `maxCommits` commits
-    * behind, a copy-on-write rebase, an equality window whose
-    * affected-group count exceeds the literal budget (the recompute
-    * would approach the base aggregate anyway), a MOVED DIMENSION
-    * (the dim term needs a refresh's re-derive machinery), a pruned
-    * as-of version, or a pre-`cnt_<m>` store. Crash-replay safe: the
-    * window starts at the APPLIED frontier ([[appliedThrough]]), not
+    * behind SUMMED across the fact and every moved dim, a
+    * copy-on-write rebase on either side, a pruned as-of version, a
+    * rolled-back dim, or a pre-`cnt_<m>` store. Crash-replay safe:
+    * windows start at the APPLIED frontier ([[appliedThrough]]), not
     * the meta stamp, so a refresh that died before its meta write
-    * never double-counts.
-    * @return (compensated frame, min/max columns included) */
+    * never double-counts. `withNdv` asks for the `ndvsk_<c>` sketch
+    * columns (the [[readServe]] surface); the MV rewrite never
+    * consumes them, so it leaves the flag off and skips the sketch
+    * joins. Delete-bearing windows CAN carry sketches here — the
+    * affected-group arm recomputes them outright (sketches cannot
+    * forget, but a full per-group re-derive does not need to). */
   def compensated(spark: SparkSession, srcPath: String,
-                  rollupDir: String, maxCommits: Int)
-      : Option[(DataFrame, Boolean)] = suppressRewrite {
+                  rollupDir: String, maxCommits: Int,
+                  withNdv: Boolean = false)
+      : Option[DataFrame] = suppressRewrite {
+    try compensated0(spark, srcPath, rollupDir, maxCommits, withNdv)
+    catch { case _: UnpriceableWindowException => None }
+  }
+
+  private def compensated0(spark: SparkSession, srcPath: String,
+                           rollupDir: String, maxCommits: Int,
+                           withNdv: Boolean): Option[DataFrame] = {
     val m = meta(rollupDir).getOrElse(return None)
+    // an erase/expire since the last build/refresh changed files
+    // under versions the window pricing trusts — refuse to base
+    // until a refresh re-prices under the post-purge layout
+    if (purgeRaced(rollupDir, srcPath, m.dims)) return None
     val version = Snapshot.currentVersion(srcPath).getOrElse(
       return None)
-    // a moved dim voids every group the changed rows join — that is
-    // refresh's re-derive territory, not a plan-time compensation
-    if (m.dims.exists(d =>
-        !Snapshot.currentVersion(d.path).contains(d.version)))
+    val (since, dimSince) = appliedThrough(rollupDir, m)
+    val dimLive = m.dims.map(d =>
+      Snapshot.currentVersion(d.path).getOrElse(return None))
+    // a dim BEHIND the store's pin is a rollback under the store —
+    // not a forward window; refuse to base
+    if (m.dims.indices.exists(i => dimLive(i) < dimSince(i)))
       return None
-    val (since, _) = appliedThrough(rollupDir, m)
     val store = Snapshot.read(spark, tableDir(rollupDir))
     val cntCols = m.measures.map(mm => s"cnt_$mm")
     if (cntCols.exists(c => !store.columns.contains(c))) return None
+    if (withNdv &&
+        m.ndv.exists(c => !store.columns.contains(s"ndvsk_$c")))
+      return None
+    val factMoved = since < version
+    val dimsMoved =
+      m.dims.indices.exists(i => dimSince(i) < dimLive(i))
     val (appendOnly, eqWindow) =
-      if (since >= version) (true, false)
+      if (!factMoved) (true, false)
       else Snapshot.commitsSince(srcPath, since, Some(version)) match {
         case Snapshot.CommitWindow.Rebased(_) => return None
         case Snapshot.CommitWindow.FastAppends(_) => (true, false)
@@ -1158,69 +1244,127 @@ object Rollup {
           (false, Snapshot.windowHasEqualityDeletes(srcPath, since,
             version))
       }
-    if (Snapshot.morVersions(srcPath)
-          .count(v => v > since && v <= version) > maxCommits)
-      return None
+    m.dims.indices.foreach { i =>
+      if (dimSince(i) < dimLive(i))
+        Snapshot.commitsSince(m.dims(i).path, dimSince(i),
+            Some(dimLive(i))) match {
+          case Snapshot.CommitWindow.Rebased(_) => return None
+          case _ => ()
+        }
+    }
+    // ONE staleness budget across the fact and every moved dim
+    val windowCommits =
+      Snapshot.morVersions(srcPath)
+        .count(v => v > since && v <= version) +
+        m.dims.indices.map(i => Snapshot.morVersions(m.dims(i).path)
+          .count(v => v > dimSince(i) && v <= dimLive(i))).sum
+    if (windowCommits > maxCommits) return None
     val key = m.groupCols
-    // min/max ride append-only windows (merge = min-of-mins) AND the
-    // affected-group arm (per-group full recompute); only the signed
-    // position-delete arm drops them
-    val mmCols = if (appendOnly || eqWindow) m.minMax else Nil
+    // the affected-group arm serves every maintained column; the
+    // signed arms carry min/max (and requested sketches) only when
+    // appends alone moved the window (merge = min-of-mins / ∪)
+    val affected = dimsMoved || eqWindow ||
+      (factMoved && !appendOnly &&
+        (m.minMax.nonEmpty || (withNdv && m.ndv.nonEmpty)))
+    val mmCols = if (affected || appendOnly) m.minMax else Nil
+    val ndvCols =
+      if (withNdv && (affected || appendOnly)) m.ndv else Nil
     val keep = key ++ Seq("cnt") ++
       m.measures.flatMap(mm => Seq(s"sum_$mm", s"cnt_$mm")) ++
-      mmCols.flatMap(mm => Seq(s"min_$mm", s"max_$mm"))
+      mmCols.flatMap(mm => Seq(s"min_$mm", s"max_$mm")) ++
+      ndvCols.map(c => s"ndvsk_$c")
     val trimmed = store.select(keep.map(col): _*)
-    // an applied frontier AT the live version (a refresh crashed
+    // an applied frontier AT the live state (a refresh crashed
     // between its commit and its meta write) compensates with an
     // empty window: the store rows ARE current
-    if (since >= version) return Some((trimmed, mmCols.nonEmpty))
-    // dims are PINNED-AND-LIVE (checked above), so the window joins
-    // the live dim frames — the same chain build aggregated
-    val dimFrames = m.dims.map(d => Snapshot.read(spark, d.path))
-    def prep(df: DataFrame): DataFrame =
-      applyFilter(prepare(joinWith(df, m.dims, dimFrames),
-        m.exprCols), m.filter)
-    if (eqWindow) {
-      // AFFECTED-GROUP compensation — the lazy refreshRederive:
-      // discover the touched groups ONCE here (the plan caches per
-      // store+version signature, so a dashboard re-issuing queries
-      // between refreshes pays this once); past the literal budget
-      // the recompute term loses its scan prune and approaches the
-      // base aggregate — refuse to base instead
-      val (deleted, appended) =
-        try (Snapshot.windowDeleteImages(spark, srcPath, since,
-            version, "stale-serve compensation"),
-          Snapshot.windowAppendRows(spark, srcPath, since, version,
-            "stale-serve compensation"))
-        catch { case _: UnpriceableWindowException => return None }
-      def groupsOf(rows: DataFrame): DataFrame =
-        prep(rows).select(key.map(col): _*)
-      val touchedRows = groupsOf(deleted).unionByName(
-          groupsOf(appended)).distinct()
-        .limit(maxDimDeltaKeys + 1).collect()
-      if (touchedRows.length > maxDimDeltaKeys) return None
-      val touched = spark.createDataFrame(
-        java.util.Arrays.asList(touchedRows: _*),
-        org.apache.spark.sql.types.StructType(
-          groupsOf(deleted).schema.fields))
+    if (!factMoved && !dimsMoved) {
+      trimmed.queryExecution.assertAnalyzed()
+      return Some(trimmed)
+    }
+    val liveDims = m.dims.map(d => Snapshot.read(spark, d.path))
+    if (affected) {
+      // AFFECTED-GROUP compensation — the lazy refresh re-derive;
+      // the touched groups are discovered ONCE here (the plan caches
+      // per store+version signature, so a dashboard re-issuing
+      // queries between refreshes pays the discovery once)
+      val startDims = m.dims.zip(dimSince).map { case (d, v) =>
+        dimAsOf(spark, rollupDir, d, v) }
+      def groupsUnder(rows: DataFrame,
+                      dims: Seq[DataFrame]): DataFrame =
+        applyFilter(prepare(joinWith(rows, m.dims, dims), m.exprCols),
+          m.filter).select(key.map(col): _*)
+      val factLive = Snapshot.readAsOf(spark, srcPath, version)
+      val parts = Seq.newBuilder[DataFrame]
+      if (factMoved) {
+        val changed = Snapshot.windowDeleteImages(spark, srcPath,
+            since, version, "stale-serve compensation")
+          .unionByName(Snapshot.windowAppendRows(spark, srcPath,
+            since, version, "stale-serve compensation"))
+        // a changed fact row's OLD group surfaces under the pinned
+        // dims, its NEW group under the live ones (identical frames
+        // when no dim moved — skip the duplicate pass then)
+        parts += groupsUnder(changed, startDims)
+        if (dimsMoved) parts += groupsUnder(changed, liveDims)
+      }
+      if (dimsMoved) {
+        val touchedFact =
+          dimTouchedFact(spark, factLive, m, dimSince, dimLive)
+        parts += groupsUnder(touchedFact, startDims)
+        parts += groupsUnder(touchedFact, liveDims)
+      }
+      val touched0 = parts.result().reduce(_ unionByName _).distinct()
+      val touchedRows = touched0.limit(maxDimDeltaKeys + 1).collect()
+      val overBudget = touchedRows.length > maxDimDeltaKeys
+      val touched =
+        if (!overBudget)
+          spark.createDataFrame(
+            java.util.Arrays.asList(touchedRows: _*),
+            org.apache.spark.sql.types.StructType(
+              touched0.schema.fields))
+        else touched0.localCheckpoint()
+      // store-side subtraction: broadcast anti within the literal
+      // budget; past it (a HOT window — r19) the r18 BLOOM pattern
+      // instead of refusing: rows missing the bloom are untouched by
+      // construction (no false negatives), bloom hits take the exact
+      // anti-join, so only the touched fraction of the store
+      // shuffles
+      val untouched =
+        if (!overBudget)
+          nsJoin(trimmed, broadcast(touched), key, "left_anti")
+        else {
+          val mightBe = graft.ext.BloomJoin.mightMatch(
+            touched.select(col(key.head)), key.head, col(key.head),
+            expectedItems = 1L << 22)
+          trimmed.filter(!mightBe)
+            .unionByName(nsJoin(trimmed.filter(mightBe), touched,
+              key, "left_anti"))
+        }
       val recSrc = nsJoin(
-        prep(pruneFactByGroups(
-          Snapshot.readAsOf(spark, srcPath, version), touched, key)),
-        broadcast(touched), key, "left_semi")
-      val rec = aggOf(recSrc, key, m.measures, mmCols)
+        applyFilter(prepare(joinWith(
+          pruneFactByGroups(factLive, touched, key),
+          m.dims, liveDims), m.exprCols), m.filter),
+        if (overBudget) touched else broadcast(touched),
+        key, "left_semi")
+      val rec = withSketches(
+          aggOf(recSrc, key, m.measures, mmCols), recSrc, key,
+          ndvCols, m.ndvK)
         .select(keep.map(col): _*)
-      val untouched = nsJoin(trimmed, broadcast(touched), key,
-        "left_anti")
       val merged = untouched.unionByName(rec)
       merged.queryExecution.assertAnalyzed()
-      return Some((merged, mmCols.nonEmpty))
+      return Some(merged)
     }
-    val (fp, fm) =
-      try Snapshot.windowRowDelta(spark, srcPath, since, version,
-        "stale-serve compensation")
-      catch { case _: UnpriceableWindowException => return None }
+    // SIGNED arms — dims are PINNED-AND-LIVE here (a moved dim
+    // routes to the affected arm above), so the window joins the
+    // live dim frames: the same chain build aggregated
+    def prep(df: DataFrame): DataFrame =
+      applyFilter(prepare(joinWith(df, m.dims, liveDims),
+        m.exprCols), m.filter)
+    val (fp, fm) = Snapshot.windowRowDelta(spark, srcPath, since,
+      version, "stale-serve compensation")
     def signed(df: DataFrame, sign: Int): DataFrame = {
-      var a = aggOf(df, key, m.measures, mmCols)
+      val src = prep(df)
+      var a = withSketches(aggOf(src, key, m.measures, mmCols), src,
+        key, ndvCols, m.ndvK)
       if (sign < 0) {
         a = a.withColumn("cnt", -col("cnt"))
         cntCols.foreach(c => a = a.withColumn(c, -col(c)))
@@ -1230,15 +1374,16 @@ object Rollup {
       a.select(keep.map(col): _*)
     }
     val delta =
-      if (appendOnly) signed(prep(fp), 1)
-      else signed(prep(fp), 1).unionByName(signed(prep(fm), -1))
+      if (appendOnly) signed(fp, 1)
+      else signed(fp, 1).unionByName(signed(fm, -1))
     val cexprs = sum("cnt").cast("long").as("cnt") +:
       (m.measures.flatMap(mm => Seq(
         sum(col(s"sum_$mm")).cast(DecimalType(27, 6)).as(s"sum_$mm"),
         sum(col(s"cnt_$mm")).cast("long").as(s"cnt_$mm"))) ++
         mmCols.flatMap(mm => Seq(
           min(col(s"min_$mm")).as(s"min_$mm"),
-          max(col(s"max_$mm")).as(s"max_$mm"))))
+          max(col(s"max_$mm")).as(s"max_$mm"))) ++
+        ndvCols.map(c => sketchMerge(c, m.ndvK)))
     val merged = trimmed.unionByName(delta)
       .groupBy(key.map(col): _*)
       .agg(cexprs.head, cexprs.tail: _*)
@@ -1247,7 +1392,7 @@ object Rollup {
     // caller reads `.queryExecution.analyzed` from inside the
     // rewrite rule itself
     merged.queryExecution.assertAnalyzed()
-    Some((merged, mmCols.nonEmpty))
+    Some(merged)
   }
 
   /** The maintained rollup, sums cast back to double (the storage is
@@ -1270,19 +1415,57 @@ object Rollup {
           s"${m.srcVersion} but the live source is v$version — run " +
           "Rollup.refresh or rebuild")
     requireDimsPinned(rollupDir, m.dims)
-    val sums = m.measures.foldLeft(
-      Snapshot.read(spark, tableDir(rollupDir))) { (df, mm) =>
-        df.withColumn(s"sum_$mm", col(s"sum_$mm").cast(DoubleType))
+    readSurface(Snapshot.read(spark, tableDir(rollupDir)), m)
+  }
+
+  /** The [[read]] column derivation over any store-shaped frame:
+    * sums cast back to double, each `ndvsk_<c>` sketch surfaced as
+    * the `ndv_<c>` KMV estimate and dropped. */
+  private def readSurface(df: DataFrame, m: Meta): DataFrame = {
+    val sums = m.measures.foldLeft(df) { (d, mm) =>
+      d.withColumn(s"sum_$mm", col(s"sum_$mm").cast(DoubleType))
     }
-    m.ndv.foldLeft(sums) { (df, c) =>
+    m.ndv.foldLeft(sums) { (d, c) =>
       val sk = col(s"ndvsk_$c")
-      df.withColumn(s"ndv_$c",
+      d.withColumn(s"ndv_$c",
           when(sk.isNull, lit(0.0))
             .when(size(sk) < m.ndvK, size(sk).cast("double"))
             .otherwise(lit((m.ndvK - 1).toDouble) *
               lit(graft.ext.Sketches.HashSpace) /
               element_at(sk, size(sk))))
         .drop(s"ndvsk_$c")
+    }
+  }
+
+  /** The ALWAYS-LIVE read surface (r19): [[read]] when the store is
+    * fresh, otherwise the stale-serve [[compensated]] plan — sketch
+    * columns included (`withNdv`: KMV minima UNION exactly on append
+    * windows, bit-identical to the refreshed store's merge, and the
+    * affected-group arms recompute touched groups' sketches
+    * outright) — surfaced through the same double-cast +
+    * `ndv_<c>`-estimate derivation. A dashboard reading between CDC
+    * micro-batches sees the LIVE answer at O(store + window) cost
+    * with zero store mutation; an unpriceable or over-budget window
+    * raises [[read]]'s staleness error (refresh or rebuild — never a
+    * silently stale answer). */
+  def readServe(spark: SparkSession, srcPath: String,
+                rollupDir: String,
+                maxStalenessCommits: Int = 16): DataFrame = {
+    val m = meta(rollupDir).getOrElse(throw new IllegalStateException(
+      s"no rollup at $rollupDir (build first)"))
+    if (isFresh(rollupDir, srcPath))
+      return read(spark, srcPath, rollupDir)
+    compensated(spark, srcPath, rollupDir, maxStalenessCommits,
+        withNdv = true) match {
+      case Some(df)
+          if m.minMax.forall(mm => df.columns.contains(s"min_$mm")) &&
+            m.ndv.forall(c => df.columns.contains(s"ndvsk_$c")) =>
+        readSurface(df, m)
+      case _ => throw new IllegalStateException(
+        s"rollup at $rollupDir is STALE (source " +
+          s"${Snapshot.currentVersion(srcPath).getOrElse(-1L)} vs " +
+          s"stamped ${m.srcVersion}) and the window is not " +
+          "compensation-priceable — run Rollup.refresh or rebuild")
     }
   }
 }

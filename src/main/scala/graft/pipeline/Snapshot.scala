@@ -1636,7 +1636,28 @@ object Snapshot {
     // erasure; purge them with the same predicate
     branches(path).foreach(b =>
       rewrite(branchDirPath(path, b), underSpec = false))
+    bumpPurgeEpoch(path)
   }
+
+  /** Per-path PURGE EPOCH (r19): erase and snapshot expiry change the
+    * on-disk FILE LAYOUT while deliberately preserving version
+    * numbers and markers — the two maintenance ops a version-keyed
+    * plan-cache signature cannot see. Any cache holding analyzed
+    * plans (pinned file listings) over a snapshot table must fold
+    * this counter into its key, or a cached plan races the purge into
+    * reading deleted/renamed files ([[graft.catalog.RollupRewrite]]'s
+    * base and compensation caches do). In-JVM only, matching the
+    * caches it guards — a single-driver deployment's maintenance runs
+    * in the JVM whose caches need invalidating. */
+  private val purgeEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  def purgeEpoch(path: String): Long = {
+    val v = purgeEpochs.get(path)
+    if (v == null) 0L else v.longValue()
+  }
+  private def bumpPurgeEpoch(path: String): Unit =
+    purgeEpochs.merge(path, java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
 
   /** CDC between snapshots — the MERGE sink's inverse: row-level diff
     * of two retained versions as (key…, op) with op ∈ insert / delete /
@@ -2264,6 +2285,7 @@ object Snapshot {
     val victims = historicalVersions(path).dropRight(retainLast)
       .filterNot(dirProtected(path)) // refs keep versions reachable
     victims.foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
+    if (victims.nonEmpty) bumpPurgeEpoch(path)
     victims
   }
 
@@ -2285,6 +2307,7 @@ object Snapshot {
       .filterNot(protectedNewest)
       .filterNot(dirProtected(path))
     victims.foreach(v => deleteRecursively(Paths.get(s"$path.v$v")))
+    if (victims.nonEmpty) bumpPurgeEpoch(path)
     victims
   }
 

@@ -1270,6 +1270,153 @@ object PipelineQueries {
       q.orderBy("o_orderpriority")
     }),
 
+    // S20r (r19) — MOVED-DIM STALE-SERVE: under the reference's CDC
+    // cadence the DIMENSIONS move too (`merge_orders_silver.py` is a
+    // keyed MERGE — a dim table maintained the same way re-segments
+    // rows every run), and through r18 any moved dim voided every
+    // star MV until REFRESH. The dim-side AFFECTED-GROUP arm now
+    // compensates at plan time: store ∖ touched ⊎ Agg(live fact ⋈
+    // live dims restricted to touched), touched = groups of the fact
+    // window's rows plus groups of fact rows hitting the dim window's
+    // changed keys, each under BOTH the pinned and the live dim join
+    // (a re-segmented row voids its old AND its new segment).
+    // Fixture: the %10==3 customers start MIS-segmented and one
+    // unrefreshed dim MERGE restores the truth while one unrefreshed
+    // fact append lands — combined fact+dim staleness. REQUIRED
+    // in-query: the aggregate reads the gold store; budget 0 falls
+    // back to the base join.
+    "q_mv_stale_dim" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvsdq")
+        .toString
+      val (fact, dim) = (s"$root/orders", s"$root/customer")
+      val S = graft.pipeline.Snapshot
+      Fixtures.cloneSnapshot(s, d, "orders90", fact)
+      S.createOrReplace(customer.withColumn("c_mktsegment",
+        when(col("c_custkey") % 10 === 3, lit("TMPSEG"))
+          .otherwise(col("c_mktsegment"))), dim)
+      val ts = new TableStore(s)
+      ts.registerSnapshot("mvsd", "orders", fact)
+      ts.registerSnapshot("mvsd", "customer", dim)
+      s.sql("""CREATE MATERIALIZED VIEW mvsd.seg AS
+        SELECT c_mktsegment, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM mvsd.orders o JOIN mvsd.customer c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment""").collect()
+      val ruDir = ts.properties("mvsd", "seg__storage")(
+        "graft.rollup.dir")
+      // one fact append + one RE-SEGMENTING dim MERGE; NOBODY
+      // refreshes
+      S.morCommit(s, fact, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 10 === 7)),
+        operation = "append")
+      S.morCommit(s, dim,
+        deletes = Some(S.read(s, dim)
+          .filter(col("c_custkey") % 10 === 3).localCheckpoint()),
+        appends = Some(customer.filter(col("c_custkey") % 10 === 3)),
+        operation = "merge")
+      def reads(df: org.apache.spark.sql.DataFrame,
+                dir: String): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+                  .exists(p => p == dir || p.startsWith(s"$dir/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      val sql = """SELECT c_mktsegment, count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                 AS DOUBLE) AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM mvsd.orders o JOIN mvsd.customer c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment"""
+      val q = s.sql(sql)
+      require(reads(q, ruDir),
+        "a fact+dim-stale star MV must serve by dim-window " +
+          "compensation (reads the gold store)")
+      s.conf.set("spark.graft.mv.maxStalenessCommits", "0")
+      try require(!reads(s.sql(sql), ruDir),
+        "budget 0 must fall back to the base join")
+      finally s.conf.unset("spark.graft.mv.maxStalenessCommits")
+      ts.dropView("mvsd", "seg")
+      ts.dropTable("mvsd", "seg__storage")
+      ts.dropTable("mvsd", "orders")
+      ts.dropTable("mvsd", "customer")
+      q.orderBy("c_mktsegment")
+    }),
+
+    // S20s (r19) — NDV SKETCHES RIDE APPEND-ONLY COMPENSATION: a
+    // count-distinct-bearing store (KMV `ndvsk_*`) used to fall to
+    // the staleness error whenever the base moved, yet KMV minima
+    // UNION exactly on append windows — the same sketchMerge refresh
+    // applies — so `Rollup.readServe` (the always-live read surface)
+    // serves store ⊎ window delta with the sketches merged in-plan,
+    // BIT-IDENTICAL to the refreshed store. REQUIRED in-query: the
+    // fresh-only `read` raises the staleness error (never a silently
+    // stale answer); the served plan reads the gold store and ONLY
+    // `_mor` window sidecars of the base; the served rows equal
+    // `read` after refresh bit-for-bit — NDV estimate included.
+    "q_mv_stale_ndv" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val root = java.nio.file.Files.createTempDirectory("mvsnq")
+        .toString
+      val src = s"$root/orders"
+      val ru = s"$root/rollup"
+      val S = graft.pipeline.Snapshot
+      val R = graft.pipeline.Rollup
+      Fixtures.cloneSnapshot(s, d, "orders90", src)
+      R.build(s, src, ru, Seq("o_orderpriority"), Seq("o_totalprice"),
+        minMax = Seq("o_totalprice"), ndv = Seq("o_custkey"),
+        ndvK = 64)
+      // two append micro-batches land; NOBODY refreshes
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 20 === 7)),
+        operation = "append")
+      S.morCommit(s, src, deletes = None,
+        appends = Some(orders.filter(col("o_orderkey") % 20 === 17)),
+        operation = "append")
+      require(scala.util.Try(R.read(s, src, ru)).failed.toOption
+          .exists(_.getMessage.contains("STALE")),
+        "the fresh-only read must raise on a stale store")
+      val served = R.readServe(s, src, ru)
+      val leaves = served.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toUri.getPath)
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+      require(leaves.exists(p => p == ru || p.startsWith(s"$ru/")),
+        "the stale serve must read the gold store")
+      val srcLeaves = leaves.filter(p => p == src ||
+        p.startsWith(s"$src/"))
+      require(srcLeaves.nonEmpty &&
+          srcLeaves.forall(_.contains("/_mor/")),
+        "the compensation must read ONLY the window sidecars of " +
+          s"the base, never its data files: $srcLeaves")
+      val servedRows = served.orderBy("o_orderpriority").collect()
+      require(R.refresh(s, src, ru) > 0L,
+        "the append window must touch groups")
+      val refreshed = R.read(s, src, ru).orderBy("o_orderpriority")
+      require(servedRows.toSeq == refreshed.collect().toSeq,
+        "the compensated serve must be bit-identical to the " +
+          "refreshed store — NDV estimate included")
+      refreshed
+    }),
+
     // S20p (r18) — EXTRACT-form calendar keys: `GROUP BY
     // year(o_orderdate)` — the most common hand-written dashboard
     // shape after date_trunc — derives from a month-trunc-keyed
@@ -3555,6 +3702,56 @@ FROM iceberg.silver.orders_current""")
       FROM orders WHERE o_orderkey % 10 <> 3
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // Moved-dim stale-serve twin: the dim MERGE restored the true
+    // segments and the fact append restored the full fact, so the
+    // LIVE answer the compensation must land is exactly the plain
+    // public join aggregate.
+    "q_mv_stale_dim" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    // NDV stale-serve twin: the two append windows restore the full
+    // fact, and the query pins the served frame bit-identical to the
+    // refreshed store it returns — so the oracle is the full
+    // recompute with the KMV estimate unrolled (the q_rollup_maintain
+    // discipline, unfiltered).
+    "q_mv_stale_ndv" -> s"""
+      WITH h AS (
+        SELECT DISTINCT o_orderpriority,
+               ('0x' || md5(CAST(o_custkey AS VARCHAR))[1:15])::BIGINT
+                 AS h
+        FROM orders
+      ), r AS (
+        SELECT o_orderpriority, h, row_number() OVER
+          (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        FROM h
+      ), kmv AS (
+        SELECT o_orderpriority,
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / max(h) END
+                 AS ndv_o_custkey
+        FROM r WHERE rn <= 64 GROUP BY o_orderpriority
+      ), g AS (
+        SELECT o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_o_totalprice,
+               COUNT(o_totalprice) AS cnt_o_totalprice,
+               MIN(o_totalprice) AS min_o_totalprice,
+               MAX(o_totalprice) AS max_o_totalprice
+        FROM orders GROUP BY o_orderpriority
+      )
+      SELECT g.o_orderpriority, g.cnt, g.sum_o_totalprice,
+             g.cnt_o_totalprice,
+             g.min_o_totalprice, g.max_o_totalprice, kmv.ndv_o_custkey
+      FROM g JOIN kmv USING (o_orderpriority)
+      ORDER BY g.o_orderpriority""",
 
     // Extract-key twin: the year aggregate over the year bound — the
     // plan derives year() from the month store (implication via the

@@ -572,14 +572,16 @@ class MaterializedViewSpec extends SparkSpec {
     assert(answers(mvRead()) == base())
 
     // dim append — one row that MATCHES live facts (fan-out) and one
-    // that matches none → the stale store falls back until REFRESH
-    // prices the dim window (one bounded fact read ⋈ the dim delta)
-    // and re-pins; reads serve gold again
+    // that matches none → the stale store COMPENSATES (r19: the
+    // dim-side affected-group arm serves store ∖ touched ⊎ recompute
+    // of the re-segmented groups) until REFRESH prices the dim
+    // window (one bounded fact read ⋈ the dim delta) and re-pins
     Snapshot.morCommit(spark, ddir, deletes = None,
       appends = Some(Seq((3L, "seg9"), (77L, "seg7"))
         .toDF("cust_key", "segment")),
       operation = "append")
-    assert(!scans(mvRead(), ruDir), "a moved dim must void the store")
+    assert(scans(mvRead(), ruDir),
+      "a moved dim must serve by dim-window compensation (r19)")
     assert(answers(mvRead()) == base())
     assert(spark.sql("REFRESH MATERIALIZED VIEW mvs.by_segment")
       .collect().head.getLong(0) > 0L,
@@ -619,7 +621,10 @@ class MaterializedViewSpec extends SparkSpec {
     assert(Snapshot.windowHasEqualityDeletes(ddir, d0,
       Snapshot.currentVersion(ddir).get),
       "the keyed dim DELETE must write an equality sidecar")
-    assert(!scans(mvRead(), ruDir), "the dim delete must void the store")
+    assert(scans(mvRead(), ruDir),
+      "a dim equality delete must serve by dim-window compensation " +
+        "(r19: the affected-group arm re-derives the deleted key's " +
+        "groups from the live join)")
     assert(answers(mvRead()) == base())
     assert(spark.sql("REFRESH MATERIALIZED VIEW mvs.by_segment")
       .collect().head.getLong(0) > 0L,

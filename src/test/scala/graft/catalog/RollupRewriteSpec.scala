@@ -724,11 +724,11 @@ class RollupRewriteSpec extends SparkSpec {
   test("a STALE rollup serves by COMPENSATION — store ⊎ signed " +
     "window delta, reading the gold store and the window sidecars " +
     "but never the base data files; min/max ride an append-only " +
-    "window but refuse the signed position-delete arm; an EQUALITY " +
-    "window (the default CDC MERGE shape) serves by the " +
-    "affected-group form with min/max exact; the staleness budget " +
-    "and the session flag fall back to the base; refresh re-arms " +
-    "the plain store serve") {
+    "window AND (r19) delete-bearing windows via the affected-group " +
+    "arm; an EQUALITY window (the default CDC MERGE shape) serves " +
+    "by the affected-group form with min/max exact; the staleness " +
+    "budget and the session flag fall back to the base; refresh " +
+    "re-arms the plain store serve") {
     val (dir, ru) = fixture()
     val q = "SELECT grp, count(*) AS c FROM mv.facts GROUP BY grp"
     assert(scans(spark.sql(q), ru))
@@ -764,8 +764,10 @@ class RollupRewriteSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.graft.mv.maxStalenessCommits")
     // a POSITION-delete window still compensates the subtractable
-    // set (counts/sums), but min/max refuse — the deleted row may
-    // have been the extremum
+    // set (counts/sums) via the signed arm; min/max — the deleted
+    // row may have been the extremum — route through the
+    // AFFECTED-GROUP arm since r19 (per-group full recompute), so
+    // they serve too instead of falling to base
     val victim = Snapshot.readLineage(spark, dir)
       .filter(col("id") === 1L).localCheckpoint()
     Snapshot.morCommit(spark, dir, deletes = None, appends = None,
@@ -776,8 +778,9 @@ class RollupRewriteSpec extends SparkSpec {
     assert(compDel.collect().map(_.toSeq).toSet == baseline(q))
     val mmDel = spark.sql(
       "SELECT grp, min(amount) AS mn FROM mv.facts GROUP BY grp")
-    assert(!scans(mmDel, ru) && scansBaseData(mmDel, dir),
-      "min/max must refuse a delete-bearing window (base plan)")
+    assert(scans(mmDel, ru),
+      "min/max must serve a position-delete window through the " +
+        "affected-group arm (r19)")
     assert(mmDel.collect().map(_.toSeq).toSet == baseline(
       "SELECT grp, min(amount) AS mn FROM mv.facts GROUP BY grp"))
     // an EQUALITY-delete window — the engine's DEFAULT delete mode,
@@ -981,14 +984,108 @@ class RollupRewriteSpec extends SparkSpec {
     val bare = spark.sql(
       "SELECT cust_id, count(*) AS c FROM mvj.facts GROUP BY cust_id")
     assert(!scans(bare, ru) && scans(bare, fdir))
-    // a moved dim voids the store: base plan, still-correct answer
+    // a moved dim COMPENSATES since r19 (the dim-side affected-group
+    // arm): the query still reads the gold store — plus the dim
+    // window and the touched slice of the fact — and answers exactly
+    // the live recompute. (99L matches no fact row, so the touched
+    // set is empty — the serve is pure store.)
     Snapshot.morCommit(spark, ddir, deletes = None,
       appends = Some(Seq((99L, "seg9")).toDF("cust_key", "segment")),
       operation = "append")
     val stale = spark.sql(q)
-    assert(!scans(stale, ru) && scans(stale, fdir),
-      "a moved dim must force the base plan")
+    assert(scans(stale, ru),
+      "a moved dim must serve by dim-window compensation (r19)")
     assert(stale.collect().map(_.toSeq).toSet == baseline(q))
+    // a dim append whose key HITS fact rows re-segments them: the
+    // compensated serve must still read the store and still equal
+    // the live recompute (cust 3 moves seg0 → seg9)
+    Snapshot.morCommit(spark, ddir,
+      deletes = Some(Seq((3L, "seg0")).toDF("cust_key", "segment")),
+      appends = Some(Seq((3L, "seg9")).toDF("cust_key", "segment")),
+      operation = "merge")
+    val reseg = spark.sql(q)
+    assert(scans(reseg, ru),
+      "a re-segmenting dim MERGE must serve by compensation")
+    assert(reseg.collect().map(_.toSeq).toSet == baseline(q))
+    // budget 0 still falls back to the base plan
+    spark.conf.set("spark.graft.mv.maxStalenessCommits", "0")
+    try {
+      val off = spark.sql(q)
+      assert(!scans(off, ru) && scans(off, fdir),
+        "maxStalenessCommits=0 must force the base plan")
+      assert(off.collect().map(_.toSeq).toSet == baseline(q))
+    } finally
+      spark.conf.unset("spark.graft.mv.maxStalenessCommits")
+  }
+
+  test("maintenance RACING stale-serve refuses soundly: erase and " +
+    "expire_snapshots change the file layout under PRESERVED version " +
+    "numbers — invisible to version-keyed signatures — so a purge " +
+    "mid-staleness must evict the cached compensated plan (never a " +
+    "dangling file listing) and refuse compensation to the base " +
+    "plan; REFRESH re-prices under the post-purge layout and re-arms") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwmx").toString
+    val dir = s"$root/facts"
+    val facts = (1 to 400).map(i =>
+      (i.toLong, s"g${i % 4}", (i % 13).toLong))
+      .toDF("id", "grp", "qty")
+    Snapshot.createOrReplace(facts, dir, keepVersions = 4)
+    // a second replace parks v1 in history: the expire below needs a
+    // victim dir (one the compensation window itself never reads —
+    // the refusal is CONSERVATIVE, pricing cannot prove a purge
+    // irrelevant)
+    Snapshot.createOrReplace(facts, dir, keepVersions = 4)
+    store.registerSnapshot("mx", "facts", dir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mx.facts', name => 'mx.gold',
+      group_by => 'grp', sum_cols => 'qty')""").collect()
+    val ru = new TableStore(spark).properties("mx", "gold")(
+      "graft.rollup.dir")
+    val q =
+      "SELECT grp, count(*) AS c, sum(qty) AS s FROM mx.facts GROUP BY grp"
+    def goStale(id: Long): Unit =
+      Snapshot.morCommit(spark, dir, deletes = None,
+        appends = Some(Seq((id, "g1", 5L)).toDF("id", "grp", "qty")),
+        operation = "append")
+    goStale(9001L)
+    val comp = spark.sql(q)
+    assert(scans(comp, ru), "the stale store must serve by compensation")
+    assert(comp.collect().map(_.toSeq).toSet == baseline(q))
+
+    // RACE 1: expire deletes the historical dir — versions unchanged,
+    // the purge epoch moves → cache out, compensation refuses → base
+    assert(Snapshot.expireSnapshots(dir, 0).nonEmpty,
+      "the fixture must give expire a victim")
+    val afterExpire = spark.sql(q)
+    assert(!scans(afterExpire, ru),
+      "an expire mid-staleness must refuse compensation (base plan)")
+    assert(afterExpire.collect().map(_.toSeq).toSet == baseline(q))
+    assert(Rollup.refresh(spark, dir, ru) > 0L,
+      "refresh must still price the append window after the expire")
+    val rearmed = spark.sql(q)
+    assert(scans(rearmed, ru), "refresh must re-arm the store serve")
+    assert(rearmed.collect().map(_.toSeq).toSet == baseline(q))
+
+    // RACE 2: erase rewrites EVERY file in place (new names, same
+    // version numbers) — the pre-erase cached compensated plan pins
+    // the old listing and must not execute. The subject predicate
+    // matches nothing, isolating the race mechanics from erase's
+    // documented rebuild-to-forget store semantics.
+    goStale(9002L)
+    val comp2 = spark.sql(q)
+    assert(scans(comp2, ru))
+    assert(comp2.collect().map(_.toSeq).toSet == baseline(q))
+    Snapshot.erase(spark, dir, col("id") === -1L)
+    val afterErase = spark.sql(q)
+    assert(!scans(afterErase, ru),
+      "an erase mid-staleness must refuse compensation (base plan)")
+    assert(afterErase.collect().map(_.toSeq).toSet == baseline(q))
+    assert(Rollup.refresh(spark, dir, ru) > 0L)
+    val again = spark.sql(q)
+    assert(scans(again, ru))
+    assert(again.collect().map(_.toSeq).toSet == baseline(q))
   }
 
   test("HAVING rides the rewrite: the filter sits ABOVE the " +
@@ -1264,9 +1361,9 @@ class RollupRewriteSpec extends SparkSpec {
   test("SEEDED RANDOMIZED stale-serve compensation: random " +
     "unrefreshed window mixes (appends, position deletes, equality " +
     "deletes, multi-commit) answer bit-identically with the rewrite " +
-    "on and off, and serve exactly per window class — eq windows " +
-    "via the affected-group arm (min/max exact), pos windows via " +
-    "the signed arm (min/max to base), append-only windows fully") {
+    "on and off, and serve for EVERY window class — delete-bearing " +
+    "windows via the affected-group arm (min/max exact, r19), " +
+    "append-only windows via the signed merge") {
     TableStore.reset(spark)
     val store = new TableStore(spark)
     val root = Files.createTempDirectory("rurwcf").toString
@@ -1328,14 +1425,13 @@ class RollupRewriteSpec extends SparkSpec {
           "serve by compensation")
       assert(dfSum.collect().map(_.toSeq).toSet == baseline(qSum),
         s"round $round: compensated counts/sums changed the answer")
-      // min/max: exact via the affected-group arm (any eq in the
-      // window) or the append-only signed arm; a pos-only window
-      // drops them and the query stays on base
+      // min/max: exact for EVERY window class since r19 — the
+      // append-only signed arm merges min-of-mins, and any
+      // delete-bearing window (equality OR position) routes this
+      // min/max-bearing store through the affected-group arm
       val dfMm = spark.sql(qMm)
-      val expectMm = hasEq || !hasPos
-      assert(scans(dfMm, ru) == expectMm,
-        s"round $round (eq=$hasEq pos=$hasPos): min/max serve " +
-          s"must be ${expectMm}")
+      assert(scans(dfMm, ru),
+        s"round $round (eq=$hasEq pos=$hasPos): min/max must serve")
       assert(dfMm.collect().map(_.toSeq).toSet == baseline(qMm),
         s"round $round: the min/max answer changed")
       // REFRESH re-arms the plain store and bounds the next window
@@ -1344,6 +1440,95 @@ class RollupRewriteSpec extends SparkSpec {
       val fresh = spark.sql(qSum)
       assert(scans(fresh, ru))
       assert(fresh.collect().map(_.toSeq).toSet == baseline(qSum))
+    }
+  }
+
+  test("SEEDED RANDOMIZED star stale-serve (r19): random " +
+    "unrefreshed FACT window mixes interleaved with DIM churn — " +
+    "fan-out appends, re-segmenting MERGEs, keys matching nothing — " +
+    "answer bit-identically with the rewrite on and off, serve from " +
+    "the gold store every round, and REFRESH re-arms between rounds") {
+    TableStore.reset(spark)
+    val store = new TableStore(spark)
+    val root = Files.createTempDirectory("rurwsf").toString
+    val (fdir, ddir) = (s"$root/fact", s"$root/dim")
+    val facts = (1 to 600).map(i =>
+      (i.toLong, (i % 20).toLong, (i % 13).toLong, (i % 41).toDouble))
+      .toDF("id", "cust_id", "qty", "amount")
+    val dim = (0 until 20).map(i => (i.toLong, s"seg${i % 6}"))
+      .toDF("cust_key", "segment")
+    Snapshot.createOrReplace(facts, fdir, keepVersions = 2)
+    Snapshot.createOrReplace(dim, ddir, keepVersions = 2)
+    store.registerSnapshot("mvf", "facts", fdir)
+    store.registerSnapshot("mvf", "cust", ddir)
+    spark.sql("""CALL iceberg.system.create_rollup(
+      table => 'mvf.facts', name => 'mvf.gold',
+      group_by => 'segment', sum_cols => 'qty,amount',
+      min_max_cols => 'amount',
+      joins => 'mvf.cust:cust_id=cust_key')""").collect()
+    val ru = new TableStore(spark).properties("mvf", "gold")(
+      "graft.rollup.dir")
+    val q = """SELECT segment, count(*) AS c, sum(qty) AS s,
+      min(amount) AS mn, max(amount) AS mx
+      FROM mvf.facts f JOIN mvf.cust c ON f.cust_id = c.cust_key
+      GROUP BY segment"""
+    val rnd = new scala.util.Random(20260819L)
+    var nextId = 10000L
+    (1 to 8).foreach { round =>
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            // fact append — cust keys 0..24: some match the dim,
+            // some dangle until a later dim append picks them up
+            val n = 5 + rnd.nextInt(30)
+            val rows = (0 until n).map { k =>
+              val i = nextId + k
+              (i, rnd.nextInt(25).toLong, rnd.nextInt(13).toLong,
+                rnd.nextInt(41).toDouble)
+            }.toDF("id", "cust_id", "qty", "amount")
+            nextId += n
+            Snapshot.morCommit(spark, fdir, deletes = None,
+              appends = Some(rows), operation = "append")
+          case 1 =>
+            // fact equality merge (the CDC MERGE shape)
+            val victims = Snapshot.read(spark, fdir)
+              .filter(pmod(col("id"), lit(89L)) === (round % 5))
+              .limit(25).localCheckpoint()
+            Snapshot.morCommit(spark, fdir, deletes = Some(victims),
+              appends = None, operation = "delete")
+          case 2 =>
+            // dim re-segmenting MERGE — the moved rows void their
+            // OLD segment under the pinned join and their NEW one
+            // under the live join
+            val v = Snapshot.read(spark, ddir)
+              .filter(pmod(col("cust_key"), lit(7L)) === (round % 7))
+              .limit(2).localCheckpoint()
+            if (v.count() > 0)
+              Snapshot.morCommit(spark, ddir, deletes = Some(v),
+                appends = Some(v.withColumn("segment",
+                  concat(lit("seg"),
+                    pmod(col("cust_key") + round, lit(6L))))),
+                operation = "merge")
+          case _ =>
+            // dim append — key 20..27 may match dangling fact rows
+            // (fan-in) or duplicate a live key (fan-out)
+            val rows = Seq(((20 + rnd.nextInt(8)).toLong,
+              s"seg${rnd.nextInt(6)}")).toDF("cust_key", "segment")
+            Snapshot.morCommit(spark, ddir, deletes = None,
+              appends = Some(rows), operation = "append")
+        }
+      }
+      val df = spark.sql(q)
+      assert(scans(df, ru),
+        s"round $round: the stale star must serve by compensation")
+      assert(df.collect().map(_.toSeq).toSet == baseline(q),
+        s"round $round: the compensated star answer changed")
+      spark.sql("CALL iceberg.system.refresh_rollup(table => " +
+        "'mvf.gold')").collect()
+      val fresh = spark.sql(q)
+      assert(scans(fresh, ru))
+      assert(fresh.collect().map(_.toSeq).toSet == baseline(q),
+        s"round $round: the refreshed star answer changed")
     }
   }
 

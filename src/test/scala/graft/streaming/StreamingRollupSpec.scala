@@ -187,6 +187,86 @@ class StreamingRollupSpec extends SparkSpec {
       "the streamed star rollup must absorb the dim window too")
   }
 
+  test("ST10 composes with stale-serve compensation: a SQL reader " +
+    "BETWEEN micro-batches — an out-of-band fact commit landed and " +
+    "the next wave has not refreshed — serves store ⊎ in-flight " +
+    "window (reads the streamed gold store + window sidecars only) " +
+    "and equals the live recompute; the next wave's refresh returns " +
+    "the query to the plain store serve") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .localCheckpoint()
+    val root = Files.createTempDirectory("strrucomp").toString
+    val (facts, table, ru, cp) =
+      (s"$root/facts", s"$root/table", s"$root/rollup", s"$root/cp")
+    def run(): Unit =
+      StreamingRollup.start(spark, facts, factSchema, table, ru, cp,
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+        .awaitTermination(60000)
+    val w1 = orders.filter(col("o_orderkey") % 3 === 0).localCheckpoint()
+    w1.write.parquet(facts)
+    run()
+    // register the STREAM-maintained pair for the SQL rewrite — the
+    // same linkage CALL create_rollup records
+    graft.catalog.TableStore.reset(spark)
+    val ts = new graft.catalog.TableStore(spark)
+    ts.registerSnapshot("stc", "facts", table)
+    ts.registerSnapshot("stc", "gold", Rollup.tableDir(ru))
+    ts.setProperties("stc", "gold", Map(
+      "graft.rollup.dir" -> ru, "graft.rollup.source" -> table))
+    def leafPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+    val q = """SELECT o_orderpriority, count(*) AS c,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS s
+      FROM stc.facts GROUP BY o_orderpriority"""
+    def answers(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    def liveRecompute(): Set[Seq[Any]] = {
+      spark.conf.set("spark.graft.rollup.rewrite.enabled", "false")
+      try answers(spark.sql(q))
+      finally
+        spark.conf.set("spark.graft.rollup.rewrite.enabled", "true")
+    }
+    assert(leafPaths(spark.sql(q)).exists(_.startsWith(s"$ru/")),
+      "the fresh streamed store must serve the SQL aggregate")
+    // an out-of-band commit lands BETWEEN micro-batches
+    val ob = orders.filter(col("o_orderkey") % 3 === 1).localCheckpoint()
+    Snapshot.morCommit(spark, table, deletes = None,
+      appends = Some(ob), operation = "append")
+    val mid = spark.sql(q)
+    val midLeaves = leafPaths(mid)
+    assert(midLeaves.exists(_.startsWith(s"$ru/")),
+      "a mid-stream reader must be served by compensation")
+    val tableLeaves = midLeaves.filter(p => p == table ||
+      p.startsWith(s"$table/"))
+    assert(tableLeaves.nonEmpty &&
+        tableLeaves.forall(_.contains("/_mor/")),
+      "the compensation must read ONLY the in-flight window " +
+        s"sidecars: $tableLeaves")
+    assert(answers(mid) == liveRecompute(),
+      "the mid-stream serve must be the LIVE answer")
+    // the next wave refreshes through the stream; the same query
+    // returns to the plain store serve with the same answer
+    val w3 = orders.filter(col("o_orderkey") % 3 === 2).localCheckpoint()
+    w3.write.mode("append").parquet(facts)
+    run()
+    val post = spark.sql(q)
+    val postLeaves = leafPaths(post)
+    assert(postLeaves.exists(_.startsWith(s"$ru/")) &&
+        !postLeaves.exists(p => p == table ||
+          p.startsWith(s"$table/")),
+      "the refreshed store must serve plain again")
+    assert(answers(post) == liveRecompute())
+  }
+
   test("out-of-band fact DML does not wedge the stream: an equality " +
     "delete prices via re-derive; a copy-on-write rebase routes " +
     "through the TYPED unpriceable catch to the rebuild fallback") {
