@@ -12,6 +12,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // r19 (guide §2.2/§6): size-based AQE coalescing instead of
+      // parallelism-first — post-shuffle partitions target the
+      // advisory byte size at any scale (tiny maintenance stages
+      // collapse to one task locally; 100 TB stages still split by
+      // bytes). _SUCCESS markers off: the snapshot layer's own
+      // commit protocol (version markers + atomic renames) is the
+      // source of truth, nothing reads _SUCCESS, and each marker
+      // costs an extra FS round-trip per write job.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter" +
+        ".marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

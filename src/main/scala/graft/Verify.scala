@@ -18,6 +18,12 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // keep Verify's session identical to Bench's (r19 session conf
+      // notes in Bench.mkSession)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter" +
+        ".marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -78,6 +78,12 @@ object Rollup {
     try body finally maintaining.set(prev)
   }
 
+  /** Run two independent Spark actions concurrently ([[Par.both]] —
+    * guide §2.6), with the [[maintaining]] flag carried to the
+    * worker thread. */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) =
+    Par.both(a, b)
+
   /** A star-schema DIMENSION joined into the maintained aggregate:
     * `fact.<fk> = dim.<dk>` inner-joined per key pair, the dim PINNED
     * at `version`. Refresh prices BOTH sides incrementally — a fact
@@ -511,7 +517,11 @@ object Rollup {
       groupCols, measures, minMax, ndv, ndvK, normFilter, pinned,
       exprCols))
     recordPurgeBaseline(rollupDir, srcPath, pinned)
-    Snapshot.read(spark, tableDir(rollupDir)).count()
+    // group-row count from the store's parquet footers (the dir was
+    // just written flat — no sidecars): same number as
+    // read(...).count(), no Spark job (guide §1.2: don't re-compute
+    // what a metadata read already knows)
+    Snapshot.parquetFooterRowCount(tableDir(rollupDir))
   }
 
   /** PURGE-RACE GUARD (r19): baseline [[Snapshot.purgeEpoch]] values
@@ -766,16 +776,28 @@ object Rollup {
     // filter exactly as the build did (deterministic, row-local), so
     // out-of-predicate churn never touches the store; expression
     // group keys derive first (the predicate may reference them)
-    // BOTH window sides checkpoint: `plus` feeds the signed delta AND
-    // the per-group sketches (withSketches) — uncheckpointed, the
-    // fact/dim window reads and join chains would recompute per
-    // consumer (and per ndv column)
-    val plus = applyFilter(prepare(
+    // A window side checkpoints ONLY when it has several consumers
+    // (uncheckpointed, the fact/dim window reads and join chains
+    // would recompute per consumer, and per ndv column): `plus` also
+    // feeds the per-group sketches when ndv columns exist; `minus`
+    // also feeds the affected-group discovery when min/max or ndv
+    // columns exist. A single-consumer side stays lazy — the signed
+    // delta below materializes it exactly once inside its own
+    // checkpoint, and the extra eager job (r19 profile: every such
+    // job costs a full plan+schedule cycle) disappears. When both
+    // sides checkpoint they do so CONCURRENTLY (guide §2.6) — the
+    // two window subtrees are independent.
+    val plusRaw = applyFilter(prepare(
       plusParts.result().reduce(_ unionByName _), m.exprCols), m.filter)
-      .localCheckpoint()
-    val minus = applyFilter(prepare(
+    val minusRaw = applyFilter(prepare(
       minusParts.result().reduce(_ unionByName _), m.exprCols), m.filter)
-      .localCheckpoint()
+    val plusMulti = m.ndv.nonEmpty
+    val minusMulti = m.minMax.nonEmpty || m.ndv.nonEmpty
+    val (plus, minus) =
+      if (plusMulti && minusMulti)
+        inParallel(plusRaw.localCheckpoint(), minusRaw.localCheckpoint())
+      else (if (plusMulti) plusRaw.localCheckpoint() else plusRaw,
+            if (minusMulti) minusRaw.localCheckpoint() else minusRaw)
     val key = m.groupCols
     val sumCols = m.measures.map(mm => s"sum_$mm")
     val cntCols = m.measures.map(mm => s"cnt_$mm")
@@ -820,8 +842,12 @@ object Rollup {
     // none — sketches cannot forget; affected groups recompute below)
     val delta = withSketches(delta0, plus, key, m.ndv, m.ndvK)
       .localCheckpoint()
-    val touched = delta.select(key.map(col): _*).localCheckpoint()
-    val n = touched.count()
+    // one key-projection row per delta row (delta is grouped by the
+    // keys), so the touched-group count IS delta's count and the
+    // projection re-reads delta's checkpointed blocks — no second
+    // checkpoint, no second count job (r19)
+    val touched = delta.select(key.map(col): _*)
+    val n = delta.count()
     if (n > 0) {
       val old = nsJoin(Snapshot.read(spark, tableDir(rollupDir)),
         broadcast(touched), key, "left_semi")

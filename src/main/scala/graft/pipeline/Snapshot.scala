@@ -19,6 +19,28 @@ object Snapshot {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** Driver-side row count of a FLAT parquet dir from the file
+    * footers — no Spark job (a count() action on a freshly written
+    * tiny table costs a full plan+schedule cycle, ~0.2 s, just to
+    * re-read numbers the footers already carry). Only valid for a
+    * sidecar-free dir (e.g. one [[createOrReplace]] just wrote);
+    * callers owning MOR tables must go through [[read]]. */
+  private[graft] def parquetFooterRowCount(dir: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val s = Files.list(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    } finally s.close()
+  }
+
   /** Marker file inside a snapshot dir carrying its version number —
     * underscore-prefixed so parquet scans ignore it (like `_SUCCESS`). */
   private val VersionFile = "_graft_version"
@@ -440,8 +462,14 @@ object Snapshot {
     val stage = morRoot(path).resolve(s".tmp-$token")
     try {
       Files.createDirectories(stage)
-      deletes.foreach(_.write.mode(SaveMode.Overwrite)
-        .parquet(stage.resolve("deletes").toString))
+      // the up-to-three sidecar writes are INDEPENDENT jobs into
+      // disjoint staging subdirs — run them concurrently (guide
+      // §2.6); the commit's atomicity lives in the rename below, not
+      // in the staging order
+      val writes = Seq.newBuilder[() => Unit]
+      deletes.foreach(d => writes += (() =>
+        d.write.mode(SaveMode.Overwrite)
+          .parquet(stage.resolve("deletes").toString)))
       // position deletes: (file_path, pos) pairs in Iceberg's
       // position-delete schema, file ids RELATIVE to the serving dir
       // (see relFileId — rename-stable by construction). Relativity is
@@ -459,13 +487,16 @@ object Snapshot {
               "table dir (unsupported filesystem for MOR position " +
               "deletes?): "), fp)).cast("string"))
           .otherwise(fp)
-        pd.select(relOrRaise.as("file_path"),
-            col(LineagePos).cast("long").as("pos"))
-          .write.mode(SaveMode.Overwrite)
-          .parquet(stage.resolve("pos_deletes").toString)
+        writes += (() =>
+          pd.select(relOrRaise.as("file_path"),
+              col(LineagePos).cast("long").as("pos"))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(stage.resolve("pos_deletes").toString))
       }
-      appends.foreach(_.write.mode(SaveMode.Overwrite)
-        .parquet(stage.resolve("appends").toString))
+      appends.foreach(a => writes += (() =>
+        a.write.mode(SaveMode.Overwrite)
+          .parquet(stage.resolve("appends").toString)))
+      Par.all(writes.result())
       Files.write(stage.resolve("_commit"),
         s"operation=$operation\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
