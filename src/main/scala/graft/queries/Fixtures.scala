@@ -24,6 +24,9 @@ object Fixtures {
   private val built = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
+  // COPY_ATTRIBUTES: marker-file mtimes ARE the commit instants
+  // (Snapshot.committedAt) — a clone that refreshed them would
+  // reorder TIMESTAMP AS OF history
   private def copyDir(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
     val s = Files.list(src)
@@ -31,7 +34,8 @@ object Fixtures {
       val t = dst.resolve(p.getFileName)
       if (Files.isDirectory(p)) copyDir(p, t)
       else Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     } finally s.close()
   }
 
@@ -60,5 +64,46 @@ object Fixtures {
       dir
     })
     copyDir(Paths.get(src), Paths.get(dstDir))
+  }
+
+  /** r19 — the same build-once-clone-per-query discipline for a
+    * MULTI-COMMIT lifecycle fixture: `build` writes a full snapshot
+    * lifecycle (several versions, branches, sidecars) into a fresh
+    * table dir named `t`; the clone copies `t` AND its history
+    * siblings (`t.v<N>`, `t.branch-*` — createOrReplace moves the
+    * replaced live dir to a SIBLING, so a faithful clone must carry
+    * the parent's whole `t*` family) to `dstDir`'s parent under
+    * `dstDir`'s basename. Used by the ten metadata/time-travel
+    * queries that all run the IDENTICAL two-version silver build —
+    * benching the same rebuild ten times measures the generator, not
+    * the engine (same rationale and disclosure as the r17 fixtures;
+    * BASELINE.md). */
+  def cloneLifecycle(sfDir: String, shape: String, dstDir: String)
+                    (build: String => Unit): Unit = {
+    val root = built.getOrElseUpdate((sfDir, shape), {
+      val r = Files.createTempDirectory(s"fx-$shape").toString
+      build(s"$r/t")
+      r
+    })
+    val dst = Paths.get(dstDir)
+    Files.createDirectories(dst.getParent)
+    val base = dst.getFileName.toString
+    val s = Files.list(Paths.get(root))
+    try s.forEach { p =>
+      val n = p.getFileName.toString
+      val t =
+        if (n == "t") dst
+        else if (n.startsWith("t."))
+          dst.getParent.resolve(base + n.stripPrefix("t"))
+        else null
+      if (t != null) {
+        // siblings can be FILES too (e.g. the `<path>.branchid`
+        // marker), not only history/branch dirs
+        if (Files.isDirectory(p)) copyDir(p, t)
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    } finally s.close()
   }
 }

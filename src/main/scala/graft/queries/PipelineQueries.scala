@@ -49,6 +49,26 @@ object PipelineQueries {
   private val bronzeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** The two-version silver history fixture (v1 = rebuild of the
+    * half-offset bronze prefix, v2 = full rebuild) that ten
+    * metadata/time-travel queries build IDENTICALLY — built once per
+    * (sfDir, keepVersions) per JVM and file-cloned per query
+    * ([[Fixtures.cloneLifecycle]]; r19, same disclosure as the r17
+    * fixtures): each query keeps its own directory and full lifecycle
+    * semantics, it just stops re-running the same two silver rebuilds
+    * (2× envelope parse + dedup + write). */
+  private def silver2v(s: SparkSession, d: String, dir: String,
+                       keep: Int = 2): Unit =
+    Fixtures.cloneLifecycle(d, s"silver2v-k$keep", dir) { t =>
+      val bronze = bronzeOf(s, d)
+      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze.filter(col("offset") <= cut)), t,
+        keepVersions = keep)
+      graft.pipeline.Snapshot.createOrReplace(
+        Silver.rebuild(bronze), t, keepVersions = keep)
+    }
+
   private def bronzeOf(s: SparkSession, d: String): DataFrame =
     bronzeCache.computeIfAbsent((s, d),
       // repartition on both sides of the synth: the small orders
@@ -96,16 +116,9 @@ object PipelineQueries {
     // result is the OLD state, so the replace provably didn't destroy
     // it.
     "q_snapshot_time_travel" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      // reference-pattern checkpoint scalar (merge_orders_silver.py:54)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snaptt")
         .toString + "/orders_silver"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 2)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
+      silver2v(s, d, dir)
       tsToStr(graft.pipeline.Snapshot.readAsOf(s, dir, 1),
         "last_change_ts").orderBy("order_id")
     }),
@@ -116,15 +129,9 @@ object PipelineQueries {
     // insert/update (this fixture's rebuild keeps last non-delete
     // state, so no deletes arise; the delete arm is SnapshotSpec-pinned).
     "q_snapshot_diff" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snapdiff")
         .toString + "/orders_silver"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 2)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
+      silver2v(s, d, dir)
       graft.pipeline.Snapshot.diff(s, dir, 1, 2, Seq("order_id"))
         .orderBy("order_id")
     }),
@@ -1704,15 +1711,9 @@ object PipelineQueries {
     // table (oracle = rebuild minus the cohort); the history purge and
     // version preservation are pinned in SnapshotSpec.
     "q_erasure" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("erasure")
         .toString + "/orders_silver"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 2)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
+      silver2v(s, d, dir)
       graft.pipeline.Snapshot.erase(s, dir, col("user_id") % 7 === 0)
       tsToStr(graft.pipeline.Snapshot.read(s, dir),
         "last_change_ts").orderBy("order_id")
@@ -1723,15 +1724,9 @@ object PipelineQueries {
     // read through `spark.sql(... VERSION AS OF 1)` (incl. the
     // reference's `iceberg.` catalog prefix).
     "q_time_travel_sql" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snapttsql")
         .toString + "/orders_history"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 2)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
+      silver2v(s, d, dir)
       new TableStore(s).registerSnapshot("silver", "orders_history", dir)
       // snapshot ref round-trip: tag v1 through the CALL surface, read
       // it back through the STRING arm of VERSION AS OF — same rows as
@@ -1752,15 +1747,9 @@ object PipelineQueries {
     // lineage rows are (2,1) newest-first with non-null commit
     // instants.
     "q_time_travel_ts" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snapttts")
         .toString + "/orders_ts"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 2)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
+      silver2v(s, d, dir)
       new TableStore(s).registerSnapshot("silver", "orders_ts", dir)
       val us = graft.pipeline.Snapshot.committedAt(dir, 1L).get
       val ts = java.time.format.DateTimeFormatter
@@ -1778,15 +1767,9 @@ object PipelineQueries {
     // monotone in CallSqlSpec); the oracle pins the deterministic
     // lineage ids.
     "q_ancestors_call" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snapanc")
         .toString + "/orders_anc"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 2)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
+      silver2v(s, d, dir)
       new TableStore(s).registerSnapshot("silver", "orders_anc", dir)
       s.sql("CALL iceberg.system.ancestors_of('silver.orders_anc')")
         .select(col("snapshot_id"),
@@ -1800,15 +1783,9 @@ object PipelineQueries {
     // the same capped-silver state q_time_travel_sql pins, proving
     // rollback restored it bit-for-bit through both maintenance ops.
     "q_maintenance_call" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snapcall")
         .toString + "/orders_maint"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 3)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 3)
+      silver2v(s, d, dir, keep = 3)
       new TableStore(s).registerSnapshot("silver", "orders_maint", dir)
       s.sql("""CALL iceberg.system.rewrite_data_files(
                table => 'silver.orders_maint', target_file_count => 2)""")
@@ -1823,15 +1800,9 @@ object PipelineQueries {
     // LAZY per-version record count. Oracle recomputes both versions'
     // row counts from the same bronze CTE.
     "q_snapshot_history" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snaphist")
         .toString + "/orders_hist2"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 2)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
+      silver2v(s, d, dir)
       new TableStore(s).registerSnapshot("silver", "orders_hist2", dir)
       s.sql("""SELECT version, is_current, record_count
                FROM iceberg.silver.orders_hist2.snapshots
@@ -1842,15 +1813,9 @@ object PipelineQueries {
     // at the live version plus the TAG refs, over a two-version
     // fixture with tags created through the CALL surface.
     "q_snapshot_refs" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snaprefs")
         .toString + "/orders_refs"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 2)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
+      silver2v(s, d, dir)
       new TableStore(s).registerSnapshot("silver", "orders_refs", dir)
       s.sql("""CALL iceberg.system.create_tag(
                table => 'silver.orders_refs', tag => 'validated',
@@ -1871,15 +1836,17 @@ object PipelineQueries {
     // (oracle = the same capped silver q_time_travel_sql pins), and
     // the pre-publish live state stays time-travelable.
     "q_wap_publish" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snapwap")
         .toString + "/orders_wap"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
-      graft.pipeline.Snapshot.writeBranch(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        "audit")
+      Fixtures.cloneLifecycle(d, "silver-wap", dir) { t =>
+        val bronze = bronzeOf(s, d)
+        val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
+        graft.pipeline.Snapshot.createOrReplace(
+          Silver.rebuild(bronze), t, keepVersions = 2)
+        graft.pipeline.Snapshot.writeBranch(
+          Silver.rebuild(bronze.filter(col("offset") <= cut)), t,
+          "audit")
+      }
       new TableStore(s).registerSnapshot("silver", "orders_wap", dir)
       // audit gate: the branch read must be non-empty before publish
       require(s.sql(
@@ -2021,15 +1988,9 @@ object PipelineQueries {
     // (oldest retained -> live by default) and reads it back — the
     // CALL-surface spelling of q_snapshot_diff, same oracle.
     "q_changelog_call" -> ((s, d) => {
-      val bronze = bronzeOf(s, d)
-      val cut = bronze.agg(max("offset")).collect()(0).getLong(0) / 2
       val dir = java.nio.file.Files.createTempDirectory("snapclv")
         .toString + "/orders_clv"
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze.filter(col("offset") <= cut)), dir,
-        keepVersions = 2)
-      graft.pipeline.Snapshot.createOrReplace(
-        Silver.rebuild(bronze), dir, keepVersions = 2)
+      silver2v(s, d, dir)
       new TableStore(s).registerSnapshot("silver", "orders_clv", dir)
       // identifier fields stored ONCE on the table (Iceberg's SET
       // IDENTIFIER FIELDS) — the changelog call then needs no
