@@ -12,16 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // r19 (guide §2.2/§6): size-based AQE coalescing instead of
-      // parallelism-first — post-shuffle partitions target the
-      // advisory byte size at any scale (tiny maintenance stages
-      // collapse to one task locally; 100 TB stages still split by
-      // bytes). _SUCCESS markers off: the snapshot layer's own
-      // commit protocol (version markers + atomic renames) is the
-      // source of truth, nothing reads _SUCCESS, and each marker
-      // costs an extra FS round-trip per write job.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+      // r19: _SUCCESS markers off — the snapshot layer's own commit
+      // protocol (version markers + atomic renames) is the source of
+      // truth, nothing reads _SUCCESS, and each marker costs an extra
+      // FS round-trip per write job. (AQE coalescing stays at its
+      // parallelism-first default: measured parallelismFirst=false
+      // and it SERIALIZED mid-size local stages — 64 MB advisory
+      // collapses a 50 MB shuffle to one task.)
       .config("spark.hadoop.mapreduce.fileoutputcommitter" +
         ".marksuccessfuljobs", "false")
       .getOrCreate()

@@ -20,8 +20,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // keep Verify's session identical to Bench's (r19 session conf
       // notes in Bench.mkSession)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter" +
         ".marksuccessfuljobs", "false")
       .getOrCreate()

@@ -103,15 +103,20 @@ object IvfIndex {
     // the two swaps of a rebuild sees mismatched tokens and raises
     // instead of probing new centroids against old cells
     val token = IndexDelta.newBuildToken()
-    Snapshot.createOrReplaceWithMeta(centroids, centroidsDir(indexDir),
-      keepVersions = 1, IndexDelta.BuildTokenFile, token)
-    Snapshot.createOrReplacePartitioned(
-      SimilarityOps.assignCentroids(corpus, centroids, 1),
-      cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1,
-      metaName = Some(IndexDelta.BuildTokenFile), metaContent = token)
+    // independent component writes — overlap (guide §2.6); the cells
+    // write consumes the already-checkpointed centroids frame
+    graft.pipeline.Par.both(
+      Snapshot.createOrReplaceWithMeta(centroids, centroidsDir(indexDir),
+        keepVersions = 1, IndexDelta.BuildTokenFile, token),
+      Snapshot.createOrReplacePartitioned(
+        SimilarityOps.assignCentroids(corpus, centroids, 1),
+        cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1,
+        metaName = Some(IndexDelta.BuildTokenFile), metaContent = token))
     writeMeta(indexDir, Meta(version,
       Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L), nlist))
-    cellsRead(spark, indexDir).count()
+    // row count from the freshly written (sidecar-free) cells
+    // fragments' parquet footers — no read+count job (r19)
+    Snapshot.parquetFooterRowCount(cellsDir(indexDir))
   }
 
   /** Apply the commit-window change set ([[IndexDelta.changesSince]] —

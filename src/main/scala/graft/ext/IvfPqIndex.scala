@@ -159,27 +159,35 @@ object IvfPqIndex {
     // one token rides all THREE component commits — see
     // [[IndexDelta.requireCoherent]]
     val token = IndexDelta.newBuildToken()
-    Snapshot.createOrReplaceWithMeta(centroids, centroidsDir(indexDir),
-      keepVersions = 1, IndexDelta.BuildTokenFile, token)
     val trainSrc =
       if (!residual) corpus
       else assignResidual(
         corpus.orderBy(md5(col("vec_id").cast("string")))
           .offset(nlist).limit(ksub),
         centroids, residual = true)
+    // the book collect must precede the cells write (the encoder
+    // consumes the literal book); the three component WRITES are then
+    // independent — overlap them (guide §2.6)
     val book = SimilarityOps.pqCollectBook(trainSrc, m, dsub, ksub)
-    Snapshot.createOrReplaceWithMeta(
-      SimilarityOps.pqBookFrame(spark, book),
-      codebookDir(indexDir), keepVersions = 1,
-      IndexDelta.BuildTokenFile, token)
-    Snapshot.createOrReplacePartitioned(
-      assignAndEncode(spark, corpus, centroids, book, m, dsub, residual),
-      cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1,
-      metaName = Some(IndexDelta.BuildTokenFile), metaContent = token)
+    graft.pipeline.Par.all(Seq(
+      () => Snapshot.createOrReplaceWithMeta(centroids,
+        centroidsDir(indexDir), keepVersions = 1,
+        IndexDelta.BuildTokenFile, token),
+      () => Snapshot.createOrReplaceWithMeta(
+        SimilarityOps.pqBookFrame(spark, book),
+        codebookDir(indexDir), keepVersions = 1,
+        IndexDelta.BuildTokenFile, token),
+      () => Snapshot.createOrReplacePartitioned(
+        assignAndEncode(spark, corpus, centroids, book, m, dsub,
+          residual),
+        cellsDir(indexDir), Seq("centroid_id"), keepVersions = 1,
+        metaName = Some(IndexDelta.BuildTokenFile), metaContent = token)))
     writeMeta(indexDir, Meta(version,
       Snapshot.currentVersion(cellsDir(indexDir)).getOrElse(0L),
       nlist, m, dsub, ksub, residual))
-    cellsRead(spark, indexDir).count()
+    // row count from the freshly written (sidecar-free) cells
+    // fragments' parquet footers — no read+count job (r19)
+    Snapshot.parquetFooterRowCount(cellsDir(indexDir))
   }
 
   /** Assign + encode the commit-window change set as a MOR sidecar —

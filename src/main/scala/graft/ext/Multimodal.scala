@@ -155,7 +155,14 @@ object Multimodal {
   def imageTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast(LongType)).as[Long]
+    // spread the id column across the session's full parallelism
+    // BEFORE the codec kernel: the docs table arrives in 1-3 parquet
+    // splits at test scale, which would run the render/decode batch
+    // on as many cores (r19 profile: 3 tasks carrying the whole
+    // query). Only the 8-byte ids shuffle; payloads are generated —
+    // and decoded — partition-local, exactly as before.
+    docs.select(col(idCol).cast(LongType))
+      .repartition(spark.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { ids =>
         ids.map { id => (id, renderPng(id)) }
       }
@@ -256,7 +263,14 @@ object Multimodal {
     require(frames > 0, s"frames must be positive: $frames")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast(LongType)).as[Long]
+    // spread the id column across the session's full parallelism
+    // BEFORE the codec kernel: the docs table arrives in 1-3 parquet
+    // splits at test scale, which would run the render/decode batch
+    // on as many cores (r19 profile: 3 tasks carrying the whole
+    // query). Only the 8-byte ids shuffle; payloads are generated —
+    // and decoded — partition-local, exactly as before.
+    docs.select(col(idCol).cast(LongType))
+      .repartition(spark.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
@@ -370,7 +384,14 @@ object Multimodal {
   def audioTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast(LongType)).as[Long]
+    // spread the id column across the session's full parallelism
+    // BEFORE the codec kernel: the docs table arrives in 1-3 parquet
+    // splits at test scale, which would run the render/decode batch
+    // on as many cores (r19 profile: 3 tasks carrying the whole
+    // query). Only the 8-byte ids shuffle; payloads are generated —
+    // and decoded — partition-local, exactly as before.
+    docs.select(col(idCol).cast(LongType))
+      .repartition(spark.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(ids => ids.map(id => (id, renderWav(id))))
       .toDF("media_id", "payload")
       .select(col("media_id"), col("payload"),
@@ -507,7 +528,14 @@ object Multimodal {
   def rampImageTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast(LongType)).as[Long]
+    // spread the id column across the session's full parallelism
+    // BEFORE the codec kernel: the docs table arrives in 1-3 parquet
+    // splits at test scale, which would run the render/decode batch
+    // on as many cores (r19 profile: 3 tasks carrying the whole
+    // query). Only the 8-byte ids shuffle; payloads are generated —
+    // and decoded — partition-local, exactly as before.
+    docs.select(col(idCol).cast(LongType))
+      .repartition(spark.sparkContext.defaultParallelism).as[Long]
       .flatMap { id =>
         val twins =
           (if (id % 50 == 0) Seq(id + RampBrightTwin) else Nil) ++

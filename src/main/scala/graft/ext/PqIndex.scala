@@ -103,17 +103,22 @@ object PqIndex {
     // one token rides both component commits — mid-rebuild readers
     // raise instead of scoring old codes against a new book
     val token = IndexDelta.newBuildToken()
-    Snapshot.createOrReplaceWithMeta(
-      SimilarityOps.pqBookFrame(spark, book), codebookDir(indexDir),
-      keepVersions = 1, IndexDelta.BuildTokenFile, token)
-    Snapshot.createOrReplaceWithMeta(
-      SimilarityOps.pqEncode(corpus, book, m, dsub),
-      codesDir(indexDir), keepVersions = 1,
-      IndexDelta.BuildTokenFile, token)
+    // independent component writes — overlap (guide §2.6); a crash
+    // between them was already a recoverable (token-guarded) state
+    graft.pipeline.Par.both(
+      Snapshot.createOrReplaceWithMeta(
+        SimilarityOps.pqBookFrame(spark, book), codebookDir(indexDir),
+        keepVersions = 1, IndexDelta.BuildTokenFile, token),
+      Snapshot.createOrReplaceWithMeta(
+        SimilarityOps.pqEncode(corpus, book, m, dsub),
+        codesDir(indexDir), keepVersions = 1,
+        IndexDelta.BuildTokenFile, token))
     writeMeta(indexDir, Meta(version,
       Snapshot.currentVersion(codesDir(indexDir)).getOrElse(0L),
       m, dsub, ksub))
-    Snapshot.read(spark, codesDir(indexDir)).count()
+    // row count from the freshly written (sidecar-free) codes dir's
+    // parquet footers — no read+count job (r19)
+    Snapshot.parquetFooterRowCount(codesDir(indexDir))
   }
 
   /** Incrementally apply corpus changes since the index last saw it.

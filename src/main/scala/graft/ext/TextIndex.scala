@@ -208,15 +208,19 @@ object TextIndex {
     // the swaps of a rebuild raises instead of scoring new postings
     // against old stats
     val token = IndexDelta.newBuildToken()
-    Snapshot.createOrReplacePartitioned(
-      postingsOf(corpus, termBuckets, positional),
-      postingsDir(indexDir),
-      Seq("term_bucket"), keepVersions = 1,
-      metaName = Some(IndexDelta.BuildTokenFile), metaContent = token)
-    Snapshot.createOrReplacePartitioned(
-      doclensOf(corpus, docBuckets), doclensDir(indexDir),
-      Seq("doc_bucket"), keepVersions = 1,
-      metaName = Some(IndexDelta.BuildTokenFile), metaContent = token)
+    // the two component writes are independent tables — overlap them
+    // (guide §2.6); a crash between them was already a recoverable
+    // state (requireComponentsStamped / the refresh crash detector)
+    graft.pipeline.Par.both(
+      Snapshot.createOrReplacePartitioned(
+        postingsOf(corpus, termBuckets, positional),
+        postingsDir(indexDir),
+        Seq("term_bucket"), keepVersions = 1,
+        metaName = Some(IndexDelta.BuildTokenFile), metaContent = token),
+      Snapshot.createOrReplacePartitioned(
+        doclensOf(corpus, docBuckets), doclensDir(indexDir),
+        Seq("doc_bucket"), keepVersions = 1,
+        metaName = Some(IndexDelta.BuildTokenFile), metaContent = token))
     Snapshot.createOrReplaceWithMeta(
       statsFrom(doclensRead(spark, indexDir)), statsDir(indexDir),
       keepVersions = 1, IndexDelta.BuildTokenFile, token)
@@ -274,18 +278,21 @@ object TextIndex {
         (r.getLong(0), r.getLong(1))
       }
     if (w.n > 0 || w.touched.isDefined) {
-      Snapshot.morCommit(spark, postingsDir(indexDir),
-        deletes = w.touched,
-        appends =
-          if (w.n > 0)
-            Some(postingsOf(delta, im.termBuckets, im.positional))
-          else None,
-        operation = w.op)
-      Snapshot.morCommit(spark, doclensDir(indexDir),
-        deletes = w.touched,
-        appends =
-          if (w.n > 0) Some(doclensOf(delta, im.docBuckets)) else None,
-        operation = w.op)
+      // independent component commits — overlap (guide §2.6); a
+      // crash between them was already a recoverable state
+      graft.pipeline.Par.both(
+        Snapshot.morCommit(spark, postingsDir(indexDir),
+          deletes = w.touched,
+          appends =
+            if (w.n > 0)
+              Some(postingsOf(delta, im.termBuckets, im.positional))
+            else None,
+          operation = w.op),
+        Snapshot.morCommit(spark, doclensDir(indexDir),
+          deletes = w.touched,
+          appends =
+            if (w.n > 0) Some(doclensOf(delta, im.docBuckets)) else None,
+          operation = w.op))
     }
     // READ-TAX BOUND (the family's sawtooth contract) on BOTH MOR
     // components — spec-aware, best-effort

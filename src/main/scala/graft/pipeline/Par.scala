@@ -9,7 +9,7 @@ package graft.pipeline
   * same MV-rewrite suppression the caller has. All thunks are awaited
   * before returning — also on failure, so a still-running write can
   * never race the caller's cleanup; the first failure rethrows. */
-private[pipeline] object Par {
+private[graft] object Par {
 
   private val pool = java.util.concurrent.Executors
     .newCachedThreadPool(r => {
@@ -17,9 +17,13 @@ private[pipeline] object Par {
       t.setDaemon(true); t
     })
 
+  /** Kill switch for A/B measurement (SPARK_GRAFT_PAR=0 → run
+    * everything sequentially on the caller thread). */
+  private val enabled = sys.env.getOrElse("SPARK_GRAFT_PAR", "1") == "1"
+
   def all(thunks: Seq[() => Unit]): Unit = {
     if (thunks.isEmpty) return
-    if (thunks.size == 1) { thunks.head.apply(); return }
+    if (!enabled || thunks.size == 1) { thunks.foreach(_.apply()); return }
     val flag = Rollup.maintaining.get()
     val futures = thunks.tail.map { th =>
       pool.submit(new java.util.concurrent.Callable[Unit] {
@@ -45,6 +49,7 @@ private[pipeline] object Par {
   }
 
   def both[A, B](a: => A, b: => B): (A, B) = {
+    if (!enabled) { val ra = a; return (ra, b) }
     val flag = Rollup.maintaining.get()
     val fb = pool.submit(new java.util.concurrent.Callable[B] {
       def call(): B = {

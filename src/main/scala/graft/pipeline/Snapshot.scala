@@ -27,18 +27,28 @@ object Snapshot {
     * callers owning MOR tables must go through [[read]]. */
   private[graft] def parquetFooterRowCount(dir: String): Long = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    val s = Files.list(Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map { p =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
+    def walk(d: Path): Long = {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map { p =>
+          val n = p.getFileName.toString
+          // recurse into Hive fragment dirs; skip scan-invisible
+          // names (_mor sidecars, markers, dot-staging) exactly as a
+          // parquet scan would
+          if (n.startsWith("_") || n.startsWith(".")) 0L
+          else if (Files.isDirectory(p)) walk(p)
+          else if (!n.endsWith(".parquet")) 0L
+          else {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }
         }.sum
-    } finally s.close()
+      } finally s.close()
+    }
+    walk(Paths.get(dir))
   }
 
   /** Marker file inside a snapshot dir carrying its version number —
