@@ -241,7 +241,7 @@ object ScanPruning {
   // Stats manifest sidecar — the Iceberg-manifest role for this layout
   // -------------------------------------------------------------------
 
-  private val ManifestName = "_scan_manifest.tsv"
+  private[pipeline] val ManifestName = "_scan_manifest.tsv"
 
   /** Collect per-file min/max for `columns` in ONE parallel footer
     * sweep and write the `_scan_manifest.tsv` sidecar (atomic tmp +

@@ -287,6 +287,57 @@ object Snapshot {
     * `withLineage = true` keeps the ([[LineageFile]], [[LineagePos]])
     * columns on the way out — the position-delete WRITE path reads
     * through this to learn which (file, pos) pairs a predicate hits. */
+  /** r19 — ANALYZED-READ CACHE: a lifecycle operation (refresh, DML,
+    * metadata table, MV pricing) re-derives the same merge-on-read
+    * composition of the same immutable snapshot state many times, and
+    * each derivation pays directory listing + parquet footer schema +
+    * Catalyst analysis (~tens of ms on the driver, per read, hundreds
+    * of times per maintenance run). Snapshot state is immutable per
+    * (version marker, MOR-commit set, purge epoch, scan-manifest
+    * signature): every live-dir mutation is a [[swapIn]] (new marker)
+    * or a [[morCommit]] (new sidecar version), erase/expire rewrites
+    * bump [[purgeEpoch]], and [[publishOrderManifest]] lands as the
+    * manifest file whose mtime the key carries — so a plan cached
+    * under that signature can never serve stale bytes; a changed
+    * signature simply misses. PLAN cache, not a result cache: every
+    * action still executes from the parquet files. Dirs WITHOUT a
+    * version marker (plain append sinks — files land with no marker
+    * change) are never cached. Weak per-session keying lets stopped
+    * sessions collect. */
+  private val readPlanCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def readCacheFor(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
+    readPlanCache.synchronized {
+      var m = readPlanCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+        readPlanCache.put(spark, m)
+      }
+      m
+    }
+
+  private def morApplyCached(spark: SparkSession, dir: String,
+                             upTo: Long,
+                             withLineage: Boolean = false): DataFrame =
+    markerVersion(dir) match {
+      case None => morApply(spark, dir, upTo, withLineage)
+      case Some(mv) =>
+        val manifest = Paths.get(dir, ScanPruning.ManifestName)
+        val mfSig =
+          if (Files.exists(manifest))
+            Files.getLastModifiedTime(manifest).toMillis
+          else -1L
+        val key = s"$dir|$upTo|$withLineage|$mv|" +
+          s"${morVersions(dir).mkString(",")}|${purgeEpoch(dir)}|$mfSig"
+        val cache = readCacheFor(spark)
+        if (cache.size > 512) cache.clear() // crude bound; re-warms
+        cache.computeIfAbsent(key,
+          _ => morApply(spark, dir, upTo, withLineage))
+    }
+
   private def morApply(spark: SparkSession, dir: String, upTo: Long,
                        withLineage: Boolean = false): DataFrame = {
     // the base scan plans through (a) the bucket-layout relation when
@@ -317,7 +368,7 @@ object Snapshot {
     * what a position-delete writer filters to learn which rows of
     * which physical files its predicate hits. */
   def readLineage(spark: SparkSession, path: String): DataFrame =
-    morApply(spark, path, Long.MaxValue, withLineage = true)
+    morApplyCached(spark, path, Long.MaxValue, withLineage = true)
 
   /** Sidecar census for a merge-on-read table — the X6 metrics shape
     * feeding the compaction-cadence rule (compact when read-tax ×
@@ -755,7 +806,7 @@ object Snapshot {
         s"no snapshot version $version at $path " +
           s"(live=${currentVersion(path).getOrElse("-")}, " +
           s"retained=${retainedVersions(path).mkString(",")})")
-    morApply(spark, dir, version)
+    morApplyCached(spark, dir, version)
   }
 
   /** Commit timestamp of a retained version (epoch MICROS, the
@@ -1285,7 +1336,7 @@ object Snapshot {
   def read(spark: SparkSession, path: String): DataFrame =
     // morApply also on a sidecar-free dir: it is a plain scan then,
     // plus the hidden-partitioning field drop every read owes
-    morApply(spark, path, Long.MaxValue)
+    morApplyCached(spark, path, Long.MaxValue)
 
   /** Stats-pruned scan of the live snapshot (Iceberg scan planning,
     * [[ScanPruning]]): whole data files whose footer min/max cannot
