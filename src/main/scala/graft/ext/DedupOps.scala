@@ -268,24 +268,41 @@ object DedupOps {
                      minJaccard: Double = 0.5,
                      materialize: DataFrame => DataFrame =
                        _.localCheckpoint()): DataFrame = {
-    // Materialize signatures before the self-join: the banded frame is
-    // consumed twice, and carrying the full shingle→minhash pipeline on
-    // both join sides recomputes it AND hands the optimizer a
-    // double-width expression forest (measured 18× slower un-cached).
-    // The corpus is spread to full parallelism first — a small parquet
-    // arrives in few splits and would otherwise sign on 3 of 32 cores.
+    // Shingle ONCE (r20, guide §1.2): the shingle sets feed both the
+    // signature/band pipeline and the exact-Jaccard verify — r19
+    // computed them independently on each path, scanning and
+    // re-shingling the corpus twice. The corpus is spread to full
+    // parallelism first — a small parquet arrives in few splits and
+    // would otherwise sign on 3 of 32 cores.
     val spread = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    val banded = materialize(
-      bandedSignatures(spread, idCol, textCol, shingleSize))
+    val shingled = materialize(spread.select(col(idCol),
+      shingleSet(col(textCol), shingleSize).as("sh")))
+    nearDuplicatesFromShingles(shingled, idCol, "sh", minJaccard,
+      materialize)
+  }
+
+  /** [[nearDuplicates]] over a PRE-SHINGLED frame (idCol, shCol) — the
+    * entry point a multi-detector pipeline uses so one materialized
+    * shingle table feeds every detector. Pair set and Jaccard values
+    * are identical to [[nearDuplicates]] (same band keys, same exact
+    * verify; asserted in DedupOpsSpec). The caller materializes
+    * `shingled`; the banded frame is still materialized here because
+    * the self-join consumes it twice (measured 18× slower un-cached). */
+  def nearDuplicatesFromShingles(shingled: DataFrame,
+                                 idCol: String = "doc_id",
+                                 shCol: String = "sh",
+                                 minJaccard: Double = 0.5,
+                                 materialize: DataFrame => DataFrame =
+                                   _.localCheckpoint()): DataFrame = {
+    val banded = materialize(bandedFromShingled(shingled, idCol, shCol))
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band", "band_key"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val sets = materialize(spread.select(col(idCol),
-      shingleSet(col(textCol), shingleSize).as("sh")))
+    val sets = shingled.select(col(idCol), col(shCol).as("sh"))
     val joined = pairs
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -296,6 +313,25 @@ object DedupOps {
       .withColumn("jaccard", inter.cast("double") / union.cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Banded LSH keys from a pre-shingled frame — band keys are
+    * bit-identical to [[bandedSignatures]]'s (same md5 over the same
+    * minhash slice strings), just built without re-shingling. */
+  private def bandedFromShingled(shingled: DataFrame, idCol: String,
+                                 shCol: String): DataFrame = {
+    val signed = shingled
+      .withColumn("_sig", signatureExpr(baseHashes(col(shCol))))
+    val bandKeys = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => element_at(col("_sig"), i + 1).cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("band_key"))
+    }
+    signed
+      .withColumn("_bk", explode(array(bandKeys: _*)))
+      .select(col(idCol), col("_bk.band").as("band"),
+        col("_bk.band_key").as("band_key"))
   }
 
   /** X2e — DECONTAMINATION: drop from `corpus` every document that is
@@ -331,20 +367,30 @@ object DedupOps {
     // pipeline) when the blocklist is corpus-sized
     val side: DataFrame => DataFrame =
       if (broadcastBlocklist) broadcast else materialize
+    // each side shingles ONCE (r20, guide §1.2): the shingle sets feed
+    // both the band pipeline and the exact verify — r19 re-shingled
+    // the corpus (and, on the non-broadcast path, the blocklist) on
+    // each of the two paths
     val spread = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val corpusShingled = materialize(spread.select(col(idCol),
+      shingleSet(col(textCol), shingleSize).as("sh")))
     val corpusBands = materialize(
-      bandedSignatures(spread, idCol, textCol, shingleSize))
-    val blockBands = bandedSignatures(blocklist, idCol, textCol,
-      shingleSize)
+      bandedFromShingled(corpusShingled, idCol, "sh"))
+    val blockShingled0 = blocklist.select(col(idCol),
+      shingleSet(col(textCol), shingleSize).as("sh"))
+    val blockShingled =
+      if (broadcastBlocklist) blockShingled0
+      else materialize(blockShingled0)
+    val blockBands = bandedFromShingled(blockShingled, idCol, "sh")
     val cand = corpusBands.as("c")
       .join(side(blockBands.as("b")), Seq("band", "band_key"))
       .select(col(s"c.$idCol").as("cid"), col(s"b.$idCol").as("bid"))
       .dropDuplicates("cid", "bid")
-    val corpusSets = materialize(spread.select(col(idCol).as("cid"),
-      shingleSet(col(textCol), shingleSize).as("sh_c")))
-    val blockSets = blocklist.select(col(idCol).as("bid"),
-      shingleSet(col(textCol), shingleSize).as("sh_b"))
+    val corpusSets = corpusShingled.select(col(idCol).as("cid"),
+      col("sh").as("sh_c"))
+    val blockSets = blockShingled.select(col(idCol).as("bid"),
+      col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_c"), col("sh_b")))
     val union = size(col("sh_c")) + size(col("sh_b")) - inter
     val contaminated = cand
@@ -379,25 +425,47 @@ object DedupOps {
                          shingleSize: Int = 8, minHits: Int = 1,
                          broadcastBlocklist: Boolean = true,
                          materialize: DataFrame => DataFrame =
-                           _.localCheckpoint()): DataFrame = {
+                           _.localCheckpoint()): DataFrame =
+    exactContaminationHashed(corpus, blocklist, idCol, textCol,
+      shingleSize, minHits, broadcastBlocklist, materialize,
+      xxhash64(_))
+
+  /** [[exactContamination]] with an injectable prefilter hash — the
+    * test hook that pins collision behavior (a deliberately colliding
+    * hash must not mark a clean doc contaminated). */
+  private[ext] def exactContaminationHashed(
+      corpus: DataFrame, blocklist: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, minHits: Int,
+      broadcastBlocklist: Boolean,
+      materialize: DataFrame => DataFrame,
+      hashFn: Column => Column): DataFrame = {
     val side: DataFrame => DataFrame =
       if (broadcastBlocklist) broadcast else materialize
     // join key = xxhash64 LONG (not an md5 string): the broadcast
     // side is ~shingle-count keys, and a long key broadcast builds a
     // LongHashedRelation — measured ~2.5 s of single-threaded driver
     // time at 1M 32-char md5 keys vs negligible for longs (r19). The
-    // membership answer is identical (both hashes are injective on
-    // the fixture's shingle sets; the result only depends on WHICH
-    // docs match).
+    // hash is a PREFILTER only (r20): the shingle strings ride along
+    // and an equality filter at the join confirms every hit EXACTLY —
+    // a 64-bit hash has birthday collisions near ~4B distinct
+    // shingles, plausible at this operator's design scale, and a
+    // collision must never mark a clean doc contaminated. On the
+    // broadcast path the string never crosses an exchange (the join
+    // is broadcast, the hits count partial-aggregates on cid before
+    // its shuffle); on the shuffle path it rides the h-keyed exchange
+    // — the honest price of exactness.
     val corpusSh = corpus.select(col(idCol).as("cid"),
         explode(shingleSet(col(textCol), shingleSize)).as("sh"))
-      .select(col("cid"), xxhash64(col("sh")).as("h"))
+      .select(col("cid"), hashFn(col("sh")).as("h"), col("sh"))
     val blockSh = blocklist
-      .select(explode(shingleSet(col(textCol), shingleSize)).as("sh"))
-      .select(xxhash64(col("sh")).as("h")).distinct()
-    // shingle sets are per-doc distinct, so hits-per-doc is a plain
-    // partial-agg count of matching rows
+      .select(explode(shingleSet(col(textCol), shingleSize)).as("sh_b"))
+      .distinct()
+      .select(hashFn(col("sh_b")).as("h"), col("sh_b"))
+    // shingle sets are per-doc distinct and blocklist shingles are
+    // distinct, so each corpus shingle matches at most one confirmed
+    // row: hits-per-doc is a plain partial-agg count
     val contaminated = corpusSh.join(side(blockSh), Seq("h"))
+      .filter(col("sh") === col("sh_b"))
       .groupBy("cid").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
       .select(col("cid").as(idCol))
@@ -438,6 +506,31 @@ object DedupOps {
     val posting = materialize(spread
       .select(col(idCol).as("id"),
         explode(shingleSet(col(textCol), shingleSize)).as("shingle")))
+    ngramJaccardFromPosting(posting, minJaccard, maxDf)
+  }
+
+  /** [[ngramJaccardPairs]] over a PRE-SHINGLED frame (idCol, shCol) —
+    * one shared shingle table feeds the posting explode instead of
+    * re-shingling the corpus; pairs and Jaccard values are identical. */
+  def ngramJaccardPairsFromShingles(shingled: DataFrame,
+                                    idCol: String = "doc_id",
+                                    shCol: String = "sh",
+                                    minJaccard: Double = 0.5,
+                                    maxDf: Int = 50,
+                                    materialize: DataFrame => DataFrame =
+                                      _.localCheckpoint()): DataFrame = {
+    val posting = materialize(shingled
+      .select(col(idCol).as("id"), explode(col(shCol)).as("shingle")))
+    ngramJaccardFromPosting(posting, minJaccard, maxDf)
+  }
+
+  /** Shared tail of the exact-Jaccard pipeline: df census + posting
+    * cap, per-doc sizes, SHUFFLE_HASH candidate self-join, exact
+    * Jaccard filter — over an already-materialized (id, shingle)
+    * posting table. */
+  private def ngramJaccardFromPosting(posting: DataFrame,
+                                      minJaccard: Double,
+                                      maxDf: Int): DataFrame = {
     // posting-cap: document frequency via partial-aggregated groupBy —
     // map-side combine collapses a stop-word shingle ("one of the",
     // df ≈ corpus size at web scale) to one row per map task, so no

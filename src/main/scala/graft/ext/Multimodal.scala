@@ -149,20 +149,30 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Widen the id column to the session's parallelism before a HEAVY
+    * codec kernel — only when the scan arrived narrower (the docs
+    * table lands in 1-3 parquet splits at test scale, which would run
+    * the render/decode batch on as many cores; r19 profile: 3 tasks
+    * carrying the whole query). Never shrinks: a many-split table at
+    * production scale passes through untouched — no shuffle, no
+    * collapse of a wide scan to the local core count (r19 applied the
+    * repartition unconditionally, which both regressed the cheap
+    * audio kernel locally and would have collapsed + fully shuffled a
+    * large table at 100 TB). Only the 8-byte ids ever shuffle;
+    * payloads are generated — and decoded — partition-local. */
+  private def widenIds(ids: org.apache.spark.sql.Dataset[Long])
+      : org.apache.spark.sql.Dataset[Long] = {
+    val par = ids.sparkSession.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions < par) ids.repartition(par) else ids
+  }
+
   /** Media table with REAL PNG payloads, rendered per-partition (the
     * encoder initializes per batch like any codec). Same metadata
     * struct as [[mediaTable]]. */
   def imageTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // spread the id column across the session's full parallelism
-    // BEFORE the codec kernel: the docs table arrives in 1-3 parquet
-    // splits at test scale, which would run the render/decode batch
-    // on as many cores (r19 profile: 3 tasks carrying the whole
-    // query). Only the 8-byte ids shuffle; payloads are generated —
-    // and decoded — partition-local, exactly as before.
-    docs.select(col(idCol).cast(LongType))
-      .repartition(spark.sparkContext.defaultParallelism).as[Long]
+    widenIds(docs.select(col(idCol).cast(LongType)).as[Long])
       .mapPartitions { ids =>
         ids.map { id => (id, renderPng(id)) }
       }
@@ -263,14 +273,7 @@ object Multimodal {
     require(frames > 0, s"frames must be positive: $frames")
     val spark = docs.sparkSession
     import spark.implicits._
-    // spread the id column across the session's full parallelism
-    // BEFORE the codec kernel: the docs table arrives in 1-3 parquet
-    // splits at test scale, which would run the render/decode batch
-    // on as many cores (r19 profile: 3 tasks carrying the whole
-    // query). Only the 8-byte ids shuffle; payloads are generated —
-    // and decoded — partition-local, exactly as before.
-    docs.select(col(idCol).cast(LongType))
-      .repartition(spark.sparkContext.defaultParallelism).as[Long]
+    widenIds(docs.select(col(idCol).cast(LongType)).as[Long])
       .mapPartitions { ids =>
         ids.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
@@ -384,14 +387,12 @@ object Multimodal {
   def audioTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // spread the id column across the session's full parallelism
-    // BEFORE the codec kernel: the docs table arrives in 1-3 parquet
-    // splits at test scale, which would run the render/decode batch
-    // on as many cores (r19 profile: 3 tasks carrying the whole
-    // query). Only the 8-byte ids shuffle; payloads are generated —
-    // and decoded — partition-local, exactly as before.
-    docs.select(col(idCol).cast(LongType))
-      .repartition(spark.sparkContext.defaultParallelism).as[Long]
+    // NO repartition here, unlike the PNG arms: renderWav is a cheap
+    // kernel (3.2 KB of PCM + a header — no entropy coding), so the
+    // id shuffle + 32 near-empty tasks cost more than the render
+    // itself (r19 measured 1.22 → 2.83 s from adding it, and an
+    // 8-core/32-core scaling ratio of 1.1 — never parallelism-bound).
+    docs.select(col(idCol).cast(LongType)).as[Long]
       .mapPartitions(ids => ids.map(id => (id, renderWav(id))))
       .toDF("media_id", "payload")
       .select(col("media_id"), col("payload"),
@@ -528,14 +529,7 @@ object Multimodal {
   def rampImageTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // spread the id column across the session's full parallelism
-    // BEFORE the codec kernel: the docs table arrives in 1-3 parquet
-    // splits at test scale, which would run the render/decode batch
-    // on as many cores (r19 profile: 3 tasks carrying the whole
-    // query). Only the 8-byte ids shuffle; payloads are generated —
-    // and decoded — partition-local, exactly as before.
-    docs.select(col(idCol).cast(LongType))
-      .repartition(spark.sparkContext.defaultParallelism).as[Long]
+    widenIds(docs.select(col(idCol).cast(LongType)).as[Long])
       .flatMap { id =>
         val twins =
           (if (id % 50 == 0) Seq(id + RampBrightTwin) else Nil) ++

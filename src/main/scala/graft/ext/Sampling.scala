@@ -147,11 +147,20 @@ object Sampling {
       sum("_cnt").over(wcum) - col("_cnt"))
     val taken = cum.filter(col("_prev") < n)
     val bounds = taken.groupBy(stratumCol).agg(max("_qb").as("_bmax"))
+    // The boundary frame is TINY (≤ one row per stratum) and every
+    // union branch below consumes it as a broadcast build side.
+    // Checkpointed, the histogram→window→boundary subtree executes
+    // once and each branch's broadcast reads a leaf — unpinned, the
+    // 4-way union re-plans (and, without exchange reuse, re-runs) the
+    // whole subtree per branch (r19 plan: 146 Exchanges / 48 scans of
+    // the input checkpoint on the curation queries; guide §3.3 plan
+    // truncation).
     val boundary = nsJoin(taken, bounds)
       .filter(col("_qb") === col("_bmax"))
       .select(col(stratumCol), col("_bmax"),
         (lit(n.toLong) - col("_prev")).as("_take"),
         col("_cnt").as("_bcnt"))
+      .localCheckpoint()
     val joined = nsJoin(withB, broadcast(boundary))
     val below = joined.filter(col("_qb") < col("_bmax"))
     val wRank = Window.partitionBy(stratumCol).orderBy(idCol)
@@ -159,6 +168,15 @@ object Sampling {
     val cold = atBoundary.filter(col("_bcnt") <= hotBoundary)
       .withColumn("_rk", row_number().over(wRank))
       .filter(col("_rk") <= col("_take"))
+
+    // no hot stratum (the common case, read off the checkpointed
+    // per-stratum boundary stats — a metadata-scale peek, not a data
+    // scan): the two hot-path branches are provably empty, so don't
+    // plan them — halves the union and drops the second-level
+    // histogram subtree from the plan entirely
+    if (boundary.filter(col("_bcnt") > hotBoundary).isEmpty)
+      return below.select(outCols: _*)
+        .unionByName(cold.select(outCols: _*))
 
     // hot boundary: salted second-level bucket, same histogram shape
     val hot = atBoundary.filter(col("_bcnt") > hotBoundary)
@@ -175,6 +193,7 @@ object Sampling {
       .filter(col("_qb2") === col("_bmax2"))
       .select(col(stratumCol), col("_bmax2"),
         (col("_t") - col("_prev2")).as("_take2"))
+      .localCheckpoint() // tiny, consumed by two branches — as above
     val joined2 = nsJoin(hot.drop("_bmax", "_take", "_bcnt"),
       broadcast(boundary2))
     val below2 = joined2.filter(col("_qb2") < col("_bmax2"))

@@ -319,19 +319,50 @@ object Snapshot {
       m
     }
 
+  /** 64-bit signature of `dir`'s committed state: every regular file
+    * under it — data, markers, manifests, MOR sidecars — folded as
+    * (relative path, size, mtime). Dot-prefixed segments (staging,
+    * commit-in-flight) are excluded, so the signature only moves when
+    * a commit lands. Any mutation changes it: [[swapIn]] replaces the
+    * data files and marker, a plain [[append]] adds part files (Spark
+    * part names carry a per-job UUID, so delete+recreate of the same
+    * path can never reproduce a signature even within one mtime
+    * tick), [[morCommit]] adds a sidecar version, erase/expire
+    * rewrites produce fresh file names, manifest publication touches
+    * the manifest. One driver-side listing per read — the same
+    * metadata walk the uncached path's InMemoryFileIndex pays anyway. */
+  private def commitSignature(dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    val s = Files.walk(root)
+    val entries =
+      try s.iterator().asScala.filter { p =>
+        Files.isRegularFile(p) &&
+        !root.relativize(p).iterator().asScala
+          .exists(_.toString.startsWith("."))
+      }.map { p =>
+        s"${root.relativize(p)}|${Files.size(p)}|" +
+          s"${Files.getLastModifiedTime(p).toMillis}"
+      }.toArray
+      finally s.close()
+    java.util.Arrays.sort(entries.asInstanceOf[Array[Object]])
+    entries.foldLeft(entries.length.toLong) { (h, e) =>
+      h * 1000003L + scala.util.hashing.MurmurHash3.stringHash(e)
+    }
+  }
+
   private def morApplyCached(spark: SparkSession, dir: String,
                              upTo: Long,
                              withLineage: Boolean = false): DataFrame =
     markerVersion(dir) match {
       case None => morApply(spark, dir, upTo, withLineage)
-      case Some(mv) =>
-        val manifest = Paths.get(dir, ScanPruning.ManifestName)
-        val mfSig =
-          if (Files.exists(manifest))
-            Files.getLastModifiedTime(manifest).toMillis
-          else -1L
-        val key = s"$dir|$upTo|$withLineage|$mv|" +
-          s"${morVersions(dir).mkString(",")}|${purgeEpoch(dir)}|$mfSig"
+      case Some(_) =>
+        // the signature covers marker, manifest, MOR versions and the
+        // data files themselves; purgeEpoch is in-JVM state (GDPR
+        // rewrites also rename files, but keep the explicit component
+        // so an epoch bump invalidates even a same-signature state)
+        val key = s"$dir|$upTo|$withLineage|${purgeEpoch(dir)}|" +
+          s"${commitSignature(dir)}"
         val cache = readCacheFor(spark)
         if (cache.size > 512) cache.clear() // crude bound; re-warms
         cache.computeIfAbsent(key,

@@ -819,24 +819,31 @@ object ExtQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      // One materialization of the twin corpus shared by all three
-      // detectors, whose signature pipelines then build CONCURRENTLY:
-      // each construction runs eager internal checkpoints (signature /
-      // posting tables), and those are independent jobs the scheduler
-      // interleaves — the multi-thread-submission pattern Spark's
-      // scheduler pools exist for. Serial construction leaves the
-      // cluster idle while each detector's small jobs barrier in turn.
+      // ONE corpus scan + ONE shingling shared by all three detectors
+      // (r20, guide §1.2/§5): the MinHash and exact-n-gram detectors
+      // consume the same distinct 3-shingle sets and SimHash
+      // re-tokenizes text from the same checkpoint — r19 checkpointed
+      // only the raw twin corpus and each detector re-scanned and
+      // re-shingled it. The detectors still build CONCURRENTLY: each
+      // construction runs eager internal checkpoints (signature /
+      // posting tables), independent jobs the scheduler interleaves.
       val twins = corpusWithTwins(Tables.documents(s, d))
+        .repartition(s.sparkContext.defaultParallelism)
+      val shingled = twins
+        .select(col("doc_id"), col("text"),
+          DedupOps.shingleSet(col("text"), 3).as("sh"))
         .localCheckpoint()
       // no .distinct() here: connectedComponents dedups its edge set
       // after the undirected doubling anyway — an extra pre-distinct
       // would just add a pair-keyed shuffle
       val detectors = Seq(
-        Future(DedupOps.nearDuplicates(twins, minJaccard = 0.4)
+        Future(DedupOps.nearDuplicatesFromShingles(
+          shingled.select("doc_id", "sh"), minJaccard = 0.4)
           .select("id_a", "id_b")),
-        Future(DedupOps.simhashPairs(twins, 6)
+        Future(DedupOps.simhashPairs(shingled, 6)
           .select("id_a", "id_b")),
-        Future(DedupOps.ngramJaccardPairs(twins, minJaccard = 0.4)
+        Future(DedupOps.ngramJaccardPairsFromShingles(
+          shingled.select("doc_id", "sh"), minJaccard = 0.4)
           .select("id_a", "id_b")))
       val edges = Await.result(Future.sequence(detectors), Duration.Inf)
         .reduce(_ unionByName _)

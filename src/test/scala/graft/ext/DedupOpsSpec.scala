@@ -55,6 +55,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact.keySet))
   }
 
+  test("FromShingles entry points (shared pre-shingled frame) return " +
+    "exactly what the text-input operators return") {
+    val shingled = docs
+      .select($"doc_id", DedupOps.shingleSet($"text").as("sh"))
+      .localCheckpoint()
+    val near0 = DedupOps.nearDuplicates(docs, minJaccard = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val near1 = DedupOps.nearDuplicatesFromShingles(shingled,
+        minJaccard = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(near0 == near1)
+    val ng0 = DedupOps.ngramJaccardPairs(docs, minJaccard = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val ng1 = DedupOps.ngramJaccardPairsFromShingles(shingled,
+        minJaccard = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ng0 == ng1)
+  }
+
   test("ngramJaccardPairs df-cap drops ultra-common shingles from " +
     "candidates AND from the Jaccard denominator") {
     // 3 docs sharing one universal shingle; with maxDf=2 that shingle
@@ -121,6 +140,27 @@ class DedupOpsSpec extends SparkSpec {
       shingleSize = 8, minHits = 4)
       .select("doc_id").as[Long].collect().toSet
     assert(strict == Set(11L, 12L, 13L))
+  }
+
+  test("exactContamination survives 64-bit prefilter collisions: a " +
+    "hash that collides EVERY shingle still contaminates only verbatim " +
+    "hits (the exact confirm, not the hash, decides)") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (13L, "completely different words about spark shuffles and joins here")
+    ).toDF("doc_id", "text")
+    val block = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    // adversarial prefilter: all shingles hash to 0 — every corpus
+    // shingle is a hash-level "hit" against every blocklist shingle
+    for (bcast <- Seq(true, false)) {
+      val kept = DedupOps.exactContaminationHashed(corpus, block,
+          "doc_id", "text", 8, 1, bcast, _.localCheckpoint(),
+          _ => lit(0L))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(13L), s"broadcast=$bcast")
+    }
   }
 
   test("decontaminate shuffle-join path (corpus-sized blocklist) " +

@@ -29,6 +29,29 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).as[Int].collect().toSet == Set(9, 10))
   }
 
+  test("delete + recreate at the same path serves the new table, not " +
+    "a cached plan over the dead files") {
+    val dir = Files.createTempDirectory("snapdr").toString + "/t"
+    Snapshot.createOrReplace(Seq(1, 2, 3).toDF("x"), dir)
+    assert(Snapshot.read(spark, dir).count() == 3)
+    // drop the whole table tree (marker version restarts at 1 on
+    // recreate — the r19 cache keyed on the version number and served
+    // the dead table's file index: FILE_NOT_EXIST)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.foreach(rm)
+        } finally s.close()
+      }
+      Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(dir))
+    Snapshot.createOrReplace(Seq(7, 8).toDF("x"), dir)
+    assert(Snapshot.read(spark, dir).as[Int].collect().toSet == Set(7, 8))
+  }
+
   test("partitioned snapshot: a filter on the partition column prunes " +
     "directories at planning time, not row-by-row") {
     val dir = Files.createTempDirectory("snapp").toString + "/events"
