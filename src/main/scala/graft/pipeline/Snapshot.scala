@@ -560,8 +560,7 @@ object Snapshot {
       // in the staging order
       val writes = Seq.newBuilder[() => Unit]
       deletes.foreach(d => writes += (() =>
-        d.write.mode(SaveMode.Overwrite)
-          .parquet(stage.resolve("deletes").toString)))
+        writeParquetTiny(d, stage.resolve("deletes"))))
       // position deletes: (file_path, pos) pairs in Iceberg's
       // position-delete schema, file ids RELATIVE to the serving dir
       // (see relFileId — rename-stable by construction). Relativity is
@@ -580,14 +579,13 @@ object Snapshot {
               "deletes?): "), fp)).cast("string"))
           .otherwise(fp)
         writes += (() =>
-          pd.select(relOrRaise.as("file_path"),
-              col(LineagePos).cast("long").as("pos"))
-            .write.mode(SaveMode.Overwrite)
-            .parquet(stage.resolve("pos_deletes").toString))
+          writeParquetTiny(
+            pd.select(relOrRaise.as("file_path"),
+              col(LineagePos).cast("long").as("pos")),
+            stage.resolve("pos_deletes")))
       }
       appends.foreach(a => writes += (() =>
-        a.write.mode(SaveMode.Overwrite)
-          .parquet(stage.resolve("appends").toString)))
+        writeParquetTiny(a, stage.resolve("appends"))))
       Par.all(writes.result())
       Files.write(stage.resolve("_commit"),
         s"operation=$operation\n"
@@ -726,11 +724,24 @@ object Snapshot {
     require(metaName.startsWith("_"),
       s"meta file must be scan-invisible (underscore-prefixed): $metaName")
     swapIn(path, keepVersions) { tmp =>
-      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      writeParquetTiny(df, tmp)
       Files.write(tmp.resolve(metaName),
         metaContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
+
+  /** `df.write.parquet(dir)`, except a provably-tiny frame (index
+    * stats, maintenance sidecars, checkpoints — the fixed-cost class
+    * the r19/r20 microbenches price at ~260-310 ms PER WRITE JOB) is
+    * written as one parquet file straight from the driver through
+    * Spark's own ParquetFileFormat writer: identical bytes-on-disk
+    * semantics, no job. Scale-guarded twice (plan-size gate + bounded
+    * take) in [[org.apache.spark.sql.graft.LocalParquet]]; a frame
+    * that fails either guard takes the distributed write below,
+    * unchanged. */
+  private[graft] def writeParquetTiny(df: DataFrame, dir: Path): Unit =
+    if (!org.apache.spark.sql.graft.LocalParquet.tryWrite(df, dir))
+      df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
 
   /** The metadata file a [[createOrReplaceWithMeta]] commit carried,
     * if present on the live dir. */
