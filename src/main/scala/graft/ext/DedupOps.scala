@@ -171,8 +171,7 @@ object DedupOps {
                        textCol: String = "text", shingleSize: Int = 3,
                        materialize: DataFrame => DataFrame =
                          _.localCheckpoint()): DataFrame = {
-    val spread = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = Spread.widen(docs)
     val signed = materialize(spread
       .withColumn("_shingles", shingleSet(col(textCol), shingleSize))
       .select(col(idCol).as("id"), col("_shingles").as("sh"),
@@ -230,8 +229,7 @@ object DedupOps {
                         maxDist: Int = 100, shingleSize: Int = 3,
                         materialize: DataFrame => DataFrame =
                           _.localCheckpoint()): DataFrame = {
-    val spread = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = Spread.widen(docs)
     val banded = materialize(
       bandedSignatures(spread, idCol, textCol, shingleSize))
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
@@ -274,8 +272,7 @@ object DedupOps {
     // re-shingling the corpus twice. The corpus is spread to full
     // parallelism first — a small parquet arrives in few splits and
     // would otherwise sign on 3 of 32 cores.
-    val spread = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = Spread.widen(docs)
     val shingled = materialize(spread.select(col(idCol),
       shingleSet(col(textCol), shingleSize).as("sh")))
     nearDuplicatesFromShingles(shingled, idCol, "sh", minJaccard,
@@ -371,8 +368,7 @@ object DedupOps {
     // both the band pipeline and the exact verify — r19 re-shingled
     // the corpus (and, on the non-broadcast path, the blocklist) on
     // each of the two paths
-    val spread = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val spread = Spread.widen(corpus)
     val corpusShingled = materialize(spread.select(col(idCol),
       shingleSet(col(textCol), shingleSize).as("sh")))
     val corpusBands = materialize(
@@ -495,8 +491,7 @@ object DedupOps {
                         maxDf: Int = 50,
                         materialize: DataFrame => DataFrame =
                           _.localCheckpoint()): DataFrame = {
-    val spread = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = Spread.widen(docs)
     // The exploded posting table has THREE consumers (the df census,
     // the per-doc sizes, the candidate self-join); materialized once it
     // is scanned three times instead of re-shingling the corpus three

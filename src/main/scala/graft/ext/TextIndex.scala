@@ -203,7 +203,12 @@ object TextIndex {
     require(termBuckets > 0 && docBuckets > 0,
       s"bucket counts must be positive: $termBuckets/$docBuckets")
     val version = corpusVersionOf(corpusPath)
-    val corpus = Snapshot.read(spark, corpusPath)
+    // tokenize+explode+partial-agg is the build's CPU-heavy map stage
+    // and a small corpus snapshot arrives in 1-3 splits — r20
+    // JobTrace: the postings exchange's map stage ran 1.39 s on ONE
+    // task of 32. Widen when the size estimate says the scan is
+    // narrow; a big corpus passes through untouched (guide §2.5).
+    val corpus = Spread.widen(Snapshot.read(spark, corpusPath))
     // one token rides every component commit — a reader caught between
     // the swaps of a rebuild raises instead of scoring new postings
     // against old stats

@@ -1216,9 +1216,11 @@ object Snapshot {
     val order = sortOrder(path)
     // transform entries materialize their derived field for the write
     // (dropped again by every read — hidden partitioning)
-    val withDerived = fields.filterNot(_.isIdentity)
-      .foldLeft(df)((acc, f) => deriveColumn(f, df)
+    def derive(in: DataFrame): DataFrame = fields
+      .filterNot(_.isIdentity)
+      .foldLeft(in)((acc, f) => deriveColumn(f, df)
         .map(c => acc.withColumn(f.name, c)).getOrElse(acc))
+    val withDerived = derive(df)
     // the FIRST bucket entry drives the file-level join layout (a
     // file can only be one hash bucket; further bucket entries still
     // write their md5 fragments)
@@ -1242,10 +1244,15 @@ object Snapshot {
         // the bucket layout OWNS the shuffle (one murmur3 bucket per
         // output task — the explicit partition count also keeps AQE
         // from coalescing, which would merge buckets); any WRITE
-        // ORDERED BY order degrades gracefully to within-file sort
-        withDerived
-          .repartition(n,
-            cols.map(org.apache.spark.sql.functions.col): _*)
+        // ORDERED BY order degrades gracefully to within-file sort.
+        // The murmur3 keys are RAW columns, so the md5 fragment
+        // derivation runs AFTER the exchange (r20, guide §2.3
+        // project-before-the-exchange): the map side ships only the
+        // raw rows (no 32-char md5 strings across the wire) and the
+        // per-row hashing runs on the n reduce tasks instead of the
+        // scan's 1-3 input splits
+        derive(df.repartition(n,
+            cols.map(org.apache.spark.sql.functions.col): _*))
           .sortWithinPartitions(exprs: _*)
       case None if order.isEmpty => withDerived
       case None =>

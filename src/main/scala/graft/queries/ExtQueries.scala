@@ -827,8 +827,8 @@ object ExtQueries {
       // re-shingled it. The detectors still build CONCURRENTLY: each
       // construction runs eager internal checkpoints (signature /
       // posting tables), independent jobs the scheduler interleaves.
-      val twins = corpusWithTwins(Tables.documents(s, d))
-        .repartition(s.sparkContext.defaultParallelism)
+      val twins = graft.ext.Spread.widen(
+        corpusWithTwins(Tables.documents(s, d)))
       val shingled = twins
         .select(col("doc_id"), col("text"),
           DedupOps.shingleSet(col("text"), 3).as("sh"))

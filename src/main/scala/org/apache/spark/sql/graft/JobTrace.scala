@@ -33,9 +33,9 @@ object JobTrace {
           val d = Option(e.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .getOrElse("")
-          val s = Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
-            .getOrElse("")
+          // stage names carry the call site ("parquet at Foo.scala:12")
+          val s = e.stageInfos.map(_.name.takeWhile(_ != '\n'))
+            .distinct.mkString(" | ").take(120)
           val j = J(e.jobId, d, s,
             e.stageInfos.map(_.numTasks).sum, 0L, System.nanoTime())
           active(e.jobId) = j
@@ -66,7 +66,7 @@ object JobTrace {
       spark.sparkContext.listenerBus.waitUntilEmpty()
       println(f"JOBTRACE $n wall=$wall%.2f s jobs=${jobs.size}")
       jobs.sortBy(_.id).foreach { j =>
-        println(f"  [${j.id}%4d] ${j.ms}%5d ms ${j.tasks}%4d tasks  ${j.site}%-40s ${j.desc.take(80)}")
+        println(f"  [${j.id}%4d] ${j.ms}%5d ms ${j.tasks}%4d tasks  ${j.site}%s ${j.desc.take(60)}")
       }
     }
     spark.stop()
